@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-level engine defaults.
+  *
+  * The reference (kaveriC/CLIF) relies on R's silent `as.numeric` NA
+  * coercion (`code/RCLIF_adt.Rmd:33`, `code/RCLIF_vitals.Rmd:137`); Spark 4
+  * defaults to ANSI mode where such casts throw, so the engine runs with
+  * ANSI off (SURVEY.md §7.4). AQE stays on for runtime shuffle coalescing
+  * and skew-join handling — at 100 TB the static partition count is always
+  * wrong somewhere, so let the runtime re-plan.
+  */
+object GraftSession {
+
+  /** Runtime confs applied to any session the engine runs under. */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.ansi.enabled", "false")
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // The driver's events table stores TIMESTAMP(NANOS), which the Spark
+    // parquet reader rejects by default; read as long and convert in
+    // Tables.load (micros truncation matches DuckDB's µs timestamps).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Vocab/dim tables in this workload are tiny; keep the default 10MB
+    // threshold but make the intent explicit.
+    c.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
+    spark
+  }
+
+  /** Standalone builder for tests/tools (driver mains build their own). */
+  def local(cores: Int = 4): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+}
+
+/** Loaders for the driver-provided synthetic tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), surfaced as long via
+    // nanosAsLong (GraftSession.tune); truncate to µs like DuckDB does.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } else df
+  }
+
+  /** Register every table as a temp view (the Spark SQL surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,13 +1,714 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.text.{Dedup, TextOps}
+import graft.sim.Similarity
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] exercises one operator family from SURVEY.md §2
+  * (or a training-data-pipeline extension) through the graft operator
+  * library, over the driver's synthetic tables (TESTDATA.md). [[oracleSql]]
+  * holds the DuckDB-equivalent SQL for the hash-compare gate.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - money/double sums go through exact decimal(18,2) accumulation, then
+  *    ONE cast to double — immune to FP reduction order;
+  *  - every computed integer is cast to an explicit width (DuckDB returns
+  *    BIGINT where Spark returns INT, e.g. year(), length());
+  *  - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  *    replace-all semantics;
+  *  - window orderings always carry a unique tiebreak column.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(GraftSession.tune(s), dir, name)
+
+  /** Exact decimal accumulation -> one double cast (see class doc). */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue per region: 4-way join (3 broadcast dims) + hash agg. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.4 A1 + flagship agg (q1): group agg with exact sums ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- §2.2 P1 projection ----
+    "p1_project" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    // ---- §2.2 P2 negative projection (drop) ----
+    "p2_drop" -> ((s, dir) => t(s, dir, "events").drop("props", "value")),
+
+    // ---- §2.2 P3 rename ----
+    "p3_rename" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumnRenamed("c_name", "customer_name")
+        .withColumnRenamed("c_acctbal", "account_balance")
+        .select("c_custkey", "customer_name", "account_balance")),
+
+    // ---- §2.2 P4 null-predicate filter (over a left join's null side) ----
+    "p4_filter_null" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .filter(col("o_orderkey").isNull)
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- §2.2 P5 IN-list filter ----
+    "p5_filter_in" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")),
+
+    // ---- §2.2 P6 comparison filter ----
+    "p6_filter_cmp" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
+
+    // ---- §2.2 P7 pattern filter (contains + anchored regex) ----
+    "p7_filter_pattern" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").contains("widget") && col("p_type").rlike("^ECO"))
+        .select("p_partkey", "p_name", "p_type")),
+
+    // ---- §2.2 P8 timestamp-range filter (partition-prunable) ----
+    "p8_filter_ts_range" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")),
+
+    // ---- §2.2 P9 castability filter + §2.8 F-extract ----
+    "p9_cast_filter" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k",
+          Scalars.toNumeric(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1))
+            .cast("int"))
+        .filter(Scalars.isNumeric(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)))
+        .select("event_id", "k")),
+
+    // ---- §2.3 J1 broadcast dim joins (star join) ----
+    "j1_join_dims" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+    }),
+
+    // ---- §2.3 J2 composite-key equi-join ----
+    "j2_join_composite" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val grp = li.groupBy(col("l_orderkey"), col("l_partkey"))
+        .agg(moneySum(col("l_quantity")).as("grp_qty"))
+      li.join(grp, Seq("l_orderkey", "l_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("grp_qty"))
+    }),
+
+    // ---- §2.3 J4 full outer join ----
+    "j4_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      Joins.fullOuter(c, su, Seq("nationkey"))
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
+    // ---- §2.3 J5 left semi ----
+    "j5_semi" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("o_custkey"))
+      Joins.semi(t(s, dir, "orders"), rich, Seq("o_custkey"))
+        .select("o_orderkey", "o_custkey")
+    }),
+
+    // ---- anti join (§2.3 note: QC parity) ----
+    "j_anti" -> ((s, dir) => {
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      Joins.anti(t(s, dir, "customer"), withOrders, Seq("c_custkey"))
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- §2.3 J6 regex theta-join (vocab word-boundary match) ----
+    "j6_regex_vocab" -> ((s, dir) => {
+      val vocab = t(s, dir, "part")
+        .select(split(col("p_name"), " ").getItem(0).as("term")).distinct()
+      Joins.regexVocabJoin(t(s, dir, "documents"), vocab, "text", "term")
+        .select("doc_id", "term")
+    }),
+
+    // ---- §2.4 A1 group count ----
+    "a1_group_count" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type")).agg(count(lit(1)).as("n"))),
+
+    // ---- §2.4 A2/A3 distinct / dedup full row ----
+    "a2_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    // ---- §2.4 A4 dedup by key keep-LAST ----
+    "a4_dedup_keep_last" -> ((s, dir) =>
+      WindowOps.dedupKeepLast(t(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "event_type")),
+
+    // ---- §2.4 A5 missingness profile ----
+    "a5_missingness" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        when(col("event_type") === "error", lit(null)).otherwise(col("event_type"))
+          .as("et"),
+        when(col("value") < 5, lit(null)).otherwise(col("value")).as("v"))
+      Quality.missingness(e, Seq("et", "v"))
+    }),
+
+    // ---- §2.4 A6 summary stats (exact) ----
+    "a6_summary" -> ((s, dir) =>
+      Quality.summaryStats(t(s, dir, "lineitem"), "l_quantity",
+        Seq("l_returnflag"))),
+
+    // ---- §2.4 A7 distinct projection ----
+    "a7_distinct_proj" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderpriority").distinct()),
+
+    // ---- §2.5 W1 group-wise fill down-then-up (LOCF + backfill) ----
+    "w1_fill_downup" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("v",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      WindowOps.fillDownUp(e, Seq("user_id"), Seq(col("ts"), col("event_id")),
+          Seq("v"))
+        .select("event_id", "user_id", "v")
+    }),
+
+    // ---- §2.5 W2 group-wise lead (episode stop times) ----
+    "w2_lead_episodes" -> ((s, dir) =>
+      WindowOps.leadEpisodes(t(s, dir, "events"), Seq("user_id"), "ts",
+          "stop_ts", Seq(col("event_id")))
+        .select("event_id", "user_id", "ts", "stop_ts")),
+
+    // ---- §2.5 W3 interval arithmetic ----
+    "w3_interval_shift" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("ts_minus_1h"))),
+
+    // ---- §2.6 O1/O2/O3 sort + limit (deterministic top-k) ----
+    "o1_sort_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)),
+
+    // ---- §2.7 U1 union same-schema ----
+    "u1_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val y95 = li.filter(year(col("l_shipdate")) === 1995)
+      val y97 = li.filter(year(col("l_shipdate")) === 1997)
+      y95.union(y97).select("l_orderkey", "l_linenumber", "l_shipdate")
+    }),
+
+    // ---- §2.7 U2 union by name with missing columns ----
+    "u2_union_by_name" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+      val su = t(s, dir, "supplier").select(
+        col("s_suppkey").as("id"), col("s_name").as("name"),
+        col("s_nationkey").cast("int").as("nationkey"), lit("supplier").as("src"))
+      c.unionByName(su, allowMissingColumns = true)
+    }),
+
+    // ---- §2.7 R1 unpivot (wide -> long) ----
+    "r1_unpivot" -> ((s, dir) =>
+      Reshape.unpivot(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+        ids = Seq("l_orderkey", "l_linenumber"),
+        values = Seq("l_quantity", "l_discount"),
+        nameCol = "measure", valueCol = "value")),
+
+    // ---- §2.7 R2 pivot (long -> wide, declared names) ----
+    "r2_pivot" -> ((s, dir) =>
+      Reshape.pivotWider(t(s, dir, "lineitem"),
+        ids = Seq("l_returnflag"), nameCol = "l_linestatus",
+        valueCol = "l_quantity", names = Seq("F", "O"),
+        agg = c => moneySum(c))),
+
+    // ---- §2.7 R3 separate one column -> two ----
+    "r3_separate" -> ((s, dir) =>
+      Reshape.separate(t(s, dir, "orders"), "o_orderpriority", "-",
+          Seq("prio_code", "prio_label"))
+        .select("o_orderkey", "prio_code", "prio_label")),
+
+    // ---- §2.7 R4 explode / unnest ----
+    "r4_explode" -> ((s, dir) =>
+      Reshape.unnest(t(s, dir, "part"), split(col("p_name"), " "), "word",
+        Seq("p_partkey"))),
+
+    // ---- §2.8 string functions (F1-F7 family) ----
+    "f_string" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_type")).as("type_u"),
+        substring(col("p_name"), 1, 3).as("name3"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+        Scalars.firstWords(col("p_name"), 1).as("first_word"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))),
+
+    // ---- §2.8 dose parsing (F4/F5/F6 family) over synthetic strings ----
+    "f_parse_number" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        Scalars.extractNumber(col("props")).as("num_in_props"),
+        Scalars.stripNumber(regexp_replace(col("props"), "[{}\":]", ""))
+          .as("unit_in_props"))),
+
+    // ---- §2.8 datetime functions (F14-F19 family) ----
+    "f_datetime" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        year(col("ts")).cast("int").as("y"),
+        month(col("ts")).cast("int").as("m"),
+        dayofmonth(col("ts")).cast("int").as("d"),
+        hour(col("ts")).cast("int").as("h"),
+        date_trunc("day", col("ts")).as("day_ts"),
+        to_date(col("ts")).cast("string").as("day_date"),
+        date_format(col("ts"), "yyyy-MM").as("ym"))),
+
+    // ---- §2.8 conditional / clamp / coalesce (F9-F13 family) ----
+    "f_conditional" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        Scalars.caseWhen(Seq(
+          (col("c_acctbal") < 0, lit("debt")),
+          (col("c_acctbal") < 1000, lit("low")),
+          (col("c_acctbal") < 5000, lit("mid"))), lit("high")).as("band"),
+        Scalars.clamp(col("c_acctbal"), 0, 5000).as("clamped"),
+        Scalars.fallbackIfBlank(col("c_mktsegment"), lit("UNKNOWN")).as("seg"))),
+
+    // ---- §2.8 F8 hash pseudonymization ----
+    "f_hash_id" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"), Scalars.hashId(col("c_name")).as("id_hash"))),
+
+    // ---- training-data ops: token stats ----
+    "t_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.charCount(col("text")).as("n_chars_c"),
+        round(TextOps.meanTokenLen(col("text")), 6).as("mean_token_len"))),
+
+    // ---- training-data ops: quality scoring ----
+    "t_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.stopwordCount(col("text")).as("n_stopwords"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"))),
+
+    // ---- training-data ops: language id heuristic ----
+    "t_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+
+    // ---- training-data ops: exact dedup by content hash ----
+    "t_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByContent(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- training-data ops: exact dedup on normalized content ----
+    "t_dedup_norm" -> ((s, dir) =>
+      Dedup.exactByContent(t(s, dir, "documents"), "doc_id", "text",
+        normalized = true)),
+
+    // ---- training-data ops: MinHash+LSH near-dup (rows-only check) ----
+    "t_minhash_lsh" -> ((s, dir) =>
+      Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16)),
+
+    // ---- training-data ops: SimHash near-dup (rows-only check) ----
+    "t_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)),
+
+    // ---- similarity: brute-force cosine top-k for one query vector ----
+    "e_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.topKForVector(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 10)
+    }),
+
+    // ---- similarity: threshold pairs blocked by label ----
+    "e_sim_pairs" -> ((s, dir) =>
+      Similarity.thresholdPairsByLabel(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.3)),
+
+    // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
+    "s1_csv_roundtrip" -> ((s, dir) => {
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_csv_roundtrip").getAbsolutePath
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").option("header", true).csv(tmp)
+      s.read.option("header", true)
+        .schema("l_orderkey bigint, l_linenumber int, l_returnflag string, l_quantity double")
+        .csv(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops ->
+    * driver records a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "p1_project" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+
+    "p2_drop" ->
+      "SELECT event_id, ts, user_id, event_type FROM events",
+
+    "p3_rename" ->
+      """SELECT c_custkey, c_name AS customer_name, c_acctbal AS account_balance
+        |FROM customer""".stripMargin,
+
+    "p4_filter_null" ->
+      """SELECT c_custkey, c_name FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL""".stripMargin,
+
+    "p5_filter_in" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag IN ('A','R')""".stripMargin,
+
+    "p6_filter_cmp" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount < 0.05""".stripMargin,
+
+    "p7_filter_pattern" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%widget%' AND regexp_matches(p_type, '^ECO')""".stripMargin,
+
+    "p8_filter_ts_range" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'""".stripMargin,
+
+    "p9_cast_filter" ->
+      """SELECT event_id,
+        |  CAST(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DOUBLE) AS INT) AS k
+        |FROM events
+        |WHERE TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DOUBLE) IS NOT NULL""".stripMargin,
+
+    "j1_join_dims" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "j2_join_composite" ->
+      """WITH grp AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS grp_qty
+        |  FROM lineitem GROUP BY l_orderkey, l_partkey)
+        |SELECT li.l_orderkey, li.l_partkey, li.l_linenumber, grp.grp_qty
+        |FROM lineitem li
+        |JOIN grp ON li.l_orderkey = grp.l_orderkey AND li.l_partkey = grp.l_partkey""".stripMargin,
+
+    "j4_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        |           FROM customer GROUP BY c_nationkey),
+        |     s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        |           FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""".stripMargin,
+
+    "j5_semi" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin,
+
+    "j_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "j6_regex_vocab" ->
+      """SELECT d.doc_id, t.term
+        |FROM documents d
+        |CROSS JOIN (SELECT DISTINCT split_part(p_name, ' ', 1) AS term FROM part) t
+        |WHERE regexp_matches(d.text, '(?i)\b' || t.term || '\b')""".stripMargin,
+
+    "a1_group_count" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+
+    "a2_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "a4_dedup_keep_last" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "a5_missingness" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et,
+        |         CASE WHEN value < 5 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT 'et' AS column_name,
+        |  CAST(SUM(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  ROUND(CAST(SUM(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*), 4) AS pct_null
+        |FROM src
+        |UNION ALL
+        |SELECT 'v',
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  ROUND(CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*), 4)
+        |FROM src""".stripMargin,
+
+    "a6_summary" ->
+      """SELECT l_returnflag, COUNT(l_quantity) AS n,
+        |  MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS mean_v
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a7_distinct_proj" ->
+      "SELECT DISTINCT o_orderpriority FROM orders",
+
+    "w1_fill_downup" ->
+      """WITH src AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  COALESCE(
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS v
+        |FROM src""".stripMargin,
+
+    "w2_lead_episodes" ->
+      """SELECT event_id, user_id, ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS stop_ts
+        |FROM events""".stripMargin,
+
+    "w3_interval_shift" ->
+      "SELECT event_id, ts - INTERVAL 1 HOUR AS ts_minus_1h FROM events",
+
+    "o1_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "u1_union" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE year(l_shipdate) = 1995
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE year(l_shipdate) = 1997""".stripMargin,
+
+    "u2_union_by_name" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+        |  'customer' AS src, CAST(NULL AS INT) AS nationkey
+        |FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), 'supplier', CAST(s_nationkey AS INT)
+        |FROM supplier""".stripMargin,
+
+    "r1_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin,
+
+    "r2_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "r3_separate" ->
+      """SELECT o_orderkey, split_part(o_orderpriority, '-', 1) AS prio_code,
+        |  split_part(o_orderpriority, '-', 2) AS prio_label
+        |FROM orders""".stripMargin,
+
+    "r4_explode" ->
+      "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part",
+
+    "f_string" ->
+      """SELECT p_partkey, UPPER(p_type) AS type_u, substr(p_name, 1, 3) AS name3,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part""".stripMargin,
+
+    "f_parse_number" ->
+      """SELECT event_id,
+        |  TRY_CAST(array_to_string(regexp_extract_all(props, '[0-9.]+'), '') AS DOUBLE)
+        |    AS num_in_props,
+        |  trim(regexp_replace(regexp_replace(props, '[{}":]', '', 'g'), '[0-9.]+', '', 'g'))
+        |    AS unit_in_props
+        |FROM events""".stripMargin,
+
+    "f_datetime" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |  CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+        |  date_trunc('day', ts) AS day_ts,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day_date,
+        |  strftime(ts, '%Y-%m') AS ym
+        |FROM events""".stripMargin,
+
+    "f_conditional" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 1000 THEN 'low'
+        |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+        |  LEAST(GREATEST(c_acctbal, 0), 5000) AS clamped,
+        |  CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 'UNKNOWN'
+        |       ELSE c_mktsegment END AS seg
+        |FROM customer""".stripMargin,
+
+    "f_hash_id" ->
+      "SELECT c_custkey, sha256(c_name) AS id_hash FROM customer",
+
+    "t_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_c,
+        |  ROUND(CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+        |      x -> length(x))) AS DOUBLE)
+        |    / len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')), 6)
+        |    AS mean_token_len
+        |FROM documents""".stripMargin,
+
+    "t_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tl
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(tl, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS BIGINT) AS n_stopwords,
+        |  ROUND(CAST(len(list_filter(tl, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS DOUBLE) / len(tl), 6) AS stopword_ratio,
+        |  ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio
+        |FROM toks""".stripMargin,
+
+    "t_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tl
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(tl, x -> x IN ('the','and','of','to','a','in','is'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(tl, x -> x IN ('el','la','de','que','y','en','los'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(tl, x -> x IN ('le','la','de','et','un','les','des'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(tl, x -> x IN ('der','die','und','das','ein','ist','nicht'))) AS BIGINT) AS s_de
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |       WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+        |       WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+        |       WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+        |       ELSE 'de' END AS lang_pred
+        |FROM scores""".stripMargin,
+
+    "t_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "t_dedup_norm" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+
+    "e_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS ne,
+        |    sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nq
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT neighbor_id, ROUND(dot/(ne*nq), 6) AS cos_sim FROM d
+        |ORDER BY cos_sim DESC, neighbor_id LIMIT 10""".stripMargin,
+
+    "e_sim_pairs" ->
+      """SELECT a.label AS lbl, a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |    AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) >= 0.3""".stripMargin,
+
+    "s1_csv_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
 }

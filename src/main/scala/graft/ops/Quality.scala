@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling (SURVEY.md §2.4 A5/A6, §5.5).
+  *
+  * Mechanizes the reference's interactive QC blocks — missingness
+  * (`code/RCLIF_vitals.Rmd:236-250`), duplicate counts
+  * (`code/RCLIF_disposition.Rmd:103-106`), descriptive stats
+  * (`code/RCLIF_vitals.Rmd:233`) — as plan-level aggregations: each profile
+  * is ONE pass over the table (a single partial+final hash aggregate), never
+  * a per-column loop of jobs.
+  */
+object Quality {
+
+  /** A5: per-column null count and percentage, one row per column.
+    * Single aggregate pass producing 2×N columns, then a narrow unpivot.
+    */
+  def missingness(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    val aggs = count(lit(1)).as("__n") +:
+      cs.map(c => sum(col(c).isNull.cast("long")).as(c))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val long = wide.unpivot(Array(col("__n")), cs.map(col).toArray,
+      "column_name", "n_null")
+    long.select(
+      col("column_name"),
+      col("n_null").cast("long").as("n_null"),
+      when(col("__n") === 0, lit(0.0))
+        .otherwise(round(col("n_null") * 100.0 / col("__n"), 4))
+        .as("pct_null"))
+  }
+
+  /** Per-column duplicate count: n - countDistinct, one pass. */
+  def duplicates(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    val aggs = count(lit(1)).as("__n") +:
+      cs.map(c => count_distinct(col(c)).as(c))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.unpivot(Array(col("__n")), cs.map(col).toArray,
+        "column_name", "n_distinct")
+      .select(col("column_name"),
+        (col("__n") - col("n_distinct")).cast("long").as("n_dup"))
+  }
+
+  /** A6: exact descriptive stats per group (min/max/mean/count).
+    * Exact (no approx_percentile) so results are engine-reproducible;
+    * mean is computed as exact decimal sum / count to be deterministic
+    * under parallel reduction.
+    */
+  def summaryStats(df: DataFrame, valueCol: String,
+                   by: Seq[String]): DataFrame = {
+    val v = col(valueCol)
+    df.groupBy(by.map(col): _*).agg(
+      count(v).cast("long").as("n"),
+      min(v).as("min_v"),
+      max(v).as("max_v"),
+      (sum(v.cast("decimal(30,6)")).cast("double") / count(v)).as("mean_v"))
+  }
+
+  /** Range-plausibility flags (the reference's physiologic-bounds QC):
+    * count of rows outside [lo, hi] per group. */
+  def outOfRange(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                 by: Seq[String]): DataFrame = {
+    val v = col(valueCol)
+    df.groupBy(by.map(col): _*).agg(
+      sum((v < lo || v > hi).cast("long")).as("n_out_of_range"),
+      count(v).cast("long").as("n"))
+  }
+}

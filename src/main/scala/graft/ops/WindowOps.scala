@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / grouped-sequence operators (SURVEY.md §2.5 W1–W3, §2.4 A4).
+  *
+  * All partition by the entity key (encounter/patient/user) — the same key
+  * every join in the workload uses, so at scale a single upstream
+  * repartition+sortWithinPartitions by that key serves every window here
+  * with one shuffle, and AQE coalesces the post-shuffle partitions.
+  */
+object WindowOps {
+
+  /** W1: tidyr `fill(.direction = "downup")` — last observation carried
+    * forward, then leading nulls backfilled from the first later value.
+    * (`code/RCLIF_vitals.Rmd:161-162`.) Two frame passes over ONE window
+    * partitioning (one shuffle, one sort; Spark reuses the sorted child
+    * for both frames).
+    */
+  def fillDownUp(df: DataFrame, partitionBy: Seq[String],
+                 orderBy: Seq[Column], cols: Seq[String]): DataFrame = {
+    val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    val down = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val up   = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, coalesce(
+        last(col(c), ignoreNulls = true).over(down),
+        first(col(c), ignoreNulls = true).over(up)))
+    }
+  }
+
+  /** W1 down-only variant (plain LOCF). */
+  def fillDown(df: DataFrame, partitionBy: Seq[String],
+               orderBy: Seq[Column], cols: Seq[String]): DataFrame = {
+    val down = Window.partitionBy(partitionBy.map(col): _*)
+      .orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(down))
+    }
+  }
+
+  /** W2: episode derivation — stop_time of each event is the next event's
+    * time within the entity (`code/RCLIF_dialysis.Rmd:90-99`). NULL stop on
+    * the last event per entity is the pinned semantics (SURVEY.md §7.8).
+    */
+  def leadEpisodes(df: DataFrame, partitionBy: Seq[String], timeCol: String,
+                   stopCol: String, tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*)
+      .orderBy(col(timeCol) +: tiebreak: _*)
+    df.withColumn(stopCol, lead(col(timeCol), 1).over(w))
+  }
+
+  /** A4: dedup by key keeping the LAST row in `orderBy` order
+    * (`code/RCLIF_disposition.Rmd:50-51`). R relies on a prior arrange();
+    * distributed execution has no carried order, so the order — including
+    * a deterministic tiebreak — must be explicit (SURVEY.md §7.2).
+    */
+  def dedupKeepLast(df: DataFrame, keys: Seq[String],
+                    orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(_.desc): _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Keep-first twin of [[dedupKeepLast]]. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String],
+                     orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Sessionization: assign a session id that increments whenever the gap
+    * to the previous event exceeds `gapSeconds`. Generalizes the dialysis
+    * episode construction; one shuffle on the entity key.
+    */
+  def sessionize(df: DataFrame, partitionBy: Seq[String], timeCol: String,
+                 gapSeconds: Long, sessionCol: String = "session_id")
+      : DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(timeCol))
+    val gap = unix_timestamp(col(timeCol)) -
+      unix_timestamp(lag(col(timeCol), 1).over(w))
+    df.withColumn("__graft_new", when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
+      .withColumn(sessionCol,
+        sum(col("__graft_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__graft_new")
+  }
+}

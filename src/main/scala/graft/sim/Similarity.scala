@@ -1,0 +1,112 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact; one pass, no shuffle for a
+  * single query vector — the query is a broadcast literal). Scale path:
+  * sign-random-projection LSH bucketing so candidate generation is a
+  * bucket equi-join instead of an all-pairs cross join.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k neighbors of ONE query vector: narrow map + one top-k
+    * (TakeOrdered — no full sort, no shuffle of the scores). */
+  def topKForVector(emb: DataFrame, idCol: String, vecCol: String,
+                    query: Seq[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    emb.select(col(idCol).as("neighbor_id"),
+        round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      .limit(k)
+  }
+
+  /** Exact k-NN join: every left row against every right row (cross join)
+    * with a per-left-row top-k window. Quadratic — correct baseline for
+    * tests/small dims; use [[lshKnnJoin]] at scale. */
+  def bruteKnnJoin(left: DataFrame, right: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    val l = left.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val r = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = l.crossJoin(r)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: a fixed function of
+    * (plane, dim) via murmur3, scaled to [-0.5, 0.5). Reproducible across
+    * runs/engines without shipping a planes file. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(hash(lit(plane), dim), lit(1000)).cast("double") / 1000.0) - 0.5
+
+  /** Sign-LSH bucket id: `nPlanes` hyperplane sign bits packed into a long.
+    * Cosine-similar vectors land in the same bucket with high probability.
+    */
+  def srpBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") *
+            ((pmod(hash(p, i), lit(1000)).cast("double") / 1000.0) - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(zip_with(bits, sequence(lit(0), lit(nPlanes - 1)),
+      (b, i) => call_function("shiftleft", b, i.cast("int"))), lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Approximate k-NN join: bucket both sides with sign-LSH, join within
+    * buckets only, then per-query top-k. One shuffle on the bucket key;
+    * recall is tuned by nPlanes (fewer planes = bigger buckets = higher
+    * recall, more work). */
+  def lshKnnJoin(left: DataFrame, right: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val l = left.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      srpBucket(col(vecCol), nPlanes).as("bucket"))
+    val r = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      srpBucket(col(vecCol), nPlanes).as("bucket"))
+    val scored = l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** All pairs with cosine ≥ threshold among same-label vectors — exact
+    * within groups; the label acts as a blocking key (shuffle on label). */
+  def thresholdPairsByLabel(emb: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String, threshold: Double): DataFrame = {
+    val l = emb.select(col(labelCol).as("lbl"), col(idCol).as("id1"),
+      col(vecCol).as("v1"))
+    val r = emb.select(col(labelCol).as("lbl"), col(idCol).as("id2"),
+      col(vecCol).as("v2"))
+    l.join(r, Seq("lbl"))
+      .filter(col("id1") < col("id2"))
+      .select(col("lbl"), col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: tokenization,
+  * quality scoring, language-ID heuristics, fingerprinting. All pure Column
+  * compositions — narrow, shuffle-free, codegen-friendly where Spark
+  * supports it (higher-order array functions evaluate per-row but stay in
+  * the JVM with no (de)serialization boundary).
+  */
+object TextOps {
+
+  /** Whitespace tokenization; trims so leading/trailing space doesn't make
+    * empty tokens. Empty string -> empty array (Spark's split of "" yields
+    * [""], which we filter). */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  def charCount(c: Column): Column = length(c).cast("long")
+
+  /** Mean token length: exact decimal sum / count, engine-reproducible. */
+  def meanTokenLen(c: Column): Column = {
+    val ts = tokens(c)
+    when(size(ts) === 0, lit(null)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Ratio of alphabetic characters to all characters. */
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") / length(c))
+
+  /** Ratio of punctuation characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(c, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") / length(c))
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that")
+
+  def stopwordCount(c: Column, stopwords: Seq[String] = EnStopwords): Column =
+    size(filter(tokens(lower(c)), t => t.isin(stopwords: _*))).cast("long")
+
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0))
+      .otherwise(stopwordCount(c, stopwords).cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1]: blends length plausibility, alpha
+    * ratio, and stopword presence — the standard cheap pre-filter before
+    * expensive dedup/training steps. Deterministic, engine-independent
+    * arithmetic (all integer counts and one final division).
+    */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c)
+    val lenScore = when(n >= 20 && n <= 100000, lit(1.0))
+      .when(n >= 5, lit(0.5)).otherwise(lit(0.0))
+    val alpha = alphaRatio(c)
+    val stop = stopwordRatio(c)
+    round(lenScore * 0.4 + alpha * 0.4 +
+      when(stop > 0.01, lit(1.0)).otherwise(lit(0.0)) * 0.2, 6)
+  }
+
+  /** BPE-ish token count proxy: words + digit runs + punctuation marks
+    * counted separately (a cheap stand-in for a real tokenizer's token
+    * count, useful for budget accounting). */
+  def tokenCountBpeIsh(c: Column): Column =
+    size(filter(split(c, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => trim(t) =!= ""))
+      .cast("long")
+
+  /** Normalization for near-dup: lowercase, strip non-alnum, collapse
+    * whitespace. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Polynomial rolling-hash fingerprint over tokens, mod a prime so the
+    * arithmetic is identical on any engine (no 64-bit overflow reliance).
+    * fp = fold(tokens)(acc = (acc*31 + tokenHash) mod 1e9+7), with
+    * tokenHash = (len(token) * 131 + codepoint(first char)) — fully
+    * portable to a SQL oracle. */
+  def fingerprint(c: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => (acc * 31L + (length(t).cast("long") * 131L + ascii(t))) % p)
+  }
+
+  /** Language-ID heuristic: score per-language stopword lists, take the
+    * argmax (ties -> earlier language in the list). Deterministic and
+    * SQL-expressible; swap in fastText offline for production quality. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht"))
+
+  def langIdScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(c)), t => t.isin(markers: _*))).cast("long")
+
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => (lang, langIdScore(c, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight puts earlier languages outermost, so ties resolve to the
+    // first language in LangMarkers; all-zero scores -> "und"
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

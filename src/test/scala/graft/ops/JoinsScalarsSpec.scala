@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JoinsScalarsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("regexVocabJoin: whole-word, case-insensitive, regex-metachars quoted") {
+    val facts = Seq(
+      (1L, "gave Aspirin 100mg oral"),
+      (2L, "aspirinoid compound"),          // not a word-boundary match
+      (3L, "dose of 5+5 units given"),      // metachar term must be quoted
+      (4L, "nothing relevant")
+    ).toDF("id", "text")
+    val vocab = Seq("aspirin", "5+5").toDF("term")
+    val out = Joins.regexVocabJoin(facts, vocab, "text", "term")
+      .select("id", "term").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "aspirin"), (3L, "5+5")))
+  }
+
+  test("semi and anti joins partition the fact table") {
+    val fact = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val dim = Seq(1, 3).toDF("k")
+    val in = Joins.semi(fact, dim, Seq("k")).select("k").as[Int].collect().toSet
+    val outp = Joins.anti(fact, dim, Seq("k")).select("k").as[Int].collect().toSet
+    assert(in == Set(1, 3) && outp == Set(2))
+  }
+
+  test("fullOuter keeps unmatched rows from both sides") {
+    val l = Seq((1, "l1"), (2, "l2")).toDF("k", "lv")
+    val r = Seq((2, "r2"), (3, "r3")).toDF("k", "rv")
+    val out = Joins.fullOuter(l, r, Seq("k"))
+    assert(out.count() == 3)
+    assert(out.filter(col("k") === 3).select("lv").first().isNullAt(0))
+  }
+
+  test("ageYears: calendar-aware whole years (lubridate semantics)") {
+    val df = Seq(
+      ("2000-02-29", "2024-02-28"), // day before anniversary -> 23
+      ("2000-02-29", "2024-03-01"), // after -> 24
+      ("2000-01-15", "2024-01-15")  // exact anniversary -> 24
+    ).toDF("birth", "adm")
+      .select(Scalars.ageYears(col("birth").cast("date"),
+        col("adm").cast("date")).as("age"))
+    assert(df.as[Int].collect().toSeq == Seq(23, 24, 24))
+  }
+
+  test("toNumeric: R as.numeric semantics — null on malformed, not error") {
+    val out = Seq("42.5", "abc", "", "7e2").toDF("s")
+      .select(Scalars.toNumeric(col("s")).as("d"))
+      .as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(42.5), None, None, Some(700.0)))
+  }
+
+  test("clamp and capOrNull") {
+    val df = Seq(-1.0, 3.0, 99.0).toDF("v")
+    assert(df.select(Scalars.clamp(col("v"), 0, 6).as("c"))
+      .as[Double].collect().toSeq == Seq(0.0, 3.0, 6.0))
+    assert(df.select(Scalars.capOrNull(col("v"), 6).as("c"))
+      .as[Option[Double]].collect().toSeq == Seq(None, Some(3.0), Some(6.0)))
+  }
+
+  test("extractNumber + stripNumber: dose string parsing") {
+    val df = Seq("5 mg/hr", "2.5mcg/kg/min", "no dose").toDF("s")
+    assert(df.select(Scalars.extractNumber(col("s")).as("n"))
+      .as[Option[Double]].collect().toSeq == Seq(Some(5.0), Some(2.5), None))
+    assert(df.select(Scalars.stripNumber(col("s")).as("u"))
+      .as[String].collect().toSeq == Seq("mg/hr", "mcg/kg/min", "no dose"))
+  }
+
+  test("caseWhen: first match wins, default applies") {
+    val df = Seq(-5.0, 500.0, 99999.0).toDF("v")
+    val out = df.select(Scalars.caseWhen(Seq(
+      (col("v") < 0, lit("neg")),
+      (col("v") < 1000, lit("small"))), lit("big")).as("band"))
+    assert(out.as[String].collect().toSeq == Seq("neg", "small", "big"))
+  }
+
+  test("recode: exact-match mapping with default") {
+    val df = Seq("White", "BLACK", "Asian").toDF("race")
+    val out = df.select(Scalars.recode(col("race"),
+      Map("White" -> "white", "Asian" -> "asian"), lit("other")).as("r"))
+    assert(out.as[String].collect().toSeq == Seq("white", "other", "asian"))
+  }
+
+  test("fallbackIfBlank treats null and empty as missing") {
+    val df = Seq(Some("mg"), Some(""), None).toDF("u")
+    val out = df.select(
+      Scalars.fallbackIfBlank(col("u"), lit("units")).as("x"))
+    assert(out.as[String].collect().toSeq == Seq("mg", "units", "units"))
+  }
+
+  test("epochToTs and tsToString round-trip") {
+    val df = Seq(1700000000L).toDF("epoch")
+      .select(Scalars.tsToString(Scalars.epochToTs(col("epoch"))).as("s"))
+    assert(df.as[String].collect().head == "2023-11-14 22:13:20")
+  }
+}

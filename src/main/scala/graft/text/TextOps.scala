@@ -66,11 +66,12 @@ object TextOps {
       when(stop > 0.01, lit(1.0)).otherwise(lit(0.0)) * 0.2, 6)
   }
 
-  /** BPE-ish token count proxy: words + digit runs + punctuation marks
-    * counted separately (a cheap stand-in for a real tokenizer's token
-    * count, useful for budget accounting). */
+  /** BPE-ish token count proxy: alphanumeric runs plus individual
+    * non-space symbols (a cheap stand-in for a real tokenizer's token
+    * count, useful for budget accounting). RE2-compatible regex — no
+    * lookarounds — so the same pattern runs on any engine. */
   def tokenCountBpeIsh(c: Column): Column =
-    size(filter(split(c, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => trim(t) =!= ""))
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast("long")
 
   /** Normalization for near-dup: lowercase, strip non-alnum, collapse

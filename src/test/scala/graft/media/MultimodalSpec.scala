@@ -1,0 +1,60 @@
+package graft.media
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "image", "fake-jpeg-bytes-aaaa".getBytes("UTF-8"), "s3://x/1.jpg"),
+    (2L, "video", "fake-mp4-bytes-bbbbbb".getBytes("UTF-8"), "s3://x/2.mp4"),
+    (3L, "audio", Array.empty[Byte], "s3://x/3.wav")
+  ).toDF("media_id", "kind", "payload", "source_uri")
+
+  test("decodeMetadata: one row per media, deterministic dims, real sha") {
+    val out = Multimodal.decodeMetadata(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out.size == 3)
+    assert(out(1L).byte_len == 20L)
+    assert(out(1L).width >= 32 && out(1L).height >= 32)
+    assert(out(2L).n_frames > 1)           // video gets frames
+    assert(out(1L).n_frames == 1)          // image is single-frame
+    assert(out(3L).byte_len == 0L)         // empty payload survives
+    // sha matches an independent computation
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("fake-jpeg-bytes-aaaa".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L).sha == expected)
+    // determinism: second run identical
+    val again = Multimodal.decodeMetadata(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(again(2L).width == out(2L).width)
+  }
+
+  test("extractFeatures: fixed dim, L2-normalized, deterministic") {
+    val f = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(m => m.media_id -> m.features).toMap
+    assert(f.values.forall(_.length == 16))
+    val n = math.sqrt(f(1L).map(x => x * x.toDouble).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+    assert(f(3L).forall(_ == 0f)) // empty payload -> zero vector, no NaN
+  }
+
+  test("sampleFrames: video only, strided indices") {
+    val frames = Multimodal.sampleFrames(media, stride = 50)
+    val byId = frames.groupBy("media_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byId.keySet == Set(2L))
+    val idx = frames.select("frame_index").as[Int].collect()
+    assert(idx.head == 0 && idx.forall(_ % 50 == 0))
+  }
+
+  test("column-level byteLen/contentSha need no codec") {
+    val r = media.select(Multimodal.byteLen(col("payload")).as("n"),
+      Multimodal.contentSha(col("payload")).as("sha"))
+      .orderBy(col("n").desc).collect()
+    assert(r(0).getAs[Long]("n") == 21L)
+    assert(r(0).getAs[String]("sha").length == 64)
+  }
+}

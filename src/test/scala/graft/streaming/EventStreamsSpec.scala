@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def writeEvents(dir: String): Unit =
+    Seq(
+      (0L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0, "{}"),
+      (2L, ts("2024-01-01 01:10:00"), 2L, "view", 3.0, "{}"),
+      (3L, ts("2024-01-01 02:05:00"), 1L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+
+  test("windowedCounts over AvailableNow matches batch aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    writeEvents(s"$dir/in")
+    val stream = EventStreams.readStream(spark, s"$dir/in")
+    // complete mode: append would hold back windows the final watermark
+    // advance never got a closing batch to emit under AvailableNow
+    val out = EventStreams.runAvailableNow(
+      EventStreams.windowedCounts(stream, "1 hour", "2 hours"),
+      queryName = "wc_test", checkpoint = s"$dir/ckpt",
+      outputMode = OutputMode.Complete())
+    val got = out.select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == Set(
+      (ts("2024-01-01 00:00:00"), "view", 1L),
+      (ts("2024-01-01 00:00:00"), "click", 1L),
+      (ts("2024-01-01 01:00:00"), "view", 1L),
+      (ts("2024-01-01 02:00:00"), "view", 1L)))
+  }
+
+  test("stateful sessionize: gap splits sessions, state carries counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    writeEvents(s"$dir/in")
+    val stream = EventStreams.readStream(spark, s"$dir/in")
+    val out = EventStreams.runAvailableNow(
+      EventStreams.sessionize(stream, gapSeconds = 1800).toDF(),
+      queryName = "sess_test", checkpoint = s"$dir/ckpt",
+      outputMode = OutputMode.Update())
+    val byUser = out.as[EventStreams.SessionUpdate].collect()
+      .map(s => s.user_id -> s).toMap
+    // user 1: events at 00:10, 00:20, then 02:05 -> latest session has 1
+    assert(byUser(1L).n_events == 1)
+    assert(byUser(1L).session_start == ts("2024-01-01 02:05:00"))
+    assert(byUser(2L).n_events == 1)
+  }
+}

@@ -28,6 +28,9 @@ object GraftSession {
     // Vocab/dim tables in this workload are tiny; keep the default 10MB
     // threshold but make the intent explicit.
     c.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
+    // SQL surface: cosine_sim / dot_product / portable_simhash /
+    // normalize_spaces callable from spark.sql and SqlRunner.
+    graft.functions.NativeExpressions.registerAll(spark)
     spark
   }
 

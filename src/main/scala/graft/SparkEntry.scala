@@ -361,15 +361,22 @@ object SparkEntry {
       Dedup.exactByContent(t(s, dir, "documents"), "doc_id", "text",
         normalized = true)),
 
-    // ---- training-data ops: MinHash+LSH near-dup (rows-only check) ----
+    // ---- training-data ops: MinHash+LSH near-dup, verified exact.
+    // Oracle-checkable because the OUTPUT is engine-independent: LSH only
+    // generates candidates; every returned pair carries its exact 3-gram
+    // Jaccard. (Recall: every true pair in this corpus has j ≥ 0.9, where
+    // the 16-band/32-hash miss probability is (1-j²)^16 ≈ 3e-12.) ----
     "t_minhash_lsh" -> ((s, dir) =>
       Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16)),
 
-    // ---- training-data ops: SimHash near-dup (rows-only check) ----
+    // ---- training-data ops: SimHash near-dup. Portable polynomial
+    // simhash (engine-independent) + pigeonhole banding (bands =
+    // maxHamming+1) make the full pair set deterministic and
+    // DuckDB-recomputable — no murmur3/xxhash64 in the semantics. ----
     "t_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8)),
+        maxHamming = 3)),
 
     // ---- similarity: brute-force cosine top-k for one query vector ----
     "e_ann_topk" -> ((s, dir) => {
@@ -686,8 +693,10 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(list_filter(tl, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS BIGINT) AS n_stopwords,
-        |  ROUND(CAST(len(list_filter(tl, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS DOUBLE) / len(tl), 6) AS stopword_ratio,
-        |  ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio
+        |  CASE WHEN len(tl) = 0 THEN 0.0 ELSE
+        |    ROUND(CAST(len(list_filter(tl, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS DOUBLE) / len(tl), 6) END AS stopword_ratio,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) END AS alpha_ratio
         |FROM toks""".stripMargin,
 
     "t_langid" ->
@@ -720,6 +729,49 @@ object SparkEntry {
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    "t_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
+
+    "t_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id, list_transform(tk, t -> [
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647),
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647)]) AS hs
+        |  FROM toks),
+        |sim AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 31), j ->
+        |      CASE WHEN list_sum(list_transform(hs, h -> ((h[1] >> j) & 1)*2 - 1)) > 0
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+        |    + CASE WHEN list_sum(list_transform(hs, h -> ((h[2] >> j) & 1)*2 - 1)) > 0
+        |           THEN (CAST(1 AS BIGINT) << (j+31)) ELSE 0 END)) AS BIGINT) AS sh
+        |  FROM hs)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
 
     "e_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -1,57 +1,67 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the similarity/dedup hot paths.
   *
   * The pure-Column formulations (zip_with + aggregate lambdas) are
-  * interpreted per element with boxed intermediates — measured 6-10s for
-  * ~500k pair evaluations at sf0.1. These expressions do the same math in
-  * one tight JVM loop over ArrayData (no per-element allocation): the
-  * preference-order case (b) from SURVEY.md §7 — a custom Expression where
-  * built-in composition can't hit the required throughput.
+  * interpreted per element with boxed intermediates — measured 10-90s at
+  * sf0.1 for the minhash/cosine/simhash queries. These expressions do the
+  * same math in one tight JVM loop over ArrayData (no per-element
+  * allocation): the preference-order case (b) from SURVEY.md §7 — a custom
+  * Expression where built-in composition can't hit the required
+  * throughput.
   *
   * CodegenFallback costs one virtual call per ROW (the loop inside is
   * native), which is negligible next to the per-ELEMENT interpretation it
   * replaces.
+  *
+  * Every expression here has a slow Column twin (Similarity.cosineCols,
+  * Dedup.minhashSignatureCols, Dedup.portableSimhashCols,
+  * TextOps.normalizeCols) and a spec proving output-identical results —
+  * the twins document the semantics, the natives carry the load.
   */
 object NativeExpressions {
 
-  /** Cosine similarity of two numeric arrays, accumulated in double.
+  /** Per-element double reader resolved ONCE per plan (not per element).
+    * Unsupported element types fail at resolution, not silently misread. */
+  private def reader(e: Expression): (ArrayData, Int) => Double =
+    e.dataType match {
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+      case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+      case ArrayType(ShortType, _) => (a, i) => a.getShort(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"expected array<numeric>, got ${other.sql}")
+    }
+
+  /** Cosine similarity of two numeric arrays, accumulated in double in
+    * index order (bit-identical to the zip_with/aggregate formulation).
     * Null if either side is null; 0.0 if either norm is 0. */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
 
     override def dataType: DataType = DoubleType
 
-    private def elemType(e: Expression): DataType =
-      e.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val readL = reader(left)
+    @transient private lazy val readR = reader(right)
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
       val n = math.min(xs.numElements(), ys.numElements())
-      val lt = elemType(left)
-      val rt = elemType(right)
       var dot = 0.0; var nx = 0.0; var ny = 0.0
       var i = 0
       while (i < n) {
-        val x = lt match {
-          case FloatType => xs.getFloat(i).toDouble
-          case DoubleType => xs.getDouble(i)
-          case _ => xs.getInt(i).toDouble
-        }
-        val y = rt match {
-          case FloatType => ys.getFloat(i).toDouble
-          case DoubleType => ys.getDouble(i)
-          case _ => ys.getInt(i).toDouble
-        }
+        val x = readL(xs, i)
+        val y = readR(ys, i)
         dot += x * y; nx += x * x; ny += y * y
         i += 1
       }
@@ -64,27 +74,165 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** 64-bit SimHash over an array of string tokens: per-bit vote of
-    * xxhash64(token) (same hash family as the SQL xxhash64, seed 42),
-    * sign of the vote sets the bit. One pass, one 64-int vote buffer. */
-  case class SimHash64(child: Expression)
+  /** Dot product in double (building block for pre-normalized vectors,
+    * where cosine = dot — the O(n²)-safe path for threshold joins). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+
+    @transient private lazy val readL = reader(left)
+    @transient private lazy val readR = reader(right)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val n = math.min(xs.numElements(), ys.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += readL(xs, i) * readR(ys, i); i += 1 }
+      dot
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** MinHash signature over an array of string shingles: for each seed k
+    * in 1..numHashes, min over shingles of murmur3(shingle, k) — exactly
+    * the value the SQL `hash(shingle, k)` produces (fold over children
+    * with initial seed 42), so output is bit-identical to the Column twin
+    * Dedup.minhashSignatureCols. One pass over the shingles: the per-
+    * shingle byte hash is computed ONCE and reseeded per k with a single
+    * int-mix, instead of numHashes interpreted lambda passes. */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val acc = Array.fill(numHashes)(Int.MaxValue)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          // Murmur3Hash(Seq(shingle, k), 42) folds left: bytes with seed
+          // 42, then the int k with the byte hash as seed.
+          val base = Murmur3_x86_32.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
+          var k = 1
+          while (k <= numHashes) {
+            val h = Murmur3_x86_32.hashInt(k, base)
+            if (h < acc(k - 1)) acc(k - 1) = h
+            k += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(acc.map(Int.box))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Word n-gram shingles of a text: whitespace-tokenize, join each
+    * window of `n` consecutive tokens with a single space, distinct
+    * preserving first occurrence. Exactly the semantics of the Column
+    * twin Dedup.shinglesCols (array_distinct of transform/slice/
+    * array_join): docs shorter than n tokens yield one partial shingle;
+    * an empty doc yields one empty-string shingle. One pass, no
+    * per-window lambda interpretation — shingling was the dominant cost
+    * (6.3s of the 16.7s minhash pipeline at sf0.1) once signatures went
+    * native. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString
+        .split("\\s+").filter(_.nonEmpty)
+      val last = math.max(toks.length - n, 0)
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= last) {
+        val end = math.min(i + n, toks.length)
+        val sb = new java.lang.StringBuilder()
+        var k = i
+        while (k < end) {
+          if (k > i) sb.append(' ')
+          sb.append(toks(k))
+          k += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Portable 31-bit polynomial token hash: fold over code points,
+    * h = (h*mult + cp) mod (2^31 - 1). Engine-independent — a DuckDB
+    * list_reduce over string_split computes the identical value, which is
+    * what makes the simhash query oracle-checkable cross-engine. */
+  private[graft] def polyHash(s: UTF8String, mult: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0) { // ASCII fast path: byte == code point, no decode
+        h = (h * mult + b) % 2147483647L
+        i += 1
+      } else { // non-ASCII tail: decode code points (matches SQL ascii())
+        val str = UTF8String.fromBytes(bytes, i, bytes.length - i).toString
+        var k = 0
+        while (k < str.length) {
+          val cp = str.codePointAt(k)
+          h = (h * mult + cp) % 2147483647L
+          k += Character.charCount(cp)
+        }
+        i = bytes.length
+      }
+    }
+    h
+  }
+
+  /** 62-bit portable SimHash over an array of string tokens: two
+    * independent 31-bit polynomial hashes per token (multipliers 31/131),
+    * per-bit ±1 votes, sign of the vote sets the bit. Bits 0..30 come
+    * from hash1, bits 31..61 from hash2; bits 62-63 are always 0.
+    * Fully reproducible in ANSI-ish SQL (no engine hash builtins), so the
+    * DuckDB oracle recomputes it exactly — see SparkEntry.oracleSql
+    * `t_simhash`. */
+  case class PortableSimHash(child: Expression)
       extends UnaryExpression with CodegenFallback {
 
     override def dataType: DataType = LongType
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
+      val votes = new Array[Int](62)
       val n = arr.numElements()
       var i = 0
       while (i < n) {
         if (!arr.isNullAt(i)) {
           val s = arr.getUTF8String(i)
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-            s.numBytes(), 42L)
+          val h1 = polyHash(s, 31L)
+          val h2 = polyHash(s, 131L)
           var j = 0
-          while (j < 64) {
-            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          while (j < 31) {
+            if (((h1 >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            if (((h2 >>> j) & 1L) == 1L) votes(31 + j) += 1 else votes(31 + j) -= 1
             j += 1
           }
         }
@@ -92,7 +240,7 @@ object NativeExpressions {
       }
       var out = 0L
       var j = 0
-      while (j < 64) {
+      while (j < 62) {
         if (votes(j) > 0) out |= (1L << j)
         j += 1
       }
@@ -103,24 +251,40 @@ object NativeExpressions {
       copy(child = c)
   }
 
-  /** Dot product in double (building block for pre-normalized vectors,
-    * where cosine = dot). */
-  case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
-    override def dataType: DataType = DoubleType
+  /** Near-dup normalization collapse: on ALREADY-LOWERCASED text, replace
+    * every run of characters outside [a-z0-9] with a single space and
+    * trim — byte-level, one pass. Exactly equivalent to
+    * regexp_replace(regexp_replace(x, "[^a-z0-9]+", " "), " +", " ") + trim
+    * (any non-ASCII char is non-[a-z0-9]; each of its UTF-8 bytes is
+    * >= 0x80 and folds into the same space run). Callers compose
+    * lower() upstream (codegen'd) so Unicode lowercasing semantics stay
+    * Spark's. */
+  case class NormalizeSpaces(child: Expression)
+      extends UnaryExpression with CodegenFallback {
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val xs = a.asInstanceOf[ArrayData]
-      val ys = b.asInstanceOf[ArrayData]
-      val n = math.min(xs.numElements(), ys.numElements())
-      var dot = 0.0
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].getBytes
+      val out = new Array[Byte](s.length)
+      var o = 0
+      var pendingSpace = false
       var i = 0
-      while (i < n) { dot += xs.getFloat(i).toDouble * ys.getFloat(i); i += 1 }
-      dot
+      while (i < s.length) {
+        val b = s(i)
+        val keep = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+        if (keep) {
+          if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+          pendingSpace = false
+          out(o) = b; o += 1
+        } else pendingSpace = true
+        i += 1
+      }
+      UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
     }
-    override protected def withNewChildrenInternal(
-        newLeft: Expression, newRight: Expression): Expression =
-      copy(left = newLeft, right = newRight)
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
   }
 
   // ---- Column API (classic bridge: Column <-> catalyst Expression) ----
@@ -133,20 +297,31 @@ object NativeExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimilarity(expr(a), expr(b)))
 
-  def simhash64(tokens: Column): Column = toCol(SimHash64(expr(tokens)))
-
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProduct(expr(a), expr(b)))
 
-  /** Register for the SQL surface: cosine_sim / simhash64 / dot_product
-    * callable from spark.sql. */
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    toCol(MinHashSignature(expr(shingles), numHashes))
+
+  def word_shingles(text: Column, n: Int): Column =
+    toCol(WordShingles(expr(text), n))
+
+  def portable_simhash(tokens: Column): Column =
+    toCol(PortableSimHash(expr(tokens)))
+
+  def normalize_spaces(lowercased: Column): Column =
+    toCol(NormalizeSpaces(expr(lowercased)))
+
+  /** Register for the SQL surface: callable from spark.sql / SqlRunner. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimilarity(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("portable_simhash",
+      es => PortableSimHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_spaces",
+      es => NormalizeSpaces(es.head), "scala_udf")
   }
 }

@@ -84,8 +84,12 @@ object WindowOps {
                  tiebreak: Seq[Column] = Nil): DataFrame = {
     val w = Window.partitionBy(partitionBy.map(col): _*)
       .orderBy(col(timeCol) +: tiebreak: _*)
-    val gap = unix_timestamp(col(timeCol)) -
-      unix_timestamp(lag(col(timeCol), 1).over(w))
+    // Fractional-second gaps: cast-to-double keeps sub-second precision
+    // (unix_timestamp truncates to whole seconds, which splits sessions
+    // differently from engines computing fractional epochs when a gap
+    // straddles exactly gapSeconds).
+    val gap = col(timeCol).cast("double") -
+      lag(col(timeCol), 1).over(w).cast("double")
     df.withColumn("__graft_new", when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
       .withColumn(sessionCol,
         sum(col("__graft_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))

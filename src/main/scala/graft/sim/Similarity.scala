@@ -13,16 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns, accumulated in double. */
+  /** Dot product of two array columns, accumulated in double (native
+    * Catalyst loop — graft.functions.NativeExpressions.DotProduct). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.NativeExpressions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  /** Cosine similarity — native one-pass loop. [[cosineCols]] is the
+    * pure-Column twin; SimilaritySpec proves them output-identical. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.cosine_sim(a, b)
+
+  /** Pure-Column cosine (interpreted lambdas, ~30× slower at sf0.1):
+    * kept as the executable spec of [[cosine]]'s arithmetic — double
+    * accumulation in index order, 0.0 on zero norm. */
+  def cosineCols(a: Column, b: Column): Column = {
+    def dotC(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q),
+        lit(0.0), (acc, v) => acc + v)
+    val d = sqrt(dotC(a, a)) * sqrt(dotC(b, b))
+    when(d === 0, lit(0.0)).otherwise(dotC(a, b) / d)
   }
 
   /** Exact top-k neighbors of ONE query vector: narrow map + one top-k

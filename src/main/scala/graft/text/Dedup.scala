@@ -31,29 +31,40 @@ object Dedup {
 
   // ---- shingles / MinHash + LSH ----
 
-  /** Word n-gram shingles (distinct), the unit set for Jaccard.
-    * Single expression evaluation per row: the token array is bound once
-    * via a `transform` lambda variable, not re-inlined per reference
-    * (higher-order lambdas re-evaluate inlined subtrees on every
-    * iteration — a 30× slowdown measured at sf0.1). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (distinct), the unit set for Jaccard. Native
+    * one-pass loop (graft.functions.NativeExpressions.WordShingles);
+    * [[shinglesCols]] is the pure-Column twin, proven identical in
+    * TextSpec. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.NativeExpressions.word_shingles(text, n)
+
+  /** Pure-Column twin of [[shingles]] — the executable spec. The token
+    * array is bound once via a `transform` lambda variable, not
+    * re-inlined per reference (higher-order lambdas re-evaluate inlined
+    * subtrees on every iteration — a 30× slowdown measured at sf0.1);
+    * greatest(size-n, 0) covers docs shorter than n tokens: the slice
+    * just comes out shorter, yielding one partial shingle. */
+  def shinglesCols(text: Column, n: Int): Column = {
     val ts = TextOps.tokens(text)
-    // greatest(size-n, 0) covers docs shorter than n tokens: the slice
-    // just comes out shorter, yielding one partial shingle.
     array_distinct(transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
       i => array_join(slice(ts, i + 1, lit(n)), " ")))
   }
 
   /** MinHash signature: for each of `numHashes` seeded murmur3 hash
-    * functions, the min over the shingle set.
-    *
-    * Structured as ONE fold over the shingle array, hashing each shingle
-    * `numHashes` ways and taking the element-wise min — NOT `numHashes`
-    * passes over the shingles. The latter re-evaluates the shingle
-    * expression once per hash function (Catalyst inlines the subtree into
-    * the lambda body), which measured 140s vs <2s at sf0.1.
-    */
+    * functions, the min over the shingle set. Native one-pass loop
+    * (graft.functions.NativeExpressions.MinHashSignature) — the byte
+    * hash per shingle is computed once and reseeded per hash function
+    * with a single int-mix. [[minhashSignatureCols]] is the pure-Column
+    * twin (bit-identical output, proven in TextSpec). */
   def minhashSignature(sh: Column, numHashes: Int): Column =
+    graft.functions.NativeExpressions.minhash_signature(sh, numHashes)
+
+  /** Pure-Column twin of [[minhashSignature]]: ONE fold over the shingle
+    * array, hashing each shingle `numHashes` ways via the SQL
+    * `hash(shingle, k)` and taking the element-wise min. Executable spec
+    * of the signature semantics; interpreted lambdas make it ~10× the
+    * native cost at sf0.1. */
+  def minhashSignatureCols(sh: Column, numHashes: Int): Column =
     aggregate(sh,
       array_repeat(lit(Int.MaxValue), numHashes),
       (acc, s) => zip_with(acc,
@@ -82,14 +93,17 @@ object Dedup {
     val banded = sig.select(col("id"), col("sig"),
         explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    // Both self-join sides derive from this identical subplan shuffled on
+    // (band, bucket) — the bucket-count window provides that exchange and
+    // Spark's ReuseExchange serves the second side from it, so signatures
+    // are computed once WITHOUT a persist (the round-1 persist here leaked
+    // cached blocks for the session lifetime). At 100 TB the signature
+    // table would be written out once and both sides would scan it.
     val small = banded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucket)
-      // both sides of the self-join read this; persist so signatures are
-      // computed once (at 100 TB this would be a checkpointed table)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = small.select(col("band"), col("bucket"), col("id").as("id1"),
       col("sig").as("sig1"))
     val r = small.select(col("band"), col("bucket"), col("id").as("id2"),
@@ -129,38 +143,65 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash over tokens: per-bit vote of xxhash64(token), sign of
-    * the vote sets the bit. Near-dups have small Hamming distance. */
-  def simhash(text: Column): Column = {
-    // hash each token ONCE up front (a lambda-var reference is cheap; an
-    // inlined xxhash64 call inside the bit-loop would re-hash 64×/token)
-    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
-    val votes = aggregate(hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          j => call_function("shiftright", h, j).bitwiseAND(1L)),
-        (a, bit) => a + bit * 2L - 1L))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  /** Number of signal bits in the portable simhash (two 31-bit hashes). */
+  val SimhashBits = 62
+
+  /** 62-bit portable SimHash over tokens: per-bit ±1 vote of two 31-bit
+    * polynomial token hashes, sign of the vote sets the bit. Near-dups
+    * have small Hamming distance. Native one-pass loop; the polynomial
+    * hash is engine-independent (no murmur3/xxhash64), so a SQL oracle
+    * recomputes the identical value — see SparkEntry.oracleSql
+    * `t_simhash`. [[portableSimhashCols]] is the pure-Column twin. */
+  def simhash(text: Column): Column =
+    graft.functions.NativeExpressions.portable_simhash(TextOps.tokens(text))
+
+  /** Pure-Column twin of [[simhash]] — the executable spec. Interpreted
+    * per-character lambdas: fixture-scale only. */
+  def portableSimhashCols(text: Column): Column = {
+    def polyHash(t: Column, mult: Long): Column =
+      aggregate(split(t, ""), lit(0L),
+        (acc, c) => (acc * mult + ascii(c)) % 2147483647L)
+    val hs = transform(TextOps.tokens(text),
+      t => array(polyHash(t, 31L), polyHash(t, 131L)))
+    val bitvals = transform(sequence(lit(0), lit(30)), j => {
+      def vote(idx: Int): Column = aggregate(hs, lit(0L), (acc, h) =>
+        acc + call_function("shiftright", h.getItem(idx), j.cast("int"))
+          .bitwiseAND(1L) * 2L - 1L)
+      when(vote(0) > 0, call_function("shiftleft", lit(1L), j.cast("int")))
+        .otherwise(0L)
+        .bitwiseOR(
+          when(vote(1) > 0,
+            call_function("shiftleft", lit(1L), (j + 31).cast("int")))
+            .otherwise(0L))
+    })
+    aggregate(bitvals, lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** SimHash near-dup candidates: band the 64-bit hash into 4×16-bit keys;
-    * docs within Hamming distance ≤ 3 must share at least one band
-    * (pigeonhole). Same bucket-join shape as LSH — one shuffle. */
+  /** SimHash near-dup candidates with a RECALL GUARANTEE: the 62-bit hash
+    * is banded into `maxHamming + 1` contiguous chunks, so two hashes
+    * within Hamming distance ≤ maxHamming must agree on at least one full
+    * band (pigeonhole) — no pair is silently missed (the round-1 version
+    * fixed 4 bands and quietly under-returned for maxHamming > 3). Same
+    * bucket-join shape as LSH — one shuffle on (band, key). */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimhashBits,
+      s"maxHamming must be in [0, $SimhashBits)")
+    val bands = maxHamming + 1
+    val width = (SimhashBits + bands - 1) / bands
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val bandStructs = (0 until bands).map { b =>
+      val lo = b * width
+      val w = math.min(width, SimhashBits - lo)
+      struct(lit(b).as("band"),
+        call_function("shiftright", col("sh"), lit(lo))
+          .bitwiseAND((1L << w) - 1L).as("key"))
+    }
     val banded = sh.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("band"),
-          call_function("shiftright", col("sh"), (b * 16).cast("int")).bitwiseAND(0xFFFFL).as("key"))))
-        .as("bk"))
+        explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
     val l = banded.select(col("band"), col("key"), col("id").as("id1"),
       col("sh").as("sh1"))

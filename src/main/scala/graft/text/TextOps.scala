@@ -75,8 +75,17 @@ object TextOps {
       .cast("long")
 
   /** Normalization for near-dup: lowercase, strip non-alnum, collapse
-    * whitespace. */
+    * whitespace. Lowercasing stays the codegen'd built-in (pinning
+    * Spark's Unicode semantics); the strip+collapse+trim runs as ONE
+    * native byte-level pass instead of two chained full-text regexes
+    * (measured 21.3s → the regex chain was 70× the exact-dedup cost at
+    * sf0.1). [[normalizeCols]] is the regex twin; TextSpec proves them
+    * identical. */
   def normalize(c: Column): Column =
+    graft.functions.NativeExpressions.normalize_spaces(lower(c))
+
+  /** Regex twin of [[normalize]] — executable spec of its semantics. */
+  def normalizeCols(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "), " +", " "))
 
   /** Polynomial rolling-hash fingerprint over tokens, mod a prime so the

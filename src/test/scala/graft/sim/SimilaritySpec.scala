@@ -28,6 +28,28 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r._3) < 1e-9)
   }
 
+  test("native cosine == Column twin (incl. zero vector), SQL registered") {
+    val d = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -2.0f, 0.25f)),
+      (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.1f, 0.2f, 0.3f))).toDF("a", "b")
+    val diff = d.filter(
+      Similarity.cosine(col("a"), col("b")) =!=
+        Similarity.cosineCols(col("a"), col("b")))
+    assert(diff.count() == 0)
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .as[Double].head()
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+
+  test("native cosine handles int/long element types (no garbage reads)") {
+    val d = Seq((Seq(1, 2, 3), Seq(1L, 2L, 3L))).toDF("i", "l")
+    val c = d.select(Similarity.cosine(col("i"), col("l")).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
   test("topKForVector: nearest first, k respected") {
     val out = Similarity.topKForVector(df, "vec_id", "embedding",
       Seq(1.0f, 0.0f, 0.0f), k = 2)

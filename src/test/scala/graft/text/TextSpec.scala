@@ -94,6 +94,66 @@ class TextSpec extends SparkSpec {
     assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
   }
 
+  // ---- native-vs-Column equivalence: the Column twins are the
+  // executable specs; these tests pin the natives to them ----
+
+  private val gnarly = Seq(
+    "Hello,  WORLD!! 42", "", "   ", "a", "ALL CAPS AND-DASHES",
+    "tabs\tand\nnewlines  mixed", "unicode: café naïve 中文!",
+    "trailing junk...", "...leading junk", "a1b2c3", "x  y   z",
+    "the quick brown fox jumps over the lazy dog")
+
+  test("normalize native == regex twin on gnarly inputs") {
+    val df = gnarly.toDF("t")
+    val diff = df.filter(
+      TextOps.normalize(col("t")) =!= TextOps.normalizeCols(col("t")))
+    assert(diff.count() == 0)
+    // and pin one value outright
+    val v = Seq("  Mixed __ CASE,, 7x ").toDF("t")
+      .select(TextOps.normalize(col("t"))).as[String].head()
+    assert(v == "mixed case 7x")
+  }
+
+  test("minhash signature native == Column twin, element for element") {
+    val df = gnarly.filter(_.trim.nonEmpty).toDF("t")
+      .select(Dedup.shingles(col("t"), 2).as("sh"))
+    val diff = df.filter(
+      Dedup.minhashSignature(col("sh"), 32) =!=
+        Dedup.minhashSignatureCols(col("sh"), 32))
+    assert(diff.count() == 0)
+  }
+
+  test("word shingles native == Column twin (order, partials, empties)") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = gnarly.toDF("t")
+      val diff = df.filter(
+        Dedup.shingles(col("t"), n) =!= Dedup.shinglesCols(col("t"), n))
+      assert(diff.count() == 0, s"n=$n")
+    }
+  }
+
+  test("portable simhash native == Column twin") {
+    // ASCII-only: the Column twin's ascii() is byte-oriented on
+    // multi-byte chars while the native (and DuckDB) use code points;
+    // the corpus contract is ASCII text (TESTDATA.md).
+    val df = gnarly.filter(_.forall(_ < 128)).toDF("t")
+    val diff = df.filter(
+      Dedup.simhash(col("t")) =!= Dedup.portableSimhashCols(col("t")))
+    assert(diff.count() == 0)
+    // top two bits always clear (62-bit hash)
+    val bad = df.filter(
+      Dedup.simhash(col("t")).bitwiseAND(lit(3L << 62)) =!= 0L)
+    assert(bad.count() == 0)
+  }
+
+  test("native functions registered on the SQL surface") {
+    val r = spark.sql(
+      "SELECT normalize_spaces(lower('A,,B')) AS n, " +
+        "portable_simhash(array('x','y')) AS h").collect().head
+    assert(r.getString(0) == "a b")
+    assert(r.getLong(1) != 0L)
+  }
+
   test("simhashCandidates finds near pair, skips far pair") {
     val base = "the quick brown fox jumps over the lazy dog while birds " +
       "sing in the morning light and rivers flow gently through green valleys"

@@ -26,12 +26,29 @@ object ClifEtl {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, inDir, outDir).foreach { case (name, rows, note) =>
+      println(s"[etl] $name rows=$rows $note")
+    }
+    spark.stop()
+  }
 
+  /** Run the full ETL; returns (table, rows written, contract note) per
+    * output. Session-agnostic so specs drive it end-to-end. */
+  def run(spark: SparkSession, inDir: String, outDir: String)
+      : Seq[(String, Long, String)] = {
     def raw(name: String): DataFrame =
       spark.read.option("header", true).option("delimiter", "|")
         .option("inferSchema", true).csv(s"$inDir/$name.txt")
 
     val allVitals = raw("C19_FLOW_LDS")
+    // Shared intermediates, each feeding 2-3 outputs below: cache once,
+    // release after the write loop (SURVEY.md §4 — the round-1 version
+    // re-scanned the med CSVs per output).
+    val medAdmin = raw("C19_RX_ADMIN_LDS").cache()
+    val medOutSub = Pipelines.medOutSubset(raw("C19_RX_OUT_LDS")).cache()
+    val mapped = Pipelines.matchContinuousMeds(medAdmin,
+      Vocabularies.medsVocab(spark))
+
     val outputs: Seq[(String, DataFrame, Option[String])] = Seq(
       ("vitals",
         Pipelines.vitals(allVitals, Vocabularies.vitalsVocab(spark)),
@@ -40,6 +57,7 @@ object ClifEtl {
         Pipelines.respSupport(allVitals, Vocabularies.ventModeVocab(spark)),
         Some("recorded_time")),
       ("scores", Pipelines.scores(allVitals), Some("score_time")),
+      ("scores_sofa", Pipelines.scoresSofa(allVitals), Some("score_time")),
       ("labs",
         Pipelines.labs(raw("C19_LAB_LDS"), Vocabularies.labsVocab(spark)),
         Some("lab_result_time")),
@@ -59,20 +77,17 @@ object ClifEtl {
         val io = raw("C19_FLOW_IO_LDS")
           .withColumn("recorded_time", to_timestamp(col("recorded_time")))
         DialysisPipeline.build(io)
-      }, Some("start_time")), {
-        val medOutSub = Pipelines.medOutSubset(raw("C19_RX_OUT_LDS"))
-        val mapped = Pipelines.matchContinuousMeds(raw("C19_RX_ADMIN_LDS"),
-          Vocabularies.medsVocab(spark))
-        ("medication_admin_continuous",
-          Pipelines.medicationAdminContinuous(raw("C19_RX_ADMIN_LDS"),
-            medOutSub, mapped), Some("admin_dttm"))
-      }, {
-        val medOutSub = Pipelines.medOutSubset(raw("C19_RX_OUT_LDS"))
-        ("medication_orders",
-          Pipelines.medicationOrders(raw("C19_RX_ORDER_LDS"), medOutSub), None)
-      })
+      }, Some("start_time")),
+      ("medication_admin_continuous",
+        Pipelines.medicationAdminContinuous(medAdmin, medOutSub, mapped),
+        Some("admin_dttm")),
+      ("medication_admin_intermittent",
+        Pipelines.medicationAdminIntermittent(medAdmin, medOutSub, mapped),
+        Some("admin_dttm")),
+      ("medication_orders",
+        Pipelines.medicationOrders(raw("C19_RX_ORDER_LDS"), medOutSub), None))
 
-    outputs.foreach { case (name, df0, eventCol) =>
+    val results = outputs.map { case (name, df0, eventCol) =>
       // "dynamic at source, fixed at sink": cast to the contract schema
       val df = ClifSchemas.all.get(name)
         .map(c => ClifSchemas.conform(df0, c)).getOrElse(df0)
@@ -87,8 +102,10 @@ object ClifEtl {
       val note =
         if (contractIssues.isEmpty) "contract-ok"
         else s"contract: ${contractIssues.mkString("; ")}"
-      println(s"[etl] $name rows=${written.count()} $note")
+      (name, written.count(), note)
     }
-    spark.stop()
+    medAdmin.unpersist()
+    medOutSub.unpersist()
+    results
   }
 }

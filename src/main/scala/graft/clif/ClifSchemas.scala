@@ -2,9 +2,10 @@ package graft.clif
 
 import org.apache.spark.sql.types._
 
-/** The 18 CLIF table contracts from the ERD
+/** The CLIF table contracts from the ERD
   * (`figures/RCLIF_ERD_09142023.pdf`) plus generating-code column sets
-  * (FIXTURES.md §3). Thirteen have generating pipelines; the other five
+  * (FIXTURES.md §3). Fourteen have generating pipelines (incl. the
+  * SOFA-neuro derivation, `RCLIF_scores.Rmd:86-92`); the other five
   * (patient_encounters, microbiology, procedures, ecmo_mcs, intake_output)
   * are ERD-only — modeled here so the engine can validate/ingest them.
   *
@@ -43,6 +44,11 @@ object ClifSchemas {
   val scores: StructType = StructType(Seq(
     l("C19_PATIENT_ID"), l("C19_HAR_ID"), ts("score_time"), s("score_name"),
     s("score_value")))
+
+  val scoresSofa: StructType = StructType(Seq(
+    l("C19_PATIENT_ID"), l("C19_HAR_ID"), ts("score_time"),
+    s("gcs_total"), s("gcs_motor"), s("gcs_eye"), s("gcs_verbal"),
+    i("sofa_neuro")))
 
   val medicationOrders: StructType = StructType(Seq(
     l("patient_id"), l("encounter_id"), l("medication_id"),
@@ -108,6 +114,7 @@ object ClifSchemas {
     "labs" -> labs,
     "adt" -> adt,
     "scores" -> scores,
+    "scores_sofa" -> scoresSofa,
     "medication_orders" -> medicationOrders,
     "medication_admin_continuous" -> medicationAdminContinuous,
     "medication_admin_intermittent" -> medicationAdminIntermittent,

@@ -100,11 +100,14 @@ object Pipelines {
       .orderBy(PID, "lab_result_time")
 
   /** ADT location intervals (`code/RCLIF_adt.Rmd:30-92`): numeric-id
-    * guard, department/room regex classification. */
+    * guard, department/room regex classification. Timestamps are EPOCH
+    * SECONDS in the reference extract (`as.POSIXct(in_time,
+    * origin="1970-01-01")`, `RCLIF_adt.Rmd:88-89`) — parsed epoch-first
+    * with ISO fallback so both extract shapes survive the null guard. */
   def adt(adtRaw: DataFrame): DataFrame =
     adtRaw
-      .withColumn("in_ts", to_timestamp(col("in_time")))
-      .withColumn("out_ts", to_timestamp(col("out_time")))
+      .withColumn("in_ts", Scalars.flexibleTs(col("in_time")))
+      .withColumn("out_ts", Scalars.flexibleTs(col("out_time")))
       .filter(Scalars.isNumeric(col(PID)) && Scalars.isNumeric(col(ENC)) &&
         col("in_ts").isNotNull)
       .withColumn("dept_name",
@@ -123,6 +126,27 @@ object Pipelines {
         col("flo_meas_name").as("score_name"),
         col("meas_value").as("score_value"))
       .orderBy(PID, "score_time")
+
+  /** SOFA-neuro wide table (`code/RCLIF_scores.Rmd:86-92`): the 4 GCS
+    * components pivoted wide per (patient, encounter, time) — declared
+    * names, single-pass — then the GCS total banded into sofa_neuro 0-4.
+    * Non-numeric/absent totals yield null, matching the reference
+    * case_when with no catch-all. */
+  def scoresSofa(allVitals: DataFrame): DataFrame = {
+    val contractNames = Seq(
+      "gcs_total", "gcs_motor", "gcs_eye", "gcs_verbal")
+    val wide0 = Reshape.pivotWider(scores(allVitals),
+      ids = Seq(PID, ENC, "score_time"),
+      nameCol = "score_name", valueCol = "score_value",
+      names = Vocabularies.gcsScoreNames,
+      // duplicate (key, name) measurements pin max — deterministic
+      agg = c => max(c))
+    val wide = Vocabularies.gcsScoreNames.zip(contractNames)
+      .foldLeft(wide0) { case (d, (raw, nice)) => d.withColumnRenamed(raw, nice) }
+    wide
+      .withColumn("sofa_neuro", Vocabularies.sofaNeuro(col("gcs_total")))
+      .orderBy(PID, "score_time")
+  }
 
   /** med_out projection shared by the three medication outputs
     * (`code/RCLIF_medications.Rmd:40-49`) — cache the result when feeding
@@ -222,7 +246,9 @@ object Pipelines {
       .join(medNamesMapped.select("medication_name").distinct(),
         Seq("medication_name"), "left_semi")
       .select(col(PID), col(ENC), col("admin_dttm"), col("medication_name"),
-        col("a.med_route").as("med_route"), col("med_dose"),
+        // med_route rides in from the med_out join, as in the reference's
+        // select (RCLIF_medications.Rmd:191)
+        col("m.med_route").as("med_route"), col("med_dose"),
         col("med_dose_unit"))
 
   /** Patient demographics (`code/RCLIF_demographics.Rmd:53-80`). */
@@ -245,10 +271,15 @@ object Pipelines {
       .select(col(PID), col(ENC),
         Scalars.epochToTs(col("adm_date")).as("admission_date"),
         Scalars.epochToTs(col("disc_date")).as("discharge_date"))
+    // demo/zipcodes are one row per PATIENT — they scale with the data,
+    // unlike bounded vocab dims, so no broadcast hint: a shuffle join on
+    // the patient key (AQE still broadcasts if the side is actually
+    // small) avoids the driver/executor OOM an explicit broadcast of a
+    // patient table guarantees at 100×.
     enc
-      .join(broadcast(demo.select(col(PID),
-        Scalars.epochToTs(col("birth_date")).as("birth_date"))), Seq(PID), "left")
-      .join(broadcast(zipcodes.select(col(PID), col("zip_code"))), Seq(PID), "left")
+      .join(demo.select(col(PID),
+        Scalars.epochToTs(col("birth_date")).as("birth_date")), Seq(PID), "left")
+      .join(zipcodes.select(col(PID), col("zip_code")), Seq(PID), "left")
       .select(PID, ENC, "admission_date", "discharge_date", "birth_date",
         "zip_code")
   }
@@ -261,8 +292,9 @@ object Pipelines {
     val encAge = encounters.filter(col("record_type") === "hb")
       .select(col(PID), col(ENC),
         Scalars.epochToTs(col("adm_date")).as("adm_ts"))
-      .join(broadcast(demo.select(col(PID),
-        Scalars.epochToTs(col("birth_date")).as("birth_ts"))), Seq(PID), "left")
+      // patient-level side: plain join, AQE decides (see limitedIdentifiers)
+      .join(demo.select(col(PID),
+        Scalars.epochToTs(col("birth_date")).as("birth_ts")), Seq(PID), "left")
       .filter(col("adm_ts").isNotNull)
       .withColumn("age_at_admission",
         Scalars.ageYears(to_date(col("birth_ts")), to_date(col("adm_ts"))))

@@ -189,42 +189,49 @@ object Vocabularies {
     val PeriManualExchange = "Manual Exchange (Output)"
   }
 
-  /** In-memory vitals vocab fixture mirroring
-    * `raw_data/vitals_flowsheet_names.xlsx` shape: flo_meas_name ->
-    * vital_name (incl. the blood_pressure split trigger). Real
-    * deployments load the site's sheet as CSV; this default covers the
-    * common names. */
+  /** Parse a classpath CSV resource through Spark's CSV reader (quoted
+    * fields handled); vocab sheets ride the engine jar so every executor
+    * resolves them without a side-channel file distribution. */
+  private def csvResource(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing vocab resource $path")
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    spark.read.option("header", "true")
+      .csv(spark.createDataset(text.linesIterator.filter(_.nonEmpty).toSeq))
+  }
+
+  /** Vitals vocab: the FULL 43-name rendering of
+    * `raw_data/vitals_flowsheet_names.xlsx` (flo_meas_name ->
+    * vital_name, incl. the blood_pressure split trigger), plus three
+    * site-extension names the sheet lacks. Deployments can swap the CSV
+    * for their site's sheet. */
   def vitalsVocab(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      ("BLOOD PRESSURE", "blood_pressure"),
-      ("PULSE", "pulse"),
-      ("RESPIRATIONS", "respirations"),
-      ("TEMPERATURE", "temperature"),
-      ("PULSE OXIMETRY", "spo2"),
+    val extensions = Seq(
       ("MAP (MM HG)", "map"),
       ("WEIGHT/SCALE", "weight"),
       ("HEIGHT", "height")
     ).toDF("flo_meas_name", "vital_name")
+    csvResource(spark, "/graft/clif/vitals_flowsheet_names.csv")
+      .unionByName(extensions)
   }
 
-  /** Labs vocab fixture mirroring `rclif_data/lab_name_lab_group_units
-    * .xlsx` sheet1 (component_name -> lab_name, lab_group). */
-  def labsVocab(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq(
-      ("HEMOGLOBIN", "hemoglobin", "CBC"),
-      ("PLATELET COUNT", "platelet_count", "CBC"),
-      ("WBC", "wbc", "CBC"),
-      ("POTASSIUM", "potassium", "BMP"),
-      ("SODIUM", "sodium", "BMP"),
-      ("BUN", "bun", "BMP"),
-      ("CREATININE", "creatinine", "BMP"),
-      ("POC GLUCOSE", "glucose_poc", "MISC"),
-      ("PH ARTERIAL", "ph_arterial", "ABG"),
-      ("INR", "inr", "Coags")
-    ).toDF("component_name", "lab_name", "lab_group")
-  }
+  /** Labs vocab: the FULL component-level rendering of
+    * `rclif_data/lab_name_lab_group_units.xlsx` sheet2 (30 raw component
+    * names -> lab_name, lab_group; `code/RCLIF_labs.Rmd:41-49` joins on
+    * component_name). The canonical analyte dimension (sheet1, 44
+    * analytes incl. units) ships alongside — [[labsAnalytes]]. */
+  def labsVocab(spark: SparkSession): DataFrame =
+    csvResource(spark, "/graft/clif/labs_component_map.csv")
+      .select("component_name", "lab_name", "lab_group")
+
+  /** Canonical analyte dimension: lab_name -> lab_group, reference
+    * value/unit, lab_type_name (sheet1 of the labs vocab workbook). */
+  def labsAnalytes(spark: SparkSession): DataFrame =
+    csvResource(spark, "/graft/clif/labs_analytes.csv")
 
   /** Vent mode vocab (mode_name -> mode_category),
     * `code/RCLIF_vitals.Rmd:93,124`. */

@@ -16,6 +16,14 @@ object Scalars {
   /** F15: timestamp -> the reference's sink string format. */
   def tsToString(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** F14/F16 flexible parse: epoch seconds FIRST (the reference extract's
+    * shape — `as.POSIXct(x, origin="1970-01-01")`,
+    * `code/RCLIF_adt.Rmd:88-89`), ISO datetime string fallback. A bare
+    * numeric like "1583020800" parses as epoch; a non-numeric string
+    * falls through to to_timestamp; unparseable stays null. */
+  def flexibleTs(c: Column): Column =
+    coalesce(epochToTs(c), to_timestamp(c))
+
   /** F18: whole-years age, calendar-aware (lubridate
     * `interval %/% years(1)`, `code/RCLIF_demographics.Rmd:118`). */
   def ageYears(birth: Column, at: Column): Column =

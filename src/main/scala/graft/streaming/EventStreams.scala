@@ -50,33 +50,53 @@ object EventStreams {
                            session_end: java.sql.Timestamp, n_events: Int)
 
   /** Stateful sessionization with mapGroupsWithState: a session closes
-    * after `gapSeconds` of inactivity (processing-time timeout flushes
-    * idle users). Streaming twin of WindowOps.sessionize. */
-  def sessionize(events: DataFrame, gapSeconds: Long = 1800)
+    * after `gapSeconds` of inactivity.
+    *
+    * `evictIdleAfterMs`: on a LIVE stream pass the idle horizon (usually
+    * `gapSeconds * 1000`) — per-user state is flushed via a
+    * processing-time timeout (final session emitted, state removed)
+    * instead of accumulating forever. Leave `None` for
+    * AvailableNow/batch runs: a registered processing-time timeout keeps
+    * the query alive waiting for a timeout-firing batch, so AvailableNow
+    * would never terminate (measured, not theorized).
+    * Streaming twin of WindowOps.sessionize. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800,
+                 evictIdleAfterMs: Option[Long] = None)
       : org.apache.spark.sql.Dataset[SessionUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (evictIdleAfterMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.selectExpr("user_id", "cast(ts as long) as ts_sec")
       .as[(Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessionState, SessionUpdate](timeoutConf) {
         case (uid, rows, state: GroupState[SessionState]) =>
-          // batch-incremental semantics: fold this trigger's rows in event
-          // order, carrying session state across triggers
-          val sorted = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.getOrElse(
-            SessionState(sorted.head, sorted.head, 0))
-          var latest = st
-          sorted.foreach { t =>
-            latest =
-              if (t - latest.last > gapSeconds) SessionState(t, t, 1)
-              else latest.copy(last = t, n = latest.n + 1)
+          if (state.hasTimedOut) {
+            // idle past the horizon: emit the closed session, evict state
+            val st = state.get
+            state.remove()
+            SessionUpdate(uid,
+              new java.sql.Timestamp(st.start * 1000),
+              new java.sql.Timestamp(st.last * 1000), st.n)
+          } else {
+            // batch-incremental semantics: fold this trigger's rows in
+            // event order, carrying session state across triggers
+            val sorted = rows.map(_._2).toSeq.sorted
+            var latest = state.getOption.getOrElse(
+              SessionState(sorted.head, sorted.head, 0))
+            sorted.foreach { t =>
+              latest =
+                if (t - latest.last > gapSeconds) SessionState(t, t, 1)
+                else latest.copy(last = t, n = latest.n + 1)
+            }
+            state.update(latest)
+            evictIdleAfterMs.foreach(state.setTimeoutDuration)
+            SessionUpdate(uid,
+              new java.sql.Timestamp(latest.start * 1000),
+              new java.sql.Timestamp(latest.last * 1000), latest.n)
           }
-          state.update(latest)
-          SessionUpdate(uid,
-            new java.sql.Timestamp(latest.start * 1000),
-            new java.sql.Timestamp(latest.last * 1000), latest.n)
       }
   }
 

@@ -79,6 +79,39 @@ class PipelinesSpec extends SparkSpec {
     assert(rows(1) == Row("Ward", "Ward")) // N08E ward, 3021 ward room
   }
 
+  test("vocab sheets load in full: 43+3 vitals names, 30 lab components") {
+    val vv = Vocabularies.vitalsVocab(spark)
+    assert(vv.count() == 46)
+    assert(vv.select("vital_name").distinct().as[String].collect().toSet ==
+      Set("blood_pressure", "temperature", "pulse", "respirations", "spo2",
+        "map", "weight", "height"))
+    // a name the round-1 inline subset missed now maps
+    assert(vv.filter(col("flo_meas_name") === "NUR RS ARTERIAL BLOOD PRESSURE")
+      .select("vital_name").as[String].head() == "blood_pressure")
+    val lv = Vocabularies.labsVocab(spark)
+    assert(lv.count() == 30)
+    assert(lv.filter(col("component_name") === "GLUCOSE, SER/PLASMA")
+      .select("lab_name").as[String].head() == "glucose_serum")
+    assert(lv.filter(col("component_name") === "ALT (SGPT)")
+      .select("lab_group").as[String].head() == "LFT")
+    assert(Vocabularies.labsAnalytes(spark).count() == 44)
+  }
+
+  test("adt: epoch-seconds timestamps (the reference extract shape) parse") {
+    // RCLIF_adt.Rmd:88-89 — as.POSIXct(in_time, origin="1970-01-01")
+    val raw = Seq(
+      ("101", "11", "1583020800", "1583107200", "T6IC", "D410"),
+      ("102", "12", "1583020800.5", null, "N08E", "3021")
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "in_time", "out_time",
+      "adt_department_name", "adt_room_nm_wid")
+    val out = Pipelines.adt(raw).orderBy("C19_PATIENT_ID")
+    assert(out.count() == 2) // epoch rows survive the in_ts null guard
+    val r = out.select("start_time", "end_time").collect()
+    assert(r(0).getTimestamp(0).getTime == 1583020800000L)
+    assert(r(0).getTimestamp(1).getTime == 1583107200000L)
+    assert(r(1).getTimestamp(0).getTime == 1583020800500L)
+  }
+
   test("scores: GCS rows filtered and renamed; sofaNeuro bands") {
     val raw = Seq(
       (1L, 10L, T0, "NUR RA GLASGOW ADULT SCORING", "14"),
@@ -93,6 +126,33 @@ class PipelinesSpec extends SparkSpec {
       .select(Vocabularies.sofaNeuro(col("g")).as("s"))
       .as[Option[Int]].collect()
     assert(bands.toSeq == Seq(Some(4), Some(3), Some(2), Some(1), Some(0), None))
+  }
+
+  test("scoresSofa: GCS pivoted wide, total banded at the 5/9/12/14/15 edges") {
+    val gcs = "NUR RA GLASGOW ADULT SCORING"
+    val motor = "NUR RA GLASGOW ADULT BEST MOTOR RESPONSE"
+    val raw = Seq(
+      (1L, 10L, "1583020800", gcs, "5"),    // <6  -> 4
+      (1L, 10L, "1583020800", motor, "3"),  // same timestamp, other component
+      (1L, 10L, "1583024400", gcs, "9"),    // <10 -> 3
+      (2L, 20L, "1583020800", gcs, "12"),   // <13 -> 2
+      (2L, 20L, "1583024400", gcs, "14"),   // <15 -> 1
+      (3L, 30L, "1583020800", gcs, "15"),   // ==15 -> 0
+      (3L, 30L, "1583024400", motor, "6")   // no total -> null sofa
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "recorded_time", "flo_meas_name",
+      "meas_value")
+    val out = Pipelines.scoresSofa(raw)
+      .orderBy("C19_PATIENT_ID", "score_time")
+    assert(out.columns.toSeq == Seq("C19_PATIENT_ID", "C19_HAR_ID",
+      "score_time", "gcs_total", "gcs_motor", "gcs_eye", "gcs_verbal",
+      "sofa_neuro"))
+    val rows = out.select("sofa_neuro").as[Option[Int]].collect().toSeq
+    assert(rows == Seq(Some(4), Some(3), Some(2), Some(1), Some(0), None))
+    // components land in their own columns, not extra rows
+    val first = out.filter(col("C19_PATIENT_ID") === 1L &&
+      col("gcs_motor").isNotNull).select("gcs_total", "gcs_motor")
+      .as[(String, String)].head()
+    assert(first == ("5", "3"))
   }
 
   test("medications: vocab regex match on first two words, continuous only") {

@@ -52,4 +52,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(byUser(1L).session_start == ts("2024-01-01 02:05:00"))
     assert(byUser(2L).n_events == 1)
   }
+
+  test("live sessionize evicts idle users via processing-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = ms.toDF().toDF("user_id", "ts")
+      .selectExpr("cast(null as long) as event_id", "ts", "user_id",
+        "'x' as event_type", "1.0 as value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    val q = EventStreams.sessionize(events, gapSeconds = 1800,
+        evictIdleAfterMs = Some(500L)).toDF()
+      .writeStream.format("memory").queryName("sess_live")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    // NOTE: no processAllAvailable — with processing-time timeouts the
+    // engine keeps scheduling timeout-check batches, so "all available"
+    // never settles. Poll the sink with a deadline instead.
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(cond, "condition not met within deadline")
+    }
+    def rows() = spark.table("sess_live")
+      .as[EventStreams.SessionUpdate].collect()
+    try {
+      ms.addData((1L, ts("2024-01-01 00:10:00")))
+      await(rows().exists(_.user_id == 1L))
+      // idle past the 500ms horizon: the engine fires the timeout batch
+      // on its own; the evicted session is re-emitted on eviction
+      Thread.sleep(800)
+      // user 1's state was evicted: a LATER event restarts from scratch
+      // (n_events=1, session_start at the new event, despite being within
+      // the 1800s EVENT-time gap of the first)
+      ms.addData((1L, ts("2024-01-01 00:20:00")))
+      await(rows().exists(r =>
+        r.user_id == 1L && r.session_start == ts("2024-01-01 00:20:00") &&
+          r.n_events == 1))
+    } finally q.stop()
+  }
 }

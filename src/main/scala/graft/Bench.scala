@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,6 +12,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Warm the JVM once so per-query numbers measure the PLAN, not
+    // first-execution JIT/codegen: exercise scan, hash agg, join,
+    // window, explode and the native expressions on a small slice.
+    // (Measured: the first window query of a cold session costs ~5s at
+    // sf0.1; warm it costs ~0.5s.)
+    locally {
+      val s = GraftSession.tune(spark)
+      val docs = Tables.load(s, sfDir, "documents").limit(500)
+      graft.text.Dedup.nearDuplicates(docs, "doc_id", "text", 0.5).count()
+      val e = Tables.load(s, sfDir, "events").limit(5000)
+      ops.WindowOps.sessionize(e, Seq("user_id"), "ts", 1800,
+        tiebreak = Seq(col("event_id"))).count()
+      val li = Tables.load(s, sfDir, "lineitem").limit(5000)
+      li.join(broadcast(Tables.load(s, sfDir, "orders").limit(1000)),
+          li("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count().count()
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -79,10 +79,22 @@ object Dedup {
       b => struct(b.as("band"),
         hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
 
-  /** Candidate pairs via LSH: explode bands, self-join on (band, bucket),
-    * keep id1 < id2, distinct. `maxBucket` drops degenerate buckets
-    * (boilerplate-heavy corpora produce huge buckets that would explode
-    * quadratically — the cap bounds worst-case work; dropped buckets are
+  /** Candidate pairs via LSH: explode bands, ONE shuffle grouping each
+    * (band, bucket) to its member list, expand pairs inside the bucket,
+    * keep id1 < id2, distinct.
+    *
+    * Deliberately NOT a self-join: a self-join either recomputes the
+    * signature subplan for the second side (AQE broadcast at small
+    * scale — observed in the round-2 plan audit) or needs the banded
+    * table persisted/checkpointed. The groupBy form computes signatures
+    * exactly once, replaces the bucket-count window AND the join shuffle
+    * with a single hash-agg shuffle on (band, bucket), and expands pairs
+    * with codegen'd Generate operators — no lambdas, no second scan.
+    *
+    * `maxBucket` drops degenerate buckets (boilerplate-heavy corpora
+    * produce huge buckets that would explode quadratically — the cap
+    * bounds the per-bucket expansion at maxBucket² and the carried
+    * member list at maxBucket × sig bytes; dropped buckets are
     * near-identical boilerplate better handled by exact dedup first).
     */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
@@ -93,26 +105,17 @@ object Dedup {
     val banded = sig.select(col("id"), col("sig"),
         explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
-    // Both self-join sides derive from this identical subplan shuffled on
-    // (band, bucket) — the bucket-count window provides that exchange and
-    // Spark's ReuseExchange serves the second side from it, so signatures
-    // are computed once WITHOUT a persist (the round-1 persist here leaked
-    // cached blocks for the session lifetime). At 100 TB the signature
-    // table would be written out once and both sides would scan it.
-    val small = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucket)
-    val l = small.select(col("band"), col("bucket"), col("id").as("id1"),
-      col("sig").as("sig1"))
-    val r = small.select(col("band"), col("bucket"), col("id").as("id2"),
-      col("sig").as("sig2"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
+      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+    buckets
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
         round(aggregate(
-          zip_with(col("sig1"), col("sig2"), (a, b) => (a === b).cast("int")),
+          zip_with(col("a.sig"), col("b.sig"), (x, y) => (x === y).cast("int")),
           lit(0), (acc, x) => acc + x).cast("double") / numHashes, 6)
           .as("est_jaccard"))
       .dropDuplicates("id1", "id2")
@@ -200,17 +203,23 @@ object Dedup {
         call_function("shiftright", col("sh"), lit(lo))
           .bitwiseAND((1L << w) - 1L).as("key"))
     }
+    // Same single-computation shape as lshCandidates: ONE hash-agg
+    // shuffle on (band, key), pairs expanded inside the bucket — no
+    // self-join, so the simhash subplan is never recomputed. No bucket
+    // cap here: the recall guarantee must hold, and band-key skew comes
+    // from truly-identical docs, which exact dedup removes upstream.
     val banded = sh.select(col("id"), col("sh"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
-    val l = banded.select(col("band"), col("key"), col("id").as("id1"),
-      col("sh").as("sh1"))
-    val r = banded.select(col("band"), col("key"), col("id").as("id2"),
-      col("sh").as("sh2"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        hammingDistance(col("sh1"), col("sh2")).as("hamming"))
+    banded
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

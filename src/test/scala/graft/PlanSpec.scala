@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Physical-plan assertions: the scale behaviors SURVEY.md §4 promises —
+  * filter/column pushdown to the parquet scan, broadcast only for true
+  * dims, exchange reuse in self-joins — pinned as tests so a regression
+  * in plan shape fails CI, not a 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("timestamp-range filter pushes down to the parquet scan") {
+    val df = SparkEntry.queries("p8_filter_ts_range")(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("l_shipdate"), scan.take(600))
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val df = SparkEntry.queries("p1_project")(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    // lineitem has 16 columns; the scan must read only the 3 selected
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipmode"),
+      scan.take(600))
+  }
+
+  test("star join broadcasts the dims, not the fact") {
+    val df = SparkEntry.queries("j1_join_dims")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("lsh candidate generation computes signatures exactly once") {
+    val docs = Tables.load(spark, dir, "documents")
+    val cands = graft.text.Dedup.lshCandidates(docs, "doc_id", "text", 3, 32, 16)
+    val plan = cands.queryExecution.executedPlan.toString
+    // one signature computation, one scan, one pre-expansion shuffle —
+    // the self-join shape recomputed all three for the second side
+    assert("minhashsignature".r.findAllIn(plan).size == 1, plan.take(1500))
+    assert("FileScan".r.findAllIn(plan).size == 1, plan.take(1500))
+  }
+
+  test("window chain reuses one sort/partitioning (no double exchange)") {
+    val e = Tables.load(spark, dir, "events")
+    val out = ops.WindowOps.fillDownUp(e, Seq("user_id"),
+      Seq(col("ts"), col("event_id")), Seq("value"))
+    val plan = planOf(out)
+    // both frames (down + up) must share ONE shuffle and ONE sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(1200))
+  }
+
+  test("whole-stage codegen covers the scalar query pipeline") {
+    val df = SparkEntry.queries("f_conditional")(spark, dir)
+    // "*(n)" marks operators fused into WholeStageCodegen stage n
+    val plan = planOf(df)
+    assert(plan.contains("*(1)"), plan.take(800))
+  }
+}

@@ -392,6 +392,16 @@ object SparkEntry {
       Similarity.thresholdPairsByLabel(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", threshold = 0.3)),
 
+    // ---- similarity: embedding-cosine near-dup (multi-table SRP
+    // candidates + exact verify). The synthetic corpus's max pairwise
+    // cosine is ~0.51, so at 0.6 the provably-correct answer is the
+    // empty set on BOTH engines (exact verify => no false positives);
+    // the recall path is proven on constructed near-dups in
+    // SimilaritySpec. ----
+    "e_semantic_neardup" -> ((s, dir) =>
+      Similarity.semanticNearDup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.6, nPlanes = 12, tables = 4)),
+
     // ---- sessionization (gap-based episode grouping) ----
     "w4_sessionize" -> ((s, dir) =>
       WindowOps.sessionize(t(s, dir, "events"), Seq("user_id"), "ts",
@@ -800,6 +810,21 @@ object SparkEntry {
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) >= 0.3""".stripMargin,
+
+    "e_semantic_neardup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |    AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ROUND(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) >= 0.6""".stripMargin,
 
     "w4_sessionize" ->
       """SELECT event_id, user_id,

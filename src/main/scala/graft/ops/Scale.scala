@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics the 100 TB plan needs beyond AQE's defaults:
+  * deterministic skew salting and bucketed co-located joins
+  * (SURVEY.md §4). AQE's skew-join split handles sort-merge skew at
+  * runtime; explicit salting is for the cases AQE can't re-plan —
+  * aggregations over a hot key and broadcast-ineligible skewed joins.
+  */
+object Scale {
+
+  /** Skew-salted equi-join: the LARGE side's hot keys are spread over
+    * `salts` sub-keys by a deterministic hash of `saltSource` (pick a
+    * high-cardinality column — e.g. the fact table's line id); the
+    * SMALL side is replicated `salts`× with explode (its row count
+    * multiplies, so use for dim-sized right sides only). Join keys
+    * become (keys..., salt), so one hot key becomes `salts` evenly
+    * sized partitions. Result is row-identical to the plain join. */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltSource: Column, salts: Int = 16,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val l = large.withColumn("__graft_salt", pmod(hash(saltSource), lit(salts)))
+    val s = small.withColumn("__graft_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(s, keys :+ "__graft_salt", joinType).drop("__graft_salt")
+  }
+
+  /** Salted hot-key aggregation: two-phase agg for a skewed group key —
+    * partial agg on (key, salt) spreads the hot key across `salts`
+    * partitions, final agg on key merges. `agg` must be decomposable
+    * (sum/count/min/max); pass the partial and merge forms. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltSource: Column,
+                partial: Seq[(Column => Column, String, String)],
+                salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__graft_salt",
+      pmod(hash(saltSource), lit(salts)))
+    val phase1 = salted.groupBy((keys :+ "__graft_salt").map(col): _*)
+      .agg(partial.head._1(col(partial.head._2)).as(partial.head._3),
+        partial.tail.map(p => p._1(col(p._2)).as(p._3)): _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(partial.head._1(col(partial.head._3)).as(partial.head._3),
+        partial.tail.map(p => p._1(col(p._3)).as(p._3)): _*)
+  }
+
+  /** Write a bucketed + sorted table: co-locates join/agg keys at WRITE
+    * time so every later equi-join or aggregation on `bucketCols`
+    * against a same-bucketed table runs with NO shuffle — the 100 TB
+    * answer to "this join happens every day on the same key".
+    * Bucketed tables require the session catalog (`saveAsTable`). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin: row-identical to plain join, partitions on (key, salt)") {
+    // hot key 1L carries 90% of rows
+    val large = (1 to 200).map(i =>
+      (if (i <= 180) 1L else i.toLong, i.toLong)).toDF("k", "payload")
+    val small = Seq((1L, "hot"), (190L, "cold")).toDF("k", "label")
+    val plain = large.join(small, Seq("k")).select("k", "payload", "label")
+    val salted = Scale.saltedJoin(large, small, Seq("k"),
+      saltSource = col("payload"), salts = 8)
+      .select("k", "payload", "label")
+    assert(plain.except(salted).count() == 0 &&
+      salted.except(plain).count() == 0)
+    assert(salted.queryExecution.executedPlan.toString
+      .contains("__graft_salt"))
+  }
+
+  test("saltedAgg: two-phase sum/count equals direct aggregation") {
+    val df = (1 to 300).map(i =>
+      (if (i <= 280) "hot" else s"k$i", i.toDouble)).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    // count partials merge by SUM, so express count as sum of 1s
+    val salted = Scale.saltedAgg(
+      df.withColumn("one", lit(1L)), Seq("k"), col("v"),
+      partial = Seq(
+        ((c: org.apache.spark.sql.Column) => sum(c), "v", "s"),
+        ((c: org.apache.spark.sql.Column) => sum(c), "one", "n")),
+      salts = 8)
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("bucketed co-located join runs with zero exchanges") {
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Scale.writeBucketed(a, "graft_bucket_a", Seq("k"), 4, Seq("k"))
+    Scale.writeBucketed(b, "graft_bucket_b", Seq("k"), 4, Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast strategy so bucketing is what saves the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), Seq("k"))
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1200))
+      assert(joined.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -71,6 +71,44 @@ class SimilaritySpec extends SparkSpec {
     out.get(0L).foreach(n => assert(n == 1L))
   }
 
+  // Clustered fixture for recall proofs: 8 clusters of 4 near-identical
+  // vectors (cos ≥ ~0.99 within, ~orthogonal-ish across). Deterministic.
+  private lazy val clustered: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    for {
+      (base, c) <- bases.zipWithIndex
+      k <- 0 until 4
+    } yield ((c * 4 + k).toLong,
+      base.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq)
+  }
+
+  test("semanticNearDup: candidates+verify recovers brute-force pairs") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val brute = Similarity.thresholdPairsByLabel(
+      df.withColumn("label", lit(1)), "vec_id", "embedding", "label", 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty) // fixture sanity: within-cluster pairs exist
+    val near = Similarity.semanticNearDup(df, "vec_id", "embedding",
+        threshold = 0.95, nPlanes = 8, tables = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // exact verify => no false positives; multi-table SRP => high recall
+    assert(near.subsetOf(brute))
+    assert(near.size >= (brute.size * 0.8).toInt,
+      s"recall ${near.size}/${brute.size}")
+  }
+
+  test("lshKnnJoin recall vs brute on clustered vectors") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteKnnJoin(df, df, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshKnnJoin(df, df, "vec_id", "embedding",
+        k = 3, nPlanes = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("thresholdPairsByLabel blocks by label and filters by cosine") {
     val out = Similarity.thresholdPairsByLabel(df, "vec_id", "embedding",
       "label", threshold = 0.9)

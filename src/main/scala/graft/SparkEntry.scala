@@ -210,6 +210,17 @@ object SparkEntry {
     "a7_distinct_proj" -> ((s, dir) =>
       t(s, dir, "orders").select("o_orderpriority").distinct()),
 
+    // ---- exact percentiles (training-data quality cutoffs lean on
+    // these; Spark `percentile` is exact with linear interpolation,
+    // matching DuckDB's quantile_cont) ----
+    "a8_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
+
     // ---- §2.5 W1 group-wise fill down-then-up (LOCF + backfill) ----
     "w1_fill_downup" -> ((s, dir) => {
       val e = t(s, dir, "events").withColumn("v",
@@ -352,6 +363,30 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
+    // ---- training-data ops: corpus term frequencies (explode +
+    // count + deterministic top-k) ----
+    "t_top_terms" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20)),
+
+    // ---- training-data ops: length-band curation filter — keep docs
+    // whose token count sits inside the corpus [p05, p95] band; the
+    // 1-row bounds side broadcasts ----
+    "t_length_filter" -> ((s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      val bounds = wc.agg(
+        expr("percentile(n_tokens, 0.05)").as("lo"),
+        expr("percentile(n_tokens, 0.95)").as("hi"))
+      wc.join(broadcast(bounds))
+        .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+        .select("doc_id", "n_tokens")
+    }),
+
     // ---- training-data ops: exact dedup by content hash ----
     "t_dedup_exact" -> ((s, dir) =>
       Dedup.exactByContent(t(s, dir, "documents"), "doc_id", "text")),
@@ -377,6 +412,13 @@ object SparkEntry {
     "t_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
+
+    // ---- training-data ops: duplicate clusters (connected components
+    // over verified near-dup pairs; cluster id = canonical keep doc) ----
+    "t_dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16))),
 
     // ---- similarity: brute-force cosine top-k for one query vector ----
     "e_ann_topk" -> ((s, dir) => {
@@ -588,6 +630,33 @@ object SparkEntry {
     "a7_distinct_proj" ->
       "SELECT DISTINCT o_orderpriority FROM orders",
 
+    "a8_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "t_top_terms" ->
+      """SELECT term, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t_length_filter" ->
+      """WITH wc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |bounds AS (
+        |  SELECT quantile_cont(n_tokens, 0.05) AS lo,
+        |         quantile_cont(n_tokens, 0.95) AS hi
+        |  FROM wc)
+        |SELECT doc_id, n_tokens FROM wc, bounds
+        |WHERE n_tokens >= lo AND n_tokens <= hi""".stripMargin,
+
     "w1_fill_downup" ->
       """WITH src AS (
         |  SELECT event_id, user_id, ts,
@@ -756,6 +825,30 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
+
+    "t_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id1, id2 FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT id1, id1 FROM edges
+        |  UNION
+        |  SELECT e.id1, reach.r FROM edges e JOIN reach ON e.id2 = reach.id)
+        |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "t_simhash" ->
       """WITH toks AS (

@@ -121,6 +121,50 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
+  /** Duplicate-cluster assignment: connected components over a pair
+    * edge list (the output of [[nearDuplicates]] / [[simhashCandidates]]),
+    * returning (id, cluster_id) with cluster_id = the MIN member id —
+    * the canonical "keep" document per cluster.
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the element-wise min; converges in O(log n) rounds
+    * for chains (near-dup clusters are near-cliques, so usually 2-3).
+    * Each round is ONE shuffle join + hash agg on id; `localCheckpoint`
+    * cuts the growing lineage so round k does not replan rounds 1..k-1
+    * — the standard Spark shape for fixpoint algorithms without
+    * dragging in GraphX. The driver only ever sees the convergence
+    * COUNT (one long), never the data. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the (possibly expensive) pair generation ONCE — edges,
+    // the label seed, and every propagation round all read it
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val edges = p.union(p.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = p.select(col("id1").as("id"))
+      .union(p.select(col("id2").as("id")))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "id2"), Seq("id2"))
+        .select(col("id1").as("id"), col("cluster_id"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"),
+          Seq("id"))
+        .filter(col("cluster_id") =!= col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard for a pair of shingle sets. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, lit(0.0)).otherwise(

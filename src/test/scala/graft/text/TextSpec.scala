@@ -70,6 +70,13 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("duplicateClusters: transitive chain merges, min id is canonical") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("exactByContent: groups identical (optionally normalized) texts") {
     val df = Seq(
       (1L, "Hello World"), (2L, "Hello World"), (3L, "hello,  world")

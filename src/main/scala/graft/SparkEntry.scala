@@ -28,6 +28,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(GraftSession.tune(s), dir, name)
 
+  /** Per-JVM cache of the re-staged events dir for the streaming query. */
+  private val stagedEventsDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Exact decimal accumulation -> one double cast (see class doc). */
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -413,6 +417,17 @@ object SparkEntry {
       Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
 
+    // ---- training-data ops: train/eval decontamination — cross-corpus
+    // near-dups only (even doc_ids as "train", odd as "eval") ----
+    "t_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusNearDuplicates(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", threshold = 0.5, shingleN = 3,
+        numHashes = 32, bands = 16)
+    }),
+
     // ---- training-data ops: duplicate clusters (connected components
     // over verified near-dup pairs; cluster id = canonical keep doc) ----
     "t_dedup_clusters" -> ((s, dir) =>
@@ -473,17 +488,22 @@ object SparkEntry {
           (lit(32) + pmod(graft.media.Multimodal.byteLen(col("payload")) * 104729,
             lit(4096))).cast("int").as("height"))),
 
-    // ---- streaming: watermarked windowed agg, AvailableNow == batch ----
+    // ---- streaming: watermarked windowed agg, AvailableNow == batch.
+    // The events parquet is re-staged (nanos ts -> micros) because the
+    // file stream source has no post-read transform hook; staged ONCE
+    // per (JVM, sf dir) so repeated runs measure the streaming query,
+    // not the harness copy. ----
     "s_stream_windowed" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sw").toString
-      // stream the same parquet through a watermarked windowed aggregation
-      val events = t(s, dir, "events")
-      val in = s"$tmp/in"
-      events.write.mode("overwrite").parquet(in)
+      val in = stagedEventsDir.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sw").toString
+        t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
+        s"$tmp/in"
+      })
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sw_ck").toString
       val stream = graft.streaming.EventStreams.readStream(s, in)
       graft.streaming.EventStreams.runAvailableNow(
         graft.streaming.EventStreams.windowedCounts(stream, "1 hour", "2 hours"),
-        queryName = s"sw_${System.nanoTime()}", checkpoint = s"$tmp/ckpt",
+        queryName = s"sw_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt",
         outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
     }),
 
@@ -823,6 +843,23 @@ object SparkEntry {
         |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
+
+    "t_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
 

@@ -121,6 +121,42 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
+  /** Cross-corpus near-duplicate pairs (train/eval DECONTAMINATION): LSH
+    * candidates restricted to pairs that span the two inputs, verified
+    * with exact n-gram Jaccard. Same single-computation bucket shape as
+    * [[lshCandidates]] — both corpora are signed once, unioned with a
+    * side tag, bucketed in ONE shuffle; pair expansion keeps only
+    * left×right pairs. Output: (left_id, right_id, jaccard ≥ threshold).
+    * At 100 TB this is the standard "is my eval set leaking into
+    * training data" sweep: cost is O(candidates), never |L|×|R|. */
+  def crossCorpusNearDuplicates(left: DataFrame, right: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double, shingleN: Int = 3,
+                                numHashes: Int = 32, bands: Int = 16,
+                                maxBucket: Int = 1000): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"),
+        lit(tag).as("side"))
+    val tagged = side(left, 0).unionByName(side(right, 1))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = tagged.select(col("id"), col("side"), col("sh"),
+        explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col("id"), col("side"), col("sh"), col("bk.band"),
+        col("bk.bucket"))
+    banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("side"), col("sh"))).as("items"))
+      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.side") === 0 && col("b.side") === 1)
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"),
+        round(jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("left_id", "right_id")
+  }
+
   /** Duplicate-cluster assignment: connected components over a pair
     * edge list (the output of [[nearDuplicates]] / [[simhashCandidates]]),
     * returning (id, cluster_id) with cluster_id = the MIN member id —

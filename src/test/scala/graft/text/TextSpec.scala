@@ -70,6 +70,21 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("crossCorpusNearDuplicates: only cross-side pairs, verified exact") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "alpha beta gamma delta epsilon eta"),   // near-dup of 0
+      (3L, "totally different content here now"),
+      (5L, "one two three four five six")           // exact dup of 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDuplicates(train, eval_, "doc_id", "text",
+        threshold = 0.4, shingleN = 1)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L), (2L, 5L)))
+  }
+
   test("duplicateClusters: transitive chain merges, min id is canonical") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
     val out = Dedup.duplicateClusters(pairs)

@@ -36,9 +36,7 @@ object ClifEtl {
     * output. Session-agnostic so specs drive it end-to-end. */
   def run(spark: SparkSession, inDir: String, outDir: String)
       : Seq[(String, Long, String)] = {
-    def raw(name: String): DataFrame =
-      spark.read.option("header", true).option("delimiter", "|")
-        .option("inferSchema", true).csv(s"$inDir/$name.txt")
+    def raw(name: String): DataFrame = rawExtract(spark, inDir, outDir, name)
 
     val allVitals = raw("C19_FLOW_LDS")
     // Shared intermediates, each feeding 2-3 outputs below: cache once,
@@ -107,5 +105,29 @@ object ClifEtl {
     medAdmin.unpersist()
     medOutSub.unpersist()
     results
+  }
+
+  /** Raw delimited extract read with a SCHEMA SNAPSHOT: the first run
+    * infers types (one extra parse pass) and pins the result as DDL
+    * under `<outDir>/_schemas/`; later runs read with the pinned schema
+    * and skip inference entirely. At 100 TB schema inference is a full
+    * additional scan of every extract — pay it once, never again. A
+    * stale snapshot surfaces as a loud analysis error, not silent
+    * misreads (CSV schemas bind by position; never pin fewer columns
+    * than the file has — the snapshot always captures all of them). */
+  def rawExtract(spark: SparkSession, inDir: String, outDir: String,
+                 name: String): DataFrame = {
+    val snapDir = java.nio.file.Paths.get(outDir, "_schemas")
+    val snap = snapDir.resolve(s"$name.ddl")
+    val base = spark.read.option("header", true).option("delimiter", "|")
+    if (java.nio.file.Files.exists(snap)) {
+      base.schema(java.nio.file.Files.readString(snap))
+        .csv(s"$inDir/$name.txt")
+    } else {
+      val df = base.option("inferSchema", true).csv(s"$inDir/$name.txt")
+      java.nio.file.Files.createDirectories(snapDir)
+      java.nio.file.Files.writeString(snap, df.schema.toDDL)
+      df
+    }
   }
 }

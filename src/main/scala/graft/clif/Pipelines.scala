@@ -24,8 +24,14 @@ object Pipelines {
   private val ENC = "C19_HAR_ID"
 
   /** Vitals long table (`code/RCLIF_vitals.Rmd:40-61`): vocab join,
-    * blood-pressure split into sbp/dbp rows, epoch normalize, sort. */
-  def vitals(allVitals: DataFrame, vitalsVocab: DataFrame): DataFrame = {
+    * blood-pressure split into sbp/dbp rows, epoch normalize, sort.
+    * [[vitalsCore]] is the sort-free transform — the part that runs
+    * identically over a STREAM (orderBy is a batch-only total sort; the
+    * sink partitioning carries the physical order at scale anyway). */
+  def vitals(allVitals: DataFrame, vitalsVocab: DataFrame): DataFrame =
+    vitalsCore(allVitals, vitalsVocab).orderBy(ENC, "recorded_time")
+
+  def vitalsCore(allVitals: DataFrame, vitalsVocab: DataFrame): DataFrame = {
     val reqd = Joins.broadcastLeft(allVitals, vitalsVocab, Seq("flo_meas_name"))
       .filter(col("vital_name").isNotNull)
 
@@ -44,7 +50,6 @@ object Pipelines {
 
     rest.unionByName(bp.select(rest.columns.map(col): _*))
       .withColumn("recorded_time", Scalars.epochToTs(col("recorded_time")))
-      .orderBy(ENC, "recorded_time")
   }
 
   /** Respiratory-support wide table (`code/RCLIF_vitals.Rmd:97-166`):

@@ -100,6 +100,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: keep the FIRST occurrence of each key within
+    * the watermark horizon — the ingest-side twin of
+    * Dedup.exactByContent for a continuously arriving corpus. State is
+    * bounded: keys older than the watermark are evicted, so a duplicate
+    * arriving later than `watermark` after the original is NOT caught
+    * (that residue is the batch dedup's job downstream — the standard
+    * two-tier design). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts",
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Run a streaming transform over a static directory incrementally and
     * collect the result into a memory table (AvailableNow: process what
     * exists, then stop — the reference's batch jobs become restartable

@@ -53,6 +53,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(byUser(2L).n_events == 1)
   }
 
+  test("dedupStream: first occurrence kept, AvailableNow equals batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    // duplicate event_ids (same ts) -> one survivor each
+    Seq(
+      (0L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0, "{}"),
+      (0L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0, "{}"),
+      (1L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0, "{}"),
+      (2L, ts("2024-01-01 01:10:00"), 2L, "view", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val stream = EventStreams.readStream(spark, s"$dir/in")
+    val out = EventStreams.runAvailableNow(
+      EventStreams.dedupStream(stream, Seq("event_id")),
+      queryName = "dedup_test", checkpoint = s"$dir/ckpt")
+    assert(out.count() == 3)
+    assert(out.select("event_id").as[Long].collect().toSet == Set(0L, 1L, 2L))
+  }
+
   test("live sessionize evicts idle users via processing-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

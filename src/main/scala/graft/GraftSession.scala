@@ -70,4 +70,13 @@ object Tables {
   /** Register every table as a temp view (the Spark SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Global-temp-view registration: visible to EVERY session derived
+    * from this SparkContext as `global_temp.<name>` — what the Thrift
+    * server's per-connection sessions resolve (plain temp views are
+    * session-local; `singleSession` is a static conf the library can't
+    * set on an existing session). */
+  def registerAllGlobal(spark: SparkSession, dir: String): Unit =
+    names.foreach(n =>
+      load(spark, dir, n).createOrReplaceGlobalTempView(n))
 }

@@ -167,6 +167,37 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey")
     }),
 
+    // ---- as-of (point-in-time) join: for each event, the customer's
+    // latest order at-or-before the event. union+LOCF shape — one
+    // shuffle, no range explosion (Joins.asOfJoin) ----
+    "j8_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id").as("ckey"))
+      val ord = WindowOps.dedupKeepLast(t(s, dir, "orders"),
+          keys = Seq("o_custkey", "o_orderdate"), orderBy = Seq(col("o_orderkey")))
+        .select(col("o_custkey").as("ckey"), col("o_orderdate"),
+          col("o_orderkey").as("asof_orderkey"))
+      Joins.asOfJoin(ev, ord, Seq("ckey"), "ts", "o_orderdate",
+          Seq("asof_orderkey"))
+        .select(col("event_id"), col("ckey").as("user_id"),
+          col("asof_orderkey"))
+    }),
+
+    // ---- interval (range) join: shipments inside each order's 90-day
+    // window, via the time-binned equi-join (Joins.rangeJoin) ----
+    "j9_range" -> ((s, dir) => {
+      val iv = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("w_end"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_shipdate"))
+      Joins.rangeJoin(li, iv, Seq("o_orderkey"), "l_shipdate",
+          "w_start", "w_end", binSeconds = 30L * 86400)
+        .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"))
+    }),
+
     // ---- anti join (§2.3 note: QC parity) ----
     "j_anti" -> ((s, dir) => {
       val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
@@ -607,6 +638,23 @@ object SparkEntry {
     "j_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "j8_asof" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS ckey, o_orderdate, o_orderkey AS asof_orderkey
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |          ORDER BY o_orderkey DESC) AS rn FROM orders)
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.asof_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.ckey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "j9_range" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY""".stripMargin,
 
     "j6_regex_vocab" ->
       """SELECT d.doc_id, t.term

@@ -61,4 +61,76 @@ object Joins {
     * references are explicit instead of R's .x/.y suffixes. */
   def prefixed(df: DataFrame, prefix: String): DataFrame =
     df.toDF(df.columns.map(c => s"$prefix$c"): _*)
+
+  /** As-of (point-in-time) join: for every left row, attach the LATEST
+    * right row with rightTime <= leftTime within the same key — "the
+    * most recent lab before this vital", "the active order at this
+    * event". Spark has no native ASOF JOIN; the naive formulation
+    * (range join + per-left-row max) is a quadratic non-equi join.
+    *
+    * Implementation is the scale-right union+LOCF: tag both sides, union
+    * on (key, time) and carry the right payload forward with a
+    * last(ignoreNulls) window — ONE shuffle on the key, linear in
+    * |L|+|R|, no range explosion. Right-time ties and a right row at
+    * exactly leftTime are both honored (right rows sort before left
+    * rows at equal times).
+    *
+    * @param payload right-side columns to attach (null when no prior
+    *                right row exists — left rows are always kept).
+    *                Names must not collide with left columns.
+    *
+    * Determinism: callers must make (keys, rightTime) unique on the
+    * right side (e.g. WindowOps.dedupKeepLast first) — with duplicate
+    * right timestamps "the latest" is otherwise engine-arbitrary.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns
+    // right rows: tag 0 so they sort BEFORE left rows at the same time
+    val rTagged = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag")) ++
+        payload.map(col): _*)
+    val lTagged = left.select(
+      (keys.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__tag")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == leftTime).map(col): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1)
+      .withColumnRenamed("__t", leftTime)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
+  /** Interval (range) join: left events matched to right intervals
+    * containing them — `leftTime in [startCol, endCol)` within the same
+    * key. With an equi-key present this is a plain shuffle join + range
+    * filter (Spark handles it); THIS helper covers the keyless/low-key
+    * case by deriving a time-BIN equi-key on both sides: intervals are
+    * exploded to the bins they overlap, events hash to their bin, and
+    * the join runs as a bin equi-join + exact range filter — turning a
+    * broadcast-nested-loop cross into a hash join whose cost tracks
+    * actual overlap. `binSeconds` trades explosion factor (long
+    * intervals span more bins) against bucket selectivity. */
+  def rangeJoin(events: DataFrame, intervals: DataFrame, keys: Seq[String],
+                eventTime: String, startCol: String, endCol: String,
+                binSeconds: Long = 86400): DataFrame = {
+    // NTZ timestamps refuse a direct double cast; LTZ is castable and
+    // the NTZ->LTZ hop is identity under the engine's pinned UTC session
+    def secs(c: Column): Column = c.cast("timestamp_ltz").cast("double")
+    val evBin = events.withColumn("__bin",
+      floor(secs(col(eventTime)) / binSeconds).cast("long"))
+    val ivBinned = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(secs(col(startCol)) / binSeconds).cast("long"),
+        floor(secs(col(endCol)) / binSeconds).cast("long"))))
+    evBin.join(ivBinned, keys :+ "__bin")
+      .filter(col(eventTime) >= col(startCol) && col(eventTime) < col(endCol))
+      .drop("__bin")
+  }
 }

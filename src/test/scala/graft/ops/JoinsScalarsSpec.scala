@@ -6,6 +6,43 @@ import graft.SparkSpec
 class JoinsScalarsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("asOfJoin: latest prior right row, equal-time match, null when none") {
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L), (4L, 20L, 50L)
+    ).toDF("eid", "k", "t")
+    val right = Seq(
+      (10L, 100L, "a"), (10L, 200L, "b"), (10L, 250L, "c"), (30L, 1L, "z")
+    ).toDF("k", "rt", "payload")
+    val out = Joins.asOfJoin(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .select("eid", "payload").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      1L -> Some("a"),   // right row at exactly t=100 matches
+      2L -> Some("b"),   // 200 <= 205 < 250
+      3L -> Some("c"),   // latest prior
+      4L -> None))       // key 20 has no right rows
+  }
+
+  test("rangeJoin: equals the naive range-filter join, bins transparent") {
+    val events = Seq(
+      (1L, 5L, 100L), (2L, 5L, 1000L), (3L, 5L, 5000L), (4L, 6L, 100L)
+    ).toDF("eid", "k", "et")
+      .withColumn("et", timestamp_seconds(col("et")))
+    val ivs = Seq(
+      (5L, 0L, 600L, "w1"), (5L, 900L, 6000L, "w2"), (7L, 0L, 9999L, "w3")
+    ).toDF("k", "s", "e", "w")
+      .withColumn("s", timestamp_seconds(col("s")))
+      .withColumn("e", timestamp_seconds(col("e")))
+    val naive = events.join(ivs, Seq("k"))
+      .filter(col("et") >= col("s") && col("et") < col("e"))
+      .select("eid", "w").as[(Long, String)].collect().toSet
+    for (bin <- Seq(60L, 500L, 86400L)) {
+      val out = Joins.rangeJoin(events, ivs, Seq("k"), "et", "s", "e", bin)
+        .select("eid", "w").as[(Long, String)].collect().toSet
+      assert(out == naive, s"bin=$bin")
+    }
+    assert(naive == Set((1L, "w1"), (2L, "w2"), (3L, "w2")))
+  }
+
   test("regexVocabJoin: whole-word, case-insensitive, regex-metachars quoted") {
     val facts = Seq(
       (1L, "gave Aspirin 100mg oral"),

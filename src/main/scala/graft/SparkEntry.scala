@@ -519,6 +519,24 @@ object SparkEntry {
           (lit(32) + pmod(graft.media.Multimodal.byteLen(col("payload")) * 104729,
             lit(4096))).cast("int").as("height"))),
 
+    // ---- multimodal plumbing: frame sampling (explode shape) over the
+    // codec-free metadata path — every 7th frame of "video" rows, frame
+    // count derived from payload length like m_media_meta's dims ----
+    "m_frame_sample" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("video"))
+            .otherwise(lit("image")).as("kind"),
+          col("text").cast("binary").as("payload"))
+      media.filter(col("kind") === "video")
+        .withColumn("n_frames",
+          (lit(1) + pmod(graft.media.Multimodal.byteLen(col("payload")),
+            lit(300))).cast("int"))
+        .select(col("media_id"),
+          explode(sequence(lit(0L), (col("n_frames") - 1).cast("long"),
+            lit(7L))).as("frame_index"))
+    }),
+
     // ---- streaming: watermarked windowed agg, AvailableNow == batch.
     // The events parquet is re-staged (nanos ts -> micros) because the
     // file stream source has no post-read transform hook; staged ONCE
@@ -1037,6 +1055,12 @@ object SparkEntry {
         |  CAST(32 + (octet_length(encode(text)) * 7919) % 4096 AS INT) AS width,
         |  CAST(32 + (octet_length(encode(text)) * 104729) % 4096 AS INT) AS height
         |FROM documents""".stripMargin,
+
+    "m_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  unnest(range(0, 1 + octet_length(encode(text)) % 300, 7)) AS frame_index
+        |FROM documents
+        |WHERE doc_id % 3 = 0""".stripMargin,
 
     "s_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

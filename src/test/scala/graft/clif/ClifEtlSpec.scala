@@ -128,5 +128,18 @@ class ClifEtlSpec extends SparkSpec {
       .select("sofa_neuro")
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
     assert(sofa.toSeq == Seq(Some(3), Some(0)))
+
+    // sink layout: a date filter on the partition column prunes at plan
+    // time (the property that makes "last week's vitals" cheap at 100 TB)
+    val pruned = spark.read.parquet(s"$outDir/vitals.parquet")
+      .filter(org.apache.spark.sql.functions.col("p_date") === "2020-03-01")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("p_date"), scan.take(500))
+    assert(pruned.count() == 6)
+
+    // schema snapshots pinned for every raw extract (inference runs once)
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(outDir, "_schemas")).count() >= 12)
   }
 }

@@ -70,6 +70,53 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("nearDuplicates == brute-force verified pairs on generated corpora") {
+    // corpora of near-dup groups (high jaccard, miss prob ~1e-12 at
+    // 16 bands) + unrelated docs; LSH+verify must equal brute force
+    val wordPool = (0 until 60).map(i => s"w$i")
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      nGroups <- Gen.choose(1, 4)
+      groups <- Gen.listOfN(nGroups, for {
+        len <- Gen.choose(12, 24)
+        idx <- Gen.listOfN(len, Gen.choose(0, wordPool.size - 1))
+        dupCount <- Gen.choose(2, 3)
+      } yield (idx.map(wordPool), dupCount))
+      loners <- Gen.listOfN(3, Gen.listOfN(15,
+        Gen.choose(0, wordPool.size - 1)).map(_.map(i => s"z$i")))
+    } yield {
+      var id = -1L
+      val dups = groups.flatMap { case (words, n) =>
+        (0 until n).map { k =>
+          id += 1
+          // one-word tail tweak keeps jaccard >= ~0.85
+          (id, (words :+ s"tail$k").mkString(" "))
+        }
+      }
+      val lone = loners.map { ws => id += 1; (id, ws.mkString(" ")) }
+      dups ++ lone
+    }
+    check("neardup-brute-equiv")(Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val lsh = graft.text.Dedup.nearDuplicates(df, "doc_id", "text",
+          threshold = 0.5, shingleN = 2, numHashes = 32, bands = 16)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      // brute force: exact jaccard on 2-gram shingles over all pairs
+      val sh = df.select(col("doc_id"),
+          graft.text.Dedup.shingles(col("text"), 2).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val ids = sh.keys.toSeq.sorted
+      val brute = (for {
+        i <- ids; j <- ids if i < j
+        a = sh(i).toSet; b = sh(j).toSet
+        jac = if ((a ++ b).isEmpty) 0.0
+              else (a intersect b).size.toDouble / (a ++ b).size
+        if BigDecimal(jac).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.5
+      } yield (i, j)).toSet
+      lsh == brute
+    })
+  }
+
   test("sessionize: session ids start at 1, increase by at most 1 per event") {
     check("session-monotone")(Prop.forAll(eventsGen) { evs =>
       val df = evs.zipWithIndex

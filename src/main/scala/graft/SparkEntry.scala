@@ -422,6 +422,17 @@ object SparkEntry {
         .select("doc_id", "n_tokens")
     }),
 
+    // ---- training-data ops: sequence packing — docs laid out in id
+    // order within 8 hash shards, chunked at a 2048-token budget; each
+    // doc maps to the training chunk where it starts ----
+    "t_pack_chunks" -> ((s, dir) =>
+      TextOps.packChunks(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            pmod(col("doc_id"), lit(8)).as("shard")),
+        "doc_id", "n_tokens", "shard", budget = 2048)),
+
     // ---- training-data ops: exact dedup by content hash ----
     "t_dedup_exact" -> ((s, dir) =>
       Dedup.exactByContent(t(s, dir, "documents"), "doc_id", "text")),
@@ -883,6 +894,19 @@ object SparkEntry {
         |       WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
         |       ELSE 'de' END AS lang_pred
         |FROM scores""".stripMargin,
+
+    "t_pack_chunks" ->
+      """WITH wc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    doc_id % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT)
+        |    AS chunk_in_shard
+        |FROM wc""".stripMargin,
 
     "t_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

@@ -99,6 +99,26 @@ object TextOps {
       (acc, t) => (acc * 31L + (length(t).cast("long") * 131L + ascii(t))) % p)
   }
 
+  /** Sequence packing for training (concat-then-chunk): documents are
+    * laid out in `orderCol` order within a shard and chunked at
+    * `budget` tokens; each doc is assigned the chunk where it STARTS —
+    * the standard packing used to fill fixed-length training sequences.
+    * Sharding bounds the window: the running sum partitions by
+    * `shardCol` (derive one from a hash for even fill), so no global
+    * single-partition sort exists at scale; chunk ids are (shard,
+    * chunk_in_shard). */
+  def packChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 tokenCountCol: String, shardCol: String,
+                 budget: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      .withColumn("chunk_in_shard",
+        floor((col("__cum") - col(tokenCountCol)) / budget).cast("long"))
+      .drop("__cum")
+  }
+
   /** Language-ID heuristic: score per-language stopword lists, take the
     * argmax (ties -> earlier language in the list). Deterministic and
     * SQL-expressible; swap in fastText offline for production quality. */

@@ -70,6 +70,17 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("packChunks: docs map to the chunk where they start, per shard") {
+    val df = Seq(
+      (1L, 600L, 0L), (2L, 500L, 0L), (3L, 400L, 0L), (4L, 700L, 0L),
+      (5L, 100L, 1L)
+    ).toDF("doc_id", "n_tokens", "shard")
+    val out = TextOps.packChunks(df, "doc_id", "n_tokens", "shard", 1000L)
+      .select("doc_id", "chunk_in_shard").as[(Long, Long)].collect().toMap
+    // shard 0 cumulative starts: 0, 600, 1100, 1500 -> chunks 0,0,1,1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("crossCorpusNearDuplicates: only cross-side pairs, verified exact") {
     val train = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),

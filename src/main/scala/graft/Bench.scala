@@ -31,6 +31,11 @@ object Bench {
         .groupBy("l_returnflag").count().count()
       // streaming engine cold-start + input staging (cached per sf dir)
       SparkEntry.queries("s_stream_windowed")(s, sfDir).count()
+      // percentile aggregate + SRP higher-order-lambda paths
+      val emb = Tables.load(s, sfDir, "embeddings").limit(200)
+      emb.agg(expr("percentile(vec_id, 0.5)")).count()
+      emb.select(graft.sim.Similarity.srpBucket(col("embedding"), 4))
+        .count()
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>

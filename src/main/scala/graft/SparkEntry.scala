@@ -422,6 +422,24 @@ object SparkEntry {
         .select("doc_id", "n_tokens")
     }),
 
+    // ---- training-data ops: the CURATION capstone — one query
+    // composing the pipeline a training-data pass actually runs: keep
+    // docs that (a) score quality >= 0.5, (b) classify as English, and
+    // (c) are the canonical member of their near-dup cluster ----
+    "t_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDuplicates(docs, "doc_id", "text",
+          threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16))
+      val dropDups = clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      docs
+        .filter(TextOps.qualityScore(col("text")) >= 0.5 &&
+          TextOps.langId(col("text")) === "en")
+        .join(dropDups, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+    }),
+
     // ---- training-data ops: sequence packing — docs laid out in id
     // order within 8 hash shards, chunked at a 2048-token budget; each
     // doc maps to the training chunk where it starts ----
@@ -894,6 +912,51 @@ object SparkEntry {
         |       WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
         |       ELSE 'de' END AS lang_pred
         |FROM scores""".stripMargin,
+
+    "t_curate" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tl
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id,
+        |    ROUND(
+        |      0.4 * (CASE WHEN len(tk) BETWEEN 20 AND 100000 THEN 1.0
+        |                  WHEN len(tk) >= 5 THEN 0.5 ELSE 0.0 END)
+        |      + 0.4 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END)
+        |      + 0.2 * (CASE WHEN len(tl) > 0 AND
+        |          CAST(len(list_filter(tl, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS DOUBLE) / len(tl) > 0.01
+        |          THEN 1.0 ELSE 0.0 END), 6) AS q,
+        |    CAST(len(list_filter(tl, x -> x IN ('the','and','of','to','a','in','is'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(tl, x -> x IN ('el','la','de','que','y','en','los'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(tl, x -> x IN ('le','la','de','et','un','les','des'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(tl, x -> x IN ('der','die','und','das','ein','ist','nicht'))) AS BIGINT) AS s_de
+        |  FROM toks),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT id1, id1 FROM edges
+        |  UNION
+        |  SELECT e.id1, reach.r FROM edges e JOIN reach ON e.id2 = reach.id),
+        |clusters AS (
+        |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id FROM quality
+        |WHERE q >= 0.5
+        |  AND GREATEST(s_en, s_es, s_fr, s_de) > 0
+        |  AND s_en = GREATEST(s_en, s_es, s_fr, s_de)
+        |  AND doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin,
 
     "t_pack_chunks" ->
       """WITH wc AS (

@@ -124,21 +124,23 @@ object Similarity {
   def semanticNearDup(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nPlanes: Int = 12,
                       tables: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    val src = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val candidates = (0 until tables).map { t =>
-      src
-        .select(col("id"), col("v"),
-          srpBucket(col("v"), nPlanes, seed = t * 7919 + 1).as("bucket"))
-        .groupBy(col("bucket"))
-        .agg(collect_list(struct(col("id"), col("v"))).as("items"))
-        .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
-        .select(explode(col("items")).as("a"), col("items"))
-        .select(col("a"), explode(col("items")).as("b"))
-        .filter(col("a.id") < col("b.id"))
-        .select(col("a.id").as("id1"), col("b.id").as("id2"),
-          col("a.v").as("v1"), col("b.v").as("v2"))
-    }.reduce(_.unionByName(_))
-    candidates
+    // all `tables` bucket ids computed in ONE projection over ONE scan,
+    // exploded to (table, bucket) rows — a per-table union would rescan
+    // the input and shuffle once per table
+    val bucketStructs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        srpBucket(col("v"), nPlanes, seed = t * 7919 + 1).as("bucket"))
+    }
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"), explode(array(bucketStructs: _*)).as("bk"))
+      .groupBy(col("bk.tbl"), col("bk.bucket"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("items"))
+      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.v").as("v1"), col("b.v").as("v2"))
       .dropDuplicates("id1", "id2")
       .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 6))
       .filter(col("cos_sim") >= threshold)

@@ -511,13 +511,24 @@ object SparkEntry {
 
     // ---- similarity: embedding-cosine near-dup (multi-table SRP
     // candidates + exact verify). The synthetic corpus's max pairwise
-    // cosine is ~0.51, so at 0.6 the provably-correct answer is the
-    // empty set on BOTH engines (exact verify => no false positives);
-    // the recall path is proven on constructed near-dups in
-    // SimilaritySpec. ----
-    "e_semantic_neardup" -> ((s, dir) =>
-      Similarity.semanticNearDup(t(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.6, nPlanes = 12, tables = 4)),
+    // cosine is ~0.51 (below the 0.6 threshold), so a deterministic
+    // seeded near-dup cluster (5 vectors = base pattern + a 1/16 bump
+    // on dim i; all values exact float multiples of 1/16, reproducible
+    // in SQL) is unioned in — the oracle row is NON-vacuous: the
+    // corpus contributes the no-false-positive evidence, the injected
+    // cluster the recall evidence (its 10 pairs must all survive SRP
+    // bucketing, deterministically). ----
+    "e_semantic_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val inj = s.range(0, 5).select(
+        (col("id") + 1000000L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(d * 7, lit(16)) - lit(8)).cast("double") / 16.0 +
+            when(d === col("id").cast("int"), lit(0.0625)).otherwise(lit(0.0)))
+            .cast("float")).as("embedding"))
+      Similarity.semanticNearDup(emb.unionByName(inj),
+        "vec_id", "embedding", threshold = 0.6, nPlanes = 12, tables = 4)
+    }),
 
     // ---- sessionization (gap-based episode grouping) ----
     "w4_sessionize" -> ((s, dir) =>
@@ -1095,14 +1106,23 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) >= 0.3""".stripMargin,
 
     "e_semantic_neardup" ->
-      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      """WITH inj AS (
+        |  SELECT CAST(1000000 + i AS BIGINT) AS vec_id,
+        |    list_transform(range(0, 64), d ->
+        |      CAST(CAST((d*7) % 16 - 8 AS DOUBLE)/16.0
+        |        + CASE WHEN d = i THEN 0.0625 ELSE 0.0 END AS FLOAT)) AS embedding
+        |  FROM range(0, 5) t(i)),
+        |allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM inj)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  ROUND(
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
         |    AS cos_sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         |WHERE ROUND(
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))

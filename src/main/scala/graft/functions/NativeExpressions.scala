@@ -180,6 +180,64 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** All sign-random-projection LSH bucket ids of a vector in ONE pass:
+    * element t of the output is the `nPlanes`-bit bucket for hash table
+    * `seeds(t)`. The hyperplane component at (seed, plane p, dim i) is
+    * `pmod(hash(seed, p, i), 1000) / 1000.0 - 0.5` — the exact SQL
+    * murmur3 fold the Column twin Similarity.srpBucketCols evaluates —
+    * and bit p is set iff the projection (double accumulation in index
+    * order) is > 0. The twin interprets tables × nPlanes × dim lambda
+    * hops per row (the round-2 verdict's last interpreted hot path);
+    * here the (seed, plane) hash prefix is folded once per plan and the
+    * inner loop is one hashInt + multiply-add per dim. */
+  case class SrpBuckets(child: Expression, nPlanes: Int, seeds: Seq[Int])
+      extends UnaryExpression with CodegenFallback {
+    require(nPlanes > 0 && nPlanes <= 63, "nPlanes must be in [1, 63]")
+    require(seeds.nonEmpty, "at least one hash-table seed required")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    @transient private lazy val read = reader(child)
+    // SQL hash(seed, p, i) folds left from 42: hashInt(i, hashInt(p,
+    // hashInt(seed, 42))) — the (seed, p) prefix is loop-invariant
+    @transient private lazy val prefix: Array[Array[Int]] =
+      seeds.map { s =>
+        val h1 = Murmur3_x86_32.hashInt(s, 42)
+        (0 until nPlanes).map(p => Murmur3_x86_32.hashInt(p, h1)).toArray
+      }.toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Any](prefix.length)
+      var t = 0
+      while (t < prefix.length) {
+        val planes = prefix(t)
+        var bucket = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val hp = planes(p)
+          var proj = 0.0
+          var i = 0
+          while (i < n) {
+            val h = Murmur3_x86_32.hashInt(i, hp)
+            val m = ((h % 1000) + 1000) % 1000
+            proj += read(arr, i) * (m / 1000.0 - 0.5)
+            i += 1
+          }
+          if (proj > 0) bucket |= 1L << p
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Portable 31-bit polynomial token hash: fold over code points,
     * h = (h*mult + cp) mod (2^31 - 1). Engine-independent — a DuckDB
     * list_reduce over string_split computes the identical value, which is
@@ -311,6 +369,9 @@ object NativeExpressions {
 
   def normalize_spaces(lowercased: Column): Column =
     toCol(NormalizeSpaces(expr(lowercased)))
+
+  def srp_buckets(vec: Column, nPlanes: Int, seeds: Seq[Int]): Column =
+    toCol(SrpBuckets(expr(vec), nPlanes, seeds))
 
   /** Register for the SQL surface: callable from spark.sql / SqlRunner. */
   def registerAll(spark: SparkSession): Unit = {

@@ -64,18 +64,29 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component: a fixed function of
-    * (plane, dim) via murmur3, scaled to [-0.5, 0.5). Reproducible across
-    * runs/engines without shipping a planes file. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(hash(lit(plane), dim), lit(1000)).cast("double") / 1000.0) - 0.5
-
   /** Sign-LSH bucket id: `nPlanes` hyperplane sign bits packed into a long.
     * Cosine-similar vectors land in the same bucket with high probability.
-    * `seed` derives an independent hash table (fresh hyperplane set) for
-    * multi-table recall boosting — see [[semanticNearDup]].
-    */
-  def srpBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column = {
+    * The hyperplanes are a deterministic function of (seed, plane, dim)
+    * via murmur3 scaled to [-0.5, 0.5) — reproducible across runs without
+    * shipping a planes file; `seed` derives an independent hash table
+    * (fresh hyperplane set) for multi-table recall boosting — see
+    * [[semanticNearDup]]. Native one-JVM-loop evaluation
+    * (graft.functions.NativeExpressions.SrpBuckets); [[srpBucketCols]] is
+    * the pure-Column twin, proven bit-identical in SimilaritySpec. */
+  def srpBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column =
+    element_at(srpBuckets(vec, nPlanes, Seq(seed)), 1)
+
+  /** All `seeds.size` hash tables' buckets in one native pass — ONE
+    * expression evaluation per row instead of tables × nPlanes × dim
+    * interpreted lambda hops. */
+  def srpBuckets(vec: Column, nPlanes: Int, seeds: Seq[Int]): Column =
+    graft.functions.NativeExpressions.srp_buckets(vec, nPlanes, seeds)
+
+  /** Pure-Column twin of [[srpBucket]] — the executable spec of the
+    * bucket arithmetic (same murmur3 fold, same accumulation order,
+    * strict `proj > 0` sign). Interpreted per element: fixture-scale
+    * only. */
+  def srpBucketCols(vec: Column, nPlanes: Int, seed: Int = 0): Column = {
     val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -124,16 +135,16 @@ object Similarity {
   def semanticNearDup(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nPlanes: Int = 12,
                       tables: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    // all `tables` bucket ids computed in ONE projection over ONE scan,
-    // exploded to (table, bucket) rows — a per-table union would rescan
-    // the input and shuffle once per table
-    val bucketStructs = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        srpBucket(col("v"), nPlanes, seed = t * 7919 + 1).as("bucket"))
-    }
+    // all `tables` bucket ids computed by ONE native SrpBuckets call over
+    // ONE scan, posexploded to (table, bucket) rows — a per-table union
+    // would rescan the input and shuffle once per table, and per-table
+    // srpBucket columns would re-read the vector once per table
+    val seeds = (0 until tables).map(t => t * 7919 + 1)
     emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"), explode(array(bucketStructs: _*)).as("bk"))
-      .groupBy(col("bk.tbl"), col("bk.bucket"))
+      .select(col("id"), col("v"),
+        posexplode(srpBuckets(col("v"), nPlanes, seeds))
+          .as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket"))
       .agg(collect_list(struct(col("id"), col("v"))).as("items"))
       .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
       .select(explode(col("items")).as("a"), col("items"))

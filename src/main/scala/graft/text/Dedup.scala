@@ -263,35 +263,85 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** SimHash near-dup candidates with a RECALL GUARANTEE: the 62-bit hash
-    * is banded into `maxHamming + 1` contiguous chunks, so two hashes
-    * within Hamming distance ≤ maxHamming must agree on at least one full
-    * band (pigeonhole) — no pair is silently missed (the round-1 version
-    * fixed 4 bands and quietly under-returned for maxHamming > 3). Same
-    * bucket-join shape as LSH — one shuffle on (band, key). */
+  /** SimHash near-dup candidates with a RECALL GUARANTEE and a
+    * SCALE-SAFE keyspace (Manku-style block permutations, from the
+    * published simhash web-dedup design).
+    *
+    * The 62-bit hash splits into `blocks` (= m) contiguous chunks; a
+    * hash table exists for every combination of (m - maxHamming) chunks,
+    * its key the concatenation of those chunk values. Pigeonhole: ≤
+    * maxHamming differing bits touch ≤ maxHamming chunks, so at least
+    * m - maxHamming chunks are identical — SOME table keys the pair
+    * together. No pair within the radius is ever missed, while the key
+    * is (m-maxHamming)/m of the full hash (vs 1/(maxHamming+1) for
+    * single-chunk banding): at maxHamming=3, blocks=5 the keys are
+    * 24-26 bits wide instead of ~16 — at 10⁹ docs a random key bucket
+    * holds ~30 docs, not ~15k, so neither the collect_list buffer nor
+    * the in-bucket pair expansion blows up on pigeonhole density alone.
+    * blocks = maxHamming+1 degenerates to classic single-chunk banding.
+    *
+    * `maxBucket` (> 0 enables) bounds the damage from corpora that are
+    * GENUINELY dense near one hash (boilerplate, near-empty token sets):
+    * bucket sizes are counted with a window over the same (band, key)
+    * partitioning BEFORE collect_list — oversize buckets never reach the
+    * agg buffer — and their rows are dropped, a documented RECALL
+    * concession for pathological density (such docs are better handled
+    * by exact/normalized dedup upstream). Pass `obs` to observe
+    * `dropped_rows` / `max_bucket` on the job that consumes the result —
+    * recall loss is measured, never silent. (Caveat, observed under
+    * test: if the cap empties the WHOLE stream, AQE's empty-relation
+    * propagation can elide the metrics node and `obs` reports no
+    * metrics — any surviving bucket keeps them intact.)
+    *
+    * Cost shape: one narrow simhash pass, one shuffle on (band, key)
+    * (the window and the groupBy share it), C(m, m-maxHamming) × n
+    * exploded rows (10n at the defaults). */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, blocks: Int = 0,
+                        maxBucket: Int = 100000,
+                        obs: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimhashBits,
       s"maxHamming must be in [0, $SimhashBits)")
-    val bands = maxHamming + 1
-    val width = (SimhashBits + bands - 1) / bands
+    val m = if (blocks > 0) blocks else math.min(maxHamming + 2, SimhashBits)
+    require(m > maxHamming && m <= SimhashBits,
+      s"blocks must be in (maxHamming, $SimhashBits]")
+    val matchBlocks = m - maxHamming
+    // chunk b covers bits [lo(b), lo(b)+width(b)): first `rem` chunks one
+    // bit wider so all 62 bits are covered
+    val baseW = SimhashBits / m
+    val rem = SimhashBits % m
+    val widths = (0 until m).map(b => if (b < rem) baseW + 1 else baseW)
+    val los = widths.scanLeft(0)(_ + _)
+    def chunk(b: Int): Column =
+      call_function("shiftright", col("sh"), lit(los(b)))
+        .bitwiseAND((1L << widths(b)) - 1L)
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val bandStructs = (0 until bands).map { b =>
-      val lo = b * width
-      val w = math.min(width, SimhashBits - lo)
-      struct(lit(b).as("band"),
-        call_function("shiftright", col("sh"), lit(lo))
-          .bitwiseAND((1L << w) - 1L).as("key"))
-    }
-    // Same single-computation shape as lshCandidates: ONE hash-agg
-    // shuffle on (band, key), pairs expanded inside the bucket — no
-    // self-join, so the simhash subplan is never recomputed. No bucket
-    // cap here: the recall guarantee must hold, and band-key skew comes
-    // from truly-identical docs, which exact dedup removes upstream.
+    // one table per combination; key = exact bit-packed concatenation of
+    // the combination's chunks (total ≤ 62 bits, always fits a long)
+    val bandStructs = (0 until m).combinations(matchBlocks).zipWithIndex.map {
+      case (combo, ci) =>
+        val key = combo.foldLeft(lit(0L)) { (acc, b) =>
+          call_function("shiftleft", acc, lit(widths(b))).bitwiseOR(chunk(b))
+        }
+        struct(lit(ci).as("band"), key.as("key"))
+    }.toSeq
     val banded = sh.select(col("id"), col("sh"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
-    banded
+    // Same single-computation shape as lshCandidates: no self-join, so
+    // the simhash subplan is never recomputed; the bucket-size window
+    // and the collect_list groupBy share ONE (band, key) exchange.
+    val capped = if (maxBucket > 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))
+      val sized = banded.withColumn("__bsz", count(lit(1)).over(w))
+      obs.fold(sized)(o => sized.observe(o,
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
+        max(col("__bsz")).as("max_bucket")))
+        .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    } else banded
+    capped
       .groupBy(col("band"), col("key"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("items"))
       .filter(size(col("items")) >= 2)

@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(plan).size == 1, plan.take(1500))
   }
 
+  test("semanticNearDup evaluates srpbuckets once over one scan") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val near = graft.sim.Similarity.semanticNearDup(emb, "vec_id",
+      "embedding", threshold = 0.6, nPlanes = 12, tables = 4)
+    val plan = near.queryExecution.executedPlan.toString
+    // all 4 tables' buckets come from ONE native evaluation; a per-table
+    // formulation would show 4 srpbuckets calls or 4 scans
+    assert("srpbuckets".r.findAllIn(plan).size == 1, plan.take(1500))
+    assert("FileScan".r.findAllIn(plan).size == 1, plan.take(1500))
+  }
+
   test("window chain reuses one sort/partitioning (no double exchange)") {
     val e = Tables.load(spark, dir, "events")
     val out = ops.WindowOps.fillDownUp(e, Seq("user_id"),

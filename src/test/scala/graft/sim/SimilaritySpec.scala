@@ -83,6 +83,23 @@ class SimilaritySpec extends SparkSpec {
       base.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq)
   }
 
+  test("native srpBuckets == Column twin for every table seed") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val seeds = (0 until 4).map(t => t * 7919 + 1)
+    val native = df.select(col("vec_id"),
+      Similarity.srpBuckets(col("embedding"), 12, seeds).as("bks"))
+    val twin = df.select(col("vec_id"),
+      array(seeds.map(s =>
+        Similarity.srpBucketCols(col("embedding"), 12, s)): _*).as("bks"))
+    assert(native.exceptAll(twin).count() == 0 &&
+      twin.exceptAll(native).count() == 0)
+    // and the single-seed wrapper agrees with the twin's default seed
+    val one = df.filter(
+      Similarity.srpBucket(col("embedding"), 8) =!=
+        Similarity.srpBucketCols(col("embedding"), 8))
+    assert(one.count() == 0)
+  }
+
   test("semanticNearDup: candidates+verify recovers brute-force pairs") {
     val df = clustered.toDF("vec_id", "embedding")
     val brute = Similarity.thresholdPairsByLabel(

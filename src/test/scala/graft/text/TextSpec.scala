@@ -200,4 +200,65 @@ class TextSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("simhash block permutations: full recall vs brute force; " +
+    "key wider than single-chunk banding") {
+    // 60 docs drawn from templates with word swaps — a mix of hamming
+    // distances straddling the radius
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0 until 60).map { i =>
+      val base = (0 until 12).map(k => words((i / 20 + k) % words.size))
+      val txt = base.updated(i % 12, words(i % words.size)).mkString(" ")
+      (i.toLong, txt)
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (mh <- Seq(2, 3, 4)) {
+      val got = Dedup.simhashCandidates(df, "doc_id", "text", maxHamming = mh)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val sh = df.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+        .as[(Long, Long)].collect()
+      val brute = (for {
+        (i1, h1) <- sh; (i2, h2) <- sh
+        if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= mh
+      } yield (i1, i2)).toSet
+      assert(got == brute, s"maxHamming=$mh: ${got.size} vs ${brute.size}")
+    }
+  }
+
+  test("simhash maxBucket drops dense buckets with an observable count") {
+    // adversarial density: every doc is boilerplate + one unique token,
+    // so all simhashes are (near-)identical — one giant bucket per band.
+    // The cap keeps the bucket out of the agg buffer and the quadratic
+    // pair expansion; the Observation makes the recall loss measurable.
+    val boiler = Seq.fill(40)("the").mkString(" ")
+    // plus a sparse tail that survives the cap — with EVERY bucket
+    // dropped, AQE empty-relation propagation elides the metrics node
+    // (documented caveat in the scaladoc)
+    val df = ((0 until 3000).map(i => (i.toLong, s"$boiler unique$i")) ++
+      (0 until 40).map(i => (3000L + i, s"ordinary document number $i " +
+        s"with varied content about topic$i and subject$i")))
+      .toDF("doc_id", "text")
+    val obs = new org.apache.spark.sql.Observation("simhash_cap")
+    val out = Dedup.simhashCandidates(df, "doc_id", "text", maxHamming = 3,
+      maxBucket = 100, obs = Some(obs))
+    val nPairs = out.count()
+    val dropped = obs.get("dropped_rows").asInstanceOf[Long]
+    val maxB = obs.get("max_bucket").asInstanceOf[Long]
+    assert(maxB > 100, s"fixture sanity: expected a dense bucket, max=$maxB")
+    assert(dropped > 0L)
+    // bounded expansion: nothing near the 3000²/2 uncapped pair blowup
+    assert(nPairs <= 100L * 100L)
+  }
+
+  test("simhash banding: bucket-size window and groupBy share one exchange") {
+    val df = (0 until 50).map(i => (i.toLong, s"doc number $i content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashCandidates(df, "doc_id", "text", maxHamming = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // the (band, key) partitioning is exchanged ONCE: the window count
+    // and the collect_list agg both consume it
+    val exchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+    assert(exchanges == 1, plan.take(1500))
+  }
 }

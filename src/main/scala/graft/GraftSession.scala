@@ -34,13 +34,17 @@ object GraftSession {
     spark
   }
 
-  /** Standalone builder for tests/tools (driver mains build their own). */
+  /** Standalone builder for tests/tools (driver mains build their own).
+    * GraftExtensions makes the native SQL functions part of every
+    * session derived from this one (Thrift per-connection sessions
+    * build fresh state; tune()'s registerAll only covers the host). */
   def local(cores: Int = 4): SparkSession = {
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

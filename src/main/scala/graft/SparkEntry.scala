@@ -422,6 +422,24 @@ object SparkEntry {
         .select("doc_id", "n_tokens")
     }),
 
+    // ---- t_length_filter's 100 TB twin: approx_percentile bounds.
+    // Exact `percentile` is a full sort-based agg; approx_percentile is
+    // a mergeable GK sketch (one narrow pass + tiny partials) with
+    // rank error ≤ n/accuracy — at accuracy 10000 that is ≤ 0.01% of
+    // rows mis-banded, and for n ≤ accuracy the sketch stores all
+    // values, so bounds are exact discrete quantiles (what the DuckDB
+    // quantile_disc oracle computes). ----
+    "t_length_filter_approx" -> ((s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      val bounds = wc.agg(
+        expr("approx_percentile(n_tokens, 0.05, 10000)").as("lo"),
+        expr("approx_percentile(n_tokens, 0.95, 10000)").as("hi"))
+      wc.join(broadcast(bounds))
+        .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+        .select("doc_id", "n_tokens")
+    }),
+
     // ---- training-data ops: the CURATION capstone — one query
     // composing the pipeline a training-data pass actually runs: keep
     // docs that (a) score quality >= 0.5, (b) classify as English, and
@@ -434,8 +452,7 @@ object SparkEntry {
       val dropDups = clusters.filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
       docs
-        .filter(TextOps.qualityScore(col("text")) >= 0.5 &&
-          TextOps.langId(col("text")) === "en")
+        .filter(TextOps.curationKeep(col("text"), 0.5, "en"))
         .join(dropDups, Seq("doc_id"), "left_anti")
         .select("doc_id")
     }),
@@ -511,13 +528,17 @@ object SparkEntry {
 
     // ---- similarity: embedding-cosine near-dup (multi-table SRP
     // candidates + exact verify). The synthetic corpus's max pairwise
-    // cosine is ~0.51 (below the 0.6 threshold), so a deterministic
-    // seeded near-dup cluster (5 vectors = base pattern + a 1/16 bump
-    // on dim i; all values exact float multiples of 1/16, reproducible
-    // in SQL) is unioned in — the oracle row is NON-vacuous: the
-    // corpus contributes the no-false-positive evidence, the injected
-    // cluster the recall evidence (its 10 pairs must all survive SRP
-    // bucketing, deterministically). ----
+    // cosine is ~0.51 at sf0.01 / 0.6009 at sf0.1 — the threshold sits
+    // at 0.8, safely above the corpus at every SF, because the oracle
+    // is exact brute force and LSH recall near the threshold is the
+    // weak part of the S-curve (measured: a 0.6009 corpus pair at a
+    // 0.6 threshold was missed; ~6% single-pair recall there at these
+    // knobs). A deterministic seeded near-dup cluster (5 vectors =
+    // base pattern + a 1/16 bump on dim i; all values exact float
+    // multiples of 1/16, reproducible in SQL) is unioned in — the
+    // oracle row is NON-vacuous: the corpus contributes the
+    // no-false-positive evidence, the injected cluster (cos ~0.9993,
+    // deep in the S-curve's reliable region) the recall evidence. ----
     "e_semantic_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val inj = s.range(0, 5).select(
@@ -527,7 +548,7 @@ object SparkEntry {
             when(d === col("id").cast("int"), lit(0.0625)).otherwise(lit(0.0)))
             .cast("float")).as("embedding"))
       Similarity.semanticNearDup(emb.unionByName(inj),
-        "vec_id", "embedding", threshold = 0.6, nPlanes = 12, tables = 4)
+        "vec_id", "embedding", threshold = 0.8, nPlanes = 12, tables = 4)
     }),
 
     // ---- sessionization (gap-based episode grouping) ----
@@ -598,8 +619,9 @@ object SparkEntry {
 
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
     "s1_csv_roundtrip" -> ((s, dir) => {
-      val tmp = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_csv_roundtrip").getAbsolutePath
+      // unique per invocation — a fixed path corrupts concurrent runs
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_csv_roundtrip_${System.nanoTime()}").getAbsolutePath
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
         .write.mode("overwrite").option("header", true).csv(tmp)
@@ -779,6 +801,19 @@ object SparkEntry {
         |bounds AS (
         |  SELECT quantile_cont(n_tokens, 0.05) AS lo,
         |         quantile_cont(n_tokens, 0.95) AS hi
+        |  FROM wc)
+        |SELECT doc_id, n_tokens FROM wc, bounds
+        |WHERE n_tokens >= lo AND n_tokens <= hi""".stripMargin,
+
+    "t_length_filter_approx" ->
+      """WITH wc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |bounds AS (
+        |  SELECT quantile_disc(n_tokens, 0.05) AS lo,
+        |         quantile_disc(n_tokens, 0.95) AS hi
         |  FROM wc)
         |SELECT doc_id, n_tokens FROM wc, bounds
         |WHERE n_tokens >= lo AND n_tokens <= hi""".stripMargin,
@@ -1127,7 +1162,7 @@ object SparkEntry {
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) >= 0.6""".stripMargin,
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) >= 0.8""".stripMargin,
 
     "w4_sessionize" ->
       """SELECT event_id, user_id,

@@ -373,16 +373,43 @@ object NativeExpressions {
   def srp_buckets(vec: Column, nPlanes: Int, seeds: Seq[Int]): Column =
     toCol(SrpBuckets(expr(vec), nPlanes, seeds))
 
-  /** Register for the SQL surface: callable from spark.sql / SqlRunner. */
+  /** (name, builder) for every SQL-surfaced native function. */
+  private[functions] val sqlFunctions
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es.head, es(1))),
+    "dot_product" -> (es => DotProduct(es.head, es(1))),
+    "portable_simhash" -> (es => PortableSimHash(es.head)),
+    "normalize_spaces" -> (es => NormalizeSpaces(es.head)))
+
+  /** Register for the SQL surface of THIS session: callable from
+    * spark.sql / SqlRunner. Sessions derived via newSession() (e.g. the
+    * Thrift server's per-connection sessions) build FRESH state and do
+    * NOT see these — configure [[GraftExtensions]] on the builder
+    * (`spark.sql.extensions=graft.functions.GraftExtensions`) to make
+    * the functions part of every session's state (verified end-to-end
+    * in JdbcServerSpec over a fresh hive-jdbc connection). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSimilarity(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("dot_product",
-      es => DotProduct(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("portable_simhash",
-      es => PortableSimHash(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("normalize_spaces",
-      es => NormalizeSpaces(es.head), "scala_udf")
+    sqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
+}
+
+/** SparkSessionExtensions hook: injects the graft native functions into
+  * EVERY session built over a context configured with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — including
+  * sessions the Thrift/JDBC server derives per connection, which build
+  * fresh state and never see session-level temp functions. */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    NativeExpressions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          NativeExpressions.getClass.getCanonicalName, name),
+        builder))
+    }
 }

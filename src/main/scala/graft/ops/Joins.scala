@@ -75,9 +75,15 @@ object Joins {
     * exactly leftTime are both honored (right rows sort before left
     * rows at equal times).
     *
-    * @param payload right-side columns to attach (null when no prior
-    *                right row exists — left rows are always kept).
-    *                Names must not collide with left columns.
+    * @param payload right-side columns to attach (all null when no
+    *                prior right row exists — left rows are always
+    *                kept). Names must not collide with left columns.
+    *                The payload is carried as ONE struct through the
+    *                LOCF window, so every attached column comes from
+    *                the SAME right row — a newer right row with a null
+    *                in one payload column attaches that null rather
+    *                than back-filling it from an older row (row-wise
+    *                as-of semantics, matching SQL ASOF JOIN).
     *
     * Determinism: callers must make (keys, rightTime) unique on the
     * right side (e.g. WindowOps.dedupKeepLast first) — with duplicate
@@ -88,10 +94,11 @@ object Joins {
                payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leftCols = left.columns
-    // right rows: tag 0 so they sort BEFORE left rows at the same time
+    // right rows: tag 0 so they sort BEFORE left rows at the same time;
+    // payload packed into one struct so the window carries whole rows
     val rTagged = right.select(
-      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag")) ++
-        payload.map(col): _*)
+      keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
+        struct(payload.map(col): _*).as("__p"): _*)
     val lTagged = left.select(
       (keys.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__tag")) ++
         leftCols.filterNot(c => keys.contains(c) || c == leftTime).map(col): _*)
@@ -99,12 +106,12 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1)
+    unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
       .withColumnRenamed("__t", leftTime)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 
   /** Interval (range) join: left events matched to right intervals

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, functions}
 import org.apache.spark.sql.functions._
 
 /** Scale mechanics the 100 TB plan needs beyond AQE's defaults:
@@ -28,21 +28,41 @@ object Scale {
     l.join(s, keys :+ "__graft_salt", joinType).drop("__graft_salt")
   }
 
+  /** One aggregate of a [[Scale.saltedAgg]]: `partial` runs per
+    * (key, salt) group, `merge` combines the partials per key — they
+    * differ whenever the agg is not self-decomposable (count partials
+    * merge by SUM; avg must be carried as sum+count and divided after).
+    * Constructors for the common cases are on the companion. */
+  case class SaltedAgg(partial: Column => Column, merge: Column => Column,
+                       srcCol: String, outName: String)
+  object SaltedAgg {
+    def sum(src: String, out: String): SaltedAgg =
+      SaltedAgg(functions.sum(_), functions.sum(_), src, out)
+    def min(src: String, out: String): SaltedAgg =
+      SaltedAgg(functions.min(_), functions.min(_), src, out)
+    def max(src: String, out: String): SaltedAgg =
+      SaltedAgg(functions.max(_), functions.max(_), src, out)
+    /** count of non-null `src`: partials COUNT, merged by SUM — the
+      * pair the old single-function signature could not express. */
+    def count(src: String, out: String): SaltedAgg =
+      SaltedAgg(functions.count(_), functions.sum(_), src, out)
+  }
+
   /** Salted hot-key aggregation: two-phase agg for a skewed group key —
     * partial agg on (key, salt) spreads the hot key across `salts`
-    * partitions, final agg on key merges. `agg` must be decomposable
-    * (sum/count/min/max); pass the partial and merge forms. */
+    * partitions, final agg on key merges each aggregate with its OWN
+    * merge function (see [[SaltedAgg]] — count merges by sum). */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltSource: Column,
-                partial: Seq[(Column => Column, String, String)],
-                salts: Int = 16): DataFrame = {
+                aggs: Seq[SaltedAgg], salts: Int = 16): DataFrame = {
+    require(aggs.nonEmpty, "at least one aggregate required")
     val salted = df.withColumn("__graft_salt",
       pmod(hash(saltSource), lit(salts)))
     val phase1 = salted.groupBy((keys :+ "__graft_salt").map(col): _*)
-      .agg(partial.head._1(col(partial.head._2)).as(partial.head._3),
-        partial.tail.map(p => p._1(col(p._2)).as(p._3)): _*)
+      .agg(aggs.head.partial(col(aggs.head.srcCol)).as(aggs.head.outName),
+        aggs.tail.map(a => a.partial(col(a.srcCol)).as(a.outName)): _*)
     phase1.groupBy(keys.map(col): _*)
-      .agg(partial.head._1(col(partial.head._3)).as(partial.head._3),
-        partial.tail.map(p => p._1(col(p._3)).as(p._3)): _*)
+      .agg(aggs.head.merge(col(aggs.head.outName)).as(aggs.head.outName),
+        aggs.tail.map(a => a.merge(col(a.outName)).as(a.outName)): _*)
   }
 
   /** Write a bucketed + sorted table: co-locates join/agg keys at WRITE

@@ -159,17 +159,75 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold among same-label vectors — exact
-    * within groups; the label acts as a blocking key (shuffle on label). */
+    * within groups; the label acts as a blocking key (shuffle on label).
+    *
+    * DELIBERATELY QUADRATIC within a label: exact recall, arithmetic
+    * identical to the brute-force SQL oracle. One skewed label at scale
+    * is an O(n²) explosion AQE cannot split (the blowup is in the
+    * generate, not the join) — `maxLabelRows` (> 0 enables) fails fast
+    * at execution time when any label exceeds the bound, computed with
+    * a window that shares the join's own label shuffle. For labels too
+    * big for the bound, [[thresholdPairsByLabelBucketed]] is the
+    * sanctioned sub-quadratic path. */
   def thresholdPairsByLabel(emb: DataFrame, idCol: String, vecCol: String,
-                            labelCol: String, threshold: Double): DataFrame = {
-    val l = emb.select(col(labelCol).as("lbl"), col(idCol).as("id1"),
-      col(vecCol).as("v1"))
-    val r = emb.select(col(labelCol).as("lbl"), col(idCol).as("id2"),
-      col(vecCol).as("v2"))
+                            labelCol: String, threshold: Double,
+                            maxLabelRows: Int = 0): DataFrame = {
+    val base = emb.select(col(labelCol).as("lbl"), col(idCol).as("id"),
+      col(vecCol).as("v"))
+    val guarded =
+      if (maxLabelRows <= 0) base
+      else {
+        // the raise_error rides the id column (a dedicated guard column
+        // would be pruned as dead code by the optimizer — observed)
+        val w = Window.partitionBy(col("lbl"))
+        base.withColumn("__n", count(lit(1)).over(w))
+          .withColumn("id",
+            when(col("__n") > maxLabelRows, raise_error(concat(
+              lit(s"thresholdPairsByLabel: label "), col("lbl").cast("string"),
+              lit(s" has "), col("__n").cast("string"),
+              lit(s" rows > maxLabelRows=$maxLabelRows — within-label " +
+                "pairing is quadratic; use thresholdPairsByLabelBucketed"))))
+              .otherwise(col("id")))
+          .drop("__n")
+      }
+    val l = guarded.select(col("lbl"), col("id").as("id1"), col("v").as("v1"))
+    val r = guarded.select(col("lbl"), col("id").as("id2"), col("v").as("v2"))
     l.join(r, Seq("lbl"))
       .filter(col("id1") < col("id2"))
       .select(col("lbl"), col("id1"), col("id2"),
         round(cosine(col("v1"), col("v2")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Sub-quadratic threshold pairs for skewed/low-cardinality labels:
+    * the label becomes part of the SRP bucket key, so within-label
+    * candidate generation is bucket-local (the [[semanticNearDup]]
+    * topology with (lbl, tbl, bucket) grouping) and a hot label costs
+    * O(label × pairs-per-bucket), not O(label²). Approximate recall
+    * (tunable via nPlanes/tables, exact cosine verify — no false
+    * positives); [[thresholdPairsByLabel]] is the exact twin. */
+  def thresholdPairsByLabelBucketed(emb: DataFrame, idCol: String,
+                                    vecCol: String, labelCol: String,
+                                    threshold: Double, nPlanes: Int = 12,
+                                    tables: Int = 4,
+                                    maxBucket: Int = 1000): DataFrame = {
+    val seeds = (0 until tables).map(t => t * 7919 + 1)
+    emb.select(col(labelCol).as("lbl"), col(idCol).as("id"),
+        col(vecCol).as("v"))
+      .select(col("lbl"), col("id"), col("v"),
+        posexplode(srpBuckets(col("v"), nPlanes, seeds))
+          .as(Seq("tbl", "bucket")))
+      .groupBy(col("lbl"), col("tbl"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("items"))
+      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .select(col("lbl"), explode(col("items")).as("a"), col("items"))
+      .select(col("lbl"), col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("lbl"), col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.v").as("v1"), col("b.v").as("v2"))
+      .dropDuplicates("lbl", "id1", "id2")
+      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("lbl", "id1", "id2", "cos_sim")
   }
 }

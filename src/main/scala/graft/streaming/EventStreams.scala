@@ -100,18 +100,22 @@ object EventStreams {
       }
   }
 
-  /** Streaming exact dedup: keep the FIRST occurrence of each key within
+  /** Streaming exact dedup: keep the FIRST occurrence of each KEY within
     * the watermark horizon — the ingest-side twin of
-    * Dedup.exactByContent for a continuously arriving corpus. State is
-    * bounded: keys older than the watermark are evicted, so a duplicate
-    * arriving later than `watermark` after the original is NOT caught
-    * (that residue is the batch dedup's job downstream — the standard
-    * two-tier design). */
+    * Dedup.exactByContent for a continuously arriving corpus. Key-only
+    * dedup (`dropDuplicatesWithinWatermark`): a duplicate key arriving
+    * with a DIFFERENT event time — the normal case for content-hash
+    * dedup of a stream — is still dropped, which plain
+    * dropDuplicates(key, ts) would silently keep. State is bounded: a
+    * key's entry is held at least `watermark` past its event time and
+    * then evicted, so a duplicate arriving later than the horizon is
+    * NOT caught (that residue is the batch dedup's job downstream —
+    * the standard two-tier design). */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   tsCol: String = "ts",
                   watermark: String = "2 hours"): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Run a streaming transform over a static directory incrementally and
     * collect the result into a memory table (AvailableNow: process what

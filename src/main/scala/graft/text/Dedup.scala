@@ -162,14 +162,23 @@ object Dedup {
     * returning (id, cluster_id) with cluster_id = the MIN member id —
     * the canonical "keep" document per cluster.
     *
-    * Iterative min-label propagation: each round joins labels across
-    * edges and keeps the element-wise min; converges in O(log n) rounds
-    * for chains (near-dup clusters are near-cliques, so usually 2-3).
-    * Each round is ONE shuffle join + hash agg on id; `localCheckpoint`
-    * cuts the growing lineage so round k does not replan rounds 1..k-1
-    * — the standard Spark shape for fixpoint algorithms without
-    * dragging in GraphX. The driver only ever sees the convergence
-    * COUNT (one long), never the data. */
+    * Min-label propagation with POINTER JUMPING: each round (a) joins
+    * labels one hop across edges and keeps the element-wise min, then
+    * (b) lets every id adopt its current cluster's own label (labels
+    * are member ids, so the label table doubles as the parent map) —
+    * label depth roughly halves per round, so convergence is
+    * O(log diameter) rounds (plain one-hop propagation is O(diameter):
+    * a 10k-long chain would need 10k rounds). Each round is two
+    * shuffle joins + a hash agg on id; `localCheckpoint` cuts the
+    * growing lineage so round k does not replan rounds 1..k-1 — the
+    * standard Spark shape for fixpoint algorithms without dragging in
+    * GraphX. The driver only ever sees the convergence COUNT (one
+    * long), never the data.
+    *
+    * Throws IllegalStateException if `maxIters` rounds don't converge
+    * (2^maxIters ≳ component diameter is unreachable in practice) —
+    * silently returning partially-merged cluster ids would corrupt
+    * every downstream canonical-keep decision. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // materialize the (possibly expensive) pair generation ONCE — edges,
     // the label seed, and every propagation round all read it
@@ -186,9 +195,20 @@ object Dedup {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "id2"), Seq("id2"))
         .select(col("id1").as("id"), col("cluster_id"))
-      val next = labels.unionByName(viaEdges)
+      // checkpoint: hop is read twice below (as itself and as the
+      // parent map) — without it the join+agg subplan would run twice
+      val hop = labels.unionByName(viaEdges)
         .groupBy(col("id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      // pointer jump: adopt the label OF my label (always present —
+      // labels are ids of the same table; left join defends anyway)
+      val parents = hop.select(col("id").as("cluster_id"),
+        col("cluster_id").as("__parent"))
+      val next = hop.join(parents, Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"),
+            coalesce(col("__parent"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"),
           Seq("id"))
@@ -198,6 +218,9 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIters rounds — " +
+        "component diameter exceeds 2^maxIters? raise maxIters")
     labels
   }
 

@@ -66,6 +66,20 @@ object TextOps {
       when(stop > 0.01, lit(1.0)).otherwise(lit(0.0)) * 0.2, 6)
   }
 
+  /** [[qualityScore]] over a caller-supplied LOWERCASED token array —
+    * same arithmetic (token counts are lowercase-invariant for
+    * whitespace tokenization), no tokenization of its own. Combine with
+    * [[langIdTok]] under ONE token binding via [[curationKeep]]. */
+  def qualityScoreTok(c: Column, lowerToks: Column): Column = {
+    val n = size(lowerToks).cast("long")
+    val lenScore = when(n >= 20 && n <= 100000, lit(1.0))
+      .when(n >= 5, lit(0.5)).otherwise(lit(0.0))
+    val stop = when(n === 0, lit(0.0)).otherwise(
+      size(filter(lowerToks, t => t.isin(EnStopwords: _*))).cast("double") / n)
+    round(lenScore * 0.4 + alphaRatio(c) * 0.4 +
+      when(stop > 0.01, lit(1.0)).otherwise(lit(0.0)) * 0.2, 6)
+  }
+
   /** BPE-ish token count proxy: alphanumeric runs plus individual
     * non-space symbols (a cheap stand-in for a real tokenizer's token
     * count, useful for budget accounting). RE2-compatible regex — no
@@ -131,8 +145,12 @@ object TextOps {
   def langIdScore(c: Column, markers: Seq[String]): Column =
     size(filter(tokens(lower(c)), t => t.isin(markers: _*))).cast("long")
 
-  def langId(c: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => (lang, langIdScore(c, ms)) }
+  def langId(c: Column): Column = langIdTok(tokens(lower(c)))
+
+  /** [[langId]] over a caller-supplied lowercased token array. */
+  def langIdTok(lowerToks: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) =>
+      (lang, size(filter(lowerToks, t => t.isin(ms: _*))).cast("long")) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // foldRight puts earlier languages outermost, so ties resolve to the
     // first language in LangMarkers; all-zero scores -> "und"
@@ -140,4 +158,17 @@ object TextOps {
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Curation keep-predicate (quality ≥ minQuality AND language ==
+    * lang) over ONE tokenization: the lowercased token array is bound
+    * once as a higher-order-function lambda variable (transform over a
+    * single-element array), so neither filter pushdown inlining nor
+    * multiple references re-tokenize — the same bind-once trick as
+    * Dedup.shinglesCols, applied because a plain projected column is
+    * inlined into the filter predicate by PushDownPredicates and then
+    * re-evaluated per reference (~6 tokenizations per row measured as
+    * separate qualityScore + langId calls). */
+  def curationKeep(c: Column, minQuality: Double, lang: String): Column =
+    element_at(transform(array(tokens(lower(c))), lt =>
+      qualityScoreTok(c, lt) >= minQuality && langIdTok(lt) === lang), 1)
 }

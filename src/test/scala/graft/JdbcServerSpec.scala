@@ -44,6 +44,22 @@ class JdbcServerSpec extends SparkSpec {
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         assert(viaJdbc == viaDf && viaJdbc.nonEmpty)
       } finally conn.close()
+
+      // native-function parity: a FRESH connection gets its own derived
+      // session — the registered graft functions must be visible there,
+      // not only on the hosting session
+      val conn2 = DriverManager.getConnection(
+        s"jdbc:hive2://localhost:$port/default", "", "")
+      try {
+        val rs = conn2.createStatement().executeQuery(
+          "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+            "portable_simhash(array('x','y')) AS h, " +
+            "normalize_spaces(lower('A,,B')) AS n")
+        assert(rs.next())
+        assert(math.abs(rs.getDouble(1) - 1.0) < 1e-12)
+        assert(rs.getLong(2) != 0L)
+        assert(rs.getString(3) == "a b")
+      } finally conn2.close()
     } finally JdbcServer.stop(server)
   }
 }

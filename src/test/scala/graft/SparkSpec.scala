@@ -19,6 +19,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // native functions in EVERY derived session (Thrift connections)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // bucketed-table specs use saveAsTable; keep the warehouse out of
       // the repo working tree
       .config("spark.sql.warehouse.dir",

@@ -22,6 +22,19 @@ class JoinsScalarsSpec extends SparkSpec {
       4L -> None))       // key 20 has no right rows
   }
 
+  test("asOfJoin: payload travels as one row — a newer null is NOT " +
+    "back-filled from an older right row") {
+    val left = Seq((1L, 10L, 300L)).toDF("eid", "k", "t")
+    val right = Seq(
+      (10L, 100L, Some("old_a"), Some("old_b")),
+      (10L, 200L, Some("new_a"), None) // newer row: b is genuinely null
+    ).toDF("k", "rt", "a", "b")
+    val out = Joins.asOfJoin(left, right, Seq("k"), "t", "rt", Seq("a", "b"))
+      .select("a", "b").as[(Option[String], Option[String])].head()
+    // row-wise as-of: both columns from the t=200 row
+    assert(out == (Some("new_a"), None))
+  }
+
   test("rangeJoin: equals the naive range-filter join, bins transparent") {
     val events = Seq(
       (1L, 5L, 100L), (2L, 5L, 1000L), (3L, 5L, 5000L), (4L, 6L, 100L)

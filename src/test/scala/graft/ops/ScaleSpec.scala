@@ -21,20 +21,20 @@ class ScaleSpec extends SparkSpec {
       .contains("__graft_salt"))
   }
 
-  test("saltedAgg: two-phase sum/count equals direct aggregation") {
+  test("saltedAgg: two-phase sum/count/min/max equals direct aggregation") {
     val df = (1 to 300).map(i =>
       (if (i <= 280) "hot" else s"k$i", i.toDouble)).toDF("k", "v")
     val direct = df.groupBy("k")
-      .agg(sum("v").as("s"), count(lit(1)).as("n"))
-      .as[(String, Double, Long)].collect().toSet
-    // count partials merge by SUM, so express count as sum of 1s
-    val salted = Scale.saltedAgg(
-      df.withColumn("one", lit(1L)), Seq("k"), col("v"),
-      partial = Seq(
-        ((c: org.apache.spark.sql.Column) => sum(c), "v", "s"),
-        ((c: org.apache.spark.sql.Column) => sum(c), "one", "n")),
+      .agg(sum("v").as("s"), count(col("v")).as("n"),
+        min("v").as("lo"), max("v").as("hi"))
+      .as[(String, Double, Long, Double, Double)].collect().toSet
+    // count carries its own merge form (sum of partial counts)
+    val salted = Scale.saltedAgg(df, Seq("k"), col("v"),
+      aggs = Seq(
+        Scale.SaltedAgg.sum("v", "s"), Scale.SaltedAgg.count("v", "n"),
+        Scale.SaltedAgg.min("v", "lo"), Scale.SaltedAgg.max("v", "hi")),
       salts = 8)
-      .as[(String, Double, Long)].collect().toSet
+      .as[(String, Double, Long, Double, Double)].collect().toSet
     assert(salted == direct)
   }
 

@@ -132,4 +132,40 @@ class SimilaritySpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(out == Set((0L, 1L), (2L, 3L)))
   }
+
+  test("thresholdPairsByLabel hot-label guard fails fast instead of " +
+    "exploding quadratically") {
+    // one label holds 50% of rows
+    val skewed = (0 until 200).map { i =>
+      (i.toLong, Seq(1.0f, i.toFloat), if (i < 100) 0 else i)
+    }.toDF("vec_id", "embedding", "label")
+    val guarded = Similarity.thresholdPairsByLabel(skewed, "vec_id",
+      "embedding", "label", threshold = 0.0, maxLabelRows = 50)
+    val e = intercept[Exception](guarded.count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxLabelRows")), e.toString)
+    // and the guard stays silent when every label fits
+    val ok = Similarity.thresholdPairsByLabel(skewed, "vec_id",
+      "embedding", "label", threshold = 0.0, maxLabelRows = 200)
+    assert(ok.count() > 0)
+  }
+
+  test("thresholdPairsByLabelBucketed: bounded expansion on a 50%-share " +
+    "label, exact-verified subset with high recall") {
+    // clustered vectors all under ONE hot label (50% share) + filler
+    val hot = clustered.map { case (id, v) => (id, v, 0) }
+    val filler = (100 until 132).map(i =>
+      (i.toLong, Seq.fill(16)(0.0f).updated(i % 16, 1.0f), i))
+    val df = (hot ++ filler).toDF("vec_id", "embedding", "label")
+    val exact = Similarity.thresholdPairsByLabel(df, "vec_id", "embedding",
+        "label", threshold = 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.thresholdPairsByLabelBucketed(df, "vec_id",
+        "embedding", "label", threshold = 0.95, nPlanes = 8, tables = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))         // exact verify: no false pos
+    assert(bucketed.size >= (exact.size * 0.8).toInt,
+      s"recall ${bucketed.size}/${exact.size}")
+  }
 }

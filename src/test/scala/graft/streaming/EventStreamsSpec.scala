@@ -55,12 +55,13 @@ class EventStreamsSpec extends SparkSpec {
 
   test("dedupStream: first occurrence kept, AvailableNow equals batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
-    // duplicate event_ids (same ts) -> one survivor each
+    // duplicate event_ids — same ts AND different ts (the content-hash
+    // re-ingest case): key-only dedup must drop both kinds
     Seq(
       (0L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0, "{}"),
       (0L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0, "{}"),
       (1L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0, "{}"),
-      (1L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0, "{}"),
+      (1L, ts("2024-01-01 00:35:00"), 1L, "click", 2.0, "{}"),
       (2L, ts("2024-01-01 01:10:00"), 2L, "view", 3.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/in")

@@ -103,6 +103,14 @@ class TextSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("duplicateClusters: 200-long chain converges via pointer jumping " +
+    "(one-hop propagation would need 200 rounds)") {
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val out = Dedup.duplicateClusters(pairs, maxIters = 12)
+      .as[(Long, Long)].collect()
+    assert(out.length == 200 && out.forall(_._2 == 0L))
+  }
+
   test("exactByContent: groups identical (optionally normalized) texts") {
     val df = Seq(
       (1L, "Hello World"), (2L, "Hello World"), (3L, "hello,  world")
@@ -177,6 +185,22 @@ class TextSpec extends SparkSpec {
     val bad = df.filter(
       Dedup.simhash(col("t")).bitwiseAND(lit(3L << 62)) =!= 0L)
     assert(bad.count() == 0)
+  }
+
+  test("curationKeep == separate qualityScore + langId predicates") {
+    val df = (gnarly ++ Seq(
+      "the quick brown fox and the lazy dog are in the yard with a ball " +
+        "and this text is long enough to score well on length for sure " +
+        "because it keeps going and going with many common words in it",
+      "el la de que y en los " * 10)).toDF("t")
+    val diff = df.filter(
+      TextOps.curationKeep(col("t"), 0.5, "en") =!=
+        (TextOps.qualityScore(col("t")) >= 0.5 &&
+          TextOps.langId(col("t")) === "en"))
+    assert(diff.count() == 0)
+    // fixture sanity: at least one row on each side of the predicate
+    val keeps = df.filter(TextOps.curationKeep(col("t"), 0.5, "en")).count()
+    assert(keeps > 0 && keeps < df.count())
   }
 
   test("native functions registered on the SQL surface") {

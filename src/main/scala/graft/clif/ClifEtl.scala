@@ -107,6 +107,26 @@ object ClifEtl {
     results
   }
 
+  /** Publish ETL outputs as encounter-key-BUCKETED (+sorted) catalog
+    * tables (SURVEY.md §4; C19_HAR_ID is the contract's encounter
+    * key): the entity-key equi-joins the reference
+    * runs daily (vitals⋈labs⋈adt⋈meds "longitudinal assembly") then
+    * execute with ZERO exchanges — co-location is paid once at write
+    * time, not per query. The date-partitioned parquet from [[run]]
+    * stays the archival/pruning layout; this is the join-serving
+    * layout. At 100 TB pick `buckets` so one bucket ≈ a task's worth
+    * of rows (128-512MB). */
+  def publishBucketed(spark: SparkSession, outDir: String,
+                      tables: Seq[String] = Seq("vitals", "labs"),
+                      buckets: Int = 32,
+                      keys: Seq[String] = Seq("C19_HAR_ID")): Seq[String] =
+    tables.map { name =>
+      val df = spark.read.parquet(s"$outDir/$name.parquet")
+      val tbl = s"clif_${name}_bucketed"
+      graft.ops.Scale.writeBucketed(df, tbl, keys, buckets, sortCols = keys)
+      tbl
+    }
+
   /** Raw delimited extract read with a SCHEMA SNAPSHOT: the first run
     * infers types (one extra parse pass) and pins the result as DDL
     * under `<outDir>/_schemas/`; later runs read with the pinned schema

@@ -141,5 +141,21 @@ class ClifEtlSpec extends SparkSpec {
     // schema snapshots pinned for every raw extract (inference runs once)
     assert(java.nio.file.Files.list(
       java.nio.file.Paths.get(outDir, "_schemas")).count() >= 12)
+
+    // bucketed publish: the daily vitals⋈labs longitudinal join on the
+    // co-located layout runs with ZERO exchanges
+    val Seq(vTbl, lTbl) =
+      ClifEtl.publishBucketed(spark, outDir, Seq("vitals", "labs"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force non-broadcast so bucketing is what saves the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(vTbl).select("C19_HAR_ID", "vital_name")
+        .join(spark.table(lTbl).select("C19_HAR_ID", "lab_name"),
+          Seq("C19_HAR_ID"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

@@ -256,6 +256,21 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
           round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // ---- QC surface: the reference's interactive histogram/boxplot/
+    // bounds blocks (RCLIF_vitals.Rmd:253-278) as DATA — rows are the
+    // chart; one hash-agg pass each ----
+    "a9_histogram" -> ((s, dir) =>
+      Quality.histogram(t(s, dir, "lineitem"), "l_extendedprice", 1000.0,
+        Seq("l_returnflag"))),
+
+    "a10_boxstats" -> ((s, dir) =>
+      Quality.boxStats(t(s, dir, "lineitem"), "l_quantity",
+        Seq("l_returnflag"))),
+
+    "a11_out_of_range" -> ((s, dir) =>
+      Quality.outOfRange(t(s, dir, "lineitem"), "l_quantity", 5.0, 45.0,
+        Seq("l_returnflag"))),
+
     // ---- §2.5 W1 group-wise fill down-then-up (LOCF + backfill) ----
     "w1_fill_downup" -> ((s, dir) => {
       val e = t(s, dir, "events").withColumn("v",
@@ -783,6 +798,35 @@ object SparkEntry {
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
         |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a9_histogram" ->
+      """SELECT l_returnflag,
+        |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(floor(l_extendedprice / 1000.0) AS BIGINT) * 1000.0, 6) AS bin_lo,
+        |  ROUND((CAST(floor(l_extendedprice / 1000.0) AS BIGINT) + 1) * 1000.0, 6) AS bin_hi
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    "a10_boxstats" ->
+      """SELECT l_returnflag, COUNT(l_quantity) AS n,
+        |  MIN(l_quantity) AS min_v,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS q3,
+        |  MAX(l_quantity) AS max_v,
+        |  ROUND(quantile_cont(l_quantity, 0.25)
+        |    - (quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25)) * 1.5, 6) AS lo_whisker,
+        |  ROUND(quantile_cont(l_quantity, 0.75)
+        |    + (quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25)) * 1.5, 6) AS hi_whisker
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a11_out_of_range" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out_of_range,
+        |  COUNT(l_quantity) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "t_top_terms" ->

@@ -68,4 +68,47 @@ object Quality {
       sum((v < lo || v > hi).cast("long")).as("n_out_of_range"),
       count(v).cast("long").as("n"))
   }
+
+  /** Histogram-as-data: fixed-width bin counts per group — the QC
+    * distribution plot of the reference's interactive blocks
+    * (`code/RCLIF_vitals.Rmd:253-278`) reduced to its decision content.
+    * One hash-agg pass; bins are `floor(v / binWidth)` so the same
+    * arithmetic reproduces on any engine (no rendering, rows are the
+    * chart). Null values are excluded (they are missingness's job). */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double,
+                by: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val v = col(valueCol)
+    val bin = floor(v / binWidth).cast("long")
+    df.filter(v.isNotNull)
+      .groupBy((by.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("bin_lo", round(col("bin") * binWidth, 6))
+      .withColumn("bin_hi", round((col("bin") + 1) * binWidth, 6))
+  }
+
+  /** Box-plot statistics per group (exact quartiles + whiskers at
+    * 1.5 IQR + outlier count) — the reference's QC boxplots as data.
+    * Exact `percentile` keeps the oracle engine-reproducible; at
+    * 100 TB swap the quartiles for approx_percentile (rank error
+    * n/accuracy) like t_length_filter_approx does. */
+  def boxStats(df: DataFrame, valueCol: String,
+               by: Seq[String]): DataFrame = {
+    val v = col(valueCol)
+    val q = df.groupBy(by.map(col): _*).agg(
+      count(v).cast("long").as("n"),
+      min(v).as("min_v"),
+      expr(s"percentile($valueCol, 0.25)").as("q1"),
+      expr(s"percentile($valueCol, 0.5)").as("median"),
+      expr(s"percentile($valueCol, 0.75)").as("q3"),
+      max(v).as("max_v"))
+    val iqr = col("q3") - col("q1")
+    q.withColumn("lo_whisker", col("q1") - iqr * 1.5)
+      .withColumn("hi_whisker", col("q3") + iqr * 1.5)
+      .select((by.map(col) :+ col("n") :+ col("min_v") :+
+        round(col("q1"), 6).as("q1") :+ round(col("median"), 6).as("median") :+
+        round(col("q3"), 6).as("q3") :+ col("max_v") :+
+        round(col("lo_whisker"), 6).as("lo_whisker") :+
+        round(col("hi_whisker"), 6).as("hi_whisker")): _*)
+  }
 }

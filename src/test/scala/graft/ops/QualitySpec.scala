@@ -38,4 +38,27 @@ class QualitySpec extends SparkSpec {
     val r = Quality.outOfRange(df, "v", 0, 100, Seq("grp")).collect()(0)
     assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
   }
+
+  test("histogram: fixed-width bins, nulls excluded, edges exact") {
+    val df = Seq(Some(0.0), Some(9.99), Some(10.0), Some(25.0), None)
+      .toDF("v")
+    val m = Quality.histogram(df, "v", 10.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // [0,10): two values; [10,20): the exact edge 10.0; [20,30): one
+    assert(m(0L) == ((2L, 0.0, 10.0)))
+    assert(m(1L) == ((1L, 10.0, 20.0)))
+    assert(m(2L) == ((1L, 20.0, 30.0)))
+    assert(m.size == 3) // null row contributed nothing
+  }
+
+  test("boxStats: exact quartiles, 1.5-IQR whiskers") {
+    val df = (1 to 9).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = Quality.boxStats(df, "v", Seq("grp")).collect()(0)
+    // 1..9: q1=3, median=5, q3=7, iqr=4 -> whiskers -3 and 13
+    assert(r.getLong(1) == 9L)
+    assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 5.0 &&
+      r.getDouble(5) == 7.0)
+    assert(r.getDouble(7) == -3.0 && r.getDouble(8) == 13.0)
+  }
 }

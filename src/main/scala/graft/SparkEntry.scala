@@ -536,6 +536,19 @@ object SparkEntry {
         "vec_id", "embedding", q, 10)
     }),
 
+    // ---- similarity: IVF coarse-quantizer ANN — the nprobe/nlist
+    // scale path next to brute force (e_ann_topk). Deterministic
+    // portable-hash centroid sample + round-6 cell argmax make the
+    // whole index SQL-reproducible, so the oracle recomputes it. ----
+    "e_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+      Similarity.ivfTopKForVector(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 10, cents, nprobe = 4)
+    }),
+
     // ---- similarity: threshold pairs blocked by label ----
     "e_sim_pairs" -> ((s, dir) =>
       Similarity.thresholdPairsByLabel(t(s, dir, "embeddings"),
@@ -1166,6 +1179,46 @@ object SparkEntry {
         |    sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nq
         |  FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT neighbor_id, ROUND(dot/(ne*nq), 6) AS cos_sim FROM d
+        |ORDER BY cos_sim DESC, neighbor_id LIMIT 10""".stripMargin,
+
+    "e_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM embeddings
+        |  ORDER BY (vec_id * 2654435761) % 2147483647, vec_id
+        |  LIMIT 16),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT cell FROM cents, q
+        |  ORDER BY ROUND(
+        |    list_sum(list_transform(list_zip(ce, qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |    DESC, cell
+        |  LIMIT 4),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT cell FROM cents
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(cents.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(cents.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e WHERE e.vec_id <> 0)
+        |SELECT a.vec_id AS neighbor_id,
+        |  ROUND(
+        |    list_sum(list_transform(list_zip(a.embedding, q.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |    AS cos_sim
+        |FROM assign a, q
+        |WHERE a.cell IN (SELECT cell FROM probed)
         |ORDER BY cos_sim DESC, neighbor_id LIMIT 10""".stripMargin,
 
     "e_sim_pairs" ->

@@ -158,6 +158,84 @@ object Similarity {
       .select("id1", "id2", "cos_sim")
   }
 
+  // ---- IVF (inverted-file) ANN: the coarse-quantizer scale path ----
+
+  /** Deterministic IVF coarse centroids: the vectors of the `nlist` ids
+    * with the smallest PORTABLE hash (id × 2654435761 mod 2³¹−1,
+    * Knuth's multiplicative constant — SQL-reproducible, unlike
+    * murmur3) — a seeded uniform sample, NO iterative k-means, so the
+    * index is bit-reproducible across runs AND engines (distributed
+    * Lloyd iterations sum partials in nondeterministic order; a
+    * deterministic sample trades a few percent of cell balance for
+    * exact reproducibility — the property that lets e_ivf_topk carry a
+    * DuckDB oracle). Driver materializes only the nlist sampled
+    * vectors (the index metadata — O(nlist × dim), not the corpus). */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int): Array[Seq[Float]] = {
+    import org.apache.spark.sql.Row
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(pmod(col("id").cast("long") * 2654435761L,
+        lit(2147483647L)), col("id"))
+      .limit(nlist)
+      .select(col("v"))
+      .collect()
+      .map { case Row(v: scala.collection.Seq[_]) =>
+        v.map(_.asInstanceOf[Float]).toSeq }
+  }
+
+  /** Nearest-centroid cell id for a vector: argmax ROUND(cosine, 6)
+    * over the broadcast centroid literals (ties -> lowest cell; the
+    * rounding pins borderline comparisons to the same 6-decimal grid
+    * the cross-engine oracles use). nlist native cosine evals per
+    * row — narrow, no shuffle. */
+  def ivfCell(vec: Column, centroids: Array[Seq[Float]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      (i, round(cosine(vec, typedLit(c)), 6))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit(-1): Column) { case ((i, s), acc) =>
+      when(s === best, lit(i)).otherwise(acc)
+    }
+  }
+
+  /** IVF top-k for ONE query vector: score only the `nprobe` cells
+    * nearest to the query (driver picks them from the tiny centroid
+    * table), exact cosine within the probed cells, TakeOrdered. At
+    * nlist ≈ √n and nprobe ≪ nlist this scans ~nprobe/nlist of the
+    * corpus instead of all of it; the cell filter prunes BEFORE any
+    * shuffle (and, on a corpus pre-partitioned by cell, prunes
+    * partitions). Approximate recall (tunable via nprobe);
+    * [[topKForVector]] is the exact baseline. */
+  def ivfTopKForVector(emb: DataFrame, idCol: String, vecCol: String,
+                       query: Seq[Float], k: Int,
+                       centroids: Array[Seq[Float]],
+                       nprobe: Int = 4): DataFrame = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    // same 6-decimal grid as ivfCell so the probe choice is portable
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) => (i, round6(cos(query, c))) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(math.max(1, nprobe)).map(_._1).toSeq
+    emb.filter(ivfCell(col(vecCol), centroids).isin(probed: _*))
+      .select(col(idCol).as("neighbor_id"),
+        round(cosine(col(vecCol), typedLit(query)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      .limit(k)
+  }
+
   /** All pairs with cosine ≥ threshold among same-label vectors — exact
     * within groups; the label acts as a blocking key (shuffle on label).
     *

@@ -126,6 +126,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("IVF: deterministic centroids, cell assignment total, probed " +
+    "top-k recalls the true neighbors") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 8)
+    assert(cents.length == 8)
+    // deterministic: second call returns identical centroids
+    assert(Similarity.ivfCentroids(df, "vec_id", "embedding", 8).toSeq
+      .map(_.toSeq) == cents.toSeq.map(_.toSeq))
+    // every vector lands in exactly one valid cell
+    val cells = df.select(
+      Similarity.ivfCell(col("embedding"), cents).as("cell"))
+      .as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+    // probed search vs exact baseline on a cluster member's vector
+    val q = clustered.head._2
+    val exact = Similarity.topKForVector(df, "vec_id", "embedding", q, 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopKForVector(df, "vec_id", "embedding", q, 3,
+      cents, nprobe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.66, s"recall $recall: $ivf vs $exact")
+  }
+
   test("thresholdPairsByLabel blocks by label and filters by cosine") {
     val out = Similarity.thresholdPairsByLabel(df, "vec_id", "embedding",
       "label", threshold = 0.9)

@@ -32,6 +32,11 @@ object SparkEntry {
   private val stagedEventsDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM cache of the DUPLICATED events dir (streaming-dedup input:
+    * every row staged twice, so the dedup has real work to undo). */
+  private val stagedDupEventsDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Exact decimal accumulation -> one double cast (see class doc). */
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -643,6 +648,26 @@ object SparkEntry {
         graft.streaming.EventStreams.windowedCounts(stream, "1 hour", "2 hours"),
         queryName = s"sw_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt",
         outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
+    // ---- streaming: key-only exact dedup (dropDuplicatesWithinWatermark),
+    // AvailableNow == batch distinct. The staged input holds EVERY event
+    // twice, so the oracle row is non-vacuous: the stream must undo a
+    // real duplication (event_id is unique in the source, so the answer
+    // is the original table). ----
+    "s_stream_dedup" -> ((s, dir) => {
+      val in = stagedDupEventsDir.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sd").toString
+        val e = t(s, dir, "events")
+        e.union(e).write.mode("overwrite").parquet(s"$tmp/in")
+        s"$tmp/in"
+      })
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_ck").toString
+      val stream = graft.streaming.EventStreams.readStream(s, in)
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.dedupStream(stream, Seq("event_id"))
+          .select("event_id", "user_id", "event_type"),
+        queryName = s"sd_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt")
     }),
 
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
@@ -1306,6 +1331,9 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "s_stream_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events",
 
     "s1_csv_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -323,6 +323,21 @@ object SparkEntry {
       c.unionByName(su, allowMissingColumns = true)
     }),
 
+    // ---- §2.7 U3/U4 intersect / except (distinct set semantics) ----
+    "u3_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .intersect(
+          o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+    }),
+
+    "u4_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .except(
+          o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+    }),
+
     // ---- §2.7 R1 unpivot (wide -> long) ----
     "r1_unpivot" -> ((s, dir) =>
       Reshape.unpivot(
@@ -939,6 +954,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), 'supplier', CAST(s_nationkey AS INT)
         |FROM supplier""".stripMargin,
+
+    "u3_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+
+    "u4_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
 
     "r1_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value

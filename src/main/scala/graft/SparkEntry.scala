@@ -412,6 +412,15 @@ object SparkEntry {
       t(s, dir, "customer").select(
         col("c_custkey"), Scalars.hashId(col("c_name")).as("id_hash"))),
 
+    // ---- §2.8 JSON extraction (semi-structured props column — the
+    // log-pipeline staple; get_json_object is codegen'd pathing, no
+    // UDF) ----
+    "f_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.missing").as("m"))),
+
     // ---- training-data ops: token stats ----
     "t_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1021,6 +1030,12 @@ object SparkEntry {
 
     "f_hash_id" ->
       "SELECT c_custkey, sha256(c_name) AS id_hash FROM customer",
+
+    "f_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.missing') AS m
+        |FROM events""".stripMargin,
 
     "t_token_stats" ->
       """SELECT doc_id,

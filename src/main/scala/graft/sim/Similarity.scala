@@ -140,13 +140,16 @@ object Similarity {
     // would rescan the input and shuffle once per table, and per-table
     // srpBucket columns would re-read the vector once per table
     val seeds = (0 until tables).map(t => t * 7919 + 1)
-    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"),
         posexplode(srpBuckets(col("v"), nPlanes, seeds))
           .as(Seq("tbl", "bucket")))
+    // cap BEFORE collect_list (window shares the agg's exchange) so an
+    // oversize bucket never reaches the agg buffer
+    graft.text.Dedup.capBuckets(banded, Seq("tbl", "bucket"), maxBucket)
       .groupBy(col("tbl"), col("bucket"))
       .agg(collect_list(struct(col("id"), col("v"))).as("items"))
-      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .filter(size(col("items")) >= 2)
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
       .filter(col("a.id") < col("b.id"))
@@ -290,14 +293,15 @@ object Similarity {
                                     tables: Int = 4,
                                     maxBucket: Int = 1000): DataFrame = {
     val seeds = (0 until tables).map(t => t * 7919 + 1)
-    emb.select(col(labelCol).as("lbl"), col(idCol).as("id"),
+    val banded = emb.select(col(labelCol).as("lbl"), col(idCol).as("id"),
         col(vecCol).as("v"))
       .select(col("lbl"), col("id"), col("v"),
         posexplode(srpBuckets(col("v"), nPlanes, seeds))
           .as(Seq("tbl", "bucket")))
+    graft.text.Dedup.capBuckets(banded, Seq("lbl", "tbl", "bucket"), maxBucket)
       .groupBy(col("lbl"), col("tbl"), col("bucket"))
       .agg(collect_list(struct(col("id"), col("v"))).as("items"))
-      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .filter(size(col("items")) >= 2)
       .select(col("lbl"), explode(col("items")).as("a"), col("items"))
       .select(col("lbl"), col("a"), explode(col("items")).as("b"))
       .filter(col("a.id") < col("b.id"))

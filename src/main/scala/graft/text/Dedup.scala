@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Cap bucket membership BEFORE any collect_list: per-key row counts
+    * via a window over the SAME partitioning the downstream agg uses —
+    * one shared exchange, no extra shuffle — dropping every row of an
+    * oversize bucket so the agg buffer never materializes it (filtering
+    * after collect_list caps the pair expansion but still buffers the
+    * monster bucket during aggregation). maxBucket <= 0 disables. */
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String],
+                                maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      df.withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    }
+
   // ---- exact ----
 
   /** Exact dedup: group rows by content hash, keep the smallest id.
@@ -96,6 +112,9 @@ object Dedup {
     * bounds the per-bucket expansion at maxBucket² and the carried
     * member list at maxBucket × sig bytes; dropped buckets are
     * near-identical boilerplate better handled by exact dedup first).
+    * The cap is enforced BEFORE collect_list ([[capBuckets]] — window
+    * sharing the agg's exchange), so a monster bucket never reaches
+    * the agg buffer.
     */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
@@ -105,10 +124,10 @@ object Dedup {
     val banded = sig.select(col("id"), col("sig"),
         explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
-    val buckets = banded
+    val buckets = capBuckets(banded, Seq("band", "bucket"), maxBucket)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
-      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .filter(size(col("items")) >= 2)
     buckets
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
@@ -144,10 +163,10 @@ object Dedup {
         explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
       .select(col("id"), col("side"), col("sh"), col("bk.band"),
         col("bk.bucket"))
-    banded
+    capBuckets(banded, Seq("band", "bucket"), maxBucket)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("id"), col("side"), col("sh"))).as("items"))
-      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .filter(size(col("items")) >= 2)
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
       .filter(col("a.side") === 0 && col("b.side") === 1)

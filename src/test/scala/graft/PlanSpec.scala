@@ -46,6 +46,10 @@ class PlanSpec extends SparkSpec {
     // the self-join shape recomputed all three for the second side
     assert("minhashsignature".r.findAllIn(plan).size == 1, plan.take(1500))
     assert("FileScan".r.findAllIn(plan).size == 1, plan.take(1500))
+    // the bucket-size cap window and the collect_list agg share ONE
+    // (band, bucket) exchange
+    assert("Exchange hashpartitioning\\(band".r.findAllIn(plan).size == 1,
+      plan.take(1500))
   }
 
   test("semanticNearDup evaluates srpbuckets once over one scan") {

@@ -1,8 +1,38 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 object Bench {
+
+  /** Per-query warm isolation (round-2 verdict: sub-2s "regressions"
+    * were first-execution JIT/codegen + cross-query contention noise):
+    * each query runs once UNTIMED — paying its own codegen, JIT and
+    * page-cache warmup — then once timed. Numbers are attributable to
+    * the plan; round-over-round moves mean the plan changed.
+    *
+    * Failures are RECORDED, never swallowed (round-3 verdict #3 +
+    * ADVICE): a broken query reports time=-1 and its error message
+    * instead of benching as a plausible small number. Only NonFatal is
+    * caught — an OOM/fatal error means the JVM is suspect and the whole
+    * bench should die loudly. Returns name -> (seconds | -1, error). */
+  def runQueries(spark: SparkSession, sfDir: String,
+                 queries: Map[String, (SparkSession, String) => DataFrame])
+      : Map[String, (Double, Option[String])] =
+    queries.map { case (name, fn) =>
+      def run(): Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(300))
+        }
+      val warmErr = run()
+      val t0 = System.nanoTime()
+      val err = run().orElse(warmErr)
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (err.isDefined) (-1.0, err) else (sec, None))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,21 +68,18 @@ object Bench {
         .count()
     }
 
-    // Per-query warm isolation (round-2 verdict: sub-2s "regressions"
-    // were first-execution JIT/codegen + cross-query contention noise):
-    // each query runs once UNTIMED — paying its own codegen, JIT and
-    // page-cache warmup — then once timed. Numbers are attributable to
-    // the plan; round-over-round moves mean the plan changed.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+    val results = runQueries(spark, sfDir, SparkEntry.queries)
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val status = results.map { case (k, (_, err)) =>
+      s"\"" + k + "\":\"" + err.fold("ok")(e => "err: " + esc(e)) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case (v, None) => v }.sum
+    val nErr = results.values.count(_._2.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$status,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

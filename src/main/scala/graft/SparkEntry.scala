@@ -37,6 +37,35 @@ object SparkEntry {
   private val stagedDupEventsDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM cache of the two-tier dedup staging dir (two mod-time-
+    * ordered file groups: originals, then late re-arrivals). */
+  private val stagedTwoTierDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-JVM cache of the persisted IVF index (path, centroids). */
+  private val stagedIvfIndex = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[Seq[Float]])]
+
+  /** Per-JVM cache of the bucketed-table suffix per sf dir (tables are
+    * session-catalog objects; one publish per (JVM, sf dir)). */
+  private val stagedBucketedTables =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  /** Temp dir REGISTERED FOR CLEANUP at JVM exit (round-3 ADVICE:
+    * per-invocation checkpoint/staging dirs accumulated with no
+    * cleanup across repeated bench/correctness runs in one JVM). */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Exact decimal accumulation -> one double cast (see class doc). */
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -568,14 +597,37 @@ object SparkEntry {
     // ---- similarity: IVF coarse-quantizer ANN — the nprobe/nlist
     // scale path next to brute force (e_ann_topk). Deterministic
     // portable-hash centroid sample + round-6 cell argmax make the
-    // whole index SQL-reproducible, so the oracle recomputes it. ----
+    // whole index SQL-reproducible, so the oracle recomputes it.
+    // nlist=256 (r3 verdict: the literal when-chain died here; cell
+    // assignment is now the native broadcast argmax, so a realistic
+    // nlist is just a bigger executor-side loop). ----
     "e_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
-      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 256)
       Similarity.ivfTopKForVector(emb.filter(col("vec_id") =!= 0),
-        "vec_id", "embedding", q, 10, cents, nprobe = 4)
+        "vec_id", "embedding", q, 10, cents, nprobe = 16)
+    }),
+
+    // ---- similarity: PERSISTED IVF index (build once, query many) —
+    // the repeated-query ANN path. The index is (id, vec) hive-
+    // partitioned by cell; the query's probed-cell filter prunes
+    // PARTITIONS at file-listing time (PlanSpec pins the shape), so
+    // per-query I/O is ~nprobe/nlist of the corpus and zero
+    // re-assignment work. Index staged once per (JVM, sf dir). ----
+    "e_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val (path, cents) = stagedIvfIndex.getOrElseUpdate(dir, {
+        val p = tempDir("graft_ivf") + "/idx"
+        val c = Similarity.buildIvfIndex(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", nlist = 64, path = p)
+        (p, c)
+      })
+      Similarity.ivfTopKIndexed(s, path, q, 10, nprobe = 8,
+        centroids = cents)
     }),
 
     // ---- similarity: threshold pairs blocked by label ----
@@ -662,11 +714,11 @@ object SparkEntry {
     // not the harness copy. ----
     "s_stream_windowed" -> ((s, dir) => {
       val in = stagedEventsDir.getOrElseUpdate(dir, {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sw").toString
+        val tmp = tempDir("graft_sw")
         t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sw_ck").toString
+      val ckpt = tempDir("graft_sw_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in)
       graft.streaming.EventStreams.runAvailableNow(
         graft.streaming.EventStreams.windowedCounts(stream, "1 hour", "2 hours"),
@@ -681,12 +733,12 @@ object SparkEntry {
     // is the original table). ----
     "s_stream_dedup" -> ((s, dir) => {
       val in = stagedDupEventsDir.getOrElseUpdate(dir, {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sd").toString
+        val tmp = tempDir("graft_sd")
         val e = t(s, dir, "events")
         e.union(e).write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_ck").toString
+      val ckpt = tempDir("graft_sd_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in)
       graft.streaming.EventStreams.runAvailableNow(
         graft.streaming.EventStreams.dedupStream(stream, Seq("event_id"))
@@ -696,9 +748,9 @@ object SparkEntry {
 
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
     "s1_csv_roundtrip" -> ((s, dir) => {
-      // unique per invocation — a fixed path corrupts concurrent runs
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_csv_roundtrip_${System.nanoTime()}").getAbsolutePath
+      // unique per invocation (a fixed path corrupts concurrent runs),
+      // registered for JVM-exit cleanup
+      val tmp = tempDir("graft_csv_roundtrip") + "/out"
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
         .write.mode("overwrite").option("header", true).csv(tmp)
@@ -1253,7 +1305,7 @@ object SparkEntry {
         |    embedding AS ce
         |  FROM embeddings
         |  ORDER BY (vec_id * 2654435761) % 2147483647, vec_id
-        |  LIMIT 16),
+        |  LIMIT 256),
         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |probed AS (
         |  SELECT cell FROM cents, q
@@ -1263,7 +1315,51 @@ object SparkEntry {
         |    / (sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
         |    DESC, cell
-        |  LIMIT 4),
+        |  LIMIT 16),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT cell FROM cents
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(cents.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(cents.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e WHERE e.vec_id <> 0)
+        |SELECT a.vec_id AS neighbor_id,
+        |  ROUND(
+        |    list_sum(list_transform(list_zip(a.embedding, q.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |    AS cos_sim
+        |FROM assign a, q
+        |WHERE a.cell IN (SELECT cell FROM probed)
+        |ORDER BY cos_sim DESC, neighbor_id LIMIT 10""".stripMargin,
+
+    // Same index arithmetic as e_ivf_topk, but over the PERSISTED-index
+    // corpus (vec_id <> 0 — the query vector is not indexed) at the
+    // indexed query's knobs (nlist=64, nprobe=8). Bucketing by cell is
+    // layout, not semantics, so the SQL recomputes assignment directly.
+    "e_ivf_indexed" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY (vec_id * 2654435761) % 2147483647, vec_id
+        |  LIMIT 64),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT cell FROM cents, q
+        |  ORDER BY ROUND(
+        |    list_sum(list_transform(list_zip(ce, qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |    DESC, cell
+        |  LIMIT 8),
         |assign AS (
         |  SELECT e.vec_id, e.embedding,
         |    (SELECT cell FROM cents

@@ -95,12 +95,16 @@ object Quality {
   def boxStats(df: DataFrame, valueCol: String,
                by: Seq[String]): DataFrame = {
     val v = col(valueCol)
+    // percentile has no typed functions._ wrapper; call it through the
+    // registry with a COLUMN argument (not string interpolation) so a
+    // name needing backticks — spaces, dots — can't break the parse
+    def pct(p: Double): Column = call_function("percentile", v, lit(p))
     val q = df.groupBy(by.map(col): _*).agg(
       count(v).cast("long").as("n"),
       min(v).as("min_v"),
-      expr(s"percentile($valueCol, 0.25)").as("q1"),
-      expr(s"percentile($valueCol, 0.5)").as("median"),
-      expr(s"percentile($valueCol, 0.75)").as("q3"),
+      pct(0.25).as("q1"),
+      pct(0.5).as("median"),
+      pct(0.75).as("q3"),
       max(v).as("max_v"))
     val iqr = col("q3") - col("q1")
     q.withColumn("lo_whisker", col("q1") - iqr * 1.5)

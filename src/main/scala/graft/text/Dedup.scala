@@ -18,9 +18,13 @@ object Dedup {
   /** Cap bucket membership BEFORE any collect_list: per-key row counts
     * via a window over the SAME partitioning the downstream agg uses —
     * one shared exchange, no extra shuffle — dropping every row of an
-    * oversize bucket so the agg buffer never materializes it (filtering
-    * after collect_list caps the pair expansion but still buffers the
-    * monster bucket during aggregation). maxBucket <= 0 disables. */
+    * oversize bucket so it never reaches the agg buffer. Precisely:
+    * the counting WINDOW still buffers the monster partition, but in a
+    * SPILLABLE ExternalAppendOnlyUnsafeRowArray; what the cap prevents
+    * is the partition reaching collect_list's NON-spillable agg buffer
+    * (filtering after collect_list caps the pair expansion but OOMs on
+    * the buffer first). Net: spill-to-disk worst case instead of OOM.
+    * maxBucket <= 0 disables. */
   private[graft] def capBuckets(df: DataFrame, keys: Seq[String],
                                 maxBucket: Int): DataFrame =
     if (maxBucket <= 0) df
@@ -349,6 +353,26 @@ object Dedup {
     require(m > maxHamming && m <= SimhashBits,
       s"blocks must be in (maxHamming, $SimhashBits]")
     val matchBlocks = m - maxHamming
+    // C(m, matchBlocks) hash tables are materialized as a driver-side
+    // expression sequence AND explode the input that many times — an
+    // adversarial (blocks, maxHamming) pair (e.g. 40, 20) is ~10^11
+    // tables, hanging the driver before any execution (ADVICE r3).
+    // 512 tables ≈ 512× row expansion, already far beyond any sane
+    // recall/cost trade — fail fast with the arithmetic spelled out.
+    // via the symmetric small side (C(m,k) = C(m,m-k)): partials C(m,j)
+    // are then monotonically increasing, so the early exit is sound and
+    // nothing overflows before tripping the cap
+    val kSmall = math.min(matchBlocks, maxHamming)
+    var nTables = 1L
+    var ci = 0
+    while (ci < kSmall && nTables <= 512) {
+      nTables = nTables * (m - ci) / (ci + 1)
+      ci += 1
+    }
+    require(nTables <= 512,
+      s"C($m, $matchBlocks) > 512 hash tables — the band explosion " +
+        "multiplies the input that many times; pick blocks/maxHamming " +
+        "so C(blocks, blocks-maxHamming) <= 512")
     // chunk b covers bits [lo(b), lo(b)+width(b)): first `rem` chunks one
     // bit wider so all 62 bits are covered
     val baseW = SimhashBits / m

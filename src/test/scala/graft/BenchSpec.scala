@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The bench harness must not be able to report a crashing query as a
+  * healthy number (round-3 verdict #3). */
+class BenchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("runQueries records a broken query as -1 + error, not a time") {
+    val qs: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "ok_query" -> ((s, d) => Tables.load(s, d, "region")),
+      "broken_query" -> ((s, d) =>
+        Tables.load(s, d, "region")
+          .select(raise_error(lit("deliberately broken")))))
+    val res = Bench.runQueries(spark, dir, qs)
+    val (okSec, okErr) = res("ok_query")
+    assert(okSec >= 0.0 && okErr.isEmpty)
+    val (badSec, badErr) = res("broken_query")
+    assert(badSec == -1.0)
+    assert(badErr.exists(_.contains("deliberately broken")), badErr)
+  }
+}

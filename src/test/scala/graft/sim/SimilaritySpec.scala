@@ -136,7 +136,7 @@ class SimilaritySpec extends SparkSpec {
       .map(_.toSeq) == cents.toSeq.map(_.toSeq))
     // every vector lands in exactly one valid cell
     val cells = df.select(
-      Similarity.ivfCell(col("embedding"), cents).as("cell"))
+      Similarity.ivfCell(col("embedding"), cents, spark).as("cell"))
       .as[Int].collect()
     assert(cells.forall(c => c >= 0 && c < 8))
     // probed search vs exact baseline on a cluster member's vector
@@ -148,6 +148,111 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.66, s"recall $recall: $ivf vs $exact")
+  }
+
+  test("lshKnnJoin: 50%-share bucket is capped — bounded expansion, " +
+    "clean-bucket recall intact") {
+    // 100 identical vectors (one monster bucket in EVERY hash table —
+    // identical vectors collide in all of them) + the clustered corpus
+    val monster = (1000 until 1100).map(i =>
+      (i.toLong, Seq.fill(16)(0.5f)))
+    val df = (clustered ++ monster).toDF("vec_id", "embedding")
+    val out = Similarity.lshKnnJoin(df, df, "vec_id", "embedding",
+      k = 3, nPlanes = 6, tables = 4, maxBucket = 10)
+    val rows = out.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    // capped: the monster bucket's rows never joined, so no query sees
+    // a monster neighbor and total output stays bounded
+    assert(rows.forall(_._2 < 1000L))
+    assert(rows.groupBy(_._1).values.forall(_.length <= 3))
+    // clean buckets unaffected: clustered queries keep their recall
+    val brute = Similarity.bruteKnnJoin(
+      clustered.toDF("vec_id", "embedding"),
+      clustered.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = rows.filter(_._1 < 1000L).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("native ivfCell == Column twin; ties resolve to the lowest cell") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 8)
+    val diff = df.filter(
+      Similarity.ivfCell(col("embedding"), cents, spark) =!=
+        Similarity.ivfCellCols(col("embedding"), cents))
+    assert(diff.count() == 0)
+    // duplicate centroids force an exact tie -> lowest cell id wins,
+    // in both the native and the twin formulation
+    val tie = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tcents: Array[Seq[Float]] =
+      Array(Seq(0.0f, 1.0f), Seq(1.0f, 1.0f), Seq(1.0f, 1.0f))
+    assert(tie.select(Similarity.ivfCell(col("embedding"), tcents, spark)
+      .as("c")).as[Int].head() == 1)
+    assert(tie.select(Similarity.ivfCellCols(col("embedding"), tcents)
+      .as("c")).as[Int].head() == 1)
+  }
+
+  test("ivfCell determinism: Spark assignment == plain-Scala reference " +
+    "at nlist 16/64/256") {
+    // property pin for the cell rule (round-6 HALF_UP cosine argmax,
+    // ties to lowest) so the native expression can't drift from the
+    // documented semantics at scale knobs the Column twin can't reach
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(24)(rnd.nextGaussian().toFloat)))
+    val df = corpus.toDF("vec_id", "embedding")
+    def refCos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    def refCell(v: Seq[Float], cents: Array[Seq[Float]]): Int = {
+      var best = -1; var bs = Double.NegativeInfinity
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val s = java.math.BigDecimal.valueOf(refCos(v, c))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (s > bs) { bs = s; best = i }
+      }
+      best
+    }
+    Seq(16, 64, 256).foreach { nlist =>
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist)
+      val got = df.select(col("vec_id"),
+          Similarity.ivfCell(col("embedding"), cents, spark).as("cell"))
+        .as[(Long, Int)].collect().toMap
+      corpus.foreach { case (id, v) =>
+        assert(got(id) == refCell(v, cents), s"nlist=$nlist vec_id=$id")
+      }
+    }
+  }
+
+  test("persisted IVF index: reload round-trips, partition-pruned query " +
+    "== unindexed query") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_ivf_t").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(df, "vec_id", "embedding", 8, path)
+    assert(Similarity.loadIvfCentroids(spark, path).toSeq.map(_.toSeq) ==
+      cents.toSeq.map(_.toSeq))
+    val q = clustered.head._2
+    val viaIndex = Similarity.ivfTopKIndexed(spark, path, q, 3, nprobe = 2,
+      centroids = cents)
+    val direct = Similarity.ivfTopKForVector(df, "vec_id", "embedding", q, 3,
+      cents, nprobe = 2)
+    assert(viaIndex.collect().toSeq == direct.collect().toSeq)
+    // the probed-cell filter must prune PARTITIONS (hive layout), not
+    // rows: the scan carries a partition filter on `cell`
+    val scan = viaIndex.queryExecution.executedPlan.collectLeaves()
+      .mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      scan.take(800))
   }
 
   test("thresholdPairsByLabel blocks by label and filters by cosine") {

@@ -70,6 +70,71 @@ object SparkEntry {
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** STREAM tier of the two-tier dedup (`s_two_tier_dedup`), exposed so
+    * TwoTierDedupSpec can assert the residue is real (stream output
+    * still holds the beyond-horizon duplicates the batch tier removes).
+    * Stages the input once per (JVM, sf dir), THREE mod-time-ordered
+    * micro-batches (maxFilesPerTrigger=1):
+    *   1. the corpus (max event time T1);
+    *   2. a watermark ADVANCER — one duplicate of the latest event,
+    *      within horizon, so the stream drops it (output unaffected).
+    *      Its real job is the batch boundary: the watermark computed
+    *      from batch 1 (T1 − 2h) only takes effect — and only evicts
+    *      expired keys — during THIS batch (watermark updates and
+    *      state cleanup are end-of-batch; measured: with just two
+    *      batches the re-arrivals still found their keys in state and
+    *      residue was 0);
+    *   3. 200 re-arrivals of the EARLIEST events (event time T1 + 1h,
+    *      30-day corpus span ≫ the 4h eviction horizon) — their keys'
+    *      state is gone, dedupStream lets them through. */
+  private[graft] def twoTierStreamTier(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val in = stagedTwoTierDir.getOrElseUpdate(dir, {
+      val tmp = tempDir("graft_tt")
+      val e = t(s, dir, "events")
+      e.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+      e.orderBy(col("ts").desc, col("event_id")).limit(1)
+        .withColumn("ts",
+          lit(new java.sql.Timestamp(maxTs.getTime + 1800L * 1000)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/adv")
+      e.orderBy(col("ts"), col("event_id")).limit(200)
+        .withColumn("ts",
+          lit(new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/late")
+      // merge into one source dir with CONTROLLED mod-time order:
+      // originals oldest, advancer in between, re-arrivals newest
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      val now = System.currentTimeMillis()
+      val listIn = java.nio.file.Files.list(inDir)
+      try listIn.forEach(p =>
+        p.toFile.setLastModified(now - 600000L))
+      finally listIn.close()
+      def mergeIn(sub: String, prefix: String, mtime: Long): Unit = {
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, sub))
+        try ls.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".")) {
+            val dst = inDir.resolve(s"$prefix-$n")
+            java.nio.file.Files.copy(p, dst)
+            dst.toFile.setLastModified(mtime); ()
+          }
+        } finally ls.close()
+      }
+      mergeIn("adv", "adv", now - 300000L)
+      mergeIn("late", "late", now)
+      inDir.toString
+    })
+    val ckpt = tempDir("graft_tt_ck")
+    val stream = graft.streaming.EventStreams.readStream(s, in,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    graft.streaming.EventStreams.runAvailableNow(
+      graft.streaming.EventStreams.dedupStream(stream, Seq("event_id"))
+        .select("event_id", "user_id", "event_type"),
+      queryName = s"tt_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue per region: 4-way join (3 broadcast dims) + hash agg. */
   def entry(spark: SparkSession): DataFrame = {
@@ -450,6 +515,29 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         get_json_object(col("props"), "$.missing").as("m"))),
 
+    // ---- §2.8 MULTI-field JSON extraction (r3 verdict #8): when a
+    // query pulls ≥3 fields from one JSON column, parse ONCE with
+    // from_json + a schema (one JsonToStructs node — PlanSpec pins it)
+    // instead of re-parsing the string per path with get_json_object.
+    // The 1-key props column is first enriched into a realistic
+    // multi-field payload (to_json over typed columns), so the parse
+    // has real work: 4 typed fields out of one document. ----
+    "f_json_multi" -> ((s, dir) => {
+      val payload = to_json(struct(
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type").as("ty"),
+        col("user_id").as("uid"),
+        col("value").as("v")))
+      val parsed = from_json(payload,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, ty STRING, uid BIGINT, v DOUBLE"))
+      t(s, dir, "events")
+        .select(col("event_id"), parsed.as("doc"))
+        .select(col("event_id"), col("doc.k").as("k"),
+          col("doc.ty").as("ty"), col("doc.uid").as("uid"),
+          col("doc.v").as("v"))
+    }),
+
     // ---- training-data ops: token stats ----
     "t_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -745,6 +833,65 @@ object SparkEntry {
           .select("event_id", "user_id", "event_type"),
         queryName = s"sd_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt")
     }),
+
+    // ---- §2.3/§4 bucketed 3-table ZERO-EXCHANGE assembly (r3 verdict
+    // #4): the reference's daily longitudinal join spine — every
+    // pipeline equi-joins on the encounter key
+    // (/root/reference/code/RCLIF_demographics.Rmd:154,
+    // code/RCLIF_medications.Rmd:62-63) — re-expressed on the events
+    // table with user_id as the entity key. Co-location is paid ONCE at
+    // write time (user_id-bucketed + sorted catalog tables, staged per
+    // (JVM, sf dir)); the 3-way join AND the per-user rollup then reuse
+    // the bucketing — no shuffle of the fact side, ever
+    // (BucketedAssemblySpec pins zero Exchange with broadcast off). ----
+    "j_bucketed_3way" -> ((s, dir) => {
+      val names = stagedBucketedTables.getOrElseUpdate(dir, {
+        val sfx = (dir.hashCode.toLong & 0xffffffffL).toHexString
+        val base = tempDir("graft_bucketed")
+        val ev = t(s, dir, "events")
+        val parts: Seq[(String, DataFrame)] = Seq(
+          s"graft_ev_fact_$sfx" ->
+            ev.select("user_id", "event_id", "value"),
+          s"graft_ev_clicks_$sfx" ->
+            ev.filter(col("event_type") === "click").groupBy("user_id")
+              .agg(count(lit(1)).cast("long").as("n_click")),
+          s"graft_ev_views_$sfx" ->
+            ev.filter(col("event_type") === "view").groupBy("user_id")
+              .agg(moneySum(col("value")).as("view_value")))
+        parts.foreach { case (name, df) =>
+          Scale.writeBucketed(df, name, Seq("user_id"), buckets = 8,
+            sortCols = Seq("user_id"), path = Some(s"$base/$name"))
+        }
+        parts.map(_._1)
+      })
+      val Seq(factT, clickT, viewT) = names
+      s.table(factT)
+        .join(s.table(clickT), Seq("user_id"))
+        .join(s.table(viewT), Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          max(col("n_click")).cast("long").as("n_click"),
+          max(col("view_value")).as("view_value"))
+    }),
+
+    // ---- streaming + batch: the TWO-TIER dedup composition (r3
+    // verdict #6) — the end-to-end proof of the contract documented on
+    // EventStreams.dedupStream: the stream tier drops duplicate keys
+    // within the watermark horizon with BOUNDED state; a duplicate
+    // arriving beyond the horizon (its key's state already evicted)
+    // passes through and is the BATCH tier's job. Staged input: batch 1
+    // = the full events corpus; batch 2 (later mod-time, forced into
+    // its own micro-batch via maxFilesPerTrigger) = re-arrivals of the
+    // 200 earliest events with a new event time 1h past the corpus max
+    // — by then the watermark (max - 2h) has evicted their keys' state
+    // (30-day corpus span >> 4h eviction horizon), so the stream
+    // genuinely emits duplicates (TwoTierDedupSpec asserts residue > 0)
+    // and the batch keep-first produces the exact answer. ----
+    "s_two_tier_dedup" -> ((s, dir) =>
+      // batch tier: exact keep-one on the key catches the beyond-horizon
+      // residue (the re-arrival is content-identical in these columns,
+      // so any representative is THE row)
+      twoTierStreamTier(s, dir).dropDuplicates("event_id")),
 
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
     "s1_csv_roundtrip" -> ((s, dir) => {
@@ -1087,6 +1234,15 @@ object SparkEntry {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  json_extract_string(props, '$.missing') AS m
+        |FROM events""".stripMargin,
+
+    // the JSON payload is built from typed columns and parsed back, so
+    // the oracle recomputes the fields directly (double roundtrip via
+    // to_json/from_json is bit-exact: shortest-roundtrip printing)
+    "f_json_multi" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  event_type AS ty, user_id AS uid, value AS v
         |FROM events""".stripMargin,
 
     "t_token_stats" ->
@@ -1470,6 +1626,27 @@ object SparkEntry {
 
     "s_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
+
+    // the staged input holds every event once plus 200 beyond-horizon
+    // re-arrivals (content-identical in these columns); stream tier +
+    // batch keep-first must reduce it back to exactly the corpus
+    "s_two_tier_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events",
+
+    "j_bucketed_3way" ->
+      """WITH clicks AS (
+        |  SELECT user_id, COUNT(*) AS n_click FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |views AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id)
+        |SELECT e.user_id, COUNT(*) AS n_events,
+        |  MAX(c.n_click) AS n_click, MAX(v.view_value) AS view_value
+        |FROM events e
+        |JOIN clicks c ON e.user_id = c.user_id
+        |JOIN views v ON e.user_id = v.user_id
+        |GROUP BY e.user_id""".stripMargin,
 
     "s1_csv_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,

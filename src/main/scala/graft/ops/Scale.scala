@@ -69,12 +69,17 @@ object Scale {
     * time so every later equi-join or aggregation on `bucketCols`
     * against a same-bucketed table runs with NO shuffle — the 100 TB
     * answer to "this join happens every day on the same key".
-    * Bucketed tables require the session catalog (`saveAsTable`). */
+    * Bucketed tables require the session catalog (`saveAsTable`);
+    * pass `path` to store the files OUTSIDE the warehouse dir (an
+    * external table — catalog metadata only in the session). */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet")
+                    buckets: Int, sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit = {
+    val w0 = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(table)
+    val w1 =
+      if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
+      else w0
+    path.fold(w1)(p => w1.option("path", p)).saveAsTable(table)
   }
 }

@@ -28,10 +28,15 @@ object EventStreams {
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING")
 
-  /** File-based streaming read of event parquet/csv directories. */
+  /** File-based streaming read of event parquet/csv directories.
+    * `options` passes source knobs through (e.g. maxFilesPerTrigger to
+    * split an AvailableNow run into multiple micro-batches — the file
+    * source picks up files oldest-modification-time first). */
   def readStream(spark: SparkSession, path: String,
-                 format: String = "parquet"): DataFrame =
-    spark.readStream.schema(eventSchema).format(format).load(path)
+                 format: String = "parquet",
+                 options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(eventSchema).options(options)
+      .format(format).load(path)
 
   /** Watermarked tumbling-window counts per event type. State is bounded
     * by the watermark: late rows beyond `watermark` are dropped, closed

@@ -12,9 +12,15 @@ class BenchSpec extends SparkSpec {
     val qs: Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
       "ok_query" -> ((s, d) => Tables.load(s, d, "region")),
+      // The probe must survive ColumnPruning under count() (round-4
+      // verdict #1: a raise_error in an unreferenced SELECT column is
+      // pruned and the "broken" query succeeds). Putting it in the
+      // FILTER condition makes it load-bearing: the predicate must be
+      // evaluated per row, so execution genuinely throws.
       "broken_query" -> ((s, d) =>
         Tables.load(s, d, "region")
-          .select(raise_error(lit("deliberately broken")))))
+          .filter(col("r_regionkey") >
+            raise_error(lit("deliberately broken")).cast("int"))))
     val res = Bench.runQueries(spark, dir, qs)
     val (okSec, okErr) = res("ok_query")
     assert(okSec >= 0.0 && okErr.isEmpty)

@@ -255,6 +255,24 @@ class SimilaritySpec extends SparkSpec {
       scan.take(800))
   }
 
+  test("IVF index build: files-per-cell bounded on multi-partition input " +
+    "(the write clusters on cell first)") {
+    // 6 input tasks × 8 cells would emit up to 48 files unshuffled; the
+    // repartition(cell) in buildIvfIndex must bound it to 1 per cell
+    val df = clustered.toDF("vec_id", "embedding").repartition(6)
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_ivf_f").toString + "/idx"
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", 8, path)
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName}: ${files.length} files — write not clustered by cell")
+    }
+  }
+
   test("thresholdPairsByLabel blocks by label and filters by cosine") {
     val out = Similarity.thresholdPairsByLabel(df, "vec_id", "embedding",
       "label", threshold = 0.9)

@@ -370,6 +370,43 @@ object SparkEntry {
       Quality.outOfRange(t(s, dir, "lineitem"), "l_quantity", 5.0, 45.0,
         Seq("l_returnflag"))),
 
+    // ---- §2.4 grouping sets: one pass producing per-(region, nation)
+    // revenue PLUS per-region and grand-total rollup rows — the
+    // reporting shape that otherwise costs three scans + a union.
+    // Spark expands the rollup inside a single Expand + hash agg. ----
+    "a12_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- §2.5 rank family: rank/dense_rank/percent_rank over a real
+    // tie-bearing ordering (users ranked by event count per type) plus
+    // ntile over a unique ordering (ntile splits ties by row order, so
+    // determinism requires the unique tiebreak) ----
+    "w5_rank" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val byN = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("n").desc)
+      val uniq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("user_id"))
+      counts.select(col("event_type"), col("user_id"), col("n"),
+        rank().over(byN).cast("long").as("rnk"),
+        dense_rank().over(byN).cast("long").as("drnk"),
+        round(percent_rank().over(byN), 6).as("prnk"),
+        ntile(4).over(uniq).cast("int").as("quartile"))
+    }),
+
     // ---- §2.5 W1 group-wise fill down-then-up (LOCF + backfill) ----
     "w1_fill_downup" -> ((s, dir) => {
       val e = t(s, dir, "events").withColumn("v",
@@ -893,6 +930,36 @@ object SparkEntry {
       // so any representative is THE row)
       twoTierStreamTier(s, dir).dropDuplicates("event_id")),
 
+    // ---- streaming: STATEFUL sessionization (mapGroupsWithState) —
+    // the streaming twin of w4_sessionize, previously pass-unit only.
+    // Output = each user's LAST session (start, end, n_events) on
+    // SECOND-truncated event time (the state fold works in epoch
+    // seconds). The memory sink accumulates one update per (user,
+    // trigger); updates are monotone in (end, n), so the keep-last
+    // window reduces multi-trigger runs to the same final answer as
+    // the single-trigger run — and the DuckDB oracle recomputes the
+    // whole thing as a gaps-and-islands window query. ----
+    "s_stream_sessionize" -> ((s, dir) => {
+      val in = stagedEventsDir.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_sw")
+        t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
+        s"$tmp/in"
+      })
+      val ckpt = tempDir("graft_ss_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in)
+      val updates = graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.sessionize(stream, gapSeconds = 1800)
+          .toDF(),
+        queryName = s"ss_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("session_end").desc, col("n_events").desc,
+          col("session_start").desc)
+      updates.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }),
+
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
     "s1_csv_roundtrip" -> ((s, dir) => {
       // unique per invocation (a fixed path corrupts concurrent runs),
@@ -1089,6 +1156,27 @@ object SparkEntry {
         |    AS n_out_of_range,
         |  COUNT(l_quantity) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a12_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "w5_rank" ->
+      """SELECT event_type, user_id, n,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ROUND(percent_rank() OVER w, 6) AS prnk,
+        |  CAST(ntile(4) OVER (PARTITION BY event_type
+        |                      ORDER BY n DESC, user_id) AS INT) AS quartile
+        |FROM (SELECT event_type, user_id, COUNT(*) AS n
+        |      FROM events GROUP BY event_type, user_id)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY n DESC)""".stripMargin,
 
     "t_top_terms" ->
       """SELECT term, COUNT(*) AS n FROM (
@@ -1632,6 +1720,33 @@ object SparkEntry {
     // batch keep-first must reduce it back to exactly the corpus
     "s_two_tier_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
+
+    // gaps-and-islands on second-truncated event time; keep each
+    // user's last session (the one the stream's final state holds)
+    "s_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, sec,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |g AS (
+        |  SELECT user_id, sid, MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+        |    COUNT(*) AS n
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id,
+        |  make_timestamp(start_sec * 1000000) AS session_start,
+        |  make_timestamp(end_sec * 1000000) AS session_end,
+        |  CAST(n AS INT) AS n_events
+        |FROM g
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) = 1""".stripMargin,
 
     "j_bucketed_3way" ->
       """WITH clicks AS (

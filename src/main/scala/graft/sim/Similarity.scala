@@ -325,6 +325,27 @@ object Similarity {
     cents
   }
 
+  /** APPEND new vectors to a persisted IVF index without a rebuild:
+    * assign cells with the index's OWN (frozen) centroids and write
+    * cell-partitioned files into the existing layout — the standard
+    * IVF maintenance contract (centroids drift-free between rebuilds;
+    * rebuild when the corpus distribution has moved enough to matter).
+    * Same clustered-write discipline as [[buildIvfIndex]]: one shuffle
+    * on `cell`, so each append adds at most ONE file per touched cell
+    * (spec-pinned) — daily appends stay file-count-bounded instead of
+    * accreting tasks × nlist fragments. Queries via [[ivfTopKIndexed]]
+    * see old + new vectors with unchanged partition pruning. */
+  def appendToIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val spark = emb.sparkSession
+    val cents = loadIvfCentroids(spark, path)
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        ivfCell(col(vecCol), cents, spark).as("cell"))
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   private def centroidsPath(indexPath: String): String =
     indexPath.stripSuffix("/") + "__centroids"
 
@@ -365,10 +386,15 @@ object Similarity {
     * identical to the brute-force SQL oracle. One skewed label at scale
     * is an O(n²) explosion AQE cannot split (the blowup is in the
     * generate, not the join) — `maxLabelRows` (> 0 enables) fails fast
-    * at execution time when any label exceeds the bound, computed with
-    * a window that shares the join's own label shuffle. For labels too
-    * big for the bound, [[thresholdPairsByLabelBucketed]] is the
-    * sanctioned sub-quadratic path. */
+    * at execution time when any label exceeds the bound. The bound
+    * check is a PER-LABEL COUNTS aggregate joined back onto each side
+    * (one row per label — AQE broadcasts it when small, and both sides
+    * reuse the same exchange), NOT a count window: the window form
+    * shuffled AND sorted the full table once per join side (round-4
+    * ADVICE; measured two Exchange+Sort+Window subtrees — ReuseExchange
+    * does not apply across a broadcast side). For labels too big for
+    * the bound, [[thresholdPairsByLabelBucketed]] is the sanctioned
+    * sub-quadratic path. */
   def thresholdPairsByLabel(emb: DataFrame, idCol: String, vecCol: String,
                             labelCol: String, threshold: Double,
                             maxLabelRows: Int = 0): DataFrame = {
@@ -377,10 +403,11 @@ object Similarity {
     val guarded =
       if (maxLabelRows <= 0) base
       else {
+        val counts = base.groupBy(col("lbl"))
+          .agg(count(lit(1)).as("__n"))
         // the raise_error rides the id column (a dedicated guard column
         // would be pruned as dead code by the optimizer — observed)
-        val w = Window.partitionBy(col("lbl"))
-        base.withColumn("__n", count(lit(1)).over(w))
+        base.join(counts, Seq("lbl"))
           .withColumn("id",
             when(col("__n") > maxLabelRows, raise_error(concat(
               lit(s"thresholdPairsByLabel: label "), col("lbl").cast("string"),

@@ -273,6 +273,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF index append: frozen centroids serve old+new vectors, " +
+    "files-per-cell stay bounded") {
+    val all = clustered.toDF("vec_id", "embedding")
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_ivf_a").toString + "/idx"
+    // build on the first half; append the second half (multi-partition)
+    val cents = Similarity.buildIvfIndex(
+      all.filter(col("vec_id") < 16), "vec_id", "embedding", 4, path)
+    Similarity.appendToIvfIndex(
+      all.filter(col("vec_id") >= 16).repartition(4),
+      "vec_id", "embedding", path)
+    // query with a vector whose whole cluster lives in the APPENDED half
+    // — the top-k can only be right if appended rows are visible
+    val q = clustered.last._2
+    val viaIndex = Similarity.ivfTopKIndexed(spark, path, q, 5, nprobe = 2,
+      centroids = cents)
+    val direct = Similarity.ivfTopKForVector(all, "vec_id", "embedding",
+      q, 5, cents, nprobe = 2)
+    assert(viaIndex.collect().toSeq == direct.collect().toSeq)
+    // clustered writes: ≤ 1 file from the build + 1 per append per cell
+    new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length <= 2,
+          s"${d.getName}: ${files.length} files after one build + one append")
+      }
+  }
+
   test("thresholdPairsByLabel blocks by label and filters by cosine") {
     val out = Similarity.thresholdPairsByLabel(df, "vec_id", "embedding",
       "label", threshold = 0.9)
@@ -296,6 +325,11 @@ class SimilaritySpec extends SparkSpec {
     val ok = Similarity.thresholdPairsByLabel(skewed, "vec_id",
       "embedding", "label", threshold = 0.0, maxLabelRows = 200)
     assert(ok.count() > 0)
+    // the bound check must be the counts-join, not a count window: the
+    // window form shuffled + sorted the full table once per join side
+    // (round-4 ADVICE — pinned so it can't regress)
+    val plan = ok.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1200))
   }
 
   test("thresholdPairsByLabelBucketed: bounded expansion on a 50%-share " +

@@ -802,6 +802,46 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TextOps.tokenCountBpeIsh(col("text")).as("n_bpe"))),
 
+    // ---- training-data ops: repetition signals (Gopher-style) — the
+    // most frequent word 2-gram's share of all 2-grams + the distinct-
+    // bigram ratio, both from ONE explode + two hash aggs (a per-row
+    // frequency lambda would be O(tokens²) per doc; see TextOps.bigrams
+    // scaladoc). High top-share / low distinct-ratio = boilerplate. ----
+    "t_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.bigrams(col("text"))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(max(col("n")).cast("double") / sum(col("n")), 6)
+            .as("top_bigram_share"),
+          round(count(lit(1)).cast("double") / sum(col("n")), 6)
+            .as("distinct_bigram_ratio"))),
+
+    // ---- training-data ops: PII scrub. The synthetic corpus carries no
+    // PII, so the query INJECTS deterministic email + phone strings
+    // (derived from doc_id) before scrubbing — the oracle performs the
+    // identical injection and redaction, so the row is non-vacuous:
+    // every document must have both patterns found and replaced. ----
+    "t_scrub" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1 555 01"),
+        pmod(col("doc_id"), lit(100)), lit(" now"))
+      t(s, dir, "documents").select(
+        col("doc_id"), TextOps.scrubPii(dirty).as("clean"))
+    }),
+
+    // ---- training-data ops: deterministic stratified downsampling —
+    // keep 10% of English docs, 50% of everything else, by portable
+    // id hash (reproducible across engines/runs, unlike seeded
+    // sampleBy). The balance-the-corpus primitive. ----
+    "t_sample_stratified" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(TextOps.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 10), defaultPct = 50))
+        .select("doc_id", "lang")),
+
     // ---- multimodal plumbing: binary payload + codec-free metadata ----
     "m_media_meta" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1691,6 +1731,39 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
         |    AS n_bpe
         |FROM documents""".stripMargin,
+
+    "t_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)),
+        |      i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        |  FROM toks WHERE len(ts) >= 2),
+        |counts AS (
+        |  SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram)
+        |SELECT doc_id,
+        |  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_share,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS distinct_bigram_ratio
+        |FROM counts GROUP BY doc_id""".stripMargin,
+
+    "t_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || doc_id || '@example.com or +1 555 01'
+        |        || (doc_id % 100) || ' now',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9 ]{5,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM documents""".stripMargin,
+
+    "t_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 2147483647 % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin,
 
     "m_media_meta" ->
       """SELECT doc_id,

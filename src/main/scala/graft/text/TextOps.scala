@@ -159,6 +159,51 @@ object TextOps {
     }
   }
 
+  /** Word 2-grams of the lowercased token stream, computed under ONE
+    * token binding (same bind-once trick as [[curationKeep]] — a plain
+    * inlined `tokens(...)` would re-tokenize per element). Docs with
+    * < 2 tokens yield an empty array. Feeds the repetition signals:
+    * counting bigram frequencies belongs in a hash agg after explode
+    * (see the `t_repetition` query), NOT in a per-row lambda — an
+    * in-lambda frequency count is O(tokens²) per document, hostile at
+    * book-length docs; the explode+agg shape is two linear hash aggs. */
+  def bigrams(c: Column): Column =
+    element_at(transform(array(tokens(lower(c))), ts =>
+      when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1),
+          i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+        .otherwise(array_remove(array(lit("")), ""))), 1)
+
+  /** PII scrub: redact email addresses and phone-like digit runs. Both
+    * patterns are RE2-compatible (no lookarounds, no backreferences) so
+    * the exact same regex runs on Spark (Java regex) and any RE2 engine
+    * with identical greedy semantics — the property the DuckDB oracle
+    * depends on. Production pipelines swap in their legal team's
+    * pattern set; the op shape (chained regexp_replace, one text pass
+    * each, narrow and codegen'd) is the deliverable. */
+  def scrubPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "\\+?[0-9][0-9 ]{5,}[0-9]", "<PHONE>")
+  }
+
+  /** Deterministic per-stratum keep-predicate: keep a row iff its id's
+    * PORTABLE hash (Knuth multiplicative, mod 2³¹−1 — same recipe as
+    * the IVF centroid sample, SQL-reproducible unlike murmur3) lands
+    * under the stratum's percentage. The downsampling-for-balance
+    * primitive: rates per stratum, exactly reproducible across engines
+    * and runs (no RNG state), narrow (no shuffle, no sampleBy seed
+    * drift across Spark versions). */
+  def stratifiedKeep(idCol: Column, stratumCol: Column,
+                     pctByStratum: Map[String, Int],
+                     defaultPct: Int = 100): Column = {
+    val h = pmod(idCol.cast("long") * 2654435761L, lit(2147483647L)) % 100
+    val pct = pctByStratum.foldLeft(lit(defaultPct): Column) {
+      case (acc, (s, p)) => when(stratumCol === s, lit(p)).otherwise(acc)
+    }
+    h < pct
+  }
+
   /** Curation keep-predicate (quality ≥ minQuality AND language ==
     * lang) over ONE tokenization: the lowercased token array is bound
     * once as a higher-order-function lambda variable (transform over a

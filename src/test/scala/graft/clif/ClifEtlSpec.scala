@@ -142,16 +142,19 @@ class ClifEtlSpec extends SparkSpec {
     assert(java.nio.file.Files.list(
       java.nio.file.Paths.get(outDir, "_schemas")).count() >= 12)
 
-    // bucketed publish: the daily vitals⋈labs longitudinal join on the
+    // bucketed publish: the daily vitals⋈labs⋈adt longitudinal
+    // assembly (the reference's encounter_id join spine) on the
     // co-located layout runs with ZERO exchanges
-    val Seq(vTbl, lTbl) =
-      ClifEtl.publishBucketed(spark, outDir, Seq("vitals", "labs"), 4)
+    val Seq(vTbl, lTbl, aTbl) =
+      ClifEtl.publishBucketed(spark, outDir, Seq("vitals", "labs", "adt"), 4)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // force non-broadcast so bucketing is what saves the shuffle
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = spark.table(vTbl).select("C19_HAR_ID", "vital_name")
         .join(spark.table(lTbl).select("C19_HAR_ID", "lab_name"),
+          Seq("C19_HAR_ID"))
+        .join(spark.table(aTbl).select("C19_HAR_ID", "dept_name"),
           Seq("C19_HAR_ID"))
       assert(joined.count() > 0)
       val plan = joined.queryExecution.executedPlan.toString

@@ -275,6 +275,45 @@ class TextSpec extends SparkSpec {
     assert(nPairs <= 100L * 100L)
   }
 
+  test("bigrams: adjacent lowercased token pairs; short docs empty") {
+    val df = Seq((1L, "The quick  brown fox"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.bigrams(col("text")).as("b"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("the quick", "quick brown", "brown fox"))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+  }
+
+  test("scrubPii redacts emails and phone-like runs, leaves prose alone") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.org now"),
+      (2L, "call +1 555 0100 99 today"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.scrubPii(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "call <PHONE> today")
+    assert(got(3L) == "no pii here at all")
+  }
+
+  test("stratifiedKeep: deterministic, respects per-stratum rates") {
+    val df = (0 until 1000).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "other")).toDF("id", "lang")
+    val kept = df.filter(TextOps.stratifiedKeep(col("id"), col("lang"),
+        Map("en" -> 10), defaultPct = 50))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 500 per stratum; hash is uniform-ish — wide tolerance, zero flake
+    // (the predicate is fully deterministic; bounds just sanity-check it)
+    assert(kept("en") > 20 && kept("en") < 90, kept.toString)
+    assert(kept("other") > 175 && kept("other") < 325, kept.toString)
+    // repeat run must be identical (no RNG state)
+    val again = df.filter(TextOps.stratifiedKeep(col("id"), col("lang"),
+        Map("en" -> 10), defaultPct = 50))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
   test("simhash banding: bucket-size window and groupBy share one exchange") {
     val df = (0 until 50).map(i => (i.toLong, s"doc number $i content"))
       .toDF("doc_id", "text")

@@ -1000,6 +1000,60 @@ object SparkEntry {
         .filter(col("__rn") === 1).drop("__rn")
     }),
 
+    // ---- streaming: watermarked STREAM-STREAM interval join — each
+    // purchase joined to the same user's clicks in the preceding hour
+    // (attribution). The range condition + watermarks bound both
+    // sides' state; AvailableNow inner join == the batch interval
+    // join, which is exactly what the oracle computes. ----
+    "s_stream_join" -> ((s, dir) => {
+      val in = stagedEventsDir.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_sw")
+        t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
+        s"$tmp/in"
+      })
+      val ckpt = tempDir("graft_sj_ck")
+      val clicks = graft.streaming.EventStreams.readStream(s, in)
+        .filter(col("event_type") === "click")
+      val purchases = graft.streaming.EventStreams.readStream(s, in)
+        .filter(col("event_type") === "purchase")
+      val joined = graft.streaming.EventStreams
+        .intervalJoinStreams(clicks, purchases, "user_id", "ts",
+          within = "1 HOUR", watermark = "2 hours")
+        .select(col("l.event_id").as("click_id"),
+          col("r.event_id").as("purchase_id"),
+          col("l.user_id").as("user_id"))
+      graft.streaming.EventStreams.runAvailableNow(
+        joined, queryName = s"sj_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt")
+    }),
+
+    // ---- §2.1 JSONL sink + scan roundtrip — one JSON object per line,
+    // THE interchange format of LLM corpus pipelines; the read binds an
+    // explicit schema (no inference scan) and the agg must reproduce
+    // the source exactly, proving the sink/scan loses nothing. ----
+    "s2_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = tempDir("graft_jsonl") + "/out"
+      t(s, dir, "documents").select("doc_id", "lang", "text")
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id bigint, lang string, text string").json(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("long").as("chars"))
+    }),
+
+    // ---- §2.1 ORC sink + scan roundtrip (the columnar alternative —
+    // same predicate-pushdown/pruning properties as parquet) ----
+    "s3_orc_roundtrip" -> ((s, dir) => {
+      val tmp = tempDir("graft_orc") + "/out"
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
     "s1_csv_roundtrip" -> ((s, dir) => {
       // unique per invocation (a fixed path corrupts concurrent runs),
@@ -1839,6 +1893,24 @@ object SparkEntry {
     "s1_csv_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "s_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id AS user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "s2_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "s3_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

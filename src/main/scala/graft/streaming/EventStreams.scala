@@ -122,6 +122,26 @@ object EventStreams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream INNER interval join: right-side events
+    * match left-side events of the same `key` whose event time falls in
+    * [l.ts, l.ts + within] — the attribution pattern (purchase joined
+    * to the clicks that preceded it). The time-range condition plus
+    * BOTH watermarks let the engine derive state-eviction bounds for
+    * each side (left rows older than watermark + within are dropped
+    * from state; right rows older than watermark likewise), so state
+    * is bounded on an unbounded stream — without the range condition
+    * a stream-stream join must keep EVERYTHING forever. Output columns
+    * stay alias-qualified (`l.*` / `r.*`): callers select explicitly. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                          tsCol: String, within: String = "1 HOUR",
+                          watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$tsCol >= l.$tsCol AND " +
+        s"r.$tsCol <= l.$tsCol + INTERVAL $within"))
+  }
+
   /** Run a streaming transform over a static directory incrementally and
     * collect the result into a memory table (AvailableNow: process what
     * exists, then stop — the reference's batch jobs become restartable

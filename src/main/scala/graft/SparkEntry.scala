@@ -51,6 +51,11 @@ object SparkEntry {
   private val stagedBucketedTables =
     scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
 
+  /** Collision-free suffix source for catalog table names (round-5
+    * ADVICE: two sf dirs with colliding 32-bit hashCodes would silently
+    * overwrite each other's bucketed tables). */
+  private val tableNameSeq = new java.util.concurrent.atomic.AtomicInteger
+
   /** Temp dir REGISTERED FOR CLEANUP at JVM exit (round-3 ADVICE:
     * per-invocation checkpoint/staging dirs accumulated with no
     * cleanup across repeated bench/correctness runs in one JVM). */
@@ -923,7 +928,7 @@ object SparkEntry {
     // (BucketedAssemblySpec pins zero Exchange with broadcast off). ----
     "j_bucketed_3way" -> ((s, dir) => {
       val names = stagedBucketedTables.getOrElseUpdate(dir, {
-        val sfx = (dir.hashCode.toLong & 0xffffffffL).toHexString
+        val sfx = s"s${tableNameSeq.incrementAndGet()}"
         val base = tempDir("graft_bucketed")
         val ev = t(s, dir, "events")
         val parts: Seq[(String, DataFrame)] = Seq(
@@ -1639,10 +1644,10 @@ object SparkEntry {
     "e_ivf_topk" ->
       """WITH cents AS (
         |  SELECT row_number() OVER (
-        |      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) - 1 AS cell,
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id) - 1 AS cell,
         |    embedding AS ce
         |  FROM embeddings
-        |  ORDER BY (vec_id * 2654435761) % 2147483647, vec_id
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
         |  LIMIT 256),
         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |probed AS (
@@ -1683,10 +1688,10 @@ object SparkEntry {
     "e_ivf_indexed" ->
       """WITH cents AS (
         |  SELECT row_number() OVER (
-        |      ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) - 1 AS cell,
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id) - 1 AS cell,
         |    embedding AS ce
         |  FROM embeddings WHERE vec_id <> 0
-        |  ORDER BY (vec_id * 2654435761) % 2147483647, vec_id
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
         |  LIMIT 64),
         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |probed AS (
@@ -1816,7 +1821,7 @@ object SparkEntry {
 
     "t_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 2147483647 % 100
+        |WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin,
 
     "m_media_meta" ->

@@ -186,7 +186,10 @@ object Similarity {
   // ---- IVF (inverted-file) ANN: the coarse-quantizer scale path ----
 
   /** Deterministic IVF coarse centroids: the vectors of the `nlist` ids
-    * with the smallest PORTABLE hash (id × 2654435761 mod 2³¹−1,
+    * with the smallest PORTABLE hash ((id mod 2³¹−1) × 2654435761
+    * mod 2³¹−1 — the pre-reduction keeps the product below 2⁶³ for
+    * any BIGINT id, where the raw multiply wraps in Spark but raises
+    * in DuckDB,
     * Knuth's multiplicative constant — SQL-reproducible, unlike
     * murmur3) — a seeded uniform sample, NO iterative k-means, so the
     * index is bit-reproducible across runs AND engines (distributed
@@ -199,8 +202,8 @@ object Similarity {
                    nlist: Int): Array[Seq[Float]] = {
     import org.apache.spark.sql.Row
     emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .orderBy(pmod(col("id").cast("long") * 2654435761L,
-        lit(2147483647L)), col("id"))
+      .orderBy(pmod(pmod(col("id").cast("long"), lit(2147483647L))
+        * 2654435761L, lit(2147483647L)), col("id"))
       .limit(nlist)
       .select(col("v"))
       .collect()

@@ -64,6 +64,18 @@ object EventStreams {
     * AvailableNow/batch runs: a registered processing-time timeout keeps
     * the query alive waiting for a timeout-firing batch, so AvailableNow
     * would never terminate (measured, not theorized).
+    *
+    * Ordering contract: rows are folded in event order WITHIN a trigger,
+    * and state carries only the latest session across triggers — so a
+    * row arriving in a LATER trigger with an EARLIER event time than
+    * state's `last` (out-of-order across micro-batches, e.g.
+    * maxFilesPerTrigger splitting files not in event-time order) cannot
+    * be sessionized incrementally. The fold GUARDS this loudly
+    * (IllegalStateException) instead of silently merging sessions via a
+    * negative gap. Feed triggers in event-time order (the staged
+    * AvailableNow inputs here arrive as one batch) or pre-sort the
+    * source; true late-data sessionization needs the retained-events
+    * design (flatMapGroupsWithState buffering a watermark horizon).
     * Streaming twin of WindowOps.sessionize. */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800,
                  evictIdleAfterMs: Option[Long] = None)
@@ -92,6 +104,12 @@ object EventStreams {
             var latest = state.getOption.getOrElse(
               SessionState(sorted.head, sorted.head, 0))
             sorted.foreach { t =>
+              if (t < latest.last)
+                throw new IllegalStateException(
+                  s"sessionize: event time $t for user $uid precedes " +
+                    s"carried session end ${latest.last} — out-of-order " +
+                    "arrival across triggers; feed micro-batches in " +
+                    "event-time order (see scaladoc)")
               latest =
                 if (t - latest.last > gapSeconds) SessionState(t, t, 1)
                 else latest.copy(last = t, n = latest.n + 1)

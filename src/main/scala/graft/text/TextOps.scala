@@ -193,11 +193,16 @@ object TextOps {
     * under the stratum's percentage. The downsampling-for-balance
     * primitive: rates per stratum, exactly reproducible across engines
     * and runs (no RNG state), narrow (no shuffle, no sampleBy seed
-    * drift across Spark versions). */
+    * drift across Spark versions). The id is reduced mod 2³¹−1 BEFORE
+    * the multiply so the product stays below 2⁶³ for any BIGINT id —
+    * a raw id × 2654435761 silently wraps in Spark but raises in
+    * DuckDB for ids > ~3.47e9, breaking cross-engine reproducibility
+    * exactly at the corpus sizes this op targets. */
   def stratifiedKeep(idCol: Column, stratumCol: Column,
                      pctByStratum: Map[String, Int],
                      defaultPct: Int = 100): Column = {
-    val h = pmod(idCol.cast("long") * 2654435761L, lit(2147483647L)) % 100
+    val h = pmod(pmod(idCol.cast("long"), lit(2147483647L)) * 2654435761L,
+      lit(2147483647L)) % 100
     val pct = pctByStratum.foldLeft(lit(defaultPct): Column) {
       case (acc, (s, p)) => when(stratumCol === s, lit(p)).otherwise(acc)
     }

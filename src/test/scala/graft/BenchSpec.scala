@@ -15,8 +15,10 @@ class BenchSpec extends SparkSpec {
       // The probe must survive ColumnPruning under count() (round-4
       // verdict #1: a raise_error in an unreferenced SELECT column is
       // pruned and the "broken" query succeeds). Putting it in the
-      // FILTER condition makes it load-bearing: the predicate must be
-      // evaluated per row, so execution genuinely throws.
+      // FILTER condition makes it load-bearing: the error surfaces
+      // during count() — at optimization time if ConstantFolding
+      // evaluates the foldable raise_error, otherwise per row — and
+      // either way runQueries must catch it.
       "broken_query" -> ((s, d) =>
         Tables.load(s, d, "region")
           .filter(col("r_regionkey") >

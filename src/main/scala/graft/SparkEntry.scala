@@ -689,6 +689,16 @@ object SparkEntry {
       Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16)),
 
+    // ---- training-data ops: EXACT n-gram Jaccard similarity join
+    // (AllPairs/PPJoin prefix filter). Guaranteed-complete pair set —
+    // the contrast to t_minhash_lsh's probabilistic recall — at a
+    // LOWER threshold (0.4) where LSH's S-curve would start missing
+    // pairs. The oracle is the full brute-force quadratic join; the
+    // engine result must equal it exactly. ----
+    "t_jaccard_join" -> ((s, dir) =>
+      Dedup.jaccardSimilarityJoin(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.4, shingleN = 3)),
+
     // ---- training-data ops: SimHash near-dup. Portable polynomial
     // simhash (engine-independent) + pigeonhole banding (bands =
     // maxHamming+1) make the full pair set deterministic and
@@ -1561,6 +1571,28 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
+
+    // Brute-force quadratic ground truth: the engine's prefix-filtered
+    // join must reproduce it EXACTLY (completeness guarantee). The
+    // threshold compare is on the UNROUNDED ratio on both sides
+    // (rounding only in the projected column) so the boundary can't
+    // diverge between engines.
+    "t_jaccard_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.4""".stripMargin,
 
     "t_decontaminate" ->
       """WITH toks AS (

@@ -247,6 +247,84 @@ object Dedup {
     labels
   }
 
+  /** EXACT all-pairs n-gram Jaccard similarity join via prefix
+    * filtering (the AllPairs/PPJoin family from the published
+    * set-similarity-join literature — Bayardo et al. WWW'07, Xiao et
+    * al. WWW'08). Unlike [[nearDuplicates]] (LSH candidates —
+    * probabilistic recall), every pair with jaccard ≥ threshold is
+    * GUARANTEED in the output: the only pruning is the pigeonhole
+    * prefix filter, which cannot drop a qualifying pair.
+    *
+    * Shape (no self-join — single shingle computation, like
+    * [[lshCandidates]]):
+    *  1. shingle sets once; explode to (id, len, token).
+    *  2. global document frequency per token via a count window over
+    *     partitionBy(token) — shares no scan with a second branch, so
+    *     the corpus is shingled exactly once.
+    *  3. canonical token order = (df asc, token asc) — rarest first,
+    *     the ordering that makes prefixes selective; per-doc position
+    *     via row_number over partitionBy(id).
+    *  4. PREFIX filter: a doc of len L keeps its first
+    *     L − ⌈θL⌉ + 1 tokens. Pigeonhole: if J(a,b) ≥ θ then
+    *     |a∩b| ≥ θ·max(|a|,|b|), so the intersection cannot hide
+    *     entirely in either doc's suffix of ⌈θL⌉−1 tokens — some
+    *     shared token sits in BOTH prefixes (the canonical order is
+    *     global, so "first" is consistent across docs).
+    *  5. candidates = docs sharing a prefix token (groupBy token →
+    *     pair expansion, id1 < id2), pre-pruned by the LENGTH filter
+    *     min(|a|,|b|) ≥ θ·max(|a|,|b|) (J ≤ min/max).
+    *  6. verify exact Jaccard on the full sets (join by id — shuffles
+    *     candidates only).
+    * Both float-vs-exact boundaries are slacked by 1e-9 TOWARD keeping
+    * candidates (double 0.4×10 can land an ulp above the exact 4.0,
+    * and ceil/compare at the wrong side of that ulp would silently
+    * break the completeness guarantee — epsilon makes float error
+    * strictly conservative).
+    *
+    * Scale: three shuffles (token-df window, per-doc position window,
+    * candidate groupBy) + the candidate verify join — never |n|².
+    * Frequent tokens sort to suffix positions, so they rarely enter
+    * prefixes; `maxTokenBucket` (> 0 enables, off by default because
+    * it FORFEITS the exactness guarantee) additionally caps any
+    * token's candidate bucket, the same documented recall concession
+    * as [[simhashCandidates]]'s maxBucket. */
+  def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, shingleN: Int = 3,
+                            maxTokenBucket: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val eps = 1e-9
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val tok = sh.select(col("id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("t"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("tdf"), col("t"))
+    val prefix = tok
+      .withColumn("tdf", count(lit(1)).over(wTok))
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <=
+        col("len") - ceil(lit(threshold) * col("len") - eps) + 1)
+      .select(col("t"), col("id"), col("len"))
+    val cands = capBuckets(prefix, Seq("t"), maxTokenBucket)
+      .groupBy(col("t"))
+      .agg(collect_list(struct(col("id"), col("len"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(least(col("a.len"), col("b.len")).cast("double") >=
+        lit(threshold) * greatest(col("a.len"), col("b.len")) - eps)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    cands
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("__j", jaccard(col("sh1"), col("sh2")))
+      .filter(col("__j") >= threshold)
+      .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard for a pair of shingle sets. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, lit(0.0)).otherwise(

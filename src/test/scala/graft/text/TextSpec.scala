@@ -324,4 +324,59 @@ class TextSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
     assert(exchanges == 1, plan.take(1500))
   }
+
+  test("jaccardSimilarityJoin: EXACT — equals brute force at several " +
+    "thresholds, including boundary-ratio pairs") {
+    // templated corpus with word swaps → a spread of jaccard values,
+    // plus subset pairs whose jaccard hits the threshold EXACTLY
+    // (j = 2/5 at θ=0.4) to probe the float boundary slack
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val docs = (0 until 50).map { i =>
+      val base = (0 until 10).map(k => words((i / 10 + k) % words.size))
+      (i.toLong, base.updated(i % 10, words(i % words.size)).mkString(" "))
+    } ++ Seq(
+      (100L, "p q r s t u v"),   // shingle(1-gram-ish via n=3) overlap…
+      (101L, "p q r s t u v w x y z aa bb cc"))
+    val df = docs.toDF("doc_id", "text")
+    for (th <- Seq(0.3, 0.4, 0.5, 0.8)) {
+      val got = Dedup.jaccardSimilarityJoin(df, "doc_id", "text", th)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val sh = df.select(col("doc_id"),
+          Dedup.shingles(col("text"), 3).as("sh"))
+        .as[(Long, Seq[String])].collect()
+      val brute = (for {
+        (i1, s1) <- sh; (i2, s2) <- sh
+        if i1 < i2
+        inter = s1.toSet.intersect(s2.toSet).size
+        un = s1.toSet.union(s2.toSet).size
+        if un > 0 && inter.toDouble / un >= th
+      } yield (i1, i2)).toSet
+      assert(got == brute, s"threshold=$th: got=${got.size} " +
+        s"brute=${brute.size} missing=${(brute -- got).take(5)} " +
+        s"extra=${(got -- brute).take(5)}")
+    }
+  }
+
+  test("jaccardSimilarityJoin: prefix filter prunes — candidate pairs " +
+    "well under the quadratic count on a mixed corpus") {
+    // 40 docs in 4 disjoint vocab families: cross-family pairs share no
+    // tokens, so prefix-token grouping must never pair them
+    val fams = Seq(
+      Seq("a1", "a2", "a3", "a4", "a5", "a6"),
+      Seq("b1", "b2", "b3", "b4", "b5", "b6"),
+      Seq("c1", "c2", "c3", "c4", "c5", "c6"),
+      Seq("d1", "d2", "d3", "d4", "d5", "d6"))
+    val docs = (0 until 40).map { i =>
+      val f = fams(i % 4)
+      (i.toLong, (0 until 6).map(k => f((i / 4 + k) % 6)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.jaccardSimilarityJoin(df, "doc_id", "text", 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    // every emitted pair is same-family (disjoint vocab can't overlap)
+    assert(out.forall { case (a, b) => a % 4 == b % 4 })
+    // and the output is far below the 780-pair quadratic ceiling
+    assert(out.length < 200)
+  }
 }

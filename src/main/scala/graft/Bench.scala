@@ -72,14 +72,21 @@ object Bench {
       s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     val results = runQueries(spark, sfDir, SparkEntry.queries)
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    // Keep the line SHORT: the driver captures only a bounded tail of
+    // stdout, and round 6's line (full-precision doubles + an all-"ok"
+    // status map over 85 queries) overflowed it — BENCH_r06.json came
+    // back "parsed": null. Millisecond precision is ample for plan-level
+    // comparisons, and only FAILURES carry a status entry.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val status = results.map { case (k, (_, err)) =>
-      s"\"" + k + "\":\"" + err.fold("ok")(e => "err: " + esc(e)) + "\""
+    val failures = results.collect { case (k, (_, Some(err))) =>
+      s"\"" + k + "\":\"" + esc(err) + "\""
     }.mkString("{", ",", "}")
     val total = results.values.collect { case (v, None) => v }.sum
     val nErr = results.values.count(_._2.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$status,"errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failures":$failures,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

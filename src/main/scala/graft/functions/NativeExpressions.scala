@@ -418,6 +418,61 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** |a ∩ b| of two string arrays in ONE hash-set pass: build from the
+    * smaller side, probe with the larger, full string equality on probe
+    * (no hash-collision risk). Counts DISTINCT common elements with the
+    * same null-element semantics as `size(array_intersect(a, b))` —
+    * output-identical on non-null arrays (PropertySpec twin check; for
+    * a NULL array input this returns null where size() would wrap
+    * array_intersect's null to legacy -1, matching DuckDB's
+    * len(list_intersect) = NULL). Spark's ArrayIntersect takes its
+    * specialized hash-set path only for primitive element types; on
+    * string arrays it adds per-element overhead this one tight loop
+    * avoids. Measured on the 206k cached candidate pairs of
+    * Dedup.jaccardSimilarityJoin's verify stage at sf0.1 (~52-shingle
+    * sets): naive intersect+2×union filter 0.8-1.4 s, derived-union
+    * size(array_intersect) 0.55 s, this expression 0.35 s. (The verify
+    * stage's remaining wall time is shuffling the shingle arrays to
+    * the candidate pairs — inherent to exact verification, linear in
+    * candidates.) */
+  case class IntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val (build, probe) =
+        if (xs.numElements() <= ys.numElements()) (xs, ys) else (ys, xs)
+      val nb = build.numElements()
+      val np = probe.numElements()
+      val set = new java.util.HashSet[UTF8String](nb * 2)
+      var buildHasNull = false
+      var i = 0
+      while (i < nb) {
+        if (build.isNullAt(i)) buildHasNull = true
+        else set.add(build.getUTF8String(i))
+        i += 1
+      }
+      var c = 0
+      var nullCounted = false
+      i = 0
+      while (i < np) {
+        if (probe.isNullAt(i)) {
+          // array_intersect keeps one null iff both sides contain null
+          if (buildHasNull && !nullCounted) { c += 1; nullCounted = true }
+        } else if (set.remove(probe.getUTF8String(i))) c += 1
+        i += 1
+      }
+      c
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column API (classic bridge: Column <-> catalyst Expression) ----
 
   private def expr(c: Column): Expression =
@@ -443,6 +498,9 @@ object NativeExpressions {
   def normalize_spaces(lowercased: Column): Column =
     toCol(NormalizeSpaces(expr(lowercased)))
 
+  def intersect_size(a: Column, b: Column): Column =
+    toCol(IntersectSize(expr(a), expr(b)))
+
   def srp_buckets(vec: Column, nPlanes: Int, seeds: Seq[Int]): Column =
     toCol(SrpBuckets(expr(vec), nPlanes, seeds))
 
@@ -457,7 +515,8 @@ object NativeExpressions {
     "cosine_sim" -> (es => CosineSimilarity(es.head, es(1))),
     "dot_product" -> (es => DotProduct(es.head, es(1))),
     "portable_simhash" -> (es => PortableSimHash(es.head)),
-    "normalize_spaces" -> (es => NormalizeSpaces(es.head)))
+    "normalize_spaces" -> (es => NormalizeSpaces(es.head)),
+    "intersect_size" -> (es => IntersectSize(es.head, es(1))))
 
   /** Register for the SQL surface of THIS session: callable from
     * spark.sql / SqlRunner. Sessions derived via newSession() (e.g. the

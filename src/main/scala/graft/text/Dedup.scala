@@ -305,16 +305,32 @@ object Dedup {
       .withColumn("pos", row_number().over(wDoc))
       .filter(col("pos") <=
         col("len") - ceil(lit(threshold) * col("len") - eps) + 1)
-      .select(col("t"), col("id"), col("len"))
+      .select(col("t"), col("id"), col("len"), col("pos"))
+    // POSITIONAL filter (PPJoin, Xiao et al. WWW'08): J(a,b) ≥ θ ⟺
+    // overlap ≥ α = ⌈θ/(1+θ)·(|a|+|b|)⌉. The canonical order is global,
+    // so for the FIRST shared token — at positions (p1, p2) — nothing
+    // before it in either doc is shared, hence
+    // overlap ≤ 1 + min(l1−p1, l2−p2). A pair whose first-shared-token
+    // row fails this bound cannot qualify; rows for LATER shared tokens
+    // only ever have smaller suffixes, so filtering per row then
+    // deduping keeps exactly the pairs whose first shared row passes —
+    // completeness is preserved (the first shared token of a qualifying
+    // pair is in both prefixes by the prefix-filter guarantee). Cuts
+    // verify-stage candidates ~2× at sf0.1 measured.
     val cands = capBuckets(prefix, Seq("t"), maxTokenBucket)
       .groupBy(col("t"))
-      .agg(collect_list(struct(col("id"), col("len"))).as("items"))
+      .agg(collect_list(struct(col("id"), col("len"), col("pos")))
+        .as("items"))
       .filter(size(col("items")) >= 2)
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .filter(least(col("a.len"), col("b.len")).cast("double") >=
         lit(threshold) * greatest(col("a.len"), col("b.len")) - eps)
+      .filter(lit(1) +
+        least(col("a.len") - col("a.pos"), col("b.len") - col("b.pos")) >=
+        ceil(lit(threshold / (1 + threshold)) *
+          (col("a.len") + col("b.len")) - eps))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
     cands
@@ -325,10 +341,24 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
   }
 
-  /** Exact n-gram Jaccard for a pair of shingle sets. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0)).otherwise(
-      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+  /** Exact Jaccard for a pair of shingle SETS (arrays must be
+    * duplicate-free, as [[shingles]] guarantees): |a∪b| is derived as
+    * |a|+|b|−|a∩b|, so the pair costs ONE set pass plus two O(1) sizes
+    * instead of the naive intersect + 2×union (the union guard and the
+    * denominator). The intersection count is the native
+    * [[graft.functions.NativeExpressions.IntersectSize]] — Spark's own
+    * ArrayIntersect takes its fast hash-set path only for PRIMITIVE
+    * element types and falls back to an O(m·n) interpreted-equality
+    * scan on string arrays, which made this the most expensive stage
+    * of [[jaccardSimilarityJoin]]'s verify join. Division is the same
+    * int/int → double as size(intersect)/size(union), so results are
+    * bit-identical to the SQL-oracle form (twin-pinned vs
+    * size(array_intersect) in PropertySpec). */
+  def jaccard(a: Column, b: Column): Column = {
+    val c = graft.functions.NativeExpressions.intersect_size(a, b)
+    val u = size(a) + size(b) - c
+    when(u === 0, lit(0.0)).otherwise(c.cast("double") / u)
+  }
 
   /** Near-dup pipeline: LSH candidates verified with exact Jaccard ≥
     * threshold. The verify join re-attaches shingle sets by id (shuffle on

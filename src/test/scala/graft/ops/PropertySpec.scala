@@ -117,6 +117,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("IntersectSize == size(array_intersect) on string arrays with " +
+    "nulls, duplicates, and empties") {
+    // batch MANY generated pairs per Spark job so the property gets
+    // real coverage without a job per sample
+    val elemGen = Gen.frequency(
+      9 -> Gen.oneOf((0 until 8).map(i => s"e$i")),
+      1 -> Gen.const(null: String))
+    val arrGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, elemGen))
+    val batchGen = Gen.listOfN(40, Gen.zip(arrGen, arrGen))
+    check("intersect-size-twin")(Prop.forAll(batchGen) { pairs =>
+      val df = pairs.toDF("a", "b")
+      df.select(
+          graft.functions.NativeExpressions
+            .intersect_size(col("a"), col("b")).as("fast"),
+          size(array_intersect(col("a"), col("b"))).as("ref"))
+        .as[(Option[Int], Option[Int])].collect()
+        .forall { case (fast, ref) => fast == ref }
+    })
+    // null ARRAY inputs: intersect_size is null exactly when
+    // array_intersect itself is null. (size() would wrap that null to -1
+    // under Spark's legacy sizeOfNull quirk — diverging from DuckDB's
+    // len(list_intersect(NULL, x)) = NULL; the native form matches the
+    // oracle. Shingle arrays are never null in the dedup pipelines, so
+    // the jaccard() results are unaffected either way.)
+    val n = spark.sql(
+      "SELECT intersect_size(CAST(NULL AS array<string>), array('x')) a, " +
+        "array_intersect(CAST(NULL AS array<string>), array('x')) b")
+      .collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("sessionize: session ids start at 1, increase by at most 1 per event") {
     check("session-monotone")(Prop.forAll(eventsGen) { evs =>
       val df = evs.zipWithIndex

@@ -206,9 +206,12 @@ class TextSpec extends SparkSpec {
   test("native functions registered on the SQL surface") {
     val r = spark.sql(
       "SELECT normalize_spaces(lower('A,,B')) AS n, " +
-        "portable_simhash(array('x','y')) AS h").collect().head
+        "portable_simhash(array('x','y')) AS h, " +
+        "intersect_size(array('a','b','c'), array('b','c','d')) AS i")
+      .collect().head
     assert(r.getString(0) == "a b")
     assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 2)
   }
 
   test("simhashCandidates finds near pair, skips far pair") {

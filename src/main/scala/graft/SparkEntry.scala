@@ -857,6 +857,17 @@ object SparkEntry {
           Map("en" -> 10), defaultPct = 50))
         .select("doc_id", "lang")),
 
+    // ---- training-data ops: domain-weighted corpus MIXING — the
+    // greedy per-domain token-budget fill that assembles a training
+    // mix (50% en / 20% es / 15% fr / 10% de of a 16k-token budget;
+    // zh dropped). Deterministic portable-hash order, hierarchical
+    // sharded running sum (no whole-domain window) — the oracle
+    // recomputes the same greedy prefix with one flat window. ----
+    "t_mix_domains" -> ((s, dir) =>
+      TextOps.mixCorpus(t(s, dir, "documents"), "doc_id", "text", "lang",
+        Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.15, "de" -> 0.1),
+        tokenBudget = 16000L)),
+
     // ---- multimodal plumbing: binary payload + codec-free metadata ----
     "m_media_meta" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1067,6 +1078,28 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           moneySum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // ---- §2.1 schema-EVOLUTION scan: two parquet batches written
+    // with different schemas (a column added mid-corpus — the normal
+    // life of a long-lived 100 TB dataset), read back as ONE table via
+    // mergeSchema; rows from the old batch surface the new column as
+    // null. The agg proves both the union semantics and the null
+    // backfill against the source-of-truth oracle. ----
+    "s4_schema_evolution" -> ((s, dir) => {
+      val tmp = tempDir("graft_schevo") + "/out"
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/b1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/b2")
+      s.read.option("mergeSchema", true).parquet(s"$tmp/b1", s"$tmp/b2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_evolved"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars"))
     }),
 
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
@@ -1856,6 +1889,22 @@ object SparkEntry {
         |WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin,
 
+    "t_mix_domains" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+        |  FROM documents
+        |  WHERE lang IN ('en', 'es', 'fr', 'de')),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 8000 WHEN 'es' THEN 3200
+        |                              WHEN 'fr' THEN 2400 WHEN 'de' THEN 1600 END""".stripMargin,
+
     "m_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -1948,6 +1997,12 @@ object SparkEntry {
     "s3_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "s4_schema_evolution" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_evolved,
+        |  COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN length(text) END), 0) AS chars
+        |FROM documents GROUP BY lang""".stripMargin
   )
 }

@@ -201,12 +201,85 @@ object TextOps {
   def stratifiedKeep(idCol: Column, stratumCol: Column,
                      pctByStratum: Map[String, Int],
                      defaultPct: Int = 100): Column = {
-    val h = pmod(pmod(idCol.cast("long"), lit(2147483647L)) * 2654435761L,
-      lit(2147483647L)) % 100
+    val h = portableHash(idCol) % 100
     val pct = pctByStratum.foldLeft(lit(defaultPct): Column) {
       case (acc, (s, p)) => when(stratumCol === s, lit(p)).otherwise(acc)
     }
     h < pct
+  }
+
+  /** Portable id hash in [0, 2³¹−1): Knuth multiplicative mod 2³¹−1 —
+    * SQL-reproducible across engines (no murmur3/xxhash64 seed or
+    * implementation drift), deterministic across runs (no RNG state).
+    * The id is reduced mod 2³¹−1 BEFORE the multiply so the product
+    * stays under 2⁶³ for any BIGINT id (a raw multiply silently wraps
+    * in Spark but raises in DuckDB for ids > ~3.47e9). */
+  def portableHash(idCol: Column): Column =
+    pmod(pmod(idCol.cast("long"), lit(2147483647L)) * 2654435761L,
+      lit(2147483647L))
+
+  /** Domain-weighted corpus mixing: the deterministic greedy fill that
+    * turns raw per-domain corpora into a training mix — keep documents
+    * of each domain, in portable-hash order, until that domain's share
+    * of `tokenBudget` (weight × budget, floored) is exhausted. A doc is
+    * kept iff its INCLUSIVE running token sum fits the domain budget;
+    * domains absent from `weights` are dropped. Output: one row per
+    * kept doc with its token count and running total (the audit trail a
+    * mixing report needs).
+    *
+    * Scale: the running sum is computed HIERARCHICALLY, never as one
+    * window over a whole domain (a domain is a skew unit — partitioning
+    * by domain alone buffers the largest domain in one task). The hash
+    * range [0, 2³¹−1) is cut into `shards` contiguous intervals, so
+    * shard order == hash order and concatenating shards in shard order
+    * IS the global greedy order. Then: (1) one hash agg computes
+    * per-(domain, shard) token totals — `domains × shards` rows; (2) a
+    * window over that TINY table turns them into exclusive cross-shard
+    * base offsets; (3) the offsets broadcast-join back and a window
+    * partitioned by (domain, shard) — max `1/shards` of a domain per
+    * task, tune `shards` up for bigger corpora — adds the local running
+    * sum to the base. Exact same result as the naive single window
+    * (spec-pinned shard-invariance), one extra cheap agg instead of a
+    * skew cliff. */
+  def mixCorpus(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, domainCol: String,
+                weights: Map[String, Double], tokenBudget: Long,
+                shards: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      "weights must be in [0, 1]")
+    val budgets: Map[String, Long] =
+      weights.map { case (d, w) => d -> math.floor(w * tokenBudget).toLong }
+    val budget = budgets.foldLeft(lit(-1L): Column) {
+      case (acc, (d, b)) => when(col("__dom") === d, lit(b)).otherwise(acc)
+    }
+    // contiguous hash intervals: shard boundaries can't split a hash
+    // value, so (shard asc, h asc) == (h asc) globally
+    val shardWidth = (2147483647L + shards - 1) / shards
+    val base = df.select(col(idCol).as("__id"), col(domainCol).as("__dom"),
+        tokenCount(col(textCol)).as("n_tokens"),
+        portableHash(col(idCol)).as("__h"))
+      .filter(col("__dom").isin(budgets.keys.toSeq: _*))
+      .withColumn("__shard",
+        floor(col("__h") / lit(shardWidth.toDouble)).cast("int"))
+    val wShards = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dom")).orderBy(col("__shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = base.groupBy(col("__dom"), col("__shard"))
+      .agg(sum(col("n_tokens")).as("__st"))
+      .withColumn("__base", coalesce(sum(col("__st")).over(wShards), lit(0L)))
+      .select(col("__dom"), col("__shard"), col("__base"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dom"), col("__shard"))
+      .orderBy(col("__h"), col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        0)
+    base.join(broadcast(offsets), Seq("__dom", "__shard"))
+      .withColumn("cum_tokens", col("__base") + sum(col("n_tokens")).over(wLocal))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("__id").as(idCol), col("__dom").as(domainCol),
+        col("n_tokens"), col("cum_tokens"))
   }
 
   /** Curation keep-predicate (quality ≥ minQuality AND language ==

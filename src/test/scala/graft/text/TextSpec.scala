@@ -317,6 +317,59 @@ class TextSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("mixCorpus == single-window greedy prefix; shard-count invariant; " +
+    "budgets never exceeded; excluded domains dropped") {
+    // uneven domains, varied doc lengths, ids sparse enough that the
+    // portable hash scrambles the natural order
+    val docs = (0 until 300).map { i =>
+      val dom = Seq("en", "es", "fr", "zh")(i % 4)
+      val words = (0 until (3 + (i * 13) % 40)).map(k => s"w$k")
+      (i.toLong * 17 + 5, dom, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "lang", "text")
+    val weights = Map("en" -> 0.5, "es" -> 0.3, "fr" -> 0.2)
+    val budgetTotal = 1200L
+    val got = TextOps.mixCorpus(df, "doc_id", "text", "lang", weights,
+        budgetTotal)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // brute force: greedy prefix per domain in (portableHash, id) order
+    def pHash(id: Long): Long = ((id % 2147483647L) * 2654435761L) %
+      2147483647L
+    val brute = docs
+      .map { case (id, dom, text) =>
+        (id, dom, text.split("\\s+").count(_.nonEmpty).toLong) }
+      .filter { case (_, dom, _) => weights.contains(dom) }
+      .groupBy(_._2).flatMap { case (dom, rows) =>
+        val budget = math.floor(weights(dom) * budgetTotal).toLong
+        var cum = 0L
+        rows.sortBy { case (id, _, _) => (pHash(id), id) }.flatMap {
+          case (id, d, n) =>
+            cum += n
+            if (cum <= budget) Some((id, d, n, cum)) else None
+        }
+      }.toSet
+    assert(got == brute,
+      s"got=${got.size} brute=${brute.size} " +
+        s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    // hierarchical sharded running sum == flat: any shard count agrees
+    for (sh <- Seq(1, 5, 64)) {
+      val alt = TextOps.mixCorpus(df, "doc_id", "lang", "lang", weights,
+        budgetTotal, shards = sh) // domain as text → token count 1/doc
+      val altText = TextOps.mixCorpus(df, "doc_id", "text", "lang", weights,
+          budgetTotal, shards = sh)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(altText == brute, s"shards=$sh diverges from flat greedy")
+      assert(alt.columns.toSeq ==
+        Seq("doc_id", "lang", "n_tokens", "cum_tokens"))
+    }
+    // per-domain kept tokens within budget; zh never appears
+    val byDom = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(!byDom.contains("zh"))
+    byDom.foreach { case (d, tot) =>
+      assert(tot <= math.floor(weights(d) * budgetTotal).toLong, s"$d=$tot")
+    }
+  }
+
   test("simhash banding: bucket-size window and groupBy share one exchange") {
     val df = (0 until 50).map(i => (i.toLong, s"doc number $i content"))
       .toDF("doc_id", "text")

@@ -718,6 +718,21 @@ object SparkEntry {
         numHashes = 32, bands = 16)
     }),
 
+    // ---- training-data ops: decontamination with a BLOOM pre-prune —
+    // same answer as t_decontaminate (the oracle is the same brute
+    // force), but the train side is first cut by a broadcast bloom of
+    // eval's shingles using the PPJoin overlap bound as the hit-count
+    // threshold. The 100 TB shape: eval is small, train is the corpus;
+    // only can't-be-ruled-out train docs reach the LSH shuffle. ----
+    "t_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", threshold = 0.5, shingleN = 3,
+        numHashes = 32, bands = 16, expectedShingles = 1L << 20)
+    }),
+
     // ---- training-data ops: duplicate clusters (connected components
     // over verified near-dup pairs; cluster id = canonical keep doc) ----
     "t_dedup_clusters" -> ((s, dir) =>
@@ -1628,6 +1643,24 @@ object SparkEntry {
         |    / len(list_distinct(a.sh || b.sh)) >= 0.4""".stripMargin,
 
     "t_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
+
+    // identical brute force: the bloom prune must not change the answer
+    "t_decontaminate_bloom" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk

@@ -180,6 +180,75 @@ object Dedup {
       .dropDuplicates("left_id", "right_id")
   }
 
+  /** Bloom-pruned decontamination: same output as
+    * [[crossCorpusNearDuplicates]], but the huge train side is first
+    * cut down by a BROADCAST-SIZED bloom filter of the eval corpus's
+    * shingles — the standard shape when eval is thousands of docs and
+    * train is the 100 TB corpus: the LSH signature/bucket shuffle then
+    * processes only train docs that can possibly matter, instead of
+    * the whole corpus.
+    *
+    * Exactness: bloom false positives only let EXTRA docs through to
+    * the exact LSH+Jaccard verify (which rejects them); false
+    * negatives don't exist. The prune predicate is NOT "any shingle
+    * hits" — per-shingle fpp compounds per doc (an ~m-shingle doc
+    * with no true overlap survives with 1−(1−fpp)^m ≈ m·fpp, ~78% at
+    * m=50, fpp=3%!). Instead it reuses the PPJoin overlap bound
+    * (Xiao et al. WWW'08, same bound as [[jaccardSimilarityJoin]]):
+    * J(a,b) ≥ θ ⟹ overlap ≥ ⌈θ/(1+θ)·(|a|+|b|)⌉ > θ/(1+θ)·|a|, and
+    * every truly-shared shingle hits the bloom, so a qualifying train
+    * doc ALWAYS counts ≥ ⌈θ/(1+θ)·|a|⌉ hits — requiring that many
+    * keeps completeness, while a no-overlap doc now needs ~θ/(1+θ)·m
+    * INDEPENDENT false positives at once (P ≈ Binom(m, fpp) tail —
+    * negligible at any fpp). The bloom probes Spark's own
+    * BloomFilterMightContain over xxhash64(shingle) — the exact
+    * machinery AQE's runtime row-filters inject — with the filter
+    * bytes inlined as a foldable literal, deserialized once per task.
+    * The shingle array is bound ONCE via the transform-lambda trick
+    * (see [[TextOps.curationKeep]]): hit-count and size share one
+    * evaluation, no per-reference re-shingling. */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, threshold: Double,
+                         shingleN: Int = 3, numHashes: Int = 32,
+                         bands: Int = 16, maxBucket: Int = 1000,
+                         expectedShingles: Long = 1L << 22,
+                         fpp: Double = 0.03): DataFrame =
+    crossCorpusNearDuplicates(
+      bloomPrune(train, evalSet, textCol, threshold, shingleN,
+        expectedShingles, fpp),
+      evalSet, idCol, textCol, threshold, shingleN, numHashes, bands,
+      maxBucket)
+
+  /** The prune stage of [[decontaminateBloom]], exposed for its spec:
+    * train rows whose bloom hit-count reaches the overlap bound. */
+  private[graft] def bloomPrune(train: DataFrame, evalSet: DataFrame,
+                                textCol: String, threshold: Double,
+                                shingleN: Int, expectedShingles: Long,
+                                fpp: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val eps = 1e-9
+    val bf = evalSet
+      .select(explode(shingles(col(textCol), shingleN)).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+      .stat.bloomFilter("h", expectedShingles, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    def hit(s: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        expression(xxhash64(s))))
+    val keep = element_at(transform(array(shingles(col(textCol), shingleN)),
+      sh => size(filter(sh, s => hit(s))) >=
+        greatest(lit(1L),
+          ceil(lit(threshold / (1 + threshold)) * size(sh) - eps))), 1)
+    train.filter(keep)
+  }
+
   /** Duplicate-cluster assignment: connected components over a pair
     * edge list (the output of [[nearDuplicates]] / [[simhashCandidates]]),
     * returning (id, cluster_id) with cluster_id = the MIN member id —

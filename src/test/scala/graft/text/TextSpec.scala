@@ -96,6 +96,42 @@ class TextSpec extends SparkSpec {
     assert(out == Set((0L, 1L), (2L, 5L)))
   }
 
+  test("decontaminateBloom == crossCorpusNearDuplicates; the bloom prune " +
+    "keeps every overlapping train doc and drops the disjoint bulk") {
+    // eval: a handful of docs; train: planted near-dups of eval + a
+    // large disjoint-vocabulary bulk that the prune must cut
+    val eval_ = (0 until 5).map { i =>
+      (1000L + i, (0 until 12).map(k => s"ev${i}_$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val overlapping = (0 until 5).map { i =>
+      // 10 of 12 words shared with eval doc i → jaccard well over 0.4
+      (i.toLong,
+        ((0 until 10).map(k => s"ev${i}_$k") :+ s"tr${i}a" :+ s"tr${i}b")
+          .mkString(" "))
+    }
+    val bulk = (100 until 400).map { i =>
+      (i.toLong, (0 until 12).map(k => s"bulk${i}_$k").mkString(" "))
+    }
+    val train = (overlapping ++ bulk).toDF("doc_id", "text")
+    val exact = Dedup.crossCorpusNearDuplicates(train, eval_, "doc_id",
+        "text", threshold = 0.4, shingleN = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.map(_._1) == (0 until 5).map(_.toLong).toSet)
+    val bloomed = Dedup.decontaminateBloom(train, eval_, "doc_id", "text",
+        threshold = 0.4, shingleN = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bloomed == exact)
+    // the prune itself: completeness (all 5 overlapping docs survive)
+    // and effectiveness (the hit-count bound kills the disjoint bulk —
+    // a single-hit predicate would leak ~m·fpp of it through)
+    val survivors = Dedup.bloomPrune(train, eval_, "text", 0.4, 1,
+        expectedShingles = 1L << 16, fpp = 0.03)
+      .select("doc_id").as[Long].collect().toSet
+    assert((0 until 5).forall(i => survivors.contains(i.toLong)))
+    assert(survivors.count(_ >= 100L) <= 10,
+      s"prune leaked ${survivors.count(_ >= 100L)} of 300 disjoint docs")
+  }
+
   test("duplicateClusters: transitive chain merges, min id is canonical") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
     val out = Dedup.duplicateClusters(pairs)

@@ -431,10 +431,10 @@ object NativeExpressions {
     * avoids. Measured on the 206k cached candidate pairs of
     * Dedup.jaccardSimilarityJoin's verify stage at sf0.1 (~52-shingle
     * sets): naive intersect+2×union filter 0.8-1.4 s, derived-union
-    * size(array_intersect) 0.55 s, this expression 0.35 s. (The verify
-    * stage's remaining wall time is shuffling the shingle arrays to
-    * the candidate pairs — inherent to exact verification, linear in
-    * candidates.) */
+    * size(array_intersect) 0.5 s, this expression 0.2 s. Consumers
+    * must bind the count once (Dedup.jaccard's transform-lambda) —
+    * CodegenFallback means no codegen CSE, so a when-tree referencing
+    * it twice pays the hash-set pass twice per operator. */
   case class IntersectSize(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
 

@@ -424,9 +424,17 @@ object Dedup {
     * bit-identical to the SQL-oracle form (twin-pinned vs
     * size(array_intersect) in PropertySpec). */
   def jaccard(a: Column, b: Column): Column = {
-    val c = graft.functions.NativeExpressions.intersect_size(a, b)
-    val u = size(a) + size(b) - c
-    when(u === 0, lit(0.0)).otherwise(c.cast("double") / u)
+    // bind the intersection count ONCE as a transform-lambda variable:
+    // written naively, the when/otherwise tree references it twice and
+    // (CodegenFallback ⇒ no codegen CSE) evaluates the hash-set pass
+    // twice per operator — the same re-evaluation hazard as
+    // TextOps.curationKeep, halved by the same trick
+    element_at(transform(
+      array(graft.functions.NativeExpressions.intersect_size(a, b)),
+      c => {
+        val u = size(a) + size(b) - c
+        when(u === 0, lit(0.0)).otherwise(c.cast("double") / u)
+      }), 1)
   }
 
   /** Near-dup pipeline: LSH candidates verified with exact Jaccard ≥

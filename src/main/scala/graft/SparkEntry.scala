@@ -1117,6 +1117,32 @@ object SparkEntry {
           coalesce(sum(col("n_chars")), lit(0L)).as("chars"))
     }),
 
+    // ---- §2.1 malformed-input handling: PERMISSIVE JSONL scan with a
+    // corrupt-record column. At corpus scale some fraction of any
+    // JSONL feed is garbage; the engine must keep the good rows,
+    // quarantine the bad lines VERBATIM for triage, and never abort
+    // the scan. Every doc_id % 3 == 0 line is written truncated; the
+    // agg proves corrupt lines land in _corrupt_record (null fields,
+    // null group) and valid lines parse untouched. ----
+    "s5_jsonl_corrupt" -> ((s, dir) => {
+      val tmp = tempDir("graft_jsonl_bad") + "/out"
+      t(s, dir, "documents")
+        .select(when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": ")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+          .as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read
+        .schema("doc_id bigint, lang string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          count(col("doc_id")).as("n_good"))
+    }),
+
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
     "s1_csv_roundtrip" -> ((s, dir) => {
       // unique per invocation (a fixed path corrupts concurrent runs),
@@ -2036,6 +2062,18 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n,
         |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_evolved,
         |  COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN length(text) END), 0) AS chars
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // corrupt lines parse to all-null fields + the raw line, so they
+    // group under NULL lang; valid lines keep their lang
+    "s5_jsonl_corrupt" ->
+      """WITH j AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS corrupt
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+        |  CAST(COUNT(*) - SUM(corrupt) AS BIGINT) AS n_good
+        |FROM j GROUP BY lang""".stripMargin
   )
 }

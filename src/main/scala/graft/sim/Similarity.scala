@@ -175,10 +175,17 @@ object Similarity {
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
       .filter(col("a.id") < col("b.id"))
+      // score BEFORE the pair-dedup (same reasoning as lshKnnJoin,
+      // round-4 verdict #6): cosine is deterministic per (id1, id2),
+      // so deduping the scored projection keeps the same one row —
+      // but the dedup exchange now carries 3 scalars instead of two
+      // full vectors, and the aggregate is a pushdown barrier, so the
+      // threshold filter above it can't be duplicated into a second
+      // per-row cosine eval (Filter+Project adjacency evaluates a
+      // shared alias twice; CodegenFallback means no codegen CSE)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.v").as("v1"), col("b.v").as("v2"))
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
       .dropDuplicates("id1", "id2")
-      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id1", "id2", "cos_sim")
   }
@@ -454,10 +461,11 @@ object Similarity {
       .select(col("lbl"), explode(col("items")).as("a"), col("items"))
       .select(col("lbl"), col("a"), explode(col("items")).as("b"))
       .filter(col("a.id") < col("b.id"))
+      // score before dedup: scalar-only exchange + single cosine eval
+      // (see semanticNearDup)
       .select(col("lbl"), col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.v").as("v1"), col("b.v").as("v2"))
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
       .dropDuplicates("lbl", "id1", "id2")
-      .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("lbl", "id1", "id2", "cos_sim")
   }

@@ -78,4 +78,45 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(df)
     assert(plan.contains("*(1)"), plan.take(800))
   }
+
+  test("mixCorpus never exchanges on the domain alone; offsets broadcast") {
+    val docs = Tables.load(spark, dir, "documents")
+    val mix = graft.text.TextOps.mixCorpus(docs, "doc_id", "text", "lang",
+      Map("en" -> 0.5, "es" -> 0.3), tokenBudget = 5000L)
+    val plan = planOf(mix)
+    // the BIG side's running-sum window partitions by (domain, shard) —
+    // an exchange keyed on the domain column ALONE would put a whole
+    // domain (a skew unit) in one task. Domain-only partitioning is
+    // allowed ONLY inside the broadcast (offsets) subtree, whose input
+    // is domains × shards rows.
+    val domOnly = "Exchange hashpartitioning\\(__dom#\\d+, \\d+\\)".r
+    val bcast = plan.indexOf("BroadcastExchange")
+    assert(bcast >= 0 && plan.contains("BroadcastHashJoin"), plan.take(1500))
+    domOnly.findAllMatchIn(plan).foreach { m =>
+      assert(m.start > bcast,
+        "domain-only exchange outside the offsets subtree:\n" +
+          plan.take(1500))
+    }
+    assert("Exchange hashpartitioning\\(__dom#\\d+, __shard".r
+      .findAllIn(plan).size >= 1, plan.take(1500))
+  }
+
+  test("decontaminateBloom prunes the train side BEFORE the LSH exchange") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = graft.text.Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", threshold = 0.5,
+      expectedShingles = 1L << 16)
+    val plan = planOf(out)
+    // the bloom hit-count filter must sit on the scan side of the
+    // (band, bucket) exchange — pruning after the shuffle would ship
+    // the whole train corpus anyway
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(band")
+    val bloomIdx = plan.indexOf("might_contain")
+    assert(exchangeIdx >= 0 && bloomIdx >= 0, plan.take(1500))
+    assert(bloomIdx > exchangeIdx,
+      "bloom filter should appear BELOW (after, in toString order) the " +
+        "band exchange:\n" + plan.take(1500))
+  }
 }

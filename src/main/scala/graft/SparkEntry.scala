@@ -1041,6 +1041,33 @@ object SparkEntry {
         .filter(col("__rn") === 1).drop("__rn")
     }),
 
+    // ---- streaming: stream–STATIC broadcast enrichment — each event
+    // micro-batch joined to a batch dimension (stateless, no
+    // watermark; the streaming analog of the j1 star join). The agg
+    // over the enriched stream must equal the batch join+agg. ----
+    "s_stream_enrich" -> ((s, dir) => {
+      val in = stagedEventsDir.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_sw")
+        t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
+        s"$tmp/in"
+      })
+      val ckpt = tempDir("graft_se_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in)
+        .withColumn("nk", pmod(col("user_id"), lit(25)).cast("int"))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+      val enriched = graft.streaming.EventStreams
+        .enrichStream(stream, dim, Seq("nk"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+      graft.streaming.EventStreams.runAvailableNow(
+        enriched, queryName = s"se_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
     // ---- streaming: watermarked STREAM-STREAM interval join — each
     // purchase joined to the same user's clicks in the preceding hour
     // (attribution). The range condition + watermarks bound both
@@ -2047,6 +2074,12 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "s_stream_enrich" ->
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN nation ON n_nationkey = user_id % 25
+        |GROUP BY n_name""".stripMargin,
 
     "s2_jsonl_roundtrip" ->
       """SELECT lang, COUNT(*) AS n,

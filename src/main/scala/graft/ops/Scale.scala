@@ -72,6 +72,35 @@ object Scale {
     * Bucketed tables require the session catalog (`saveAsTable`);
     * pass `path` to store the files OUTSIDE the warehouse dir (an
     * external table — catalog metadata only in the session). */
+  /** Compact a small-files parquet dataset: size the output file count
+    * from the INPUT'S ACTUAL BYTES (one filesystem listing — no data
+    * read) so each output file lands near `targetFileBytes`, then
+    * rewrite with a round-robin repartition. The small-files problem is
+    * the slow death of any long-lived 100 TB dataset — every
+    * incremental append adds a file per task, and a million 1 MB files
+    * turn file listing and scan planning into the bottleneck. Returns
+    * the output file count. Round-robin (not coalesce) so output sizes
+    * are even regardless of input skew; coalesce would also narrow the
+    * READ parallelism to the output count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     inDir: String, outDir: String,
+                     targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(path, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
+    val n = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     buckets: Int, sortCols: Seq[String] = Nil,
                     path: Option[String] = None): Unit = {

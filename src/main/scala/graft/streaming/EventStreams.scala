@@ -51,6 +51,17 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream–static broadcast enrichment: join each micro-batch to a
+    * BATCH dimension — the most common streaming join (attach the
+    * user/product/geo attributes to every event). Stateless: no
+    * watermark, no state store — the dim is broadcast and probed per
+    * batch, so a 100 TB/day stream enriches at scan speed as long as
+    * the dim stays broadcast-sized; a growing dim belongs in a
+    * stream–stream join ([[intervalJoinStreams]]) instead. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), keys)
+
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Int)
 

@@ -55,4 +55,33 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() == 100)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compactParquet: sizes output files from input bytes, " +
+    "content-identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString
+    sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)))
+    val in = s"$base/in"
+    val out = s"$base/out"
+    val df = (1 to 5000).map(i => (i.toLong, s"payload_$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(in)
+    def parquetFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in).size == 40)
+    val totalBytes = parquetFiles(in).map(_.length()).sum
+    // target = ~half the input bytes → expect exactly 2 output files
+    val n = Scale.compactParquet(spark, in, out,
+      targetFileBytes = (totalBytes + 1) / 2)
+    assert(n == 2, s"expected 2 output files, got $n")
+    assert(parquetFiles(out).size == 2)
+    // content identical
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5000)
+    assert(df.except(back).count() == 0 && back.except(df).count() == 0)
+    // output files are evenly sized (round-robin, not coalesce)
+    val sizes = parquetFiles(out).map(_.length())
+    assert(sizes.max < sizes.min * 2, sizes.toString)
+  }
 }

@@ -733,6 +733,18 @@ object SparkEntry {
         numHashes = 32, bands = 16, expectedShingles = 1L << 20)
     }),
 
+    // ---- training-data ops: EXACT 13-gram containment contamination
+    // (the GPT-3-style sweep) — catches an eval passage quoted inside
+    // an unrelated train doc, which whole-doc jaccard dilutes away.
+    // Complements t_decontaminate's similarity semantics. ----
+    "t_contained_ngrams" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.containedNgrams(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", n = 13)
+    }),
+
     // ---- training-data ops: duplicate clusters (connected components
     // over verified near-dup pairs; cluster id = canonical keep doc) ----
     "t_dedup_clusters" -> ((s, dir) =>
@@ -1729,6 +1741,23 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
+
+    // partial-gram rule for docs shorter than n tokens matches the
+    // engine's shingles(): greatest(len-12, 1) yields ONE short gram
+    "t_contained_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(tk[i:i+12], ' ')
+        |                          FOR i IN range(1, greatest(len(tk)-12, 1)+1)])) AS gram
+        |  FROM toks)
+        |SELECT a.doc_id AS train_id, COUNT(*) AS n_shared_grams
+        |FROM (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 0) a
+        |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 1) b USING (gram)
+        |GROUP BY a.doc_id""".stripMargin,
 
     "t_dedup_clusters" ->
       """WITH RECURSIVE toks AS (

@@ -219,6 +219,32 @@ object Dedup {
       evalSet, idCol, textCol, threshold, shingleN, numHashes, bands,
       maxBucket)
 
+  /** Exact n-gram CONTAINMENT contamination (the GPT-3-style 13-gram
+    * sweep): a train doc is contaminated iff any of its word n-grams
+    * appears verbatim anywhere in the eval corpus. The complement of
+    * [[crossCorpusNearDuplicates]]: containment catches a quote of one
+    * eval passage embedded in an otherwise-unrelated train doc, which
+    * whole-doc Jaccard dilutes below any threshold. Output:
+    * (train_id, n_shared_grams) — distinct train-doc grams found in
+    * eval, the triage-ranking signal.
+    *
+    * Scale: explode both sides to (id, gram), distinct the eval side
+    * (it's the small corpus), one equi-join shuffle keyed on the gram
+    * string, one hash agg on train id. No pairwise doc×doc expansion
+    * exists at any point — cost is O(total grams), and AQE broadcasts
+    * the deduped eval grams when they fit. Compose with [[bloomPrune]]
+    * first when even exploding the full train side is too much. */
+  def containedNgrams(train: DataFrame, evalSet: DataFrame, idCol: String,
+                      textCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("gram"))
+    grams(train)
+      .join(grams(evalSet).select("gram").distinct(), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .select(col("id").as("train_id"), col("n_shared_grams"))
+  }
+
   /** The prune stage of [[decontaminateBloom]], exposed for its spec:
     * train rows whose bloom hit-count reaches the overlap bound. */
   private[graft] def bloomPrune(train: DataFrame, evalSet: DataFrame,

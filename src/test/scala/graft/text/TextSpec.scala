@@ -132,6 +132,27 @@ class TextSpec extends SparkSpec {
       s"prune leaked ${survivors.count(_ >= 100L)} of 300 disjoint docs")
   }
 
+  test("containedNgrams: verbatim quote detected, near-miss and clean " +
+    "docs are not; counts are distinct shared grams") {
+    val evalDoc = (0 until 20).map(k => s"ev$k").mkString(" ")
+    val eval_ = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val train = Seq(
+      // doc 0: quotes eval tokens 5..9 (5-token run → one 5-gram at n=5)
+      //        inside unrelated text
+      (0L, ("x1 x2 x3 " + (5 until 10).map(k => s"ev$k").mkString(" ") +
+        " x4 x5 x6")),
+      // doc 1: quotes tokens 0..6 (7-token run → three 5-grams)
+      (1L, (0 until 7).map(k => s"ev$k").mkString(" ") + " y1 y2"),
+      // doc 2: shares tokens but never 5 consecutive
+      (2L, "ev0 z1 ev1 z2 ev2 z3 ev3 z4 ev4"),
+      // doc 3: disjoint
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containedNgrams(train, eval_, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 3L), got.toString)
+  }
+
   test("duplicateClusters: transitive chain merges, min id is canonical") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
     val out = Dedup.duplicateClusters(pairs)

@@ -396,6 +396,20 @@ object SparkEntry {
     // tie-bearing ordering (users ranked by event count per type) plus
     // ntile over a unique ordering (ntile splits ties by row order, so
     // determinism requires the unique tiebreak) ----
+    // ---- W6: hourly-grid resampling with LOCF — the reference's
+    // "blocked dataset" goal (one row per patient-hour with the
+    // latest observation carried forward), verified against DuckDB's
+    // native ASOF LEFT JOIN over a generated grid. ----
+    "w6_resample" -> ((s, dir) => {
+      val ev = WindowOps.dedupKeepLast(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("value"), col("event_id")),
+        keys = Seq("user_id", "ts"), orderBy = Seq(col("event_id")))
+        .drop("event_id")
+      WindowOps.resampleLocf(ev, Seq("user_id"), "ts", Seq("value"),
+        stepSeconds = 3600)
+    }),
+
     "w5_rank" -> ((s, dir) => {
       val counts = t(s, dir, "events")
         .groupBy(col("event_type"), col("user_id"))
@@ -1388,6 +1402,24 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "w6_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+        |  FROM e GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(t0, t1, INTERVAL 3600 SECOND)) AS grid_ts
+        |  FROM b)
+        |SELECT g.user_id, g.grid_ts, e.value AS value
+        |FROM grid g ASOF LEFT JOIN e
+        |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts""".stripMargin,
 
     "w5_rank" ->
       """SELECT event_type, user_id, n,

@@ -66,6 +66,30 @@ object WindowOps {
       .drop("__graft_rn")
   }
 
+  /** Regular-time-grid resampling with last-observation-carried-forward
+    * — the "blocked dataset" op: per key, emit one row per `stepSeconds`
+    * from the step-aligned first observation (date_trunc on
+    * `alignUnit`, so grids are phase-stable across keys) to the last,
+    * carrying the latest payload at-or-before each grid instant (null
+    * before the first observation). Composition, not a new engine
+    * primitive: a bounded per-key grid explode (duration/step rows —
+    * no row-per-second blowups) feeding [[graft.ops.Joins.asOfJoin]]'s
+    * single-exchange union+LOCF. Right side must be unique on
+    * (keys, tsCol) — [[dedupKeepLast]] first — per asOfJoin's
+    * determinism contract. */
+  def resampleLocf(df: DataFrame, keys: Seq[String], tsCol: String,
+                   payload: Seq[String], stepSeconds: Long,
+                   alignUnit: String = "hour"): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val grid = df.groupBy(keys.map(col): _*)
+      .agg(date_trunc(alignUnit, min(col(tsCol))).as("__g0"),
+        max(col(tsCol)).as("__t1"))
+      .select(keys.map(col) :+
+        explode(expr(s"sequence(__g0, __t1, interval $stepSeconds second)"))
+          .as("grid_ts"): _*)
+    Joins.asOfJoin(grid, df, keys, "grid_ts", tsCol, payload)
+  }
+
   /** Keep-first twin of [[dedupKeepLast]]. */
   def dedupKeepFirst(df: DataFrame, keys: Seq[String],
                      orderBy: Seq[Column]): DataFrame = {

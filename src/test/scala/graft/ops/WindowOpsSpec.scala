@@ -64,6 +64,30 @@ class WindowOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("first"))
   }
 
+  test("resampleLocf: aligned hourly grid, latest value at-or-before " +
+    "each instant, null before first observation") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 10.0),
+      (1L, ts("2024-01-01 02:00:00"), 20.0), // exactly on a grid point
+      (1L, ts("2024-01-01 03:10:00"), 30.0),
+      (2L, ts("2024-01-01 05:45:00"), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val out = WindowOps.resampleLocf(df, Seq("user_id"), "ts",
+        Seq("value"), stepSeconds = 3600)
+      .as[(Long, java.sql.Timestamp, Option[Double])].collect()
+      .map { case (u, t, v) => (u, t.toString, v) }.toSet
+    assert(out == Set(
+      // user 1: grid starts at the truncated hour of the first obs and
+      // ends at the last obs (04:00 > 03:10 is never emitted)
+      (1L, "2024-01-01 00:00:00.0", None), // before first observation
+      (1L, "2024-01-01 01:00:00.0", Some(10.0)),
+      (1L, "2024-01-01 02:00:00.0", Some(20.0)), // on-instant obs attaches
+      (1L, "2024-01-01 03:00:00.0", Some(20.0)), // 03:10 obs is later
+      // user 2: single obs → one grid point at its truncated hour
+      (2L, "2024-01-01 05:00:00.0", None)
+    ), out.toString)
+  }
+
   test("sessionize: new session when gap exceeds threshold") {
     val df = Seq(
       ("u1", ts("2024-01-01 00:00:00")),

@@ -29,7 +29,8 @@ object GraftSession {
     // threshold but make the intent explicit.
     c.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
     // SQL surface: cosine_sim / dot_product / portable_simhash /
-    // normalize_spaces callable from spark.sql and SqlRunner.
+    // normalize_spaces / intersect_size callable from spark.sql and
+    // SqlRunner.
     graft.functions.NativeExpressions.registerAll(spark)
     spark
   }

@@ -37,6 +37,47 @@ class EventStreamsSpec extends SparkSpec {
       (ts("2024-01-01 02:00:00"), "view", 1L)))
   }
 
+  test("RocksDB state store: windowed agg and sessionize produce the " +
+    "same results as the default HDFS-backed store") {
+    // the large-state backend for real deployments: state spills to
+    // local disk instead of living in executor heap — a week-long
+    // sessionization window at corpus scale does not fit in memory.
+    // The engine must be provider-agnostic; results must be identical.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+    writeEvents(s"$dir/in")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val agg = EventStreams.runAvailableNow(
+        EventStreams.windowedCounts(
+          EventStreams.readStream(spark, s"$dir/in"), "1 hour", "2 hours"),
+        queryName = "wc_rocks", checkpoint = s"$dir/ckpt_wc",
+        outputMode = OutputMode.Complete())
+      val got = agg.select("window_start", "event_type", "n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(got == Set(
+        (ts("2024-01-01 00:00:00"), "view", 1L),
+        (ts("2024-01-01 00:00:00"), "click", 1L),
+        (ts("2024-01-01 01:00:00"), "view", 1L),
+        (ts("2024-01-01 02:00:00"), "view", 1L)))
+      // stateful mapGroupsWithState path (sessionize) on RocksDB too
+      val sess = EventStreams.runAvailableNow(
+        EventStreams.sessionize(
+          EventStreams.readStream(spark, s"$dir/in"), gapSeconds = 1800)
+          .toDF(),
+        queryName = "sess_rocks", checkpoint = s"$dir/ckpt_sess",
+        outputMode = OutputMode.Update())
+      assert(sess.count() > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful sessionize: gap splits sessions, state carries counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     writeEvents(s"$dir/in")

@@ -375,6 +375,15 @@ object SparkEntry {
       Quality.outOfRange(t(s, dir, "lineitem"), "l_quantity", 5.0, 45.0,
         Seq("l_returnflag"))),
 
+    // ---- A13: per-group winsorization — clamp to the exact per-group
+    // [p05, p95] band. Bounds table is groups-sized and broadcast back;
+    // the fact side is scanned once with zero shuffle. ----
+    "a13_winsorize" -> ((s, dir) =>
+      Quality.winsorize(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_extendedprice", Seq("l_returnflag"), 0.05, 0.95)),
+
     // ---- §2.4 grouping sets: one pass producing per-(region, nation)
     // revenue PLUS per-region and grand-total rollup rows — the
     // reporting shape that otherwise costs three scans + a union.
@@ -425,6 +434,18 @@ object SparkEntry {
         round(percent_rank().over(byN), 6).as("prnk"),
         ntile(4).over(uniq).cast("int").as("quartile"))
     }),
+
+    // ---- W7: rolling features (trailing row-frame + trailing
+    // time-range-frame means per user) — the per-hour/per-k-events
+    // feature engineering of the reference's "blocked dataset" goal.
+    // Both frames share one shuffle on the key. ----
+    "w7_rolling" -> ((s, dir) =>
+      WindowOps.rollingMeans(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        keys = Seq("user_id"), tsCol = "ts",
+        tiebreak = Seq(col("event_id")), valueCol = "value",
+        nRows = 4, rangeSeconds = 3600)),
 
     // ---- §2.5 W1 group-wise fill down-then-up (LOCF + backfill) ----
     "w1_fill_downup" -> ((s, dir) => {
@@ -1393,6 +1414,18 @@ object SparkEntry {
         |  COUNT(l_quantity) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    "a13_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  l.l_extendedprice,
+        |  ROUND(LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi), 6)
+        |    AS winsorized
+        |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
+
     "a12_rollup" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -1420,6 +1453,19 @@ object SparkEntry {
         |SELECT g.user_id, g.grid_ts, e.value AS value
         |FROM grid g ASOF LEFT JOIN e
         |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts""".stripMargin,
+
+    "w7_rolling" ->
+      """SELECT event_id, user_id, ts, value,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER wr AS DOUBLE)
+        |        / COUNT(value) OVER wr, 6) AS roll_rows_avg,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER wt AS DOUBLE)
+        |        / COUNT(value) OVER wt, 6) AS roll_time_avg
+        |FROM events
+        |WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |       wt AS (PARTITION BY user_id
+        |              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "w5_rank" ->
       """SELECT event_type, user_id, n,

@@ -87,6 +87,31 @@ object Quality {
       .withColumn("bin_hi", round((col("bin") + 1) * binWidth, 6))
   }
 
+  /** Winsorization: clamp `valueCol` to its per-group exact percentile
+    * bounds [loPct, hiPct] — the outlier-robust cleaning step before
+    * feature extraction (the reference clamps by fixed physiologic
+    * bounds, `code/RCLIF_vitals.Rmd:139-149`; this is the data-driven
+    * generalization). One percentile aggregate produces a groups-sized
+    * bounds table that broadcast-joins back onto the fact — the big
+    * side is scanned once and NEVER shuffled (the agg's exchange
+    * carries only the group key). Exact `percentile` keeps the oracle
+    * engine-reproducible; at 100 TB swap in approx_percentile (rank
+    * error n/accuracy) exactly like t_length_filter_approx. */
+  def winsorize(df: DataFrame, valueCol: String, by: Seq[String],
+                loPct: Double, hiPct: Double,
+                outCol: String = "winsorized"): DataFrame = {
+    require(loPct >= 0 && hiPct <= 1 && loPct <= hiPct,
+      "need 0 <= loPct <= hiPct <= 1")
+    val v = col(valueCol)
+    def pct(p: Double): Column = call_function("percentile", v, lit(p))
+    val bounds = df.groupBy(by.map(col): _*)
+      .agg(pct(loPct).as("__lo"), pct(hiPct).as("__hi"))
+    df.join(broadcast(bounds), by)
+      .withColumn(outCol,
+        round(least(greatest(v, col("__lo")), col("__hi")), 6))
+      .drop("__lo", "__hi")
+  }
+
   /** Box-plot statistics per group (exact quartiles + whiskers at
     * 1.5 IQR + outlier count) — the reference's QC boxplots as data.
     * Exact `percentile` keeps the oracle engine-reproducible; at

@@ -90,6 +90,38 @@ object WindowOps {
     Joins.asOfJoin(grid, df, keys, "grid_ts", tsCol, payload)
   }
 
+  /** Rolling features for the "blocked dataset": per key, the mean of
+    * `valueCol` over (a) the trailing `nRows`-row frame in
+    * (`tsCol`, tiebreak) order and (b) the trailing `rangeSeconds`
+    * time frame (set-valued over epoch seconds, so simultaneous events
+    * are tie-insensitive). Both frames share ONE partitioning — a
+    * single shuffle on the key serves both (Spark reuses the sorted
+    * child across same-partitioning windows). Means accumulate in
+    * exact decimal then divide once as double, so neither parallel
+    * reduction order nor engine can perturb the result. Nulls are
+    * excluded frame-wise (sum and count both skip them); an all-null
+    * frame yields null. */
+  def rollingMeans(df: DataFrame, keys: Seq[String], tsCol: String,
+                   tiebreak: Seq[Column], valueCol: String,
+                   nRows: Int, rangeSeconds: Long): DataFrame = {
+    require(nRows >= 1, "nRows must be >= 1")
+    require(rangeSeconds >= 0, "rangeSeconds must be >= 0")
+    val v = col(valueCol)
+    val byRows = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol) +: tiebreak: _*)
+      .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
+    // floor-to-second epoch ordering: Spark's timestamp->long cast
+    // truncates; the oracle must floor too (DuckDB epoch() keeps the
+    // fraction and a bare BIGINT cast would round instead)
+    val byRange = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-rangeSeconds, Window.currentRow)
+    def mean(w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      sum(v.cast("decimal(30,6)")).over(w).cast("double") / count(v).over(w)
+    df.withColumn("roll_rows_avg", round(mean(byRows), 6))
+      .withColumn("roll_time_avg", round(mean(byRange), 6))
+  }
+
   /** Keep-first twin of [[dedupKeepLast]]. */
   def dedupKeepFirst(df: DataFrame, keys: Seq[String],
                      orderBy: Seq[Column]): DataFrame = {

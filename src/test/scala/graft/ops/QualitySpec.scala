@@ -61,4 +61,19 @@ class QualitySpec extends SparkSpec {
       r.getDouble(5) == 7.0)
     assert(r.getDouble(7) == -3.0 && r.getDouble(8) == 13.0)
   }
+
+  test("winsorize: clamps to per-group exact percentile bounds") {
+    // group g: 1..21 -> p10 = 3.0, p90 = 19.0 (exact interpolation on
+    // 21 points lands on integers); group h is untouched by g's bounds
+    val df = ((1 to 21).map(i => ("g", i.toDouble)) :+ ("h", 100.0) :+
+      ("h", 200.0)).toDF("grp", "v")
+    val out = Quality.winsorize(df, "v", Seq("grp"), 0.10, 0.90)
+    val g = out.filter("grp = 'g'").select("winsorized")
+      .as[Double].collect().sorted
+    assert(g.head == 3.0 && g.last == 19.0)
+    assert(g.count(_ == 3.0) == 3 && g.count(_ == 19.0) == 3) // 1,2,3 / 19,20,21
+    val h = out.filter("grp = 'h'").select("winsorized")
+      .as[Double].collect().sorted
+    assert(h.toSeq == Seq(110.0, 190.0)) // p10/p90 of {100,200} interpolate
+  }
 }

@@ -99,4 +99,43 @@ class WindowOpsSpec extends SparkSpec {
       .orderBy("uid", "t").select("session_id").as[Long].collect()
     assert(out.toSeq == Seq(1L, 1L, 2L, 1L))
   }
+
+  test("rollingMeans: trailing row frame and trailing time frame") {
+    val df = Seq(
+      // user 1: 00:00 v=1, 00:30 v=3, 01:15 v=null, 01:20 v=5
+      (1L, "u1", ts("2024-01-01 00:00:00"), Some(1.0)),
+      (2L, "u1", ts("2024-01-01 00:30:00"), Some(3.0)),
+      (3L, "u1", ts("2024-01-01 01:15:00"), Option.empty[Double]),
+      (4L, "u1", ts("2024-01-01 01:20:00"), Some(5.0)),
+      // user 2: isolated row
+      (5L, "u2", ts("2024-01-01 00:00:00"), Some(7.0))
+    ).toDF("eid", "uid", "t", "v")
+    val out = WindowOps.rollingMeans(df, Seq("uid"), "t", Seq(col("eid")),
+        "v", nRows = 2, rangeSeconds = 3600)
+      .orderBy("eid")
+      .select("roll_rows_avg", "roll_time_avg")
+      .as[(Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (Some(1.0), Some(1.0)),   // first row: only itself
+      (Some(2.0), Some(2.0)),   // rows {1,3}; time {00:00,00:30}
+      (Some(3.0), Some(3.0)),   // rows {3,null} -> 3; time {00:30,null}
+      (Some(5.0), Some(4.0)),   // rows {null,5} -> 5; time {00:30,null,5}
+      (Some(7.0), Some(7.0))))  // other key unaffected
+  }
+
+  test("rollingMeans: simultaneous events are tie-insensitive in the " +
+       "time frame but ordered by tiebreak in the row frame") {
+    val df = Seq(
+      (1L, "u", ts("2024-01-01 00:00:00"), 2.0),
+      (2L, "u", ts("2024-01-01 00:00:00"), 4.0) // same instant
+    ).toDF("eid", "uid", "t", "v")
+    val out = WindowOps.rollingMeans(df, Seq("uid"), "t", Seq(col("eid")),
+        "v", nRows = 1, rangeSeconds = 10)
+      .orderBy("eid")
+      .select("roll_rows_avg", "roll_time_avg")
+      .as[(Double, Double)].collect().toSeq
+    // row frame (1 row) sees only itself; RANGE frame at an equal order
+    // value contains BOTH rows for both rows
+    assert(out == Seq((2.0, 3.0), (4.0, 3.0)))
+  }
 }

@@ -646,6 +646,25 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
         .limit(20)),
 
+    // ---- training-data ops: TF-IDF top terms per doc — tf and df are
+    // two linear hash aggs off one tokenization; df-side join is
+    // vocab-sized. Window orders by the ROUNDED score so cross-engine
+    // ties break identically. ----
+    "t_tfidf" -> ((s, dir) => {
+      val scored = TextOps.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+    }),
+
+    // ---- training-data ops: unigram LM surprise (CCNet-style quality
+    // signal) — corpus unigram distribution, per-doc mean -ln p(token)
+    // with round-6 + decimal accumulation for engine determinism ----
+    "t_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramSurprise(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- training-data ops: length-band curation filter — keep docs
     // whose token count sits inside the corpus [p05, p95] band; the
     // 1-row bounds side broadcasts ----
@@ -1484,6 +1503,37 @@ object SparkEntry {
         |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n)
+        |SELECT term, doc_id, tf, df, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY tfidf DESC, term) AS INT) AS rnk
+        |FROM scored QUALIFY rnk <= 3""".stripMargin,
+
+    "t_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+        |tot AS (SELECT SUM(tf) AS t FROM freq)
+        |SELECT toks.doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(ROUND(-ln(CAST(freq.tf AS DOUBLE) / tot.t), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprise
+        |FROM toks JOIN freq USING (term), tot
+        |GROUP BY toks.doc_id""".stripMargin,
 
     "t_length_filter" ->
       """WITH wc AS (

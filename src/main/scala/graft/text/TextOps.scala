@@ -282,6 +282,56 @@ object TextOps {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** TF-IDF per (doc, term): tf = term count in doc, idf = ln(N / df)
+    * with df = docs containing the term (plain idf, no smoothing — df
+    * ≥ 1 by construction so the log is always defined). Shape: one
+    * tokenization+explode, a (doc, term) hash agg for tf, a term hash
+    * agg for df (one row per vocab term — the df side of the join is
+    * vocab-sized, broadcast-able for natural-language vocabularies),
+    * and a 1-row N broadcast. The corpus is never joined to itself —
+    * per-token work is linear. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+      .drop("__n")
+  }
+
+  /** CCNet-style unigram LM quality signal: per doc, the mean token
+    * surprise −ln p(token) under the corpus's OWN unigram distribution
+    * (low mean surprise ≈ common fluent text; high ≈ rare-token noise).
+    * Per-token surprises are rounded to 6 dp then accumulated in exact
+    * decimal, so the per-doc mean is independent of reduction order and
+    * engine. Two linear passes over the token stream (frequency agg,
+    * then a vocab-keyed join back — broadcast-able vocabulary); docs
+    * with zero tokens yield no row. At 100 TB persist the tokenized
+    * projection so the corpus text is only exploded once. */
+  def unigramSurprise(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("__tf"))
+    val tot = freq.agg(sum(col("__tf")).as("__t"))
+    val surprise =
+      round(-log(col("__tf").cast("double") / col("__t")), 6)
+    toks.join(freq, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(surprise.cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("__m"))
+      .withColumn("mean_surprise", round(col("__m"), 6))
+      .drop("__m")
+  }
+
   /** Curation keep-predicate (quality ≥ minQuality AND language ==
     * lang) over ONE tokenization: the lowercased token array is bound
     * once as a higher-order-function lambda variable (transform over a

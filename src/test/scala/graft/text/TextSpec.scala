@@ -492,4 +492,31 @@ class TextSpec extends SparkSpec {
     // and the output is far below the 780-pair quadratic ceiling
     assert(out.length < 200)
   }
+
+  test("tfIdf: tf counts, doc frequencies, ln(N/df) scoring") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.tfIdf(docs, "doc_id", "text")
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out((1L, "a")) == ((2L, 2L, 0.0)))      // ln(2/2) = 0
+    assert(out((1L, "b")) == ((1L, 1L, 0.693147))) // ln 2
+    assert(out((2L, "a")) == ((1L, 2L, 0.0)))
+    assert(out((2L, "c")) == ((1L, 1L, 0.693147)))
+    assert(out.size == 4)
+  }
+
+  test("unigramSurprise: mean -ln p(token) under corpus frequencies") {
+    // corpus: a×3, b×1, c×1 (T=5); surprise(a)=-ln(3/5)=0.510826,
+    // surprise(b)=surprise(c)=-ln(1/5)=1.609438
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramSurprise(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "mean_surprise")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(1L) == ((3L, 0.87703)))   // (2×0.510826 + 1.609438)/3
+    assert(out(2L) == ((2L, 1.060132)))  // (0.510826 + 1.609438)/2
+    assert(!out.contains(3L))            // zero-token doc yields no row
+  }
 }

@@ -851,6 +851,20 @@ object SparkEntry {
         centroids = cents)
     }),
 
+    // ---- similarity: BATCH IVF k-NN join — every 100th vector is a
+    // query; each probes its nprobe=8 nearest of nlist=64 cells and
+    // scores only those cells' members (native IvfProbe explode + one
+    // cell-keyed equi-join + per-query top-k). Work ~ |Q| × nprobe/
+    // nlist × |corpus| vs brute's |Q| × |corpus|; oracle recomputes
+    // the WHOLE index in SQL like e_ivf_topk. ----
+    "e_ivf_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64)
+      Similarity.ivfKnnJoin(emb.filter(col("vec_id") % 100 === 0), emb,
+          "vec_id", "embedding", k = 5, centroids = cents, nprobe = 8)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // ---- similarity: threshold pairs blocked by label ----
     "e_sim_pairs" -> ((s, dir) =>
       Similarity.thresholdPairsByLabel(t(s, dir, "embeddings"),
@@ -2032,6 +2046,55 @@ object SparkEntry {
         |FROM assign a, q
         |WHERE a.cell IN (SELECT cell FROM probed)
         |ORDER BY cos_sim DESC, neighbor_id LIMIT 10""".stripMargin,
+
+    // Same index arithmetic as e_ivf_topk generalized to a BATCH of
+    // queries (every 100th vector), each probing its own top-8 cells.
+    "e_ivf_knn_join" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 64),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe
+        |      FROM embeddings WHERE vec_id % 100 = 0),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, cents.cell,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(ce, qe),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, cents.cell) AS pr
+        |    FROM cents, q)
+        |  WHERE pr <= 8),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT cell FROM cents
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(cents.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(cents.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    ROUND(
+        |      list_sum(list_transform(list_zip(a.embedding, q.qe),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |      AS cos_sim
+        |  FROM probed p JOIN assign a USING (cell) JOIN q USING (query_id)
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
 
     "e_sim_pairs" ->
       """SELECT a.label AS lbl, a.vec_id AS id1, b.vec_id AS id2,

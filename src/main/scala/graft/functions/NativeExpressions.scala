@@ -311,6 +311,91 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Top-`nprobe` IVF cells for a vector: the cell ids whose BROADCAST
+    * centroids score highest by ROUND(cosine, 6), ordered (score desc,
+    * cell asc) — the batch twin of driver-side
+    * [[graft.sim.Similarity.probeCells]] (same 6-decimal grid, same tie
+    * rule), evaluated as one JVM loop per row so a query TABLE can be
+    * probe-exploded without nlist-ary Column trees. Scoring reuses
+    * [[IvfCell]]'s arithmetic (precomputed centroid norms on
+    * homogeneous dims, CosineSimilarity's min-length norms on ragged);
+    * selection is nprobe repeated argmax passes — allocation-free,
+    * nprobe × nlist comparisons per row. */
+  case class IvfProbe(child: Expression,
+                      centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+                      nprobe: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    @transient private lazy val read = reader(child)
+    @transient private lazy val cents: Array[Array[Float]] = centroids.value
+    @transient private lazy val centNorm: Array[Double] =
+      cents.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+        math.sqrt(s)
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val x = new Array[Double](n)
+      var nv2 = 0.0
+      var i = 0
+      while (i < n) { val xi = read(v, i); x(i) = xi; nv2 += xi * xi; i += 1 }
+      val nv = math.sqrt(nv2)
+      val scores = new Array[Double](cents.length)
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        var dot = 0.0
+        var cos = 0.0
+        if (cv.length == n) {
+          var j = 0
+          while (j < n) { dot += x(j) * cv(j); j += 1 }
+          val d = nv * centNorm(c)
+          cos = if (d == 0.0) 0.0 else dot / d
+        } else {
+          val m = math.min(n, cv.length)
+          var nx = 0.0; var ny = 0.0
+          var j = 0
+          while (j < m) {
+            val a = x(j); val b = cv(j).toDouble
+            dot += a * b; nx += a * a; ny += b * b
+            j += 1
+          }
+          val d = math.sqrt(nx) * math.sqrt(ny)
+          cos = if (d == 0.0) 0.0 else dot / d
+        }
+        scores(c) = java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        c += 1
+      }
+      val k = math.min(math.max(1, nprobe), cents.length)
+      val out = new Array[Int](k)
+      var taken = 0
+      while (taken < k) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var ci = 0
+        while (ci < scores.length) {
+          // strict > keeps the LOWEST cell on ties (same rule as IvfCell
+          // and probeCells); NaN-free: scores are rounded finite doubles
+          if (scores(ci) > bestScore) { bestScore = scores(ci); best = ci }
+          ci += 1
+        }
+        out(taken) = best
+        scores(best) = Double.NegativeInfinity
+        taken += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Portable 31-bit polynomial token hash: fold over code points,
     * h = (h*mult + cp) mod (2^31 - 1). Engine-independent — a DuckDB
     * list_reduce over string_split computes the identical value, which is
@@ -508,6 +593,11 @@ object NativeExpressions {
                centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]])
       : Column =
     toCol(IvfCell(expr(vec), centroids))
+
+  def ivf_probe(vec: Column,
+                centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+                nprobe: Int): Column =
+    toCol(IvfProbe(expr(vec), centroids, nprobe))
 
   /** (name, builder) for every SQL-surfaced native function. */
   private[functions] val sqlFunctions

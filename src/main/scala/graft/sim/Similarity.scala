@@ -301,6 +301,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** Top-`nprobe` cell ids for every row of a QUERY TABLE (array<int>,
+    * ordered score desc / cell asc on the 6-decimal grid) — the batch
+    * twin of the driver-side [[probeCells]], as a native broadcast
+    * expression so probing a million queries is one narrow pass, not a
+    * million driver loops. [[ivfProbeCols]] is the pure-Column twin. */
+  def ivfProbe(vec: Column, centroids: Array[Seq[Float]], nprobe: Int,
+               spark: org.apache.spark.sql.SparkSession): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val bcast = spark.sparkContext.broadcast(
+      centroids.map(_.toArray): Array[Array[Float]])
+    graft.functions.NativeExpressions.ivf_probe(vec, bcast, nprobe)
+  }
+
+  /** Pure-Column twin of [[ivfProbe]] — executable spec of the probe
+    * arithmetic (round(cosine, 6) per centroid literal, sort by
+    * (score desc, cell asc), take nprobe). FIXTURE-SCALE ONLY: inlines
+    * the centroid matrix as literals like [[ivfCellCols]]. */
+  def ivfProbeCols(vec: Column, centroids: Array[Seq[Float]],
+                   nprobe: Int): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct((round(cosine(vec, typedLit(c)), 6) * -1).as("negScore"),
+        lit(i).as("cell"))
+    }
+    slice(transform(array_sort(array(scored: _*)), s => s("cell")),
+      1, math.max(1, math.min(nprobe, centroids.length)))
+  }
+
+  /** Batch IVF k-NN join: top-k neighbors from `corpus` for EVERY row
+    * of `queries` through the IVF structure — each query probes its
+    * `nprobe` nearest cells and scores only those cells' vectors.
+    * Shape: corpus gets its cell from the native broadcast argmax
+    * ([[ivfCell]], narrow); queries explode to (query, probed cell)
+    * via the native [[ivfProbe]] (narrow, nprobe rows per query); ONE
+    * cell-keyed equi-join brings query × probed-cell-members pairs
+    * (cells partition the corpus, so no candidate is generated twice —
+    * no pair dedup needed); exact cosine rescoring; per-query top-k
+    * window. Work scales as |queries| × nprobe/nlist × |corpus| — the
+    * IVF contract — versus [[bruteKnnJoin]]'s |queries| × |corpus|.
+    * At scale, read the corpus side pre-assigned from a persisted
+    * index ([[buildIvfIndex]] layout) to skip assignment entirely;
+    * the join shuffle keys on `cell`, whose cardinality (nlist) should
+    * be sized ≥ shuffle parallelism or salted via nprobe-side
+    * replication. Approximate recall (a true neighbor outside the
+    * probed cells is missed), tunable via nprobe. */
+  def ivfKnnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int, centroids: Array[Seq[Float]],
+                 nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"),
+      ivfCell(col(vecCol), centroids, spark).as("cell"))
+    val probed = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"),
+        explode(ivfProbe(col(vecCol), centroids, nprobe, spark)).as("cell"))
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Build a PERSISTED IVF index: assign every corpus vector its cell
     * (native broadcast argmax, one narrow pass) and write `(id, vec)`
     * HIVE-PARTITIONED BY CELL under `path`, with the centroid matrix

@@ -233,6 +233,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native ivfProbe == Column twin; head == ivfCell; clamps nprobe") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = corpus.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 16)
+    Seq(1, 4, 16, 99).foreach { np =>
+      val diff = df.filter(
+        Similarity.ivfProbe(col("embedding"), cents, np, spark) =!=
+          Similarity.ivfProbeCols(col("embedding"), cents, np))
+      assert(diff.count() == 0, s"nprobe=$np twin mismatch")
+    }
+    // probe head is the argmax cell (the IvfCell contract)
+    val headDiff = df.filter(
+      element_at(Similarity.ivfProbe(col("embedding"), cents, 4, spark), 1)
+        =!= Similarity.ivfCell(col("embedding"), cents, spark))
+    assert(headDiff.count() == 0)
+    // tie rule: duplicate centroids -> the lower cell id probes first
+    val tcents: Array[Seq[Float]] =
+      Array(Seq(0.0f, 1.0f), Seq(1.0f, 1.0f), Seq(1.0f, 1.0f))
+    val probedTie = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.ivfProbe(col("embedding"), tcents, 3, spark))
+      .as[Seq[Int]].head()
+    assert(probedTie == Seq(1, 2, 0))
+  }
+
+  test("ivfKnnJoin: full probe == bruteKnnJoin; partial probe stays " +
+    "within probed cells") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 7 === 0)
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 8)
+    // probing EVERY cell makes IVF exact: must equal brute force
+    val viaIvf = Similarity.ivfKnnJoin(queries, df, "vec_id", "embedding",
+        k = 3, centroids = cents, nprobe = 8)
+      .orderBy("query_id", "rank")
+      .collect().toSeq
+    val brute = Similarity.bruteKnnJoin(queries, df, "vec_id", "embedding",
+        k = 3)
+      .orderBy("query_id", "rank")
+      .collect().toSeq
+    assert(viaIvf == brute)
+    // partial probe: every returned neighbor's cell is one the query probed
+    val cellOf = df.select(col("vec_id"),
+        Similarity.ivfCell(col("embedding"), cents, spark).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val probes = queries.select(col("vec_id"),
+        Similarity.ivfProbe(col("embedding"), cents, 2, spark).as("p"))
+      .as[(Long, Seq[Int])].collect().toMap
+    Similarity.ivfKnnJoin(queries, df, "vec_id", "embedding",
+        k = 3, centroids = cents, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) =>
+        assert(probes(q).contains(cellOf(n)), s"query $q neighbor $n")
+      }
+  }
+
   test("persisted IVF index: reload round-trips, partition-pruned query " +
     "== unindexed query") {
     val df = clustered.toDF("vec_id", "embedding")

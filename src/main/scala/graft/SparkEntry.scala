@@ -42,6 +42,12 @@ object SparkEntry {
   private val stagedTwoTierDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM cache of the merge-upsert base table dir (hive-partitioned
+    * documents staging; the merge itself is idempotent, so re-running
+    * the query against the mutated base converges to the same state). */
+  private val stagedMergeBase =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-JVM cache of the persisted IVF index (path, centroids). */
   private val stagedIvfIndex = scala.collection.concurrent.TrieMap
     .empty[String, (String, Array[Seq[Float]])]
@@ -849,6 +855,33 @@ object SparkEntry {
       })
       Similarity.ivfTopKIndexed(s, path, q, 10, nprobe = 8,
         centroids = cents)
+    }),
+
+    // ---- S6: keyed MERGE (SCD1 upsert) into a hive-partitioned
+    // parquet table — 50 revised docs (doc_id % 10) + 6 inserts under
+    // a NEW partition value; only touched partitions are read and
+    // rewritten (dynamic partition overwrite; MergeUpsertSpec pins
+    // untouched partitions' files byte-identical). Oracle recomputes
+    // the merged state from the source table. Idempotent, so repeat
+    // runs in one JVM converge. ----
+    "s6_merge_upsert" -> ((s, dir) => {
+      val base = stagedMergeBase.getOrElseUpdate(dir, {
+        val p = tempDir("graft_merge") + "/base"
+        t(s, dir, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(p)
+        p
+      })
+      val docs = t(s, dir, "documents")
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(lit("UPDATED:"), col("lang")))
+        .unionByName(docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", lit("INSERTED"))
+          .withColumn("lang", lit("xx")))
+      ops.Merge.mergeUpsert(s, base, updates, Seq("doc_id"), "lang")
+      s.read.parquet(base)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
     }),
 
     // ---- similarity: BATCH IVF k-NN join — every 100th vector is a
@@ -2327,6 +2360,22 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n,
         |  CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
         |  CAST(COUNT(*) - SUM(corrupt) AS BIGINT) AS n_good
-        |FROM j GROUP BY lang""".stripMargin
+        |FROM j GROUP BY lang""".stripMargin,
+
+    // Recomputes the post-merge table state from the source: updates
+    // replace same-key rows, inserts add new keys.
+    "s6_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    'UPDATED:' || lang AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'xx', source, n_chars, 'INSERTED'
+        |  FROM documents WHERE doc_id % 97 = 0)
+        |SELECT doc_id, lang, source, n_chars, text FROM upd
+        |UNION ALL
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)""".stripMargin
   )
 }

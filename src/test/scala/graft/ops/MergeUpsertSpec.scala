@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MergeUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def listFiles(dir: String): Map[String, (Long, Long)] = {
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def walk(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(walk))
+      else if (f.getName.endsWith(".parquet"))
+        out(f.getAbsolutePath) = (f.length(), f.lastModified())
+    }
+    walk(new java.io.File(dir))
+    out.toMap
+  }
+
+  test("mergeUpsert: updates replace, inserts add, untouched " +
+    "partitions' files are byte-identical (never rewritten)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrg").toString +
+      "/tbl"
+    Seq((1L, "a", "v1"), (2L, "a", "v2"), (3L, "b", "v3"),
+        (4L, "b", "v4"), (5L, "c", "v5"))
+      .toDF("id", "p", "payload")
+      .write.partitionBy("p").parquet(dir)
+    val before = listFiles(dir)
+    val updates = Seq((3L, "b", "v3-NEW"), (10L, "d", "v10"))
+      .toDF("id", "p", "payload")
+    val touched = Merge.mergeUpsert(spark, dir, updates, Seq("id"), "p")
+    assert(touched.toSet == Set("b", "d"))
+    val got = spark.read.parquet(dir)
+      .select("id", "p", "payload").as[(Long, String, String)]
+      .collect().toSet
+    assert(got == Set((1L, "a", "v1"), (2L, "a", "v2"), (3L, "b", "v3-NEW"),
+      (4L, "b", "v4"), (5L, "c", "v5"), (10L, "d", "v10")))
+    // partitions a and c were not touched: same paths, sizes, mtimes
+    val after = listFiles(dir)
+    val untouched = before.filter(f =>
+      f._1.contains("p=a") || f._1.contains("p=c"))
+    untouched.foreach { case (path, meta) =>
+      assert(after.get(path).contains(meta), s"rewritten: $path")
+    }
+    // and partition b's files DID change (old file replaced)
+    assert(before.keys.filter(_.contains("p=b")).forall(!after.contains(_)))
+  }
+
+  test("mergeUpsert: idempotent — re-merging the same updates is a " +
+    "no-op on the final state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrg2").toString +
+      "/tbl"
+    Seq((1L, "a", "v1"), (2L, "b", "v2")).toDF("id", "p", "payload")
+      .write.partitionBy("p").parquet(dir)
+    val updates = Seq((2L, "b", "v2-NEW")).toDF("id", "p", "payload")
+    Merge.mergeUpsert(spark, dir, updates, Seq("id"), "p")
+    val first = spark.read.parquet(dir)
+      .select("id", "p", "payload").as[(Long, String, String)]
+      .collect().toSet
+    Merge.mergeUpsert(spark, dir, updates, Seq("id"), "p")
+    val second = spark.read.parquet(dir)
+      .select("id", "p", "payload").as[(Long, String, String)]
+      .collect().toSet
+    assert(first == second)
+    assert(second == Set((1L, "a", "v1"), (2L, "b", "v2-NEW")))
+  }
+
+  test("mergeUpsert: empty updates touch nothing; partCol as key is " +
+    "rejected (stranded-row hazard)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrg3").toString +
+      "/tbl"
+    Seq((1L, "a", "v1")).toDF("id", "p", "payload")
+      .write.partitionBy("p").parquet(dir)
+    val before = listFiles(dir)
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "p", "payload")
+    assert(Merge.mergeUpsert(spark, dir, empty, Seq("id"), "p").isEmpty)
+    assert(listFiles(dir) == before)
+    intercept[IllegalArgumentException] {
+      Merge.mergeUpsert(spark, dir,
+        Seq((1L, "a", "x")).toDF("id", "p", "payload"), Seq("id", "p"), "p")
+    }
+  }
+}

@@ -790,7 +790,7 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
         "doc_id", "text", threshold = 0.5, shingleN = 3,
-        numHashes = 32, bands = 16, expectedShingles = 1L << 20)
+        numHashes = 32, bands = 16) // bloom auto-sized from eval
     }),
 
     // ---- training-data ops: EXACT 13-gram containment contamination

@@ -211,7 +211,7 @@ object Dedup {
                          idCol: String, textCol: String, threshold: Double,
                          shingleN: Int = 3, numHashes: Int = 32,
                          bands: Int = 16, maxBucket: Int = 1000,
-                         expectedShingles: Long = 1L << 22,
+                         expectedShingles: Long = -1L,
                          fpp: Double = 0.03): DataFrame =
     crossCorpusNearDuplicates(
       bloomPrune(train, evalSet, textCol, threshold, shingleN,
@@ -246,17 +246,28 @@ object Dedup {
   }
 
   /** The prune stage of [[decontaminateBloom]], exposed for its spec:
-    * train rows whose bloom hit-count reaches the overlap bound. */
+    * train rows whose bloom hit-count reaches the overlap bound.
+    * `expectedShingles <= 0` sizes the bloom from the eval side's
+    * ACTUAL shingle count (one cheap narrow agg over the SMALL corpus;
+    * the raw count upper-bounds the distinct count, so the realized
+    * fpp only improves): a fixed guess oversized 10-100× inflates the
+    * filter literal the plan ships to every task — measured 0.9 MB at
+    * a 1M guess vs 60 KB right-sized at sf0.1, with the whole
+    * difference paid in per-task deserialization and cache misses on
+    * every might_contain probe. */
   private[graft] def bloomPrune(train: DataFrame, evalSet: DataFrame,
                                 textCol: String, threshold: Double,
                                 shingleN: Int, expectedShingles: Long,
                                 fpp: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val eps = 1e-9
-    val bf = evalSet
+    val evalHashes = evalSet
       .select(explode(shingles(col(textCol), shingleN)).as("s"))
       .select(xxhash64(col("s")).as("h"))
-      .stat.bloomFilter("h", expectedShingles, fpp)
+    val sized =
+      if (expectedShingles > 0) expectedShingles
+      else math.max(64L, evalHashes.count())
+    val bf = evalHashes.stat.bloomFilter("h", sized, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)

@@ -665,6 +665,16 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
     }),
 
+    // ---- training-data ops: sliding-window chunking with overlap
+    // (64-token windows every 48 — the context-window/RAG passage
+    // prep). One tokenization, narrow explode, no shuffle. ----
+    "t_chunk_overlap" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.chunkOverlap(col("text"), 64, 48)).as("ch"))
+        .select(col("doc_id"), col("ch.chunk_idx"),
+          col("ch.n_chunk_tokens"), col("ch.chunk_text"))),
+
     // ---- training-data ops: unigram LM surprise (CCNet-style quality
     // signal) — corpus unigram distribution, per-doc mean -ln p(token)
     // with round-6 + decimal accumulation for engine determinism ----
@@ -1568,6 +1578,21 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |       ORDER BY tfidf DESC, term) AS INT) AS rnk
         |FROM scored QUALIFY rnk <= 3""".stripMargin,
+
+    "t_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, ts,
+        |    unnest(range(0, CAST(ceil(len(ts) / 48.0) AS INT))) AS ci
+        |  FROM toks WHERE len(ts) > 0)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(LEAST(64, len(ts) - ci * 48) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(ts[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
+        |FROM ch""".stripMargin,
 
     "t_unigram_logprob" ->
       """WITH toks AS (

@@ -282,6 +282,38 @@ object TextOps {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Sliding-window token chunking with overlap — the context-window
+    * prep step (training sequences, RAG passages): windows of
+    * `chunkTokens` tokens starting every `strideTokens` (stride <
+    * chunk ⇒ adjacent chunks overlap by chunk − stride tokens). A
+    * window starts at every stride multiple below the token count, so
+    * trailing chunks may be short; zero-token docs yield no chunks.
+    * Returns array<struct(chunk_idx, n_chunk_tokens, chunk_text)> to
+    * explode — ONE tokenization per row (bind-once lambda), narrow,
+    * shuffle-free. The off-by-one-safe empty case: sequence always
+    * emits 0..nChunks then slice keeps the first nChunks, so an empty
+    * doc takes the same typed path instead of a when-branch needing a
+    * typed empty-array literal. */
+  def chunkOverlap(c: Column, chunkTokens: Int,
+                   strideTokens: Int): Column = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      "need 1 <= strideTokens <= chunkTokens")
+    element_at(transform(array(tokens(c)), ts => {
+      val nChunks = when(size(ts) === 0, lit(0)).otherwise(
+        ceil(size(ts).cast("double") / strideTokens).cast("int"))
+      slice(
+        transform(sequence(lit(0), nChunks), i => struct(
+          i.cast("int").as("chunk_idx"),
+          greatest(lit(0),
+            least(lit(chunkTokens), size(ts) - i * strideTokens))
+            .cast("long").as("n_chunk_tokens"),
+          array_join(slice(ts, i * strideTokens + 1, lit(chunkTokens)), " ")
+            .as("chunk_text"))),
+        lit(1), nChunks)
+    }), 1)
+  }
+
   /** TF-IDF per (doc, term): tf = term count in doc, idf = ln(N / df)
     * with df = docs containing the term (plain idf, no smoothing — df
     * ≥ 1 by construction so the log is always defined). Shape: one

@@ -506,6 +506,27 @@ class TextSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("chunkOverlap: overlapping windows, short tail, empty doc, " +
+       "exact partition at stride == chunk") {
+    val docs = Seq((1L, "a b c d e"), (2L, ""), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        explode(TextOps.chunkOverlap(col("text"), 3, 2)).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx"), col("ch.n_chunk_tokens"),
+        col("ch.chunk_text"))
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0, 3L, "a b c"),
+      (1L, 1, 3L, "c d e"),  // overlap of chunk - stride = 1 token ("c")
+      (1L, 2, 1L, "e"),      // trailing short window
+      (3L, 0, 1L, "x")))     // doc 2 (zero tokens) yields no chunks
+    // stride == chunk: chunks partition the token stream exactly
+    val part = docs.filter("doc_id = 1")
+      .select(explode(TextOps.chunkOverlap(col("text"), 2, 2)).as("ch"))
+      .select(col("ch.chunk_text")).as[String].collect().toSeq
+    assert(part == Seq("a b", "c d", "e"))
+  }
+
   test("unigramSurprise: mean -ln p(token) under corpus frequencies") {
     // corpus: a×3, b×1, c×1 (T=5); surprise(a)=-ln(3/5)=0.510826,
     // surprise(b)=surprise(c)=-ln(1/5)=1.609438

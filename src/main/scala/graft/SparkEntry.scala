@@ -908,6 +908,18 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // ---- similarity: int8 scalar quantization of the embedding
+    // column + reconstruction error — the compression step before ANN
+    // serving (codes + 2 floats per vector instead of dim floats).
+    // Narrow, shuffle-free; explicit floor(x+0.5) rounding so the
+    // DuckDB oracle shares the rule. ----
+    "e_quantize_int8" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.codes"), col("q.mean_abs_err"),
+          col("q.max_abs_err"))),
+
     // ---- similarity: threshold pairs blocked by label ----
     "e_sim_pairs" -> ((s, dir) =>
       Similarity.thresholdPairsByLabel(t(s, dir, "embeddings"),
@@ -2104,6 +2116,32 @@ object SparkEntry {
         |FROM assign a, q
         |WHERE a.cell IN (SELECT cell FROM probed)
         |ORDER BY cos_sim DESC, neighbor_id LIMIT 10""".stripMargin,
+
+    "e_quantize_int8" ->
+      """WITH p AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |    CAST(list_max(embedding) AS DOUBLE) AS hi,
+        |    (CAST(list_max(embedding) AS DOUBLE)
+        |     - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sc
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  array_to_string(list_transform(embedding, x ->
+        |    CAST(CASE WHEN hi = lo THEN 0 ELSE
+        |      LEAST(255, GREATEST(0,
+        |        CAST(floor((CAST(x AS DOUBLE) - lo) / sc + 0.5) AS INT)))
+        |    END AS VARCHAR)), ',') AS codes,
+        |  ROUND(list_sum(list_transform(embedding, x ->
+        |    abs(CAST(x AS DOUBLE) - (lo + CAST(CASE WHEN hi = lo THEN 0 ELSE
+        |      LEAST(255, GREATEST(0,
+        |        CAST(floor((CAST(x AS DOUBLE) - lo) / sc + 0.5) AS INT)))
+        |    END AS DOUBLE) * sc)))) / len(embedding), 6) AS mean_abs_err,
+        |  ROUND(list_max(list_transform(embedding, x ->
+        |    abs(CAST(x AS DOUBLE) - (lo + CAST(CASE WHEN hi = lo THEN 0 ELSE
+        |      LEAST(255, GREATEST(0,
+        |        CAST(floor((CAST(x AS DOUBLE) - lo) / sc + 0.5) AS INT)))
+        |    END AS DOUBLE) * sc)))), 6) AS max_abs_err
+        |FROM p""".stripMargin,
 
     // Same index arithmetic as e_ivf_topk generalized to a BATCH of
     // queries (every 100th vector), each probing its own top-8 cells.

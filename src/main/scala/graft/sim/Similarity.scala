@@ -190,6 +190,39 @@ object Similarity {
       .select("id1", "id2", "cos_sim")
   }
 
+  /** Per-vector int8 scalar quantization (min-max, 256 levels) with
+    * reconstruction-error report — the 4× storage/bandwidth compression
+    * step before ANN serving at 100 TB (codes + two floats replace the
+    * float vector; error is bounded by scale/2 per dimension). Rounding
+    * is floor(x + 0.5) written EXPLICITLY so both engines share one
+    * rule (bare round() differs: Spark HALF_UP vs DuckDB's
+    * half-away-from-zero on doubles); lo/hi/scale are bound once via
+    * the array(struct(...)) lambda trick (an outer array_min inside a
+    * per-element lambda would re-scan the vector per element — no
+    * codegen CSE). Constant vectors (hi == lo) quantize to code 0 with
+    * zero error. Returns struct(codes, mean_abs_err, max_abs_err);
+    * codes as a comma-joined string so the result is hash-comparable
+    * across engines. */
+  def quantizeInt8(vec: Column): Column =
+    element_at(transform(array(struct(
+        array_min(vec).as("l"), array_max(vec).as("h"))), m => {
+      val lo = m("l").cast("double")
+      val hi = m("h").cast("double")
+      val sc = (hi - lo) / 255.0
+      def code(x: Column): Column =
+        when(hi === lo, lit(0)).otherwise(
+          least(lit(255), greatest(lit(0),
+            floor((x.cast("double") - lo) / sc + 0.5).cast("int"))))
+      val errs = transform(vec, x =>
+        abs(x.cast("double") - (lo + code(x).cast("double") * sc)))
+      struct(
+        array_join(transform(vec, x => code(x).cast("string")), ",")
+          .as("codes"),
+        round(aggregate(errs, lit(0.0), (a, e) => a + e) / size(vec), 6)
+          .as("mean_abs_err"),
+        round(array_max(errs), 6).as("max_abs_err"))
+    }), 1)
+
   // ---- IVF (inverted-file) ANN: the coarse-quantizer scale path ----
 
   /** Deterministic IVF coarse centroids: the vectors of the `nlist` ids

@@ -358,6 +358,28 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("quantizeInt8: exact levels exact, error bounded by scale/2, " +
+       "constant vector -> code 0 / zero error") {
+    val d = Seq(
+      (1L, Seq(0.0f, 51.0f, 255.0f)), // scale = 1: every value on-grid
+      (2L, Seq(3.0f, 3.0f)),          // constant: hi == lo
+      (3L, Seq(-1.0f, 0.3f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = d.select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.codes"), col("q.mean_abs_err"),
+        col("q.max_abs_err"))
+      .as[(Long, String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("0,51,255", 0.0, 0.0)))
+    assert(out(2L) == (("0,0", 0.0, 0.0)))
+    val (codes3, mean3, max3) = out(3L)
+    assert(codes3.split(",").head == "0" && codes3.split(",").last == "255")
+    // per-dim error bound: half a quantization step (+ round-6 slack)
+    val step = 2.0 / 255.0
+    assert(max3 <= step / 2 + 1e-6 && mean3 <= max3)
+  }
+
   test("thresholdPairsByLabel blocks by label and filters by cosine") {
     val out = Similarity.thresholdPairsByLabel(df, "vec_id", "embedding",
       "label", threshold = 0.9)

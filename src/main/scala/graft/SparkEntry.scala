@@ -665,6 +665,15 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
     }),
 
+    // ---- training-data ops: deterministic per-domain quota — keep at
+    // most 15 docs per source in portable-hash order (the crawl-
+    // curation "max N per host" policy; unbiased and reproducible
+    // across engines/runs, unlike ingestion-order caps). ----
+    "t_cap_per_domain" -> ((s, dir) =>
+      TextOps.capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        groupCols = Seq("source"), idCol = "doc_id", maxRows = 15)),
+
     // ---- training-data ops: sliding-window chunking with overlap
     // (64-token windows every 48 — the context-window/RAG passage
     // prep). One tokenization, narrow explode, no shuffle. ----
@@ -1590,6 +1599,13 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |       ORDER BY tfidf DESC, term) AS INT) AS rnk
         |FROM scored QUALIFY rnk <= 3""".stripMargin,
+
+    "t_cap_per_domain" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647,
+        |             doc_id) AS rn
+        |  FROM documents) WHERE rn <= 15""".stripMargin,
 
     "t_chunk_overlap" ->
       """WITH toks AS (

@@ -218,6 +218,29 @@ object TextOps {
     pmod(pmod(idCol.cast("long"), lit(2147483647L)) * 2654435761L,
       lit(2147483647L))
 
+  /** Deterministic per-group quota (row-count cap): keep at most
+    * `maxRows` rows per group, chosen in PORTABLE-HASH order of
+    * `idCol` — an unbiased, engine- and run-reproducible sample, the
+    * "at most N docs per domain/host" cap every crawl-curation policy
+    * needs (hash order ≠ ingestion order, so the kept set is stable
+    * under re-partitioning and doesn't privilege early-crawled rows).
+    * Distinct from [[graft.text.Dedup.capBuckets]], which DROPS
+    * oversize groups wholesale (an LSH safety valve, not a sampler).
+    * One window over the group key; row_number's buffer is spillable,
+    * and for pathologically hot groups the hierarchical-shard recipe
+    * in [[mixCorpus]] applies. */
+  def capPerGroup(df: org.apache.spark.sql.DataFrame,
+                  groupCols: Seq[String], idCol: String,
+                  maxRows: Int): org.apache.spark.sql.DataFrame = {
+    require(maxRows >= 1, "maxRows must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(portableHash(col(idCol)), col(idCol))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= maxRows)
+      .drop("__graft_rn")
+  }
+
   /** Domain-weighted corpus mixing: the deterministic greedy fill that
     * turns raw per-domain corpora into a training mix — keep documents
     * of each domain, in portable-hash order, until that domain's share

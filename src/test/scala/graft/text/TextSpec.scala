@@ -506,6 +506,24 @@ class TextSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("capPerGroup: quota enforced, kept set is partitioning-invariant " +
+       "(hash order, not ingestion order)") {
+    val df = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val kept = TextOps.capPerGroup(df, Seq("g"), "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept.size == 30)
+    val counts = TextOps.capPerGroup(df, Seq("g"), "id", 10)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 10))
+    // same rows kept regardless of physical layout
+    val keptShuffled = TextOps.capPerGroup(df.repartition(7), Seq("g"),
+      "id", 10).select("id").as[Long].collect().toSet
+    assert(kept == keptShuffled)
+    // under-quota groups keep everything
+    val small = Seq((1L, "a"), (2L, "a")).toDF("id", "g")
+    assert(TextOps.capPerGroup(small, Seq("g"), "id", 10).count() == 2)
+  }
+
   test("chunkOverlap: overlapping windows, short tail, empty doc, " +
        "exact partition at stride == chunk") {
     val docs = Seq((1L, "a b c d e"), (2L, ""), (3L, "x"))

@@ -42,6 +42,13 @@ object SparkEntry {
   private val stagedTwoTierDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM cache of the streaming-upsert staging (source dir with two
+    * mod-time-ordered file groups: originals, then revisions; sink dir
+    * the stream merges into). Replays converge: a re-run's batch 1
+    * re-merges the originals, batch 2 re-applies the revisions. */
+  private val stagedUpsert =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
   /** Per-JVM cache of the merge-upsert base table dir (hive-partitioned
     * documents staging; the merge itself is idempotent, so re-running
     * the query against the mutated base converges to the same state). */
@@ -874,6 +881,46 @@ object SparkEntry {
       })
       Similarity.ivfTopKIndexed(s, path, q, 10, nprobe = 8,
         centroids = cents)
+    }),
+
+    // ---- S7: CDC-style STREAMING upsert sink — two micro-batches
+    // (originals, then revisions of every 50th event) merge into a
+    // hive-partitioned table via foreachBatch + mergeUpsert; batch 1
+    // creates the table, batch 2 rewrites only the touched partitions.
+    // Oracle recomputes the final table state from the source. ----
+    "s7_stream_upsert" -> ((s, dir) => {
+      val (in, sink) = stagedUpsert.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_upsert")
+        val e = t(s, dir, "events")
+        e.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+        e.filter(col("event_id") % 50 === 0)
+          .withColumn("value", col("value") + 1000.0)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/rev")
+        // one source dir, controlled mod-time order: originals oldest
+        val inDir = java.nio.file.Paths.get(tmp, "in")
+        val now = System.currentTimeMillis()
+        val listIn = java.nio.file.Files.list(inDir)
+        try listIn.forEach(p => p.toFile.setLastModified(now - 600000L))
+        finally listIn.close()
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, "rev"))
+        try ls.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".")) {
+            val dst = inDir.resolve(s"rev-$n")
+            java.nio.file.Files.copy(p, dst)
+            dst.toFile.setLastModified(now); ()
+          }
+        } finally ls.close()
+        (inDir.toString, s"$tmp/sink")
+      })
+      val ckpt = tempDir("graft_upsert_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.EventStreams.upsertStream(stream, sink,
+        keys = Seq("event_id"), partCol = "event_type", orderCol = "ts",
+        queryName = s"up_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt")
+      s.read.parquet(sink).select("event_id", "event_type", "value")
     }),
 
     // ---- S6: keyed MERGE (SCD1 upsert) into a hive-partitioned
@@ -2440,6 +2487,14 @@ object SparkEntry {
         |  CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
         |  CAST(COUNT(*) - SUM(corrupt) AS BIGINT) AS n_good
         |FROM j GROUP BY lang""".stripMargin,
+
+    // Recomputes the streamed-upsert final table state: revised events
+    // carry the batch-2 value, everything else the original.
+    "s7_stream_upsert" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_id % 50 = 0 THEN value + 1000.0 ELSE value END
+        |    AS value
+        |FROM events""".stripMargin,
 
     // Recomputes the post-merge table state from the source: updates
     // replace same-key rows, inserts add new keys.

@@ -48,6 +48,16 @@ object Merge {
     val touched = updates.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return Nil
+    // first merge into a not-yet-existing table CREATES it (the sink
+    // case: a streaming upsert's first micro-batch) — nothing to read,
+    // nothing to anti-join
+    val fsPath = new org.apache.hadoop.fs.Path(basePath)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(fsPath)) {
+      updates.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(basePath)
+      return touched
+    }
     val base = spark.read.parquet(basePath)
     val survivors = base.filter(col(partCol).isin(touched: _*))
       .join(updates, keys, "left_anti")

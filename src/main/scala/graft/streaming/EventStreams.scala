@@ -171,6 +171,39 @@ object EventStreams {
         s"r.$tsCol <= l.$tsCol + INTERVAL $within"))
   }
 
+  /** CDC-style streaming UPSERT sink: every micro-batch MERGES into the
+    * hive-partitioned parquet table at `basePath` by `keys` — revisions
+    * replace, new keys insert, only touched partitions are rewritten
+    * (foreachBatch over [[graft.ops.Merge.mergeUpsert]]; the first
+    * batch creates the table). Within a batch, duplicate keys keep the
+    * highest-`orderCol` row (a batch is unordered — without the
+    * in-batch dedup, duplicate update keys would all land).
+    * Delivery: at-least-once into an idempotent merge — a replayed
+    * batch (restart between sink write and checkpoint commit)
+    * re-merges the same rows onto the same keys, so the final state is
+    * exactly-once even though the write isn't. Per-batch cost is
+    * O(touched partitions), which is what makes continuous upsert into
+    * a 100 TB table viable — the stream never rewrites the table, only
+    * the partitions its keys live in. `partCol` must be stable under
+    * revisions (mergeUpsert's contract). */
+  def upsertStream(events: DataFrame, basePath: String, keys: Seq[String],
+                   partCol: String, orderCol: String, queryName: String,
+                   checkpoint: String): Unit = {
+    val q = events.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = graft.ops.WindowOps.dedupKeepLast(batch, keys,
+          Seq(col(orderCol)))
+        graft.ops.Merge.mergeUpsert(batch.sparkSession, basePath, deduped,
+          keys, partCol)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming transform over a static directory incrementally and
     * collect the result into a memory table (AvailableNow: process what
     * exists, then stop — the reference's batch jobs become restartable

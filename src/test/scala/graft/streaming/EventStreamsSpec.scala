@@ -114,6 +114,58 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.select("event_id").as[Long].collect().toSet == Set(0L, 1L, 2L))
   }
 
+  test("upsertStream: per-batch merge — create, revise, insert; " +
+       "in-batch duplicate keys keep the latest; replay converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups").toString
+    val in = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    // batch 1: creates the table (incl. an in-batch duplicate of key 1 —
+    // the later-ts row must win)
+    Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-01 00:20:00"), 1L, "view", 1.5, "{}"),
+      (2L, ts("2024-01-01 00:30:00"), 2L, "click", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    // batch 2: revises key 2, inserts key 3 (new partition value)
+    Seq(
+      (2L, ts("2024-01-01 01:00:00"), 2L, "click", 20.0, "{}"),
+      (3L, ts("2024-01-01 01:10:00"), 3L, "buy", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b2")
+    val now = System.currentTimeMillis()
+    def stage(sub: String, prefix: String, mtime: Long): Unit = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir, sub))
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".")) {
+          val dst = java.nio.file.Paths.get(in, s"$prefix-$n")
+          java.nio.file.Files.copy(p, dst)
+          dst.toFile.setLastModified(mtime); ()
+        }
+      } finally ls.close()
+    }
+    stage("b1", "b1", now - 60000L)
+    stage("b2", "b2", now)
+    val sink = s"$dir/sink"
+    def run(ck: String): Set[(Long, String, Double)] = {
+      EventStreams.upsertStream(
+        EventStreams.readStream(spark, in,
+          options = Map("maxFilesPerTrigger" -> "1")),
+        sink, keys = Seq("event_id"), partCol = "event_type",
+        orderCol = "ts", queryName = s"ups_${System.nanoTime()}",
+        checkpoint = ck)
+      spark.read.parquet(sink).select("event_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSet
+    }
+    val expected = Set((1L, "view", 1.5), (2L, "click", 20.0),
+      (3L, "buy", 3.0))
+    assert(run(s"$dir/ck1") == expected)
+    // replay from scratch (fresh checkpoint, existing sink) converges
+    assert(run(s"$dir/ck2") == expected)
+  }
+
   test("live sessionize evicts idle users via processing-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

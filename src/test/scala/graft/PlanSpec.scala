@@ -119,4 +119,34 @@ class PlanSpec extends SparkSpec {
       "bloom filter should appear BELOW (after, in toString order) the " +
         "band exchange:\n" + plan.take(1500))
   }
+
+  test("rollingMeans: row frame and time-range frame share ONE exchange") {
+    val df = SparkEntry.queries("w7_rolling")(spark, dir)
+    val plan = planOf(df)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size == 1, plan.take(1500))
+    // both frame kinds present
+    assert(plan.contains("RowFrame") && plan.contains("RangeFrame"),
+      plan.take(1500))
+  }
+
+  test("winsorize: bounds broadcast back; the fact side never shuffles") {
+    val df = SparkEntry.queries("a13_winsorize")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    // the only hash exchange feeds the groups-sized percentile agg
+    // (inside the broadcast subtree), not the lineitem fact scan
+    val bcast = plan.indexOf("BroadcastExchange")
+    val hashEx = plan.indexOf("Exchange hashpartitioning")
+    assert(bcast >= 0 && hashEx > bcast, plan.take(1500))
+  }
+
+  test("ivfKnnJoin: per-query top-k runs as a rank-limit pushdown " +
+       "(WindowGroupLimit), one query-keyed exchange") {
+    val df = SparkEntry.queries("e_ivf_knn_join")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert("Exchange hashpartitioning\\(query_id".r
+      .findAllIn(plan).size == 1, plan.take(1500))
+  }
 }

@@ -300,6 +300,25 @@ object SparkEntry {
           col("asof_orderkey"))
     }),
 
+    // ---- as-of join with a STALENESS BOUND: like j8_asof, but a
+    // match older than the tolerance attaches null (the "latest lab
+    // within N hours, else missing" rule). The 725Ms tolerance sits at
+    // the fixture's median match age, so BOTH outcomes occur. ----
+    "j10_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id").as("ckey"))
+      val ord = WindowOps.dedupKeepLast(t(s, dir, "orders"),
+          keys = Seq("o_custkey", "o_orderdate"),
+          orderBy = Seq(col("o_orderkey")))
+        .select(col("o_custkey").as("ckey"), col("o_orderdate"),
+          col("o_orderkey").as("asof_orderkey"))
+      Joins.asOfJoinTolerance(ev, ord, Seq("ckey"), "ts", "o_orderdate",
+          Seq("asof_orderkey"), toleranceSeconds = 725000000L,
+          matchedTimeCol = "matched_date")
+        .select(col("event_id"), col("ckey").as("user_id"),
+          col("asof_orderkey"), col("matched_date"))
+    }),
+
     // ---- interval (range) join: shipments inside each order's 90-day
     // window, via the time-binned equi-join (Joins.rangeJoin) ----
     "j9_range" -> ((s, dir) => {
@@ -396,6 +415,25 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_extendedprice")),
         "l_extendedprice", Seq("l_returnflag"), 0.05, 0.95)),
+
+    // ---- A14: robust outlier profile (median/MAD, modified z-score)
+    // — heavy-tail-safe QC next to a10_boxstats; 392 real outliers in
+    // events.value at sf0.01 (non-vacuous) ----
+    "a14_robust_outliers" -> ((s, dir) =>
+      Quality.robustOutliers(t(s, dir, "events"), "value",
+        Seq("event_type"))),
+
+    // ---- W8: ratio-to-report — each line's share of its group total
+    // (decimal-exact denominator, one window over the group key) ----
+    "w8_share" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice"),
+        round(col("l_extendedprice") /
+          sum(col("l_extendedprice").cast("decimal(30,2)")).over(w)
+            .cast("double"), 9).as("share"))
+    }),
 
     // ---- §2.4 grouping sets: one pass producing per-(region, nation)
     // revenue PLUS per-region and grand-total rollup rows — the
@@ -1474,6 +1512,28 @@ object SparkEntry {
         |ASOF LEFT JOIN ord o
         |  ON e.user_id = o.ckey AND e.ts >= o.o_orderdate""".stripMargin,
 
+    "j10_asof_tolerance" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS ckey, o_orderdate, o_orderkey AS asof_orderkey
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |          ORDER BY o_orderkey DESC) AS rn FROM orders)
+        |  WHERE rn = 1),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.asof_orderkey, o.o_orderdate
+        |  FROM events e
+        |  ASOF LEFT JOIN ord o
+        |    ON e.user_id = o.ckey AND e.ts >= o.o_orderdate)
+        |SELECT event_id, user_id,
+        |  CASE WHEN o_orderdate IS NULL OR
+        |    floor(epoch(ts)) - floor(epoch(CAST(o_orderdate AS TIMESTAMP)))
+        |      > 725000000
+        |    THEN NULL ELSE asof_orderkey END AS asof_orderkey,
+        |  CASE WHEN o_orderdate IS NULL OR
+        |    floor(epoch(ts)) - floor(epoch(CAST(o_orderdate AS TIMESTAMP)))
+        |      > 725000000
+        |    THEN NULL ELSE o_orderdate END AS matched_date
+        |FROM j""".stripMargin,
+
     "j9_range" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1569,6 +1629,29 @@ object SparkEntry {
         |  ROUND(LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi), 6)
         |    AS winsorized
         |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
+
+    "a14_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type AS g, ROUND(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT m.g, e.value, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m ON e.event_type = m.g),
+        |mad AS (
+        |  SELECT g, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+        |  FROM dev GROUP BY g)
+        |SELECT d.g AS event_type, med.med, mad.mad, COUNT(d.value) AS n,
+        |  CAST(SUM(CASE WHEN mad.mad > 0 AND 0.6745 * d.dev > 3.5 * mad.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN med ON d.g = med.g JOIN mad ON d.g = mad.g
+        |GROUP BY d.g, med.med, mad.mad""".stripMargin,
+
+    "w8_share" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |  ROUND(l_extendedprice /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)))
+        |      OVER (PARTITION BY l_returnflag) AS DOUBLE), 9) AS share
+        |FROM lineitem""".stripMargin,
 
     "a12_rollup" ->
       """SELECT r_name, n_name,

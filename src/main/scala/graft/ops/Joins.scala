@@ -114,6 +114,40 @@ object Joins {
         payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 
+  /** [[asOfJoin]] with a STALENESS BOUND (max lookback): a match whose
+    * right time lies more than `toleranceSeconds` before the left time
+    * counts as NO match — payload comes back null, exactly like a left
+    * row with no prior right row. The clinical "latest lab within N
+    * hours, else missing" rule (a 2-day-old lab is not the current
+    * value), and the sensor-staleness guard of any LOCF feature. Also
+    * attaches the matched right time as `matchedTimeCol` (null when out
+    * of tolerance or absent) for age auditing. Same single-exchange
+    * union+LOCF plan as [[asOfJoin]]; the staleness test is a narrow
+    * post-projection on floor-epoch seconds (the cross-engine grid —
+    * see WindowOps.rollingMeans). Same right-side uniqueness contract
+    * as asOfJoin. */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame,
+                        keys: Seq[String], leftTime: String,
+                        rightTime: String, payload: Seq[String],
+                        toleranceSeconds: Long,
+                        matchedTimeCol: String = "matched_time")
+      : DataFrame = {
+    require(toleranceSeconds >= 0, "toleranceSeconds must be >= 0")
+    require(!payload.contains(matchedTimeCol),
+      s"payload already contains $matchedTimeCol")
+    val rt = right.withColumn(matchedTimeCol, col(rightTime))
+    val joined = asOfJoin(left, rt, keys, leftTime, rightTime,
+      payload :+ matchedTimeCol)
+    def secs(c: Column): Column =
+      c.cast("timestamp_ltz").cast("long") // floor-epoch, NTZ-safe
+    val stale = col(matchedTimeCol).isNull ||
+      secs(col(leftTime)) - secs(col(matchedTimeCol)) > toleranceSeconds
+    // null the payload first, the matched time last: the staleness test
+    // reads the matched time, so it must survive until the final column
+    (payload :+ matchedTimeCol).foldLeft(joined)((d, p) =>
+      d.withColumn(p, when(stale, lit(null)).otherwise(col(p))))
+  }
+
   /** Interval (range) join: left events matched to right intervals
     * containing them — `leftTime in [startCol, endCol)` within the same
     * key. With an equi-key present this is a plain shuffle join + range

@@ -87,6 +87,35 @@ object Quality {
       .withColumn("bin_hi", round((col("bin") + 1) * binWidth, 6))
   }
 
+  /** Robust outlier profile per group: median, MAD (median absolute
+    * deviation), and the count of modified-z-score outliers
+    * (Iglewicz–Hoaglin rule: 0.6745·|x − med| > 3.5·MAD) — the
+    * QC-distribution complement to [[boxStats]] when the data is
+    * heavy-tailed (mean/stddev are themselves dragged by the outliers
+    * they're supposed to flag; median/MAD are 50%-breakdown robust).
+    * Zero-MAD groups (over half the values identical) report 0
+    * outliers. Shape: two exact-percentile aggregates (groups-sized
+    * outputs broadcast back) + one counting aggregate; med and MAD are
+    * rounded to the 6-decimal cross-engine grid BEFORE the outlier
+    * comparison so both engines test identical bounds. */
+  def robustOutliers(df: DataFrame, valueCol: String,
+                     by: Seq[String]): DataFrame = {
+    val v = col(valueCol)
+    def med50(c: Column): Column =
+      round(call_function("percentile", c, lit(0.5)), 6)
+    val med = df.groupBy(by.map(col): _*).agg(med50(v).as("med"))
+    val dev = df.join(broadcast(med), by)
+      .withColumn("__dev", abs(v - col("med")))
+    val mad = dev.groupBy(by.map(col): _*)
+      .agg(med50(col("__dev")).as("mad"))
+    dev.join(broadcast(mad), by)
+      .groupBy((by.map(col) :+ col("med") :+ col("mad")): _*)
+      .agg(count(v).cast("long").as("n"),
+        sum((col("mad") > 0 &&
+          lit(0.6745) * col("__dev") > lit(3.5) * col("mad")).cast("long"))
+          .as("n_outliers"))
+  }
+
   /** Winsorization: clamp `valueCol` to its per-group exact percentile
     * bounds [loPct, hiPct] — the outlier-robust cleaning step before
     * feature extraction (the reference clamps by fixed physiologic

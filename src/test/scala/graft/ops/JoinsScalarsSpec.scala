@@ -35,6 +35,25 @@ class JoinsScalarsSpec extends SparkSpec {
     assert(out == (Some("new_a"), None))
   }
 
+  test("asOfJoinTolerance: stale matches null out, fresh ones attach " +
+    "with their matched time") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 500L), (3L, 20L, 100L))
+      .toDF("eid", "k", "t")
+      .withColumn("t", timestamp_seconds(col("t")))
+    val right = Seq((10L, 90L, "a"), (10L, 120L, "b"))
+      .toDF("k", "rt", "payload")
+      .withColumn("rt", timestamp_seconds(col("rt")))
+    val out = Joins.asOfJoinTolerance(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), toleranceSeconds = 60)
+      .select("eid", "payload", "matched_time")
+      .as[(Long, Option[String], Option[java.sql.Timestamp])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some("a"),
+      Some(new java.sql.Timestamp(90L * 1000))))) // age 10s, fresh
+    assert(out(2L) == ((None, None))) // latest match (rt=120) is 380s old
+    assert(out(3L) == ((None, None))) // no right rows at all
+  }
+
   test("rangeJoin: equals the naive range-filter join, bins transparent") {
     val events = Seq(
       (1L, 5L, 100L), (2L, 5L, 1000L), (3L, 5L, 5000L), (4L, 6L, 100L)

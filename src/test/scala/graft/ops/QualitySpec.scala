@@ -62,6 +62,23 @@ class QualitySpec extends SparkSpec {
     assert(r.getDouble(7) == -3.0 && r.getDouble(8) == 13.0)
   }
 
+  test("robustOutliers: median/MAD, modified z-score count, zero-MAD " +
+       "group reports none") {
+    // group g: median 5.5; devs from it have median (MAD) 2.5;
+    // only 1000 (dev 994.5) passes 0.6745*dev > 3.5*2.5
+    val g = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0)
+      .map(("g", _))
+    // group h: >half identical -> MAD 0 -> no outliers by convention
+    val h = Seq(5.0, 5.0, 5.0, 99.0).map(("h", _))
+    val out = Quality.robustOutliers((g ++ h).toDF("grp", "v"), "v",
+        Seq("grp"))
+      .select("grp", "med", "mad", "n", "n_outliers")
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("g") == ((5.5, 2.5, 10L, 1L)))
+    assert(out("h") == ((5.0, 0.0, 4L, 0L)))
+  }
+
   test("winsorize: clamps to per-group exact percentile bounds") {
     // group g: 1..21 -> p10 = 3.0, p90 = 19.0 (exact interpolation on
     // 21 points lands on integers); group h is untouched by g's bounds

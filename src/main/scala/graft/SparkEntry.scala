@@ -876,6 +876,32 @@ object SparkEntry {
         Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16))),
 
+    // ---- training-data ops: dedup canonicalization that keeps the
+    // BEST copy — near-dup clusters (LSH + connected components), then
+    // per cluster keep the highest-QUALITY member (tie -> lowest id),
+    // singletons keep themselves. Real pipelines keep the best copy,
+    // not the lowest id; one extra window over the cluster key. ----
+    "t_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5,
+          shingleN = 3, numHashes = 32, bands = 16))
+      val assigned = docs.select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("q"))
+        .join(clusters.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val byCluster = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+      assigned
+        .withColumn("__rn", row_number().over(
+          byCluster.orderBy(col("q").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(byCluster).cast("long"))
+        .filter(col("__rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+          col("q"), col("n_members"))
+    }),
+
     // ---- similarity: brute-force cosine top-k for one query vector ----
     "e_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2140,6 +2166,52 @@ object SparkEntry {
         |  UNION
         |  SELECT e.id1, reach.r FROM edges e JOIN reach ON e.id2 = reach.id)
         |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // t_dedup_clusters' brute-force clustering + t_curate's quality
+    // formula, canonicalized per cluster by (quality desc, id).
+    "t_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tl
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id,
+        |    ROUND(
+        |      0.4 * (CASE WHEN len(tk) BETWEEN 20 AND 100000 THEN 1.0
+        |                  WHEN len(tk) >= 5 THEN 0.5 ELSE 0.0 END)
+        |      + 0.4 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END)
+        |      + 0.2 * (CASE WHEN len(tl) > 0 AND
+        |          CAST(len(list_filter(tl, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS DOUBLE) / len(tl) > 0.01
+        |          THEN 1.0 ELSE 0.0 END), 6) AS q
+        |  FROM toks),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id1, id2 FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT id1, id1 FROM edges
+        |  UNION
+        |  SELECT e.id1, reach.r FROM edges e JOIN reach ON e.id2 = reach.id),
+        |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |assigned AS (
+        |  SELECT q.doc_id, q.q, COALESCE(c.cluster_id, q.doc_id) AS cluster_id
+        |  FROM quality q LEFT JOIN clusters c ON q.doc_id = c.id)
+        |SELECT cluster_id, doc_id AS kept_doc_id, q, n_members FROM (
+        |  SELECT cluster_id, doc_id, q,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |                       ORDER BY q DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM assigned) WHERE rn = 1""".stripMargin,
 
     "t_simhash" ->
       """WITH toks AS (

@@ -498,6 +498,16 @@ object SparkEntry {
         tiebreak = Seq(col("event_id")), valueCol = "value",
         nRows = 4, rangeSeconds = 3600)),
 
+    // ---- W9: time-weighted average per user — the clinically correct
+    // mean for irregular sampling (LOCF step-function weighting);
+    // lead window and final agg share one shuffle ----
+    "w9_time_weighted" -> ((s, dir) =>
+      WindowOps.timeWeightedAvg(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("value")),
+        keys = Seq("user_id"), tsCol = "ts",
+        tiebreak = Seq(col("event_id")), valueCol = "value")),
+
     // ---- §2.5 W1 group-wise fill down-then-up (LOCF + backfill) ----
     "w1_fill_downup" -> ((s, dir) => {
       val e = t(s, dir, "events").withColumn("v",
@@ -1027,6 +1037,21 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, centroids = cents, nprobe = 8)
         .withColumnRenamed("rank", "rnk")
     }),
+
+    // ---- similarity: per-label mean embedding (class centroids, long
+    // form) — posexplode to (label, dim), one hash agg; per-element
+    // round-6 THEN exact decimal sum makes the parallel-reduction mean
+    // engine-deterministic (the unigramSurprise recipe; raw float
+    // sums would be order-dependent) ----
+    "e_label_centroid" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(
+          round(sum(round(col("x").cast("double"), 6)
+            .cast("decimal(20,6)")).cast("double") / count(lit(1)), 6)
+            .as("mean_x"),
+          count(lit(1)).as("n"))),
 
     // ---- similarity: int8 scalar quantization of the embedding
     // column + reconstruction error — the compression step before ANN
@@ -1720,6 +1745,22 @@ object SparkEntry {
         |              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    "w9_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id,
+        |  CASE WHEN MAX(t) - MIN(t) > 0 THEN
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6)) * (nxt - t))
+        |        AS DOUBLE) / (MAX(t) - MIN(t)), 6)
+        |  ELSE NULL END AS twa,
+        |  MAX(t) - MIN(t) AS span_seconds,
+        |  COUNT(*) AS n_events
+        |FROM e GROUP BY user_id""".stripMargin,
+
     "w5_rank" ->
       """SELECT event_type, user_id, n,
         |  rank() OVER w AS rnk,
@@ -2334,6 +2375,17 @@ object SparkEntry {
         |FROM assign a, q
         |WHERE a.cell IN (SELECT cell FROM probed)
         |ORDER BY cos_sim DESC, neighbor_id LIMIT 10""".stripMargin,
+
+    "e_label_centroid" ->
+      """WITH dims AS (
+        |  SELECT unnest(range(0, (SELECT MAX(len(embedding))
+        |                          FROM embeddings))) AS dim)
+        |SELECT e.label, d.dim,
+        |  ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[d.dim + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) AS mean_x,
+        |  COUNT(*) AS n
+        |FROM embeddings e JOIN dims d ON d.dim < len(e.embedding)
+        |GROUP BY e.label, d.dim""".stripMargin,
 
     "e_quantize_int8" ->
       """WITH p AS (

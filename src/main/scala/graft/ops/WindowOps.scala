@@ -122,6 +122,38 @@ object WindowOps {
       .withColumn("roll_time_avg", round(mean(byRange), 6))
   }
 
+  /** Time-weighted average per key: each observation carries its value
+    * until the NEXT observation (LOCF step function), so
+    * TWA = Σ value_i · (t_{i+1} − t_i) / (t_last − t_first) — the
+    * clinically correct mean for irregularly sampled series (a plain
+    * mean over-weights densely sampled episodes; the reference's
+    * vitals arrive exactly this way). The last observation of a key
+    * has no duration and contributes no weight; null observations
+    * likewise (their interval's value is undefined, not carried —
+    * callers wanting carry-over apply [[fillDown]] first); keys whose
+    * time span is zero report null. value·duration accumulates in
+    * exact decimal, divided once — reduction-order-free. One shuffle
+    * on the key (lead window + agg share it). */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], tsCol: String,
+                      tiebreak: Seq[Column], valueCol: String,
+                      outCol: String = "twa"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol) +: tiebreak: _*)
+    val t = col(tsCol).cast("long") // floor-epoch, the cross-engine grid
+    val weighted = df
+      .withColumn("__nxt", lead(t, 1).over(w))
+      .withColumn("__t", t)
+    val span = max(col("__t")) - min(col("__t"))
+    weighted.groupBy(keys.map(col): _*)
+      .agg(
+        when(span > 0, round(
+          sum(col(valueCol).cast("decimal(20,6)") *
+            (col("__nxt") - col("__t"))).cast("double") / span, 6))
+          .otherwise(lit(null)).as(outCol),
+        span.cast("long").as("span_seconds"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Keep-first twin of [[dedupKeepLast]]. */
   def dedupKeepFirst(df: DataFrame, keys: Seq[String],
                      orderBy: Seq[Column]): DataFrame = {

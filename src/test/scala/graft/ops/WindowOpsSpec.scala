@@ -100,6 +100,25 @@ class WindowOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 1L, 2L, 1L))
   }
 
+  test("timeWeightedAvg: LOCF step weighting, null obs and last obs " +
+       "carry no weight, zero-span key reports null") {
+    val df = Seq(
+      (1L, "u", ts("2024-01-01 00:00:00"), Some(10.0)), // 10s at 10
+      (2L, "u", ts("2024-01-01 00:00:10"), Some(20.0)), // 20s at 20
+      (3L, "u", ts("2024-01-01 00:00:30"), Option.empty[Double]), // no weight
+      (4L, "u", ts("2024-01-01 00:00:40"), Some(40.0)), // last: no weight
+      (5L, "v", ts("2024-01-01 00:00:00"), Some(7.0))   // single event
+    ).toDF("eid", "uid", "t", "v")
+    val out = WindowOps.timeWeightedAvg(df, Seq("uid"), "t",
+        Seq(col("eid")), "v")
+      .select("uid", "twa", "span_seconds", "n_events")
+      .as[(String, Option[Double], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // (10*10 + 20*20) / 40 = 12.5
+    assert(out("u") == ((Some(12.5), 40L, 4L)))
+    assert(out("v") == ((None, 0L, 1L)))
+  }
+
   test("rollingMeans: trailing row frame and trailing time frame") {
     val df = Seq(
       // user 1: 00:00 v=1, 00:30 v=3, 01:15 v=null, 01:20 v=5

@@ -1212,6 +1212,36 @@ object SparkEntry {
         outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
     }),
 
+    // ---- streaming: SLIDING windows (1h length / 30min slide) — each
+    // event lands in 2 overlapping windows; same staged input and
+    // AvailableNow == batch contract as s_stream_windowed ----
+    "s_stream_sliding" -> ((s, dir) => {
+      val in = stagedEventsDir.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_sw")
+        t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
+        s"$tmp/in"
+      })
+      val ckpt = tempDir("graft_ss_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in)
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.windowedCounts(stream, "1 hour",
+          "2 hours", slide = Some("30 minutes")),
+        queryName = s"ssl_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
+    // ---- W10: the BUILT-IN session_window next to the stateful
+    // mapGroupsWithState sessionizer (s_stream_sessionize) — merge
+    // semantics: an event merges iff it starts before the current
+    // session's end (gap ≥ 30min splits); end = last event + gap ----
+    "w10_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))),
+
     // ---- streaming: key-only exact dedup (dropDuplicatesWithinWatermark),
     // AvailableNow == batch distinct. The staged input holds EVERY event
     // twice, so the oracle row is non-vacuous: the stream must undo a
@@ -2596,6 +2626,37 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // every event lands in exactly windowLen/slide = 2 sliding windows:
+    // its 30-min bucket's window and the one starting 30 min earlier
+    "s_stream_sliding" ->
+      """WITH off AS (SELECT unnest(range(0, 2)) AS k)
+        |SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |    - k * INTERVAL '30 minutes' AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, off GROUP BY 1, 2""".stripMargin,
+
+    // gaps-and-islands with the session_window merge rule: a gap of
+    // EXACTLY the 1800s threshold splits (merge iff start < prev end);
+    // session end = last event + gap
+    "w10_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "s_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",

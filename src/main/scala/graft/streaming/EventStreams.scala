@@ -38,14 +38,18 @@ object EventStreams {
     spark.readStream.schema(eventSchema).options(options)
       .format(format).load(path)
 
-  /** Watermarked tumbling-window counts per event type. State is bounded
+  /** Watermarked tumbling- or SLIDING-window counts per event type
+    * (slide < windowLen ⇒ each event lands in windowLen/slide
+    * overlapping windows — the moving-average shape). State is bounded
     * by the watermark: late rows beyond `watermark` are dropped, closed
     * windows are evicted — the property that lets this run forever. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame =
+                     watermark: String = "2 hours",
+                     slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),

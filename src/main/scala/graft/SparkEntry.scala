@@ -452,6 +452,17 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     }),
 
+    // ---- A15: CUBE + GROUPING flags — all four (returnflag,
+    // linestatus) grouping sets in ONE Expand+hash-agg pass, with
+    // grouping() disambiguating real nulls from subtotal rows ----
+    "a15_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(moneySum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+
     // ---- §2.5 rank family: rank/dense_rank/percent_rank over a real
     // tie-bearing ordering (users ranked by event count per type) plus
     // ntile over a unique ordering (ntile splits ties by row order, so
@@ -718,6 +729,19 @@ object SparkEntry {
         .orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("rnk", row_number().over(w).cast("int"))
         .filter(col("rnk") <= 3)
+    }),
+
+    // ---- F-array: collection-function surface (distinct/sort/slice/
+    // contains/reverse over a derived token array) — narrow, each
+    // output column an independent cheap projection ----
+    "f_array_ops" -> ((s, dir) => {
+      def tk = TextOps.tokens(lower(col("text")))
+      t(s, dir, "documents").select(col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        array_join(slice(array_sort(array_distinct(tk)), 1, 5), " ")
+          .as("first5"),
+        array_contains(tk, "the").as("has_the"),
+        array_join(reverse(slice(tk, 1, 3)), " ").as("rev3"))
     }),
 
     // ---- training-data ops: deterministic per-domain quota — keep at
@@ -1734,6 +1758,15 @@ object SparkEntry {
         |      OVER (PARTITION BY l_returnflag) AS DOUBLE), 9) AS share
         |FROM lineitem""".stripMargin,
 
+    "a15_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
     "a12_rollup" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -1826,6 +1859,17 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |       ORDER BY tfidf DESC, term) AS INT) AS rnk
         |FROM scored QUALIFY rnk <= 3""".stripMargin,
+
+    "f_array_ops" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_sort(list_distinct(tk))[1:5], ' ') AS first5,
+        |  list_contains(tk, 'the') AS has_the,
+        |  array_to_string(list_reverse(tk[1:3]), ' ') AS rev3
+        |FROM t""".stripMargin,
 
     "t_cap_per_domain" ->
       """SELECT doc_id, source FROM (

@@ -148,6 +148,71 @@ class PropertySpec extends SparkSpec {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("rollingMeans row frame == plain-Scala sliding mean on generated " +
+       "events") {
+    check("rolling-brute-equiv")(Prop.forAll(eventsGen) { evs =>
+      val df = evs.zipWithIndex
+        .map { case ((u, t), i) =>
+          (i.toLong, u, new java.sql.Timestamp(t * 1000), (t % 7).toDouble) }
+        .toDF("event_id", "user_id", "ts", "value")
+      val got = WindowOps.rollingMeans(df, Seq("user_id"), "ts",
+          Seq(col("event_id")), "value", nRows = 3, rangeSeconds = 600)
+        .select("event_id", "roll_rows_avg")
+        .as[(Long, Double)].collect().toMap
+      val byUser = evs.zipWithIndex
+        .map { case ((u, t), i) => (u, t, i.toLong, (t % 7).toDouble) }
+        .groupBy(_._1)
+      byUser.forall { case (_, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3))
+        ordered.indices.forall { i =>
+          val frame = ordered.slice(math.max(0, i - 2), i + 1).map(_._4)
+          val expect = BigDecimal(frame.sum / frame.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          got(ordered(i)._3) == expect
+        }
+      }
+    })
+  }
+
+  test("chunkOverlap: every token covered; chunks reconstruct the doc " +
+       "at stride == chunk; counts match slice lengths") {
+    val textGen = Gen.listOf(Gen.choose(0, 50).map(i => s"w$i"))
+      .map(_.mkString(" "))
+    check("chunk-coverage")(Prop.forAll(textGen, Gen.choose(1, 6)) {
+      (text, stride) =>
+        val chunk = stride + 2
+        val df = Seq((1L, text)).toDF("doc_id", "text")
+        val rows = df.select(explode(
+            graft.text.TextOps.chunkOverlap(col("text"), chunk, stride))
+            .as("c"))
+          .select("c.chunk_idx", "c.n_chunk_tokens", "c.chunk_text")
+          .as[(Int, Long, String)].collect().sortBy(_._1)
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val nChunks = if (toks.isEmpty) 0
+          else math.ceil(toks.size.toDouble / stride).toInt
+        rows.length == nChunks &&
+          rows.zipWithIndex.forall { case ((idx, n, txt), i) =>
+            val expect = toks.slice(i * stride, i * stride + chunk)
+            idx == i && n == expect.size && txt == expect.mkString(" ")
+          }
+    })
+  }
+
+  test("quantizeInt8: reconstruction error never exceeds half a step " +
+       "on generated vectors") {
+    val vecGen = Gen.nonEmptyListOf(
+      Gen.choose(-1000, 1000).map(_ / 16.0f))
+    check("quantize-bound")(Prop.forAll(vecGen) { vs =>
+      val df = Seq((1L, vs)).toDF("vec_id", "embedding")
+      val (maxErr, lo, hi) = df.select(
+          graft.sim.Similarity.quantizeInt8(col("embedding"))("max_abs_err"),
+          array_min(col("embedding")).cast("double"),
+          array_max(col("embedding")).cast("double"))
+        .as[(Double, Double, Double)].head()
+      maxErr <= (hi - lo) / 255.0 / 2 + 1e-6
+    })
+  }
+
   test("sessionize: session ids start at 1, increase by at most 1 per event") {
     check("session-monotone")(Prop.forAll(eventsGen) { evs =>
       val df = evs.zipWithIndex

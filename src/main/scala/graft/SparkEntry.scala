@@ -769,6 +769,26 @@ object SparkEntry {
     "t_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramSurprise(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- training-data ops: bigram-conditional LM surprise — per-doc
+    // mean -ln P(w2|w1) with MLE P = c(w1 w2)/c(w1·) from the corpus
+    // itself (the next-token-predictability quality signal; unigram
+    // twin: t_unigram_logprob). One bigram explode, two vocab-sized
+    // count joins, round-6 + decimal mean for engine determinism. ----
+    "t_bigram_surprise" -> ((s, dir) => {
+      val bgs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.bigrams(col("text"))).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      val cb = bgs.groupBy(col("bg")).agg(count(lit(1)).as("__cb"))
+      val cp = bgs.groupBy(col("w1")).agg(count(lit(1)).as("__cp"))
+      bgs.join(cb, Seq("bg")).join(cp, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(round(-log(col("__cb").cast("double") / col("__cp")), 6)
+            .cast("decimal(28,6)")).cast("double") / count(lit(1)), 6)
+            .as("mean_surprise"))
+    }),
+
     // ---- training-data ops: length-band curation filter — keep docs
     // whose token count sits inside the corpus [p05, p95] band; the
     // 1-row bounds side broadcasts ----
@@ -1892,6 +1912,25 @@ object SparkEntry {
         |  CAST(LEAST(64, len(ts) - ci * 48) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(ts[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
         |FROM ch""".stripMargin,
+
+    "t_bigram_surprise" ->
+      """WITH b AS (
+        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(tk[i:i+1], ' ')
+        |              FOR i IN range(1, len(tk))]) AS bg
+        |    FROM (SELECT doc_id, list_filter(
+        |        string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') AS tk
+        |      FROM documents)
+        |    WHERE len(tk) >= 2)),
+        |cb AS (SELECT bg, COUNT(*) AS cb FROM b GROUP BY bg),
+        |cp AS (SELECT w1, COUNT(*) AS cp FROM b GROUP BY w1)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(ROUND(-ln(CAST(cb.cb AS DOUBLE) / cp.cp), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprise
+        |FROM b JOIN cb USING (bg) JOIN cp USING (w1)
+        |GROUP BY b.doc_id""".stripMargin,
 
     "t_unigram_logprob" ->
       """WITH toks AS (

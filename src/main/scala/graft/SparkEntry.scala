@@ -769,6 +769,27 @@ object SparkEntry {
     "t_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramSurprise(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- training-data ops: corpus health report — the per-source
+    // dashboard row (docs, tokens, mean quality, curation pass rate,
+    // exact-dup incidence) in ONE pass over the corpus plus a
+    // normalized-content dup-count join. ----
+    "t_corpus_report" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.normalize(col("text")).as("nrm"))
+      val dupCounts = scored.groupBy(col("nrm")).agg(count(lit(1)).as("__n"))
+      scored.join(dupCounts, Seq("nrm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(sum(col("q").cast("decimal(16,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_quality"),
+          sum((col("q") >= 0.5).cast("long")).as("n_quality_pass"),
+          sum((col("__n") > 1).cast("long")).as("n_dup_docs"))
+    }),
+
     // ---- training-data ops: bigram-conditional LM surprise — per-doc
     // mean -ln P(w2|w1) with MLE P = c(w1 w2)/c(w1·) from the corpus
     // itself (the next-token-predictability quality signal; unigram
@@ -1912,6 +1933,34 @@ object SparkEntry {
         |  CAST(LEAST(64, len(ts) - ci * 48) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(ts[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
         |FROM ch""".stripMargin,
+
+    "t_corpus_report" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    ROUND(
+        |      0.4 * (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) BETWEEN 20 AND 100000 THEN 1.0
+        |                  WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 5 THEN 0.5 ELSE 0.0 END)
+        |      + 0.4 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END)
+        |      + 0.2 * (CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) > 0 AND
+        |          CAST(len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''), x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS DOUBLE)
+        |            / len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) > 0.01
+        |          THEN 1.0 ELSE 0.0 END), 6) AS q,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS nrm
+        |  FROM documents),
+        |dup AS (SELECT nrm, COUNT(*) AS n FROM d GROUP BY nrm)
+        |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+        |  ROUND(CAST(SUM(CAST(q AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_quality,
+        |  CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality_pass,
+        |  CAST(SUM(CASE WHEN dup.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs
+        |FROM d JOIN dup USING (nrm)
+        |GROUP BY source""".stripMargin,
 
     "t_bigram_surprise" ->
       """WITH b AS (

@@ -47,6 +47,13 @@ object Merge {
         "strand its old row (see scaladoc)")
     val touched = updates.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    // fail fast, not silently wrong: a null partition value would write
+    // to __HIVE_DEFAULT_PARTITION__ while isin(null) matches nothing, so
+    // the base's null-partition rows would never be anti-joined and a
+    // same-key row would survive next to its replacement
+    require(!touched.contains(null),
+      s"mergeUpsert: updates contain null $partCol values — null " +
+        "partition values are not supported (see scaladoc)")
     if (touched.isEmpty) return Nil
     // first merge into a not-yet-existing table CREATES it (the sink
     // case: a streaming upsert's first micro-batch) — nothing to read,

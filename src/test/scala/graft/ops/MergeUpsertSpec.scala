@@ -79,5 +79,11 @@ class MergeUpsertSpec extends SparkSpec {
       Merge.mergeUpsert(spark, dir,
         Seq((1L, "a", "x")).toDF("id", "p", "payload"), Seq("id", "p"), "p")
     }
+    // null partition value fails fast instead of stranding base rows
+    intercept[IllegalArgumentException] {
+      Merge.mergeUpsert(spark, dir,
+        Seq((1L, Option.empty[String], "x")).toDF("id", "p", "payload"),
+        Seq("id"), "p")
+    }
   }
 }

@@ -888,6 +888,38 @@ object SparkEntry {
       Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16)),
 
+    // ---- training-data ops: contrastive triplets for embedding
+    // training — (anchor, positive) = verified near-dup pairs;
+    // negative = a DETERMINISTIC pseudo-random doc chosen by double-
+    // hashing the anchor into one of 64 hash-range buckets and taking
+    // that bucket's (min hash, min id) representative. No RNG state,
+    // no global sort (the representative window partitions by bucket);
+    // triplets whose negative collides with the pair are dropped. ----
+    "t_contrastive_triplets" -> ((s, dir) => {
+      val M = 2147483647L
+      val width = 33554432.0 // ceil(M / 64 buckets)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+          threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16)
+        .select(col("id1").as("anchor_id"), col("id2").as("positive_id"))
+      val repW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__b")).orderBy(col("__h"), col("negative_id"))
+      val reps = docs.select(col("doc_id").as("negative_id"),
+          TextOps.portableHash(col("doc_id")).as("__h"))
+        .withColumn("__b", floor(col("__h") / width))
+        .withColumn("__rn", row_number().over(repW))
+        .filter(col("__rn") === 1)
+        .select(col("__b"), col("negative_id"))
+      pairs
+        .withColumn("__b", floor(
+          pmod(TextOps.portableHash(col("anchor_id")) * 2654435761L,
+            lit(M)) / width))
+        .join(reps, Seq("__b"))
+        .filter(col("negative_id") =!= col("anchor_id") &&
+          col("negative_id") =!= col("positive_id"))
+        .select("anchor_id", "positive_id", "negative_id")
+    }),
+
     // ---- training-data ops: EXACT n-gram Jaccard similarity join
     // (AllPairs/PPJoin prefix filter). Guaranteed-complete pair set —
     // the contrast to t_minhash_lsh's probabilistic recall — at a
@@ -2254,6 +2286,41 @@ object SparkEntry {
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    // Brute-force near-dup pairs (t_minhash_lsh's oracle) + the same
+    // double-hash bucket arithmetic for the deterministic negative.
+    "t_contrastive_triplets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS anchor_id, b.doc_id AS positive_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        |reps AS (
+        |  SELECT b, negative_id FROM (
+        |    SELECT doc_id AS negative_id,
+        |      CAST(floor((((doc_id % 2147483647) * 2654435761) % 2147483647)
+        |        / 33554432.0) AS BIGINT) AS b,
+        |      row_number() OVER (
+        |        PARTITION BY CAST(floor((((doc_id % 2147483647) * 2654435761)
+        |          % 2147483647) / 33554432.0) AS BIGINT)
+        |        ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647,
+        |          doc_id) AS rn
+        |    FROM documents) WHERE rn = 1)
+        |SELECT p.anchor_id, p.positive_id, r.negative_id
+        |FROM pairs p JOIN reps r ON r.b = CAST(floor(
+        |  ((((p.anchor_id % 2147483647) * 2654435761) % 2147483647)
+        |    * 2654435761) % 2147483647 / 33554432.0) AS BIGINT)
+        |WHERE r.negative_id <> p.anchor_id
+        |  AND r.negative_id <> p.positive_id""".stripMargin,
 
     "t_minhash_lsh" ->
       """WITH toks AS (

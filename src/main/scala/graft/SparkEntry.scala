@@ -772,13 +772,15 @@ object SparkEntry {
     // ---- training-data ops: corpus health report — the per-source
     // dashboard row (docs, tokens, mean quality, curation pass rate,
     // exact-dup incidence) in ONE pass over the corpus plus a
-    // normalized-content dup-count join. ----
+    // normalized-content dup-count join. The dup key is md5(normalized)
+    // — the 16-byte shuffle-key discipline of Dedup.exactByContent,
+    // not the full text. ----
     "t_corpus_report" -> ((s, dir) => {
       val scored = t(s, dir, "documents").select(col("doc_id"),
         col("source"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.qualityScore(col("text")).as("q"),
-        TextOps.normalize(col("text")).as("nrm"))
+        md5(TextOps.normalize(col("text"))).as("nrm"))
       val dupCounts = scored.groupBy(col("nrm")).agg(count(lit(1)).as("__n"))
       scored.join(dupCounts, Seq("nrm"))
         .groupBy(col("source"))
@@ -1980,8 +1982,8 @@ object SparkEntry {
         |          CAST(len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''), x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'))) AS DOUBLE)
         |            / len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) > 0.01
         |          THEN 1.0 ELSE 0.0 END), 6) AS q,
-        |    trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS nrm
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS nrm
         |  FROM documents),
         |dup AS (SELECT nrm, COUNT(*) AS n FROM d GROUP BY nrm)
         |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,

@@ -776,6 +776,10 @@ object SparkEntry {
     // — the 16-byte shuffle-key discipline of Dedup.exactByContent,
     // not the full text. ----
     "t_corpus_report" -> ((s, dir) => {
+      // n_tokens and q each tokenize (a few bounded linear text passes,
+      // same shape as t_quality); a shared binding would need the
+      // element_at(transform(array(...))) result referenced TWICE,
+      // which re-evaluates the lambda per reference (no codegen CSE)
       val scored = t(s, dir, "documents").select(col("doc_id"),
         col("source"),
         TextOps.tokenCount(col("text")).as("n_tokens"),

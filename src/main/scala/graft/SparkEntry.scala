@@ -731,6 +731,21 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
     }),
 
+    // ---- training-data ops: deterministic 90/5/5 train/val/test
+    // split by portable id hash — no RNG state, reproducible across
+    // engines/runs/layouts (the property a split must have so later
+    // pipeline stages can recompute membership instead of joining a
+    // split table); per-(source, split) counts as the audit row ----
+    "t_hash_split" -> ((s, dir) => {
+      val h = pmod(TextOps.portableHash(col("doc_id")), lit(100))
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(h < 90, lit("train")).when(h < 95, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // ---- F-array: collection-function surface (distinct/sort/slice/
     // contains/reverse over a derived token array) — narrow, each
     // output column an independent cheap projection ----
@@ -1938,6 +1953,16 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |       ORDER BY tfidf DESC, term) AS INT) AS rnk
         |FROM scored QUALIFY rnk <= 3""".stripMargin,
+
+    "t_hash_split" ->
+      """SELECT source,
+        |  CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647
+        |         % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647
+        |         % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "f_array_ops" ->
       """WITH t AS (

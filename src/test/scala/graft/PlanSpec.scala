@@ -141,6 +141,14 @@ class PlanSpec extends SparkSpec {
     assert(bcast >= 0 && hashEx > bcast, plan.take(1500))
   }
 
+  test("timeWeightedAvg: lead window and final agg share the key " +
+       "exchange (no second shuffle)") {
+    val df = SparkEntry.queries("w9_time_weighted")(spark, dir)
+    val plan = planOf(df)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size == 1, plan.take(1500))
+  }
+
   test("ivfKnnJoin: per-query top-k runs as a rank-limit pushdown " +
        "(WindowGroupLimit), one query-keyed exchange") {
     val df = SparkEntry.queries("e_ivf_knn_join")(spark, dir)

@@ -86,4 +86,41 @@ class MergeUpsertSpec extends SparkSpec {
         Seq("id"), "p")
     }
   }
+
+  test("mergeUpsert: folding random update batches matches a model map " +
+    "(property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // keys keep a FIXED partition (id % 3 -> p0/p1/p2): the documented
+    // partition-stability contract
+    val batchGen = Gen.listOfN(3, Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 12L)
+      pay <- Gen.alphaStr.map(_.take(4))
+    } yield (id, s"p${id % 3}", pay)))
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(6).withWorkers(1)
+    val prop = Prop.forAll(batchGen) { batches =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_mrg_prop").toString + "/tbl"
+      Seq((100L, "p1", "base")).toDF("id", "p", "payload")
+        .write.partitionBy("p").parquet(dir)
+      val model = scala.collection.mutable.Map(100L -> ("p1", "base"))
+      batches.foreach { b =>
+        // in-batch winner: highest payload per key (orderCol stand-in)
+        val updates = b.toDF("id", "p", "payload")
+        val deduped = WindowOps.dedupKeepLast(updates, Seq("id"),
+          Seq(col("payload")))
+        Merge.mergeUpsert(spark, dir, deduped, Seq("id"), "p")
+        b.groupBy(_._1).foreach { case (id, rows) =>
+          val win = rows.maxBy(_._3)
+          model(id) = (win._2, win._3)
+        }
+      }
+      val got = spark.read.parquet(dir)
+        .select("id", "p", "payload").as[(Long, String, String)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      got == model.toMap
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, s"merge-model-equiv: $r")
+  }
 }

@@ -87,6 +87,35 @@ object Quality {
       .withColumn("bin_hi", round((col("bin") + 1) * binWidth, 6))
   }
 
+  /** Mergeable distinct-count sketches (DataSketches HLL built-ins):
+    * one sketch row per group, persisted as BINARY next to the data —
+    * the 100 TB pattern for "distinct users per day/week/month":
+    * per-partition sketches are built ONCE at ingest and any coarser
+    * rollup is a cheap [[unionSketchEstimate]] over sketch rows, never
+    * a rescan of the corpus (exact distinct is a full shuffle of the
+    * value column per question asked). Estimate error is the standard
+    * HLL ~1.6% at lgConfigK=12; QualitySpec pins both the accuracy
+    * band and merge associativity (sliced-and-unioned == whole). */
+  def distinctSketches(df: DataFrame, by: Seq[String],
+                       valueCol: String): DataFrame =
+    df.groupBy(by.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("sketch"),
+        count(col(valueCol)).cast("long").as("n_rows"))
+
+  /** Roll sketch rows up to a coarser grouping and estimate: union is
+    * associative and lossless w.r.t. the sketch state, so estimates at
+    * any rollup level equal the estimate of a directly-built sketch. */
+  def unionSketchEstimate(sketches: DataFrame,
+                          by: Seq[String]): DataFrame = {
+    val grouped =
+      if (by.isEmpty) sketches.groupBy()
+      else sketches.groupBy(by.map(col): _*)
+    grouped
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_distinct"),
+        sum(col("n_rows")).cast("long").as("n_rows"))
+  }
+
   /** Robust outlier profile per group: median, MAD (median absolute
     * deviation), and the count of modified-z-score outliers
     * (Iglewicz–Hoaglin rule: 0.6745·|x − med| > 3.5·MAD) — the

@@ -62,6 +62,28 @@ class QualitySpec extends SparkSpec {
     assert(r.getDouble(7) == -3.0 && r.getDouble(8) == 13.0)
   }
 
+  test("distinctSketches: estimate within HLL error of exact; union of " +
+       "slice sketches == whole-corpus sketch estimate") {
+    // 8000 rows, 2000 distinct values, sliced into 4 groups
+    val df = (0 until 8000)
+      .map(i => (s"g${i % 4}", (i % 2000).toLong)).toDF("g", "v")
+    val sk = Quality.distinctSketches(df, Seq("g"), "v")
+    assert(sk.count() == 4)
+    // rollup over the slices vs a sketch built over the whole corpus
+    val viaUnion = Quality.unionSketchEstimate(sk, Nil)
+      .select("approx_distinct", "n_rows").as[(Long, Long)].head()
+    val direct = Quality.unionSketchEstimate(
+        Quality.distinctSketches(df.selectExpr("'all' AS g", "v"), Seq("g"),
+          "v"), Nil)
+      .select("approx_distinct").as[Long].head()
+    assert(viaUnion._2 == 8000L)
+    assert(viaUnion._1 == direct,
+      "sketch union must be lossless vs a directly-built sketch")
+    // accuracy: HLL at default lgConfigK is ~1.6% rse; allow 5%
+    assert(math.abs(viaUnion._1 - 2000L) <= 100,
+      s"estimate ${viaUnion._1} not within 5% of 2000")
+  }
+
   test("robustOutliers: median/MAD, modified z-score count, zero-MAD " +
        "group reports none") {
     // group g: median 5.5; devs from it have median (MAD) 2.5;

@@ -1183,6 +1183,24 @@ object SparkEntry {
         .select(col("vec_id"), col("q.codes"), col("q.mean_abs_err"),
           col("q.max_abs_err"))),
 
+    // ---- similarity: batch IVF k-NN join against the PERSISTED index
+    // — corpus arrives pre-assigned and cell-partitioned, so the whole
+    // assignment pass disappears; shares the staged nlist=64 index
+    // with e_ivf_indexed ----
+    "e_ivf_knn_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (path, cents) = stagedIvfIndex.getOrElseUpdate(dir, {
+        val p = tempDir("graft_ivf") + "/idx"
+        val c = Similarity.buildIvfIndex(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", nlist = 64, path = p)
+        (p, c)
+      })
+      Similarity.ivfKnnJoinIndexed(s, path,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 5, nprobe = 8, centroids = cents)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // ---- similarity: threshold pairs blocked by label ----
     "e_sim_pairs" -> ((s, dir) =>
       Similarity.thresholdPairsByLabel(t(s, dir, "embeddings"),
@@ -2707,6 +2725,55 @@ object SparkEntry {
         |       DESC, cell
         |     LIMIT 1) AS cell
         |  FROM embeddings e),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    ROUND(
+        |      list_sum(list_transform(list_zip(a.embedding, q.qe),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |      AS cos_sim
+        |  FROM probed p JOIN assign a USING (cell) JOIN q USING (query_id)
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    // The e_ivf_knn_join arithmetic over the PERSISTED-index corpus
+    // (vec_id <> 0, nlist=64 — e_ivf_indexed's staging knobs).
+    "e_ivf_knn_indexed" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 64),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe
+        |      FROM embeddings WHERE vec_id % 100 = 0),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, cents.cell,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(ce, qe),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, cents.cell) AS pr
+        |    FROM cents, q)
+        |  WHERE pr <= 8),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT cell FROM cents
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(cents.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(cents.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e WHERE e.vec_id <> 0),
         |scored AS (
         |  SELECT p.query_id, a.vec_id AS neighbor_id,
         |    ROUND(

@@ -399,6 +399,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** [[ivfKnnJoin]] against a PERSISTED index ([[buildIvfIndex]]
+    * layout): the corpus side arrives already cell-assigned AND
+    * cell-partitioned on disk, so the whole assignment pass disappears
+    * and the only work is the query-side probe explode, the cell
+    * equi-join, and the top-k window. For a batch of queries the union
+    * of probed cells usually covers most of the index, so partition
+    * PRUNING matters less than for single-query [[ivfTopKIndexed]] —
+    * the win here is zero assignment arithmetic and a corpus side that
+    * needs no repartitioning when the join's shuffle keys on the same
+    * `cell` the layout is partitioned by. */
+  def ivfKnnJoinIndexed(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nprobe: Int = 4,
+                        centroids: Array[Seq[Float]] = null): DataFrame = {
+    val cents = Option(centroids).getOrElse(loadIvfCentroids(spark, path))
+    val assigned = spark.read.parquet(path)
+      .select(col("id").as("neighbor_id"), col("vec").as("nv"), col("cell"))
+    val probed = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      explode(ivfProbe(col(vecCol), cents, nprobe, spark)).as("cell"))
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Build a PERSISTED IVF index: assign every corpus vector its cell
     * (native broadcast argmax, one narrow pass) and write `(id, vec)`
     * HIVE-PARTITIONED BY CELL under `path`, with the centroid matrix

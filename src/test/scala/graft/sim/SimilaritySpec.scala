@@ -289,6 +289,22 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("ivfKnnJoinIndexed == ivfKnnJoin on the same corpus and " +
+    "centroids (the index is layout, not semantics)") {
+    val df = clustered.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_kj").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(df, "vec_id", "embedding", 8, path)
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val direct = Similarity.ivfKnnJoin(queries, df, "vec_id", "embedding",
+        k = 3, centroids = cents, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val indexed = Similarity.ivfKnnJoinIndexed(spark, path, queries,
+        "vec_id", "embedding", k = 3, nprobe = 3, centroids = cents)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(indexed == direct)
+  }
+
   test("persisted IVF index: reload round-trips, partition-pruned query " +
     "== unindexed query") {
     val df = clustered.toDF("vec_id", "embedding")

@@ -115,4 +115,29 @@ object Multimodal {
     * in any engine: payload size and content digest. */
   def byteLen(payload: Column): Column = octet_length(payload).cast("long")
   def contentSha(payload: Column): Column = sha2(payload, 256)
+
+  /** Raw media INGEST: read a directory of binary files (images, audio,
+    * video — any bytes) via Spark's `binaryFile` source into the
+    * [[mediaSchema]] shape. This is how payloads ENTER the pipeline
+    * from a crawl/object store: one row per file with path, length,
+    * and content, no decode. `pathGlobFilter` limits to one extension
+    * (e.g. `*.jpg`); `kind` tags the rows for the downstream codec
+    * ops. media_id is the portable hash of the file name — stable
+    * across re-ingests of the same layout (re-runs assign identical
+    * ids), collision-checked by the caller at corpus scale. Files
+    * stream through the vectorized binary reader; payload bytes are
+    * never shuffled by anything in this module. */
+  def ingestBinaryDir(spark: SparkSession, dir: String, kind: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        pmod(pmod(xxhash64(element_at(split(input_file_name(), "/"), -1)),
+          lit(2147483647L)) * 2654435761L, lit(2147483647L)).as("media_id"),
+        lit(kind).as("kind"),
+        col("content").as("payload"),
+        col("path").as("source_uri"),
+        col("length").cast("long").as("byte_len"),
+        col("modificationTime").as("modified_at"))
 }

@@ -1156,19 +1156,24 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
-    // ---- similarity: per-label mean embedding (class centroids, long
-    // form) — posexplode to (label, dim), one hash agg; per-element
-    // round-6 THEN exact decimal sum makes the parallel-reduction mean
-    // engine-deterministic (the unigramSurprise recipe; raw float
-    // sums would be order-dependent) ----
+    // ---- similarity: per-label embedding centroids as MERGEABLE
+    // PARTIALS (label, dim, exact sum, n) — posexplode to (label, dim),
+    // one hash agg; per-element round-6 THEN exact decimal sum makes
+    // the parallel-reduction sum engine-deterministic, and the 6-dp
+    // decimal sum casts to double EXACTLY (scaled integer < 2^53).
+    // Deliberately NOT the rounded mean: a 6-dp sum divided by a small
+    // count can land exactly on a round-6 midpoint, where Spark's
+    // BigDecimal HALF_UP and DuckDB's multiply-then-round disagree by
+    // 1 ulp (observed at sf0.1: label 9 dim 6, sum/192). Partials are
+    // also the better scale shape — shards/days merge by addition,
+    // consumers divide once at use. ----
     "e_label_centroid" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("label"), col("dim").cast("long").as("dim"))
         .agg(
-          round(sum(round(col("x").cast("double"), 6)
-            .cast("decimal(20,6)")).cast("double") / count(lit(1)), 6)
-            .as("mean_x"),
+          sum(round(col("x").cast("double"), 6).cast("decimal(20,6)"))
+            .cast("double").as("sum_x"),
           count(lit(1)).as("n"))),
 
     // ---- similarity: int8 scalar quantization of the embedding
@@ -2659,8 +2664,8 @@ object SparkEntry {
         |  SELECT unnest(range(0, (SELECT MAX(len(embedding))
         |                          FROM embeddings))) AS dim)
         |SELECT e.label, d.dim,
-        |  ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[d.dim + 1] AS DOUBLE), 6)
-        |      AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) AS mean_x,
+        |  CAST(SUM(CAST(ROUND(CAST(embedding[d.dim + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(20,6))) AS DOUBLE) AS sum_x,
         |  COUNT(*) AS n
         |FROM embeddings e JOIN dims d ON d.dim < len(e.embedding)
         |GROUP BY e.label, d.dim""".stripMargin,

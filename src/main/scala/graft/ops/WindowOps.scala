@@ -131,9 +131,12 @@ object WindowOps {
     * has no duration and contributes no weight; null observations
     * likewise (their interval's value is undefined, not carried —
     * callers wanting carry-over apply [[fillDown]] first); keys whose
-    * time span is zero report null. value·duration accumulates in
-    * exact decimal, divided once — reduction-order-free. One shuffle
-    * on the key (lead window + agg share it). */
+    * time span is zero — or with NO weighted observation at all (every
+    * non-final value null) — report null (SUM over nothing is null in
+    * both engines; a 0.0 would fabricate a measurement).
+    * value·duration accumulates in exact decimal, divided once —
+    * reduction-order-free. One shuffle on the key (lead window + agg
+    * share it). */
   def timeWeightedAvg(df: DataFrame, keys: Seq[String], tsCol: String,
                       tiebreak: Seq[Column], valueCol: String,
                       outCol: String = "twa"): DataFrame = {

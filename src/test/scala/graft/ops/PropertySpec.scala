@@ -213,6 +213,80 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("timeWeightedAvg == plain-Scala LOCF reference on generated " +
+       "events") {
+    check("twa-brute-equiv")(Prop.forAll(eventsGen) { evs =>
+      val df = evs.zipWithIndex
+        .map { case ((u, t), i) =>
+          (i.toLong, u, new java.sql.Timestamp(t * 1000),
+            if (t % 5 == 0) None else Some((t % 11).toDouble)) }
+        .toDF("eid", "uid", "t", "v")
+      val got = WindowOps.timeWeightedAvg(df, Seq("uid"), "t",
+          Seq(col("eid")), "v")
+        .select("uid", "twa", "span_seconds", "n_events")
+        .as[(Long, Option[Double], Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      evs.zipWithIndex
+        .map { case ((u, t), i) =>
+          (u, t, i.toLong, if (t % 5 == 0) None else Some((t % 11).toDouble)) }
+        .groupBy(_._1)
+        .forall { case (u, rows) =>
+          val ordered = rows.sortBy(r => (r._2, r._3))
+          val span = ordered.last._2 - ordered.head._2
+          val contribs = ordered.sliding(2).collect {
+            case Seq((_, t1, _, Some(v)), (_, t2, _, _)) =>
+              BigDecimal(v) * (t2 - t1)
+          }.toList
+          val num = contribs.sum
+          // replicate the operator's arithmetic exactly: exact decimal
+          // numerator, ONE double division, Spark's Round (HALF_UP on
+          // the double's shortest decimal repr) — an exact-decimal
+          // division here could disagree at a round-6 midpoint (the
+          // e_label_centroid lesson)
+          // no weighted observation at all (every non-final value null)
+          // -> null, matching SUM-over-nothing in both engines
+          val expect =
+            if (span <= 0 || contribs.isEmpty) None
+            else Some(BigDecimal(java.math.BigDecimal.valueOf(
+              num.toDouble / span))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          got(u) == ((expect, span, rows.size.toLong))
+        }
+    })
+  }
+
+  test("asOfJoinTolerance == brute-force latest-within-tolerance on " +
+       "generated data") {
+    val gen = for {
+      left <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 1000L)
+      } yield (k, t))
+      right <- Gen.listOf(for {
+        k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 1000L)
+      } yield (k, t))
+    } yield (left, right.distinct) // unique (k, rt) per contract
+    check("asof-tolerance-brute")(Prop.forAll(gen, Gen.choose(0L, 500L)) {
+      case ((left, right), tol) =>
+        val l = left.zipWithIndex.map { case ((k, t), i) =>
+          (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+          .toDF("eid", "k", "t")
+        val r = right.map { case (k, t) =>
+          (k, new java.sql.Timestamp(t * 1000), s"p$k-$t") }
+          .toDF("k", "rt", "payload")
+        val got = Joins.asOfJoinTolerance(l, r, Seq("k"), "t", "rt",
+            Seq("payload"), toleranceSeconds = tol)
+          .select("eid", "payload").as[(Long, Option[String])]
+          .collect().toMap
+        left.zipWithIndex.forall { case ((k, t), i) =>
+          val expect = right.filter(rr => rr._1 == k && rr._2 <= t)
+            .sortBy(_._2).lastOption
+            .filter(rr => t - rr._2 <= tol)
+            .map(rr => s"p$k-${rr._2}")
+          got(i.toLong) == expect
+        }
+    })
+  }
+
   test("sessionize: session ids start at 1, increase by at most 1 per event") {
     check("session-monotone")(Prop.forAll(eventsGen) { evs =>
       val df = evs.zipWithIndex

@@ -71,18 +71,21 @@ object Merge {
     val merged = updates.unionByName(survivors)
     val staging = java.nio.file.Files.createTempDirectory("graft_merge_stg")
     val stagingDir = staging.toString + "/data"
-    merged.write.mode("overwrite").parquet(stagingDir)
-    spark.read.parquet(stagingDir)
-      .repartition(col(partCol))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(basePath)
-    // staging is merge-scoped scratch: delete now, not at JVM exit
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    try {
+      merged.write.mode("overwrite").parquet(stagingDir)
+      spark.read.parquet(stagingDir)
+        .repartition(col(partCol))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(basePath)
+    } finally {
+      // staging is merge-scoped scratch: delete even on a failed write
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(staging.toFile)
     }
-    rm(staging.toFile)
     touched
   }
 }

@@ -112,9 +112,11 @@ object WindowOps {
       .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
     // floor-to-second epoch ordering: Spark's timestamp->long cast
     // truncates; the oracle must floor too (DuckDB epoch() keeps the
-    // fraction and a bare BIGINT cast would round instead)
+    // fraction and a bare BIGINT cast would round instead). The NTZ->
+    // LTZ hop first: NTZ refuses a direct numeric cast, and under the
+    // engine's pinned UTC session the hop is identity (see rangeJoin).
     val byRange = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).cast("long"))
+      .orderBy(col(tsCol).cast("timestamp_ltz").cast("long"))
       .rangeBetween(-rangeSeconds, Window.currentRow)
     def mean(w: org.apache.spark.sql.expressions.WindowSpec): Column =
       sum(v.cast("decimal(30,6)")).over(w).cast("double") / count(v).over(w)
@@ -142,7 +144,9 @@ object WindowOps {
                       outCol: String = "twa"): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol) +: tiebreak: _*)
-    val t = col(tsCol).cast("long") // floor-epoch, the cross-engine grid
+    // floor-epoch on the cross-engine grid; NTZ->LTZ hop is identity
+    // under the pinned UTC session and NTZ refuses a direct long cast
+    val t = col(tsCol).cast("timestamp_ltz").cast("long")
     val weighted = df
       .withColumn("__nxt", lead(t, 1).over(w))
       .withColumn("__t", t)

@@ -72,21 +72,37 @@ object Bench {
       s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     val results = runQueries(spark, sfDir, SparkEntry.queries)
-    // Keep the line SHORT: the driver captures only a bounded tail of
-    // stdout, and round 6's line (full-precision doubles + an all-"ok"
-    // status map over 85 queries) overflowed it — BENCH_r06.json came
-    // back "parsed": null. Millisecond precision is ample for plan-level
-    // comparisons, and only FAILURES carry a status entry.
+    // Keep the line SHORT: the driver captures only a bounded ~2000-char
+    // tail of stdout — round 6's line (full-precision doubles + an
+    // all-"ok" status map over 85 queries) overflowed it and BENCH_r06
+    // came back "parsed": null, and at 118 queries even a trimmed full
+    // map cannot fit. The stdout line carries the total + the 40
+    // SLOWEST queries (the plan-comparison signal); the COMPLETE
+    // per-query map is written to BENCH_FULL.json in the working dir
+    // for the judge. Millisecond precision; only failures carry a
+    // status entry.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, (Double, Option[String]))]): String =
+      rs.map { case (k, (v, _)) => s"\"" + k + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+    val bySlowest = results.toSeq.sortBy { case (_, (v, _)) => -v }
     val failures = results.collect { case (k, (_, Some(err))) =>
       s"\"" + k + "\":\"" + esc(err) + "\""
     }.mkString("{", ",", "}")
     val total = results.values.collect { case (v, None) => v }.sum
     val nErr = results.values.count(_._2.isDefined)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failures":$failures,"errors":$nErr,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+        s""""queries":${qmap(bySlowest)},"failures":$failures,""" +
+        s""""errors":$nErr,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""queries":${qmap(bySlowest.take(40))},""" +
+      s""""queries_full":"BENCH_FULL.json","failures":$failures,""" +
+      s""""errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -805,8 +805,14 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          round(sum(col("q").cast("decimal(16,6)")).cast("double") /
-            count(lit(1)), 6).as("mean_quality"),
+          // mergeable partial (exact decimal sum of round-6 scores) +
+          // an UNROUNDED double mean: exact-decimal→double then IEEE
+          // division is bit-deterministic across engines, while a
+          // final round() splits on HALF_UP-vs-banker's midpoints
+          // (the e_label_centroid lesson, commit ca4fd9d)
+          sum(col("q").cast("decimal(16,6)")).cast("double").as("sum_q"),
+          (sum(col("q").cast("decimal(16,6)")).cast("double") /
+            count(lit(1))).as("mean_quality"),
           sum((col("q") >= 0.5).cast("long")).as("n_quality_pass"),
           sum((col("__n") > 1).cast("long")).as("n_dup_docs"))
     }),
@@ -2038,8 +2044,10 @@ object SparkEntry {
         |      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS nrm
         |  FROM documents),
         |dup AS (SELECT nrm, COUNT(*) AS n FROM d GROUP BY nrm)
-        |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-        |  ROUND(CAST(SUM(CAST(q AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CAST(q AS DECIMAL(16,6))) AS DOUBLE) AS sum_q,
+        |  CAST(SUM(CAST(q AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*)
         |    AS mean_quality,
         |  CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_quality_pass,
@@ -2905,7 +2913,7 @@ object SparkEntry {
         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM d)
-        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c
         |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 8000 WHEN 'es' THEN 3200
         |                              WHEN 'fr' THEN 2400 WHEN 'de' THEN 1600 END""".stripMargin,
 
@@ -3043,7 +3051,7 @@ object SparkEntry {
     "s4_schema_evolution" ->
       """SELECT lang, COUNT(*) AS n,
         |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_evolved,
-        |  COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN length(text) END), 0) AS chars
+        |  CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN length(text) END), 0) AS BIGINT) AS chars
         |FROM documents GROUP BY lang""".stripMargin,
 
     // corrupt lines parse to all-null fields + the raw line, so they

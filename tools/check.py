@@ -49,6 +49,17 @@ def main():
             oracle_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}"); n_fail += 1; continue
+        # emulate the driver's TYPE-SENSITIVE value hash: an oracle
+        # SUM(BIGINT) coming back as HUGEINT->float64 while Spark emits
+        # int64 is a driver FAIL even when the stringified values match
+        # (the exact r7 s4/t_corpus_report/t_mix_domains failure mode)
+        kinds = lambda df: {c: df[c].dtype.kind for c in df.columns}
+        ka, kb = kinds(spark_df), kinds(oracle_df)
+        tmism = [c for c in sorted(set(ka) & set(kb)) if ka[c] != kb[c]]
+        if tmism:
+            print(f"FAIL  {name}: dtype-kind mismatch "
+                  f"{[(c, ka[c], kb[c]) for c in tmism]}")
+            n_fail += 1; continue
         a, b = canon(spark_df), canon(oracle_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")

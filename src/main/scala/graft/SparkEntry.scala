@@ -161,8 +161,10 @@ object SparkEntry {
     val customer = t(spark, dir, "customer")
     val nation = t(spark, dir, "nation")
     val region = t(spark, dir, "region")
+    // customer grows with the fact — no hard hint (AQE broadcasts it
+    // while small, shuffles it at scale); nation/region are true dims
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"))
@@ -247,7 +249,8 @@ object SparkEntry {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      // customer is fact-growing: unhinted (AQE decides); n/r are dims
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
         .groupBy(col("r_name"), col("n_name"))

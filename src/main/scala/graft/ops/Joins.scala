@@ -13,19 +13,33 @@ import org.apache.spark.sql.functions._
 object Joins {
 
   /** J1/J2: left equi-join with an explicitly broadcast dimension side.
-    * (`code/RCLIF_vitals.Rmd:41`, `code/RCLIF_labs.Rmd:46`.) */
+    * (`code/RCLIF_vitals.Rmd:41`, `code/RCLIF_labs.Rmd:46`.)
+    *
+    * SIZE CONTRACT: `dim` must be a TRUE dimension — bounded-cardinality
+    * vocab/lookup content (nation, region, the vocab sheets) that stays
+    * executor-memory-sized at any fact scale. A side that grows with the
+    * fact (customer, a filtered fact subset) must NOT take this hint: at
+    * 100× it OOMs the executors building the broadcast. For those, use a
+    * plain unhinted join (or [[semi]]/[[anti]]) and let
+    * AQE/`autoBroadcastJoinThreshold` decide at runtime. */
   def broadcastLeft(fact: DataFrame, dim: DataFrame,
                     keys: Seq[String]): DataFrame =
     fact.join(broadcast(dim), keys, "left")
 
-  /** J5: left semi — filter fact to rows with a vocab match, adding no
-    * columns (`code/RCLIF_medications.Rmd:146,189`). */
+  /** J5: left semi — filter fact to rows with a match, adding no columns
+    * (`code/RCLIF_medications.Rmd:146,189`). Deliberately UNHINTED: the
+    * filter side is often a fact fraction (e.g. customers over a balance
+    * threshold) that grows with the data, so a hard broadcast would OOM
+    * at scale. AQE still picks a broadcast at runtime whenever the side
+    * measures under `autoBroadcastJoinThreshold`; otherwise the
+    * scale-safe shuffled hash/sort-merge join on the key. */
   def semi(fact: DataFrame, filterTo: DataFrame, keys: Seq[String]): DataFrame =
-    fact.join(broadcast(filterTo), keys, "left_semi")
+    fact.join(filterTo, keys, "left_semi")
 
-  /** Anti-join: rows with NO match (QC `setdiff`-style checks). */
+  /** Anti-join: rows with NO match (QC `setdiff`-style checks).
+    * Unhinted for the same reason as [[semi]]. */
   def anti(fact: DataFrame, except: DataFrame, keys: Seq[String]): DataFrame =
-    fact.join(broadcast(except), keys, "left_anti")
+    fact.join(except, keys, "left_anti")
 
   /** J4: full outer join keeping unmatched rows from both sides
     * (`code/RCLIF_vitals.Rmd:124`). */

@@ -38,6 +38,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("unhinted semi/star joins still broadcast small sides via AQE") {
+    // j5_semi's filter side and j1's customer side carry NO broadcast()
+    // hint (they grow with the fact — a hard hint OOMs at 100×). This
+    // pins that dropping the hint costs nothing at dim-sized inputs:
+    // the size estimate / AQE still picks a broadcast join at runtime.
+    for (q <- Seq("j5_semi", "j1_join_dims")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.count() // materialize so AQE finalizes the adaptive plan
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"), s"$q: " + plan.take(800))
+      assert(!plan.contains("SortMergeJoin"), s"$q: " + plan.take(800))
+    }
+  }
+
   test("lsh candidate generation computes signatures exactly once") {
     val docs = Tables.load(spark, dir, "documents")
     val cands = graft.text.Dedup.lshCandidates(docs, "doc_id", "text", 3, 32, 16)

@@ -1343,6 +1343,30 @@ object SparkEntry {
             lit(7L))).as("frame_index"))
     }),
 
+    // ---- multimodal plumbing: raw media INGEST through the real
+    // binaryFile source. Stages one binary file per document (doc_id <
+    // 200, a bounded fixture) into a SHARDED layout — repeated dir
+    // structure, the shape a crawl produces — then ingests the tree and
+    // proves per-file rows, intact bytes (sha), true file lengths, and
+    // relative-path keying against the source-of-truth oracle. The
+    // driver-side staging loop is fixture setup, not the operator: the
+    // ingest itself is one vectorized binaryFile scan. ----
+    "m_media_ingest" -> ((s, dir) => {
+      val tmp = tempDir("graft_mingest") + "/files"
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).collect()
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val p = java.nio.file.Paths.get(tmp, s"s${id % 4}", s"doc_$id.bin")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, r.getString(1).getBytes("UTF-8"))
+        ()
+      }
+      graft.media.Multimodal.ingestBinaryDir(s, tmp, "blob")
+        .select(col("rel_path"), col("byte_len"),
+          graft.media.Multimodal.contentSha(col("payload")).as("sha"))
+    }),
+
     // ---- streaming: watermarked windowed agg, AvailableNow == batch.
     // The events parquet is re-staged (nanos ts -> micros) because the
     // file stream source has no post-read transform hook; staged ONCE
@@ -2933,6 +2957,15 @@ object SparkEntry {
         |  unnest(range(0, 1 + octet_length(encode(text)) % 300, 7)) AS frame_index
         |FROM documents
         |WHERE doc_id % 3 = 0""".stripMargin,
+
+    // the staged file tree is derived from documents, so the oracle
+    // recomputes every ingested row from the table itself
+    "m_media_ingest" ->
+      """SELECT 's' || CAST(doc_id % 4 AS VARCHAR) || '/doc_' ||
+        |    CAST(doc_id AS VARCHAR) || '.bin' AS rel_path,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha
+        |FROM documents WHERE doc_id < 200""".stripMargin,
 
     "s_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

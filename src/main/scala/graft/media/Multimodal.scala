@@ -116,28 +116,44 @@ object Multimodal {
   def byteLen(payload: Column): Column = octet_length(payload).cast("long")
   def contentSha(payload: Column): Column = sha2(payload, 256)
 
-  /** Raw media INGEST: read a directory of binary files (images, audio,
-    * video — any bytes) via Spark's `binaryFile` source into the
+  /** Raw media INGEST: read a directory tree of binary files (images,
+    * audio, video — any bytes) via Spark's `binaryFile` source into the
     * [[mediaSchema]] shape. This is how payloads ENTER the pipeline
     * from a crawl/object store: one row per file with path, length,
     * and content, no decode. `pathGlobFilter` limits to one extension
     * (e.g. `*.jpg`); `kind` tags the rows for the downstream codec
-    * ops. media_id is the portable hash of the file name — stable
-    * across re-ingests of the same layout (re-runs assign identical
-    * ids), collision-checked by the caller at corpus scale. Files
+    * ops. Subdirectories are traversed (`recursiveFileLookup`) — the
+    * sharded layout every crawl produces.
+    *
+    * media_id is the portable hash of the path RELATIVE to the ingest
+    * root — not the basename: sharded crawls repeat basenames
+    * (`part-00000.jpg`, `image.jpg`) across subdirectories, and a
+    * basename-keyed id would silently merge distinct payloads. The
+    * relative path is unique within one ingest and stable across
+    * re-ingests of the same layout (re-runs assign identical ids, and
+    * the id survives relocating the whole tree to a new root). Files
     * stream through the vectorized binary reader; payload bytes are
     * never shuffled by anything in this module. */
   def ingestBinaryDir(spark: SparkSession, dir: String, kind: String,
-                      glob: String = "*"): DataFrame =
+                      glob: String = "*"): DataFrame = {
+    // qualify the root exactly as the source will report `path`, so the
+    // relative path is a clean prefix strip (no per-row regex)
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val root = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(hp).toString
+    val rel = col("path").substr(lit(root.length + 2), lit(Int.MaxValue))
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", value = true)
       .load(dir)
       .select(
-        pmod(pmod(xxhash64(element_at(split(input_file_name(), "/"), -1)),
-          lit(2147483647L)) * 2654435761L, lit(2147483647L)).as("media_id"),
+        pmod(pmod(xxhash64(rel), lit(2147483647L)) * 2654435761L,
+          lit(2147483647L)).as("media_id"),
         lit(kind).as("kind"),
         col("content").as("payload"),
         col("path").as("source_uri"),
+        rel.as("rel_path"),
         col("length").cast("long").as("byte_len"),
         col("modificationTime").as("modified_at"))
+  }
 }

@@ -74,7 +74,7 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.keySet == Set("x.jpg", "y.jpg")) // glob excluded skip.txt
     assert(rows("x.jpg") == ((a.toSeq, 4L, "image")))
     assert(rows("y.jpg") == ((b.toSeq, 3L, "image")))
-    // ids are a pure function of the file NAME: re-ingest -> same ids
+    // ids are a pure function of the RELATIVE path: re-ingest -> same ids
     val ids1 = got.select("source_uri", "media_id")
       .as[(String, Long)].collect().toMap
     val ids2 = Multimodal.ingestBinaryDir(spark, dir, "image", "*.jpg")
@@ -83,5 +83,37 @@ class MultimodalSpec extends SparkSpec {
     // downstream codec ops accept the ingested shape directly
     assert(Multimodal.decodeMetadata(got.select("media_id", "kind",
       "payload")).count() == 2)
+  }
+
+  test("ingestBinaryDir: repeated basenames across subdirs get DISTINCT " +
+       "ids (relative-path keying), and ids survive root relocation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin2").toString
+    for (shard <- Seq("s0", "s1", "s2")) {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir, shard))
+      // the classic crawl layout: every shard emits part-00000.jpg
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, shard, "part-00000.jpg"),
+        shard.getBytes("UTF-8"))
+    }
+    val got = Multimodal.ingestBinaryDir(spark, dir, "image", "*.jpg")
+      .select("rel_path", "media_id").as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("s0/part-00000.jpg", "s1/part-00000.jpg",
+      "s2/part-00000.jpg"))
+    assert(got.values.toSet.size == 3) // basename keying would give 1
+    // relocate the tree: relative paths (hence ids) are unchanged
+    val moved = java.nio.file.Files.createTempDirectory("graft_bin3")
+      .resolve("deeper").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(moved))
+    for (shard <- Seq("s0", "s1", "s2")) {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(moved, shard))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, shard, "part-00000.jpg"),
+        java.nio.file.Paths.get(moved, shard, "part-00000.jpg"))
+    }
+    val again = Multimodal.ingestBinaryDir(spark, moved, "image", "*.jpg")
+      .select("rel_path", "media_id").as[(String, Long)].collect().toMap
+    assert(again == got)
   }
 }

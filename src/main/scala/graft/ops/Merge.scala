@@ -38,7 +38,18 @@ object Merge {
     * tables satisfy this; if yours doesn't, union the old partition
     * values into `updates`' before merging); null partition values are
     * not supported. Idempotent: re-merging the same updates is a
-    * no-op on the final state. */
+    * no-op on the final state.
+    *
+    * Failure semantics: the final dynamic-partition overwrite is NOT
+    * atomic across partitions (the capability Delta/Iceberg add with a
+    * transaction log). A crash mid-commit can leave touched partitions
+    * half-replaced. Recovery contract: the staged merged rows (path
+    * named in the thrown exception) are the complete post-merge
+    * content of every touched partition — restore from staging, or
+    * re-run the merge from the ORIGINAL updates (idempotency makes the
+    * retry safe for any partition that committed or never started; a
+    * partition whose files were deleted but not rewritten needs the
+    * staging restore, since its survivor rows exist nowhere else). */
   def mergeUpsert(spark: SparkSession, basePath: String, updates: DataFrame,
                   keys: Seq[String], partCol: String): Seq[Any] = {
     require(keys.nonEmpty, "need at least one merge key")
@@ -69,23 +80,44 @@ object Merge {
     val survivors = base.filter(col(partCol).isin(touched: _*))
       .join(updates, keys, "left_anti")
     val merged = updates.unionByName(survivors)
-    val staging = java.nio.file.Files.createTempDirectory("graft_merge_stg")
-    val stagingDir = staging.toString + "/data"
+    // staging lives INSIDE the table dir under a dot-prefix (hidden
+    // from Spark/Hive file listings) so it resolves on the SAME
+    // filesystem as the table on any deployment (HDFS/S3A/local) — a
+    // driver-local java.nio temp dir would land on the driver's disk
+    // while Spark resolved the path against the default FS, writing
+    // and deleting two different locations
+    val stagingPath = new org.apache.hadoop.fs.Path(
+      fsPath, s".merge-staging-${java.util.UUID.randomUUID}")
+    val stagingDir = stagingPath.toString + "/data"
     try {
       merged.write.mode("overwrite").parquet(stagingDir)
+    } catch {
+      case e: Throwable => fs.delete(stagingPath, true); throw e
+    }
+    try {
       spark.read.parquet(stagingDir)
         .repartition(col(partCol))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
         .parquet(basePath)
-    } finally {
-      // staging is merge-scoped scratch: delete even on a failed write
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(staging.toFile)
+    } catch {
+      // the final overwrite is NOT failure-atomic (see scaladoc): a
+      // crash between partition deletes and commits can leave touched
+      // partitions half-replaced, at which point staging holds the
+      // only complete copy of their merged rows — PRESERVE it and say
+      // where it is instead of deleting the recovery copy
+      case e: Throwable =>
+        throw new RuntimeException(
+          s"mergeUpsert: final overwrite of $basePath failed; touched " +
+            s"partitions may be half-replaced. The complete merged rows " +
+            s"for the touched partitions are preserved at $stagingDir — " +
+            "restore them from there, or re-run the merge with the " +
+            "ORIGINAL updates (idempotent) if every touched partition " +
+            "is verifiably intact.", e)
     }
+    // success: staging is now redundant scratch
+    fs.delete(stagingPath, true)
     touched
   }
 }

@@ -1525,6 +1525,55 @@ object SparkEntry {
         .filter(col("__rn") === 1).drop("__rn")
     }),
 
+    // ---- streaming: LATE-DATA sessionization — the whole events
+    // corpus replayed through maxFilesPerTrigger=1 as day-range chunks
+    // staged OUT of event-time order (batch 1 = days 22+, batch 2 =
+    // days 1-7, ...), the arrival pattern of a backfill whose file
+    // listing isn't time-sorted. sessionizeRetained buffers each
+    // user's events inside the watermark horizon and appends each
+    // session exactly once when the watermark seals it; a far-future
+    // sentinel row (its own user) staged last flushes the tail. The
+    // oracle recomputes ALL sessions as batch gaps-and-islands — every
+    // session must come out exact despite the disorder. ----
+    "s_stream_sessionize_ooo" -> ((s, dir) => {
+      val tmp = tempDir("graft_sso")
+      val in = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = t(s, dir, "events")
+      def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+        val chunk = s"$tmp/chunk$seq"
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        val part = new java.io.File(chunk).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = java.nio.file.Paths.get(in, s"f$seq.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        // the file source processes oldest-mtime first: pin the order
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L +
+            seq * 10000L))
+        ()
+      }
+      Seq((22, 32), (1, 8), (15, 22), (8, 15)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          stage(ev.filter(dayofmonth(col("ts")) >= lo &&
+            dayofmonth(col("ts")) < hi), i)
+      }
+      stage(ev.sparkSession.range(1)
+        .select(lit(-1L).as("event_id"),
+          lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")).as("ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props")), 9)
+      val ckpt = tempDir("graft_sso_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.sessionizeRetained(stream,
+          gapSeconds = 1800, watermarkDelay = "40 days").toDF(),
+        queryName = s"sso_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     // ---- streaming: stream–STATIC broadcast enrichment — each event
     // micro-batch joined to a batch dimension (stateless, no
     // watermark; the streaming analog of the j1 star join). The agg
@@ -3039,6 +3088,33 @@ object SparkEntry {
         |  CAST(n AS INT) AS n_events
         |FROM g
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) = 1""".stripMargin,
+
+    // ALL sessions (not just the last): the retained-events stream
+    // must reproduce the complete batch gaps-and-islands answer even
+    // though its input arrived out of event-time order
+    "s_stream_sessionize_ooo" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, sec,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |g AS (
+        |  SELECT user_id, sid, MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+        |    COUNT(*) AS n
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id,
+        |  make_timestamp(start_sec * 1000000) AS session_start,
+        |  make_timestamp(end_sec * 1000000) AS session_end,
+        |  CAST(n AS INT) AS n_events
+        |FROM g""".stripMargin,
 
     "j_bucketed_3way" ->
       """WITH clicks AS (

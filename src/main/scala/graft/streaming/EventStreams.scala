@@ -9,6 +9,11 @@ import org.apache.spark.sql.types.StructType
   * the state Encoder codegen sees a public case class. */
 case class SessionState(start: Long, last: Long, n: Int)
 
+/** State record for [[EventStreams.sessionizeRetained]]: the event
+  * seconds buffered inside the watermark horizon, not yet part of a
+  * finalized session. Top-level for the state Encoder. */
+case class SessionBuffer(pending: Array[Long])
+
 /** Structured Streaming surface over the events table shape.
   *
   * The reference is batch-only (SURVEY.md §2.9), but the engine exposes
@@ -89,8 +94,8 @@ object EventStreams {
     * (IllegalStateException) instead of silently merging sessions via a
     * negative gap. Feed triggers in event-time order (the staged
     * AvailableNow inputs here arrive as one batch) or pre-sort the
-    * source; true late-data sessionization needs the retained-events
-    * design (flatMapGroupsWithState buffering a watermark horizon).
+    * source; for out-of-order arrivals use [[sessionizeRetained]], the
+    * retained-events variant that buffers a watermark horizon.
     * Streaming twin of WindowOps.sessionize. */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800,
                  evictIdleAfterMs: Option[Long] = None)
@@ -134,6 +139,102 @@ object EventStreams {
             SessionUpdate(uid,
               new java.sql.Timestamp(latest.start * 1000),
               new java.sql.Timestamp(latest.last * 1000), latest.n)
+          }
+      }
+  }
+
+  /** Late-data-tolerant sessionization: flatMapGroupsWithState buffering
+    * each user's events inside the WATERMARK horizon, so rows may arrive
+    * across micro-batches in ANY order (a 100 TB backfill through
+    * maxFilesPerTrigger, a shuffled file listing, late mobile events) —
+    * the design [[sessionize]]'s ordering guard points at.
+    *
+    * Mechanics: per user, buffer event seconds in state; on every
+    * invocation, re-derive sessions (gaps-and-islands over the sorted
+    * buffer) and EMIT the prefix of sessions that the watermark has made
+    * immutable — a session whose `end + gap` is behind the watermark can
+    * never gain an event, because the watermark operator has already
+    * dropped anything older and every future row is newer. Buffered
+    * events of emitted sessions are released; the rest stay in state
+    * with an event-time timeout at `last + gap`, so a user who simply
+    * goes quiet still flushes (the timeout fires once the watermark
+    * passes — including in the trailing no-data batch an AvailableNow
+    * run executes after its last file).
+    *
+    * Output is APPEND of final sessions only (each session exactly
+    * once), unlike [[sessionize]]'s per-trigger updates. Sessions still
+    * open within `gap + watermarkDelay` of the stream's max event time
+    * when the query stops remain in state (checkpointed, emitted on a
+    * later run) — to flush everything in a bounded backfill, feed one
+    * far-future sentinel row last.
+    *
+    * State per user is O(events within watermarkDelay + gap of the max
+    * event time), the horizon the correctness argument needs — the
+    * bounded-state/late-tolerance trade is the watermark delay, not an
+    * unbounded retained log. */
+  def sessionizeRetained(events: DataFrame, gapSeconds: Long = 1800,
+                         watermarkDelay: String = "2 hours")
+      : org.apache.spark.sql.Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermark tag lives on the ts ATTRIBUTE's metadata — casting
+    // it to long would strip the tag and fail the event-time-timeout
+    // check, so ts stays a timestamp until inside the state function
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionBuffer, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionBuffer]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val all = (state.getOption.map(_.pending).getOrElse(Array.empty)
+            ++ rows.map(_._2.getTime / 1000)).sorted
+          if (all.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            // session start indices over the sorted buffer
+            val starts = scala.collection.mutable.ArrayBuffer(0)
+            var k = 1
+            while (k < all.length) {
+              if (all(k) - all(k - 1) > gapSeconds) starts += k
+              k += 1
+            }
+            // finalizable sessions are a PREFIX (sessions are disjoint
+            // ordered intervals, so ends increase monotonically)
+            val out = Seq.newBuilder[SessionUpdate]
+            var si = 0
+            var retainFrom = all.length
+            var done = false
+            while (si < starts.length && !done) {
+              val lo = starts(si)
+              val hi = if (si + 1 < starts.length) starts(si + 1)
+                       else all.length
+              if (all(hi - 1) + gapSeconds < wmSec) {
+                out += SessionUpdate(uid,
+                  new java.sql.Timestamp(all(lo) * 1000),
+                  new java.sql.Timestamp(all(hi - 1) * 1000), hi - lo)
+                si += 1
+              } else { retainFrom = lo; done = true }
+            }
+            if (retainFrom >= all.length) state.remove()
+            else {
+              val retained = java.util.Arrays
+                .copyOfRange(all, retainFrom, all.length)
+              state.update(SessionBuffer(retained))
+              // fire when the OLDEST pending session becomes closable
+              // (its end + gap behind the watermark) — keying on the
+              // newest event would stall every earlier session behind
+              // a far-future pending one. Re-registered per firing, so
+              // sessions drain one watermark advance at a time. Must be
+              // strictly ahead of the current watermark.
+              var e = 0
+              while (e + 1 < retained.length &&
+                retained(e + 1) - retained(e) <= gapSeconds) e += 1
+              state.setTimeoutTimestamp(math.max(
+                (retained(e) + gapSeconds + 1) * 1000,
+                wmSec * 1000 + 1000))
+            }
+            out.result().iterator
           }
       }
   }

@@ -166,6 +166,86 @@ class EventStreamsSpec extends SparkSpec {
     assert(run(s"$dir/ck2") == expected)
   }
 
+  /** Stage rows as ONE parquet file with a controlled modification time
+    * so the file source (oldest-mtime-first) replays staged files in
+    * exactly the order given — the harness for out-of-order arrival. */
+  private def stageFile(dir: String, mtimeMs: Long,
+                        rows: Seq[(Long, java.sql.Timestamp, Long, String,
+                          Double, String)]): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-")).head
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dest = java.nio.file.Paths.get(dir, s"f$mtimeMs.parquet")
+    java.nio.file.Files.copy(part.toPath, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    ()
+  }
+
+  test("sessionizeRetained: out-of-event-time-order micro-batches " +
+    "(maxFilesPerTrigger=1) still produce exact sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ooo").toString
+    val base = 1700000000000L
+    // batch 1 jumps ahead to 20:00; batch 2 delivers a 10:20 event that
+    // belongs INSIDE batch 1's first session — the cross-trigger
+    // disorder sessionize's guard rejects. 12h watermark covers it.
+    stageFile(s"$dir/in", base, Seq(
+      (0L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:10:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 20:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 09:55:00"), 2L, "view", 1.0, "{}")))
+    stageFile(s"$dir/in", base + 10000, Seq(
+      (4L, ts("2024-01-01 10:20:00"), 1L, "view", 1.0, "{}")))
+    // far-future sentinel on its OWN user: advances the watermark past
+    // every real session's end + gap, so the trailing no-data batch
+    // fires each user's event-time timeout and flushes final sessions
+    stageFile(s"$dir/in", base + 20000, Seq(
+      (5L, ts("2024-01-02 23:00:00"), -1L, "flush", 0.0, "{}")))
+    val stream = EventStreams.readStream(spark, s"$dir/in",
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val out = EventStreams.runAvailableNow(
+      EventStreams.sessionizeRetained(stream, gapSeconds = 1800,
+        watermarkDelay = "12 hours").toDF(),
+      queryName = "sess_ooo", checkpoint = s"$dir/ckpt",
+      outputMode = OutputMode.Append())
+    val got = out.as[EventStreams.SessionUpdate].collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+      .toSet
+    // the 10:20 straggler merged into user 1's first session (n=3);
+    // the sentinel's own open session stays in state, not emitted
+    assert(got == Set(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 3),
+      (1L, ts("2024-01-01 20:00:00"), ts("2024-01-01 20:00:00"), 1),
+      (2L, ts("2024-01-01 09:55:00"), ts("2024-01-01 09:55:00"), 1)))
+  }
+
+  test("sessionizeRetained: watermark finalizes early sessions " +
+    "incrementally (no sentinel), later sessions stay pending") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ooo2").toString
+    val base = 1700000000000L
+    stageFile(s"$dir/in", base, Seq(
+      (0L, ts("2024-01-01 01:00:00"), 7L, "view", 1.0, "{}")))
+    // same user goes quiet, then reappears 23h later: the new max event
+    // time pulls the watermark (12h delay) past 01:00 + gap, so the
+    // trailing batch's timeout flushes the first session while the
+    // 23:50 session is still open in state
+    stageFile(s"$dir/in", base + 10000, Seq(
+      (1L, ts("2024-01-01 23:50:00"), 7L, "view", 1.0, "{}")))
+    val stream = EventStreams.readStream(spark, s"$dir/in",
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val out = EventStreams.runAvailableNow(
+      EventStreams.sessionizeRetained(stream, gapSeconds = 1800,
+        watermarkDelay = "12 hours").toDF(),
+      queryName = "sess_ooo2", checkpoint = s"$dir/ckpt",
+      outputMode = OutputMode.Append())
+    val got = out.as[EventStreams.SessionUpdate].collect()
+      .map(s => (s.user_id, s.session_start, s.n_events)).toSet
+    assert(got == Set((7L, ts("2024-01-01 01:00:00"), 1)))
+  }
+
   test("live sessionize evicts idle users via processing-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -71,6 +71,32 @@ object Bench {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+
+    // ---- round-over-round regression gate: load the PREVIOUS run's
+    // complete artifact before this run overwrites it (override the
+    // path with SPARK_GRAFT_BENCH_PREV, e.g. a committed BENCH_r{N}).
+    // The queries map is flat numeric JSON of our own writing, so a
+    // scan to its closing brace parses it without a JSON dependency.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      "BENCH_FULL.json")
+    val prev: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(prevPath)), "UTF-8")
+        val start = txt.indexOf("\"queries\":{")
+        if (start < 0) Map.empty
+        else "\"([^\"]+)\":(-?[0-9]+\\.?[0-9]*)".r
+          .findAllMatchIn(txt.substring(start + 11,
+            txt.indexOf('}', start)))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // a stale artifact must not survive this run: if the write below
+    // fails, a dangling queries_full pointer would present the OLD
+    // numbers as current results
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("BENCH_FULL.json"))
+    catch { case scala.util.control.NonFatal(_) => () }
+
     val results = runQueries(spark, sfDir, SparkEntry.queries)
     // Keep the line SHORT: the driver captures only a bounded ~2000-char
     // tail of stdout — round 6's line (full-precision doubles + an
@@ -92,16 +118,41 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.collect { case (v, None) => v }.sum
     val nErr = results.values.count(_._2.isDefined)
+    // regression = >1.5x slower than the previous artifact AND >0.25s
+    // absolute (sub-2s queries jitter; a pure ratio would cry wolf on
+    // 80ms -> 130ms noise). New queries have no prev entry and are
+    // never flagged. The gate exists so a slowdown is a named fact in
+    // the round's artifact, not something a truncated tail can hide.
+    val regressed = results.toSeq.collect {
+      case (k, (v, None)) if prev.get(k).exists(p =>
+        p > 0 && v > p * 1.5 && v - p > 0.25) =>
+        k -> (prev(k), v)
+    }.sortBy { case (_, (p, v)) => -(v - p) }
+    def rmap(rs: Seq[(String, (Double, Double))]): String =
+      rs.map { case (k, (p, v)) =>
+        s"\"" + k + "\":{\"prev\":" + ms(p) + ",\"now\":" + ms(v) + "}"
+      }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""queries":${qmap(bySlowest)},"failures":$failures,""" +
+        s""""regressions":${rmap(regressed)},""" +
+        s""""prev_artifact":"${esc(if (prev.isEmpty) "" else prevPath)}",""" +
         s""""errors":$nErr,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
-    catch { case scala.util.control.NonFatal(_) => () }
+    val wroteFull =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    // stdout line stays bounded: 40 slowest queries + at most 8
+    // regressions; the complete maps live in BENCH_FULL.json. On a
+    // failed artifact write, advertise null rather than a pointer to
+    // a file that is absent (or worse, stale).
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""queries":${qmap(bySlowest.take(40))},""" +
-      s""""queries_full":"BENCH_FULL.json","failures":$failures,""" +
+      s""""queries_full":${if (wroteFull) "\"BENCH_FULL.json\"" else "null"},""" +
+      s""""regressions":${rmap(regressed.take(8))},""" +
+      s""""failures":$failures,""" +
       s""""errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }

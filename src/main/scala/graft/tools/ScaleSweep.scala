@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, SparkEntry, Tables}
+
+/** Scale sweep of the heaviest operators — the cheapest honest test of
+  * the "would this survive 100×" design claims within one sandbox.
+  *
+  * Builds a FACTOR× replica of the sf0.1 documents/embeddings tables
+  * under /tmp with content DECORRELATED per replica: replica k's
+  * document i is SPLICED from word-thirds of three different source
+  * docs (i, i+p1k, i+p2k mod N) — new text drawn from the same word
+  * distribution. Jaccard (char OR word shingles) between a splice and
+  * any parent ≈ (1/3)/(5/3) = 0.2, below every similarity threshold
+  * in the heavy ops, so duplicate/near-duplicate RATES stay
+  * scale-invariant, while stopword ratios, quality scores and token
+  * counts stay corpus-realistic. The two naive stagings both measure
+  * the data shape, not the operator: exact replication gives every
+  * doc FACTOR-1 near-identical twins (quadratic pair blowup in the
+  * replica count); a caesar cipher destroys stopwords so
+  * language-gated ops skip the replicas; a per-replica word
+  * PERMUTATION preserves word-interior char shingles, so char-3-gram
+  * jaccard still matches replicas (measured: 9.9M pairs at 10×).
+  * Then times each heavy op once warm at base scale and once at
+  * scaled size, and reports the time ratio vs the data ratio
+  * (ratio/factor > 1.3 ⇒ flagged super-linear).
+  *
+  * runMain graft.tools.ScaleSweep [factor]   (default 10 ≈ sf1)
+  */
+object ScaleSweep {
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark0 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark0.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.tune(spark0)
+
+    // ---- stage the scaled tables (idempotent per factor) ----
+    val scaled = s"/tmp/graft_scale_x$factor"
+    val marker = new java.io.File(s"$scaled/_DONE")
+    if (!marker.exists()) {
+      val docs = Tables.load(spark, base, "documents")
+      val nDocs = docs.count()
+      // word-thirds of every doc, keyed for the three splice joins
+      val words = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), split(col("text"), " ").as("w"))
+      def third(part: Int): org.apache.spark.sql.Column = {
+        val sz = size(col("w"))
+        val lo = (sz * part / 3) + 1 // slice() is 1-based
+        val hi = sz * (part + 1) / 3
+        slice(col("w"), lo, greatest(hi - lo + 1, lit(0)))
+      }
+      val t0 = words.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), third(0).as("wa"))
+      (0 until factor).map { k =>
+        if (k == 0) docs
+        else {
+          val p1 = 1 + (k * 997L) % (nDocs - 1)
+          val p2 = 1 + (k * 2003L) % (nDocs - 2)
+          val t1 = words.select(
+            pmod(col("doc_id") - p1 + nDocs, lit(nDocs)).as("doc_id"),
+            third(1).as("wb"))
+          val t2 = words.select(
+            pmod(col("doc_id") - p2 + nDocs, lit(nDocs)).as("doc_id"),
+            third(2).as("wc"))
+          t0.join(t1, "doc_id").join(t2, "doc_id")
+            .select((col("doc_id") + k * 10000000L).as("doc_id"),
+              array_join(concat(col("wa"), col("wb"), col("wc")), " ")
+                .as("text"),
+              col("lang"), col("source"), col("n_chars"))
+        }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+      val emb = Tables.load(spark, base, "embeddings")
+      (0 until factor).map { k =>
+        if (k == 0) emb
+        else emb.select((col("vec_id") + k * 10000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x + lit(k * 0.0137f)).cast("float")).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      marker.getParentFile.mkdirs(); marker.createNewFile(); ()
+    }
+
+    def timeIt(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val ivfOut = new java.util.concurrent.atomic.AtomicInteger
+    val ops: Seq[(String, String => Long)] = Seq(
+      "t_jaccard_join" -> (d => SparkEntry.queries("t_jaccard_join")(spark, d).count()),
+      "t_curate" -> (d => SparkEntry.queries("t_curate")(spark, d).count()),
+      "t_dedup_clusters" -> (d => SparkEntry.queries("t_dedup_clusters")(spark, d).count()),
+      "t_decontaminate_bloom" -> (d => SparkEntry.queries("t_decontaminate_bloom")(spark, d).count()),
+      "buildIvfIndex" -> { d =>
+        val emb = Tables.load(spark, d, "embeddings")
+        val p = s"/tmp/graft_scale_ivf_${ivfOut.incrementAndGet()}"
+        graft.sim.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+          nlist = 64, path = p)
+        spark.read.parquet(p).count()
+      })
+
+    println(s"| op | rows x1 | sec x1 | rows x$factor | sec x$factor | " +
+      "ratio | ratio/factor |")
+    println("|---|---|---|---|---|---|---|")
+    ops.foreach { case (name, run) =>
+      run(base) // warm: JIT/codegen paid before any timed number
+      val (secBase, nBase) = timeIt(run(base))
+      val (secScaled, nScaled) = timeIt(run(scaled))
+      val ratio = secScaled / secBase
+      val perFactor = ratio / factor
+      val flag = if (perFactor > 1.3) " **SUPER-LINEAR**" else ""
+      println(f"| $name | $nBase | $secBase%.2f | $nScaled | " +
+        f"$secScaled%.2f | ${ratio}%.2f | ${perFactor}%.2f$flag |")
+    }
+    spark.stop()
+  }
+}

@@ -1703,6 +1703,31 @@ object SparkEntry {
           count(col("doc_id")).as("n_good"))
     }),
 
+    // ---- §2.1 S2 native xlsx scan: the nation dim rendered as a real
+    // Excel workbook (XlsxSource.writeXlsx — ZIP+OOXML, the shape
+    // read_excel consumes), then ingested back through the pure-JDK
+    // reader and aggregated. Proves a user can point the engine at a
+    // workbook with NO out-of-band conversion step — the reference's
+    // vocab-sheet ingestion path (code/RCLIF_labs.Rmd:38), previously
+    // pass-unit only. ----
+    "s8_xlsx_scan" -> ((s, dir) => {
+      val tmp = tempDir("graft_xlsx_q")
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("string"), col("n_name"),
+          col("n_regionkey").cast("string"))
+        .orderBy(col("n_nationkey").cast("long")).collect() // 25-row dim
+        .map(r => Seq(r.getString(0), r.getString(1), r.getString(2)))
+      val bytes = graft.sources.XlsxSource.writeXlsx(
+        Seq("n_nationkey", "n_name", "n_regionkey") +: rows.toSeq, "nation")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "nation.xlsx"), bytes)
+      graft.sources.XlsxSource.readSheet(s, s"$tmp/nation.xlsx")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          max(col("n_name")).as("max_name"),
+          sum(col("n_nationkey").cast("long")).as("sum_key"))
+    }),
+
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
     "s1_csv_roundtrip" -> ((s, dir) => {
       // unique per invocation (a fixed path corrupts concurrent runs),
@@ -3177,6 +3202,15 @@ object SparkEntry {
         |  CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
         |  CAST(COUNT(*) - SUM(corrupt) AS BIGINT) AS n_good
         |FROM j GROUP BY lang""".stripMargin,
+
+    // every xlsx cell surfaces as a STRING (the reader's contract), so
+    // the oracle groups and aggregates over stringified nation columns
+    "s8_xlsx_scan" ->
+      """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey,
+        |  COUNT(*) AS n,
+        |  MAX(n_name) AS max_name,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation GROUP BY 1""".stripMargin,
 
     // Recomputes the streamed-upsert final table state: revised events
     // carry the batch-2 value, everything else the original.

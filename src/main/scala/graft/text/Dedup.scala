@@ -174,6 +174,13 @@ object Dedup {
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
       .filter(col("a.side") === 0 && col("b.side") === 1)
+      // EXACT O(1) pre-filter before the O(|a|+|b|) set verify:
+      // J ≥ θ ⟹ min/max set-size ratio ≥ θ, so length-skewed bucket
+      // pairs never pay the full Jaccard (deterministic — cannot drop
+      // a true pair, unlike a signature-estimate prune; equal-length
+      // sub-threshold cliques still verify, see BENCH_SF1.md)
+      .filter(size(col("a.sh")) * lit(1.0) >= size(col("b.sh")) * threshold &&
+        size(col("b.sh")) * lit(1.0) >= size(col("a.sh")) * threshold)
       .select(col("a.id").as("left_id"), col("b.id").as("right_id"),
         round(jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -487,6 +494,11 @@ object Dedup {
     cands
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      // exact O(1) size-ratio bound before the set verify (J ≥ θ ⟹
+      // min/max sizes ≥ θ) — same pre-filter as the decontamination
+      // path; deterministic, cannot drop a true pair
+      .filter(size(col("sh1")) * lit(1.0) >= size(col("sh2")) * threshold &&
+        size(col("sh2")) * lit(1.0) >= size(col("sh1")) * threshold)
       .withColumn("jaccard", round(jaccard(col("sh1"), col("sh2")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")

@@ -558,6 +558,58 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Can two SORTED long arrays reach Jaccard ≥ threshold? One merge
+    * walk with early exit: at each step the best still-achievable
+    * intersection is inter + min(remaining_a, remaining_b), and
+    * J = i/(|a|+|b|−i) is increasing in i, so once the optimistic bound
+    * drops below the threshold the walk stops — a far-below-threshold
+    * pair (the boilerplate-clique regime, BENCH_SF1.md) is rejected
+    * after long comparisons only, never paying the string hash-set
+    * verify. On duplicate values (64-bit collisions within one array)
+    * the walk counts Σ_v min(cnt_a(v), cnt_b(v)) ≥ the true shared-
+    * element count, so used over hashed shingle arrays the answer is
+    * a SUPERSET screen: false can never hide a qualifying string pair
+    * (twin + property proofs in TextSpec). Inputs MUST be sorted
+    * ascending ([[graft.text.Dedup.hashedShingles]] guarantees it);
+    * unsorted input under-counts and is a caller bug. */
+  case class SortedJaccardGe(left: Expression, right: Expression,
+                             threshold: Double)
+      extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = BooleanType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val na = xs.numElements()
+      val nb = ys.numElements()
+      if (na == 0 && nb == 0) return true // over-admit 0/0; verify decides
+      var i = 0
+      var j = 0
+      var inter = 0
+      var ok = true
+      var done = false
+      while (!done && i < na && j < nb) {
+        val best = inter + math.min(na - i, nb - j)
+        if (best.toDouble < threshold * (na + nb - best)) {
+          ok = false; done = true
+        } else {
+          val x = xs.getLong(i)
+          val y = ys.getLong(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+      }
+      if (!done) ok = inter.toDouble >= threshold * (na + nb - inter)
+      ok
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column API (classic bridge: Column <-> catalyst Expression) ----
 
   private def expr(c: Column): Expression =
@@ -585,6 +637,9 @@ object NativeExpressions {
 
   def intersect_size(a: Column, b: Column): Column =
     toCol(IntersectSize(expr(a), expr(b)))
+
+  def sorted_jaccard_ge(a: Column, b: Column, threshold: Double): Column =
+    toCol(SortedJaccardGe(expr(a), expr(b), threshold))
 
   def srp_buckets(vec: Column, nPlanes: Int, seeds: Seq[Int]): Column =
     toCol(SrpBuckets(expr(vec), nPlanes, seeds))

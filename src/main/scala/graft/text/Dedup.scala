@@ -163,24 +163,25 @@ object Dedup {
         lit(tag).as("side"))
     val tagged = side(left, 0).unionByName(side(right, 1))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = tagged.select(col("id"), col("side"), col("sh"),
+      .withColumn("hs", hashedShingles(col("sh")))
+    val banded = tagged.select(col("id"), col("side"), col("sh"), col("hs"),
         explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
-      .select(col("id"), col("side"), col("sh"), col("bk.band"),
+      .select(col("id"), col("side"), col("sh"), col("hs"), col("bk.band"),
         col("bk.bucket"))
     capBuckets(banded, Seq("band", "bucket"), maxBucket)
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("side"), col("sh"))).as("items"))
+      .agg(collect_list(struct(col("id"), col("side"), col("sh"),
+        col("hs"))).as("items"))
       .filter(size(col("items")) >= 2)
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
       .filter(col("a.side") === 0 && col("b.side") === 1)
-      // EXACT O(1) pre-filter before the O(|a|+|b|) set verify:
-      // J ≥ θ ⟹ min/max set-size ratio ≥ θ, so length-skewed bucket
-      // pairs never pay the full Jaccard (deterministic — cannot drop
-      // a true pair, unlike a signature-estimate prune; equal-length
-      // sub-threshold cliques still verify, see BENCH_SF1.md)
-      .filter(size(col("a.sh")) * lit(1.0) >= size(col("b.sh")) * threshold &&
-        size(col("b.sh")) * lit(1.0) >= size(col("a.sh")) * threshold)
+      // deterministic long-array screen (size-ratio bound + early-exit
+      // sorted-hash merge walk) before the O(|a|+|b|) STRING set
+      // verify — a sub-threshold boilerplate-clique pair (the
+      // BENCH_SF1.md 30× regime) exits on long comparisons; cannot
+      // drop a true pair (superset-safe, see [[screenPair]])
+      .filter(screenPair(col("a.hs"), col("b.hs"), threshold))
       .select(col("a.id").as("left_id"), col("b.id").as("right_id"),
         round(jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -408,6 +409,7 @@ object Dedup {
     val eps = 1e-9
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("hs", hashedShingles(col("sh")))
     val tok = sh.select(col("id"), size(col("sh")).as("len"),
       explode(col("sh")).as("t"))
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
@@ -447,8 +449,15 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
     cands
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1"),
+        col("hs").as("hs1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2"),
+        col("hs").as("hs2")), Seq("id2"))
+      // long-array screen (early-exit sorted-hash merge walk) before
+      // the string hash-set verify — the positional filter leaves
+      // mostly sub-threshold survivors at low thresholds; cannot drop
+      // a true pair (superset-safe, see [[screenPair]])
+      .filter(screenPair(col("hs1"), col("hs2"), threshold))
       .withColumn("__j", jaccard(col("sh1"), col("sh2")))
       .filter(col("__j") >= threshold)
       .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
@@ -481,9 +490,39 @@ object Dedup {
       }), 1)
   }
 
+  /** Sorted xxhash64 projection of a shingle array: the long-array key
+    * for the [[graft.functions.NativeExpressions.SortedJaccardGe]]
+    * screen. Computed once per doc (narrow), O(m log m). The projection
+    * is superset-safe: a 64-bit collision only MERGES values, so the
+    * hashed multiset Jaccard ≥ the string-set Jaccard and a screen
+    * rejection can never hide a qualifying pair. */
+  private[graft] def hashedShingles(sh: Column): Column =
+    array_sort(transform(sh, s => xxhash64(s)))
+
+  /** Slack subtracted from the screen threshold: the FINAL filter
+    * compares round(J, 6) ≥ θ, which admits J ≥ θ − 5e-7; screening at
+    * unrounded θ could drop exactly those boundary pairs. 1e-6 covers
+    * the half-up boundary; over-admission is decided by the exact
+    * verify. */
+  private val RoundSlack = 1e-6
+
+  /** Long-array screen before a string-exact Jaccard verify: O(1)
+    * size-ratio bound (J ≥ θ ⟹ min/max sizes ≥ θ), then the early-exit
+    * merge walk over the sorted hash arrays. Both deterministic and
+    * superset-safe — a far-below-threshold pair (boilerplate-clique
+    * regime, BENCH_SF1.md) is rejected on long comparisons without ever
+    * paying the string hash-set pass. */
+  private def screenPair(hs1: Column, hs2: Column,
+                         threshold: Double): Column =
+    (size(hs1) * lit(1.0) >= size(hs2) * threshold) &&
+      (size(hs2) * lit(1.0) >= size(hs1) * threshold) &&
+      graft.functions.NativeExpressions.sorted_jaccard_ge(
+        hs1, hs2, threshold - RoundSlack)
+
   /** Near-dup pipeline: LSH candidates verified with exact Jaccard ≥
     * threshold. The verify join re-attaches shingle sets by id (shuffle on
-    * id — small, candidates only). */
+    * id — small, candidates only), screened by [[screenPair]] before the
+    * string-exact pass. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, shingleN: Int = 3,
                      numHashes: Int = 32, bands: Int = 8): DataFrame = {
@@ -491,14 +530,13 @@ object Dedup {
       .select("id1", "id2")
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("hs", hashedShingles(col("sh")))
     cands
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-      // exact O(1) size-ratio bound before the set verify (J ≥ θ ⟹
-      // min/max sizes ≥ θ) — same pre-filter as the decontamination
-      // path; deterministic, cannot drop a true pair
-      .filter(size(col("sh1")) * lit(1.0) >= size(col("sh2")) * threshold &&
-        size(col("sh2")) * lit(1.0) >= size(col("sh1")) * threshold)
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1"),
+        col("hs").as("hs1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2"),
+        col("hs").as("hs2")), Seq("id2"))
+      .filter(screenPair(col("hs1"), col("hs2"), threshold))
       .withColumn("jaccard", round(jaccard(col("sh1"), col("sh2")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")

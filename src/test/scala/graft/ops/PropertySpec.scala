@@ -148,6 +148,55 @@ class PropertySpec extends SparkSpec {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("SortedJaccardGe == exact-jaccard comparison on sorted long " +
+    "arrays; screen never rejects a qualifying string pair") {
+    // twin: the early-exit walk must agree with the exact multiset
+    // jaccard Σ min(cnt) / (|a|+|b|−Σ min(cnt)) compared to θ, for
+    // arrays WITH duplicates and boundary thresholds
+    val arrGen = Gen.choose(0, 15)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0L, 9L)))
+    val batchGen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(arrGen, arrGen)),
+      Gen.oneOf(0.2, 0.5, 0.8, 1.0))
+    check("sorted-jaccard-ge-twin")(Prop.forAll(batchGen) {
+      case (pairs, theta) =>
+        val df = pairs.map { case (a, b) => (a.sorted, b.sorted) }
+          .toDF("a", "b")
+        val got = df.select(graft.functions.NativeExpressions
+            .sorted_jaccard_ge(col("a"), col("b"), theta))
+          .as[Boolean].collect()
+        val want = pairs.map { case (a, b) =>
+          val inter = (a.groupBy(identity).view.mapValues(_.size).toMap
+            .keySet intersect b.toSet).toSeq
+            .map(v => math.min(a.count(_ == v), b.count(_ == v))).sum
+          val union = a.size + b.size - inter
+          if (union == 0) true // expression over-admits 0/0
+          else inter.toDouble >= theta * union
+        }
+        got.toSeq == want
+    })
+    // safety: over HASHED shingle arrays, a pair whose string-set
+    // jaccard qualifies (after the pipeline's round-to-6 final filter)
+    // is NEVER screened out at threshold − RoundSlack
+    val strGen = Gen.choose(0, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf((0 until 6).map(i => s"w$i"))))
+    check("screen-superset-safe")(Prop.forAll(
+      Gen.listOfN(30, Gen.zip(strGen, strGen))) { pairs =>
+      val df = pairs.map { case (a, b) => (a.distinct, b.distinct) }
+        .toDF("a", "b")
+      val theta = 0.5
+      val rows = df.select(
+          graft.functions.NativeExpressions.sorted_jaccard_ge(
+            graft.text.Dedup.hashedShingles(col("a")),
+            graft.text.Dedup.hashedShingles(col("b")),
+            theta - 1e-6).as("screen"),
+          round(graft.text.Dedup.jaccard(col("a"), col("b")), 6)
+            .as("j"))
+        .as[(Boolean, Double)].collect()
+      rows.forall { case (screen, j) => j < theta || screen }
+    })
+  }
+
   test("rollingMeans row frame == plain-Scala sliding mean on generated " +
        "events") {
     check("rolling-brute-equiv")(Prop.forAll(eventsGen) { evs =>

@@ -1728,6 +1728,32 @@ object SparkEntry {
           sum(col("n_nationkey").cast("long")).as("sum_key"))
     }),
 
+    // ---- §2.1 S3 remote scan over a LIVE http:// endpoint: the
+    // supplier dim staged as a pipe-CSV object behind a loopback
+    // HEAD/Range server (HttpStaticServer), read back through
+    // HttpFs + UriSource — the object-store dispatch path with a real
+    // network hop, previously file://-only pass-unit evidence. The
+    // explicit schema skips the inference scan (the 100 TB contract);
+    // the server is lazy-safe: it outlives the returned DataFrame and
+    // is freed at JVM exit like the staged temp dirs. ----
+    "s9_http_scan" -> ((s, dir) => {
+      graft.sources.HttpFs.install(s)
+      val rows = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"),
+          col("s_acctbal").cast("string"))
+        .orderBy(col("s_suppkey")).collect() // dim-scale (100 @ sf0.01)
+        .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}")
+      val body = ("s_suppkey|s_nationkey|s_acctbal\n" + rows.mkString("\n"))
+        .getBytes("UTF-8")
+      val handle = graft.sources.HttpStaticServer.serve("/supplier.csv", body)
+      sys.addShutdownHook(handle.stop())
+      graft.sources.UriSource.delimited(s, handle.uri,
+          schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+            "s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE")))
+        .groupBy(col("s_nationkey").cast("string").as("s_nationkey"))
+        .agg(count(lit(1)).as("n"), moneySum(col("s_acctbal")).as("sum_bal"))
+    }),
+
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
     "s1_csv_roundtrip" -> ((s, dir) => {
       // unique per invocation (a fixed path corrupts concurrent runs),
@@ -3211,6 +3237,13 @@ object SparkEntry {
         |  MAX(n_name) AS max_name,
         |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY 1""".stripMargin,
+
+    // The http:// scan must agree with the source table it staged.
+    "s9_http_scan" ->
+      """SELECT CAST(s_nationkey AS VARCHAR) AS s_nationkey,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY 1""".stripMargin,
 
     // Recomputes the streamed-upsert final table state: revised events
     // carry the batch-2 value, everything else the original.

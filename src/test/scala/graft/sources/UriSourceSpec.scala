@@ -25,4 +25,67 @@ class UriSourceSpec extends SparkSpec {
     val df = UriSource.delimited(spark, "file://" + f.toString)
     assert(df.count() == 2 && df.columns.toSeq == Seq("a", "b"))
   }
+
+  // ---- http(s):// — the genuinely REMOTE scheme this sandbox can
+  // execute: bytes stream over a socket with HEAD/Range semantics, the
+  // same status+ranged-GET pattern the object-store connectors use ----
+
+  /** [[HttpStaticServer]] with scoped lifecycle: loopback, no egress;
+    * HEAD/Range semantics; request log passed through for assertions. */
+  private def withHttpServer[T](path: String, body: Array[Byte])(
+      f: (String, java.util.List[(String, String)]) => T): T = {
+    val h = HttpStaticServer.serve(path, body)
+    try f(h.uri, h.log) finally h.stop()
+  }
+
+  test("http:// delimited read through HttpFs: HEAD sizes the object, " +
+    "GET streams it — UriSource entry point, zero local staging") {
+    HttpFs.install(spark)
+    val body = "a|b\n1|one\n2|two\n3|three".getBytes("UTF-8")
+    withHttpServer("/extract.csv", body) { (uri, log) =>
+      val df = UriSource.delimited(spark, uri)
+      assert(df.columns.toSeq == Seq("a", "b"))
+      assert(df.collect().map(_.getString(1)).toSet ==
+        Set("one", "two", "three"))
+      val methods = log.toArray(Array.empty[(String, String)]).map(_._1)
+      assert(methods.contains("HEAD") && methods.contains("GET"))
+    }
+  }
+
+  test("http:// multi-split read: each split opens its own ranged GET " +
+    "at its offset — the parallel object-store read pattern") {
+    HttpFs.install(spark)
+    // ~300 KB CSV so a 64 KB split size forces multiple partitions
+    val sb = new StringBuilder("id|v\n")
+    (1 to 20000).foreach(i => sb.append(i).append("|x").append(i).append("\n"))
+    val body = sb.toString.getBytes("UTF-8")
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try withHttpServer("/big.csv", body) { (uri, log) =>
+      val df = UriSource.delimited(spark, uri)
+      assert(df.count() == 20000)
+      val ranged = log.toArray(Array.empty[(String, String)])
+        .filter { case (m, r) => m == "GET" && r != null && !r.contains("bytes=0-") }
+      assert(ranged.nonEmpty, s"expected nonzero-offset ranged GETs, log=$log")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
+  test("http:// parquet read: footer-first access arrives as ranged " +
+    "GETs at nonzero offsets (seek, not a byte-0 stream scan)") {
+    HttpFs.install(spark)
+    val body = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/region.parquet"))
+    withHttpServer("/region.parquet", body) { (uri, log) =>
+      val df = UriSource.read(spark, uri)
+      assert(df.count() == 5)
+      assert(df.columns.contains("r_name"))
+      // parquet starts at the FOOTER: the reader must seek deep into
+      // the object and the stream must turn that into a ranged GET —
+      // a non-seekable stream would have to replay from byte 0
+      val ranged = log.toArray(Array.empty[(String, String)])
+        .filter { case (m, r) =>
+          m == "GET" && r != null && r.matches("bytes=[1-9]\\d*-\\d*") }
+      assert(ranged.nonEmpty, s"expected nonzero-offset range GETs, log=$log")
+    }
+  }
 }

@@ -59,6 +59,11 @@ object SparkEntry {
   private val stagedIvfIndex = scala.collection.concurrent.TrieMap
     .empty[String, (String, Array[Seq[Float]])]
 
+  /** Per-(JVM, sf dir) persisted LSH index over the EVEN documents —
+    * built once, probed by `t_lsh_index_probe`. */
+  private val stagedLshIndex = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
   /** Per-JVM cache of the bucketed-table suffix per sf dir (tables are
     * session-catalog objects; one publish per (JVM, sf dir)). */
   private val stagedBucketedTables =
@@ -1037,6 +1042,27 @@ object SparkEntry {
         .filter(col("__rn") === 1)
         .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
           col("q"), col("n_members"))
+    }),
+
+    // ---- training-data ops: INCREMENTAL near-dup detection against a
+    // PERSISTED LSH index (text/LshIndex) — the corpus (even docs) is
+    // signed once into (bands, portable-hash docs) state; the new
+    // batch (odd docs) probes that state without the corpus text ever
+    // being re-read. Same split/threshold/banding as t_decontaminate,
+    // so the oracle is the same brute force recomputing the portable
+    // hash sets. ----
+    "t_lsh_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = stagedLshIndex.getOrElseUpdate(dir, {
+        val p = tempDir("graft_lshidx") + "/idx"
+        graft.text.LshIndex.build(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+          p, shingleN = 3, numHashes = 32, bands = 16)
+        p
+      })
+      graft.text.LshIndex.probe(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        path, threshold = 0.5)
     }),
 
     // ---- similarity: brute-force cosine top-k for one query vector ----
@@ -3237,6 +3263,35 @@ object SparkEntry {
         |  MAX(n_name) AS max_name,
         |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY 1""".stripMargin,
+
+    // Brute force over the SAME portable 31-bit polynomial shingle-hash
+    // sets the index persists (hash recomputed via list_reduce, exactly
+    // the t_simhash fold): the probe's output is the hashed-set jaccard,
+    // so the oracle recomputes that quantity — the gate is exact.
+    "t_lsh_index_probe" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |shg AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks),
+        |hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(sh, s ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647))) AS hs
+        |  FROM shg),
+        |pairs AS (
+        |  SELECT o.doc_id AS new_id, e.doc_id AS indexed_id,
+        |    ROUND(CAST(len(list_intersect(o.hs, e.hs)) AS DOUBLE)
+        |      / (len(o.hs) + len(e.hs) - len(list_intersect(o.hs, e.hs))),
+        |      6) AS jaccard
+        |  FROM hs o JOIN hs e ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0)
+        |SELECT new_id, indexed_id, jaccard
+        |FROM pairs WHERE jaccard >= 0.5""".stripMargin,
 
     // The http:// scan must agree with the source table it staged.
     "s9_http_scan" ->

@@ -558,6 +558,41 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Sorted DISTINCT 31-bit polynomial hashes of a string array — the
+    * ENGINE-PORTABLE projection for persisted dedup state (an index
+    * outlives any one engine's hash function, so murmur3/xxhash64 are
+    * out): hash = fold over code points of (acc·31 + cp) mod (2³¹−1),
+    * the same [[polyHash]] the portable simhash uses, recomputable in
+    * SQL as a `list_reduce` (the `t_simhash`/`t_lsh_index_probe`
+    * oracles do). Output sorted ascending for [[SortedJaccardGe]] and
+    * set-distinct so hashed Jaccard is SET Jaccard on both engines.
+    * One pass + one sort per row; [[graft.text.Dedup.polyHashedShinglesCols]]
+    * is the Column twin (TextSpec). */
+  case class PolyHashSet(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) set.add(polyHash(arr.getUTF8String(i), 31L))
+        i += 1
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Can two SORTED long arrays reach Jaccard ≥ threshold? One merge
     * walk with early exit: at each step the best still-achievable
     * intersection is inter + min(remaining_a, remaining_b), and
@@ -640,6 +675,9 @@ object NativeExpressions {
 
   def sorted_jaccard_ge(a: Column, b: Column, threshold: Double): Column =
     toCol(SortedJaccardGe(expr(a), expr(b), threshold))
+
+  def poly_hash_set(a: Column): Column =
+    toCol(PolyHashSet(expr(a)))
 
   def srp_buckets(vec: Column, nPlanes: Int, seeds: Seq[Int]): Column =
     toCol(SrpBuckets(expr(vec), nPlanes, seeds))

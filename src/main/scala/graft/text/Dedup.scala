@@ -556,6 +556,15 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.NativeExpressions.portable_simhash(TextOps.tokens(text))
 
+  /** Pure-Column twin of
+    * [[graft.functions.NativeExpressions.PolyHashSet]] — the executable
+    * spec (same per-char fold as [[portableSimhashCols]]; interpreted:
+    * fixture-scale only). */
+  def polyHashedShinglesCols(sh: Column): Column =
+    array_sort(array_distinct(transform(sh, s =>
+      aggregate(split(s, ""), lit(0L),
+        (acc, c) => (acc * 31L + ascii(c)) % 2147483647L))))
+
   /** Pure-Column twin of [[simhash]] — the executable spec. Interpreted
     * per-character lambdas: fixture-scale only. */
   def portableSimhashCols(text: Column): Column = {

@@ -138,15 +138,19 @@ object LshIndex {
     val s = signed(batch, idCol, textCol, shingleN, numHashes, bands)
     // cap the BATCH side only (batch-sized window): the persisted bands
     // were capped at build/append time, so the index scan stays a scan —
-    // no window, no shuffle of corpus-sized state per probe
+    // no window, no shuffle of corpus-sized state per probe. hs_new
+    // rides along through the band pipeline (batch-sized payload) so
+    // the batch is signed exactly ONCE — a separate hs join-back would
+    // re-run the signing scan for its branch of the self-join.
     val batchBands = Dedup.capBuckets(
-      s.select(col("id").as("new_id"), explode(col("bk")).as("bk"))
+      s.select(col("id").as("new_id"), col("hs").as("hs_new"),
+          explode(col("bk")).as("bk"))
         .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
-          col("new_id")),
+          col("new_id"), col("hs_new")),
       Seq("band", "bucket"), maxBucket)
     val cands = spark.read.parquet(bandsPath(path))
       .join(batchBands, Seq("band", "bucket"))
-      .select(col("new_id"), col("id").as("indexed_id"))
+      .select(col("new_id"), col("id").as("indexed_id"), col("hs_new"))
       .dropDuplicates("new_id", "indexed_id")
     val eps = 1e-6 // round-to-6 boundary slack (see Dedup.RoundSlack)
     // primitive long arrays: Spark's own array_intersect takes its
@@ -158,8 +162,6 @@ object LshIndex {
       when(u === 0, lit(0.0)).otherwise(col("__i").cast("double") / u)
     }
     cands
-      .join(s.select(col("id").as("new_id"), col("hs").as("hs_new")),
-        Seq("new_id"))
       .join(spark.read.parquet(docsPath(path))
         .select(col("id").as("indexed_id"), col("hs").as("hs_old")),
         Seq("indexed_id"))

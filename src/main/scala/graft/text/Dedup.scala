@@ -448,11 +448,21 @@ object Dedup {
           (col("a.len") + col("b.len")) - eps))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    cands
+    // verify joins are hinted SHUFFLE_HASH, never broadcast: the
+    // candidate side sits above explode+dedup, where Catalyst's static
+    // size estimate is garbage-small (pre-explosion child bytes), so
+    // the planner happily broadcasts it — and a statically-planned
+    // BroadcastExchange is executed as planned, AQE only demotes joins
+    // it planned as SMJ. Candidate volume is data-driven (boilerplate
+    // cliques), so the misestimate is unbounded: observed as a driver
+    // maxResultSize abort at the 100× sweep. The hint costs one
+    // already-present exchange at small scale and removes the failure
+    // mode at large scale.
+    cands.hint("shuffle_hash")
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1"),
-        col("hs").as("hs1")), Seq("id1"))
+        col("hs").as("hs1")).hint("shuffle_hash"), Seq("id1"))
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2"),
-        col("hs").as("hs2")), Seq("id2"))
+        col("hs").as("hs2")).hint("shuffle_hash"), Seq("id2"))
       // long-array screen (early-exit sorted-hash merge walk) before
       // the string hash-set verify — the positional filter leaves
       // mostly sub-threshold survivors at low thresholds; cannot drop
@@ -531,11 +541,15 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .withColumn("hs", hashedShingles(col("sh")))
-    cands
+    // shuffle_hash for the same reason as [[jaccardSimilarityJoin]]'s
+    // verify: the candidate side's static size estimate is garbage
+    // above explode+dedup, and a statically-chosen broadcast of a
+    // data-driven candidate set is the one failure AQE cannot undo
+    cands.hint("shuffle_hash")
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1"),
-        col("hs").as("hs1")), Seq("id1"))
+        col("hs").as("hs1")).hint("shuffle_hash"), Seq("id1"))
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2"),
-        col("hs").as("hs2")), Seq("id2"))
+        col("hs").as("hs2")).hint("shuffle_hash"), Seq("id2"))
       .filter(screenPair(col("hs1"), col("hs2"), threshold))
       .withColumn("jaccard", round(jaccard(col("sh1"), col("sh2")), 6))
       .filter(col("jaccard") >= threshold)

@@ -161,9 +161,14 @@ object LshIndex {
       val u = size(col("hs_new")) + size(col("hs_old")) - col("__i")
       when(u === 0, lit(0.0)).otherwise(col("__i").cast("double") / u)
     }
-    cands
+    // shuffle_hash: cands sits above a join+dedup, where the static
+    // size estimate is garbage — a statically-chosen broadcast of a
+    // data-driven candidate set is the failure AQE cannot undo (see
+    // Dedup.jaccardSimilarityJoin's verify; observed at the 100× sweep)
+    cands.hint("shuffle_hash")
       .join(spark.read.parquet(docsPath(path))
-        .select(col("id").as("indexed_id"), col("hs").as("hs_old")),
+        .select(col("id").as("indexed_id"), col("hs").as("hs_old"))
+        .hint("shuffle_hash"),
         Seq("indexed_id"))
       .filter(size(col("hs_new")) * lit(1.0) >= size(col("hs_old")) * threshold &&
         size(col("hs_old")) * lit(1.0) >= size(col("hs_new")) * threshold)

@@ -38,6 +38,10 @@ object ScaleSweep {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // local-mode harness: "driver results" are an in-process copy, the
+      // 1g default cap only aborts legitimately-large local materializa-
+      // tions (hit by localCheckpoint lineage cuts at factor 100)
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark0.sparkContext.setLogLevel("WARN")
     val spark = GraftSession.tune(spark0)
@@ -59,7 +63,10 @@ object ScaleSweep {
       }
       val t0 = words.select(col("doc_id"), col("lang"), col("source"),
         col("n_chars"), third(0).as("wa"))
-      (0 until factor).map { k =>
+      // replicas written in CHUNKS: a single factor-way union of
+      // 2-join replica plans OOMs the driver/codegen at factor ≈ 100 —
+      // one bounded job per chunk keeps staging flat in the factor
+      def replica(k: Int) =
         if (k == 0) docs
         else {
           val p1 = 1 + (k * 997L) % (nDocs - 1)
@@ -76,17 +83,23 @@ object ScaleSweep {
                 .as("text"),
               col("lang"), col("source"), col("n_chars"))
         }
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+      (0 until factor).grouped(10).zipWithIndex.foreach { case (ks, gi) =>
+        ks.map(replica).reduce(_ unionByName _)
+          .write.mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$scaled/documents.parquet")
+      }
       val emb = Tables.load(spark, base, "embeddings")
-      (0 until factor).map { k =>
-        if (k == 0) emb
-        else emb.select((col("vec_id") + k * 10000000L).as("vec_id"),
-          transform(col("embedding"),
-            x => (x + lit(k * 0.0137f)).cast("float")).as("embedding"),
-          col("label"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      (0 until factor).grouped(10).zipWithIndex.foreach { case (ks, gi) =>
+        ks.map { k =>
+          if (k == 0) emb
+          else emb.select((col("vec_id") + k * 10000000L).as("vec_id"),
+            transform(col("embedding"),
+              x => (x + lit(k * 0.0137f)).cast("float")).as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _)
+          .write.mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$scaled/embeddings.parquet")
+      }
       marker.getParentFile.mkdirs(); marker.createNewFile(); ()
     }
 
@@ -95,6 +108,22 @@ object ScaleSweep {
       val n = f
       ((System.nanoTime() - t0) / 1e9, n)
     }
+
+    // pre-staged LSH index per dir (markered, untimed): the probe op
+    // measures INCREMENT cost against an existing index, not the build
+    val lshStaged = scala.collection.mutable.Map.empty[String, String]
+    def lshIndexFor(d: String): String = lshStaged.getOrElseUpdate(d, {
+      val p = if (d == base) s"/tmp/graft_scale_lsh_base/idx"
+              else s"$scaled/lshidx"
+      val m = new java.io.File(s"$p/_STAGED")
+      if (!m.exists()) {
+        graft.text.LshIndex.build(
+          Tables.load(spark, d, "documents")
+            .filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", p)
+        m.getParentFile.mkdirs(); m.createNewFile(); ()
+      }
+      p
+    })
 
     val ivfOut = new java.util.concurrent.atomic.AtomicInteger
     val ops: Seq[(String, String => Long)] = Seq(
@@ -108,12 +137,47 @@ object ScaleSweep {
         graft.sim.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
           nlist = 64, path = p)
         spark.read.parquet(p).count()
+      },
+      "lshIndexBuild" -> { d =>
+        val p = s"/tmp/graft_scale_lshb_${ivfOut.incrementAndGet()}/idx"
+        graft.text.LshIndex.build(
+          Tables.load(spark, d, "documents")
+            .filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", p)
+        spark.read.parquet(s"$p/bands").count()
+      },
+      // FIXED base batch vs the DIR'S index: the incremental-dedup
+      // claim under test is "a daily batch's probe cost grows
+      // sub-linearly in the corpus behind the index"
+      "lshIndexProbe(fixed batch)" -> { d =>
+        graft.text.LshIndex.probe(
+          Tables.load(spark, base, "documents")
+            .filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", lshIndexFor(d), threshold = 0.5).count()
       })
+
+    // Pair-volume ops are QUADRATIC in this staging's recycled content
+    // by construction (every source third appears in ~3·factor splices
+    // — see BENCH_SF1.md): beyond ~30× their candidate/edge sets alone
+    // exceed the sandbox's disk, measuring the staging, not the
+    // operator (a real factor× corpus adds new content; its clique
+    // rates are scale-invariant). 30× stands as their scale evidence;
+    // at higher factors only the ops whose cost is not pair-volume-
+    // driven remain meaningful.
+    val pairVolumeOps =
+      Set("t_jaccard_join", "t_dedup_clusters", "t_decontaminate_bloom")
+    val runnable =
+      if (factor <= 30) ops
+      else {
+        println(s"(skipping ${pairVolumeOps.mkString(", ")} at $factor×: " +
+          "pair volume is quadratic in the staging's content reuse; " +
+          "30× is their ceiling — see BENCH_SF1.md)")
+        ops.filterNot(o => pairVolumeOps(o._1))
+      }
 
     println(s"| op | rows x1 | sec x1 | rows x$factor | sec x$factor | " +
       "ratio | ratio/factor |")
     println("|---|---|---|---|---|---|---|")
-    ops.foreach { case (name, run) =>
+    runnable.foreach { case (name, run) =>
       run(base) // warm: JIT/codegen paid before any timed number
       val (secBase, nBase) = timeIt(run(base))
       val (secScaled, nScaled) = timeIt(run(scaled))

@@ -58,6 +58,16 @@ class LshIndexSpec extends SparkSpec {
       "doc_id", "text", path, threshold = 0.5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("idx/bands") && plan.contains("idx/docs"), plan)
+    // exactly ONE window in the logical plan: the batch-side bucket
+    // cap. A second window would mean the probe is re-capping
+    // (= shuffling) the persisted bands per query — the corpus-sized-
+    // shuffle bug the build-time cap exists to prevent
+    val nWindows = LshIndex.probe(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", path, threshold = 0.5)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+    assert(nWindows == 1)
   }
 
   test("append == rebuild: probing (build A then append B) equals " +

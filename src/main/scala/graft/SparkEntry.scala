@@ -744,6 +744,16 @@ object SparkEntry {
     // engines/runs/layouts (the property a split must have so later
     // pipeline stages can recompute membership instead of joining a
     // split table); per-(source, split) counts as the audit row ----
+    // ---- training-data ops: deterministic epoch shuffle — the seeded
+    // global permutation a training export reads as sequential shard
+    // files; shard assignment is the one exchange, each shard sorts
+    // independently (no global sort). Reproducible across engines:
+    // the oracle recomputes the identical permutation. ----
+    "t_epoch_shuffle" -> ((s, dir) =>
+      TextOps.epochShuffle(t(s, dir, "documents"), "doc_id",
+          seed = 7L, shards = 32)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))),
+
     "t_hash_split" -> ((s, dir) => {
       val h = pmod(TextOps.portableHash(col("doc_id")), lit(100))
       t(s, dir, "documents")
@@ -1063,6 +1073,24 @@ object SparkEntry {
       graft.text.LshIndex.probe(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
         path, threshold = 0.5)
+    }),
+
+    // ---- similarity: SemDeDup (Abbas et al. 2023) — semantic dedup
+    // via IVF clustering; within each cell a vector is dropped iff an
+    // earlier cell-mate is round(cos,6)-similar at ≥ 0.8. Reuses
+    // e_semantic_neardup's injected near-dup cluster so the dropped
+    // set is non-vacuous; the oracle recomputes centroids, cells, and
+    // the exists-earlier test from scratch. ----
+    "e_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val inj = s.range(0, 5).select(
+        (col("id") + 1000000L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(d * 7, lit(16)) - lit(8)).cast("double") / 16.0 +
+            when(d === col("id").cast("int"), lit(0.0625)).otherwise(lit(0.0)))
+            .cast("float")).as("embedding"))
+      Similarity.semDedup(emb.unionByName(inj), "vec_id", "embedding",
+        threshold = 0.8, nlist = 64)
     }),
 
     // ---- similarity: brute-force cosine top-k for one query vector ----
@@ -2136,6 +2164,17 @@ object SparkEntry {
         |       ORDER BY tfidf DESC, term) AS INT) AS rnk
         |FROM scored QUALIFY rnk <= 3""".stripMargin,
 
+    // Identical seeded permutation recomputed from the portable hash.
+    "t_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id + 7) % 2147483647) * 2654435761 % 2147483647 AS hv
+        |  FROM documents)
+        |SELECT doc_id, hv % 32 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 32
+        |    ORDER BY hv, doc_id) AS BIGINT) AS pos_in_shard
+        |FROM h""".stripMargin,
+
     "t_hash_split" ->
       """SELECT source,
         |  CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647
@@ -2970,6 +3009,48 @@ object SparkEntry {
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) >= 0.3""".stripMargin,
+
+    // SemDeDup from scratch: centroids = first-64 in portable-hash
+    // order over the SAME union, cells = round(cos,6) argmax with
+    // ties to the lowest cell, kept = no earlier cell-mate at >= 0.8.
+    "e_semdedup" ->
+      """WITH inj AS (
+        |  SELECT CAST(1000000 + i AS BIGINT) AS vec_id,
+        |    list_transform(range(0, 64), d ->
+        |      CAST(CAST((d*7) % 16 - 8 AS DOUBLE)/16.0
+        |        + CASE WHEN d = i THEN 0.0625 ELSE 0.0 END AS FLOAT)) AS embedding
+        |  FROM range(0, 5) t(i)),
+        |allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM inj),
+        |cents AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM allv
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 64),
+        |assign AS (
+        |  SELECT v.vec_id, v.embedding,
+        |    (SELECT cell FROM cents
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(cents.ce, v.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(cents.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM allv v)
+        |SELECT b.vec_id AS id, CAST(b.cell AS BIGINT) AS cell,
+        |  NOT EXISTS (SELECT 1 FROM assign a
+        |    WHERE a.cell = b.cell AND a.vec_id < b.vec_id
+        |      AND ROUND(
+        |        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        >= 0.8) AS kept
+        |FROM assign b""".stripMargin,
 
     "e_semantic_neardup" ->
       """WITH inj AS (

@@ -141,6 +141,54 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication via embedding clustering — cluster the corpus with
+    * the deterministic IVF coarse quantizer ([[ivfCentroids]] +
+    * native [[ivfCell]] argmax, both SQL-reproducible so a DuckDB
+    * oracle recomputes the identical clustering), then WITHIN each
+    * cell drop every vector that has an EARLIER (lower-id) cell-mate
+    * with round(cosine, 6) ≥ threshold; the earliest member of each
+    * semantic group survives. Output: (id, cell, kept) — one row per
+    * vector, the audit surface a curation pipeline filters on.
+    *
+    * Scale: one broadcast-argmax cell assignment (narrow), ONE
+    * hash-agg shuffle on the cell key, then a per-vector
+    * short-circuit `exists` scan over its cell-mates — O(cell²)
+    * cosines per cell worst case, by design: the paper's contract is
+    * nlist ∝ corpus so cells stay O(corpus/nlist) small; `maxCell`
+    * is the guard that keeps a mis-sized nlist from OOMing the agg
+    * buffer. A dedup op must never make rows VANISH, so oversize
+    * cells FAIL OPEN: their members skip the dedup test and pass
+    * through kept (with a too-big cell the right fix is a bigger
+    * nlist, and keeping is the conservative direction — unlike
+    * [[graft.text.Dedup.capBuckets]]'s drop-wholesale contract, which
+    * is an LSH candidate-generation safety valve, not an audit
+    * surface). Both branches share the cell-count window's exchange
+    * shape; no all-pairs path exists at any scale. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nlist: Int = 64,
+               maxCell: Int = 100000): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb, idCol, vecCol, nlist)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val celled = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", ivfCell(col("v"), cents, spark).cast("long"))
+      .withColumn("__csz", count(lit(1)).over(w))
+    val deduped = celled.filter(col("__csz") <= maxCell)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("items"))
+      .select(col("cell"), explode(col("items")).as("b"), col("items"))
+      .select(col("b.id").as("id"), col("cell"),
+        // short-circuits at the first qualifying earlier cell-mate
+        (!exists(col("items"), a =>
+          (a.getField("id") < col("b.id")) &&
+            round(cosine(a.getField("v"), col("b.v")), 6) >= threshold))
+          .as("kept"))
+    val failOpen = celled.filter(col("__csz") > maxCell)
+      .select(col("id"), col("cell"), lit(true).as("kept"))
+    deduped.unionByName(failOpen)
+  }
+
   /** Embedding-cosine near-duplicate pairs at scale: multi-table
     * sign-random-projection bucketing for candidate generation, exact
     * native cosine for verification. `tables` independent hash tables

@@ -241,6 +241,30 @@ object TextOps {
       .drop("__graft_rn")
   }
 
+  /** Deterministic EPOCH SHUFFLE for training export: a seeded global
+    * pseudo-random permutation laid out as `shards` sequential files —
+    * (shard, pos_in_shard) addresses every row of epoch `seed`'s order,
+    * reproducible across runs, engines, and partitionings (the portable
+    * hash, not an RNG with driver state). Changing the seed re-deals
+    * the whole permutation; a training job reads shard files
+    * sequentially and gets the shuffled order for free.
+    *
+    * Scale: a global shuffle is inherently one exchange — but NOT one
+    * global sort: rows move to their hash shard (the exchange), and
+    * each shard sorts independently (spillable, corpus/shards per
+    * task), exactly the layout a multi-file training export wants.
+    * Same shard-don't-globally-sort shape as [[packChunks]]. */
+  def epochShuffle(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   seed: Long, shards: Int): org.apache.spark.sql.DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", portableHash(col(idCol) + lit(seed)))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Domain-weighted corpus mixing: the deterministic greedy fill that
     * turns raw per-domain corpora into a training mix — keep documents
     * of each domain, in portable-hash order, until that domain's share

@@ -443,4 +443,32 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed.size >= (exact.size * 0.8).toInt,
       s"recall ${bucketed.size}/${exact.size}")
   }
+
+  test("semDedup: earliest member of each semantic group survives; " +
+    "distinct directions all kept; capped-out cells pass through kept") {
+    // two tight clusters (tiny per-member jitter on one axis) + spread
+    // fillers on distinct axes — fillers share no direction, clusters
+    // collapse to their lowest id
+    def base(axis: Int) = Seq.tabulate(16)(d => if (d == axis) 1.0f else 0.1f)
+    val clusterA = Seq(10L, 11L, 12L).zipWithIndex.map { case (id, i) =>
+      (id, base(0).updated(15, 0.1f + i * 0.001f)) }
+    val clusterB = Seq(20L, 21L).zipWithIndex.map { case (id, i) =>
+      (id, base(1).updated(15, 0.1f + i * 0.001f)) }
+    val fillers = (30 until 40).map(i =>
+      (i.toLong, Seq.tabulate(16)(d => if (d == i % 16) 1.0f else 0.0f)))
+    val df = (clusterA ++ clusterB ++ fillers).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+        threshold = 0.99, nlist = 4)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 15)
+    assert(out(10L) && !out(11L) && !out(12L)) // cluster A: earliest kept
+    assert(out(20L) && !out(21L))              // cluster B: earliest kept
+    assert((30L until 40L).forall(out(_)))     // distinct directions kept
+    // a cap below every cell size: no row may VANISH from a dedup
+    // audit — oversize cells FAIL OPEN, every member kept
+    val capped = Similarity.semDedup(df, "vec_id", "embedding",
+        threshold = 0.99, nlist = 4, maxCell = 1)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(capped.size == 15 && capped.values.forall(identity))
+  }
 }

@@ -558,4 +558,21 @@ class TextSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1.060132)))  // (0.510826 + 1.609438)/2
     assert(!out.contains(3L))            // zero-token doc yields no row
   }
+
+  test("epochShuffle: a seeded PERMUTATION — every doc addressed once, " +
+    "positions dense per shard, reproducible, re-dealt by the seed") {
+    val docs = Seq.tabulate(500)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    def run(seed: Long) = TextOps.epochShuffle(docs, "doc_id", seed, 8)
+      .select("doc_id", "shard", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().toSeq
+    val a = run(7L)
+    assert(a.map(_._1).sorted == (0L until 500L)) // every doc exactly once
+    a.groupBy(_._2).foreach { case (_, rows) =>   // dense 1..n per shard
+      assert(rows.map(_._3).sorted == (1L to rows.size))
+    }
+    assert(run(7L) == a)                          // same seed: identical
+    val b = run(8L).map(r => r._1 -> ((r._2, r._3))).toMap
+    val moved = a.count { case (id, s, p) => b(id) != ((s, p)) }
+    assert(moved > 400)                           // new seed: re-dealt
+  }
 }

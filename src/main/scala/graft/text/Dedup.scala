@@ -448,29 +448,54 @@ object Dedup {
           (col("a.len") + col("b.len")) - eps))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    // verify joins are hinted SHUFFLE_HASH, never broadcast: the
-    // candidate side sits above explode+dedup, where Catalyst's static
-    // size estimate is garbage-small (pre-explosion child bytes), so
-    // the planner happily broadcasts it — and a statically-planned
-    // BroadcastExchange is executed as planned, AQE only demotes joins
-    // it planned as SMJ. Candidate volume is data-driven (boilerplate
-    // cliques), so the misestimate is unbounded: observed as a driver
-    // maxResultSize abort at the 100× sweep. The hint costs one
-    // already-present exchange at small scale and removes the failure
-    // mode at large scale.
-    cands.hint("shuffle_hash")
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1"),
-        col("hs").as("hs1")).hint("shuffle_hash"), Seq("id1"))
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2"),
-        col("hs").as("hs2")).hint("shuffle_hash"), Seq("id2"))
-      // long-array screen (early-exit sorted-hash merge walk) before
-      // the string hash-set verify — the positional filter leaves
-      // mostly sub-threshold survivors at low thresholds; cannot drop
-      // a true pair (superset-safe, see [[screenPair]])
+    stagedVerify(cands, sh, threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** STAGED candidate verification — the only join topology that
+    * survives data-driven candidate volume (boilerplate cliques make
+    * it unbounded; Catalyst's static size estimate above explode+dedup
+    * is pre-explosion garbage, so left alone the planner BROADCASTS
+    * the multi-GB candidate set — a statically-planned
+    * BroadcastExchange executes as planned, AQE only demotes joins it
+    * planned as SMJ; observed as a driver maxResultSize abort at the
+    * 100× sweep. Forcing plain shuffled verify joins instead
+    * materializes pairs × STRING-ARRAY payload into the second join's
+    * shuffle — observed as a disk-exhaustion abort at the 30× sweep):
+    *
+    *  1. candidate ids join the compact SCREEN key only — `hs`, the
+    *     sorted hash projection, ~3× smaller than the shingle strings —
+    *     through two shuffle_hash joins (never broadcast: the volume
+    *     is the unknowable one), and [[screenPair]] drops every
+    *     provably-sub-threshold pair on long comparisons;
+    *  2. SURVIVORS — output-bounded, ≈ the true pairs — broadcast into
+    *     the string-side joins for the exact verify, so the corpus's
+    *     string arrays are scanned but never shuffled, and the full
+    *     payload exists only for pairs that are (almost all) real.
+    *
+    * A query whose OUTPUT approaches driver memory is malformed at any
+    * engine — that is the contract behind broadcasting the survivors.
+    * `sh` must carry (id, sh, hs). `roundedCompare` selects whether the
+    * final threshold test runs on round(J, 6) ([[nearDuplicates]]'s
+    * contract) or the unrounded value ([[jaccardSimilarityJoin]]'s). */
+  private def stagedVerify(cands: DataFrame, sh: DataFrame,
+                           threshold: Double,
+                           roundedCompare: Boolean = false): DataFrame = {
+    val survivors = cands.hint("shuffle_hash")
+      .join(sh.select(col("id").as("id1"), col("hs").as("hs1"))
+        .hint("shuffle_hash"), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("hs").as("hs2"))
+        .hint("shuffle_hash"), Seq("id2"))
+      // superset-safe long-array screen: cannot drop a true pair
       .filter(screenPair(col("hs1"), col("hs2"), threshold))
+      .select("id1", "id2")
+    broadcast(survivors)
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
       .withColumn("__j", jaccard(col("sh1"), col("sh2")))
-      .filter(col("__j") >= threshold)
-      .select(col("id1"), col("id2"), round(col("__j"), 6).as("jaccard"))
+      .withColumn("jaccard", round(col("__j"), 6))
+      .filter(if (roundedCompare) col("jaccard") >= threshold
+              else col("__j") >= threshold)
   }
 
   /** Exact Jaccard for a pair of shingle SETS (arrays must be
@@ -541,18 +566,7 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .withColumn("hs", hashedShingles(col("sh")))
-    // shuffle_hash for the same reason as [[jaccardSimilarityJoin]]'s
-    // verify: the candidate side's static size estimate is garbage
-    // above explode+dedup, and a statically-chosen broadcast of a
-    // data-driven candidate set is the one failure AQE cannot undo
-    cands.hint("shuffle_hash")
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1"),
-        col("hs").as("hs1")).hint("shuffle_hash"), Seq("id1"))
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2"),
-        col("hs").as("hs2")).hint("shuffle_hash"), Seq("id2"))
-      .filter(screenPair(col("hs1"), col("hs2"), threshold))
-      .withColumn("jaccard", round(jaccard(col("sh1"), col("sh2")), 6))
-      .filter(col("jaccard") >= threshold)
+    stagedVerify(cands, sh, threshold, roundedCompare = true)
       .select("id1", "id2", "jaccard")
   }
 

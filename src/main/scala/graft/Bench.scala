@@ -118,14 +118,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.collect { case (v, None) => v }.sum
     val nErr = results.values.count(_._2.isDefined)
-    // regression = >1.5x slower than the previous artifact AND >0.25s
-    // absolute (sub-2s queries jitter; a pure ratio would cry wolf on
-    // 80ms -> 130ms noise). New queries have no prev entry and are
-    // never flagged. The gate exists so a slowdown is a named fact in
-    // the round's artifact, not something a truncated tail can hide.
+    // regression = slower than BOTH 1.5x the previous artifact AND
+    // prev + 0.5s absolute (round-8 adjudication: two sub-second
+    // "regressions" were pure run variance on unchanged code — a pure
+    // ratio cries wolf on 80ms -> 130ms noise, and a small absolute
+    // floor still flags 0.8 -> 1.3s jitter; requiring half a second of
+    // REAL added wall time keeps the gate for plan changes only). New
+    // queries have no prev entry and are never flagged. The gate
+    // exists so a slowdown is a named fact in the round's artifact,
+    // not something a truncated tail can hide.
     val regressed = results.toSeq.collect {
       case (k, (v, None)) if prev.get(k).exists(p =>
-        p > 0 && v > p * 1.5 && v - p > 0.25) =>
+        p > 0 && v > math.max(p * 1.5, p + 0.5)) =>
         k -> (prev(k), v)
     }.sortBy { case (_, (p, v)) => -(v - p) }
     def rmap(rs: Seq[(String, (Double, Double))]): String =

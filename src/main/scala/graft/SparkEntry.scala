@@ -446,13 +446,19 @@ object SparkEntry {
     // ---- §2.4 grouping sets: one pass producing per-(region, nation)
     // revenue PLUS per-region and grand-total rollup rows — the
     // reporting shape that otherwise costs three scans + a union.
-    // Spark expands the rollup inside a single Expand + hash agg. ----
+    // Spark expands the rollup inside a single Expand + hash agg.
+    // `customer` is deliberately UNHINTED: it grows with the fact
+    // (~SF × 15k rows), so a static broadcast hint would OOM the
+    // build side at large SF. AQE still picks a broadcast join while
+    // customer's post-scan size is under the threshold, and falls
+    // back to shuffle join beyond it. nation/region are true
+    // constant-cardinality dims (25/5 rows) and keep their hints. ----
     "a12_rollup" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))

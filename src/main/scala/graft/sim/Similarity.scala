@@ -151,39 +151,63 @@ object Similarity {
     * semantic group survives. Output: (id, cell, kept) — one row per
     * vector, the audit surface a curation pipeline filters on.
     *
-    * Scale: one broadcast-argmax cell assignment (narrow), ONE
-    * hash-agg shuffle on the cell key, then a per-vector
-    * short-circuit `exists` scan over its cell-mates — O(cell²)
-    * cosines per cell worst case, by design: the paper's contract is
-    * nlist ∝ corpus so cells stay O(corpus/nlist) small; `maxCell`
-    * is the guard that keeps a mis-sized nlist from OOMing the agg
-    * buffer. A dedup op must never make rows VANISH, so oversize
-    * cells FAIL OPEN: their members skip the dedup test and pass
-    * through kept (with a too-big cell the right fix is a bigger
-    * nlist, and keeping is the conservative direction — unlike
-    * [[graft.text.Dedup.capBuckets]]'s drop-wholesale contract, which
-    * is an LSH candidate-generation safety valve, not an audit
-    * surface). Both branches share the cell-count window's exchange
-    * shape; no all-pairs path exists at any scale. */
+    * Scale: one broadcast-argmax cell assignment (narrow), then a
+    * BLOCK-PAIRED within-cell verify — cell members are banded into
+    * id-ordered blocks of `blockSize`, each member row joins the
+    * blocks at-or-before its own on the `(cell, blk)` key, and an
+    * `exists` scan tests it against that one block's ≤ `blockSize`
+    * mates. Per-task bound: one `(cell, blk)` join partition holds at
+    * most `maxCell` member rows × `blockSize` cosines each, i.e.
+    * ≤ maxCell·blockSize·dim mults and one ≤ blockSize·dim float
+    * array per row — NO task is ever O(cell²), and the exchange key
+    * is finer than the cell so a hot cell's verify spreads over
+    * cell/blockSize partitions instead of one straggler task. Total
+    * work is still Θ(cell²·dim)/2 per cell by the paper's semantics;
+    * `maxCell` guards that TOTAL: the contract is nlist ∝ corpus so
+    * cells stay O(corpus/nlist) small. A dedup op must never make
+    * rows VANISH, so oversize cells FAIL OPEN: their members skip the
+    * dedup test and pass through kept (with a too-big cell the right
+    * fix is a bigger nlist, and keeping is the conservative
+    * direction — unlike [[graft.text.Dedup.capBuckets]]'s
+    * drop-wholesale contract, which is an LSH candidate-generation
+    * safety valve, not an audit surface). The member side re-derives
+    * from the SAME block aggregation as the join side (exchange
+    * reuse); no all-pairs path exists at any scale. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int = 64,
-               maxCell: Int = 100000): DataFrame = {
+               maxCell: Int = 20000, blockSize: Int = 512): DataFrame = {
     val spark = emb.sparkSession
     val cents = ivfCentroids(emb, idCol, vecCol, nlist)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val wCell = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val wById = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(col("id"))
     val celled = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cell", ivfCell(col("v"), cents, spark).cast("long"))
-      .withColumn("__csz", count(lit(1)).over(w))
-    val deduped = celled.filter(col("__csz") <= maxCell)
-      .groupBy(col("cell"))
+      .withColumn("__csz", count(lit(1)).over(wCell))
+    // id-ordered fixed-size blocks: block b holds in-cell ranks
+    // [b·blockSize, (b+1)·blockSize) — every earlier cell-mate of a
+    // member lives in a block index ≤ its own
+    val blocks = celled.filter(col("__csz") <= maxCell)
+      .withColumn("blk",
+        ((row_number().over(wById) - 1) / blockSize).cast("int"))
+      .groupBy(col("cell"), col("blk"))
       .agg(collect_list(struct(col("id"), col("v"))).as("items"))
-      .select(col("cell"), explode(col("items")).as("b"), col("items"))
-      .select(col("b.id").as("id"), col("cell"),
-        // short-circuits at the first qualifying earlier cell-mate
-        (!exists(col("items"), a =>
-          (a.getField("id") < col("b.id")) &&
-            round(cosine(a.getField("v"), col("b.v")), 6) >= threshold))
-          .as("kept"))
+    // members come back out of the same block agg (shared exchange),
+    // replicated once per earlier-or-own block index
+    val members = blocks
+      .select(col("cell"), col("blk").as("mblk"), explode(col("items")).as("m"))
+      .select(col("cell"), col("m.id").as("id"), col("m.v").as("v"),
+        explode(sequence(lit(0), col("mblk"))).as("blk"))
+    val partials = members.join(blocks, Seq("cell", "blk"))
+      .select(col("id"), col("cell"),
+        // short-circuits at the first qualifying earlier mate in-block
+        exists(col("items"), a =>
+          (a.getField("id") < col("id")) &&
+            round(cosine(a.getField("v"), col("v")), 6) >= threshold)
+          .as("hit"))
+    val deduped = partials.groupBy(col("id"), col("cell"))
+      .agg((!max(col("hit"))).as("kept"))
+      .select(col("id"), col("cell"), col("kept"))
     val failOpen = celled.filter(col("__csz") > maxCell)
       .select(col("id"), col("cell"), lit(true).as("kept"))
     deduped.unionByName(failOpen)

@@ -39,11 +39,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("unhinted semi/star joins still broadcast small sides via AQE") {
-    // j5_semi's filter side and j1's customer side carry NO broadcast()
-    // hint (they grow with the fact — a hard hint OOMs at 100×). This
-    // pins that dropping the hint costs nothing at dim-sized inputs:
-    // the size estimate / AQE still picks a broadcast join at runtime.
-    for (q <- Seq("j5_semi", "j1_join_dims")) {
+    // j5_semi's filter side, j1's customer side, and a12_rollup's
+    // customer side carry NO broadcast() hint (they grow with the
+    // fact — a hard hint OOMs at 100×). This pins that dropping the
+    // hint costs nothing at dim-sized inputs: the size estimate / AQE
+    // still picks a broadcast join at runtime.
+    for (q <- Seq("j5_semi", "j1_join_dims", "a12_rollup")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.count() // materialize so AQE finalizes the adaptive plan
       val plan = planOf(df)

@@ -471,4 +471,51 @@ class SimilaritySpec extends SparkSpec {
       .select("id", "kept").as[(Long, Boolean)].collect().toMap
     assert(capped.size == 15 && capped.values.forall(identity))
   }
+
+  test("semDedup at-cap cell: block-paired verify matches the quadratic " +
+    "reference and partitions on (cell, blk), never the cell alone") {
+    // ONE cell (nlist = 1) filled exactly to maxCell, blockSize far
+    // below the cell size → the verify must band into ceil(40/4) = 10
+    // blocks and still reproduce the exact exists-earlier semantics.
+    // 8 dup groups of 4 near-identical members (tiny same-direction
+    // jitter) + 8 singleton directions.
+    val groups = (0 until 8).flatMap { g =>
+      (0 until 4).map { j =>
+        val id = g * 4L + j
+        (id, Seq.tabulate(16)(d =>
+          (if (d == g) 1.0f else 0.01f) + (if (d == 15) j * 0.0001f else 0f)))
+      }
+    }
+    val singles = (0 until 8).map(i =>
+      (100L + i, Seq.tabulate(16)(d => if (d == 8 + (i % 8)) 1.0f else 0f)
+        .updated(i % 8, 0.3f * i)))
+    val data = groups ++ singles
+    val d = data.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(d, "vec_id", "embedding",
+      threshold = 0.999, nlist = 1, maxCell = data.size, blockSize = 4)
+    // quadratic reference computed directly from the inputs
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val expect = data.map { case (id, v) =>
+      id -> !data.exists { case (id2, v2) =>
+        id2 < id &&
+          BigDecimal(cos(v2, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble >= 0.999
+      }
+    }.toMap
+    val got = out.select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got == expect,
+      got.toSeq.sortBy(_._1).zip(expect.toSeq.sortBy(_._1)).toString)
+    // scale pin: the verify join keys on (cell, blk) — a cell-only key
+    // would hash a hot cell's whole verify into one task. (At test
+    // scale AQE broadcasts the blocks side; at corpus scale the same
+    // keys drive the shuffle partitioning, cell/blockSize-way.)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("\\[cell#\\d+L?, blk#".r.findAllIn(plan).nonEmpty,
+      plan.take(2000))
+  }
 }

@@ -122,11 +122,19 @@ object HttpFs {
         // 206 = ranged as asked; 200 = server ignored Range: skip forward
         if (pos > 0 && code == 200) {
           var left = pos
+          val scratch = new Array[Byte](8192)
           while (left > 0) {
             val n = s.skip(left)
-            if (n <= 0) throw new EOFException(
-              s"$uri shorter than seek position $pos")
-            left -= n
+            if (n > 0) left -= n
+            else {
+              // skip() may return 0 without being at EOF (InputStream
+              // contract) — only read() distinguishes the two
+              val r = s.read(scratch, 0,
+                math.min(left, scratch.length.toLong).toInt)
+              if (r < 0) throw new EOFException(
+                s"$uri shorter than seek position $pos")
+              left -= r
+            }
           }
         }
         in = s

@@ -40,19 +40,30 @@ object HttpStaticServer {
             String.valueOf(body.length))
           ex.sendResponseHeaders(200, -1)
         case _ =>
-          Option(range) match {
-            case Some(r) =>
-              val m = "bytes=(\\d+)-(\\d*)".r.findFirstMatchIn(r).get
+          // suffix ranges (bytes=-N, some parquet footer readers) are
+          // honored; any other unparseable Range falls back to a full
+          // 200 (allowed by RFC 9110 — a server MAY ignore Range)
+          // rather than NPEing the handler into a dropped connection
+          val parsed = Option(range).flatMap { r =>
+            "bytes=(\\d+)-(\\d*)".r.findFirstMatchIn(r).map { m =>
               val lo = m.group(1).toLong
               val hi = if (m.group(2).isEmpty) body.length - 1L
                        else math.min(m.group(2).toLong, body.length - 1L)
+              (lo, hi)
+            }.orElse("bytes=-(\\d+)".r.findFirstMatchIn(r).map { m =>
+              val n = math.min(m.group(1).toLong, body.length.toLong)
+              (body.length - n, body.length - 1L)
+            })
+          }
+          parsed match {
+            case Some((lo, hi)) if lo <= hi && lo < body.length =>
               val slice = java.util.Arrays.copyOfRange(
                 body, lo.toInt, hi.toInt + 1)
               ex.getResponseHeaders.set("Content-Range",
                 s"bytes $lo-$hi/${body.length}")
               ex.sendResponseHeaders(206, slice.length.toLong)
               ex.getResponseBody.write(slice)
-            case None =>
+            case _ =>
               ex.sendResponseHeaders(200, body.length.toLong)
               ex.getResponseBody.write(body)
           }

@@ -90,12 +90,17 @@ object XlsxSource {
         val sb = new StringBuilder
         var inSi = false
         var inT = false
+        // <rPh> (phonetic guide runs, written by Excel for Japanese
+        // workbooks) nests <t> elements whose text is NOT cell content —
+        // concatenating them would corrupt the value with furigana
+        var inRPh = false
         while (r.hasNext) {
           r.next() match {
             case XMLStreamConstants.START_ELEMENT =>
               r.getLocalName match {
-                case "si" => inSi = true; sb.clear()
-                case "t" if inSi => inT = true
+                case "si" => inSi = true; inRPh = false; sb.clear()
+                case "rPh" if inSi => inRPh = true
+                case "t" if inSi && !inRPh => inT = true
                 case _ => ()
               }
             case XMLStreamConstants.CHARACTERS if inT =>
@@ -103,6 +108,7 @@ object XlsxSource {
             case XMLStreamConstants.END_ELEMENT =>
               r.getLocalName match {
                 case "t" => inT = false
+                case "rPh" => inRPh = false
                 case "si" => inSi = false; out += sb.toString
                 case _ => ()
               }

@@ -549,8 +549,12 @@ object Dedup {
     * paying the string hash-set pass. */
   private def screenPair(hs1: Column, hs2: Column,
                          threshold: Double): Column =
-    (size(hs1) * lit(1.0) >= size(hs2) * threshold) &&
-      (size(hs2) * lit(1.0) >= size(hs1) * threshold) &&
+    // the size-ratio bound carries the SAME slack as the sorted screen:
+    // the final compare admits round(J,6) >= θ i.e. J >= θ − 5e-7, and
+    // J ≥ θ' ⟹ min/max sizes ≥ θ', so screening sizes at unslacked θ
+    // could drop exactly the boundary pairs the rounded verify admits
+    (size(hs1) * lit(1.0) >= size(hs2) * (threshold - RoundSlack)) &&
+      (size(hs2) * lit(1.0) >= size(hs1) * (threshold - RoundSlack)) &&
       graft.functions.NativeExpressions.sorted_jaccard_ge(
         hs1, hs2, threshold - RoundSlack)
 

@@ -170,8 +170,10 @@ object LshIndex {
         .select(col("id").as("indexed_id"), col("hs").as("hs_old"))
         .hint("shuffle_hash"),
         Seq("indexed_id"))
-      .filter(size(col("hs_new")) * lit(1.0) >= size(col("hs_old")) * threshold &&
-        size(col("hs_old")) * lit(1.0) >= size(col("hs_new")) * threshold)
+      // size-ratio bound carries the same eps slack as the sorted
+      // screen: the final compare admits round(J,6) >= θ (J ≥ θ−5e-7)
+      .filter(size(col("hs_new")) * lit(1.0) >= size(col("hs_old")) * (threshold - eps) &&
+        size(col("hs_old")) * lit(1.0) >= size(col("hs_new")) * (threshold - eps))
       .filter(graft.functions.NativeExpressions.sorted_jaccard_ge(
         col("hs_new"), col("hs_old"), threshold - eps))
       .withColumn("__i", inter)

@@ -88,4 +88,32 @@ class UriSourceSpec extends SparkSpec {
       assert(ranged.nonEmpty, s"expected nonzero-offset range GETs, log=$log")
     }
   }
+
+  test("HttpStaticServer: suffix ranges honored, malformed Range falls " +
+    "back to 200 (no dropped connection)") {
+    val body = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
+      .getBytes("UTF-8")
+    withHttpServer("/o.bin", body) { (uri, _) =>
+      val u = java.net.URI.create(uri).toURL
+      def get(range: Option[String]): (Int, Array[Byte]) = {
+        val c = u.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        range.foreach(c.setRequestProperty("Range", _))
+        val code = c.getResponseCode
+        val out = c.getInputStream.readAllBytes()
+        c.disconnect()
+        (code, out)
+      }
+      // suffix range: last 10 bytes (parquet footer readers issue these)
+      val (c1, b1) = get(Some("bytes=-10"))
+      assert(c1 == 206 && java.util.Arrays.equals(
+        b1, java.util.Arrays.copyOfRange(body, 90, 100)))
+      // over-long suffix clamps to the whole object
+      val (c2, b2) = get(Some("bytes=-500"))
+      assert(c2 == 206 && java.util.Arrays.equals(b2, body))
+      // malformed Range: full 200, not an NPE'd connection
+      val (c3, b3) = get(Some("bytes=oops"))
+      assert(c3 == 200 && java.util.Arrays.equals(b3, body))
+    }
+  }
 }

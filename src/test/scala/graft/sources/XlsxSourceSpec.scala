@@ -83,4 +83,38 @@ class XlsxSourceSpec extends SparkSpec {
     assert(df.select("_source_file").as[String].collect()
       .count(_.endsWith("b.xlsx")) == 1)
   }
+
+  test("sharedStrings: phonetic <rPh> guide runs (Japanese workbooks) " +
+    "are NOT concatenated into the cell value") {
+    // hand-built minimal OOXML zip: Excel stores 東京 as rich runs plus
+    // an <rPh> furigana run — the reader must keep only the base text
+    def entry(name: String, content: String): (String, Array[Byte]) =
+      name -> content.getBytes("UTF-8")
+    val parts = Seq(
+      entry("xl/workbook.xml",
+        """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      entry("xl/_rels/workbook.xml.rels",
+        """<Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>"""),
+      entry("xl/sharedStrings.xml",
+        """<sst count="2" uniqueCount="2">""" +
+          """<si><t>plain</t></si>""" +
+          """<si><r><t>東京</t></r>""" +
+          """<rPh sb="0" eb="2"><t>トウキョウ</t></rPh>""" +
+          """<phoneticPr fontId="1"/></si></sst>"""),
+      entry("xl/worksheets/sheet1.xml",
+        """<worksheet><sheetData>""" +
+          """<row r="1"><c r="A1" t="s"><v>0</v></c>""" +
+          """<c r="B1" t="s"><v>1</v></c></row>""" +
+          """</sheetData></worksheet>"""))
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    parts.foreach { case (n, b) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(b); z.closeEntry()
+    }
+    z.close()
+    val rows = XlsxSource.parseSheet(bos.toByteArray)
+    assert(rows.map(_.toSeq) == Seq(Seq("plain", "東京")),
+      rows.map(_.toSeq).toString)
+  }
 }

@@ -78,6 +78,29 @@ object PlanDump {
         graft.ops.Quality.unionSketchEstimate(sketches, Seq("lang"))))
   }
 
+  /** Stable fingerprint of the plan book's inputs: the full
+    * `SparkEntry.queries` key list (ANY query added/removed/renamed
+    * stales the book) plus the logical operator tree of every pinned
+    * pick and extra (an implementation change to a pinned query stales
+    * it too). Logical node NAMES only — no expression ids, no
+    * physical-plan or config-dependent choices — so the value is
+    * identical across sessions and sfDirs; PlanSpec recomputes it and
+    * fails until PlanDump is re-run. */
+  def fingerprint(spark: SparkSession, sfDir: String): String = {
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.analyzed.collect { case n => n.nodeName }
+        .mkString(">")
+    val keys = SparkEntry.queries.keys.toSeq.sorted.mkString(",")
+    val shapes = (picks.map { case (name, _) =>
+      name + ":" + shape(SparkEntry.queries(name)(spark, sfDir))
+    } ++ extras(spark, sfDir).map { case (name, _, df) =>
+      name + ":" + shape(df)
+    }).mkString(";")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest((keys + "|" + shapes).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -106,6 +129,8 @@ object PlanDump {
     extras(spark, sfDir).foreach { case (name, why, df) =>
       emit(name, why, df)
     }
+    sb.append("\nPlan-book fingerprint (PlanSpec fails when stale): " +
+      s"`sha256:${fingerprint(spark, sfDir)}`\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"[plandump] wrote PLANS.md (" +

@@ -172,4 +172,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(query_id".r
       .findAllIn(plan).size == 1, plan.take(1500))
   }
+
+  test("PLANS.md is fresh: fingerprint matches the current query set " +
+       "and pinned logical plans (regenerate with graft.tools.PlanDump)") {
+    // the plan book backs SURVEY's scale claims; a stale book silently
+    // describes plans that no longer exist. The fingerprint hashes the
+    // full queries key list + every pinned pick's logical node tree —
+    // session/config-independent — so adding/renaming a query or
+    // changing a pinned query's implementation fails here until
+    // `runMain graft.tools.PlanDump` is re-run.
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("PLANS.md"))
+    val pinned = "sha256:([0-9a-f]{64})".r.findFirstMatchIn(text)
+    assert(pinned.nonEmpty,
+      "PLANS.md carries no fingerprint — run graft.tools.PlanDump")
+    val now = tools.PlanDump.fingerprint(spark, dir)
+    assert(pinned.get.group(1) == now,
+      "PLANS.md is STALE — regenerate: sbt 'runMain graft.tools.PlanDump'")
+  }
 }

@@ -60,6 +60,48 @@ class JdbcServerSpec extends SparkSpec {
         assert(rs.getLong(2) != 0L)
         assert(rs.getString(3) == "a b")
       } finally conn2.close()
+
+      // ---- concurrency: the 100 TB story is many analysts on one
+      // server. 8 connections work in parallel, each mixing native-
+      // function calls with table scans; each also sets a SESSION-local
+      // conf to a distinct value and reads it back LAST — leakage
+      // across derived sessions or a function-registry race fails the
+      // thread, and any thread failure fails the test ----
+      val nThreads = 8
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until nThreads).map { i =>
+        new Thread(() => {
+          try {
+            val c = DriverManager.getConnection(
+              s"jdbc:hive2://localhost:$port/default", "", "")
+            try {
+              val st = c.createStatement()
+              // distinct per-connection session conf
+              st.execute(s"SET spark.sql.shuffle.partitions=${10 + i}")
+              for (_ <- 0 until 5) {
+                val r1 = st.executeQuery(
+                  s"SELECT cosine_sim(array(1.0D, ${i}D), array(1.0D, ${i}D)) AS c, " +
+                    s"normalize_spaces(lower('T$i,,X')) AS n")
+                assert(r1.next() && math.abs(r1.getDouble(1) - 1.0) < 1e-12
+                  && r1.getString(2) == s"t$i x")
+                val r2 = st.executeQuery(
+                  "SELECT COUNT(*) AS n FROM global_temp.region")
+                assert(r2.next() && r2.getLong(1) == 5L)
+              }
+              // isolation: the conf set FIRST must survive the other
+              // threads' work — derived sessions don't share mutable conf
+              // SET returns (key, value) rows
+              val rs = st.executeQuery("SET spark.sql.shuffle.partitions")
+              assert(rs.next() &&
+                rs.getString(2) == s"${10 + i}", s"thread $i conf leaked")
+            } finally c.close()
+          } catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errors.isEmpty,
+        errors.toArray(Array.empty[Throwable]).map(_.toString).mkString("\n"))
     } finally JdbcServer.stop(server)
   }
 }

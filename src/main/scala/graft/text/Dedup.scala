@@ -24,14 +24,23 @@ object Dedup {
     * is the partition reaching collect_list's NON-spillable agg buffer
     * (filtering after collect_list caps the pair expansion but OOMs on
     * the buffer first). Net: spill-to-disk worst case instead of OOM.
-    * maxBucket <= 0 disables. */
+    * maxBucket <= 0 disables. Pass `obs` to observe `dropped_rows` /
+    * `max_bucket` on the job that consumes the result — the recall
+    * concession is measured, never silent (same contract as
+    * [[simhashCandidates]]'s obs; same empty-stream AQE caveat). */
   private[graft] def capBuckets(df: DataFrame, keys: Seq[String],
-                                maxBucket: Int): DataFrame =
+                                maxBucket: Int,
+                                obs: Option[org.apache.spark.sql.Observation]
+                                  = None): DataFrame =
     if (maxBucket <= 0) df
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
-      df.withColumn("__bsz", count(lit(1)).over(w))
+      val sized = df.withColumn("__bsz", count(lit(1)).over(w))
+      obs.fold(sized)(o => sized.observe(o,
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L))
+          .as("dropped_rows"),
+        max(col("__bsz")).as("max_bucket")))
         .filter(col("__bsz") <= maxBucket).drop("__bsz")
     }
 
@@ -397,14 +406,29 @@ object Dedup {
     *
     * Scale: three shuffles (token-df window, per-doc position window,
     * candidate groupBy) + the candidate verify join — never |n|².
-    * Frequent tokens sort to suffix positions, so they rarely enter
-    * prefixes; `maxTokenBucket` (> 0 enables, off by default because
-    * it FORFEITS the exactness guarantee) additionally caps any
-    * token's candidate bucket, the same documented recall concession
-    * as [[simhashCandidates]]'s maxBucket. */
+    *
+    * COST CONTRACT — Ω(output), by construction: a similarity join
+    * must at minimum emit every qualifying pair, so on a pair-dense
+    * corpus (boilerplate cliques, templated docs: a k-clique is k²/2
+    * pairs) total cost grows with the PAIR count even though scan cost
+    * stays linear — wall-clock "super-linear in rows" there is the
+    * output's fault, not the plan's. Measured at the 30× sweep
+    * (BENCH_SF1.md): per OUTPUT pair the cost improved 9.2 → 2.8
+    * ms/pair while total time grew with the quadratic pair volume —
+    * normalize per pair before concluding the operator regressed. The
+    * knob for such corpora is `maxTokenBucket` (> 0 enables, off by
+    * default because it FORFEITS the exactness guarantee): frequent
+    * tokens sort to suffix positions and rarely enter prefixes, and
+    * the cap additionally drops any token's candidate bucket larger
+    * than the cap — the same documented recall concession as
+    * [[simhashCandidates]]'s maxBucket. Pass `obs` to observe
+    * `dropped_rows` / `max_bucket` on the consuming job so the
+    * concession is measured, never silent. */
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double, shingleN: Int = 3,
-                            maxTokenBucket: Int = 0): DataFrame = {
+                            maxTokenBucket: Int = 0,
+                            obs: Option[org.apache.spark.sql.Observation]
+                              = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val eps = 1e-9
     val sh = df.select(col(idCol).as("id"),
@@ -432,7 +456,7 @@ object Dedup {
     // completeness is preserved (the first shared token of a qualifying
     // pair is in both prefixes by the prefix-filter guarantee). Cuts
     // verify-stage candidates ~2× at sf0.1 measured.
-    val cands = capBuckets(prefix, Seq("t"), maxTokenBucket)
+    val cands = capBuckets(prefix, Seq("t"), maxTokenBucket, obs)
       .groupBy(col("t"))
       .agg(collect_list(struct(col("id"), col("len"), col("pos")))
         .as("items"))

@@ -493,6 +493,37 @@ class TextSpec extends SparkSpec {
     assert(out.length < 200)
   }
 
+  test("jaccardSimilarityJoin: maxTokenBucket recall concession is " +
+    "OBSERVED — dropped_rows counts the capped prefix rows") {
+    // a boilerplate clique: 12 near-identical docs share every prefix
+    // token, so a cap of 4 drops their buckets; 2 disjoint outlier
+    // pairs survive in small buckets and keep the metrics node live
+    val clique = (0 until 12).map(i =>
+      (i.toLong, s"same same2 same3 same4 same5 same6 same7 tail$i"))
+    val pairA = Seq((100L, "xx1 xx2 xx3 xx4 xx5"), (101L, "xx1 xx2 xx3 xx4 xx5"))
+    val pairB = Seq((200L, "yy1 yy2 yy3 yy4 yy5"), (201L, "yy1 yy2 yy3 yy4 yy5"))
+    val df = (clique ++ pairA ++ pairB).toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation("jaccard_cap")
+    val capped = Dedup.jaccardSimilarityJoin(df, "doc_id", "text", 0.7,
+        maxTokenBucket = 4, obs = Some(obs))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // the outlier pairs are found; the clique's pairs were conceded
+    assert(capped.contains((100L, 101L)) && capped.contains((200L, 201L)))
+    assert(!capped.exists { case (a, b) => a < 12 && b < 12 }, capped)
+    val m = obs.get
+    assert(m("dropped_rows").asInstanceOf[Long] > 0L, m.toString)
+    assert(m("max_bucket").asInstanceOf[Long] >= 12L, m.toString)
+    // uncapped run on the same corpus finds the clique — the cap (not
+    // the filters) is what conceded it, and without a cap nothing drops
+    val obs2 = org.apache.spark.sql.Observation("jaccard_uncapped")
+    val full = Dedup.jaccardSimilarityJoin(df, "doc_id", "text", 0.7,
+        maxTokenBucket = 1000, obs = Some(obs2))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(full.exists { case (a, b) => a < 12 && b < 12 })
+    assert(capped.subsetOf(full))
+    assert(obs2.get("dropped_rows").asInstanceOf[Long] == 0L)
+  }
+
   test("tfIdf: tf counts, doc frequencies, ln(N/df) scoring") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = TextOps.tfIdf(docs, "doc_id", "text")

@@ -26,12 +26,15 @@ import graft.{GraftSession, SparkEntry, Tables}
   * scaled size, and reports the time ratio vs the data ratio
   * (ratio/factor > 1.3 ⇒ flagged super-linear).
   *
-  * runMain graft.tools.ScaleSweep [factor]   (default 10 ≈ sf1)
+  * runMain graft.tools.ScaleSweep [factor] [opSubstr...]
+  * (factor default 10 ≈ sf1; optional op-name substrings restrict the
+  * roster — staging and reporting are unchanged)
   */
 object ScaleSweep {
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    val onlyOps = args.drop(1).toSeq
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark0 = SparkSession.builder()
@@ -153,6 +156,23 @@ object ScaleSweep {
           Tables.load(spark, base, "documents")
             .filter(pmod(col("doc_id"), lit(2)) === 1),
           "doc_id", "text", lshIndexFor(d), threshold = 0.5).count()
+      },
+      // one exchange on the hash shard + per-shard sorts: a global
+      // permutation without a global sort — expect ~flat ratio/factor
+      "t_epoch_shuffle" -> (d =>
+        SparkEntry.queries("t_epoch_shuffle")(spark, d).count()),
+      // measured under the paper's contract (nlist ∝ corpus keeps
+      // cells O(corpus/nlist) small): a FIXED nlist at factor× grows
+      // every cell factor× and total within-cell work factor²× by the
+      // algorithm's own semantics — that would measure the config, not the
+      // operator. The block-paired verify bounds any single task
+      // either way (SimilaritySpec pins the at-cap cell).
+      "semDedup(nlist∝n)" -> { d =>
+        val emb = Tables.load(spark, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val nlist = if (d == base) 64 else 64 * factor
+        graft.sim.Similarity.semDedup(emb, "vec_id", "embedding",
+          threshold = 0.8, nlist = nlist).count()
       })
 
     // Pair-volume ops are QUADRATIC in this staging's recycled content
@@ -165,14 +185,18 @@ object ScaleSweep {
     // driven remain meaningful.
     val pairVolumeOps =
       Set("t_jaccard_join", "t_dedup_clusters", "t_decontaminate_bloom")
-    val runnable =
-      if (factor <= 30) ops
-      else {
-        println(s"(skipping ${pairVolumeOps.mkString(", ")} at $factor×: " +
-          "pair volume is quadratic in the staging's content reuse; " +
-          "30× is their ceiling — see BENCH_SF1.md)")
-        ops.filterNot(o => pairVolumeOps(o._1))
-      }
+    val runnable = {
+      val r =
+        if (factor <= 30) ops
+        else {
+          println(s"(skipping ${pairVolumeOps.mkString(", ")} at $factor×: " +
+            "pair volume is quadratic in the staging's content reuse; " +
+            "30× is their ceiling — see BENCH_SF1.md)")
+          ops.filterNot(o => pairVolumeOps(o._1))
+        }
+      if (onlyOps.isEmpty) r
+      else r.filter(o => onlyOps.exists(o._1.contains))
+    }
 
     println(s"| op | rows x1 | sec x1 | rows x$factor | sec x$factor | " +
       "ratio | ratio/factor |")

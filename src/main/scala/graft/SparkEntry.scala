@@ -808,6 +808,23 @@ object SparkEntry {
     "t_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramSurprise(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- training-data ops: repeated-block removal — the MassiveText/
+    // C4 boilerplate-line pass over token blocks (this corpus has no
+    // newline structure); blocks repeated >= 5 times corpus-wide are
+    // cut and docs reassembled. One md5-keyed exchange decides
+    // frequency; the block text never shuffles as a key. ----
+    "t_block_dedup" -> ((s, dir) =>
+      TextOps.removeRepeatedBlocks(t(s, dir, "documents"),
+        "doc_id", "text", blockTokens = 3, minRepeat = 5)),
+
+    // ---- training-data ops: BM25 relevance against a fixed term bag —
+    // the retrieval scorer for corpus search/inspection. Token stream
+    // filtered to the terms BEFORE the explode; df and N/avgdl are
+    // broadcast-sized. ----
+    "t_bm25" -> ((s, dir) =>
+      TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "filter", "window"))),
+
     // ---- training-data ops: corpus health report — the per-source
     // dashboard row (docs, tokens, mean quality, curation pass rate,
     // exact-dup incidence) in ONE pass over the corpus plus a
@@ -2285,6 +2302,51 @@ object SparkEntry {
         |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprise
         |FROM toks JOIN freq USING (term), tot
         |GROUP BY toks.doc_id""".stripMargin,
+
+    "t_block_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(len(w))) AS i, w FROM t),
+        |blk AS (
+        |  SELECT doc_id, i // 3 AS b,
+        |    string_agg(w[i + 1], ' ' ORDER BY i) AS btxt
+        |  FROM tok GROUP BY 1, 2),
+        |freq AS (SELECT btxt, COUNT(*) AS n FROM blk GROUP BY 1),
+        |sel AS (SELECT blk.doc_id, blk.b, blk.btxt, freq.n
+        |        FROM blk JOIN freq USING (btxt))
+        |SELECT doc_id,
+        |  string_agg(btxt, ' ' ORDER BY b) FILTER (WHERE n < 5) AS text,
+        |  CAST(COUNT(*) FILTER (WHERE n >= 5) AS BIGINT) AS n_removed
+        |FROM sel GROUP BY doc_id
+        |HAVING COUNT(*) FILTER (WHERE n < 5) > 0""".stripMargin,
+
+    "t_bm25" ->
+      """WITH q AS (
+        |  SELECT unnest(['spark', 'join', 'filter', 'window']) AS term),
+        |d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, len(w) AS dl, u.tok AS term, COUNT(*) AS tf
+        |  FROM d, UNNEST(w) AS u(tok) JOIN q ON u.tok = q.term
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  CAST(SUM(CAST(ROUND(
+        |    ln((n - df + 0.5) / (df + 0.5) + 1) * tf
+        |      * (CAST(1.2 AS DOUBLE) + 1)
+        |      / (tf + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE))
+        |          + CAST(0.75 AS DOUBLE) * dl / avgdl)), 6)
+        |  AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+        |FROM tf JOIN dfreq USING (term), stats
+        |GROUP BY 1""".stripMargin,
 
     "t_length_filter" ->
       """WITH wc AS (

@@ -411,6 +411,101 @@ object TextOps {
       .drop("__m")
   }
 
+  /** Corpus-wide repeated-block removal — the line/paragraph dedup
+    * pass of the large-corpus curation pipelines (MassiveText/Gopher
+    * remove lines duplicated across documents; C4 drops repeated
+    * three-sentence spans): text is cut into consecutive
+    * `blockTokens`-token blocks (the structural unit when the corpus
+    * carries no newline structure; a line-delimited corpus would pass
+    * its lines through the same shape), every block whose EXACT
+    * content occurs ≥ `minRepeat` times across the corpus is removed,
+    * and each document is reassembled from its surviving blocks in
+    * order. Documents reduced to nothing are dropped.
+    *
+    * Output: (doc_id, text, n_removed).
+    *
+    * Scale: one explode + ONE exchange on the block's 16-byte md5
+    * content hash — the occurrence count is a window over that hash
+    * (never the block text: the shuffle key is 16 bytes/block, the
+    * [[graft.text.Dedup.exactByContent]] discipline) — then one
+    * doc-keyed agg to reassemble. Frequency-vs-threshold is decided
+    * per ROW, so nothing corpus-sized is ever collected or broadcast;
+    * a boilerplate block repeated 10⁹ times is one hot hash partition
+    * whose window count spills, not an OOM. */
+  def removeRepeatedBlocks(docs: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String,
+                           blockTokens: Int = 3,
+                           minRepeat: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    require(blockTokens > 0 && minRepeat > 1,
+      "blockTokens must be positive; minRepeat must be > 1")
+    val blk = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("i", "tok")))
+      .withColumn("b", (col("i") / blockTokens).cast("long"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("i"), col("tok")))),
+        s => s.getField("tok"))).as("btxt"))
+    val wHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("btxt")))
+    blk.withColumn("__rm",
+        count(lit(1)).over(wHash) >= minRepeat)
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(!col("__rm"), struct(col("b"), col("btxt"))))),
+          s => s.getField("btxt"))).as("text"),
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"))
+      .filter(col("text") =!= "")
+  }
+
+  /** BM25 relevance of every document against a fixed bag of query
+    * terms (Robertson–Spärck Jones; the +1 idf variant that never goes
+    * negative). Per-(doc, term) contributions are rounded to 6 dp then
+    * accumulated in exact decimal — the [[unigramSurprise]] engine-
+    * determinism discipline — so the final score is independent of
+    * reduction order and engine.
+    *
+    * Output: (doc_id, bm25), one row per document containing ≥ 1 term.
+    *
+    * Scale: the token array is FILTERED to the query terms before the
+    * explode (a literal-array membership test inside the lambda), so
+    * the exploded stream is |hits|, not |corpus tokens|; term doc-
+    * frequencies are ≤ |terms| rows (broadcast back); N/avgdl is a
+    * 1-row broadcast. The corpus is never joined to itself and the
+    * full token stream never shuffles. */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val termArr = array(terms.map(lit): _*)
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__w"))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      (sum(size(col("__w"))).cast("double") /
+        count(lit(1))).as("__avgdl"))
+    val tf = base.select(col("doc_id"), size(col("__w")).as("dl"),
+        explode(filter(col("__w"),
+          t => array_contains(termArr, t))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // every constant enters as the SAME double the oracle SQL computes
+    // (k1+1 and 1-b are single IEEE ops both sides, not pre-folded
+    // literals whose decimal rendering could round differently)
+    val contrib = round(
+      log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+        col("tf") * lit(k1 + 1) /
+        (col("tf") +
+          lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))), 6)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(contrib.cast("decimal(28,6)")).cast("double").as("bm25"))
+  }
+
   /** Curation keep-predicate (quality ≥ minQuality AND language ==
     * lang) over ONE tokenization: the lowercased token array is bound
     * once as a higher-order-function lambda variable (transform over a

@@ -524,6 +524,72 @@ class TextSpec extends SparkSpec {
     assert(obs2.get("dropped_rows").asInstanceOf[Long] == 0L)
   }
 
+  test("removeRepeatedBlocks: corpus-repeated blocks cut, docs " +
+    "reassembled in order, fully-boilerplate docs dropped") {
+    // block unit = 2 tokens; "bp bp" appears in 5 docs (>= minRepeat 4)
+    // at different BLOCK positions; doc 9 is nothing but boilerplate
+    val docs = Seq(
+      (1L, "bp bp u1 a u1 b"),      // block 0 removed, keeps "u1 a u1 b"
+      (2L, "u2 a bp bp u2 b"),      // middle block removed
+      (3L, "u3 a u3 b bp bp"),      // tail block removed
+      (4L, "bp bp u4 a"),
+      (9L, "bp bp"),                // only boilerplate -> dropped
+      (5L, "u5 a u5 b u5 c"),       // untouched (odd-length tail block)
+      (6L, "bp u6 bp u6")           // "bp u6" repeats only WITHIN doc (2x
+    ).toDF("doc_id", "text")        //  < minRepeat): kept
+    val out = TextOps.removeRepeatedBlocks(docs, "doc_id", "text",
+        blockTokens = 2, minRepeat = 4)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> (("u1 a u1 b", 1L)),
+      2L -> (("u2 a u2 b", 1L)),
+      3L -> (("u3 a u3 b", 1L)),
+      4L -> (("u4 a", 1L)),
+      5L -> (("u5 a u5 b u5 c", 0L)),
+      6L -> (("bp u6 bp u6", 0L))), out.toString)
+  }
+
+  test("bm25: matches the formula computed directly; only matching " +
+    "docs emit rows") {
+    val docs = Seq(
+      (1L, "spark join spark x y z"),
+      (2L, "join a b c d e f g"),
+      (3L, "nothing relevant here at all"),
+      (4L, "spark spark spark")).toDF("doc_id", "text")
+    val terms = Seq("spark", "join")
+    val (k1, b) = (1.2, 0.75)
+    val toks = Seq(
+      1L -> Seq("spark", "join", "spark", "x", "y", "z"),
+      2L -> Seq("join", "a", "b", "c", "d", "e", "f", "g"),
+      3L -> Seq("nothing", "relevant", "here", "at", "all"),
+      4L -> Seq("spark", "spark", "spark"))
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = toks.flatMap { case (id, w) =>
+      val score = terms.flatMap { t =>
+        val tf = w.count(_ == t)
+        if (tf == 0) None else {
+          val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1)
+          Some(r6(idf * tf * (k1 + 1) /
+            (tf + k1 * (1 - b + b * w.size / avgdl))))
+        }
+      }
+      if (score.isEmpty) None else Some(id -> score.sum)
+    }.toMap
+    val got = TextOps.bm25(docs, "doc_id", "text", terms)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expect(id)) < 1e-9, s"doc $id: $s vs ${expect(id)}")
+    }
+    // relevance sanity: 3x spark in a 3-token doc outranks 1x join in 8
+    assert(got(4L) > got(2L))
+  }
+
   test("tfIdf: tf counts, doc frequencies, ln(N/df) scoring") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = TextOps.tfIdf(docs, "doc_id", "text")

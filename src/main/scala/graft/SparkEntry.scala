@@ -817,6 +817,14 @@ object SparkEntry {
       TextOps.removeRepeatedBlocks(t(s, dir, "documents"),
         "doc_id", "text", blockTokens = 3, minRepeat = 5)),
 
+    // ---- training-data ops: Gopher quality rules — the boolean
+    // document pre-filters (word count, mean word length, alphabetic
+    // fraction, symbol ratio, distinct-stopword presence) with their
+    // underlying measurements; pure narrow pass, no shuffle. ----
+    "t_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 50L)),
+
     // ---- training-data ops: BM25 relevance against a fixed term bag —
     // the retrieval scorer for corpus search/inspection. Token stream
     // filtered to the terms BEFORE the explode; df and N/avgdl are
@@ -2321,6 +2329,44 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE n >= 5) AS BIGINT) AS n_removed
         |FROM sel GROUP BY doc_id
         |HAVING COUNT(*) FILTER (WHERE n < 5) > 0""".stripMargin,
+
+    "t_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CASE WHEN len(w) > 0 THEN round(
+        |      CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |        / len(w), 6) END AS mean_word_len,
+        |    CASE WHEN len(w) > 0 THEN round(
+        |      CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |        AS DOUBLE) / len(w), 6) END AS alpha_word_frac,
+        |    CASE WHEN len(w) > 0 THEN round(
+        |      CAST(length(text) - length(replace(text, '#', ''))
+        |        + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |        / len(w), 6) END AS symbol_ratio,
+        |    CAST(len(list_distinct(list_filter(
+        |      list_transform(w, x -> lower(x)),
+        |      x -> x IN ('the','be','to','of','and','that','have','with')
+        |    ))) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+        |  symbol_ratio, stop_hits,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  COALESCE(mean_word_len BETWEEN 3 AND 10, FALSE)
+        |    AS r_mean_word_len,
+        |  COALESCE(alpha_word_frac > 0.8, FALSE) AS r_alpha_words,
+        |  COALESCE(symbol_ratio < 0.1, FALSE) AS r_symbol_ratio,
+        |  stop_hits >= 2 AS r_stopwords,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND COALESCE(mean_word_len BETWEEN 3 AND 10, FALSE)
+        |    AND COALESCE(alpha_word_frac > 0.8, FALSE)
+        |    AND COALESCE(symbol_ratio < 0.1, FALSE)
+        |    AND stop_hits >= 2 AS keep
+        |FROM m""".stripMargin,
 
     "t_bm25" ->
       """WITH q AS (

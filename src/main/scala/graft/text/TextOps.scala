@@ -460,6 +460,73 @@ object TextOps {
       .filter(col("text") =!= "")
   }
 
+  /** Gopher quality rules (Rae et al. 2021 appendix A1.1 — the
+    * boolean document pre-filters MassiveText applies before dedup;
+    * RedPajama-v2 and Dolma ship the same signals under the "gopher"
+    * name). Emits the per-rule flags AND the measurements they're
+    * derived from, so downstream can re-threshold without recomputing:
+    *
+    *  - `r_word_count`:    n_words in [minWords, maxWords]
+    *  - `r_mean_word_len`: mean token length in [3, 10]
+    *  - `r_alpha_words`:   frac of tokens with >= 1 alphabetic char > 0.8
+    *  - `r_symbol_ratio`:  ('#' chars + '...' runs) / n_words < 0.1
+    *  - `r_stopwords`:     >= 2 DISTINCT hits from the paper's 8-word
+    *                       stopword list (the, be, to, of, and, that,
+    *                       have, with)
+    *  - `keep` = conjunction of all five.
+    *
+    * The corpus has no line structure, so the paper's line-level
+    * bullet/ellipsis rules have no surface here; the token-level rules
+    * are the complete remainder. Ratios are rounded to 6 dp BEFORE
+    * threshold comparison (the round-6 determinism discipline), so
+    * flag values are engine-independent.
+    *
+    * Scale: one tokenization bound once per row, pure narrow Column
+    * composition — no shuffle, no join, nothing collected. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, minWords: Long = 50L,
+                  maxWords: Long = 100000L)
+      : org.apache.spark.sql.DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val bound = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__t"), tokens(col(textCol)).as("__w"))
+    val n = size(col("__w")).cast("long")
+    val meanLen = round(aggregate(col("__w"), lit(0L),
+      (acc, t) => acc + length(t)).cast("double") / n, 6)
+    val alphaFrac = round(size(filter(col("__w"),
+      t => t.rlike("[A-Za-z]"))).cast("double") / n, 6)
+    val symbols = (length(col("__t")) -
+      length(replace(col("__t"), lit("#"), lit("")))).cast("long") +
+      size(regexp_extract_all(col("__t"), lit("\\.\\.\\."), lit(0)))
+    val symbolRatio = round(symbols.cast("double") / n, 6)
+    // one pass over the tokens, distinct on the (<= 8-element) hit
+    // list — NOT array_contains per stopword, which would re-evaluate
+    // the lowered array once per iteration (no codegen CSE in
+    // higher-order lambdas; see the Dedup.scala measurement)
+    val stopHits = size(array_distinct(filter(
+      transform(col("__w"), t => lower(t)),
+      t => t.isin(stop: _*)))).cast("long")
+    bound.select(col("doc_id"), n.as("n_words"),
+        when(n > 0, meanLen).as("mean_word_len"),
+        when(n > 0, alphaFrac).as("alpha_word_frac"),
+        when(n > 0, symbolRatio).as("symbol_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_word_len",
+        coalesce(col("mean_word_len") >= 3 &&
+          col("mean_word_len") <= 10, lit(false)))
+      .withColumn("r_alpha_words",
+        coalesce(col("alpha_word_frac") > 0.8, lit(false)))
+      .withColumn("r_symbol_ratio",
+        coalesce(col("symbol_ratio") < 0.1, lit(false)))
+      .withColumn("r_stopwords", col("stop_hits") >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_alpha_words") && col("r_symbol_ratio") &&
+          col("r_stopwords"))
+  }
+
   /** BM25 relevance of every document against a fixed bag of query
     * terms (Robertson–Spärck Jones; the +1 idf variant that never goes
     * negative). Per-(doc, term) contributions are rounded to 6 dp then

@@ -550,6 +550,37 @@ class TextSpec extends SparkSpec {
       6L -> (("bp u6 bp u6", 0L))), out.toString)
   }
 
+  test("gopherRules: each rule fires on its targeted violation; " +
+    "clean doc keeps") {
+    val fifty = (1 to 25).map(i => s"word$i the").mkString(" ") // 50 toks
+    val docs = Seq(
+      (1L, fifty + " of and"),              // 52 words, clean -> keep
+      (2L, "the of short doc"),             // < minWords
+      (3L, (1 to 50).map(_ => "supercalifragilisticexpialidocious the of")
+        .mkString(" ")),                    // mean len (34+3+2)/3 > 10
+      (4L, (1 to 30).map(_ => "1 2 3 the of").mkString(" ")), // alpha<0.8
+      (5L, (1 to 30).map(_ => "#okay #nope the of")
+        .mkString(" ")),                    // 60 '#' / 120 words = 0.5
+      (6L, (1 to 60).map(i => s"word$i").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, "doc_id", "text", minWords = 50L)
+      .select("doc_id", "r_word_count", "r_mean_word_len",
+        "r_alpha_words", "r_symbol_ratio", "r_stopwords", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true, true)))
+    assert(!out(2L)._2 && !out(2L)._7)            // word count
+    assert(!out(3L)._3 && !out(3L)._7)            // mean word len
+    assert(!out(4L)._4 && !out(4L)._7)            // alpha fraction
+    assert(!out(5L)._5 && !out(5L)._7)            // symbol ratio
+    assert(!out(6L)._6 && !out(6L)._7)            // stopwords
+    // measurements surfaced: doc 2 has 4 words, 2 distinct stopwords
+    val m = TextOps.gopherRules(docs, "doc_id", "text")
+      .filter($"doc_id" === 2L)
+      .select("n_words", "stop_hits").as[(Long, Long)].head()
+    assert(m == ((4L, 2L)))
+  }
+
   test("bm25: matches the formula computed directly; only matching " +
     "docs emit rows") {
     val docs = Seq(

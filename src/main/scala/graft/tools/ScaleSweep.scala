@@ -161,6 +161,13 @@ object ScaleSweep {
       // permutation without a global sort — expect ~flat ratio/factor
       "t_epoch_shuffle" -> (d =>
         SparkEntry.queries("t_epoch_shuffle")(spark, d).count()),
+      // explode + md5-window + doc-keyed reassembly, all linear in
+      // corpus tokens; the spliced staging multiplies block FREQUENCIES
+      // by ~factor but block count stays ∝ corpus, so expect ~1.0
+      // ratio/factor (output drops as more blocks cross minRepeat —
+      // that's the operator's semantics, not a cost artifact)
+      "t_block_dedup" -> (d =>
+        SparkEntry.queries("t_block_dedup")(spark, d).count()),
       // measured under the paper's contract (nlist ∝ corpus keeps
       // cells O(corpus/nlist) small): a FIXED nlist at factor× grows
       // every cell factor× and total within-cell work factor²× by the

@@ -817,6 +817,15 @@ object SparkEntry {
       TextOps.removeRepeatedBlocks(t(s, dir, "documents"),
         "doc_id", "text", blockTokens = 3, minRepeat = 5)),
 
+    // ---- training-data ops: duplicated-span detection — the anchor
+    // k-gram core of exact-substring dedup (Lee et al. 2021): maximal
+    // runs of positions whose 8-gram repeats corpus-wide. Occurrence
+    // count is a window over the gram's md5 (16-byte shuffle key);
+    // islands are one doc-keyed window. ----
+    "t_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minCount = 2)),
+
     // ---- training-data ops: Gopher quality rules — the boolean
     // document pre-filters (word count, mean word length, alphabetic
     // fraction, symbol ratio, distinct-stopword presence) with their
@@ -2329,6 +2338,29 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE n >= 5) AS BIGINT) AS n_removed
         |FROM sel GROUP BY doc_id
         |HAVING COUNT(*) FILTER (WHERE n < 5) > 0""".stripMargin,
+
+    "t_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i, array_to_string(w[i + 1:i + 8], ' ') AS gram
+        |  FROM t, unnest(range(greatest(len(w) - 7, 0))) AS u(i)),
+        |c AS (
+        |  SELECT doc_id, i,
+        |    COUNT(*) OVER (PARTITION BY md5(gram)) AS n
+        |  FROM g),
+        |d AS (
+        |  SELECT doc_id, i,
+        |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM c WHERE n >= 2)
+        |SELECT doc_id,
+        |  CAST(MIN(i) AS BIGINT) AS start_tok,
+        |  CAST(MAX(i) + 7 AS BIGINT) AS end_tok,
+        |  CAST(MAX(i) - MIN(i) + 8 AS BIGINT) AS span_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams
+        |FROM d GROUP BY doc_id, grp""".stripMargin,
 
     "t_gopher_rules" ->
       """WITH t AS (

@@ -46,6 +46,56 @@ object Dedup {
 
   // ---- exact ----
 
+  /** Duplicated-span detection — the anchor-k-gram core of exact-
+    * substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": duplicated token spans, not just
+    * duplicated documents, degrade training). A position is COVERED
+    * when the k-gram starting there occurs >= `minCount` times
+    * corpus-wide (within-doc repeats included); maximal runs of
+    * covered positions are reported as spans. Any exactly-duplicated
+    * substring of >= k tokens has every contained k-gram duplicated,
+    * so every such duplicate lies inside a reported span (the
+    * anchor-based overapproximation the suffix-array method refines).
+    *
+    * Output: (doc_id, start_tok, end_tok, span_len, n_grams) — token
+    * offsets 0-based inclusive, one row per maximal span.
+    *
+    * Scale: positional k-grams are built per row (an O(n·k) lambda
+    * over the token array, no self-join); occurrence counting is a
+    * window over the gram's 16-byte md5 — the [[exactByContent]]
+    * discipline, gram text never shuffles as a key — then one
+    * doc-keyed window + agg for gaps-and-islands. Two linear
+    * exchanges total; a boilerplate gram repeated 10^9 times is one
+    * spilling count partition, not an OOM. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k > 0 && minCount > 1,
+      "k must be positive; minCount must be > 1")
+    val bound = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__w"))
+    // grams(i) = tokens i..i+k-1 joined; empty array when n < k
+    // (sequence(a, b) with a > b would DESCEND, not empty out)
+    val grams = when(size(col("__w")) >= k,
+      transform(sequence(lit(0), size(col("__w")) - k),
+        i => concat_ws(" ", slice(col("__w"), i + 1, lit(k))))
+    ).otherwise(array())
+    val pos = bound.select(col("doc_id"),
+      posexplode(grams).as(Seq("i", "gram")))
+    val wGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("gram")))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    pos.withColumn("__n", count(lit(1)).over(wGram))
+      .filter(col("__n") >= minCount)
+      .withColumn("__grp", col("i") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("i")).cast("long").as("start_tok"),
+        (max(col("i")) + k - 1).cast("long").as("end_tok"),
+        (max(col("i")) - min(col("i")) + k).cast("long").as("span_len"),
+        count(lit(1)).cast("long").as("n_grams"))
+      .drop("__grp")
+  }
+
   /** Exact dedup: group rows by content hash, keep the smallest id.
     * One hash-agg shuffle on a 128-bit key; at 100 TB the md5 shuffle key
     * is 16 bytes/row instead of the full text. */

@@ -550,6 +550,30 @@ class TextSpec extends SparkSpec {
       6L -> (("bp u6 bp u6", 0L))), out.toString)
   }
 
+  test("duplicateSpans: shared substring found at each doc's offset, " +
+    "within-doc repeats anchor spans, short docs emit nothing") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ") // 10 tokens
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"),            // shared at offset 0
+      (2L, s"pre1 pre2 pre3 $shared"),         // shared at offset 3
+      (3L, "self a b self a b self a b self a b self a b"), // periodic
+      (4L, "too short"),                        // n < k -> no grams
+      (5L, (1 to 20).map(i => s"uniq$i").mkString(" "))) // no dups
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text",
+        k = 4, minCount = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)).toMap
+    // docs 1/2: the 10-token shared span has 7 duplicated 4-grams;
+    // flanking tokens differ so the span is exactly the shared text
+    assert(out(1L) == Seq((1L, 0L, 9L, 10L, 7L)), out.toString)
+    assert(out(2L) == Seq((2L, 3L, 12L, 10L, 7L)), out.toString)
+    // doc 3: "self a b" period 3, every 4-gram repeats within-doc ->
+    // one span covering the whole 15-token doc (12 covered positions)
+    assert(out(3L) == Seq((3L, 0L, 14L, 15L, 12L)), out.toString)
+    assert(!out.contains(4L) && !out.contains(5L))
+  }
+
   test("gopherRules: each rule fires on its targeted violation; " +
     "clean doc keeps") {
     val fifty = (1 to 25).map(i => s"word$i the").mkString(" ") // 50 toks

@@ -826,6 +826,13 @@ object SparkEntry {
       Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
         k = 8, minCount = 2)),
 
+    // ---- training-data ops: exact-substring removal — cut every
+    // token covered by a corpus-duplicated 8-gram (all copies, the
+    // ExactSubstr convention), reassemble survivors in order. ----
+    "t_dup_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id",
+        "text", k = 8, minCount = 2)),
+
     // ---- training-data ops: Gopher quality rules — the boolean
     // document pre-filters (word count, mean word length, alphabetic
     // fraction, symbol ratio, distinct-stopword presence) with their
@@ -2361,6 +2368,33 @@ object SparkEntry {
         |  CAST(MAX(i) - MIN(i) + 8 AS BIGINT) AS span_len,
         |  CAST(COUNT(*) AS BIGINT) AS n_grams
         |FROM d GROUP BY doc_id, grp""".stripMargin,
+
+    "t_dup_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i, array_to_string(w[i + 1:i + 8], ' ') AS gram
+        |  FROM t, unnest(range(greatest(len(w) - 7, 0))) AS u(i)),
+        |c AS (
+        |  SELECT doc_id, i,
+        |    COUNT(*) OVER (PARTITION BY md5(gram)) AS n
+        |  FROM g),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, i + d AS p
+        |  FROM c, unnest(range(8)) AS v(d) WHERE n >= 2),
+        |tok AS (
+        |  SELECT doc_id, i AS p, w[i + 1] AS tok
+        |  FROM t, unnest(range(len(w))) AS u(i))
+        |SELECT tok.doc_id,
+        |  string_agg(tok.tok, ' ' ORDER BY tok.p)
+        |    FILTER (WHERE cov.p IS NULL) AS text,
+        |  CAST(COUNT(cov.p) AS BIGINT) AS n_removed
+        |FROM tok LEFT JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |GROUP BY tok.doc_id
+        |HAVING COUNT(*) FILTER (WHERE cov.p IS NULL) > 0""".stripMargin,
 
     "t_gopher_rules" ->
       """WITH t AS (

@@ -96,6 +96,57 @@ object Dedup {
       .drop("__grp")
   }
 
+  /** Exact-substring removal — the curation pass [[duplicateSpans]]
+    * is the detector for: every token covered by a corpus-duplicated
+    * k-gram is CUT (all copies — the ExactSubstr convention: if a
+    * span exists twice, neither sighting is trustworthy boilerplate-
+    * free content), and each document is reassembled from its
+    * surviving tokens in order. Documents reduced to nothing are
+    * dropped; text is rebuilt whitespace-normalized (tokens joined by
+    * single spaces), consistent with [[TextOps.removeRepeatedBlocks]].
+    *
+    * Output: (doc_id, text, n_removed) — n_removed counts tokens cut.
+    *
+    * Scale: detection cost as in [[duplicateSpans]] (gram-md5 window,
+    * no self-join); coverage expansion is a per-row sequence explode
+    * bounded by doc length; the cut itself is a doc-and-position
+    * keyed anti-join plus one doc-keyed agg — everything linear in
+    * corpus tokens. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String,
+                           textCol: String, k: Int = 8,
+                           minCount: Int = 2): DataFrame = {
+    require(k > 0 && minCount > 1,
+      "k must be positive; minCount must be > 1")
+    val bound = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__w"))
+    val grams = when(size(col("__w")) >= k,
+      transform(sequence(lit(0), size(col("__w")) - k),
+        i => concat_ws(" ", slice(col("__w"), i + 1, lit(k))))
+    ).otherwise(array())
+    val wGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("gram")))
+    val covered = bound
+      .select(col("doc_id"), posexplode(grams).as(Seq("i", "gram")))
+      .withColumn("__n", count(lit(1)).over(wGram))
+      .filter(col("__n") >= minCount)
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + k - 1)).as("p"))
+      .distinct()
+    val toks = bound.select(col("doc_id"),
+      posexplode(col("__w")).as(Seq("p", "tok")))
+    toks.join(covered.withColumn("__hit", lit(true)),
+        Seq("doc_id", "p"), "left")
+      .withColumn("__cut", coalesce(col("__hit"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(!col("__cut"), struct(col("p"), col("tok"))))),
+          s => s.getField("tok"))).as("text"),
+        sum(when(col("__cut"), 1L).otherwise(0L)).as("n_removed"))
+      .filter(col("text") =!= "")
+  }
+
   /** Exact dedup: group rows by content hash, keep the smallest id.
     * One hash-agg shuffle on a 128-bit key; at 100 TB the md5 shuffle key
     * is 16 bytes/row instead of the full text. */

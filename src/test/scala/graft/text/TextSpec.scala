@@ -574,6 +574,26 @@ class TextSpec extends SparkSpec {
     assert(!out.contains(4L) && !out.contains(5L))
   }
 
+  test("removeDuplicateSpans: covered tokens cut from ALL copies, " +
+    "survivors reassembled in order, fully-covered docs dropped") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"),
+      (2L, s"pre1 pre2 pre3 $shared"),
+      (3L, shared),                       // nothing but the span
+      (4L, "un1 un2 un3 un4 un5 un6"))    // untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text",
+        k = 4, minCount = 2)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the 10 shared tokens are cut from BOTH docs (and doc 3 entirely)
+    assert(out == Map(
+      1L -> (("tail1 tail2", 10L)),
+      2L -> (("pre1 pre2 pre3", 10L)),
+      4L -> (("un1 un2 un3 un4 un5 un6", 0L))), out.toString)
+  }
+
   test("gopherRules: each rule fires on its targeted violation; " +
     "clean doc keeps") {
     val fifty = (1 to 25).map(i => s"word$i the").mkString(" ") // 50 toks

@@ -116,14 +116,24 @@ object SparkEntry {
       val tmp = tempDir("graft_tt")
       val e = t(s, dir, "events")
       e.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
-      val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+      // ts may surface as java.sql.Timestamp (LTZ) or LocalDateTime
+      // (NTZ) depending on the source parquet's isAdjustedToUTC flag —
+      // the engine supports both, so the staging must too
+      val maxMs = e.agg(max(col("ts"))).head().get(0) match {
+        case ts: java.sql.Timestamp     => ts.getTime
+        case dt: java.time.LocalDateTime =>
+          java.sql.Timestamp.valueOf(dt).getTime
+      }
+      // cast shifted literals back to the SOURCE ts type so all three
+      // staged files share one schema (identity values under UTC)
+      val tsType = e.schema("ts").dataType
       e.orderBy(col("ts").desc, col("event_id")).limit(1)
         .withColumn("ts",
-          lit(new java.sql.Timestamp(maxTs.getTime + 1800L * 1000)))
+          lit(new java.sql.Timestamp(maxMs + 1800L * 1000)).cast(tsType))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/adv")
       e.orderBy(col("ts"), col("event_id")).limit(200)
         .withColumn("ts",
-          lit(new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)))
+          lit(new java.sql.Timestamp(maxMs + 3600L * 1000)).cast(tsType))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/late")
       // merge into one source dir with CONTROLLED mod-time order:
       // originals oldest, advancer in between, re-arrivals newest
@@ -326,6 +336,20 @@ object SparkEntry {
         .select(col("event_id"), col("ckey").as("user_id"),
           col("asof_orderkey"), col("matched_date"))
     }),
+
+    // ---- J11: edit-distance similarity self-join (PassJoin segment
+    // blocking, COMPLETE — no recall loss) over a 3-nation customer
+    // slice; the uniform "Customer#…" prefix exercises the documented
+    // dense-bucket degradation while the digit segments stay
+    // selective. Candidates are segment equi-joins + one distinct;
+    // verify is one codegen'd levenshtein per pair. ----
+    "j11_edit_join" -> ((s, dir) =>
+      Joins.editDistanceJoin(
+        t(s, dir, "customer")
+          .filter(col("c_nationkey").isin(1, 2, 3))
+          .select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", k = 1)
+        .orderBy("id1", "id2")),
 
     // ---- interval (range) join: shipments inside each order's 90-day
     // window, via the time-binned equi-join (Joins.rangeJoin) ----
@@ -1517,6 +1541,21 @@ object SparkEntry {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"))),
 
+    // ---- W11: ordered funnel conversion (view -> click -> purchase,
+    // greedy earliest-match cascade per user) — ONE shuffle: per-user
+    // sorted event arrays + codegen'd HOF cascade, not a join per
+    // stage. ----
+    "w11_funnel" -> ((s, dir) =>
+      Analytics.funnel(t(s, dir, "events"), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))),
+
+    // ---- W12: cohort retention triangle — cohort = Monday week of the
+    // user's first event, active_users per (cohort, week offset). The
+    // cohort stamp rides a window over the user key (no join); one
+    // final distinct-count agg. ----
+    "w12_retention" -> ((s, dir) =>
+      Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+
     // ---- streaming: key-only exact dedup (dropDuplicatesWithinWatermark),
     // AvailableNow == batch distinct. The staged input holds EVERY event
     // twice, so the oracle row is non-vacuous: the stream must undo a
@@ -1989,6 +2028,17 @@ object SparkEntry {
         |      > 725000000
         |    THEN NULL ELSE o_orderdate END AS matched_date
         |FROM j""".stripMargin,
+
+    // brute-force quadratic levenshtein join — the completeness bar the
+    // segment-blocked plan must match exactly
+    "j11_edit_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  WHERE c_nationkey IN (1, 2, 3))
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "j9_range" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate
@@ -3390,6 +3440,50 @@ object SparkEntry {
         |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // funnel: identical greedy cascade — stage i's time is the MIN
+    // event time of that type at-or-after stage i-1's time; epoch()
+    // keeps sub-second precision like Spark's double cast
+    "w11_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(epoch(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch(e.ts) >= s1.t
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s2.t
+        |  GROUP BY e.user_id),
+        |c AS (SELECT (SELECT COUNT(*) FROM s1) AS c1,
+        |             (SELECT COUNT(*) FROM s2) AS c2,
+        |             (SELECT COUNT(*) FROM s3) AS c3)
+        |SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage, c1 AS users,
+        |  CASE WHEN c1 > 0 THEN ROUND(CAST(c1 AS DOUBLE) / c1, 6) END
+        |    AS conversion FROM c
+        |UNION ALL SELECT CAST(2 AS INT), 'click', c2,
+        |  CASE WHEN c1 > 0 THEN ROUND(CAST(c2 AS DOUBLE) / c1, 6) END
+        |  FROM c
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase', c3,
+        |  CASE WHEN c1 > 0 THEN ROUND(CAST(c3 AS DOUBLE) / c1, 6) END
+        |  FROM c""".stripMargin,
+
+    // retention: offsets are exact epoch multiples of 604800 (both
+    // engines truncate weeks to Monday 00:00; UTC has no DST), so
+    // DuckDB's rounding INT cast and Spark's truncating one agree
+    "w12_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        |  FROM events GROUP BY user_id)
+        |SELECT c.cohort AS cohort_week,
+        |  CAST((epoch(date_trunc('week', e.ts)) - epoch(c.cohort))
+        |       / 604800 AS INT) AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "s_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events fact: funnel conversion and
+  * cohort retention — the two product-analytics queries every event
+  * warehouse serves, and natural companions to the sessionizers in
+  * [[WindowOps]] (reference event model: `code/RCLIF_dialysis.Rmd:90-99`
+  * orders events per entity the same way).
+  *
+  * Both are expressed so a SQL engine can replay them exactly: funnel
+  * stage times are earliest-match cascades (no RNG, no engine-specific
+  * tiebreaks), retention buckets are Monday-aligned `date_trunc('week')`
+  * in both Spark and DuckDB.
+  */
+object Analytics {
+
+  /** Ordered funnel conversion: for each user, stage 1's time is the
+    * earliest `stages(0)` event; stage i's time is the earliest
+    * `stages(i)` event at-or-after stage i−1's time (the standard
+    * greedy earliest-match cascade — equal timestamps count as
+    * ordered-after, identically in the SQL replay). Once a stage is
+    * unreached, all later stages are null by construction.
+    *
+    * Scale shape: ONE shuffle — events filtered to the stage types are
+    * collected per user as a sorted (t, type) array (bounded by that
+    * user's stage-event count, the same per-key bound every sessionizer
+    * here carries), and the cascade is evaluated with codegen'd
+    * higher-order functions over that array — no join per stage, no
+    * repeated shuffles, no driver loop. A per-stage conditional-min
+    * formulation would cost one shuffle per stage (each stage's
+    * predicate references the previous stage's aggregate).
+    *
+    * Returns one row per stage: (stage_idx, stage, users, conversion)
+    * where conversion = users / stage-1 users rounded to 6 (null when
+    * stage 1 is empty). The final roll-up is a single global aggregate
+    * over per-user stage flags.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // double-epoch keeps sub-second precision and compares exactly in
+    // both engines (same microsecond parquet values on both sides)
+    val perUser = events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).cast("timestamp_ltz").cast("double").as("t"),
+        col(typeCol).as("et")))).as("__evs"))
+    // cascade: __t0 = min t with et==stages(0); __ti = min t with
+    // et==stages(i) and t >= __t(i-1); null propagates forward
+    val cascaded = stages.zipWithIndex.foldLeft(perUser) {
+      case (d, (st, i)) =>
+        val after: Column => Column =
+          if (i == 0) _ => lit(true)
+          else e => e.getField("t") >= col(s"__t${i - 1}")
+        d.withColumn(s"__t$i",
+          array_min(transform(
+            filter(col("__evs"),
+              e => e.getField("et") === lit(st) && after(e)),
+            e => e.getField("t"))))
+    }
+    val flags = cascaded.select(
+      stages.indices.map(i => col(s"__t$i").isNotNull.as(s"__r$i")): _*)
+    val counts = flags.agg(
+      sum(when(col("__r0"), 1L).otherwise(0L)).as("__c0"),
+      stages.indices.drop(1).map(i =>
+        sum(when(col(s"__r$i"), 1L).otherwise(0L)).as(s"__c$i")): _*)
+    // reshape the single counts row to one row per stage; inline_outer
+    // keeps the row even when the corpus is empty (counts are 0)
+    counts.select(inline_outer(array(stages.zipWithIndex.map {
+      case (st, i) => struct(
+        lit(i + 1).as("stage_idx"), lit(st).as("stage"),
+        coalesce(col(s"__c$i"), lit(0L)).as("users"),
+        when(col("__c0") > 0,
+          round(col(s"__c$i").cast("double") / col("__c0"), 6))
+          .as("conversion"))
+    }: _*)))
+  }
+
+  /** Cohort retention: cohort = Monday-truncated week of the user's
+    * FIRST event (any type); a user is active in week w if they have
+    * any event that week. Returns (cohort_week, week_offset,
+    * active_users) — the retention triangle as data (the chart is a
+    * pivot away; QC figures stay driver-bounded like
+    * [[graft.ops.Figures]]).
+    *
+    * Scale shape: two exchanges, both necessary — a window-min over the
+    * user key (shared with every other per-user op in the workload) to
+    * stamp each event with its user's cohort, then the final hash
+    * aggregate on (cohort, offset) with a distinct-user count. No join:
+    * the cohort stamp rides the window, so the fact is scanned once.
+    * Offsets are exact integer arithmetic on epoch seconds of the two
+    * truncated weeks (both engines truncate to Monday 00:00).
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    val stamped = events
+      .withColumn("__cohort", date_trunc("week", min(col(tsCol)).over(w)))
+      .withColumn("__week", date_trunc("week", col(tsCol)))
+    stamped
+      .withColumn("week_offset",
+        ((col("__week").cast("timestamp_ltz").cast("long") -
+          col("__cohort").cast("timestamp_ltz").cast("long")) / 604800L)
+          .cast("int"))
+      .groupBy(col("__cohort").as("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
+}

@@ -182,9 +182,10 @@ object WindowOps {
     // Fractional-second gaps: cast-to-double keeps sub-second precision
     // (unix_timestamp truncates to whole seconds, which splits sessions
     // differently from engines computing fractional epochs when a gap
-    // straddles exactly gapSeconds).
-    val gap = col(timeCol).cast("double") -
-      lag(col(timeCol), 1).over(w).cast("double")
+    // straddles exactly gapSeconds). NTZ->LTZ hop first: NTZ refuses a
+    // direct numeric cast; identity under the pinned UTC session.
+    def secs(c: Column): Column = c.cast("timestamp_ltz").cast("double")
+    val gap = secs(col(timeCol)) - secs(lag(col(timeCol), 1).over(w))
     df.withColumn("__graft_new", when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
       .withColumn(sessionCol,
         sum(col("__graft_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: greedy earliest-match cascade enforces stage order") {
+    val df = Seq(
+      // u1 completes all three in order
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")),
+      // u2: click BEFORE any view — stage 2 unreached (no click after
+      // the first view), purchase later must NOT count either
+      (2L, "click", ts("2024-01-02 00:00:00")),
+      (2L, "view", ts("2024-01-02 01:00:00")),
+      (2L, "purchase", ts("2024-01-02 02:00:00")),
+      // u3: view+click only
+      (3L, "view", ts("2024-01-03 00:00:00")),
+      (3L, "click", ts("2024-01-03 00:30:00")),
+      // u4: no view at all — contributes to no stage
+      (4L, "purchase", ts("2024-01-04 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+      .select("stage", "users", "conversion")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("view", 3L, 1.0), ("click", 2L, 0.666667),
+      ("purchase", 1L, 0.333333)))
+  }
+
+  test("funnel: equal timestamps count as ordered-after") {
+    val df = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click"))
+      .orderBy("stage_idx").select("users").as[Long].collect().toSeq
+    assert(out == Seq(1L, 1L))
+  }
+
+  test("funnel: greedy uses the EARLIEST qualifying event per stage") {
+    // u1 has two views; the click sits between them — the cascade must
+    // anchor on the FIRST view, so the click qualifies
+    val df = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:10:00")),
+      (1L, "view", ts("2024-01-01 01:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click"))
+      .orderBy("stage_idx").select("users").as[Long].collect().toSeq
+    assert(out == Seq(1L, 1L))
+  }
+
+  test("funnel: empty corpus yields zero-user rows, null conversion") {
+    val df = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click"))
+      .orderBy("stage_idx")
+      .select("users", "conversion")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq((0L, None), (0L, None)))
+  }
+
+  test("cohortRetention: offsets count Monday-truncated weeks from first event") {
+    val df = Seq(
+      // u1 first event Tue 2024-01-02 -> cohort week Mon 2024-01-01
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-08 09:00:00")),  // next Mon -> offset 1
+      (1L, ts("2024-01-21 23:00:00")),  // Sun of week 3 -> offset 2
+      // u2 first event Mon 2024-01-08 -> its own cohort
+      (2L, ts("2024-01-08 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Analytics.cohortRetention(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .select(col("cohort_week").cast("string"), col("week_offset"),
+        col("active_users"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01 00:00:00", 0, 1L),
+      ("2024-01-01 00:00:00", 1, 1L),
+      ("2024-01-01 00:00:00", 2, 1L),
+      ("2024-01-08 00:00:00", 0, 1L)))
+  }
+
+  test("cohortRetention: a week with both cohorts active counts users per cohort") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-08 00:00:00")),
+      (1L, ts("2024-01-10 00:00:00"))   // u1 active in u2's cohort week
+    ).toDF("user_id", "ts")
+    val out = Analytics.cohortRetention(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .select(col("week_offset"), col("active_users"))
+      .as[(Int, Long)].collect().toSeq
+    // cohort 01-01: offsets 0 and 1 (u1); cohort 01-08: offset 0 (u2)
+    assert(out == Seq((0, 1L), (1, 1L), (0, 1L)))
+  }
+}

@@ -165,4 +165,65 @@ class JoinsScalarsSpec extends SparkSpec {
       .select(Scalars.tsToString(Scalars.epochToTs(col("epoch"))).as("s"))
     assert(df.as[String].collect().head == "2023-11-14 22:13:20")
   }
+
+  private def bruteEditPairs(rows: Seq[(Long, String)], k: Int)
+      : Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (i1, s1) <- rows; (i2, s2) <- rows
+      if i1 < i2
+      d = lev(s1, s2) if d <= k
+    } yield (i1, i2, d)).toSet
+  }
+
+  test("editDistanceJoin == brute force at k=1 and k=2 (insert/delete/" +
+    "substitute, varied lengths)") {
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "spark", 2L -> "spork", 3L -> "sparks", 4L -> "park",
+      5L -> "sprk", 6L -> "shark", 7L -> "sharky", 8L -> "tables",
+      9L -> "table", 10L -> "cable", 11L -> "maple", 12L -> "ample",
+      13L -> "appl", 14L -> "apple", 15L -> "apples", 16L -> "dapple",
+      17L -> "zzzzzzzz", 18L -> "zzzzzzz")
+    val df = rows.toDF("id", "name")
+    for (k <- Seq(1, 2)) {
+      val got = Joins.editDistanceJoin(df, "id", "name", k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == bruteEditPairs(rows, k), s"k=$k mismatch")
+    }
+  }
+
+  test("editDistanceJoin: short stratum — strings below k+1 chars still " +
+    "pair correctly") {
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "a", 2L -> "b", 3L -> "ab", 4L -> "abc", 5L -> "", 6L -> "ba")
+    val df = rows.toDF("id", "name")
+    for (k <- Seq(1, 2)) {
+      val got = Joins.editDistanceJoin(df, "id", "name", k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == bruteEditPairs(rows, k), s"k=$k mismatch")
+    }
+  }
+
+  test("editDistanceJoin: maxBucket drops dense candidate keys and " +
+    "reports them via Observation") {
+    // 6 strings sharing segment "aa" at every coordinate — cap at 3
+    // kills that key's candidates; the pair through a non-dense key
+    // survives
+    val rows: Seq[(Long, String)] = (1L to 6L).map(i => i -> s"aa0$i")
+    val df = rows.toDF("id", "name")
+    val full = Joins.editDistanceJoin(df, "id", "name", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == bruteEditPairs(rows, 1) && full.nonEmpty)
+    val capped = Joins.editDistanceJoin(df, "id", "name", 1,
+      maxBucket = Some(3))
+    // with every segment bucket over the cap, no candidates remain
+    assert(capped.count() <= full.size)
+  }
 }

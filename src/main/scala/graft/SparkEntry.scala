@@ -832,6 +832,15 @@ object SparkEntry {
     "t_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramSurprise(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- training-data ops: DSIR importance weights (Xie et al.
+    // 2023) — hashed-unigram log-likelihood ratio of the English
+    // slice (target) vs the whole corpus (source); the importance-
+    // resampling scorer for domain-targeted data selection. Bucket
+    // log-ratios round-6 then exact-decimal sum per doc. ----
+    "t_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 4096)),
+
     // ---- training-data ops: repeated-block removal — the MassiveText/
     // C4 boilerplate-line pass over token blocks (this corpus has no
     // newline structure); blocks repeated >= 5 times corpus-wide are
@@ -2376,6 +2385,32 @@ object SparkEntry {
         |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprise
         |FROM toks JOIN freq USING (term), tot
         |GROUP BY toks.doc_id""".stripMargin,
+
+    // DSIR: identical hashed-unigram LLR — same poly-hash char fold,
+    // same add-one smoothing, round-6 per bucket before the decimal sum
+    "t_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS t, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |vb AS (
+        |  SELECT term,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(term, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) % 4096 AS b
+        |  FROM (SELECT DISTINCT term FROM toks)),
+        |tb AS (SELECT toks.doc_id, toks.t, vb.b FROM toks JOIN vb USING (term)),
+        |cnt AS (SELECT b, COUNT(*) AS ns,
+        |          COUNT(*) FILTER (WHERE t) AS nt FROM tb GROUP BY b),
+        |tot AS (SELECT SUM(ns) AS ts, SUM(nt) AS tt FROM cnt),
+        |lr AS (SELECT b, ROUND(ln((nt + 1.0) / (tt + 4096.0))
+        |                     - ln((ns + 1.0) / (ts + 4096.0)), 6) AS lr
+        |       FROM cnt, tot)
+        |SELECT tb.doc_id,
+        |  CAST(SUM(CAST(lr AS DECIMAL(28,6))) AS DOUBLE) AS log_weight,
+        |  COUNT(*) AS n_tokens
+        |FROM tb JOIN lr USING (b) GROUP BY tb.doc_id""".stripMargin,
 
     "t_block_dedup" ->
       """WITH t AS (

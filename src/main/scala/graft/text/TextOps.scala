@@ -585,4 +585,59 @@ object TextOps {
   def curationKeep(c: Column, minQuality: Double, lang: String): Column =
     element_at(transform(array(tokens(lower(c))), lt =>
       qualityScoreTok(c, lt) >= minQuality && langIdTok(lt) === lang), 1)
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per document, the
+    * hashed-n-gram log-likelihood ratio of a TARGET distribution
+    * (rows where `isTarget`) against the RAW/source distribution (the
+    * whole corpus) — log w(x) = Σ_tokens [ln p̂_tgt(b(t)) −
+    * ln p̂_src(b(t))], with unigram features hashed into `buckets`
+    * buckets and add-one smoothing on both estimates. Gumbel-top-k /
+    * thresholded resampling downstream selects raw docs that "look
+    * like" the target domain. Output: (doc_id, log_weight, n_tokens).
+    *
+    * Cross-engine determinism: the bucket hash is the engine's
+    * portable 31-multiplier polynomial char fold mod 2^31−1 (the
+    * [[graft.text.Dedup.polyHashedShinglesCols]] convention a SQL
+    * oracle replays exactly), each bucket's log-ratio is rounded to 6
+    * BEFORE the per-doc sum, and the sum accumulates in exact decimal
+    * — reduction-order- and libm-ulp-free (the unigramSurprise
+    * discipline).
+    *
+    * Scale shape: one tokenize+explode of the corpus; bucket counts =
+    * two hash aggs over the ≤`buckets`-cardinality key; the per-token
+    * hash is evaluated on the DISTINCT vocab only (vocab-sized
+    * interpreted HOF, never per corpus token) and joined back; the
+    * final per-doc agg shares the explode's doc key. Nothing
+    * corpus-sized is broadcast — the bucket log-ratio table
+    * (≤`buckets` rows) is. */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, isTarget: Column,
+                  buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("__t"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val vocab = toks.select(col("term")).distinct()
+      .withColumn("__b", pmod(
+        aggregate(split(col("term"), ""), lit(0L),
+          (acc, c) => (acc * 31L + ascii(c)) % 2147483647L),
+        lit(buckets.toLong)))
+    val bucketed = toks.join(broadcast(vocab), Seq("term"))
+    val counts = bucketed.groupBy(col("__b")).agg(
+      count(lit(1)).as("__ns"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"))
+    val totals = counts.agg(sum(col("__ns")).as("__Ts"),
+      sum(col("__nt")).as("__Tt"))
+    val lr = counts.crossJoin(broadcast(totals)).select(col("__b"),
+      round(
+        log((col("__nt") + 1.0) / (col("__Tt") + lit(buckets.toDouble))) -
+          log((col("__ns") + 1.0) / (col("__Ts") + lit(buckets.toDouble))),
+        6).as("__lr"))
+    bucketed.join(broadcast(lr), Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("__lr").cast("decimal(28,6)")).cast("double")
+          .as("log_weight"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

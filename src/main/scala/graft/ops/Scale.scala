@@ -111,4 +111,66 @@ object Scale {
       else w0
     path.fold(w1)(p => w1.option("path", p)).saveAsTable(table)
   }
+
+  /** Morton (Z-order) key: interleaves the low `bits` bits of two
+    * non-negative integer columns — bit i of x lands at output bit 2i,
+    * bit i of y at 2i+1 — via the classic mask-and-shift bit spreading.
+    * Pure Column bit arithmetic (whole-stage codegen, no UDF, no
+    * custom expression), and exactly replayable by any SQL engine with
+    * BIGINT `&`/`|`/`<<` (the s10_zorder_key oracle does). Inputs must
+    * already be quantized to [0, 2^bits) — [[zorderWrite]] does that
+    * from the data's min/max; callers with naturally-bounded ints can
+    * mask with pmod. */
+  def mortonKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 16, "bits must be in [1,16]")
+    def spread(c: Column): Column = {
+      val v0 = c.cast("long").bitwiseAND(lit((1L << bits) - 1))
+      val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+      v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** Z-order (space-filling-curve) layout: writes `df` as parquet
+    * range-partitioned and sorted by the Morton key of two quantized
+    * numeric columns, so every output FILE covers a bounded range of
+    * BOTH dimensions at once. A linear sort gives perfect min/max
+    * pruning on its leading column and none on the other; Z-order
+    * trades a little of each for skipping on BOTH — the standard
+    * data-layout play for two-dimensional predicates over a 100 TB
+    * fact (file/row-group min-max stats prune at planning time, no
+    * index structure to maintain). ScaleSpec measures the effect:
+    * per-file spans of each dimension versus single-column-sorted
+    * layouts of the same data.
+    *
+    * Quantization bounds come from one tiny agg (4 scalars to the
+    * driver). `files` controls output granularity — skipping precision
+    * scales with file count; compose with [[compactParquet]]'s sizing
+    * when targeting a byte size. The key column is dropped before the
+    * write (projection after the partition-local sort keeps the
+    * order). */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String,
+                  outDir: String, files: Int = 8, bits: Int = 16): Unit = {
+    require(files >= 1, "files must be >= 1")
+    def secsSafe(c: Column): Column = c.cast("double")
+    val b = df.agg(min(secsSafe(col(xCol))).as("x0"),
+      max(secsSafe(col(xCol))).as("x1"),
+      min(secsSafe(col(yCol))).as("y0"),
+      max(secsSafe(col(yCol))).as("y1")).head()
+    val (x0, x1, y0, y1) =
+      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    val hi = (1L << bits) - 1
+    def quant(c: Column, lo: Double, up: Double): Column =
+      if (up <= lo) lit(0L)
+      else least(lit(hi), floor((secsSafe(c) - lo) / (up - lo) * hi))
+        .cast("long")
+    val keyed = df.withColumn("__z",
+      mortonKey(quant(col(xCol), x0, x1), quant(col(yCol), y0, y1), bits))
+    keyed.repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

@@ -54,6 +54,8 @@ object SparkEntry {
     * the query against the mutated base converges to the same state). */
   private val stagedMergeBase =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedAggMv =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Per-JVM cache of the persisted IVF index (path, centroids). */
   private val stagedIvfIndex = scala.collection.concurrent.TrieMap
@@ -1283,6 +1285,38 @@ object SparkEntry {
       s.read.parquet(base)
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), col("text"))
+    }),
+
+    // ---- S11: incrementally-maintained aggregate MV — the daily
+    // (date, type) rollup folded in as THREE batch loads (thirds of
+    // the fact by event_id), never rescanning prior data; partials
+    // merge by their own merge fn (count by sum), decimal sums stay
+    // exact, schema pinned to the delta's types. Final state must
+    // equal the one-shot full aggregation (the oracle). ----
+    "s11_incremental_agg" -> ((s, dir) => {
+      val mv = stagedAggMv.getOrElseUpdate(dir, {
+        val p = tempDir("graft_mv") + "/mv"
+        val ev = t(s, dir, "events")
+          .withColumn("event_date",
+            col("ts").cast("date").cast("string"))
+          .withColumn("value_dec", col("value").cast("decimal(18,2)"))
+        val aggs = Seq(
+          Scale.SaltedAgg.count("event_id", "n"),
+          Scale.SaltedAgg.sum("value_dec", "sum_value"),
+          Scale.SaltedAgg.min("value", "min_value"),
+          Scale.SaltedAgg.max("value", "max_value"))
+        (0 to 2).foreach { i =>
+          ops.Merge.incrementalAggMv(s, p,
+            ev.filter(pmod(col("event_id"), lit(3)) === i),
+            "event_date", Seq("event_type"), aggs)
+        }
+        p
+      })
+      s.read.parquet(mv).select(
+        col("event_date").cast("string").as("event_date"),
+        col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"))
     }),
 
     // ---- similarity: BATCH IVF k-NN join — every 100th vector is a
@@ -3740,6 +3774,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text
         |FROM documents d
-        |WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)""".stripMargin
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)""".stripMargin,
+
+    // the MV's three incremental loads must land exactly on the
+    // one-shot full aggregation
+    "s11_incremental_agg" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+        |  event_type,
+        |  COUNT(event_id) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

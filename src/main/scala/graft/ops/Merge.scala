@@ -80,17 +80,92 @@ object Merge {
     val survivors = base.filter(col(partCol).isin(touched: _*))
       .join(updates, keys, "left_anti")
     val merged = updates.unionByName(survivors)
-    // staging lives INSIDE the table dir under a dot-prefix (hidden
-    // from Spark/Hive file listings) so it resolves on the SAME
-    // filesystem as the table on any deployment (HDFS/S3A/local) — a
-    // driver-local java.nio temp dir would land on the driver's disk
-    // while Spark resolved the path against the default FS, writing
-    // and deleting two different locations
+    // staging + dynamic overwrite + preserve-on-failure: the shared
+    // commit discipline (see overwriteTouched)
+    overwriteTouched(spark, fs, fsPath, merged, partCol,
+      opName = "mergeUpsert")
+    touched
+  }
+
+  /** Incrementally-maintained aggregate table (materialized view):
+    * folds a new batch of fact rows into a hive-partitioned agg table
+    * keyed by (`partCol`, `keys`) WITHOUT rescanning the fact — the
+    * 100 TB answer to "the daily dashboard rollup can't re-read the
+    * corpus every load". Aggregates are the mergeable
+    * [[Scale.SaltedAgg]] pairs (partial on the batch, merge against
+    * the stored partials — count merges by sum, exactly the
+    * distributed-agg discipline), so the stored table IS the partial
+    * state and any batch folds in associatively.
+    *
+    * Scale shape: one hash agg over the BATCH (delta), then the stored
+    * table read PRUNED to the delta's touched partitions, one
+    * union+merge agg bounded by |touched partitions' groups| +
+    * |delta|, and a dynamic-partition overwrite of touched partitions
+    * only — per-load cost is O(batch + touched), never O(table).
+    * Schema stability: merged outputs are cast back to the delta
+    * aggregate's types, so repeated loads never widen the stored
+    * schema (a decimal sum would otherwise grow precision every load
+    * and leave partitions with mixed footers).
+    *
+    * Contracts: each batch must be applied EXACTLY ONCE (additive
+    * partials double-count on replay — this is the at-most-once dual
+    * of [[mergeUpsert]]'s idempotent keyed overwrite; track a batch
+    * high-water-mark upstream, e.g. foreachBatch's batchId, to get
+    * exactly-once end to end). Null partition values unsupported, as
+    * in [[mergeUpsert]]. Failure semantics and staging recovery are
+    * mergeUpsert's — the staged rows are the complete post-merge
+    * content of every touched partition. */
+  def incrementalAggMv(spark: SparkSession, mvPath: String,
+                       batch: DataFrame, partCol: String,
+                       keys: Seq[String],
+                       aggs: Seq[Scale.SaltedAgg]): Seq[Any] = {
+    require(aggs.nonEmpty, "at least one aggregate required")
+    val groupCols = (partCol +: keys).map(col)
+    val delta = batch.groupBy(groupCols: _*)
+      .agg(aggs.head.partial(col(aggs.head.srcCol)).as(aggs.head.outName),
+        aggs.tail.map(a => a.partial(col(a.srcCol)).as(a.outName)): _*)
+    val touched = delta.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    require(!touched.contains(null),
+      s"incrementalAggMv: batch contains null $partCol values — null " +
+        "partition values are not supported (see mergeUpsert scaladoc)")
+    if (touched.isEmpty) return Nil
+    val fsPath = new org.apache.hadoop.fs.Path(mvPath)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(fsPath)) {
+      delta.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(mvPath)
+      return touched
+    }
+    val existing = spark.read.parquet(mvPath)
+      .filter(col(partCol).isin(touched: _*))
+    val merged0 = existing.unionByName(delta)
+      .groupBy(groupCols: _*)
+      .agg(aggs.head.merge(col(aggs.head.outName)).as(aggs.head.outName),
+        aggs.tail.map(a => a.merge(col(a.outName)).as(a.outName)): _*)
+    // pin the stored schema to the delta's aggregate types
+    val deltaTypes = delta.schema.map(f => f.name -> f.dataType).toMap
+    val merged = merged0.select(merged0.columns.map(c =>
+      col(c).cast(deltaTypes(c)).as(c)): _*)
+    overwriteTouched(spark, fs, fsPath, merged, partCol,
+      opName = "incrementalAggMv")
+    touched
+  }
+
+  /** Shared final-commit discipline: stage `rows` inside the table dir
+    * (same filesystem), then dynamic-partition-overwrite the touched
+    * partitions; on failure PRESERVE staging as the recovery copy (see
+    * [[mergeUpsert]] scaladoc). */
+  private def overwriteTouched(spark: SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               fsPath: org.apache.hadoop.fs.Path,
+                               rows: DataFrame, partCol: String,
+                               opName: String): Unit = {
     val stagingPath = new org.apache.hadoop.fs.Path(
       fsPath, s".merge-staging-${java.util.UUID.randomUUID}")
     val stagingDir = stagingPath.toString + "/data"
     try {
-      merged.write.mode("overwrite").parquet(stagingDir)
+      rows.write.mode("overwrite").parquet(stagingDir)
     } catch {
       case e: Throwable => fs.delete(stagingPath, true); throw e
     }
@@ -100,24 +175,15 @@ object Merge {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
-        .parquet(basePath)
+        .parquet(fsPath.toString)
     } catch {
-      // the final overwrite is NOT failure-atomic (see scaladoc): a
-      // crash between partition deletes and commits can leave touched
-      // partitions half-replaced, at which point staging holds the
-      // only complete copy of their merged rows — PRESERVE it and say
-      // where it is instead of deleting the recovery copy
       case e: Throwable =>
         throw new RuntimeException(
-          s"mergeUpsert: final overwrite of $basePath failed; touched " +
+          s"$opName: final overwrite of $fsPath failed; touched " +
             s"partitions may be half-replaced. The complete merged rows " +
             s"for the touched partitions are preserved at $stagingDir — " +
-            "restore them from there, or re-run the merge with the " +
-            "ORIGINAL updates (idempotent) if every touched partition " +
-            "is verifiably intact.", e)
+            "restore them from there (see mergeUpsert scaladoc).", e)
     }
-    // success: staging is now redundant scratch
     fs.delete(stagingPath, true)
-    touched
   }
 }

@@ -123,4 +123,64 @@ class MergeUpsertSpec extends SparkSpec {
     val r = SCTest.check(params, prop)
     assert(r.passed, s"merge-model-equiv: $r")
   }
+
+  private def mvAggs = Seq(
+    Scale.SaltedAgg.count("id", "n"),
+    Scale.SaltedAgg.sum("vd", "sv"),
+    Scale.SaltedAgg.min("v", "mn"),
+    Scale.SaltedAgg.max("v", "mx"))
+
+  private def mvBatch(rows: Seq[(Long, String, String, Double)]) =
+    rows.toDF("id", "d", "k", "v")
+      .withColumn("vd", col("v").cast("decimal(18,2)"))
+
+  test("incrementalAggMv: three loads == one-shot aggregation; count " +
+    "merges by sum; schema stays pinned across loads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString +
+      "/mv"
+    val all = Seq(
+      (1L, "d1", "a", 1.5), (2L, "d1", "a", 2.5), (3L, "d1", "b", 10.0),
+      (4L, "d2", "a", 4.0), (5L, "d2", "b", 5.0), (6L, "d2", "b", 6.0),
+      (7L, "d3", "a", 7.0), (8L, "d3", "a", 8.0), (9L, "d3", "a", 0.25))
+    val loads = all.grouped(3).toSeq
+    loads.foreach(l =>
+      Merge.incrementalAggMv(spark, dir, mvBatch(l), "d", Seq("k"), mvAggs))
+    val got = spark.read.parquet(dir)
+      .select(col("d").cast("string"), col("k"), col("n"),
+        col("sv").cast("double"), col("mn"), col("mx"))
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+    val want = mvBatch(all).groupBy(col("d"), col("k"))
+      .agg(count(col("id")).as("n"), sum(col("vd")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .select(col("d"), col("k"), col("n"), col("sv").cast("double"),
+        col("mn"), col("mx"))
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+    assert(got == want)
+    // schema pinned: decimal sum did NOT widen across merges
+    val svType = spark.read.parquet(dir).schema("sv").dataType
+    assert(svType == mvBatch(all).groupBy(col("d"))
+      .agg(sum(col("vd")).as("sv")).schema("sv").dataType, svType.toString)
+  }
+
+  test("incrementalAggMv: untouched partitions' files never rewritten; " +
+    "per-load cost is O(touched)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv2").toString +
+      "/mv"
+    Merge.incrementalAggMv(spark, dir,
+      mvBatch(Seq((1L, "d1", "a", 1.0), (2L, "d2", "a", 2.0))),
+      "d", Seq("k"), mvAggs)
+    val before = listFiles(dir)
+    val touched = Merge.incrementalAggMv(spark, dir,
+      mvBatch(Seq((3L, "d2", "a", 3.0))), "d", Seq("k"), mvAggs)
+    assert(touched == Seq("d2"))
+    val after = listFiles(dir)
+    val d1Before = before.filter(_._1.contains("d=d1"))
+    assert(d1Before.nonEmpty &&
+      d1Before.forall { case (p, s) => after.get(p).contains(s) })
+    // and d2 merged: n=2, sum=5.0
+    val d2 = spark.read.parquet(dir).filter(col("d") === "d2")
+      .select(col("n"), col("sv").cast("double"))
+      .as[(Long, Double)].collect().toSeq
+    assert(d2 == Seq((2L, 5.0)))
+  }
 }

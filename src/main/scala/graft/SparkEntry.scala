@@ -56,6 +56,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val stagedAggMv =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedDocsStreamDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Per-JVM cache of the persisted IVF index (path, centroids). */
   private val stagedIvfIndex = scala.collection.concurrent.TrieMap
@@ -1617,6 +1619,35 @@ object SparkEntry {
         graft.streaming.EventStreams.dedupStream(stream, Seq("event_id"))
           .select("event_id", "user_id", "event_type"),
         queryName = s"sd_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt")
+    }),
+
+    // ---- streaming: INCREMENTAL near-dup detection — documents arrive
+    // over several micro-batches (maxFilesPerTrigger=2 over a 6-file
+    // staging), every LSH band-bucket accumulates members in state and
+    // emits candidate pairs as later members arrive; candidates are
+    // then batch-verified with exact jaccard (the shared stagedVerify).
+    // A full replay must land exactly on the batch t_minhash_lsh
+    // answer — same oracle. ----
+    "s_stream_neardup" -> ((s, dir) => {
+      val in = stagedDocsStreamDir.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_snd")
+        t(s, dir, "documents").repartition(6)
+          .write.mode("overwrite").parquet(s"$tmp/in")
+        s"$tmp/in"
+      })
+      val ckpt = tempDir("graft_snd_ck")
+      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "n_chars BIGINT")
+      val stream = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "2").parquet(in)
+      val cands = graft.streaming.EventStreams.nearDupCandidatesStream(
+        stream, "doc_id", "text", shingleN = 3, numHashes = 32, bands = 16)
+      val out = graft.streaming.EventStreams.runAvailableNow(cands.toDF(),
+        queryName = s"snd_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt")
+      Dedup.verifyCandidatePairs(out.dropDuplicates("id1", "id2"),
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        shingleN = 3)
     }),
 
     // ---- §2.3/§4 bucketed 3-table ZERO-EXCHANGE assembly (r3 verdict
@@ -3567,6 +3598,25 @@ object SparkEntry {
 
     "s_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
+
+    // a full stream replay must reproduce the batch LSH+verify answer:
+    // the brute-force exact-jaccard ground truth (same as t_minhash_lsh)
+    "s_stream_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
 
     // the staged input holds every event once plus 200 beyond-horizon
     // re-arrivals (content-identical in these columns); stream tier +

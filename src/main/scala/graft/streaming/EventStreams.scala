@@ -14,6 +14,15 @@ case class SessionState(start: Long, last: Long, n: Int)
   * finalized session. Top-level for the state Encoder. */
 case class SessionBuffer(pending: Array[Long])
 
+/** State for [[EventStreams.nearDupCandidatesStream]]: the (id, minhash
+  * signature) members accumulated in one LSH band-bucket. Top-level for
+  * the state Encoder. */
+case class BucketMembers(ids: Array[Long], sigs: Array[Array[Int]])
+
+/** One streamed near-duplicate candidate pair (id1 < id2; est_jaccard =
+  * matching-minhash fraction, the batch lshCandidates estimate). */
+case class NearDupCand(id1: Long, id2: Long, est_jaccard: Double)
+
 /** Structured Streaming surface over the events table shape.
   *
   * The reference is batch-only (SURVEY.md §2.9), but the engine exposes
@@ -307,6 +316,86 @@ object EventStreams {
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** STREAMING near-duplicate candidate pairs: the incremental twin of
+    * [[graft.text.Dedup.lshCandidates]] — each arriving document is
+    * minhash-signed and banded with the SAME expressions as the batch
+    * path, and every LSH band-bucket accumulates its members in
+    * flatMapGroupsWithState; a new member emits one candidate pair
+    * against each member already seen, so a corpus replayed through the
+    * stream yields exactly the batch candidate set (pair set is
+    * arrival-order-invariant: unordered pairs, symmetric estimate;
+    * cross-band duplicates are deduped by the caller like the batch
+    * path's dropDuplicates). Downstream, verify exactly as in batch —
+    * [[graft.text.Dedup.stagedVerify]] against the corpus shingles.
+    *
+    * State per bucket is ≤ `maxBucket` (id, signature) members — the
+    * same degenerate-bucket cap as batch LSH, with the same contract: a
+    * bucket at cap admits no further members and emits no further pairs
+    * (boilerplate cliques belong to exact dedup, not the pair stream).
+    * With `evictIdleAfterMs` set, buckets idle past the horizon are
+    * dropped (processing-time timeout), bounding total state on an
+    * unbounded stream at the cost of missing pairs that span the
+    * eviction — the beyond-horizon tier is
+    * [[graft.text.LshIndex]]'s persisted-index job, exactly the
+    * two-tier split [[dedupStream]] documents for exact keys. */
+  def nearDupCandidatesStream(docs: DataFrame, idCol: String,
+                              textCol: String, shingleN: Int = 3,
+                              numHashes: Int = 32, bands: Int = 16,
+                              maxBucket: Int = 1000,
+                              evictIdleAfterMs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[NearDupCand] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.text.Dedup
+    val timeoutConf =
+      if (evictIdleAfterMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val banded = docs.select(col(idCol).cast("long").as("id"),
+        Dedup.minhashSignature(
+          Dedup.shingles(col(textCol), shingleN), numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(Dedup.lshBands(col("sig"), bands, numHashes / bands))
+          .as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+      .as[(Long, Array[Int], Int, Int)]
+    banded.groupByKey { case (_, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[BucketMembers, NearDupCand](
+        OutputMode.Append(), timeoutConf) {
+        case (_, rows, state: GroupState[BucketMembers]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption
+              .getOrElse(BucketMembers(Array.empty, Array.empty))
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCand]
+            rows.foreach { case (id, sig, _, _) =>
+              if (members.ids.length < maxBucket &&
+                  !members.ids.contains(id)) {
+                var i = 0
+                while (i < members.ids.length) {
+                  val other = members.ids(i)
+                  val osig = members.sigs(i)
+                  var eq = 0; var j = 0
+                  while (j < sig.length) {
+                    if (sig(j) == osig(j)) eq += 1; j += 1
+                  }
+                  val est = BigDecimal(eq.toDouble / numHashes)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  out += NearDupCand(math.min(id, other),
+                    math.max(id, other), est)
+                  i += 1
+                }
+                members = BucketMembers(members.ids :+ id,
+                  members.sigs :+ sig.clone())
+              }
+            }
+            state.update(members)
+            evictIdleAfterMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
   }
 
   /** Run a streaming transform over a static directory incrementally and

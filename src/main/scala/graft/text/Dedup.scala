@@ -692,10 +692,25 @@ object Dedup {
                      numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val cands = lshCandidates(df, idCol, textCol, shingleN, numHashes, bands)
       .select("id1", "id2")
+    verifyCandidatePairs(cands, df, idCol, textCol, threshold, shingleN)
+  }
+
+  /** Verify externally-produced candidate pairs (id1, id2) with exact
+    * n-gram Jaccard against the corpus — [[nearDuplicates]]'s verify
+    * stage (screen + staged broadcast of survivors) exposed for
+    * candidate tiers that live elsewhere, e.g. the STREAMING
+    * band-bucket accumulator
+    * ([[graft.streaming.EventStreams.nearDupCandidatesStream]]). Same
+    * plan discipline: candidates join compact hash keys shuffle_hash,
+    * only output-bounded survivors broadcast into the string verify. */
+  def verifyCandidatePairs(cands: DataFrame, df: DataFrame, idCol: String,
+                           textCol: String, threshold: Double,
+                           shingleN: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .withColumn("hs", hashedShingles(col("sh")))
-    stagedVerify(cands, sh, threshold, roundedCompare = true)
+    stagedVerify(cands.select("id1", "id2"), sh, threshold,
+      roundedCompare = true)
       .select("id1", "id2", "jaccard")
   }
 

@@ -285,4 +285,62 @@ class EventStreamsSpec extends SparkSpec {
           r.n_events == 1))
     } finally q.stop()
   }
+
+  test("nearDupCandidatesStream: a chunked replay verifies to exactly " +
+    "the batch near-dup answer, including pairs SPLIT across batches") {
+    import graft.text.Dedup
+    val docs = Seq(
+      // near-dup pair inside batch 1
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      // its twin arrives two batches later (cross-batch state hit)
+      (3L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      // unrelated docs in every batch
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+      (6L, "spark shuffle partition broadcast join window agg scan")
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_snd").toString
+    sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)))
+    // three controlled files -> three micro-batches (mod-time ordered)
+    val now = System.currentTimeMillis()
+    Seq(Seq(1L, 2L), Seq(4L, 5L), Seq(3L, 6L)).zipWithIndex.foreach {
+      case (ids, i) =>
+        val d = s"$base/in/b$i"
+        docs.filter(col("doc_id").isin(ids: _*)).coalesce(1)
+          .write.parquet(d)
+        new java.io.File(d).listFiles.foreach(f =>
+          f.setLastModified(now - (10 - i) * 60000L))
+    }
+    // flatten the parquet files into one source dir
+    val inDir = new java.io.File(s"$base/src"); inDir.mkdirs()
+    (0 to 2).foreach { i =>
+      new java.io.File(s"$base/in/b$i").listFiles
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dst = new java.io.File(inDir, f"b$i%s_${f.getName}%s")
+          java.nio.file.Files.copy(f.toPath, dst.toPath)
+          dst.setLastModified(f.lastModified)
+        }
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val cands = EventStreams.nearDupCandidatesStream(stream, "doc_id",
+      "text", shingleN = 3, numHashes = 32, bands = 16)
+    val out = EventStreams.runAvailableNow(cands.toDF(),
+      queryName = s"sndspec_${System.nanoTime()}",
+      checkpoint = s"$base/ckpt")
+    val streamed = Dedup.verifyCandidatePairs(
+        out.dropDuplicates("id1", "id2"), docs, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Dedup.nearDuplicates(docs, "doc_id", "text",
+        threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the cross-batch pair (1,3) or (2,3) must be present — state
+    // carried members across micro-batches
+    assert(streamed.exists(p => p._2 == 3L))
+  }
 }

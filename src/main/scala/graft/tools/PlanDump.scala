@@ -62,7 +62,20 @@ object PlanDump {
       "and the agg, short-circuit exists verify inside the bucket"),
     "t_epoch_shuffle" -> ("epoch shuffle: one exchange on the hash " +
       "shard + per-shard sort — a global permutation without a global " +
-      "sort"))
+      "sort"),
+    "w11_funnel" -> ("funnel: ONE user-keyed exchange — sorted per-user " +
+      "event arrays + codegen'd HOF cascade, no join per stage"),
+    "w12_retention" -> ("cohort retention: the cohort stamp rides the " +
+      "user window (no join-back); one final (cohort, offset) " +
+      "distinct-count agg"),
+    "j11_edit_join" -> ("PassJoin edit-distance join: narrow segment/" +
+      "substring explodes, compact-key equi-join candidates, ONE " +
+      "distinct, codegen levenshtein verify — never |n|²"),
+    "s10_zorder_key" -> ("Morton key: pure bit-op projection inside one " +
+      "WholeStageCodegen span — zero exchanges, zero UDFs"),
+    "t_dsir_weights" -> ("DSIR weights: bucket LLR table broadcast back; " +
+      "poly-hash evaluated on the DISTINCT vocab only, never per " +
+      "corpus token"))
 
   /** Ops with no SparkEntry.queries surface whose plan still backs a
     * scale claim (built directly against the sf tables). */

@@ -173,6 +173,28 @@ class PlanSpec extends SparkSpec {
       .findAllIn(plan).size == 1, plan.take(1500))
   }
 
+  test("funnel runs as ONE user-keyed exchange — no join per stage") {
+    val df = SparkEntry.queries("w11_funnel")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size == 1, plan.take(1200))
+  }
+
+  test("mortonKey is a pure codegen projection: zero exchanges, no UDF") {
+    val df = SparkEntry.queries("s10_zorder_key")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(plan.contains("*(1)"), plan.take(800)) // whole-stage codegen
+  }
+
+  test("cohortRetention stamps the cohort via the user window — no " +
+    "join-back of a per-user aggregate") {
+    val df = SparkEntry.queries("w12_retention")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
   test("PLANS.md is fresh: fingerprint matches the current query set " +
        "and pinned logical plans (regenerate with graft.tools.PlanDump)") {
     // the plan book backs SURVEY's scale claims; a stale book silently

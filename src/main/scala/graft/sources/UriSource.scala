@@ -16,6 +16,28 @@ import org.apache.spark.sql.types.StructType
   * Scale note: object-store listings are expensive — prefer a coarse
   * `uri` glob over many fine ones, and partitioned layouts over flat
   * million-object prefixes so partition pruning replaces listing.
+  *
+  * == Credential recipe (the part a sandbox can't execute) ==
+  * The scheme dispatch itself is proven offline two ways — the live
+  * `http(s)://` server oracle (`s9_http_scan`) and UriSourceSpec's
+  * custom-scheme registration — so a cloud scheme only needs its
+  * connector jar on the classpath plus standard Hadoop conf, all
+  * public documented surface:
+  *  - s3a:// (hadoop-aws + aws-sdk-bundle):
+  *    `spark.hadoop.fs.s3a.aws.credentials.provider` =
+  *    `org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider`
+  *    (instance roles; zero secrets in code) or
+  *    `SimpleAWSCredentialsProvider` with
+  *    `fs.s3a.access.key`/`fs.s3a.secret.key` from the deployment's
+  *    secret store; private endpoints via `fs.s3a.endpoint`.
+  *  - gs:// (gcs-connector): `fs.gs.auth.type=APPLICATION_DEFAULT`
+  *    rides the node's service account;
+  *    `fs.gs.auth.service.account.json.keyfile` for key files.
+  *  - abfss:// (hadoop-azure): `fs.azure.account.auth.type=OAuth` +
+  *    the `fs.azure.account.oauth2.client.{id,secret,endpoint}`
+  *    triple.
+  * All are plain `--conf spark.hadoop.*` settings — no engine code
+  * path differs from the `file://`/`http://` ones exercised here.
   */
 object UriSource {
 

@@ -105,6 +105,37 @@ object ScaleSweep {
       }
       marker.getParentFile.mkdirs(); marker.createNewFile(); ()
     }
+    // ---- r9 tables: events (funnel/retention/zorder/MV) and customer
+    // (edit join). Scale model: NEW users/customers per replica (ids
+    // offset), so per-user event density and name-format realism stay
+    // scale-invariant — the way a real corpus grows. Separate marker:
+    // earlier-round stagings lack these tables. ----
+    val marker2 = new java.io.File(s"$scaled/_DONE_EVENTS")
+    if (!marker2.exists()) {
+      val ev = Tables.load(spark, base, "events")
+      (0 until factor).grouped(10).zipWithIndex.foreach { case (ks, gi) =>
+        ks.map { k =>
+          if (k == 0) ev
+          else ev.select((col("event_id") + k * 100000000L).as("event_id"),
+            col("ts"), (col("user_id") + k * 1000000L).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
+          .write.mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$scaled/events.parquet")
+      }
+      val cust = Tables.load(spark, base, "customer")
+      (0 until factor).grouped(10).zipWithIndex.foreach { case (ks, gi) =>
+        ks.map { k =>
+          if (k == 0) cust
+          else cust.withColumn("c_custkey", col("c_custkey") + k * 1000000L)
+            .withColumn("c_name",
+              format_string("Customer#%09d", col("c_custkey")))
+        }.reduce(_ unionByName _)
+          .write.mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$scaled/customer.parquet")
+      }
+      marker2.createNewFile(); ()
+    }
 
     def timeIt(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -180,6 +211,48 @@ object ScaleSweep {
         val nlist = if (d == base) 64 else 64 * factor
         graft.sim.Similarity.semDedup(emb, "vec_id", "embedding",
           threshold = 0.8, nlist = nlist).count()
+      },
+      // one user-keyed exchange + HOF cascade; per-user arrays stay
+      // constant-size (new replicas add USERS, not events-per-user) —
+      // expect ~linear in the corpus, flat ratio/factor
+      "w11_funnel" -> (d =>
+        SparkEntry.queries("w11_funnel")(spark, d).count()),
+      // window stamp + distinct-count agg, same scale model
+      "w12_retention" -> (d =>
+        SparkEntry.queries("w12_retention")(spark, d).count()),
+      // narrow codegen projection — pure scan throughput
+      "s10_zorder_key" -> (d =>
+        SparkEntry.queries("s10_zorder_key")(spark, d).count()),
+      // three incremental loads into a fresh MV: O(batch + touched)
+      // per load; date×type partition count is FIXED, so expect
+      // ~linear in the corpus (the batches grow), flat ratio/factor
+      "incrementalAggMv(3 loads)" -> { d =>
+        val p = s"/tmp/graft_scale_mv_${ivfOut.incrementAndGet()}/mv"
+        val ev = Tables.load(spark, d, "events")
+          .withColumn("event_date", col("ts").cast("date").cast("string"))
+          .withColumn("value_dec", col("value").cast("decimal(18,2)"))
+        val aggs = Seq(
+          graft.ops.Scale.SaltedAgg.count("event_id", "n"),
+          graft.ops.Scale.SaltedAgg.sum("value_dec", "sum_value"),
+          graft.ops.Scale.SaltedAgg.min("value", "min_value"),
+          graft.ops.Scale.SaltedAgg.max("value", "max_value"))
+        (0 to 2).foreach(i => graft.ops.Merge.incrementalAggMv(spark, p,
+          ev.filter(pmod(col("event_id"), lit(3)) === i),
+          "event_date", Seq("event_type"), aggs))
+        spark.read.parquet(p).count()
+      },
+      // CAPPED run (maxBucket=5000): the uniform "Customer#" prefix
+      // makes segment-0's bucket quadratic BY CONSTRUCTION (the
+      // operator's documented shared-prefix degradation) — uncapped it
+      // measures the name format, not the join. The cap drops that
+      // bucket at scale (observable recall concession); the digit
+      // segments stay selective, so expect near-flat ratio/factor
+      "j11_edit_join(capped)" -> { d =>
+        graft.ops.Joins.editDistanceJoin(
+          Tables.load(spark, d, "customer")
+            .filter(col("c_nationkey").isin(1, 2, 3))
+            .select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", k = 1, maxBucket = Some(5000)).count()
       })
 
     // Pair-volume ops are QUADRATIC in this staging's recycled content

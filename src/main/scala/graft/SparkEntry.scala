@@ -939,6 +939,39 @@ object SparkEntry {
             .as("mean_surprise"))
     }),
 
+    // ---- training-data ops: interpolated bigram-LM negative log-
+    // likelihood (the CCNet/KenLM-style fluency scorer): per token
+    // position, P = 0.7·P_bigram(w2|w1) + 0.3·P_unigram(w2), mean
+    // −ln P per doc. Same determinism discipline as the surprise
+    // scorers: round-6 per position, exact-decimal sum. Perplexity is
+    // exp(mean_nll) client-side (exp on a round-6 input would re-open
+    // the libm-ulp window). All count sides are vocab-sized joins. ----
+    "t_lm_interpolated" -> ((s, dir) => {
+      val bgs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.bigrams(col("text"))).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      val cb = bgs.groupBy(col("bg")).agg(count(lit(1)).as("__cb"))
+      val cp = bgs.groupBy(col("w1")).agg(count(lit(1)).as("__cp"))
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("w2"))
+      val cu = toks.groupBy(col("w2")).agg(count(lit(1)).as("__cu"))
+      val tot = toks.agg(count(lit(1)).as("__t"))
+      val p = lit(0.7) * (col("__cb").cast("double") / col("__cp")) +
+        lit(0.3) * (col("__cu").cast("double") / col("__t"))
+      bgs.join(cb, Seq("bg")).join(cp, Seq("w1")).join(cu, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          // UNROUNDED mean: exact-decimal sum -> double -> one IEEE
+          // division is bit-deterministic; a final round() splits on
+          // HALF_UP-vs-render midpoints (observed: doc 484's mean
+          // landing exactly on …0015 — the t_corpus_report lesson)
+          (sum(round(-log(p), 6).cast("decimal(28,6)"))
+            .cast("double") / count(lit(1))).as("mean_nll"))
+    }),
+
     // ---- training-data ops: length-band curation filter — keep docs
     // whose token count sits inside the corpus [p05, p95] band; the
     // 1-row bounds side broadcasts ----
@@ -2447,6 +2480,38 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(ROUND(-ln(CAST(cb.cb AS DOUBLE) / cp.cp), 6)
         |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprise
         |FROM b JOIN cb USING (bg) JOIN cp USING (w1)
+        |GROUP BY b.doc_id""".stripMargin,
+
+    // interpolated LM: SAME expression shape as the Spark side —
+    // 0.7*(cb/cp) + 0.3*(cu/T), one rounding per op, round-6 before sum
+    "t_lm_interpolated" ->
+      """WITH b AS (
+        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(tk[i:i+1], ' ')
+        |              FOR i IN range(1, len(tk))]) AS bg
+        |    FROM (SELECT doc_id, list_filter(
+        |        string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') AS tk
+        |      FROM documents)
+        |    WHERE len(tk) >= 2)),
+        |cb AS (SELECT bg, COUNT(*) AS cb FROM b GROUP BY bg),
+        |cp AS (SELECT w1, COUNT(*) AS cp FROM b GROUP BY w1),
+        |toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))
+        |    AS w2
+        |  FROM documents),
+        |cu AS (SELECT w2, COUNT(*) AS cu FROM toks GROUP BY w2),
+        |tot AS (SELECT COUNT(*) AS t FROM toks)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CAST(ROUND(-ln(
+        |      0.7 * (CAST(cb.cb AS DOUBLE) / cp.cp) +
+        |      0.3 * (CAST(cu.cu AS DOUBLE) / tot.t)), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_nll
+        |FROM b JOIN cb USING (bg) JOIN cp USING (w1) JOIN cu USING (w2),
+        |  tot
         |GROUP BY b.doc_id""".stripMargin,
 
     "t_unigram_logprob" ->

@@ -241,18 +241,22 @@ object ScaleSweep {
           "event_date", Seq("event_type"), aggs))
         spark.read.parquet(p).count()
       },
-      // CAPPED run (maxBucket=5000): the uniform "Customer#" prefix
-      // makes segment-0's bucket quadratic BY CONSTRUCTION (the
-      // operator's documented shared-prefix degradation) — uncapped it
-      // measures the name format, not the join. The cap drops that
-      // bucket at scale (observable recall concession); the digit
-      // segments stay selective, so expect near-flat ratio/factor
-      "j11_edit_join(capped)" -> { d =>
+      // measured on the NON-degenerate input (constant "Customer#"
+      // prefix stripped): with the prefix, the one segment covering it
+      // is the only discriminating bucket and grows quadratically —
+      // the operator's documented shared-prefix degradation, where a
+      // cap costs total recall (a 10× capped run returns 0 pairs) and
+      // an uncapped run measures the name format, not the join. On
+      // digit-only keys every segment is selective, pair distances are
+      // unchanged (the stripped prefix contributes no edits), and the
+      // candidate volume tracks the true pair volume
+      "j11_edit_join(selective)" -> { d =>
         graft.ops.Joins.editDistanceJoin(
           Tables.load(spark, d, "customer")
             .filter(col("c_nationkey").isin(1, 2, 3))
-            .select(col("c_custkey"), col("c_name")),
-          "c_custkey", "c_name", k = 1, maxBucket = Some(5000)).count()
+            .select(col("c_custkey"),
+              regexp_replace(col("c_name"), "^Customer#", "").as("c_name")),
+          "c_custkey", "c_name", k = 1).count()
       })
 
     // Pair-volume ops are QUADRATIC in this staging's recycled content

@@ -939,6 +939,16 @@ object SparkEntry {
             .as("mean_surprise"))
     }),
 
+    // ---- training-data ops: BPE merge learning (Sennrich et al.
+    // 2016) — three rounds of corpus-global most-frequent-adjacent-
+    // pair selection with deterministic tiebreak and greedy non-
+    // overlapping application; the output merge table is the
+    // tokenizer-induction artifact. Each round = one pair explode +
+    // hash agg + 1-row argmax; rewrite is a narrow codegen fold. ----
+    "t_bpe_merges" -> ((s, dir) =>
+      TextOps.learnBpeMerges(t(s, dir, "documents"), "doc_id", "text",
+        numMerges = 3)),
+
     // ---- training-data ops: interpolated bigram-LM negative log-
     // likelihood (the CCNet/KenLM-style fluency scorer): per token
     // position, P = 0.7·P_bigram(w2|w1) + 0.3·P_unigram(w2), mean
@@ -2481,6 +2491,77 @@ object SparkEntry {
         |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprise
         |FROM b JOIN cb USING (bg) JOIN cp USING (w1)
         |GROUP BY b.doc_id""".stripMargin,
+
+    // BPE merges: three UNROLLED iterations — per round, the argmax
+    // pair (count desc, pair text asc) and a greedy non-overlapping
+    // rewrite: candidate runs (only possible when l = r) keep
+    // alternating members (gaps-and-islands parity), which equals the
+    // engine's left-to-right fold exactly
+    "t_bpe_merges" ->
+      """WITH t0 AS (
+        |  SELECT doc_id AS id, unnest(range(1, len(tk) + 1)) AS i,
+        |    unnest(tk) AS tok
+        |  FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tk
+        |    FROM documents)),
+        |m1 AS (
+        |  SELECT a.tok AS l, b.tok AS r, COUNT(*) AS n
+        |  FROM t0 a JOIN t0 b ON a.id = b.id AND b.i = a.i + 1
+        |  GROUP BY 1, 2 ORDER BY n DESC, l || ' ' || r LIMIT 1),
+        |t1_cand AS (
+        |  SELECT a.id, a.i,
+        |    a.i - ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY a.i) AS grp
+        |  FROM t0 a JOIN t0 b ON a.id = b.id AND b.i = a.i + 1, m1 m
+        |  WHERE a.tok = m.l AND b.tok = m.r),
+        |t1_keep AS (
+        |  SELECT id, i FROM (
+        |    SELECT id, i,
+        |      ROW_NUMBER() OVER (PARTITION BY id, grp ORDER BY i) - 1 AS off
+        |    FROM t1_cand)
+        |  WHERE off % 2 = 0),
+        |t1 AS (
+        |  SELECT t.id,
+        |    ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY t.i) AS i,
+        |    CASE WHEN k.i IS NOT NULL THEN t.tok || ' ' || nx.tok
+        |         ELSE t.tok END AS tok
+        |  FROM t0 t
+        |  LEFT JOIN t1_keep k ON t.id = k.id AND t.i = k.i
+        |  LEFT JOIN t0 nx ON t.id = nx.id AND nx.i = t.i + 1
+        |  LEFT JOIN t1_keep kp ON t.id = kp.id AND t.i = kp.i + 1
+        |  WHERE kp.i IS NULL),
+        |m2 AS (
+        |  SELECT a.tok AS l, b.tok AS r, COUNT(*) AS n
+        |  FROM t1 a JOIN t1 b ON a.id = b.id AND b.i = a.i + 1
+        |  GROUP BY 1, 2 ORDER BY n DESC, l || ' ' || r LIMIT 1),
+        |t2_cand AS (
+        |  SELECT a.id, a.i,
+        |    a.i - ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY a.i) AS grp
+        |  FROM t1 a JOIN t1 b ON a.id = b.id AND b.i = a.i + 1, m2 m
+        |  WHERE a.tok = m.l AND b.tok = m.r),
+        |t2_keep AS (
+        |  SELECT id, i FROM (
+        |    SELECT id, i,
+        |      ROW_NUMBER() OVER (PARTITION BY id, grp ORDER BY i) - 1 AS off
+        |    FROM t2_cand)
+        |  WHERE off % 2 = 0),
+        |t2 AS (
+        |  SELECT t.id,
+        |    ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY t.i) AS i,
+        |    CASE WHEN k.i IS NOT NULL THEN t.tok || ' ' || nx.tok
+        |         ELSE t.tok END AS tok
+        |  FROM t1 t
+        |  LEFT JOIN t2_keep k ON t.id = k.id AND t.i = k.i
+        |  LEFT JOIN t1 nx ON t.id = nx.id AND nx.i = t.i + 1
+        |  LEFT JOIN t2_keep kp ON t.id = kp.id AND t.i = kp.i + 1
+        |  WHERE kp.i IS NULL),
+        |m3 AS (
+        |  SELECT a.tok AS l, b.tok AS r, COUNT(*) AS n
+        |  FROM t2 a JOIN t2 b ON a.id = b.id AND b.i = a.i + 1
+        |  GROUP BY 1, 2 ORDER BY n DESC, l || ' ' || r LIMIT 1)
+        |SELECT CAST(1 AS INT) AS rank, l AS "left", r AS "right",
+        |  n AS pair_count FROM m1
+        |UNION ALL SELECT CAST(2 AS INT), l, r, n FROM m2
+        |UNION ALL SELECT CAST(3 AS INT), l, r, n FROM m3""".stripMargin,
 
     // interpolated LM: SAME expression shape as the Spark side —
     // 0.7*(cb/cp) + 0.3*(cu/T), one rounding per op, round-6 before sum

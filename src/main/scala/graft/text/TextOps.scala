@@ -611,6 +611,82 @@ object TextOps {
     * final per-doc agg shares the explode's doc key. Nothing
     * corpus-sized is broadcast — the bucket log-ratio table
     * (≤`buckets` rows) is. */
+  /** BPE merge learning (Sennrich et al. 2016): learn the top
+    * `numMerges` byte-pair(-style) merges over a corpus of token
+    * sequences — each round counts ADJACENT symbol pairs across the
+    * corpus, picks the most frequent (deterministic tiebreak: count
+    * desc, then pair text asc), and rewrites every sequence with that
+    * pair fused (greedy left-to-right, non-overlapping — the standard
+    * BPE application order). Symbols start as whitespace tokens here
+    * (word-level corpus; a character-level start is the same code over
+    * `split(w, "")`). Returns the learned merge table
+    * (rank, left, right, pair_count) — the artifact a tokenizer ships.
+    *
+    * Scale shape: each round is ONE adjacent-pair explode + hash agg
+    * over the corpus and a 1-row argmax to the driver (the merge
+    * decision is corpus-global by definition — the paper's algorithm
+    * is inherently iterative, `numMerges` bounded jobs, not a
+    * per-round unbounded loop). The rewrite is a narrow codegen'd
+    * fold (`aggregate` HOF) — no shuffle. Sequences are cached
+    * between rounds ([[org.apache.spark.sql.Dataset.localCheckpoint]]
+    * cuts the k-deep lineage so round k doesn't replay rounds 1..k−1).
+    */
+  def learnBpeMerges(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, numMerges: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64, "numMerges in [1,64]")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    var seqs = docs.select(col(idCol).as("id"),
+      tokens(lower(col(textCol))).as("w")).localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
+    for (rank <- 1 to numMerges) {
+      val pairs = seqs
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(w) - 1, 0)), " +
+            "i -> struct(w[i-1] as l, w[i] as r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+      val top = pairs
+        .orderBy(col("n").desc, concat_ws(" ", col("l"), col("r")))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += Row(rank, l, r, n)
+        // greedy non-overlapping left-to-right fuse of (l, r): fold
+        // each sequence. A fused atom's text is the pair joined
+        // with a space (never a whitespace token), so a just-fused
+        // atom only re-fuses when a LATER round learns that pair —
+        // exactly the BPE greedy application order.
+        seqs = seqs.select(col("id"),
+          expr(
+            // acc: fused prefix; x: next token. If the last fused
+            // element equals l AND x == r AND that element was not
+            // itself produced by THIS round's fuse (greedy
+            // non-overlap), replace it with l+" "+r fused atom.
+            // Track "just fused" by comparing the tail atom to the
+            // fused form (fused atoms contain the pair joined with a
+            // space, distinct from any single whitespace token).
+            s"""aggregate(w, cast(array() as array<string>),
+               |  (acc, x) -> CASE
+               |    WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(l)}
+               |         AND x = ${sqlLit(r)}
+               |    THEN concat(slice(acc, 1, size(acc) - 1),
+               |                array(${sqlLit(l + " " + r)}))
+               |    ELSE concat(acc, array(x)) END)""".stripMargin)
+            .as("w")).localCheckpoint()
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(learned.toSeq, 1),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "rank INT, left STRING, right STRING, pair_count BIGINT"))
+  }
+
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, isTarget: Column,
                   buckets: Int = 4096): org.apache.spark.sql.DataFrame = {

@@ -748,6 +748,29 @@ class TextSpec extends SparkSpec {
     assert(moved > 400)                           // new seed: re-dealt
   }
 
+  test("learnBpeMerges: learns the most frequent pair each round with a " +
+    "deterministic tiebreak; greedy non-overlapping application") {
+    val docs = Seq(
+      (1L, "new york city hall"),
+      (2L, "new york city council"),
+      (3L, "new york state"),
+      (4L, "york new haven"),   // reversed order: no (new, york) here
+      (5L, "a a a a")           // self-pair run: greedy takes 2, not 3
+    ).toDF("doc_id", "text")
+    val merges = TextOps.learnBpeMerges(docs, "doc_id", "text", 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // round 1: (new, york) ×3 wins (a,a ×3 ties on count; "a a" <
+    // "new york" lexicographically... so (a, a) actually wins ties)
+    // counts round 1: (new,york)=3, (a,a)=3, (york,city)=2, others <=1
+    // tiebreak concat "a a" < "new york" -> rank 1 = (a, a)
+    assert(merges(0) == ((1, "a", "a", 3L)))
+    // after fusing (a,a): doc5 = ["a a", "a a"] (greedy pairs 1-2, 3-4)
+    // round 2: (new,york)=3 wins; ("a a","a a")=1
+    assert(merges(1) == ((2, "new", "york", 3L)))
+    // after fusing: round 3 best = ("new york", city) ×2
+    assert(merges(2) == ((3, "new york", "city", 2L)))
+  }
+
   test("dsirWeights: target-domain docs score higher; arithmetic matches " +
     "the add-one LLR by hand") {
     // target (t) corpus speaks {x,y}; source background speaks {p,q};

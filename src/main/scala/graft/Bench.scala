@@ -7,8 +7,13 @@ object Bench {
   /** Per-query warm isolation (round-2 verdict: sub-2s "regressions"
     * were first-execution JIT/codegen + cross-query contention noise):
     * each query runs once UNTIMED — paying its own codegen, JIT and
-    * page-cache warmup — then once timed. Numbers are attributable to
-    * the plan; round-over-round moves mean the plan changed.
+    * page-cache warmup — then TWICE timed, reporting the MIN. A
+    * 139-query single-JVM run carries one-sided contention spikes
+    * (async block-cleanup and state-store maintenance threads, GC):
+    * round 9 measured the same query at 22.4 s inside a full run and
+    * 1.2 s warm-isolated, same plan. The min of two timed runs is the
+    * right estimator under one-sided noise; round-over-round moves in
+    * it mean the plan changed.
     *
     * Failures are RECORDED, never swallowed (round-3 verdict #3 +
     * ADVICE): a broken query reports time=-1 and its error message
@@ -27,10 +32,15 @@ object Bench {
               Option(e.getMessage).getOrElse("").take(300))
         }
       val warmErr = run()
-      val t0 = System.nanoTime()
-      val err = run().orElse(warmErr)
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (err.isDefined) (-1.0, err) else (sec, None))
+      def timed(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = run().orElse(warmErr)
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (s1, e1) = timed()
+      val (s2, e2) = timed()
+      val err = e1.orElse(e2)
+      name -> (if (err.isDefined) (-1.0, err) else (math.min(s1, s2), None))
     }
 
   def main(args: Array[String]): Unit = {

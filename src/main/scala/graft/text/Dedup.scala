@@ -461,10 +461,18 @@ object Dedup {
           Seq("id"))
         .filter(col("cluster_id") =!= col("prev"))
         .count()
+      // superseded checkpoints release their executor blocks NOW —
+      // `next` is itself checkpointed, so nothing downstream re-reads
+      // them; leaked blocks otherwise pin memory for the session
+      labels.unpersist(blocking = false)
+      hop.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       i += 1
     }
+    // the edge seed is only read by the rounds above; the returned
+    // labels table is checkpointed and self-contained
+    p.unpersist(blocking = false)
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters did not converge in $maxIters rounds — " +
         "component diameter exceeds 2^maxIters? raise maxIters")

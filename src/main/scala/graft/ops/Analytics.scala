@@ -39,8 +39,10 @@ object Analytics {
     * over per-user stage flags.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, stages: Seq[String]): DataFrame = {
+             tsCol: String, stages: Seq[String],
+             horizonSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(horizonSeconds.forall(_ > 0), "horizonSeconds must be positive")
     // double-epoch keeps sub-second precision and compares exactly in
     // both engines (same microsecond parquet values on both sides)
     val perUser = events
@@ -50,12 +52,19 @@ object Analytics {
         col(tsCol).cast("timestamp_ltz").cast("double").as("t"),
         col(typeCol).as("et")))).as("__evs"))
     // cascade: __t0 = min t with et==stages(0); __ti = min t with
-    // et==stages(i) and t >= __t(i-1); null propagates forward
+    // et==stages(i) and t >= __t(i-1); null propagates forward. With a
+    // conversion window, stages 2..n must also land within
+    // `horizonSeconds` of the stage-1 anchor (the standard "converted
+    // within N hours" funnel semantics).
     val cascaded = stages.zipWithIndex.foldLeft(perUser) {
       case (d, (st, i)) =>
         val after: Column => Column =
           if (i == 0) _ => lit(true)
-          else e => e.getField("t") >= col(s"__t${i - 1}")
+          else e => {
+            val ordered = e.getField("t") >= col(s"__t${i - 1}")
+            horizonSeconds.fold(ordered)(h =>
+              ordered && e.getField("t") <= col("__t0") + h.toDouble)
+          }
         d.withColumn(s"__t$i",
           array_min(transform(
             filter(col("__evs"),

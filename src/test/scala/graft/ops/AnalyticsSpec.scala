@@ -59,6 +59,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(1L, 1L))
   }
 
+  test("funnel with a conversion window: stages beyond the stage-1 " +
+    "anchor's horizon do not count") {
+    val df = Seq(
+      // u1 converts inside 1h window
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:30:00")),
+      // u2 clicks 2h after the first view — outside the window, even
+      // though a later view would have been close enough (the anchor
+      // is the FIRST view, standard first-touch attribution)
+      (2L, "view", ts("2024-01-02 00:00:00")),
+      (2L, "view", ts("2024-01-02 01:30:00")),
+      (2L, "click", ts("2024-01-02 02:00:00")),
+      // u3 clicks exactly AT the horizon boundary — inclusive
+      (3L, "view", ts("2024-01-03 00:00:00")),
+      (3L, "click", ts("2024-01-03 01:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click"), horizonSeconds = Some(3600L))
+      .orderBy("stage_idx").select("users").as[Long].collect().toSeq
+    assert(out == Seq(3L, 2L))
+  }
+
   test("funnel: empty corpus yields zero-user rows, null conversion") {
     val df = Seq.empty[(Long, String, java.sql.Timestamp)]
       .toDF("user_id", "event_type", "ts")

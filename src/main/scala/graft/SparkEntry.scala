@@ -1364,6 +1364,15 @@ object SparkEntry {
         col("min_value"), col("max_value"))
     }),
 
+    // ---- similarity: deterministic spherical k-means (one Lloyd
+    // round from the portable-hash init): native broadcast-argmax
+    // assignment, exact-decimal per-dim means, final re-assignment.
+    // The oracle recomputes init, assignment, means, and the final
+    // argmax entirely in SQL. ----
+    "e_kmeans" -> ((s, dir) =>
+      Similarity.kmeansLloyd(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 1)),
+
     // ---- similarity: BATCH IVF k-NN join — every 100th vector is a
     // query; each probes its nprobe=8 nearest of nlist=64 cells and
     // scores only those cells' members (native IvfProbe explode + one
@@ -3354,6 +3363,57 @@ object SparkEntry {
         |FROM assign a, q
         |WHERE a.cell IN (SELECT cell FROM probed)
         |ORDER BY cos_sim DESC, neighbor_id LIMIT 10""".stripMargin,
+
+    // whole-algorithm replay: init sample, round-6 cosine argmax
+    // (ties lowest cell), exact-decimal per-dim means narrowed to
+    // REAL, empty clusters keep the init centroid, final argmax
+    "e_kmeans" ->
+      """WITH c0 AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |        vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 8),
+        |a1 AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT cell FROM c0
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(c0.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(c0.ce,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e),
+        |dims AS (SELECT unnest(range(0, (SELECT MAX(len(embedding))
+        |                                 FROM embeddings))) AS dim),
+        |m1 AS (
+        |  SELECT a.cell, d.dim,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(a.embedding[d.dim + 1] AS DOUBLE),
+        |        6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS m
+        |  FROM a1 a JOIN dims d ON d.dim < len(a.embedding)
+        |  GROUP BY a.cell, d.dim),
+        |c1 AS (
+        |  SELECT c0.cell, COALESCE(l.ml, c0.ce) AS ce
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cell, list(m ORDER BY dim) AS ml FROM m1 GROUP BY cell) l
+        |  USING (cell))
+        |SELECT e.vec_id,
+        |  CAST((SELECT cell FROM c1
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(c1.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(c1.ce,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS INT) AS cluster
+        |  FROM embeddings e""".stripMargin,
 
     "e_label_centroid" ->
       """WITH dims AS (

@@ -173,6 +173,48 @@ object Similarity {
     * safety valve, not an audit surface). The member side re-derives
     * from the SAME block aggregation as the join side (exchange
     * reuse); no all-pairs path exists at any scale. */
+  /** Deterministic spherical k-means (Lloyd's algorithm): `iters`
+    * rounds of assign-to-nearest-centroid (argmax ROUND(cosine, 6),
+    * ties → lowest cluster — [[ivfCell]]'s exact metric, native
+    * broadcast-argmax) followed by a centroid recompute (per-dim mean
+    * of round-6 components accumulated in exact decimal, divided once,
+    * narrowed to float), then a final assignment with the last
+    * centroids. Initialization is [[ivfCentroids]]' portable-hash
+    * sample, so every round — init, assignment, means — is replayable
+    * bit-for-bit by a SQL engine (the e_kmeans oracle recomputes the
+    * whole thing); clusters that lose all members keep their previous
+    * centroid, identically on both sides.
+    *
+    * Scale shape per round: ONE narrow native assignment pass (no
+    * shuffle — centroids broadcast) + one (cluster, dim)-keyed hash
+    * agg; the k×dim centroid table is the only driver materialization
+    * (the [[ivfCentroids]] bound). Lloyd is inherently iterative —
+    * `iters` bounded jobs, nothing corpus-sized ever collects. */
+  def kmeansLloyd(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int = 1): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1 && iters <= 32, "iters in [1,32]")
+    val spark = emb.sparkSession
+    var cents = ivfCentroids(emb, idCol, vecCol, k)
+    for (_ <- 1 to iters) {
+      val rows = emb
+        .select(ivfCell(col(vecCol), cents, spark).as("cluster"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((sum(round(col("x").cast("double"), 6).cast("decimal(20,6)"))
+          .cast("double") / count(lit(1))).as("m"))
+        .collect() // k × dim rows — the ivfCentroids driver bound
+      val recomputed = rows.groupBy(_.getAs[Number]("cluster").intValue)
+        .map { case (c, rs) =>
+          c -> rs.sortBy(_.getAs[Number]("dim").intValue)
+            .map(_.getAs[Double]("m").toFloat).toSeq
+        }
+      cents = Array.tabulate(k)(c => recomputed.getOrElse(c, cents(c)))
+    }
+    emb.select(col(idCol),
+      ivfCell(col(vecCol), cents, spark).cast("int").as("cluster"))
+  }
+
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int = 64,
                maxCell: Int = 20000, blockSize: Int = 512): DataFrame = {

@@ -518,4 +518,31 @@ class SimilaritySpec extends SparkSpec {
     assert("\\[cell#\\d+L?, blk#".r.findAllIn(plan).nonEmpty,
       plan.take(2000))
   }
+
+  test("kmeansLloyd: a Lloyd round separates constructed clusters and " +
+    "is deterministic across runs") {
+    // two tight direction-clusters plus noise: after one round, members
+    // of each constructed cluster must share a cluster id, and the two
+    // clusters must differ
+    val rnd = new scala.util.Random(7)
+    def jitter(v: Seq[Float], eps: Float) =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * eps)
+    val rows =
+      (0L to 9L).map(i => (i, jitter(Seq(1f, 0f, 0f, 0f), 0.05f))) ++
+      (10L to 19L).map(i => (i, jitter(Seq(0f, 1f, 0f, 0f), 0.05f))) ++
+      (20L to 27L).map(i => (i, jitter(Seq(0.5f, 0.5f, 0.7f, 0.1f), 0.6f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(df, "vec_id", "embedding",
+        k = 4, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    val ca = (0L to 9L).map(out)
+    val cb = (10L to 19L).map(out)
+    assert(ca.distinct.size == 1, s"cluster A split: $ca")
+    assert(cb.distinct.size == 1, s"cluster B split: $cb")
+    assert(ca.head != cb.head, "constructed clusters merged")
+    val out2 = Similarity.kmeansLloyd(df, "vec_id", "embedding",
+        k = 4, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out2 == out, "non-deterministic across runs")
+  }
 }

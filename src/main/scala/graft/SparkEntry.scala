@@ -939,6 +939,61 @@ object SparkEntry {
             .as("mean_surprise"))
     }),
 
+    // ---- training-data ops: PMI collocation discovery — top bigrams
+    // by pointwise mutual information ln(P(bg) / (P(w1)·P(w2))) with a
+    // min-count floor (rare pairs otherwise dominate PMI); the
+    // phrase-mining pass of corpus analysis. Vocab-sized count joins,
+    // TakeOrdered top-20, deterministic (round-6 pmi, bg) tiebreak. ----
+    "t_pmi_collocations" -> ((s, dir) => {
+      val bgs = t(s, dir, "documents")
+        .select(explode(TextOps.bigrams(col("text"))).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      val cb = bgs.groupBy(col("bg"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val totB = cb.agg(sum(col("cb")).as("__B"))
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+      val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val totT = cu.agg(sum(col("cu")).as("__T"))
+      val pmi = round(log(
+        (col("cb").cast("double") / col("__B")) /
+          ((col("cu1").cast("double") / col("__T")) *
+            (col("cu2").cast("double") / col("__T")))), 6)
+      cb.filter(col("cb") >= 5)
+        .join(broadcast(cu.select(col("w").as("w1"), col("cu").as("cu1"))),
+          Seq("w1"))
+        .join(broadcast(cu.select(col("w").as("w2"), col("cu").as("cu2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(totB)).crossJoin(broadcast(totT))
+        .select(col("bg"), col("cb"), pmi.as("pmi"))
+        .orderBy(col("pmi").desc, col("bg"))
+        .limit(20)
+    }),
+
+    // ---- training-data ops: token-distribution entropy per doc — the
+    // low-entropy screen for template/boilerplate text (a doc of one
+    // repeated token scores 0; rich vocab scores ~ln(N)). Per-distinct-
+    // term contribution −(n/N)·ln(n/N) round-6, exact-decimal sum
+    // (unrounded — sum of 6-dp decimals casts to double exactly). ----
+    "t_doc_entropy" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text"))))
+          .as("term"))
+      // NB: resolution is case-insensitive — "__n"/"__N" would collide
+      val perTerm = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("__cnt"))
+      val withTotal = perTerm.withColumn("__tot",
+        sum(col("__cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))))
+      val contrib = round(
+        -(col("__cnt").cast("double") / col("__tot")) *
+          log(col("__cnt").cast("double") / col("__tot")), 6)
+      withTotal.groupBy(col("doc_id"))
+        .agg(max(col("__tot")).as("n_tokens"),
+          sum(contrib.cast("decimal(28,6)")).cast("double").as("entropy"))
+    }),
+
     // ---- training-data ops: BPE merge learning (Sennrich et al.
     // 2016) — three rounds of corpus-global most-frequent-adjacent-
     // pair selection with deterministic tiebreak and greedy non-
@@ -1652,6 +1707,22 @@ object SparkEntry {
     // final distinct-count agg. ----
     "w12_retention" -> ((s, dir) =>
       Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+
+    // ---- W14: funnel latency — time-to-stage percentiles over
+    // CONVERTING users (exact interpolated percentile of the exact
+    // double-epoch stage gaps; the "how long does conversion take"
+    // companion to w11's "how many"). Same one-shuffle cascade, one
+    // tiny global agg. ----
+    "w14_funnel_latency" -> ((s, dir) => {
+      val st = Analytics.funnelStageTimes(t(s, dir, "events"), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      st.filter(col("t3").isNotNull)
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(t2 - t1, 0.5)"), 6).as("p50_click_secs"),
+          round(expr("percentile(t2 - t1, 0.9)"), 6).as("p90_click_secs"),
+          round(expr("percentile(t3 - t1, 0.5)"), 6).as("p50_convert_secs"),
+          round(expr("percentile(t3 - t1, 0.9)"), 6).as("p90_convert_secs"))
+    }),
 
     // ---- W13: CONVERSION-WINDOW funnel — same cascade as w11 but
     // stages 2..n must land within 24h of the stage-1 anchor (the
@@ -2509,6 +2580,54 @@ object SparkEntry {
         |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_surprise
         |FROM b JOIN cb USING (bg) JOIN cp USING (w1)
         |GROUP BY b.doc_id""".stripMargin,
+
+    // PMI: identical expression shape — (cb/B) / ((cu1/T)*(cu2/T)),
+    // one ln, round-6, (pmi desc, bg) tiebreak
+    "t_pmi_collocations" ->
+      """WITH b AS (
+        |  SELECT bg, string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2 FROM (
+        |    SELECT unnest([array_to_string(tk[i:i+1], ' ')
+        |                   FOR i IN range(1, len(tk))]) AS bg
+        |    FROM (SELECT list_filter(
+        |        string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') AS tk
+        |      FROM documents)
+        |    WHERE len(tk) >= 2)),
+        |cb AS (SELECT bg, w1, w2, COUNT(*) AS cb FROM b GROUP BY 1, 2, 3),
+        |tb AS (SELECT CAST(SUM(cb) AS BIGINT) AS btot FROM cb),
+        |toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |cu AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY w),
+        |tt AS (SELECT CAST(SUM(cu) AS BIGINT) AS ttot FROM cu)
+        |SELECT cb.bg, cb.cb,
+        |  ROUND(ln((CAST(cb.cb AS DOUBLE) / tb.btot)
+        |    / ((CAST(u1.cu AS DOUBLE) / tt.ttot)
+        |     * (CAST(u2.cu AS DOUBLE) / tt.ttot))), 6) AS pmi
+        |FROM cb
+        |JOIN cu u1 ON u1.w = cb.w1
+        |JOIN cu u2 ON u2.w = cb.w2, tb, tt
+        |WHERE cb.cb >= 5
+        |ORDER BY pmi DESC, cb.bg LIMIT 20""".stripMargin,
+
+    // entropy: identical per-term contribution and rounding discipline
+    "t_doc_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |pt AS (SELECT doc_id, term, COUNT(*) AS n
+        |       FROM toks GROUP BY doc_id, term),
+        |wt AS (SELECT doc_id, term, n,
+        |         CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS nn
+        |       FROM pt)
+        |SELECT doc_id, MAX(nn) AS n_tokens,
+        |  CAST(SUM(CAST(ROUND(
+        |    -(CAST(n AS DOUBLE) / nn) * ln(CAST(n AS DOUBLE) / nn), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS entropy
+        |FROM wt GROUP BY doc_id""".stripMargin,
 
     // BPE merges: three UNROLLED iterations — per round, the argmax
     // pair (count desc, pair text asc) and a greedy non-overlapping
@@ -3796,6 +3915,32 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS INT), 'purchase', c3,
         |  CASE WHEN c1 > 0 THEN ROUND(CAST(c3 AS DOUBLE) / c1, 6) END
         |  FROM c""".stripMargin,
+
+    // funnel latency: the same cascade, quantile_cont over the exact
+    // double-epoch gaps — Spark percentile's interpolation twin
+    "w14_funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(epoch(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch(e.ts) >= s1.t
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s2.t
+        |  GROUP BY e.user_id),
+        |conv AS (
+        |  SELECT s3.user_id, s1.t AS t1, s2.t AS t2, s3.t AS t3
+        |  FROM s3 JOIN s2 USING (user_id) JOIN s1 USING (user_id))
+        |SELECT COUNT(*) AS n_converted,
+        |  ROUND(quantile_cont(t2 - t1, 0.5), 6) AS p50_click_secs,
+        |  ROUND(quantile_cont(t2 - t1, 0.9), 6) AS p90_click_secs,
+        |  ROUND(quantile_cont(t3 - t1, 0.5), 6) AS p50_convert_secs,
+        |  ROUND(quantile_cont(t3 - t1, 0.9), 6) AS p90_convert_secs
+        |FROM conv""".stripMargin,
 
     // windowed funnel: the cascade plus the stage-1 anchor bound —
     // double epoch arithmetic identical on both engines

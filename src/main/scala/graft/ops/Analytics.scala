@@ -41,6 +41,35 @@ object Analytics {
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, stages: Seq[String],
              horizonSeconds: Option[Long] = None): DataFrame = {
+    val flags = funnelStageTimes(events, userCol, typeCol, tsCol, stages,
+        horizonSeconds)
+      .select(stages.indices.map(i =>
+        col(s"t${i + 1}").isNotNull.as(s"__r$i")): _*)
+    val counts = flags.agg(
+      sum(when(col("__r0"), 1L).otherwise(0L)).as("__c0"),
+      stages.indices.drop(1).map(i =>
+        sum(when(col(s"__r$i"), 1L).otherwise(0L)).as(s"__c$i")): _*)
+    // reshape the single counts row to one row per stage; inline_outer
+    // keeps the row even when the corpus is empty (counts are 0)
+    counts.select(inline_outer(array(stages.zipWithIndex.map {
+      case (st, i) => struct(
+        lit(i + 1).as("stage_idx"), lit(st).as("stage"),
+        coalesce(col(s"__c$i"), lit(0L)).as("users"),
+        when(col("__c0") > 0,
+          round(col(s"__c$i").cast("double") / col("__c0"), 6))
+          .as("conversion"))
+    }: _*)))
+  }
+
+  /** Per-user funnel stage times — the cascade [[funnel]] aggregates,
+    * exposed for latency analysis: one row per user with any stage-1
+    * event, columns `t1..tn` = double-epoch of each greedily-matched
+    * stage (null once a stage is unreached; see [[funnel]] for the
+    * cascade and conversion-window semantics and scale shape — ONE
+    * user-keyed exchange, no join per stage). */
+  def funnelStageTimes(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, stages: Seq[String],
+                       horizonSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(horizonSeconds.forall(_ > 0), "horizonSeconds must be positive")
     // double-epoch keeps sub-second precision and compares exactly in
@@ -71,22 +100,8 @@ object Analytics {
               e => e.getField("et") === lit(st) && after(e)),
             e => e.getField("t"))))
     }
-    val flags = cascaded.select(
-      stages.indices.map(i => col(s"__t$i").isNotNull.as(s"__r$i")): _*)
-    val counts = flags.agg(
-      sum(when(col("__r0"), 1L).otherwise(0L)).as("__c0"),
-      stages.indices.drop(1).map(i =>
-        sum(when(col(s"__r$i"), 1L).otherwise(0L)).as(s"__c$i")): _*)
-    // reshape the single counts row to one row per stage; inline_outer
-    // keeps the row even when the corpus is empty (counts are 0)
-    counts.select(inline_outer(array(stages.zipWithIndex.map {
-      case (st, i) => struct(
-        lit(i + 1).as("stage_idx"), lit(st).as("stage"),
-        coalesce(col(s"__c$i"), lit(0L)).as("users"),
-        when(col("__c0") > 0,
-          round(col(s"__c$i").cast("double") / col("__c0"), 6))
-          .as("conversion"))
-    }: _*)))
+    cascaded.select(col(userCol) +:
+      stages.indices.map(i => col(s"__t$i").as(s"t${i + 1}")): _*)
   }
 
   /** Cohort retention: cohort = Monday-truncated week of the user's

@@ -939,6 +939,30 @@ object SparkEntry {
             .as("mean_surprise"))
     }),
 
+    // ---- training-data ops: word2vec-style negative-sampling table —
+    // per term, weight = count^0.75 (the subsampling exponent),
+    // probability and cumulative probability on the round-6 grid in
+    // portable-hash term order (an engine-reproducible alias table:
+    // sampling = binary search over cum_p anywhere). ----
+    "t_neg_sampling" -> ((s, dir) => {
+      val cu = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .withColumn("w", round(pow(col("n").cast("double"), 0.75), 6))
+      val tot = cu.agg(sum(col("w").cast("decimal(28,6)")).as("__tw"))
+      // vocab-sized single-partition window (an alias table IS vocab
+      // metadata); portable char-fold order so any engine reproduces
+      // the same cumulative layout
+      val ord = org.apache.spark.sql.expressions.Window
+        .orderBy(aggregate(split(col("term"), ""), lit(0L),
+          (acc, c) => (acc * 31L + ascii(c)) % 2147483647L), col("term"))
+      cu.crossJoin(broadcast(tot))
+        .withColumn("p", round(col("w") / col("__tw").cast("double"), 6))
+        .withColumn("cum_w", round(
+          sum(col("w").cast("decimal(28,6)")).over(ord).cast("double"), 6))
+        .select(col("term"), col("n"), col("w"), col("p"), col("cum_w"))
+    }),
+
     // ---- training-data ops: PMI collocation discovery — top bigrams
     // by pointwise mutual information ln(P(bg) / (P(w1)·P(w2))) with a
     // min-count floor (rare pairs otherwise dominate PMI); the
@@ -1707,6 +1731,42 @@ object SparkEntry {
     // final distinct-count agg. ----
     "w12_retention" -> ((s, dir) =>
       Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+
+    // ---- training-data ops: next-event-prediction dataset — per user
+    // stream, (last-3-event-types context, next event) supervised
+    // pairs: the sequence-model training extract. Three lags over ONE
+    // window ordering (one shuffle, Spark reuses the sorted child). ----
+    "t_next_event" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("c1", lag(col("event_type"), 3).over(w))
+        .withColumn("c2", lag(col("event_type"), 2).over(w))
+        .withColumn("c3", lag(col("event_type"), 1).over(w))
+        .filter(col("c1").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          concat_ws(" ", col("c1"), col("c2"), col("c3")).as("context"),
+          col("event_type").as("label"))
+    }),
+
+    // ---- W15: event-type transition matrix (first-order Markov) —
+    // per ordered user stream, count prev→next transitions and their
+    // per-source probabilities (the Sankey/flow analysis behind every
+    // "where do users go next"); one lag window + one hash agg. ----
+    "w15_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val steps = t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val counts = steps.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val tot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("prev"))
+      counts.withColumn("p",
+          round(col("n").cast("double") / sum(col("n")).over(tot), 6))
+        .select(col("prev"), col("next"), col("n"), col("p"))
+    }),
 
     // ---- W14: funnel latency — time-to-stage percentiles over
     // CONVERTING users (exact interpolated percentile of the exact
@@ -3915,6 +3975,56 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS INT), 'purchase', c3,
         |  CASE WHEN c1 > 0 THEN ROUND(CAST(c3 AS DOUBLE) / c1, 6) END
         |  FROM c""".stripMargin,
+
+    "t_next_event" ->
+      """SELECT event_id, user_id,
+        |  lag(event_type, 3) OVER w || ' ' ||
+        |  lag(event_type, 2) OVER w || ' ' ||
+        |  lag(event_type, 1) OVER w AS context,
+        |  event_type AS label
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |QUALIFY lag(event_type, 3) OVER w IS NOT NULL""".stripMargin,
+
+    // transition matrix: same lag-over-(ts, event_id) + per-source
+    // share; window SUM cast BIGINT-safe in the probability
+    "w15_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type AS next, COUNT(*) AS n
+        |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY prev) AS BIGINT), 6) AS p
+        |FROM c""".stripMargin,
+
+    // negative sampling: count^0.75 on the round-6 grid, decimal
+    // running sum in the portable char-fold order
+    "t_neg_sampling" ->
+      """WITH cu AS (
+        |  SELECT term, COUNT(*) AS n,
+        |    ROUND(pow(CAST(COUNT(*) AS DOUBLE), 0.75), 6) AS w
+        |  FROM (SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term FROM documents)
+        |  GROUP BY term),
+        |tw AS (SELECT SUM(CAST(w AS DECIMAL(28,6))) AS twt FROM cu),
+        |h AS (
+        |  SELECT term, n, w,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(term, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) AS hh
+        |  FROM cu)
+        |SELECT term, n, w,
+        |  ROUND(w / CAST(tw.twt AS DOUBLE), 6) AS p,
+        |  ROUND(CAST(SUM(CAST(w AS DECIMAL(28,6)))
+        |      OVER (ORDER BY hh, term
+        |            ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS cum_w
+        |FROM h, tw""".stripMargin,
 
     // funnel latency: the same cascade, quantile_cont over the exact
     // double-epoch gaps — Spark percentile's interpolation twin

@@ -250,6 +250,16 @@ object ScaleSweep {
       // digit-only keys every segment is selective, pair distances are
       // unchanged (the stripped prefix contributes no edits), and the
       // candidate volume tracks the true pair volume
+      // one lag window + hash agg over the user key — flat expected
+      "w15_transitions" -> (d =>
+        SparkEntry.queries("w15_transitions")(spark, d).count()),
+      // per-doc term agg + doc-partition window sharing its exchange
+      "t_doc_entropy" -> (d =>
+        SparkEntry.queries("t_doc_entropy")(spark, d).count()),
+      // Lloyd round: broadcast-argmax assignment (no shuffle) + one
+      // (cluster, dim) agg; k x dim to the driver — linear expected
+      "e_kmeans" -> (d =>
+        SparkEntry.queries("e_kmeans")(spark, d).count()),
       "j11_edit_join(selective)" -> { d =>
         graft.ops.Joins.editDistanceJoin(
           Tables.load(spark, d, "customer")

@@ -58,6 +58,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val stagedDocsStreamDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stagedOuterEventsDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Per-JVM cache of the persisted IVF index (path, centroids). */
   private val stagedIvfIndex = scala.collection.concurrent.TrieMap
@@ -2032,6 +2034,82 @@ object SparkEntry {
       graft.streaming.EventStreams.runAvailableNow(
         joined, queryName = s"sj_${System.nanoTime()}",
         checkpoint = s"$ckpt/ckpt")
+    }),
+
+    // ---- streaming: LEFT OUTER stream-stream interval join — clicks
+    // with their within-1h purchase, or null if none; unmatched lefts
+    // emit only when the watermark proves no match can arrive, so the
+    // staging appends a far-future sentinel pair (filtered from the
+    // output) to flush the tail. Oracle == the batch LEFT JOIN. ----
+    "s_stream_join_outer" -> ((s, dir) => {
+      val in = stagedOuterEventsDir.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_sjo")
+        val e = t(s, dir, "events")
+        val maxMs = e.agg(max(col("ts"))).head().get(0) match {
+          case ts: java.sql.Timestamp      => ts.getTime
+          case dt: java.time.LocalDateTime =>
+            java.sql.Timestamp.valueOf(dt).getTime
+        }
+        val tsType = e.schema("ts").dataType
+        def sentinels(ids: (Long, Long), offsetDays: Long) = {
+          def one(id: Long, et: String) = e.limit(1).select(
+            lit(id).as("event_id"),
+            lit(new java.sql.Timestamp(maxMs + offsetDays * 86400 * 1000))
+              .cast(tsType).as("ts"),
+            lit(-1L).as("user_id"), lit(et).as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          one(ids._1, "click").unionByName(one(ids._2, "purchase"))
+        }
+        // TWO sentinel batches, staged as separate newer files: the
+        // first advances the watermark (takes effect next batch), the
+        // second triggers the eviction pass that drains the tail's
+        // unmatched-left state — one sentinel batch leaves the last
+        // watermark+within of lefts unflushed (same one-batch lag the
+        // twoTierStreamTier staging documents)
+        val inDir = s"$tmp/in"
+        e.coalesce(1).write.mode("overwrite").parquet(inDir)
+        sentinels((-1L, -2L), 30).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/s1")
+        sentinels((-3L, -4L), 31).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/s2")
+        val now = System.currentTimeMillis()
+        def stamp(d: String, mtime: Long, pfx: String): Unit =
+          new java.io.File(d).listFiles
+            .filter(_.getName.endsWith(".parquet")).foreach { f =>
+              val dst = new java.io.File(inDir, s"${pfx}_${f.getName}")
+              java.nio.file.Files.copy(f.toPath, dst.toPath)
+              dst.setLastModified(mtime); ()
+            }
+        new java.io.File(inDir).listFiles
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => f.setLastModified(now - 60000L))
+        stamp(s"$tmp/s1", now - 30000L, "s1")
+        stamp(s"$tmp/s2", now, "s2")
+        inDir
+      })
+      val ckpt = tempDir("graft_sjo_ck")
+      val opts = Map("maxFilesPerTrigger" -> "1")
+      val clicks = graft.streaming.EventStreams
+        .readStream(s, in, options = opts)
+        .filter(col("event_type") === "click")
+      val purchases = graft.streaming.EventStreams
+        .readStream(s, in, options = opts)
+        .filter(col("event_type") === "purchase")
+      // sentinel filter runs BATCH-side on the sink table: inside the
+      // streaming plan the left-only predicate would push below the
+      // watermark operator, hiding the click sentinel from the left
+      // watermark and freezing the global (min) watermark at the real
+      // data's horizon — the tail would never flush
+      val joined = graft.streaming.EventStreams
+        .intervalJoinStreamsOuter(clicks, purchases, "user_id", "ts",
+          within = "1 HOUR", watermark = "2 hours")
+        .select(col("l.event_id").as("click_id"),
+          col("r.event_id").as("purchase_id"),
+          col("l.user_id").as("user_id"))
+      graft.streaming.EventStreams.runAvailableNow(
+          joined, queryName = s"sjo_${System.nanoTime()}",
+          checkpoint = s"$ckpt/ckpt")
+        .filter(col("click_id") >= 0)
     }),
 
     // ---- §2.1 JSONL sink + scan roundtrip — one JSON object per line,
@@ -4206,6 +4284,16 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // batch LEFT JOIN ground truth: right-side conditions stay in ON,
+    // the left-side type filter in WHERE (the outer-join discipline)
+    "s_stream_join_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id AS user_id
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click'""".stripMargin,
 
     "s_stream_enrich" ->
       """SELECT n_name, COUNT(*) AS n,

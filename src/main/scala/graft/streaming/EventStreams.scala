@@ -285,6 +285,29 @@ object EventStreams {
         s"r.$tsCol <= l.$tsCol + INTERVAL $within"))
   }
 
+  /** LEFT OUTER twin of [[intervalJoinStreams]]: left rows with no
+    * right match inside the interval emit with null right columns —
+    * but only once the WATERMARK proves no match can still arrive
+    * (the engine holds an unmatched left row in state until
+    * `watermark + within` passes its event time, then emits it in a
+    * later batch; this is the part an inner join doesn't need). In a
+    * bounded AvailableNow replay, rows near the stream's end never see
+    * the watermark pass them — feed a far-future sentinel row per side
+    * last (the [[sessionizeRetained]] flush convention) and filter it
+    * from the output. Same bounded-state argument as the inner join:
+    * the time-range condition plus both watermarks derive each side's
+    * eviction bound. */
+  def intervalJoinStreamsOuter(left: DataFrame, right: DataFrame,
+                               key: String, tsCol: String,
+                               within: String = "1 HOUR",
+                               watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$tsCol >= l.$tsCol AND " +
+        s"r.$tsCol <= l.$tsCol + INTERVAL $within"), "left_outer")
+  }
+
   /** CDC-style streaming UPSERT sink: every micro-batch MERGES into the
     * hive-partitioned parquet table at `basePath` by `keys` — revisions
     * replace, new keys insert, only touched partitions are rewritten

@@ -286,6 +286,69 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStreamsOuter: unmatched lefts emit with nulls once " +
+    "the watermark passes; sentinel flushes the tail") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sjo").toString
+    sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)))
+    def mk(rows: Seq[(Long, java.sql.Timestamp, Long, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val data = mk(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 00:30:00"), 1L, "purchase"), // matches click 1
+      (3L, ts("2024-01-01 05:00:00"), 2L, "click"),    // unmatched
+      (4L, ts("2024-01-01 23:00:00"), 3L, "click")))   // unmatched, tail
+    // sentinels in a LATER batch: watermark updates take effect the
+    // batch AFTER the rows advancing them are processed, so a
+    // same-batch sentinel leaves the tail's state unevicted (the
+    // twoTierStreamTier staging documents the same one-batch lag)
+    val sent = mk(Seq(
+      (-1L, ts("2024-03-01 00:00:00"), -1L, "click"),
+      (-2L, ts("2024-03-01 00:00:00"), -1L, "purchase")))
+    // a SECOND sentinel batch: join-state cleanup runs while
+    // processing a batch, with the watermark advanced by the batch
+    // BEFORE it — the first sentinel batch advances the watermark,
+    // the second triggers the eviction pass that drains the tail
+    val sent2 = mk(Seq(
+      (-3L, ts("2024-03-02 00:00:00"), -1L, "click"),
+      (-4L, ts("2024-03-02 00:00:00"), -1L, "purchase")))
+    data.coalesce(1).write.parquet(s"$base/d")
+    sent.coalesce(1).write.parquet(s"$base/s")
+    sent2.coalesce(1).write.parquet(s"$base/s2")
+    val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
+    val now = System.currentTimeMillis()
+    Seq(("d", now - 60000L), ("s", now - 30000L), ("s2", now)).foreach {
+      case (src, mtime) =>
+        new java.io.File(s"$base/$src").listFiles
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            val dst = new java.io.File(inDir, s"${src}_${f.getName}")
+            java.nio.file.Files.copy(f.toPath, dst.toPath)
+            dst.setLastModified(mtime)
+          }
+    }
+    val opts = Map("maxFilesPerTrigger" -> "1")
+    val clicks = EventStreams.readStream(spark, inDir.toString,
+        options = opts)
+      .filter(col("event_type") === "click")
+    val purchases = EventStreams.readStream(spark, inDir.toString,
+        options = opts)
+      .filter(col("event_type") === "purchase")
+    // sentinel filter must be BATCH-side: a left-only predicate inside
+    // the streaming plan pushes below the watermark operator, hiding
+    // the click sentinel from the left watermark (min policy freezes)
+    val joined = EventStreams.intervalJoinStreamsOuter(clicks, purchases,
+        "user_id", "ts", within = "1 HOUR", watermark = "2 hours")
+      .select(col("l.event_id").as("click_id"),
+        col("r.event_id").as("purchase_id"))
+    val out = EventStreams.runAvailableNow(joined,
+        queryName = s"sjospec_${System.nanoTime()}",
+        checkpoint = s"$base/ckpt")
+      .filter(col("click_id") >= 0)
+      .as[(Long, Option[Long])].collect().toSet
+    assert(out == Set((1L, Some(2L)), (3L, None), (4L, None)), out.toString)
+  }
+
   test("nearDupCandidatesStream: a chunked replay verifies to exactly " +
     "the batch near-dup answer, including pairs SPLIT across batches") {
     import graft.text.Dedup

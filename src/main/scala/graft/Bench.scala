@@ -89,6 +89,17 @@ object Bench {
       s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", " ").replace("\r", " ").replace("\t", " ")
 
+    // 1-minute load average at run start/end: a contended box inflates
+    // the whole suite broadly (round-9 adjudication: 8 "regressions",
+    // none reproducible warm-isolated) — recording it makes a loaded
+    // run self-identifying in the artifact
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0)
+      catch { case scala.util.control.NonFatal(_) => "-1" }
+    val loadStart = loadavg()
+
     // ---- round-over-round regression gate: load the PREVIOUS run's
     // complete artifact before this run overwrites it (override the
     // path with SPARK_GRAFT_BENCH_PREV, e.g. a committed BENCH_r{N}).
@@ -153,12 +164,14 @@ object Bench {
       rs.map { case (k, (p, v)) =>
         s"\"" + k + "\":{\"prev\":" + ms(p) + ",\"now\":" + ms(v) + "}"
       }.mkString("{", ",", "}")
+    val loadJson =
+      s""""load":{"start":$loadStart,"end":${loadavg()}}"""
     val fullJson =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""queries":${qmap(bySlowest)},"failures":$failures,""" +
         s""""regressions":${rmap(regressed)},""" +
         s""""prev_artifact":"${esc(if (prev.isEmpty) "" else prevPath)}",""" +
-        s""""errors":$nErr,"sf":"$sfDir"}"""
+        s"""$loadJson,"errors":$nErr,"sf":"$sfDir"}"""
     val wroteFull =
       try {
         java.nio.file.Files.writeString(
@@ -173,7 +186,7 @@ object Bench {
       s""""queries":${qmap(bySlowest.take(40))},""" +
       s""""queries_full":${if (wroteFull) "\"BENCH_FULL.json\"" else "null"},""" +
       s""""regressions":${rmap(regressed.take(8))},""" +
-      s""""failures":$failures,""" +
+      s""""failures":$failures,$loadJson,""" +
       s""""errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }

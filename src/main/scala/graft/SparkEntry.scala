@@ -1445,14 +1445,16 @@ object SparkEntry {
         col("min_value"), col("max_value"))
     }),
 
-    // ---- similarity: deterministic spherical k-means (one Lloyd
-    // round from the portable-hash init): native broadcast-argmax
+    // ---- similarity: deterministic spherical k-means (TWO Lloyd
+    // rounds from the portable-hash init): native broadcast-argmax
     // assignment, exact-decimal per-dim means, final re-assignment.
-    // The oracle recomputes init, assignment, means, and the final
-    // argmax entirely in SQL. ----
+    // The oracle recomputes init, both assignment+means rounds, and
+    // the final argmax entirely in SQL — two rounds pin the
+    // loop-carried state (centroid -> reassignment) a one-round
+    // oracle can't distinguish from a single pass. ----
     "e_kmeans" -> ((s, dir) =>
       Similarity.kmeansLloyd(t(s, dir, "embeddings"), "vec_id",
-        "embedding", k = 8, iters = 1)),
+        "embedding", k = 8, iters = 2)),
 
     // ---- similarity: BATCH IVF k-NN join — every 100th vector is a
     // query; each probes its nprobe=8 nearest of nlist=64 cells and
@@ -1737,7 +1739,13 @@ object SparkEntry {
     // ---- training-data ops: next-event-prediction dataset — per user
     // stream, (last-3-event-types context, next event) supervised
     // pairs: the sequence-model training extract. Three lags over ONE
-    // window ordering (one shuffle, Spark reuses the sorted child). ----
+    // window ordering (one shuffle, Spark reuses the sorted child).
+    // Bot-user bound: unlike a collect_list, the window operator
+    // buffers partition rows in a SPILLABLE row array and the lag
+    // frame holds only 3 rows, so a 10^7-event key costs one skewed
+    // (disk-backed) task, never an executor OOM — no cap needed here;
+    // the array-materializing funnel cascade carries the explicit
+    // maxEventsPerUser cap instead (Analytics.funnelStageTimes). ----
     "t_next_event" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1966,11 +1974,17 @@ object SparkEntry {
           stage(ev.filter(dayofmonth(col("ts")) >= lo &&
             dayofmonth(col("ts")) < hi), i)
       }
-      stage(ev.sparkSession.range(1)
-        .select(lit(-1L).as("event_id"),
-          lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")).as("ts"),
-          lit(-1L).as("user_id"), lit("flush").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props")), 9)
+      // ONE drain batch suffices here (timeout-based drain — the
+      // trailing no-data batch fires the timeouts; stageDrainBatches
+      // scaladoc): the sentinel flushes every real user's tail, while
+      // its OWN never-sealed session stays in state and never emits,
+      // so no sink-side filter is needed
+      graft.streaming.EventStreams.stageDrainBatches(in,
+        Seq(ev.sparkSession.range(1)
+          .select(lit(-1L).as("event_id"),
+            lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")).as("ts"),
+            lit(-1L).as("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))))
       val ckpt = tempDir("graft_sso_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
@@ -2060,31 +2074,15 @@ object SparkEntry {
             lit(0.0).as("value"), lit("{}").as("props"))
           one(ids._1, "click").unionByName(one(ids._2, "purchase"))
         }
-        // TWO sentinel batches, staged as separate newer files: the
-        // first advances the watermark (takes effect next batch), the
-        // second triggers the eviction pass that drains the tail's
-        // unmatched-left state — one sentinel batch leaves the last
-        // watermark+within of lefts unflushed (same one-batch lag the
-        // twoTierStreamTier staging documents)
+        // TWO sentinel batches (stateful-drain case): the first
+        // advances the watermark (takes effect next batch), the second
+        // triggers the eviction pass that drains the tail's
+        // unmatched-left state — the one-batch watermark lag
+        // stageDrainBatches documents
         val inDir = s"$tmp/in"
         e.coalesce(1).write.mode("overwrite").parquet(inDir)
-        sentinels((-1L, -2L), 30).coalesce(1)
-          .write.mode("append").parquet(s"$tmp/s1")
-        sentinels((-3L, -4L), 31).coalesce(1)
-          .write.mode("append").parquet(s"$tmp/s2")
-        val now = System.currentTimeMillis()
-        def stamp(d: String, mtime: Long, pfx: String): Unit =
-          new java.io.File(d).listFiles
-            .filter(_.getName.endsWith(".parquet")).foreach { f =>
-              val dst = new java.io.File(inDir, s"${pfx}_${f.getName}")
-              java.nio.file.Files.copy(f.toPath, dst.toPath)
-              dst.setLastModified(mtime); ()
-            }
-        new java.io.File(inDir).listFiles
-          .filter(_.getName.endsWith(".parquet"))
-          .foreach(f => f.setLastModified(now - 60000L))
-        stamp(s"$tmp/s1", now - 30000L, "s1")
-        stamp(s"$tmp/s2", now, "s2")
+        graft.streaming.EventStreams.stageDrainBatches(inDir,
+          Seq(sentinels((-1L, -2L), 30), sentinels((-3L, -4L), 31)))
         inDir
       })
       val ckpt = tempDir("graft_sjo_ck")
@@ -2095,21 +2093,19 @@ object SparkEntry {
       val purchases = graft.streaming.EventStreams
         .readStream(s, in, options = opts)
         .filter(col("event_type") === "purchase")
-      // sentinel filter runs BATCH-side on the sink table: inside the
-      // streaming plan the left-only predicate would push below the
-      // watermark operator, hiding the click sentinel from the left
-      // watermark and freezing the global (min) watermark at the real
-      // data's horizon — the tail would never flush
       val joined = graft.streaming.EventStreams
         .intervalJoinStreamsOuter(clicks, purchases, "user_id", "ts",
           within = "1 HOUR", watermark = "2 hours")
         .select(col("l.event_id").as("click_id"),
           col("r.event_id").as("purchase_id"),
           col("l.user_id").as("user_id"))
-      graft.streaming.EventStreams.runAvailableNow(
+      // drainTail = the batch-side sentinel filter (a plan-side filter
+      // would freeze the watermark — the pin lives in its scaladoc)
+      graft.streaming.EventStreams.drainTail(
+        graft.streaming.EventStreams.runAvailableNow(
           joined, queryName = s"sjo_${System.nanoTime()}",
-          checkpoint = s"$ckpt/ckpt")
-        .filter(col("click_id") >= 0)
+          checkpoint = s"$ckpt/ckpt"),
+        col("click_id") < 0)
     }),
 
     // ---- §2.1 JSONL sink + scan roundtrip — one JSON object per line,
@@ -2782,7 +2778,7 @@ object SparkEntry {
         |m1 AS (
         |  SELECT a.tok AS l, b.tok AS r, COUNT(*) AS n
         |  FROM t0 a JOIN t0 b ON a.id = b.id AND b.i = a.i + 1
-        |  GROUP BY 1, 2 ORDER BY n DESC, l || ' ' || r LIMIT 1),
+        |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
         |t1_cand AS (
         |  SELECT a.id, a.i,
         |    a.i - ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY a.i) AS grp
@@ -2807,7 +2803,7 @@ object SparkEntry {
         |m2 AS (
         |  SELECT a.tok AS l, b.tok AS r, COUNT(*) AS n
         |  FROM t1 a JOIN t1 b ON a.id = b.id AND b.i = a.i + 1
-        |  GROUP BY 1, 2 ORDER BY n DESC, l || ' ' || r LIMIT 1),
+        |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
         |t2_cand AS (
         |  SELECT a.id, a.i,
         |    a.i - ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY a.i) AS grp
@@ -2832,7 +2828,7 @@ object SparkEntry {
         |m3 AS (
         |  SELECT a.tok AS l, b.tok AS r, COUNT(*) AS n
         |  FROM t2 a JOIN t2 b ON a.id = b.id AND b.i = a.i + 1
-        |  GROUP BY 1, 2 ORDER BY n DESC, l || ' ' || r LIMIT 1)
+        |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1)
         |SELECT CAST(1 AS INT) AS rank, l AS "left", r AS "right",
         |  n AS pair_count FROM m1
         |UNION ALL SELECT CAST(2 AS INT), l, r, n FROM m2
@@ -3658,13 +3654,37 @@ object SparkEntry {
         |  SELECT c0.cell, COALESCE(l.ml, c0.ce) AS ce
         |  FROM c0 LEFT JOIN (
         |    SELECT cell, list(m ORDER BY dim) AS ml FROM m1 GROUP BY cell) l
-        |  USING (cell))
-        |SELECT e.vec_id,
-        |  CAST((SELECT cell FROM c1
+        |  USING (cell)),
+        |a2 AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT cell FROM c1
         |     ORDER BY ROUND(
         |       list_sum(list_transform(list_zip(c1.ce, e.embedding),
         |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
         |       / (sqrt(list_sum(list_transform(c1.ce,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e),
+        |m2 AS (
+        |  SELECT a.cell, d.dim,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(a.embedding[d.dim + 1] AS DOUBLE),
+        |        6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS m
+        |  FROM a2 a JOIN dims d ON d.dim < len(a.embedding)
+        |  GROUP BY a.cell, d.dim),
+        |c2 AS (
+        |  SELECT c1.cell, COALESCE(l.ml, c1.ce) AS ce
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cell, list(m ORDER BY dim) AS ml FROM m2 GROUP BY cell) l
+        |  USING (cell))
+        |SELECT e.vec_id,
+        |  CAST((SELECT cell FROM c2
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(c2.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(c2.ce,
         |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |        * sqrt(list_sum(list_transform(e.embedding,
         |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
@@ -4169,8 +4189,8 @@ object SparkEntry {
         |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
         |  FROM events GROUP BY user_id)
         |SELECT c.cohort AS cohort_week,
-        |  CAST((epoch(date_trunc('week', e.ts)) - epoch(c.cohort))
-        |       / 604800 AS INT) AS week_offset,
+        |  CAST(datediff('day', c.cohort, date_trunc('week', e.ts))
+        |       / 7 AS INT) AS week_offset,
         |  COUNT(DISTINCT e.user_id) AS active_users
         |FROM events e JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,

@@ -40,9 +40,10 @@ object Analytics {
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, stages: Seq[String],
-             horizonSeconds: Option[Long] = None): DataFrame = {
+             horizonSeconds: Option[Long] = None,
+             maxEventsPerUser: Option[Int] = None): DataFrame = {
     val flags = funnelStageTimes(events, userCol, typeCol, tsCol, stages,
-        horizonSeconds)
+        horizonSeconds, maxEventsPerUser)
       .select(stages.indices.map(i =>
         col(s"t${i + 1}").isNotNull.as(s"__r$i")): _*)
     val counts = flags.agg(
@@ -66,16 +67,39 @@ object Analytics {
     * event, columns `t1..tn` = double-epoch of each greedily-matched
     * stage (null once a stage is unreached; see [[funnel]] for the
     * cascade and conversion-window semantics and scale shape — ONE
-    * user-keyed exchange, no join per stage). */
+    * user-keyed exchange, no join per stage).
+    *
+    * `maxEventsPerUser` bounds the per-user array against bot/script
+    * keys (a single key with 10⁷ stage-typed events is otherwise one
+    * task's in-memory array): when set, only each user's FIRST cap
+    * stage-typed events by time enter the cascade — the earliest-match
+    * semantics anchor on earliest events, so any user whose true stage
+    * matches land inside the cap is unaffected — and the dropped-row
+    * count is observable as the "funnel_dropped_events" Observation
+    * (the maxBucket convention). The row_number rides the SAME
+    * user-keyed exchange as the collect_list, so the cap adds a sort,
+    * not a shuffle. Default None preserves exact semantics. */
   def funnelStageTimes(events: DataFrame, userCol: String, typeCol: String,
                        tsCol: String, stages: Seq[String],
-                       horizonSeconds: Option[Long] = None): DataFrame = {
+                       horizonSeconds: Option[Long] = None,
+                       maxEventsPerUser: Option[Int] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(horizonSeconds.forall(_ > 0), "horizonSeconds must be positive")
+    require(maxEventsPerUser.forall(_ > 0), "maxEventsPerUser must be > 0")
+    val staged = events.filter(col(typeCol).isin(stages: _*))
+    val bounded = maxEventsPerUser match {
+      case None => staged
+      case Some(cap) =>
+        val w = Window.partitionBy(col(userCol))
+          .orderBy(col(tsCol), col(typeCol))
+        staged.withColumn("__rn", row_number().over(w))
+          .observe("funnel_dropped_events",
+            sum(when(col("__rn") > cap, 1L).otherwise(0L)).as("dropped"))
+          .filter(col("__rn") <= cap).drop("__rn")
+    }
     // double-epoch keeps sub-second precision and compares exactly in
     // both engines (same microsecond parquet values on both sides)
-    val perUser = events
-      .filter(col(typeCol).isin(stages: _*))
+    val perUser = bounded
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(
         col(tsCol).cast("timestamp_ltz").cast("double").as("t"),
@@ -116,8 +140,11 @@ object Analytics {
     * stamp each event with its user's cohort, then the final hash
     * aggregate on (cohort, offset) with a distinct-user count. No join:
     * the cohort stamp rides the window, so the fact is scanned once.
-    * Offsets are exact integer arithmetic on epoch seconds of the two
-    * truncated weeks (both engines truncate to Monday 00:00).
+    * Offsets use DATE arithmetic (datediff of the two Monday-truncated
+    * weeks, divided by 7) — exact in ANY session timezone: two
+    * week-truncated dates are always a whole multiple of 7 days apart,
+    * where epoch-second division by 604800 truncates off-by-one across
+    * DST's 601200/608400-second weeks.
     */
   def cohortRetention(events: DataFrame, userCol: String,
                       tsCol: String): DataFrame = {
@@ -127,9 +154,7 @@ object Analytics {
       .withColumn("__week", date_trunc("week", col(tsCol)))
     stamped
       .withColumn("week_offset",
-        ((col("__week").cast("timestamp_ltz").cast("long") -
-          col("__cohort").cast("timestamp_ltz").cast("long")) / 604800L)
-          .cast("int"))
+        (datediff(col("__week"), col("__cohort")) / 7).cast("int"))
       .groupBy(col("__cohort").as("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("active_users"))
   }

@@ -205,14 +205,30 @@ object Joins {
     * side k+1 rows/string, probe side ≤ (k+1)(2k+1)(2k+1) substrings —
     * joined on the compact (segment#, target length, text) key, then
     * ONE distinct over candidate pairs and one levenshtein per
-    * survivor; nothing is ever all-pairs. Candidate volume is
-    * data-dependent: a corpus-wide shared prefix (uniform "Customer#…"
-    * formats) makes segment buckets covering it dense — quadratic in
-    * that bucket, the operator's published degradation (selective
-    * segments keep it near-linear). `maxBucket` drops candidate keys
-    * whose index-side bucket exceeds the cap — an explicit recall
-    * concession (dropped-key count observable as the
-    * "edit_join_dropped_keys" Observation) mirroring the LSH caps.
+    * survivor; nothing is ever all-pairs.
+    *
+    * Corpus-constant affix stripping (round-10, closes the round-9
+    * prefix-skew recall cliff): a corpus-wide shared prefix (uniform
+    * "Customer#…" ID formats — common for IDs, URLs, file paths) makes
+    * every segment bucket covering it dense; under `maxBucket` the one
+    * discriminating bucket could exceed the cap and the join silently
+    * returned ZERO pairs. Levenshtein is invariant under removing a
+    * shared prefix or suffix (the standard DP trim: lev(Pa,Pb) =
+    * lev(a,b) and lev(aS,bS) = lev(a,b)), so the join first strips the
+    * longest prefix and suffix common to the WHOLE corpus and segments
+    * only the discriminating remainder. The corpus-constant prefix is
+    * computed from one cheap 5-value aggregate — the common prefix of
+    * ALL strings equals the common prefix of the lexicographic min and
+    * max (any x with min ≤ x ≤ max must agree with them on their shared
+    * bytes); the suffix is the same trick on reversed strings, clamped
+    * so prefix+suffix never exceeds the shortest string. Only those 5
+    * scalars reach the driver. After stripping, segment buckets are
+    * dense only where the corpus is GENUINELY near-duplicate — i.e.
+    * where the output itself is quadratic. `maxBucket` still drops
+    * candidate keys whose index-side bucket exceeds the cap — an
+    * explicit recall concession (DISTINCT dropped-key count observable
+    * as the "edit_join_dropped_keys" Observation) mirroring the LSH
+    * caps.
     *
     * Strings shorter than k+1 can have every segment edited, so the
     * segment argument breaks; they're handled by a dedicated short
@@ -227,8 +243,34 @@ object Joins {
     require(k >= 1 && k <= 4, "k must be in [1,4]")
     val kk = lit(k)
     val parts = lit(k + 1)
-    val in = df.select(col(idCol).as("__id"), col(nameCol).as("__s"),
-      length(col(nameCol)).as("__len"))
+    val named = df.filter(col(nameCol).isNotNull)
+      .select(col(idCol).as("__id"), col(nameCol).as("__s0"))
+    // ---- corpus-constant affix detection: 5 scalars, one agg job ----
+    val bounds = named.agg(
+      min(col("__s0")), max(col("__s0")),
+      min(reverse(col("__s0"))), max(reverse(col("__s0"))),
+      min(length(col("__s0")))).head()
+    def commonPrefixLen(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i
+    }
+    val (pre, suf) =
+      if (bounds.isNullAt(0)) (0, 0) // empty input: nothing to strip
+      else {
+        val minLen = bounds.getInt(4)
+        val p = math.min(
+          commonPrefixLen(bounds.getString(0), bounds.getString(1)), minLen)
+        val s = math.max(0, math.min(
+          commonPrefixLen(bounds.getString(2), bounds.getString(3)),
+          minLen - p))
+        (p, s)
+      }
+    val in = named.select(col("__id"),
+      col("__s0").substr(lit(pre + 1),
+        length(col("__s0")) - pre - suf).as("__s"))
+      .withColumn("__len", length(col("__s")))
     // ---- segment geometry for a length-L string: q = L div (k+1),
     // r = L mod (k+1); the first (k+1-r) segments have length q, the
     // last r have q+1 (the even partition the paper uses) ----
@@ -253,13 +295,20 @@ object Joins {
     val idx = maxBucket match {
       case None => idx0
       case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__i"), col("__len"), col("__seg"))
+        val pk = Seq(col("__i"), col("__len"), col("__seg"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(pk: _*)
+        val wRn = org.apache.spark.sql.expressions.Window
+          .partitionBy(pk: _*).orderBy(col("__id"))
+        // both windows share the (__i,__len,__seg) hash exchange; the
+        // row_number marks ONE row per bucket so the Observation counts
+        // DISTINCT dropped keys, not member rows (round-10 ADVICE fix)
         val counted = idx0.withColumn("__bn", count(lit(1)).over(w))
+          .withColumn("__rn", row_number().over(wRn))
         counted
           .observe("edit_join_dropped_keys",
-            sum(when(col("__bn") > cap, 1L).otherwise(0L)).as("dropped"))
-          .filter(col("__bn") <= cap).drop("__bn")
+            sum(when(col("__bn") > cap && col("__rn") === 1, 1L)
+              .otherwise(0L)).as("dropped"))
+          .filter(col("__bn") <= cap).drop("__bn", "__rn")
     }
     // ---- probe side: for each candidate target length L within ±k of
     // our own, the substrings that could equal segment i of a length-L

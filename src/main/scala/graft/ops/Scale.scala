@@ -159,6 +159,12 @@ object Scale {
       max(secsSafe(col(xCol))).as("x1"),
       min(secsSafe(col(yCol))).as("y0"),
       max(secsSafe(col(yCol))).as("y1")).head()
+    // an empty frame / all-null layout column yields null bounds; fail
+    // with a meaningful message instead of an unboxing NPE (a no-op
+    // write of a frame with no layout signal would silently produce a
+    // layout that prunes nothing)
+    require((0 to 3).forall(i => !b.isNullAt(i)),
+      s"zorderWrite: empty input or all-null layout column ($xCol/$yCol)")
     val (x0, x1, y0, y1) =
       (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     val hi = (1L << bits) - 1

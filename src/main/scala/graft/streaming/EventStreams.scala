@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -362,7 +362,16 @@ object EventStreams {
     * unbounded stream at the cost of missing pairs that span the
     * eviction — the beyond-horizon tier is
     * [[graft.text.LshIndex]]'s persisted-index job, exactly the
-    * two-tier split [[dedupStream]] documents for exact keys. */
+    * two-tier split [[dedupStream]] documents for exact keys.
+    *
+    * CAUTION — eviction is for CONTINUOUS deployments: under an
+    * AvailableNow replay a processing-time-timeout query never
+    * self-terminates (measured: the engine keeps scheduling no-data
+    * batches to fire future timeouts — hundreds of empty batches that
+    * also flush the data batches out of the `recentProgress` ring) —
+    * use [[runBoundedWithTimeouts]], which polls progress and stops the
+    * query explicitly, instead of [[runAvailableNow]]'s
+    * `awaitTermination`. */
   def nearDupCandidatesStream(docs: DataFrame, idCol: String,
                               textCol: String, shingleN: Int = 3,
                               numHashes: Int = 32, bands: Int = 16,
@@ -419,6 +428,103 @@ object EventStreams {
             out.iterator
           }
       }
+  }
+
+  /** Append watermark-drain sentinel batches to an AvailableNow
+    * file-stream input directory — each batch lands as ONE parquet file
+    * whose mtime is strictly newer than every file already there (and
+    * than the previous batch), so the file source (oldest-mtime-first)
+    * processes them LAST, in order, each as its own micro-batch under
+    * `maxFilesPerTrigger=1`. Existing files keep their mtimes: a staging
+    * that deliberately ordered its chunks (the out-of-order replay
+    * tests) is not disturbed.
+    *
+    * Why stateful drains need TWO batches (the one-batch watermark lag):
+    * the watermark computed from batch N's max event time only takes
+    * effect in batch N+1. The first far-future sentinel batch ADVANCES
+    * the watermark; the second runs the eviction/emit pass under it —
+    * with a single batch the last `watermark + range` of state never
+    * flushes. Operators that drain on event-time TIMEOUTS
+    * ([[sessionizeRetained]]) need only one batch: AvailableNow executes
+    * a trailing no-data batch after its last file, which fires timeouts
+    * under the advanced watermark.
+    *
+    * The sentinel rows re-emerge from stateless/outer operators: remove
+    * them with [[drainTail]] on the SINK table, never with a filter
+    * inside the streaming plan — a plan-side predicate pushes BELOW the
+    * watermark operator, hides the sentinel from that input's watermark,
+    * and freezes the global (min) watermark at the real data's horizon,
+    * so the tail never flushes. */
+  def stageDrainBatches(inDir: String,
+                        batches: Seq[DataFrame]): Unit = {
+    val dir = new java.io.File(inDir)
+    val existing = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    val base = if (existing.isEmpty) System.currentTimeMillis()
+               else existing.map(_.lastModified()).max
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_drain").toString
+      b.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(dir, s"drain${i}_${part.getName}")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(base + (i + 1) * 10000L)
+      ()
+    }
+  }
+
+  /** Batch-side sentinel removal after an AvailableNow drain: keeps
+    * every sink row where `sentinel` is not true (null-safe — an outer
+    * join's null right columns make a right-side sentinel predicate
+    * null, which must KEEP the row). MUST run on the sink table, not in
+    * the streaming plan — see [[stageDrainBatches]] for the
+    * watermark-freeze pin this encodes. */
+  def drainTail(sink: DataFrame, sentinel: Column): DataFrame =
+    sink.filter(coalesce(!sentinel, lit(true)))
+
+  /** Bounded run of a PROCESSING-TIME-TIMEOUT streaming transform over
+    * a static directory (noop sink): such queries never self-terminate
+    * under AvailableNow — the engine schedules no-data batches forever
+    * to fire future timeouts (see [[nearDupCandidatesStream]]'s
+    * caution) — so this polls progress until `expectDataBatches` input
+    * batches plus at least one no-data batch (the post-input eviction
+    * pass) have run, then STOPS the query. Progress is accumulated per
+    * batchId during the poll because the no-data-batch flood evicts
+    * early entries from the bounded `recentProgress` ring.
+    *
+    * Returns (numInputRows, stateRows) per observed batch in batchId
+    * order — the state-growth measurement surface StateSweep and the
+    * eviction spec read. */
+  def runBoundedWithTimeouts(transformed: DataFrame, checkpoint: String,
+                             expectDataBatches: Int,
+                             timeoutMs: Long = 180000L)
+      : Seq[(Long, Long)] = {
+    val byBatch = scala.collection.mutable.SortedMap.empty[Long, (Long, Long)]
+    val q = transformed.writeStream
+      .format("noop")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    def snapshot(): Unit = q.recentProgress.foreach { p =>
+      if (p.stateOperators.nonEmpty)
+        byBatch(p.batchId) =
+          (p.numInputRows, p.stateOperators(0).numRowsTotal)
+    }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var done = false
+    while (!done && System.currentTimeMillis() < deadline) {
+      done = q.awaitTermination(250)
+      snapshot()
+      val dataBatches = byBatch.valuesIterator.count(_._1 > 0)
+      val sawIdle = byBatch.valuesIterator.exists(_._1 == 0)
+      if (!done && dataBatches >= expectDataBatches && sawIdle) {
+        q.stop(); q.awaitTermination(); snapshot(); done = true
+      }
+    }
+    if (q.isActive) { q.stop(); q.awaitTermination() }
+    byBatch.values.toSeq
   }
 
   /** Run a streaming transform over a static directory incrementally and

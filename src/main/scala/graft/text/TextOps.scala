@@ -655,8 +655,11 @@ object TextOps {
             "i -> struct(w[i-1] as l, w[i] as r))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(count(lit(1)).as("n"))
+      // tiebreak on the components SEPARATELY: a concat key is
+      // ambiguous across distinct pairs (("a b","c") vs ("a","b c"))
+      // and would make a count-tie argmax nondeterministic
       val top = pairs
-        .orderBy(col("n").desc, concat_ws(" ", col("l"), col("r")))
+        .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.nonEmpty) {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1),
@@ -708,7 +711,12 @@ object TextOps {
         aggregate(split(col("term"), ""), lit(0L),
           (acc, c) => (acc * 31L + ascii(c)) % 2147483647L),
         lit(buckets.toLong)))
-    val bucketed = toks.join(broadcast(vocab), Seq("term"))
+    // no broadcast hint on the vocab: distinct terms grow with the
+    // corpus and can exceed the broadcast threshold / driver memory at
+    // 100 TB — let the optimizer (AQE) choose; the explicit broadcasts
+    // below are reserved for the ≤buckets-row lr table and the 1-row
+    // totals, which are bounded by construction
+    val bucketed = toks.join(vocab, Seq("term"))
     val counts = bucketed.groupBy(col("__b")).agg(
       count(lit(1)).as("__ns"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"))

@@ -241,15 +241,12 @@ object ScaleSweep {
           "event_date", Seq("event_type"), aggs))
         spark.read.parquet(p).count()
       },
-      // measured on the NON-degenerate input (constant "Customer#"
-      // prefix stripped): with the prefix, the one segment covering it
-      // is the only discriminating bucket and grows quadratically —
-      // the operator's documented shared-prefix degradation, where a
-      // cap costs total recall (a 10× capped run returns 0 pairs) and
-      // an uncapped run measures the name format, not the join. On
-      // digit-only keys every segment is selective, pair distances are
-      // unchanged (the stripped prefix contributes no edits), and the
-      // candidate volume tracks the true pair volume
+      // round-10: measured on the RAW "Customer#…" keys under a cap —
+      // the operator now strips the corpus-constant affix itself
+      // before segmenting (distance-preserving), so the formerly
+      // degenerate input behaves like the digit-only keys: every
+      // post-strip segment is selective, no bucket nears the cap, and
+      // recall is total (the round-9 raw capped run returned 0 pairs)
       // one lag window + hash agg over the user key — flat expected
       "w15_transitions" -> (d =>
         SparkEntry.queries("w15_transitions")(spark, d).count()),
@@ -260,14 +257,26 @@ object ScaleSweep {
       // (cluster, dim) agg; k x dim to the driver — linear expected
       "e_kmeans" -> (d =>
         SparkEntry.queries("e_kmeans")(spark, d).count()),
-      "j11_edit_join(selective)" -> { d =>
+      "j11_edit_join(raw,cap)" -> { d =>
         graft.ops.Joins.editDistanceJoin(
           Tables.load(spark, d, "customer")
             .filter(col("c_nationkey").isin(1, 2, 3))
-            .select(col("c_custkey"),
-              regexp_replace(col("c_name"), "^Customer#", "").as("c_name")),
-          "c_custkey", "c_name", k = 1).count()
-      })
+            .select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", k = 1, maxBucket = Some(20000)).count()
+      },
+      // iterative: numMerges bounded jobs, each one explode + hash agg
+      // + 1-row argmax + HOF fuse with per-round localCheckpoint and
+      // blocking unpersist — per-round cost should track corpus size
+      "t_bpe_merges" -> (d =>
+        SparkEntry.queries("t_bpe_merges")(spark, d).count()),
+      // the coverage anti-join shape (grams -> window counts -> gaps-
+      // and-islands -> span removal): the newest multi-exchange op
+      "t_dup_span_removal" -> (d =>
+        SparkEntry.queries("t_dup_span_removal")(spark, d).count()),
+      // stream-stream left-outer with two-sentinel drain: fixed
+      // per-batch cost + watermark-bounded state by design
+      "s_stream_join_outer" -> (d =>
+        SparkEntry.queries("s_stream_join_outer")(spark, d).count()))
 
     // Pair-volume ops are QUADRATIC in this staging's recycled content
     // by construction (every source third appears in ~3·factor splices

@@ -126,4 +126,52 @@ class AnalyticsSpec extends SparkSpec {
     // cohort 01-01: offsets 0 and 1 (u1); cohort 01-08: offset 0 (u2)
     assert(out == Seq((0, 1L), (1, 1L), (0, 1L)))
   }
+
+  test("funnel maxEventsPerUser: a bot user's array is bounded, the " +
+    "drop count is observable, and in-cap stage matches are unaffected") {
+    // user 1 = bot: 3 real stage matches in its FIRST events, then 5000
+    // later junk views that would otherwise all land in one per-user
+    // array; user 2 = normal converter. Cap 100 keeps each user's first
+    // 100 stage-typed events by time: both users' true stage matches
+    // are inside the cap, so the capped funnel must equal the uncapped
+    // one while dropping 4903 of the bot's rows.
+    val bot = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00"))) ++
+      (1 to 5000).map(i => (1L, "view",
+        new java.sql.Timestamp(
+          ts("2024-01-02 00:00:00").getTime + i * 1000L)))
+    val normal = Seq(
+      (2L, "view", ts("2024-01-03 00:00:00")),
+      (2L, "click", ts("2024-01-03 01:00:00")),
+      (2L, "purchase", ts("2024-01-03 02:00:00")))
+    val df = (bot ++ normal).toDF("user_id", "event_type", "ts")
+    val stages = Seq("view", "click", "purchase")
+    val uncapped = Analytics.funnel(df, "user_id", "event_type", "ts",
+      stages).orderBy("stage_idx")
+      .select("stage", "users").as[(String, Long)].collect().toSeq
+    assert(uncapped == Seq(("view", 2L), ("click", 2L), ("purchase", 2L)))
+    // observedMetrics does not traverse the adaptive plan in Spark 4.1
+    // (same pin as the editDistanceJoin cap spec): read it with AQE off
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      // observedMetrics lives on the EXECUTED Dataset's QueryExecution:
+      // keep the collected frame and the metrics read on the same val
+      val capped = Analytics.funnel(df, "user_id", "event_type", "ts",
+          stages, maxEventsPerUser = Some(100))
+        .orderBy("stage_idx").select("stage", "users")
+      // collect on `capped` ITSELF (even .as[...] builds a fresh
+      // QueryExecution whose metrics would stay empty)
+      val got = capped.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == uncapped, "in-cap stage matches must be unaffected")
+      val dropped = capped.queryExecution.observedMetrics
+        .get("funnel_dropped_events").map(_.getLong(0))
+      assert(dropped.contains(4903L),
+        s"expected 4903 dropped bot rows, got $dropped")
+    } finally spark.conf.set(aqeKey, aqeWas)
+  }
 }

@@ -211,19 +211,60 @@ class JoinsScalarsSpec extends SparkSpec {
     }
   }
 
-  test("editDistanceJoin: maxBucket drops dense candidate keys and " +
-    "reports them via Observation") {
-    // 6 strings sharing segment "aa" at every coordinate — cap at 3
-    // kills that key's candidates; the pair through a non-dense key
-    // survives
-    val rows: Seq[(Long, String)] = (1L to 6L).map(i => i -> s"aa0$i")
+  test("editDistanceJoin: corpus-constant affix stripping makes a " +
+    "shared-prefix corpus survive a tight maxBucket at full recall") {
+    // The round-9 recall cliff: raw "Customer#%09d" keys share a long
+    // constant prefix, so without stripping the only discriminating
+    // segment bucket is the one spanning the prefix — 40 members, over
+    // any tight cap, and the capped join returned ZERO pairs. With the
+    // corpus-constant prefix stripped before segmentation the tails
+    // "01".."40" have selective buckets (max 10 members per leading
+    // digit), so cap=10 drops nothing and the capped run equals the
+    // brute-force pair set exactly.
+    val rows: Seq[(Long, String)] =
+      (1L to 40L).map(i => i -> f"Customer#$i%09d")
+    val df = rows.toDF("id", "name")
+    val expect = bruteEditPairs(rows, 1)
+    assert(expect.nonEmpty) // adjacent same-digit-count ids differ by 1
+    val capped = Joins.editDistanceJoin(df, "id", "name", 1,
+      maxBucket = Some(10))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped == expect,
+      "capped raw-format run must match brute force after affix strip")
+  }
+
+  test("editDistanceJoin: maxBucket drops dense post-strip keys, " +
+    "Observation counts DISTINCT dropped keys, survivors unaffected") {
+    // Density that survives affix stripping: five "zz…" strings share
+    // segment-0 "zz" but "qqqq" breaks the corpus-constant prefix and
+    // the varied tails break the suffix, so nothing is stripped. The
+    // (0,4,"zz") bucket has 6 members; cap=3 drops it — ONE distinct
+    // key (the Observation must say 1, not 6 member rows) — and the
+    // two true pairs (zzaa~zzab, zzbb~zzab) route only through that
+    // bucket, so the capped run returns the EMPTY set: the documented
+    // recall concession, now pinned.
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "zzaa", 2L -> "zzbb", 3L -> "zzcc", 4L -> "zzdd",
+      5L -> "zzee", 6L -> "zzab", 7L -> "qqqq")
     val df = rows.toDF("id", "name")
     val full = Joins.editDistanceJoin(df, "id", "name", 1)
       .as[(Long, Long, Int)].collect().toSet
-    assert(full == bruteEditPairs(rows, 1) && full.nonEmpty)
-    val capped = Joins.editDistanceJoin(df, "id", "name", 1,
-      maxBucket = Some(3))
-    // with every segment bucket over the cap, no candidates remain
-    assert(capped.count() <= full.size)
+    assert(full == bruteEditPairs(rows, 1) && full.size == 2)
+    // QueryExecution.observedMetrics in Spark 4.1 does not traverse
+    // into the adaptive plan, so pin the metric with AQE off (the
+    // production consumer is a QueryExecutionListener / the SQL UI)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      val capped = Joins.editDistanceJoin(df, "id", "name", 1,
+        maxBucket = Some(3))
+      assert(capped.collect().isEmpty,
+        "both true pairs route through the dropped dense bucket")
+      val dropped = capped.queryExecution.observedMetrics
+        .get("edit_join_dropped_keys").map(_.getLong(0))
+      assert(dropped.contains(1L),
+        s"expected 1 distinct dropped key, got $dropped")
+    } finally spark.conf.set(aqeKey, aqeWas)
   }
 }

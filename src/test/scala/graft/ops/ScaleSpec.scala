@@ -131,4 +131,21 @@ class ScaleSpec extends SparkSpec {
     assert(back.count() == 20000)
     assert(df.except(back).count() == 0 && back.except(df).count() == 0)
   }
+
+  test("zorderWrite: empty input / all-null layout column fails with a " +
+    "meaningful message, not an unboxing NPE") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      Scale.zorderWrite(empty, "x", "y", s"$base/e1")
+    }
+    assert(e1.getMessage.contains("empty input or all-null"))
+    val nulls = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      Scale.zorderWrite(nulls, "x", "y", s"$base/e2")
+    }
+    assert(e2.getMessage.contains("empty input or all-null"))
+  }
 }

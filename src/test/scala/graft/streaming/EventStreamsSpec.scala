@@ -287,7 +287,7 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("intervalJoinStreamsOuter: unmatched lefts emit with nulls once " +
-    "the watermark passes; sentinel flushes the tail") {
+    "the watermark passes; stageDrainBatches + drainTail flush the tail") {
     val base = java.nio.file.Files.createTempDirectory("graft_sjo").toString
     sys.addShutdownHook(
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)))
@@ -299,34 +299,28 @@ class EventStreamsSpec extends SparkSpec {
       (2L, ts("2024-01-01 00:30:00"), 1L, "purchase"), // matches click 1
       (3L, ts("2024-01-01 05:00:00"), 2L, "click"),    // unmatched
       (4L, ts("2024-01-01 23:00:00"), 3L, "click")))   // unmatched, tail
-    // sentinels in a LATER batch: watermark updates take effect the
-    // batch AFTER the rows advancing them are processed, so a
-    // same-batch sentinel leaves the tail's state unevicted (the
-    // twoTierStreamTier staging documents the same one-batch lag)
-    val sent = mk(Seq(
-      (-1L, ts("2024-03-01 00:00:00"), -1L, "click"),
-      (-2L, ts("2024-03-01 00:00:00"), -1L, "purchase")))
-    // a SECOND sentinel batch: join-state cleanup runs while
-    // processing a batch, with the watermark advanced by the batch
-    // BEFORE it — the first sentinel batch advances the watermark,
-    // the second triggers the eviction pass that drains the tail
-    val sent2 = mk(Seq(
-      (-3L, ts("2024-03-02 00:00:00"), -1L, "click"),
-      (-4L, ts("2024-03-02 00:00:00"), -1L, "purchase")))
-    data.coalesce(1).write.parquet(s"$base/d")
-    sent.coalesce(1).write.parquet(s"$base/s")
-    sent2.coalesce(1).write.parquet(s"$base/s2")
-    val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
-    val now = System.currentTimeMillis()
-    Seq(("d", now - 60000L), ("s", now - 30000L), ("s2", now)).foreach {
-      case (src, mtime) =>
-        new java.io.File(s"$base/$src").listFiles
-          .filter(_.getName.endsWith(".parquet")).foreach { f =>
-            val dst = new java.io.File(inDir, s"${src}_${f.getName}")
-            java.nio.file.Files.copy(f.toPath, dst.toPath)
-            dst.setLastModified(mtime)
-          }
-    }
+    val inDir = new java.io.File(s"$base/in")
+    data.coalesce(1).write.mode("overwrite").parquet(inDir.toString)
+    // TWO drain batches (the stateful-drain case stageDrainBatches
+    // documents): the first advances the watermark — it takes effect
+    // the batch AFTER the rows advancing it are processed — and the
+    // second triggers the join-state eviction pass under it; one batch
+    // would leave the tail's unmatched-left state unflushed
+    EventStreams.stageDrainBatches(inDir.toString, Seq(
+      mk(Seq(
+        (-1L, ts("2024-03-01 00:00:00"), -1L, "click"),
+        (-2L, ts("2024-03-01 00:00:00"), -1L, "purchase"))),
+      mk(Seq(
+        (-3L, ts("2024-03-02 00:00:00"), -1L, "click"),
+        (-4L, ts("2024-03-02 00:00:00"), -1L, "purchase")))))
+    // staged drain files must sort strictly after the data by mtime
+    val files = inDir.listFiles.filter(_.getName.endsWith(".parquet"))
+    val dataM = files.filterNot(_.getName.startsWith("drain"))
+      .map(_.lastModified()).max
+    val drainM = files.filter(_.getName.startsWith("drain"))
+      .map(_.lastModified()).sorted
+    assert(drainM.length == 2 && drainM.head > dataM &&
+      drainM(1) > drainM.head)
     val opts = Map("maxFilesPerTrigger" -> "1")
     val clicks = EventStreams.readStream(spark, inDir.toString,
         options = opts)
@@ -334,17 +328,18 @@ class EventStreamsSpec extends SparkSpec {
     val purchases = EventStreams.readStream(spark, inDir.toString,
         options = opts)
       .filter(col("event_type") === "purchase")
-    // sentinel filter must be BATCH-side: a left-only predicate inside
-    // the streaming plan pushes below the watermark operator, hiding
-    // the click sentinel from the left watermark (min policy freezes)
     val joined = EventStreams.intervalJoinStreamsOuter(clicks, purchases,
         "user_id", "ts", within = "1 HOUR", watermark = "2 hours")
       .select(col("l.event_id").as("click_id"),
         col("r.event_id").as("purchase_id"))
-    val out = EventStreams.runAvailableNow(joined,
-        queryName = s"sjospec_${System.nanoTime()}",
-        checkpoint = s"$base/ckpt")
-      .filter(col("click_id") >= 0)
+    // drainTail is the BATCH-side sentinel filter (plan-side would
+    // freeze the watermark); predicate on the nullable right column
+    // exercises its null-safety — null purchase_id must KEEP the row
+    val out = EventStreams.drainTail(
+        EventStreams.runAvailableNow(joined,
+          queryName = s"sjospec_${System.nanoTime()}",
+          checkpoint = s"$base/ckpt"),
+        col("click_id") < 0 || col("purchase_id") < 0)
       .as[(Long, Option[Long])].collect().toSet
     assert(out == Set((1L, Some(2L)), (3L, None), (4L, None)), out.toString)
   }
@@ -405,5 +400,56 @@ class EventStreamsSpec extends SparkSpec {
     // the cross-batch pair (1,3) or (2,3) must be present — state
     // carried members across micro-batches
     assert(streamed.exists(p => p._2 == 3L))
+  }
+
+  test("nearDupCandidatesStream: idle eviction SHRINKS state (bucket " +
+    "count) versus the unbounded default, measured per micro-batch") {
+    // 3 micro-batches of mutually-unrelated docs: without eviction the
+    // state (one row per live LSH band-bucket) only grows; with a 1 ms
+    // idle horizon, buckets untouched by the current batch time out by
+    // the next, so the final state is strictly smaller — the contract
+    // the scaladoc documents (beyond-horizon pairs are LshIndex's job).
+    val docs = (1L to 12L).map(i =>
+      (i, s"chunk${i % 3} unique$i words$i tokens$i content$i more$i " +
+        s"text$i here$i body$i tail$i"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_sev").toString
+    sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)))
+    val inDir = new java.io.File(s"$base/in")
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir.toString)
+    // chunks 2 and 3 staged as strictly-later files: stageDrainBatches
+    // is the general mtime-ordering tool, not only for sentinels
+    EventStreams.stageDrainBatches(inDir.toString, Seq(
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2)))
+    // runBoundedWithTimeouts, not runAvailableNow: a processing-time-
+    // timeout query under AvailableNow never self-terminates (the
+    // operator's documented caution) — the helper polls and stops
+    def run(evict: Option[Long]): Seq[(Long, Long)] = {
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      EventStreams.runBoundedWithTimeouts(
+        EventStreams.nearDupCandidatesStream(stream, "doc_id",
+          "text", shingleN = 3, numHashes = 32, bands = 16,
+          evictIdleAfterMs = evict).toDF(),
+        checkpoint =
+          s"$base/ckpt_${evict.isDefined}_${System.nanoTime()}",
+        expectDataBatches = 3)
+    }
+    def dataStates(rows: Seq[(Long, Long)]): Seq[Long] =
+      rows.collect { case (in, st) if in > 0 => st }
+    val unbounded = dataStates(run(None))
+    val evicted = dataStates(run(Some(1L)))
+    assert(unbounded.length == 3 && evicted.length == 3)
+    // unbounded state is monotone non-decreasing and ends at its peak
+    assert(unbounded == unbounded.sorted, unbounded.toString)
+    // with a 1 ms idle horizon, earlier batches' untouched buckets are
+    // evicted, so the final retained state sits strictly below the
+    // unbounded final state
+    assert(evicted.last < unbounded.last,
+      s"evicted=$evicted unbounded=$unbounded")
   }
 }

@@ -762,6 +762,25 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
         .limit(20)),
 
+    // ---- training-data ops: GloVe-style distance-weighted
+    // co-occurrence table (Pennington et al. 2014) — |tokens|·window
+    // narrow explode, ONE (t1, t2) hash agg, X_ij ≥ 3 cut; the 1/d
+    // weights sum as round-6 decimals (exact, order-free). ----
+    "t_glove_cooccur" -> ((s, dir) =>
+      TextOps.gloveCooccur(t(s, dir, "documents"), "text",
+        window = 2, minCount = 3)),
+
+    // ---- training-data ops: TextRank keyword ranking (Mihalcea &
+    // Tarau 2004) — PageRank over the co-occurrence graph, TWO
+    // deterministic unrolled rounds in the Pregel-on-DataFrames shape
+    // (per round: one src-keyed shuffle join of the cached edge list
+    // to the vocab-sized rank table + one dst-keyed agg — ranks stay
+    // distributed, never broadcast); the oracle replays init and both
+    // rounds in SQL. ----
+    "t_textrank" -> ((s, dir) =>
+      TextOps.textRank(t(s, dir, "documents"), "text",
+        window = 2, iters = 2)),
+
     // ---- training-data ops: TF-IDF top terms per doc — tf and df are
     // two linear hash aggs off one tokenization; df-side join is
     // vocab-sized. Window orders by the ROUNDED score so cross-engine
@@ -2593,6 +2612,64 @@ object SparkEntry {
         |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t_glove_cooccur" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |t0 AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS tok
+        |  FROM tk)
+        |SELECT LEAST(a.tok, b.tok) AS t1, GREATEST(a.tok, b.tok) AS t2,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / (b.i - a.i), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS weight
+        |FROM t0 a JOIN t0 b
+        |  ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    // init + BOTH TextRank rounds replayed: same edge weights, same
+    // IEEE double base/damping arithmetic, same round-12 decimal
+    // contribution sums — loop-carried state pinned like e_kmeans
+    "t_textrank" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |t0 AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS tok
+        |  FROM tk),
+        |p AS (
+        |  SELECT LEAST(a.tok, b.tok) AS t1, GREATEST(a.tok, b.tok) AS t2,
+        |    COUNT(*) AS n
+        |  FROM t0 a JOIN t0 b
+        |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+        |  WHERE a.tok <> b.tok
+        |  GROUP BY 1, 2),
+        |e AS (SELECT t1 AS src, t2 AS dst, n FROM p
+        |      UNION ALL SELECT t2 AS src, t1 AS dst, n FROM p),
+        |ew AS (SELECT src, dst, n,
+        |         SUM(n) OVER (PARTITION BY src) AS ow FROM e),
+        |nn AS (SELECT COUNT(DISTINCT src) AS cnt FROM e),
+        |r0 AS (SELECT DISTINCT src AS term FROM e),
+        |r0r AS (SELECT term, CAST(1 AS DOUBLE) / nn.cnt AS r FROM r0, nn),
+        |r1 AS (
+        |  SELECT ew.dst AS term,
+        |    (1 - CAST(0.85 AS DOUBLE)) / nn.cnt + CAST(0.85 AS DOUBLE) *
+        |      CAST(SUM(CAST(ROUND(ew.n / ew.ow * r.r, 12)
+        |        AS DECIMAL(28,12))) AS DOUBLE) AS r
+        |  FROM ew JOIN r0r r ON r.term = ew.src, nn
+        |  GROUP BY ew.dst, nn.cnt),
+        |r2 AS (
+        |  SELECT ew.dst AS term,
+        |    (1 - CAST(0.85 AS DOUBLE)) / nn.cnt + CAST(0.85 AS DOUBLE) *
+        |      CAST(SUM(CAST(ROUND(ew.n / ew.ow * r.r, 12)
+        |        AS DECIMAL(28,12))) AS DOUBLE) AS r
+        |  FROM ew JOIN r1 r ON r.term = ew.src, nn
+        |  GROUP BY ew.dst, nn.cnt)
+        |SELECT term, ROUND(r, 6) AS rank FROM r2
+        |ORDER BY rank DESC, term LIMIT 20""".stripMargin,
 
     "t_tfidf" ->
       """WITH toks AS (

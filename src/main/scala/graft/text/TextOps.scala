@@ -734,4 +734,120 @@ object TextOps {
           .as("log_weight"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Unordered token pairs co-occurring within `window` positions of
+    * each other, one row per INSTANCE with the positional distance `d`
+    * — the shared narrow pass under [[gloveCooccur]] and [[textRank]].
+    * Two stacked explodes of the per-doc token array (|tokens|·window
+    * rows, no join, no shuffle); docs under 2 tokens are skipped
+    * (`sequence(1, 0)` would descend). Pair order is normalized
+    * (t1 ≤ t2) so downstream aggregation is symmetric. */
+  private def windowPairs(docs: org.apache.spark.sql.DataFrame,
+                          textCol: String, window: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && window <= 16, "window in [1,16]")
+    docs.select(tokens(lower(col(textCol))).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col("__w"),
+        explode(sequence(lit(1), size(col("__w")))).as("__i"))
+      .select(col("__w"), col("__i"),
+        explode(sequence(lit(1), lit(window))).as("d"))
+      .filter(col("__i") + col("d") <= size(col("__w")))
+      .select(
+        element_at(col("__w"), col("__i")).as("__a"),
+        element_at(col("__w"), (col("__i") + col("d")).cast("int"))
+          .as("__b"),
+        col("d"))
+      .select(least(col("__a"), col("__b")).as("t1"),
+        greatest(col("__a"), col("__b")).as("t2"), col("d"))
+  }
+
+  /** GloVe-style co-occurrence table (Pennington et al. 2014): for
+    * every unordered token pair within `window` positions, the
+    * instance count and the distance-weighted count Σ 1/d — the input
+    * statistic GloVe factorizes, and the corpus-global signal behind
+    * collocation/context features. Includes X_ii self-pairs (adjacent
+    * repeats), as GloVe does.
+    *
+    * Scale shape: ONE shuffle — the pair instances are a narrow
+    * |tokens|·window explode ([[windowPairs]]), aggregated once on the
+    * (t1, t2) key with map-side partial aggregation; `minCount` prunes
+    * the long singleton tail AFTER the agg (the standard X_ij ≥ k
+    * cut). Weights accumulate as round-6 decimals, so the sum is exact
+    * and engine/order-independent (the established oracle recipe). */
+  def gloveCooccur(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   window: Int = 2, minCount: Long = 3)
+      : org.apache.spark.sql.DataFrame =
+    windowPairs(docs, textCol, window)
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(lit(1.0) / col("d"), 6).cast("decimal(28,6)"))
+          .cast("double").as("weight"))
+      .filter(col("n") >= minCount)
+
+  /** TextRank keyword ranking (Mihalcea & Tarau 2004): PageRank over
+    * the undirected token co-occurrence graph (edges = pairs within
+    * `window`, weighted by co-occurrence count, self-loops dropped),
+    * run for a FIXED `iters` rounds from the uniform start — fully
+    * deterministic, so a SQL engine can replay every round (the
+    * t_textrank oracle unrolls both). rank'(v) = (1−d)/N +
+    * d·Σ_{u∼v} w(u,v)/outw(u)·rank(u); isolated terms never enter the
+    * graph (documented trade: keyword extraction only ranks connected
+    * vocabulary).
+    *
+    * Scale shape — the Pregel-on-DataFrames pattern, new to this
+    * inventory: the symmetric edge list with its per-source out-weight
+    * (a window over ONE src-keyed exchange) is built once and
+    * localCheckpointed (bounded by DISTINCT co-occurring pairs ≤
+    * token-instances × window — smaller than the corpus, bigger than
+    * the vocab; the blocks are MEMORY_AND_DISK, so a large graph
+    * spills instead of OOMing); each round is one join of edges to the
+    * vocab-sized rank table on the SAME src key plus one dst-keyed
+    * hash agg — two exchanges per round, nothing corpus-sized on the
+    * driver (N is the single scalar). Ranks stay distributed: at
+    * 100 TB the vocabulary alone can exceed a broadcast, which is why
+    * the join is a shuffle join on the term key, not a broadcast of
+    * ranks. Per-round contributions are rounded to 12 and summed as
+    * decimals (exact, order-free); both engines compute 1−d and d·Σ in
+    * IEEE doubles so the rounds agree bit-for-bit. Σ ranks stays 1 by
+    * construction (no dangling mass: every edge-node has outgoing
+    * weight). */
+  def textRank(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               window: Int = 2, iters: Int = 2, damping: Double = 0.85,
+               topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters in [1,16]")
+    require(damping > 0 && damping < 1, "damping in (0,1)")
+    val pairs = windowPairs(docs, textCol, window)
+      .filter(col("t1") =!= col("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val edges = pairs
+      .select(col("t1").as("src"), col("t2").as("dst"), col("n"))
+      .unionByName(
+        pairs.select(col("t2").as("src"), col("t1").as("dst"), col("n")))
+      // materialized once, read `iters`+2 times; vocab-sized (edge
+      // list), not corpus-sized, so the retained blocks are small —
+      // unlike BPE's superseded per-round checkpoints there is exactly
+      // one here and the returned frame's lineage still needs it
+      .withColumn("ow", sum(col("n")).over(wSrc))
+      .localCheckpoint()
+    val nNodes = edges.select(col("src")).distinct().count()
+    val base = (1.0 - damping) / nNodes // IEEE double, oracle mirrors
+    var ranks = edges.select(col("src").as("term")).distinct()
+      .withColumn("r", lit(1.0 / nNodes))
+    for (_ <- 1 to iters) {
+      ranks = edges.join(ranks, edges("src") === ranks("term"))
+        .select(col("dst"),
+          round(col("n") / col("ow") * col("r"), 12).as("__c"))
+        .groupBy(col("dst")).agg(
+          (lit(base) + lit(damping) *
+            sum(col("__c").cast("decimal(28,12)")).cast("double"))
+            .as("r"))
+        .select(col("dst").as("term"), col("r"))
+    }
+    ranks.select(col("term"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("term"))
+      .limit(topK)
+  }
 }

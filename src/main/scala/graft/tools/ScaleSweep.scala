@@ -276,7 +276,14 @@ object ScaleSweep {
       // stream-stream left-outer with two-sentinel drain: fixed
       // per-batch cost + watermark-bounded state by design
       "s_stream_join_outer" -> (d =>
-        SparkEntry.queries("s_stream_join_outer")(spark, d).count()))
+        SparkEntry.queries("s_stream_join_outer")(spark, d).count()),
+      // narrow |tokens|·window explode + one (t1,t2) hash agg
+      "t_glove_cooccur" -> (d =>
+        SparkEntry.queries("t_glove_cooccur")(spark, d).count()),
+      // Pregel shape: per round one src-keyed edge⋈rank join + one
+      // dst-keyed agg over the checkpointed edge list
+      "t_textrank" -> (d =>
+        SparkEntry.queries("t_textrank")(spark, d).count()))
 
     // Pair-volume ops are QUADRATIC in this staging's recycled content
     // by construction (every source third appears in ~3·factor splices

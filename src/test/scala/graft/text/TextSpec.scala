@@ -804,4 +804,34 @@ class TextSpec extends SparkSpec {
     // target-vocab > source-vocab is the resampling contract
     assert(out(1L)._1 > out(3L)._1)
   }
+
+  test("gloveCooccur: window-2 pairs with 1/d weights, normalized " +
+    "order, self-pairs kept, minCount cut") {
+    // "a b a b": pairs (i,i+1): (a,b),(b,a),(a,b) -> (a,b) n=3 w=3.0;
+    // (i,i+2): (a,a) n=1 w=0.5; (b,b) n=1 w=0.5
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val all = TextOps.gloveCooccur(docs, "text", window = 2, minCount = 1)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(all == Set(("a", "b", 3L, 3.0), ("a", "a", 1L, 0.5),
+      ("b", "b", 1L, 0.5)))
+    val cut = TextOps.gloveCooccur(docs, "text", window = 2, minCount = 3)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(cut == Set(("a", "b", 3L, 3.0)))
+  }
+
+  test("textRank: hub term ranks first; ranks sum to 1 (no dangling " +
+    "mass); deterministic across runs") {
+    // star graph: hub co-occurs with x, y, z; one x-y chord.
+    // Hand-checked round 1: hub .4625, x = y .214583, z .108333.
+    val docs = Seq((1L, "hub x"), (2L, "hub y"), (3L, "hub z"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val out = TextOps.textRank(docs, "text", window = 2, iters = 2,
+      topK = 10).as[(String, Double)].collect().toSeq
+    assert(out.head._1 == "hub" && out.length == 4)
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-4,
+      s"rank mass drifted: $out")
+    val again = TextOps.textRank(docs, "text", window = 2, iters = 2,
+      topK = 10).as[(String, Double)].collect().toSeq
+    assert(out == again)
+  }
 }

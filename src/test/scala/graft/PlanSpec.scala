@@ -188,6 +188,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan.take(800)) // whole-stage codegen
   }
 
+  test("gloveCooccur is one narrow explode + ONE hash-agg exchange — " +
+    "no join, no window") {
+    val df = SparkEntry.queries("t_glove_cooccur")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1200))
+  }
+
   test("cohortRetention stamps the cohort via the user window — no " +
     "join-back of a per-user aggregate") {
     val df = SparkEntry.queries("w12_retention")(spark, dir)

@@ -402,6 +402,63 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exists(p => p._2 == 3L))
   }
 
+  test("restart from checkpoint is exactly-once: an outer-join replay " +
+    "killed mid-run resumes into a file sink with no loss or dupes") {
+    // The ops property a 100 TB backfill depends on: kill the job at an
+    // arbitrary batch boundary, restart with the same checkpoint, and
+    // the parquet sink (whose _spark_metadata commit log spark.read
+    // honors) holds every result exactly once.
+    val base = java.nio.file.Files.createTempDirectory("graft_rst").toString
+    sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)))
+    def mk(rows: Seq[(Long, java.sql.Timestamp, Long, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val inDir = new java.io.File(s"$base/in")
+    mk(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 00:30:00"), 1L, "purchase"),
+      (3L, ts("2024-01-01 05:00:00"), 2L, "click"),
+      (4L, ts("2024-01-01 23:00:00"), 3L, "click")))
+      .coalesce(1).write.mode("overwrite").parquet(inDir.toString)
+    EventStreams.stageDrainBatches(inDir.toString, Seq(
+      mk(Seq((-1L, ts("2024-03-01 00:00:00"), -1L, "click"),
+        (-2L, ts("2024-03-01 00:00:00"), -1L, "purchase"))),
+      mk(Seq((-3L, ts("2024-03-02 00:00:00"), -1L, "click"),
+        (-4L, ts("2024-03-02 00:00:00"), -1L, "purchase")))))
+    val opts = Map("maxFilesPerTrigger" -> "1")
+    def joined() = {
+      val clicks = EventStreams.readStream(spark, inDir.toString,
+        options = opts).filter(col("event_type") === "click")
+      val purchases = EventStreams.readStream(spark, inDir.toString,
+        options = opts).filter(col("event_type") === "purchase")
+      EventStreams.intervalJoinStreamsOuter(clicks, purchases,
+          "user_id", "ts", within = "1 HOUR", watermark = "2 hours")
+        .select(col("l.event_id").as("click_id"),
+          col("r.event_id").as("purchase_id"))
+    }
+    def start() = joined().writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // run 1: kill after at least one committed batch (wherever the
+    // stop lands, the sink's commit log keeps only whole batches)
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.isActive && q1.recentProgress.length < 2 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    q1.stop(); q1.awaitTermination()
+    // run 2: same checkpoint — resumes from the last committed offset
+    val q2 = start(); q2.awaitTermination()
+    val out = EventStreams.drainTail(
+        spark.read.parquet(s"$base/out"),
+        col("click_id") < 0 || col("purchase_id") < 0)
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out.sorted == Seq((1L, Some(2L)), (3L, None), (4L, None)),
+      s"restart lost or duplicated rows: $out")
+  }
+
   test("nearDupCandidatesStream: idle eviction SHRINKS state (bucket " +
     "count) versus the unbounded default, measured per micro-batch") {
     // 3 micro-batches of mutually-unrelated docs: without eviction the

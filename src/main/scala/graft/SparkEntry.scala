@@ -762,6 +762,18 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
         .limit(20)),
 
+    // ---- training-data ops: BPE ENCODE — learn 3 merges on the
+    // corpus, then apply them corpus-wide (rank-ordered greedy
+    // non-overlapping fuse, the learner's exact rewrite) and report
+    // per-doc raw-vs-encoded token counts. Encoding is k chained
+    // narrow HOF passes — no shuffle, no join: the embarrassingly-
+    // parallel half of BPE. Oracle replays learn AND apply. ----
+    "t_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.applyBpeMerges(docs, "doc_id", "text",
+        TextOps.learnBpeMerges(docs, "doc_id", "text", 3))
+    }),
+
     // ---- training-data ops: GloVe-style distance-weighted
     // co-occurrence table (Pennington et al. 2014) — |tokens|·window
     // narrow explode, ONE (t1, t2) hash agg, X_ij ≥ 3 cut; the 1/d
@@ -2612,6 +2624,97 @@ object SparkEntry {
         |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t_bpe_encode" ->
+      """WITH t0 AS (
+        |  SELECT doc_id AS id, unnest(range(1, len(tk) + 1)) AS i,
+        |    unnest(tk) AS tok
+        |  FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tk
+        |    FROM documents)),
+        |m1 AS (
+        |  SELECT a.tok AS l, b.tok AS r, COUNT(*) AS n
+        |  FROM t0 a JOIN t0 b ON a.id = b.id AND b.i = a.i + 1
+        |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+        |t1_cand AS (
+        |  SELECT a.id, a.i,
+        |    a.i - ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY a.i) AS grp
+        |  FROM t0 a JOIN t0 b ON a.id = b.id AND b.i = a.i + 1, m1 m
+        |  WHERE a.tok = m.l AND b.tok = m.r),
+        |t1_keep AS (
+        |  SELECT id, i FROM (
+        |    SELECT id, i,
+        |      ROW_NUMBER() OVER (PARTITION BY id, grp ORDER BY i) - 1 AS off
+        |    FROM t1_cand)
+        |  WHERE off % 2 = 0),
+        |t1 AS (
+        |  SELECT t.id,
+        |    ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY t.i) AS i,
+        |    CASE WHEN k.i IS NOT NULL THEN t.tok || ' ' || nx.tok
+        |         ELSE t.tok END AS tok
+        |  FROM t0 t
+        |  LEFT JOIN t1_keep k ON t.id = k.id AND t.i = k.i
+        |  LEFT JOIN t0 nx ON t.id = nx.id AND nx.i = t.i + 1
+        |  LEFT JOIN t1_keep kp ON t.id = kp.id AND t.i = kp.i + 1
+        |  WHERE kp.i IS NULL),
+        |m2 AS (
+        |  SELECT a.tok AS l, b.tok AS r, COUNT(*) AS n
+        |  FROM t1 a JOIN t1 b ON a.id = b.id AND b.i = a.i + 1
+        |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+        |t2_cand AS (
+        |  SELECT a.id, a.i,
+        |    a.i - ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY a.i) AS grp
+        |  FROM t1 a JOIN t1 b ON a.id = b.id AND b.i = a.i + 1, m2 m
+        |  WHERE a.tok = m.l AND b.tok = m.r),
+        |t2_keep AS (
+        |  SELECT id, i FROM (
+        |    SELECT id, i,
+        |      ROW_NUMBER() OVER (PARTITION BY id, grp ORDER BY i) - 1 AS off
+        |    FROM t2_cand)
+        |  WHERE off % 2 = 0),
+        |t2 AS (
+        |  SELECT t.id,
+        |    ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY t.i) AS i,
+        |    CASE WHEN k.i IS NOT NULL THEN t.tok || ' ' || nx.tok
+        |         ELSE t.tok END AS tok
+        |  FROM t1 t
+        |  LEFT JOIN t2_keep k ON t.id = k.id AND t.i = k.i
+        |  LEFT JOIN t1 nx ON t.id = nx.id AND nx.i = t.i + 1
+        |  LEFT JOIN t2_keep kp ON t.id = kp.id AND t.i = kp.i + 1
+        |  WHERE kp.i IS NULL),
+        |m3 AS (
+        |  SELECT a.tok AS l, b.tok AS r, COUNT(*) AS n
+        |  FROM t2 a JOIN t2 b ON a.id = b.id AND b.i = a.i + 1
+        |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+        |t3_cand AS (
+        |  SELECT a.id, a.i,
+        |    a.i - ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY a.i) AS grp
+        |  FROM t2 a JOIN t2 b ON a.id = b.id AND b.i = a.i + 1, m3 m
+        |  WHERE a.tok = m.l AND b.tok = m.r),
+        |t3_keep AS (
+        |  SELECT id, i FROM (
+        |    SELECT id, i,
+        |      ROW_NUMBER() OVER (PARTITION BY id, grp ORDER BY i) - 1 AS off
+        |    FROM t3_cand)
+        |  WHERE off % 2 = 0),
+        |t3 AS (
+        |  SELECT t.id,
+        |    ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY t.i) AS i,
+        |    CASE WHEN k.i IS NOT NULL THEN t.tok || ' ' || nx.tok
+        |         ELSE t.tok END AS tok
+        |  FROM t2 t
+        |  LEFT JOIN t3_keep k ON t.id = k.id AND t.i = k.i
+        |  LEFT JOIN t2 nx ON t.id = nx.id AND nx.i = t.i + 1
+        |  LEFT JOIN t3_keep kp ON t.id = kp.id AND t.i = kp.i + 1
+        |  WHERE kp.i IS NULL)
+        |SELECT d.doc_id,
+        |  COALESCE(rw.n, 0) AS n_tokens_raw,
+        |  COALESCE(bp.n, 0) AS n_tokens_bpe
+        |FROM documents d
+        |LEFT JOIN (SELECT id, COUNT(*) AS n FROM t0 GROUP BY id) rw
+        |  ON rw.id = d.doc_id
+        |LEFT JOIN (SELECT id, COUNT(*) AS n FROM t3 GROUP BY id) bp
+        |  ON bp.id = d.doc_id""".stripMargin,
 
     "t_glove_cooccur" ->
       """WITH tk AS (

@@ -649,9 +649,16 @@ object TextOps {
     }
     val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
     for (rank <- 1 to numMerges) {
+      // docs under 2 symbols have no adjacent pair — and MUST be
+      // filtered before the sequence: sequence(1, 0) DESCENDS in
+      // Spark, yielding spurious (null, null) pairs that sort FIRST
+      // in the argmax tiebreak (round-10 fix, caught by the
+      // applyBpeMerges spec; the SQL oracle's self-join never had
+      // the artifact)
       val pairs = seqs
+        .filter(size(col("w")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, greatest(size(w) - 1, 0)), " +
+          "transform(sequence(1, size(w) - 1), " +
             "i -> struct(w[i-1] as l, w[i] as r))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(count(lit(1)).as("n"))
@@ -699,6 +706,44 @@ object TextOps {
 
   private def sqlLit(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** BPE ENCODE — the apply half of [[learnBpeMerges]]: rewrite every
+    * document's token sequence with the learned merges in RANK order,
+    * each applied greedily left-to-right non-overlapping (the Column
+    * twin of the learner's fuse fold, so the encoded sequences equal
+    * the learner's round-k state exactly — the t_bpe_encode oracle
+    * replays the same three rounds and compares per-doc counts).
+    * Returns (doc_id, n_tokens_raw, n_tokens_bpe) — the
+    * compression-ratio surface a tokenizer report reads.
+    *
+    * Scale shape: the merge table is bounded (≤64 rows — a tokenizer
+    * artifact, not data) and collected once; encoding is `k` chained
+    * narrow `aggregate` HOF passes over each doc's token array — NO
+    * shuffle, no join: the embarrassingly-parallel half of BPE, which
+    * is why learn-once/encode-everywhere works at 100 TB. */
+  def applyBpeMerges(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     merges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ms = merges.select(col("rank"), col("left"), col("right"))
+      .collect() // ≤ 64 rows by learnBpeMerges' contract
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    require(ms.length <= 64, "merge table larger than the learner emits")
+    def fuse(arr: Column, l: String, r: String): Column =
+      aggregate(arr,
+        array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(lit(l + " " + r))))
+          .otherwise(concat(acc, array(x))))
+    val raw = tokens(lower(col(textCol)))
+    val encoded = ms.foldLeft(raw) { case (acc, (l, r)) => fuse(acc, l, r) }
+    docs.select(col(idCol).as("doc_id"),
+      size(raw).cast("long").as("n_tokens_raw"),
+      size(encoded).cast("long").as("n_tokens_bpe"))
+  }
 
   def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, isTarget: Column,

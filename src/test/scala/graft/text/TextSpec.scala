@@ -805,6 +805,17 @@ class TextSpec extends SparkSpec {
     assert(out(1L)._1 > out(3L)._1)
   }
 
+  test("applyBpeMerges: learned merges fuse greedily left-to-right, " +
+    "counts reflect the encode; empty and 1-token docs pass through") {
+    val docs = Seq((1L, "a b a b c"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = TextOps.learnBpeMerges(docs, "doc_id", "text", 1)
+    val got = TextOps.applyBpeMerges(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().toSet
+    // top pair is (a,b) n=2; "a b a b c" -> [ab, ab, c]
+    assert(got == Set((1L, 5L, 3L), (2L, 1L, 1L), (3L, 0L, 0L)))
+  }
+
   test("gloveCooccur: window-2 pairs with 1/d weights, normalized " +
     "order, self-pairs kept, minCount cut") {
     // "a b a b": pairs (i,i+1): (a,b),(b,a),(a,b) -> (a,b) n=3 w=3.0;

@@ -2153,6 +2153,22 @@ object SparkEntry {
           sum(length(col("text"))).cast("long").as("chars"))
     }),
 
+    // ---- §2.1 XML sink + scan roundtrip (Spark 4's NATIVE xml
+    // source — the remaining interchange format in the source matrix;
+    // rowTag-scoped records, schema bound on read like the JSONL
+    // twin, and the agg must reproduce the source exactly). ----
+    "s12_xml_roundtrip" -> ((s, dir) => {
+      val tmp = tempDir("graft_xml") + "/out"
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").option("rowTag", "doc")
+        .format("xml").save(tmp)
+      s.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("rowTag", "doc").format("xml").load(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
     // ---- §2.1 ORC sink + scan roundtrip (the columnar alternative —
     // same predicate-pushdown/pruning properties as parquet) ----
     "s3_orc_roundtrip" -> ((s, dir) => {
@@ -4504,6 +4520,11 @@ object SparkEntry {
     "s2_jsonl_roundtrip" ->
       """SELECT lang, COUNT(*) AS n,
         |  CAST(SUM(length(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "s12_xml_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang""".stripMargin,
 
     "s3_orc_roundtrip" ->

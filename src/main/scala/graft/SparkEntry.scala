@@ -1767,6 +1767,14 @@ object SparkEntry {
     "w12_retention" -> ((s, dir) =>
       Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
 
+    // ---- W16: EWMA per user over the event values — the per-key
+    // recurrence no window frame expresses; one key exchange, sorted
+    // collect_list + codegen'd HOF fold, every step rounded to 6 so a
+    // recursive CTE replays the identical IEEE arithmetic. ----
+    "w16_ewma" -> ((s, dir) =>
+      WindowOps.ewma(t(s, dir, "events"), Seq("user_id"), "ts",
+        "event_id", "value", alpha = 0.3)),
+
     // ---- training-data ops: next-event-prediction dataset — per user
     // stream, (last-3-event-types context, next event) supervised
     // pairs: the sequence-model training extract. Three lags over ONE
@@ -4390,6 +4398,27 @@ object SparkEntry {
         |  COUNT(DISTINCT e.user_id) AS active_users
         |FROM events e JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // the identical recurrence replayed sequentially: rn=1 seeds, each
+    // next step joins the previous — EXACT decimal steps (one input
+    // round on the double, then decimal state), engine-free
+    "w16_ewma" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, rn, v AS s FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.user_id, v.event_id, v.rn,
+        |    CAST(ROUND(CAST(0.3 AS DECIMAL(10,8)) * v.v +
+        |               CAST(0.7 AS DECIMAL(10,8)) * e.s, 6)
+        |         AS DECIMAL(18,6))
+        |  FROM v JOIN e ON v.user_id = e.user_id AND v.rn = e.rn + 1)
+        |SELECT user_id, event_id, CAST(s AS DOUBLE) AS ewma
+        |FROM e""".stripMargin,
 
     "s_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",

@@ -191,4 +191,72 @@ object WindowOps {
         sum(col("__graft_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__graft_new")
   }
+
+  /** EWMA (exponential smoothing) over each key's time-ordered values:
+    * s₁ = v₁, sᵢ = α·vᵢ + (1−α)·sᵢ₋₁. The recurrence runs in EXACT
+    * DECIMAL arithmetic (inputs rounded once to 6 on the double — the
+    * established convention — then decimal(18,6) state, decimal α/1−α
+    * factors, one half-up round per step): a double recurrence
+    * compounds thousands of round(double, 6) calls per key and WILL
+    * eventually hit a shortest-repr-vs-binary half-way case where
+    * engines disagree by 1 ulp (measured at sf0.01, step ~1199);
+    * decimal steps are engine-free, and the oracle's recursive CTE
+    * replays them exactly. Returns (key…, idCol, ewma double) — the
+    * smoothing the reference's LOCF fill family lacks, and the one
+    * per-key recurrence NO window function expresses (window frames
+    * aggregate a range, they can't carry state).
+    *
+    * Scale shape: ONE key-hash exchange — per key a sorted
+    * `collect_list` + one codegen'd `aggregate` HOF fold emitting the
+    * running smooth per element. The per-key ARRAY is the documented
+    * bound (the funnel convention): `maxEventsPerKey` caps it at the
+    * first N events by time with the dropped-row count observable as
+    * the "ewma_dropped_events" Observation; default None is exact. */
+  def ewma(df: DataFrame, keys: Seq[String], tsCol: String, idCol: String,
+           valCol: String, alpha: Double = 0.3,
+           maxEventsPerKey: Option[Int] = None): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(maxEventsPerKey.forall(_ > 0), "maxEventsPerKey must be > 0")
+    val kcols = keys.map(col)
+    val bounded = maxEventsPerKey match {
+      case None => df
+      case Some(cap) =>
+        val w = Window.partitionBy(kcols: _*)
+          .orderBy(col(tsCol), col(idCol))
+        df.withColumn("__rn", row_number().over(w))
+          .observe("ewma_dropped_events",
+            sum(when(col("__rn") > cap, 1L).otherwise(0L)).as("dropped"))
+          .filter(col("__rn") <= cap).drop("__rn")
+    }
+    // α and 1−α as EXACT decimals (1−α computed in BigDecimal, not
+    // double subtraction) so each step is pure decimal arithmetic
+    val aBD = new java.math.BigDecimal(alpha.toString)
+    val bBD = java.math.BigDecimal.ONE.subtract(aBD)
+    val a = s"cast(${aBD.toPlainString} as decimal(10,8))"
+    val b = s"cast(${bBD.toPlainString} as decimal(10,8))"
+    def step = s"""cast(round($a * e.v + $b * acc.last, 6)
+                  |      as decimal(18,6))""".stripMargin
+    bounded
+      .select(kcols :+ struct(
+        col(tsCol).cast("timestamp_ltz").cast("double").as("t"),
+        col(idCol).cast("long").as("id"),
+        round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("v")).as("__e"): _*)
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(kcols :+ expr(
+        s"""aggregate(__evs,
+           |  struct(cast(array() as
+           |           array<struct<id:bigint, s:decimal(18,6)>>) AS out,
+           |         cast(null as decimal(18,6)) AS last),
+           |  (acc, e) -> struct(
+           |    concat(acc.out, array(named_struct('id', e.id, 's',
+           |      CASE WHEN acc.last IS NULL THEN e.v
+           |           ELSE $step END))),
+           |    CASE WHEN acc.last IS NULL THEN e.v ELSE $step END),
+           |  acc -> acc.out)""".stripMargin).as("__arr"): _*)
+      .select(kcols :+ explode(col("__arr")).as("__o"): _*)
+      .select(kcols :+ col("__o.id").as(idCol) :+
+        col("__o.s").cast("double").as("ewma"): _*)
+  }
 }

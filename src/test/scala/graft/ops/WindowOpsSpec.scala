@@ -157,4 +157,35 @@ class WindowOpsSpec extends SparkSpec {
     // value contains BOTH rows for both rows
     assert(out == Seq((2.0, 3.0), (4.0, 3.0)))
   }
+
+  test("ewma: per-key recurrence s1=v1, si=a*vi+(1-a)*s(i-1), each " +
+    "step rounded; cap bounds the per-key array observably") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, 1.0),
+      (1L, ts("2024-01-01 00:01:00"), 11L, 2.0),
+      (1L, ts("2024-01-01 00:02:00"), 12L, 3.0),
+      (2L, ts("2024-01-01 00:00:00"), 20L, 5.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = WindowOps.ewma(df, Seq("user_id"), "ts", "event_id",
+        "value", alpha = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // s1=1.0; s2=0.3*2+0.7*1=1.3; s3=round(0.3*3+0.7*1.3,6)=1.81
+    assert(out == Set((1L, 10L, 1.0), (1L, 11L, 1.3), (1L, 12L, 1.81),
+      (2L, 20L, 5.0)))
+    // cap keeps the FIRST events by time; drop count observable
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      val capped = WindowOps.ewma(df, Seq("user_id"), "ts", "event_id",
+        "value", alpha = 0.3, maxEventsPerKey = Some(2))
+      val got = capped.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 10L, 1.0), (1L, 11L, 1.3), (2L, 20L, 5.0)))
+      val dropped = capped.queryExecution.observedMetrics
+        .get("ewma_dropped_events").map(_.getLong(0))
+      assert(dropped.contains(1L), s"got $dropped")
+    } finally spark.conf.set(aqeKey, aqeWas)
+  }
 }

@@ -1775,6 +1775,34 @@ object SparkEntry {
       WindowOps.ewma(t(s, dir, "events"), Seq("user_id"), "ts",
         "event_id", "value", alpha = 0.3)),
 
+    // ---- W17: multi-touch attribution — every purchase credits its
+    // same-user clicks in the 24h lookback: linear (1/n each) and
+    // last-touch (latest click) in one result. COMPOSES the binned
+    // rangeJoin (no all-pairs; per-user time-bin equi-join) with two
+    // purchase-keyed windows sharing one exchange. ----
+    "w17_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("ts").cast("timestamp_ltz") -
+            expr("INTERVAL 24 HOURS")).as("w_start"),
+          col("ts").cast("timestamp_ltz").as("w_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val j = Joins.rangeJoin(clicks, purchases, Seq("user_id"), "ts",
+        "w_start", "w_end", binSeconds = 86400)
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+        .orderBy(col("ts").desc, col("click_id").desc)
+      j.withColumn("n", count(lit(1)).over(wP))
+        .withColumn("rn", row_number().over(wOrd))
+        .select(col("purchase_id"), col("click_id"),
+          round(lit(1.0) / col("n"), 6).as("credit"),
+          (col("rn") === 1).as("last_touch"))
+    }),
+
     // ---- training-data ops: next-event-prediction dataset — per user
     // stream, (last-3-event-types context, next event) supervised
     // pairs: the sequence-model training extract. Three lags over ONE
@@ -4398,6 +4426,25 @@ object SparkEntry {
         |  COUNT(DISTINCT e.user_id) AS active_users
         |FROM events e JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // half-open lookback mirrors rangeJoin's [start, end) filter
+    "w17_attribution" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.purchase_id, c.click_id, c.ts
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts)
+        |SELECT purchase_id, click_id,
+        |  ROUND(CAST(1 AS DOUBLE) /
+        |        COUNT(*) OVER (PARTITION BY purchase_id), 6) AS credit,
+        |  (ROW_NUMBER() OVER (PARTITION BY purchase_id
+        |     ORDER BY ts DESC, click_id DESC) = 1) AS last_touch
+        |FROM j""".stripMargin,
 
     // the identical recurrence replayed sequentially: rn=1 seeds, each
     // next step joins the previous — EXACT decimal steps (one input

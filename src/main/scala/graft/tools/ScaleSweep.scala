@@ -283,7 +283,14 @@ object ScaleSweep {
       // Pregel shape: per round one src-keyed edge⋈rank join + one
       // dst-keyed agg over the checkpointed edge list
       "t_textrank" -> (d =>
-        SparkEntry.queries("t_textrank")(spark, d).count()))
+        SparkEntry.queries("t_textrank")(spark, d).count()),
+      // one key exchange + per-user decimal HOF fold; replicas add
+      // USERS not events-per-user, so per-key arrays stay constant
+      "w16_ewma" -> (d =>
+        SparkEntry.queries("w16_ewma")(spark, d).count()),
+      // binned range join + two windows on the purchase exchange
+      "w17_attribution" -> (d =>
+        SparkEntry.queries("w17_attribution")(spark, d).count()))
 
     // Pair-volume ops are QUADRATIC in this staging's recycled content
     // by construction (every source third appears in ~3·factor splices

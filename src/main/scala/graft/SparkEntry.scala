@@ -507,6 +507,24 @@ object SparkEntry {
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))),
 
+    // ---- A16: Pearson correlation matrix over the lineitem measures
+    // — ONE aggregate pass computes every pair's EXACT-decimal moment
+    // sums (order-free under any partitioning), the textbook formula
+    // runs on the sums as a fixed IEEE op sequence, and pair rows are
+    // emitted by an in-plan inline (no driver collect, no per-pair
+    // jobs). Builtin corr() would be partition-order-dependent AND
+    // engine-divergent (Welford vs textbook). ----
+    "a16_corr" -> ((s, dir) =>
+      Quality.corrPairs(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // ---- A17: per-group OLS fit (extendedprice ~ quantity per
+    // returnflag) — slope/intercept/r² from the same one-pass
+    // exact-decimal moment sums. ----
+    "a17_regression" -> ((s, dir) =>
+      Quality.olsFit(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", "l_extendedprice")),
+
     // ---- §2.5 rank family: rank/dense_rank/percent_rank over a real
     // tie-bearing ordering (users ranked by event count per type) plus
     // ntile over a unique ordering (ntile splits ties by row order, so
@@ -2601,6 +2619,86 @@ object SparkEntry {
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // same exact-decimal moment sums, same fixed IEEE formula sequence
+    "a16_corr" ->
+      """WITH p AS (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        |    CAST(ROUND(CAST(l_quantity AS DOUBLE), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 6) AS DECIMAL(18,6)) AS y
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount',
+        |    CAST(ROUND(CAST(l_quantity AS DOUBLE), 6) AS DECIMAL(18,6)),
+        |    CAST(ROUND(CAST(l_discount AS DOUBLE), 6) AS DECIMAL(18,6))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax',
+        |    CAST(ROUND(CAST(l_quantity AS DOUBLE), 6) AS DECIMAL(18,6)),
+        |    CAST(ROUND(CAST(l_tax AS DOUBLE), 6) AS DECIMAL(18,6))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount',
+        |    CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 6) AS DECIMAL(18,6)),
+        |    CAST(ROUND(CAST(l_discount AS DOUBLE), 6) AS DECIMAL(18,6))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax',
+        |    CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 6) AS DECIMAL(18,6)),
+        |    CAST(ROUND(CAST(l_tax AS DOUBLE), 6) AS DECIMAL(18,6))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax',
+        |    CAST(ROUND(CAST(l_discount AS DOUBLE), 6) AS DECIMAL(18,6)),
+        |    CAST(ROUND(CAST(l_tax AS DOUBLE), 6) AS DECIMAL(18,6))
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT col_x, col_y, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT col_x, col_y, n,
+        |  CASE WHEN sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) *
+        |                 (CAST(n AS DOUBLE)*syy - sy*sy)) = 0 THEN NULL
+        |       ELSE ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) /
+        |                  sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) *
+        |                       (CAST(n AS DOUBLE)*syy - sy*sy)), 6)
+        |  END AS corr
+        |FROM a""".stripMargin,
+
+    "a17_regression" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(CAST(l_quantity AS DOUBLE), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 6) AS DECIMAL(18,6)) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM s WHERE x IS NOT NULL AND y IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT l_returnflag, n, sx, sy, syy,
+        |    CAST(n AS DOUBLE)*sxy - sx*sy AS num,
+        |    CAST(n AS DOUBLE)*sxx - sx*sx AS varx
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN varx = 0 THEN NULL
+        |       ELSE ROUND(num/varx, 6) END AS slope,
+        |  CASE WHEN varx = 0 THEN NULL
+        |       ELSE ROUND((sy - (num/varx)*sx)/CAST(n AS DOUBLE), 6)
+        |  END AS intercept,
+        |  CASE WHEN sqrt(varx*(CAST(n AS DOUBLE)*syy - sy*sy)) = 0 THEN NULL
+        |       ELSE ROUND((num/sqrt(varx*(CAST(n AS DOUBLE)*syy - sy*sy))) *
+        |                  (num/sqrt(varx*(CAST(n AS DOUBLE)*syy - sy*sy))), 6)
+        |  END AS r2
+        |FROM f""".stripMargin,
 
     "a12_rollup" ->
       """SELECT r_name, n_name,

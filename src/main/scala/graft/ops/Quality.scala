@@ -198,4 +198,114 @@ object Quality {
         round(col("lo_whisker"), 6).as("lo_whisker") :+
         round(col("hi_whisker"), 6).as("hi_whisker")): _*)
   }
+
+  // Inputs rounded ONCE to the round-6 grid on the double (the repo
+  // convention), then EXACT decimal moment sums — Σx, Σy, Σxy, Σx²,
+  // Σy² are reduction-order-free, so the statistic is identical under
+  // any partitioning and replayable by any SQL engine. A naive
+  // double-sum corr/slope is order-DEPENDENT: 600k additions of
+  // ~1e10-magnitude products drift by ULPs between partition plans,
+  // and builtin corr()/regr_slope() implementations (Welford vs
+  // textbook) diverge between engines — exactly the hash-mismatch
+  // class the decimal-sum discipline exists to kill.
+  // decimal(18,6), NOT (20,6): the product of two (18,6)s is (37,12)
+  // — exact and under the 38 cap in Spark AND DuckDB. At (20,6) the
+  // 41-digit product trips Spark's allowPrecisionLoss scale reduction
+  // (silent per-element HALF_UP at scale 10) while DuckDB keeps the
+  // full 12-digit scale — an engine split on the "exact" path.
+  private def r6d(c: Column): Column =
+    round(c.cast("double"), 6).cast("decimal(18,6)")
+
+  /** Pairwise Pearson correlation over `cols` — the QC correlation
+    * matrix as data, one row per unordered column pair.
+    *
+    * ONE aggregate pass computes every pair's conditional moment sums
+    * (pairwise-complete: a row enters pair (x,y) iff both are
+    * non-null, so each pair carries its own n), then the textbook
+    * formula r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) runs on
+    * the exact sums cast to double — a fixed, engine-identical IEEE
+    * op sequence. Zero-variance pairs → null. Pair rows are emitted
+    * by an in-plan `inline` over the single agg row — no driver
+    * collect, no per-pair job loop.
+    *
+    * Scale: cost is one partial+final hash aggregate regardless of
+    * pair count (k(k−1)/2 · 6 accumulators ride the same pass); the
+    * 1×C agg row is trivially small. */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    // round/cast each column ONCE per row in a projection below the
+    // agg — referencing r6d(col) inside every pair's six accumulators
+    // re-evaluates it per accumulator (no codegen CSE across agg
+    // buffers; the bind-once discipline from Dedup's lambdas)
+    val proj = df.select(cols.map(c => r6d(col(c)).as(s"__r_$c")): _*)
+    val aggExprs = pairs.flatMap { case (x, y) =>
+      val xr = col(s"__r_$x"); val yr = col(s"__r_$y")
+      val ok = xr.isNotNull && yr.isNotNull
+      val xv = when(ok, xr)
+      val yv = when(ok, yr)
+      val tag = s"${x}__${y}"
+      Seq(
+        count(when(ok, lit(1))).as(s"n_$tag"),
+        sum(xv).as(s"sx_$tag"),
+        sum(yv).as(s"sy_$tag"),
+        sum(xv * yv).as(s"sxy_$tag"),
+        sum(xv * xv).as(s"sxx_$tag"),
+        sum(yv * yv).as(s"syy_$tag"))
+    }
+    val one = proj.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = pairs.map { case (x, y) =>
+      val tag = s"${x}__${y}"
+      val n = col(s"n_$tag").cast("double")
+      val sx = col(s"sx_$tag").cast("double")
+      val sy = col(s"sy_$tag").cast("double")
+      val sxy = col(s"sxy_$tag").cast("double")
+      val sxx = col(s"sxx_$tag").cast("double")
+      val syy = col(s"syy_$tag").cast("double")
+      val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      struct(
+        lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"n_$tag").cast("long").as("n"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round((n * sxy - sx * sy) / den, 6)).as("corr"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
+  /** Per-group simple OLS fit y = slope·x + intercept — the "does
+    * price scale with quantity per segment" profiling regression.
+    * Same exact-decimal moment sums as [[corrPairs]], one grouped
+    * aggregate; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept =
+    * (Σy − slope·Σx)/n, r² = corr² — all from the one pass,
+    * degenerate (zero-variance x) groups → null fit. */
+  def olsFit(df: DataFrame, by: Seq[String], xCol: String,
+             yCol: String): DataFrame = {
+    val ok = col(xCol).isNotNull && col(yCol).isNotNull
+    val xv = when(ok, r6d(col(xCol)))
+    val yv = when(ok, r6d(col(yCol)))
+    val agg = df.groupBy(by.map(col): _*).agg(
+      count(when(ok, lit(1))).cast("long").as("n"),
+      sum(xv).as("__sx"), sum(yv).as("__sy"),
+      sum(xv * yv).as("__sxy"),
+      sum(xv * xv).as("__sxx"), sum(yv * yv).as("__syy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val syy = col("__syy").cast("double")
+    val varX = n * sxx - sx * sx
+    val num = n * sxy - sx * sy
+    val slope = num / varX
+    val denR = sqrt(varX * (n * syy - sy * sy))
+    agg.select((by.map(col) :+ col("n") :+
+      when(varX === 0.0, lit(null).cast("double"))
+        .otherwise(round(slope, 6)).as("slope") :+
+      when(varX === 0.0, lit(null).cast("double"))
+        .otherwise(round((sy - slope * sx) / n, 6)).as("intercept") :+
+      when(denR === 0.0, lit(null).cast("double"))
+        .otherwise(round((num / denR) * (num / denR), 6)).as("r2")): _*)
+  }
 }

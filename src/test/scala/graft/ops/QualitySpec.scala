@@ -115,4 +115,36 @@ class QualitySpec extends SparkSpec {
       .as[Double].collect().sorted
     assert(h.toSeq == Seq(110.0, 190.0)) // p10/p90 of {100,200} interpolate
   }
+
+  test("corrPairs: exact ±1 on linear columns, null on zero variance, " +
+    "pairwise-complete n") {
+    val df = Seq(
+      (1.0, Some(2.0), -1.0, 5.0),
+      (2.0, Some(4.0), -2.0, 5.0),
+      (3.0, None, -3.0, 5.0),
+      (4.0, Some(8.0), -4.0, 5.0)
+    ).toDF("a", "b", "c", "k")
+    val m = Quality.corrPairs(df, Seq("a", "b", "c", "k")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(m(("a", "b")) == ((3L, Some(1.0))))   // b = 2a where present
+    assert(m(("a", "c")) == ((4L, Some(-1.0))))  // c = -a
+    assert(m(("a", "k")) == ((4L, None)))        // k constant -> null
+    assert(m(("b", "c")) == ((3L, Some(-1.0))))
+  }
+
+  test("olsFit: hand-computed slope/intercept/r2; degenerate x -> null") {
+    val df = Seq(
+      ("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),   // y = 2x+1
+      ("h", 4.0, 1.0), ("h", 4.0, 9.0)                      // x constant
+    ).toDF("grp", "x", "y")
+    val m = Quality.olsFit(df, Seq("grp"), "x", "y").collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(m("g") == ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(m("h") == ((2L, None, None, None)))
+  }
 }

@@ -871,6 +871,15 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         groupCols = Seq("source"), idCol = "doc_id", maxRows = 15)),
 
+    // ---- training-data ops: weighted sampling WITHOUT replacement
+    // (Efraimidis–Spirakis) — top-50 docs by the portable-hash A-ES
+    // key with n_chars as weight: longer docs proportionally likelier,
+    // RNG-free and engine-reproducible. Narrow projection into
+    // TakeOrdered — no shuffle, no global sort. ----
+    "t_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), n = 50)),
+
     // ---- training-data ops: sliding-window chunking with overlap
     // (64-token windows every 48 — the context-window/RAG passage
     // prep). One tokenization, narrow explode, no shuffle. ----
@@ -2980,6 +2989,17 @@ object SparkEntry {
         |    ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647,
         |             doc_id) AS rn
         |  FROM documents) WHERE rn <= 15""".stripMargin,
+
+    // the identical A-ES key: u from the portable hash, ln(u)/w
+    // round-6, id tiebreak
+    "t_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |  ROUND(ln((CAST(((doc_id % 2147483647) * 2654435761)
+        |                 % 2147483647 AS DOUBLE) + 1.0) / 2147483648.0)
+        |        / CAST(n_chars AS DOUBLE), 6) AS sample_key
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY sample_key DESC, doc_id
+        |LIMIT 50""".stripMargin,
 
     "t_chunk_overlap" ->
       """WITH toks AS (

@@ -241,6 +241,36 @@ object TextOps {
       .drop("__graft_rn")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES, Inf. Process. Lett. 2006): each row draws a
+    * pseudo-uniform u from the portable hash of its id and ranks by
+    * u^(1/w) — the top-n rows are a weighted sample without
+    * replacement, inclusion probability proportional to weight at
+    * each of the n sequential draws. Ranking by ln(u)/w (monotone in
+    * u^(1/w); u ≤ 1 so the key is ≤ 0 and HIGHER is better) swaps the
+    * pow for one ln + one exactly-rounded IEEE divide; the key is
+    * rounded to the round-6 grid with the id as tiebreak, so the
+    * selected set is engine- and run-reproducible (no RNG state — the
+    * repo's stratifiedKeep/epochShuffle discipline, extended to
+    * weights).
+    *
+    * Scale: the plan is a narrow projection into TakeOrdered —
+    * per-partition top-n then a driver merge of partitions×n rows, no
+    * shuffle of the corpus and no global sort. Zero/negative weights
+    * are excluded (a zero-weight row must never be drawn). */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     weight: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val u = (portableHash(col(idCol)).cast("double") + lit(1.0)) /
+      lit(2147483648.0)
+    val key = round(log(u) / weight.cast("double"), 6)
+    df.filter(weight > 0)
+      .select(col(idCol), weight.cast("long").as("weight"),
+        key.as("sample_key"))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Deterministic EPOCH SHUFFLE for training export: a seeded global
     * pseudo-random permutation laid out as `shards` sequential files —
     * (shard, pos_in_shard) addresses every row of epoch `seed`'s order,

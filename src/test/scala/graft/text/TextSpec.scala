@@ -845,4 +845,34 @@ class TextSpec extends SparkSpec {
       topK = 10).as[(String, Double)].collect().toSeq
     assert(out == again)
   }
+
+  test("weightedSample: heavy weights dominate, zero weight excluded, " +
+    "partitioning-invariant, TakeOrdered plan") {
+    // one row with overwhelming weight: its key ln(u)/1e9 ~ 0 beats
+    // every unit-weight key (ln(u) <= ln(u_max) < 0 for all hashes)
+    val df = (1L to 200L).map(i => (i, if (i == 17L) 1000000000L else 1L))
+      .toDF("id", "w")
+    val top = TextOps.weightedSample(df, "id", col("w"), 10)
+    val ids = top.select("id").as[Long].collect().toSet
+    assert(ids.contains(17L), s"heavy row missing from $ids")
+    assert(ids.size == 10)
+
+    // zero/negative weights can never be drawn
+    val z = TextOps.weightedSample(
+      Seq((1L, 0L), (2L, -5L), (3L, 4L)).toDF("id", "w"),
+      "id", col("w"), 10).select("id").as[Long].collect().toSeq
+    assert(z == Seq(3L))
+
+    // the selected SET is a pure function of (ids, weights)
+    val a = TextOps.weightedSample(df.repartition(7), "id", col("w"), 10)
+      .collect().toSeq
+    val b = TextOps.weightedSample(df.repartition(1), "id", col("w"), 10)
+      .collect().toSeq
+    assert(a == b)
+
+    // top-n must be TakeOrdered (per-partition top-n + driver merge),
+    // never a global sort exchange
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

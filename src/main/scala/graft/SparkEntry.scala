@@ -2232,6 +2232,28 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("sum_chars"))
     }),
 
+    // ---- S13: keyed snapshot diff — classify every order key across
+    // two deterministic table versions (v1 drops keys ≡3 mod 10, v2
+    // drops ≡7, mutates totalprice on ≡0 mod 5 and status on ≡0 mod
+    // 11) as added/removed/changed, with the differing columns and
+    // both versions' values: the change-data-feed audit from plain
+    // snapshots. ONE full-outer sort-merge join on the key. ----
+    "s13_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val v1 = o.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val v2 = o.filter(col("o_orderkey") % 10 =!= 7)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.5)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      Merge.snapshotDiff(v1, v2, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .filter(col("change") =!= "unchanged")
+    }),
+
     // ---- §2.1 ORC sink + scan roundtrip (the columnar alternative —
     // same predicate-pushdown/pruning properties as parquet) ----
     "s3_orc_roundtrip" -> ((s, dir) => {
@@ -4715,6 +4737,48 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n,
         |  CAST(SUM(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // the identical diff replayed: IS DISTINCT FROM = Spark's <=>
+    // negated; concat_ws skips NULL arms in both engines
+    "s13_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.5
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 7),
+        |j AS (
+        |  SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |    v1.o_orderkey IS NOT NULL AS in1,
+        |    v2.o_orderkey IS NOT NULL AS in2,
+        |    v1.o_orderstatus AS old_o_orderstatus,
+        |    v2.o_orderstatus AS new_o_orderstatus,
+        |    v1.o_totalprice AS old_o_totalprice,
+        |    v2.o_totalprice AS new_o_totalprice
+        |  FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN NOT in1 THEN 'added'
+        |         WHEN NOT in2 THEN 'removed'
+        |         WHEN old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+        |           OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM j)
+        |SELECT o_orderkey, change,
+        |  CASE WHEN change = 'changed' THEN concat_ws(',',
+        |    CASE WHEN old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+        |         THEN 'o_orderstatus' END,
+        |    CASE WHEN old_o_totalprice IS DISTINCT FROM new_o_totalprice
+        |         THEN 'o_totalprice' END)
+        |  ELSE '' END AS changed_cols,
+        |  old_o_orderstatus, new_o_orderstatus,
+        |  old_o_totalprice, new_o_totalprice
+        |FROM c WHERE change <> 'unchanged'""".stripMargin,
 
     "s12_xml_roundtrip" ->
       """SELECT lang, COUNT(*) AS n,

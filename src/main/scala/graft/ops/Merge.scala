@@ -156,6 +156,50 @@ object Merge {
     * (same filesystem), then dynamic-partition-overwrite the touched
     * partitions; on failure PRESERVE staging as the recovery copy (see
     * [[mergeUpsert]] scaladoc). */
+  /** Keyed SNAPSHOT DIFF — classify every key across two table
+    * versions as added / removed / changed / unchanged, with the
+    * differing column names and both versions' values. The audit
+    * companion to [[mergeUpsert]]: "what did this load actually do",
+    * the change-data-feed a table format would expose, computed from
+    * plain snapshots.
+    *
+    * One full-outer sort-merge join on the key is the entire plan —
+    * presence is tracked by side flags (never by key nullness, which
+    * a null-keyed row would fake), column comparison is null-safe
+    * (`<=>`: null→value and value→null are CHANGES, null→null is
+    * not). `changed_cols` lists differing columns in declaration
+    * order, comma-joined — '' for added/removed/unchanged rows.
+    *
+    * Scale: both sides shuffle once on the diff key; for
+    * date-partitioned snapshots diff partition-by-partition (the
+    * mergeUpsert touched-partition discipline) so a daily diff reads
+    * two days, not two tables. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val l = v1.select((keys ++ compareCols).map(col): _*)
+      .toDF(keys ++ compareCols.map("old_" + _): _*)
+      .withColumn("__in_v1", lit(true))
+    val r = v2.select((keys ++ compareCols).map(col): _*)
+      .toDF(keys ++ compareCols.map("new_" + _): _*)
+      .withColumn("__in_v2", lit(true))
+    val j = l.join(r, keys, "full_outer")
+    val diffs = compareCols.map(c =>
+      when(!(col("old_" + c) <=> col("new_" + c)), lit(c)))
+    val change =
+      when(col("__in_v1").isNull, lit("added"))
+        .when(col("__in_v2").isNull, lit("removed"))
+        .when(diffs.map(_.isNotNull).reduce(_ || _), lit("changed"))
+        .otherwise(lit("unchanged"))
+    j.withColumn("change", change)
+      .withColumn("changed_cols",
+        when(col("change") === "changed",
+          concat_ws(",", diffs: _*)).otherwise(lit("")))
+      .select((keys.map(col) :+ col("change") :+ col("changed_cols")) ++
+        compareCols.flatMap(c => Seq(col("old_" + c), col("new_" + c))): _*)
+  }
+
   private def overwriteTouched(spark: SparkSession,
                                fs: org.apache.hadoop.fs.FileSystem,
                                fsPath: org.apache.hadoop.fs.Path,

@@ -183,4 +183,31 @@ class MergeUpsertSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(d2 == Seq((2L, 5.0)))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe value " +
+    "compare, changed_cols in declaration order") {
+    val v1 = Seq(
+      (1L, Some("a"), Some(10.0)),   // unchanged
+      (2L, Some("b"), Some(20.0)),   // removed
+      (3L, Some("c"), Some(30.0)),   // changed: both cols
+      (4L, None: Option[String], Some(40.0)), // changed: null -> value
+      (5L, None: Option[String], None: Option[Double]) // unchanged (null==null)
+    ).toDF("k", "s", "v")
+    val v2 = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (3L, Some("C"), Some(31.0)),
+      (4L, Some("d"), Some(40.0)),
+      (5L, None: Option[String], None: Option[Double]),
+      (6L, Some("new"), Some(60.0))  // added
+    ).toDF("k", "s", "v")
+    val d = Merge.snapshotDiff(v1, v2, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(d(1L) == (("unchanged", "")))
+    assert(d(2L) == (("removed", "")))
+    assert(d(3L) == (("changed", "s,v")))
+    assert(d(4L) == (("changed", "s")))
+    assert(d(5L) == (("unchanged", "")))
+    assert(d(6L) == (("added", "")))
+  }
 }

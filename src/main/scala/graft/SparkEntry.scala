@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.text.{Dedup, TextOps}
 import graft.sim.Similarity
+import graft.functions.NativeExpressions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1180,6 +1181,26 @@ object SparkEntry {
             TextOps.tokenCount(col("text")).as("n_tokens"),
             pmod(col("doc_id"), lit(8)).as("shard")),
         "doc_id", "n_tokens", "shard", budget = 2048)),
+
+    // ---- training-data ops: Unicode NFC canonicalization — docs with
+    // combining sequences staged deterministically (doc_id ≡ 0 mod 7
+    // gets every 'e' decomposed to e+U+0301), then the native
+    // NfcNormalize recomposes; full normalized text in the output so
+    // the hash compare proves BYTE-level agreement with DuckDB's
+    // independent utf8proc implementation. Narrow, shuffle-free, with
+    // an isNormalized fast path for already-clean (ASCII) docs. ----
+    "t_nfc_normalize" -> ((s, dir) => {
+      val raw = when(col("doc_id") % 7 === 0,
+          call_function("replace", col("text"), lit("e"),
+            lit("e\u0301")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          NativeExpressions.nfc_normalize(col("raw")).as("nfc"),
+          length(col("raw")).cast("long").as("raw_len"))
+        .withColumn("nfc_len", length(col("nfc")).cast("long"))
+    }),
 
     // ---- training-data ops: exact dedup by content hash ----
     "t_dedup_exact" -> ((s, dir) =>
@@ -3659,6 +3680,20 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT)
         |    AS chunk_in_shard
         |FROM wc""".stripMargin,
+
+    // DuckDB's nfc_normalize is utf8proc — an independent NFC
+    // implementation; byte-identical output is the real check
+    "t_nfc_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN replace(text, 'e', 'e' || chr(769))
+        |         ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc,
+        |  CAST(length(raw) AS BIGINT) AS raw_len,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len
+        |FROM r""".stripMargin,
 
     "t_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

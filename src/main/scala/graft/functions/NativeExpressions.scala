@@ -503,6 +503,41 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Unicode NFC normalization (canonical decomposition + canonical
+    * composition) — the text-canonicalization step exact dedup needs
+    * BEFORE hashing: "café" with a precomposed é and "café" with
+    * e+U+0301 are byte-different, hash to different keys, and defeat
+    * every content-hash dedup until both are brought to the same
+    * canonical form. Delegates to the JDK's Normalizer (Unicode NFC;
+    * independently implemented by DuckDB's nfc_normalize via utf8proc
+    * — the oracle is a genuine cross-implementation check, not a
+    * replay). NFC, not NFKC: compatibility folding (ﬁ → fi) is lossy
+    * and belongs in an explicit quality pass, not canonicalization.
+    *
+    * No pure-Column twin exists (Spark has no normalization builtin —
+    * the usual twin obligation is discharged by the DuckDB oracle +
+    * a JDK-reference spec). ASCII fast path: a pure-ASCII string is
+    * already NFC; Normalizer.isNormalized's quick check skips the
+    * decompose/recompose allocation for the common case, so corpus
+    * scans pay ~one byte scan per clean document. */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s,
+          java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** |a ∩ b| of two string arrays in ONE hash-set pass: build from the
     * smaller side, probe with the larger, full string equality on probe
     * (no hash-collision risk). Counts DISTINCT common elements with the
@@ -673,6 +708,9 @@ object NativeExpressions {
   def intersect_size(a: Column, b: Column): Column =
     toCol(IntersectSize(expr(a), expr(b)))
 
+  def nfc_normalize(s: Column): Column =
+    toCol(NfcNormalize(expr(s)))
+
   def sorted_jaccard_ge(a: Column, b: Column, threshold: Double): Column =
     toCol(SortedJaccardGe(expr(a), expr(b), threshold))
 
@@ -699,7 +737,8 @@ object NativeExpressions {
     "dot_product" -> (es => DotProduct(es.head, es(1))),
     "portable_simhash" -> (es => PortableSimHash(es.head)),
     "normalize_spaces" -> (es => NormalizeSpaces(es.head)),
-    "intersect_size" -> (es => IntersectSize(es.head, es(1))))
+    "intersect_size" -> (es => IntersectSize(es.head, es(1))),
+    "nfc_normalize" -> (es => NfcNormalize(es.head)))
 
   /** Register for the SQL surface of THIS session: callable from
     * spark.sql / SqlRunner. Sessions derived via newSession() (e.g. the

@@ -357,4 +357,42 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("NfcNormalize == JDK Normalizer on combining sequences; " +
+    "idempotent; ASCII passthrough; SQL surface") {
+    import graft.functions.NativeExpressions
+    val cases = Seq(
+      "cafe\u0301",                 // e + combining acute -> precomposed
+      "A\u030A",                    // A + combining ring above
+      "c\u0327\u0301at",            // cedilla then acute (multi-mark)
+      "\u1100\u1161",               // Hangul jamo pair -> one syllable
+      "plain ascii stays",
+      "already \u00e9 composed",
+      "")
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+      .select(col("id"), col("s"),
+        NativeExpressions.nfc_normalize(col("s")).as("n"))
+    val got = df.orderBy("id").select("s", "n")
+      .as[(String, String)].collect()
+    got.foreach { case (s, n) =>
+      val expect = java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC)
+      assert(n == expect, s"NFC mismatch for ${s.codePoints().toArray.toSeq}")
+    }
+    // idempotent: normalizing the normalized column is a fixpoint
+    val twice = df.select(
+      NativeExpressions.nfc_normalize(col("n")).as("n2"), col("n"))
+      .filter(col("n2") =!= col("n")).count()
+    assert(twice == 0L)
+    // null in, null out
+    val nr = Seq((1L, null: String)).toDF("id", "s")
+      .select(NativeExpressions.nfc_normalize(col("s"))).collect()(0)
+    assert(nr.isNullAt(0))
+    // SQL surface
+    NativeExpressions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301')").as[String].collect()(0)
+    assert(viaSql == "caf\u00e9")
+  }
 }

@@ -373,6 +373,31 @@ object SparkEntry {
           col("l_shipdate"))
     }),
 
+    // ---- J12: interval-OVERLAP join — per-user view windows [ts,
+    // ts+2h) against click windows [ts, ts+1h) that intersect, with
+    // the overlap span. The interval-interval sibling of j9's
+    // point-in-interval: both sides binned, (user, bin) equi-join,
+    // each pair kept only in its canonical overlap-start bin (no
+    // corpus-wide DISTINCT). ----
+    "j12_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").cast("timestamp_ltz").as("v_start"),
+          (col("ts").cast("timestamp_ltz") +
+            expr("INTERVAL 2 HOURS")).as("v_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").cast("timestamp_ltz").as("c_start"),
+          (col("ts").cast("timestamp_ltz") +
+            expr("INTERVAL 1 HOUR")).as("c_end"))
+      Joins.intervalOverlapJoin(views, clicks, Seq("user_id"),
+          "v_start", "v_end", "c_start", "c_end", binSeconds = 3600)
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          greatest(col("v_start"), col("c_start")).as("o_start"),
+          least(col("v_end"), col("c_end")).as("o_end"))
+    }),
+
     // ---- anti join (§2.3 note: QC parity) ----
     "j_anti" -> ((s, dir) => {
       val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
@@ -2549,6 +2574,22 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_shipdate >= o.o_orderdate
         |  AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY""".stripMargin,
+
+    // nonempty-overlap join: max(start) < min(end), half-open
+    "j12_interval_overlap" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts AS v_start,
+        |    ts + INTERVAL 2 HOUR AS v_end
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_start,
+        |    ts + INTERVAL 1 HOUR AS c_end
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id,
+        |  greatest(v_start, c_start) AS o_start,
+        |  least(v_end, c_end) AS o_end
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND greatest(v_start, c_start) < least(v_end, c_end)""".stripMargin,
 
     "j6_regex_vocab" ->
       """SELECT d.doc_id, t.term

@@ -189,6 +189,49 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval-OVERLAP join: all pairs of a left and a right interval
+    * on the same key whose half-open spans [ls, le) and [rs, re)
+    * share a NONEMPTY intersection — max(ls, rs) < min(le, re) — the
+    * interval-interval sibling of [[rangeJoin]]'s point-in-interval,
+    * and the op behind "which sessions overlapped which incidents".
+    * The single max<min predicate (not the textbook ls<re AND rs<le,
+    * which admits a zero-length interval strictly inside another
+    * span) makes zero-length intervals match nothing: an empty span
+    * has no instants to share.
+    *
+    * No all-pairs: both sides explode to the time bins they span and
+    * equi-join on (key, bin). A pair spanning several common bins
+    * would match once per bin; instead of a corpus-wide DISTINCT
+    * (one more shuffle over the OUTPUT), each pair is kept only in
+    * its canonical bin — the bin of the overlap start max(ls, rs),
+    * which provably lies in both sides' bin ranges — a narrow
+    * post-join filter, so every qualifying pair appears EXACTLY once.
+    *
+    * Scale: explode factor is span/binSeconds + 1 per interval — set
+    * binSeconds near the typical interval length so each row expands
+    * to O(1) bins; the join shuffles on (key, bin), so long intervals
+    * spread over many bins rather than hot-spotting one key. Column
+    * names must be disjoint across sides (rename before joining). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], leftStart: String,
+                          leftEnd: String, rightStart: String,
+                          rightEnd: String,
+                          binSeconds: Long = 3600): DataFrame = {
+    def secs(c: Column): Column = c.cast("timestamp_ltz").cast("double")
+    def bin(c: Column): Column =
+      floor(secs(c) / binSeconds).cast("long")
+    val l = left.withColumn("__bin",
+      explode(sequence(bin(col(leftStart)), bin(col(leftEnd)))))
+    val r = right.withColumn("__bin",
+      explode(sequence(bin(col(rightStart)), bin(col(rightEnd)))))
+    l.join(r, keys :+ "__bin")
+      .filter(greatest(col(leftStart), col(rightStart)) <
+        least(col(leftEnd), col(rightEnd)))
+      .filter(col("__bin") ===
+        bin(greatest(col(leftStart), col(rightStart))))
+      .drop("__bin")
+  }
+
   /** Edit-distance similarity self-join (PassJoin segment blocking —
     * Li, Deng, Wang, Feng, ICDE'11): all unordered pairs of rows whose
     * `nameCol` values are within Levenshtein distance `k`, WITHOUT the

@@ -267,4 +267,40 @@ class JoinsScalarsSpec extends SparkSpec {
         s"expected 1 distinct dropped key, got $dropped")
     } finally spark.conf.set(aqeKey, aqeWas)
   }
+
+  test("intervalOverlapJoin == brute-force overlap; half-open borders; " +
+    "multi-bin pairs appear exactly once; zero-length matches nothing") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // spans chosen to cross many 10s bins; key 1 vs key 2 never join
+    val left = Seq(
+      (1L, 10L, 0L, 35L),    // long: crosses 4 bins
+      (1L, 11L, 40L, 50L),   // touches right r21 start-at-end
+      (1L, 12L, 60L, 60L),   // zero-length
+      (2L, 13L, 0L, 100L)
+    ).map { case (k, id, s, e) => (k, id, ts(s), ts(e)) }
+      .toDF("k", "lid", "ls", "le")
+    val right = Seq(
+      (1L, 20L, 5L, 25L),    // overlaps lid=10 across 2+ shared bins
+      (1L, 21L, 50L, 70L),   // starts exactly at lid=11's end: NO match
+      (1L, 22L, 59L, 61L),   // covers the zero-length instant: NO match
+      (2L, 23L, 99L, 120L)   // 1-second overlap at the tail
+    ).map { case (k, id, s, e) => (k, id, ts(s), ts(e)) }
+      .toDF("k", "rid", "rs", "re")
+    val got = Joins.intervalOverlapJoin(left, right, Seq("k"),
+        "ls", "le", "rs", "re", binSeconds = 10)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    // brute force over the cross product
+    val l = left.as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect()
+    val r = right.as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect()
+    val brute = for {
+      (lk, lid, ls, le) <- l; (rk, rid, rs, re) <- r
+      if lk == rk &&
+        math.max(ls.getTime, rs.getTime) < math.min(le.getTime, re.getTime)
+    } yield (lid, rid)
+    assert(got.sorted == brute.toSeq.sorted, s"got=$got brute=${brute.toSeq}")
+    assert(got.size == got.distinct.size, "a pair was emitted twice")
+    assert(got.toSet == Set((10L, 20L), (13L, 23L)))
+  }
 }

@@ -897,6 +897,18 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         groupCols = Seq("source"), idCol = "doc_id", maxRows = 15)),
 
+    // ---- training-data ops: positional phrase search over the
+    // inverted index — every (doc, start) where "table part" occurs
+    // as consecutive tokens. Anchor-vote evaluation: ONE (doc,
+    // anchor) shuffle regardless of phrase length, postings
+    // pre-filtered to the phrase terms (hits-sized, not
+    // corpus-sized). Oracle finds the same occurrences by direct
+    // token-array adjacency — an independent formulation. ----
+    "t_phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearch(
+        TextOps.invertedIndex(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", Seq("table", "part"))),
+
     // ---- training-data ops: weighted sampling WITHOUT replacement
     // (Efraimidis–Spirakis) — top-50 docs by the portable-hash A-ES
     // key with n_chars as weight: longer docs proportionally likelier,
@@ -3073,6 +3085,16 @@ object SparkEntry {
         |    ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647,
         |             doc_id) AS rn
         |  FROM documents) WHERE rn <= 15""".stripMargin,
+
+    // independent formulation: direct adjacency on the token array
+    "t_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS start_pos
+        |FROM t, unnest(range(greatest(len(w) - 1, 0))) AS u(i)
+        |WHERE w[i + 1] = 'table' AND w[i + 2] = 'part'""".stripMargin,
 
     // the identical A-ES key: u from the portable hash, ln(u)/w
     // round-6, id tiebreak

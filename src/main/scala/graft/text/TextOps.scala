@@ -241,6 +241,51 @@ object TextOps {
       .drop("__graft_rn")
   }
 
+  /** Positional inverted index: one (term, doc, position) posting row
+    * per token occurrence — the retrieval-side view of the corpus
+    * that [[phraseSearch]], term lookups, and df/tf statistics all
+    * join against. One tokenization, one narrow posexplode; persist
+    * partitioned/bucketed by term for pruned point lookups (the
+    * LshIndex/IVF-index layout discipline applies unchanged). */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), posexplode(tokens(col(textCol))))
+      .select(col("col").as("term"), col(idCol),
+        col("pos").cast("long").as("pos"))
+
+  /** Positional PHRASE search over [[invertedIndex]] postings: every
+    * (doc, start) where the n-gram `phrase` occurs as consecutive
+    * tokens. NOT an n-way self-join of posting lists (n−1 shuffles,
+    * the textbook evaluation): each posting of a phrase term votes
+    * for the anchor positions it would imply — term at position p
+    * matching phrase slot i votes for anchor p−i — and an anchor
+    * confirmed by all n distinct slots is an occurrence. ONE
+    * (doc, anchor) shuffle total, independent of phrase length;
+    * repeated phrase terms just cast several votes per posting.
+    * Postings are pre-filtered to the phrase's terms, so the shuffled
+    * stream is hits-sized, not corpus-sized. */
+  def phraseSearch(postings: org.apache.spark.sql.DataFrame,
+                   idCol: String,
+                   phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val slots: Map[String, Seq[Int]] = phrase.zipWithIndex
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val offArr = slots.foldLeft(lit(null).cast("array<int>")) {
+      case (acc, (t, is)) =>
+        when(col("term") === t, array(is.map(i => lit(i)): _*))
+          .otherwise(acc)
+    }
+    postings.filter(col("term").isin(phrase.distinct: _*))
+      .select(col(idCol), col("pos"), explode(offArr).as("__slot"))
+      .select(col(idCol), (col("pos") - col("__slot")).as("start_pos"),
+        col("__slot"))
+      .filter(col("start_pos") >= 0)
+      .groupBy(col(idCol), col("start_pos"))
+      .agg(count_distinct(col("__slot")).as("__hits"))
+      .filter(col("__hits") === phrase.size)
+      .select(col(idCol), col("start_pos"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis A-ES, Inf. Process. Lett. 2006): each row draws a
     * pseudo-uniform u from the portable hash of its id and ranks by

@@ -846,6 +846,37 @@ class TextSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("phraseSearch: overlapping occurrences with repeated terms, " +
+    "single-term phrase, absent phrase, == sliding-window reference") {
+    val docs = Seq(
+      (1L, "x a b a b a y"),   // "a b a" at 1 AND 3 (overlapping)
+      (2L, "a b"),             // prefix only: no match
+      (3L, "b a b a"),         // "a b a" at 1
+      (4L, "a"),               // too short
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+    val phrase = Seq("a", "b", "a")
+    val got = TextOps.phraseSearch(idx, "doc_id", phrase)
+      .as[(Long, Long)].collect().toSet
+    val ref = docs.as[(Long, String)].collect().flatMap { case (id, t) =>
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      w.indices.dropRight(phrase.size - 1)
+        .filter(i => phrase.indices.forall(j => w(i + j) == phrase(j)))
+        .map(i => (id, i.toLong))
+    }.toSet
+    assert(got == ref, s"got=$got ref=$ref")
+    assert(got == Set((1L, 1L), (1L, 3L), (3L, 1L)))
+
+    // single-term phrase degenerates to term lookup
+    val one = TextOps.phraseSearch(idx, "doc_id", Seq("y"))
+      .as[(Long, Long)].collect().toSet
+    assert(one == Set((1L, 6L)))
+
+    // absent phrase -> empty
+    assert(TextOps.phraseSearch(idx, "doc_id", Seq("a", "z")).count() == 0L)
+  }
+
   test("weightedSample: heavy weights dominate, zero weight excluded, " +
     "partitioning-invariant, TakeOrdered plan") {
     // one row with overwhelming weight: its key ln(u)/1e9 ~ 0 beats

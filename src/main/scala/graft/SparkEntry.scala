@@ -1572,6 +1572,28 @@ object SparkEntry {
       Similarity.kmeansLloyd(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, iters = 2)),
 
+    // ---- similarity: PRODUCT QUANTIZATION encode — 4 subspaces × 8
+    // codes trained with one deterministic Lloyd round (portable-hash
+    // init, round-6 L2 assignment, exact-decimal means); every
+    // 64-float vector compresses to 4 small ints. The oracle
+    // recomputes the ENTIRE training run + encode in SQL (the
+    // e_kmeans bar, per subspace). ----
+    "e_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqEncode(emb, "vec_id", "embedding",
+        Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8,
+          iters = 1))
+    }),
+
+    // ---- similarity: PQ top-k by asymmetric distance — query 17's
+    // per-subspace distance table (4×8, driver-side) + m table
+    // lookups per corpus row over the CODES ONLY: the vector column
+    // is never read at query time. The memory-compression ANN play:
+    // corpus-side query cost is m ints/row. ----
+    "e_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 17L, topK = 10, m = 4, k = 8, iters = 1)),
+
     // ---- similarity: BATCH IVF k-NN join — every 100th vector is a
     // query; each probes its nprobe=8 nearest of nlist=64 cells and
     // scores only those cells' members (native IvfProbe explode + one
@@ -4161,6 +4183,126 @@ object SparkEntry {
         |       DESC, cell
         |     LIMIT 1) AS INT) AS cluster
         |  FROM embeddings e""".stripMargin,
+
+    // the whole PQ training run replayed per subspace: portable-hash
+    // init slices, round-6 L2 argmin (lowest code ties), exact-decimal
+    // per-dim means narrowed to REAL, final encode vs the trained books
+    "e_pq_encode" ->
+      """WITH init AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |        vec_id) - 1 AS code,
+        |    embedding AS e
+        |  FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 8),
+        |subs AS (SELECT unnest(range(4)) AS sub),
+        |cb0 AS (
+        |  SELECT subs.sub, init.code,
+        |    init.e[subs.sub*16 + 1 : subs.sub*16 + 16] AS ce
+        |  FROM init, subs),
+        |a1 AS (
+        |  SELECT e.vec_id, s.sub,
+        |    (SELECT code FROM cb0 WHERE cb0.sub = s.sub
+        |     ORDER BY ROUND(list_sum(list_transform(
+        |         list_zip(cb0.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
+        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+        |       code
+        |     LIMIT 1) AS code
+        |  FROM embeddings e, subs s),
+        |m1 AS (
+        |  SELECT a.sub, a.code, d.sd,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |        CAST(e.embedding[a.sub*16 + d.sd + 1] AS DOUBLE), 6)
+        |        AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS mn
+        |  FROM a1 a JOIN embeddings e USING (vec_id),
+        |    (SELECT unnest(range(16)) AS sd) d
+        |  GROUP BY 1, 2, 3),
+        |cb1 AS (
+        |  SELECT cb0.sub, cb0.code, COALESCE(l.ml, cb0.ce) AS ce
+        |  FROM cb0 LEFT JOIN (
+        |    SELECT sub, code, list(mn ORDER BY sd) AS ml
+        |    FROM m1 GROUP BY 1, 2) l
+        |  USING (sub, code)),
+        |a2 AS (
+        |  SELECT e.vec_id, s.sub,
+        |    (SELECT code FROM cb1 WHERE cb1.sub = s.sub
+        |     ORDER BY ROUND(list_sum(list_transform(
+        |         list_zip(cb1.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
+        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+        |       code
+        |     LIMIT 1) AS code
+        |  FROM embeddings e, subs s)
+        |SELECT vec_id, list(CAST(code AS INT) ORDER BY sub) AS codes
+        |FROM a2 GROUP BY vec_id""".stripMargin,
+
+    // same trained books; ADC = exact-decimal sum of the round-6
+    // per-subspace query-to-code distances
+    "e_pq_topk" ->
+      """WITH init AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |        vec_id) - 1 AS code,
+        |    embedding AS e
+        |  FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 8),
+        |subs AS (SELECT unnest(range(4)) AS sub),
+        |cb0 AS (
+        |  SELECT subs.sub, init.code,
+        |    init.e[subs.sub*16 + 1 : subs.sub*16 + 16] AS ce
+        |  FROM init, subs),
+        |a1 AS (
+        |  SELECT e.vec_id, s.sub,
+        |    (SELECT code FROM cb0 WHERE cb0.sub = s.sub
+        |     ORDER BY ROUND(list_sum(list_transform(
+        |         list_zip(cb0.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
+        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+        |       code
+        |     LIMIT 1) AS code
+        |  FROM embeddings e, subs s),
+        |m1 AS (
+        |  SELECT a.sub, a.code, d.sd,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |        CAST(e.embedding[a.sub*16 + d.sd + 1] AS DOUBLE), 6)
+        |        AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS mn
+        |  FROM a1 a JOIN embeddings e USING (vec_id),
+        |    (SELECT unnest(range(16)) AS sd) d
+        |  GROUP BY 1, 2, 3),
+        |cb1 AS (
+        |  SELECT cb0.sub, cb0.code, COALESCE(l.ml, cb0.ce) AS ce
+        |  FROM cb0 LEFT JOIN (
+        |    SELECT sub, code, list(mn ORDER BY sd) AS ml
+        |    FROM m1 GROUP BY 1, 2) l
+        |  USING (sub, code)),
+        |a2 AS (
+        |  SELECT e.vec_id, s.sub,
+        |    (SELECT code FROM cb1 WHERE cb1.sub = s.sub
+        |     ORDER BY ROUND(list_sum(list_transform(
+        |         list_zip(cb1.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
+        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+        |       code
+        |     LIMIT 1) AS code
+        |  FROM embeddings e, subs s),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 17),
+        |tbl AS (
+        |  SELECT cb1.sub, cb1.code,
+        |    ROUND(list_sum(list_transform(
+        |      list_zip(cb1.ce,
+        |        (SELECT qe FROM q)[cb1.sub*16+1 : cb1.sub*16+16]),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d
+        |  FROM cb1)
+        |SELECT a.vec_id,
+        |  CAST(SUM(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+        |FROM a2 a JOIN tbl t ON t.sub = a.sub AND t.code = a.code
+        |GROUP BY a.vec_id
+        |ORDER BY adc_dist, a.vec_id
+        |LIMIT 10""".stripMargin,
 
     "e_label_centroid" ->
       """WITH dims AS (

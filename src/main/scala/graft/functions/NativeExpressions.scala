@@ -396,6 +396,64 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Product-quantization encoder (Jégou, Douze, Schmid, TPAMI 2011):
+    * the vector is split into `codebooks.length` contiguous subspaces;
+    * each subspace emits the id of its nearest codebook centroid by
+    * squared L2 (ROUND(d², 6), ties → lowest code — the IvfCell
+    * rounding convention, so a SQL oracle replays every comparison on
+    * the same 6-decimal grid). Output is the m-int code array — the
+    * 64-float vector compressed to m bytes of information, the memory
+    * play that lets a 100 TB embedding corpus fit an ANN serving tier.
+    * One JVM loop, m×k×subdim multiply-adds per row, broadcast
+    * codebooks, narrow. [[graft.sim.Similarity.pqEncodeCols]] is the
+    * pure-Column twin proven output-identical in SimilaritySpec. */
+  case class PqEncode(child: Expression,
+                      codebooks: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]])
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    @transient private lazy val read = reader(child)
+    @transient private lazy val cbs: Array[Array[Array[Float]]] =
+      codebooks.value
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val m = cbs.length
+      val out = new Array[Int](m)
+      var off = 0
+      var s = 0
+      while (s < m) {
+        val book = cbs(s)
+        val sub = book(0).length
+        var best = -1
+        var bestScore = Double.PositiveInfinity
+        var c = 0
+        while (c < book.length) {
+          val cv = book(c)
+          var d2 = 0.0
+          var j = 0
+          while (j < sub) {
+            val d = read(v, off + j) - cv(j).toDouble
+            d2 += d * d
+            j += 1
+          }
+          val score = java.math.BigDecimal.valueOf(d2)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (score < bestScore) { bestScore = score; best = c }
+          c += 1
+        }
+        out(s) = best
+        off += sub
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Portable 31-bit polynomial token hash: fold over code points,
     * h = (h*mult + cp) mod (2^31 - 1). Engine-independent — a DuckDB
     * list_reduce over string_split computes the identical value, which is
@@ -729,6 +787,11 @@ object NativeExpressions {
                 centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
                 nprobe: Int): Column =
     toCol(IvfProbe(expr(vec), centroids, nprobe))
+
+  def pq_encode(vec: Column,
+                codebooks: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]])
+      : Column =
+    toCol(PqEncode(expr(vec), codebooks))
 
   /** (name, builder) for every SQL-surfaced native function. */
   private[functions] val sqlFunctions

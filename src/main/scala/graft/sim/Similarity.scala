@@ -215,6 +215,148 @@ object Similarity {
       ivfCell(col(vecCol), cents, spark).cast("int").as("cluster"))
   }
 
+  /** Product-quantization codebooks (Jégou, Douze, Schmid, TPAMI
+    * 2011): the vector space is split into `m` contiguous subspaces
+    * and each learns its own k-centroid quantizer — `iters` Lloyd
+    * rounds of squared-L2 assignment (native [[graft.functions.NativeExpressions.PqEncode]],
+    * round-6 grid, lowest-code ties) and exact-decimal per-dim means,
+    * seeded from the portable-hash-order first k vectors (the
+    * ivfCentroids/kmeansLloyd init, sliced per subspace, so a SQL
+    * oracle replays the whole training run). Empty codes keep their
+    * previous centroid.
+    *
+    * Scale: each round is ONE job — a narrow no-shuffle encode pass
+    * fused with posexplode, then an (m·k·subdim)-key hash agg; only
+    * the m×k×subdim codebook ever reaches the driver. This is the
+    * memory-compression ANN path: m small ints per vector instead of
+    * dim floats, the difference between an embedding corpus that fits
+    * a serving tier and one that doesn't. */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int,
+                  iters: Int = 1): Array[Array[Array[Float]]] = {
+    require(m >= 1 && k >= 1, "m and k must be >= 1")
+    require(iters >= 1 && iters <= 32, "iters in [1,32]")
+    val spark = emb.sparkSession
+    val init = ivfCentroids(emb, idCol, vecCol, k)
+    val dim = init.head.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    var cbs: Array[Array[Array[Float]]] = Array.tabulate(m)(s =>
+      Array.tabulate(k)(c => init(c).slice(s * sub, (s + 1) * sub).toArray))
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cbs)
+      val subCol = (col("dim") / lit(sub)).cast("int")
+      val rows = emb.select(
+          graft.functions.NativeExpressions.pq_encode(col(vecCol), bc)
+            .as("codes"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .select(subCol.as("sub"),
+          pmod(col("dim"), lit(sub)).cast("int").as("sd"),
+          col("codes").getItem(subCol).as("code"), col("x"))
+        .groupBy(col("sub"), col("code"), col("sd"))
+        .agg((sum(round(col("x").cast("double"), 6).cast("decimal(20,6)"))
+          .cast("double") / count(lit(1))).as("mn"))
+        .collect() // ≤ m × k × subdim rows — codebook-sized
+      val updated = rows
+        .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("code")))
+        .map { case (sc, rs) =>
+          sc -> rs.sortBy(_.getAs[Int]("sd"))
+            .map(_.getAs[Double]("mn").toFloat).toArray
+        }
+      cbs = Array.tabulate(m)(s => Array.tabulate(k)(c =>
+        updated.getOrElse((s, c), cbs(s)(c))))
+    }
+    cbs
+  }
+
+  /** Encode every vector as its m-code PQ word — narrow, no shuffle,
+    * broadcast codebooks. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               cbs: Array[Array[Array[Float]]]): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(cbs)
+    emb.select(col(idCol),
+      graft.functions.NativeExpressions.pq_encode(col(vecCol), bc)
+        .as("codes"))
+  }
+
+  /** Pure-Column twin of the native PQ encoder — the executable spec
+    * of the assignment arithmetic (per-subspace slice, round-6
+    * squared L2 per codebook literal, argmin with lowest-code ties).
+    * FIXTURE-SCALE ONLY, same caveat as [[ivfCellCols]]. */
+  def pqEncodeCols(vec: Column,
+                   cbs: Array[Array[Array[Float]]]): Column = {
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    array((0 until m).map { s =>
+      val sl = slice(vec, s * sub + 1, sub)
+      val scored = cbs(s).toSeq.zipWithIndex.map { case (cv, c) =>
+        (c, round(aggregate(
+          zip_with(sl, typedLit(cv.toSeq), (a, b) => {
+            val d = a.cast("double") - b.cast("double"); d * d
+          }),
+          lit(0.0), (acc, x) => acc + x), 6))
+      }
+      val best = scored.map(_._2).reduce(least(_, _))
+      scored.tail.foldLeft(
+          when(scored.head._2 === best, lit(scored.head._1))) {
+        case (acc, (c, d)) => acc.when(d === best, lit(c))
+      }.otherwise(lit(-1))
+    }: _*)
+  }
+
+  /** PQ top-k by asymmetric distance (ADC) over PRECOMPUTED codes —
+    * the serving path: approximate ||q − x||² = Σ_s round6(||q_s −
+    * codebook_s[code_s(x)]||²). The per-subspace distances are an m×k
+    * driver-side table (tiny); each corpus row pays m array-literal
+    * lookups + an exact-decimal sum over its CODES, so the corpus-side
+    * read is m small ints per row — the original vectors are never
+    * touched, which is the entire point of PQ: the float corpus can
+    * live in cold storage while the codes fit a serving tier.
+    * TakeOrdered top-k, (distance, id) tiebreak. */
+  def pqTopKFromCodes(codes: DataFrame, idCol: String,
+                      cbs: Array[Array[Array[Float]]],
+                      query: Array[Float], topK: Int): DataFrame = {
+    val m = cbs.length
+    val k = cbs(0).length
+    val sub = cbs(0)(0).length
+    val tbl: Seq[Seq[Double]] = (0 until m).map { s =>
+      (0 until k).map { c =>
+        val cv = cbs(s)(c)
+        var d2 = 0.0
+        var j = 0
+        while (j < sub) {
+          val d = query(s * sub + j).toDouble - cv(j).toDouble
+          d2 += d * d
+          j += 1
+        }
+        java.math.BigDecimal.valueOf(d2)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    }
+    val tblLit = typedLit(tbl)
+    val score = (0 until m).map(s =>
+        tblLit.getItem(s).getItem(col("codes").getItem(s))
+          .cast("decimal(18,6)"))
+      .reduce(_ + _)
+    codes.select(col(idCol), score.cast("double").as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+  }
+
+  /** End-to-end PQ query (train + encode + ADC) — the oracle surface;
+    * a real deployment trains/encodes once and serves many queries
+    * through [[pqTopKFromCodes]] over persisted codes. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, topK: Int, m: Int, k: Int,
+             iters: Int = 1): DataFrame = {
+    val cbs = pqCodebooks(emb, idCol, vecCol, m, k, iters)
+    val q: Array[Float] = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).collect()(0)
+      .getSeq[Float](0).toArray
+    pqTopKFromCodes(pqEncode(emb, idCol, vecCol, cbs), idCol, cbs, q,
+      topK)
+  }
+
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int = 64,
                maxCell: Int = 20000, blockSize: Int = 512): DataFrame = {

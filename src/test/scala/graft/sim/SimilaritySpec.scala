@@ -545,4 +545,48 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(out2 == out, "non-deterministic across runs")
   }
+
+  test("PQ: native encode == Column twin; separated clusters share " +
+    "code words; codebooks deterministic; ADC ranks the query's own " +
+    "cluster first") {
+    // dim 8, m=2 subspaces of 4, k=2 codes: two well-separated
+    // patterns, jittered so Lloyd has real means to learn
+    val base = Seq(
+      Array(1f, 1f, 1f, 1f, 9f, 9f, 9f, 9f),
+      Array(9f, 9f, 9f, 9f, 1f, 1f, 1f, 1f))
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, base(i % 2).map(x => x + (i / 2) * 0.01f).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2)
+    val nat = Similarity.pqEncode(df, "vec_id", "embedding", cbs)
+      .as[(Long, Seq[Int])].collect().toMap
+    val twin = df.select(col("vec_id"),
+        Similarity.pqEncodeCols(col("embedding"), cbs).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(nat == twin, s"native=$nat twin=$twin")
+    // one code word per cluster, and they differ
+    assert((0 until 12 by 2).map(i => nat(i.toLong)).toSet.size == 1)
+    assert((1 until 12 by 2).map(i => nat(i.toLong)).toSet.size == 1)
+    assert(nat(0L) != nat(1L))
+    // training is a pure function of the input
+    val cbs2 = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2)
+    assert(cbs.flatten.flatten.toSeq == cbs2.flatten.flatten.toSeq)
+    // ADC: identical code words tie, id tiebreak -> query's cluster
+    // mates fill the top-k before any cross-cluster vector
+    val top = Similarity.pqTopK(df, "vec_id", "embedding",
+        queryId = 0L, topK = 3, m = 2, k = 2, iters = 2)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq(0L, 2L, 4L), top.toSeq.toString)
+    assert(top.forall(_._2 >= 0.0))
+    // serving path over precomputed codes == the end-to-end query
+    val q0 = vecs(0)._2.map(_.toFloat).toArray
+    val served = Similarity.pqTopKFromCodes(
+        Similarity.pqEncode(df, "vec_id", "embedding", cbs),
+        "vec_id", cbs, q0, topK = 3)
+      .as[(Long, Double)].collect()
+    assert(served.toSeq == top.toSeq)
+  }
 }

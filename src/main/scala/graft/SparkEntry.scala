@@ -551,6 +551,20 @@ object SparkEntry {
       Quality.olsFit(t(s, dir, "lineitem"), Seq("l_returnflag"),
         "l_quantity", "l_extendedprice")),
 
+    // ---- A18: declarative expectation suite — the QC contract tests
+    // a pipeline gates a load on, evaluated in ONE aggregate pass
+    // (not-null %, unique key, range %, set-membership %, min rows);
+    // the in-set check genuinely FAILS on this corpus (5 event types
+    // vs the expected 3), so pass=false rows are exercised. ----
+    "a18_expectations" -> ((s, dir) =>
+      Quality.expectations(t(s, dir, "events"), Seq(
+        Quality.ExpectNotNull("value", 99.0),
+        Quality.ExpectUniqueKey(Seq("event_id")),
+        Quality.ExpectInRange("value", 0.0, 100.0, 99.0),
+        Quality.ExpectInSet("event_type",
+          Seq("view", "click", "purchase"), 100.0),
+        Quality.ExpectMinRows(1000L)))),
+
     // ---- §2.5 rank family: rank/dense_rank/percent_rank over a real
     // tie-bearing ordering (users ranked by event count per type) plus
     // ntile over a unique ordering (ntile splits ties by row order, so
@@ -2746,6 +2760,42 @@ object SparkEntry {
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a18_expectations" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(value) AS m0,
+        |    COUNT(DISTINCT event_id) AS m1,
+        |    COUNT(CASE WHEN value >= 0.0 AND value <= 100.0
+        |               THEN 1 END) AS m2,
+        |    COUNT(CASE WHEN event_type IN ('view', 'click', 'purchase')
+        |               THEN 1 END) AS m3
+        |  FROM events)
+        |SELECT 'not_null_pct' AS expectation, 'value' AS target,
+        |  ROUND(CAST(m0 AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 6)
+        |    AS measured,
+        |  99.0 AS threshold,
+        |  ROUND(CAST(m0 AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 6) >= 99.0
+        |    AS pass
+        |FROM a
+        |UNION ALL
+        |SELECT 'unique_key', 'event_id', CAST(n - m1 AS DOUBLE), 0.0,
+        |  CAST(n - m1 AS DOUBLE) = 0.0
+        |FROM a
+        |UNION ALL
+        |SELECT 'in_range_pct', 'value in [0.0,100.0]',
+        |  ROUND(CAST(m2 AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 6), 99.0,
+        |  ROUND(CAST(m2 AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 6) >= 99.0
+        |FROM a
+        |UNION ALL
+        |SELECT 'in_set_pct', 'event_type in {view,click,purchase}',
+        |  ROUND(CAST(m3 AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 6), 100.0,
+        |  ROUND(CAST(m3 AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 6) >= 100.0
+        |FROM a
+        |UNION ALL
+        |SELECT 'min_rows', '', CAST(n AS DOUBLE), 1000.0,
+        |  CAST(n AS DOUBLE) >= 1000.0
+        |FROM a""".stripMargin,
 
     // same exact-decimal moment sums, same fixed IEEE formula sequence
     "a16_corr" ->

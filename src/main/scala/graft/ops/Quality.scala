@@ -274,6 +274,77 @@ object Quality {
     one.select(inline(array(rows: _*)))
   }
 
+  /** Declarative data-quality expectations — the reference's ad-hoc
+    * QC checks as a typed suite evaluated in ONE pass. */
+  sealed trait Expectation
+  /** ≥ minPct % of rows have a non-null `column`. */
+  case class ExpectNotNull(column: String, minPct: Double) extends Expectation
+  /** `columns` form a unique key (measured = duplicate row count). */
+  case class ExpectUniqueKey(columns: Seq[String]) extends Expectation
+  /** ≥ minPct % of rows have `column` in [lo, hi] (nulls count as out). */
+  case class ExpectInRange(column: String, lo: Double, hi: Double,
+                           minPct: Double) extends Expectation
+  /** ≥ minPct % of rows have `column` in `values` (nulls count as out). */
+  case class ExpectInSet(column: String, values: Seq[String],
+                         minPct: Double) extends Expectation
+  /** The table has at least `n` rows. */
+  case class ExpectMinRows(n: Long) extends Expectation
+
+  /** Evaluate an expectation suite in ONE aggregate pass — each
+    * expectation becomes a row (expectation, target, measured,
+    * threshold, pass), the contract-test report a pipeline gates a
+    * load on. Percentages land on the round-6 grid from an exact
+    * count ratio, so the report is engine-replayable.
+    *
+    * Scale: every check rides the same partial+final hash aggregate
+    * over one table scan; the lone exception is [[ExpectUniqueKey]],
+    * whose distinct count adds Spark's expand-based distinct
+    * aggregation to the same pass (still one scan — the standard
+    * price of an exact uniqueness check; swap for a sketch when an
+    * approximate answer gates the load). Result rows are emitted by
+    * an in-plan inline from the single agg row — no driver collect. */
+  def expectations(df: DataFrame, specs: Seq[Expectation]): DataFrame = {
+    require(specs.nonEmpty, "need at least one expectation")
+    val n = count(lit(1))
+    val aggExprs = specs.zipWithIndex.map {
+      case (ExpectNotNull(c, _), i) => count(col(c)).as(s"__m_$i")
+      case (ExpectUniqueKey(cs), i) =>
+        count_distinct(struct(cs.map(col): _*)).as(s"__m_$i")
+      case (ExpectInRange(c, lo, hi, _), i) =>
+        count(when(col(c) >= lo && col(c) <= hi, lit(1))).as(s"__m_$i")
+      case (ExpectInSet(c, vs, _), i) =>
+        count(when(col(c).isin(vs: _*), lit(1))).as(s"__m_$i")
+      case (ExpectMinRows(_), i) => count(lit(1)).as(s"__m_$i")
+    } :+ n.as("__n")
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    def pct(m: Column): Column =
+      round(m.cast("double") * 100.0 / col("__n").cast("double"), 6)
+    val rows = specs.zipWithIndex.map { case (spec, i) =>
+      val m = col(s"__m_$i")
+      val (name, target, measured, threshold) = spec match {
+        case ExpectNotNull(c, p) =>
+          ("not_null_pct", c, pct(m), lit(p))
+        case ExpectUniqueKey(cs) =>
+          ("unique_key", cs.mkString(","),
+            (col("__n") - m).cast("double"), lit(0.0))
+        case ExpectInRange(c, lo, hi, p) =>
+          ("in_range_pct", s"$c in [$lo,$hi]", pct(m), lit(p))
+        case ExpectInSet(c, vs, p) =>
+          ("in_set_pct", s"$c in {${vs.mkString(",")}}", pct(m), lit(p))
+        case ExpectMinRows(k) =>
+          ("min_rows", "", m.cast("double"), lit(k.toDouble))
+      }
+      val pass = spec match {
+        case ExpectUniqueKey(_) => measured === threshold
+        case _ => measured >= threshold
+      }
+      struct(lit(name).as("expectation"), lit(target).as("target"),
+        measured.as("measured"), threshold.as("threshold"),
+        pass.as("pass"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
   /** Per-group simple OLS fit y = slope·x + intercept — the "does
     * price scale with quantity per segment" profiling regression.
     * Same exact-decimal moment sums as [[corrPairs]], one grouped

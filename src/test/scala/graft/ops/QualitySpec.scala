@@ -134,6 +134,40 @@ class QualitySpec extends SparkSpec {
     assert(m(("b", "c")) == ((3L, Some(-1.0))))
   }
 
+  test("expectations: each check type passes and fails on a " +
+    "hand-computed fixture; one row per expectation") {
+    val df = Seq(
+      (1L, Some(5.0), "a"),
+      (2L, Some(50.0), "b"),
+      (2L, None, "a"),          // dup key + null value
+      (3L, Some(500.0), "zzz")  // out of range + out of set
+    ).toDF("id", "v", "cat")
+    val out = Quality.expectations(df, Seq(
+      Quality.ExpectNotNull("v", 80.0),          // 75% -> fail
+      Quality.ExpectNotNull("cat", 100.0),       // 100% -> pass
+      Quality.ExpectUniqueKey(Seq("id")),        // 1 dup -> fail
+      Quality.ExpectUniqueKey(Seq("id", "cat")), // unique -> pass
+      Quality.ExpectInRange("v", 0, 100, 50.0),  // 50% -> pass (>=)
+      Quality.ExpectInSet("cat", Seq("a", "b"), 80.0), // 75% -> fail
+      Quality.ExpectMinRows(4),                  // pass
+      Quality.ExpectMinRows(5)                   // fail
+    )).collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(("not_null_pct", "v")) == ((75.0, 80.0, false)))
+    assert(out(("not_null_pct", "cat")) == ((100.0, 100.0, true)))
+    assert(out(("unique_key", "id")) == ((1.0, 0.0, false)))
+    assert(out(("unique_key", "id,cat")) == ((0.0, 0.0, true)))
+    assert(out(("in_range_pct", "v in [0.0,100.0]")) ==
+      ((50.0, 50.0, true)))
+    assert(out(("in_set_pct", "cat in {a,b}")) == ((75.0, 80.0, false)))
+    assert(out(("min_rows", "")) == ((4.0, 5.0, false)) ||
+      out.size == 8) // two min_rows rows share the key-less target
+    val minRows = Quality.expectations(df,
+      Seq(Quality.ExpectMinRows(4), Quality.ExpectMinRows(5)))
+      .collect().map(r => (r.getDouble(3), r.getBoolean(4))).toSet
+    assert(minRows == Set((4.0, true), (5.0, false)))
+  }
+
   test("olsFit: hand-computed slope/intercept/r2; degenerate x -> null") {
     val df = Seq(
       ("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),   // y = 2x+1

@@ -851,6 +851,19 @@ object SparkEntry {
       TextOps.textRank(t(s, dir, "documents"), "text",
         window = 2, iters = 2)),
 
+    // ---- G1: per-node triangle counts over the term co-occurrence
+    // graph — node-iterator with DEGREE ORIENTATION (edges directed
+    // low→high degree), so every triangle is enumerated exactly once
+    // and wedge work is bounded by Σ outdeg² with out-degrees capped
+    // O(√m) — hub terms cost the answer, not hub-degree². Oracle
+    // counts the same triangles by canonical vertex order (an
+    // INDEPENDENT enumeration strategy). ----
+    "g_triangles" -> ((s, dir) =>
+      Graphs.triangleCounts(
+        TextOps.gloveCooccur(t(s, dir, "documents"), "text",
+          window = 2, minCount = 5),
+        "t1", "t2")),
+
     // ---- training-data ops: TF-IDF top terms per doc — tf and df are
     // two linear hash aggs off one tokenization; df-side join is
     // vocab-sized. Window orders by the ROUNDED score so cross-engine
@@ -3042,6 +3055,34 @@ object SparkEntry {
         |  ON rw.id = d.doc_id
         |LEFT JOIN (SELECT id, COUNT(*) AS n FROM t3 GROUP BY id) bp
         |  ON bp.id = d.doc_id""".stripMargin,
+
+    // independent enumeration: canonical-order (x<y<z) triangle join,
+    // not the engine's degree orientation — same triangles exactly once
+    "g_triangles" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |t0 AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS tok
+        |  FROM tk),
+        |cooc AS (
+        |  SELECT LEAST(a.tok, b.tok) AS t1, GREATEST(a.tok, b.tok) AS t2
+        |  FROM t0 a JOIN t0 b
+        |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |ed AS (SELECT DISTINCT t1 AS u, t2 AS v FROM cooc WHERE t1 <> t2),
+        |tri AS (
+        |  SELECT a.u AS x, a.v AS y, b.v AS z
+        |  FROM ed a
+        |  JOIN ed b ON a.v = b.u
+        |  JOIN ed c ON c.u = a.u AND c.v = b.v),
+        |corners AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node, COUNT(*) AS n_triangles
+        |FROM corners GROUP BY 1""".stripMargin,
 
     "t_glove_cooccur" ->
       """WITH tk AS (

@@ -1612,6 +1612,16 @@ object SparkEntry {
           iters = 1))
     }),
 
+    // ---- similarity: IVF-PQ composed query — coarse cells prune the
+    // corpus to nprobe/nlist, PQ codes answer distances inside the
+    // probed cells: rows AND bytes both cut multiplicatively (the
+    // FAISS serving architecture, non-residual codebooks). One fused
+    // pass computes cell + codes; the vector is read once. ----
+    "e_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 17L, topK = 10, nlist = 16, nprobe = 4,
+        m = 4, k = 8, iters = 1)),
+
     // ---- similarity: PQ top-k by asymmetric distance — query 17's
     // per-subspace distance table (4×8, driver-side) + m table
     // lookups per corpus row over the CODES ONLY: the vector column
@@ -4328,6 +4338,109 @@ object SparkEntry {
         |  FROM embeddings e, subs s)
         |SELECT vec_id, list(CAST(code AS INT) ORDER BY sub) AS codes
         |FROM a2 GROUP BY vec_id""".stripMargin,
+
+    // IVF replay (portable-hash centroid init, round-6 cosine argmax
+    // cells, top-nprobe probe) composed with the full PQ replay; the
+    // probed-cell filter gates the ADC scoring exactly as the engine's
+    // isin does
+    "e_ivfpq_topk" ->
+      """WITH ic AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |        vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 16),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 17),
+        |cells AS (
+        |  SELECT e.vec_id,
+        |    (SELECT cell FROM ic
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(ic.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(ic.ce,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e),
+        |probed AS (
+        |  SELECT ic.cell FROM ic, qv
+        |  ORDER BY ROUND(
+        |      list_sum(list_transform(list_zip(ic.ce, qv.qe),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(ic.ce,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(qv.qe,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |    DESC, ic.cell
+        |  LIMIT 4),
+        |init AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |        vec_id) - 1 AS code,
+        |    embedding AS e
+        |  FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 8),
+        |subs AS (SELECT unnest(range(4)) AS sub),
+        |cb0 AS (
+        |  SELECT subs.sub, init.code,
+        |    init.e[subs.sub*16 + 1 : subs.sub*16 + 16] AS ce
+        |  FROM init, subs),
+        |a1 AS (
+        |  SELECT e.vec_id, s.sub,
+        |    (SELECT code FROM cb0 WHERE cb0.sub = s.sub
+        |     ORDER BY ROUND(list_sum(list_transform(
+        |         list_zip(cb0.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
+        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+        |       code
+        |     LIMIT 1) AS code
+        |  FROM embeddings e, subs s),
+        |m1 AS (
+        |  SELECT a.sub, a.code, d.sd,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |        CAST(e.embedding[a.sub*16 + d.sd + 1] AS DOUBLE), 6)
+        |        AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS mn
+        |  FROM a1 a JOIN embeddings e USING (vec_id),
+        |    (SELECT unnest(range(16)) AS sd) d
+        |  GROUP BY 1, 2, 3),
+        |cb1 AS (
+        |  SELECT cb0.sub, cb0.code, COALESCE(l.ml, cb0.ce) AS ce
+        |  FROM cb0 LEFT JOIN (
+        |    SELECT sub, code, list(mn ORDER BY sd) AS ml
+        |    FROM m1 GROUP BY 1, 2) l
+        |  USING (sub, code)),
+        |a2 AS (
+        |  SELECT e.vec_id, s.sub,
+        |    (SELECT code FROM cb1 WHERE cb1.sub = s.sub
+        |     ORDER BY ROUND(list_sum(list_transform(
+        |         list_zip(cb1.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
+        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+        |       code
+        |     LIMIT 1) AS code
+        |  FROM embeddings e, subs s),
+        |tbl AS (
+        |  SELECT cb1.sub, cb1.code,
+        |    ROUND(list_sum(list_transform(
+        |      list_zip(cb1.ce,
+        |        (SELECT qe FROM qv)[cb1.sub*16+1 : cb1.sub*16+16]),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d
+        |  FROM cb1)
+        |SELECT a.vec_id,
+        |  CAST(SUM(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+        |FROM a2 a
+        |JOIN tbl t ON t.sub = a.sub AND t.code = a.code
+        |JOIN cells c ON c.vec_id = a.vec_id
+        |WHERE c.cell IN (SELECT cell FROM probed)
+        |GROUP BY a.vec_id
+        |ORDER BY adc_dist, a.vec_id
+        |LIMIT 10""".stripMargin,
 
     // same trained books; ADC = exact-decimal sum of the round-6
     // per-subspace query-to-code distances

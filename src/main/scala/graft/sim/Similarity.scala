@@ -357,6 +357,53 @@ object Similarity {
       topK)
   }
 
+  /** IVF-PQ composed query (the FAISS IVF+PQ serving architecture,
+    * non-residual variant): the IVF coarse quantizer prunes the
+    * corpus to `nprobe`/`nlist` of its cells, and PQ codes answer the
+    * distance computation inside the probed cells — so a query costs
+    * ~nprobe/nlist of the corpus in rows AND only m ints per row in
+    * bytes, the two multiplicative reductions that make
+    * billion-vector ANN serveable. Codes here quantize the raw
+    * vectors, not per-cell residuals (classic IVFPQ encodes the
+    * residual x − centroid for tighter error at equal bits; the
+    * non-residual form — IVFFlat-with-PQ-codes — trades that
+    * precision for codebooks that are independent of cell assignment,
+    * which keeps encode a single narrow pass and lets one codebook
+    * serve any nlist).
+    *
+    * Plan: one pass computes cell + codes per row (both native,
+    * broadcast parameters, fused — the vector is read ONCE); the
+    * probed-cell filter is an isin over ≤ nprobe ints; scoring is the
+    * [[pqTopKFromCodes]] table lookup; TakeOrdered top-k. In a
+    * persisted deployment, write (cell, codes) hive-partitioned by
+    * cell — the buildIvfIndex layout — and the filter prunes at
+    * file-listing time. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, topK: Int, nlist: Int, nprobe: Int,
+                m: Int, k: Int, iters: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb, idCol, vecCol, nlist)
+    val bcCents = spark.sparkContext.broadcast(
+      cents.map(_.toArray): Array[Array[Float]])
+    val cbs = pqCodebooks(emb, idCol, vecCol, m, k, iters)
+    val bcCbs = spark.sparkContext.broadcast(cbs)
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol),
+        graft.functions.NativeExpressions.ivf_probe(col(vecCol),
+          bcCents, nprobe).as("cells"))
+      .collect()(0)
+    val q = qRow.getSeq[Float](0).toArray
+    val probed = qRow.getSeq[Int](1)
+    val celled = emb.select(col(idCol),
+        graft.functions.NativeExpressions.ivf_cell(col(vecCol), bcCents)
+          .as("cell"),
+        graft.functions.NativeExpressions.pq_encode(col(vecCol), bcCbs)
+          .as("codes"))
+      .filter(col("cell").isin(probed: _*))
+    pqTopKFromCodes(celled.select(col(idCol), col("codes")), idCol,
+      cbs, q, topK)
+  }
+
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int = 64,
                maxCell: Int = 20000, blockSize: Int = 512): DataFrame = {

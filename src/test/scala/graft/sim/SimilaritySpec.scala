@@ -588,5 +588,25 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", cbs, q0, topK = 3)
       .as[(Long, Double)].collect()
     assert(served.toSeq == top.toSeq)
+
+    // IVF-PQ with a FULL probe (nprobe == nlist) must equal plain PQ
+    // — the coarse quantizer then prunes nothing, so any divergence
+    // is a composition bug
+    val full = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+        queryId = 0L, topK = 3, nlist = 3, nprobe = 3, m = 2, k = 2,
+        iters = 2)
+      .as[(Long, Double)].collect()
+    assert(full.toSeq == top.toSeq, s"full-probe=$full pq=$top")
+    // a partial probe returns a subset of the corpus ranked the same
+    // way (every returned distance appears in the unpruned ranking)
+    val part = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+        queryId = 0L, topK = 3, nlist = 3, nprobe = 1, m = 2, k = 2,
+        iters = 2)
+      .as[(Long, Double)].collect()
+    val allDists = Similarity.pqTopKFromCodes(
+        Similarity.pqEncode(df, "vec_id", "embedding", cbs),
+        "vec_id", cbs, q0, topK = 12)
+      .as[(Long, Double)].collect().toMap
+    assert(part.forall { case (id, d) => allDists(id) == d })
   }
 }

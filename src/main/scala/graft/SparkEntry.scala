@@ -2162,6 +2162,46 @@ object SparkEntry {
     // sentinel row (its own user) staged last flushes the tail. The
     // oracle recomputes ALL sessions as batch gaps-and-islands — every
     // session must come out exact despite the disorder. ----
+    // ---- streaming EWMA — the stateful recurrence replayed as FOUR
+    // in-order time-range micro-batches (maxFilesPerTrigger=1): state
+    // is ONE scale-6 unscaled long per user, carried across triggers,
+    // and the full replay reproduces the batch decimal recurrence
+    // bit-for-bit (the oracle IS w16's recursive CTE). O(keys) state
+    // forever — no watermark needed for boundedness. ----
+    "s_stream_ewma" -> ((s, dir) => {
+      val tmp = tempDir("graft_sewma")
+      val in = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = t(s, dir, "events")
+      def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+        val chunk = s"$tmp/chunk$seq"
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        val part = new java.io.File(chunk).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = java.nio.file.Paths.get(in, s"f$seq.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L +
+            seq * 10000L))
+        ()
+      }
+      // IN event-time order — the recurrence's ordering contract
+      Seq((1, 8), (8, 15), (15, 22), (22, 32)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          stage(ev.filter(dayofmonth(col("ts")) >= lo &&
+            dayofmonth(col("ts")) < hi), i)
+      }
+      val ckpt = tempDir("graft_sewma_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.ewmaStream(stream, alpha = 0.3)
+          .toDF(),
+        queryName = s"sewma_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     "s_stream_sessionize_ooo" -> ((s, dir) => {
       val tmp = tempDir("graft_sso")
       val in = s"$tmp/in"
@@ -5029,6 +5069,26 @@ object SparkEntry {
         |  (ROW_NUMBER() OVER (PARTITION BY purchase_id
         |     ORDER BY ts DESC, click_id DESC) = 1) AS last_touch
         |FROM j""".stripMargin,
+
+    // the chunked streaming replay must reproduce the batch decimal
+    // recurrence exactly — same recursive CTE as w16_ewma
+    "s_stream_ewma" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, rn, v AS s FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.user_id, v.event_id, v.rn,
+        |    CAST(ROUND(CAST(0.3 AS DECIMAL(10,8)) * v.v +
+        |               CAST(0.7 AS DECIMAL(10,8)) * e.s, 6)
+        |         AS DECIMAL(18,6))
+        |  FROM v JOIN e ON v.user_id = e.user_id AND v.rn = e.rn + 1)
+        |SELECT user_id, event_id, CAST(s AS DOUBLE) AS ewma
+        |FROM e""".stripMargin,
 
     // the identical recurrence replayed sequentially: rn=1 seeds, each
     // next step joins the previous — EXACT decimal steps (one input

@@ -18,6 +18,12 @@ case class SessionBuffer(pending: Array[Long])
   * signature) members accumulated in one LSH band-bucket. Top-level for
   * the state Encoder. */
 case class BucketMembers(ids: Array[Long], sigs: Array[Array[Int]])
+/** EWMA recurrence state: last event's (micros, id) for the ordering
+  * guard + the smoothed value as an EXACT scale-6 unscaled long (a
+  * double in state would re-round every step and drift off the batch
+  * decimal recurrence). */
+case class EwmaState(lastTus: Long, lastId: Long, sMicros: Long)
+case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 
 /** One streamed near-duplicate candidate pair (id1 < id2; est_jaccard =
   * matching-minhash fraction, the batch lshCandidates estimate). */
@@ -259,6 +265,67 @@ object EventStreams {
     * then evicted, so a duplicate arriving later than the horizon is
     * NOT caught (that residue is the batch dedup's job downstream —
     * the standard two-tier design). */
+  /** Streaming per-key EWMA — the stateful twin of
+    * [[graft.ops.WindowOps.ewma]]: one flatMapGroupsWithState keeps
+    * exactly ONE smoothed value per key (not a window of events), so
+    * state is O(keys) forever — the recurrence is the rare stateful
+    * op whose state does NOT grow with the horizon, no watermark
+    * eviction needed for boundedness. Each event emits its smoothed
+    * value once (Append).
+    *
+    * Arithmetic contract: identical EXACT-decimal steps as the batch
+    * op — input rounded once to scale 6, s' = round6(α·v + (1−α)·s)
+    * with α and 1−α as exact BigDecimals, state carrying the scale-6
+    * unscaled long — so a chunked replay reproduces the batch answer
+    * BIT-for-bit (the s_stream_ewma oracle is w16's recursive CTE).
+    *
+    * Ordering contract: rows fold in (event-time µs, id) order within
+    * a trigger, and the fold GUARDS out-of-order arrivals across
+    * triggers loudly (the [[sessionize]] convention) — a recurrence
+    * can't absorb a late event without replaying everything after it;
+    * feed micro-batches in event-time order or buffer upstream like
+    * [[sessionizeRetained]]. */
+  def ewmaStream(events: DataFrame, alpha: Double = 0.3)
+      : org.apache.spark.sql.Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val aBD = new java.math.BigDecimal(alpha.toString)
+    val bBD = java.math.BigDecimal.ONE.subtract(aBD)
+    events.selectExpr("user_id", "unix_micros(cast(ts as timestamp_ltz)) as tus",
+        "event_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[EwmaOut]
+          sorted.foreach { case (_, tus, id, value) =>
+            if (st != null && (tus < st.lastTus ||
+                (tus == st.lastTus && id < st.lastId)))
+              throw new IllegalStateException(
+                s"ewmaStream: event $id for user $uid at $tus precedes " +
+                  s"carried state (${st.lastTus}, ${st.lastId}) — " +
+                  "out-of-order arrival across triggers; feed " +
+                  "micro-batches in event-time order (see scaladoc)")
+            val v = java.math.BigDecimal.valueOf(value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+            val s2 =
+              if (st == null) v
+              else aBD.multiply(v)
+                .add(bBD.multiply(new java.math.BigDecimal(
+                  java.math.BigInteger.valueOf(st.sMicros), 6)))
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+            out += EwmaOut(uid, id, s2.doubleValue())
+            st = EwmaState(tus, id, s2.movePointRight(6).longValueExact())
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   tsCol: String = "ts",
                   watermark: String = "2 hours"): DataFrame =

@@ -286,6 +286,58 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream: exact decimal recurrence carried across triggers; " +
+    "out-of-order arrival across triggers throws") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sewma").toString
+    val q = EventStreams.ewmaStream(events, alpha = 0.3).toDF()
+      .writeStream.format("memory").queryName("ewma_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // trigger 1: two events for user 1
+      ms.addData((1L, 1L, ts("2024-01-01 00:00:00"), 10.0),
+        (2L, 1L, ts("2024-01-01 00:01:00"), 20.0))
+      q.processAllAvailable()
+      // trigger 2: state must carry (s2 = 13.0): s3 = .3*40 + .7*13 = 21.1
+      ms.addData((3L, 1L, ts("2024-01-01 00:02:00"), 40.0))
+      q.processAllAvailable()
+      val got = spark.table("ewma_live")
+        .as[graft.streaming.EwmaOut].collect()
+        .map(o => o.event_id -> o.ewma).toMap
+      assert(got == Map(1L -> 10.0, 2L -> 13.0, 3L -> 21.1), got.toString)
+    } finally q.stop()
+
+    // a later trigger with an earlier event time must fail loudly
+    val ms2 = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val ev2 = ms2.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "value", "'{}' as props")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sewma2").toString
+    val q2 = EventStreams.ewmaStream(ev2, alpha = 0.3).toDF()
+      .writeStream.format("memory").queryName("ewma_ooo")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir2/ckpt")
+      .start()
+    try {
+      ms2.addData((1L, 1L, ts("2024-01-01 00:10:00"), 1.0))
+      q2.processAllAvailable()
+      ms2.addData((2L, 1L, ts("2024-01-01 00:05:00"), 2.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("ewmaStream") ||
+        Option(ex.getCause).exists(_.toString.contains("ewmaStream")),
+        ex.toString)
+    } finally q2.stop()
+  }
+
   test("intervalJoinStreamsOuter: unmatched lefts emit with nulls once " +
     "the watermark passes; stageDrainBatches + drainTail flush the tail") {
     val base = java.nio.file.Files.createTempDirectory("graft_sjo").toString

@@ -1947,6 +1947,14 @@ object SparkEntry {
           (col("rn") === 1).as("last_touch"))
     }),
 
+    // ---- W18: market-basket association rules — pair
+    // support/confidence/lift over order baskets (parts per order),
+    // min-support cut BEFORE rule expansion; item supports and the
+    // basket total broadcast into the rule join. ----
+    "w18_assoc_rules" -> ((s, dir) =>
+      Analytics.associationRules(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minPairSupport = 3)),
+
     // ---- training-data ops: next-event-prediction dataset — per user
     // stream, (last-3-event-types context, next event) supervised
     // pairs: the sequence-model training extract. Three lags over ONE
@@ -5069,6 +5077,28 @@ object SparkEntry {
         |  (ROW_NUMBER() OVER (PARTITION BY purchase_id
         |     ORDER BY ts DESC, click_id DESC) = 1) AS last_touch
         |FROM j""".stripMargin,
+
+    "w18_assoc_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |supp AS (SELECT i, COUNT(*) AS s FROM it GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT b) AS nb FROM it),
+        |p AS (
+        |  SELECT a.i AS x, c.i AS y, COUNT(*) AS sxy
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |r AS (
+        |  SELECT x AS ante, y AS cons, sxy FROM p
+        |  UNION ALL
+        |  SELECT y, x, sxy FROM p)
+        |SELECT ante, cons, sxy AS supp_pair,
+        |  ROUND(CAST(sxy AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+        |    AS confidence,
+        |  ROUND(CAST(sxy AS DOUBLE) * CAST(nb AS DOUBLE) /
+        |        (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE)), 6) AS lift
+        |FROM r
+        |JOIN supp sa ON sa.i = r.ante
+        |JOIN supp sc ON sc.i = r.cons, n""".stripMargin,
 
     // the chunked streaming replay must reproduce the batch decimal
     // recurrence exactly — same recursive CTE as w16_ewma

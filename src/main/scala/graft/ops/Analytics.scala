@@ -158,4 +158,52 @@ object Analytics {
       .groupBy(col("__cohort").as("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
+
+  /** Market-basket association rules (Agrawal & Srikant's classic
+    * support/confidence/lift surface, pair rules): for every ordered
+    * item pair (ante → cons) co-occurring in ≥ `minPairSupport`
+    * baskets, the rule's pair support, confidence
+    * supp(a,b)/supp(a), and lift supp(a,b)·N/(supp(a)·supp(b)).
+    * Both metrics are ONE integer-valued-double divide on the round-6
+    * grid — engine-replayable with no accumulation order to pin.
+    *
+    * Scale: baskets are deduped to (basket, item) once; pair
+    * enumeration is a self-equi-join on the basket key (cost
+    * Σ C(k_b, 2) — quadratic per basket by problem definition, which
+    * is why minPairSupport cuts BEFORE the rule expansion and why a
+    * curated basket column, not raw events, is the intended input; a
+    * pathological mega-basket is one skewed join key, spillable, and
+    * should be capped upstream with capPerGroup). Item supports and
+    * the basket total are item-sized/1-row frames — AQE broadcasts
+    * them into the rule join. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairSupport: Long = 3): DataFrame = {
+    require(minPairSupport >= 1, "minPairSupport must be >= 1")
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val supp = items.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+    val tot = items.select(countDistinct(col("__b")).as("__nb"))
+    val a = items.select(col("__b"), col("__i").as("__x"))
+    val b = items.select(col("__b"), col("__i").as("__y"))
+    val pairs = a.join(b, Seq("__b")).filter(col("__x") < col("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("supp_pair"))
+      .filter(col("supp_pair") >= minPairSupport)
+    val rules = pairs
+      .select(col("__x").as("ante"), col("__y").as("cons"),
+        col("supp_pair"))
+      .unionByName(pairs.select(col("__y").as("ante"),
+        col("__x").as("cons"), col("supp_pair")))
+    val withSupp = rules
+      .join(supp.select(col("__i").as("ante"), col("__s").as("__sa")),
+        Seq("ante"))
+      .join(supp.select(col("__i").as("cons"), col("__s").as("__sc")),
+        Seq("cons"))
+      .crossJoin(broadcast(tot))
+    withSupp.select(col("ante"), col("cons"), col("supp_pair"),
+      round(col("supp_pair").cast("double") / col("__sa").cast("double"),
+        6).as("confidence"),
+      round(col("supp_pair").cast("double") * col("__nb").cast("double") /
+        (col("__sa").cast("double") * col("__sc").cast("double")), 6)
+        .as("lift"))
+  }
 }

@@ -174,4 +174,29 @@ class AnalyticsSpec extends SparkSpec {
         s"expected 4903 dropped bot rows, got $dropped")
     } finally spark.conf.set(aqeKey, aqeWas)
   }
+
+  test("associationRules: hand-computed support/confidence/lift; " +
+    "duplicate basket lines collapse; min-support cut") {
+    // baskets: {A,B,C} {A,B} {A,B} {A,C} {B} -> supp A=4 B=4 C=2,
+    // pairs AB=3, AC=2, BC=1; N=5
+    val rows = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"), (1L, "A"), // dup line collapses
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"),
+      (4L, "A"), (4L, "C"),
+      (5L, "B")
+    ).toDF("basket", "item")
+    val got = Analytics.associationRules(rows, "basket", "item",
+        minPairSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // AB: conf A->B = 3/4, lift = 3*5/(4*4) = 0.9375
+    assert(got(("A", "B")) == ((3L, 0.75, 0.9375)))
+    assert(got(("B", "A")) == ((3L, 0.75, 0.9375)))
+    // AC: conf A->C = 2/4 = .5, C->A = 2/2 = 1, lift = 2*5/(4*2)=1.25
+    assert(got(("A", "C")) == ((2L, 0.5, 1.25)))
+    assert(got(("C", "A")) == ((2L, 1.0, 1.25)))
+    // BC (support 1) cut by min-support
+    assert(!got.contains(("B", "C")) && got.size == 4)
+  }
 }

@@ -1947,6 +1947,34 @@ object SparkEntry {
           (col("rn") === 1).as("last_touch"))
     }),
 
+    // ---- W19: event debounce — drop events arriving within 10 min
+    // of the PREVIOUS raw event of the same (user, type): the
+    // double-fire/sensor-chatter filter. One lag window; the
+    // gap-from-previous-KEPT variant is a recurrence (cusum/ewma
+    // territory), this is the standard windowable form. Exact
+    // integer µs comparison on both engines. ----
+    "w19_debounce" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .filter(col("__prev").isNull ||
+          (unix_micros(col("ts").cast("timestamp_ltz")) -
+            unix_micros(col("__prev").cast("timestamp_ltz"))) >=
+            600000000L)
+        .select("event_id", "user_id", "event_type", "ts")
+    }),
+
+    // ---- W20: one-sided CUSUM change detection per user — the
+    // sequential drift detector (Page 1954): s = max(0, s + x − 60),
+    // alarm above 300. Exact-decimal recurrence (the ewma pattern),
+    // replayed bit-for-bit by a recursive CTE. ----
+    "w20_cusum" -> ((s, dir) =>
+      WindowOps.cusum(t(s, dir, "events"), Seq("user_id"), "ts",
+        "event_id", "value", target = 50.0, slack = 10.0,
+        threshold = 300.0)),
+
     // ---- W18: market-basket association rules — pair
     // support/confidence/lift over order baskets (parts per order),
     // min-support cut BEFORE rule expansion; item supports and the
@@ -5077,6 +5105,41 @@ object SparkEntry {
         |  (ROW_NUMBER() OVER (PARTITION BY purchase_id
         |     ORDER BY ts DESC, click_id DESC) = 1) AS last_touch
         |FROM j""".stripMargin,
+
+    "w19_debounce" ->
+      """SELECT event_id, user_id, event_type, ts FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NULL
+        |   OR epoch_us(ts) - epoch_us(prev) >= 600000000""".stripMargin,
+
+    // seed s_1 = max(0, 0 + v - 60); each step joins the previous —
+    // pure decimal arithmetic, engine-free
+    "w20_cusum" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, rn,
+        |    CAST(greatest(CAST(0 AS DECIMAL(18,6)),
+        |                  CAST(0 AS DECIMAL(18,6)) + v -
+        |                  CAST(60.0 AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |      AS s
+        |  FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.user_id, v.event_id, v.rn,
+        |    CAST(greatest(CAST(0 AS DECIMAL(18,6)),
+        |                  e.s + v.v - CAST(60.0 AS DECIMAL(18,6)))
+        |         AS DECIMAL(18,6))
+        |  FROM v JOIN e ON v.user_id = e.user_id AND v.rn = e.rn + 1)
+        |SELECT user_id, event_id, CAST(s AS DOUBLE) AS cusum,
+        |  s > CAST(300.0 AS DECIMAL(18,6)) AS alarm
+        |FROM e""".stripMargin,
 
     "w18_assoc_rules" ->
       """WITH it AS (

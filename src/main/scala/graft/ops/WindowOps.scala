@@ -259,4 +259,62 @@ object WindowOps {
       .select(kcols :+ col("__o.id").as(idCol) :+
         col("__o.s").cast("double").as("ewma"): _*)
   }
+
+  /** One-sided upper CUSUM change detection (Page 1954) per key:
+    * s_i = max(0, s_{i−1} + (x_i − target − slack)), alarm when
+    * s_i > threshold — the sequential drift detector that flags a
+    * sustained upward shift long before any fixed-window mean moves.
+    * Like [[ewma]], a per-key ordered RECURRENCE no window frame
+    * expresses: one key exchange, sorted collect_list + codegen'd HOF
+    * fold. Every step is EXACT decimal arithmetic (inputs rounded
+    * once to scale 6; target/slack exact decimal literals; max is
+    * exact), so a recursive CTE replays the run bit-for-bit and the
+    * alarm set is engine-identical. Same bot-user cap convention as
+    * the funnel (`maxEventsPerKey` + Observation). */
+  def cusum(df: DataFrame, keys: Seq[String], tsCol: String,
+            idCol: String, valCol: String, target: Double,
+            slack: Double, threshold: Double,
+            maxEventsPerKey: Option[Int] = None): DataFrame = {
+    require(threshold > 0, "threshold must be > 0")
+    require(maxEventsPerKey.forall(_ > 0), "maxEventsPerKey must be > 0")
+    val kcols = keys.map(col)
+    val bounded = maxEventsPerKey match {
+      case None => df
+      case Some(cap) =>
+        val w = Window.partitionBy(kcols: _*)
+          .orderBy(col(tsCol), col(idCol))
+        df.withColumn("__rn", row_number().over(w))
+          .observe("cusum_dropped_events",
+            sum(when(col("__rn") > cap, 1L).otherwise(0L)).as("dropped"))
+          .filter(col("__rn") <= cap).drop("__rn")
+    }
+    val driftBD = new java.math.BigDecimal(target.toString)
+      .add(new java.math.BigDecimal(slack.toString))
+    val drift = s"cast(${driftBD.toPlainString} as decimal(18,6))"
+    val hBD = new java.math.BigDecimal(threshold.toString)
+    val h = s"cast(${hBD.toPlainString} as decimal(18,6))"
+    def step = s"""cast(greatest(cast(0 as decimal(18,6)),
+                  |  acc.last + e.v - $drift) as decimal(18,6))""".stripMargin
+    bounded
+      .select(kcols :+ struct(
+        col(tsCol).cast("timestamp_ltz").cast("double").as("t"),
+        col(idCol).cast("long").as("id"),
+        round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("v")).as("__e"): _*)
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(kcols :+ expr(
+        s"""aggregate(__evs,
+           |  struct(cast(array() as
+           |           array<struct<id:bigint, s:decimal(18,6)>>) AS out,
+           |         cast(0 as decimal(18,6)) AS last),
+           |  (acc, e) -> struct(
+           |    concat(acc.out, array(named_struct('id', e.id, 's', $step))),
+           |    $step),
+           |  acc -> acc.out)""".stripMargin).as("__arr"): _*)
+      .select(kcols :+ explode(col("__arr")).as("__o"): _*)
+      .select(kcols :+ col("__o.id").as(idCol) :+
+        col("__o.s").cast("double").as("cusum") :+
+        expr(s"__o.s > $h").as("alarm"): _*)
+  }
 }

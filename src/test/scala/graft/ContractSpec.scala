@@ -22,7 +22,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("oracle SQL references only driver-provided tables") {
     val known = Tables.names.toSet
-    val tableRef = "(?i)\\bFROM\\s+([a-z_][a-z0-9_]*)".r
+    // lookbehind: `IS DISTINCT FROM x` is an operator, not a scan
+    val tableRef = "(?i)(?<!DISTINCT )\\bFROM\\s+([a-z_][a-z0-9_]*)".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       tableRef.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         // CTE names and subquery aliases resolve before views; only flag

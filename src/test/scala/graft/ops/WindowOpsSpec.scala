@@ -188,4 +188,26 @@ class WindowOpsSpec extends SparkSpec {
       assert(dropped.contains(1L), s"got $dropped")
     } finally spark.conf.set(aqeKey, aqeWas)
   }
+
+  test("cusum: hand-computed run with reset-to-zero and alarm; " +
+    "below-drift stream stays at zero") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val df = Seq(
+      (1L, ts(1), 1L, 100.0), (2L, ts(2), 1L, 100.0),
+      (3L, ts(3), 1L, 10.0), (4L, ts(4), 1L, 200.0),
+      (5L, ts(5), 1L, 400.0),
+      (6L, ts(1), 2L, 5.0), (7L, ts(2), 2L, 5.0) // never accumulates
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = WindowOps.cusum(df, Seq("user_id"), "ts", "event_id",
+        "value", target = 50.0, slack = 10.0, threshold = 300.0)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    // s = max(0, s + x - 60): 40, 80, 30, 170, 510(alarm)
+    assert(got(1L) == ((40.0, false)))
+    assert(got(2L) == ((80.0, false)))
+    assert(got(3L) == ((30.0, false)))
+    assert(got(4L) == ((170.0, false)))
+    assert(got(5L) == ((510.0, true)))
+    assert(got(6L) == ((0.0, false)) && got(7L) == ((0.0, false)))
+  }
 }

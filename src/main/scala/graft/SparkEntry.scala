@@ -1947,6 +1947,19 @@ object SparkEntry {
           (col("rn") === 1).as("last_touch"))
     }),
 
+    // ---- A19: grouped top-k via the native MERGEABLE heap aggregate
+    // (TypedImperativeAggregate) — top-3 events by value per type with
+    // map-side combine: each partition ships ≤ k rows per group, vs a
+    // window's full-group sort through the exchange. Best-first array
+    // exploded to ranked rows; (value desc, id) total order. ----
+    "a19_topk_agg" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(NativeExpressions.top_k_by_value(col("event_id"),
+          col("value"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("event_id"), col("col.value").as("value"))),
+
     // ---- W19: event debounce — drop events arriving within 10 min
     // of the PREVIOUS raw event of the same (user, type): the
     // double-fire/sensor-chatter filter. One lag window; the
@@ -5105,6 +5118,17 @@ object SparkEntry {
         |  (ROW_NUMBER() OVER (PARTITION BY purchase_id
         |     ORDER BY ts DESC, click_id DESC) = 1) AS last_touch
         |FROM j""".stripMargin,
+
+    // the window formulation IS the oracle — the aggregate must equal
+    // what a full sort-and-rank computes
+    "a19_topk_agg" ->
+      """SELECT event_type, CAST(rn AS INT) AS rank, event_id, value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rn <= 3""".stripMargin,
 
     "w19_debounce" ->
       """SELECT event_id, user_id, event_type, ts FROM (

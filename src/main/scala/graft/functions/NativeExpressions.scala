@@ -454,6 +454,115 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Grouped top-k as a MERGEABLE AGGREGATE (TypedImperativeAggregate
+    * — the repo's first custom Catalyst aggregate, completing the
+    * §2.10 surface next to the 14 scalar expressions): each partition
+    * keeps a k-element min-heap of (value, id), partials merge by
+    * heap union, eval emits the best-first array. The scale
+    * alternative to the window formulation (row_number ≤ k): a window
+    * SORTS every group's full row set through one exchange, this
+    * aggregate does map-side combine — each partition ships at most k
+    * rows per group, the same partial/merge discipline as SaltedAgg's
+    * sums, and skewed groups cost O(n log k) CPU instead of a sort's
+    * O(n log n) + full-group shuffle bytes.
+    *
+    * Ordering: value DESC, id ASC on ties — total, so the result is
+    * partitioning-invariant (spec-pinned). Null values are skipped.
+    * [[graft.sim.Similarity]]-style Column twin: the window
+    * formulation itself, proven output-identical in QualitySpec. */
+  case class TopKByValue(idExpr: Expression, valueExpr: Expression,
+                         k: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+        java.util.PriorityQueue[(Long, Double)]] {
+
+    require(k >= 1, "k must be >= 1")
+
+    override def children: Seq[Expression] = Seq(idExpr, valueExpr)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = false))),
+      containsNull = false)
+
+    // head = WORST kept entry: lowest value, then HIGHEST id
+    private def worseFirst: java.util.Comparator[(Long, Double)] =
+      (a: (Long, Double), b: (Long, Double)) => {
+        val c = java.lang.Double.compare(a._2, b._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      }
+
+    override def createAggregationBuffer()
+        : java.util.PriorityQueue[(Long, Double)] =
+      new java.util.PriorityQueue[(Long, Double)](k, worseFirst)
+
+    private def offer(buf: java.util.PriorityQueue[(Long, Double)],
+                      id: Long, v: Double): Unit = {
+      if (buf.size < k) { buf.add((id, v)); () }
+      else {
+        val worst = buf.peek()
+        val better = v > worst._2 || (v == worst._2 && id < worst._1)
+        if (better) { buf.poll(); buf.add((id, v)); () }
+      }
+    }
+
+    override def update(buf: java.util.PriorityQueue[(Long, Double)],
+                        input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.PriorityQueue[(Long, Double)] = {
+      val idv = idExpr.eval(input)
+      val vv = valueExpr.eval(input)
+      if (idv != null && vv != null)
+        offer(buf, idv.asInstanceOf[Long], vv.asInstanceOf[Double])
+      buf
+    }
+
+    override def merge(buf: java.util.PriorityQueue[(Long, Double)],
+                       other: java.util.PriorityQueue[(Long, Double)])
+        : java.util.PriorityQueue[(Long, Double)] = {
+      other.forEach(e => offer(buf, e._1, e._2))
+      buf
+    }
+
+    override def eval(buf: java.util.PriorityQueue[(Long, Double)]): Any = {
+      val arr = new Array[(Long, Double)](buf.size)
+      var i = 0
+      val it = buf.iterator()
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      // best-first: value DESC, id ASC
+      java.util.Arrays.sort(arr, worseFirst.reversed())
+      new GenericArrayData(arr.map { case (id, v) =>
+        org.apache.spark.sql.catalyst.InternalRow(id, v): Any
+      })
+    }
+
+    override def serialize(buf: java.util.PriorityQueue[(Long, Double)])
+        : Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      buf.forEach { e => bb.putLong(e._1); bb.putDouble(e._2); () }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte])
+        : java.util.PriorityQueue[(Long, Double)] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.add((bb.getLong, bb.getDouble)); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): TopKByValue =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TopKByValue =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): Expression =
+      copy(idExpr = cs(0), valueExpr = cs(1))
+  }
+
   /** Portable 31-bit polynomial token hash: fold over code points,
     * h = (h*mult + cp) mod (2^31 - 1). Engine-independent — a DuckDB
     * list_reduce over string_split computes the identical value, which is
@@ -792,6 +901,9 @@ object NativeExpressions {
                 codebooks: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]])
       : Column =
     toCol(PqEncode(expr(vec), codebooks))
+
+  def top_k_by_value(id: Column, value: Column, k: Int): Column =
+    toCol(TopKByValue(expr(id), expr(value), k).toAggregateExpression())
 
   /** (name, builder) for every SQL-surfaced native function. */
   private[functions] val sqlFunctions

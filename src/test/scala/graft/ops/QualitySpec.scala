@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class QualitySpec extends SparkSpec {
@@ -166,6 +167,37 @@ class QualitySpec extends SparkSpec {
       Seq(Quality.ExpectMinRows(4), Quality.ExpectMinRows(5)))
       .collect().map(r => (r.getDouble(3), r.getBoolean(4))).toSet
     assert(minRows == Set((4.0, true), (5.0, false)))
+  }
+
+  test("TopKByValue aggregate == window row_number twin; ties total-" +
+    "ordered; k > group size; null values skipped; merge across " +
+    "partitions") {
+    import graft.functions.NativeExpressions
+    val df = Seq(
+      (1L, "a", Some(5.0)), (2L, "a", Some(9.0)), (3L, "a", Some(9.0)),
+      (4L, "a", Some(1.0)), (5L, "a", None),
+      (6L, "b", Some(2.0))   // group smaller than k
+    ).toDF("id", "g", "v").repartition(7) // force partial merges
+    def viaAgg(k: Int) =
+      df.groupBy(col("g"))
+        .agg(NativeExpressions.top_k_by_value(col("id"), col("v"), k)
+          .as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).as("rank"), col("col.id"),
+          col("col.value"))
+        .as[(String, Int, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("v").desc, col("id"))
+    def viaWindow(k: Int) =
+      df.filter(col("v").isNotNull)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("g"), col("rank"), col("id"), col("v"))
+        .as[(String, Int, Long, Double)].collect().toSet
+    assert(viaAgg(3) == viaWindow(3))
+    assert(viaAgg(3) == Set(("a", 1, 2L, 9.0), ("a", 2, 3L, 9.0),
+      ("a", 3, 1L, 5.0), ("b", 1, 6L, 2.0)))
+    assert(viaAgg(10) == viaWindow(10)) // k larger than any group
   }
 
   test("olsFit: hand-computed slope/intercept/r2; degenerate x -> null") {

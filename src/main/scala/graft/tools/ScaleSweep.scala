@@ -290,7 +290,49 @@ object ScaleSweep {
         SparkEntry.queries("w16_ewma")(spark, d).count()),
       // binned range join + two windows on the purchase exchange
       "w17_attribution" -> (d =>
-        SparkEntry.queries("w17_attribution")(spark, d).count()))
+        SparkEntry.queries("w17_attribution")(spark, d).count()),
+      // r10 ops. PQ: one encode pass + codebook-sized agg per Lloyd
+      // round — expect ~linear; codebook/driver state is constant
+      "e_pq_encode" -> (d =>
+        SparkEntry.queries("e_pq_encode")(spark, d).count()),
+      // ADC serving: m table lookups per row over codes — linear
+      "e_pq_topk" -> (d =>
+        SparkEntry.queries("e_pq_topk")(spark, d).count()),
+      // IVF gate on top: the scored set stays nprobe/nlist of corpus
+      "e_ivfpq_topk" -> (d =>
+        SparkEntry.queries("e_ivfpq_topk")(spark, d).count()),
+      // co-occurrence graph DENSIFIES under the spliced staging (same
+      // vocab, factor× more pair observations → more edges pass
+      // minCount; triangles grow with the graph, not the corpus) —
+      // the orientation bound keeps wedge work ∝ edge-set size, which
+      // is what the ratio actually measures here
+      "g_triangles" -> (d =>
+        SparkEntry.queries("g_triangles")(spark, d).count()),
+      // postings filtered to the 2 phrase terms before any shuffle
+      "t_phrase_search" -> (d =>
+        SparkEntry.queries("t_phrase_search")(spark, d).count()),
+      // narrow one-pass canonicalization; isNormalized fast path
+      "t_nfc_normalize" -> (d =>
+        SparkEntry.queries("t_nfc_normalize")(spark, d).count()),
+      // narrow projection into TakeOrdered
+      "t_weighted_sample" -> (d =>
+        SparkEntry.queries("t_weighted_sample")(spark, d).count()),
+      // per-key recurrence (ewma shape): one exchange, new users only
+      "w20_cusum" -> (d =>
+        SparkEntry.queries("w20_cusum")(spark, d).count()),
+      // one lag window
+      "w19_debounce" -> (d =>
+        SparkEntry.queries("w19_debounce")(spark, d).count()),
+      // mergeable heap agg: map-side combine ships ≤ k rows/group per
+      // partition — the claim under test vs a window sort
+      "a19_topk_agg" -> (d =>
+        SparkEntry.queries("a19_topk_agg")(spark, d).count()),
+      // binned interval-interval join; canonical-bin dedup, no distinct
+      "j12_interval_overlap" -> (d =>
+        SparkEntry.queries("j12_interval_overlap")(spark, d).count()),
+      // streaming recurrence replay: 4 chunked triggers, O(keys) state
+      "s_stream_ewma" -> (d =>
+        SparkEntry.queries("s_stream_ewma")(spark, d).count()))
 
     // Pair-volume ops are QUADRATIC in this staging's recycled content
     // by construction (every source third appears in ~3·factor splices

@@ -66,6 +66,10 @@ object SparkEntry {
   private val stagedIvfIndex = scala.collection.concurrent.TrieMap
     .empty[String, (String, Array[Seq[Float]])]
 
+  /** Per-JVM cache of the persisted PQ index path. */
+  private val stagedPqIndex =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-(JVM, sf dir) persisted LSH index over the EVEN documents —
     * built once, probed by `t_lsh_index_probe`. */
   private val stagedLshIndex = scala.collection.concurrent.TrieMap
@@ -1621,6 +1625,23 @@ object SparkEntry {
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", queryId = 17L, topK = 10, nlist = 16, nprobe = 4,
         m = 4, k = 8, iters = 1)),
+
+    // ---- similarity: PERSISTED PQ index — books + codes written
+    // once (build-once/serve-many), query served from the codes scan
+    // alone. Must equal the end-to-end e_pq_topk exactly (same oracle
+    // SQL): persistence is not allowed to change the answer. ----
+    "e_pq_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 17L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val path = stagedPqIndex.getOrElseUpdate(dir, {
+        val p = tempDir("graft_pq") + "/idx"
+        Similarity.buildPqIndex(emb, "vec_id", "embedding", m = 4,
+          k = 8, path = p, iters = 1)
+        p
+      })
+      Similarity.pqTopKIndexed(s, path, "vec_id", q, topK = 10)
+    }),
 
     // ---- similarity: PQ top-k by asymmetric distance — query 17's
     // per-subspace distance table (4×8, driver-side) + m table
@@ -4527,6 +4548,73 @@ object SparkEntry {
         |JOIN tbl t ON t.sub = a.sub AND t.code = a.code
         |JOIN cells c ON c.vec_id = a.vec_id
         |WHERE c.cell IN (SELECT cell FROM probed)
+        |GROUP BY a.vec_id
+        |ORDER BY adc_dist, a.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // the persisted-index query must equal the end-to-end run: the
+    // SAME SQL as e_pq_topk is the contract that persistence never
+    // changes the answer
+    "e_pq_indexed" ->
+      """WITH init AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |        vec_id) - 1 AS code,
+        |    embedding AS e
+        |  FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 8),
+        |subs AS (SELECT unnest(range(4)) AS sub),
+        |cb0 AS (
+        |  SELECT subs.sub, init.code,
+        |    init.e[subs.sub*16 + 1 : subs.sub*16 + 16] AS ce
+        |  FROM init, subs),
+        |a1 AS (
+        |  SELECT e.vec_id, s.sub,
+        |    (SELECT code FROM cb0 WHERE cb0.sub = s.sub
+        |     ORDER BY ROUND(list_sum(list_transform(
+        |         list_zip(cb0.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
+        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+        |       code
+        |     LIMIT 1) AS code
+        |  FROM embeddings e, subs s),
+        |m1 AS (
+        |  SELECT a.sub, a.code, d.sd,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |        CAST(e.embedding[a.sub*16 + d.sd + 1] AS DOUBLE), 6)
+        |        AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS mn
+        |  FROM a1 a JOIN embeddings e USING (vec_id),
+        |    (SELECT unnest(range(16)) AS sd) d
+        |  GROUP BY 1, 2, 3),
+        |cb1 AS (
+        |  SELECT cb0.sub, cb0.code, COALESCE(l.ml, cb0.ce) AS ce
+        |  FROM cb0 LEFT JOIN (
+        |    SELECT sub, code, list(mn ORDER BY sd) AS ml
+        |    FROM m1 GROUP BY 1, 2) l
+        |  USING (sub, code)),
+        |a2 AS (
+        |  SELECT e.vec_id, s.sub,
+        |    (SELECT code FROM cb1 WHERE cb1.sub = s.sub
+        |     ORDER BY ROUND(list_sum(list_transform(
+        |         list_zip(cb1.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
+        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+        |       code
+        |     LIMIT 1) AS code
+        |  FROM embeddings e, subs s),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 17),
+        |tbl AS (
+        |  SELECT cb1.sub, cb1.code,
+        |    ROUND(list_sum(list_transform(
+        |      list_zip(cb1.ce,
+        |        (SELECT qe FROM q)[cb1.sub*16+1 : cb1.sub*16+16]),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d
+        |  FROM cb1)
+        |SELECT a.vec_id,
+        |  CAST(SUM(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+        |FROM a2 a JOIN tbl t ON t.sub = a.sub AND t.code = a.code
         |GROUP BY a.vec_id
         |ORDER BY adc_dist, a.vec_id
         |LIMIT 10""".stripMargin,

@@ -343,6 +343,63 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Persist a PQ index: trains codebooks, writes them as a (sub,
+    * code, centroid) table plus the corpus codes — build once, serve
+    * many (the [[buildIvfIndex]]/LshIndex maintenance discipline for
+    * PQ). The books table is m×k rows (tiny); the codes table is m
+    * small ints per vector — the entire serving-tier footprint. */
+  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                   m: Int, k: Int, path: String,
+                   iters: Int = 1): Array[Array[Array[Float]]] = {
+    val cbs = pqCodebooks(emb, idCol, vecCol, m, k, iters)
+    val sp = emb.sparkSession
+    import sp.implicits._
+    (for (s <- cbs.indices; c <- cbs(s).indices)
+      yield (s, c, cbs(s)(c).toSeq))
+      .toDF("sub", "code", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    pqEncode(emb, idCol, vecCol, cbs)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cbs
+  }
+
+  /** Reload a persisted index's codebooks (m×k rows → driver arrays,
+    * codebook-sized). */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$path/books")
+      .select(col("sub"), col("code"), col("ce")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val out = Array.ofDim[Array[Float]](m, k)
+    rows.foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    out
+  }
+
+  /** Incremental append with FROZEN codebooks: new vectors are
+    * encoded against the persisted books and appended — the index
+    * stays queryable without retraining, and appended codes are
+    * IDENTICAL to what a fresh encode of the same rows against the
+    * original books produces (spec-pinned). Retraining (a new build)
+    * is a deliberate, corpus-wide decision, exactly as with IVF
+    * centroids. */
+  def appendToPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                      path: String): Unit = {
+    val cbs = loadPqCodebooks(emb.sparkSession, path)
+    pqEncode(emb, idCol, vecCol, cbs)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Serve a top-k query from the persisted index: codes scan + m
+    * table lookups per row; the float corpus is never read. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                    path: String, idCol: String, query: Array[Float],
+                    topK: Int): DataFrame =
+    pqTopKFromCodes(spark.read.parquet(s"$path/codes"), idCol,
+      loadPqCodebooks(spark, path), query, topK)
+
   /** End-to-end PQ query (train + encode + ADC) — the oracle surface;
     * a real deployment trains/encodes once and serves many queries
     * through [[pqTopKFromCodes]] over persisted codes. */

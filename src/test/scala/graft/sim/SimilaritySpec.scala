@@ -608,5 +608,32 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", cbs, q0, topK = 12)
       .as[(Long, Double)].collect().toMap
     assert(part.forall { case (id, d) => allDists(id) == d })
+
+    // persisted index: load == built books; indexed query == in-memory;
+    // frozen-books append == fresh encode of the same rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx")
+      .toString + "/idx"
+    val first = df.filter(col("vec_id") < 8)
+    val rest = df.filter(col("vec_id") >= 8)
+    val built = Similarity.buildPqIndex(first, "vec_id", "embedding",
+      m = 2, k = 2, path = dir, iters = 2)
+    val loaded = Similarity.loadPqCodebooks(spark, dir)
+    assert(loaded.flatten.flatten.toSeq == built.flatten.flatten.toSeq)
+    Similarity.appendToPqIndex(rest, "vec_id", "embedding", dir)
+    val persisted = spark.read.parquet(s"$dir/codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val expected = Similarity.pqEncode(df, "vec_id", "embedding", built)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(persisted == expected,
+      "append with frozen books must equal a fresh encode")
+    val qAll = first.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val viaIdx = Similarity.pqTopKIndexed(spark, dir, "vec_id", qAll, 3)
+      .as[(Long, Double)].collect().toSeq
+    val viaMem = Similarity.pqTopKFromCodes(
+        Similarity.pqEncode(df, "vec_id", "embedding", built),
+        "vec_id", built, qAll, 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaIdx == viaMem)
   }
 }

@@ -1626,6 +1626,17 @@ object SparkEntry {
         "embedding", queryId = 17L, topK = 10, nlist = 16, nprobe = 4,
         m = 4, k = 8, iters = 1)),
 
+    // ---- similarity: RESIDUAL IVF-PQ (the full IVFADC) — codebooks
+    // trained on x − centroid(cell) displacements, per-probed-cell
+    // query-residual ADC tables: tighter error at equal bits than the
+    // non-residual compose, the real FAISS serving algorithm. Oracle
+    // replays coarse cells, exact-float residuals, the whole codebook
+    // run, and per-cell ADC. ----
+    "e_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 17L, topK = 10, nlist = 16, nprobe = 4,
+        m = 4, k = 8, iters = 1)),
+
     // ---- similarity: PERSISTED PQ index — books + codes written
     // once (build-once/serve-many), query served from the codes scan
     // alone. Must equal the end-to-end e_pq_topk exactly (same oracle
@@ -4448,6 +4459,119 @@ object SparkEntry {
         |  FROM embeddings e, subs s)
         |SELECT vec_id, list(CAST(code AS INT) ORDER BY sub) AS codes
         |FROM a2 GROUP BY vec_id""".stripMargin,
+
+    // the full IVFADC replay: coarse cells, EXACT-FLOAT residuals
+    // (x[1]-x[2] on FLOAT lists = Spark's float zip_with), codebooks
+    // trained on residuals, per-probed-cell query-residual tables
+    "e_ivfpq_residual" ->
+      """WITH ic AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |        vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 16),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 17),
+        |cells AS (
+        |  SELECT e.vec_id,
+        |    (SELECT cell FROM ic
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(ic.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(ic.ce,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e),
+        |r AS (
+        |  SELECT e.vec_id,
+        |    list_transform(list_zip(e.embedding, ic.ce),
+        |      x -> x[1] - x[2]) AS res
+        |  FROM embeddings e
+        |  JOIN cells c ON c.vec_id = e.vec_id
+        |  JOIN ic ON ic.cell = c.cell),
+        |init AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |        vec_id) - 1 AS code,
+        |    res AS e
+        |  FROM r
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 8),
+        |subs AS (SELECT unnest(range(4)) AS sub),
+        |cb0 AS (
+        |  SELECT subs.sub, init.code,
+        |    init.e[subs.sub*16 + 1 : subs.sub*16 + 16] AS ce
+        |  FROM init, subs),
+        |a1 AS (
+        |  SELECT r.vec_id, s.sub,
+        |    (SELECT code FROM cb0 WHERE cb0.sub = s.sub
+        |     ORDER BY ROUND(list_sum(list_transform(
+        |         list_zip(cb0.ce, r.res[s.sub*16+1 : s.sub*16+16]),
+        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+        |       code
+        |     LIMIT 1) AS code
+        |  FROM r, subs s),
+        |m1 AS (
+        |  SELECT a.sub, a.code, d.sd,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |        CAST(r.res[a.sub*16 + d.sd + 1] AS DOUBLE), 6)
+        |        AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS mn
+        |  FROM a1 a JOIN r USING (vec_id),
+        |    (SELECT unnest(range(16)) AS sd) d
+        |  GROUP BY 1, 2, 3),
+        |cb1 AS (
+        |  SELECT cb0.sub, cb0.code, COALESCE(l.ml, cb0.ce) AS ce
+        |  FROM cb0 LEFT JOIN (
+        |    SELECT sub, code, list(mn ORDER BY sd) AS ml
+        |    FROM m1 GROUP BY 1, 2) l
+        |  USING (sub, code)),
+        |a2 AS (
+        |  SELECT r.vec_id, s.sub,
+        |    (SELECT code FROM cb1 WHERE cb1.sub = s.sub
+        |     ORDER BY ROUND(list_sum(list_transform(
+        |         list_zip(cb1.ce, r.res[s.sub*16+1 : s.sub*16+16]),
+        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+        |       code
+        |     LIMIT 1) AS code
+        |  FROM r, subs s),
+        |probed AS (
+        |  SELECT ic.cell FROM ic, qv
+        |  ORDER BY ROUND(
+        |      list_sum(list_transform(list_zip(ic.ce, qv.qe),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(ic.ce,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(qv.qe,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |    DESC, ic.cell
+        |  LIMIT 4),
+        |qres AS (
+        |  SELECT ic.cell,
+        |    list_transform(list_zip(qv.qe, ic.ce), x -> x[1] - x[2]) AS qr
+        |  FROM ic, qv
+        |  WHERE ic.cell IN (SELECT cell FROM probed)),
+        |tbl AS (
+        |  SELECT q2.cell, cb1.sub, cb1.code,
+        |    ROUND(list_sum(list_transform(
+        |      list_zip(cb1.ce, q2.qr[cb1.sub*16+1 : cb1.sub*16+16]),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d
+        |  FROM cb1, qres q2)
+        |SELECT a.vec_id,
+        |  CAST(SUM(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+        |FROM a2 a
+        |JOIN cells c ON c.vec_id = a.vec_id
+        |JOIN tbl t ON t.cell = c.cell AND t.sub = a.sub AND t.code = a.code
+        |WHERE c.cell IN (SELECT cell FROM probed)
+        |GROUP BY a.vec_id
+        |ORDER BY adc_dist, a.vec_id
+        |LIMIT 10""".stripMargin,
 
     // IVF replay (portable-hash centroid init, round-6 cosine argmax
     // cells, top-nprobe probe) composed with the full PQ replay; the

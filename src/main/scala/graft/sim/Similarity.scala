@@ -461,6 +461,93 @@ object Similarity {
       cbs, q, topK)
   }
 
+  private def adcScore(tbl: Seq[Seq[Double]], m: Int): Column =
+    (0 until m).map(s =>
+        typedLit(tbl).getItem(s).getItem(col("codes").getItem(s))
+          .cast("decimal(18,6)"))
+      .reduce(_ + _)
+
+  /** RESIDUAL IVF-PQ (the full Jégou et al. IVFADC architecture): PQ
+    * codebooks are trained on the residuals x − centroid(cell(x)) —
+    * the displacement WITHIN a coarse cell — rather than on raw
+    * vectors. Residuals concentrate near the origin, so the same m×k
+    * code budget spends its resolution on within-cell structure:
+    * tighter quantization error at equal bits than [[ivfPqTopK]]'s
+    * non-residual variant, at the price of cell-dependent decoding
+    * (each probed cell needs its OWN query-residual distance table,
+    * nprobe × m × k driver scalars).
+    *
+    * Determinism: the residual is an exact float subtraction (both
+    * engines compute identical IEEE float differences), training and
+    * encode then follow the proven round-6/exact-decimal PQ
+    * discipline on the residual frame — the oracle replays coarse
+    * cells, residuals, the whole codebook run, and per-cell ADC.
+    *
+    * Plan: cell assignment + residual + encode ride ONE narrow pass
+    * (the vector is read once; centroids are a broadcast argmax + an
+    * nlist-row literal lookup — at serving nlist swap the literal for
+    * a broadcast join); scoring gates on the probed cells and
+    * dispatches each row to its cell's table with a when-chain over
+    * the ≤ nprobe probed cells. */
+  def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        queryId: Long, topK: Int, nlist: Int,
+                        nprobe: Int, m: Int, k: Int,
+                        iters: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb, idCol, vecCol, nlist)
+    val bcCents = spark.sparkContext.broadcast(
+      cents.map(_.toArray): Array[Array[Float]])
+    val centsLit = typedLit(cents.map(_.toSeq))
+    val withRes = emb.select(col(idCol), col(vecCol),
+        graft.functions.NativeExpressions.ivf_cell(col(vecCol), bcCents)
+          .as("cell"))
+      .withColumn("res", zip_with(col(vecCol),
+        element_at(centsLit, col("cell") + 1), (a, b) => a - b))
+    val cbs = pqCodebooks(withRes.select(col(idCol), col("res")),
+      idCol, "res", m, k, iters)
+    val bcCbs = spark.sparkContext.broadcast(cbs)
+    val sub = cbs(0)(0).length
+    val codes = withRes.select(col(idCol), col("cell"),
+      graft.functions.NativeExpressions.pq_encode(col("res"), bcCbs)
+        .as("codes"))
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol),
+        graft.functions.NativeExpressions.ivf_probe(col(vecCol),
+          bcCents, nprobe).as("cells"))
+      .collect()(0)
+    val q = qRow.getSeq[Float](0).toArray
+    val probed = qRow.getSeq[Int](1)
+    def tblFor(cell: Int): Seq[Seq[Double]] = {
+      val c = cents(cell)
+      val qr: Array[Float] =
+        Array.tabulate(q.length)(i => q(i) - c(i)) // exact float diff
+      (0 until m).map { s =>
+        (0 until k).map { cd =>
+          val cv = cbs(s)(cd)
+          var d2 = 0.0
+          var j = 0
+          while (j < sub) {
+            val d = qr(s * sub + j).toDouble - cv(j).toDouble
+            d2 += d * d
+            j += 1
+          }
+          java.math.BigDecimal.valueOf(d2)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+      }
+    }
+    val score = probed.tail.foldLeft(
+        when(col("cell") === probed.head,
+          adcScore(tblFor(probed.head), m))) {
+      case (acc, cell) => acc.when(col("cell") === cell,
+        adcScore(tblFor(cell), m))
+    }
+    codes.filter(col("cell").isin(probed: _*))
+      .select(col(idCol), score.cast("double").as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+  }
+
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int = 64,
                maxCell: Int = 20000, blockSize: Int = 512): DataFrame = {

@@ -636,4 +636,32 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(viaIdx == viaMem)
   }
+
+  test("ivfPqResidualTopK: deterministic; query's own row ranks first " +
+    "with near-zero self-distance; only probed-cell members returned") {
+    // two tight clusters around distinct centers: residual books model
+    // within-cluster displacement
+    val vecs = (0 until 16).map { i =>
+      val c = if (i % 2 == 0) 1.0f else 9.0f
+      (i.toLong, Seq.tabulate(8)(d => c + (i / 2) * 0.01f + d * 0.001f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val run1 = Similarity.ivfPqResidualTopK(df, "vec_id", "embedding",
+        queryId = 4L, topK = 5, nlist = 2, nprobe = 1, m = 2, k = 4,
+        iters = 2)
+      .as[(Long, Double)].collect().toSeq
+    val run2 = Similarity.ivfPqResidualTopK(df, "vec_id", "embedding",
+        queryId = 4L, topK = 5, nlist = 2, nprobe = 1, m = 2, k = 4,
+        iters = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(run1 == run2, "non-deterministic")
+    // nprobe=1 on well-separated clusters: only the query's own
+    // (even) cluster can appear
+    assert(run1.map(_._1).forall(_ % 2 == 0), run1.toString)
+    assert(run1.forall(_._2 >= 0.0))
+    // the query's own row carries the minimal distance of the result
+    val self = run1.find(_._1 == 4L)
+    assert(self.isDefined && self.get._2 == run1.map(_._2).min,
+      run1.toString)
+  }
 }

@@ -2492,6 +2492,34 @@ object SparkEntry {
         .filter(col("change") =!= "unchanged")
     }),
 
+    // ---- S14: SCD TYPE 2 upsert — history-keeping merge: changed
+    // keys close their current version (valid_to stamped) and open a
+    // new one; unchanged keys are no-ops; new keys insert open. Table
+    // partitioned by stable key-hash buckets, so the batch touches
+    // only its keys' buckets. Initial load at t0, one update batch at
+    // t1 (same deterministic mutations as s13). ----
+    "s14_scd2" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val t0 = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      val t1 = lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      val base = o.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), t0.as("ts"))
+      val updates = o.select(col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.5)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        t1.as("ts"))
+      val path = tempDir("graft_scd2") + "/t"
+      Merge.scd2Upsert(s, path, base, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"), "ts")
+      Merge.scd2Upsert(s, path, updates, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"), "ts")
+      s.read.parquet(path).select("o_orderkey", "o_orderstatus",
+        "o_totalprice", "valid_from", "valid_to", "is_current")
+    }),
+
     // ---- §2.1 ORC sink + scan roundtrip (the columnar alternative —
     // same predicate-pushdown/pruning properties as parquet) ----
     "s3_orc_roundtrip" -> ((s, dir) => {
@@ -5570,6 +5598,40 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n,
         |  CAST(SUM(length(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // the SCD2 state recomputed: carried rows (changed ones closed at
+    // t1) + opened rows (changed replacements and brand-new keys)
+    "s14_scd2" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |u AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.5
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |j AS (
+        |  SELECT b.o_orderkey AS bk, u.o_orderkey AS uk,
+        |    b.o_orderstatus AS bs, b.o_totalprice AS bp,
+        |    u.o_orderstatus AS us, u.o_totalprice AS up
+        |  FROM b FULL JOIN u ON b.o_orderkey = u.o_orderkey),
+        |c AS (
+        |  SELECT *,
+        |    (bk IS NOT NULL AND uk IS NOT NULL AND
+        |     (bs IS DISTINCT FROM us OR bp IS DISTINCT FROM up)) AS chg
+        |  FROM j)
+        |SELECT bk AS o_orderkey, bs AS o_orderstatus,
+        |  bp AS o_totalprice,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |  CASE WHEN chg THEN TIMESTAMP '2024-02-01 00:00:00' END
+        |    AS valid_to,
+        |  NOT chg AS is_current
+        |FROM c WHERE bk IS NOT NULL
+        |UNION ALL
+        |SELECT uk, us, up, TIMESTAMP '2024-02-01 00:00:00', NULL, true
+        |FROM c WHERE uk IS NOT NULL AND (bk IS NULL OR chg)""".stripMargin,
 
     // the identical diff replayed: IS DISTINCT FROM = Spark's <=>
     // negated; concat_ws skips NULL arms in both engines

@@ -200,6 +200,89 @@ object Merge {
         compareCols.flatMap(c => Seq(col("old_" + c), col("new_" + c))): _*)
   }
 
+  /** SCD TYPE 2 upsert — history-keeping merge: instead of replacing a
+    * changed row ([[mergeUpsert]]'s SCD1), the current version is
+    * CLOSED (valid_to = batch time, is_current = false) and the new
+    * version opens (valid_from = batch time, valid_to null) — the
+    * as-of-queryable dimension history every warehouse keeps for
+    * "what did this customer's record say when the order shipped".
+    *
+    * Layout: the table hive-partitions on a portable-hash KEY BUCKET
+    * (stable by construction — a key can never move buckets, the
+    * mergeUpsert stability contract made structural), so a batch
+    * touches only its keys' buckets: base read pruned at file-listing
+    * time, dynamic overwrite of touched buckets, per-merge cost
+    * O(touched), never O(table). All version rows of a key live in
+    * one bucket — an as-of lookup reads one partition.
+    *
+    * Contracts: one row per key per batch (intra-batch dedup to the
+    * latest is applied via the caller ordering `tsCol`; a batch
+    * carrying a key's full intra-day sequence should be split into
+    * ordered batches); change detection is null-safe over
+    * `compareCols`; identical updates are no-ops (idempotent on final
+    * state). Failure semantics are [[mergeUpsert]]'s staging
+    * discipline. */
+  def scd2Upsert(spark: SparkSession, basePath: String,
+                 updates: DataFrame, keyCol: String,
+                 compareCols: Seq[String], tsCol: String,
+                 buckets: Int = 16): Unit = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val kb = pmod(pmod(col(keyCol).cast("long"), lit(2147483647L)) *
+      2654435761L, lit(2147483647L)) % buckets
+    val cols = (keyCol +: compareCols).map(col)
+    val upd = graft.ops.WindowOps.dedupKeepLast(updates,
+        keys = Seq(keyCol), orderBy = Seq(col(tsCol)))
+      .select(cols :+ col(tsCol).as("__ts"): _*)
+      .withColumn("__kb", kb)
+    val fsPath = new org.apache.hadoop.fs.Path(basePath)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val asVersion = upd.select(cols :+
+      col("__ts").as("valid_from") :+
+      lit(null).cast("timestamp").as("valid_to") :+
+      lit(true).as("is_current") :+ col("__kb"): _*)
+    if (!fs.exists(fsPath)) {
+      asVersion.repartition(col("__kb"))
+        .write.mode("overwrite").partitionBy("__kb").parquet(basePath)
+      return
+    }
+    val touched = upd.select(col("__kb")).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val base = spark.read.parquet(basePath)
+      .filter(col("__kb").isin(touched: _*))
+    val u = upd.select((keyCol +: compareCols).map(c =>
+      col(c).as(s"__u_$c")) :+ col("__ts"): _*)
+    val joined = base.join(u,
+      col(keyCol) === col(s"__u_$keyCol"), "full_outer")
+    val differs = compareCols.map(c =>
+      !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
+    val isChange = col("is_current") && col(s"__u_$keyCol").isNotNull &&
+      differs
+    // history rows and unchanged/unmatched rows pass through; a
+    // changed current row closes; its replacement (and brand-new
+    // keys) open
+    val carried = joined.filter(col(keyCol).isNotNull)
+      .select((keyCol +: compareCols).map(col) :+
+        col("valid_from") :+
+        when(isChange, col("__ts")).otherwise(col("valid_to"))
+          .as("valid_to") :+
+        when(isChange, lit(false)).otherwise(col("is_current"))
+          .as("is_current") :+ col("__kb"): _*)
+    val opened = joined
+      .filter(col(s"__u_$keyCol").isNotNull &&
+        (col(keyCol).isNull || isChange))
+      .select((keyCol +: compareCols).map(c =>
+        col(s"__u_$c").as(c)) :+
+        col("__ts").as("valid_from") :+
+        lit(null).cast("timestamp").as("valid_to") :+
+        lit(true).as("is_current") :+
+        (pmod(pmod(col(s"__u_$keyCol").cast("long"), lit(2147483647L)) *
+          2654435761L, lit(2147483647L)) % buckets).as("__kb"): _*)
+    val merged = carried.unionByName(opened)
+    overwriteTouched(spark, fs, fsPath, merged, "__kb",
+      opName = "scd2Upsert")
+  }
+
   private def overwriteTouched(spark: SparkSession,
                                fs: org.apache.hadoop.fs.FileSystem,
                                fsPath: org.apache.hadoop.fs.Path,

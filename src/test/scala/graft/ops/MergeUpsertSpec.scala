@@ -184,6 +184,45 @@ class MergeUpsertSpec extends SparkSpec {
     assert(d2 == Seq((2L, 5.0)))
   }
 
+  test("scd2Upsert: change closes + opens, unchanged no-op, insert " +
+    "opens; idempotent on final state; untouched buckets not rewritten") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2s")
+      .toString + "/t"
+    val t0 = ts("2024-01-01 00:00:00"); val t1 = ts("2024-02-01 00:00:00")
+    val base = Seq((1L, "a", t0), (2L, "b", t0), (3L, "c", t0))
+      .toDF("k", "v", "ts")
+    Merge.scd2Upsert(spark, dir, base, "k", Seq("v"), "ts",
+      buckets = 64) // 64 buckets: keys land in distinct buckets
+    val files0 = listFiles(dir)
+    // update: k=1 changes, k=2 unchanged, k=4 inserts
+    val upd = Seq((1L, "A", t1), (2L, "b", t1), (4L, "d", t1))
+      .toDF("k", "v", "ts")
+    Merge.scd2Upsert(spark, dir, upd, "k", Seq("v"), "ts", buckets = 64)
+    def state() = spark.read.parquet(dir)
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, java.sql.Timestamp,
+        Option[java.sql.Timestamp], Boolean)]
+      .collect().toSet
+    val expected = Set(
+      (1L, "a", t0, Some(t1), false),  // closed
+      (1L, "A", t1, None, true),       // replacement
+      (2L, "b", t0, None, true),       // unchanged no-op
+      (3L, "c", t0, None, true),       // not in batch
+      (4L, "d", t1, None, true))       // insert
+    assert(state() == expected, state().toString)
+    // k=3's bucket was untouched by the batch: its file must be
+    // byte-identical (not rewritten)
+    val files1 = listFiles(dir)
+    val untouched0 = files0.keys.filter(_.contains("__kb=")).toSet
+    val stillThere = untouched0.intersect(files1.keys.toSet)
+    assert(stillThere.exists(p => files0(p) == files1(p)),
+      "expected at least one untouched bucket file to survive unchanged")
+    // idempotence: re-applying the same batch changes nothing
+    Merge.scd2Upsert(spark, dir, upd, "k", Seq("v"), "ts", buckets = 64)
+    assert(state() == expected)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, null-safe value " +
     "compare, changed_cols in declaration order") {
     val v1 = Seq(

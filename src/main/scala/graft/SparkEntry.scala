@@ -1884,6 +1884,26 @@ object SparkEntry {
     // file stream source has no post-read transform hook; staged ONCE
     // per (JVM, sf dir) so repeated runs measure the streaming query,
     // not the harness copy. ----
+    // ---- streaming per-window top-k leaderboard — the custom heap
+    // AGGREGATE inside a streaming aggregation: state per (window,
+    // type) is k rows forever; a window-sort rank can't stream at
+    // all. Oracle == the batch window+rank formulation. ----
+    "s_stream_topk" -> ((s, dir) => {
+      val in = stagedEventsDir.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_sw")
+        t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
+        s"$tmp/in"
+      })
+      val ckpt = tempDir("graft_stk_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in)
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.windowedTopK(stream, "1 hour",
+          k = 3, watermark = "2 hours"),
+        queryName = s"stk_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
     "s_stream_windowed" -> ((s, dir) => {
       val in = stagedEventsDir.getOrElseUpdate(dir, {
         val tmp = tempDir("graft_sw")
@@ -5151,6 +5171,20 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS sha
         |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    // the batch window+rank formulation the streaming heap agg must
+    // reproduce
+    "s_stream_topk" ->
+      """SELECT window_start, event_type, CAST(rn AS INT) AS rank,
+        |  event_id, value
+        |FROM (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    event_id, value,
+        |    row_number() OVER (
+        |      PARTITION BY date_trunc('hour', ts), event_type
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rn <= 3""".stripMargin,
 
     "s_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -75,6 +75,30 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked per-window TOP-K leaderboard — the custom
+    * [[graft.functions.NativeExpressions.TopKByValue]] aggregate
+    * running INSIDE a streaming aggregation: its serialized k-element
+    * heap is the state-store value, partials from each micro-batch
+    * merge by heap union, so per-(window, type) state is k rows
+    * FOREVER regardless of event volume — a window's full event set
+    * never exists anywhere. The leaderboard shape (top pages/products
+    * per hour) that a naive window-sort formulation cannot stream at
+    * all (rank over an unbounded window is unsupported on streams —
+    * the mergeable aggregate is the only shape that works). */
+  def windowedTopK(events: DataFrame, windowLen: String = "1 hour",
+                   k: Int = 3,
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(graft.functions.NativeExpressions.top_k_by_value(
+        col("event_id"), col("value"), k).as("top"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        posexplode(col("top")))
+      .select(col("window_start"), col("event_type"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"), col("col.value").as("value"))
+
   /** Stream–static broadcast enrichment: join each micro-batch to a
     * BATCH dimension — the most common streaming join (attach the
     * user/product/geo attributes to every event). Stateless: no

@@ -286,6 +286,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTopK: heap state merges across micro-batches — a later " +
+    "batch's higher value displaces an earlier batch's entry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "ts", "value")
+      .selectExpr("event_id", "ts", "1L as user_id", "'x' as event_type",
+        "value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stk").toString
+    val q = EventStreams.windowedTopK(events, "1 hour", k = 2)
+      .writeStream.format("memory").queryName("stk_live")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      ms.addData((1L, ts("2024-01-01 00:10:00"), 5.0),
+        (2L, ts("2024-01-01 00:20:00"), 3.0))
+      q.processAllAvailable()
+      // batch 2: 9.0 must displace 3.0 from the k=2 heap carried in
+      // the state store (deserialized, merged, reserialized)
+      ms.addData((3L, ts("2024-01-01 00:30:00"), 9.0))
+      q.processAllAvailable()
+      val got = spark.table("stk_live")
+        .select("rank", "event_id", "value")
+        .as[(Int, Long, Double)].collect().toSet
+      assert(got == Set((1, 3L, 9.0), (2, 1L, 5.0)), got.toString)
+    } finally q.stop()
+  }
+
   test("ewmaStream: exact decimal recurrence carried across triggers; " +
     "out-of-order arrival across triggers throws") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -2012,6 +2012,27 @@ object SparkEntry {
         .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
           col("col.id").as("event_id"), col("col.value").as("value"))),
 
+    // ---- W21: Kaplan–Meier survival — time from a user's first
+    // event to first purchase, users who never purchase RIGHT-
+    // CENSORED at corpus end (dropping them would bias survival
+    // down). Product-limit recurrence in exact decimal (the ewma
+    // discipline) over the curve-sized distinct-time table. ----
+    "w21_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def us(c: Column) = unix_micros(c.cast("timestamp_ltz"))
+      val per = ev.groupBy(col("user_id")).agg(
+        min(us(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", us(col("ts"))))
+          .as("p_us"))
+      val cens = ev.agg(max(us(col("ts"))).as("end_us"))
+      val subj = per.crossJoin(broadcast(cens))
+        .select(
+          when(col("p_us").isNotNull, col("p_us") - col("first_us"))
+            .otherwise(col("end_us") - col("first_us")).as("dur"),
+          col("p_us").isNotNull.as("observed"))
+      Analytics.kaplanMeier(subj, "dur", "observed")
+    }),
+
     // ---- W19: event debounce — drop events arriving within 10 min
     // of the PREVIOUS raw event of the same (user, type): the
     // double-fire/sensor-chatter filter. One lag window; the
@@ -5403,6 +5424,53 @@ object SparkEntry {
         |                       ORDER BY value DESC, event_id) AS rn
         |  FROM events WHERE value IS NOT NULL)
         |WHERE rn <= 3""".stripMargin,
+
+    // per-time risk sets from the cumulative window; the product-limit
+    // curve replayed as a recursive decimal recurrence
+    "w21_survival" ->
+      """WITH RECURSIVE per AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END) AS p_us
+        |  FROM events GROUP BY 1),
+        |cns AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+        |subj AS (
+        |  SELECT CASE WHEN p_us IS NOT NULL THEN p_us - first_us
+        |              ELSE end_us - first_us END AS dur,
+        |    p_us IS NOT NULL AS obs
+        |  FROM per, cns),
+        |perT AS (
+        |  SELECT dur AS t, COUNT(CASE WHEN obs THEN 1 END) AS d,
+        |    COUNT(*) AS m
+        |  FROM subj GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM subj),
+        |steps AS (
+        |  SELECT t, d,
+        |    COALESCE(SUM(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM perT),
+        |e AS (
+        |  SELECT t, (SELECT nn FROM n) - before AS n_risk, d AS n_events,
+        |    ROUND(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) /
+        |          CAST((SELECT nn FROM n) - before AS DOUBLE), 6)
+        |      AS factor,
+        |    ROW_NUMBER() OVER (ORDER BY t) AS rn
+        |  FROM steps WHERE d > 0),
+        |km AS (
+        |  SELECT t, n_risk, n_events, rn,
+        |    CAST(ROUND(CAST(1 AS DECIMAL(18,6)) *
+        |               CAST(factor AS DECIMAL(18,6)), 6)
+        |         AS DECIMAL(18,6)) AS s
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.t, e.n_risk, e.n_events, e.rn,
+        |    CAST(ROUND(km.s * CAST(e.factor AS DECIMAL(18,6)), 6)
+        |         AS DECIMAL(18,6))
+        |  FROM e JOIN km ON e.rn = km.rn + 1)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+        |  CAST(s AS DOUBLE) AS survival
+        |FROM km""".stripMargin,
 
     "w19_debounce" ->
       """SELECT event_id, user_id, event_type, ts FROM (

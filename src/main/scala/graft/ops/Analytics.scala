@@ -159,6 +159,73 @@ object Analytics {
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
 
+  /** Kaplan–Meier product-limit survival estimator (Kaplan & Meier
+    * 1958) with right censoring — time-to-event analytics ("how long
+    * until a user converts / a machine fails"), where subjects who
+    * never experience the event are CENSORED at observation end
+    * rather than dropped (dropping them biases survival downward —
+    * the classic mistake this estimator exists to fix).
+    *
+    * At each distinct observed event time t_i: n_i = subjects still
+    * at risk (observed time ≥ t_i — censored subjects count until
+    * their censor time, the standard ties convention), d_i = events
+    * at t_i, and S(t_i) = Π_{j≤i} (1 − d_j/n_j). Each factor is one
+    * integer-valued-double divide on the round-6 grid and the running
+    * product is an exact-decimal recurrence (round-6 per step) — the
+    * ewma discipline, so a recursive CTE replays the curve
+    * bit-for-bit.
+    *
+    * Scale: per-time d/m counts are one hash agg over subjects; the
+    * at-risk counts and the product recurrence run on the DISTINCT-
+    * event-time table — curve-sized (≤ subjects, usually far
+    * smaller), which is the OUTPUT, so the single-partition window
+    * and fold there cost what the answer costs. Subject derivation
+    * (one row per user) is the caller's aggregation. */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+                  observedCol: String): DataFrame = {
+    val total = subjects.agg(count(lit(1)).as("__N"))
+    val perT = subjects.groupBy(col(durationCol).as("t"))
+      .agg(count(when(col(observedCol), lit(1))).as("n_events"),
+        count(lit(1)).as("__m"))
+    val wBefore = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = perT
+      .withColumn("__before", coalesce(sum(col("__m")).over(wBefore),
+        lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("n_risk", col("__N") - col("__before"))
+      .filter(col("n_events") > 0)
+      .withColumn("factor",
+        round(lit(1.0) - col("n_events").cast("double") /
+          col("n_risk").cast("double"), 6))
+    // running product as an exact-decimal recurrence over the sorted
+    // curve — one group, curve-sized
+    steps
+      .select(struct(col("t"), col("n_risk"), col("n_events"),
+        col("factor")).as("__e"))
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(expr(
+        """aggregate(__evs,
+          |  struct(cast(array() as array<struct<
+          |           t:bigint, n_risk:bigint, n_events:bigint,
+          |           factor:double, s:decimal(18,6)>>) AS out,
+          |         cast(1 as decimal(18,6)) AS last),
+          |  (acc, e) -> struct(
+          |    concat(acc.out, array(named_struct(
+          |      't', e.t, 'n_risk', e.n_risk, 'n_events', e.n_events,
+          |      'factor', e.factor,
+          |      's', cast(round(acc.last *
+          |             cast(e.factor as decimal(18,6)), 6)
+          |           as decimal(18,6))))),
+          |    cast(round(acc.last * cast(e.factor as decimal(18,6)), 6)
+          |         as decimal(18,6))),
+          |  acc -> acc.out)""".stripMargin).as("__arr"))
+      .select(explode(col("__arr")).as("__o"))
+      .select(col("__o.t").as("t"), col("__o.n_risk").as("n_risk"),
+        col("__o.n_events").as("n_events"),
+        col("__o.s").cast("double").as("survival"))
+  }
+
   /** Market-basket association rules (Agrawal & Srikant's classic
     * support/confidence/lift surface, pair rules): for every ordered
     * item pair (ante → cons) co-occurring in ≥ `minPairSupport`

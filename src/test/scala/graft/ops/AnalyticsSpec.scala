@@ -175,6 +175,23 @@ class AnalyticsSpec extends SparkSpec {
     } finally spark.conf.set(aqeKey, aqeWas)
   }
 
+  test("kaplanMeier: hand-computed curve with ties and censoring; " +
+    "censored subjects hold the risk set without stepping the curve") {
+    val subj = Seq(
+      (1L, true), (2L, true), (2L, true),   // tie: two events at t=2
+      (3L, false),                          // censored at 3
+      (4L, true), (5L, false)               // censored tail
+    ).toDF("dur", "obs")
+    val got = Analytics.kaplanMeier(subj, "dur", "obs")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // t=1: n=6 S=1*(1-1/6)=.833333; t=2: d=2 n=5 S=.833333*.6=.5;
+    // t=4: n=2 (censored-at-3 already out) S=.5*.5=.25
+    assert(got == Seq(
+      (1L, 6L, 1L, 0.833333),
+      (2L, 5L, 2L, 0.5),
+      (4L, 2L, 1L, 0.25)), got.toString)
+  }
+
   test("associationRules: hand-computed support/confidence/lift; " +
     "duplicate basket lines collapse; min-support cut") {
     // baskets: {A,B,C} {A,B} {A,B} {A,C} {B} -> supp A=4 B=4 C=2,

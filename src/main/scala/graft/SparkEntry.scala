@@ -940,6 +940,24 @@ object SparkEntry {
         TextOps.invertedIndex(t(s, dir, "documents"), "doc_id", "text"),
         "doc_id", Seq("table", "part"))),
 
+    // ---- training-data ops: keyword-in-context (KWIC) concordance —
+    // every occurrence of "window" with 3 tokens of context either
+    // side: the corpus-inspection view behind every "show me how this
+    // term is used" audit. One tokenization bound once, narrow
+    // explode, no shuffle. ----
+    "t_kwic" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"), posexplode(col("tk")))
+        .filter(col("col") === "window")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          concat_ws(" ", slice(col("tk"),
+            greatest(col("pos") - 3, lit(0)) + 1,
+            col("pos") - greatest(col("pos") - 3, lit(0))))
+            .as("left_ctx"),
+          concat_ws(" ", slice(col("tk"), col("pos") + 2, lit(3)))
+            .as("right_ctx"))),
+
     // ---- training-data ops: weighted sampling WITHOUT replacement
     // (Efraimidis–Spirakis) — top-50 docs by the portable-hash A-ES
     // key with n_chars as weight: longer docs proportionally likelier,
@@ -1997,6 +2015,38 @@ object SparkEntry {
         .select(col("purchase_id"), col("click_id"),
           round(lit(1.0) / col("n"), 6).as("credit"),
           (col("rn") === 1).as("last_touch"))
+    }),
+
+    // ---- A20: two-proportion A/B conversion z-test — variant by
+    // user-id parity, conversion = ever purchased; pooled-variance
+    // z from EXACT counts (every input to the IEEE formula sequence
+    // is an integer-valued double, so both engines compute identical
+    // rates and statistic; significance compared on the round-6
+    // grid). One user agg + one 1-row conditional agg. ----
+    "a20_ab_test" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      val agg = per.agg(
+        count(when(col("variant") === 0, lit(1))).as("n_a"),
+        sum(when(col("variant") === 0, col("conv"))).cast("long")
+          .as("c_a"),
+        count(when(col("variant") === 1, lit(1))).as("n_b"),
+        sum(when(col("variant") === 1, col("conv"))).cast("long")
+          .as("c_b"))
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      val pa = col("c_a").cast("double") / na
+      val pb = col("c_b").cast("double") / nb
+      val pp = (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val z = (pa - pb) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+      agg.select(col("n_a"), col("c_a"), round(pa, 6).as("rate_a"),
+        col("n_b"), col("c_b"), round(pb, 6).as("rate_b"),
+        round(z, 6).as("z"),
+        (abs(round(z, 6)) > 1.96).as("significant"))
     }),
 
     // ---- A19: grouped top-k via the native MERGEABLE heap aggregate
@@ -3398,6 +3448,19 @@ object SparkEntry {
         |    ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647,
         |             doc_id) AS rn
         |  FROM documents) WHERE rn <= 15""".stripMargin,
+
+    "t_kwic" ->
+      """WITH tkn AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  COALESCE(array_to_string(tk[greatest(i - 3, 0) + 1 : i], ' '),
+        |           '') AS left_ctx,
+        |  COALESCE(array_to_string(tk[i + 2 : i + 4], ' '), '')
+        |    AS right_ctx
+        |FROM tkn, unnest(range(len(tk))) AS u(i)
+        |WHERE tk[i + 1] = 'window'""".stripMargin,
 
     // independent formulation: direct adjacency on the token array
     "t_phrase_search" ->
@@ -5413,6 +5476,43 @@ object SparkEntry {
         |  (ROW_NUMBER() OVER (PARTITION BY purchase_id
         |     ORDER BY ts DESC, click_id DESC) = 1) AS last_touch
         |FROM j""".stripMargin,
+
+    "a20_ab_test" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN conv END) AS BIGINT)
+        |      AS c_a,
+        |    COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN conv END) AS BIGINT)
+        |      AS c_b
+        |  FROM per)
+        |SELECT n_a, c_a,
+        |  ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |  n_b, c_b,
+        |  ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |  ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |         CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |    sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |         (CAST(1 AS DOUBLE) -
+        |          CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |         (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |          CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))), 6) AS z,
+        |  abs(ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |         CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |    sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |         (CAST(1 AS DOUBLE) -
+        |          CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |         (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |          CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))), 6)) > 1.96
+        |    AS significant
+        |FROM a""".stripMargin,
 
     // the window formulation IS the oracle — the aggregate must equal
     // what a full sort-and-rank computes

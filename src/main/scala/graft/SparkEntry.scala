@@ -2062,6 +2062,14 @@ object SparkEntry {
         .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
           col("col.id").as("event_id"), col("col.value").as("value"))),
 
+    // ---- W22: RFM segmentation — per-user recency/frequency/
+    // monetary scores 1-5 from exact percentile BOUNDARIES broadcast
+    // back (a global ntile would be one all-users single-partition
+    // sort — the scale bug this formulation avoids). ----
+    "w22_rfm" -> ((s, dir) =>
+      Analytics.rfmSegments(t(s, dir, "events"), "user_id", "ts",
+        col("event_type") === "purchase", "value")),
+
     // ---- W21: Kaplan–Meier survival — time from a user's first
     // event to first purchase, users who never purchase RIGHT-
     // CENSORED at corpus end (dropping them would bias survival
@@ -5524,6 +5532,63 @@ object SparkEntry {
         |                       ORDER BY value DESC, event_id) AS rn
         |  FROM events WHERE value IS NOT NULL)
         |WHERE rn <= 3""".stripMargin,
+
+    // exact percentile bounds (quantile_cont) round-6 then compared —
+    // the a8/a14 pairing; boundary ties take the lower score
+    "w22_rfm" ->
+      """WITH e AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+        |per AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p2 AS (
+        |  SELECT user_id,
+        |    CAST(floor((e.end_us - last_us) / 86400000000) AS BIGINT)
+        |      AS recency_days,
+        |    frequency, monetary
+        |  FROM per, e),
+        |b AS (
+        |  SELECT
+        |    ROUND(quantile_cont(recency_days, 0.2), 6) AS r20,
+        |    ROUND(quantile_cont(recency_days, 0.4), 6) AS r40,
+        |    ROUND(quantile_cont(recency_days, 0.6), 6) AS r60,
+        |    ROUND(quantile_cont(recency_days, 0.8), 6) AS r80,
+        |    ROUND(quantile_cont(frequency, 0.2), 6) AS f20,
+        |    ROUND(quantile_cont(frequency, 0.4), 6) AS f40,
+        |    ROUND(quantile_cont(frequency, 0.6), 6) AS f60,
+        |    ROUND(quantile_cont(frequency, 0.8), 6) AS f80,
+        |    ROUND(quantile_cont(monetary, 0.2), 6) AS m20,
+        |    ROUND(quantile_cont(monetary, 0.4), 6) AS m40,
+        |    ROUND(quantile_cont(monetary, 0.6), 6) AS m60,
+        |    ROUND(quantile_cont(monetary, 0.8), 6) AS m80
+        |  FROM p2),
+        |s AS (
+        |  SELECT user_id, recency_days, frequency, monetary,
+        |    CAST(6 - (1 +
+        |      CASE WHEN recency_days > r20 THEN 1 ELSE 0 END +
+        |      CASE WHEN recency_days > r40 THEN 1 ELSE 0 END +
+        |      CASE WHEN recency_days > r60 THEN 1 ELSE 0 END +
+        |      CASE WHEN recency_days > r80 THEN 1 ELSE 0 END) AS INT)
+        |      AS r_score,
+        |    CAST(1 +
+        |      CASE WHEN frequency > f20 THEN 1 ELSE 0 END +
+        |      CASE WHEN frequency > f40 THEN 1 ELSE 0 END +
+        |      CASE WHEN frequency > f60 THEN 1 ELSE 0 END +
+        |      CASE WHEN frequency > f80 THEN 1 ELSE 0 END AS INT)
+        |      AS f_score,
+        |    CAST(1 +
+        |      CASE WHEN monetary > m20 THEN 1 ELSE 0 END +
+        |      CASE WHEN monetary > m40 THEN 1 ELSE 0 END +
+        |      CASE WHEN monetary > m60 THEN 1 ELSE 0 END +
+        |      CASE WHEN monetary > m80 THEN 1 ELSE 0 END AS INT)
+        |      AS m_score
+        |  FROM p2, b)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM s""".stripMargin,
 
     // per-time risk sets from the cumulative window; the product-limit
     // curve replayed as a recursive decimal recurrence

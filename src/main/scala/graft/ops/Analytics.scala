@@ -159,6 +159,60 @@ object Analytics {
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
 
+  /** RFM customer segmentation (recency / frequency / monetary) —
+    * each user scored 1–5 on how recently, how often, and how much
+    * they purchased, the classic marketing segmentation grid.
+    *
+    * Scores come from PERCENTILE BOUNDARIES (q20/q40/q60/q80 of each
+    * measure, broadcast back) rather than a global ntile: an ntile
+    * window is one all-users sort through a single partition — the
+    * scale bug — while boundary scoring is a 12-scalar aggregate plus
+    * a narrow per-row comparison, identical answer semantics up to
+    * boundary-tie handling (documented: ties at a boundary take the
+    * lower score, exact percentile bounds on the round-6 grid before
+    * comparison — the robustOutliers convention). Recency scores
+    * INVERT (smaller gap = higher score). */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  purchaseFilter: Column,
+                  amountCol: String): DataFrame = {
+    def us(c: Column): Column =
+      unix_micros(c.cast("timestamp_ltz"))
+    val endT = events.agg(max(us(col(tsCol))).as("__end"))
+    val per = events.filter(purchaseFilter)
+      .groupBy(col(userCol))
+      .agg(max(us(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+      .crossJoin(broadcast(endT))
+      .withColumn("recency_days",
+        floor((col("__end") - col("__last")) / 86400000000L)
+          .cast("long"))
+      .drop("__last", "__end")
+    def pct(c: String, p: Double): Column =
+      round(call_function("percentile", col(c), lit(p)), 6)
+    val bounds = per.agg(
+      pct("recency_days", 0.2).as("r20"), pct("recency_days", 0.4).as("r40"),
+      pct("recency_days", 0.6).as("r60"), pct("recency_days", 0.8).as("r80"),
+      pct("frequency", 0.2).as("f20"), pct("frequency", 0.4).as("f40"),
+      pct("frequency", 0.6).as("f60"), pct("frequency", 0.8).as("f80"),
+      pct("monetary", 0.2).as("m20"), pct("monetary", 0.4).as("m40"),
+      pct("monetary", 0.6).as("m60"), pct("monetary", 0.8).as("m80"))
+    def up(c: String, q: String): Column = (lit(1) +
+      when(col(c) > col(s"${q}20"), 1).otherwise(0) +
+      when(col(c) > col(s"${q}40"), 1).otherwise(0) +
+      when(col(c) > col(s"${q}60"), 1).otherwise(0) +
+      when(col(c) > col(s"${q}80"), 1).otherwise(0)).cast("int")
+    val scored = per.crossJoin(broadcast(bounds))
+      .withColumn("r_score", (lit(6) - up("recency_days", "r")).cast("int"))
+      .withColumn("f_score", up("frequency", "f"))
+      .withColumn("m_score", up("monetary", "m"))
+    scored.select(col(userCol), col("recency_days"), col("frequency"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score"), col("f_score"), col("m_score"))
+        .as("segment"))
+  }
+
   /** Kaplan–Meier product-limit survival estimator (Kaplan & Meier
     * 1958) with right censoring — time-to-event analytics ("how long
     * until a user converts / a machine fails"), where subjects who

@@ -175,6 +175,31 @@ class AnalyticsSpec extends SparkSpec {
     } finally spark.conf.set(aqeKey, aqeWas)
   }
 
+  test("rfmSegments: clean quintiles score 1..5; equal recency scores " +
+    "5 everywhere; segment concatenates the scores") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // user i makes i purchases of 10.0 on the same day -> frequency
+    // 1..10 (quintiles 2.8/4.6/6.4/8.2), monetary 10..100, recency 0
+    val rows = for {
+      u <- 1 to 10; k <- 1 to u
+    } yield (u.toLong * 100 + k, ts(15), u.toLong, "purchase", 10.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val got = Analytics.rfmSegments(ev, "user_id", "ts",
+        col("event_type") === "purchase", "value")
+      .select("user_id", "r_score", "f_score", "m_score", "segment")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    (1 to 10).foreach { u =>
+      val expected = (u + 1) / 2  // 1,1,2,2,3,3,4,4,5,5
+      val (_, r, f, m, seg) = got(u.toLong)
+      assert(r == 5, s"user $u: equal recency must score 5, got $r")
+      assert(f == expected && m == expected,
+        s"user $u: expected f=m=$expected, got f=$f m=$m")
+      assert(seg == s"5$expected$expected")
+    }
+  }
+
   test("kaplanMeier: hand-computed curve with ties and censoring; " +
     "censored subjects hold the risk set without stepping the curve") {
     val subj = Seq(

@@ -2062,6 +2062,22 @@ object SparkEntry {
         .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
           col("col.id").as("event_id"), col("col.value").as("value"))),
 
+    // ---- W23: hourly-grid resampling with LINEAR INTERPOLATION —
+    // the smooth twin of w6's LOCF: each grid instant interpolates
+    // between its bracketing observations (leading edge null,
+    // trailing edge LOCF). The forward neighbor is asOfJoin on the
+    // NEGATED µs axis — both directions reuse the single-exchange
+    // union+LOCF plan. ----
+    "w23_interp" -> ((s, dir) => {
+      val ev = WindowOps.dedupKeepLast(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("value"), col("event_id")),
+        keys = Seq("user_id", "ts"), orderBy = Seq(col("event_id")))
+        .drop("event_id")
+      WindowOps.resampleInterp(ev, Seq("user_id"), "ts", "value",
+        stepSeconds = 3600)
+    }),
+
     // ---- W22: RFM segmentation — per-user recency/frequency/
     // monetary scores 1-5 from exact percentile BOUNDARIES broadcast
     // back (a global ntile would be one all-users single-partition
@@ -5532,6 +5548,45 @@ object SparkEntry {
         |                       ORDER BY value DESC, event_id) AS rn
         |  FROM events WHERE value IS NOT NULL)
         |WHERE rn <= 3""".stripMargin,
+
+    // DuckDB's native ASOF in BOTH directions (>= backward, <= forward)
+    // brackets each grid instant; identical interpolation expression
+    "w23_interp" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+        |  FROM e GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(t0, t1, INTERVAL 3600 SECOND))
+        |      AS grid_ts
+        |  FROM b),
+        |p AS (
+        |  SELECT g.user_id, g.grid_ts, e.value AS pv,
+        |    epoch_us(e.ts) AS pt
+        |  FROM grid g ASOF LEFT JOIN e
+        |    ON g.user_id = e.user_id AND g.grid_ts >= e.ts),
+        |nx AS (
+        |  SELECT g.user_id, g.grid_ts, e.value AS nv,
+        |    epoch_us(e.ts) AS nt
+        |  FROM grid g ASOF LEFT JOIN e
+        |    ON g.user_id = e.user_id AND g.grid_ts <= e.ts)
+        |SELECT p.user_id, p.grid_ts,
+        |  CASE WHEN pt IS NULL THEN NULL
+        |       WHEN nt IS NULL OR nt = pt THEN CAST(pv AS DOUBLE)
+        |       ELSE ROUND(CAST(pv AS DOUBLE) +
+        |         (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+        |         ((CAST(epoch_us(p.grid_ts) AS DOUBLE) -
+        |           CAST(pt AS DOUBLE)) /
+        |          (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE))), 6)
+        |  END AS interp_value
+        |FROM p JOIN nx
+        |  ON p.user_id = nx.user_id AND p.grid_ts = nx.grid_ts""".stripMargin,
 
     // exact percentile bounds (quantile_cont) round-6 then compared —
     // the a8/a14 pairing; boundary ties take the lower score

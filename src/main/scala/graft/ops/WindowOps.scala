@@ -90,6 +90,60 @@ object WindowOps {
     Joins.asOfJoin(grid, df, keys, "grid_ts", tsCol, payload)
   }
 
+  /** Time-grid resampling with LINEAR INTERPOLATION — the smooth twin
+    * of [[resampleLocf]]: each grid instant takes
+    * prev + (next − prev)·(g − t_prev)/(t_next − t_prev) between its
+    * bracketing observations. Convention at the edges: before the
+    * first observation → null (there is nothing to interpolate FROM),
+    * after the last → LOCF (the step-function tail every monitoring
+    * chart draws); a grid instant that HITS an observation returns it
+    * exactly (the zero-span guard also kills the 0/0 there).
+    *
+    * The forward neighbor costs NO new machinery: it is [[graft.ops.Joins.asOfJoin]]
+    * run on the NEGATED µs axis (last-before on −t = first-after on
+    * t), so both directions reuse the proven single-exchange
+    * union+LOCF plan — two key exchanges total, no per-grid-row probe
+    * join. Fraction arithmetic runs on exact µs longs cast to double
+    * (integer-valued, engine-identical), result on the round-6
+    * grid. */
+  def resampleInterp(df: DataFrame, keys: Seq[String], tsCol: String,
+                     valueCol: String, stepSeconds: Long,
+                     alignUnit: String = "hour"): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    def us(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
+    val grid = df.groupBy(keys.map(col): _*)
+      .agg(date_trunc(alignUnit, min(col(tsCol))).as("__g0"),
+        max(col(tsCol)).as("__t1"))
+      .select(keys.map(col) :+
+        explode(expr(s"sequence(__g0, __t1, interval $stepSeconds second)"))
+          .as("grid_ts"): _*)
+    val obs = df.select(keys.map(col) :+ col(tsCol) :+
+      col(valueCol).as("__v") :+ us(col(tsCol)).as("__obs_us"): _*)
+    val back = Joins.asOfJoin(grid, obs, keys, "grid_ts", tsCol,
+        Seq("__v", "__obs_us"))
+      .withColumnRenamed("__v", "__pv")
+      .withColumnRenamed("__obs_us", "__pt")
+    val gNeg = back.withColumn("__gneg", -us(col("grid_ts")))
+    val obsNeg = obs.withColumn("__tneg", -col("__obs_us"))
+    val both = Joins.asOfJoin(gNeg, obsNeg, keys, "__gneg", "__tneg",
+        Seq("__v", "__obs_us"))
+      .withColumnRenamed("__v", "__nv")
+      .withColumnRenamed("__obs_us", "__nt")
+    val g = us(col("grid_ts")).cast("double")
+    val tp = col("__pt").cast("double")
+    val tn = col("__nt").cast("double")
+    val frac = (g - tp) / (tn - tp)
+    val interp =
+      when(col("__pt").isNull, lit(null).cast("double"))
+        .when(col("__nt").isNull || col("__nt") === col("__pt"),
+          col("__pv").cast("double"))
+        .otherwise(round(col("__pv").cast("double") +
+          (col("__nv").cast("double") - col("__pv").cast("double")) *
+            frac, 6))
+    both.select(keys.map(col) :+ col("grid_ts") :+
+      interp.as("interp_value"): _*)
+  }
+
   /** Rolling features for the "blocked dataset": per key, the mean of
     * `valueCol` over (a) the trailing `nRows`-row frame in
     * (`tsCol`, tiebreak) order and (b) the trailing `rangeSeconds`

@@ -189,6 +189,27 @@ class WindowOpsSpec extends SparkSpec {
     } finally spark.conf.set(aqeKey, aqeWas)
   }
 
+  test("resampleInterp: midpoint interpolation, exact-hit passthrough, " +
+    "leading-edge null") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0.0),
+      (1L, ts("2024-01-01 02:00:00"), 100.0),
+      (2L, ts("2024-01-01 00:30:00"), 10.0),
+      (2L, ts("2024-01-01 01:30:00"), 20.0)
+    ).toDF("user_id", "ts", "value")
+    val got = WindowOps.resampleInterp(obs, Seq("user_id"), "ts",
+        "value", stepSeconds = 3600)
+      .as[(Long, java.sql.Timestamp, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, ts("2024-01-01 00:00:00"))) == Some(0.0))   // hit
+    assert(got((1L, ts("2024-01-01 01:00:00"))) == Some(50.0))  // mid
+    assert(got((1L, ts("2024-01-01 02:00:00"))) == Some(100.0))
+    assert(got((2L, ts("2024-01-01 00:00:00"))) == None)        // leading
+    assert(got((2L, ts("2024-01-01 01:00:00"))) == Some(15.0))  // frac .5
+    assert(got.size == 5)
+  }
+
   test("cusum: hand-computed run with reset-to-zero and alarm; " +
     "below-drift stream stays at zero") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

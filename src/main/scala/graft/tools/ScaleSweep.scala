@@ -332,7 +332,19 @@ object ScaleSweep {
         SparkEntry.queries("j12_interval_overlap")(spark, d).count()),
       // streaming recurrence replay: 4 chunked triggers, O(keys) state
       "s_stream_ewma" -> (d =>
-        SparkEntry.queries("s_stream_ewma")(spark, d).count()))
+        SparkEntry.queries("s_stream_ewma")(spark, d).count()),
+      // r10 third wave. KM: per-time hash agg + curve-sized fold
+      "w21_survival" -> (d =>
+        SparkEntry.queries("w21_survival")(spark, d).count()),
+      // percentile boundaries broadcast, no global ntile sort
+      "w22_rfm" -> (d =>
+        SparkEntry.queries("w22_rfm")(spark, d).count()),
+      // two union+LOCF exchanges (backward + negated-axis forward)
+      "w23_interp" -> (d =>
+        SparkEntry.queries("w23_interp")(spark, d).count()),
+      // streaming heap agg: state = k rows per (window, type)
+      "s_stream_topk" -> (d =>
+        SparkEntry.queries("s_stream_topk")(spark, d).count()))
 
     // Pair-volume ops are QUADRATIC in this staging's recycled content
     // by construction (every source third appears in ~3·factor splices

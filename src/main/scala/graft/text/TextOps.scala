@@ -281,7 +281,14 @@ object TextOps {
         col("__slot"))
       .filter(col("start_pos") >= 0)
       .groupBy(col(idCol), col("start_pos"))
-      .agg(count_distinct(col("__slot")).as("__hits"))
+      // plain count, NOT count_distinct: a (doc, anchor, slot) vote can
+      // arise from exactly one posting (the one at position anchor+slot
+      // matching that slot's term), so votes are distinct by
+      // construction given invertedIndex's unique (doc, pos) postings —
+      // and count_distinct would cost a SECOND exchange (Spark expands
+      // it to a dedup agg + a count agg), breaking the one-shuffle
+      // contract the PlanSpec pin now enforces
+      .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === phrase.size)
       .select(col(idCol), col("start_pos"))
   }

@@ -205,6 +205,68 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(1200))
   }
 
+  test("corrPairs is ONE aggregate pass: no join, no window, one " +
+    "partial+final agg pair over the scan") {
+    val df = SparkEntry.queries("a16_corr")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+  }
+
+  test("TopKByValue aggregates with map-side partials — partial and " +
+    "final agg around ONE exchange, no sort of the input") {
+    val df = SparkEntry.queries("a19_topk_agg")(spark, dir)
+    val plan = planOf(df)
+    // TypedImperativeAggregate runs as ObjectHashAggregate; the
+    // partial (map-side heap) must sit below the exchange
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      plan.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("intervalOverlapJoin: canonical-bin filter replaces a distinct " +
+    "— no aggregate or dedup above the join") {
+    val df = SparkEntry.queries("j12_interval_overlap")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(1500))
+  }
+
+  test("phraseSearch is ONE (doc, anchor) exchange regardless of " +
+    "phrase length — no join of posting lists") {
+    val idx = graft.text.TextOps.invertedIndex(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    val df = graft.text.TextOps.phraseSearch(idx, "doc_id",
+      Seq("table", "part", "value", "row"))
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1500))
+  }
+
+  test("pqTopKFromCodes never reads the vector column — the scan " +
+    "schema is codes-only") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cbs = graft.sim.Similarity.pqCodebooks(emb, "vec_id",
+      "embedding", m = 4, k = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqplan")
+      .toString
+    graft.sim.Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val served = graft.sim.Similarity.pqTopKFromCodes(
+      spark.read.parquet(s"$tmp/codes"), "vec_id", cbs, q, 5)
+    val scan = served.queryExecution.executedPlan.collectLeaves()
+      .mkString("\n")
+    assert(scan.contains("codes") && !scan.contains("embedding"),
+      scan.take(800))
+  }
+
   test("PLANS.md is fresh: fingerprint matches the current query set " +
        "and pinned logical plans (regenerate with graft.tools.PlanDump)") {
     // the plan book backs SURVEY's scale claims; a stale book silently

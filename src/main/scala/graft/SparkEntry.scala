@@ -2017,6 +2017,29 @@ object SparkEntry {
           (col("rn") === 1).as("last_touch"))
     }),
 
+    // ---- A21: Benford first-digit screening — the fraud/synthetic-
+    // data QC test: observed first-significant-digit shares of order
+    // totals vs Benford's log10(1+1/d), with per-digit chi-square
+    // contributions. Digit extraction via decimal-string (engine-
+    // exact, no log-boundary risk); one hash agg + a 1-row total. ----
+    "a21_benford" -> ((s, dir) => {
+      val digits = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(substring(col("o_totalprice").cast("decimal(18,2)")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      val g = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum(col("n")).cast("long").as("__nn"))
+      val nn = col("__nn").cast("double")
+      val p = round(log10(lit(1.0) +
+        lit(1.0) / col("digit").cast("double")), 6)
+      val diff = col("n").cast("double") - nn * p
+      g.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / nn, 6).as("obs_share"),
+          p.as("benford_p"),
+          round(diff * diff / (nn * p), 6).as("chi2_term"))
+    }),
+
     // ---- A20: two-proportion A/B conversion z-test — variant by
     // user-id parity, conversion = ever purchased; pooled-variance
     // z from EXACT counts (every input to the IEEE formula sequence
@@ -5500,6 +5523,32 @@ object SparkEntry {
         |  (ROW_NUMBER() OVER (PARTITION BY purchase_id
         |     ORDER BY ts DESC, click_id DESC) = 1) AS last_touch
         |FROM j""".stripMargin,
+
+    // identical digit-from-decimal-string extraction and IEEE term
+    // sequence; p on the round-6 grid before the chi-square arithmetic
+    "a21_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn FROM g)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS obs_share,
+        |  ROUND(log10(CAST(1 AS DOUBLE) +
+        |              CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)
+        |    AS benford_p,
+        |  ROUND((CAST(n AS DOUBLE) - CAST(nn AS DOUBLE) *
+        |           ROUND(log10(CAST(1 AS DOUBLE) +
+        |             CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)) *
+        |        (CAST(n AS DOUBLE) - CAST(nn AS DOUBLE) *
+        |           ROUND(log10(CAST(1 AS DOUBLE) +
+        |             CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)) /
+        |        (CAST(nn AS DOUBLE) *
+        |           ROUND(log10(CAST(1 AS DOUBLE) +
+        |             CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)), 6)
+        |    AS chi2_term
+        |FROM g, t""".stripMargin,
 
     "a20_ab_test" ->
       """WITH per AS (

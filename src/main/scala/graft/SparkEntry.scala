@@ -402,6 +402,29 @@ object SparkEntry {
           least(col("v_end"), col("c_end")).as("o_end"))
     }),
 
+    // ---- J13: grid-blocked ε-distance spatial join — customers vs
+    // suppliers on deterministic synthetic planar coordinates (modular
+    // arithmetic on the keys, exactly replayable in SQL); cell-binned
+    // equi-join with a 3×3 neighborhood explode on the supplier side
+    // only, no cross product, no trig (squared-distance predicate is
+    // exact IEEE). ----
+    "j13_eps_join" -> ((s, dir) => {
+      def coord(k: Column, m: Long): Column =
+        (pmod(k.cast("long") * lit(m), lit(1000L)).cast("double") /
+          lit(10.0))
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"),
+        coord(col("c_custkey"), 7919L).as("cx"),
+        coord(col("c_custkey"), 104729L).as("cy"))
+      val supp = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        coord(col("s_suppkey"), 7919L).as("sx"),
+        coord(col("s_suppkey"), 104729L).as("sy"))
+      Joins.epsilonDistanceJoin(cust, supp, "cx", "cy", "sx", "sy",
+          eps = 1.5)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
+    }),
+
     // ---- anti join (§2.3 note: QC parity) ----
     "j_anti" -> ((s, dir) => {
       val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
@@ -813,6 +836,16 @@ object SparkEntry {
     "t_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+
+    // ---- training-data ops: multinomial naive-Bayes classifier,
+    // trained and applied in one plan — the classifier-based curation
+    // filter (GPT-3/CCNet-style), supervised here by `source` so the
+    // query audits domain separability. Laplace-smoothed log-prob
+    // grid = vocab × labels (labels broadcast, vocab never); exact
+    // decimal score accumulation; tie-broken argmax window. ----
+    "t_nb_classify" -> ((s, dir) =>
+      TextOps.naiveBayesClassify(t(s, dir, "documents"), "doc_id",
+        "text", "source")),
 
     // ---- training-data ops: corpus term frequencies (explode +
     // count + deterministic top-k) ----
@@ -2040,6 +2073,25 @@ object SparkEntry {
           round(diff * diff / (nn * p), 6).as("chi2_term"))
     }),
 
+    // ---- A22: count-min sketch heavy hitters — the fixed-size
+    // MERGEABLE frequency sketch (Cormode & Muthukrishnan 2005) with
+    // a published 2-universal hash family any SQL engine replays;
+    // top-20 keys by estimate with the exact count and the sketch's
+    // one-sided error beside them. The ≤ depth×width sketch
+    // broadcasts into the estimation probe. ----
+    "a22_cms_topk" -> ((s, dir) =>
+      Sketches.countMinTopK(t(s, dir, "lineitem"), "l_partkey",
+        k = 20, depth = 4, width = 1024)),
+
+    // ---- A23: pre-flight key-skew audit — key cardinality, max/p50/
+    // p99 key sizes, heaviest-key share and the exact Gini of the
+    // per-key count distribution, computed over the COUNT-OF-COUNTS
+    // frame (closed-form rank-run sums) so the window never ranks
+    // key-cardinality rows. The measurement behind every salting /
+    // bucketing decision in ops.Scale. ----
+    "a23_skew_report" -> ((s, dir) =>
+      Scale.skewReport(t(s, dir, "events"), "user_id")),
+
     // ---- A20: two-proportion A/B conversion z-test — variant by
     // user-id parity, conversion = ever purchased; pooled-variance
     // z from EXACT counts (every input to the IEEE formula sequence
@@ -2157,6 +2209,14 @@ object SparkEntry {
       WindowOps.cusum(t(s, dir, "events"), Seq("user_id"), "ts",
         "event_id", "value", target = 50.0, slack = 10.0,
         threshold = 300.0)),
+
+    // ---- W24: per-user value-sequence autocorrelation at lags 1..3 —
+    // the persistence/seasonality screen; ONE key exchange (mean,
+    // deviations and all three leads share a single window), exact
+    // decimal accumulation so the sums are order-free. ----
+    "w24_acf" -> ((s, dir) =>
+      Analytics.acf(t(s, dir, "events"), Seq("user_id"), "ts",
+        "event_id", "value", maxLag = 3)),
 
     // ---- W18: market-basket association rules — pair
     // support/confidence/lift over order baskets (parts per order),
@@ -2948,6 +3008,26 @@ object SparkEntry {
         |  least(v_end, c_end) AS o_end
         |FROM v JOIN c ON v.user_id = c.user_id
         |  AND greatest(v_start, c_start) < least(v_end, c_end)""".stripMargin,
+
+    // brute-force ε-join on the same deterministic synthetic coords;
+    // squared-distance predicate — no trig, exact IEEE both engines
+    "j13_eps_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 10.0 AS cx,
+        |    CAST((c_custkey * 104729) % 1000 AS DOUBLE) / 10.0 AS cy
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    CAST((s_suppkey * 7919) % 1000 AS DOUBLE) / 10.0 AS sx,
+        |    CAST((s_suppkey * 104729) % 1000 AS DOUBLE) / 10.0 AS sy
+        |  FROM supplier)
+        |SELECT c_custkey, s_suppkey,
+        |  ROUND((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy), 6)
+        |    AS dist2
+        |FROM c, s
+        |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+        |      <= 1.5 * 1.5""".stripMargin,
 
     "j6_regex_vocab" ->
       """SELECT d.doc_id, t.term
@@ -4108,6 +4188,54 @@ object SparkEntry {
         |       WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
         |       ELSE 'de' END AS lang_pred
         |FROM scores""".stripMargin,
+
+    // the whole NB training run + scoring replayed: Laplace-smoothed
+    // class-conditional grid over the corpus vocab, exact-decimal
+    // score accumulation, tie-broken argmax
+    "t_nb_classify" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source AS act,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)),
+        |      '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(act) AS act
+        |       FROM tk GROUP BY 1, 2),
+        |ct AS (SELECT act AS lab, term, COUNT(*) AS ct
+        |       FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT lab, SUM(ct) AS tot FROM ct GROUP BY 1),
+        |vocab AS (SELECT DISTINCT term FROM ct),
+        |vs AS (SELECT COUNT(*) AS v FROM vocab),
+        |pri AS (SELECT source AS lab, COUNT(*) AS nd
+        |        FROM documents GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |lp0 AS (SELECT lab,
+        |    CAST(ROUND(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |         AS DECIMAL(18,6)) AS lp0
+        |  FROM pri, nn),
+        |grid AS (
+        |  SELECT vocab.term, tot.lab,
+        |    CAST(ROUND(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) /
+        |                  CAST(tot.tot + vs.v AS DOUBLE)), 6)
+        |         AS DECIMAL(18,6)) AS lp
+        |  FROM vocab CROSS JOIN tot
+        |  LEFT JOIN ct ON ct.lab = tot.lab AND ct.term = vocab.term
+        |  CROSS JOIN vs),
+        |sc AS (
+        |  SELECT tf.doc_id, grid.lab,
+        |    SUM(CAST(ROUND(tf.tf * grid.lp, 6) AS DECIMAL(18,6))) AS s,
+        |    MAX(tf.act) AS act
+        |  FROM tf JOIN grid ON grid.term = tf.term
+        |  GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT sc.doc_id, sc.lab,
+        |    ROUND(CAST(sc.s + lp0.lp0 AS DOUBLE), 6) AS score, sc.act,
+        |    ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+        |      ORDER BY ROUND(CAST(sc.s + lp0.lp0 AS DOUBLE), 6) DESC,
+        |               sc.lab) AS rn
+        |  FROM sc JOIN lp0 ON lp0.lab = sc.lab)
+        |SELECT doc_id, lab AS label_pred, score, act AS label_actual,
+        |  lab = act AS correct
+        |FROM fin WHERE rn = 1""".stripMargin,
 
     "t_curate" ->
       """WITH RECURSIVE toks AS (
@@ -5550,6 +5678,57 @@ object SparkEntry {
         |    AS chi2_term
         |FROM g, t""".stripMargin,
 
+    // the CM sketch replayed with its published hash constants; each
+    // key's exact count lands in 4 cells, estimate = min over rows
+    "a22_cms_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS k, COUNT(*) AS exact
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |cells AS (
+        |  SELECT c.k, c.exact, h.i,
+        |    ((h.a * c.k + h.b) % 2147483647) % 1024 AS bucket
+        |  FROM c, (VALUES (0, 1103515245, 12345),
+        |                  (1, 69069, 362437),
+        |                  (2, 1664525, 1013904223),
+        |                  (3, 22695477, 1)) AS h(i, a, b)),
+        |sketch AS (
+        |  SELECT i, bucket, CAST(SUM(exact) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |est AS (
+        |  SELECT ce.k, MIN(s.cnt) AS cms_est, MAX(ce.exact) AS exact
+        |  FROM cells ce JOIN sketch s
+        |    ON s.i = ce.i AND s.bucket = ce.bucket
+        |  GROUP BY 1)
+        |SELECT k AS l_partkey, cms_est, exact,
+        |  cms_est - exact AS overcount
+        |FROM est ORDER BY cms_est DESC, l_partkey LIMIT 20""".stripMargin,
+
+    // Gini over the count-of-counts closed form: keys sharing count c
+    // occupy a contiguous rank run starting at r0 = cum − f + 1
+    "a23_skew_report" ->
+      """WITH kc AS (
+        |  SELECT CAST(user_id AS BIGINT) AS k, COUNT(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |f AS (SELECT cnt, COUNT(*) AS fr FROM kc GROUP BY 1),
+        |w AS (SELECT cnt, fr, SUM(fr) OVER (ORDER BY cnt) AS cum FROM f),
+        |g AS (SELECT CAST(SUM(fr) AS BIGINT) AS n_keys,
+        |        CAST(SUM(cnt * fr) AS BIGINT) AS n_rows,
+        |        CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+        |        SUM(cnt * (2 * fr * (cum - fr + 1) + fr * (fr - 1)))
+        |          AS ga
+        |      FROM w),
+        |p AS (SELECT ROUND(quantile_cont(cnt, 0.5), 6) AS p50_key_rows,
+        |        ROUND(quantile_cont(cnt, 0.99), 6) AS p99_key_rows
+        |      FROM kc)
+        |SELECT n_keys, n_rows, max_key_rows, p50_key_rows, p99_key_rows,
+        |  ROUND(CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS top_key_share,
+        |  ROUND((CAST(ga AS DOUBLE) -
+        |         CAST(n_keys + 1 AS DOUBLE) * CAST(n_rows AS DOUBLE)) /
+        |        (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6)
+        |    AS gini
+        |FROM g, p""".stripMargin,
+
     "a20_ab_test" ->
       """WITH per AS (
         |  SELECT user_id,
@@ -5775,6 +5954,53 @@ object SparkEntry {
         |SELECT user_id, event_id, CAST(s AS DOUBLE) AS cusum,
         |  s > CAST(300.0 AS DECIMAL(18,6)) AS alarm
         |FROM e""".stripMargin,
+
+    // mean = double division of the exact decimal sum; products
+    // rounded to 6 and decimal-accumulated — order-free both engines
+    "w24_acf" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id, v,
+        |    CAST(ROUND(CAST(SUM(v) OVER (PARTITION BY user_id)
+        |                    AS DOUBLE) /
+        |               COUNT(*) OVER (PARTITION BY user_id), 6)
+        |         AS DECIMAL(18,6)) AS mean
+        |  FROM v),
+        |d AS (SELECT user_id, ts, event_id, v - mean AS d FROM m),
+        |l AS (
+        |  SELECT user_id, d,
+        |    lead(d, 1) OVER w AS d1,
+        |    lead(d, 2) OVER w AS d2,
+        |    lead(d, 3) OVER w AS d3
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id,
+        |    SUM(CAST(ROUND(d * d, 6) AS DECIMAL(18,6))) AS den,
+        |    SUM(CAST(ROUND(d * d1, 6) AS DECIMAL(18,6))) AS n1,
+        |    CAST(COUNT(d1) AS BIGINT) AS c1,
+        |    SUM(CAST(ROUND(d * d2, 6) AS DECIMAL(18,6))) AS n2,
+        |    CAST(COUNT(d2) AS BIGINT) AS c2,
+        |    SUM(CAST(ROUND(d * d3, 6) AS DECIMAL(18,6))) AS n3,
+        |    CAST(COUNT(d3) AS BIGINT) AS c3
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, 1 AS lag, c1 AS n_pairs,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE ROUND(CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |  END AS acf FROM g
+        |UNION ALL
+        |SELECT user_id, 2, c2,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE ROUND(CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |  END FROM g
+        |UNION ALL
+        |SELECT user_id, 3, c3,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE ROUND(CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |  END FROM g""".stripMargin,
 
     "w18_assoc_rules" ->
       """WITH it AS (

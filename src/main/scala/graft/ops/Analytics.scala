@@ -297,6 +297,63 @@ object Analytics {
     * should be capped upstream with capPerGroup). Item supports and
     * the basket total are item-sized/1-row frames — AQE broadcasts
     * them into the rule join. */
+  /** Per-key sequence autocorrelation (ACF) at lags 1..`maxLag` — the
+    * standard seasonality/persistence screen a time-series warehouse
+    * runs before picking forecast features (companion to [[WindowOps.ewma]]
+    * and `cusum`: those smooth/detect, this measures how much signal a
+    * lagged feature carries). For the key's value sequence ordered by
+    * (ts, id), r_L = Σ d_i·d_{i+L} / Σ d_i² with d_i = x_i − mean.
+    *
+    * Scale shape: ONE exchange on the key — the mean (exact decimal sum
+    * over the unordered partition frame), the deviations, and all
+    * `maxLag` leads share a single `partitionBy(key)` window (one sort;
+    * lead frames hold ≤ maxLag rows, spillable — no per-key array).
+    * Cross-engine determinism: inputs rounded once to decimal(18,6);
+    * the mean is one decimal division rounded to 6; every product is
+    * rounded to 6 and accumulated as exact decimal, so the sums are
+    * order-free; a constant series (zero denominator) yields null via
+    * explicit CASE, identically in the oracle's replay.
+    *
+    * Returns (key..., lag, n_pairs, acf) — one row per key and lag. */
+  def acf(df: DataFrame, keys: Seq[String], tsCol: String, idCol: String,
+          valCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val kcols = keys.map(col)
+    val wAll = Window.partitionBy(kcols: _*)
+    val wOrd = Window.partitionBy(kcols: _*).orderBy(col(tsCol), col(idCol))
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    val v = dec(round(col(valCol).cast("double"), 6))
+    // mean via DOUBLE division of the exact decimal sum: decimal
+    // division scale/rounding rules differ across engines, double
+    // division is IEEE-identical everywhere
+    val mean = dec(round(sum(v).over(wAll).cast("double") /
+      count(lit(1)).over(wAll), 6))
+    val withDev = df
+      .withColumn("__d", v - mean)
+    val withLeads = (1 to maxLag).foldLeft(withDev) { (d, l) =>
+      d.withColumn(s"__d$l", lead(col("__d"), l).over(wOrd))
+    }
+    val lagAggs = (1 to maxLag).flatMap { l =>
+      Seq(
+        sum(dec(round(col("__d") * col(s"__d$l"), 6))).as(s"__num$l"),
+        count(col(s"__d$l")).as(s"__n$l"))
+    }
+    val allAggs =
+      sum(dec(round(col("__d") * col("__d"), 6))).as("__den") +: lagAggs
+    val grouped = withLeads.groupBy(kcols: _*)
+      .agg(allAggs.head, allAggs.tail: _*)
+    val lagRows = (1 to maxLag).map { l =>
+      struct(lit(l).as("lag"), col(s"__n$l").cast("long").as("n_pairs"),
+        when(col("__den") === lit(0), lit(null).cast("double"))
+          .otherwise(round(col(s"__num$l").cast("double") /
+            col("__den").cast("double"), 6)).as("acf"))
+    }
+    grouped
+      .select(kcols :+ explode(array(lagRows: _*)).as("__o"): _*)
+      .select(kcols :+ col("__o.lag") :+ col("__o.n_pairs") :+
+        col("__o.acf"): _*)
+  }
+
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
                        minPairSupport: Long = 3): DataFrame = {
     require(minPairSupport >= 1, "minPairSupport must be >= 1")

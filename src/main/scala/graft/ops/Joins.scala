@@ -232,6 +232,51 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Grid-blocked ε-distance join (planar): every (left, right) pair
+    * whose points lie within Euclidean distance `eps`, without the
+    * O(n·m) cross product — the spatial-join pattern (points within
+    * radius of facilities, sensor↔site matching) on the same
+    * bin-then-verify plan as [[rangeJoin]]. Each side is snapped to a
+    * grid of cell size `eps`: the left row stays in its own cell, the
+    * right row explodes to its 3×3 neighborhood, so any pair within
+    * `eps` (cell deltas necessarily in [−1,1]) meets in exactly ONE
+    * cell — the left's — making the equi-join candidate set complete
+    * and duplicate-free by construction; the exact predicate then
+    * verifies. Returns the joined rows plus `dist2` (squared distance,
+    * rounded to 6).
+    *
+    * Cross-engine determinism: no trig, no sqrt — the threshold
+    * compares SQUARED distance, and ×/−/+ on doubles are
+    * correctly-rounded IEEE ops every engine reproduces bit-for-bit
+    * (a haversine variant would hang the row set on the last ulp of
+    * libm's sin). Scale: shuffles on (cellx, celly) — 9× explode on
+    * the right side only; skew follows spatial density, so a hot cell
+    * is a genuinely dense neighborhood (salt with [[Scale.saltedJoin]]
+    * if one city is half the corpus). Column names must be disjoint
+    * across sides. */
+  def epsilonDistanceJoin(left: DataFrame, right: DataFrame,
+                          leftX: String, leftY: String,
+                          rightX: String, rightY: String,
+                          eps: Double): DataFrame = {
+    require(eps > 0, "eps must be > 0")
+    def cell(c: Column): Column = floor(c.cast("double") / eps).cast("long")
+    val l = left
+      .withColumn("__cx", cell(col(leftX)))
+      .withColumn("__cy", cell(col(leftY)))
+    val r = right
+      .withColumn("__cx",
+        explode(array((-1 to 1).map(d => cell(col(rightX)) + lit(d)): _*)))
+      .withColumn("__cy",
+        explode(array((-1 to 1).map(d => cell(col(rightY)) + lit(d)): _*)))
+    val dx = col(leftX).cast("double") - col(rightX).cast("double")
+    val dy = col(leftY).cast("double") - col(rightY).cast("double")
+    val d2 = dx * dx + dy * dy
+    l.join(r, Seq("__cx", "__cy"))
+      .filter(d2 <= lit(eps * eps))
+      .withColumn("dist2", round(d2, 6))
+      .drop("__cx", "__cy")
+  }
+
   /** Edit-distance similarity self-join (PassJoin segment blocking —
     * Li, Deng, Wang, Feng, ICDE'11): all unordered pairs of rows whose
     * `nameCol` values are within Levenshtein distance `k`, WITHOUT the

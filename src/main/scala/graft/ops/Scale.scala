@@ -112,6 +112,56 @@ object Scale {
     path.fold(w1)(p => w1.option("path", p)).saveAsTable(table)
   }
 
+  /** Pre-flight key-skew audit: the distribution of per-key row counts
+    * for a prospective shuffle key, reduced to the scalars that decide
+    * the partitioning strategy BEFORE a 100 TB job is launched — key
+    * cardinality, max/percentile key sizes, the heaviest key's share of
+    * all rows, and the Gini coefficient of the count distribution
+    * (0 = uniform keys, →1 = one key owns the table). This is the
+    * measurement behind the [[saltedJoin]]/[[saltedAgg]] decision and
+    * the reference's category-tally QC blocks
+    * (`code/RCLIF_labs.Rmd:60-71`) generalized to a skew diagnosis.
+    *
+    * Cost: one shuffle on the key (map-side combine → distinct-key
+    * sized), then the Gini's exact sorted-rank form
+    * `Σ(2·rank − n − 1)·cnt / (n·Σcnt)` evaluated over the
+    * COUNT-OF-COUNTS distribution, not the keys: all f keys sharing a
+    * count c occupy a contiguous rank run, whose term sums in closed
+    * form to `c·(2·f·r0 + f·(f−1) − f·(n+1))` with r0 the run's first
+    * rank. The window therefore orders ≤ √(2·rows) rows (distinct
+    * count VALUES — a billion-key audit still windows a few thousand
+    * rows) instead of ranking every key. Every term is 64-bit integer
+    * arithmetic, so any SQL engine replays it exactly; the two final
+    * divisions round to 6. */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val freq = counts.groupBy(col("__c")).agg(count(lit(1)).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__c"))
+    freq
+      .withColumn("__cum", sum(col("__f")).over(w))
+      .withColumn("__r0", col("__cum") - col("__f") + lit(1))
+      .agg(
+        sum(col("__f")).cast("long").as("n_keys"),
+        sum(col("__c") * col("__f")).cast("long").as("n_rows"),
+        max(col("__c")).cast("long").as("max_key_rows"),
+        round(expr("percentile(__c, 0.5, __f)"), 6).as("p50_key_rows"),
+        round(expr("percentile(__c, 0.99, __f)"), 6).as("p99_key_rows"),
+        sum(col("__c") * (lit(2) * col("__f") * col("__r0") +
+          col("__f") * (col("__f") - lit(1)))).as("__ga"))
+      .select(
+        col("n_keys"), col("n_rows"), col("max_key_rows"),
+        col("p50_key_rows"), col("p99_key_rows"),
+        round(col("max_key_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("top_key_share"),
+        round((col("__ga").cast("double") -
+          (col("n_keys") + lit(1)).cast("double") *
+            col("n_rows").cast("double")) /
+          (col("n_keys").cast("double") * col("n_rows").cast("double")), 6)
+          .as("gini"))
+  }
+
   /** Morton (Z-order) key: interleaves the low `bits` bits of two
     * non-negative integer columns — bit i of x lands at output bit 2i,
     * bit i of y at 2i+1 — via the classic mask-and-shift bit spreading.

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic sketch operators for cardinality/frequency screening
+  * at corpus scale (SURVEY.md §2.11). The reference's profiling blocks
+  * count value frequencies exactly (`code/RCLIF_labs.Rmd:60-71` tallies
+  * category distributions in one pass); at 100 TB an exact per-key
+  * count is itself a full shuffle of the key column, so the standard
+  * play is a fixed-size MERGEABLE sketch built map-side: the count-min
+  * sketch (Cormode & Muthukrishnan 2005).
+  *
+  * Determinism contract: the hash family is the public 2-universal
+  * `h_i(x) = ((a_i·x + b_i) mod p) mod w` with p = 2^31 − 1 and fixed
+  * published constants — plain 64-bit integer arithmetic that any SQL
+  * engine replays bit-for-bit (the a22 oracle does), unlike an
+  * engine-private murmur. a_i·x stays < 2^63 for keys < 2^32.
+  */
+object Sketches {
+
+  /** Prime modulus 2^31 − 1 (Mersenne) for the 2-universal family. */
+  val CmsP: Long = 2147483647L
+
+  /** Fixed per-row hash constants (classic LCG multipliers/increments —
+    * arbitrary but published, so oracles can replay them). */
+  val CmsA: Seq[Long] = Seq(1103515245L, 69069L, 1664525L, 22695477L)
+  val CmsB: Seq[Long] = Seq(12345L, 362437L, 1013904223L, 1L)
+
+  private def bucket(key: Column, i: Int, width: Int): Column =
+    pmod(pmod(lit(CmsA(i)) * key + lit(CmsB(i)), lit(CmsP)), lit(width))
+
+  /** Build a depth×width count-min sketch of a NON-NEGATIVE integer key
+    * column: returns `(row, bucket, cnt)` with at most depth·width rows
+    * regardless of input size. Two-phase: exact per-key partial counts
+    * first (map-side combine collapses the shuffle to distinct keys),
+    * then each key's count lands in `depth` cells. The sketch is
+    * MERGEABLE — sketches of two corpus shards built with the same
+    * (depth, width) union by `groupBy(row, bucket).sum(cnt)` — which is
+    * what makes it the 100 TB profiling structure: executors emit
+    * depth·width partials, never a key-cardinality shuffle. */
+  def countMinSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+                     width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length,
+      s"depth must be in [1, ${CmsA.length}]")
+    require(width >= 2, "width must be >= 2")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val cells = (0 until depth).map { i =>
+      struct(lit(i).as("row"), bucket(col("__k"), i, width).as("bucket"))
+    }
+    counts
+      .select(explode(array(cells: _*)).as("__cell"), col("__c"))
+      .groupBy(col("__cell.row").as("row"), col("__cell.bucket").as("bucket"))
+      .agg(sum(col("__c")).cast("long").as("cnt"))
+  }
+
+  /** Point-estimate every distinct key of `df` against its own sketch
+    * and report the top `k` keys by estimate alongside their exact
+    * counts — the heavy-hitter screen with its own error audit
+    * (`overcount = est − exact` ≥ 0 always; ≤ 2·N/width with prob
+    * 1 − 2^−depth per the CM bound). The sketch (≤ depth·width rows)
+    * broadcasts into the estimation join, so the whole query costs one
+    * key shuffle + a broadcast probe + a TakeOrdered — no second wide
+    * exchange. Ordering tiebreak on the key keeps the top-k row set
+    * deterministic under estimate ties. */
+  def countMinTopK(df: DataFrame, keyCol: String, k: Int = 20,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sketch = countMinSketch(df, keyCol, depth, width)
+    val exact = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("__k"))
+      .agg(count(lit(1)).as("exact"))
+    val cells = (0 until depth).map { i =>
+      struct(lit(i).as("row"), bucket(col("__k"), i, width).as("bucket"))
+    }
+    exact
+      .select(col("__k"), col("exact"),
+        explode(array(cells: _*)).as("__cell"))
+      .join(broadcast(sketch),
+        col("__cell.row") === sketch("row") &&
+          col("__cell.bucket") === sketch("bucket"))
+      .groupBy(col("__k"))
+      .agg(min(col("cnt")).as("cms_est"), max(col("exact")).as("exact"))
+      .select(col("__k").as(keyCol), col("cms_est"), col("exact"),
+        (col("cms_est") - col("exact")).as("overcount"))
+      .orderBy(col("cms_est").desc, col(keyCol))
+      .limit(k)
+  }
+}

@@ -493,6 +493,81 @@ object TextOps {
       .drop("__m")
   }
 
+  /** Multinomial naive-Bayes text classifier, trained and applied in
+    * one declarative plan — the classifier-based curation filter of the
+    * large-corpus pipelines (GPT-3/CCNet score candidate text with a
+    * linear model trained to recognize a reference domain; fastText's
+    * supervised mode is this plus buckets). Here the label column IS
+    * the supervision (e.g. `source`), so the query doubles as a
+    * domain-separability audit: how recoverable is each document's
+    * provenance from its tokens alone?
+    *
+    * Math: argmax over labels of ln p(label) + Σ_t tf(t)·ln p̂(t|label),
+    * with Laplace(+1) smoothing over the corpus vocabulary V:
+    * p̂(t|l) = (ct(l,t)+1)/(tot(l)+V).
+    *
+    * Scale shape: one tokenize+explode; class-conditional counts are
+    * one (label, term) agg; the smoothed log-prob GRID is vocab × L
+    * rows built by crossing the distinct vocab with the L-row class
+    * totals (labels broadcast — never the vocab, which is corpus-sized;
+    * the term-keyed scoring join is AQE's call, same discipline as
+    * [[dsirWeights]]). Scoring shuffles doc-term counts on term, then
+    * one (doc, label) agg and an L-row-per-doc argmax window. Nothing
+    * corpus-sized reaches the driver.
+    *
+    * Cross-engine determinism: each ln is rounded once to 6 dp and
+    * cast to exact decimal; per-doc accumulation is decimal (order
+    * free); the argmax window breaks score ties by label. Docs with
+    * zero tokens yield no row (no token evidence — stated contract).
+    *
+    * @return (doc_id, label_pred, score, label_actual, correct) */
+  def naiveBayesClassify(docs: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         labelCol: String): org.apache.spark.sql.DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    val toks = docs.select(col(idCol).as("__doc"),
+      col(labelCol).as("__act"),
+      explode(tokens(lower(col(textCol)))).as("__term"))
+    val tf = toks.groupBy(col("__doc"), col("__term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__act")).as("__act"))
+    val classTok = toks.groupBy(col("__act").as("__lab"), col("__term"))
+      .agg(count(lit(1)).as("__ct"))
+    val classTot = classTok.groupBy(col("__lab"))
+      .agg(sum(col("__ct")).as("__tot"))
+    val vocab = classTok.select(col("__term")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("__v"))
+    val priors = docs.groupBy(col(labelCol).as("__lab"))
+      .agg(count(lit(1)).as("__nd"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val logPrior = priors.crossJoin(broadcast(nDocs))
+      .select(col("__lab"), dec(round(log(col("__nd").cast("double") /
+        col("__n").cast("double")), 6)).as("__lp0"))
+    // smoothed log-prob grid: vocab × labels, unseen (label, term)
+    // cells get the +1-only numerator via the left join's null
+    val grid = vocab.crossJoin(broadcast(classTot))
+      .join(classTok, Seq("__lab", "__term"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("__term"), col("__lab"),
+        dec(round(log((coalesce(col("__ct"), lit(0L)) + lit(1))
+            .cast("double") /
+          (col("__tot") + col("__v")).cast("double")), 6)).as("__lp"))
+    val scored = tf.join(grid, Seq("__term"))
+      .groupBy(col("__doc"), col("__lab"))
+      .agg(sum(dec(round(col("__tf") * col("__lp"), 6))).as("__s"),
+        max(col("__act")).as("__act"))
+      .join(broadcast(logPrior), Seq("__lab"))
+      .withColumn("__score",
+        round((col("__s") + col("__lp0")).cast("double"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc"))
+      .orderBy(col("__score").desc, col("__lab"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__doc").as(idCol), col("__lab").as("label_pred"),
+        col("__score").as("score"), col("__act").as("label_actual"),
+        (col("__lab") === col("__act")).as("correct"))
+  }
+
   /** Corpus-wide repeated-block removal — the line/paragraph dedup
     * pass of the large-corpus curation pipelines (MassiveText/Gopher
     * remove lines duplicated across documents; C4 drops repeated

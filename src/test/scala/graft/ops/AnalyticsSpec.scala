@@ -241,4 +241,34 @@ class AnalyticsSpec extends SparkSpec {
     // BC (support 1) cut by min-support
     assert(!got.contains(("B", "C")) && got.size == 4)
   }
+
+  test("acf: alternating series has lag-1 ACF -1, lag-2 ACF +1; " +
+    "constant series yields null") {
+    val alt = (1 to 8).map(i =>
+      (1L, ts(f"2024-01-01 00:0$i:00"), i.toLong,
+        if (i % 2 == 0) 1.0 else -1.0))
+    val const = (1 to 8).map(i =>
+      (2L, ts(f"2024-01-01 00:0$i:00"), (i + 100).toLong, 5.0))
+    val df = (alt ++ const).toDF("user_id", "ts", "event_id", "value")
+    val got = Analytics.acf(df, Seq("user_id"), "ts", "event_id",
+        "value", maxLag = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // mean 0: r1 = sum(d_i d_{i+1})/sum(d^2) = -7/8, r2 = +6/8
+    assert(got((1L, 1)) == ((7L, -0.875)))
+    assert(got((1L, 2)) == ((6L, 0.75)))
+    // constant: zero deviations -> null ACF at both lags
+    assert(got((2L, 1)) == ((7L, null)))
+    assert(got((2L, 2)) == ((6L, null)))
+  }
+
+  test("acf: one exchange — mean, deviations and all leads share a " +
+    "single user-keyed window") {
+    val df = (1 to 20).map(i =>
+      (i.toLong % 3, ts(f"2024-01-01 00:${i % 60}%02d:00"), i.toLong,
+        i.toDouble)).toDF("user_id", "ts", "event_id", "value")
+    val plan = Analytics.acf(df, Seq("user_id"), "ts", "event_id",
+      "value", maxLag = 3).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
 }

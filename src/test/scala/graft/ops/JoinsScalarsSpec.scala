@@ -303,4 +303,32 @@ class JoinsScalarsSpec extends SparkSpec {
     assert(got.size == got.distinct.size, "a pair was emitted twice")
     assert(got.toSet == Set((10L, 20L), (13L, 23L)))
   }
+
+  test("epsilonDistanceJoin: equals brute force, duplicate-free, " +
+    "includes the boundary and cell-edge pairs") {
+    // deterministic scatter incl. exact-boundary pair (dist == eps) and
+    // a pair straddling a grid-cell edge
+    val pts = (1 to 60).map(i =>
+      (i.toLong, (i * 17 % 50).toDouble / 3.0, (i * 31 % 50).toDouble / 3.0))
+    val left = (pts :+ ((100L, 0.0, 0.0)) :+ ((101L, 2.999, 0.0)))
+      .toDF("lid", "lx", "ly")
+    val right = (pts.map { case (i, x, y) => (i + 1000L, x, y) } :+
+      ((200L, 1.5, 0.0)) :+ ((201L, 3.001, 0.0)))
+      .toDF("rid", "rx", "ry")
+    val eps = 1.5
+    val got = Joins.epsilonDistanceJoin(left, right,
+        "lx", "ly", "rx", "ry", eps)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val l = left.as[(Long, Double, Double)].collect()
+    val r = right.as[(Long, Double, Double)].collect()
+    val brute = for {
+      (lid, lx, ly) <- l; (rid, rx, ry) <- r
+      if (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) <= eps * eps
+    } yield (lid, rid)
+    assert(got.sorted == brute.toSeq.sorted)
+    assert(got.size == got.distinct.size, "a pair was emitted twice")
+    // boundary: (0,0)-(1.5,0) at exactly eps is IN;
+    // cell-edge: 2.999 vs 3.001 cross the cell-2 boundary and match
+    assert(got.contains((100L, 200L)) && got.contains((101L, 201L)))
+  }
 }

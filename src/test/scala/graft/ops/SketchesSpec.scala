@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("countMinSketch: bounded size, one-sided error, exact when collision-free") {
+    val df = (1 to 1000).map(i => i.toLong % 50).toDF("k")
+    val sk = Sketches.countMinSketch(df, "k", depth = 4, width = 1024)
+    assert(sk.count() <= 4 * 1024)
+    // 50 distinct keys in width 1024 under 4 independent rows: estimates
+    // must never undercount, and the top-k min-over-rows is exact here
+    val top = Sketches.countMinTopK(df, "k", k = 50).collect()
+    assert(top.forall(r => r.getLong(1) >= r.getLong(2)))
+    assert(top.forall(r => r.getLong(3) >= 0L))
+  }
+
+  test("countMinTopK: estimate >= exact and top key ordering under a hot key") {
+    val df = ((1 to 900).map(_ => 7L) ++ (1 to 100).map(i => i.toLong + 100))
+      .toDF("k")
+    val top = Sketches.countMinTopK(df, "k", k = 5).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getLong(2) == 900L)
+    assert(top.forall(r => r.getLong(1) >= r.getLong(2)))
+  }
+
+  test("countMinSketch is MERGEABLE: union of shard sketches == whole-corpus sketch") {
+    val a = (1 to 400).map(i => i.toLong % 37).toDF("k")
+    val b = (1 to 600).map(i => i.toLong % 53).toDF("k")
+    val whole = Sketches.countMinSketch(a.union(b), "k")
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = Sketches.countMinSketch(a, "k")
+      .union(Sketches.countMinSketch(b, "k"))
+      .groupBy("row", "bucket").agg(sum("cnt").cast("long").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("skewReport: exact Gini/percentiles on a hand-computed distribution") {
+    // keys: 1 row x4 keys, 6 rows x1 key -> counts sorted [1,1,1,1,6]
+    // n=5, sum=10, gnum = sum((2r-n-1)c) = (2-6)+(4-6)+(6-6)+(8-6)+(12-6)*6...
+    // terms: r=1:(2-6)*1=-4, r=2:-2, r=3:0, r=4:+2, r=5:(10-6)*6=24 -> 20
+    // gini = 20/(5*10) = 0.4
+    val df = (Seq.fill(6)(99L) ++ Seq(1L, 2L, 3L, 4L)).toDF("k")
+    val r = Scale.skewReport(df, "k").collect().head
+    assert(r.getLong(0) == 5L)       // n_keys
+    assert(r.getLong(1) == 10L)      // n_rows
+    assert(r.getLong(2) == 6L)       // max_key_rows
+    assert(r.getDouble(3) == 1.0)    // p50
+    assert(r.getDouble(5) == 0.6)    // top_key_share
+    assert(r.getDouble(6) == 0.4)    // gini
+  }
+
+  test("skewReport: uniform keys have Gini 0") {
+    val df = (1 to 100).map(i => (i % 10).toLong).toDF("k")
+    val r = Scale.skewReport(df, "k").collect().head
+    assert(r.getDouble(6) == 0.0)
+    assert(r.getLong(2) == 10L)
+  }
+}

@@ -906,4 +906,30 @@ class TextSpec extends SparkSpec {
     val plan = top.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("naiveBayesClassify: separable corpus classified correctly; " +
+    "unseen terms smoothed; zero-token docs dropped") {
+    val docs = Seq(
+      (1L, "alpha alpha beta", "A"),
+      (2L, "alpha beta beta alpha", "A"),
+      (3L, "gamma delta gamma", "B"),
+      (4L, "delta delta gamma", "B"),
+      // test-like rows: vocabulary of one class only
+      (5L, "alpha beta", "A"),
+      (6L, "gamma delta", "B"),
+      // mixed doc with an A-majority and a term unseen anywhere in B
+      (7L, "alpha alpha gamma", "A"),
+      (8L, "   ", "A") // zero tokens -> no row
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.naiveBayesClassify(docs, "doc_id", "text", "source")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(4))).toMap
+    assert(!got.contains(8L), "zero-token doc must be dropped")
+    assert(got(1L) == (("A", true)) && got(3L) == (("B", true)))
+    assert(got(5L) == (("A", true)) && got(6L) == (("B", true)))
+    assert(got(7L)._1 == "A", s"mixed doc misclassified: ${got(7L)}")
+    // every scored doc carries its actual label for the audit
+    assert(out.columns.toSeq == Seq("doc_id", "label_pred", "score",
+      "label_actual", "correct"))
+  }
 }

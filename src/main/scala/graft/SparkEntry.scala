@@ -1066,6 +1066,24 @@ object SparkEntry {
       TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("spark", "join", "filter", "window"))),
 
+    // ---- training-data ops: hybrid retrieval via reciprocal-rank
+    // fusion — the BM25 lexical arm and the brute-cosine semantic arm
+    // (both already oracled solo) fused as Σ 1/(60+rank); no score
+    // calibration across incomparable scales, rank windows over
+    // candidate-list-sized arms only. ----
+    "t_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val lex = TextOps.bm25(docs, "doc_id", "text",
+        terms = Seq("spark", "join", "filter", "window"))
+      val sem = Similarity.topKForVector(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 50)
+      TextOps.rrfFuse(Seq((lex, "doc_id", "bm25"),
+        (sem, "neighbor_id", "cos_sim")))
+    }),
+
     // ---- training-data ops: corpus health report — the per-source
     // dashboard row (docs, tokens, mean quality, curation pass rate,
     // exact-dup incidence) in ONE pass over the corpus plus a
@@ -2218,6 +2236,16 @@ object SparkEntry {
       Analytics.acf(t(s, dir, "events"), Seq("user_id"), "ts",
         "event_id", "value", maxLag = 3)),
 
+    // ---- W25: Markov stationary distribution of the event-type chain
+    // — two rounds of power iteration from uniform over the w15
+    // transition matrix; everything after the one ordered-window
+    // exchange is state-cardinality-sized, π broadcast per round;
+    // loop-carried state pinned the e_kmeans way (oracle unrolls both
+    // rounds). ----
+    "w25_markov" -> ((s, dir) =>
+      Analytics.markovStationary(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", iters = 2)),
+
     // ---- W18: market-basket association rules — pair
     // support/confidence/lift over order baskets (parts per order),
     // min-support cut BEFORE rule expansion; item supports and the
@@ -2477,6 +2505,46 @@ object SparkEntry {
         graft.streaming.EventStreams.ewmaStream(stream, alpha = 0.3)
           .toDF(),
         queryName = s"sewma_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
+    // ---- streaming CUSUM — the online drift detector on the same
+    // chassis: four in-order time-range micro-batches, ONE scale-6
+    // long of state per user, alarm raised in the micro-batch where
+    // the threshold is crossed; the full replay reproduces the batch
+    // decimal recurrence bit-for-bit (the oracle IS w20's recursive
+    // CTE). ----
+    "s_stream_cusum" -> ((s, dir) => {
+      val tmp = tempDir("graft_scusum")
+      val in = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = t(s, dir, "events")
+      def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+        val chunk = s"$tmp/chunk$seq"
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        val part = new java.io.File(chunk).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = java.nio.file.Paths.get(in, s"f$seq.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L +
+            seq * 10000L))
+        ()
+      }
+      // IN event-time order — the recurrence's ordering contract
+      Seq((1, 8), (8, 15), (15, 22), (22, 32)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          stage(ev.filter(dayofmonth(col("ts")) >= lo &&
+            dayofmonth(col("ts")) < hi), i)
+      }
+      val ckpt = tempDir("graft_scusum_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.cusumStream(stream,
+          target = 50.0, slack = 10.0, threshold = 300.0).toDF(),
+        queryName = s"scusum_${System.nanoTime()}",
         checkpoint = s"$ckpt/ckpt",
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
     }),
@@ -3996,6 +4064,65 @@ object SparkEntry {
         |  AS DECIMAL(28,6))) AS DOUBLE) AS bm25
         |FROM tf JOIN dfreq USING (term), stats
         |GROUP BY 1""".stripMargin,
+
+    // both arms replayed (bm25 + brute cosine), ranked with id
+    // tiebreaks, contributions 1/(60+rank) rounded 6, decimal-summed
+    "t_rrf_fusion" ->
+      """WITH q AS (
+        |  SELECT unnest(['spark', 'join', 'filter', 'window']) AS term),
+        |d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, len(w) AS dl, u.tok AS term, COUNT(*) AS tf
+        |  FROM d, UNNEST(w) AS u(tok) JOIN q ON u.tok = q.term
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |lex AS (
+        |  SELECT tf.doc_id,
+        |    CAST(SUM(CAST(ROUND(
+        |      ln((n - df + 0.5) / (df + 0.5) + 1) * tf
+        |        * (CAST(1.2 AS DOUBLE) + 1)
+        |        / (tf + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE))
+        |            + CAST(0.75 AS DOUBLE) * dl / avgdl)), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+        |  FROM tf JOIN dfreq USING (term), stats
+        |  GROUP BY 1),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sem0 AS (
+        |  SELECT e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, qv.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne,
+        |    sqrt(list_sum(list_transform(qv.qe,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+        |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+        |sem AS (
+        |  SELECT neighbor_id, ROUND(dot / (ne * nq), 6) AS cos_sim
+        |  FROM sem0 ORDER BY cos_sim DESC, neighbor_id LIMIT 50),
+        |lrank AS (
+        |  SELECT doc_id AS id,
+        |    CAST(ROUND(CAST(1 AS DOUBLE) /
+        |      (60 + ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)), 6)
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM lex),
+        |srank AS (
+        |  SELECT neighbor_id AS id,
+        |    CAST(ROUND(CAST(1 AS DOUBLE) /
+        |      (60 + ROW_NUMBER() OVER (ORDER BY cos_sim DESC,
+        |                               neighbor_id)), 6)
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM sem),
+        |u AS (SELECT * FROM lrank UNION ALL SELECT * FROM srank)
+        |SELECT id AS doc_id, CAST(SUM(c) AS DOUBLE) AS rrf,
+        |  CAST(COUNT(*) AS BIGINT) AS arms_hit
+        |FROM u GROUP BY 1 ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
 
     "t_length_filter" ->
       """WITH wc AS (
@@ -5954,6 +6081,68 @@ object SparkEntry {
         |SELECT user_id, event_id, CAST(s AS DOUBLE) AS cusum,
         |  s > CAST(300.0 AS DECIMAL(18,6)) AS alarm
         |FROM e""".stripMargin,
+
+    // the chunked streaming replay must reproduce the batch decimal
+    // recurrence exactly — same recursive CTE as w20_cusum
+    "s_stream_cusum" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, rn,
+        |    CAST(greatest(CAST(0 AS DECIMAL(18,6)),
+        |                  CAST(0 AS DECIMAL(18,6)) + v -
+        |                  CAST(60.0 AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |      AS s
+        |  FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.user_id, v.event_id, v.rn,
+        |    CAST(greatest(CAST(0 AS DECIMAL(18,6)),
+        |                  e.s + v.v - CAST(60.0 AS DECIMAL(18,6)))
+        |         AS DECIMAL(18,6))
+        |  FROM v JOIN e ON v.user_id = e.user_id AND v.rn = e.rn + 1)
+        |SELECT user_id, event_id, CAST(s AS DOUBLE) AS cusum,
+        |  s > CAST(300.0 AS DECIMAL(18,6)) AS alarm
+        |FROM e""".stripMargin,
+
+    // both power-iteration rounds unrolled; every π·p product rounded
+    // to 6, decimal-accumulated, each round's π re-cast to (18,6)
+    "w25_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |tr AS (SELECT src, dst, COUNT(*) AS c FROM seq
+        |       WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, SUM(c) AS n FROM tr GROUP BY 1),
+        |p AS (
+        |  SELECT tr.src, tr.dst,
+        |    CAST(ROUND(CAST(tr.c AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+        |         AS DECIMAL(18,6)) AS p
+        |  FROM tr JOIN tot ON tot.src = tr.src),
+        |states AS (SELECT DISTINCT src AS state FROM tr
+        |           UNION SELECT DISTINCT dst FROM tr),
+        |k AS (SELECT COUNT(*) AS k FROM states),
+        |pi0 AS (
+        |  SELECT state,
+        |    CAST(ROUND(CAST(1 AS DOUBLE) / CAST(k AS DOUBLE), 6)
+        |         AS DECIMAL(18,6)) AS pi
+        |  FROM states, k),
+        |pi1 AS (
+        |  SELECT p.dst AS state,
+        |    CAST(SUM(CAST(ROUND(pi0.pi * p.p, 6) AS DECIMAL(18,6)))
+        |         AS DECIMAL(18,6)) AS pi
+        |  FROM p JOIN pi0 ON p.src = pi0.state GROUP BY 1),
+        |pi2 AS (
+        |  SELECT p.dst AS state,
+        |    CAST(SUM(CAST(ROUND(pi1.pi * p.p, 6) AS DECIMAL(18,6)))
+        |         AS DECIMAL(18,6)) AS pi
+        |  FROM p JOIN pi1 ON p.src = pi1.state GROUP BY 1)
+        |SELECT state, CAST(pi AS DOUBLE) AS pi FROM pi2""".stripMargin,
 
     // mean = double division of the exact decimal sum; products
     // rounded to 6 and decimal-accumulated — order-free both engines

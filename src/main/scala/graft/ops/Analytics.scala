@@ -354,6 +354,58 @@ object Analytics {
         col("__o.acf"): _*)
   }
 
+  /** Markov-chain stationary distribution of per-key state sequences,
+    * by `iters` rounds of power iteration from uniform — where event
+    * traffic concentrates in the long run, the roll-up of the w15
+    * transition matrix into one importance score per state (TextRank's
+    * PageRank is this plus damping; here the chain is the observed
+    * event-type process itself).
+    *
+    * Pipeline: consecutive (src → dst) pairs per key (ONE ordered
+    * window — the w15 exchange), transition counts, row-normalized
+    * probabilities, then π ← πP `iters` times. P is at most |states|²
+    * rows — after the one corpus-sized exchange everything is
+    * state-cardinality-sized and the iteration joins broadcast the
+    * π vector. States with no outgoing edges shed their mass (no
+    * artificial self-loop is added) — the audit reads absolute mass,
+    * and the oracle replays the same convention.
+    *
+    * Cross-engine determinism: probabilities and every π·p product are
+    * rounded to 6 and accumulated in exact decimal; each round's π is
+    * re-cast to decimal(18,6), so round N+1's inputs are bit-identical
+    * in any engine — the loop-carried state is pinned the e_kmeans
+    * way (the oracle unrolls all rounds in SQL). */
+  def markovStationary(df: DataFrame, seqKeyCol: String, tsCol: String,
+                       idCol: String, stateCol: String,
+                       iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    val w = Window.partitionBy(col(seqKeyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val seq = df.select(col(stateCol).as("__src"),
+      lead(col(stateCol), 1).over(w).as("__dst"))
+    val tr = seq.filter(col("__dst").isNotNull)
+      .groupBy(col("__src"), col("__dst")).agg(count(lit(1)).as("__c"))
+    val tot = tr.groupBy(col("__src")).agg(sum(col("__c")).as("__n"))
+    val p = tr.join(tot, Seq("__src"))
+      .select(col("__src"), col("__dst"),
+        dec(round(col("__c").cast("double") /
+          col("__n").cast("double"), 6)).as("__p"))
+    val states = tr.select(col("__src").as("state"))
+      .union(tr.select(col("__dst"))).distinct()
+    val k = states.agg(count(lit(1)).as("__k"))
+    val pi0 = states.crossJoin(broadcast(k))
+      .select(col("state"),
+        dec(round(lit(1.0) / col("__k").cast("double"), 6)).as("__pi"))
+    val piN = (1 to iters).foldLeft(pi0) { (pi, _) =>
+      p.join(broadcast(pi), p("__src") === pi("state"))
+        .groupBy(col("__dst"))
+        .agg(dec(sum(dec(round(col("__pi") * col("__p"), 6)))).as("__pi"))
+        .select(col("__dst").as("state"), col("__pi"))
+    }
+    piN.select(col("state"), col("__pi").cast("double").as("pi"))
+  }
+
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
                        minPairSupport: Long = 3): DataFrame = {
     require(minPairSupport >= 1, "minPairSupport must be >= 1")

@@ -24,6 +24,8 @@ case class BucketMembers(ids: Array[Long], sigs: Array[Array[Int]])
   * decimal recurrence). */
 case class EwmaState(lastTus: Long, lastId: Long, sMicros: Long)
 case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+case class CusumOut(user_id: Long, event_id: Long, cusum: Double,
+                    alarm: Boolean)
 
 /** One streamed near-duplicate candidate pair (id1 < id2; est_jaccard =
   * matching-minhash fraction, the batch lshCandidates estimate). */
@@ -343,6 +345,66 @@ object EventStreams {
                   java.math.BigInteger.valueOf(st.sMicros), 6)))
                 .setScale(6, java.math.RoundingMode.HALF_UP)
             out += EwmaOut(uid, id, s2.doubleValue())
+            st = EwmaState(tus, id, s2.movePointRight(6).longValueExact())
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming per-key one-sided CUSUM — the stateful twin of
+    * [[graft.ops.WindowOps.cusum]], on the [[ewmaStream]] chassis: one
+    * flatMapGroupsWithState carries exactly ONE scale-6 unscaled long
+    * per key (the CUSUM statistic), so state is O(keys) forever with no
+    * watermark needed for boundedness — the online drift detector that
+    * raises the alarm IN the micro-batch where the threshold is
+    * crossed, instead of a day later in batch.
+    *
+    * Arithmetic contract: identical EXACT-decimal steps as the batch
+    * op — input rounded once to scale 6, s' = max(0, s + v − drift)
+    * with drift = target + slack as an exact BigDecimal — so a chunked
+    * in-event-time-order replay reproduces the batch answer
+    * bit-for-bit (the s_stream_cusum oracle IS w20's recursive CTE).
+    * Same out-of-order-across-triggers guard as [[ewmaStream]]. */
+  def cusumStream(events: DataFrame, target: Double, slack: Double,
+                  threshold: Double)
+      : org.apache.spark.sql.Dataset[CusumOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(threshold > 0, "threshold must be > 0")
+    val driftBD = new java.math.BigDecimal(target.toString)
+      .add(new java.math.BigDecimal(slack.toString))
+    val hBD = new java.math.BigDecimal(threshold.toString)
+    val zero = java.math.BigDecimal.ZERO.setScale(6)
+    events.selectExpr("user_id",
+        "unix_micros(cast(ts as timestamp_ltz)) as tus",
+        "event_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, CusumOut](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[CusumOut]
+          sorted.foreach { case (_, tus, id, value) =>
+            if (st != null && (tus < st.lastTus ||
+                (tus == st.lastTus && id < st.lastId)))
+              throw new IllegalStateException(
+                s"cusumStream: event $id for user $uid at $tus precedes " +
+                  s"carried state (${st.lastTus}, ${st.lastId}) — " +
+                  "out-of-order arrival across triggers; feed " +
+                  "micro-batches in event-time order (see scaladoc)")
+            val v = java.math.BigDecimal.valueOf(value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+            val prev =
+              if (st == null) zero
+              else new java.math.BigDecimal(
+                java.math.BigInteger.valueOf(st.sMicros), 6)
+            val s2 = prev.add(v).subtract(driftBD)
+              .max(zero).setScale(6, java.math.RoundingMode.HALF_UP)
+            out += CusumOut(uid, id, s2.doubleValue(),
+              s2.compareTo(hBD) > 0)
             st = EwmaState(tus, id, s2.movePointRight(6).longValueExact())
           }
           if (st != null) state.update(st)

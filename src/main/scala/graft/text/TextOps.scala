@@ -493,6 +493,46 @@ object TextOps {
       .drop("__m")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    * retrieval arms — the standard hybrid-search combiner: each arm
+    * contributes 1/(rrfK + rank) per candidate, summed across arms, so
+    * a document surfaced by BOTH the lexical ([[bm25]]) and semantic
+    * ([[graft.sim.Similarity]] ANN) arm outranks a high-rank
+    * single-arm hit without any score calibration between
+    * incomparable scales.
+    *
+    * Contract: every arm is a PRE-CUT candidate list (a top-k, a
+    * bounded postings intersection) — the per-arm rank is a global
+    * window over that arm, correct because candidate lists are
+    * result-sized, never corpus-sized (feeding a full corpus scan in
+    * as an arm is the caller's scale bug, same convention as the
+    * figure ops). Ranks tie-break by id; contributions are rounded to
+    * 6 and decimal-summed, so the fused ordering is engine-exact.
+    *
+    * @param arms (frame, idCol, scoreCol) per retrieval arm
+    * @return (<outId>, rrf, arms_hit) — top `topN` by (rrf desc, id) */
+  def rrfFuse(arms: Seq[(org.apache.spark.sql.DataFrame, String, String)],
+              rrfK: Int = 60, topN: Int = 20,
+              outId: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(arms.nonEmpty, "at least one arm")
+    require(rrfK >= 1 && topN >= 1, "rrfK and topN must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    val ranked = arms.map { case (df, id, score) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(score).desc, col(id))
+      df.select(col(id).cast("long").as("__id"),
+        dec(round(lit(1.0) / (lit(rrfK) + row_number().over(w)), 6))
+          .as("__c"))
+    }
+    ranked.reduce(_ union _)
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).cast("double").as("rrf"),
+        count(lit(1)).cast("long").as("arms_hit"))
+      .orderBy(col("rrf").desc, col("__id"))
+      .limit(topN)
+      .select(col("__id").as(outId), col("rrf"), col("arms_hit"))
+  }
+
   /** Multinomial naive-Bayes text classifier, trained and applied in
     * one declarative plan — the classifier-based curation filter of the
     * large-corpus pipelines (GPT-3/CCNet score candidate text with a

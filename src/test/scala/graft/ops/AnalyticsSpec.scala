@@ -262,6 +262,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 2)) == ((6L, null)))
   }
 
+  test("markovStationary: hand-computed two-round power iteration; " +
+    "dead-end states shed mass") {
+    // one user's chain: A -> B -> A -> B -> C   (C has no outgoing edge)
+    // transitions: A->B x2, B->A x1, B->C x1
+    // P: A->B = 1.0 ; B->A = 0.5, B->C = 0.5
+    val df = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "A"),
+      (1L, ts("2024-01-01 00:02:00"), 2L, "B"),
+      (1L, ts("2024-01-01 00:03:00"), 3L, "A"),
+      (1L, ts("2024-01-01 00:04:00"), 4L, "B"),
+      (1L, ts("2024-01-01 00:05:00"), 5L, "C")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.markovStationary(df, "user_id", "ts", "event_id",
+        "event_type", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // pi0 = round(1/3, 6) = .333333 each
+    // pi1: A <- pi0(B)*.5 = round(.1666665) = .166667 (HALF_UP);
+    //      B <- pi0(A)*1 = .333333; C <- pi0(B)*.5 = .166667;
+    //      C's own mass vanishes (dead end, no outgoing row)
+    // pi2: A <- pi1(B)*.5 = .166667; B <- pi1(A)*1 = .166667;
+    //      C <- pi1(B)*.5 = .166667
+    assert(got == Map("A" -> 0.166667, "B" -> 0.166667,
+      "C" -> 0.166667), got.toString)
+  }
+
   test("acf: one exchange — mean, deviations and all leads share a " +
     "single user-keyed window") {
     val df = (1 to 20).map(i =>

@@ -367,6 +367,54 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("cusumStream: state carried across triggers equals the batch " +
+    "recurrence; alarm raised in-batch at the crossing event") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scus").toString
+    // target+slack = 10, threshold 15
+    val q = EventStreams.cusumStream(events, target = 8.0, slack = 2.0,
+        threshold = 15.0).toDF()
+      .writeStream.format("memory").queryName("cusum_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // trigger 1: s1 = max(0, 0+12-10) = 2; s2 = max(0, 2+5-10) = 0
+      ms.addData((1L, 1L, ts("2024-01-01 00:00:00"), 12.0),
+        (2L, 1L, ts("2024-01-01 00:01:00"), 5.0))
+      q.processAllAvailable()
+      // trigger 2: state carries 0; s3 = 0+22-10 = 12 (no alarm),
+      // s4 = 12+14-10 = 16 > 15 -> ALARM in this micro-batch
+      ms.addData((3L, 1L, ts("2024-01-01 00:02:00"), 22.0),
+        (4L, 1L, ts("2024-01-01 00:03:00"), 14.0))
+      q.processAllAvailable()
+      val got = spark.table("cusum_live")
+        .as[graft.streaming.CusumOut].collect()
+        .map(o => o.event_id -> ((o.cusum, o.alarm))).toMap
+      assert(got == Map(1L -> ((2.0, false)), 2L -> ((0.0, false)),
+        3L -> ((12.0, false)), 4L -> ((16.0, true))), got.toString)
+      // batch twin on the same rows is bit-identical
+      val batch = Seq(
+        (1L, 1L, ts("2024-01-01 00:00:00"), 12.0),
+        (2L, 1L, ts("2024-01-01 00:01:00"), 5.0),
+        (3L, 1L, ts("2024-01-01 00:02:00"), 22.0),
+        (4L, 1L, ts("2024-01-01 00:03:00"), 14.0))
+        .toDF("event_id", "user_id", "ts", "value")
+      val b = graft.ops.WindowOps.cusum(batch, Seq("user_id"), "ts",
+          "event_id", "value", target = 8.0, slack = 2.0,
+          threshold = 15.0)
+        .select("event_id", "cusum", "alarm")
+        .as[(Long, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(b == got, s"batch=$b stream=$got")
+    } finally q.stop()
+  }
+
   test("intervalJoinStreamsOuter: unmatched lefts emit with nulls once " +
     "the watermark passes; stageDrainBatches + drainTail flush the tail") {
     val base = java.nio.file.Files.createTempDirectory("graft_sjo").toString

@@ -907,6 +907,22 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("rrfFuse: both-arms candidate outranks a higher single-arm " +
+    "rank; contributions hand-computed") {
+    val lex = Seq((10L, 5.0), (20L, 4.0), (30L, 3.0)).toDF("id", "s")
+    val sem = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "s")
+    val got = TextOps.rrfFuse(Seq((lex, "id", "s"), (sem, "id", "s")),
+        rrfK = 60, topN = 10, outId = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // 20: rank 2 lex + rank 1 sem = 1/62 + 1/61 = .016129 + .016393
+    //   = .032522 ; 10: 1/61 = .016393 ; 40: 1/62 = .016129 ;
+    // 30: 1/63 = .015873
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L), got.toSeq)
+    assert(got.head == ((20L, 0.032522, 2L)), got.head)
+    assert(got.map(t => t._1 -> t._3).toMap ==
+      Map(20L -> 2L, 10L -> 1L, 40L -> 1L, 30L -> 1L))
+  }
+
   test("naiveBayesClassify: separable corpus classified correctly; " +
     "unseen terms smoothed; zero-token docs dropped") {
     val docs = Seq(

@@ -2246,6 +2246,14 @@ object SparkEntry {
       Analytics.markovStationary(t(s, dir, "events"), "user_id", "ts",
         "event_id", "event_type", iters = 2)),
 
+    // ---- W26: token-bucket rate limiting replayed over history —
+    // capacity 2, refill 1/10000s: the admission-control audit as a
+    // batch recurrence (ewma/cusum chassis), bit-replayable by a
+    // recursive CTE and bit-equal to its streaming twin. ----
+    "w26_rate_limit" -> ((s, dir) =>
+      WindowOps.rateLimit(t(s, dir, "events"), Seq("user_id"), "ts",
+        "event_id", capacity = 2, refillPerSec = 0.0001)),
+
     // ---- W18: market-basket association rules — pair
     // support/confidence/lift over order baskets (parts per order),
     // min-support cut BEFORE rule expansion; item supports and the
@@ -2545,6 +2553,44 @@ object SparkEntry {
         graft.streaming.EventStreams.cusumStream(stream,
           target = 50.0, slack = 10.0, threshold = 300.0).toDF(),
         queryName = s"scusum_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
+    // ---- streaming token-bucket rate limiter — the op that BELONGS
+    // online: admit/shed decided in the event's own micro-batch, one
+    // scale-6 long of state per user; chunked in-order replay is
+    // bit-equal to the batch audit (oracle IS w26's recursive CTE). ----
+    "s_stream_rate" -> ((s, dir) => {
+      val tmp = tempDir("graft_srate")
+      val in = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = t(s, dir, "events")
+      def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+        val chunk = s"$tmp/chunk$seq"
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        val part = new java.io.File(chunk).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = java.nio.file.Paths.get(in, s"f$seq.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L +
+            seq * 10000L))
+        ()
+      }
+      // IN event-time order — the recurrence's ordering contract
+      Seq((1, 8), (8, 15), (15, 22), (22, 32)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          stage(ev.filter(dayofmonth(col("ts")) >= lo &&
+            dayofmonth(col("ts")) < hi), i)
+      }
+      val ckpt = tempDir("graft_srate_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.rateLimitStream(stream,
+          capacity = 2, refillPerSec = 0.0001).toDF(),
+        queryName = s"srate_${System.nanoTime()}",
         checkpoint = s"$ckpt/ckpt",
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
     }),
@@ -2928,6 +2974,36 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops ->
     * driver records a weaker rows-only check. */
+  /** Shared by w26_rate_limit and its streaming twin s_stream_rate —
+    * the token bucket replayed step-exact: bucket starts FULL, refill
+    * (Δt µs)·1e-10 exact decimal, capped at 2, debit 1 when ≥ 1. */
+  private val RateLimitOracle: String =
+    """WITH RECURSIVE v AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |e AS (
+      |  SELECT user_id, event_id, rn, t,
+      |    CAST(1 AS DECIMAL(18,6)) AS tok, TRUE AS adm
+      |  FROM v WHERE rn = 1
+      |  UNION ALL
+      |  SELECT user_id, event_id, rn, t,
+      |    CAST(CASE WHEN avail >= CAST(1 AS DECIMAL(18,6))
+      |              THEN avail - CAST(1 AS DECIMAL(18,6))
+      |              ELSE avail END AS DECIMAL(18,6)),
+      |    avail >= CAST(1 AS DECIMAL(18,6))
+      |  FROM (
+      |    SELECT v.user_id, v.event_id, v.rn, v.t,
+      |      least(CAST(2 AS DECIMAL(18,6)),
+      |            e.tok + CAST(ROUND((v.t - e.t) *
+      |              CAST(0.0000000001 AS DECIMAL(14,10)), 6)
+      |              AS DECIMAL(18,6))) AS avail
+      |    FROM v JOIN e ON v.user_id = e.user_id
+      |      AND v.rn = e.rn + 1))
+      |SELECT user_id, event_id, CAST(tok AS DOUBLE) AS tokens,
+      |  adm AS admitted FROM e""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -6107,6 +6183,15 @@ object SparkEntry {
         |SELECT user_id, event_id, CAST(s AS DOUBLE) AS cusum,
         |  s > CAST(300.0 AS DECIMAL(18,6)) AS alarm
         |FROM e""".stripMargin,
+
+    // token bucket replayed: bucket starts FULL (first event admits,
+    // cap-1 left); each step refills (Δt µs)·1e-10, capped at 2,
+    // debits 1 when >= 1 — all exact decimal
+    "w26_rate_limit" -> RateLimitOracle,
+
+    // the chunked streaming replay must reproduce the batch token
+    // bucket exactly — same recursive CTE as w26_rate_limit
+    "s_stream_rate" -> RateLimitOracle,
 
     // both power-iteration rounds unrolled; every π·p product rounded
     // to 6, decimal-accumulated, each round's π re-cast to (18,6)

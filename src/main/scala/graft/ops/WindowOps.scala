@@ -371,4 +371,80 @@ object WindowOps {
         col("__o.s").cast("double").as("cusum") :+
         expr(s"__o.s > $h").as("alarm"): _*)
   }
+
+  /** Per-key token-bucket rate limiting, replayed deterministically
+    * over history: each key's bucket holds `capacity` tokens, refills
+    * at `refillPerSec`, and every event either ADMITS (tokens ≥ 1,
+    * bucket debited) or is flagged for drop — the admission-control
+    * audit ("which requests would a limiter of this shape have
+    * shed?") run as a batch query, and the semantics contract for
+    * [[graft.streaming.EventStreams.rateLimitStream]], its online
+    * twin. Like [[ewma]]/[[cusum]], a per-key ordered RECURRENCE no
+    * window frame expresses: one key exchange, sorted collect_list +
+    * codegen'd HOF fold.
+    *
+    * Exact arithmetic: the refill is (Δt µs)·ratePerµs with the rate
+    * as an exact decimal literal, rounded once per step to scale 6 —
+    * a recursive CTE replays the run bit-for-bit, and the streaming
+    * twin's chunked replay is bit-equal. The bucket starts FULL
+    * (first event always admits, capacity ≥ 1). Same bot-user cap
+    * convention as the funnel (`maxEventsPerKey` + Observation).
+    *
+    * @return (keys..., idCol, tokens, admitted) — tokens AFTER the
+    *         event's debit. */
+  def rateLimit(df: DataFrame, keys: Seq[String], tsCol: String,
+                idCol: String, capacity: Int, refillPerSec: Double,
+                maxEventsPerKey: Option[Int] = None): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    require(refillPerSec > 0, "refillPerSec must be > 0")
+    require(maxEventsPerKey.forall(_ > 0), "maxEventsPerKey must be > 0")
+    val kcols = keys.map(col)
+    val bounded = maxEventsPerKey match {
+      case None => df
+      case Some(cap) =>
+        val w = Window.partitionBy(kcols: _*)
+          .orderBy(col(tsCol), col(idCol))
+        df.withColumn("__rn", row_number().over(w))
+          .observe("rate_limit_dropped_events",
+            sum(when(col("__rn") > cap, 1L).otherwise(0L)).as("dropped"))
+          .filter(col("__rn") <= cap).drop("__rn")
+    }
+    val rBD = new java.math.BigDecimal(refillPerSec.toString)
+      .movePointLeft(6) // tokens per MICROSECOND, exact
+    // precision scale+4 (rates to 9999/s): keeps the (µs·rate) product
+    // inside BOTH engines' exact-decimal width so neither truncates
+    val rate =
+      s"cast(${rBD.toPlainString} as decimal(${rBD.scale + 4},${rBD.scale}))"
+    val cap = s"cast($capacity as decimal(18,6))"
+    val one = "cast(1 as decimal(18,6))"
+    // refill 0 on the first event, where the bucket initializes FULL
+    def refill = s"""CASE WHEN acc.lt IS NULL
+                    |     THEN cast(0 as decimal(18,6))
+                    |     ELSE cast(round((e.t - acc.lt) * $rate, 6)
+                    |               as decimal(18,6)) END""".stripMargin
+    def avail = s"least($cap, acc.tok + $refill)"
+    def newTok = s"""cast(CASE WHEN $avail >= $one THEN $avail - $one
+                    |          ELSE $avail END as decimal(18,6))""".stripMargin
+    bounded
+      .select(kcols :+ struct(
+        expr(s"unix_micros(cast($tsCol as timestamp_ltz))").as("t"),
+        col(idCol).cast("long").as("id")).as("__e"): _*)
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(kcols :+ expr(
+        s"""aggregate(__evs,
+           |  struct(cast(array() as array<struct<id:bigint,
+           |           tok:decimal(18,6), adm:boolean>>) AS out,
+           |         $cap AS tok, cast(null as bigint) AS lt),
+           |  (acc, e) -> struct(
+           |    concat(acc.out, array(named_struct('id', e.id,
+           |      'tok', $newTok, 'adm', $avail >= $one))),
+           |    $newTok,
+           |    e.t),
+           |  acc -> acc.out)""".stripMargin).as("__arr"): _*)
+      .select(kcols :+ explode(col("__arr")).as("__o"): _*)
+      .select(kcols :+ col("__o.id").as(idCol) :+
+        col("__o.tok").cast("double").as("tokens") :+
+        col("__o.adm").as("admitted"): _*)
+  }
 }

@@ -26,6 +26,8 @@ case class EwmaState(lastTus: Long, lastId: Long, sMicros: Long)
 case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 case class CusumOut(user_id: Long, event_id: Long, cusum: Double,
                     alarm: Boolean)
+case class RateOut(user_id: Long, event_id: Long, tokens: Double,
+                   admitted: Boolean)
 
 /** One streamed near-duplicate candidate pair (id1 < id2; est_jaccard =
   * matching-minhash fraction, the batch lshCandidates estimate). */
@@ -406,6 +408,67 @@ object EventStreams {
             out += CusumOut(uid, id, s2.doubleValue(),
               s2.compareTo(hBD) > 0)
             st = EwmaState(tus, id, s2.movePointRight(6).longValueExact())
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming per-key token-bucket admission control — the online
+    * twin of [[graft.ops.WindowOps.rateLimit]] and the op that
+    * actually BELONGS in the stream (a limiter that answers a day
+    * later is an audit, not a limiter): one scale-6 long of state per
+    * key (current tokens) plus the last event time, O(keys) forever.
+    * Exact decimal refill arithmetic identical to the batch op —
+    * (Δt µs)·ratePerµs rounded once per step — so a chunked in-order
+    * replay is bit-equal to the batch answer (the s_stream_rate
+    * oracle IS w26's recursive CTE). Bucket starts FULL. Same
+    * out-of-order-across-triggers guard as [[ewmaStream]]. */
+  def rateLimitStream(events: DataFrame, capacity: Int,
+                      refillPerSec: Double)
+      : org.apache.spark.sql.Dataset[RateOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(capacity >= 1, "capacity must be >= 1")
+    require(refillPerSec > 0, "refillPerSec must be > 0")
+    val rBD = new java.math.BigDecimal(refillPerSec.toString)
+      .movePointLeft(6)
+    val capBD = java.math.BigDecimal.valueOf(capacity.toLong).setScale(6)
+    val oneBD = java.math.BigDecimal.ONE.setScale(6)
+    events.selectExpr("user_id",
+        "unix_micros(cast(ts as timestamp_ltz)) as tus",
+        "event_id")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, RateOut](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[RateOut]
+          sorted.foreach { case (_, tus, id) =>
+            if (st != null && (tus < st.lastTus ||
+                (tus == st.lastTus && id < st.lastId)))
+              throw new IllegalStateException(
+                s"rateLimitStream: event $id for user $uid at $tus " +
+                  s"precedes carried state (${st.lastTus}, ${st.lastId}) " +
+                  "— out-of-order arrival across triggers; feed " +
+                  "micro-batches in event-time order (see scaladoc)")
+            val avail =
+              if (st == null) capBD
+              else {
+                val prev = new java.math.BigDecimal(
+                  java.math.BigInteger.valueOf(st.sMicros), 6)
+                val refill = java.math.BigDecimal
+                  .valueOf(tus - st.lastTus).multiply(rBD)
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                capBD.min(prev.add(refill))
+              }
+            val adm = avail.compareTo(oneBD) >= 0
+            val tok = (if (adm) avail.subtract(oneBD) else avail)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+            out += RateOut(uid, id, tok.doubleValue(), adm)
+            st = EwmaState(tus, id, tok.movePointRight(6).longValueExact())
           }
           if (st != null) state.update(st)
           out.result().iterator

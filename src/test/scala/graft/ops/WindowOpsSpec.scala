@@ -231,4 +231,29 @@ class WindowOpsSpec extends SparkSpec {
     assert(got(5L) == ((510.0, true)))
     assert(got(6L) == ((0.0, false)) && got(7L) == ((0.0, false)))
   }
+
+  test("rateLimit: hand-computed token bucket — full start, refill " +
+    "cap, burst denial, fractional refill admits later") {
+    def ts(sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    // capacity 2, refill 0.1/s
+    val df = Seq(
+      (1L, ts(0), 1L),   // full bucket: avail 2, admit, tok 1
+      (2L, ts(1), 1L),   // +0.1 -> 1.1, admit, tok 0.1
+      (3L, ts(2), 1L),   // +0.1 -> 0.2, DENY, tok 0.2
+      (4L, ts(10), 1L),  // +0.8 -> 1.0, admit (>=1), tok 0.0
+      (5L, ts(60), 1L),  // +5.0 capped at 2, admit, tok 1
+      (6L, ts(0), 2L)    // second key independent: admit, tok 1
+    ).toDF("event_id", "ts", "user_id")
+    val got = WindowOps.rateLimit(df, Seq("user_id"), "ts", "event_id",
+        capacity = 2, refillPerSec = 0.1)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((1.0, true)), got.toString)
+    assert(got(2L) == ((0.1, true)))
+    assert(got(3L) == ((0.2, false)))
+    assert(got(4L) == ((0.0, true)))
+    assert(got(5L) == ((1.0, true)))
+    assert(got(6L) == ((1.0, true)))
+  }
 }

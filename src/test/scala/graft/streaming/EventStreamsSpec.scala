@@ -415,6 +415,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rateLimitStream: bucket state carried across triggers is " +
+    "bit-equal to the batch limiter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "0.0 as value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_srl").toString
+    val q = EventStreams.rateLimitStream(events, capacity = 2,
+        refillPerSec = 0.1).toDF()
+      .writeStream.format("memory").queryName("rate_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:00:01")),
+      (3L, 1L, ts("2024-01-01 00:00:02")),
+      (4L, 1L, ts("2024-01-01 00:00:10")),
+      (5L, 1L, ts("2024-01-01 00:01:00")))
+    try {
+      // trigger 1: events 1-3 (burst: deny at 3); trigger 2 carries
+      // the fractional bucket (0.2) across the state store
+      ms.addData(rows.take(3))
+      q.processAllAvailable()
+      ms.addData(rows.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("rate_live")
+        .as[graft.streaming.RateOut].collect()
+        .map(o => o.event_id -> ((o.tokens, o.admitted))).toMap
+      val batch = graft.ops.WindowOps.rateLimit(
+          rows.toDF("event_id", "user_id", "ts"), Seq("user_id"), "ts",
+          "event_id", capacity = 2, refillPerSec = 0.1)
+        .select("event_id", "tokens", "admitted")
+        .as[(Long, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got(3L) == ((0.2, false)) && got(4L) == ((0.0, true)))
+    } finally q.stop()
+  }
+
   test("intervalJoinStreamsOuter: unmatched lefts emit with nulls once " +
     "the watermark passes; stageDrainBatches + drainTail flush the tail") {
     val base = java.nio.file.Files.createTempDirectory("graft_sjo").toString

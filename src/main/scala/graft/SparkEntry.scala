@@ -2254,6 +2254,14 @@ object SparkEntry {
       WindowOps.rateLimit(t(s, dir, "events"), Seq("user_id"), "ts",
         "event_id", capacity = 2, refillPerSec = 0.0001)),
 
+    // ---- W27: Holt linear-trend smoothing — level + trend carried
+    // per user, one-step-ahead forecast per event; the two-variable
+    // recurrence on the same one-exchange HOF chassis, bit-replayed
+    // by a recursive CTE. ----
+    "w27_holt" -> ((s, dir) =>
+      WindowOps.holt(t(s, dir, "events"), Seq("user_id"), "ts",
+        "event_id", "value", alpha = 0.5, beta = 0.3)),
+
     // ---- W18: market-basket association rules — pair
     // support/confidence/lift over order baskets (parts per order),
     // min-support cut BEFORE rule expansion; item supports and the
@@ -6188,6 +6196,37 @@ object SparkEntry {
     // cap-1 left); each step refills (Δt µs)·1e-10, capped at 2,
     // debits 1 when >= 1 — all exact decimal
     "w26_rate_limit" -> RateLimitOracle,
+
+    // Holt recurrence: l=α·x+(1−α)(l₀+b₀), b=β(l−l₀)+(1−β)b₀, init
+    // (x₁, 0); the new level is computed in the subquery so the
+    // trend step reuses it — every assignment rounded once to 6
+    "w27_holt" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, rn, v AS l,
+        |    CAST(0 AS DECIMAL(18,6)) AS b
+        |  FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, event_id, rn, nl,
+        |    CAST(ROUND(CAST(0.3 AS DECIMAL(10,8)) * (nl - pl)
+        |             + CAST(0.7 AS DECIMAL(10,8)) * pb, 6)
+        |         AS DECIMAL(18,6))
+        |  FROM (
+        |    SELECT v.user_id, v.event_id, v.rn, e.l AS pl, e.b AS pb,
+        |      CAST(ROUND(CAST(0.5 AS DECIMAL(10,8)) * v.v
+        |               + CAST(0.5 AS DECIMAL(10,8)) * (e.l + e.b), 6)
+        |           AS DECIMAL(18,6)) AS nl
+        |    FROM v JOIN e ON v.user_id = e.user_id
+        |      AND v.rn = e.rn + 1))
+        |SELECT user_id, event_id, CAST(l AS DOUBLE) AS level,
+        |  CAST(b AS DOUBLE) AS trend,
+        |  CAST(l + b AS DOUBLE) AS forecast
+        |FROM e""".stripMargin,
 
     // the chunked streaming replay must reproduce the batch token
     // bucket exactly — same recursive CTE as w26_rate_limit

@@ -447,4 +447,80 @@ object WindowOps {
         col("__o.tok").cast("double").as("tokens") :+
         col("__o.adm").as("admitted"): _*)
   }
+
+  /** Holt's linear-trend (double exponential) smoothing per key — the
+    * forecasting recurrence one rung above [[ewma]]: a level AND a
+    * trend are carried, l = α·x + (1−α)·(l₀+b₀), b = β·(l−l₀) +
+    * (1−β)·b₀, with the one-step-ahead forecast l+b per event — what
+    * an operations dashboard plots as "expected next value" per
+    * series. Initialization: l₁ = x₁, b₁ = 0.
+    *
+    * Same chassis and contracts as [[ewma]]/[[cusum]]/[[rateLimit]]:
+    * one key exchange, sorted HOF fold, every coefficient an exact
+    * decimal literal, every assignment rounded once to scale 6 — the
+    * recursive-CTE replay is bit-exact. Two carried values means the
+    * new level is inlined into the trend step (cheap arithmetic, the
+    * documented HOF re-evaluation trade).
+    *
+    * @return (keys..., idCol, level, trend, forecast) */
+  def holt(df: DataFrame, keys: Seq[String], tsCol: String,
+           idCol: String, valCol: String, alpha: Double, beta: Double,
+           maxEventsPerKey: Option[Int] = None): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(beta > 0 && beta < 1, "beta in (0,1)")
+    require(maxEventsPerKey.forall(_ > 0), "maxEventsPerKey must be > 0")
+    val kcols = keys.map(col)
+    val bounded = maxEventsPerKey match {
+      case None => df
+      case Some(cap) =>
+        val w = Window.partitionBy(kcols: _*)
+          .orderBy(col(tsCol), col(idCol))
+        df.withColumn("__rn", row_number().over(w))
+          .observe("holt_dropped_events",
+            sum(when(col("__rn") > cap, 1L).otherwise(0L)).as("dropped"))
+          .filter(col("__rn") <= cap).drop("__rn")
+    }
+    def decLit(d: Double): String = {
+      val bd = new java.math.BigDecimal(d.toString)
+      s"cast(${bd.toPlainString} as decimal(10,8))"
+    }
+    def oneMinus(d: Double): String = {
+      val bd = java.math.BigDecimal.ONE
+        .subtract(new java.math.BigDecimal(d.toString))
+      s"cast(${bd.toPlainString} as decimal(10,8))"
+    }
+    val (a, ia) = (decLit(alpha), oneMinus(alpha))
+    val (b, ib) = (decLit(beta), oneMinus(beta))
+    def newL = s"""CASE WHEN acc.l IS NULL THEN e.v
+                  |     ELSE cast(round($a * e.v + $ia * (acc.l + acc.b), 6)
+                  |               as decimal(18,6)) END""".stripMargin
+    def newB = s"""CASE WHEN acc.l IS NULL THEN cast(0 as decimal(18,6))
+                  |     ELSE cast(round($b * (($newL) - acc.l)
+                  |                    + $ib * acc.b, 6)
+                  |               as decimal(18,6)) END""".stripMargin
+    bounded
+      .select(kcols :+ struct(
+        col(tsCol).cast("timestamp_ltz").cast("double").as("t"),
+        col(idCol).cast("long").as("id"),
+        round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("v")).as("__e"): _*)
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(kcols :+ expr(
+        s"""aggregate(__evs,
+           |  struct(cast(array() as array<struct<id:bigint,
+           |           l:decimal(18,6), b:decimal(18,6)>>) AS out,
+           |         cast(null as decimal(18,6)) AS l,
+           |         cast(null as decimal(18,6)) AS b),
+           |  (acc, e) -> struct(
+           |    concat(acc.out, array(named_struct('id', e.id,
+           |      'l', $newL, 'b', $newB))),
+           |    $newL, $newB),
+           |  acc -> acc.out)""".stripMargin).as("__arr"): _*)
+      .select(kcols :+ explode(col("__arr")).as("__o"): _*)
+      .select(kcols :+ col("__o.id").as(idCol) :+
+        col("__o.l").cast("double").as("level") :+
+        col("__o.b").cast("double").as("trend") :+
+        (col("__o.l") + col("__o.b")).cast("double").as("forecast"): _*)
+  }
 }

@@ -256,4 +256,22 @@ class WindowOpsSpec extends SparkSpec {
     assert(got(5L) == ((1.0, true)))
     assert(got(6L) == ((1.0, true)))
   }
+
+  test("holt: hand-computed level/trend/forecast; a linear ramp is " +
+    "tracked with positive trend") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val df = Seq(
+      (1L, ts(1), 1L, 10.0), (2L, ts(2), 1L, 20.0), (3L, ts(3), 1L, 30.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = WindowOps.holt(df, Seq("user_id"), "ts", "event_id",
+        "value", alpha = 0.5, beta = 0.3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // e1: l=10, b=0, f=10
+    // e2: l=.5*20+.5*(10+0)=15; b=.3*(15-10)+.7*0=1.5; f=16.5
+    // e3: l=.5*30+.5*(15+1.5)=23.25; b=.3*8.25+.7*1.5=3.525; f=26.775
+    assert(got(1L) == ((10.0, 0.0, 10.0)), got.toString)
+    assert(got(2L) == ((15.0, 1.5, 16.5)))
+    assert(got(3L) == ((23.25, 3.525, 26.775)))
+  }
 }

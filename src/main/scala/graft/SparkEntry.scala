@@ -1445,6 +1445,15 @@ object SparkEntry {
         "doc_id", "text", n = 13)
     }),
 
+    // ---- training-data ops: cross-source 8-gram overlap matrix —
+    // the corpus-composition audit (which "different" sources are the
+    // same crawl?): distinct grams per source on the 16-byte md5
+    // shuffle key, hash-keyed self-join with per-gram fan-out bounded
+    // by C(|sources|,2), |S|-row broadcast totals. ----
+    "t_overlap_matrix" -> ((s, dir) =>
+      Dedup.overlapMatrix(t(s, dir, "documents"), "source", "text",
+        n = 8)),
+
     // ---- training-data ops: duplicate clusters (connected components
     // over verified near-dup pairs; cluster id = canonical keep doc) ----
     "t_dedup_clusters" -> ((s, dir) =>
@@ -4656,6 +4665,33 @@ object SparkEntry {
         |FROM (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 0) a
         |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 1) b USING (gram)
         |GROUP BY a.doc_id""".stripMargin,
+
+    // distinct (source, gram) pairs, self-joined on the gram; overlap
+    // coefficient = shared / min(|A|, |B|)
+    "t_overlap_matrix" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT source,
+        |    unnest(list_distinct([array_to_string(tk[i:i+7], ' ')
+        |      FOR i IN range(1, greatest(len(tk)-7, 1)+1)])) AS gram
+        |  FROM toks),
+        |g AS (SELECT DISTINCT source, gram FROM g0),
+        |tot AS (SELECT source, COUNT(*) AS t FROM g GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS shared_grams
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_grams,
+        |  ROUND(CAST(shared_grams AS DOUBLE) /
+        |        CAST(least(ta.t, tb.t) AS DOUBLE), 6) AS overlap_coef
+        |FROM sh
+        |JOIN tot ta ON ta.source = sh.source_a
+        |JOIN tot tb ON tb.source = sh.source_b""".stripMargin,
 
     "t_dedup_clusters" ->
       """WITH RECURSIVE toks AS (

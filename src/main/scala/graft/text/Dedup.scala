@@ -363,6 +363,45 @@ object Dedup {
       .select(col("id").as("train_id"), col("n_shared_grams"))
   }
 
+  /** Cross-source n-gram overlap matrix: for every unordered pair of
+    * corpus sources, the number of DISTINCT word n-grams they share
+    * and the overlap coefficient shared/min(|A|,|B|) — the
+    * corpus-composition audit run before mixing sources into a
+    * training set (a high off-diagonal means two "different" sources
+    * are substantially the same crawl, double-weighting their
+    * content; the same lens the decontamination ops point at
+    * train-vs-eval, turned on the training mix itself).
+    *
+    * Scale: explode to (source, gram), distinct on the 16-byte md5 of
+    * the gram (the exactByContent shuffle-key discipline — the gram
+    * string never keys an exchange), then a hash-keyed self-join
+    * whose per-gram fan-out is bounded by C(#sources, 2) — a
+    * boilerplate gram in every source costs |S|² rows, never
+    * corpus². Totals are a |S|-row broadcast. */
+  def overlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
+                    n: Int = 8): DataFrame = {
+    val g = docs
+      .select(col(groupCol).as("__g"),
+        explode(shingles(col(textCol), n)).as("__gram"))
+      .select(col("__g"), md5(col("__gram")).as("__h"))
+      .distinct()
+    val tot = g.groupBy(col("__g")).agg(count(lit(1)).as("__t"))
+    val shared = g.select(col("__h"), col("__g").as("source_a"))
+      .join(g.select(col("__h"), col("__g").as("source_b")), Seq("__h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(tot.select(col("__g").as("source_a"),
+        col("__t").as("__ta"))), Seq("source_a"))
+      .join(broadcast(tot.select(col("__g").as("source_b"),
+        col("__t").as("__tb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          least(col("__ta"), col("__tb")).cast("double"), 6)
+          .as("overlap_coef"))
+  }
+
   /** The prune stage of [[decontaminateBloom]], exposed for its spec:
     * train rows whose bloom hit-count reaches the overlap bound.
     * `expectedShingles <= 0` sizes the bloom from the eval side's

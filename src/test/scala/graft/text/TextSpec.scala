@@ -907,6 +907,23 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("overlapMatrix: hand-computed shared grams and overlap " +
+    "coefficient; disjoint sources emit no row") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "a b c e", "s2"),
+      (3L, "a b c d", "s1"), // duplicate doc: grams stay DISTINCT per source
+      (4L, "x y z w", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.overlapMatrix(docs, "source", "text", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // s1 grams {a b c, b c d}, s2 grams {a b c, b c e} -> 1 shared,
+    // coef 1/min(2,2) = 0.5 ; s3 shares nothing -> absent
+    assert(got == Map(("s1", "s2") -> ((1L, 0.5))), got.toString)
+  }
+
   test("rrfFuse: both-arms candidate outranks a higher single-arm " +
     "rank; contributions hand-computed") {
     val lex = Seq((10L, 5.0), (20L, 4.0), (30L, 3.0)).toDF("id", "s")

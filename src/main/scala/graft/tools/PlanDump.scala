@@ -75,7 +75,17 @@ object PlanDump {
       "WholeStageCodegen span — zero exchanges, zero UDFs"),
     "t_dsir_weights" -> ("DSIR weights: bucket LLR table broadcast back; " +
       "poly-hash evaluated on the DISTINCT vocab only, never per " +
-      "corpus token"))
+      "corpus token"),
+    "w26_rate_limit" -> ("token-bucket replay: ONE key exchange, " +
+      "sorted collect + codegen'd HOF fold — no window, no join"),
+    "a22_cms_topk" -> ("count-min sketch: ≤ depth×width sketch " +
+      "broadcast into the estimation probe; top-k is TakeOrdered"),
+    "j13_eps_join" -> ("grid ε-distance join: cell equi-join with a " +
+      "3×3 neighbor explode on ONE side — no cross product, no trig"),
+    "t_nb_classify" -> ("naive Bayes: L-row labels/priors broadcast, " +
+      "corpus-sized vocab never; scoring is a term-keyed equi-join"),
+    "w24_acf" -> ("autocorrelation: mean, deviations and all lags " +
+      "share ONE key-partitioned window exchange"))
 
   /** Ops with no SparkEntry.queries surface whose plan still backs a
     * scale claim (built directly against the sf tables). */

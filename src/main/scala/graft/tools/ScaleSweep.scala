@@ -344,7 +344,63 @@ object ScaleSweep {
         SparkEntry.queries("w23_interp")(spark, d).count()),
       // streaming heap agg: state = k rows per (window, type)
       "s_stream_topk" -> (d =>
-        SparkEntry.queries("s_stream_topk")(spark, d).count()))
+        SparkEntry.queries("s_stream_topk")(spark, d).count()),
+      // r10 fourth wave. CMS: fixed depth×width sketch built from
+      // per-key partials, broadcast estimation probe — expect linear
+      // scan cost, constant sketch/driver state
+      "a22_cms(events)" -> (d => graft.ops.Sketches.countMinTopK(
+        Tables.load(spark, d, "events"), "user_id", k = 20).count()),
+      // key counts + count-of-counts window (≤ √rows rows) — linear
+      "a23_skew_report" -> (d =>
+        SparkEntry.queries("a23_skew_report")(spark, d).count()),
+      // one key exchange, 3 leads share the window; new users only
+      "w24_acf" -> (d =>
+        SparkEntry.queries("w24_acf")(spark, d).count()),
+      // one ordered-window exchange, then state-cardinality-sized
+      "w25_markov" -> (d =>
+        SparkEntry.queries("w25_markov")(spark, d).count()),
+      // per-key recurrences (ewma chassis): one exchange each
+      "w26_rate_limit" -> (d =>
+        SparkEntry.queries("w26_rate_limit")(spark, d).count()),
+      "w27_holt" -> (d =>
+        SparkEntry.queries("w27_holt")(spark, d).count()),
+      // one tokenize; grid is vocab×labels (vocab sublinear under the
+      // spliced staging — same words recombined); scoring join on term
+      "t_nb_classify" -> (d =>
+        SparkEntry.queries("t_nb_classify")(spark, d).count()),
+      // both arms candidate-bounded; fusion windows over ≤ arm sizes
+      "t_rrf_fusion" -> (d =>
+        SparkEntry.queries("t_rrf_fusion")(spark, d).count()),
+      // distinct (source, md5) + hash self-join; per-gram fan-out
+      // ≤ C(|sources|,2) — sources are FIXED, so expect ~linear
+      "t_overlap_matrix" -> (d =>
+        SparkEntry.queries("t_overlap_matrix")(spark, d).count()),
+      // streaming recurrences: 4 chunked triggers, O(keys) state
+      "s_stream_cusum" -> (d =>
+        SparkEntry.queries("s_stream_cusum")(spark, d).count()),
+      "s_stream_rate" -> (d =>
+        SparkEntry.queries("s_stream_rate")(spark, d).count()),
+      // constant-DENSITY scale model (the honest one for a spatial
+      // join: a bigger map, same density — box side ∝ √factor keeps
+      // rows/cell flat, so output and cost both grow ∝ factor; a
+      // fixed box would densify and measure the output's quadratic
+      // growth, not the operator)
+      "j13_eps_join(const density)" -> { d =>
+        val f = if (d == base) 1 else factor
+        val m = (1000L * math.sqrt(f.toDouble)).toLong
+        def coord(kc: org.apache.spark.sql.Column, mul: Long) =
+          pmod(kc.cast("long") * lit(mul), lit(m)).cast("double") /
+            lit(10.0)
+        val c = Tables.load(spark, d, "customer")
+        val a = c.select(col("c_custkey").as("aid"),
+          coord(col("c_custkey"), 7919L).as("ax"),
+          coord(col("c_custkey"), 104729L).as("ay"))
+        val b = c.select(col("c_custkey").as("bid"),
+          coord(col("c_custkey"), 4409L).as("bx"),
+          coord(col("c_custkey"), 9973L).as("by"))
+        graft.ops.Joins.epsilonDistanceJoin(a, b, "ax", "ay",
+          "bx", "by", 1.5).count()
+      })
 
     // Pair-volume ops are QUADRATIC in this staging's recycled content
     // by construction (every source third appears in ~3·factor splices

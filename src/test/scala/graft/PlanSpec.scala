@@ -267,6 +267,49 @@ class PlanSpec extends SparkSpec {
       scan.take(800))
   }
 
+  test("recurrence ops (rate limit, holt) fold in ONE key exchange — " +
+    "no window, no join, no second shuffle") {
+    for (q <- Seq("w26_rate_limit", "w27_holt")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"$q: " + plan.take(1500))
+      assert(!plan.contains("Window") && !plan.contains("Join"),
+        s"$q: " + plan.take(1500))
+    }
+  }
+
+  test("countMinTopK: the sketch broadcasts into the estimation " +
+    "probe; the top-k is a TakeOrdered, not a global sort") {
+    val df = SparkEntry.queries("a22_cms_topk")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("epsilonDistanceJoin plans as a cell equi-join — never a " +
+    "cartesian/nested-loop product") {
+    val plan = planOf(SparkEntry.queries("j13_eps_join")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.contains("Join"), plan.take(1500))
+  }
+
+  test("naiveBayesClassify: the vocab-sized grid and scoring joins " +
+    "are never a cartesian product (labels/totals broadcast instead)") {
+    val plan = planOf(SparkEntry.queries("t_nb_classify")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("overlapMatrix: totals join by broadcast; the self-join keys " +
+    "on the 16-byte gram hash, not the gram string") {
+    val df = SparkEntry.queries("t_overlap_matrix")(spark, dir)
+    df.count() // let AQE finalize the small-side broadcasts
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("md5"), plan.take(2000))
+  }
+
   test("PLANS.md is fresh: fingerprint matches the current query set " +
        "and pinned logical plans (regenerate with graft.tools.PlanDump)") {
     // the plan book backs SURVEY's scale claims; a stale book silently

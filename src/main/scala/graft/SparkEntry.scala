@@ -59,6 +59,9 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val stagedDocsStreamDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Per-JVM cache of the fixed-width customer extract staging. */
+  private val stagedFixedWidth =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private val stagedOuterEventsDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -2119,6 +2122,21 @@ object SparkEntry {
     "a23_skew_report" -> ((s, dir) =>
       Scale.skewReport(t(s, dir, "events"), "user_id")),
 
+    // ---- A24: histogram-sketch quantiles — p50/p90/p99 of
+    // l_extendedprice from a width-100 mergeable histogram with the
+    // honest |est−true| ≤ width bound beside each estimate; the
+    // sketch path next to a8's exact percentiles. ----
+    "a24_hist_quantile" -> ((s, dir) =>
+      Sketches.histQuantile(t(s, dir, "lineitem"), "l_extendedprice",
+        width = 100.0, probs = Seq(0.5, 0.9, 0.99))),
+
+    // ---- A25: weight-of-evidence binning — o_totalprice in
+    // population quintiles vs the order-status event, WOE and IV per
+    // bin; boundary row broadcast (no global ntile sort). ----
+    "a25_woe" -> ((s, dir) =>
+      Quality.woeBins(t(s, dir, "orders"), "o_totalprice",
+        col("o_orderstatus") === "F", bins = 5)),
+
     // ---- A20: two-proportion A/B conversion z-test — variant by
     // user-id parity, conversion = ever purchased; pooled-variance
     // z from EXACT counts (every input to the IEEE formula sequence
@@ -2917,6 +2935,37 @@ object SparkEntry {
     // workbook with NO out-of-band conversion step — the reference's
     // vocab-sheet ingestion path (code/RCLIF_labs.Rmd:38), previously
     // pass-unit only. ----
+    // ---- S15: fixed-width (mainframe-extract) scan — customer
+    // rendered as a 59-byte fixed layout, read back via the pure
+    // substring/trim/cast projection (one codegen'd pass, no UDF),
+    // aggregated per segment with exact decimal sums. The oracle
+    // aggregates the parquet originals: the roundtrip must be
+    // value-lossless. ----
+    "s15_fixed_width" -> ((s, dir) => {
+      import graft.sources.FixedWidth
+      val path = stagedFixedWidth.getOrElseUpdate(dir, {
+        val out = tempDir("graft_fw") + "/data"
+        FixedWidth.write(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal").cast("double"),
+            col("c_mktsegment")),
+          Seq("%09d", "%-25s", "%03d", "%12.2f", "%-10s"), out)
+        out
+      })
+      FixedWidth.read(s, path, Seq(
+          FixedWidth.FwCol("c_custkey", 1, 9, "bigint"),
+          FixedWidth.FwCol("c_name", 10, 25),
+          FixedWidth.FwCol("c_nationkey", 35, 3, "int"),
+          FixedWidth.FwCol("c_acctbal", 38, 12, "double"),
+          FixedWidth.FwCol("c_mktsegment", 50, 10)))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+    }),
+
     "s8_xlsx_scan" -> ((s, dir) => {
       val tmp = tempDir("graft_xlsx_q")
       val rows = t(s, dir, "nation")
@@ -4408,6 +4457,16 @@ object SparkEntry {
         |       WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
         |       ELSE 'de' END AS lang_pred
         |FROM scores""".stripMargin,
+
+    // the fixed-width roundtrip must be value-lossless: the oracle
+    // aggregates the parquet originals the staged file was rendered
+    // from
+    "s15_fixed_width" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_bal,
+        |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        |FROM customer GROUP BY 1""".stripMargin,
 
     // the whole NB training run + scoring replayed: Laplace-smoothed
     // class-conditional grid over the corpus vocab, exact-decimal
@@ -5975,6 +6034,62 @@ object SparkEntry {
         |        (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6)
         |    AS gini
         |FROM g, p""".stripMargin,
+
+    // histogram-sketch quantiles: least bucket with cum >= p·N,
+    // linear interpolation inside it — all double arithmetic forced
+    "a24_hist_quantile" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) /
+        |    CAST(100.0 AS DOUBLE)) AS BIGINT) AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |c AS (SELECT bucket, cnt,
+        |        SUM(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+        |p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                     CAST(0.99 AS DOUBLE)]) AS p),
+        |sel AS (
+        |  SELECT p.p, c.bucket, c.cum - c.cnt AS cum_prev, c.cnt, n.n,
+        |    ROW_NUMBER() OVER (PARTITION BY p.p ORDER BY c.bucket) AS rn
+        |  FROM p, c, n WHERE CAST(c.cum AS DOUBLE) >= p.p * n.n)
+        |SELECT p,
+        |  ROUND(bucket * CAST(100.0 AS DOUBLE) + CAST(100.0 AS DOUBLE) *
+        |        (p * n - CAST(cum_prev AS DOUBLE)) / cnt, 6) AS est,
+        |  CAST(100.0 AS DOUBLE) AS err_bound
+        |FROM sel WHERE rn = 1""".stripMargin,
+
+    // WOE bins: percentile boundaries, Laplace +0.5 cells, IV from
+    // the ROUNDED woe — double arithmetic forced throughout
+    "a25_woe" ->
+      """WITH src AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |    o_orderstatus = 'F' AS bad
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |q AS (SELECT quantile_cont(v, 0.2) AS q1,
+        |        quantile_cont(v, 0.4) AS q2,
+        |        quantile_cont(v, 0.6) AS q3,
+        |        quantile_cont(v, 0.8) AS q4 FROM src),
+        |b AS (
+        |  SELECT 1 + CAST(v > q1 AS INT) + CAST(v > q2 AS INT)
+        |       + CAST(v > q3 AS INT) + CAST(v > q4 AS INT) AS bin, bad
+        |  FROM src, q),
+        |g AS (SELECT bin, COUNT(*) AS n,
+        |        CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_bad
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |        CAST(SUM(n_bad) AS BIGINT) AS tb FROM g)
+        |SELECT bin, n, n_bad,
+        |  ROUND(CAST(n_bad AS DOUBLE) / n, 6) AS bad_rate,
+        |  ROUND(ln(((n_bad + CAST(0.5 AS DOUBLE)) / tb) /
+        |           ((n - n_bad + CAST(0.5 AS DOUBLE)) / (tn - tb))), 6)
+        |    AS woe,
+        |  ROUND((CAST(n_bad AS DOUBLE) / tb -
+        |         CAST(n - n_bad AS DOUBLE) / (tn - tb)) *
+        |        ROUND(ln(((n_bad + CAST(0.5 AS DOUBLE)) / tb) /
+        |          ((n - n_bad + CAST(0.5 AS DOUBLE)) / (tn - tb))), 6), 6)
+        |    AS iv_term
+        |FROM g, t""".stripMargin,
 
     "a20_ab_test" ->
       """WITH per AS (

@@ -56,6 +56,49 @@ object Sketches {
       .agg(sum(col("__c")).cast("long").as("cnt"))
   }
 
+  /** Approximate quantiles from a fixed-width histogram sketch — the
+    * second workhorse mergeable profiler next to the CM sketch: the
+    * histogram (bucket → count) is shard-mergeable by bucket sum, so
+    * a 100 TB percentile costs one bucket-keyed agg of bounded
+    * cardinality instead of an exact-percentile sort, and the answer
+    * carries its own HONEST error bound (linear interpolation inside
+    * one bucket: |est − true| ≤ `width`). Deterministic end to end —
+    * bucket = floor(v/width), target = p·N, the answering bucket is
+    * the least with cum ≥ target, interpolation is plain double
+    * arithmetic — so any SQL engine replays it exactly, unlike a
+    * t-digest whose centroids depend on merge order.
+    *
+    * @return one row per requested quantile: (p, est, err_bound). */
+  def histQuantile(df: DataFrame, valCol: String, width: Double,
+                   probs: Seq[Double]): DataFrame = {
+    require(width > 0, "width must be > 0")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probs must be in (0,1)")
+    val v = col(valCol).cast("double")
+    val hist = df.filter(v.isNotNull)
+      .groupBy(floor(v / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val tot = hist.agg(sum(col("cnt")).cast("long").as("__n"))
+    val ps = probs.map(p => struct(lit(p).as("p")))
+    cum.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("cnt"), col("cum"), col("cum_prev"),
+        col("__n"), explode(array(ps: _*)).as("__p"))
+      .filter(col("cum").cast("double") >= col("__p.p") * col("__n"))
+      .groupBy(col("__p.p").as("p"))
+      .agg(min(struct(col("bucket"), col("cum_prev"), col("cnt"),
+        col("__n"))).as("__b"))
+      .select(col("p"),
+        round(col("__b.bucket") * lit(width) + lit(width) *
+          (col("p") * col("__b.__n") -
+            col("__b.cum_prev").cast("double")) / col("__b.cnt"), 6)
+          .as("est"),
+        lit(width).as("err_bound"))
+  }
+
   /** Point-estimate every distinct key of `df` against its own sketch
     * and report the top `k` keys by estimate alongside their exact
     * counts — the heavy-hitter screen with its own error audit

@@ -553,7 +553,13 @@ object TextOps {
     * the term-keyed scoring join is AQE's call, same discipline as
     * [[dsirWeights]]). Scoring shuffles doc-term counts on term, then
     * one (doc, label) agg and an L-row-per-doc argmax window. Nothing
-    * corpus-sized reaches the driver.
+    * corpus-sized reaches the driver. Skew caveat (measured in the
+    * 30× sweep, ratio/factor 1.07): the scoring join's key cardinality
+    * is the VOCAB, which grows much slower than the corpus — a
+    * stopword term's postings become one hot partition; if a real
+    * corpus makes that the bottleneck, route the top-k hottest terms
+    * through [[graft.ops.Scale.saltedJoin]] (the grid side is
+    * replicable — it's (term, label) rows).
     *
     * Cross-engine determinism: each ln is rounded once to 6 dp and
     * cast to exact decimal; per-doc accumulation is decimal (order

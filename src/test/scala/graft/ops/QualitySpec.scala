@@ -213,4 +213,24 @@ class QualitySpec extends SparkSpec {
     assert(m("g") == ((3L, Some(2.0), Some(1.0), Some(1.0))))
     assert(m("h") == ((2L, None, None, None)))
   }
+
+  test("woeBins: hand-computed WOE/IV on a 2-bin separable feature") {
+    // values 1..10, bad = v > 5; 2 bins split at the median boundary
+    val df = (1 to 10).map(i => (i.toDouble, i > 5)).toDF("v", "bad")
+    val got = Quality.woeBins(df, "v", col("bad"), bins = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // median boundary 5.5 -> bin1 = {1..5} all good, bin2 = {6..10}
+    // all bad; totals tb=5 tg=5
+    // bin1: woe = ln((0.5/5)/(5.5/5)) = ln(1/11) = -2.397895
+    // bin2: woe = ln((5.5/5)/(0.5/5)) = ln(11) = 2.397895
+    assert(got(1) == ((5L, 0L, 0.0, -2.397895)), got.toString)
+    assert(got(2) == ((5L, 5L, 1.0, 2.397895)), got.toString)
+    // IV terms: (0/5 - 5/5)*(-2.397895) = 2.397895 each
+    val iv = Quality.woeBins(df, "v", col("bad"), bins = 2)
+      .agg(org.apache.spark.sql.functions.sum(col("iv_term")))
+      .collect().head.getDouble(0)
+    assert(math.abs(iv - 2 * 2.397895) < 1e-9, iv.toString)
+  }
 }

@@ -52,6 +52,35 @@ class SketchesSpec extends SparkSpec {
     assert(r.getDouble(6) == 0.4)    // gini
   }
 
+  test("histQuantile: estimate within err_bound of the exact " +
+    "percentile; hand-computed interpolation") {
+    // 100 values 0..99, width 10 -> buckets 0..9 with 10 each
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val got = Sketches.histQuantile(df, "v", width = 10.0,
+        probs = Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    // p=0.5: target 50, bucket 4 (cum 50), est = 40 + 10*(50-40)/10 = 50
+    assert(got(0.5) == ((50.0, 10.0)), got.toString)
+    // p=0.9: target 90, bucket 8 (cum 90), est = 80 + 10*(90-80)/10 = 90
+    assert(got(0.9) == ((90.0, 10.0)))
+    // exact percentile of 0..99 at p=0.5 is 49.5 -> |50-49.5| <= 10
+    assert(math.abs(got(0.5)._1 - 49.5) <= got(0.5)._2)
+  }
+
+  test("histQuantile histograms are MERGEABLE: shard histograms " +
+    "summed == whole-corpus histogram drives identical estimates") {
+    val a = (0 until 50).map(_.toDouble).toDF("v")
+    val b = (50 until 100).map(_.toDouble).toDF("v")
+    val whole = Sketches.histQuantile(a.union(b), "v", 7.0, Seq(0.75))
+      .collect().head.getDouble(1)
+    // merging = just unioning rows before the bucket agg (the bucket
+    // agg IS the merge); estimate must match
+    val merged = Sketches.histQuantile(b.union(a), "v", 7.0, Seq(0.75))
+      .collect().head.getDouble(1)
+    assert(whole == merged)
+  }
+
   test("skewReport: uniform keys have Gini 0") {
     val df = (1 to 100).map(i => (i % 10).toLong).toDF("k")
     val r = Scale.skewReport(df, "k").collect().head

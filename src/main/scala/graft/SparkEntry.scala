@@ -62,6 +62,10 @@ object SparkEntry {
   /** Per-JVM cache of the fixed-width customer extract staging. */
   private val stagedFixedWidth =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Per-JVM cache of the streaming-distinct staging (events + two
+    * sentinel drain batches). */
+  private val stagedDistinctEventsDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private val stagedOuterEventsDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -426,6 +430,31 @@ object SparkEntry {
       Joins.epsilonDistanceJoin(cust, supp, "cx", "cy", "sx", "sy",
           eps = 1.5)
         .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
+    }),
+
+    // ---- J15: point-in-time (SCD2 temporal) join — each order picks
+    // the customer-segment VERSION valid at its order date from a
+    // two-version synthesized history; rides the as-of join's
+    // single-exchange union+LOCF plan instead of a quadratic BETWEEN
+    // range join. ----
+    "j15_scd2_asof" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val t0 = lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+      val t1 = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val moved = pmod(col("c_custkey"), lit(7)) === 0
+      val v1 = cust.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), t0.as("valid_from"),
+        when(moved, t1).otherwise(lit(null).cast("timestamp"))
+          .as("valid_to"))
+      val v2 = cust.filter(moved).select(col("c_custkey"),
+        lit("MOVED").as("segment"), t1.as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val history = v1.unionByName(v2)
+      Joins.pointInTimeJoin(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").as("c_custkey"), col("o_orderdate")),
+        history, Seq("c_custkey"), "o_orderdate",
+        "valid_from", "valid_to", Seq("segment"))
     }),
 
     // ---- anti join (§2.3 note: QC parity) ----
@@ -1985,6 +2014,46 @@ object SparkEntry {
         outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
     }),
 
+    // ---- streaming exact COUNT(DISTINCT) per hour window — two
+    // chained stateful operators (dedup on (window, user) → windowed
+    // count), Append mode, tail drained by the two-sentinel batches;
+    // oracle is the batch distinct count per hour. ----
+    "s_stream_distinct" -> ((s, dir) => {
+      val in = stagedDistinctEventsDir.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_sdc")
+        val e = t(s, dir, "events")
+        val maxMs = e.agg(max(col("ts"))).head().get(0) match {
+          case ts: java.sql.Timestamp      => ts.getTime
+          case dt: java.time.LocalDateTime =>
+            java.sql.Timestamp.valueOf(dt).getTime
+        }
+        val tsType = e.schema("ts").dataType
+        def sentinel(offsetDays: Long) = e.limit(1).select(
+          lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxMs + offsetDays * 86400 * 1000))
+            .cast(tsType).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        val inDir = s"$tmp/in"
+        e.coalesce(1).write.mode("overwrite").parquet(inDir)
+        graft.streaming.EventStreams.stageDrainBatches(inDir,
+          Seq(sentinel(30), sentinel(31)))
+        inDir
+      })
+      val ckpt = tempDir("graft_sdc_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val sink = graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.windowedDistinctUsers(stream,
+          "1 hour", "2 hours"),
+        queryName = s"sdc_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.EventStreams.drainTail(sink,
+        col("window_start") >=
+          lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
+    }),
+
     "s_stream_windowed" -> ((s, dir) => {
       val in = stagedEventsDir.getOrElseUpdate(dir, {
         val tmp = tempDir("graft_sw")
@@ -2121,6 +2190,12 @@ object SparkEntry {
     // bucketing decision in ops.Scale. ----
     "a23_skew_report" -> ((s, dir) =>
       Scale.skewReport(t(s, dir, "events"), "user_id")),
+
+    // ---- A26: calendar gap audit — per user, the days inside their
+    // own [first, last] event span with no events; calendar explode
+    // bounded by the span, one distinct, one left_anti join. ----
+    "a26_gap_days" -> ((s, dir) =>
+      Quality.missingDays(t(s, dir, "events"), Seq("user_id"), "ts")),
 
     // ---- A24: histogram-sketch quantiles — p50/p90/p99 of
     // l_extendedprice from a width-100 mergeable histogram with the
@@ -3218,6 +3293,26 @@ object SparkEntry {
         |  least(v_end, c_end) AS o_end
         |FROM v JOIN c ON v.user_id = c.user_id
         |  AND greatest(v_start, c_start) < least(v_end, c_end)""".stripMargin,
+
+    // the BETWEEN formulation is the oracle; the engine's as-of plan
+    // must pick the identical covering version
+    "j15_scd2_asof" ->
+      """WITH h AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+        |    CASE WHEN c_custkey % 7 = 0
+        |         THEN TIMESTAMP '1998-01-01 00:00:00' END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'MOVED',
+        |    TIMESTAMP '1998-01-01 00:00:00', NULL
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_orderdate,
+        |  h.segment
+        |FROM orders o
+        |LEFT JOIN h ON h.c_custkey = o.o_custkey
+        |  AND o.o_orderdate >= h.valid_from
+        |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""".stripMargin,
 
     // brute-force ε-join on the same deterministic synthetic coords;
     // squared-distance predicate — no trig, exact IEEE both engines
@@ -6034,6 +6129,30 @@ object SparkEntry {
         |        (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6)
         |    AS gini
         |FROM g, p""".stripMargin,
+
+    // expected calendar per user minus observed days (NOT EXISTS ==
+    // the left_anti)
+    "a26_gap_days" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+        |    MAX(CAST(ts AS DATE)) AS d1
+        |  FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM s),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |      FROM events)
+        |SELECT e.user_id, CAST(e.day AS VARCHAR) AS day FROM e
+        |WHERE NOT EXISTS (SELECT 1 FROM a
+        |  WHERE a.user_id = e.user_id AND a.day = e.day)""".stripMargin,
+
+    // streaming exact distinct == batch distinct per closed window
+    "s_stream_distinct" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+        |FROM events GROUP BY 1""".stripMargin,
 
     // histogram-sketch quantiles: least bucket with cum >= p·N,
     // linear interpolation inside it — all double arithmetic forced

@@ -128,6 +128,32 @@ object Joins {
         payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 
+  /** Point-in-time (SCD2 temporal) join: attach to each fact row the
+    * dimension version whose validity interval [validFrom, validTo)
+    * covers the fact's time — "the customer's segment AS OF this
+    * order", the query every Type-2 history table ([[Merge.scd2Upsert]])
+    * exists to answer. A BETWEEN range join would be the quadratic
+    * non-equi trap; since versions are non-overlapping per key, the
+    * covering version is exactly the latest validFrom ≤ factTime, so
+    * this rides [[asOfJoin]]'s single-exchange union+LOCF plan, then a
+    * narrow post-check nulls the payload when the matched version was
+    * already CLOSED before the fact (possible only for gap histories —
+    * contiguous SCD2 never triggers it). Payload attaches row-wise from
+    * one version; an open version has null validTo. Right-side
+    * uniqueness contract: one version per (keys, validFrom). */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+                      keys: Seq[String], factTime: String,
+                      validFromCol: String, validToCol: String,
+                      payload: Seq[String]): DataFrame = {
+    val joined = asOfJoin(facts, history, keys, factTime, validFromCol,
+      payload :+ validToCol)
+    val valid = col(validToCol).isNull ||
+      col(factTime) < col(validToCol)
+    joined.select(facts.columns.map(col) ++
+      payload.map(p =>
+        when(valid, col(p)).otherwise(lit(null)).as(p)): _*)
+  }
+
   /** [[asOfJoin]] with a STALENESS BOUND (max lookback): a match whose
     * right time lies more than `toleranceSeconds` before the left time
     * counts as NO match — payload comes back null, exactly like a left

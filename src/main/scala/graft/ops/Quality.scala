@@ -351,6 +351,35 @@ object Quality {
     * aggregate; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept =
     * (Σy − slope·Σx)/n, r² = corr² — all from the one pass,
     * degenerate (zero-variance x) groups → null fit. */
+  /** Calendar gap audit: for each key, the calendar DAYS inside its
+    * own [first event, last event] span with NO events — the
+    * data-completeness question every ingest pipeline answers daily
+    * ("which feeds went dark, when?"), reported as the missing days
+    * themselves rather than a count so the downstream backfill can
+    * join on them (reference QC blocks tally per-day presence the
+    * same way, `code/RCLIF_vitals.Rmd:253-278`).
+    *
+    * Scale shape: one key agg for the span, a calendar explode
+    * bounded by each key's OWN span (days, not events — a year-long
+    * key adds 365 rows regardless of its event count), one distinct
+    * on (key, day) with map-side combine, one left_anti join. No
+    * global calendar, no cross join. */
+  def missingDays(df: DataFrame, keys: Seq[String],
+                  tsCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val spans = df.groupBy(kcols: _*).agg(
+      min(to_date(col(tsCol))).as("__d0"),
+      max(to_date(col(tsCol))).as("__d1"))
+    val expected = spans.select(kcols :+
+      explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"): _*)
+    val active = df.select(kcols :+ to_date(col(tsCol)).as("day"): _*)
+      .distinct()
+    expected.join(active, keys :+ "day", "left_anti")
+      // ISO string for a stable cross-engine surface (parquet DATE
+      // vs engine-native date bindings differ at the dtype level)
+      .withColumn("day", col("day").cast("string"))
+  }
+
   /** Weight-of-evidence binning — the credit-scoring/feature-audit
     * encoding: `valCol` is cut into `bins` equal-population bins by
     * its exact percentiles, and each bin reports its event rate, its

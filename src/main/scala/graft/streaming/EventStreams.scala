@@ -79,6 +79,26 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked per-window exact DISTINCT-user count — the metric a
+    * plain streaming aggregation cannot express (COUNT(DISTINCT) is
+    * unsupported in streaming aggs): two CHAINED stateful operators
+    * (Spark ≥ 3.4 multi-stateful support) — a streaming dedup on
+    * (window, user) whose state is bounded by the live windows'
+    * distinct keys, feeding a windowed count of the survivors. Both
+    * states evict at the watermark. Append mode: a window's count
+    * emits once, when the watermark closes it — drain the tail with
+    * [[stageDrainBatches]] + [[drainTail]] like every stateful op. */
+  def windowedDistinctUsers(events: DataFrame,
+                            windowLen: String = "1 hour",
+                            watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLen).as("win"), col("user_id"))
+      .dropDuplicates("win", "user_id")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .select(col("win.start").as("window_start"), col("distinct_users"))
+
   /** Watermarked per-window TOP-K leaderboard — the custom
     * [[graft.functions.NativeExpressions.TopKByValue]] aggregate
     * running INSIDE a streaming aggregation: its serialized k-element

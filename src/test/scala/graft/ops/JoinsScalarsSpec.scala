@@ -304,6 +304,38 @@ class JoinsScalarsSpec extends SparkSpec {
     assert(got.toSet == Set((10L, 20L), (13L, 23L)))
   }
 
+  test("pointInTimeJoin: picks the covering SCD2 version; gap " +
+    "histories null the payload; unmatched facts survive with nulls") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val history = Seq(
+      // key 1: v1 [100, 200), v2 [200, open)
+      (1L, "seg_a", 100L, Some(200L)),
+      (1L, "seg_b", 200L, None),
+      // key 2: CLOSED [100, 150) then a GAP — no open version
+      (2L, "seg_c", 100L, Some(150L))
+    ).map { case (k, s, f, t) =>
+      (k, s, ts(f"2024-01-01 00:${f / 60}%02d:${f % 60}%02d"),
+        t.map(x => ts(f"2024-01-01 00:${x / 60}%02d:${x % 60}%02d")).orNull)
+    }.toDF("k", "segment", "valid_from", "valid_to")
+    def fact(id: Long, k: Long, sec: Long) =
+      (id, k, ts(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d"))
+    val facts = Seq(
+      fact(10L, 1L, 150L), // inside v1
+      fact(11L, 1L, 200L), // exactly at v2.valid_from -> v2
+      fact(12L, 1L, 250L), // v2 open
+      fact(13L, 2L, 170L), // in the GAP -> null payload
+      fact(14L, 2L, 120L), // inside the closed version
+      fact(15L, 9L, 120L)  // key with no history at all
+    ).toDF("fid", "k", "ft")
+    val got = Joins.pointInTimeJoin(facts, history, Seq("k"), "ft",
+        "valid_from", "valid_to", Seq("segment"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.toString)).toMap
+    assert(got == Map(10L -> Some("seg_a"), 11L -> Some("seg_b"),
+      12L -> Some("seg_b"), 13L -> None, 14L -> Some("seg_c"),
+      15L -> None), got.toString)
+  }
+
   test("epsilonDistanceJoin: equals brute force, duplicate-free, " +
     "includes the boundary and cell-edge pairs") {
     // deterministic scatter incl. exact-boundary pair (dist == eps) and

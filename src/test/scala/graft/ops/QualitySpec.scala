@@ -214,6 +214,20 @@ class QualitySpec extends SparkSpec {
     assert(m("h") == ((2L, None, None, None)))
   }
 
+  test("missingDays: per-key calendar holes inside each key's own " +
+    "span; single-day keys and dense keys emit nothing") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val df = Seq(
+      (1L, t(1)), (1L, t(2)), (1L, t(5)),  // holes: 3rd, 4th
+      (2L, t(10)),                          // single day: no span holes
+      (3L, t(20)), (3L, t(21))              // dense: nothing missing
+    ).toDF("user_id", "ts")
+    val got = Quality.missingDays(df, Seq("user_id"), "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "2024-01-03"), (1L, "2024-01-04")),
+      got.toString)
+  }
+
   test("woeBins: hand-computed WOE/IV on a 2-bin separable feature") {
     // values 1..10, bad = v > 5; 2 bins split at the median boundary
     val df = (1 to 10).map(i => (i.toDouble, i > 5)).toDF("v", "bad")

@@ -415,6 +415,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctUsers: chained dedup+agg counts each user " +
+    "once per window across triggers; closed windows emit on " +
+    "watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "0.0 as value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdc").toString
+    val q = EventStreams.windowedDistinctUsers(events, "1 hour",
+        "30 minutes")
+      .writeStream.format("memory").queryName("sdc_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // window 10:00: users 1,1,2 -> 2 distinct
+      ms.addData((1L, 1L, ts("2024-01-01 10:05:00")),
+        (2L, 1L, ts("2024-01-01 10:10:00")),
+        (3L, 2L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // user 1 AGAIN in the same window from a LATER trigger — the
+      // dedup state must absorb it (the single-agg formulation would
+      // double-count across micro-batches)
+      ms.addData((4L, 1L, ts("2024-01-01 10:40:00")),
+        (5L, 3L, ts("2024-01-01 10:50:00")))
+      q.processAllAvailable()
+      // two sentinel advances close the 10:00 window (watermark lag)
+      ms.addData((6L, 99L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      ms.addData((7L, 99L, ts("2024-01-01 13:10:00")))
+      q.processAllAvailable()
+      val got = spark.table("sdc_live")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(got(ts("2024-01-01 10:00:00")) == 3L, got.toString)
+    } finally q.stop()
+  }
+
   test("rateLimitStream: bucket state carried across triggers is " +
     "bit-equal to the batch limiter") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1486,6 +1486,15 @@ object SparkEntry {
       Dedup.overlapMatrix(t(s, dir, "documents"), "source", "text",
         n = 8)),
 
+    // ---- training-data ops: per-doc novelty — fraction of each
+    // doc's distinct 8-grams found in NO other doc (the leave-one-out
+    // diversity ranking; ascending order = template spam first).
+    // Gram doc-frequency is a count over the gram partition sharing
+    // the ONE md5-keyed exchange — no join back. ----
+    "t_novelty" -> ((s, dir) =>
+      Dedup.docNovelty(t(s, dir, "documents"), "doc_id", "text",
+        n = 8)),
+
     // ---- training-data ops: duplicate clusters (connected components
     // over verified near-dup pairs; cluster id = canonical keep doc) ----
     "t_dedup_clusters" -> ((s, dir) =>
@@ -4819,6 +4828,30 @@ object SparkEntry {
         |FROM (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 0) a
         |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 1) b USING (gram)
         |GROUP BY a.doc_id""".stripMargin,
+
+    // distinct (doc, gram) pairs; df per gram; novelty = share of
+    // grams with df == 1
+    "t_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(tk[i:i+7], ' ')
+        |      FOR i IN range(1, greatest(len(tk)-7, 1)+1)])) AS gram
+        |  FROM toks),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |f AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  ROUND(CAST(1 AS DOUBLE) -
+        |        CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM g JOIN f USING (gram)
+        |GROUP BY 1""".stripMargin,
 
     // distinct (source, gram) pairs, self-joined on the gram; overlap
     // coefficient = shared / min(|A|, |B|)

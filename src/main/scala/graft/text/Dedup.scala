@@ -402,6 +402,36 @@ object Dedup {
           .as("overlap_coef"))
   }
 
+  /** Per-document novelty — the leave-one-out diversity audit: for
+    * each doc, the fraction of its DISTINCT word n-grams that appear
+    * in NO other document (novelty 1 = wholly original text, → 0 =
+    * assembled from corpus boilerplate). The per-doc complement of
+    * [[overlapMatrix]]'s per-source view, and the ranking signal a
+    * self-BLEU-style diversity report reads: sort ascending and the
+    * top of the list is the template spam.
+    *
+    * Scale: distinct (doc, gram) on the 16-byte md5 key, then the
+    * gram's document frequency as a COUNT OVER the gram partition —
+    * sharing the one gram-keyed exchange (no join back) — and one
+    * doc-keyed agg. A boilerplate gram in every doc is one hot
+    * partition whose count spills; nothing is all-pairs. */
+  def docNovelty(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 8): DataFrame = {
+    val g = docs
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), n)).as("__gram"))
+      .select(col("__id"), md5(col("__gram")).as("__h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    g.withColumn("__df", count(lit(1)).over(w))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_shared"),
+        round(lit(1.0) - col("n_shared").cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty"))
+  }
+
   /** The prune stage of [[decontaminateBloom]], exposed for its spec:
     * train rows whose bloom hit-count reaches the overlap bound.
     * `expectedShingles <= 0` sizes the bloom from the eval side's

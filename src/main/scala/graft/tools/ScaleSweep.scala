@@ -380,6 +380,43 @@ object ScaleSweep {
         SparkEntry.queries("s_stream_cusum")(spark, d).count()),
       "s_stream_rate" -> (d =>
         SparkEntry.queries("s_stream_rate")(spark, d).count()),
+      // df-over-gram-partition + doc agg, one md5-keyed exchange
+      "t_novelty" -> (d =>
+        SparkEntry.queries("t_novelty")(spark, d).count()),
+      // per-key span explode (days, not events) + distinct + anti join
+      "a26_gap_days" -> (d =>
+        SparkEntry.queries("a26_gap_days")(spark, d).count()),
+      // mergeable histogram + buckets-sized window; linear scan
+      "a24_hist_quantile(events)" -> (d => graft.ops.Sketches
+        .histQuantile(Tables.load(spark, d, "events"), "value",
+          width = 10.0, probs = Seq(0.5, 0.9, 0.99)).count()),
+      // boundary row broadcast + one bin agg; linear scan
+      "a25_woe(events)" -> (d => graft.ops.Quality.woeBins(
+        Tables.load(spark, d, "events"), "value",
+        col("event_type") === "error", bins = 5).count()),
+      // as-of union+LOCF: one key exchange over facts+versions
+      "j15_scd2_asof(events)" -> { d =>
+        val users = Tables.load(spark, d, "events")
+          .select(col("user_id")).distinct()
+        val t0 = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        val t1 = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+        val moved = pmod(col("user_id"), lit(7)) === 0
+        val v1 = users.select(col("user_id"), lit("tier_a").as("tier"),
+          t0.as("valid_from"),
+          when(moved, t1).otherwise(lit(null).cast("timestamp"))
+            .as("valid_to"))
+        val v2 = users.filter(moved).select(col("user_id"),
+          lit("tier_b").as("tier"), t1.as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        graft.ops.Joins.pointInTimeJoin(
+          Tables.load(spark, d, "events")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          v1.unionByName(v2), Seq("user_id"), "ts",
+          "valid_from", "valid_to", Seq("tier")).count()
+      },
+      // chained dedup+agg: state bounded by live windows' keys
+      "s_stream_distinct" -> (d =>
+        SparkEntry.queries("s_stream_distinct")(spark, d).count()),
       // constant-DENSITY scale model (the honest one for a spatial
       // join: a bigger map, same density — box side ∝ √factor keeps
       // rows/cell flat, so output and cost both grow ∝ factor; a

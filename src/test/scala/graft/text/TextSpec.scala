@@ -907,6 +907,26 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("docNovelty: boilerplate scores low, original text scores 1; " +
+    "duplicate grams inside one doc count once") {
+    val docs = Seq(
+      (1L, "a b c d e"),     // grams: abc, bcd, cde
+      (2L, "a b c x y"),     // shares abc with doc 1
+      (3L, "p q r s t"),     // wholly original
+      (4L, "a b c a b c a")  // internal repeats collapse to distinct
+    ).toDF("doc_id", "text")
+    val got = Dedup.docNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc1: {abc,bcd,cde}: abc shared (docs 2,4) -> 1/3 shared
+    assert(got(1L) == ((3L, 1L, 0.666667)), got.toString)
+    // doc3: nothing shared
+    assert(got(3L) == ((3L, 0L, 1.0)))
+    // doc4 grams: abc, bca, cab, abc, bca -> distinct {abc,bca,cab};
+    // only abc appears elsewhere
+    assert(got(4L) == ((3L, 1L, 0.666667)), got.toString)
+  }
+
   test("overlapMatrix: hand-computed shared grams and overlap " +
     "coefficient; disjoint sources emit no row") {
     val docs = Seq(

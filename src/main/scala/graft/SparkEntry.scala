@@ -2365,6 +2365,36 @@ object SparkEntry {
       WindowOps.rateLimit(t(s, dir, "events"), Seq("user_id"), "ts",
         "event_id", capacity = 2, refillPerSec = 0.0001)),
 
+    // ---- W28: rolling z-score anomalies — each event scored against
+    // its own trailing-10 window (frame excludes the current row);
+    // count/Σv/Σv² share one key exchange; exact-decimal sums, clamped
+    // variance, IEEE sqrt. ----
+    "w28_roll_zscore" -> ((s, dir) =>
+      WindowOps.rollingZscore(t(s, dir, "events"), Seq("user_id"),
+          "ts", "event_id", "value", lookback = 10, zThreshold = 3.0)
+        .select(col("user_id"), col("event_id"), col("n_window"),
+          col("roll_mean"), col("roll_std"), col("zscore"),
+          col("anomaly"))),
+
+    // ---- W29: top session paths — the Sankey/user-journey table;
+    // sessionize's one user exchange reused by the per-session path
+    // agg, then a path-keyed count into TakeOrdered. ----
+    "w29_top_paths" -> ((s, dir) =>
+      Analytics.topSessionPaths(t(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800, k = 20)),
+
+    // ---- A27: seasonal profile — (iso weekday, hour) grid of event
+    // count and exact-decimal mean value: the seasonality heatmap as
+    // data; one hash agg. ----
+    "a27_seasonal" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(weekday(col("ts")).cast("int").as("dow"),
+          hour(col("ts")).cast("int").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value").cast("double"), 6)
+              .cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_value"))),
+
     // ---- W27: Holt linear-trend smoothing — level + trend carried
     // per user, one-step-ahead forecast per event; the two-variable
     // recurrence on the same one-exchange HOF chassis, bit-replayed
@@ -6499,6 +6529,71 @@ object SparkEntry {
     // cap-1 left); each step refills (Δt µs)·1e-10, capped at 2,
     // debits 1 when >= 1 — all exact decimal
     "w26_rate_limit" -> RateLimitOracle,
+
+    // trailing-frame stats excluding the current row; clamped
+    // variance, unrounded std inside z, rounded std in the output
+    "w28_roll_zscore" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, v,
+        |    COUNT(v) OVER fr AS n,
+        |    SUM(v) OVER fr AS s1,
+        |    SUM(CAST(ROUND(v * v, 6) AS DECIMAL(18,6))) OVER fr AS s2
+        |  FROM v
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT user_id, event_id, v, n,
+        |    ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+        |    ROUND(CAST(s2 AS DOUBLE) / n, 6) AS ev2
+        |  FROM w),
+        |s AS (
+        |  SELECT *, sqrt(ROUND(greatest(CAST(0 AS DOUBLE),
+        |    ev2 - mean * mean), 6)) AS std
+        |  FROM m)
+        |SELECT user_id, event_id, CAST(n AS BIGINT) AS n_window,
+        |  CASE WHEN n >= 4 THEN mean END AS roll_mean,
+        |  CASE WHEN n >= 4 THEN ROUND(std, 6) END AS roll_std,
+        |  CASE WHEN n >= 4 AND std > 0
+        |       THEN ROUND((CAST(v AS DOUBLE) - mean) / std, 6)
+        |  END AS zscore,
+        |  COALESCE(CASE WHEN n >= 4 AND std > 0
+        |    THEN abs(ROUND((CAST(v AS DOUBLE) - mean) / std, 6))
+        |         > CAST(3.0 AS DOUBLE) END, FALSE) AS anomaly
+        |FROM s""".stripMargin,
+
+    // sessionize CTE (the w4 oracle) + ordered string_agg per
+    // session + path count
+    "w29_top_paths" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |             OR epoch(ts) - epoch(prev_ts) > 1800
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (SELECT event_id, user_id, ts, event_type,
+        |          lag(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path
+        |LIMIT 20""".stripMargin,
+
+    // Spark weekday() is 0=Monday; isodow−1 matches
+    "a27_seasonal" ->
+      """SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+        |  CAST(hour(ts) AS INT) AS hod, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Holt recurrence: l=α·x+(1−α)(l₀+b₀), b=β(l−l₀)+(1−β)b₀, init
     // (x₁, 0); the new level is computed in the subquery so the

@@ -354,6 +354,39 @@ object Analytics {
         col("__o.acf"): _*)
   }
 
+  /** Top session paths: sessionize per key, render each session's
+    * ordered event-type sequence as one `a->b->c` path string, count
+    * paths corpus-wide, return the top `k` — the Sankey/user-journey
+    * table every product-analytics surface draws, and the sequence
+    * complement of the w15 transition matrix (transitions lose order
+    * beyond one step; paths keep the whole walk).
+    *
+    * Scale shape: the sessionize window's ONE user exchange is reused
+    * by both the per-session array agg and its internal ordering
+    * (hash(user) co-locates (user, session); Spark adds a sort, not a
+    * shuffle), then one path-keyed count and a TakeOrdered. Per-session
+    * arrays are bounded by session length — the same bound sessionize
+    * itself carries; a no-gap bot key is one task's array either way.
+    * Ties at rank k break by path string. */
+  def topSessionPaths(events: DataFrame, userCol: String, tsCol: String,
+                      idCol: String, typeCol: String,
+                      gapSeconds: Long = 1800, k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sess = WindowOps.sessionize(events, Seq(userCol), tsCol,
+      gapSeconds, tiebreak = Seq(col(idCol)))
+    sess.groupBy(col(userCol), col("session_id"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).cast("timestamp_ltz").cast("double").as("t"),
+        col(idCol).cast("long").as("id"),
+        col(typeCol).as("ty")))).as("__evs"))
+      .select(concat_ws("->", expr("transform(__evs, e -> e.ty)"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Markov-chain stationary distribution of per-key state sequences,
     * by `iters` rounds of power iteration from uniform — where event
     * traffic concentrates in the long run, the roll-up of the w15

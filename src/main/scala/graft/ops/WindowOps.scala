@@ -448,6 +448,53 @@ object WindowOps {
         col("__o.adm").as("admitted"): _*)
   }
 
+  /** Rolling z-score anomaly detection per key: each event scored
+    * against the mean/std of its own TRAILING `lookback` values
+    * (frame excludes the current row — the score must not see the
+    * point it judges), flagged when |z| > `zThreshold`. The
+    * streaming-adjacent anomaly screen next to [[cusum]] (CUSUM finds
+    * sustained drift; this finds single spikes against local
+    * context) and the per-key complement of Quality.robustOutliers'
+    * corpus-global MAD fences.
+    *
+    * One exchange: count, Σv and Σv² share a single (key,
+    * ts-ordered) window frame. Determinism: v rounded once to
+    * decimal(18,6); both running sums are exact decimal; mean and
+    * E[v²] are double divisions rounded to 6; variance =
+    * max(0, E[v²] − mean²) rounded to 6 (the clamp kills the −1e−12
+    * FP residue identically in both engines); std = sqrt (IEEE
+    * correctly rounded); z rounded to 6, null when std = 0 or the
+    * frame holds fewer than `minObs` points. */
+  def rollingZscore(df: DataFrame, keys: Seq[String], tsCol: String,
+                    idCol: String, valCol: String, lookback: Int = 10,
+                    zThreshold: Double = 3.0, minObs: Int = 4)
+      : DataFrame = {
+    require(lookback >= 2 && minObs >= 2 && minObs <= lookback,
+      "need 2 <= minObs <= lookback")
+    require(zThreshold > 0, "zThreshold must be > 0")
+    val kcols = keys.map(col)
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    val w = Window.partitionBy(kcols: _*)
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lookback, -1)
+    val v = dec(round(col(valCol).cast("double"), 6))
+    val n = count(v).over(w)
+    val s1 = sum(v).over(w)
+    val s2 = sum(dec(round(v * v, 6))).over(w)
+    val mean = round(s1.cast("double") / n, 6)
+    val ev2 = round(s2.cast("double") / n, 6)
+    val variance = round(greatest(lit(0.0), ev2 - mean * mean), 6)
+    val std = sqrt(variance)
+    val z = when(n >= minObs && std > 0,
+      round((v.cast("double") - mean) / std, 6))
+    df.select(kcols ++ Seq(col(idCol), col(valCol),
+      n.cast("long").as("n_window"),
+      when(n >= minObs, mean).as("roll_mean"),
+      when(n >= minObs, round(std, 6)).as("roll_std"),
+      z.as("zscore"),
+      coalesce(abs(z) > lit(zThreshold), lit(false)).as("anomaly")): _*)
+  }
+
   /** Holt's linear-trend (double exponential) smoothing per key — the
     * forecasting recurrence one rung above [[ewma]]: a level AND a
     * trend are carried, l = α·x + (1−α)·(l₀+b₀), b = β·(l−l₀) +

@@ -262,6 +262,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 2)) == ((6L, null)))
   }
 
+  test("topSessionPaths: gap splits sessions; paths ordered and " +
+    "counted; top-k tie-broken by path") {
+    val df = Seq(
+      // user 1, session 1: a->b ; session 2 (gap > 600): a->b
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 00:05:00"), 1L, "b"),
+      (3L, ts("2024-01-01 02:00:00"), 1L, "a"),
+      (4L, ts("2024-01-01 02:04:00"), 1L, "b"),
+      // user 2: one session a->b ; user 3: single-event path c
+      (5L, ts("2024-01-01 00:00:00"), 2L, "a"),
+      (6L, ts("2024-01-01 00:01:00"), 2L, "b"),
+      (7L, ts("2024-01-01 00:00:00"), 3L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Analytics.topSessionPaths(df, "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 600, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a->b", 3L), ("c", 1L)), got.toString)
+  }
+
   test("markovStationary: hand-computed two-round power iteration; " +
     "dead-end states shed mass") {
     // one user's chain: A -> B -> A -> B -> C   (C has no outgoing edge)

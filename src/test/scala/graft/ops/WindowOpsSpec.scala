@@ -257,6 +257,42 @@ class WindowOpsSpec extends SparkSpec {
     assert(got(6L) == ((1.0, true)))
   }
 
+  test("rollingZscore: spike flagged against trailing context; " +
+    "warm-up rows and zero-variance windows yield null scores") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // 6 steady values 10.0 then a spike 20.0
+    val df = ((1 to 6).map(i => (i.toLong, ts(i), 1L, 10.0)) :+
+      ((7L, ts(7), 1L, 20.0))).toDF("event_id", "ts", "user_id", "value")
+    val got = WindowOps.rollingZscore(df, Seq("user_id"), "ts",
+        "event_id", "value", lookback = 10, zThreshold = 3.0,
+        minObs = 4)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3),
+        Option(r.get(6)).map(_.asInstanceOf[Double]),
+        r.getBoolean(7)))).toMap
+    // rows 1-4: fewer than minObs trailing points -> null score
+    assert(got(1L) == ((0L, None, false)), got.toString)
+    assert(got(4L) == ((3L, None, false)))
+    // row 5: 4 identical trailing values -> std 0 -> null, no flag
+    assert(got(5L) == ((4L, None, false)))
+    // row 7: trailing window all 10.0 -> std 0 -> null even for the
+    // spike (zero-variance context cannot score); no false flag
+    assert(got(7L) == ((6L, None, false)))
+    // a varying context DOES flag the spike: alternate 9/11 then 20
+    val varied = ((1 to 6).map(i =>
+      (i.toLong, ts(i), 2L, if (i % 2 == 0) 11.0 else 9.0)) :+
+      ((7L, ts(7), 2L, 20.0))).toDF("event_id", "ts", "user_id", "value")
+    val g2 = WindowOps.rollingZscore(varied, Seq("user_id"), "ts",
+        "event_id", "value", lookback = 10, zThreshold = 3.0,
+        minObs = 4)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(6)).map(_.asInstanceOf[Double]),
+          r.getBoolean(7)))).toMap
+    // trailing for row 7: {9,11,9,11,9,11} mean 10 var 1 std 1 -> z=10
+    assert(g2(7L) == ((Some(10.0), true)), g2.toString)
+    // in-context rows are not flagged (|z| = 1)
+    assert(g2(6L)._2 == false)
+  }
+
   test("holt: hand-computed level/trend/forecast; a linear ramp is " +
     "tracked with positive trend") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

@@ -417,6 +417,15 @@ object ScaleSweep {
       // chained dedup+agg: state bounded by live windows' keys
       "s_stream_distinct" -> (d =>
         SparkEntry.queries("s_stream_distinct")(spark, d).count()),
+      // three window aggs share one key frame; new users only
+      "w28_roll_zscore" -> (d =>
+        SparkEntry.queries("w28_roll_zscore")(spark, d).count()),
+      // sessionize exchange reused by path agg; path count + TakeOrdered
+      "w29_top_paths" -> (d =>
+        SparkEntry.queries("w29_top_paths")(spark, d).count()),
+      // one hash agg over a fixed 7x24 grid
+      "a27_seasonal" -> (d =>
+        SparkEntry.queries("a27_seasonal")(spark, d).count()),
       // constant-DENSITY scale model (the honest one for a spatial
       // join: a bigger map, same density — box side ∝ √factor keeps
       // rows/cell flat, so output and cost both grow ∝ factor; a

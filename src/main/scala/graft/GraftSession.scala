@@ -28,6 +28,15 @@ object GraftSession {
     // Vocab/dim tables in this workload are tiny; keep the default 10MB
     // threshold but make the intent explicit.
     c.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
+    // Runtime bloom-filter join pruning (SPARK-32268): a selective
+    // filter on a join's small side injects a bloom of its keys into
+    // the OTHER side's scan, cutting fact rows BEFORE the shuffle —
+    // the 100 TB star-join reducer. Default eligibility thresholds
+    // (application side ≥ 10 GB scan) mean it never fires at test
+    // scale — zero local overhead — but the posture is on for the
+    // cluster; PlanSpec proves the injection works with the
+    // thresholds lowered.
+    c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // SQL surface: cosine_sim / dot_product / portable_simhash /
     // normalize_spaces / intersect_size callable from spark.sql and
     // SqlRunner.

@@ -1486,6 +1486,15 @@ object SparkEntry {
       Dedup.overlapMatrix(t(s, dir, "documents"), "source", "text",
         n = 8)),
 
+    // ---- training-data ops: containment-similarity join — ordered
+    // pairs where ≥ 60% of a's 3-grams appear in b: the subset-
+    // duplicate detector whole-doc jaccard dilutes away (quotes,
+    // wrappers). Prefix filter on the contained side only; exact
+    // intersect verify; completeness == brute force (spec'd). ----
+    "t_containment_join" -> ((s, dir) =>
+      Dedup.containmentJoin(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, shingleN = 3)),
+
     // ---- training-data ops: per-doc novelty — fraction of each
     // doc's distinct 8-grams found in NO other doc (the leave-one-out
     // diversity ranking; ascending order = template spam first).
@@ -4858,6 +4867,26 @@ object SparkEntry {
         |FROM (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 0) a
         |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 1) b USING (gram)
         |GROUP BY a.doc_id""".stripMargin,
+
+    // brute-force quadratic containment: same distinct 3-gram sets,
+    // same 1e-9 slack, ratio compared UNROUNDED then rounded for output
+    "t_containment_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |      FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(a.sh), 6) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(a.sh) >= 0.6 - 0.000000001""".stripMargin,
 
     // distinct (doc, gram) pairs; df per gram; novelty = share of
     // grams with df == 1

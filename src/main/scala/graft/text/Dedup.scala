@@ -363,6 +363,71 @@ object Dedup {
       .select(col("id").as("train_id"), col("n_shared_grams"))
   }
 
+  /** EXACT containment-similarity join: ordered pairs (a, b), a ≠ b,
+    * with c(a,b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥ θ — "≥ θ of a's grams
+    * appear in b". The ASYMMETRIC complement of
+    * [[jaccardSimilarityJoin]]: whole-doc Jaccard dilutes a short doc
+    * quoted inside a long one below any threshold, while containment
+    * flags exactly that subset-duplicate (wrapper pages, quote farms,
+    * chunk-of-another-doc leakage) — [[containedNgrams]]'s
+    * train-vs-eval question asked of the corpus against itself.
+    *
+    * Prefix filter (pigeonhole, one-sided): c(a,b) ≥ θ needs
+    * |∩| ≥ ⌈θ·|a|⌉, which cannot hide entirely in a's suffix of
+    * ⌈θ·|a|⌉ − 1 tokens under the global rarest-first canonical order
+    * — so the CONTAINED side indexes only its |a| − ⌈θ·|a|⌉ + 1
+    * prefix tokens while the containing side indexes everything (no
+    * bound exists on b). Candidates = prefix ⋈ all on the token,
+    * pre-pruned by |b| ≥ θ·|a| (|∩| ≤ |b|); verify is the native
+    * string-exact intersect on the full sets. Float boundaries carry
+    * the same conservative 1e-9 slack as the Jaccard join.
+    *
+    * Scale: the b-side indexes every token, so a frequent token's
+    * bucket is corpus-frequency-sized — but a-prefixes are rarest-
+    * first and rarely touch those buckets; like every similarity
+    * join here the cost floor is Ω(output) (a corpus of N copies of
+    * one template has N² qualifying ordered pairs — the answer, not
+    * the plan). */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val eps = 1e-9
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val tok = sh.select(col("id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("t"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("tdf"), col("t"))
+    val ranked = tok
+      .withColumn("tdf", count(lit(1)).over(wTok))
+      .withColumn("pos", row_number().over(wDoc))
+    val aPrefix = ranked
+      .filter(col("pos") <=
+        col("len") - ceil(lit(threshold) * col("len") - eps) + 1)
+      .select(col("t"), col("id").as("id_a"), col("len").as("len_a"))
+    val bAll = ranked.select(col("t"), col("id").as("id_b"),
+      col("len").as("len_b"))
+    val cands = aPrefix.join(bAll, Seq("t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("len_b").cast("double") >=
+        lit(threshold) * col("len_a") - eps)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("__sa")),
+        Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("__sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.NativeExpressions
+          .intersect_size(col("__sa"), col("__sb")).cast("double") /
+          size(col("__sa"))).as("__c"))
+      .filter(col("__c") >= lit(threshold) - eps)
+      .select(col("id_a"), col("id_b"),
+        round(col("__c"), 6).as("containment"))
+  }
+
   /** Cross-source n-gram overlap matrix: for every unordered pair of
     * corpus sources, the number of DISTINCT word n-grams they share
     * and the overlap coefficient shared/min(|A|,|B|) — the

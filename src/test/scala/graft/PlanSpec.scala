@@ -310,6 +310,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("md5"), plan.take(2000))
   }
 
+  test("runtime bloom-filter pruning: a selective dim filter injects " +
+    "a bloom probe on the fact side once the scan crosses the " +
+    "eligibility threshold") {
+    // thresholds lowered so the 100 TB-default posture fires at test
+    // scale; broadcast disabled because injection only pays off on
+    // shuffle joins
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, dir, "lineitem")
+      val p = Tables.load(spark, dir, "part")
+        .filter(col("p_partkey") % 100 === 0)
+      val j = li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("l_returnflag")).count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(2000))
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("PLANS.md is fresh: fingerprint matches the current query set " +
        "and pinned logical plans (regenerate with graft.tools.PlanDump)") {
     // the plan book backs SURVEY's scale claims; a stale book silently

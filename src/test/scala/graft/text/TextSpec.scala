@@ -907,6 +907,35 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("containmentJoin: complete vs brute force; catches the " +
+    "short-doc-quoted-in-long-doc pair whole-doc jaccard dilutes") {
+    val quote = "alpha beta gamma delta epsilon"
+    val long = quote + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                  // fully contained in doc 2
+      (2L, long),
+      (3L, "p q r s t u v w"),      // unrelated
+      (4L, "p q r s t u v w")       // exact dup of 3 (mutual containment)
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, "doc_id", "text",
+        threshold = 0.8, shingleN = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force on the same distinct 3-gram sets
+    val sets = docs.select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size
+      if inter.toDouble / sets(a).size >= 0.8 - 1e-9
+    } yield (a, b)).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    // the asymmetric pair is present...
+    assert(got.contains((1L, 2L)) && !got.contains((2L, 1L)))
+    // ...while its whole-doc jaccard (3/43 grams shared) is tiny
+    assert(got.contains((3L, 4L)) && got.contains((4L, 3L)))
+  }
+
   test("docNovelty: boilerplate scores low, original text scores 1; " +
     "duplicate grams inside one doc count once") {
     val docs = Seq(

@@ -2715,6 +2715,44 @@ object SparkEntry {
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
     }),
 
+    // ---- streaming Holt trend — the live "expected next value" feed;
+    // TWO scale-6 longs of state per user, chunked in-order replay
+    // bit-equal to the batch recurrence (oracle IS w27's recursive
+    // CTE). ----
+    "s_stream_holt" -> ((s, dir) => {
+      val tmp = tempDir("graft_sholt")
+      val in = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = t(s, dir, "events")
+      def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+        val chunk = s"$tmp/chunk$seq"
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        val part = new java.io.File(chunk).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = java.nio.file.Paths.get(in, s"f$seq.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L +
+            seq * 10000L))
+        ()
+      }
+      // IN event-time order — the recurrence's ordering contract
+      Seq((1, 8), (8, 15), (15, 22), (22, 32)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          stage(ev.filter(dayofmonth(col("ts")) >= lo &&
+            dayofmonth(col("ts")) < hi), i)
+      }
+      val ckpt = tempDir("graft_sholt_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.holtStream(stream,
+          alpha = 0.5, beta = 0.3).toDF(),
+        queryName = s"sholt_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     // ---- streaming token-bucket rate limiter — the op that BELONGS
     // online: admit/shed decided in the event's own micro-batch, one
     // scale-6 long of state per user; chunked in-order replay is
@@ -3192,6 +3230,35 @@ object SparkEntry {
       |      AND v.rn = e.rn + 1))
       |SELECT user_id, event_id, CAST(tok AS DOUBLE) AS tokens,
       |  adm AS admitted FROM e""".stripMargin
+
+  /** Shared by w27_holt and its streaming twin s_stream_holt. */
+  private val HoltOracle: String =
+    """WITH RECURSIVE v AS (
+      |  SELECT user_id, event_id,
+      |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |e AS (
+      |  SELECT user_id, event_id, rn, v AS l,
+      |    CAST(0 AS DECIMAL(18,6)) AS b
+      |  FROM v WHERE rn = 1
+      |  UNION ALL
+      |  SELECT user_id, event_id, rn, nl,
+      |    CAST(ROUND(CAST(0.3 AS DECIMAL(10,8)) * (nl - pl)
+      |             + CAST(0.7 AS DECIMAL(10,8)) * pb, 6)
+      |         AS DECIMAL(18,6))
+      |  FROM (
+      |    SELECT v.user_id, v.event_id, v.rn, e.l AS pl, e.b AS pb,
+      |      CAST(ROUND(CAST(0.5 AS DECIMAL(10,8)) * v.v
+      |               + CAST(0.5 AS DECIMAL(10,8)) * (e.l + e.b), 6)
+      |           AS DECIMAL(18,6)) AS nl
+      |    FROM v JOIN e ON v.user_id = e.user_id
+      |      AND v.rn = e.rn + 1))
+      |SELECT user_id, event_id, CAST(l AS DOUBLE) AS level,
+      |  CAST(b AS DOUBLE) AS trend,
+      |  CAST(l + b AS DOUBLE) AS forecast
+      |FROM e""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -6627,33 +6694,11 @@ object SparkEntry {
     // Holt recurrence: l=α·x+(1−α)(l₀+b₀), b=β(l−l₀)+(1−β)b₀, init
     // (x₁, 0); the new level is computed in the subquery so the
     // trend step reuses it — every assignment rounded once to 6
-    "w27_holt" ->
-      """WITH RECURSIVE v AS (
-        |  SELECT user_id, event_id,
-        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |                       ORDER BY ts, event_id) AS rn
-        |  FROM events),
-        |e AS (
-        |  SELECT user_id, event_id, rn, v AS l,
-        |    CAST(0 AS DECIMAL(18,6)) AS b
-        |  FROM v WHERE rn = 1
-        |  UNION ALL
-        |  SELECT user_id, event_id, rn, nl,
-        |    CAST(ROUND(CAST(0.3 AS DECIMAL(10,8)) * (nl - pl)
-        |             + CAST(0.7 AS DECIMAL(10,8)) * pb, 6)
-        |         AS DECIMAL(18,6))
-        |  FROM (
-        |    SELECT v.user_id, v.event_id, v.rn, e.l AS pl, e.b AS pb,
-        |      CAST(ROUND(CAST(0.5 AS DECIMAL(10,8)) * v.v
-        |               + CAST(0.5 AS DECIMAL(10,8)) * (e.l + e.b), 6)
-        |           AS DECIMAL(18,6)) AS nl
-        |    FROM v JOIN e ON v.user_id = e.user_id
-        |      AND v.rn = e.rn + 1))
-        |SELECT user_id, event_id, CAST(l AS DOUBLE) AS level,
-        |  CAST(b AS DOUBLE) AS trend,
-        |  CAST(l + b AS DOUBLE) AS forecast
-        |FROM e""".stripMargin,
+    "w27_holt" -> HoltOracle,
+
+    // the chunked streaming replay must reproduce the batch Holt
+    // recurrence exactly — same recursive CTE as w27_holt
+    "s_stream_holt" -> HoltOracle,
 
     // the chunked streaming replay must reproduce the batch token
     // bucket exactly — same recursive CTE as w26_rate_limit

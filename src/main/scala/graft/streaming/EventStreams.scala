@@ -28,6 +28,10 @@ case class CusumOut(user_id: Long, event_id: Long, cusum: Double,
                     alarm: Boolean)
 case class RateOut(user_id: Long, event_id: Long, tokens: Double,
                    admitted: Boolean)
+case class HoltState(lastTus: Long, lastId: Long, lMicros: Long,
+                     bMicros: Long)
+case class HoltOut(user_id: Long, event_id: Long, level: Double,
+                   trend: Double, forecast: Double)
 
 /** One streamed near-duplicate candidate pair (id1 < id2; est_jaccard =
   * matching-minhash fraction, the batch lshCandidates estimate). */
@@ -489,6 +493,71 @@ object EventStreams {
               .setScale(6, java.math.RoundingMode.HALF_UP)
             out += RateOut(uid, id, tok.doubleValue(), adm)
             st = EwmaState(tus, id, tok.movePointRight(6).longValueExact())
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming Holt linear-trend smoothing — the stateful twin of
+    * [[graft.ops.WindowOps.holt]] on the [[ewmaStream]] chassis: TWO
+    * scale-6 longs of state per key (level and trend), each event
+    * emitting its one-step-ahead forecast in its own micro-batch —
+    * the live "expected next value" feed. Identical exact-decimal
+    * steps as the batch op (l = α·v + (1−α)(l₀+b₀), b = β(l−l₀) +
+    * (1−β)b₀, init (v₁, 0), every assignment rounded once to 6), so a
+    * chunked in-order replay is bit-equal (the s_stream_holt oracle
+    * IS w27's recursive CTE). Same out-of-order guard as
+    * [[ewmaStream]]. */
+  def holtStream(events: DataFrame, alpha: Double, beta: Double)
+      : org.apache.spark.sql.Dataset[HoltOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(beta > 0 && beta < 1, "beta in (0,1)")
+    val aBD = new java.math.BigDecimal(alpha.toString)
+    val iaBD = java.math.BigDecimal.ONE.subtract(aBD)
+    val bBD = new java.math.BigDecimal(beta.toString)
+    val ibBD = java.math.BigDecimal.ONE.subtract(bBD)
+    def dec6(l: Long) =
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(l), 6)
+    events.selectExpr("user_id",
+        "unix_micros(cast(ts as timestamp_ltz)) as tus",
+        "event_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HoltState, HoltOut](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[HoltState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[HoltOut]
+          sorted.foreach { case (_, tus, id, value) =>
+            if (st != null && (tus < st.lastTus ||
+                (tus == st.lastTus && id < st.lastId)))
+              throw new IllegalStateException(
+                s"holtStream: event $id for user $uid at $tus precedes " +
+                  s"carried state (${st.lastTus}, ${st.lastId}) — " +
+                  "out-of-order arrival across triggers; feed " +
+                  "micro-batches in event-time order (see scaladoc)")
+            val v = java.math.BigDecimal.valueOf(value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+            val (l2, b2) =
+              if (st == null) (v, java.math.BigDecimal.ZERO.setScale(6))
+              else {
+                val l0 = dec6(st.lMicros); val b0 = dec6(st.bMicros)
+                val nl = aBD.multiply(v)
+                  .add(iaBD.multiply(l0.add(b0)))
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                val nb = bBD.multiply(nl.subtract(l0))
+                  .add(ibBD.multiply(b0))
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                (nl, nb)
+              }
+            out += HoltOut(uid, id, l2.doubleValue(), b2.doubleValue(),
+              l2.add(b2).doubleValue())
+            st = HoltState(tus, id, l2.movePointRight(6).longValueExact(),
+              b2.movePointRight(6).longValueExact())
           }
           if (st != null) state.update(st)
           out.result().iterator

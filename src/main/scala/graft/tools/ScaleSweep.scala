@@ -417,6 +417,14 @@ object ScaleSweep {
       // chained dedup+agg: state bounded by live windows' keys
       "s_stream_distinct" -> (d =>
         SparkEntry.queries("s_stream_distinct")(spark, d).count()),
+      // asymmetric prefix filter; Ω(output) like every similarity
+      // join — splice thirds sit at ~1/3 containment, below the 0.6
+      // threshold, so output stays clique-bounded
+      "t_containment_join" -> (d =>
+        SparkEntry.queries("t_containment_join")(spark, d).count()),
+      // two scale-6 longs of state per key, 4 chunked triggers
+      "s_stream_holt" -> (d =>
+        SparkEntry.queries("s_stream_holt")(spark, d).count()),
       // three window aggs share one key frame; new users only
       "w28_roll_zscore" -> (d =>
         SparkEntry.queries("w28_roll_zscore")(spark, d).count()),

@@ -454,6 +454,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holtStream: level AND trend carried across triggers are " +
+    "bit-equal to the batch recurrence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh").toString
+    val q = EventStreams.holtStream(events, alpha = 0.5, beta = 0.3)
+      .toDF()
+      .writeStream.format("memory").queryName("holt_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 00:01:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 00:02:00"), 20.0),
+      (3L, 1L, ts("2024-01-01 00:03:00"), 30.0))
+    try {
+      ms.addData(rows.take(2))
+      q.processAllAvailable()
+      // trigger 2 must carry BOTH level (15.0) and trend (1.5)
+      ms.addData(rows.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("holt_live")
+        .as[graft.streaming.HoltOut].collect()
+        .map(o => o.event_id -> ((o.level, o.trend, o.forecast))).toMap
+      // hand-computed (the w27 batch spec's numbers)
+      assert(got(2L) == ((15.0, 1.5, 16.5)), got.toString)
+      assert(got(3L) == ((23.25, 3.525, 26.775)), got.toString)
+      val batch = graft.ops.WindowOps.holt(
+          rows.toDF("event_id", "user_id", "ts", "value"),
+          Seq("user_id"), "ts", "event_id", "value", 0.5, 0.3)
+        .select("event_id", "level", "trend", "forecast")
+        .as[(Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(batch == got, s"batch=$batch stream=$got")
+    } finally q.stop()
+  }
+
   test("rateLimitStream: bucket state carried across triggers is " +
     "bit-equal to the batch limiter") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

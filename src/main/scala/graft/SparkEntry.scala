@@ -2209,6 +2209,13 @@ object SparkEntry {
     "a23_skew_report" -> ((s, dir) =>
       Scale.skewReport(t(s, dir, "events"), "user_id")),
 
+    // ---- A28: DAU / rolling 7-day WAU — the daily/weekly-active
+    // pair; distinct (user, day) once, then a bounded 7-day explode
+    // instead of the COUNT(DISTINCT)-over-RANGE no engine has. ----
+    "a28_dau_wau" -> ((s, dir) =>
+      Analytics.dauWau(t(s, dir, "events"), "user_id", "ts",
+        windowDays = 7)),
+
     // ---- A26: calendar gap audit — per user, the days inside their
     // own [first, last] event span with no events; calendar explode
     // bounded by the span, one distinct, one left_anti join. ----
@@ -6288,6 +6295,25 @@ object SparkEntry {
         |        (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6)
         |    AS gini
         |FROM g, p""".stripMargin,
+
+    // distinct (user, day) + 7-day explode; inner join keeps days
+    // with their own activity
+    "a28_dau_wau" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+        |        FROM pairs GROUP BY 1),
+        |wau AS (
+        |  SELECT day, CAST(COUNT(DISTINCT k) AS BIGINT) AS wau
+        |  FROM (SELECT k,
+        |          CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |            CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+        |            INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM pairs)
+        |  GROUP BY 1)
+        |SELECT CAST(dau.day AS VARCHAR) AS day, dau, wau
+        |FROM dau JOIN wau USING (day)""".stripMargin,
 
     // expected calendar per user minus observed days (NOT EXISTS ==
     // the left_anti)

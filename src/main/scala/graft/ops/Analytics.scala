@@ -354,6 +354,38 @@ object Analytics {
         col("__o.acf"): _*)
   }
 
+  /** DAU / rolling-WAU: per calendar day, the distinct active keys
+    * that day AND over the trailing `windowDays` window — the
+    * daily/weekly-active dashboard pair. A COUNT(DISTINCT) OVER a
+    * RANGE frame doesn't exist in any engine; the scalable
+    * formulation: reduce once to distinct (key, day) — map-side
+    * combine collapses the shuffle to active-pairs — then explode
+    * each pair to the `windowDays` day-buckets it keeps alive
+    * (bounded fan-out, the j9 binning discipline) and distinct-count
+    * per bucket. Days with no activity in the window emit nothing
+    * (join a calendar downstream — [[graft.ops.Quality.missingDays]]'s
+    * job). Output: (day ISO string, dau, wau). */
+  def dauWau(events: DataFrame, keyCol: String, tsCol: String,
+             windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val pairs = events
+      .select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val dau = pairs.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).cast("long").as("dau"))
+    val wau = pairs
+      .select(col("__k"), explode(expr(
+        s"sequence(__d, date_add(__d, ${windowDays - 1}))")).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__k")).cast("long").as("wau"))
+    // inner join: a day in wau-only range has dau 0 — report only
+    // days with their OWN activity (dashboard convention; the LEFT
+    // variant is one joinType away)
+    dau.join(wau, Seq("day"))
+      .select(col("day").cast("string").as("day"), col("dau"),
+        col("wau"))
+  }
+
   /** Top session paths: sessionize per key, render each session's
     * ordered event-type sequence as one `a->b->c` path string, count
     * paths corpus-wide, return the top `k` — the Sankey/user-journey

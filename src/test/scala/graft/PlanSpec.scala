@@ -335,6 +335,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the " +
+    "partitioned fact's scan at runtime") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
+      .toString
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("flag_part", col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("flag_part")
+      .parquet(s"$tmp/fact")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    // the dim filter must sit on a NON-key column — a key predicate
+    // would propagate statically through the join (constraint
+    // inference, which this suite's other pins already cover); DPP is
+    // the mechanism for the filters that can't
+    val dim = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag_part")).distinct()
+      .withColumn("attr", pmod(hash(col("flag_part")), lit(100)))
+      .filter(col("attr") < 50)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the non-broadcast path: DPP's subquery-duplication case
+    // is the one that matters at fact scale (broadcast reuses the
+    // exchange for free)
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    try {
+      val j = fact.join(dim, Seq("flag_part"))
+        .groupBy(col("l_linestatus")).count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan.take(2500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    }
+  }
+
   test("PLANS.md is fresh: fingerprint matches the current query set " +
        "and pinned logical plans (regenerate with graft.tools.PlanDump)") {
     // the plan book backs SURVEY's scale claims; a stale book silently

@@ -262,6 +262,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 2)) == ((6L, null)))
   }
 
+  test("dauWau: duplicate events collapse per day; trailing window " +
+    "counts each user once; days without own activity don't emit") {
+    def t(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val df = Seq(
+      (1L, t(1, 9)), (1L, t(1, 15)),  // user 1 twice on day 1
+      (2L, t(1, 10)),
+      (1L, t(3, 9)),                  // user 1 again on day 3
+      (3L, t(9, 9))                   // far later: day 1-2 left the window
+    ).toDF("user_id", "ts")
+    val got = Analytics.dauWau(df, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // day 1: dau {1,2}=2; wau [Dec 26..Jan 1] = {1,2}=2
+    // day 3: dau {1}=1; wau [Dec 28..Jan 3] = {1,2}=2
+    // day 9: dau {3}=1; wau [Jan 3..9] = {1,3}=2
+    assert(got == Map("2024-01-01" -> ((2L, 2L)),
+      "2024-01-03" -> ((1L, 2L)), "2024-01-09" -> ((1L, 2L))),
+      got.toString)
+  }
+
   test("topSessionPaths: gap splits sessions; paths ordered and " +
     "counted; top-k tie-broken by path") {
     val df = Seq(

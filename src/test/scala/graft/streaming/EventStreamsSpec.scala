@@ -454,6 +454,59 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint RESUME: a NEW query on the same checkpoint " +
+    "restores recurrence state and continues without reprocessing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckr").toString
+    // FILE sink, not memory: the memory sink refuses checkpoint
+    // recovery (no durable commit log) — the restart contract only
+    // exists for transactional sinks
+    def start(ms: MemoryStream[(Long, Long, java.sql.Timestamp, Double)]) = {
+      val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+        .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+          "value", "'{}' as props")
+      EventStreams.ewmaStream(events, alpha = 0.3).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+    }
+    // run 1: two events, then the query STOPS (restart/crash model)
+    val ms1 = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val q1 = start(ms1)
+    try {
+      ms1.addData((1L, 1L, ts("2024-01-01 00:00:00"), 10.0),
+        (2L, 1L, ts("2024-01-01 00:01:00"), 20.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: NEW MemoryStream + NEW query, SAME checkpoint. The
+    // offset log maps the committed offset onto the new source —
+    // batch 0's data must be re-added (a MemoryStream's buffer dies
+    // with its object) but is NOT re-emitted; the STATE STORE
+    // restores s2 = 13.0, so event 3 continues the recurrence.
+    val ms2 = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    ms2.addData((1L, 1L, ts("2024-01-01 00:00:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 00:01:00"), 20.0))
+    val q2 = start(ms2)
+    try {
+      q2.processAllAvailable()
+      ms2.addData((3L, 1L, ts("2024-01-01 00:02:00"), 40.0))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .as[graft.streaming.EwmaOut].collect()
+        .map(o => o.event_id -> o.ewma).toMap
+      // state restored: s3 = .3*40 + .7*13 = 21.1 — a reset state
+      // would give s3 = 40.0 (fresh first event)
+      assert(got(3L) == 21.1, got.toString)
+      // run 1's rows exist EXACTLY once: the sink's commit log makes
+      // the restart exactly-once, not at-least-once
+      assert(got == Map(1L -> 10.0, 2L -> 13.0, 3L -> 21.1),
+        got.toString)
+    } finally q2.stop()
+  }
+
   test("holtStream: level AND trend carried across triggers are " +
     "bit-equal to the batch recurrence") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

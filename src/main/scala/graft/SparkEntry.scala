@@ -1791,6 +1791,15 @@ object SparkEntry {
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 17L, topK = 10, m = 4, k = 8, iters = 1)),
 
+    // ---- similarity: recall@10 audit of the PQ arm vs exact L2 —
+    // the ANN quality gate as a query (an index with silently decayed
+    // recall is a correctness bug in a performance costume); one
+    // narrow exact scan into TakeOrdered + the normal PQ serve. ----
+    "e_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 17L, topK = 10, m = 4, k = 8,
+        iters = 1)),
+
     // ---- similarity: BATCH IVF k-NN join — every 100th vector is a
     // query; each probes its nprobe=8 nearest of nlist=64 cells and
     // scores only those cells' members (native IvfProbe explode + one
@@ -3237,6 +3246,72 @@ object SparkEntry {
       |      AND v.rn = e.rn + 1))
       |SELECT user_id, event_id, CAST(tok AS DOUBLE) AS tokens,
       |  adm AS admitted FROM e""".stripMargin
+
+  /** The full PQ train+encode+ADC replay (shared by e_pq_topk
+    * and the e_pq_recall audit, which embeds it as a subquery). */
+  private val PqTopKOracle: String =
+    """WITH init AS (
+      |  SELECT row_number() OVER (
+      |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+      |        vec_id) - 1 AS code,
+      |    embedding AS e
+      |  FROM embeddings
+      |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+      |  LIMIT 8),
+      |subs AS (SELECT unnest(range(4)) AS sub),
+      |cb0 AS (
+      |  SELECT subs.sub, init.code,
+      |    init.e[subs.sub*16 + 1 : subs.sub*16 + 16] AS ce
+      |  FROM init, subs),
+      |a1 AS (
+      |  SELECT e.vec_id, s.sub,
+      |    (SELECT code FROM cb0 WHERE cb0.sub = s.sub
+      |     ORDER BY ROUND(list_sum(list_transform(
+      |         list_zip(cb0.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
+      |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+      |       code
+      |     LIMIT 1) AS code
+      |  FROM embeddings e, subs s),
+      |m1 AS (
+      |  SELECT a.sub, a.code, d.sd,
+      |    CAST(CAST(SUM(CAST(ROUND(
+      |        CAST(e.embedding[a.sub*16 + d.sd + 1] AS DOUBLE), 6)
+      |        AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS mn
+      |  FROM a1 a JOIN embeddings e USING (vec_id),
+      |    (SELECT unnest(range(16)) AS sd) d
+      |  GROUP BY 1, 2, 3),
+      |cb1 AS (
+      |  SELECT cb0.sub, cb0.code, COALESCE(l.ml, cb0.ce) AS ce
+      |  FROM cb0 LEFT JOIN (
+      |    SELECT sub, code, list(mn ORDER BY sd) AS ml
+      |    FROM m1 GROUP BY 1, 2) l
+      |  USING (sub, code)),
+      |a2 AS (
+      |  SELECT e.vec_id, s.sub,
+      |    (SELECT code FROM cb1 WHERE cb1.sub = s.sub
+      |     ORDER BY ROUND(list_sum(list_transform(
+      |         list_zip(cb1.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
+      |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
+      |       code
+      |     LIMIT 1) AS code
+      |  FROM embeddings e, subs s),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 17),
+      |tbl AS (
+      |  SELECT cb1.sub, cb1.code,
+      |    ROUND(list_sum(list_transform(
+      |      list_zip(cb1.ce,
+      |        (SELECT qe FROM q)[cb1.sub*16+1 : cb1.sub*16+16]),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d
+      |  FROM cb1)
+      |SELECT a.vec_id,
+      |  CAST(SUM(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+      |FROM a2 a JOIN tbl t ON t.sub = a.sub AND t.code = a.code
+      |GROUP BY a.vec_id
+      |ORDER BY adc_dist, a.vec_id
+      |LIMIT 10""".stripMargin
 
   /** Shared by w27_holt and its streaming twin s_stream_holt. */
   private val HoltOracle: String =
@@ -5619,69 +5694,27 @@ object SparkEntry {
 
     // same trained books; ADC = exact-decimal sum of the round-6
     // per-subspace query-to-code distances
-    "e_pq_topk" ->
-      """WITH init AS (
-        |  SELECT row_number() OVER (
-        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
-        |        vec_id) - 1 AS code,
-        |    embedding AS e
-        |  FROM embeddings
-        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
-        |  LIMIT 8),
-        |subs AS (SELECT unnest(range(4)) AS sub),
-        |cb0 AS (
-        |  SELECT subs.sub, init.code,
-        |    init.e[subs.sub*16 + 1 : subs.sub*16 + 16] AS ce
-        |  FROM init, subs),
-        |a1 AS (
-        |  SELECT e.vec_id, s.sub,
-        |    (SELECT code FROM cb0 WHERE cb0.sub = s.sub
-        |     ORDER BY ROUND(list_sum(list_transform(
-        |         list_zip(cb0.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
-        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
-        |       code
-        |     LIMIT 1) AS code
-        |  FROM embeddings e, subs s),
-        |m1 AS (
-        |  SELECT a.sub, a.code, d.sd,
-        |    CAST(CAST(SUM(CAST(ROUND(
-        |        CAST(e.embedding[a.sub*16 + d.sd + 1] AS DOUBLE), 6)
-        |        AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS mn
-        |  FROM a1 a JOIN embeddings e USING (vec_id),
-        |    (SELECT unnest(range(16)) AS sd) d
-        |  GROUP BY 1, 2, 3),
-        |cb1 AS (
-        |  SELECT cb0.sub, cb0.code, COALESCE(l.ml, cb0.ce) AS ce
-        |  FROM cb0 LEFT JOIN (
-        |    SELECT sub, code, list(mn ORDER BY sd) AS ml
-        |    FROM m1 GROUP BY 1, 2) l
-        |  USING (sub, code)),
-        |a2 AS (
-        |  SELECT e.vec_id, s.sub,
-        |    (SELECT code FROM cb1 WHERE cb1.sub = s.sub
-        |     ORDER BY ROUND(list_sum(list_transform(
-        |         list_zip(cb1.ce, e.embedding[s.sub*16+1 : s.sub*16+16]),
-        |         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6),
-        |       code
-        |     LIMIT 1) AS code
-        |  FROM embeddings e, subs s),
-        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 17),
-        |tbl AS (
-        |  SELECT cb1.sub, cb1.code,
-        |    ROUND(list_sum(list_transform(
-        |      list_zip(cb1.ce,
-        |        (SELECT qe FROM q)[cb1.sub*16+1 : cb1.sub*16+16]),
-        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d
-        |  FROM cb1)
-        |SELECT a.vec_id,
-        |  CAST(SUM(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
-        |FROM a2 a JOIN tbl t ON t.sub = a.sub AND t.code = a.code
-        |GROUP BY a.vec_id
-        |ORDER BY adc_dist, a.vec_id
-        |LIMIT 10""".stripMargin,
+    "e_pq_topk" -> PqTopKOracle,
+
+    // the PQ replay embedded as a subquery, overlapped with the exact
+    // L2 top-10 (ties broken by id in both arms)
+    "e_pq_recall" -> (
+      s"""WITH approx AS (SELECT * FROM (
+         |$PqTopKOracle
+         |) pq),
+         |q AS (SELECT embedding AS qe FROM embeddings
+         |      WHERE vec_id = 17),
+         |exact AS (
+         |  SELECT vec_id,
+         |    ROUND(list_sum(list_transform(list_zip(embedding, qe),
+         |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6)
+         |      AS d
+         |  FROM embeddings, q
+         |  ORDER BY d, vec_id LIMIT 10)
+         |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS hits,
+         |  ROUND(COUNT(*) / CAST(10 AS DOUBLE), 6) AS recall
+         |FROM approx JOIN exact USING (vec_id)""".stripMargin),
 
     "e_label_centroid" ->
       """WITH dims AS (

@@ -414,6 +414,38 @@ object Similarity {
       topK)
   }
 
+  /** Recall@k audit of the PQ arm against the exact squared-L2 top-k
+    * — the ANN family's own quality gate, run as a query: an index
+    * whose recall silently decayed (drifted corpus, stale codebooks)
+    * is a correctness bug wearing a performance costume, so the audit
+    * belongs beside the serving path, not in a notebook. Exact arm is
+    * one narrow corpus scan into a TakeOrdered; the PQ arm is the
+    * normal [[pqTopK]]; the overlap join touches 2k rows. Ties at the
+    * boundary break by id in both arms (and in the oracle), so the
+    * recall number is deterministic. */
+  def pqRecall(emb: DataFrame, idCol: String, vecCol: String,
+               queryId: Long, topK: Int, m: Int, k: Int,
+               iters: Int = 1): DataFrame = {
+    val approx = pqTopK(emb, idCol, vecCol, queryId, topK, m, k, iters)
+      .select(col(idCol))
+    val q: Seq[Float] = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).collect()(0).getSeq[Float](0)
+    val qLit = typedLit(q)
+    val d2 = aggregate(
+      zip_with(col(vecCol), qLit,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (a, b) => a + b)
+    val exact = emb.select(col(idCol), round(d2, 6).as("__d"))
+      .orderBy(col("__d"), col(idCol)).limit(topK)
+      .select(col(idCol))
+    approx.join(exact, Seq(idCol))
+      .agg(count(lit(1)).as("__h"))
+      .select(lit(topK).cast("int").as("k"),
+        col("__h").cast("long").as("hits"),
+        round(col("__h") / lit(topK.toDouble), 6).as("recall"))
+  }
+
   /** IVF-PQ composed query (the FAISS IVF+PQ serving architecture,
     * non-residual variant): the IVF coarse quantizer prunes the
     * corpus to `nprobe`/`nlist` of its cells, and PQ codes answer the

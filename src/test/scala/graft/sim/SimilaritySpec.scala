@@ -664,4 +664,26 @@ class SimilaritySpec extends SparkSpec {
     assert(self.isDefined && self.get._2 == run1.map(_._2).min,
       run1.toString)
   }
+  test("pqRecall: exact when the codebook can represent every vector " +
+    "(k >= corpus); audit surfaces honest sub-1.0 recall otherwise") {
+    // 8 vectors, m=4 subspaces of dim 4, k=8 codes: init samples all 8
+    // vectors as centroids, one Lloyd round keeps each as its own code
+    // -> ADC distances are exact -> recall 1.0
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        ((i * 16 + j) % 7).toFloat / 3f + i).toArray.toSeq, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.pqRecall(vecs, "vec_id", "embedding",
+        queryId = 3L, topK = 4, m = 4, k = 8, iters = 1)
+      .collect().head
+    assert(exact.getInt(0) == 4 && exact.getLong(1) == 4L &&
+      exact.getDouble(2) == 1.0, exact.toString)
+    // a 2-code book over 8 distinct vectors CANNOT be exact for every
+    // query; the audit must report a valid, possibly sub-1.0 number
+    val coarse = Similarity.pqRecall(vecs, "vec_id", "embedding",
+        queryId = 3L, topK = 4, m = 4, k = 2, iters = 1)
+      .collect().head
+    assert(coarse.getLong(1) >= 1L && coarse.getLong(1) <= 4L)
+    assert(coarse.getDouble(2) == coarse.getLong(1) / 4.0)
+  }
 }

@@ -2731,6 +2731,44 @@ object SparkEntry {
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
     }),
 
+    // ---- streaming rolling z-score — anomalies flagged in their own
+    // micro-batch against a bounded per-key ring (lookback scale-6
+    // longs + squares); chunked in-order replay bit-equal to the
+    // batch op (oracle IS w28's SQL). ----
+    "s_stream_zscore" -> ((s, dir) => {
+      val tmp = tempDir("graft_szs")
+      val in = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = t(s, dir, "events")
+      def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+        val chunk = s"$tmp/chunk$seq"
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        val part = new java.io.File(chunk).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = java.nio.file.Paths.get(in, s"f$seq.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L +
+            seq * 10000L))
+        ()
+      }
+      // IN event-time order — the recurrence's ordering contract
+      Seq((1, 8), (8, 15), (15, 22), (22, 32)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          stage(ev.filter(dayofmonth(col("ts")) >= lo &&
+            dayofmonth(col("ts")) < hi), i)
+      }
+      val ckpt = tempDir("graft_szs_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.zscoreStream(stream,
+          lookback = 10, zThreshold = 3.0, minObs = 4).toDF(),
+        queryName = s"szs_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     // ---- streaming Holt trend — the live "expected next value" feed;
     // TWO scale-6 longs of state per user, chunked in-order replay
     // bit-equal to the batch recurrence (oracle IS w27's recursive
@@ -3312,6 +3350,41 @@ object SparkEntry {
       |GROUP BY a.vec_id
       |ORDER BY adc_dist, a.vec_id
       |LIMIT 10""".stripMargin
+
+  /** w28's trailing-frame z-score replay (shared with its
+    * streaming twin s_stream_zscore). */
+  private val ZscoreOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, v,
+      |    COUNT(v) OVER fr AS n,
+      |    SUM(v) OVER fr AS s1,
+      |    SUM(CAST(ROUND(v * v, 6) AS DECIMAL(18,6))) OVER fr AS s2
+      |  FROM v
+      |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT user_id, event_id, v, n,
+      |    ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+      |    ROUND(CAST(s2 AS DOUBLE) / n, 6) AS ev2
+      |  FROM w),
+      |s AS (
+      |  SELECT *, sqrt(ROUND(greatest(CAST(0 AS DOUBLE),
+      |    ev2 - mean * mean), 6)) AS std
+      |  FROM m)
+      |SELECT user_id, event_id, CAST(n AS BIGINT) AS n_window,
+      |  CASE WHEN n >= 4 THEN mean END AS roll_mean,
+      |  CASE WHEN n >= 4 THEN ROUND(std, 6) END AS roll_std,
+      |  CASE WHEN n >= 4 AND std > 0
+      |       THEN ROUND((CAST(v AS DOUBLE) - mean) / std, 6)
+      |  END AS zscore,
+      |  COALESCE(CASE WHEN n >= 4 AND std > 0
+      |    THEN abs(ROUND((CAST(v AS DOUBLE) - mean) / std, 6))
+      |         > CAST(3.0 AS DOUBLE) END, FALSE) AS anomaly
+      |FROM s""".stripMargin
 
   /** Shared by w27_holt and its streaming twin s_stream_holt. */
   private val HoltOracle: String =
@@ -6687,38 +6760,11 @@ object SparkEntry {
 
     // trailing-frame stats excluding the current row; clamped
     // variance, unrounded std inside z, rounded std in the output
-    "w28_roll_zscore" ->
-      """WITH v AS (
-        |  SELECT user_id, event_id, ts,
-        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
-        |  FROM events),
-        |w AS (
-        |  SELECT user_id, event_id, v,
-        |    COUNT(v) OVER fr AS n,
-        |    SUM(v) OVER fr AS s1,
-        |    SUM(CAST(ROUND(v * v, 6) AS DECIMAL(18,6))) OVER fr AS s2
-        |  FROM v
-        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
-        |                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
-        |m AS (
-        |  SELECT user_id, event_id, v, n,
-        |    ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
-        |    ROUND(CAST(s2 AS DOUBLE) / n, 6) AS ev2
-        |  FROM w),
-        |s AS (
-        |  SELECT *, sqrt(ROUND(greatest(CAST(0 AS DOUBLE),
-        |    ev2 - mean * mean), 6)) AS std
-        |  FROM m)
-        |SELECT user_id, event_id, CAST(n AS BIGINT) AS n_window,
-        |  CASE WHEN n >= 4 THEN mean END AS roll_mean,
-        |  CASE WHEN n >= 4 THEN ROUND(std, 6) END AS roll_std,
-        |  CASE WHEN n >= 4 AND std > 0
-        |       THEN ROUND((CAST(v AS DOUBLE) - mean) / std, 6)
-        |  END AS zscore,
-        |  COALESCE(CASE WHEN n >= 4 AND std > 0
-        |    THEN abs(ROUND((CAST(v AS DOUBLE) - mean) / std, 6))
-        |         > CAST(3.0 AS DOUBLE) END, FALSE) AS anomaly
-        |FROM s""".stripMargin,
+    "w28_roll_zscore" -> ZscoreOracle,
+
+    // the chunked streaming replay must reproduce the batch rolling
+    // z-score exactly — same SQL as w28_roll_zscore
+    "s_stream_zscore" -> ZscoreOracle,
 
     // sessionize CTE (the w4 oracle) + ordered string_agg per
     // session + path count

@@ -32,6 +32,12 @@ case class HoltState(lastTus: Long, lastId: Long, lMicros: Long,
                      bMicros: Long)
 case class HoltOut(user_id: Long, event_id: Long, level: Double,
                    trend: Double, forecast: Double)
+case class ZscoreState(lastTus: Long, lastId: Long, vs: Array[Long],
+                       v2s: Array[Long])
+case class ZscoreOut(user_id: Long, event_id: Long, n_window: Long,
+                     roll_mean: Option[Double],
+                     roll_std: Option[Double], zscore: Option[Double],
+                     anomaly: Boolean)
 
 /** One streamed near-duplicate candidate pair (id1 < id2; est_jaccard =
   * matching-minhash fraction, the batch lshCandidates estimate). */
@@ -560,6 +566,86 @@ object EventStreams {
               b2.movePointRight(6).longValueExact())
           }
           if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming rolling z-score anomaly detection — the online twin of
+    * [[graft.ops.WindowOps.rollingZscore]]: each event is scored
+    * against its key's TRAILING `lookback` values (the frame excludes
+    * the event itself) and flagged IN its own micro-batch. State is a
+    * bounded ring per key — `lookback` scale-6 longs for the values
+    * and their squares — O(keys·lookback) forever, no watermark
+    * needed. Arithmetic is step-identical to the batch op (exact
+    * integer sums over the ring, the same rounded-double mean/E[v²],
+    * clamped variance, IEEE sqrt), so a chunked in-order replay is
+    * bit-equal (the s_stream_zscore oracle IS w28's). Same
+    * out-of-order guard as [[ewmaStream]]. */
+  def zscoreStream(events: DataFrame, lookback: Int = 10,
+                   zThreshold: Double = 3.0, minObs: Int = 4)
+      : org.apache.spark.sql.Dataset[ZscoreOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(lookback >= 2 && minObs >= 2 && minObs <= lookback,
+      "need 2 <= minObs <= lookback")
+    require(zThreshold > 0, "zThreshold must be > 0")
+    def r6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events.selectExpr("user_id",
+        "unix_micros(cast(ts as timestamp_ltz)) as tus",
+        "event_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ZscoreState, ZscoreOut](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[ZscoreState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption
+            .getOrElse(ZscoreState(Long.MinValue, Long.MinValue,
+              Array.empty, Array.empty))
+          val out = Seq.newBuilder[ZscoreOut]
+          sorted.foreach { case (_, tus, id, value) =>
+            if (st.vs.nonEmpty && (tus < st.lastTus ||
+                (tus == st.lastTus && id < st.lastId)))
+              throw new IllegalStateException(
+                s"zscoreStream: event $id for user $uid at $tus " +
+                  s"precedes carried state (${st.lastTus}, ${st.lastId})" +
+                  " — out-of-order arrival across triggers; feed " +
+                  "micro-batches in event-time order (see scaladoc)")
+            val n = st.vs.length
+            val vBD = java.math.BigDecimal.valueOf(value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+            val (mean, std) =
+              if (n == 0) (None: Option[Double], None: Option[Double])
+              else {
+                val s1 = new java.math.BigDecimal(
+                  java.math.BigInteger.valueOf(st.vs.sum), 6)
+                val s2 = new java.math.BigDecimal(
+                  java.math.BigInteger.valueOf(st.v2s.sum), 6)
+                val m = r6(s1.doubleValue() / n)
+                val ev2 = r6(s2.doubleValue() / n)
+                val variance = r6(math.max(0.0, ev2 - m * m))
+                (Some(m), Some(math.sqrt(variance)))
+              }
+            val ok = n >= minObs
+            val z = (mean, std) match {
+              case (Some(m), Some(s)) if ok && s > 0 =>
+                Some(r6((vBD.doubleValue() - m) / s))
+              case _ => None
+            }
+            out += ZscoreOut(uid, id, n.toLong,
+              if (ok) mean else None,
+              if (ok) std.map(r6) else None,
+              z, z.exists(v => math.abs(v) > zThreshold))
+            val vm = vBD.movePointRight(6).longValueExact()
+            val v2m = vBD.multiply(vBD)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
+            val nvs = (st.vs :+ vm).takeRight(lookback)
+            val nv2 = (st.v2s :+ v2m).takeRight(lookback)
+            st = ZscoreState(tus, id, nvs, nv2)
+          }
+          if (st.vs.nonEmpty) state.update(st)
           out.result().iterator
       }
   }

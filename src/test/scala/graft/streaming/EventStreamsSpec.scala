@@ -507,6 +507,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("zscoreStream: the trailing ring carried across triggers is " +
+    "bit-equal to the batch windowed op, including the spike flag") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_szsp").toString
+    val q = EventStreams.zscoreStream(events, lookback = 10,
+        zThreshold = 3.0, minObs = 4).toDF()
+      .writeStream.format("memory").queryName("zs_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    // alternating 9/11 context split across triggers, then a spike
+    val rows = (1 to 6).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:0$i:00"),
+        if (i % 2 == 0) 11.0 else 9.0)) :+
+      ((7L, 1L, ts("2024-01-01 00:07:00"), 20.0))
+    try {
+      ms.addData(rows.take(3))
+      q.processAllAvailable()
+      ms.addData(rows.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("zs_live")
+        .select("event_id", "n_window", "zscore", "anomaly")
+        .as[(Long, Long, Option[Double], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val batch = graft.ops.WindowOps.rollingZscore(
+          rows.toDF("event_id", "user_id", "ts", "value"),
+          Seq("user_id"), "ts", "event_id", "value",
+          lookback = 10, zThreshold = 3.0, minObs = 4)
+        .select("event_id", "n_window", "zscore", "anomaly")
+        .as[(Long, Long, Option[Double], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      // spike flagged with the hand-computed z (mean 10, std 1)
+      assert(got(7L) == ((6L, Some(10.0), true)), got.toString)
+    } finally q.stop()
+  }
+
   test("holtStream: level AND trend carried across triggers are " +
     "bit-equal to the batch recurrence") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

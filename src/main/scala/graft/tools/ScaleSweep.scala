@@ -425,6 +425,15 @@ object ScaleSweep {
       // two scale-6 longs of state per key, 4 chunked triggers
       "s_stream_holt" -> (d =>
         SparkEntry.queries("s_stream_holt")(spark, d).count()),
+      // bounded per-key ring state (lookback scale-6 longs + squares)
+      "s_stream_zscore" -> (d =>
+        SparkEntry.queries("s_stream_zscore")(spark, d).count()),
+      // distinct (key, day) + bounded 7-day explode
+      "a28_dau_wau" -> (d =>
+        SparkEntry.queries("a28_dau_wau")(spark, d).count()),
+      // one exact scan into TakeOrdered + the PQ serve
+      "e_pq_recall" -> (d =>
+        SparkEntry.queries("e_pq_recall")(spark, d).count()),
       // three window aggs share one key frame; new users only
       "w28_roll_zscore" -> (d =>
         SparkEntry.queries("w28_roll_zscore")(spark, d).count()),

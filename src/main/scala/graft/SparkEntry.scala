@@ -2731,6 +2731,59 @@ object SparkEntry {
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
     }),
 
+    // ---- streaming funnel — per-user stage reaches emitted the
+    // moment they happen (the greedy cascade is naturally online);
+    // O(stages) booleans of state per user; the sink aggregated to
+    // w11's exact roll-up shape (oracle IS w11's). ----
+    "s_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = tempDir("graft_sfun")
+      val in = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = t(s, dir, "events")
+      def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+        val chunk = s"$tmp/chunk$seq"
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        val part = new java.io.File(chunk).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = java.nio.file.Paths.get(in, s"f$seq.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L +
+            seq * 10000L))
+        ()
+      }
+      Seq((1, 8), (8, 15), (15, 22), (22, 32)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          stage(ev.filter(dayofmonth(col("ts")) >= lo &&
+            dayofmonth(col("ts")) < hi), i)
+      }
+      val ckpt = tempDir("graft_sfun_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val sink = graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.funnelStream(stream,
+          Seq("view", "click", "purchase")).toDF(),
+        queryName = s"sfun_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      val stagesDf = Seq((1, "view"), (2, "click"), (3, "purchase"))
+        .toDF("stage_idx", "stage")
+      val counts = sink.groupBy(col("stage_idx"))
+        .agg(countDistinct(col("user_id")).as("__u"))
+      val c1 = counts.filter(col("stage_idx") === 1)
+        .select(col("__u").as("__c1"))
+      stagesDf
+        .join(counts, Seq("stage_idx"), "left")
+        .crossJoin(broadcast(c1))
+        .select(col("stage_idx").cast("int").as("stage_idx"),
+          col("stage"),
+          coalesce(col("__u"), lit(0L)).cast("long").as("users"),
+          when(col("__c1") > 0,
+            round(coalesce(col("__u"), lit(0L)).cast("double") /
+              col("__c1"), 6)).as("conversion"))
+    }),
+
     // ---- streaming rolling z-score — anomalies flagged in their own
     // micro-batch against a bounded per-key ring (lookback scale-6
     // longs + squares); chunked in-order replay bit-equal to the
@@ -3385,6 +3438,36 @@ object SparkEntry {
       |    THEN abs(ROUND((CAST(v AS DOUBLE) - mean) / std, 6))
       |         > CAST(3.0 AS DOUBLE) END, FALSE) AS anomaly
       |FROM s""".stripMargin
+
+  /** w11's funnel roll-up replay (shared with the streaming twin
+    * s_stream_funnel, whose post-stream aggregation produces the
+    * identical shape). */
+  private val FunnelOracle: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(epoch(ts)) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND epoch(e.ts) >= s1.t
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s2.t
+      |  GROUP BY e.user_id),
+      |c AS (SELECT (SELECT COUNT(*) FROM s1) AS c1,
+      |             (SELECT COUNT(*) FROM s2) AS c2,
+      |             (SELECT COUNT(*) FROM s3) AS c3)
+      |SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage, c1 AS users,
+      |  CASE WHEN c1 > 0 THEN ROUND(CAST(c1 AS DOUBLE) / c1, 6) END
+      |    AS conversion FROM c
+      |UNION ALL SELECT CAST(2 AS INT), 'click', c2,
+      |  CASE WHEN c1 > 0 THEN ROUND(CAST(c2 AS DOUBLE) / c1, 6) END
+      |  FROM c
+      |UNION ALL SELECT CAST(3 AS INT), 'purchase', c3,
+      |  CASE WHEN c1 > 0 THEN ROUND(CAST(c3 AS DOUBLE) / c1, 6) END
+      |  FROM c""".stripMargin
 
   /** Shared by w27_holt and its streaming twin s_stream_holt. */
   private val HoltOracle: String =
@@ -6158,32 +6241,10 @@ object SparkEntry {
     // funnel: identical greedy cascade — stage i's time is the MIN
     // event time of that type at-or-after stage i-1's time; epoch()
     // keeps sub-second precision like Spark's double cast
-    "w11_funnel" ->
-      """WITH s1 AS (
-        |  SELECT user_id, MIN(epoch(ts)) AS t FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (
-        |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
-        |  FROM events e JOIN s1 USING (user_id)
-        |  WHERE e.event_type = 'click' AND epoch(e.ts) >= s1.t
-        |  GROUP BY e.user_id),
-        |s3 AS (
-        |  SELECT e.user_id, MIN(epoch(e.ts)) AS t
-        |  FROM events e JOIN s2 USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s2.t
-        |  GROUP BY e.user_id),
-        |c AS (SELECT (SELECT COUNT(*) FROM s1) AS c1,
-        |             (SELECT COUNT(*) FROM s2) AS c2,
-        |             (SELECT COUNT(*) FROM s3) AS c3)
-        |SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage, c1 AS users,
-        |  CASE WHEN c1 > 0 THEN ROUND(CAST(c1 AS DOUBLE) / c1, 6) END
-        |    AS conversion FROM c
-        |UNION ALL SELECT CAST(2 AS INT), 'click', c2,
-        |  CASE WHEN c1 > 0 THEN ROUND(CAST(c2 AS DOUBLE) / c1, 6) END
-        |  FROM c
-        |UNION ALL SELECT CAST(3 AS INT), 'purchase', c3,
-        |  CASE WHEN c1 > 0 THEN ROUND(CAST(c3 AS DOUBLE) / c1, 6) END
-        |  FROM c""".stripMargin,
+    "w11_funnel" -> FunnelOracle,
+
+    // the streaming reach rows aggregated to the same funnel shape
+    "s_stream_funnel" -> FunnelOracle,
 
     "t_next_event" ->
       """SELECT event_id, user_id,

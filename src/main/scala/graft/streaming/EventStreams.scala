@@ -34,6 +34,9 @@ case class HoltOut(user_id: Long, event_id: Long, level: Double,
                    trend: Double, forecast: Double)
 case class ZscoreState(lastTus: Long, lastId: Long, vs: Array[Long],
                        v2s: Array[Long])
+case class FunnelState(lastTus: Long, lastId: Long,
+                       reached: Array[Boolean])
+case class FunnelReach(user_id: Long, stage_idx: Int, stage: String)
 case class ZscoreOut(user_id: Long, event_id: Long, n_window: Long,
                      roll_mean: Option[Double],
                      roll_std: Option[Double], zscore: Option[Double],
@@ -646,6 +649,75 @@ object EventStreams {
             st = ZscoreState(tus, id, nvs, nv2)
           }
           if (st.vs.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming funnel: each user's stage-reach events emitted the
+    * moment they happen — the online twin of
+    * [[graft.ops.Analytics.funnel]]'s greedy earliest-match cascade,
+    * whose semantics are NATURALLY online (stage i's time is the
+    * first s_i event at-or-after stage i−1's; processing in event-time
+    * order, that is simply "the first qualifying event seen"). State
+    * is `stages.length` booleans per key — O(keys) forever.
+    *
+    * Equal-timestamp semantics: the batch cascade admits a stage-i
+    * event AT stage i−1's exact time, regardless of intra-instant
+    * order — so same-instant events are processed as a group to a
+    * FIXPOINT (≤ |stages| passes), and a view+click+purchase all at
+    * one instant cascades through all three. Contract: same-instant
+    * ties must arrive in the SAME trigger (the day-chunked staging
+    * guarantees it; a tie split across triggers has no correct online
+    * resolution). Emits each (user, stage) at most once. */
+  def funnelStream(events: DataFrame, stages: Seq[String])
+      : org.apache.spark.sql.Dataset[FunnelReach] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(stages.nonEmpty, "stages must be non-empty")
+    val stageIdx = stages.zipWithIndex.toMap
+    events.selectExpr("user_id",
+        "unix_micros(cast(ts as timestamp_ltz)) as tus",
+        "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(
+            FunnelState(Long.MinValue, Long.MinValue,
+              Array.fill(stages.length)(false)))
+          val reached = st.reached.clone()
+          val out = Seq.newBuilder[FunnelReach]
+          sorted.headOption.foreach { case (_, tus, id, _) =>
+            if (st.lastTus != Long.MinValue && (tus < st.lastTus ||
+                (tus == st.lastTus && id < st.lastId)))
+              throw new IllegalStateException(
+                s"funnelStream: event $id for user $uid at $tus " +
+                  s"precedes carried state (${st.lastTus}, ${st.lastId})" +
+                  " — out-of-order arrival across triggers")
+          }
+          // process same-instant groups to a fixpoint
+          sorted.groupBy(_._2).toSeq.sortBy(_._1).foreach {
+            case (_, group) =>
+              var changed = true
+              while (changed) {
+                changed = false
+                group.foreach { case (_, _, _, tpe) =>
+                  stageIdx.get(tpe).foreach { i =>
+                    if (!reached(i) && (i == 0 || reached(i - 1))) {
+                      reached(i) = true
+                      changed = true
+                      out += FunnelReach(uid, i + 1, stages(i))
+                    }
+                  }
+                }
+              }
+          }
+          val last = sorted.lastOption
+          state.update(FunnelState(
+            last.map(_._2).getOrElse(st.lastTus),
+            last.map(_._3).getOrElse(st.lastId), reached))
           out.result().iterator
       }
   }

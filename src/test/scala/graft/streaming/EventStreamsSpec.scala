@@ -507,6 +507,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("funnelStream: out-of-order stage events don't count; " +
+    "same-instant cascade reaches fixpoint; state carries across " +
+    "triggers; each (user, stage) emits once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "event_type")
+      .selectExpr("event_id", "ts", "user_id", "event_type",
+        "0.0 as value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfn").toString
+    val q = EventStreams.funnelStream(events,
+        Seq("view", "click", "purchase")).toDF()
+      .writeStream.format("memory").queryName("fun_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // user 1: click BEFORE any view (doesn't count), then view;
+      // user 2: view+click+purchase all at ONE instant (cascades)
+      ms.addData(
+        (1L, 1L, ts("2024-01-01 00:01:00"), "click"),
+        (2L, 1L, ts("2024-01-01 00:02:00"), "view"),
+        (3L, 2L, ts("2024-01-01 00:01:00"), "purchase"),
+        (4L, 2L, ts("2024-01-01 00:01:00"), "view"),
+        (5L, 2L, ts("2024-01-01 00:01:00"), "click"))
+      q.processAllAvailable()
+      // trigger 2: user 1's click now counts (view carried in state);
+      // a SECOND view for user 1 must NOT re-emit stage 1
+      ms.addData(
+        (6L, 1L, ts("2024-01-01 00:03:00"), "click"),
+        (7L, 1L, ts("2024-01-01 00:04:00"), "view"))
+      q.processAllAvailable()
+      val got = spark.table("fun_live")
+        .as[graft.streaming.FunnelReach].collect()
+        .map(r => (r.user_id, r.stage_idx)).toSeq
+      assert(got.size == got.distinct.size, s"duplicate emission: $got")
+      assert(got.toSet == Set((1L, 1), (1L, 2),
+        (2L, 1), (2L, 2), (2L, 3)), got.toString)
+    } finally q.stop()
+  }
+
   test("zscoreStream: the trailing ring carried across triggers is " +
     "bit-equal to the batch windowed op, including the spike flag") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1486,6 +1486,14 @@ object SparkEntry {
       Dedup.overlapMatrix(t(s, dir, "documents"), "source", "text",
         n = 8)),
 
+    // ---- training-data ops: feature hashing (the hashing trick) —
+    // (doc, index, tf) sparse vectors with index = portable char-fold
+    // poly-hash mod 1024, no vocabulary artifact; hash on the
+    // DISTINCT vocab only (the dsir discipline). ----
+    "t_feature_hash" -> ((s, dir) =>
+      TextOps.featureHash(t(s, dir, "documents"), "doc_id", "text",
+        dims = 1024)),
+
     // ---- training-data ops: containment-similarity join — ordered
     // pairs where ≥ 60% of a's 3-grams appear in b: the subset-
     // duplicate detector whole-doc jaccard dilutes away (quotes,
@@ -5172,6 +5180,28 @@ object SparkEntry {
         |FROM (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 0) a
         |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 1) b USING (gram)
         |GROUP BY a.doc_id""".stripMargin,
+
+    // same char-fold poly-hash as t_dsir_weights, mod 1024; collisions
+    // sum their counts
+    "t_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |vb AS (
+        |  SELECT term,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(term, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) % 1024 AS INT)
+        |      AS idx
+        |  FROM (SELECT DISTINCT term FROM tf))
+        |SELECT tf.doc_id, vb.idx, CAST(SUM(tf.tf) AS BIGINT) AS tf
+        |FROM tf JOIN vb USING (term)
+        |GROUP BY 1, 2""".stripMargin,
 
     // brute-force quadratic containment: same distinct 3-gram sets,
     // same 1e-9 slack, ratio compared UNROUNDED then rounded for output

@@ -493,6 +493,37 @@ object TextOps {
       .drop("__m")
   }
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009):
+    * each document as a sparse `dims`-dimensional bag-of-words vector
+    * — (doc, index, tf) rows with index = portable char-fold
+    * poly-hash of the term mod `dims` — the fixed-width featurizer
+    * that needs NO vocabulary artifact (no fit step, no OOV problem,
+    * the property that makes it the streaming/linear-model default).
+    * Collisions ADD their counts (the trick's documented semantics).
+    *
+    * Scale shape: the [[dsirWeights]] discipline — the hash is
+    * evaluated on the DISTINCT vocab only (never per corpus token),
+    * the term-keyed join back is AQE's call, one (doc, index) agg.
+    * The poly-hash is the SQL-replayable char fold, so any engine
+    * reproduces the indices exactly. */
+  def featureHash(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  dims: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(dims >= 2, "dims must be >= 2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val vocab = tf.select(col("term")).distinct()
+      .withColumn("idx", pmod(
+        aggregate(split(col("term"), ""), lit(0L),
+          (acc, c) => (acc * 31L + ascii(c)) % 2147483647L),
+        lit(dims.toLong)).cast("int"))
+    tf.join(vocab, Seq("term"))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("__tf")).cast("long").as("tf"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
     * retrieval arms — the standard hybrid-search combiner: each arm
     * contributes 1/(rrfK + rank) per candidate, summed across arms, so

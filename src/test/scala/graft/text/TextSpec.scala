@@ -907,6 +907,23 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("featureHash: colliding terms sum their counts; indices in " +
+    "[0, dims); identical docs hash identically") {
+    val docs = Seq((1L, "aa aa bb"), (2L, "aa aa bb"), (3L, "cc"))
+      .toDF("doc_id", "text")
+    val out = TextOps.featureHash(docs, "doc_id", "text", dims = 8)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    // per-doc total tf is preserved through hashing (collisions sum)
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(perDoc(1L) == 3L && perDoc(3L) == 1L, perDoc.toString)
+    // identical docs -> identical sparse vectors
+    val v1 = rows.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet
+    val v2 = rows.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet
+    assert(v1 == v2)
+  }
+
   test("containmentJoin: complete vs brute force; catches the " +
     "short-doc-quoted-in-long-doc pair whole-doc jaccard dilutes") {
     val quote = "alpha beta gamma delta epsilon"

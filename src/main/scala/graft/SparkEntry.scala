@@ -2233,6 +2233,18 @@ object SparkEntry {
       Analytics.dauWau(t(s, dir, "events"), "user_id", "ts",
         windowDays = 7)),
 
+    // ---- A29: population stability index — value distribution of
+    // the month's first half (reference) vs second half (current),
+    // decile boundaries from the reference broadcast into both
+    // binning passes; Laplace-guarded shares. ----
+    "a29_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Quality.psi(
+        ev.filter(dayofmonth(col("ts")) <= 15).select(col("value")),
+        ev.filter(dayofmonth(col("ts")) > 15).select(col("value")),
+        "value", bins = 10)
+    }),
+
     // ---- A26: calendar gap audit — per user, the days inside their
     // own [first, last] event span with no events; calendar explode
     // bounded by the span, one distinct, one left_anti join. ----
@@ -6492,6 +6504,54 @@ object SparkEntry {
         |        (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6)
         |    AS gini
         |FROM g, p""".stripMargin,
+
+    // reference deciles bin both halves; Laplace-guarded shares;
+    // full outer keeps bins empty on either side
+    "a29_psi" ->
+      """WITH r0 AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND day(ts) <= 15),
+        |c0 AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND day(ts) > 15),
+        |q AS (SELECT quantile_cont(v, 0.1) AS q1,
+        |  quantile_cont(v, 0.2) AS q2, quantile_cont(v, 0.3) AS q3,
+        |  quantile_cont(v, 0.4) AS q4, quantile_cont(v, 0.5) AS q5,
+        |  quantile_cont(v, 0.6) AS q6, quantile_cont(v, 0.7) AS q7,
+        |  quantile_cont(v, 0.8) AS q8, quantile_cont(v, 0.9) AS q9
+        |  FROM r0),
+        |rb AS (SELECT 1 + CAST(v > q1 AS INT) + CAST(v > q2 AS INT)
+        |  + CAST(v > q3 AS INT) + CAST(v > q4 AS INT)
+        |  + CAST(v > q5 AS INT) + CAST(v > q6 AS INT)
+        |  + CAST(v > q7 AS INT) + CAST(v > q8 AS INT)
+        |  + CAST(v > q9 AS INT) AS bin FROM r0, q),
+        |cb AS (SELECT 1 + CAST(v > q1 AS INT) + CAST(v > q2 AS INT)
+        |  + CAST(v > q3 AS INT) + CAST(v > q4 AS INT)
+        |  + CAST(v > q5 AS INT) + CAST(v > q6 AS INT)
+        |  + CAST(v > q7 AS INT) + CAST(v > q8 AS INT)
+        |  + CAST(v > q9 AS INT) AS bin FROM c0, q),
+        |r AS (SELECT bin, COUNT(*) AS ref_n FROM rb GROUP BY 1),
+        |c AS (SELECT bin, COUNT(*) AS cur_n FROM cb GROUP BY 1),
+        |t AS (SELECT (SELECT CAST(SUM(ref_n) AS BIGINT) FROM r) AS tr,
+        |             (SELECT CAST(SUM(cur_n) AS BIGINT) FROM c) AS tc),
+        |f AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+        |        CAST(COALESCE(ref_n, 0) AS BIGINT) AS ref_n,
+        |        CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n
+        |      FROM r FULL OUTER JOIN c ON r.bin = c.bin)
+        |SELECT bin, ref_n, cur_n,
+        |  ROUND((ref_n + CAST(0.5 AS DOUBLE)) /
+        |        (tr + CAST(5.0 AS DOUBLE)), 6) AS ref_share,
+        |  ROUND((cur_n + CAST(0.5 AS DOUBLE)) /
+        |        (tc + CAST(5.0 AS DOUBLE)), 6) AS cur_share,
+        |  ROUND(((cur_n + CAST(0.5 AS DOUBLE)) /
+        |           (tc + CAST(5.0 AS DOUBLE)) -
+        |         (ref_n + CAST(0.5 AS DOUBLE)) /
+        |           (tr + CAST(5.0 AS DOUBLE))) *
+        |        ln(((cur_n + CAST(0.5 AS DOUBLE)) /
+        |             (tc + CAST(5.0 AS DOUBLE))) /
+        |           ((ref_n + CAST(0.5 AS DOUBLE)) /
+        |             (tr + CAST(5.0 AS DOUBLE)))), 6) AS psi_term
+        |FROM f, t""".stripMargin,
 
     // distinct (user, day) + 7-day explode; inner join keeps days
     // with their own activity

@@ -435,6 +435,63 @@ object Quality {
                 (col("__tn") - col("__tb")))), 6), 6).as("iv_term"))
   }
 
+  /** Population stability index between a REFERENCE and a CURRENT
+    * sample of the same numeric column — the standard drift alarm
+    * ([[woeBins]]' companion: WOE asks "does the feature separate
+    * classes", PSI asks "did the feature's distribution move since
+    * training"): the reference is cut into `bins` equal-population
+    * bins by its OWN percentiles, both samples are binned by those
+    * same boundaries, and each bin contributes
+    * (q_i − p_i)·ln(q_i / p_i) with p/q the Laplace-guarded shares
+    * ((n + 0.5) / (N + 0.5·bins) — empty current bins must alarm,
+    * not divide by zero; stated convention). Σ psi_term < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 act — the classic thresholds.
+    *
+    * Scale shape: one tiny percentile row from the reference
+    * broadcast into BOTH binning passes (narrow comparison chains),
+    * one bins-sized agg each, a bins-row join. Nulls excluded. */
+  def psi(ref: DataFrame, cur: DataFrame, valCol: String,
+          bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    def v = col(valCol).cast("double")
+    val refV = ref.filter(v.isNotNull).select(v.as("__v"))
+    val curV = cur.filter(v.isNotNull).select(v.as("__v"))
+    val qs = refV.agg(
+      call_function("percentile", col("__v"),
+        lit(1.0 / bins)).as("__q1"),
+      (2 until bins).map(i => call_function("percentile", col("__v"),
+        lit(i.toDouble / bins)).as(s"__q$i")): _*)
+    val bin = (1 until bins).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("__v") > col(s"__q$i"), 1).otherwise(0)
+    }
+    def binned(df: DataFrame, n: String) =
+      df.crossJoin(broadcast(qs)).select(bin.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val r = binned(refV, "ref_n")
+    val c = binned(curV, "cur_n")
+    val tot = r.agg(sum(col("ref_n")).as("__tr"))
+      .crossJoin(c.agg(sum(col("cur_n")).as("__tc")))
+    // full outer: a bin empty on either side still contributes
+    r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round((col("ref_n") + lit(0.5)) /
+          (col("__tr") + lit(0.5 * bins)), 6).as("ref_share"),
+        round((col("cur_n") + lit(0.5)) /
+          (col("__tc") + lit(0.5 * bins)), 6).as("cur_share"),
+        round(((col("cur_n") + lit(0.5)) /
+            (col("__tc") + lit(0.5 * bins)) -
+          (col("ref_n") + lit(0.5)) /
+            (col("__tr") + lit(0.5 * bins))) *
+          log(((col("cur_n") + lit(0.5)) /
+              (col("__tc") + lit(0.5 * bins))) /
+            ((col("ref_n") + lit(0.5)) /
+              (col("__tr") + lit(0.5 * bins)))), 6).as("psi_term"))
+  }
+
   def olsFit(df: DataFrame, by: Seq[String], xCol: String,
              yCol: String): DataFrame = {
     val ok = col(xCol).isNotNull && col(yCol).isNotNull

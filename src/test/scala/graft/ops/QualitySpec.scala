@@ -228,6 +228,29 @@ class QualitySpec extends SparkSpec {
       got.toString)
   }
 
+  test("psi: identical distributions score ~0; a shifted current " +
+    "sample alarms; empty current bins contribute via the guard") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    // identical: every term ~0 (only the 0.5 guard perturbs shares)
+    val same = Quality.psi(ref, (1 to 100).map(_.toDouble).toDF("v"),
+        "v", bins = 4)
+      .agg(sum(col("psi_term"))).collect().head.getDouble(0)
+    assert(math.abs(same) < 1e-6, same.toString)
+    // hard shift: current all in the top reference bin
+    val shifted = Quality.psi(ref,
+        (101 to 200).map(_.toDouble).toDF("v"), "v", bins = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    // bins 1-3: cur_n 0 but a FINITE positive term via the guard
+    // (PSI terms are always >= 0: (q-p) and ln(q/p) share sign)
+    assert(shifted(1)._2 == 0L && shifted(1)._3 > 0 &&
+      !shifted(1)._3.isInfinite, shifted.toString)
+    // bin 4 holds all 100 current rows, large positive term
+    assert(shifted(4)._2 == 100L && shifted(4)._3 > 0.5)
+    val total = shifted.values.map(_._3).sum
+    assert(total > 0.25, s"shifted PSI must alarm: $total")
+  }
+
   test("woeBins: hand-computed WOE/IV on a 2-bin separable feature") {
     // values 1..10, bad = v > 5; 2 bins split at the median boundary
     val df = (1 to 10).map(i => (i.toDouble, i > 5)).toDF("v", "bad")

@@ -434,6 +434,15 @@ object ScaleSweep {
       // one exact scan into TakeOrdered + the PQ serve
       "e_pq_recall" -> (d =>
         SparkEntry.queries("e_pq_recall")(spark, d).count()),
+      // O(stages) booleans per key, 4 chunked triggers + tiny post-agg
+      "s_stream_funnel" -> (d =>
+        SparkEntry.queries("s_stream_funnel")(spark, d).count()),
+      // hash on distinct vocab only; term-keyed join back
+      "t_feature_hash" -> (d =>
+        SparkEntry.queries("t_feature_hash")(spark, d).count()),
+      // one broadcast percentile row, two narrow binning passes
+      "a29_psi" -> (d =>
+        SparkEntry.queries("a29_psi")(spark, d).count()),
       // three window aggs share one key frame; new users only
       "w28_roll_zscore" -> (d =>
         SparkEntry.queries("w28_roll_zscore")(spark, d).count()),

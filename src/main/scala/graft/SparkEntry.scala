@@ -369,6 +369,40 @@ object SparkEntry {
         "c_custkey", "c_name", k = 1)
         .orderBy("id1", "id2")),
 
+    // ---- J14: blocked Jaro–Winkler fuzzy self-match over the
+    // DISTINCT part-name vocabulary (block = trailing token; the
+    // adjective varies, the noun anchors the block). DISTINCT-first
+    // collapses the massive name duplication before any pair is
+    // scored; the comparator is the native byte-loop expression whose
+    // semantics are pinned to DuckDB's jaro_winkler_similarity — the
+    // oracle is a true cross-implementation check. ----
+    "j14_fuzzy_match" -> ((s, dir) =>
+      Joins.fuzzyMatchJoin(
+        t(s, dir, "part").select(col("p_name")),
+        "p_name",
+        n => element_at(split(n, " "), -1),
+        threshold = 0.88)
+        .orderBy("name1", "name2")),
+
+    // ---- F: Jaro / Jaro–Winkler scalar surface — four string-pair
+    // shapes per part row (reversal = transposition stress, brand =
+    // cross-format, plural = prefix boost, case flip = byte
+    // inequality), each oracled against DuckDB's independent
+    // implementation. ----
+    "f_jaro_winkler" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        round(NativeExpressions.jaro_sim(
+          col("p_name"), reverse(col("p_name"))), 6).as("j_rev"),
+        round(NativeExpressions.jaro_winkler_sim(
+          col("p_name"), col("p_brand")), 6).as("jw_brand"),
+        round(NativeExpressions.jaro_winkler_sim(
+          col("p_name"), concat(col("p_name"), lit("s"))), 6)
+          .as("jw_plural"),
+        round(NativeExpressions.jaro_winkler_sim(
+          upper(col("p_name")), col("p_name")), 6).as("jw_case"))
+        .orderBy("p_partkey")),
+
     // ---- interval (range) join: shipments inside each order's 90-day
     // window, via the time-binned equi-join (Joins.rangeJoin) ----
     "j9_range" -> ((s, dir) => {
@@ -2245,6 +2279,15 @@ object SparkEntry {
         "value", bins = 10)
     }),
 
+    // ---- A30: Pearson χ² independence — order priority × status
+    // contingency; per-cell contributions beside the suite statistic.
+    // One (a,b) hash agg collapses the fact; marginals are window
+    // sums on the cell-sized frame; χ² sums decimal-exact. ----
+    "a30_chisq" -> ((s, dir) =>
+      Quality.chiSquareIndependence(t(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderpriority", "o_orderstatus")),
+
     // ---- A26: calendar gap audit — per user, the days inside their
     // own [first, last] event span with no events; calendar explode
     // bounded by the span, one distinct, one left_anti join. ----
@@ -3644,6 +3687,28 @@ object SparkEntry {
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // same blocking, DuckDB's own jaro_winkler_similarity — a genuine
+    // cross-implementation comparator check, not a replay
+    "j14_fuzzy_match" ->
+      """WITH v AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name,
+        |        regexp_extract(p_name, '([^ ]+)$', 1) AS blk FROM v)
+        |SELECT a.p_name AS name1, b2.p_name AS name2,
+        |  ROUND(jaro_winkler_similarity(a.p_name, b2.p_name), 6) AS jw
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+        |WHERE ROUND(jaro_winkler_similarity(a.p_name, b2.p_name), 6)
+        |  >= 0.88""".stripMargin,
+
+    "f_jaro_winkler" ->
+      """SELECT p_partkey,
+        |  ROUND(jaro_similarity(p_name, reverse(p_name)), 6) AS j_rev,
+        |  ROUND(jaro_winkler_similarity(p_name, p_brand), 6) AS jw_brand,
+        |  ROUND(jaro_winkler_similarity(p_name, p_name || 's'), 6)
+        |    AS jw_plural,
+        |  ROUND(jaro_winkler_similarity(upper(p_name), p_name), 6)
+        |    AS jw_case
+        |FROM part""".stripMargin,
 
     "j9_range" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate
@@ -6552,6 +6617,44 @@ object SparkEntry {
         |           ((ref_n + CAST(0.5 AS DOUBLE)) /
         |             (tr + CAST(5.0 AS DOUBLE)))), 6) AS psi_term
         |FROM f, t""".stripMargin,
+
+    // same accumulation discipline as the Spark side: marginal
+    // products through double BEFORE multiplying, per-cell
+    // contributions rounded to 6 then summed exact-decimal
+    "a30_chisq" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS obs
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dims AS (
+        |  SELECT CAST(count(DISTINCT o_orderpriority) AS INT) AS na,
+        |         CAST(count(DISTINCT o_orderstatus) AS INT) AS nb,
+        |         CAST(sum(obs) AS DOUBLE) AS tot
+        |  FROM cells),
+        |m AS (
+        |  SELECT o_orderpriority, o_orderstatus, obs,
+        |    CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+        |      AS rt,
+        |    CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+        |      AS ct
+        |  FROM cells),
+        |e AS (
+        |  SELECT o_orderpriority, o_orderstatus, obs,
+        |    rt * ct / tot AS expd,
+        |    (CAST(obs AS DOUBLE) - rt * ct / tot) *
+        |    (CAST(obs AS DOUBLE) - rt * ct / tot) /
+        |      (rt * ct / tot) AS contrib,
+        |    na, nb
+        |  FROM m, dims)
+        |SELECT o_orderpriority, o_orderstatus,
+        |  CAST(obs AS BIGINT) AS obs,
+        |  ROUND(expd, 6) AS expected,
+        |  ROUND(contrib, 6) AS contrib,
+        |  ROUND(CAST(SUM(CAST(ROUND(contrib, 6) AS DECIMAL(28,6)))
+        |    OVER () AS DOUBLE), 6) AS chi2,
+        |  CAST((na - 1) * (nb - 1) AS INT) AS dof
+        |FROM e""".stripMargin,
 
     // distinct (user, day) + 7-day explode; inner join keeps days
     // with their own activity

@@ -480,4 +480,74 @@ object Joins {
       .filter(col("dist") <= k)
       .select(col("id1"), col("id2"), col("dist"))
   }
+
+  /** Blocked Jaro–Winkler fuzzy-match join — the classic
+    * entity-resolution shape (blocking + in-block compare; Elmagarmid
+    * et al., TKDE 2007 survey) for name/label vocabularies where
+    * [[editDistanceJoin]]'s hard edit budget is the wrong similarity
+    * (Jaro–Winkler rewards shared prefixes and tolerates
+    * transpositions at any string length).
+    *
+    * Scale design, in order:
+    *
+    *   1. DISTINCT names first. Row streams repeat names massively
+    *      (a 10⁹-row fact may carry 10⁵ distinct names); resolving
+    *      the NAME VOCABULARY collapses the quadratic term from
+    *      rows² to names² before anything else runs — the same
+    *      distinct-before-expensive-op rule the reference applies to
+    *      med-name regex matching (SURVEY.md §2 dedup-before-
+    *      expensive-op).
+    *   2. Blocking key (caller-chosen, e.g. last token, phonetic
+    *      key, length band). One hash shuffle on the key; in-block
+    *      all-pairs via self-equi-join, never a global cross join.
+    *      Recall is exactly "pairs sharing a block" — the caller's
+    *      key IS the recall contract, stated, not hidden.
+    *   3. `maxBucket` caps pathological blocks (a block whose size
+    *      exceeds the cap is dropped WHOLE, counted DISTINCTLY in the
+    *      "fuzzy_join_dropped_blocks" Observation — the LSH-cap
+    *      convention used across the dedup family).
+    *   4. The comparator is the native [[graft.functions.NativeExpressions.JaroSimilarityExpr]]
+    *      (one tight byte loop per pair, no per-pair allocation
+    *      beyond two scratch flag arrays).
+    *
+    * Cost: Σ_b |b|² comparisons — Ω(output) wherever blocks are dense
+    * because the names genuinely collide. Pair order is byte-
+    * lexicographic (`name1 < name2`), matching DuckDB's default BINARY
+    * collation so the oracle joins reproduce identical pairs.
+    *
+    * @return (name1, name2, jw) with name1 < name2, jw ≥ threshold
+    *         rounded to 6 decimals. */
+  def fuzzyMatchJoin(names: DataFrame, nameCol: String,
+                     block: Column => Column, threshold: Double,
+                     maxBucket: Option[Int] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0,1]")
+    val vocab0 = names.filter(col(nameCol).isNotNull)
+      .select(col(nameCol).as("__name")).distinct()
+      .withColumn("__blk", block(col("__name")))
+      .filter(col("__blk").isNotNull)
+    val vocab = maxBucket match {
+      case None => vocab0
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__blk"))
+        val wRn = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__blk")).orderBy(col("__name"))
+        val counted = vocab0.withColumn("__bn", count(lit(1)).over(w))
+          .withColumn("__rn", row_number().over(wRn))
+        counted
+          .observe("fuzzy_join_dropped_blocks",
+            sum(when(col("__bn") > cap && col("__rn") === 1, 1L)
+              .otherwise(0L)).as("dropped"))
+          .filter(col("__bn") <= cap).drop("__bn", "__rn")
+    }
+    val left = vocab.select(col("__blk"), col("__name").as("name1"))
+    val right = vocab.select(col("__blk"), col("__name").as("name2"))
+    left.join(right, Seq("__blk"))
+      .filter(col("name1") < col("name2"))
+      .withColumn("jw", round(graft.functions.NativeExpressions
+        .jaro_winkler_sim(col("name1"), col("name2")), 6))
+      .filter(col("jw") >= threshold)
+      .select(col("name1"), col("name2"), col("jw"))
+  }
 }

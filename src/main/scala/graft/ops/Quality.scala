@@ -520,4 +520,56 @@ object Quality {
       when(denR === 0.0, lit(null).cast("double"))
         .otherwise(round((num / denR) * (num / denR), 6)).as("r2")): _*)
   }
+
+  /** Pearson χ² test of independence between two categorical columns —
+    * the QC companion to [[psi]] (PSI asks "did ONE feature drift",
+    * this asks "are TWO features associated": a segment×status cell
+    * far from rowTot·colTot/N is evidence the dimensions are not
+    * independent). Emits one row PER CONTINGENCY CELL (observed,
+    * expected, its χ² contribution — the actionable part: WHICH cell
+    * drives the signal) with the suite-level statistic and degrees of
+    * freedom repeated on every row, ratio-to-report style.
+    *
+    * Scale shape: one (a,b) hash agg collapses the fact to cell
+    * cardinality |A|·|B| — everything after runs on that tiny frame
+    * (marginals as window sums sharing its exchanges; the
+    * distinct-count/grand-total frame is ONE row, broadcast).
+    * Numerics: marginal products go through double BEFORE multiplying
+    * (two 10¹²-row marginals overflow int64 multiplied as integers),
+    * and the suite statistic sums per-cell contributions ROUNDED to 6
+    * decimals through exact decimal(28,6) accumulation — immune to FP
+    * reduction order, mirrored verbatim in the oracle. Null categories
+    * are excluded (stated; a production run would bucket them as a
+    * sentinel level first). No continuity correction (plain Pearson).
+    *
+    * @return (aCol, bCol, obs, expected, contrib, chi2, dof) */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("obs"))
+    val dims = cells.agg(
+      countDistinct(col(aCol)).cast("int").as("__na"),
+      countDistinct(col(bCol)).cast("int").as("__nb"),
+      sum(col("obs")).cast("double").as("__tot"))
+    val wA = Window.partitionBy(col(aCol))
+    val wB = Window.partitionBy(col(bCol))
+    val wAll = Window.partitionBy()
+    val rt = sum(col("obs")).over(wA).cast("double")
+    val ct = sum(col("obs")).over(wB).cast("double")
+    val expd = rt * ct / col("__tot")
+    val obsD = col("obs").cast("double")
+    val contrib = (obsD - expd) * (obsD - expd) / expd
+    cells.crossJoin(broadcast(dims))
+      .select(col(aCol), col(bCol), col("obs"),
+        round(expd, 6).as("expected"),
+        round(contrib, 6).as("contrib"),
+        round(contrib, 6).as("__c6"),
+        ((col("__na") - 1) * (col("__nb") - 1)).cast("int").as("dof"))
+      .withColumn("chi2", round(
+        sum(col("__c6").cast("decimal(28,6)")).over(wAll)
+          .cast("double"), 6))
+      .select(col(aCol), col(bCol), col("obs"), col("expected"),
+        col("contrib"), col("chi2"), col("dof"))
+  }
 }

@@ -363,4 +363,90 @@ class JoinsScalarsSpec extends SparkSpec {
     // cell-edge: 2.999 vs 3.001 cross the cell-2 boundary and match
     assert(got.contains((100L, 200L)) && got.contains((101L, 201L)))
   }
+
+  test("jaro / jaro-winkler: hand-derived reference values incl. the " +
+    "DuckDB-pinned edge cases (bytes, integer transposition halving, " +
+    "window clamp, >0.7 boost gate, 4-byte prefix cap, empty → 0)") {
+    import graft.functions.NativeExpressions.{jaro_sim, jaro_winkler_sim}
+    // every expected value was probed against DuckDB 1.x
+    val cases = Seq(
+      // (a, b, jaro, jw)
+      ("", "", 0.0, 0.0),                  // DuckDB: both-empty is 0
+      ("a", "", 0.0, 0.0),
+      ("a", "a", 1.0, 1.0),                // window clamps to 0, not −1
+      ("ab", "ba", 0.0, 0.0),              // window 0: aligned-only
+      ("martha", "marhta", 0.9444444444444445, 0.9611111111111111),
+      ("dixon", "dicksonx", 0.7666666666666666, 0.8133333333333332),
+      ("duane", "dwayne", 0.8222222222222223, 0.8400000000000001),
+      ("jellyfish", "smellyfish", 0.8962962962962964, 0.8962962962962964),
+      ("aaaaaa", "aaaaab", 0.888888888888889, 0.9333333333333333), // cap 4
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6, 0.6), // jaro ≤ 0.7 → NO boost
+      ("abcdefxxxxxx", "abcdefyyyy", 0.7000000000000001,
+        0.8200000000000001),               // just over the gate → boost
+      ("abcdefgh", "bcadefgh", 0.9583333333333334, 0.9583333333333334),
+      // ^ 3 raw mismatches halve to 1 (integer), not 1.5
+      ("aéb", "aéc", 0.8333333333333334, 0.8833333333333334),
+      // ^ BYTE view: é is 2 bytes, so these are 4-byte strings
+      ("Customer#000000001", "Customer#000000002",
+        0.9629629629629629, 0.9777777777777777))
+    val got = cases.map { case (a, b, _, _) => (a, b) }
+      .toDF("a", "b")
+      .select(jaro_sim(col("a"), col("b")),
+        jaro_winkler_sim(col("a"), col("b")))
+      .as[(Double, Double)].collect()
+    cases.zip(got).foreach { case ((a, b, ej, ejw), (gj, gjw)) =>
+      assert(gj == ej, s"jaro('$a','$b'): got $gj want $ej")
+      assert(gjw == ejw, s"jw('$a','$b'): got $gjw want $ejw")
+    }
+    // null propagation
+    val n = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(jaro_winkler_sim(col("a"), col("b"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("fuzzyMatchJoin == brute force within blocks; distinct-first " +
+    "collapses duplicate rows; byte-lexicographic pair order") {
+    import graft.functions.NativeExpressions.jaroWinklerRef
+    val rows = Seq("red bolt", "red bolts", "rad bolt", "blue bolt",
+      "red gear", "rad gear", "reed gear", "blue gear",
+      "red bolt", "red bolt", "rad gear") // dupes must collapse
+    val df = rows.toDF("name")
+    val got = Joins.fuzzyMatchJoin(df, "name",
+        n => element_at(split(n, " "), -1), threshold = 0.85)
+      .as[(String, String, Double)].collect().toSet
+    val vocab = rows.distinct
+    val brute = (for {
+      a <- vocab; b <- vocab
+      if a < b && a.split(" ").last == b.split(" ").last
+      s = jaroWinklerRef(a, b)
+      r = math.rint(s * 1e6) / 1e6 if r >= 0.85
+    } yield (a, b, r)).toSet
+    assert(got == brute && got.nonEmpty)
+    assert(got.forall { case (a, b, _) => a < b })
+  }
+
+  test("fuzzyMatchJoin: maxBucket drops an oversized block WHOLE, " +
+    "Observation counts DISTINCT dropped blocks, survivors unaffected") {
+    val rows = (1 to 6).map(i => s"v$i bolt") ++
+      Seq("red gear", "reed gear")
+    val df = rows.toDF("name")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      val capped = Joins.fuzzyMatchJoin(df, "name",
+        n => element_at(split(n, " "), -1), threshold = 0.85,
+        maxBucket = Some(4))
+      // collect on the DataFrame itself: .as[...] would wrap a FRESH
+      // QueryExecution and the observed metric would never populate
+      val pairs = capped.collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs == Set(("red gear", "reed gear")),
+        s"bolt block (6 > 4) must vanish whole, got $pairs")
+      val dropped = capped.queryExecution.observedMetrics
+        .get("fuzzy_join_dropped_blocks").map(_.getLong(0))
+      assert(dropped.contains(1L),
+        s"expected 1 distinct dropped block, got $dropped")
+    } finally spark.conf.set(aqeKey, aqeWas)
+  }
 }

@@ -270,4 +270,26 @@ class QualitySpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(iv - 2 * 2.397895) < 1e-9, iv.toString)
   }
+
+  test("chiSquareIndependence: hand-computed 2x2 cells, exact-decimal " +
+    "suite statistic, dof, null categories excluded") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q")) ++
+      Seq((null.asInstanceOf[String], "p"), ("x", null.asInstanceOf[String]))
+    val got = Quality.chiSquareIndependence(
+        rows.toDF("a", "b"), "a", "b")
+      .orderBy("a", "b")
+      .as[(String, String, Long, Double, Double, Double, Int)]
+      .collect().toSeq
+    // marginals 30/30 each, tot 60 -> every expected = 15;
+    // contribs: (10-15)^2/15 = (20-15)^2/15 = 1.666667 (r6);
+    // chi2 = 4 * 1.666667 summed exactly = 6.666668; dof = 1
+    assert(got == Seq(
+      ("x", "p", 10L, 15.0, 1.666667, 6.666668, 1),
+      ("x", "q", 20L, 15.0, 1.666667, 6.666668, 1),
+      ("y", "p", 20L, 15.0, 1.666667, 6.666668, 1),
+      ("y", "q", 10L, 15.0, 1.666667, 6.666668, 1)), got.toString)
+  }
 }

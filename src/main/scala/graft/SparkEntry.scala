@@ -1520,6 +1520,16 @@ object SparkEntry {
       Dedup.overlapMatrix(t(s, dir, "documents"), "source", "text",
         n = 8)),
 
+    // ---- training-data ops: pairwise Jensen–Shannon divergence
+    // between per-LANGUAGE unigram distributions — the mixing-weight
+    // diagnostic beside the overlap matrix (overlap counts shared
+    // grams; JSD weighs whole distributions). Union-support sum =
+    // intersection join + exclusive-mass closed form; no outer join,
+    // disjoint pairs restored at exactly ln 2. ----
+    "t_jsd" -> ((s, dir) =>
+      TextOps.jsDivergence(t(s, dir, "documents"), "text", "lang")
+        .orderBy("grp_a", "grp_b")),
+
     // ---- training-data ops: feature hashing (the hashing trick) —
     // (doc, index, tf) sparse vectors with index = portable char-fold
     // poly-hash mod 1024, no vocabulary artifact; hash on the
@@ -5350,6 +5360,43 @@ object SparkEntry {
         |FROM sh
         |JOIN tot ta ON ta.source = sh.source_a
         |JOIN tot tb ON tb.source = sh.source_b""".stripMargin,
+
+    // intersection terms + ln(2)·exclusive-mass tail, contributions
+    // and shares rounded to 6 then summed exact-decimal — the same
+    // split the Spark side computes
+    "t_jsd" ->
+      """WITH toks AS (
+        |  SELECT lang AS g, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents WHERE lang IS NOT NULL),
+        |tf AS (SELECT g, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(tf) AS tot FROM tf GROUP BY 1),
+        |sh AS (SELECT tf.g, term,
+        |         CAST(tf AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |       FROM tf JOIN tot ON tf.g = tot.g),
+        |inter AS (
+        |  SELECT a.g AS grp_a, b.g AS grp_b,
+        |    CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(SUM(CAST(ROUND(
+        |      a.p * ln((2.0 * a.p) / (a.p + b.p)) +
+        |      b.p * ln((2.0 * b.p) / (a.p + b.p)), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS ci,
+        |    CAST(SUM(CAST(ROUND(a.p, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS sa,
+        |    CAST(SUM(CAST(ROUND(b.p, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS sb
+        |  FROM sh a JOIN sh b ON a.term = b.term AND a.g < b.g
+        |  GROUP BY 1, 2),
+        |gp AS (SELECT a.g AS grp_a, b.g AS grp_b
+        |       FROM tot a JOIN tot b ON a.g < b.g)
+        |SELECT gp.grp_a, gp.grp_b,
+        |  COALESCE(n_common, 0) AS n_common,
+        |  ROUND((COALESCE(ci, 0.0) + ln(2) *
+        |    ((1.0 - COALESCE(sa, 0.0)) + (1.0 - COALESCE(sb, 0.0))))
+        |    / 2.0, 6) AS jsd
+        |FROM gp LEFT JOIN inter
+        |  ON gp.grp_a = inter.grp_a AND gp.grp_b = inter.grp_b""".stripMargin,
 
     "t_dedup_clusters" ->
       """WITH RECURSIVE toks AS (

@@ -1129,4 +1129,73 @@ object TextOps {
       .orderBy(col("rank").desc, col("term"))
       .limit(topK)
   }
+
+  /** Pairwise Jensen–Shannon divergence between per-group unigram
+    * distributions — the corpus-composition audit that says HOW FAR
+    * APART two slices' token distributions are (0 = identical, ln 2 =
+    * disjoint support): the quantitative companion to
+    * [[graft.text.Dedup.overlapMatrix]] (overlap counts shared grams;
+    * JSD weighs the whole distribution), and the standard
+    * mixing-weight diagnostic when deciding how to blend sources into
+    * a training corpus.
+    *
+    * Relational formulation: per-group shares are one (group, term)
+    * agg (vocab-sized per group); the Σ over the support UNION splits
+    * into the term-intersection self-join (both p,q > 0) plus the
+    * exclusive-mass closed form — a term in P only contributes
+    * p·ln 2, so the tail is ln 2 · (1 − Σ_intersection p) per side and
+    * needs NO outer join. Group pairs that share nothing fall out of
+    * the join entirely; they're restored from the groups×groups cross
+    * (groups-sized, broadcast) with the exact disjoint value ln 2.
+    *
+    * Determinism: per-term contributions and shares are rounded to 6
+    * dp and accumulated in exact decimal, so the pairwise sum is
+    * reduction-order-free and engine-reproducible. Scale contract:
+    * the group column must be LOW-CARDINALITY (sources, languages —
+    * output is C(G,2) rows and the term join fans out C(G,2) per
+    * shared term); the corpus itself is touched once, linearly.
+    *
+    * @return (grp_a, grp_b, n_common, jsd) with grp_a < grp_b. */
+  def jsDivergence(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   groupCol: String): org.apache.spark.sql.DataFrame = {
+    val ln2 = log(lit(2.0))
+    val toks = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(tokens(lower(col(textCol)))).as("__term"))
+    val tf = toks.groupBy(col("__g"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val tot = tf.groupBy(col("__g")).agg(sum(col("__tf")).as("__tot"))
+    val shares = tf.join(broadcast(tot), Seq("__g"))
+      .select(col("__g"), col("__term"),
+        (col("__tf").cast("double") / col("__tot").cast("double"))
+          .as("__p"))
+    val a = shares.select(col("__g").as("grp_a"), col("__term"),
+      col("__p").as("__pa"))
+    val b = shares.select(col("__g").as("grp_b"), col("__term"),
+      col("__p").as("__pb"))
+    val mix = col("__pa") + col("__pb")
+    val contrib = round(
+      col("__pa") * log(lit(2.0) * col("__pa") / mix) +
+      col("__pb") * log(lit(2.0) * col("__pb") / mix), 6)
+    val inter = a.join(b, Seq("__term"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(contrib.cast("decimal(28,6)")).cast("double").as("__ci"),
+        sum(round(col("__pa"), 6).cast("decimal(28,6)")).cast("double")
+          .as("__sa"),
+        sum(round(col("__pb"), 6).cast("decimal(28,6)")).cast("double")
+          .as("__sb"))
+    val groups = tot.select(col("__g"))
+    val allPairs = groups.select(col("__g").as("grp_a"))
+      .crossJoin(broadcast(groups.select(col("__g").as("grp_b"))))
+      .filter(col("grp_a") < col("grp_b"))
+    allPairs.join(broadcast(inter), Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round((coalesce(col("__ci"), lit(0.0)) +
+          ln2 * ((lit(1.0) - coalesce(col("__sa"), lit(0.0))) +
+            (lit(1.0) - coalesce(col("__sb"), lit(0.0))))) / 2.0, 6)
+          .as("jsd"))
+  }
 }

@@ -1031,4 +1031,37 @@ class TextSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "label_pred", "score",
       "label_actual", "correct"))
   }
+
+  test("jsDivergence: identical groups 0, disjoint groups ln 2, " +
+    "partial overlap matches the scalar reference, symmetric pairs") {
+    val docs = Seq(
+      ("g1", "a a b"), ("g2", "a b b b"), ("g3", "z"), ("g4", "a a b")
+    ).toDF("lang", "text")
+    val got = TextOps.jsDivergence(docs, "text", "lang")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.size == 6)
+    // scalar reference mirroring the relational split (intersection
+    // contributions + ln2 * exclusive mass)
+    def ref(p: Map[String, Double], q: Map[String, Double]): Double = {
+      val common = (p.keySet & q.keySet).toSeq
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val ci = common.map { t =>
+        val a = p(t); val b = q(t)
+        r6(a * math.log(2 * a / (a + b)) + b * math.log(2 * b / (a + b)))
+      }.sum
+      val sa = common.map(t => r6(p(t))).sum
+      val sb = common.map(t => r6(q(t))).sum
+      (ci + math.log(2) * ((1 - sa) + (1 - sb))) / 2
+    }
+    val d1 = Map("a" -> 2.0 / 3, "b" -> 1.0 / 3)
+    val d2 = Map("a" -> 0.25, "b" -> 0.75)
+    assert(got(("g1", "g4")) == ((2L, 0.0)), "identical dists")
+    assert(got(("g1", "g3")) == ((0L, 0.693147)), "disjoint = ln 2")
+    assert(got(("g2", "g3")) == ((0L, 0.693147)))
+    assert(got(("g3", "g4")) == ((0L, 0.693147)))
+    assert(math.abs(got(("g1", "g2"))._2 - ref(d1, d2)) < 1e-6)
+    assert(got(("g1", "g2")) == got(("g2", "g4")),
+      "g4 duplicates g1: pair values must agree")
+  }
 }

@@ -452,6 +452,24 @@ object ScaleSweep {
       // one hash agg over a fixed 7x24 grid
       "a27_seasonal" -> (d =>
         SparkEntry.queries("a27_seasonal")(spark, d).count()),
+      // C(langs,2) output; corpus touched once (tokenize + two aggs)
+      "t_jsd" -> (d =>
+        SparkEntry.queries("t_jsd")(spark, d).count()),
+      // one contingency-cell agg (event_type × weekday, ≤ 7·|types|
+      // cells); everything downstream runs on the cell frame
+      "a30_chisq(events)" -> (d => graft.ops.Quality
+        .chiSquareIndependence(
+          Tables.load(spark, d, "events")
+            .withColumn("dow", dayofweek(col("ts"))),
+          "event_type", "dow").count()),
+      // blocked JW fuzzy join over the replica-grown customer-name
+      // vocabulary: 16-char prefix blocks cap block size at 100 names
+      // regardless of corpus size, so cost = names × in-block pairs
+      // grows ∝ factor (names² never materializes)
+      "j14_fuzzy(cust names)" -> (d => graft.ops.Joins.fuzzyMatchJoin(
+        Tables.load(spark, d, "customer").select(col("c_name")),
+        "c_name", n => substring(n, 1, 16), threshold = 0.95,
+        maxBucket = Some(200)).count()),
       // constant-DENSITY scale model (the honest one for a spatial
       // join: a bigger map, same density — box side ∝ √factor keeps
       // rows/cell flat, so output and cost both grow ∝ factor; a

@@ -2133,6 +2133,69 @@ object SparkEntry {
           lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
     }),
 
+    // ---- streaming: per-day PSI drift monitor — the a29 reference
+    // profile (first-half-of-month deciles + Laplace-guarded shares)
+    // frozen into the plan as literals, each day window scored the
+    // moment the watermark closes it. One stateful op (bins
+    // conditional sums per window); the PSI fold is a stateless
+    // fixed-order projection, so the chunked replay is bit-equal to
+    // the oracle's batch recomputation. Same staged input + sentinel
+    // drain as s_stream_distinct. ----
+    "s_stream_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val refV = ev.filter(col("value").isNotNull &&
+          dayofmonth(col("ts")) <= 15)
+        .select(col("value").cast("double").as("v"))
+      val qRow = refV.agg(
+        call_function("percentile", col("v"), lit(0.1)).as("q1"),
+        (2 to 9).map(i => call_function("percentile", col("v"),
+          lit(i / 10.0)).as(s"q$i")): _*).head()
+      val bounds = (0 until 9).map(qRow.getDouble)
+      val binOf = bounds.foldLeft(lit(1)) { (acc, b) =>
+        acc + when(col("v") > lit(b), 1).otherwise(0)
+      }
+      val refCounts = refV.select(binOf.as("bin")).groupBy(col("bin"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val refTot = refCounts.values.sum
+      val refShares = (1 to 10).map(i =>
+        (refCounts.getOrElse(i, 0L) + 0.5) / (refTot + 5.0))
+      val in = stagedDistinctEventsDir.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_sdc")
+        val e = t(s, dir, "events")
+        val maxMs = e.agg(max(col("ts"))).head().get(0) match {
+          case ts: java.sql.Timestamp      => ts.getTime
+          case dt: java.time.LocalDateTime =>
+            java.sql.Timestamp.valueOf(dt).getTime
+        }
+        val tsType = e.schema("ts").dataType
+        def sentinel(offsetDays: Long) = e.limit(1).select(
+          lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxMs + offsetDays * 86400 * 1000))
+            .cast(tsType).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        val inDir = s"$tmp/in"
+        e.coalesce(1).write.mode("overwrite").parquet(inDir)
+        graft.streaming.EventStreams.stageDrainBatches(inDir,
+          Seq(sentinel(30), sentinel(31)))
+        inDir
+      })
+      val ckpt = tempDir("graft_spsi_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val sink = graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.psiStream(stream, "value",
+          bounds, refShares, "1 day", "2 days"),
+        queryName = s"spsi_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.EventStreams.drainTail(sink,
+        col("window_start") >=
+          lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
+        .orderBy("window_start")
+    }),
+
     "s_stream_windowed" -> ((s, dir) => {
       val in = stagedEventsDir.getOrElseUpdate(dir, {
         val tmp = tempDir("graft_sw")
@@ -6360,6 +6423,53 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // batch recomputation of the streamed per-day PSI: same reference
+    // profile (first-half deciles, Laplace-guarded shares), same
+    // per-term round-6 + fixed left-assoc bin fold; unrolled over the
+    // 10 bins programmatically for readability
+    "s_stream_psi" -> {
+      val qs = (1 to 9).map(i =>
+        s"quantile_cont(v, 0.$i) AS q$i").mkString(",\n  ")
+      val binExpr = "1 " +
+        (1 to 9).map(i => s"+ CAST(v > q$i AS INT)").mkString(" ")
+      val ns = (1 to 10).map(i =>
+        s"SUM(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS n$i")
+        .mkString(",\n  ")
+      val rsp = (1 to 10).map(i =>
+        s"MAX(CASE WHEN bin = $i THEN r END) AS r$i").mkString(",\n  ")
+      def share(i: Int) =
+        s"(n$i + CAST(0.5 AS DOUBLE)) / (tot + CAST(5.0 AS DOUBLE))"
+      val terms = (1 to 10).map(i =>
+        s"ROUND((${share(i)} - r$i) * ln((${share(i)}) / r$i), 6)")
+        .mkString("\n  + ")
+      s"""WITH r0 AS (
+         |  SELECT CAST(value AS DOUBLE) AS v FROM events
+         |  WHERE value IS NOT NULL AND day(ts) <= 15),
+         |q AS (SELECT
+         |  $qs
+         |  FROM r0),
+         |rb AS (SELECT $binExpr AS bin FROM r0, q),
+         |r AS (SELECT bin, COUNT(*) AS ref_n FROM rb GROUP BY 1),
+         |tr AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS tr FROM r),
+         |rs AS (SELECT i AS bin,
+         |         (COALESCE(ref_n, 0) + CAST(0.5 AS DOUBLE)) /
+         |           (tr + CAST(5.0 AS DOUBLE)) AS r
+         |       FROM range(1, 11) t(i) LEFT JOIN r ON r.bin = i, tr),
+         |rsp AS (SELECT
+         |  $rsp
+         |  FROM rs),
+         |a0 AS (SELECT CAST(value AS DOUBLE) AS v,
+         |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+         |       FROM events WHERE value IS NOT NULL),
+         |ab AS (SELECT d, $binExpr AS bin FROM a0, q),
+         |cnt AS (SELECT d,
+         |  $ns,
+         |  COUNT(*) AS tot FROM ab GROUP BY 1)
+         |SELECT d AS window_start, CAST(tot AS BIGINT) AS n_events,
+         |  ROUND($terms, 6) AS psi
+         |FROM cnt, rsp""".stripMargin
+    },
 
     // every event lands in exactly windowLen/slide = 2 sliding windows:
     // its 30-min bucket's window and the one starting 30 min earlier

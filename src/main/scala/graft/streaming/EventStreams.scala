@@ -136,6 +136,59 @@ object EventStreams {
         (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("event_id"), col("col.value").as("value"))
 
+  /** Watermarked per-window PSI drift monitor — the STREAMING twin of
+    * [[graft.ops.Quality.psi]]: each event-time window's value
+    * distribution is scored against a FROZEN reference (the training
+    * snapshot), so distribution drift alarms in the window it happens
+    * instead of at the next offline audit. The reference rides into
+    * the plan as literals (bin boundaries = the reference's own
+    * percentiles; per-bin Laplace-guarded shares), exactly how a
+    * deployed monitor ships its training profile.
+    *
+    * ONE stateful operator: the per-window bin histogram is `bins`
+    * conditional sums inside a single windowed agg (partials merge
+    * per micro-batch — per-window state is `bins` longs forever, the
+    * window's events never accumulate anywhere), and the PSI fold over
+    * the bins is a stateless projection on the agg output: Σ_i
+    * (q_i − r_i)·ln(q_i / r_i) with q_i = (n_i + 0.5)/(tot + 0.5·bins)
+    * — per-term round-6 then a FIXED left-assoc fold i = 1..bins, so
+    * the statistic is reduction-order-free and the chunked replay is
+    * bit-equal to any batch recomputation. Append mode: a window's PSI
+    * emits once, when the watermark closes it — drain with
+    * [[stageDrainBatches]] + [[drainTail]] like every stateful op.
+    * Empty bins alarm (the Laplace guard, [[graft.ops.Quality.psi]]'s
+    * stated convention), never divide by zero. */
+  def psiStream(events: DataFrame, valCol: String,
+                boundaries: Seq[Double], refShares: Seq[Double],
+                windowLen: String = "1 day",
+                watermark: String = "2 days"): DataFrame = {
+    require(boundaries.nonEmpty &&
+      refShares.length == boundaries.length + 1,
+      "refShares needs one entry per bin (|boundaries| + 1)")
+    require(refShares.forall(_ > 0.0),
+      "refShares must be Laplace-guarded (> 0)")
+    val bins = refShares.length
+    val v = col(valCol).cast("double")
+    val bin = boundaries.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(v > lit(b), 1).otherwise(0)
+    }
+    val counted = events.filter(v.isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(sum(when(bin === 1, 1L).otherwise(0L)).as("__n1"),
+        (2 to bins).map(i =>
+          sum(when(bin === i, 1L).otherwise(0L)).as(s"__n$i")): _*)
+    val tot = (1 to bins).map(i => col(s"__n$i")).reduce(_ + _)
+    val denom = tot.cast("double") + lit(0.5 * bins)
+    val terms = (1 to bins).map { i =>
+      val q = (col(s"__n$i").cast("double") + lit(0.5)) / denom
+      val r = lit(refShares(i - 1))
+      round((q - r) * log(q / r), 6)
+    }
+    counted.select(col("window.start").as("window_start"),
+      tot.as("n_events"), round(terms.reduce(_ + _), 6).as("psi"))
+  }
+
   /** Stream–static broadcast enrichment: join each micro-batch to a
     * BATCH dimension — the most common streaming join (attach the
     * user/product/geo attributes to every event). Stateless: no

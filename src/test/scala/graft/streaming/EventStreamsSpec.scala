@@ -454,6 +454,51 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("psiStream: bin partials merge across triggers, windows emit " +
+    "on watermark close, nulls ignored, psi matches the scalar mirror") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Option[Double])]
+    val events = ms.toDF().toDF("event_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spsi").toString
+    val q = EventStreams.psiStream(events, "value",
+        boundaries = Seq(5.0), refShares = Seq(0.5, 0.5),
+        windowLen = "1 day", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("spsi_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // trigger 1: low 1,2 / high 6 (+ a null that must not count)
+      ms.addData((1L, ts("2024-01-01 01:00:00"), Some(1.0)),
+        (2L, ts("2024-01-01 02:00:00"), Some(2.0)),
+        (3L, ts("2024-01-01 03:00:00"), Some(6.0)),
+        (4L, ts("2024-01-01 03:30:00"), None))
+      q.processAllAvailable()
+      // trigger 2, SAME window: low 3 / high 7 — the window's bin
+      // histogram must merge partials, not restart
+      ms.addData((5L, ts("2024-01-01 10:00:00"), Some(3.0)),
+        (6L, ts("2024-01-01 11:00:00"), Some(7.0)))
+      q.processAllAvailable()
+      // two sentinel advances close the Jan-1 window (watermark lag)
+      ms.addData((7L, ts("2024-01-04 00:00:00"), Some(0.0)))
+      q.processAllAvailable()
+      ms.addData((8L, ts("2024-01-04 00:10:00"), Some(0.0)))
+      q.processAllAvailable()
+      val got = spark.table("spsi_live")
+        .as[(java.sql.Timestamp, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // scalar mirror of the operator's own formula: n1=3, n2=2, tot=5
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (q1, q2) = ((3 + 0.5) / (5 + 1.0), (2 + 0.5) / (5 + 1.0))
+      val want = r6(
+        r6((q1 - 0.5) * math.log(q1 / 0.5)) +
+        r6((q2 - 0.5) * math.log(q2 / 0.5)))
+      assert(got(ts("2024-01-01 00:00:00")) == ((5L, want)), got.toString)
+    } finally q.stop()
+  }
+
   test("checkpoint RESUME: a NEW query on the same checkpoint " +
     "restores recurrence state and continues without reprocessing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

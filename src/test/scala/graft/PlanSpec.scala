@@ -371,6 +371,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyMatchJoin plans as a block equi-join over the DISTINCT " +
+    "name vocabulary — never a cartesian product, aggregate before join") {
+    val plan = planOf(SparkEntry.queries("j14_fuzzy_match")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // distinct-first: the HashAggregate (names dedup) sits BELOW the
+    // self-join, so the join probes the vocabulary, not the row stream
+    val joinIdx = plan.indexOf("Join")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx, plan.take(1500))
+  }
+
+  test("psiStream folds PSI as a stateless projection over ONE " +
+    "stateful windowed aggregate — no second state store, no join") {
+    // no limit(0): the optimizer folds an empty relation to a
+    // LocalRelation and the shape under test vanishes
+    val ev = Tables.load(spark, dir, "events")
+    val plan = graft.streaming.EventStreams.psiStream(
+        ev, "value", Seq(0.5), Seq(0.5, 0.5))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+    // one grouping only: the bins ride as conditional sums inside the
+    // single window agg, never a (window, bin) re-shuffle
+    assert("(?s)Aggregate".r.findAllIn(plan).size == 1, plan.take(1200))
+  }
+
   test("PLANS.md is fresh: fingerprint matches the current query set " +
        "and pinned logical plans (regenerate with graft.tools.PlanDump)") {
     // the plan book backs SURVEY's scale claims; a stale book silently

@@ -2361,6 +2361,32 @@ object SparkEntry {
         "o_orderpriority", "o_orderstatus")
         .orderBy("o_orderpriority", "o_orderstatus")),
 
+    // ---- A31: id-sequence gap audit — holes of ≥ 20 missing ids in
+    // the click stream's event_id sequence; bucketed lag (parallel)
+    // + a bucket-frame window for border/whole-bucket holes. Small
+    // bucketSize (4096) on purpose: the sf0.01 run exercises ~70
+    // buckets so the cross-border path is genuinely covered. ----
+    "a31_seq_gaps" -> ((s, dir) =>
+      Quality.sequenceGaps(
+        t(s, dir, "events").filter(col("event_type") === "click"),
+        "event_id", minGap = 20L, bucketSize = 4096L)
+        .orderBy("gap_start")),
+
+    // ---- A32: k-anonymity audit — equivalence classes of the
+    // (priority, status, order year, order month) quasi-identifier
+    // with fewer than k=5 orders: the re-identifiable cells a
+    // release gate must suppress. ----
+    "a32_k_anon" -> ((s, dir) =>
+      Quality.kAnonymity(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          col("o_orderstatus"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month")),
+        Seq("o_orderpriority", "o_orderstatus", "o_year", "o_month"),
+        k = 5L)
+        .orderBy("o_orderpriority", "o_orderstatus", "o_year",
+          "o_month")),
+
     // ---- A26: calendar gap audit — per user, the days inside their
     // own [first, last] event span with no events; calendar explode
     // bounded by the span, one distinct, one left_anti join. ----
@@ -6774,6 +6800,27 @@ object SparkEntry {
         |           ((ref_n + CAST(0.5 AS DOUBLE)) /
         |             (tr + CAST(5.0 AS DOUBLE)))), 6) AS psi_term
         |FROM f, t""".stripMargin,
+
+    // one global lag is the whole oracle; the Spark side must produce
+    // the identical hole set from its bucketed two-path formulation
+    "a31_seq_gaps" ->
+      """WITH ids AS (
+        |  SELECT DISTINCT event_id AS id FROM events
+        |  WHERE event_type = 'click'),
+        |g AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+        |SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+        |  CAST(id - 1 AS BIGINT) AS gap_end,
+        |  CAST(id - prev - 1 AS BIGINT) AS missing
+        |FROM g WHERE prev IS NOT NULL AND id - prev - 1 >= 20""".stripMargin,
+
+    "a32_k_anon" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2, 3, 4
+        |HAVING count(*) < 5""".stripMargin,
 
     // same accumulation discipline as the Spark side: marginal
     // products through double BEFORE multiplying, per-cell

@@ -572,4 +572,65 @@ object Quality {
       .select(col(aCol), col(bCol), col("obs"), col("expected"),
         col("contrib"), col("chi2"), col("dof"))
   }
+
+  /** Completeness audit over a supposedly-dense integer id sequence
+    * (ingest offsets, auto-increment keys, log line numbers): every
+    * hole of ≥ `minGap` consecutive missing ids, as (gap_start,
+    * gap_end, missing) — the "did the loader drop a chunk" check the
+    * reference runs as frequency sanity, made exact.
+    *
+    * Scale shape — the naive formulation is lag() over ONE global
+    * ordering, a single-partition window over the whole key space.
+    * Instead: ids bucket by `floor(id / bucketSize)` and intra-bucket
+    * holes come from a lag over the (bucket, id) hash exchange —
+    * fully parallel. Holes CROSSING bucket borders (including whole
+    * missing buckets) come from a per-bucket (min, max) aggregate:
+    * that frame is n/bucketSize rows, and only IT rides a one-
+    * partition window — size the bucket so ids/bucketSize fits one
+    * task (2²⁰ default → one window row per ~10⁶ ids; a 10¹² id
+    * space is a 10⁶-row frame). Duplicate ids collapse first (one
+    * distinct — gap math needs unique points). */
+  def sequenceGaps(df: DataFrame, idCol: String, minGap: Long = 1L,
+                   bucketSize: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minGap >= 1 && bucketSize >= 2, "minGap >= 1, bucketSize >= 2")
+    val ids = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id")).distinct()
+      .withColumn("__b", floor(col("__id") / bucketSize))
+    val wIntra = Window.partitionBy(col("__b")).orderBy(col("__id"))
+    val intra = ids.withColumn("__prev", lag(col("__id"), 1).over(wIntra))
+      .filter(col("__prev").isNotNull &&
+        col("__id") - col("__prev") > 1)
+      .select((col("__prev") + 1).as("gap_start"),
+        (col("__id") - 1).as("gap_end"),
+        (col("__id") - col("__prev") - 1).as("missing"))
+    val perBucket = ids.groupBy(col("__b"))
+      .agg(min(col("__id")).as("__lo"), max(col("__id")).as("__hi"))
+    val wCross = Window.orderBy(col("__b")) // n/bucketSize rows only
+    val cross = perBucket
+      .withColumn("__prevHi", lag(col("__hi"), 1).over(wCross))
+      .filter(col("__prevHi").isNotNull &&
+        col("__lo") - col("__prevHi") > 1)
+      .select((col("__prevHi") + 1).as("gap_start"),
+        (col("__lo") - 1).as("gap_end"),
+        (col("__lo") - col("__prevHi") - 1).as("missing"))
+    intra.unionByName(cross).filter(col("missing") >= minGap)
+  }
+
+  /** k-anonymity audit over a quasi-identifier column set (Sweeney
+    * 2002): the equivalence classes with FEWER than k rows — the
+    * re-identifiable cells a release gate must generalize or suppress
+    * before the table ships. Emits the violating classes themselves
+    * (the actionable set), with their row counts; an empty result IS
+    * the pass certificate. One hash agg on the quasi columns, a
+    * class-cardinality frame after it — nothing row-scale survives
+    * the agg. Null is a quasi VALUE here (an attacker sees null too),
+    * so classes group it like any other level. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

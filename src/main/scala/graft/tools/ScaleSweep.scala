@@ -452,6 +452,9 @@ object ScaleSweep {
       // one hash agg over a fixed 7x24 grid
       "a27_seasonal" -> (d =>
         SparkEntry.queries("a27_seasonal")(spark, d).count()),
+      // bucketed lag + bucket-frame border pass; one distinct
+      "a31_seq_gaps" -> (d =>
+        SparkEntry.queries("a31_seq_gaps")(spark, d).count()),
       // frozen reference literals; O(bins) longs per live day window
       "s_stream_psi" -> (d =>
         SparkEntry.queries("s_stream_psi")(spark, d).count()),

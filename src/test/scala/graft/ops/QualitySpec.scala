@@ -292,4 +292,44 @@ class QualitySpec extends SparkSpec {
       ("y", "p", 20L, 15.0, 1.666667, 6.666668, 1),
       ("y", "q", 10L, 15.0, 1.666667, 6.666668, 1)), got.toString)
   }
+
+  test("sequenceGaps: intra-bucket and cross-border holes (incl. a " +
+    "whole missing bucket) found exactly once; duplicates collapse; " +
+    "minGap filters") {
+    import spark.implicits._
+    // bucketSize 8: buckets {0:[1,2,3], 1:[10,12], 12:[100]} — the
+    // 13..99 hole spans ten fully-missing buckets
+    val ids = Seq(1L, 2L, 3L, 10L, 12L, 100L, 12L, 3L).toDF("id")
+    val all = Quality.sequenceGaps(ids, "id", minGap = 1L,
+        bucketSize = 8L)
+      .orderBy("gap_start").as[(Long, Long, Long)].collect().toSeq
+    assert(all == Seq((4L, 9L, 6L), (11L, 11L, 1L), (13L, 99L, 87L)),
+      all.toString)
+    val filtered = Quality.sequenceGaps(ids, "id", minGap = 5L,
+        bucketSize = 8L)
+      .orderBy("gap_start").as[(Long, Long, Long)].collect().toSeq
+    assert(filtered == Seq((4L, 9L, 6L), (13L, 99L, 87L)))
+    // dense sequence: the pass certificate is an empty result
+    assert(Quality.sequenceGaps((1L to 50L).toDF("id"), "id",
+      bucketSize = 8L).isEmpty)
+  }
+
+  test("kAnonymity: classes below k emitted with counts, nulls group " +
+    "as a quasi value, empty result when everything is k-anonymous") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) :+
+      (("b", null.asInstanceOf[String])))
+      .toDF("q1", "q2")
+    val got = Quality.kAnonymity(df, Seq("q1", "q2"), k = 3)
+      .as[(String, Option[String], Long)].collect().toSet
+    assert(got == Set(("a", Some("y"), 2L), ("b", None, 1L)), got.toString)
+    assert(Quality.kAnonymity(df, Seq("q1", "q2"), k = 2)
+      .collect().map(_.getLong(2)).toSet == Set(1L))
+    // generalizing to q1 alone merges a's classes but b stays unique
+    assert(Quality.kAnonymity(df, Seq("q1"), k = 2)
+      .as[(String, Long)].collect().toSet == Set(("b", 1L)))
+    // the pass certificate: every class at least k
+    val ok = (Seq.fill(3)("a") ++ Seq.fill(3)("b")).toDF("q1")
+    assert(Quality.kAnonymity(ok, Seq("q1"), k = 3).isEmpty)
+  }
 }

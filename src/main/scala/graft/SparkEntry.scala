@@ -66,6 +66,44 @@ object SparkEntry {
     * sentinel drain batches). */
   private val stagedDistinctEventsDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-JVM cache of the s_stream_psi reference profile (decile
+    * bounds, Laplace-guarded shares) — round-10 ADVICE: the profile's
+    * two driver-side collects re-ran on every invocation even though
+    * the staged input was already cached per dir. */
+  private val stagedPsiProfile = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Double], Seq[Double])]
+
+  /** Shared staging for the sentinel-drained chunked events replays
+    * (s_stream_distinct and s_stream_psi — round-10 ADVICE: the ~25
+    * line closure was duplicated verbatim and both populate the SAME
+    * cache key, so an edit to one could silently drift from the
+    * other). Events land as ONE parquet file followed by two sentinel
+    * drain batches (max ts + 30/31 days), so maxFilesPerTrigger=1
+    * replays chunk-by-chunk and the two-sentinel watermark advance
+    * flushes the last real windows. */
+  private def stageSentinelEvents(s: SparkSession, dir: String): String =
+    stagedDistinctEventsDir.getOrElseUpdate(dir, {
+      val tmp = tempDir("graft_sdc")
+      val e = t(s, dir, "events")
+      val maxMs = e.agg(max(col("ts"))).head().get(0) match {
+        case ts: java.sql.Timestamp      => ts.getTime
+        case dt: java.time.LocalDateTime =>
+          java.sql.Timestamp.valueOf(dt).getTime
+      }
+      val tsType = e.schema("ts").dataType
+      def sentinel(offsetDays: Long) = e.limit(1).select(
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxMs + offsetDays * 86400 * 1000))
+          .cast(tsType).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      val inDir = s"$tmp/in"
+      e.coalesce(1).write.mode("overwrite").parquet(inDir)
+      graft.streaming.EventStreams.stageDrainBatches(inDir,
+        Seq(sentinel(30), sentinel(31)))
+      inDir
+    })
   private val stagedOuterEventsDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -908,10 +946,13 @@ object SparkEntry {
     // filter (GPT-3/CCNet-style), supervised here by `source` so the
     // query audits domain separability. Laplace-smoothed log-prob
     // grid = vocab × labels (labels broadcast, vocab never); exact
-    // decimal score accumulation; tie-broken argmax window. ----
+    // decimal score accumulation; tie-broken argmax window. The 32
+    // hottest terms (stopword postings — the measured skew) route
+    // through the salted join; scores stay bit-identical, so the
+    // oracle needs no knowledge of the salting. ----
     "t_nb_classify" -> ((s, dir) =>
       TextOps.naiveBayesClassify(t(s, dir, "documents"), "doc_id",
-        "text", "source")),
+        "text", "source", saltHotTerms = 32)),
 
     // ---- training-data ops: corpus term frequencies (explode +
     // count + deterministic top-k) ----
@@ -1792,8 +1833,11 @@ object SparkEntry {
     "e_pq_encode" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.pqEncode(emb, "vec_id", "embedding",
-        Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8,
-          iters = 1))
+          Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8,
+            iters = 1))
+        // f_array_ops convention: flatten the array for the harness's
+        // pandas sort (ndarray columns are unhashable there)
+        .select(col("vec_id"), array_join(col("codes"), ",").as("codes"))
     }),
 
     // ---- similarity: IVF-PQ composed query — coarse cells prune the
@@ -2098,27 +2142,7 @@ object SparkEntry {
     // count), Append mode, tail drained by the two-sentinel batches;
     // oracle is the batch distinct count per hour. ----
     "s_stream_distinct" -> ((s, dir) => {
-      val in = stagedDistinctEventsDir.getOrElseUpdate(dir, {
-        val tmp = tempDir("graft_sdc")
-        val e = t(s, dir, "events")
-        val maxMs = e.agg(max(col("ts"))).head().get(0) match {
-          case ts: java.sql.Timestamp      => ts.getTime
-          case dt: java.time.LocalDateTime =>
-            java.sql.Timestamp.valueOf(dt).getTime
-        }
-        val tsType = e.schema("ts").dataType
-        def sentinel(offsetDays: Long) = e.limit(1).select(
-          lit(-1L).as("event_id"),
-          lit(new java.sql.Timestamp(maxMs + offsetDays * 86400 * 1000))
-            .cast(tsType).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
-        val inDir = s"$tmp/in"
-        e.coalesce(1).write.mode("overwrite").parquet(inDir)
-        graft.streaming.EventStreams.stageDrainBatches(inDir,
-          Seq(sentinel(30), sentinel(31)))
-        inDir
-      })
+      val in = stageSentinelEvents(s, dir)
       val ckpt = tempDir("graft_sdc_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
@@ -2142,45 +2166,28 @@ object SparkEntry {
     // the oracle's batch recomputation. Same staged input + sentinel
     // drain as s_stream_distinct. ----
     "s_stream_psi" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val refV = ev.filter(col("value").isNotNull &&
-          dayofmonth(col("ts")) <= 15)
-        .select(col("value").cast("double").as("v"))
-      val qRow = refV.agg(
-        call_function("percentile", col("v"), lit(0.1)).as("q1"),
-        (2 to 9).map(i => call_function("percentile", col("v"),
-          lit(i / 10.0)).as(s"q$i")): _*).head()
-      val bounds = (0 until 9).map(qRow.getDouble)
-      val binOf = bounds.foldLeft(lit(1)) { (acc, b) =>
-        acc + when(col("v") > lit(b), 1).otherwise(0)
-      }
-      val refCounts = refV.select(binOf.as("bin")).groupBy(col("bin"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val refTot = refCounts.values.sum
-      val refShares = (1 to 10).map(i =>
-        (refCounts.getOrElse(i, 0L) + 0.5) / (refTot + 5.0))
-      val in = stagedDistinctEventsDir.getOrElseUpdate(dir, {
-        val tmp = tempDir("graft_sdc")
-        val e = t(s, dir, "events")
-        val maxMs = e.agg(max(col("ts"))).head().get(0) match {
-          case ts: java.sql.Timestamp      => ts.getTime
-          case dt: java.time.LocalDateTime =>
-            java.sql.Timestamp.valueOf(dt).getTime
+      // profile cached per dir alongside the staged input (round-10
+      // ADVICE: the two collects re-ran on every invocation)
+      val (bounds, refShares) = stagedPsiProfile.getOrElseUpdate(dir, {
+        val refV = t(s, dir, "events").filter(col("value").isNotNull &&
+            dayofmonth(col("ts")) <= 15)
+          .select(col("value").cast("double").as("v"))
+        val qRow = refV.agg(
+          call_function("percentile", col("v"), lit(0.1)).as("q1"),
+          (2 to 9).map(i => call_function("percentile", col("v"),
+            lit(i / 10.0)).as(s"q$i")): _*).head()
+        val bs = (0 until 9).map(qRow.getDouble)
+        val binOf = bs.foldLeft(lit(1)) { (acc, b) =>
+          acc + when(col("v") > lit(b), 1).otherwise(0)
         }
-        val tsType = e.schema("ts").dataType
-        def sentinel(offsetDays: Long) = e.limit(1).select(
-          lit(-1L).as("event_id"),
-          lit(new java.sql.Timestamp(maxMs + offsetDays * 86400 * 1000))
-            .cast(tsType).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
-        val inDir = s"$tmp/in"
-        e.coalesce(1).write.mode("overwrite").parquet(inDir)
-        graft.streaming.EventStreams.stageDrainBatches(inDir,
-          Seq(sentinel(30), sentinel(31)))
-        inDir
+        val refCounts = refV.select(binOf.as("bin")).groupBy(col("bin"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val refTot = refCounts.values.sum
+        (bs, (1 to 10).map(i =>
+          (refCounts.getOrElse(i, 0L) + 0.5) / (refTot + 5.0)))
       })
+      val in = stageSentinelEvents(s, dir)
       val ckpt = tempDir("graft_spsi_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
@@ -5805,7 +5812,9 @@ object SparkEntry {
         |       code
         |     LIMIT 1) AS code
         |  FROM embeddings e, subs s)
-        |SELECT vec_id, list(CAST(code AS INT) ORDER BY sub) AS codes
+        |SELECT vec_id,
+        |  array_to_string(list(CAST(code AS INT) ORDER BY sub), ',')
+        |    AS codes
         |FROM a2 GROUP BY vec_id""".stripMargin,
 
     // the full IVFADC replay: coarse cells, EXACT-FLOAT residuals

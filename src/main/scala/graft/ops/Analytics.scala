@@ -471,11 +471,38 @@ object Analytics {
     piN.select(col("state"), col("__pi").cast("double").as("pi"))
   }
 
+  /** Market-basket pair rules (support / confidence / lift) from a
+    * (basket, item) long table. The pair stage is a self equi-join on
+    * basket id, so its cost is Σ C(|basket|, 2) — quadratic per basket
+    * but linear in baskets.
+    *
+    * `maxBasketSize` bounds that quadratic term against bot/template
+    * baskets (one 10⁵-item basket is otherwise a single ~5×10⁹-pair
+    * task): when set, baskets with more than cap DISTINCT items are
+    * dropped entirely — truncation would silently skew every surviving
+    * pair's support, whereas a dropped outlier basket is an honest,
+    * observable exclusion — and the dropped item-row count is readable
+    * as the "assoc_dropped_items" Observation (the funnel/`maxBucket`
+    * convention). Support, basket count, and pairs are all computed on
+    * the bounded set, so the rule arithmetic stays self-consistent.
+    * The size count rides a basket-keyed window — the SAME key the
+    * pair join shuffles on. Default None preserves exact semantics. */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
-                       minPairSupport: Long = 3): DataFrame = {
+                       minPairSupport: Long = 3,
+                       maxBasketSize: Option[Int] = None): DataFrame = {
     require(minPairSupport >= 1, "minPairSupport must be >= 1")
-    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+    require(maxBasketSize.forall(_ > 0), "maxBasketSize must be > 0")
+    val raw = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
+    val items = maxBasketSize match {
+      case None => raw
+      case Some(cap) =>
+        val w = Window.partitionBy(col("__b"))
+        raw.withColumn("__bs", count(lit(1)).over(w))
+          .observe("assoc_dropped_items",
+            sum(when(col("__bs") > cap, 1L).otherwise(0L)).as("dropped"))
+          .filter(col("__bs") <= cap).drop("__bs")
+    }
     val supp = items.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
     val tot = items.select(countDistinct(col("__b")).as("__nb"))
     val a = items.select(col("__b"), col("__i").as("__x"))

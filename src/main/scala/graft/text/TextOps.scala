@@ -587,10 +587,16 @@ object TextOps {
     * corpus-sized reaches the driver. Skew caveat (measured in the
     * 30× sweep, ratio/factor 1.07): the scoring join's key cardinality
     * is the VOCAB, which grows much slower than the corpus — a
-    * stopword term's postings become one hot partition; if a real
-    * corpus makes that the bottleneck, route the top-k hottest terms
-    * through [[graft.ops.Scale.saltedJoin]] (the grid side is
-    * replicable — it's (term, label) rows).
+    * stopword term's postings become one hot partition. The escape
+    * route is WIRED: `saltHotTerms > 0` finds the k hottest terms by
+    * doc-frequency (one agg + TakeOrdered — k-row broadcast, never a
+    * driver collect) and routes their postings through
+    * [[graft.ops.Scale.saltedJoin]] — the grid side is replicable
+    * ((term, label) rows; only the k hot terms' L-row slices are
+    * duplicated per salt), so the hot term's postings spread across
+    * `salts` partitions instead of one straggler. Cold terms take the
+    * plain join; the union re-aggregates with order-free decimal sums,
+    * so the salted plan is bit-identical to the unsalted one (spec'd).
     *
     * Cross-engine determinism: each ln is rounded once to 6 dp and
     * cast to exact decimal; per-doc accumulation is decimal (order
@@ -600,7 +606,11 @@ object TextOps {
     * @return (doc_id, label_pred, score, label_actual, correct) */
   def naiveBayesClassify(docs: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String,
-                         labelCol: String): org.apache.spark.sql.DataFrame = {
+                         labelCol: String,
+                         saltHotTerms: Int = 0,
+                         salts: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(saltHotTerms >= 0, "saltHotTerms must be >= 0")
+    require(salts > 0, "salts must be positive")
     def dec(c: Column): Column = c.cast("decimal(18,6)")
     val toks = docs.select(col(idCol).as("__doc"),
       col(labelCol).as("__act"),
@@ -628,7 +638,30 @@ object TextOps {
         dec(round(log((coalesce(col("__ct"), lit(0L)) + lit(1))
             .cast("double") /
           (col("__tot") + col("__v")).cast("double")), 6)).as("__lp"))
-    val scored = tf.join(grid, Seq("__term"))
+    val termScored =
+      if (saltHotTerms == 0) tf.join(grid, Seq("__term"))
+      else {
+        // k-row hot set: doc-frequency top-k, broadcast both ways
+        val hot = tf.groupBy(col("__term"))
+          .agg(count(lit(1)).as("__pf"))
+          .orderBy(col("__pf").desc, col("__term"))
+          .limit(saltHotTerms)
+          .select(col("__term"), lit(true).as("__hot"))
+        val tfT = tf.join(broadcast(hot), Seq("__term"), "left")
+        val gridT = grid.join(broadcast(hot), Seq("__term"), "left")
+        val cold = tfT.filter(col("__hot").isNull).drop("__hot")
+          .join(gridT.filter(col("__hot").isNull).drop("__hot"),
+            Seq("__term"))
+        // hot postings spread over `salts` sub-partitions; the grid's
+        // k hot (term, label) slices replicate per salt (k × L × salts
+        // rows — tiny)
+        val hotJoined = graft.ops.Scale.saltedJoin(
+          tfT.filter(col("__hot")).drop("__hot"),
+          gridT.filter(col("__hot")).drop("__hot"),
+          Seq("__term"), saltSource = col("__doc"), salts = salts)
+        cold.unionByName(hotJoined)
+      }
+    val scored = termScored
       .groupBy(col("__doc"), col("__lab"))
       .agg(sum(dec(round(col("__tf") * col("__lp"), 6))).as("__s"),
         max(col("__act")).as("__act"))

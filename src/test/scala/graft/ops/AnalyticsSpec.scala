@@ -242,6 +242,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(!got.contains(("B", "C")) && got.size == 4)
   }
 
+  test("associationRules maxBasketSize: a 10k-item mega-basket is " +
+    "dropped whole, its item rows observable, survivors unaffected") {
+    // three honest {A,B} baskets + one bot basket with 10k items
+    // (including A and B — dropping whole, not truncating, is what
+    // keeps the survivors' support arithmetic untouched)
+    val honest = (1L to 3L).flatMap(b => Seq((b, "A"), (b, "B")))
+    val bot = (1 to 10000).map(i => (99L, s"item_$i"))
+    val df = (honest ++ bot).toDF("basket", "item")
+    // observedMetrics does not traverse the adaptive plan in Spark 4.1:
+    // read it with AQE off (the funnel-cap pin)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      val capped = Analytics.associationRules(df, "basket", "item",
+        minPairSupport = 2, maxBasketSize = Some(100))
+      // collect on `capped` ITSELF (a fresh QueryExecution would show
+      // empty metrics)
+      val rows = capped.collect().map(r =>
+        (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      // survivors: 3 {A,B} baskets, N=3 -> conf 1.0, lift 3*3/(3*3)=1
+      assert(rows == Map(
+        ("A", "B") -> ((3L, 1.0, 1.0)),
+        ("B", "A") -> ((3L, 1.0, 1.0))), rows.toString)
+      val dropped = capped.queryExecution.observedMetrics
+        .get("assoc_dropped_items").map(_.getLong(0))
+      assert(dropped.contains(10000L),
+        s"expected 10000 dropped bot item rows, got $dropped")
+    } finally spark.conf.set(aqeKey, aqeWas)
+  }
+
   test("acf: alternating series has lag-1 ACF -1, lag-2 ACF +1; " +
     "constant series yields null") {
     val alt = (1 to 8).map(i =>

@@ -419,7 +419,10 @@ class JoinsScalarsSpec extends SparkSpec {
       a <- vocab; b <- vocab
       if a < b && a.split(" ").last == b.split(" ").last
       s = jaroWinklerRef(a, b)
-      r = math.rint(s * 1e6) / 1e6 if r >= 0.85
+      // HALF_UP to mirror Spark's round() — math.rint is HALF_EVEN
+      // and would flake on an exact 0.5-ulp boundary (round-10 ADVICE)
+      r = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble if r >= 0.85
     } yield (a, b, r)).toSet
     assert(got == brute && got.nonEmpty)
     assert(got.forall { case (a, b, _) => a < b })

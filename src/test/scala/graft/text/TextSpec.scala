@@ -1032,6 +1032,31 @@ class TextSpec extends SparkSpec {
       "label_actual", "correct"))
   }
 
+  test("naiveBayesClassify saltHotTerms: stopword at ~50% of postings " +
+    "salted through the replicated grid, results bit-identical") {
+    // 200 docs; every doc carries the stopword "the" (so "the" is ~50%
+    // of all postings); class signal lives in the other term
+    val docs = (1L to 200L).map { i =>
+      if (i % 2 == 0) (i, "the the alpha", "A") else (i, "the the gamma", "B")
+    }.toDF("doc_id", "text", "source")
+    val plain = TextOps.naiveBayesClassify(docs, "doc_id", "text", "source")
+      .orderBy("doc_id")
+      .as[(Long, String, Double, String, Boolean)].collect().toSeq
+    val salted = TextOps.naiveBayesClassify(docs, "doc_id", "text",
+        "source", saltHotTerms = 1, salts = 8)
+      .orderBy("doc_id")
+      .as[(Long, String, Double, String, Boolean)].collect().toSeq
+    // order-free decimal sums make the salted union bit-identical
+    assert(salted == plain, "salted plan must not change any score")
+    assert(plain.forall(_._5), "separable corpus must classify clean")
+    // the hot path actually engages: the salt column is in the plan
+    val saltedPlan = TextOps.naiveBayesClassify(docs, "doc_id", "text",
+      "source", saltHotTerms = 1, salts = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(saltedPlan.contains("__graft_salt"),
+      "expected the salted join route in the optimized plan")
+  }
+
   test("jsDivergence: identical groups 0, disjoint groups ln 2, " +
     "partial overlap matches the scalar reference, symmetric pairs") {
     val docs = Seq(

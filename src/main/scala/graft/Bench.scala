@@ -50,6 +50,37 @@ object Bench {
                else (math.min(math.min(s1, s2), s3), None))
     }
 
+  /** Round-over-round regression gate: slower than BOTH 1.5x the
+    * previous artifact AND prev + 0.5s absolute (round-8 adjudication:
+    * a pure ratio cries wolf on 80ms -> 130ms noise; a small absolute
+    * floor still flags 0.8 -> 1.3s jitter — half a second of REAL
+    * added wall time keeps the gate for plan changes only). */
+  def isRegression(prev: Double, now: Double): Boolean =
+    prev > 0 && now > math.max(prev * 1.5, prev + 0.5)
+
+  /** Self-adjudication verdict for a flagged query (round-10 verdict
+    * #3): a flag whose end-of-run isolated plateau falls back UNDER
+    * the same gate was box contention during the main sweep; one that
+    * stays over it is a real plan change. */
+  def adjudicateVerdict(prev: Double, plateau: Double): String =
+    if (isRegression(prev, plateau)) "real" else "contention"
+
+  /** End-of-run re-measurement of one flagged query: min of `runs`
+    * isolated executions in the now-quiet warm JVM — the same context
+    * the manual BenchOne adjudications measured (three rounds of
+    * driver flags, every one contention, each costing a by-hand
+    * session — see BENCH_ADJUDICATION.md). Errors surface as -1. */
+  def plateau(spark: SparkSession, sfDir: String,
+              fn: (SparkSession, String) => DataFrame,
+              runs: Int = 3): Double = {
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    }
+    if (times.contains(-1.0)) -1.0 else times.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -146,30 +177,36 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.collect { case (v, None) => v }.sum
     val nErr = results.values.count(_._2.isDefined)
-    // regression = slower than BOTH 1.5x the previous artifact AND
-    // prev + 0.5s absolute (round-8 adjudication: two sub-second
-    // "regressions" were pure run variance on unchanged code — a pure
-    // ratio cries wolf on 80ms -> 130ms noise, and a small absolute
-    // floor still flags 0.8 -> 1.3s jitter; requiring half a second of
-    // REAL added wall time keeps the gate for plan changes only). New
-    // queries have no prev entry and are never flagged. The gate
-    // exists so a slowdown is a named fact in the round's artifact,
-    // not something a truncated tail can hide.
+    // regression gate (see [[isRegression]]). New queries have no prev
+    // entry and are never flagged. The gate exists so a slowdown is a
+    // named fact in the round's artifact, not something a truncated
+    // tail can hide.
     val regressed = results.toSeq.collect {
-      case (k, (v, None)) if prev.get(k).exists(p =>
-        p > 0 && v > math.max(p * 1.5, p + 0.5)) =>
+      case (k, (v, None)) if prev.get(k).exists(isRegression(_, v)) =>
         k -> (prev(k), v)
     }.sortBy { case (_, (p, v)) => -(v - p) }
-    def rmap(rs: Seq[(String, (Double, Double))]): String =
-      rs.map { case (k, (p, v)) =>
-        s"\"" + k + "\":{\"prev\":" + ms(p) + ",\"now\":" + ms(v) + "}"
+    // ---- self-adjudication (round-10 verdict #3): re-measure each
+    // flag at the END of the run — warm JVM, nothing else executing,
+    // the context the manual BenchOne sessions reproduced by hand —
+    // and record {plateau, verdict} beside {prev, now} so the
+    // artifact adjudicates itself. Capped at 12 flags: a broadly
+    // contended run flags half the suite, and re-running all of it
+    // would double the wall clock for one shared answer.
+    val adjudicated = regressed.take(12).map { case (k, (p, v)) =>
+      val pl = plateau(spark, sfDir, SparkEntry.queries(k))
+      (k, p, v, pl, adjudicateVerdict(p, pl))
+    }
+    def rmap(rs: Seq[(String, Double, Double, Double, String)]): String =
+      rs.map { case (k, p, v, pl, verd) =>
+        s"\"" + k + "\":{\"prev\":" + ms(p) + ",\"now\":" + ms(v) +
+          ",\"plateau\":" + ms(pl) + ",\"verdict\":\"" + verd + "\"}"
       }.mkString("{", ",", "}")
     val loadJson =
       s""""load":{"start":$loadStart,"end":${loadavg()}}"""
     val fullJson =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""queries":${qmap(bySlowest)},"failures":$failures,""" +
-        s""""regressions":${rmap(regressed)},""" +
+        s""""regressions":${rmap(adjudicated)},""" +
         s""""prev_artifact":"${esc(if (prev.isEmpty) "" else prevPath)}",""" +
         s"""$loadJson,"errors":$nErr,"sf":"$sfDir"}"""
     val wroteFull =
@@ -185,7 +222,7 @@ object Bench {
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""queries":${qmap(bySlowest.take(40))},""" +
       s""""queries_full":${if (wroteFull) "\"BENCH_FULL.json\"" else "null"},""" +
-      s""""regressions":${rmap(regressed.take(8))},""" +
+      s""""regressions":${rmap(adjudicated.take(8))},""" +
       s""""failures":$failures,$loadJson,""" +
       s""""errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()

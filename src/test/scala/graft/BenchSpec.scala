@@ -30,4 +30,43 @@ class BenchSpec extends SparkSpec {
     assert(badSec == -1.0)
     assert(badErr.exists(_.contains("deliberately broken")), badErr)
   }
+
+  test("isRegression: ratio AND absolute floor must both trip; " +
+    "missing/broken prev never flags") {
+    // sub-second jitter: 80ms -> 130ms is a 1.6x ratio but noise
+    assert(!Bench.isRegression(0.08, 0.13))
+    // 1.5x exactly + the 0.5s floor exactly: gate requires STRICTLY over
+    assert(!Bench.isRegression(1.0, 1.5))
+    assert(Bench.isRegression(1.0, 1.51))
+    // big query: ratio dominates (10 -> 12 is +2s but only 1.2x)
+    assert(!Bench.isRegression(10.0, 12.0))
+    assert(Bench.isRegression(10.0, 15.01))
+    // small query: absolute floor dominates (0.2 -> 0.4 is 2x but +0.2s)
+    assert(!Bench.isRegression(0.2, 0.4))
+    // no previous number / failed previous run -> never a flag
+    assert(!Bench.isRegression(0.0, 99.0))
+    assert(!Bench.isRegression(-1.0, 99.0))
+  }
+
+  test("adjudicateVerdict: plateau back under the gate = contention, " +
+    "plateau still over = real; plateau() measures a live query") {
+    // the synthetic-contention case: prev 1.0s, contended run said
+    // 3.0s, quiet end-of-run plateau 1.1s -> the flag self-clears
+    assert(Bench.adjudicateVerdict(1.0, 1.1) == "contention")
+    // a genuine plan change stays slow when re-measured in isolation
+    assert(Bench.adjudicateVerdict(1.0, 2.5) == "real")
+    // a plateau that ERRORS (-1) must not read as "contention-cleared"
+    // silently — it is not a regression by the gate (prev>0, -1 < gate)
+    // so it lands "contention"; the -1 plateau value in the artifact
+    // is the tell. Pin that shape so a refactor doesn't hide it.
+    assert(Bench.adjudicateVerdict(1.0, -1.0) == "contention")
+    val pl = Bench.plateau(spark, dir,
+      (s, d) => Tables.load(s, d, "region"), runs = 2)
+    assert(pl > 0.0 && pl < 30.0, s"plateau=$pl")
+    val bad = Bench.plateau(spark, dir, (s, d) =>
+      Tables.load(s, d, "region")
+        .filter(col("r_regionkey") >
+          raise_error(lit("boom")).cast("int")), runs = 2)
+    assert(bad == -1.0)
+  }
 }

@@ -417,6 +417,17 @@ object ScaleSweep {
       // chained dedup+agg: state bounded by live windows' keys
       "s_stream_distinct" -> (d =>
         SparkEntry.queries("s_stream_distinct")(spark, d).count()),
+      // r11: pair stage is Σ C(|basket|,2) — baskets here are
+      // (user, day) event-type sets, so new replicas add BASKETS
+      // (catalog fixed, the retail scale model) and the cap bounds
+      // any single bot basket; expect ~linear in baskets
+      "w18_assoc(events,cap)" -> (d => graft.ops.Analytics
+        .associationRules(
+          Tables.load(spark, d, "events")
+            .select(concat_ws("#", col("user_id"),
+              to_date(col("ts"))).as("basket"), col("event_type")),
+          "basket", "event_type", minPairSupport = 3,
+          maxBasketSize = Some(100)).count()),
       // asymmetric prefix filter; Ω(output) like every similarity
       // join — splice thirds sit at ~1/3 containment, below the 0.6
       // threshold, so output stays clique-bounded

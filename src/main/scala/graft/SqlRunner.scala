@@ -31,6 +31,7 @@ object SqlRunner {
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, dataDir)
+    SqlRecipes.register(spark) // operator library as SQL table functions
     statements(sql).foreach { st =>
       printCsv(spark.sql(st))
     }

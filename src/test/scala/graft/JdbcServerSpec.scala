@@ -102,6 +102,40 @@ class JdbcServerSpec extends SparkSpec {
       threads.foreach(_.join(120000))
       assert(errors.isEmpty,
         errors.toArray(Array.empty[Throwable]).map(_.toString).mkString("\n"))
+
+      // ---- SQL cookbook over the wire (round-10 verdict #6): a FRESH
+      // connection pastes the README recipe DDL verbatim (global_temp
+      // prefix — each derived session sees only the global views) and
+      // calls the operator as a table function; the answer must equal
+      // the DSL operator's ----
+      val conn3 = DriverManager.getConnection(
+        s"jdbc:hive2://localhost:$port/default", "", "")
+      try {
+        val st = conn3.createStatement()
+        SqlRecipes.ddl("global_temp.").foreach { case (_, stmt) =>
+          st.execute(stmt)
+        }
+        val rs = st.executeQuery(
+          "SELECT COUNT(*) AS n, SUM(session_id) AS s " +
+            "FROM graft_sessionize(1800)")
+        assert(rs.next())
+        val (viaJdbcN, viaJdbcS) = (rs.getLong(1), rs.getLong(2))
+        val dsl = graft.ops.WindowOps.sessionize(
+            Tables.load(spark, "/root/testdata/sf0.001", "events"),
+            Seq("user_id"), "ts", 1800,
+            tiebreak = Seq(org.apache.spark.sql.functions.col("event_id")))
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("session_id")))
+          .head()
+        assert(viaJdbcN == dsl.getLong(0) && viaJdbcS == dsl.getLong(1),
+          s"wire ($viaJdbcN, $viaJdbcS) != dsl $dsl")
+        // a second recipe exercising a native function over the wire
+        val rs2 = st.executeQuery(
+          "SELECT COUNT(*) AS n FROM graft_neardup(3)")
+        assert(rs2.next() && rs2.getLong(1) > 0L)
+      } finally conn3.close()
     } finally JdbcServer.stop(server)
   }
 }

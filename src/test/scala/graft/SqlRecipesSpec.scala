@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL cookbook recipes (SqlRecipes) must be ROW-FOR-ROW twins of
+  * the DSL operators they re-express — a JDBC analyst following the
+  * README must get the engine's answers, not approximations. */
+class SqlRecipesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ready(): Unit = {
+    Tables.registerAll(spark, dir)
+    SqlRecipes.register(spark)
+  }
+
+  test("graft_sessionize == WindowOps.sessionize (strict gap, " +
+    "event_id tiebreak)") {
+    ready()
+    val viaSql = spark.sql("SELECT user_id, event_id, session_id " +
+        "FROM graft_sessionize(1800)")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaDsl = ops.WindowOps.sessionize(
+        Tables.load(spark, dir, "events"), Seq("user_id"), "ts", 1800,
+        tiebreak = Seq(col("event_id")))
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaSql == viaDsl && viaSql.nonEmpty)
+  }
+
+  test("graft_funnel == Analytics.funnel (greedy cascade, null " +
+    "propagation, conversion vs stage 1)") {
+    ready()
+    val stages = Seq("view", "click", "purchase")
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_funnel('view', 'click', 'purchase')")
+      .orderBy("stage_idx")
+      .as[(Int, String, Long, Option[Double])].collect().toSeq
+    val viaDsl = ops.Analytics.funnel(Tables.load(spark, dir, "events"),
+        "user_id", "event_type", "ts", stages)
+      .orderBy("stage_idx")
+      .as[(Int, String, Long, Option[Double])].collect().toSeq
+    assert(viaSql == viaDsl && viaSql.size == 3)
+  }
+
+  test("graft_asof_prior == Joins.asOfJoin (at-or-before inclusive, " +
+    "union+LOCF)") {
+    ready()
+    val e = Tables.load(spark, dir, "events")
+    def epoch(c: org.apache.spark.sql.Column) =
+      c.cast("timestamp_ltz").cast("double")
+    val left = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), epoch(col("ts")).as("t"))
+    val right = e.filter(col("event_type") === "view")
+      .select(col("user_id"), epoch(col("ts")).as("t"),
+        epoch(col("ts")).as("rt"))
+    val viaDsl = ops.Joins.asOfJoin(left, right, Seq("user_id"),
+        "t", "t", Seq("rt"))
+      .select(col("user_id"), col("event_id"), col("rt"))
+      .as[(Long, Long, Option[Double])].collect().toSet
+    val viaSql = spark.sql("SELECT user_id, event_id, ref_ts_epoch " +
+        "FROM graft_asof_prior('error', 'view')")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(viaSql == viaDsl && viaSql.nonEmpty)
+    assert(viaSql.exists(_._3.isDefined), "some error must follow a view")
+  }
+
+  test("graft_dedup_docs == WindowOps.dedupKeepLast on md5(text)") {
+    ready()
+    val docs = Tables.load(spark, dir, "documents")
+    val viaDsl = ops.WindowOps.dedupKeepLast(
+        docs.withColumn("__k", md5(col("text"))), Seq("__k"),
+        Seq(col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    val viaSql = spark.sql("SELECT doc_id FROM graft_dedup_docs()")
+      .as[Long].collect().toSet
+    assert(viaSql == viaDsl && viaSql.nonEmpty)
+  }
+
+  test("graft_resample: every grid value is the latest at-or-before " +
+    "observation (brute-force check); grid step-aligned per user") {
+    ready()
+    val out = spark.sql("SELECT * FROM graft_resample(3600)")
+      .as[(Long, Double, Option[Double])].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, g, _) => g % 3600 == 0 },
+      "grid instants must be step-aligned")
+    // brute force: per (user, grid) the value of the max-t obs <= g,
+    // duplicate (user, t) collapsed to the highest event_id (the
+    // recipe's right-unique contract)
+    val e = Tables.load(spark, dir, "events")
+    val obs = e.select(col("user_id"),
+        col("ts").cast("timestamp_ltz").cast("double").as("t"),
+        col("value"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+      .groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.maxBy(_._4) }.toSeq
+    val byUser = obs.groupBy(_._1)
+    out.foreach { case (u, g, v) =>
+      val atOrBefore = byUser(u).filter(_._2 <= g)
+      val expected =
+        if (atOrBefore.isEmpty) None
+        else Some(atOrBefore.maxBy(_._2)._3)
+      assert(v == expected, s"user $u grid $g: got $v want $expected")
+    }
+  }
+
+  test("graft_neardup == brute-force simhash pairs at hamming <= 3 " +
+    "(4-block pigeonhole recall guarantee)") {
+    ready()
+    val viaSql = spark.sql("SELECT doc_a, doc_b, hamming " +
+        "FROM graft_neardup(3)")
+      .as[(Long, Long, Int)].collect().toSet
+    val h = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), text.Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- h; (b, hb) <- h if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(viaSql == brute && viaSql.nonEmpty)
+  }
+}

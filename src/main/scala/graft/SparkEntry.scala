@@ -964,6 +964,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
         .limit(20)),
 
+    // ---- training-data ops: Zipf rank–frequency fit — OLS on
+    // (ln rank, ln freq) over the top-100 terms (TakeOrdered; the
+    // rank window sees only the 100-row frame) + corpus totals.
+    // Slope ≈ −1 is the natural-language signature the curation
+    // audits check; templated corpora bend it. ----
+    "t_zipf" -> ((s, dir) =>
+      TextOps.zipfFit(t(s, dir, "documents"), "text", topN = 100)),
+
     // ---- training-data ops: BPE ENCODE — learn 3 merges on the
     // corpus, then apply them corpus-wide (rank-ordered greedy
     // non-overlapping fuse, the learner's exact rewrite) and report
@@ -2393,6 +2401,17 @@ object SparkEntry {
         k = 5L)
         .orderBy("o_orderpriority", "o_orderstatus", "o_year",
           "o_month")),
+
+    // ---- A33: mutual information between event type and hour of
+    // day — the filter-feature-selection statistic (nats of hour the
+    // type carries), with both entropies and normalized MI. One
+    // contingency agg; margins are windows over the cells frame
+    // (category-product-sized, the a30_chisq contract). ----
+    "a33_mutual_info" -> ((s, dir) =>
+      Quality.mutualInfo(
+        t(s, dir, "events").select(col("event_type"),
+          hour(col("ts")).as("hr")),
+        "event_type", "hr")),
 
     // ---- A26: calendar gap audit — per user, the days inside their
     // own [first, last] event span with no events; calendar explode
@@ -4190,6 +4209,56 @@ object SparkEntry {
         |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // Zipf fit: a17's exact-decimal OLS moment sums over the top-100
+    // (ln rank, ln freq) points + vocab/token totals
+    "t_zipf" ->
+      """WITH f AS (
+        |  SELECT term, COUNT(*) AS freq FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |    FROM documents)
+        |  GROUP BY term),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+        |         CAST(SUM(freq) AS BIGINT) AS total_tokens
+        |  FROM f),
+        |top AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS r
+        |  FROM f ORDER BY freq DESC, term LIMIT 100),
+        |s AS (
+        |  SELECT
+        |    CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM top),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS syy
+        |  FROM s),
+        |ff AS (
+        |  SELECT n, sx, sy, syy,
+        |    CAST(n AS DOUBLE)*sxy - sx*sy AS num,
+        |    CAST(n AS DOUBLE)*sxx - sx*sx AS varx
+        |  FROM m)
+        |SELECT n AS n_top,
+        |  CASE WHEN varx = 0 THEN NULL
+        |       ELSE ROUND(num/varx, 6) END AS zipf_slope,
+        |  CASE WHEN varx = 0 THEN NULL
+        |       ELSE ROUND((sy - (num/varx)*sx)/CAST(n AS DOUBLE), 6)
+        |  END AS zipf_intercept,
+        |  CASE WHEN sqrt(varx*(CAST(n AS DOUBLE)*syy - sy*sy)) = 0 THEN NULL
+        |       ELSE ROUND((num/sqrt(varx*(CAST(n AS DOUBLE)*syy - sy*sy))) *
+        |                  (num/sqrt(varx*(CAST(n AS DOUBLE)*syy - sy*sy))), 6)
+        |  END AS r2,
+        |  vocab, total_tokens
+        |FROM ff, tot""".stripMargin,
 
     "t_bpe_encode" ->
       """WITH t0 AS (
@@ -6868,6 +6937,50 @@ object SparkEntry {
         |    OVER () AS DOUBLE), 6) AS chi2,
         |  CAST((na - 1) * (nb - 1) AS INT) AS dof
         |FROM e""".stripMargin,
+
+    // contingency MI: each ln rounded once to 6, per-cell/margin
+    // products exact decimal, one double cast + round at the end;
+    // nmi uses the ROUNDED mi/h values (the Spark column exprs)
+    "a33_mutual_info" ->
+      """WITH c AS (
+        |  SELECT event_type AS a, EXTRACT(hour FROM ts) AS b,
+        |    COUNT(*) AS nab
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT nab,
+        |    SUM(nab) OVER (PARTITION BY a) AS na,
+        |    SUM(nab) OVER (PARTITION BY b) AS nb,
+        |    SUM(nab) OVER () AS n
+        |  FROM c),
+        |agg AS (
+        |  SELECT CAST(SUM(nab) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS cells,
+        |    SUM(CAST(nab * ROUND(ln(CAST(nab AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+        |      AS DECIMAL(28,6))) AS minum
+        |  FROM w),
+        |ma AS (
+        |  SELECT SUM(CAST(na * ROUND(ln(CAST(na AS DOUBLE)), 6)
+        |    AS DECIMAL(28,6))) AS sa
+        |  FROM (SELECT a, SUM(nab) AS na FROM c GROUP BY a)),
+        |mb AS (
+        |  SELECT SUM(CAST(nb * ROUND(ln(CAST(nb AS DOUBLE)), 6)
+        |    AS DECIMAL(28,6))) AS sb
+        |  FROM (SELECT b, SUM(nab) AS nb FROM c GROUP BY b)),
+        |f AS (
+        |  SELECT n, cells,
+        |    ROUND(CAST(minum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mi,
+        |    ROUND(ln(CAST(n AS DOUBLE))
+        |      - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_a,
+        |    ROUND(ln(CAST(n AS DOUBLE))
+        |      - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_b
+        |  FROM agg, ma, mb)
+        |SELECT n, cells, mi, h_a, h_b,
+        |  CASE WHEN LEAST(h_a, h_b) > 0
+        |       THEN ROUND(mi / LEAST(h_a, h_b), 6) END AS nmi
+        |FROM f""".stripMargin,
 
     // distinct (user, day) + 7-day explode; inner join keeps days
     // with their own activity

@@ -573,6 +573,73 @@ object Quality {
         col("contrib"), col("chi2"), col("dof"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * feature-selection companion to [[chiSquareIndependence]] (χ²
+    * asks "are these independent"; MI says HOW MANY NATS of one the
+    * other carries, comparable across feature pairs — the ranking
+    * statistic behind every filter-style feature selector).
+    *
+    * Math: MI = Σ_cells (n_ab/n)·ln(n·n_ab/(n_a·n_b)), entropies
+    * H(A) = ln n − (1/n)·Σ n_a·ln n_a (same for B), and normalized
+    * MI = MI / min(H(A), H(B)) (null when either entropy is 0 — a
+    * constant column carries nothing and the ratio is undefined).
+    *
+    * Scale shape: ONE (a, b) hash agg collapses the corpus to
+    * contingency cells; margins are windows OVER THE CELLS frame
+    * (category-product-sized, the [[chiSquareIndependence]]
+    * contract — low-cardinality categoricals only, the stated
+    * contract of every contingency op here). Nothing corpus-sized
+    * past the first agg.
+    *
+    * Cross-engine determinism: each ln is rounded once to 6 dp, the
+    * per-cell/per-margin products are exact decimal, sums are
+    * decimal (order-free), one double cast + round at the end.
+    *
+    * @return one row: (n, cells, mi, h_a, h_b, nmi) */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__nab"))
+    val wA = Window.partitionBy(col(aCol))
+    val wB = Window.partitionBy(col(bCol))
+    val na = sum(col("__nab")).over(wA)
+    val nb = sum(col("__nab")).over(wB)
+    val wAll = Window.partitionBy()
+    val dec6 = (c: Column) => c.cast("decimal(28,6)")
+    val withM = cells.select(col(aCol), col(bCol), col("__nab"),
+      na.as("__na"), nb.as("__nb"),
+      sum(col("__nab")).over(wAll).as("__n"))
+    // per-cell MI contribution numerators (×n nats, divided once at
+    // the end): n_ab · round(ln(n·n_ab/(n_a·n_b)), 6). The double
+    // products stay exact (< 2^53 for any realistic contingency).
+    val agg = withM.agg(
+      sum(col("__nab")).as("n"),
+      count(lit(1)).cast("long").as("cells"),
+      sum(dec6(col("__nab") *
+        round(log(col("__nab").cast("double") * col("__n").cast("double")
+          / (col("__na").cast("double") * col("__nb").cast("double"))), 6)))
+        .as("__miNum"))
+    val margA = cells.groupBy(col(aCol))
+      .agg(sum(col("__nab")).as("__na"))
+      .agg(sum(dec6(col("__na") *
+        round(log(col("__na").cast("double")), 6))).as("__sa"),
+        sum(col("__na")).as("__n1"))
+    val margB = cells.groupBy(col(bCol))
+      .agg(sum(col("__nab")).as("__nb"))
+      .agg(sum(dec6(col("__nb") *
+        round(log(col("__nb").cast("double")), 6))).as("__sb"))
+    val nD = col("n").cast("double")
+    val mi = round(col("__miNum").cast("double") / nD, 6)
+    val hA = round(log(nD) - col("__sa").cast("double") / nD, 6)
+    val hB = round(log(nD) - col("__sb").cast("double") / nD, 6)
+    agg.crossJoin(broadcast(margA.drop("__n1")))
+      .crossJoin(broadcast(margB))
+      .select(col("n"), col("cells"), mi.as("mi"), hA.as("h_a"),
+        hB.as("h_b"),
+        when(least(hA, hB) > 0, round(mi / least(hA, hB), 6))
+          .as("nmi"))
+  }
+
   /** Completeness audit over a supposedly-dense integer id sequence
     * (ingest offsets, auto-increment keys, log line numbers): every
     * hole of ≥ `minGap` consecutive missing ids, as (gap_start,

@@ -310,6 +310,44 @@ object TextOps {
     * per-partition top-n then a driver merge of partitions×n rows, no
     * shuffle of the corpus and no global sort. Zero/negative weights
     * are excluded (a zero-weight row must never be drawn). */
+  /** Zipf-law fit of the corpus rank–frequency curve — the canonical
+    * "does this corpus look like natural language" audit (Zipf 1949:
+    * log freq ≈ intercept + slope·log rank with slope ≈ −1 for
+    * natural text; machine-generated/templated corpora bend the
+    * curve). Fits OLS on (ln rank, ln freq) over the top `topN`
+    * terms via [[graft.ops.Quality.olsFit]]'s exact-decimal moment
+    * sums, and attaches corpus totals.
+    *
+    * Scale shape: one tokenize+explode into a term hash agg; the
+    * top-N selection is orderBy+limit — TakeOrdered (per-partition
+    * top-N, driver merge of partitions×N), NO global sort and no
+    * vocab-sized window: the rank row_number runs over the already-
+    * limited N-row frame. Corpus totals are one more vocab-frame agg.
+    * Nothing corpus- or vocab-sized reaches the driver.
+    *
+    * @return one row: (n_top, zipf_slope, zipf_intercept, r2, vocab,
+    *         total_tokens) */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, textCol: String,
+              topN: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(topN >= 2, "need at least 2 ranks to fit")
+    val freqs = docs
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val totals = freqs.agg(count(lit(1)).as("vocab"),
+      sum(col("freq")).as("total_tokens"))
+    val top = freqs.orderBy(col("freq").desc, col("term")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term")) // N-row frame only
+    val xy = top.withColumn("__rank", row_number().over(w))
+      .select(log(col("__rank").cast("double")).as("__x"),
+        log(col("freq").cast("double")).as("__y"))
+    graft.ops.Quality.olsFit(xy, Seq.empty, "__x", "__y")
+      .crossJoin(broadcast(totals))
+      .select(col("n").as("n_top"), col("slope").as("zipf_slope"),
+        col("intercept").as("zipf_intercept"), col("r2"),
+        col("vocab"), col("total_tokens"))
+  }
+
   def weightedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
                      weight: Column, n: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n must be >= 1")

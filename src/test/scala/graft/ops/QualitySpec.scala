@@ -293,6 +293,33 @@ class QualitySpec extends SparkSpec {
       ("y", "q", 10L, 15.0, 1.666667, 6.666668, 1)), got.toString)
   }
 
+  test("mutualInfo: identical columns give MI = H = ln 2 and nmi 1; " +
+    "independent columns give MI 0; a constant column nulls nmi") {
+    import spark.implicits._
+    // perfectly dependent, 2-symbol uniform: MI = H(A) = H(B) = ln 2
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val d = Quality.mutualInfo(dep, "a", "b")
+      .as[(Long, Long, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert(d._1 == 4L && d._2 == 2L)
+    assert(d._3 == 0.693147 && d._4 == 0.693147 && d._5 == 0.693147, d)
+    assert(d._6.contains(1.0), d)
+    // independent uniform 2x2: every cell ln(4*1/(2*2)) = ln 1 = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Quality.mutualInfo(ind, "a", "b")
+      .as[(Long, Long, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert(i._3 == 0.0 && i._6.contains(0.0), i)
+    // constant A: H(A) = 0 -> nmi undefined (null), MI 0
+    val const = Seq(("x", "p"), ("x", "q"), ("x", "p")).toDF("a", "b")
+    val c = Quality.mutualInfo(const, "a", "b")
+      .as[(Long, Long, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert(c._3 == 0.0 && c._4 == 0.0 && c._6.isEmpty, c)
+  }
+
   test("sequenceGaps: intra-bucket and cross-border holes (incl. a " +
     "whole missing bucket) found exactly once; duplicates collapse; " +
     "minGap filters") {

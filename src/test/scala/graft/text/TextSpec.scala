@@ -1032,6 +1032,40 @@ class TextSpec extends SparkSpec {
       "label_actual", "correct"))
   }
 
+  test("zipfFit: scalar OLS replication on a 3-term corpus; ties " +
+    "rank deterministically; topN clips the fit") {
+    val docs = Seq((1L, ("a " * 8 + "b " * 4 + "c c").trim))
+      .toDF("doc_id", "text")
+    val got = TextOps.zipfFit(docs, "text", topN = 100)
+      .as[(Long, Double, Double, Double, Long, Long)].collect().head
+    // scalar replication of olsFit: x/y rounded once to 6dp decimals,
+    // exact-decimal moment sums, double formula, final round 6
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val xs = Seq(1, 2, 3).map(r => r6(math.log(r)))
+    val ys = Seq(8, 4, 2).map(f => r6(math.log(f)))
+    val n = 3.0
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val syy = ys.map(a => a * a).sum.toDouble
+    val num = n * sxy - sx * sy
+    val varX = n * sxx - sx * sx
+    val slope = num / varX
+    val r2 = math.pow(num / math.sqrt(varX * (n * syy - sy * sy)), 2)
+    assert(got._1 == 3L && got._5 == 3L && got._6 == 14L, got)
+    assert(got._2 == r6(slope).toDouble, s"slope ${got._2}")
+    assert(got._3 == r6((sy - slope * sx) / n).toDouble, got)
+    assert(got._4 == r6(r2).toDouble, got)
+    // slope must be negative (frequency falls with rank) and the
+    // halving sequence is slightly convex in log-log, so r2 < 1
+    assert(got._2 < 0 && got._4 > 0.9 && got._4 < 1.0, got)
+    // topN = 2 keeps only ranks 1-2: a perfect 2-point fit, r2 = 1
+    val two = TextOps.zipfFit(docs, "text", topN = 2)
+      .as[(Long, Double, Double, Double, Long, Long)].collect().head
+    assert(two._1 == 2L && two._4 == 1.0, two)
+  }
+
   test("naiveBayesClassify saltHotTerms: stopword at ~50% of postings " +
     "salted through the replicated grid, results bit-identical") {
     // 200 docs; every doc carries the stopword "the" (so "the" is ~50%

@@ -529,6 +529,60 @@ object SparkEntry {
         "valid_from", "valid_to", Seq("segment"))
     }),
 
+    // ---- J16: Fellegi–Sunter probabilistic record linkage — the
+    // clean customer file linked against a deterministically DIRTIED
+    // copy (middle-char name typo every 7th key, reformatted name
+    // every 13th, segment wiped every 11th, balance shifted by a
+    // key-derived offset). Blocking on the name's last-3 digits keeps
+    // the pair stage Σ|block|² (never all-pairs); four field weights
+    // (JW-name, exact nation/segment, balance-within-50) enter the
+    // plan as round-6 decimal literals; decisions at lower=0/upper=6.
+    // maxBucket=10000 is the degenerate-block guard (unexercised on
+    // this corpus — blocks are ~key-collision sized — so the oracle
+    // replays uncapped). ----
+    "j16_linkage" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      val dirty = cust.select(
+        col("c_custkey"),
+        when(col("c_custkey") % 13 === 0,
+            concat(lit("Cust-"),
+              lpad(col("c_custkey").cast("string"), 9, "0")))
+          .when(col("c_custkey") % 7 === 0,
+            concat(substring(col("c_name"), 1, 9), lit("X"),
+              substring(col("c_name"), 11, 100)))
+          .otherwise(col("c_name")).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + (col("c_custkey") % 9) * 20.0 - 80.0)
+          .as("c_acctbal"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      val pairs = ops.Linkage.blockedPairs(cust, dirty,
+        substring(col("a_c_name"), -3, 3),
+        substring(col("b_c_name"), -3, 3),
+        maxBucket = Some(10000L))
+      ops.Linkage.fellegiSunter(pairs, Seq(
+          ops.Linkage.LinkField("name",
+            round(NativeExpressions.jaro_winkler_sim(col("a_c_name"),
+              col("b_c_name")), 6) >= 0.95, m = 0.95, u = 0.01),
+          ops.Linkage.LinkField("nation",
+            col("a_c_nationkey") === col("b_c_nationkey"),
+            m = 0.98, u = 0.04),
+          ops.Linkage.LinkField("segment",
+            col("a_c_mktsegment") === col("b_c_mktsegment"),
+            m = 0.9, u = 0.2),
+          ops.Linkage.LinkField("balance",
+            abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 50.0,
+            m = 0.9, u = 0.05)),
+          lower = 0.0, upper = 6.0)
+        .filter(col("decision") =!= "non_match")
+        .select(col("a_c_custkey").as("a_key"),
+          col("b_c_custkey").as("b_key"), col("name_agree"),
+          col("nation_agree"), col("segment_agree"),
+          col("balance_agree"), col("score"), col("decision"))
+    }),
+
     // ---- anti join (§2.3 note: QC parity) ----
     "j_anti" -> ((s, dir) => {
       val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
@@ -3876,6 +3930,63 @@ object SparkEntry {
         |LEFT JOIN h ON h.c_custkey = o.o_custkey
         |  AND o.o_orderdate >= h.valid_from
         |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""".stripMargin,
+
+    // Fellegi–Sunter replay: same dirty copy, same last-3 blocking,
+    // DuckDB's own jaro_winkler_similarity (cross-implementation),
+    // weights as ROUND(ln(m/u), 6) decimals summed exactly; cap
+    // unexercised on this corpus so the oracle joins uncapped
+    "j16_linkage" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS ak, c_name AS an, c_nationkey AS anat,
+        |    c_acctbal AS abal, c_mktsegment AS aseg
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS bk,
+        |    CASE WHEN c_custkey % 13 = 0
+        |         THEN 'Cust-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')
+        |         WHEN c_custkey % 7 = 0
+        |         THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+        |         ELSE c_name END AS bn,
+        |    c_nationkey AS bnat,
+        |    c_acctbal + (c_custkey % 9) * 20.0 - 80.0 AS bbal,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+        |         ELSE c_mktsegment END AS bseg
+        |  FROM customer),
+        |p AS (
+        |  SELECT * FROM a JOIN b ON right(an, 3) = right(bn, 3)),
+        |f AS (
+        |  SELECT ak, bk,
+        |    ROUND(jaro_winkler_similarity(an, bn), 6) >= 0.95
+        |      AS name_agree,
+        |    anat = bnat AS nation_agree,
+        |    aseg = bseg AS segment_agree,
+        |    abs(abal - bbal) <= 50.0 AS balance_agree
+        |  FROM p),
+        |sc AS (
+        |  SELECT ak, bk, name_agree, nation_agree, segment_agree,
+        |    balance_agree,
+        |    CAST(
+        |      CAST(CASE WHEN name_agree THEN ROUND(ln(0.95/0.01), 6)
+        |                ELSE ROUND(ln(0.05/0.99), 6) END
+        |        AS DECIMAL(18,6)) +
+        |      CAST(CASE WHEN nation_agree THEN ROUND(ln(0.98/0.04), 6)
+        |                ELSE ROUND(ln(0.02/0.96), 6) END
+        |        AS DECIMAL(18,6)) +
+        |      CAST(CASE WHEN segment_agree THEN ROUND(ln(0.9/0.2), 6)
+        |                ELSE ROUND(ln(0.1/0.8), 6) END
+        |        AS DECIMAL(18,6)) +
+        |      CAST(CASE WHEN balance_agree THEN ROUND(ln(0.9/0.05), 6)
+        |                ELSE ROUND(ln(0.1/0.95), 6) END
+        |        AS DECIMAL(18,6))
+        |    AS DOUBLE) AS score
+        |  FROM f)
+        |SELECT ak AS a_key, bk AS b_key, name_agree, nation_agree,
+        |  segment_agree, balance_agree, score,
+        |  CASE WHEN score >= 6.0 THEN 'match'
+        |       WHEN score <= 0.0 THEN 'non_match'
+        |       ELSE 'review' END AS decision
+        |FROM sc
+        |WHERE NOT (score <= 0.0)""".stripMargin,
 
     // brute-force ε-join on the same deterministic synthetic coords;
     // squared-distance predicate — no trig, exact IEEE both engines

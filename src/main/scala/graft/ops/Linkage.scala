@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi & Sunter 1969) — the
+  * multi-field generalization of the single-field fuzzy join
+  * ([[Joins.fuzzyMatchJoin]]): candidate pairs come from BLOCKING
+  * (never all-pairs), each field comparison contributes a
+  * log-likelihood weight — ln(m/u) on agreement, ln((1−m)/(1−u)) on
+  * disagreement, where m = P(agree | same entity) and u =
+  * P(agree | different entities) — and the summed score classifies
+  * the pair as match / possible (review) / non-match against two
+  * thresholds. This is the textbook master-data/dedup-linkage
+  * pipeline (Splink, RecordLinkage, Dedupe.io all implement exactly
+  * this model) re-expressed as two relational stages.
+  *
+  * Reference behavior context: the reference repo's pipelines join
+  * patient records across hospital tables on exact keys
+  * (`code/RCLIF_*.Rmd`); probabilistic linkage is the standard
+  * escalation when those keys are dirty.
+  */
+object Linkage {
+
+  /** Blocked candidate pairs: every row of `a` × every row of `b`
+    * WITHIN a shared block key, columns prefixed `a_` / `b_`. The
+    * output is Σ_blocks |a-block|·|b-block| rows — the operator's
+    * honest cost — so block choice is the scale lever (a key with
+    * ~constant block sizes keeps the join linear in rows).
+    *
+    * `maxBucket` (pairs per block) bounds the damage from a
+    * degenerate block (one null-ish key holding 10⁵ rows is a
+    * 10¹⁰-pair task): blocks whose |a|·|b| product exceeds the cap
+    * are dropped WHOLE — truncation would bias the candidate set —
+    * and the dropped-block count is observable as the
+    * "linkage_dropped_blocks" Observation (the fuzzyMatchJoin
+    * convention). Null block keys never pair (stated contract). */
+  def blockedPairs(a: DataFrame, b: DataFrame, blockA: Column,
+                   blockB: Column,
+                   maxBucket: Option[Long] = None): DataFrame = {
+    require(maxBucket.forall(_ > 0), "maxBucket must be > 0")
+    val ap = a.columns.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      .withColumn("__blk", blockA).filter(col("__blk").isNotNull)
+    val bp = b.columns.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      .withColumn("__blk", blockB).filter(col("__blk").isNotNull)
+    maxBucket match {
+      case None => ap.join(bp, Seq("__blk")).drop("__blk")
+      case Some(cap) =>
+        val na = ap.groupBy(col("__blk")).agg(count(lit(1)).as("__na"))
+        val nb = bp.groupBy(col("__blk")).agg(count(lit(1)).as("__nb"))
+        // block-frame join (block-key cardinality, not row scale);
+        // the kept-block list rides the SAME key the pair join uses
+        val keep = na.join(nb, Seq("__blk"))
+          .withColumn("__pairs", col("__na") * col("__nb"))
+        val kept = keep
+          .observe("linkage_dropped_blocks",
+            sum(when(col("__pairs") > cap, 1L).otherwise(0L))
+              .as("dropped"))
+          .filter(col("__pairs") <= cap)
+          .select(col("__blk"))
+        ap.join(kept, Seq("__blk"))
+          .join(bp, Seq("__blk")).drop("__blk")
+    }
+  }
+
+  /** One comparison field: `agree` is a boolean Column over the
+    * prefixed pair frame (e.g. `round(jaro_winkler_sim(a_name,
+    * b_name), 6) >= 0.95`, `a_nation === b_nation`,
+    * `abs(a_bal - b_bal) <= 50`); m / u are the standard
+    * conditional-agreement probabilities. */
+  final case class LinkField(name: String, agree: Column,
+                             m: Double, u: Double) {
+    require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+      s"field $name needs 0 < u < m < 1")
+  }
+
+  /** Score + classify an (already blocked) candidate-pair frame.
+    * Adds one boolean `<field>_agree` per field, the summed
+    * log-likelihood `score`, and `decision`
+    * ('match' ≥ upper, 'non_match' ≤ lower, else 'review').
+    *
+    * Cross-engine determinism: each field's two weights are computed
+    * ONCE on the driver as round(ln(·), 6) and enter the plan as
+    * exact decimal literals; the per-pair sum is decimal (order-free)
+    * with one double cast at the end — a null agreement (null field
+    * value) contributes the disagreement weight (can't confirm =
+    * doesn't confirm, the conservative linkage convention).
+    *
+    * Scale shape: pure narrow projection over the pair frame — the
+    * cost lives entirely in [[blockedPairs]]. */
+  def fellegiSunter(pairs: DataFrame, fields: Seq[LinkField],
+                    lower: Double, upper: Double): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field")
+    require(lower <= upper, "lower must be <= upper")
+    def w6(v: Double): Column = {
+      val bd = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      lit(bd.underlying()).cast("decimal(18,6)")
+    }
+    val contribs = fields.map { f =>
+      val agree = coalesce(f.agree, lit(false))
+      (f, agree,
+        when(agree, w6(math.log(f.m / f.u)))
+          .otherwise(w6(math.log((1 - f.m) / (1 - f.u)))))
+    }
+    val score = contribs.map(_._3).reduce(_ + _).cast("decimal(18,6)")
+    val flagged = pairs.select(
+      pairs.columns.map(col) ++
+        contribs.map { case (f, agree, _) =>
+          agree.as(s"${f.name}_agree")
+        } :+ score.cast("double").as("score"): _*)
+    flagged.withColumn("decision",
+      when(col("score") >= upper, lit("match"))
+        .when(col("score") <= lower, lit("non_match"))
+        .otherwise(lit("review")))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fellegiSunter: hand-computed weights, null agreement counts " +
+    "as disagreement, decisions straddle both thresholds") {
+    // two fields: name (m=.9, u=.1 -> wa=ln 9=2.197225, wd=ln(.1/.9)
+    // = -2.197225) and city (m=.8, u=.2 -> wa=ln 4=1.386294,
+    // wd=ln(.2/.8)=-1.386294)
+    val pairs = Seq(
+      (1L, "ann", "ann", "rome", "rome"),   // both agree: 3.583519
+      (2L, "ann", "bob", "rome", "rome"),   // name dis: -0.810931
+      (3L, "ann", "ann", "rome", "oslo"),   // city dis:  0.810931
+      (4L, "ann", "bob", "rome", "oslo"),   // both dis: -3.583519
+      (5L, "ann", null, "rome", "rome")     // null name -> disagreement
+    ).toDF("id", "a_name", "b_name", "a_city", "b_city")
+    val out = Linkage.fellegiSunter(pairs, Seq(
+        Linkage.LinkField("name", col("a_name") === col("b_name"),
+          m = 0.9, u = 0.1),
+        Linkage.LinkField("city", col("a_city") === col("b_city"),
+          m = 0.8, u = 0.2)),
+        lower = -1.0, upper = 2.0)
+      .select("id", "name_agree", "city_agree", "score", "decision")
+      .as[(Long, Boolean, Boolean, Double, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((true, true, 3.583519, "match")))
+    assert(out(2L) == ((false, true, -0.810931, "review")))
+    assert(out(3L) == ((true, false, 0.810931, "review")))
+    assert(out(4L) == ((false, false, -3.583519, "non_match")))
+    assert(out(5L) == ((false, true, -0.810931, "review")),
+      s"null must score as disagreement: ${out(5L)}")
+  }
+
+  test("blockedPairs: pairs only within a block, null keys never " +
+    "pair, maxBucket drops an oversize block WHOLE with an " +
+    "observable count") {
+    val a = (Seq(("k1", 1L), ("k1", 2L), ("k2", 3L),
+      (null.asInstanceOf[String], 4L)) ++
+      (100L to 199L).map(i => ("hot", i))).toDF("blk", "a_id0")
+      .select(col("blk"), col("a_id0").as("id"))
+    val b = (Seq(("k1", 10L), ("k2", 20L), ("k2", 21L),
+      (null.asInstanceOf[String], 40L)) ++
+      (200L to 299L).map(i => ("hot", i))).toDF("blk", "b_id0")
+      .select(col("blk"), col("b_id0").as("id"))
+    // uncapped: k1 -> 2x1, k2 -> 1x2, hot -> 100x100, nulls never
+    val un = Linkage.blockedPairs(a, b, col("a_blk"), col("b_blk"))
+    assert(un.count() == 2 + 2 + 10000)
+    // AQE off to read observedMetrics (the funnel-cap pin)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      // collect and read metrics on the SAME DataFrame (even a
+      // .select builds a fresh QueryExecution whose metrics stay
+      // empty — the funnel-cap pin)
+      val capped = Linkage.blockedPairs(a, b, col("a_blk"),
+        col("b_blk"), maxBucket = Some(100L)).select("a_id", "b_id")
+      val rows = capped.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 10L), (2L, 10L), (3L, 20L), (3L, 21L)),
+        rows.toString)
+      val dropped = capped.queryExecution.observedMetrics
+        .get("linkage_dropped_blocks").map(_.getLong(0))
+      assert(dropped.contains(1L), s"dropped=$dropped")
+    } finally spark.conf.set(aqeKey, aqeWas)
+  }
+}

@@ -1070,6 +1070,38 @@ object SparkEntry {
           window = 2, minCount = 5),
         "t1", "t2")),
 
+    // ---- G3: k-core decomposition (k=4) of the term co-occurrence
+    // graph — iterative peel, ≤ 8 rounds, early stop the round
+    // nothing peels; early stop == full replay (a converged graph
+    // peels nothing), so the oracle unrolls exactly 8 rounds. ----
+    "g_kcore" -> ((s, dir) =>
+      Graphs.kCore(
+        TextOps.gloveCooccur(t(s, dir, "documents"), "text",
+          window = 2, minCount = 5),
+        "t1", "t2", k = 4, rounds = 8)),
+
+    // ---- G2: damped PageRank over the customer→supplier purchase
+    // graph (edge weight = lineitem count) — TWO unrolled iterations
+    // with teleport AND dangling-mass redistribution genuinely
+    // exercised (every supplier is a sink in this bipartite
+    // direction). Node ids prefixed c/s so the two key spaces never
+    // collide. Ranks stay distributed; the dangling sum and N are
+    // the only scalars. Oracle replays both rounds in SQL. ----
+    "g_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graphs.pageRank(edges, "src", "dst", col("w"),
+        damping = 0.85, iters = 2)
+    }),
+
     // ---- training-data ops: TF-IDF top terms per doc — tf and df are
     // two linear hash aggs off one tokenization; df-side join is
     // vocab-sized. Window orders by the ROUNDED score so cross-engine
@@ -4489,6 +4521,109 @@ object SparkEntry {
         |  UNION ALL SELECT z FROM tri)
         |SELECT node, COUNT(*) AS n_triangles
         |FROM corners GROUP BY 1""".stripMargin,
+
+    // all 8 peel rounds unrolled (early stop == full replay: a
+    // converged graph peels nothing) over the g_triangles edge CTE
+    "g_kcore" -> {
+      val base =
+        """WITH tk AS (
+          |  SELECT doc_id, list_filter(
+          |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w
+          |  FROM documents),
+          |t0 AS (
+          |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS tok
+          |  FROM tk),
+          |cooc AS (
+          |  SELECT LEAST(a.tok, b.tok) AS t1, GREATEST(a.tok, b.tok) AS t2
+          |  FROM t0 a JOIN t0 b
+          |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+          |e0 AS MATERIALIZED (SELECT DISTINCT t1 AS u, t2 AS v
+          |       FROM cooc WHERE t1 <> t2)""".stripMargin
+      // MATERIALIZED: each round references the previous edge CTE
+      // three times — default inlining would expand the base scan 3^8
+      // times (measured: "Too many open files")
+      val roundsSql = (1 to 8).map { i =>
+        s"""b$i AS MATERIALIZED (
+           |  SELECT n FROM (SELECT u AS n FROM e${i - 1}
+           |                 UNION ALL SELECT v FROM e${i - 1})
+           |  GROUP BY n HAVING COUNT(*) < 4),
+           |e$i AS MATERIALIZED (
+           |  SELECT u, v FROM e${i - 1}
+           |  WHERE u NOT IN (SELECT n FROM b$i)
+           |    AND v NOT IN (SELECT n FROM b$i))""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$roundsSql
+         |SELECT node, COUNT(*) AS core_degree FROM (
+         |  SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
+         |GROUP BY node""".stripMargin
+    },
+
+    // both PageRank rounds replayed: exact long/long out-probs
+    // rounded once, decimal rank·p sums, dangling mass redistributed;
+    // every double literal forced to DOUBLE so the teleport constant
+    // folds to the same IEEE value as Spark's lit(1.0) - lit(0.85)
+    "g_pagerank" ->
+      """WITH e AS (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst,
+        |    COUNT(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT src, dst,
+        |    CAST(ROUND(CAST(w AS DOUBLE) /
+        |      CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS p
+        |  FROM e),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |srcs AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (
+        |  SELECT node,
+        |    CAST(ROUND(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS r
+        |  FROM nodes, nn),
+        |d1 AS (
+        |  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
+        |  FROM r0 WHERE node NOT IN (SELECT node FROM srcs)),
+        |c1 AS (
+        |  SELECT p.dst AS node,
+        |    CAST(SUM(CAST(ROUND(r0.r * p.p, 6) AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM p JOIN r0 ON p.src = r0.node GROUP BY 1),
+        |r1 AS (
+        |  SELECT nodes.node,
+        |    CAST(ROUND(
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |        / CAST(nn.n AS DOUBLE)
+        |      + CAST(0.85 AS DOUBLE) *
+        |        (CAST(COALESCE(c1.c, CAST(0 AS DECIMAL(18,6)))
+        |           AS DOUBLE)
+        |         + CAST(d1.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS r
+        |  FROM nodes LEFT JOIN c1 ON c1.node = nodes.node, nn, d1),
+        |d2 AS (
+        |  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
+        |  FROM r1 WHERE node NOT IN (SELECT node FROM srcs)),
+        |c2 AS (
+        |  SELECT p.dst AS node,
+        |    CAST(SUM(CAST(ROUND(r1.r * p.p, 6) AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM p JOIN r1 ON p.src = r1.node GROUP BY 1),
+        |r2 AS (
+        |  SELECT nodes.node,
+        |    CAST(ROUND(
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |        / CAST(nn.n AS DOUBLE)
+        |      + CAST(0.85 AS DOUBLE) *
+        |        (CAST(COALESCE(c2.c, CAST(0 AS DECIMAL(18,6)))
+        |           AS DOUBLE)
+        |         + CAST(d2.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS r
+        |  FROM nodes LEFT JOIN c2 ON c2.node = nodes.node, nn, d2)
+        |SELECT node, CAST(r AS DOUBLE) AS pagerank FROM r2""".stripMargin,
 
     "t_glove_cooccur" ->
       """WITH tk AS (

@@ -43,6 +43,123 @@ object Graphs {
     * joined back (AQE broadcasts when vocab-sized), two equi-join
     * shuffles (wedge build + closure probe), one corner explode +
     * hash agg. Nothing all-pairs, nothing driver-side. */
+  /** Damped PageRank over a directed weighted edge list (Brin & Page
+    * 1998) — the generalized-centrality companion to the
+    * UNDAMPED event-chain stationary distribution in
+    * [[graft.ops.Analytics]] (markov) and the fixed-vocab TextRank in
+    * [[graft.text.TextOps.textRank]]: arbitrary node ids, integer
+    * edge weights, teleport + proper DANGLING-MASS redistribution
+    * (a node with no out-edges donates its rank to every node —
+    * dropping it, the common shortcut, leaks mass and the ranks no
+    * longer sum to ~1).
+    *
+    * Update (one iteration):
+    *   r'(v) = (1−d)/N + d·( Σ_{u→v} r(u)·w(u,v)/Σw(u,·)
+    *                         + dangling/N )
+    *
+    * Cross-engine determinism (the w25_markov conventions): integer
+    * weights make every out-probability an exact long/long double
+    * ratio rounded once to 6 (decimal); rank·p products are exact
+    * decimal, per-node sums decimal (order-free); the dangling sum is
+    * decimal; one double round per node per iteration. `iters` is
+    * fixed and unrolled — the oracle replays every round in SQL (the
+    * e_kmeans bar for loop-carried state).
+    *
+    * Scale shape (the textRank discipline): ranks stay DISTRIBUTED —
+    * per round ONE src-keyed join of the edge list to the rank table
+    * + one dst-keyed agg; the dangling mass and N are the only
+    * scalars, attached via broadcast crossJoin (never collected).
+    * Out-degree normalization is a src-keyed window on the edge list
+    * — the same exchange family the join uses. */
+  /** k-core decomposition at a FIXED k (Seidman 1983): iteratively
+    * peel nodes of degree < k until the remaining subgraph is a
+    * k-core (every survivor has ≥ k in-core neighbors) — the
+    * community/spam-structure filter (densely-linked boilerplate
+    * clusters survive high k; organic long-tail structure peels
+    * away).
+    *
+    * Bounded iteration contract (the BPE-merges discipline): at most
+    * `rounds` peel rounds, each ONE degree agg + two anti-joins with
+    * an eager localCheckpoint lineage cut, stopping EARLY the round
+    * nothing peels (a cheap limit-1 probe). Early stop is
+    * observationally identical to running the full `rounds` — a
+    * converged graph peels nothing — so an oracle that always
+    * replays exactly `rounds` rounds matches regardless of where
+    * convergence lands; if the corpus needs more than `rounds`
+    * rounds, both engines stop at the same partially-peeled graph
+    * (stated contract: `rounds` bounds the worst case, real graphs
+    * converge in a handful).
+    *
+    * @return surviving (node, core_degree) — degree INSIDE the core */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    var e = canonicalEdges(edges, aCol, bCol).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < rounds) {
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val bad = deg.filter(col("deg") < k).select(col("n"))
+      if (bad.limit(1).count() == 0) converged = true
+      else {
+        e = e.join(bad.select(col("n").as("u")), Seq("u"), "left_anti")
+          .join(bad.select(col("n").as("v")), Seq("v"), "left_anti")
+          .select(col("u"), col("v")).localCheckpoint()
+        i += 1
+      }
+    }
+    e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("core_degree"))
+  }
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weight: Column, damping: Double = 0.85,
+               iters: Int = 2): DataFrame = {
+    require(damping > 0 && damping < 1, "damping in (0,1)")
+    require(iters >= 1, "iters must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        weight.cast("long").as("__w"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull &&
+        col("__w") > 0)
+      .groupBy(col("__src"), col("__dst")).agg(sum(col("__w")).as("__w"))
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"))
+    val p = e.withColumn("__p",
+        dec(round(col("__w").cast("double") /
+          sum(col("__w")).over(wOut).cast("double"), 6)))
+      .select(col("__src"), col("__dst"), col("__p"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val nAgg = nodes.agg(count(lit(1)).as("__n"))
+    val srcs = e.select(col("__src").as("node")).distinct()
+    val r0 = nodes.crossJoin(broadcast(nAgg))
+      .select(col("node"),
+        dec(round(lit(1.0) / col("__n").cast("double"), 6)).as("__r"))
+    val rN = (1 to iters).foldLeft(r0) { (r, _) =>
+      val dangling = r.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("__r")), lit(0).cast("decimal(18,6)"))
+          .as("__dang"))
+      val contrib = p
+        .join(r.select(col("node").as("__src"), col("__r")), Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(dec(round(col("__r") * col("__p"), 6))).as("__c"))
+      nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nAgg)).crossJoin(broadcast(dangling))
+        .select(col("node"), dec(round(
+          (lit(1.0) - lit(damping)) / col("__n").cast("double") +
+            lit(damping) *
+              (coalesce(col("__c"), lit(0).cast("decimal(18,6)"))
+                .cast("double") +
+               col("__dang").cast("double") /
+                 col("__n").cast("double")), 6)).as("__r"))
+    }
+    rN.select(col("node"), col("__r").cast("double").as("pagerank"))
+  }
+
   def triangleCounts(edges: DataFrame, aCol: String,
                      bCol: String): DataFrame = {
     val e = canonicalEdges(edges, aCol, bCol)

@@ -34,4 +34,58 @@ class GraphsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(one == many && one == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("kCore: a pendant path cascades away one node per round, the " +
+    "triangle survives k=2; rounds cap freezes a partial peel") {
+    // triangle {x,y,z} + path x-p1-p2-p3-p4 (pendant chain)
+    val edges = Seq("x" -> "y", "y" -> "z", "z" -> "x",
+      "x" -> "p1", "p1" -> "p2", "p2" -> "p3", "p3" -> "p4")
+      .toDF("m", "n")
+    // k=2: p4 (deg 1) peels, then p3, then p2, then p1 — 4 cascade
+    // rounds; the triangle (all deg 2, x deg 3 until p1 leaves) stays
+    val core = Graphs.kCore(edges, "m", "n", k = 2, rounds = 8)
+      .as[(String, Long)].collect().toMap
+    assert(core == Map("x" -> 2L, "y" -> 2L, "z" -> 2L), core.toString)
+    // rounds=2 stops mid-cascade: p4, p3 gone; p2 (now deg 1) remains
+    val partial = Graphs.kCore(edges, "m", "n", k = 2, rounds = 2)
+      .as[(String, Long)].collect().toMap
+    assert(partial == Map("x" -> 3L, "y" -> 2L, "z" -> 2L,
+      "p1" -> 2L, "p2" -> 1L), partial.toString)
+    // k above the max degree empties the graph
+    assert(Graphs.kCore(edges, "m", "n", k = 5, rounds = 8).count() == 0)
+  }
+
+  test("pageRank: scalar replication on a 3-node graph with a " +
+    "dangling sink; mass conserved; weights bias the walk") {
+    // a ->(3) b, a ->(1) c, b ->(1) c; c is a SINK (dangling)
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L))
+      .toDF("s", "d", "w")
+    val got = Graphs.pageRank(edges, "s", "d", col("w"),
+        damping = 0.85, iters = 2)
+      .as[(String, Double)].collect().toMap
+    // scalar replication of the exact arithmetic: round6 via
+    // BigDecimal HALF_UP on the double, products/sums on the 6dp
+    // values are exact in double at these magnitudes
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = 0.85
+    val n = 3.0
+    var r = Map("a" -> r6(1.0 / n), "b" -> r6(1.0 / n),
+      "c" -> r6(1.0 / n))
+    val p = Map(("a", "b") -> r6(3.0 / 4.0), ("a", "c") -> r6(1.0 / 4.0),
+      ("b", "c") -> r6(1.0))
+    for (_ <- 1 to 2) {
+      val dang = r("c") // only sink
+      val contrib = Map(
+        "b" -> r6(r("a") * p(("a", "b"))),
+        "c" -> (r6(r("a") * p(("a", "c"))) + r6(r("b") * p(("b", "c")))))
+      r = r.keys.map(v => v -> r6((1.0 - d) / n +
+        d * (contrib.getOrElse(v, 0.0) + dang / n))).toMap
+    }
+    assert(got == r, s"got $got want $r")
+    // teleport + dangling redistribution conserve mass (to rounding)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, got.toString)
+    // the 3x-weighted a->b edge must rank b above a
+    assert(got("b") > got("a") && got("c") > got("b"), got.toString)
+  }
 }

@@ -1772,6 +1772,16 @@ object SparkEntry {
         "vec_id", "embedding", q, 10)
     }),
 
+    // ---- similarity: MMR diversified re-rank — the serving layer
+    // between top-k and the consumer: 20 candidates (one corpus
+    // TakeOrdered pass), then 10 greedy rounds of λ·rel − (1−λ)·max
+    // sim-to-picked on candidate-sized frames, every argmax
+    // tie-broken by id. Oracle unrolls all 10 rounds. ----
+    "e_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 17L, candidates = 20, k = 10,
+        lambda = 0.7)),
+
     // ---- similarity: IVF coarse-quantizer ANN — the nprobe/nlist
     // scale path next to brute force (e_ann_topk). Deterministic
     // portable-hash centroid sample + round-6 cell argmax make the
@@ -5904,6 +5914,58 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // all 10 MMR rounds unrolled; MATERIALIZED CTEs (each round
+    // references the cumulative selection twice)
+    "e_mmr_rerank" -> {
+      def cos(a: String, b: String): String =
+        s"""ROUND(list_sum(list_transform(list_zip($a, $b),
+           |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           |  / (sqrt(list_sum(list_transform($a,
+           |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           |   * sqrt(list_sum(list_transform($b,
+           |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"""
+          .stripMargin
+      val base =
+        s"""WITH qv AS MATERIALIZED (
+           |  SELECT embedding AS q FROM embeddings WHERE vec_id = 17),
+           |rel0 AS MATERIALIZED (
+           |  SELECT e.vec_id AS id, ${cos("e.embedding", "qv.q")} AS rel
+           |  FROM embeddings e, qv WHERE e.vec_id <> 17
+           |  ORDER BY rel DESC, id LIMIT 20),
+           |cv AS MATERIALIZED (
+           |  SELECT e.vec_id AS id, e.embedding AS v
+           |  FROM embeddings e JOIN rel0 ON rel0.id = e.vec_id),
+           |pr AS MATERIALIZED (
+           |  SELECT a.id AS ia, b.id AS ib, ${cos("a.v", "b.v")} AS sim
+           |  FROM cv a, cv b WHERE a.id <> b.id),
+           |s1 AS MATERIALIZED (
+           |  SELECT 1 AS rank, id, rel,
+           |    ROUND(CAST(0.7 AS DOUBLE) * rel, 6) AS score
+           |  FROM rel0 ORDER BY rel DESC, id LIMIT 1),
+           |sel1 AS MATERIALIZED (SELECT * FROM s1)""".stripMargin
+      val steps = (2 to 10).map { i =>
+        s"""s$i AS MATERIALIZED (
+           |  SELECT $i AS rank, r.id, r.rel,
+           |    ROUND(CAST(0.7 AS DOUBLE) * r.rel
+           |      - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+           |        * red.red, 6) AS score
+           |  FROM rel0 r JOIN (
+           |    SELECT ia AS id, MAX(sim) AS red FROM pr
+           |    WHERE ib IN (SELECT id FROM sel${i - 1}) GROUP BY ia) red
+           |    ON red.id = r.id
+           |  WHERE r.id NOT IN (SELECT id FROM sel${i - 1})
+           |  ORDER BY score DESC, r.id LIMIT 1),
+           |sel$i AS MATERIALIZED (
+           |  SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$steps
+         |SELECT rank, id AS vec_id, rel AS relevance,
+         |  score AS mmr_score
+         |FROM sel10""".stripMargin
+    },
 
     "e_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

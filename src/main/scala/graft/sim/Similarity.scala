@@ -36,6 +36,75 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dotC(a, b) / d)
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity-aware serving layer every RAG/retrieval
+    * stack puts between top-k and the consumer: from the `candidates`
+    * most-relevant vectors, greedily pick k where each pick maximizes
+    * λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s) — relevance traded
+    * against redundancy with what's already picked (λ=1 is plain
+    * top-k; λ→0 pure diversity).
+    *
+    * Scale shape: the corpus is touched ONCE (narrow cosine map into
+    * TakeOrdered top-`candidates`); everything after runs on
+    * candidate-sized frames — the C² pair-sim matrix and k−1 greedy
+    * rounds (anti-join + max-sim agg + 1-row top) stay distributed
+    * with an eager localCheckpoint per round cutting the growing
+    * lineage (the kCore/BPE bounded-iteration discipline). Nothing
+    * collects to the driver.
+    *
+    * Cross-engine determinism: rel and pair sims round once to 6;
+    * each round's score is one round-6 of the λ-arithmetic (double
+    * literals fold to the same IEEE values in both engines); every
+    * argmax tie-breaks by id. The oracle unrolls all k rounds.
+    *
+    * @return (rank, idCol, relevance, mmr_score) — rank 1..k */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, candidates: Int = 20, k: Int = 10,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && candidates >= k, "need candidates >= k >= 1")
+    require(lambda > 0 && lambda < 1, "lambda in (0,1)")
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
+    val rel = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).as("__id"),
+        round(cosine(col(vecCol), col("__qv")), 6).as("__rel"))
+      .orderBy(col("__rel").desc, col("__id")).limit(candidates)
+      .localCheckpoint()
+    val cv = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(broadcast(rel.select(col("__id"))), Seq("__id"))
+    val pairs = cv.select(col("__id").as("__a"), col("__v").as("__va"))
+      .crossJoin(broadcast(
+        cv.select(col("__id").as("__b"), col("__v").as("__vb"))))
+      .filter(col("__a") =!= col("__b"))
+      .select(col("__a"), col("__b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("__sim"))
+      .localCheckpoint()
+    val lam = lit(lambda)
+    val first = rel.orderBy(col("__rel").desc, col("__id")).limit(1)
+      .select(lit(1).as("rank"), col("__id"), col("__rel"),
+        round(lam * col("__rel"), 6).as("__score"))
+    val all = (2 to k).foldLeft(first) { (sel, i) =>
+      val remaining = rel.join(sel.select(col("__id")), Seq("__id"),
+        "left_anti")
+      val red = remaining
+        .join(pairs
+            .join(sel.select(col("__id").as("__b")), Seq("__b"))
+            .select(col("__a").as("__id"), col("__sim")),
+          Seq("__id"))
+        .groupBy(col("__id")).agg(max(col("__sim")).as("__red"))
+      val next = remaining.join(red, Seq("__id"))
+        .select(col("__id"), col("__rel"),
+          round(lam * col("__rel") -
+            (lit(1.0) - lam) * col("__red"), 6).as("__score"))
+        .orderBy(col("__score").desc, col("__id")).limit(1)
+        .select(lit(i).as("rank"), col("__id"), col("__rel"),
+          col("__score"))
+      sel.unionByName(next).localCheckpoint()
+    }
+    all.select(col("rank"), col("__id").as(idCol),
+      col("__rel").as("relevance"), col("__score").as("mmr_score"))
+  }
+
   /** Exact top-k neighbors of ONE query vector: narrow map + one top-k
     * (TakeOrdered — no full sort, no shuffle of the scores). */
   def topKForVector(emb: DataFrame, idCol: String, vecCol: String,

@@ -686,4 +686,32 @@ class SimilaritySpec extends SparkSpec {
     assert(coarse.getLong(1) >= 1L && coarse.getLong(1) <= 4L)
     assert(coarse.getDouble(2) == coarse.getLong(1) / 4.0)
   }
+
+  test("mmrRerank: low lambda skips the exact duplicate for the " +
+    "orthogonal doc; high lambda degenerates to relevance order; " +
+    "id tiebreak on equal scores") {
+    import spark.implicits._
+    // 1 and 2 are EXACT duplicates of the query direction; 3 is
+    // correlated (cos .8 to q and to 1); 4 is orthogonal (cos 0)
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(0.8f, 0.6f)), (4L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    def ranks(lambda: Double): Seq[(Int, Long)] =
+      Similarity.mmrRerank(emb, "vec_id", "embedding", queryId = 0L,
+          candidates = 4, k = 3, lambda = lambda)
+        .orderBy("rank").select("rank", "vec_id")
+        .as[(Int, Long)].collect().toSeq
+    // λ=0.3 greedy: pick 1 (rel tie with 2, id breaks); then the dup
+    // scores .3·1−.7·1 = −0.4, doc 3 scores .24−.56 = −0.32, the
+    // orthogonal doc 4 scores 0−0 = 0 → pick 4; then 3 (−0.32 > −0.4)
+    assert(ranks(0.3) == Seq((1, 1L), (2, 4L), (3, 3L)))
+    // λ=0.9: penalty negligible → pure relevance order 1, 2, 3
+    assert(ranks(0.9) == Seq((1, 1L), (2, 2L), (3, 3L)))
+    // relevance column carries the rounded cosine to the query
+    val rel = Similarity.mmrRerank(emb, "vec_id", "embedding", 0L,
+        candidates = 4, k = 1, lambda = 0.5)
+      .select("relevance").as[Double].collect().head
+    assert(rel == 1.0)
+  }
 }

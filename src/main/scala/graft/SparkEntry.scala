@@ -2712,6 +2712,14 @@ object SparkEntry {
       WindowOps.holt(t(s, dir, "events"), Seq("user_id"), "ts",
         "event_id", "value", alpha = 0.5, beta = 0.3)),
 
+    // ---- W30: seasonal-adjusted Holt — hour-of-day offsets (the
+    // a27 statistic) subtracted before the w27 recurrence and added
+    // back into the fitted value; the fold state stays two decimals
+    // per key, no seasonal array in the recurrence. ----
+    "w30_holt_seasonal" -> ((s, dir) =>
+      WindowOps.holtSeasonal(t(s, dir, "events"), Seq("user_id"), "ts",
+        "event_id", "value", alpha = 0.5, beta = 0.3)),
+
     // ---- W18: market-basket association rules — pair
     // support/confidence/lift over order baskets (parts per order),
     // min-support cut BEFORE rule expansion; item supports and the
@@ -7688,6 +7696,61 @@ object SparkEntry {
     // (x₁, 0); the new level is computed in the subquery so the
     // trend step reuses it — every assignment rounded once to 6
     "w27_holt" -> HoltOracle,
+
+    // w27's recursive replay with the hour-of-day offsets subtracted
+    // first and re-attached at the end; same decimal chain
+    "w30_holt_seasonal" ->
+      """WITH RECURSIVE vh AS (
+        |  SELECT user_id, event_id, EXTRACT(hour FROM ts) AS h,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS vd,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |off AS (
+        |  SELECT user_id, h,
+        |    SUM(CAST(vd * 1000000 AS BIGINT)) AS sv6, COUNT(*) AS cv
+        |  FROM vh GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT user_id, SUM(sv6) AS st6, SUM(cv) AS ct
+        |  FROM off GROUP BY 1),
+        |sx AS (
+        |  SELECT user_id, h,
+        |    CAST(ROUND(CAST(CASE WHEN n < 0
+        |             THEN -((2 * (-n) + d) // (2 * d))
+        |             ELSE (2 * n + d) // (2 * d) END AS DOUBLE)
+        |           / 1000000.0, 6) AS DECIMAL(18,6)) AS s
+        |  FROM (
+        |    SELECT off.user_id, off.h,
+        |      CAST(sv6 AS HUGEINT) * ct - CAST(tot.st6 AS HUGEINT) * cv
+        |        AS n,
+        |      CAST(cv AS HUGEINT) * ct AS d
+        |    FROM off JOIN tot ON tot.user_id = off.user_id)),
+        |v AS (
+        |  SELECT vh.user_id, vh.event_id, vh.rn, sx.s,
+        |    CAST(ROUND(CAST(vh.vd - sx.s AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS v
+        |  FROM vh JOIN sx ON sx.user_id = vh.user_id AND sx.h = vh.h),
+        |e AS (
+        |  SELECT user_id, event_id, rn, s, v AS l,
+        |    CAST(0 AS DECIMAL(18,6)) AS b
+        |  FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, event_id, rn, s, nl,
+        |    CAST(ROUND(CAST(0.3 AS DECIMAL(10,8)) * (nl - pl)
+        |             + CAST(0.7 AS DECIMAL(10,8)) * pb, 6)
+        |         AS DECIMAL(18,6))
+        |  FROM (
+        |    SELECT v.user_id, v.event_id, v.rn, v.s, e.l AS pl,
+        |      e.b AS pb,
+        |      CAST(ROUND(CAST(0.5 AS DECIMAL(10,8)) * v.v
+        |               + CAST(0.5 AS DECIMAL(10,8)) * (e.l + e.b), 6)
+        |           AS DECIMAL(18,6)) AS nl
+        |    FROM v JOIN e ON v.user_id = e.user_id
+        |      AND v.rn = e.rn + 1))
+        |SELECT user_id, event_id, CAST(l AS DOUBLE) AS level,
+        |  CAST(b AS DOUBLE) AS trend, CAST(s AS DOUBLE) AS seasonal,
+        |  ROUND(CAST(l + b AS DOUBLE) + CAST(s AS DOUBLE), 6) AS fitted
+        |FROM e""".stripMargin,
 
     // the chunked streaming replay must reproduce the batch Holt
     // recurrence exactly — same recursive CTE as w27_holt

@@ -570,4 +570,69 @@ object WindowOps {
         col("__o.b").cast("double").as("trend") :+
         (col("__o.l") + col("__o.b")).cast("double").as("forecast"): _*)
   }
+
+  /** Seasonal-adjusted Holt (the additive Holt–Winters decomposition
+    * as a composition, not a third recurrence): the hour-of-day
+    * seasonal profile — per-key mean offset of each hour vs the
+    * key's overall mean, the a27_seasonal statistic — is subtracted,
+    * [[holt]] smooths the deseasonalized series, and the offset adds
+    * back into the fitted value. Decomposing this way keeps the
+    * loop-carried state identical to [[holt]]'s (two decimal longs
+    * per key) instead of adding a period-sized seasonal array to the
+    * fold, and the seasonal profile is an honest corpus statistic
+    * rather than one more smoothed estimate.
+    *
+    * Cross-engine determinism: a MEAN OF 6-DP DECIMALS is
+    * structurally half-way-prone (two values 1e-6 apart average onto
+    * an exact .5 ulp — measured: engines split on one offset at
+    * sf0.01), so the offset is computed in INTEGER micro-units with
+    * explicit half-away-from-zero rounding: n = sv·ct − st·cv
+    * micro-units (exact decimal(38,0)), d = cv·ct, and
+    * round(n/d) = sign·((2·|n| + d) div (2·d)) — integer division
+    * truncates positives identically in both engines, so the offset
+    * is engine-free BY CONSTRUCTION, not by luck. The
+    * deseasonalized value re-rounds once; the Holt recurrence is
+    * [[holt]]'s exact decimal chain; fitted = one final round of
+    * (level+trend)+s.
+    *
+    * Scale shape: the profile is a (keys × 24)-row frame (two hash
+    * aggs + one key-frame join); attaching it shuffles the fact on
+    * (keys, hour) — AQE broadcasts the profile when small — and the
+    * recurrence rides [[holt]]'s single key exchange; the final
+    * seasonal re-attach joins on (keys, id).
+    *
+    * @return (keys…, idCol, level, trend, seasonal, fitted) */
+  def holtSeasonal(df: DataFrame, keys: Seq[String], tsCol: String,
+                   idCol: String, valCol: String, alpha: Double,
+                   beta: Double): DataFrame = {
+    val kcols = keys.map(col)
+    def dec(c: Column): Column =
+      round(c.cast("double"), 6).cast("decimal(18,6)")
+    val withH = df.select(kcols :+ col(tsCol) :+ col(idCol) :+
+      hour(col(tsCol)).as("__h") :+ dec(col(valCol)).as("__vd"): _*)
+      .withColumn("__v6", (col("__vd") * lit(1000000L)).cast("long"))
+    val off = withH.groupBy(kcols :+ col("__h"): _*)
+      .agg(sum(col("__v6")).as("__sv6"), count(lit(1)).as("__cv"))
+    val tot = off.groupBy(kcols: _*)
+      .agg(sum(col("__sv6")).as("__st6"), sum(col("__cv")).as("__ct"))
+    val sTab = off.join(tot, keys)
+      .withColumn("__n",
+        col("__sv6").cast("decimal(38,0)") * col("__ct") -
+          col("__st6").cast("decimal(38,0)") * col("__cv"))
+      .withColumn("__d", (col("__cv") * col("__ct")).cast("decimal(38,0)"))
+      .withColumn("__r", expr("(2 * abs(__n) + __d) div (2 * __d)"))
+      .select(kcols :+ col("__h") :+
+        dec(when(col("__n") < 0, -col("__r")).otherwise(col("__r"))
+          .cast("double") / lit(1000000.0)).as("__s"): _*)
+    val adj = withH.join(sTab, keys :+ "__h")
+      .withColumn("__vadj", dec(col("__vd") - col("__s")))
+    val smoothed = holt(adj, keys, tsCol, idCol, "__vadj", alpha, beta)
+    smoothed
+      .join(adj.select(kcols :+ col(idCol) :+ col("__s"): _*),
+        keys :+ idCol)
+      .select(kcols :+ col(idCol) :+ col("level") :+ col("trend") :+
+        col("__s").cast("double").as("seasonal") :+
+        round(col("forecast") + col("__s").cast("double"), 6)
+          .as("fitted"): _*)
+  }
 }

@@ -310,4 +310,40 @@ class WindowOpsSpec extends SparkSpec {
     assert(got(2L) == ((15.0, 1.5, 16.5)))
     assert(got(3L) == ((23.25, 3.525, 26.775)))
   }
+
+  test("holtSeasonal: alternating hourly pattern deseasonalizes to a " +
+    "constant (zero trend, fitted == original); exact .5-micro-unit " +
+    "offsets round half-AWAY-from-zero in both signs") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // values 10/20 alternating by hour over two days: h0 mean 10,
+    // h1 mean 20, overall 15 -> offsets -5/+5; deseasonalized series
+    // is constant 15 -> level 15, trend 0, fitted = 15 + offset
+    val df = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, 10.0),
+      (2L, t("2024-01-01 01:00:00"), 1L, 20.0),
+      (3L, t("2024-01-02 00:00:00"), 1L, 10.0),
+      (4L, t("2024-01-02 01:00:00"), 1L, 20.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = WindowOps.holtSeasonal(df, Seq("user_id"), "ts",
+        "event_id", "value", alpha = 0.5, beta = 0.3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(1L) == ((15.0, 0.0, -5.0, 10.0)), got.toString)
+    assert(got(2L) == ((15.0, 0.0, 5.0, 20.0)))
+    assert(got(3L) == ((15.0, 0.0, -5.0, 10.0)))
+    assert(got(4L) == ((15.0, 0.0, 5.0, 20.0)))
+    // structurally half-way offsets: one value per hour, 0.000001 vs
+    // 0: overall mean 0.0000005 -> offsets are EXACTLY +-0.5
+    // micro-units; integer half-away rounding must give +-0.000001
+    // (a double-rounding path is what split the engines at sf0.01)
+    val hw = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, 0.000001),
+      (2L, t("2024-01-01 01:00:00"), 1L, 0.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val seas = WindowOps.holtSeasonal(hw, Seq("user_id"), "ts",
+        "event_id", "value", alpha = 0.5, beta = 0.3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(seas == Map(1L -> 0.000001, 2L -> -0.000001), seas.toString)
+  }
 }

@@ -145,6 +145,50 @@ object SparkEntry {
     p.toString
   }
 
+  /** Shared j16/j17 linkage construction: the clean customer file
+    * scored against its deterministically DIRTIED copy (middle-char
+    * name typo every 7th key, reformatted name every 13th, segment
+    * wiped every 11th, balance shifted by a key-derived offset) via
+    * blocked Fellegi–Sunter — last-3-digit name blocks, four field
+    * weights as round-6 decimal literals, lower=0 / upper=6. */
+  private def linkageScored(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment"))
+    val dirty = cust.select(
+      col("c_custkey"),
+      when(col("c_custkey") % 13 === 0,
+          concat(lit("Cust-"),
+            lpad(col("c_custkey").cast("string"), 9, "0")))
+        .when(col("c_custkey") % 7 === 0,
+          concat(substring(col("c_name"), 1, 9), lit("X"),
+            substring(col("c_name"), 11, 100)))
+        .otherwise(col("c_name")).as("c_name"),
+      col("c_nationkey"),
+      (col("c_acctbal") + (col("c_custkey") % 9) * 20.0 - 80.0)
+        .as("c_acctbal"),
+      when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val pairs = ops.Linkage.blockedPairs(cust, dirty,
+      substring(col("a_c_name"), -3, 3),
+      substring(col("b_c_name"), -3, 3),
+      maxBucket = Some(10000L))
+    ops.Linkage.fellegiSunter(pairs, Seq(
+        ops.Linkage.LinkField("name",
+          round(NativeExpressions.jaro_winkler_sim(col("a_c_name"),
+            col("b_c_name")), 6) >= 0.95, m = 0.95, u = 0.01),
+        ops.Linkage.LinkField("nation",
+          col("a_c_nationkey") === col("b_c_nationkey"),
+          m = 0.98, u = 0.04),
+        ops.Linkage.LinkField("segment",
+          col("a_c_mktsegment") === col("b_c_mktsegment"),
+          m = 0.9, u = 0.2),
+        ops.Linkage.LinkField("balance",
+          abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 50.0,
+          m = 0.9, u = 0.05)),
+      lower = 0.0, upper = 6.0)
+  }
+
   /** Exact decimal accumulation -> one double cast (see class doc). */
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -540,47 +584,32 @@ object SparkEntry {
     // maxBucket=10000 is the degenerate-block guard (unexercised on
     // this corpus — blocks are ~key-collision sized — so the oracle
     // replays uncapped). ----
-    "j16_linkage" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").select(col("c_custkey"),
-        col("c_name"), col("c_nationkey"), col("c_acctbal"),
-        col("c_mktsegment"))
-      val dirty = cust.select(
-        col("c_custkey"),
-        when(col("c_custkey") % 13 === 0,
-            concat(lit("Cust-"),
-              lpad(col("c_custkey").cast("string"), 9, "0")))
-          .when(col("c_custkey") % 7 === 0,
-            concat(substring(col("c_name"), 1, 9), lit("X"),
-              substring(col("c_name"), 11, 100)))
-          .otherwise(col("c_name")).as("c_name"),
-        col("c_nationkey"),
-        (col("c_acctbal") + (col("c_custkey") % 9) * 20.0 - 80.0)
-          .as("c_acctbal"),
-        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
-          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
-      val pairs = ops.Linkage.blockedPairs(cust, dirty,
-        substring(col("a_c_name"), -3, 3),
-        substring(col("b_c_name"), -3, 3),
-        maxBucket = Some(10000L))
-      ops.Linkage.fellegiSunter(pairs, Seq(
-          ops.Linkage.LinkField("name",
-            round(NativeExpressions.jaro_winkler_sim(col("a_c_name"),
-              col("b_c_name")), 6) >= 0.95, m = 0.95, u = 0.01),
-          ops.Linkage.LinkField("nation",
-            col("a_c_nationkey") === col("b_c_nationkey"),
-            m = 0.98, u = 0.04),
-          ops.Linkage.LinkField("segment",
-            col("a_c_mktsegment") === col("b_c_mktsegment"),
-            m = 0.9, u = 0.2),
-          ops.Linkage.LinkField("balance",
-            abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 50.0,
-            m = 0.9, u = 0.05)),
-          lower = 0.0, upper = 6.0)
+    "j16_linkage" -> ((s, dir) =>
+      linkageScored(s, dir)
         .filter(col("decision") =!= "non_match")
         .select(col("a_c_custkey").as("a_key"),
           col("b_c_custkey").as("b_key"), col("name_agree"),
           col("nation_agree"), col("segment_agree"),
-          col("balance_agree"), col("score"), col("decision"))
+          col("balance_agree"), col("score"), col("decision"))),
+
+    // ---- J17: entity-resolution clustering — the full ER pipeline:
+    // j16's blocked Fellegi–Sunter matches become edges (clean record
+    // = 2·key, dirty = 2·key+1 — numeric, collision-free), pointer-
+    // jumping connected components assign each matched record its
+    // entity id (the min node id of its component). Records with no
+    // match edge are absent (stated contract — singletons are their
+    // own entity). ----
+    "j17_entity_clusters" -> ((s, dir) => {
+      val matches = linkageScored(s, dir)
+        .filter(col("decision") === "match")
+        .select((col("a_c_custkey") * 2).as("id1"),
+          (col("b_c_custkey") * 2 + 1).as("id2"))
+      text.Dedup.duplicateClusters(matches)
+        .select(
+          when(col("id") % 2 === 0, lit("clean")).otherwise(lit("dirty"))
+            .as("file"),
+          expr("id div 2").as("record_key"),
+          col("cluster_id").as("entity_id"))
     }),
 
     // ---- anti join (§2.3 note: QC parity) ----
@@ -1017,6 +1046,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
         .limit(20)),
+
+    // ---- training-data ops: Flesch reading-ease + FK grade — the
+    // readability diagnostic beside the Gopher rules; narrow per-row
+    // fold (vowel-group syllables, [.!?]+ sentences), no shuffle. ----
+    "t_readability" -> ((s, dir) =>
+      TextOps.readability(t(s, dir, "documents"), "doc_id", "text")),
 
     // ---- training-data ops: Zipf rank–frequency fit — OLS on
     // (ln rank, ln freq) over the top-100 terms (TakeOrdered; the
@@ -3762,6 +3797,55 @@ object SparkEntry {
       |  FROM c""".stripMargin
 
   /** Shared by w27_holt and its streaming twin s_stream_holt. */
+  /** Shared j16/j17 oracle CTE block: the dirty-copy construction,
+    * last-3 blocking, field agreements and Fellegi-Sunter scores
+    * (see [[linkageScored]]). Ends with the `sc` CTE. */
+  private val LinkageOracleCtes: String =
+    """WITH a AS (
+      |  SELECT c_custkey AS ak, c_name AS an, c_nationkey AS anat,
+      |    c_acctbal AS abal, c_mktsegment AS aseg
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_custkey AS bk,
+      |    CASE WHEN c_custkey % 13 = 0
+      |         THEN 'Cust-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')
+      |         WHEN c_custkey % 7 = 0
+      |         THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+      |         ELSE c_name END AS bn,
+      |    c_nationkey AS bnat,
+      |    c_acctbal + (c_custkey % 9) * 20.0 - 80.0 AS bbal,
+      |    CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+      |         ELSE c_mktsegment END AS bseg
+      |  FROM customer),
+      |p AS (
+      |  SELECT * FROM a JOIN b ON right(an, 3) = right(bn, 3)),
+      |f AS (
+      |  SELECT ak, bk,
+      |    ROUND(jaro_winkler_similarity(an, bn), 6) >= 0.95
+      |      AS name_agree,
+      |    anat = bnat AS nation_agree,
+      |    aseg = bseg AS segment_agree,
+      |    abs(abal - bbal) <= 50.0 AS balance_agree
+      |  FROM p),
+      |sc AS (
+      |  SELECT ak, bk, name_agree, nation_agree, segment_agree,
+      |    balance_agree,
+      |    CAST(
+      |      CAST(CASE WHEN name_agree THEN ROUND(ln(0.95/0.01), 6)
+      |                ELSE ROUND(ln(0.05/0.99), 6) END
+      |        AS DECIMAL(18,6)) +
+      |      CAST(CASE WHEN nation_agree THEN ROUND(ln(0.98/0.04), 6)
+      |                ELSE ROUND(ln(0.02/0.96), 6) END
+      |        AS DECIMAL(18,6)) +
+      |      CAST(CASE WHEN segment_agree THEN ROUND(ln(0.9/0.2), 6)
+      |                ELSE ROUND(ln(0.1/0.8), 6) END
+      |        AS DECIMAL(18,6)) +
+      |      CAST(CASE WHEN balance_agree THEN ROUND(ln(0.9/0.05), 6)
+      |                ELSE ROUND(ln(0.1/0.95), 6) END
+      |        AS DECIMAL(18,6))
+      |    AS DOUBLE) AS score
+      |  FROM f)""".stripMargin
+
   private val HoltOracle: String =
     """WITH RECURSIVE v AS (
       |  SELECT user_id, event_id,
@@ -3985,58 +4069,33 @@ object SparkEntry {
     // DuckDB's own jaro_winkler_similarity (cross-implementation),
     // weights as ROUND(ln(m/u), 6) decimals summed exactly; cap
     // unexercised on this corpus so the oracle joins uncapped
-    "j16_linkage" ->
-      """WITH a AS (
-        |  SELECT c_custkey AS ak, c_name AS an, c_nationkey AS anat,
-        |    c_acctbal AS abal, c_mktsegment AS aseg
-        |  FROM customer),
-        |b AS (
-        |  SELECT c_custkey AS bk,
-        |    CASE WHEN c_custkey % 13 = 0
-        |         THEN 'Cust-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')
-        |         WHEN c_custkey % 7 = 0
-        |         THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
-        |         ELSE c_name END AS bn,
-        |    c_nationkey AS bnat,
-        |    c_acctbal + (c_custkey % 9) * 20.0 - 80.0 AS bbal,
-        |    CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
-        |         ELSE c_mktsegment END AS bseg
-        |  FROM customer),
-        |p AS (
-        |  SELECT * FROM a JOIN b ON right(an, 3) = right(bn, 3)),
-        |f AS (
-        |  SELECT ak, bk,
-        |    ROUND(jaro_winkler_similarity(an, bn), 6) >= 0.95
-        |      AS name_agree,
-        |    anat = bnat AS nation_agree,
-        |    aseg = bseg AS segment_agree,
-        |    abs(abal - bbal) <= 50.0 AS balance_agree
-        |  FROM p),
-        |sc AS (
-        |  SELECT ak, bk, name_agree, nation_agree, segment_agree,
-        |    balance_agree,
-        |    CAST(
-        |      CAST(CASE WHEN name_agree THEN ROUND(ln(0.95/0.01), 6)
-        |                ELSE ROUND(ln(0.05/0.99), 6) END
-        |        AS DECIMAL(18,6)) +
-        |      CAST(CASE WHEN nation_agree THEN ROUND(ln(0.98/0.04), 6)
-        |                ELSE ROUND(ln(0.02/0.96), 6) END
-        |        AS DECIMAL(18,6)) +
-        |      CAST(CASE WHEN segment_agree THEN ROUND(ln(0.9/0.2), 6)
-        |                ELSE ROUND(ln(0.1/0.8), 6) END
-        |        AS DECIMAL(18,6)) +
-        |      CAST(CASE WHEN balance_agree THEN ROUND(ln(0.9/0.05), 6)
-        |                ELSE ROUND(ln(0.1/0.95), 6) END
-        |        AS DECIMAL(18,6))
-        |    AS DOUBLE) AS score
-        |  FROM f)
+    "j16_linkage" -> (LinkageOracleCtes +
+      """
         |SELECT ak AS a_key, bk AS b_key, name_agree, nation_agree,
         |  segment_agree, balance_agree, score,
         |  CASE WHEN score >= 6.0 THEN 'match'
         |       WHEN score <= 0.0 THEN 'non_match'
         |       ELSE 'review' END AS decision
         |FROM sc
-        |WHERE NOT (score <= 0.0)""".stripMargin,
+        |WHERE NOT (score <= 0.0)""".stripMargin),
+
+    // j16's matches as edges -> recursive min-label connected
+    // components (the t_dedup_clusters CC pattern), node ids 2k/2k+1
+    "j17_entity_clusters" -> (LinkageOracleCtes.replace("WITH a AS (",
+      "WITH RECURSIVE a AS (") +
+      """,
+        |m AS (SELECT ak * 2 AS id1, bk * 2 + 1 AS id2 FROM sc
+        |      WHERE score >= 6.0),
+        |edges AS (SELECT id1, id2 FROM m
+        |          UNION ALL SELECT id2, id1 FROM m),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT id1, id1 FROM edges
+        |  UNION
+        |  SELECT e.id1, reach.r FROM edges e JOIN reach ON e.id2 = reach.id),
+        |cl AS (SELECT id, MIN(r) AS entity_id FROM reach GROUP BY id)
+        |SELECT CASE WHEN id % 2 = 0 THEN 'clean' ELSE 'dirty' END AS file,
+        |  id // 2 AS record_key, entity_id
+        |FROM cl""".stripMargin),
 
     // brute-force ε-join on the same deterministic synthetic coords;
     // squared-distance predicate — no trig, exact IEEE both engines
@@ -4370,6 +4429,33 @@ object SparkEntry {
         |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // same vowel-group/sentence-run counts; fixed-order double
+    // formulas rounded once
+    "t_readability" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(w, x ->
+        |      GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS n_syllables
+        |  FROM tk WHERE len(w) > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    6) AS ease,
+        |  ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59, 6) AS grade
+        |FROM m""".stripMargin,
 
     // Zipf fit: a17's exact-decimal OLS moment sums over the top-100
     // (ln rank, ln freq) points + vocab/token totals

@@ -56,6 +56,43 @@ object TextOps {
     * expensive dedup/training steps. Deterministic, engine-independent
     * arithmetic (all integer counts and one final division).
     */
+  /** Flesch reading-ease + Flesch–Kincaid grade per document — the
+    * classic readability pair every curation stack reports next to
+    * the Gopher rules (a grade-level histogram is the standard "is
+    * this corpus textbook or forum" diagnostic). Heuristic syllables:
+    * vowel-group count per word ([aeiouy]+ runs, min 1 — the
+    * standard approximation); sentences: [.!?]+ runs, min 1.
+    *
+    * Formulas (Flesch 1948 / Kincaid 1975):
+    *   ease  = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    *   grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+    *
+    * Scale shape: narrow per-row projection — one tokenize, one
+    * regexp pass per word inside a codegen'd fold, no shuffle.
+    * Cross-engine determinism: W/S/Syl are exact longs; the two
+    * formulas are fixed-order double arithmetic rounded once to 6.
+    *
+    * @return (idCol, n_words, n_sentences, n_syllables, ease, grade) */
+  def readability(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val tk = tokens(lower(col(textCol)))
+    val words = size(tk).cast("long")
+    val sents = greatest(regexp_count(col(textCol), lit("[.!?]+")),
+      lit(1)).cast("long")
+    val sylls = aggregate(tk, lit(0L), (acc, w) =>
+      acc + greatest(regexp_count(w, lit("[aeiouy]+")), lit(1))
+        .cast("long"))
+    val wps = words.cast("double") / sents.cast("double")
+    val spw = sylls.cast("double") / words.cast("double")
+    docs.filter(words > 0).select(col(idCol),
+      words.as("n_words"), sents.as("n_sentences"),
+      sylls.as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+        .as("ease"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+        .as("grade"))
+  }
+
   def qualityScore(c: Column): Column = {
     val n = tokenCount(c)
     val lenScore = when(n >= 20 && n <= 100000, lit(1.0))

@@ -1032,6 +1032,25 @@ class TextSpec extends SparkSpec {
       "label_actual", "correct"))
   }
 
+  test("readability: hand-computed Flesch ease and FK grade; " +
+    "vowel-less words count one syllable; zero-token docs dropped") {
+    val docs = Seq(
+      (1L, "The cat sat. It was black!"), // W=6 S=2 Syl=6
+      (2L, "tv hmm"),                     // no vowels -> 1 each
+      (3L, "   ")                         // zero tokens -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: ease = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    //        grade = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    assert(got(1L) == ((1L, 6L, 2L, 6L, 119.19, -2.62)), got(1L))
+    // doc 2: W=2 S=1 Syl=2 -> ease = 206.835 - 2.03 - 84.6 = 120.205
+    //        grade = 0.78 + 11.8 - 15.59 = -3.01
+    assert(got(2L) == ((2L, 2L, 1L, 2L, 120.205, -3.01)), got(2L))
+    assert(!got.contains(3L))
+  }
+
   test("zipfFit: scalar OLS replication on a 3-term corpus; ties " +
     "rank deterministically; topN clips the fit") {
     val docs = Seq((1L, ("a " * 8 + "b " * 4 + "c c").trim))

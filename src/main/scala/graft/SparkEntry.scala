@@ -1047,6 +1047,13 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
         .limit(20)),
 
+    // ---- training-data ops: proximity (slop) search — 'hash' and
+    // 'join' within 3 positions; postings filtered to the two terms
+    // BEFORE the doc-keyed pairing, corpus never self-joins. ----
+    "t_proximity_search" -> ((s, dir) =>
+      TextOps.proximitySearch(t(s, dir, "documents"), "doc_id",
+        "text", "hash", "join", slop = 3)),
+
     // ---- training-data ops: Flesch reading-ease + FK grade — the
     // readability diagnostic beside the Gopher rules; narrow per-row
     // fold (vowel-group syllables, [.!?]+ sentences), no shuffle. ----
@@ -2747,6 +2754,21 @@ object SparkEntry {
       WindowOps.holt(t(s, dir, "events"), Seq("user_id"), "ts",
         "event_id", "value", alpha = 0.5, beta = 0.3)),
 
+    // ---- W31: rolling robust anomaly — per user, each value judged
+    // vs the LOWER median and MAD of its trailing 25-row frame (all-
+    // decimal, no interpolation, nothing to round differently); one
+    // key exchange, frame array bounded by construction. ----
+    "w31_rolling_mad" -> ((s, dir) =>
+      WindowOps.rollingMadAnomaly(t(s, dir, "events"), Seq("user_id"),
+        "ts", "event_id", "value", lookback = 25, k = 3)),
+
+    // ---- A35: leave-one-out target encoding — event_type encoded by
+    // the mean value of the OTHER rows in its type (smoothing 10
+    // toward the global mean); one category-keyed window pair. ----
+    "a35_loo_encode" -> ((s, dir) =>
+      Quality.looTargetEncode(t(s, dir, "events"), "event_id",
+        "event_type", "value", smoothing = 10.0)),
+
     // ---- W30: seasonal-adjusted Holt — hour-of-day offsets (the
     // a27 statistic) subtracted before the w27 recurrence and added
     // back into the fitted value; the fold state stays two decimals
@@ -4429,6 +4451,68 @@ object SparkEntry {
         |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // positions differ by a constant base (0- vs 1-based) so the
+    // distances match; postings filtered before pairing
+    "t_proximity_search" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS p,
+        |    unnest(w) AS tok
+        |  FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |    FROM documents))
+        |SELECT a.doc_id, CAST(MIN(abs(a.p - b.p)) AS BIGINT) AS min_dist
+        |FROM t0 a JOIN t0 b ON a.doc_id = b.doc_id
+        |WHERE a.tok = 'hash' AND b.tok = 'join'
+        |GROUP BY 1 HAVING MIN(abs(a.p - b.p)) <= 3""".stripMargin,
+
+    // lower-median/MAD replay over the same sorted decimal frames
+    "w31_rolling_mad" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |fr AS (
+        |  SELECT user_id, event_id, v,
+        |    list_sort(list(v) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS f
+        |  FROM v),
+        |md AS (
+        |  SELECT user_id, event_id, v, f,
+        |    f[(len(f) + 1) // 2] AS med
+        |  FROM fr),
+        |dv AS (
+        |  SELECT user_id, event_id, v, med,
+        |    list_sort(list_transform(f,
+        |      x -> CAST(abs(x - med) AS DECIMAL(18,6)))) AS d
+        |  FROM md)
+        |SELECT user_id, event_id, CAST(v AS DOUBLE) AS value,
+        |  CAST(med AS DOUBLE) AS med,
+        |  CAST(d[(len(d) + 1) // 2] AS DOUBLE) AS mad,
+        |  abs(v - med) > 3 * d[(len(d) + 1) // 2] AS is_anomaly
+        |FROM dv""".stripMargin,
+
+    // one category window pair + broadcast global mean; fixed-order
+    // double arithmetic rounded once
+    "a35_loo_encode" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS t
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT CAST(SUM(t) AS DOUBLE) / COUNT(*) AS gm FROM s),
+        |w AS (
+        |  SELECT event_id, event_type, t,
+        |    SUM(t) OVER (PARTITION BY event_type) AS st,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ct
+        |  FROM s)
+        |SELECT event_id, event_type,
+        |  CASE WHEN CAST(ct - 1 AS DOUBLE) + 10.0 > 0
+        |       THEN ROUND((CAST(st - t AS DOUBLE) + 10.0 * gm)
+        |                  / (CAST(ct - 1 AS DOUBLE) + 10.0), 6)
+        |  END AS encoded
+        |FROM w, g""".stripMargin,
 
     // same vowel-group/sentence-run counts; fixed-order double
     // formulas rounded once

@@ -398,6 +398,43 @@ object Quality {
     * Determinism: boundaries are interpolated percentiles (identical
     * across engines, the a8 contract); `v > boundary` on doubles is
     * exact; counts are integers; ln/division rounded once to 6. */
+  /** Leave-one-out target encoding — the high-cardinality-categorical
+    * feature transform ([[woeBins]]'s regression-side sibling): each
+    * row's category is replaced by the mean target of the OTHER rows
+    * in its category, (Σ_cat − t) / (n_cat − 1), optionally shrunk
+    * toward the global mean with pseudo-count `smoothing`
+    * ((Σ_cat − t) + m·ḡ) / ((n_cat − 1) + m). Excluding the own row
+    * is what prevents target leakage (plain mean encoding leaks the
+    * label into its own feature and inflates validation).
+    *
+    * Scale shape: ONE category-keyed window pair (sum + count share
+    * the exchange) + a broadcast global-mean scalar. Cross-engine
+    * determinism: targets rounded once to 6 (decimal sums exact);
+    * the global mean and the final division are fixed-order double
+    * arithmetic rounded once; singleton categories with smoothing=0
+    * yield null (0/0 — no peer evidence).
+    *
+    * @return input id/cat columns + (encoded) */
+  def looTargetEncode(df: DataFrame, idCol: String, catCol: String,
+                      targetCol: String,
+                      smoothing: Double = 0.0): DataFrame = {
+    require(smoothing >= 0, "smoothing must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val t6 = r6d(col(targetCol))
+    val w = Window.partitionBy(col(catCol))
+    val src = df.filter(col(targetCol).isNotNull)
+      .select(col(idCol), col(catCol), t6.as("__t"))
+    val gm = src.agg((sum(col("__t")).cast("double") /
+      count(lit(1)).cast("double")).as("__g"))
+    val num = (sum(col("__t")).over(w) - col("__t")).cast("double") +
+      lit(smoothing) * col("__g")
+    val den = (count(lit(1)).over(w) - lit(1)).cast("double") +
+      lit(smoothing)
+    src.crossJoin(broadcast(gm))
+      .select(col(idCol), col(catCol),
+        when(den > 0, round(num / den, 6)).as("encoded"))
+  }
+
   def woeBins(df: DataFrame, valCol: String, badCol: Column,
               bins: Int = 5): DataFrame = {
     require(bins >= 2, "bins must be >= 2")

@@ -571,6 +571,57 @@ object WindowOps {
         (col("__o.l") + col("__o.b")).cast("double").as("forecast"): _*)
   }
 
+  /** Rolling robust anomaly detection — per key, each value judged
+    * against the MEDIAN and MAD (median absolute deviation) of its
+    * trailing `lookback`-row frame: |v − med| > k·MAD flags the
+    * spike. Median/MAD are the robust pair (a single prior outlier
+    * inflates a rolling mean/stddev and masks the next one; the
+    * breakdown point of the median is 50%).
+    *
+    * Determinism contract: values round once to 6 (decimal); the
+    * median is the LOWER median — element ⌈n/2⌉ of the sorted frame,
+    * no interpolation, so it is always a value that OCCURS and every
+    * comparison is exact decimal; MAD is the lower median of the
+    * absolute deviations; the threshold compare is decimal (k
+    * integer). No doubles anywhere, nothing to round differently.
+    *
+    * Scale shape: ONE key-hash exchange; the frame array is
+    * `lookback` elements per row (collect_list over a rows-frame) and
+    * the median/MAD extraction is a codegen'd sort over that bounded
+    * array — cost lookback·log(lookback) per row, state bounded by
+    * construction (no maxEvents cap needed: the frame IS the cap).
+    *
+    * @return (keys…, idCol, value, med, mad, is_anomaly) */
+  def rollingMadAnomaly(df: DataFrame, keys: Seq[String], tsCol: String,
+                        idCol: String, valCol: String,
+                        lookback: Int = 25, k: Int = 3): DataFrame = {
+    require(lookback >= 2, "lookback must be >= 2")
+    require(k >= 1, "k must be >= 1")
+    val kcols = keys.map(col)
+    def dec(c: Column): Column =
+      round(c.cast("double"), 6).cast("decimal(18,6)")
+    val w = Window.partitionBy(kcols: _*)
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val arr = sort_array(collect_list(dec(col(valCol))).over(w))
+    val lowerMed = (a: Column) =>
+      element_at(a, ((size(a) + 1) / 2).cast("int"))
+    val withMed = df
+      .select(kcols :+ col(tsCol) :+ col(idCol) :+
+        dec(col(valCol)).as("__v") :+ arr.as("__fr"): _*)
+      .withColumn("__med", lowerMed(col("__fr")))
+    val devs = sort_array(transform(col("__fr"),
+      x => abs(x - col("__med")).cast("decimal(18,6)")))
+    withMed
+      .withColumn("__mad", lowerMed(devs))
+      .select(kcols :+ col(idCol) :+
+        col("__v").cast("double").as("value") :+
+        col("__med").cast("double").as("med") :+
+        col("__mad").cast("double").as("mad") :+
+        (abs(col("__v") - col("__med")) >
+          lit(k) * col("__mad")).as("is_anomaly"): _*)
+  }
+
   /** Seasonal-adjusted Holt (the additive Holt–Winters decomposition
     * as a composition, not a third recurrence): the hour-of-day
     * seasonal profile — per-key mean offset of each hour vs the

@@ -347,6 +347,36 @@ object TextOps {
     * per-partition top-n then a driver merge of partitions×n rows, no
     * shuffle of the corpus and no global sort. Zero/negative weights
     * are excluded (a zero-weight row must never be drawn). */
+  /** Proximity (slop) search — the positional-index query between
+    * exact phrase match and bag-of-words AND: documents where `termA`
+    * and `termB` occur within `slop` token positions, with the
+    * minimal distance. Slop=1 is adjacency (either order); large
+    * slop degenerates to co-occurrence.
+    *
+    * Scale shape: one tokenize+posexplode filtered to the TWO query
+    * terms BEFORE any join (the corpus never self-joins); the
+    * position pairing is a doc-keyed equi-join of two term-posting
+    * frames, Σ_doc |A|·|B| pairs — bounded by per-doc term counts,
+    * the positional-index cost model. */
+  def proximitySearch(docs: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String, termA: String,
+                      termB: String, slop: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(slop >= 1, "slop must be >= 1")
+    require(termA != termB, "terms must differ")
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("__p", "__t")))
+    val a = toks.filter(col("__t") === lit(termA))
+      .select(col(idCol), col("__p").as("__pa"))
+    val b = toks.filter(col("__t") === lit(termB))
+      .select(col(idCol), col("__p").as("__pb"))
+    a.join(b, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(min(abs(col("__pa") - col("__pb"))).cast("long")
+        .as("min_dist"))
+      .filter(col("min_dist") <= slop)
+  }
+
   /** Zipf-law fit of the corpus rank–frequency curve — the canonical
     * "does this corpus look like natural language" audit (Zipf 1949:
     * log freq ≈ intercept + slope·log rank with slope ≈ −1 for

@@ -293,6 +293,26 @@ class QualitySpec extends SparkSpec {
       ("y", "q", 10L, 15.0, 1.666667, 6.666668, 1)), got.toString)
   }
 
+  test("looTargetEncode: peers-only mean excludes the own row; " +
+    "singleton is null unsmoothed and shrinks to the global mean " +
+    "when smoothed") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
+      (4L, "B", 5.0)).toDF("id", "cat", "t")
+    val plain = Quality.looTargetEncode(df, "id", "cat", "t")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // A rows: (60 - t) / 2; B singleton: 0/0 -> null
+    assert(plain == Map(1L -> Some(25.0), 2L -> Some(20.0),
+      3L -> Some(15.0), 4L -> None), plain.toString)
+    // smoothing m=2, global mean 65/4 = 16.25:
+    // A t=10: (50 + 32.5) / 4 = 20.625 ; B: 32.5 / 2 = 16.25
+    val sm = Quality.looTargetEncode(df, "id", "cat", "t",
+        smoothing = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sm(1L) == 20.625 && sm(4L) == 16.25, sm.toString)
+  }
+
   test("mutualInfo: identical columns give MI = H = ln 2 and nmi 1; " +
     "independent columns give MI 0; a constant column nulls nmi") {
     import spark.implicits._

@@ -311,6 +311,27 @@ class WindowOpsSpec extends SparkSpec {
     assert(got(3L) == ((23.25, 3.525, 26.775)))
   }
 
+  test("rollingMadAnomaly: lower-median frames flag the spike against " +
+    "a zero-MAD baseline; the spike in a later frame doesn't flag " +
+    "its neighbors") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val df = Seq(
+      (1L, t(1), 1L, 10.0), (2L, t(2), 1L, 10.0), (3L, t(3), 1L, 10.0),
+      (4L, t(4), 1L, 100.0), (5L, t(5), 1L, 10.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = WindowOps.rollingMadAnomaly(df, Seq("user_id"), "ts",
+        "event_id", "value", lookback = 3, k = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    // frames (sorted): e4 sees [10,10,100] -> lower med 10, MAD 0,
+    // |100-10| > 0 -> anomaly; e5 sees [10,10,100] with v=10 -> not
+    assert(got(4L) == ((100.0, 10.0, 0.0, true)), got(4L).toString)
+    assert(got.filter(_._2._4).keySet == Set(4L), got.toString)
+    // even frame (e2): lower median of [10,10] is element 1 = 10
+    assert(got(2L) == ((10.0, 10.0, 0.0, false)))
+  }
+
   test("holtSeasonal: alternating hourly pattern deseasonalizes to a " +
     "constant (zero trend, fitted == original); exact .5-micro-unit " +
     "offsets round half-AWAY-from-zero in both signs") {

@@ -1032,6 +1032,21 @@ class TextSpec extends SparkSpec {
       "label_actual", "correct"))
   }
 
+  test("proximitySearch: min distance within slop either order; " +
+    "far co-occurrence and missing terms excluded") {
+    val docs = Seq(
+      (1L, "a b hash x join"),            // dist 2
+      (2L, "join hash again hash"),       // dist 1 (reversed order)
+      (3L, "hash a b c d e f g join"),    // dist 8 > slop
+      (4L, "hash only here"),             // missing termB
+      (5L, "join hash z hash join")       // multiple: min dist 1
+    ).toDF("doc_id", "text")
+    val got = TextOps.proximitySearch(docs, "doc_id", "text",
+        "hash", "join", slop = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 5L -> 1L), got.toString)
+  }
+
   test("readability: hand-computed Flesch ease and FK grade; " +
     "vowel-less words count one syllable; zero-token docs dropped") {
     val docs = Seq(

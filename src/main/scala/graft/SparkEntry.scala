@@ -151,7 +151,8 @@ object SparkEntry {
     * wiped every 11th, balance shifted by a key-derived offset) via
     * blocked Fellegi–Sunter — last-3-digit name blocks, four field
     * weights as round-6 decimal literals, lower=0 / upper=6. */
-  private def linkageScored(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def linkageScored(s: SparkSession, dir: String,
+                                   blockLen: Int = 3): DataFrame = {
     val cust = t(s, dir, "customer").select(col("c_custkey"),
       col("c_name"), col("c_nationkey"), col("c_acctbal"),
       col("c_mktsegment"))
@@ -170,8 +171,8 @@ object SparkEntry {
       when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
         .otherwise(col("c_mktsegment")).as("c_mktsegment"))
     val pairs = ops.Linkage.blockedPairs(cust, dirty,
-      substring(col("a_c_name"), -3, 3),
-      substring(col("b_c_name"), -3, 3),
+      substring(col("a_c_name"), -blockLen, blockLen),
+      substring(col("b_c_name"), -blockLen, blockLen),
       maxBucket = Some(10000L))
     ops.Linkage.fellegiSunter(pairs, Seq(
         ops.Linkage.LinkField("name",

@@ -417,6 +417,37 @@ object ScaleSweep {
       // chained dedup+agg: state bounded by live windows' keys
       "s_stream_distinct" -> (d =>
         SparkEntry.queries("s_stream_distinct")(spark, d).count()),
+      // r11 second wave. blocked FS linkage: Σ|block|² pairs — the
+      // sweep's scale lesson is the BLOCK WIDTH: at 30× the query's
+      // last-3-digit blocks exceed the 10k-pair cap and drop WHOLE
+      // (observable, 0 rows — the guard working as designed), so the
+      // sweep measures a scale-appropriate last-5-digit block
+      "j16_linkage(blk5)" -> (d =>
+        SparkEntry.linkageScored(spark, d, blockLen = 5)
+          .filter(col("decision") =!= "non_match").count()),
+      // bounded peel rounds over the (sublinear) term graph
+      "g_kcore" -> (d =>
+        SparkEntry.queries("g_kcore")(spark, d).count()),
+      // damped PageRank over the term co-occurrence graph (the
+      // purchase graph's tables aren't staged): ranks distributed,
+      // two unrolled rounds
+      "g_pagerank(terms)" -> (d => graft.ops.Graphs.pageRank(
+        graft.text.TextOps.gloveCooccur(
+          Tables.load(spark, d, "documents"), "text",
+          window = 2, minCount = 5),
+        "t1", "t2", col("n"), damping = 0.85, iters = 2).count()),
+      // one corpus pass then candidate-bounded rounds
+      "e_mmr_rerank" -> (d =>
+        SparkEntry.queries("e_mmr_rerank")(spark, d).count()),
+      // profile frame (keys x 24) + holt's one key exchange
+      "w30_holt_seasonal" -> (d =>
+        SparkEntry.queries("w30_holt_seasonal")(spark, d).count()),
+      // frame-bounded per-row sort, one key exchange
+      "w31_rolling_mad" -> (d =>
+        SparkEntry.queries("w31_rolling_mad")(spark, d).count()),
+      // one category window pair + broadcast scalar
+      "a35_loo_encode" -> (d =>
+        SparkEntry.queries("a35_loo_encode")(spark, d).count()),
       // r11: pair stage is Σ C(|basket|,2) — baskets here are
       // (user, day) event-type sets, so new replicas add BASKETS
       // (catalog fixed, the retail scale model) and the cap bounds

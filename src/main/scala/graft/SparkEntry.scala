@@ -3172,6 +3172,44 @@ object SparkEntry {
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
     }),
 
+    // ---- streaming rolling median/MAD anomaly — frame ring of 25
+    // scale-6 longs per user, INTEGER arithmetic end to end; chunked
+    // in-order replay bit-equal to the batch window (oracle IS
+    // w31's). ----
+    "s_stream_mad" -> ((s, dir) => {
+      val tmp = tempDir("graft_smad")
+      val in = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = t(s, dir, "events")
+      def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+        val chunk = s"$tmp/chunk$seq"
+        df.coalesce(1).write.mode("overwrite").parquet(chunk)
+        val part = new java.io.File(chunk).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = java.nio.file.Paths.get(in, s"f$seq.parquet")
+        java.nio.file.Files.copy(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L +
+            seq * 10000L))
+        ()
+      }
+      // IN event-time order — the recurrence's ordering contract
+      Seq((1, 8), (8, 15), (15, 22), (22, 32)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          stage(ev.filter(dayofmonth(col("ts")) >= lo &&
+            dayofmonth(col("ts")) < hi), i)
+      }
+      val ckpt = tempDir("graft_smad_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.madStream(stream,
+          lookback = 25, k = 3).toDF(),
+        queryName = s"smad_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     // ---- streaming Holt trend — the live "expected next value" feed;
     // TWO scale-6 longs of state per user, chunked in-order replay
     // bit-equal to the batch recurrence (oracle IS w27's recursive
@@ -3869,6 +3907,32 @@ object SparkEntry {
       |    AS DOUBLE) AS score
       |  FROM f)""".stripMargin
 
+  private val RollingMadOracle: String =
+    """WITH v AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |fr AS (
+        |  SELECT user_id, event_id, v,
+        |    list_sort(list(v) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS f
+        |  FROM v),
+        |md AS (
+        |  SELECT user_id, event_id, v, f,
+        |    f[(len(f) + 1) // 2] AS med
+        |  FROM fr),
+        |dv AS (
+        |  SELECT user_id, event_id, v, med,
+        |    list_sort(list_transform(f,
+        |      x -> CAST(abs(x - med) AS DECIMAL(18,6)))) AS d
+        |  FROM md)
+        |SELECT user_id, event_id, CAST(v AS DOUBLE) AS value,
+        |  CAST(med AS DOUBLE) AS med,
+        |  CAST(d[(len(d) + 1) // 2] AS DOUBLE) AS mad,
+        |  abs(v - med) > 3 * d[(len(d) + 1) // 2] AS is_anomaly
+        |FROM dv""".stripMargin
+
   private val HoltOracle: String =
     """WITH RECURSIVE v AS (
       |  SELECT user_id, event_id,
@@ -4469,31 +4533,11 @@ object SparkEntry {
         |GROUP BY 1 HAVING MIN(abs(a.p - b.p)) <= 3""".stripMargin,
 
     // lower-median/MAD replay over the same sorted decimal frames
-    "w31_rolling_mad" ->
-      """WITH v AS (
-        |  SELECT user_id, event_id, ts,
-        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
-        |  FROM events),
-        |fr AS (
-        |  SELECT user_id, event_id, v,
-        |    list_sort(list(v) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id
-        |      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS f
-        |  FROM v),
-        |md AS (
-        |  SELECT user_id, event_id, v, f,
-        |    f[(len(f) + 1) // 2] AS med
-        |  FROM fr),
-        |dv AS (
-        |  SELECT user_id, event_id, v, med,
-        |    list_sort(list_transform(f,
-        |      x -> CAST(abs(x - med) AS DECIMAL(18,6)))) AS d
-        |  FROM md)
-        |SELECT user_id, event_id, CAST(v AS DOUBLE) AS value,
-        |  CAST(med AS DOUBLE) AS med,
-        |  CAST(d[(len(d) + 1) // 2] AS DOUBLE) AS mad,
-        |  abs(v - med) > 3 * d[(len(d) + 1) // 2] AS is_anomaly
-        |FROM dv""".stripMargin,
+    "w31_rolling_mad" -> RollingMadOracle,
+
+    // the streaming twin replays the identical frames (integer
+    // micro-unit arithmetic end to end): oracle IS w31's
+    "s_stream_mad" -> RollingMadOracle,
 
     // one category window pair + broadcast global mean; fixed-order
     // double arithmetic rounded once

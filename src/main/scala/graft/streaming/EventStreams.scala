@@ -41,6 +41,9 @@ case class ZscoreOut(user_id: Long, event_id: Long, n_window: Long,
                      roll_mean: Option[Double],
                      roll_std: Option[Double], zscore: Option[Double],
                      anomaly: Boolean)
+case class MadState(lastTus: Long, lastId: Long, vs: Array[Long])
+case class MadOut(user_id: Long, event_id: Long, value: Double,
+                  med: Double, mad: Double, is_anomaly: Boolean)
 
 /** One streamed near-duplicate candidate pair (id1 < id2; est_jaccard =
   * matching-minhash fraction, the batch lshCandidates estimate). */
@@ -700,6 +703,62 @@ object EventStreams {
             val nvs = (st.vs :+ vm).takeRight(lookback)
             val nv2 = (st.v2s :+ v2m).takeRight(lookback)
             st = ZscoreState(tus, id, nvs, nv2)
+          }
+          if (st.vs.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming rolling median/MAD anomaly — the online twin of
+    * [[graft.ops.WindowOps.rollingMadAnomaly]]: each event judged
+    * against the lower median and MAD of its key's trailing
+    * `lookback`-row frame INCLUDING itself (the batch frame
+    * contract). State is the frame ring — `lookback` scale-6 longs
+    * per key, O(keys·lookback) forever, no watermark needed — and
+    * every step is INTEGER arithmetic on micro-units (sort, index,
+    * abs, k·mad compare): nothing to round differently, so a chunked
+    * in-order replay is bit-equal to the batch window and the
+    * s_stream_mad oracle IS w31's. Same out-of-order guard as
+    * [[ewmaStream]]. */
+  def madStream(events: DataFrame, lookback: Int = 25, k: Int = 3)
+      : org.apache.spark.sql.Dataset[MadOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(lookback >= 2, "lookback must be >= 2")
+    require(k >= 1, "k must be >= 1")
+    def toD(micros: Long): Double = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(micros), 6).doubleValue()
+    events.selectExpr("user_id",
+        "unix_micros(cast(ts as timestamp_ltz)) as tus",
+        "event_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MadState, MadOut](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[MadState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption
+            .getOrElse(MadState(Long.MinValue, Long.MinValue, Array.empty))
+          val out = Seq.newBuilder[MadOut]
+          sorted.foreach { case (_, tus, id, value) =>
+            if (st.vs.nonEmpty && (tus < st.lastTus ||
+                (tus == st.lastTus && id < st.lastId)))
+              throw new IllegalStateException(
+                s"madStream: event $id for user $uid at $tus precedes " +
+                  s"carried state (${st.lastTus}, ${st.lastId}) — " +
+                  "out-of-order arrival across triggers; feed " +
+                  "micro-batches in event-time order (see scaladoc)")
+            val vm = java.math.BigDecimal.valueOf(value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
+            val frame = (st.vs :+ vm).takeRight(lookback)
+            val sortedF = frame.sorted
+            val med = sortedF((sortedF.length + 1) / 2 - 1)
+            val devs = frame.map(x => math.abs(x - med)).sorted
+            val mad = devs((devs.length + 1) / 2 - 1)
+            out += MadOut(uid, id, toD(vm), toD(med), toD(mad),
+              math.abs(vm - med) > k.toLong * mad)
+            st = MadState(tus, id, frame)
           }
           if (st.vs.nonEmpty) state.update(st)
           out.result().iterator

@@ -635,6 +635,50 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("madStream: the frame ring carried across triggers is " +
+    "bit-equal to the batch lower-median/MAD window, spike included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_smadp")
+      .toString
+    val q = EventStreams.madStream(events, lookback = 3, k = 3).toDF()
+      .writeStream.format("memory").queryName("mad_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 00:01:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 00:02:00"), 10.0),
+      (3L, 1L, ts("2024-01-01 00:03:00"), 10.0),
+      (4L, 1L, ts("2024-01-01 00:04:00"), 100.0),
+      (5L, 1L, ts("2024-01-01 00:05:00"), 10.0))
+    try {
+      ms.addData(rows.take(3))
+      q.processAllAvailable()
+      // the spike arrives in trigger 2 — its frame crosses the state
+      ms.addData(rows.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("mad_live")
+        .select("event_id", "med", "mad", "is_anomaly")
+        .as[(Long, Double, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val batch = graft.ops.WindowOps.rollingMadAnomaly(
+          rows.toDF("event_id", "user_id", "ts", "value"),
+          Seq("user_id"), "ts", "event_id", "value",
+          lookback = 3, k = 3)
+        .select("event_id", "med", "mad", "is_anomaly")
+        .as[(Long, Double, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got(4L) == ((10.0, 0.0, true)), got.toString)
+      assert(got.filter(_._2._3).keySet == Set(4L), got.toString)
+    } finally q.stop()
+  }
+
   test("holtStream: level AND trend carried across triggers are " +
     "bit-equal to the batch recurrence") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

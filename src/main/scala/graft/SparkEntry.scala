@@ -2235,6 +2235,37 @@ object SparkEntry {
             lit(7L))).as("frame_index"))
     }),
 
+    // ---- multimodal: perceptual-hash near-dup — 62-bit aHash (native
+    // one-pass byte loop) over the payloads, 4×16-bit band buckets
+    // (pigeonhole: hamming ≤ 3 pairs share a band), hamming verified
+    // by bit_count(xor). The fixture doubles the corpus with one-byte-
+    // appended copies, the near-identical-payload case a real media
+    // dedup faces. ----
+    "m_phash_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val media = docs.select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+        .unionByName(docs.select((col("doc_id") + 100000L).as("media_id"),
+          concat(col("text"), lit(" ")).cast("binary").as("payload")))
+      val h = media.select(col("media_id"),
+        graft.media.Multimodal.aHash62(col("payload")).as("ah"))
+      val bands = h.select(col("media_id"), col("ah"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bk",
+          call_function("shiftright", col("ah"),
+            (col("band") * 16).cast("int")).bitwiseAND(lit(65535L)))
+      bands.select(col("band"), col("bk"), col("media_id").as("id_a"),
+          col("ah").as("ah_a"))
+        .join(bands.select(col("band"), col("bk"),
+          col("media_id").as("id_b"), col("ah").as("ah_b")),
+          Seq("band", "bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("ah_a").bitwiseXOR(col("ah_b"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+    }),
+
     // ---- multimodal plumbing: raw media INGEST through the real
     // binaryFile source. Stages one binary file per document (doc_id <
     // 200, a bounded fixture) into a SHARDED layout — repeated dir
@@ -7029,6 +7060,40 @@ object SparkEntry {
         |  unnest(range(0, 1 + octet_length(encode(text)) % 300, 7)) AS frame_index
         |FROM documents
         |WHERE doc_id % 3 = 0""".stripMargin,
+
+    // full aHash replay from the character stream (ASCII corpus:
+    // chars == payload bytes), same integer block bounds and
+    // cross-multiplied compare, then the identical band join
+    "m_phash_neardup" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text AS s FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' ' FROM documents),
+        |by AS (
+        |  SELECT media_id, CAST(length(s) AS BIGINT) AS n,
+        |    list_transform(range(1, length(s) + 1),
+        |      i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)) AS b
+        |  FROM media),
+        |bl AS (SELECT media_id, n, list_sum(b) AS tot, b FROM by),
+        |h AS (
+        |  SELECT media_id,
+        |    list_sum(list_transform(range(0, 62), k ->
+        |      CASE WHEN list_sum(b[CAST(k*n//62 AS BIGINT) + 1 :
+        |                           CAST((k+1)*n//62 AS BIGINT)]) * n
+        |              > tot * ((k+1)*n//62 - k*n//62)
+        |           THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+        |           ELSE 0 END)) AS ah
+        |  FROM bl),
+        |bands AS (
+        |  SELECT media_id, ah, band,
+        |    (ah >> CAST(band * 16 AS INT)) & 65535 AS bk
+        |  FROM h, (SELECT unnest(range(0, 4)) AS band) b4)
+        |SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+        |  CAST(bit_count(xor(a.ah, b2.ah)) AS INT) AS hamming
+        |FROM bands a JOIN bands b2
+        |  ON a.band = b2.band AND a.bk = b2.bk
+        |  AND a.media_id < b2.media_id
+        |WHERE bit_count(xor(a.ah, b2.ah)) <= 3""".stripMargin,
 
     // the staged file tree is derived from documents, so the oracle
     // recomputes every ingested row from the table itself

@@ -634,6 +634,52 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** 62-bit average-hash (aHash) over an opaque binary payload — the
+    * perceptual-dedup fingerprint for MEDIA columns: the byte stream
+    * is cut into 62 equal spans (block k = bytes [k·n/62, (k+1)·n/62)
+    * — integer bounds, so a SQL engine slices the identical spans),
+    * and bit k is set iff block k's mean byte value exceeds the
+    * payload's overall mean. The compare is CROSS-MULTIPLIED integer
+    * arithmetic (blockSum·n > totalSum·blockCount) — no division, no
+    * doubles, nothing to round: exact in any engine. On real decoded
+    * pixel rows this is the classic aHash (the blocks are the
+    * downsampled grid); on the stubbed payloads it is the same
+    * structure over raw bytes. 62 bits (not 64) keeps the value
+    * positive in a signed BIGINT on every engine — the
+    * [[PortableSimHash]] convention, and the two fingerprints share
+    * banding/hamming helpers. Empty payload → 0. One pass, O(n). */
+  case class AHash62(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val n = bytes.length
+      if (n == 0) return 0L
+      var total = 0L
+      var i = 0
+      while (i < n) { total += (bytes(i) & 0xFF); i += 1 }
+      var out = 0L
+      var k = 0
+      while (k < 62) {
+        val lo = k.toLong * n / 62
+        val hi = (k + 1).toLong * n / 62
+        var bs = 0L
+        var j = lo.toInt
+        while (j < hi) { bs += (bytes(j) & 0xFF); j += 1 }
+        // blockMean > overallMean, cross-multiplied (empty block:
+        // 0 > 0 is false)
+        if (bs * n > total * (hi - lo)) out |= (1L << k)
+        k += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Near-dup normalization collapse: on ALREADY-LOWERCASED text, replace
     * every run of characters outside [a-z0-9] with a single space and
     * trim — byte-level, one pass. Exactly equivalent to
@@ -993,6 +1039,9 @@ object NativeExpressions {
   def poly_hash_set(a: Column): Column =
     toCol(PolyHashSet(expr(a)))
 
+  def ahash62(payload: Column): Column =
+    toCol(AHash62(expr(payload)))
+
   def srp_buckets(vec: Column, nPlanes: Int, seeds: Seq[Int]): Column =
     toCol(SrpBuckets(expr(vec), nPlanes, seeds))
 
@@ -1020,6 +1069,7 @@ object NativeExpressions {
     "cosine_sim" -> (es => CosineSimilarity(es.head, es(1))),
     "dot_product" -> (es => DotProduct(es.head, es(1))),
     "portable_simhash" -> (es => PortableSimHash(es.head)),
+    "ahash62" -> (es => AHash62(es.head)),
     "normalize_spaces" -> (es => NormalizeSpaces(es.head)),
     "intersect_size" -> (es => IntersectSize(es.head, es(1))),
     "nfc_normalize" -> (es => NfcNormalize(es.head)),

@@ -116,6 +116,37 @@ object Multimodal {
   def byteLen(payload: Column): Column = octet_length(payload).cast("long")
   def contentSha(payload: Column): Column = sha2(payload, 256)
 
+  /** 62-bit perceptual average-hash of a binary payload — the native
+    * [[graft.functions.NativeExpressions.AHash62]] (one tight byte
+    * loop); see its scaladoc for the block/cross-multiply contract.
+    * Near-identical payloads (a few bytes shifted/changed) land within
+    * small Hamming distance, so banding + `bit_count(a ^ b)` gives the
+    * media near-dup join the same shape as the simhash text path. */
+  def aHash62(payload: Column): Column =
+    graft.functions.NativeExpressions.ahash62(payload)
+
+  /** Pure-Column twin of [[aHash62]] — the executable spec of the
+    * block arithmetic. ASCII-payload + fixture-scale ONLY (reads bytes
+    * through a string cast; interpreted lambdas). */
+  def aHash62Cols(payload: Column): Column = {
+    val s = payload.cast("string")
+    val b = transform(sequence(lit(1), length(s)),
+      i => call_function("ascii", call_function("substr", s, i, lit(1)))
+        .cast("long"))
+    val n = size(b).cast("long")
+    val tot = aggregate(b, lit(0L), (acc, x) => acc + x)
+    val bits = (0 until 62).map { k =>
+      val lo = floor(lit(k) * n / lit(62.0)).cast("long")
+      val hi = floor(lit(k + 1) * n / lit(62.0)).cast("long")
+      val bs = aggregate(
+        slice(b, (lo + 1).cast("int"), (hi - lo).cast("int")),
+        lit(0L), (acc, x) => acc + x)
+      when(bs * n > tot * (hi - lo), lit(1L << k)).otherwise(lit(0L))
+    }
+    when(length(s) === 0, lit(0L))
+      .otherwise(bits.reduce(_ + _))
+  }
+
   /** Raw media INGEST: read a directory tree of binary files (images,
     * audio, video — any bytes) via Spark's `binaryFile` source into the
     * [[mediaSchema]] shape. This is how payloads ENTER the pipeline

@@ -116,4 +116,35 @@ class MultimodalSpec extends SparkSpec {
       .select("rel_path", "media_id").as[(String, Long)].collect().toMap
     assert(again == got)
   }
+
+  test("aHash62: native == pure-Column twin on varied payloads; " +
+    "half-dark/half-bright hand case; identical payloads collide; " +
+    "empty payload hashes to 0") {
+    import org.apache.spark.sql.functions._
+    // hand case: 62 'a'(97) then 62 'z'(122): overall mean 109.5 —
+    // low half's blocks (mean 97) clear, high half's (122) set;
+    // blocks are exactly one byte each at n=124
+    val half = "a" * 62 + "z" * 62
+    val rows = Seq(half, "hello world", "hello world", "",
+      "The quick brown fox jumps over the lazy dog. " * 20)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t").withColumn("p", col("t").cast("binary"))
+    val got = rows.select(col("id"),
+        Multimodal.aHash62(col("p")).as("nat"),
+        Multimodal.aHash62Cols(col("p")).as("twin"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, nat, twin) =>
+      assert(nat == twin, s"row $id: native $nat != twin $twin")
+    }
+    val byId = got.map(r => r._1 -> r._2).toMap
+    // exactly bits 31..61 set (the 'z' half)
+    assert(byId(0L) == ((0L to 61L).filter(_ >= 31)
+      .map(1L << _.toInt).sum), byId(0L).toString)
+    assert(byId(1L) == byId(2L), "identical payloads must collide")
+    assert(byId(3L) == 0L, "empty payload hashes to 0")
+    // null payload -> null hash
+    val n = rows.select(Multimodal.aHash62(lit(null).cast("binary")))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
 }

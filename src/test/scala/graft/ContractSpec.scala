@@ -22,13 +22,18 @@ class ContractSpec extends AnyFunSuite {
 
   test("oracle SQL references only driver-provided tables") {
     val known = Tables.names.toSet
-    // lookbehind: `IS DISTINCT FROM x` is an operator, not a scan
-    val tableRef = "(?i)(?<!DISTINCT )\\bFROM\\s+([a-z_][a-z0-9_]*)".r
+    // lookbehinds: `IS DISTINCT FROM x` is an operator and
+    // `EXTRACT(hour FROM ts)` names a column, not a scan
+    val tableRef = ("(?i)(?<!DISTINCT )(?<!hour )(?<!day )(?<!month )" +
+      "(?<!year )(?<!minute )(?<!second )(?<!epoch )(?<!dow )" +
+      "\\bFROM\\s+([a-z_][a-z0-9_]*)").r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       tableRef.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         // CTE names and subquery aliases resolve before views; only flag
         // identifiers that are neither known tables nor defined in-query
-        val defined = s"(?i)\\b$t\\s+AS\\s*\\(".r.findFirstIn(sql).isDefined ||
+        val defined =
+          s"(?i)\\b$t\\s+AS\\s*(MATERIALIZED\\s*)?\\(".r
+            .findFirstIn(sql).isDefined ||
           sql.toLowerCase.contains(s"$t(")
         assert(known.contains(t) || defined,
           s"$name references unknown table '$t'")

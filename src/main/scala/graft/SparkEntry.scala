@@ -1815,6 +1815,14 @@ object SparkEntry {
         "vec_id", "embedding", q, 10)
     }),
 
+    // ---- similarity: k-center greedy coreset — 6 exemplars, each
+    // round one corpus scan against the ≤k broadcast centers (never
+    // point×point); the labeling-budget picker. Oracle unrolls all
+    // rounds. ----
+    "e_kcenter" -> ((s, dir) =>
+      Similarity.kCenterGreedy(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 6)),
+
     // ---- similarity: MMR diversified re-rank — the serving layer
     // between top-k and the consumer: 20 candidates (one corpus
     // TakeOrdered pass), then 10 greedy rounds of λ·rel − (1−λ)·max
@@ -2785,6 +2793,13 @@ object SparkEntry {
     "w27_holt" -> ((s, dir) =>
       WindowOps.holt(t(s, dir, "events"), Seq("user_id"), "ts",
         "event_id", "value", alpha = 0.5, beta = 0.3)),
+
+    // ---- W32: best changepoint per user (one binary-segmentation
+    // step): split minimizing two-segment SSE from prefix sums — one
+    // pass, one key exchange, argmin rank on the same exchange. ----
+    "w32_changepoint" -> ((s, dir) =>
+      WindowOps.bestChangepoint(t(s, dir, "events"), Seq("user_id"),
+        "ts", "event_id", "value", minSeg = 5)),
 
     // ---- W31: rolling robust anomaly — per user, each value judged
     // vs the LOWER median and MAD of its trailing 25-row frame (all-
@@ -4563,6 +4578,46 @@ object SparkEntry {
         |WHERE a.tok = 'hash' AND b.tok = 'join'
         |GROUP BY 1 HAVING MIN(abs(a.p - b.p)) <= 3""".stripMargin,
 
+    // prefix-sum SSE replay, same fixed-order double cost formula
+    "w32_changepoint" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id,
+        |    CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id, i,
+        |    SUM(v) OVER (PARTITION BY user_id ORDER BY i) AS s,
+        |    SUM(CAST(v * v AS DECIMAL(38,12)))
+        |      OVER (PARTITION BY user_id ORDER BY i) AS q,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    SUM(v) OVER (PARTITION BY user_id) AS st,
+        |    SUM(CAST(v * v AS DECIMAL(38,12)))
+        |      OVER (PARTITION BY user_id) AS qt
+        |  FROM v),
+        |c AS (
+        |  SELECT user_id, event_id, i, n,
+        |    ROUND((CAST(q AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(i AS DOUBLE))
+        |      + ((CAST(qt AS DOUBLE) - CAST(q AS DOUBLE))
+        |        - (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))
+        |          * (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))), 6) AS cost,
+        |    ROUND(CAST(qt AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 6) AS sse
+        |  FROM p
+        |  WHERE n >= 10 AND i >= 5 AND i <= n - 5),
+        |r AS (
+        |  SELECT user_id, i, event_id, cost, sse,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY cost, i) AS rn
+        |  FROM c)
+        |SELECT user_id, CAST(i AS BIGINT) AS split_idx,
+        |  event_id AS split_id, ROUND(sse - cost, 6) AS gain
+        |FROM r WHERE rn = 1""".stripMargin,
+
     // lower-median/MAD replay over the same sorted decimal frames
     "w31_rolling_mad" -> RollingMadOracle,
 
@@ -6168,6 +6223,43 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // all k-center rounds unrolled; MATERIALIZED (each round
+    // references the cumulative selection twice)
+    "e_kcenter" -> {
+      def cos(a: String, b: String): String =
+        s"""ROUND(1.0 - list_sum(list_transform(list_zip($a, $b),
+           |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           |  / (sqrt(list_sum(list_transform($a,
+           |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           |   * sqrt(list_sum(list_transform($b,
+           |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"""
+          .stripMargin
+      val base =
+        """WITH s1 AS MATERIALIZED (
+          |  SELECT 1 AS rank, vec_id AS id,
+          |    CAST(NULL AS DOUBLE) AS maximin
+          |  FROM embeddings ORDER BY vec_id LIMIT 1),
+          |sel1 AS MATERIALIZED (SELECT * FROM s1)""".stripMargin
+      val steps = (2 to 6).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT e.vec_id AS id,
+           |    MIN(${cos("e.embedding", "c.embedding")}) AS dm
+           |  FROM embeddings e, embeddings c
+           |  WHERE c.vec_id IN (SELECT id FROM sel${i - 1})
+           |    AND e.vec_id NOT IN (SELECT id FROM sel${i - 1})
+           |  GROUP BY e.vec_id),
+           |s$i AS MATERIALIZED (
+           |  SELECT $i AS rank, id, dm AS maximin FROM d$i
+           |  ORDER BY dm DESC, id LIMIT 1),
+           |sel$i AS MATERIALIZED (
+           |  SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$steps
+         |SELECT rank, id AS vec_id, maximin FROM sel6""".stripMargin
+    },
 
     // all 10 MMR rounds unrolled; MATERIALIZED CTEs (each round
     // references the cumulative selection twice)

@@ -571,6 +571,73 @@ object WindowOps {
         (col("__o.l") + col("__o.b")).cast("double").as("forecast"): _*)
   }
 
+  /** Single best changepoint per key (one step of binary
+    * segmentation, the classic offline changepoint family — CUSUM's
+    * retrospective sibling): the split s minimizing
+    * SSE(1..s) + SSE(s+1..n), i.e. the two-segment least-squares fit,
+    * with gain = SSE(1..n) − cost(s). SSE comes from prefix sums
+    * (Σv, Σv²) so the whole search is ONE pass: no per-split
+    * re-aggregation, no quadratic anything.
+    *
+    * Scale shape: one key exchange carries the ordered prefix sums
+    * (two running decimals), the per-row cost is a narrow projection,
+    * and the per-key argmin is a rank over the same exchange. Cost
+    * O(n) per key.
+    *
+    * Determinism: values round once to 6 (decimal prefix sums exact);
+    * the cost formula is fixed-order double arithmetic rounded once
+    * to 6; argmin ties break on the EARLIER split. Minimum segment
+    * length `minSeg` on both sides; keys with fewer than 2·minSeg
+    * points yield no row.
+    *
+    * @return one row per key: (keys…, split_idx — 1-based last index
+    *         of the left segment, split_id — idCol at that index,
+    *         gain) */
+  def bestChangepoint(df: DataFrame, keys: Seq[String], tsCol: String,
+                      idCol: String, valCol: String,
+                      minSeg: Int = 2): DataFrame = {
+    require(minSeg >= 1, "minSeg must be >= 1")
+    val kcols = keys.map(col)
+    def dec(c: Column): Column =
+      round(c.cast("double"), 6).cast("decimal(18,6)")
+    val w = Window.partitionBy(kcols: _*).orderBy(col(tsCol), col(idCol))
+    val wAll = Window.partitionBy(kcols: _*)
+    val pre = df.select(kcols :+ col(tsCol) :+ col(idCol) :+
+        dec(col(valCol)).as("__v"): _*)
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__s", sum(col("__v"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__q", sum((col("__v") * col("__v"))
+          .cast("decimal(38,12)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__st", sum(col("__v")).over(wAll))
+      .withColumn("__qt", sum((col("__v") * col("__v"))
+        .cast("decimal(38,12)")).over(wAll))
+    val iD = col("__i").cast("double")
+    val nD = col("__n").cast("double")
+    val sD = col("__s").cast("double")
+    val qD = col("__q").cast("double")
+    val stD = col("__st").cast("double")
+    val qtD = col("__qt").cast("double")
+    val cost = round(
+      (qD - sD * sD / iD) +
+        ((qtD - qD) - (stD - sD) * (stD - sD) / (nD - iD)), 6)
+    val sse = round(qtD - stD * stD / nD, 6)
+    val scored = pre
+      .filter(col("__n") >= 2 * minSeg &&
+        col("__i") >= minSeg && col("__i") <= col("__n") - minSeg)
+      .withColumn("__cost", cost)
+      .withColumn("__sse", sse)
+    val wRank = Window.partitionBy(kcols: _*)
+      .orderBy(col("__cost"), col("__i"))
+    scored.withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") === 1)
+      .select(kcols :+ col("__i").cast("long").as("split_idx") :+
+        col(idCol).as("split_id") :+
+        round(col("__sse") - col("__cost"), 6).as("gain"): _*)
+  }
+
   /** Rolling robust anomaly detection — per key, each value judged
     * against the MEDIAN and MAD (median absolute deviation) of its
     * trailing `lookback`-row frame: |v − med| > k·MAD flags the

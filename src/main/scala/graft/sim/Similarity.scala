@@ -36,6 +36,49 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dotC(a, b) / d)
   }
 
+  /** k-center greedy exemplar selection (Gonzalez 1985) — the coreset
+    * picker of active-learning / data-pruning pipelines (Sener &
+    * Savarese's core-set approach is exactly this rule): start from a
+    * deterministic seed (lowest id) and repeatedly add the point
+    * FARTHEST from the selected set (maximin cosine distance). The
+    * greedy is a 2-approximation of the optimal k-center cover, and
+    * the selected exemplars are the "spanning" samples a labeling
+    * budget should go to.
+    *
+    * Scale shape: k−1 rounds, each ONE corpus scan — the ≤k selected
+    * vectors broadcast into a crossJoin, per-point min-distance agg,
+    * global 1-row TakeOrdered — never a point×point join; an eager
+    * localCheckpoint per round cuts the growing lineage (the
+    * kCore/MMR discipline). Nothing collects to the driver.
+    *
+    * Determinism: distances round once to 6 (1 − native cosine);
+    * every argmax tie-breaks by id. The oracle unrolls all k rounds.
+    *
+    * @return (rank, idCol, maximin) — maximin null for the seed */
+  def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pts = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val first = pts.orderBy(col("__id")).limit(1)
+      .select(lit(1).as("rank"), col("__id"), col("__v"),
+        lit(null).cast("double").as("maximin"))
+      .localCheckpoint()
+    val all = (2 to k).foldLeft(first) { (sel, i) =>
+      val dmin = pts
+        .join(sel.select(col("__id")), Seq("__id"), "left_anti")
+        .crossJoin(broadcast(sel.select(col("__v").as("__c"))))
+        .groupBy(col("__id"))
+        .agg(min(round(lit(1.0) - cosine(col("__v"), col("__c")), 6))
+          .as("__dm"))
+      val next = dmin.orderBy(col("__dm").desc, col("__id")).limit(1)
+        .join(pts, Seq("__id"))
+        .select(lit(i).as("rank"), col("__id"), col("__v"),
+          col("__dm").as("maximin"))
+      sel.unionByName(next).localCheckpoint()
+    }
+    all.select(col("rank"), col("__id").as(idCol), col("maximin"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     * 1998) — the diversity-aware serving layer every RAG/retrieval
     * stack puts between top-k and the consumer: from the `candidates`

@@ -311,6 +311,27 @@ class WindowOpsSpec extends SparkSpec {
     assert(got(3L) == ((23.25, 3.525, 26.775)))
   }
 
+  test("bestChangepoint: a clean step splits exactly at the step with " +
+    "gain = total SSE; flat series ties to the earliest split; short " +
+    "keys yield no row") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: step 1->9 at index 5; user 2: flat; user 3: too short
+    val df = ((1 to 10).map(i =>
+        (i.toLong, t(i), 1L, if (i <= 5) 1.0 else 9.0)) ++
+      (1 to 10).map(i => (100L + i, t(i), 2L, 7.0)) ++
+      (1 to 3).map(i => (200L + i, t(i), 3L, 1.0 * i)))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = WindowOps.bestChangepoint(df, Seq("user_id"), "ts",
+        "event_id", "value", minSeg = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // total SSE for user 1: mean 5, 10*16 = 160; two-segment cost 0
+    assert(got(1L) == ((5L, 5L, 160.0)), got(1L).toString)
+    // flat: every split costs the same (0 gain) -> earliest (minSeg)
+    assert(got(2L) == ((2L, 102L, 0.0)), got(2L).toString)
+    assert(!got.contains(3L), "3 points < 2*minSeg must yield no row")
+  }
+
   test("rollingMadAnomaly: lower-median frames flag the spike against " +
     "a zero-MAD baseline; the spike in a later frame doesn't flag " +
     "its neighbors") {

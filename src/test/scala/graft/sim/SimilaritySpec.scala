@@ -687,6 +687,29 @@ class SimilaritySpec extends SparkSpec {
     assert(coarse.getDouble(2) == coarse.getLong(1) / 4.0)
   }
 
+  test("kCenterGreedy: picks the three cluster exemplars before any " +
+    "in-cluster duplicate; seed is the lowest id with null maximin") {
+    import spark.implicits._
+    // three tight direction clusters + duplicates inside each
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(1f, 0.001f, 0f)), // cluster A
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(0.001f, 1f, 0f)), // cluster B
+      (5L, Seq(0f, 0f, 1f)), (6L, Seq(0f, 0.001f, 1f))  // cluster C
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(emb, "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got.head == ((1, 1L, None)), got.toString)
+    // rounds 2-3 must each pick a NEW cluster (maximin distance ~1),
+    // never the duplicate of an already-covered one
+    val picked = got.map(_._2).toSet
+    assert(Set(Set(1L, 3L, 5L), Set(1L, 3L, 6L), Set(1L, 4L, 5L),
+      Set(1L, 4L, 6L)).contains(picked), got.toString)
+    assert(got.tail.forall(_._3.exists(_ > 0.9)),
+      s"cross-cluster maximin must be ~1: $got")
+  }
+
   test("mmrRerank: low lambda skips the exact duplicate for the " +
     "orthogonal doc; high lambda degenerates to relevance order; " +
     "id tiebreak on equal scores") {

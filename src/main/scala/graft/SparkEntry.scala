@@ -1048,6 +1048,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
         .limit(20)),
 
+    // ---- training-data ops: reproducible EDA augmentation —
+    // hash-selected adjacent swaps then hash-selected deletes, one
+    // narrow HOF pass, no RNG state (same doc always augments the
+    // same way on any engine). ----
+    "t_augment" -> ((s, dir) =>
+      TextOps.augmentText(t(s, dir, "documents"), "doc_id", "text",
+        dropEvery = 10, swapEvery = 7)),
+
     // ---- training-data ops: proximity (slop) search — 'hash' and
     // 'join' within 3 positions; postings filtered to the two terms
     // BEFORE the doc-keyed pairing, corpus never self-joins. ----
@@ -1814,6 +1822,13 @@ object SparkEntry {
       Similarity.topKForVector(emb.filter(col("vec_id") =!= 0),
         "vec_id", "embedding", q, 10)
     }),
+
+    // ---- similarity: Matryoshka prefix-dim recall — top-10 overlap
+    // between full-64-dim and first-8/16/32-dim cosine: the audit
+    // that licenses serving at d ≪ D. One narrow scan per prefix. ----
+    "e_prefix_recall" -> ((s, dir) =>
+      Similarity.prefixDimRecall(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 17L, topK = 10, dims = Seq(8, 16, 32))),
 
     // ---- similarity: k-center greedy coreset — 6 exemplars, each
     // round one corpus scan against the ≤k broadcast centers (never
@@ -4563,6 +4578,39 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
+    // full augmentation replay: same positional hash, swap pass then
+    // delete pass over the token list
+    "t_augment" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sw AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |    list_transform(range(0, len(w)), j ->
+        |      w[CASE WHEN ((doc_id*31 + j//2) * 2654435761)
+        |                  % 2147483647 % 7 = 0
+        |                  AND xor(j, 1) < len(w)
+        |             THEN xor(j, 1) ELSE j END + 1]) AS s,
+        |    CASE WHEN len(w) >= 2
+        |         THEN 2 * len(list_filter(range(0, len(w)//2), p ->
+        |           ((doc_id*31 + p) * 2654435761) % 2147483647 % 7 = 0))
+        |         ELSE 0 END AS nsw
+        |  FROM tk WHERE len(w) > 0),
+        |aug AS (
+        |  SELECT doc_id, n, nsw,
+        |    list_transform(
+        |      list_filter(
+        |        list_transform(range(0, n), j -> {'t': s[j+1], 'j': j}),
+        |        st -> ((doc_id*31 + st.j) * 2654435761)
+        |              % 2147483647 % 10 <> 0),
+        |      st -> st.t) AS kt
+        |  FROM sw)
+        |SELECT doc_id, array_to_string(kt, ' ') AS text_aug,
+        |  n AS n_tokens, CAST(nsw AS BIGINT) AS n_swapped,
+        |  n - len(kt) AS n_dropped
+        |FROM aug""".stripMargin,
+
     // positions differ by a constant base (0- vs 1-based) so the
     // distances match; postings filtered before pairing
     "t_proximity_search" ->
@@ -6223,6 +6271,45 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // per-prefix cosine top-10 vs the full-dim top-10, same rounded
+    // ordering and id tiebreaks
+    "e_prefix_recall" -> {
+      def cos(a: String, b: String): String =
+        s"""ROUND(list_sum(list_transform(list_zip($a, $b),
+           |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           |  / (sqrt(list_sum(list_transform($a,
+           |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           |   * sqrt(list_sum(list_transform($b,
+           |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"""
+          .stripMargin
+      val pres = Seq(8, 16, 32).map { d =>
+        s"""p$d AS MATERIALIZED (
+           |  SELECT e.vec_id AS id
+           |  FROM embeddings e, q
+           |  WHERE e.vec_id <> 17
+           |  ORDER BY ${cos(s"e.embedding[1:$d]", s"q.qe[1:$d]")} DESC,
+           |    e.vec_id
+           |  LIMIT 10),
+           |r$d AS (
+           |  SELECT $d AS prefix_dim, CAST(10 AS BIGINT) AS k,
+           |    CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM p$d WHERE id IN (SELECT id FROM ft))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 17),
+         |ft AS MATERIALIZED (
+         |  SELECT e.vec_id AS id
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> 17
+         |  ORDER BY ${cos("e.embedding", "q.qe")} DESC, e.vec_id
+         |  LIMIT 10),
+         |$pres
+         |SELECT prefix_dim, k, hits,
+         |  ROUND(CAST(hits AS DOUBLE) / 10, 6) AS recall
+         |FROM (SELECT * FROM r8 UNION ALL SELECT * FROM r16
+         |      UNION ALL SELECT * FROM r32)""".stripMargin
+    },
 
     // all k-center rounds unrolled; MATERIALIZED (each round
     // references the cumulative selection twice)

@@ -36,6 +36,42 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dotC(a, b) / d)
   }
 
+  /** Prefix-dimension recall audit — the Matryoshka-embedding
+    * question (Kusupati et al. 2022): how much of the full-dimension
+    * top-k survives when similarity uses only the FIRST d dims? A
+    * high recall at d ≪ D licenses serving at d (bytes cut D/d) with
+    * full-dim re-rank only on the shortlist — the cheapest
+    * scale lever a vector stack has.
+    *
+    * Scale shape: one narrow cosine scan per audited prefix (plus
+    * one full-dim scan), each a TakeOrdered — no joins beyond the
+    * k-row semi-join counting hits. Determinism: cosines round to 6,
+    * ties by id (the e_pq_recall conventions).
+    *
+    * @return one row per prefix: (prefix_dim, k, hits, recall) */
+  def prefixDimRecall(emb: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, topK: Int,
+                      dims: Seq[Int]): DataFrame = {
+    require(topK >= 1 && dims.nonEmpty, "need topK >= 1 and dims")
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    val rest = emb.filter(col(idCol) =!= queryId).crossJoin(broadcast(q))
+    def top(vec: Column, qv: Column): DataFrame =
+      rest.select(col(idCol).as("__id"),
+          round(cosine(vec, qv), 6).as("__c"))
+        .orderBy(col("__c").desc, col("__id")).limit(topK)
+    val full = top(col(vecCol), col("__qv")).select(col("__id"))
+      .localCheckpoint()
+    dims.map { d =>
+      top(slice(col(vecCol), 1, d), slice(col("__qv"), 1, d))
+        .join(full, Seq("__id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("prefix_dim"),
+          lit(topK.toLong).as("k"), col("hits"),
+          round(col("hits").cast("double") / topK, 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** k-center greedy exemplar selection (Gonzalez 1985) — the coreset
     * picker of active-learning / data-pruning pipelines (Sener &
     * Savarese's core-set approach is exactly this rule): start from a

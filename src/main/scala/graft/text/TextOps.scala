@@ -347,6 +347,61 @@ object TextOps {
     * per-partition top-n then a driver merge of partitions×n rows, no
     * shuffle of the corpus and no global sort. Zero/negative weights
     * are excluded (a zero-weight row must never be drawn). */
+  /** Deterministic EDA-style text augmentation (Wei & Zou 2019's
+    * random-swap + random-delete, made REPRODUCIBLE): adjacent token
+    * pairs swap where a portable positional hash selects them, then
+    * tokens drop where a second hash selects — no RNG state, the
+    * same (doc, position) always augments the same way on any
+    * engine/run (the stratifiedKeep/epochShuffle sampling
+    * discipline). Augmentation multiplies training corpora; an
+    * irreproducible augmentation breaks dedup bookkeeping and ruins
+    * A/B comparisons between curation runs.
+    *
+    * h(doc, x) = ((doc·31 + x) · 2654435761) mod 2147483647 — exact
+    * BIGINT arithmetic, SQL-replayable. Swap first (pair p swaps iff
+    * h(doc,p) % swapEvery == 0), then delete (position j drops iff
+    * h(doc,j) % dropEvery == 0) — the order is part of the contract.
+    *
+    * Scale shape: one narrow per-row HOF pass over the token array —
+    * no explode, no shuffle.
+    *
+    * @return (idCol, text_aug, n_tokens, n_swapped, n_dropped) */
+  def augmentText(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, dropEvery: Int = 10,
+                  swapEvery: Int = 7): org.apache.spark.sql.DataFrame = {
+    require(dropEvery >= 2 && swapEvery >= 2,
+      "dropEvery and swapEvery must be >= 2")
+    val arr = tokens(col(textCol))
+    def h(x: Column): Column =
+      pmod((col(idCol).cast("long") * 31 + x) * lit(2654435761L),
+        lit(2147483647L))
+    val n = size(arr)
+    // swap pass: index j reads from j^1 when its pair is selected
+    // (last odd token of an odd-length doc has no pair)
+    val swapped = transform(sequence(lit(0), n - 1), j => {
+      val p = floor(j / lit(2)).cast("long")
+      val partner = when(h(p) % swapEvery === 0 &&
+          (j.bitwiseXOR(lit(1))) < n, j.bitwiseXOR(lit(1)))
+        .otherwise(j)
+      element_at(arr, (partner + 1).cast("int"))
+    })
+    val nSwapped = when(n >= 2,
+      size(filter(sequence(lit(0), floor(n / lit(2)).cast("int") - 1),
+        p => h(p.cast("long")) % swapEvery === 0)) * 2)
+      .otherwise(0)
+    // delete pass over the swapped array
+    val kept = filter(transform(sequence(lit(0), n - 1),
+        j => struct(element_at(swapped, (j + 1).cast("int")).as("t"),
+          j.as("j"))),
+      s => h(s.getField("j").cast("long")) % dropEvery =!= 0)
+    docs.filter(size(arr) > 0).select(col(idCol),
+      array_join(transform(kept, s => s.getField("t")), " ")
+        .as("text_aug"),
+      n.cast("long").as("n_tokens"),
+      nSwapped.cast("long").as("n_swapped"),
+      (n - size(kept)).cast("long").as("n_dropped"))
+  }
+
   /** Proximity (slop) search — the positional-index query between
     * exact phrase match and bag-of-words AND: documents where `termA`
     * and `termB` occur within `slop` token positions, with the

@@ -687,6 +687,24 @@ class SimilaritySpec extends SparkSpec {
     assert(coarse.getDouble(2) == coarse.getLong(1) / 4.0)
   }
 
+  test("prefixDimRecall: noisy tail dims fool the short prefix " +
+    "(recall 0.5), the full prefix recovers (recall 1)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),    // query
+      (1L, Seq(1f, 0f, 0f, 0f)),    // exact: full cos 1, prefix cos 1
+      (2L, Seq(0.5f, 0.5f, 0f, 0f)),// full cos .707 — true #2
+      (3L, Seq(1f, 0f, 10f, 0f))    // prefix-2 cos 1 but full ~.0995
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.prefixDimRecall(emb, "vec_id", "embedding",
+        queryId = 0L, topK = 2, dims = Seq(2, 4))
+      .orderBy("prefix_dim")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // prefix-2 top2 = {1, 3} (ties at cos 1 break by id) vs full
+    // top2 = {1, 2} -> 1 hit; prefix-4 == full -> 2 hits
+    assert(got == Seq((2, 2L, 1L, 0.5), (4, 2L, 2L, 1.0)), got.toString)
+  }
+
   test("kCenterGreedy: picks the three cluster exemplars before any " +
     "in-cluster duplicate; seed is the lowest id with null maximin") {
     import spark.implicits._

@@ -1032,6 +1032,46 @@ class TextSpec extends SparkSpec {
       "label_actual", "correct"))
   }
 
+  test("augmentText: scalar replication of the hash-selected " +
+    "swap-then-delete; deterministic across runs; counts reconcile") {
+    val docs = Seq((7L, "a b c d e f g h i j k"), (8L, "x"),
+      (9L, "   ")).toDF("doc_id", "text")
+    val got = TextOps.augmentText(docs, "doc_id", "text",
+        dropEvery = 10, swapEvery = 7)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // scalar replication of the exact algorithm
+    def h(doc: Long, x: Long): Long =
+      Math.floorMod((doc * 31 + x) * 2654435761L, 2147483647L)
+    def replay(doc: Long, text: String): (String, Long, Long, Long) = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      val swapped = (0 until n).map { j =>
+        val p = j / 2
+        if (h(doc, p) % 7 == 0 && (j ^ 1) < n) toks(j ^ 1) else toks(j)
+      }
+      val nSwapped = if (n >= 2)
+        2 * (0 until n / 2).count(p => h(doc, p) % 7 == 0) else 0
+      val kept = swapped.zipWithIndex
+        .filter { case (_, j) => h(doc, j) % 10 != 0 }.map(_._1)
+      (kept.mkString(" "), n.toLong, nSwapped.toLong,
+        (n - kept.length).toLong)
+    }
+    val (t7, n7, s7, d7) = replay(7L, "a b c d e f g h i j k")
+    assert(got(7L) == ((7L, t7, n7, s7, d7)), s"${got(7L)} vs $t7")
+    assert(got(7L)._3 == got(7L)._5 +
+      got(7L)._2.split(" ").filter(_.nonEmpty).length,
+      "n_tokens must equal kept + dropped")
+    val (t8, n8, s8, d8) = replay(8L, "x")
+    assert(got(8L) == ((8L, t8, n8, s8, d8)) && s8 == 0L)
+    assert(!got.contains(9L), "zero-token doc dropped")
+    // determinism: a second run is identical
+    val again = TextOps.augmentText(docs, "doc_id", "text", 10, 7)
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r)
+      .toMap
+    assert(again == got)
+  }
+
   test("proximitySearch: min distance within slop either order; " +
     "far co-occurrence and missing terms excluded") {
     val docs = Seq(

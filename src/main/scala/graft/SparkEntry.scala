@@ -1048,6 +1048,12 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
         .limit(20)),
 
+    // ---- training-data ops: code-vs-prose gate — symbol/digit
+    // density + keyword hits, narrow regexp passes, no shuffle. ----
+    "t_code_detect" -> ((s, dir) =>
+      TextOps.codeDetect(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)),
+
     // ---- training-data ops: reproducible EDA augmentation —
     // hash-selected adjacent swaps then hash-selected deletes, one
     // narrow HOF pass, no RNG state (same doc always augments the
@@ -1822,6 +1828,13 @@ object SparkEntry {
       Similarity.topKForVector(emb.filter(col("vec_id") =!= 0),
         "vec_id", "embedding", q, 10)
     }),
+
+    // ---- similarity: per-dimension embedding QC — mean/variance/
+    // range/zeros per dim (dead dims waste bytes, runaway dims
+    // dominate distances); one posexplode into a dim-keyed agg. ----
+    "e_embed_qc" -> ((s, dir) =>
+      Similarity.embeddingQc(t(s, dir, "embeddings"), "vec_id",
+        "embedding")),
 
     // ---- similarity: Matryoshka prefix-dim recall — top-10 overlap
     // between full-64-dim and first-8/16/32-dim cosine: the audit
@@ -4577,6 +4590,63 @@ object SparkEntry {
         |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // same regexp densities, keyword token filter, and fixed-order
+    // weighted score
+    "t_code_detect" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    CAST(length(regexp_replace(text, '[^{}()\[\];=<>]', '', 'g'))
+        |      AS BIGINT) AS sym,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS BIGINT) AS dig,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> ''),
+        |      w -> w IN ('def','class','return','import','if','for',
+        |                 'while','function','var','const','void','int')))
+        |      AS BIGINT) AS kw
+        |  FROM documents WHERE length(text) > 0),
+        |s AS (
+        |  SELECT doc_id, n, sym, dig, kw,
+        |    ROUND(0.5 * LEAST(1.0,
+        |        8.0 * (CAST(sym AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      + 0.2 * LEAST(1.0,
+        |        5.0 * (CAST(dig AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      + 0.3 * LEAST(1.0, CAST(kw AS DOUBLE) / 3.0), 6) AS score
+        |  FROM m)
+        |SELECT doc_id,
+        |  ROUND(CAST(sym AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS symbol_ratio,
+        |  ROUND(CAST(dig AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS digit_ratio,
+        |  kw AS kw_hits, score AS code_score,
+        |  score >= 0.5 AS is_code
+        |FROM s""".stripMargin,
+
+    // per-dim moment replay (the a16/a17 conventions) over the
+    // position-exploded vector stream
+    "e_embed_qc" ->
+      """WITH ex AS (
+        |  SELECT d.dim,
+        |    CAST(ROUND(CAST(e.embedding[d.dim + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS v
+        |  FROM embeddings e, (SELECT unnest(range(0, 64)) AS dim) d),
+        |a AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(v) AS s,
+        |    SUM(CAST(v * v AS DECIMAL(38,12))) AS q,
+        |    MIN(v) AS mn, MAX(v) AS mx,
+        |    CAST(COUNT(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS n_zero
+        |  FROM ex GROUP BY dim)
+        |SELECT CAST(dim AS INT) AS dim, n,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  ROUND(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance,
+        |  CAST(mn AS DOUBLE) AS vmin, CAST(mx AS DOUBLE) AS vmax,
+        |  n_zero
+        |FROM a""".stripMargin,
 
     // full augmentation replay: same positional hash, swap pass then
     // delete pass over the token list

@@ -36,6 +36,40 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dotC(a, b) / d)
   }
 
+  /** Per-dimension embedding QC — the vector-column profile every
+    * serving stack should gate on: mean/variance per dimension (a
+    * dead dim wastes bytes; a runaway dim dominates distances and
+    * should be normalized), plus min/max and the zero count.
+    *
+    * Scale shape: one posexplode (dim-keyed hash agg — D·n narrow
+    * rows, the dimension count is the shuffle key cardinality).
+    * Determinism: values round once to 6 (decimal sums exact);
+    * mean/variance are fixed-order doubles rounded once (the
+    * a16/a17 moment conventions).
+    *
+    * @return one row per dim: (dim, n, mean, variance, vmin, vmax,
+    *         n_zero) */
+  def embeddingQc(emb: DataFrame, idCol: String,
+                  vecCol: String): DataFrame = {
+    def dec(c: Column): Column =
+      round(c.cast("double"), 6).cast("decimal(18,6)")
+    val ex = emb.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim"), dec(col("__v")).as("__v"))
+    val agg = ex.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__v")).as("__s"),
+      sum((col("__v") * col("__v")).cast("decimal(38,12)")).as("__q"),
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      count(when(col("__v") === 0, lit(1))).as("n_zero"))
+    val nD = col("n").cast("double")
+    val m = col("__s").cast("double") / nD
+    agg.select(col("dim"), col("n"),
+      round(m, 6).as("mean"),
+      round(col("__q").cast("double") / nD - m * m, 6).as("variance"),
+      col("__mn").cast("double").as("vmin"),
+      col("__mx").cast("double").as("vmax"), col("n_zero"))
+  }
+
   /** Prefix-dimension recall audit — the Matryoshka-embedding
     * question (Kusupati et al. 2022): how much of the full-dimension
     * top-k survives when similarity uses only the FIRST d dims? A

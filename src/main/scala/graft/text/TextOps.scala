@@ -347,6 +347,48 @@ object TextOps {
     * per-partition top-n then a driver merge of partitions×n rows, no
     * shuffle of the corpus and no global sort. Zero/negative weights
     * are excluded (a zero-weight row must never be drawn). */
+  /** Code-vs-prose heuristic classifier — the curation gate that
+    * routes source code away from (or into) a text corpus: symbol
+    * density, digit density, and programming-keyword hits, combined
+    * into one score. The feature weights mirror the published
+    * code-detection heuristics (StarCoder/The-Stack style filters
+    * threshold exactly these surface statistics before any learned
+    * model runs).
+    *
+    * score = 0.5·min(1, 8·symbol_ratio) + 0.2·min(1, 5·digit_ratio)
+    *       + 0.3·min(1, kw_hits / 3); is_code = score ≥ threshold.
+    *
+    * Scale shape: narrow per-row regexp passes, no shuffle.
+    * Determinism: ratios are exact long/long doubles; fixed-order
+    * arithmetic rounded once to 6.
+    *
+    * @return (idCol, symbol_ratio, digit_ratio, kw_hits, code_score,
+    *         is_code) */
+  def codeDetect(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String,
+                 threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("long")
+    val sym = length(regexp_replace(t, "[^{}()\\[\\];=<>]", ""))
+      .cast("long")
+    val dig = length(regexp_replace(t, "[^0-9]", "")).cast("long")
+    val kw = size(filter(tokens(lower(t)), w => w.isin("def", "class",
+      "return", "import", "if", "for", "while", "function", "var",
+      "const", "void", "int")))
+      .cast("long")
+    val symR = sym.cast("double") / n.cast("double")
+    val digR = dig.cast("double") / n.cast("double")
+    val score = round(
+      lit(0.5) * least(lit(1.0), lit(8.0) * symR) +
+        lit(0.2) * least(lit(1.0), lit(5.0) * digR) +
+        lit(0.3) * least(lit(1.0), kw.cast("double") / lit(3.0)), 6)
+    docs.filter(n > 0).select(col(idCol),
+      round(symR, 6).as("symbol_ratio"),
+      round(digR, 6).as("digit_ratio"),
+      kw.as("kw_hits"), score.as("code_score"),
+      (score >= threshold).as("is_code"))
+  }
+
   /** Deterministic EDA-style text augmentation (Wei & Zou 2019's
     * random-swap + random-delete, made REPRODUCIBLE): adjacent token
     * pairs swap where a portable positional hash selects them, then

@@ -687,6 +687,23 @@ class SimilaritySpec extends SparkSpec {
     assert(coarse.getDouble(2) == coarse.getLong(1) / 4.0)
   }
 
+  test("embeddingQc: hand-computed per-dim moments, range, and the " +
+    "dead-dimension zero count") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 3f, 0f)),
+      (2L, Seq(3f, 5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingQc(emb, "vec_id", "embedding")
+      .orderBy("dim")
+      .as[(Int, Long, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (0, 2L, 2.0, 1.0, 1.0, 3.0, 0L),
+      (1, 2L, 4.0, 1.0, 3.0, 5.0, 0L),
+      (2, 2L, 0.0, 0.0, 0.0, 0.0, 2L)), got.toString)
+  }
+
   test("prefixDimRecall: noisy tail dims fool the short prefix " +
     "(recall 0.5), the full prefix recovers (recall 1)") {
     import spark.implicits._

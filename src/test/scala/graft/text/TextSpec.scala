@@ -1032,6 +1032,36 @@ class TextSpec extends SparkSpec {
       "label_actual", "correct"))
   }
 
+  test("codeDetect: a code snippet gates true, prose false; " +
+    "hand-computed ratios on a controlled string") {
+    val docs = Seq(
+      (1L, "def f(x): return (x); import os; while (x<2) {x=x+1;}"),
+      (2L, "The quiet afternoon passed slowly as the readers turned " +
+        "their pages and thought about the story so far")
+    ).toDF("doc_id", "text")
+    val got = TextOps.codeDetect(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: n=53; symbols {}()[];=<> -> ( ) : no... count {,},(,),;,=,<
+    //   "(x)" 2 + ";" + "(x<2)" => verified by replication below
+    val s1 = docs.as[(Long, String)].collect().toMap.apply(1L)
+    val sym = s1.count(c => "{}()[];=<>".contains(c)).toLong
+    val dig = s1.count(_.isDigit).toLong
+    val kws = Set("def", "class", "return", "import", "if", "for",
+      "while", "function", "var", "const", "void", "int")
+    val kw = s1.toLowerCase.trim.split("\\s+").count(kws.contains)
+    val n = s1.length.toDouble
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expScore = r6(0.5 * math.min(1.0, 8.0 * (sym / n)) +
+      0.2 * math.min(1.0, 5.0 * (dig / n)) +
+      0.3 * math.min(1.0, kw / 3.0))
+    assert(got(1L) == ((1L, r6(sym / n), r6(dig / n), kw.toLong,
+      expScore, expScore >= 0.5)), got(1L).toString)
+    assert(got(1L)._6, "code snippet must gate true")
+    assert(!got(2L)._6 && got(2L)._4 == 0L, got(2L).toString)
+  }
+
   test("augmentText: scalar replication of the hash-selected " +
     "swap-then-delete; deterministic across runs; counts reconcile") {
     val docs = Seq((7L, "a b c d e f g h i j k"), (8L, "x"),

@@ -417,6 +417,27 @@ object ScaleSweep {
       // chained dedup+agg: state bounded by live windows' keys
       "s_stream_distinct" -> (d =>
         SparkEntry.queries("s_stream_distinct")(spark, d).count()),
+      // r11 third wave. one narrow HOF pass per doc
+      "t_augment" -> (d =>
+        SparkEntry.queries("t_augment")(spark, d).count()),
+      // narrow regexp passes
+      "t_code_detect" -> (d =>
+        SparkEntry.queries("t_code_detect")(spark, d).count()),
+      // posexplode into dim-keyed agg (64 keys at any corpus size)
+      "e_embed_qc" -> (d =>
+        SparkEntry.queries("e_embed_qc")(spark, d).count()),
+      // one narrow cosine scan per audited prefix
+      "e_prefix_recall" -> (d =>
+        SparkEntry.queries("e_prefix_recall")(spark, d).count()),
+      // native byte-loop hash + 16-bit band buckets
+      "m_phash_neardup" -> (d =>
+        SparkEntry.queries("m_phash_neardup")(spark, d).count()),
+      // frame ring state, 4 chunked triggers
+      "s_stream_mad" -> (d =>
+        SparkEntry.queries("s_stream_mad")(spark, d).count()),
+      // prefix-sum SSE, one key exchange
+      "w32_changepoint" -> (d =>
+        SparkEntry.queries("w32_changepoint")(spark, d).count()),
       // r11 second wave. blocked FS linkage: Σ|block|² pairs — the
       // sweep's scale lesson is the BLOCK WIDTH: at 30× the query's
       // last-3-digit blocks exceed the 10k-pair cap and drop WHOLE

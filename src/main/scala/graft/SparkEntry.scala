@@ -2608,6 +2608,14 @@ object SparkEntry {
         .orderBy("o_orderpriority", "o_orderstatus", "o_year",
           "o_month")),
 
+    // ---- A37: portable HyperLogLog distinct-user estimate — the
+    // mergeable cardinality sketch from the portable hash family
+    // (every register bit SQL-replayable); 64-key agg, exact-integer
+    // Z sum (a distributed double sum would be order-dependent),
+    // audited against a real countDistinct. ----
+    "a37_hll_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.hllDistinct(t(s, dir, "events"), "user_id")),
+
     // ---- A33: mutual information between event type and hour of
     // day — the filter-feature-selection statistic (nats of hour the
     // type carries), with both entropies and normalized MI. One
@@ -7782,6 +7790,54 @@ object SparkEntry {
         |    OVER () AS DOUBLE), 6) AS chi2,
         |  CAST((na - 1) * (nb - 1) AS INT) AS dof
         |FROM e""".stripMargin,
+
+    // every HLL register replayed: same multiply-xorshift-fold mixer,
+    // bit-op idx/rest, isolate-lowest-bit rho, exact scaled-integer Z
+    "a37_hll_distinct" ->
+      """WITH h0 AS (
+        |  SELECT (user_id % 2147483648) * 2654435761 AS a
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h1 AS (SELECT xor(a, a >> 31) AS b FROM h0),
+        |h2 AS (SELECT (b & 2147483647) * 2654435761 AS c FROM h1),
+        |h AS (SELECT xor(c, c >> 31) AS w FROM h2),
+        |r2 AS (
+        |  SELECT w & 63 AS idx,
+        |    CASE WHEN (w >> 6) = 0 THEN 57
+        |         ELSE bit_count(((w >> 6) & -(w >> 6)) - 1) + 1
+        |    END AS rho
+        |  FROM h),
+        |regs AS (SELECT idx, MAX(rho) AS rho FROM r2 GROUP BY idx),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS hit,
+        |    SUM(CAST(1 AS BIGINT) << CAST(57 - rho AS INT)) AS z
+        |  FROM regs),
+        |x AS (
+        |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (
+        |  SELECT hit, exact,
+        |    CAST(z + (64 - hit) * 144115188075855872 AS DOUBLE)
+        |      / CAST(144115188075855872 AS DOUBLE) AS zz
+        |  FROM a, x),
+        |e AS (
+        |  SELECT hit, exact,
+        |    CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+        |      * CAST(64 AS DOUBLE) / zz AS eraw
+        |  FROM f),
+        |g AS (
+        |  SELECT hit, exact,
+        |    CASE WHEN eraw <= CAST(2.5 AS DOUBLE) * CAST(64 AS DOUBLE)
+        |              AND (64 - hit) > 0
+        |         THEN CAST(64 AS DOUBLE)
+        |              * ROUND(ln(CAST(64 AS DOUBLE)
+        |                  / CAST(64 - hit AS DOUBLE)), 6)
+        |         ELSE eraw END AS est
+        |  FROM e)
+        |SELECT CAST(64 AS BIGINT) AS m, hit AS registers_hit,
+        |  ROUND(est, 6) AS estimate, exact,
+        |  ROUND(abs(ROUND(est, 6) - CAST(exact AS DOUBLE))
+        |    / CAST(exact AS DOUBLE), 6) AS rel_error
+        |FROM g""".stripMargin,
 
     // contingency MI: each ln rounded once to 6, per-cell/margin
     // products exact decimal, one double cast + round at the end;

@@ -87,4 +87,38 @@ class SketchesSpec extends SparkSpec {
     assert(r.getDouble(6) == 0.0)
     assert(r.getLong(2) == 10L)
   }
+
+  test("hllDistinct: scalar replication of the mixer/registers; " +
+    "estimate within 4 sigma on 1000 keys; duplicates don't move " +
+    "the sketch; tiny sets take the linear-counting branch") {
+    import spark.implicits._
+    val keys = (1L to 1000L)
+    val df = (keys ++ keys ++ keys).toDF("k") // 3x duplicated
+    val row = Sketches.hllDistinct(df, "k").collect().head
+    val (m, hit, est, exact) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getLong(3))
+    assert(m == 64L && exact == 1000L)
+    // scalar replication of the register construction
+    def mix(x: Long): Long = {
+      val a = (x % 2147483648L) * 2654435761L
+      val b = a ^ (a >>> 31)
+      val c = (b & 2147483647L) * 2654435761L
+      c ^ (c >>> 31)
+    }
+    def rho(r: Long): Int =
+      if (r == 0) 57 else java.lang.Long.bitCount((r & -r) - 1) + 1
+    val regs = keys.map(mix).groupBy(_ & 63L)
+      .map { case (_, ws) => ws.map(w => rho(w >> 6)).max }
+    assert(hit == regs.size.toLong, s"hit $hit vs ${regs.size}")
+    // duplicates must not change registers (same row from 1x data)
+    val one = Sketches.hllDistinct(keys.toDF("k"), "k").collect().head
+    assert(one.getLong(1) == hit && one.getDouble(2) == est)
+    // 4 sigma at m=64: 4 * 1.04/8 = 52%
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.52, s"estimate $est")
+    // tiny set: linear counting (V > 0, E small) lands near-exact
+    val tiny = Sketches.hllDistinct((1L to 5L).toDF("k"), "k")
+      .collect().head
+    assert(tiny.getLong(1) <= 5L && tiny.getDouble(2) < 20.0,
+      tiny.toString)
+  }
 }

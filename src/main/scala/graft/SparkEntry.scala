@@ -2371,6 +2371,26 @@ object SparkEntry {
           lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
     }),
 
+    // ---- streaming per-window HLL distinct ESTIMATE — the sketch
+    // twin of s_stream_distinct: 64 registers per live window forever
+    // vs O(users) dedup state; chunked replay bit-equal to the batch
+    // sketch per window. ----
+    "s_stream_hll" -> ((s, dir) => {
+      val in = stageSentinelEvents(s, dir)
+      val ckpt = tempDir("graft_shll_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val sink = graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.hllDistinctStream(stream,
+          "1 hour", "2 hours"),
+        queryName = s"shll_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.EventStreams.drainTail(sink,
+        col("window_start") >=
+          lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
+    }),
+
     // ---- streaming: per-day PSI drift monitor — the a29 reference
     // profile (first-half-of-month deciles + Laplace-guarded shares)
     // frozen into the plan as literals, each day window scored the
@@ -7925,6 +7945,46 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the batch HLL replay per hour window (the a37 register
+    // arithmetic grouped by window)
+    "s_stream_hll" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS ws,
+        |    (user_id % 2147483648) * 2654435761 AS a
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h2 AS (SELECT ws, xor(a, a >> 31) AS b FROM h),
+        |h3 AS (SELECT ws, (b & 2147483647) * 2654435761 AS c FROM h2),
+        |h4 AS (SELECT ws, xor(c, c >> 31) AS w FROM h3),
+        |r AS (
+        |  SELECT ws, w & 63 AS idx,
+        |    CASE WHEN (w >> 6) = 0 THEN 57
+        |         ELSE bit_count(((w >> 6) & -(w >> 6)) - 1) + 1
+        |    END AS rho
+        |  FROM h4),
+        |regs AS (SELECT ws, idx, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+        |a AS (
+        |  SELECT ws, CAST(COUNT(*) AS BIGINT) AS hit,
+        |    SUM(CAST(1 AS BIGINT) << CAST(57 - rho AS INT)) AS z
+        |  FROM regs GROUP BY 1),
+        |f AS (
+        |  SELECT ws, hit,
+        |    CAST(z + (64 - hit) * 144115188075855872 AS DOUBLE)
+        |      / CAST(144115188075855872 AS DOUBLE) AS zz
+        |  FROM a),
+        |e AS (
+        |  SELECT ws, hit,
+        |    CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+        |      * CAST(64 AS DOUBLE) / zz AS eraw
+        |  FROM f)
+        |SELECT ws AS window_start, hit AS registers_hit,
+        |  ROUND(CASE WHEN eraw <= CAST(2.5 AS DOUBLE)
+        |                  * CAST(64 AS DOUBLE) AND (64 - hit) > 0
+        |             THEN CAST(64 AS DOUBLE)
+        |                  * ROUND(ln(CAST(64 AS DOUBLE)
+        |                      / CAST(64 - hit AS DOUBLE)), 6)
+        |             ELSE eraw END, 6) AS estimate
+        |FROM e""".stripMargin,
 
     // histogram-sketch quantiles: least bucket with cum >= p·N,
     // linear interpolation inside it — all double arithmetic forced

@@ -62,42 +62,55 @@ object Sketches {
     *
     * @return one row: (m, registers_hit, estimate, exact, rel_error)
     *         — `exact` from a real countDistinct for the audit */
-  def hllDistinct(df: DataFrame, keyCol: String): DataFrame = {
-    val m = 64
-    val key = col(keyCol).cast("long")
+  /** The HLL register columns for `key` (see [[hllDistinct]] for the
+    * mixer contract): (idx in 0..63, rho in 1..57). Shared by the
+    * batch sketch and the streaming per-window twin. */
+  private[graft] def hllIdxRho(key: Column): (Column, Column) = {
     def shr(c: Column, n: Int): Column =
       call_function("shiftright", c, lit(n))
-    val x = pmod(key, lit(2147483648L)) // keep the first product < 2^62
+    val x = pmod(key.cast("long"), lit(2147483648L))
     val a = x * lit(2654435761L)
     val b = a.bitwiseXOR(shr(a, 31))
     val c = b.bitwiseAND(lit(2147483647L)) * lit(2654435761L)
     val w = c.bitwiseXOR(shr(c, 31))
-    val idx = w.bitwiseAND(lit(63L))
     val rest = shr(w, 6)
     val tz = bit_count((rest.bitwiseAND(-rest)) - 1)
-    val rho = when(rest === 0, lit(57)).otherwise(tz + 1)
+    (w.bitwiseAND(lit(63L)),
+      when(rest === 0, lit(57)).otherwise(tz + 1))
+  }
+
+  /** Scaled-integer Z partial for one register (2^(57−rho), exact
+    * long) — sum these per group, never doubles. */
+  private[graft] def hllZTerm(rho: Column): Column =
+    call_function("shiftleft", lit(1L), (lit(57) - rho).cast("int"))
+
+  /** Estimate from (hit registers, Σ 2^(57−rho)) — α₆₄ raw branch +
+    * linear counting, rounded once to 6. */
+  private[graft] def hllEstimate(hit: Column, zInt: Column): Column = {
+    val mD = lit(64.0)
+    val z = (zInt + (lit(64L) - hit) * lit(144115188075855872L))
+      .cast("double") / lit(1.44115188075855872e17)
+    val eRaw = lit(0.709) * mD * mD / z
+    val vEmpty = lit(64L) - hit
+    round(when(eRaw <= lit(2.5) * mD && vEmpty > 0,
+        mD * round(log(mD / vEmpty.cast("double")), 6))
+      .otherwise(eRaw), 6)
+  }
+
+  def hllDistinct(df: DataFrame, keyCol: String): DataFrame = {
+    val (idx, rho) = hllIdxRho(col(keyCol))
     val regs = df.filter(col(keyCol).isNotNull)
       .select(idx.as("__idx"), rho.as("__rho"))
       .groupBy(col("__idx")).agg(max(col("__rho")).as("__rho"))
-    // Z·2^57 as exact longs: 2^(57−rho) ≤ 2^56 per register
-    val zInt = sum(call_function("shiftleft", lit(1L),
-      (lit(57) - col("__rho")).cast("int")))
-    val agg = regs.agg(count(lit(1)).as("hit"), zInt.as("__z"))
+    val agg = regs.agg(count(lit(1)).as("hit"),
+      sum(hllZTerm(col("__rho"))).as("__z"))
     val exact = df.filter(col(keyCol).isNotNull)
       .agg(countDistinct(col(keyCol)).as("exact"))
-    val mD = lit(m.toDouble)
-    val z = (col("__z") + (lit(m.toLong) - col("hit")) *
-        lit(144115188075855872L)) // empty registers contribute 2^0·2^57
-      .cast("double") / lit(1.44115188075855872e17)
-    val eRaw = lit(0.709) * mD * mD / z
-    val vEmpty = lit(m.toLong) - col("hit")
-    val est = when(eRaw <= lit(2.5) * mD && vEmpty > 0,
-        mD * round(log(mD / vEmpty.cast("double")), 6))
-      .otherwise(eRaw)
+    val est = hllEstimate(col("hit"), col("__z"))
     agg.crossJoin(broadcast(exact))
-      .select(lit(m.toLong).as("m"), col("hit").as("registers_hit"),
-        round(est, 6).as("estimate"), col("exact"),
-        round(abs(round(est, 6) - col("exact").cast("double")) /
+      .select(lit(64L).as("m"), col("hit").as("registers_hit"),
+        est.as("estimate"), col("exact"),
+        round(abs(est - col("exact").cast("double")) /
           col("exact").cast("double"), 6).as("rel_error"))
   }
 

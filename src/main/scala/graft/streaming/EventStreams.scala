@@ -104,6 +104,36 @@ object EventStreams {
     * states evict at the watermark. Append mode: a window's count
     * emits once, when the watermark closes it — drain the tail with
     * [[stageDrainBatches]] + [[drainTail]] like every stateful op. */
+  /** Streaming per-window HLL distinct-user ESTIMATE — the sketch
+    * twin of [[windowedDistinctUsers]], and the 100 TB contrast to
+    * it: exact windowed distinct carries O(users-per-window) dedup
+    * state, the sketch carries 64 registers per live window FOREVER
+    * regardless of traffic. Two chained stateful aggs (register max
+    * per (window, idx) → per-window fold), Append mode — the
+    * s_stream_distinct chassis with registers instead of users. The
+    * register/estimate arithmetic is
+    * [[graft.ops.Sketches.hllDistinct]]'s exactly (shared column
+    * helpers, exact scaled-integer Z), so the chunked replay is
+    * bit-equal to the batch sketch per window. */
+  def hllDistinctStream(events: DataFrame,
+                        windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val (idx, rho) = graft.ops.Sketches.hllIdxRho(col("user_id"))
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLen).as("win"), idx.as("__idx"),
+        rho.as("__rho"))
+      .groupBy(col("win"), col("__idx"))
+      .agg(max(col("__rho")).as("__rho"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("hit"),
+        sum(graft.ops.Sketches.hllZTerm(col("__rho"))).as("__z"))
+      .select(col("win.start").as("window_start"),
+        col("hit").as("registers_hit"),
+        graft.ops.Sketches.hllEstimate(col("hit"), col("__z"))
+          .as("estimate"))
+  }
+
   def windowedDistinctUsers(events: DataFrame,
                             windowLen: String = "1 hour",
                             watermark: String = "2 hours"): DataFrame =

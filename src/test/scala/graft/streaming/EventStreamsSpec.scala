@@ -635,6 +635,63 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllDistinctStream: window registers merged across triggers " +
+    "equal the batch sketch per window; state is registers, not users") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shllp")
+      .toString
+    val q = EventStreams.hllDistinctStream(events, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("hll_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    // 40 users in hour 0, 15 in hour 1, split mid-hour across
+    // triggers so register maxes must merge through state; a late
+    // hour-2 row advances the watermark past both windows
+    val h0a = (1L to 25L).map(u =>
+      (u, u, ts("2024-01-01 00:10:00"), 1.0))
+    val h0b = (26L to 40L).map(u =>
+      (u, u, ts("2024-01-01 00:50:00"), 1.0))
+    val h1 = (100L to 114L).map(u =>
+      (u, u, ts("2024-01-01 01:30:00"), 1.0))
+    val flush = Seq((999L, 999L, ts("2024-01-01 03:30:00"), 1.0))
+    try {
+      ms.addData(h0a)
+      q.processAllAvailable()
+      ms.addData(h0b ++ h1)
+      q.processAllAvailable()
+      ms.addData(flush)
+      q.processAllAvailable()
+      val got = spark.table("hll_live")
+        .select("window_start", "registers_hit", "estimate")
+        .as[(java.sql.Timestamp, Long, Double)].collect()
+        .map(r => r._1.toString -> ((r._2, r._3))).toMap
+      // batch twin over the same rows via the shared helpers
+      val all = (h0a ++ h0b ++ h1)
+        .toDF("event_id", "user_id", "ts", "value")
+      val (idx, rho) = graft.ops.Sketches.hllIdxRho(col("user_id"))
+      val batch = all
+        .select(date_trunc("hour", col("ts")).as("w"), idx.as("i"),
+          rho.as("r"))
+        .groupBy("w", "i").agg(max("r").as("r"))
+        .groupBy("w").agg(count(lit(1)).as("hit"),
+          sum(graft.ops.Sketches.hllZTerm(col("r"))).as("z"))
+        .select(col("w"),
+          col("hit"),
+          graft.ops.Sketches.hllEstimate(col("hit"), col("z")).as("e"))
+        .as[(java.sql.Timestamp, Long, Double)].collect()
+        .map(r => r._1.toString -> ((r._2, r._3))).toMap
+      assert(got.view.filterKeys(batch.contains).toMap == batch,
+        s"stream=$got batch=$batch")
+      assert(batch.size == 2 && got.size >= 2, got.toString)
+    } finally q.stop()
+  }
+
   test("madStream: the frame ring carried across triggers is " +
     "bit-equal to the batch lower-median/MAD window, spike included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -417,6 +417,12 @@ object ScaleSweep {
       // chained dedup+agg: state bounded by live windows' keys
       "s_stream_distinct" -> (d =>
         SparkEntry.queries("s_stream_distinct")(spark, d).count()),
+      // r11 fourth wave. 64-key agg with map-side combine
+      "a37_hll_distinct" -> (d =>
+        SparkEntry.queries("a37_hll_distinct")(spark, d).count()),
+      // 64 registers per live window through 4 chunked triggers
+      "s_stream_hll" -> (d =>
+        SparkEntry.queries("s_stream_hll")(spark, d).count()),
       // r11 third wave. one narrow HOF pass per doc
       "t_augment" -> (d =>
         SparkEntry.queries("t_augment")(spark, d).count()),

@@ -177,6 +177,67 @@ object SqlRecipes {
          |  FROM u)
          |WHERE is_obs = 0""".stripMargin,
 
+    // -- portable HLL distinct estimate: the a37 sketch in pure SQL —
+    // multiply-xorshift-fold mixer, bit-op registers, exact
+    // scaled-integer Z; one 64-key agg.
+    "graft_hll_distinct" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_hll_distinct()
+         |RETURNS TABLE (m BIGINT, registers_hit BIGINT, estimate DOUBLE)
+         |RETURN
+         |WITH h0 AS (
+         |  SELECT (user_id % 2147483648L) * 2654435761L AS a
+         |  FROM ${prefix}events WHERE user_id IS NOT NULL),
+         |h1 AS (SELECT a ^ shiftright(a, 31) AS b FROM h0),
+         |h2 AS (SELECT (b & 2147483647L) * 2654435761L AS c FROM h1),
+         |h AS (SELECT c ^ shiftright(c, 31) AS w FROM h2),
+         |r AS (
+         |  SELECT w & 63L AS idx,
+         |    CASE WHEN shiftright(w, 6) = 0 THEN 57
+         |         ELSE bit_count((shiftright(w, 6)
+         |                & -shiftright(w, 6)) - 1) + 1
+         |    END AS rho
+         |  FROM h),
+         |regs AS (SELECT idx, MAX(rho) AS rho FROM r GROUP BY idx),
+         |a2 AS (
+         |  SELECT COUNT(*) AS hit,
+         |    SUM(shiftleft(1L, CAST(57 - rho AS INT))) AS z
+         |  FROM regs),
+         |f AS (
+         |  SELECT hit,
+         |    CAST(z + (64L - hit) * 144115188075855872L AS DOUBLE)
+         |      / 144115188075855872D AS zz
+         |  FROM a2)
+         |SELECT 64L AS m, hit AS registers_hit,
+         |  ROUND(CASE WHEN 0.709D * 64D * 64D / zz <= 2.5D * 64D
+         |                  AND (64L - hit) > 0
+         |             THEN 64D * ROUND(ln(64D
+         |                    / CAST(64L - hit AS DOUBLE)), 6)
+         |             ELSE 0.709D * 64D * 64D / zz END, 6) AS estimate
+         |FROM f""".stripMargin,
+
+    // -- perceptual-hash media near-dup over the native ahash62:
+    // 16-bit band buckets + bit_count hamming verify, never all-pairs.
+    "graft_phash_neardup" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_phash_neardup(
+         |  max_hamming INT)
+         |RETURNS TABLE (id_a BIGINT, id_b BIGINT, hamming INT)
+         |RETURN
+         |WITH h AS (
+         |  SELECT doc_id, ahash62(CAST(text AS BINARY)) AS ah
+         |  FROM ${prefix}documents),
+         |b AS (
+         |  SELECT doc_id, ah, band,
+         |    CAST(shiftright(ah, CAST(band * 16 AS INT)) & 65535L
+         |      AS INT) AS bk
+         |  FROM h LATERAL VIEW explode(sequence(0, 3)) AS band)
+         |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |  CAST(bit_count(a.ah ^ b2.ah) AS INT) AS hamming
+         |FROM b a JOIN b b2
+         |  ON a.band = b2.band AND a.bk = b2.bk
+         |  AND a.doc_id < b2.doc_id
+         |WHERE bit_count(a.ah ^ b2.ah)
+         |  <= graft_phash_neardup.max_hamming""".stripMargin,
+
     // -- SimHash near-dup pairs: banded self-join over the native
     // portable_simhash — 62 bits in 4 contiguous blocks, pigeonhole
     // guarantees every pair within hamming <= 3 shares a block, so

@@ -108,6 +108,38 @@ class SqlRecipesSpec extends SparkSpec {
     }
   }
 
+  test("graft_hll_distinct == Sketches.hllDistinct (same mixer and " +
+    "register arithmetic in pure SQL)") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_hll_distinct()")
+      .as[(Long, Long, Double)].collect().head
+    val viaDsl = ops.Sketches.hllDistinct(
+        Tables.load(spark, dir, "events"), "user_id")
+      .select("m", "registers_hit", "estimate")
+      .as[(Long, Long, Double)].collect().head
+    assert(viaSql == viaDsl && viaSql._2 > 0, s"$viaSql vs $viaDsl")
+  }
+
+  test("graft_phash_neardup == DSL banded aHash pairing") {
+    ready()
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_phash_neardup(20)")
+      .as[(Long, Long, Int)].collect().toSet
+    // DSL twin: same hash, same 4x16-bit bands, same verify
+    val h = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        media.Multimodal.aHash62(col("text").cast("binary")).as("ah"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- h; (b, hb) <- h if a < b
+      // band agreement required (the candidate contract), then verify
+      shares = (0 until 4).exists(k =>
+        ((ha >> (k * 16)) & 0xFFFFL) == ((hb >> (k * 16)) & 0xFFFFL))
+      d = java.lang.Long.bitCount(ha ^ hb) if shares && d <= 20
+    } yield (a, b, d)).toSet
+    assert(viaSql == brute && viaSql.nonEmpty, s"${viaSql.size} pairs")
+  }
+
   test("graft_neardup == brute-force simhash pairs at hamming <= 3 " +
     "(4-block pigeonhole recall guarantee)") {
     ready()

@@ -2007,6 +2007,32 @@ object SparkEntry {
       Similarity.kmeansLloyd(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, iters = 2)),
 
+    // ---- similarity: clustering-quality evaluation — the e_kmeans
+    // assignment scored against the ground-truth labels: purity
+    // (Σ_c max_l n_cl / n) and NMI via the a33 mutual-information
+    // machinery on (cluster, label). Everything past the assignment
+    // runs on contingency-cell frames. ----
+    "e_cluster_purity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val asg = Similarity.kmeansLloyd(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val j = asg.join(emb.select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      val pc = j.groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+      val tots = pc.agg(sum(col("__n")).as("__nt"))
+      val purity = pc.groupBy(col("cluster"))
+        .agg(max(col("__n")).as("__mx"))
+        .agg(sum(col("__mx")).as("__sm"))
+        .crossJoin(broadcast(tots))
+        .select(round(col("__sm").cast("double") /
+          col("__nt").cast("double"), 6).as("purity"))
+      Quality.mutualInfo(j, "cluster", "label")
+        .crossJoin(broadcast(purity))
+        .select(col("n"), col("cells"), col("purity"), col("mi"),
+          col("h_a"), col("h_b"), col("nmi"))
+    }),
+
     // ---- similarity: PRODUCT QUANTIZATION encode — 4 subspaces × 8
     // codes trained with one deterministic Lloyd round (portable-hash
     // init, round-6 L2 assignment, exact-decimal means); every
@@ -4034,6 +4060,80 @@ object SparkEntry {
         |  CAST(d[(len(d) + 1) // 2] AS DOUBLE) AS mad,
         |  abs(v - med) > 3 * d[(len(d) + 1) // 2] AS is_anomaly
         |FROM dv""".stripMargin
+
+  /** The full two-round Lloyd replay ending in per-vector cluster
+    * assignment — shared by e_kmeans and e_cluster_purity. */
+  private val KmeansAssignOracle: String =
+    """WITH c0 AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |        vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM embeddings
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 8),
+        |a1 AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT cell FROM c0
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(c0.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(c0.ce,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e),
+        |dims AS (SELECT unnest(range(0, (SELECT MAX(len(embedding))
+        |                                 FROM embeddings))) AS dim),
+        |m1 AS (
+        |  SELECT a.cell, d.dim,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(a.embedding[d.dim + 1] AS DOUBLE),
+        |        6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS m
+        |  FROM a1 a JOIN dims d ON d.dim < len(a.embedding)
+        |  GROUP BY a.cell, d.dim),
+        |c1 AS (
+        |  SELECT c0.cell, COALESCE(l.ml, c0.ce) AS ce
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cell, list(m ORDER BY dim) AS ml FROM m1 GROUP BY cell) l
+        |  USING (cell)),
+        |a2 AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT cell FROM c1
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(c1.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(c1.ce,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e),
+        |m2 AS (
+        |  SELECT a.cell, d.dim,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(a.embedding[d.dim + 1] AS DOUBLE),
+        |        6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS m
+        |  FROM a2 a JOIN dims d ON d.dim < len(a.embedding)
+        |  GROUP BY a.cell, d.dim),
+        |c2 AS (
+        |  SELECT c1.cell, COALESCE(l.ml, c1.ce) AS ce
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cell, list(m ORDER BY dim) AS ml FROM m2 GROUP BY cell) l
+        |  USING (cell))
+        |SELECT e.vec_id,
+        |  CAST((SELECT cell FROM c2
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(c2.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(c2.ce,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS INT) AS cluster
+        |  FROM embeddings e""".stripMargin
 
   private val HoltOracle: String =
     """WITH RECURSIVE v AS (
@@ -6597,77 +6697,56 @@ object SparkEntry {
     // whole-algorithm replay: init sample, round-6 cosine argmax
     // (ties lowest cell), exact-decimal per-dim means narrowed to
     // REAL, empty clusters keep the init centroid, final argmax
-    "e_kmeans" ->
-      """WITH c0 AS (
-        |  SELECT row_number() OVER (
-        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
-        |        vec_id) - 1 AS cell,
-        |    embedding AS ce
-        |  FROM embeddings
-        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
-        |  LIMIT 8),
-        |a1 AS (
-        |  SELECT e.vec_id, e.embedding,
-        |    (SELECT cell FROM c0
-        |     ORDER BY ROUND(
-        |       list_sum(list_transform(list_zip(c0.ce, e.embedding),
-        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |       / (sqrt(list_sum(list_transform(c0.ce,
-        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |        * sqrt(list_sum(list_transform(e.embedding,
-        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
-        |       DESC, cell
-        |     LIMIT 1) AS cell
-        |  FROM embeddings e),
-        |dims AS (SELECT unnest(range(0, (SELECT MAX(len(embedding))
-        |                                 FROM embeddings))) AS dim),
-        |m1 AS (
-        |  SELECT a.cell, d.dim,
-        |    CAST(CAST(SUM(CAST(ROUND(CAST(a.embedding[d.dim + 1] AS DOUBLE),
-        |        6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS m
-        |  FROM a1 a JOIN dims d ON d.dim < len(a.embedding)
-        |  GROUP BY a.cell, d.dim),
-        |c1 AS (
-        |  SELECT c0.cell, COALESCE(l.ml, c0.ce) AS ce
-        |  FROM c0 LEFT JOIN (
-        |    SELECT cell, list(m ORDER BY dim) AS ml FROM m1 GROUP BY cell) l
-        |  USING (cell)),
-        |a2 AS (
-        |  SELECT e.vec_id, e.embedding,
-        |    (SELECT cell FROM c1
-        |     ORDER BY ROUND(
-        |       list_sum(list_transform(list_zip(c1.ce, e.embedding),
-        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |       / (sqrt(list_sum(list_transform(c1.ce,
-        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |        * sqrt(list_sum(list_transform(e.embedding,
-        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
-        |       DESC, cell
-        |     LIMIT 1) AS cell
-        |  FROM embeddings e),
-        |m2 AS (
-        |  SELECT a.cell, d.dim,
-        |    CAST(CAST(SUM(CAST(ROUND(CAST(a.embedding[d.dim + 1] AS DOUBLE),
-        |        6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS REAL) AS m
-        |  FROM a2 a JOIN dims d ON d.dim < len(a.embedding)
-        |  GROUP BY a.cell, d.dim),
-        |c2 AS (
-        |  SELECT c1.cell, COALESCE(l.ml, c1.ce) AS ce
-        |  FROM c1 LEFT JOIN (
-        |    SELECT cell, list(m ORDER BY dim) AS ml FROM m2 GROUP BY cell) l
-        |  USING (cell))
-        |SELECT e.vec_id,
-        |  CAST((SELECT cell FROM c2
-        |     ORDER BY ROUND(
-        |       list_sum(list_transform(list_zip(c2.ce, e.embedding),
-        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |       / (sqrt(list_sum(list_transform(c2.ce,
-        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |        * sqrt(list_sum(list_transform(e.embedding,
-        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
-        |       DESC, cell
-        |     LIMIT 1) AS INT) AS cluster
-        |  FROM embeddings e""".stripMargin,
+    "e_kmeans" -> KmeansAssignOracle,
+
+    // assignment replay + purity + the a33 MI arithmetic on
+    // (cluster, label)
+    "e_cluster_purity" -> (
+      s"""WITH asg AS MATERIALIZED (
+         |$KmeansAssignOracle),
+         |j AS (
+         |  SELECT a.cluster AS ca, e.label AS lb
+         |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id),
+         |c AS (SELECT ca, lb, COUNT(*) AS nab FROM j GROUP BY 1, 2),
+         |tots AS (SELECT CAST(SUM(nab) AS BIGINT) AS nt FROM c),
+         |pur AS (
+         |  SELECT ROUND(CAST((SELECT SUM(mx) FROM (
+         |      SELECT ca, MAX(nab) AS mx FROM c GROUP BY ca)) AS DOUBLE)
+         |    / CAST(nt AS DOUBLE), 6) AS purity
+         |  FROM tots),
+         |w AS (
+         |  SELECT nab,
+         |    SUM(nab) OVER (PARTITION BY ca) AS na,
+         |    SUM(nab) OVER (PARTITION BY lb) AS nb,
+         |    SUM(nab) OVER () AS n
+         |  FROM c),
+         |agg AS (
+         |  SELECT CAST(SUM(nab) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS cells,
+         |    SUM(CAST(nab * ROUND(ln(CAST(nab AS DOUBLE) * CAST(n AS DOUBLE)
+         |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+         |      AS DECIMAL(28,6))) AS minum
+         |  FROM w),
+         |ma AS (
+         |  SELECT SUM(CAST(na * ROUND(ln(CAST(na AS DOUBLE)), 6)
+         |    AS DECIMAL(28,6))) AS sa
+         |  FROM (SELECT ca, SUM(nab) AS na FROM c GROUP BY ca)),
+         |mb AS (
+         |  SELECT SUM(CAST(nb * ROUND(ln(CAST(nb AS DOUBLE)), 6)
+         |    AS DECIMAL(28,6))) AS sb
+         |  FROM (SELECT lb, SUM(nab) AS nb FROM c GROUP BY lb)),
+         |f AS (
+         |  SELECT n, cells,
+         |    ROUND(CAST(minum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mi,
+         |    ROUND(ln(CAST(n AS DOUBLE))
+         |      - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_a,
+         |    ROUND(ln(CAST(n AS DOUBLE))
+         |      - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_b
+         |  FROM agg, ma, mb)
+         |SELECT n, cells, purity, mi, h_a, h_b,
+         |  CASE WHEN LEAST(h_a, h_b) > 0
+         |       THEN ROUND(mi / LEAST(h_a, h_b), 6) END AS nmi
+         |FROM f, pur""".stripMargin),
 
     // the whole PQ training run replayed per subspace: portable-hash
     // init slices, round-6 L2 argmin (lowest code ties), exact-decimal

@@ -687,6 +687,33 @@ class SimilaritySpec extends SparkSpec {
     assert(coarse.getDouble(2) == coarse.getLong(1) / 4.0)
   }
 
+  test("cluster purity/NMI composition: cleanly separable clusters " +
+    "with matching labels score purity 1 and nmi 1") {
+    import spark.implicits._
+    // seed the portable-hash init with one id per cluster: order ids
+    // by the init hash and alternate cluster membership of the first
+    // two
+    def ph(id: Long) = ((id % 2147483647L) * 2654435761L) % 2147483647L
+    val ids = (1L to 8L).sortBy(i => (ph(i), i))
+    val cl = ids.zipWithIndex.map { case (id, i) =>
+      if (i == 0 || (i >= 2 && i % 2 == 0)) (id, Seq(1f, 0f), 0)
+      else (id, Seq(0f, 1f), 1)
+    }
+    val emb = cl.toDF("vec_id", "embedding", "label")
+    val asg = Similarity.kmeansLloyd(emb, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    // every cluster holds exactly one label
+    val mix = asg.groupBy("cluster")
+      .agg(countDistinct("label").as("d")).as[(Int, Long)]
+      .collect().toMap
+    assert(mix.values.forall(_ == 1L), mix.toString)
+    val mi = graft.ops.Quality.mutualInfo(asg, "cluster", "label")
+      .collect().head
+    // round-6 ln sums leave nmi a rounding ulp under 1.0
+    assert(mi.getDouble(5) >= 0.999999, s"nmi ${mi.getDouble(5)}")
+  }
+
   test("embeddingQc: hand-computed per-dim moments, range, and the " +
     "dead-dimension zero count") {
     import spark.implicits._

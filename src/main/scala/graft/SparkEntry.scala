@@ -2654,6 +2654,14 @@ object SparkEntry {
         .orderBy("o_orderpriority", "o_orderstatus", "o_year",
           "o_month")),
 
+    // ---- A38: two-sample Kolmogorov–Smirnov drift test —
+    // first-half-of-month values vs second half; D argmax on exact
+    // integers, CDF via bucketed hierarchical prefix sums (only the
+    // bucket-totals frame crosses one partition — the a31 shape). ----
+    "a38_ks_drift" -> ((s, dir) =>
+      Quality.ksTwoSample(t(s, dir, "events"), "value",
+        dayofmonth(col("ts")) <= 15)),
+
     // ---- A37: portable HyperLogLog distinct-user estimate — the
     // mergeable cardinality sketch from the portable hash family
     // (every register bit SQL-replayable); 64-key agg, exact-integer
@@ -7889,6 +7897,34 @@ object SparkEntry {
         |    OVER () AS DOUBLE), 6) AS chi2,
         |  CAST((na - 1) * (nb - 1) AS INT) AS dof
         |FROM e""".stripMargin,
+
+    // flat-window CDF replay (the bucketed hierarchy is a pure
+    // refactoring of the same cumulative sums); exact-integer argmax
+    "a38_ks_drift" ->
+      """WITH s AS (
+        |  SELECT CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |    AS DECIMAL(18,6)) AS v,
+        |    EXTRACT(day FROM ts) <= 15 AS a
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |c AS (
+        |  SELECT v, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY v),
+        |t AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb
+        |  FROM c),
+        |cum AS (
+        |  SELECT v,
+        |    SUM(ca) OVER (ORDER BY v) AS pa,
+        |    SUM(cb) OVER (ORDER BY v) AS pb
+        |  FROM c)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(CAST(abs(pa * nb - pb * na) AS DOUBLE)
+        |    / CAST(na * nb AS DOUBLE), 6) AS d_stat,
+        |  CAST(v AS DOUBLE) AS at_value
+        |FROM cum, t
+        |ORDER BY abs(pa * nb - pb * na) DESC, v LIMIT 1""".stripMargin,
 
     // every HLL register replayed: same multiply-xorshift-fold mixer,
     // bit-op idx/rest, isolate-lowest-bit rho, exact scaled-integer Z

@@ -721,6 +721,72 @@ object Quality {
     intra.unionByName(cross).filter(col("missing") >= minGap)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    * test beside [[psi]]: D = max over values of |F_A(v) − F_B(v)|,
+    * sensitive anywhere in the distribution (PSI's fixed bins can
+    * miss tail drift). Returns D, where it occurs, and the per-sample
+    * sizes; the D ARGMAX is computed on EXACT INTEGERS
+    * (|cumA·n_B − cumB·n_A|) so ties and the comparison itself are
+    * engine-free, with one double division at the end.
+    *
+    * Scale shape (the sequenceGaps discipline): the naive CDF is one
+    * global ordered window — single partition over all distinct
+    * values. Instead values bucket by micro-unit range: intra-bucket
+    * cumulative counts ride a (bucket, value) hash exchange in
+    * parallel, and only the BUCKET-TOTALS frame (range/bucketSize
+    * rows) crosses one partition for the running offsets. Final
+    * argmax is a TakeOrdered.
+    *
+    * Determinism: values round once to 6 (ties collapse in the
+    * count agg); integer numerators exact; the reported d_stat is
+    * one rounded division.
+    *
+    * @param inA boolean Column: true → sample A, false → sample B
+    *        (null rows excluded)
+    * @return one row: (n_a, n_b, d_stat, at_value) */
+  def ksTwoSample(df: DataFrame, valCol: String, inA: Column,
+                  bucketSize: Long = 1048576L): DataFrame = {
+    require(bucketSize >= 2, "bucketSize must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val v6 = r6d(col(valCol))
+    val src = df.filter(col(valCol).isNotNull && inA.isNotNull)
+      .select(v6.as("__v"), inA.as("__a"))
+    val counts = src.groupBy(col("__v")).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val tot = counts.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    // micro-unit bucket: intra-bucket prefix parallel, bucket frame
+    // (value-range/bucketSize rows) carries the cross-bucket offsets
+    val withB = counts.withColumn("__mu",
+        (col("__v") * lit(1000000L)).cast("long"))
+      .withColumn("__b", expr(s"__mu div $bucketSize"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__mu"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val intra = withB
+      .withColumn("__pa", sum(col("__ca")).over(wIn))
+      .withColumn("__pb", sum(col("__cb")).over(wIn))
+    val perBucket = withB.groupBy(col("__b"))
+      .agg(sum(col("__ca")).as("__ba"), sum(col("__cb")).as("__bb"))
+    val wCross = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__oa", coalesce(sum(col("__ba")).over(wCross), lit(0L)))
+      .withColumn("__ob", coalesce(sum(col("__bb")).over(wCross), lit(0L)))
+      .select(col("__b"), col("__oa"), col("__ob"))
+    val cum = intra.join(offsets, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .select(col("__v"),
+        abs((col("__pa") + col("__oa")) * col("__nb") -
+            (col("__pb") + col("__ob")) * col("__na")).as("__num"),
+        col("__na"), col("__nb"))
+    cum.orderBy(col("__num").desc, col("__v")).limit(1)
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__num").cast("double") /
+          (col("__na") * col("__nb")).cast("double"), 6).as("d_stat"),
+        col("__v").cast("double").as("at_value"))
+  }
+
   /** k-anonymity audit over a quasi-identifier column set (Sweeney
     * 2002): the equivalence classes with FEWER than k rows — the
     * re-identifiable cells a release gate must generalize or suppress

@@ -293,6 +293,30 @@ class QualitySpec extends SparkSpec {
       ("y", "q", 10L, 15.0, 1.666667, 6.666668, 1)), got.toString)
   }
 
+  test("ksTwoSample: hand-computed D and location; tiny buckets " +
+    "(forcing cross-bucket offsets) agree with the default; " +
+    "identical samples give D 0 at the smallest value") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {2,3,4,4}: D = 1/2 at v = 3
+    val df = (Seq(1.0, 2.0, 3.0).map(v => (v, true)) ++
+      Seq(2.0, 3.0, 4.0, 4.0).map(v => (v, false)))
+      .toDF("v", "a")
+    val got = Quality.ksTwoSample(df, "v", col("a"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == ((3L, 4L, 0.5, 3.0)), got.toString)
+    // bucketSize 2 micro-units: every distinct value its own bucket,
+    // the cross-bucket offset frame does ALL the cumulative work
+    val tiny = Quality.ksTwoSample(df, "v", col("a"), bucketSize = 2L)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(tiny == got, s"hierarchy must be a pure refactoring: $tiny")
+    // identical samples: D = 0, argmax ties to the smallest value
+    val same = (Seq(5.0, 6.0).map(v => (v, true)) ++
+      Seq(5.0, 6.0).map(v => (v, false))).toDF("v", "a")
+    val z = Quality.ksTwoSample(same, "v", col("a"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(z == ((2L, 2L, 0.0, 5.0)), z.toString)
+  }
+
   test("looTargetEncode: peers-only mean excludes the own row; " +
     "singleton is null unsmoothed and shrinks to the global mean " +
     "when smoothed") {

@@ -417,6 +417,9 @@ object ScaleSweep {
       // chained dedup+agg: state bounded by live windows' keys
       "s_stream_distinct" -> (d =>
         SparkEntry.queries("s_stream_distinct")(spark, d).count()),
+      // hierarchical-CDF KS: only the bucket frame crosses a partition
+      "a38_ks_drift" -> (d =>
+        SparkEntry.queries("a38_ks_drift")(spark, d).count()),
       // r11 fourth wave. 64-key agg with map-side combine
       "a37_hll_distinct" -> (d =>
         SparkEntry.queries("a37_hll_distinct")(spark, d).count()),

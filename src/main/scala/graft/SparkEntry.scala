@@ -574,6 +574,28 @@ object SparkEntry {
         "valid_from", "valid_to", Seq("segment"))
     }),
 
+    // ---- J18: NEAREST as-of join — each error matched to the
+    // closest view (before OR after) of the same user within 2h,
+    // ties backward; two window passes on ONE exchange+sort. ----
+    "j18_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ops.WindowOps.dedupKeepLast(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("view_event_id")),
+        Seq("user_id", "ts"), Seq(col("view_event_id")))
+      ops.Joins.asOfJoinNearest(errors, views, Seq("user_id"),
+          "ts", "ts", Seq("view_event_id"), toleranceSeconds = 7200)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ltz").cast("double").as("ts_epoch"),
+          col("view_event_id"),
+          col("matched_time").cast("timestamp_ltz").cast("double")
+            .as("matched_epoch"),
+          col("direction"))
+    }),
+
     // ---- J16: Fellegi–Sunter probabilistic record linkage — the
     // clean customer file linked against a deterministically DIRTIED
     // copy (middle-char name typo every 7th key, reformatted name
@@ -4361,6 +4383,36 @@ object SparkEntry {
         |LEFT JOIN h ON h.c_custkey = o.o_custkey
         |  AND o.o_orderdate >= h.valid_from
         |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""".stripMargin,
+
+    // brute nearest: per error the min-|delta| view within tolerance,
+    // ties to the backward side; right deduped keep-last per (user,ts)
+    "j18_asof_nearest" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch(ts) AS lt
+        |  FROM events WHERE event_type = 'error'),
+        |r AS (
+        |  SELECT user_id, epoch(ts) AS rt, view_event_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id AS view_event_id,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT l.user_id, l.event_id, l.lt, r.rt, r.view_event_id,
+        |    row_number() OVER (PARTITION BY l.user_id, l.event_id
+        |      ORDER BY abs(l.lt - r.rt),
+        |        CASE WHEN r.rt <= l.lt THEN 0 ELSE 1 END) AS rn
+        |  FROM l JOIN r ON r.user_id = l.user_id
+        |  WHERE abs(l.lt - r.rt) <= 7200.0)
+        |SELECT l.user_id, l.event_id, l.lt AS ts_epoch,
+        |  c.view_event_id, c.rt AS matched_epoch,
+        |  CASE WHEN c.rt IS NULL THEN NULL
+        |       WHEN c.rt <= l.lt THEN 'backward'
+        |       ELSE 'forward' END AS direction
+        |FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        |  ON c.user_id = l.user_id AND c.event_id = l.event_id"""
+        .stripMargin,
 
     // Fellegi–Sunter replay: same dirty copy, same last-3 blocking,
     // DuckDB's own jaro_winkler_similarity (cross-implementation),

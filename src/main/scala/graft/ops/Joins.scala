@@ -188,6 +188,67 @@ object Joins {
       d.withColumn(p, when(stale, lit(null)).otherwise(col(p))))
   }
 
+  /** NEAREST as-of join (pandas merge_asof direction='nearest'): each
+    * left row matched to the closest right row — before OR after —
+    * within `toleranceSeconds`, ties to the BACKWARD match (the
+    * deterministic convention; an equal-time right row IS the
+    * backward match at distance 0). [[asOfJoin]] answers "the latest
+    * state as of t"; this answers "the closest observation to t" —
+    * sensor alignment, nearest-lab-to-event joins.
+    *
+    * Scale shape: the [[asOfJoin]] union trick, doubled — backward
+    * LOCF and forward NOCB are two window passes over the SAME
+    * (keys)-partitioned (t, tag) ordering, so Spark runs them in ONE
+    * exchange + sort; no join, no range scan. Right side must be
+    * unique on (keys, rightTime) ([[asOfJoin]]'s contract —
+    * [[graft.ops.WindowOps.dedupKeepLast]] first).
+    *
+    * Determinism: distances are exact double-epoch subtractions; the
+    * forward-vs-backward pick is `df < db` (tie → backward).
+    *
+    * @return left columns + payload of the chosen match +
+    *         matched_time + direction ('backward'/'forward'/null) */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame,
+                      keys: Seq[String], leftTime: String,
+                      rightTime: String, payload: Seq[String],
+                      toleranceSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(toleranceSeconds >= 0, "toleranceSeconds must be >= 0")
+    require(payload.nonEmpty, "need at least one payload column")
+    def secsD(c: Column): Column = c.cast("timestamp_ltz").cast("double")
+    val leftCols = left.columns
+    val rTagged = right.select(
+      keys.map(col) :+ secsD(col(rightTime)).as("__t") :+
+        lit(0).as("__tag") :+
+        struct(payload.map(col) :+ col(rightTime).as("__mt"): _*)
+          .as("__p"): _*)
+    val lTagged = left.select(
+      (keys.map(col) :+ secsD(col(leftTime)).as("__t") :+
+        lit(1).as("__tag")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+    val wB = base.rowsBetween(Window.unboundedPreceding, 0)
+    val wF = base.rowsBetween(0, Window.unboundedFollowing)
+    val j = u
+      .withColumn("__bp", last(col("__p"), ignoreNulls = true).over(wB))
+      .withColumn("__fp", first(col("__p"), ignoreNulls = true).over(wF))
+      .filter(col("__tag") === 1)
+    val db = col("__t") - secsD(col("__bp.__mt"))
+    val df = secsD(col("__fp.__mt")) - col("__t")
+    val tol = lit(toleranceSeconds.toDouble)
+    val useB = col("__bp").isNotNull && db <= tol
+    val useF = col("__fp").isNotNull && df <= tol
+    val chooseF = useF && (!useB || df < db)
+    val chosen = when(chooseF, col("__fp")).when(useB, col("__bp"))
+    j.select(leftCols.map(col) ++
+      payload.map(p => chosen.getField(p).as(p)) :+
+      chosen.getField("__mt").as("matched_time") :+
+      when(chooseF, lit("forward")).when(useB, lit("backward"))
+        .as("direction"): _*)
+  }
+
   /** Interval (range) join: left events matched to right intervals
     * containing them — `leftTime in [startCol, endCol)` within the same
     * key. With an equi-key present this is a plain shuffle join + range

@@ -35,6 +35,29 @@ class JoinsScalarsSpec extends SparkSpec {
     assert(out == (Some("new_a"), None))
   }
 
+  test("asOfJoinNearest: forward wins when strictly closer, ties go " +
+    "backward, equal time is backward at distance 0, out-of-tolerance " +
+    "stays null") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 300L), (3L, 1L, 1000L),
+      (4L, 2L, 50L)).toDF("id", "k", "t")
+    val right = Seq((1L, 60L, "v60"), (1L, 130L, "v130"),
+      (1L, 280L, "v280"), (1L, 320L, "v320"), (2L, 50L, "v50"))
+      .toDF("k", "rt", "v")
+    val out = Joins.asOfJoinNearest(left, right, Seq("k"), "t", "rt",
+        Seq("v"), toleranceSeconds = 100)
+      .select("id", "v", "matched_time", "direction")
+      .as[(Long, Option[String], Option[Long], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // t=100: backward d=40 vs forward d=30 -> forward
+    assert(out(1L) == ((Some("v130"), Some(130L), Some("forward"))))
+    // t=300: d=20 both sides -> tie goes backward
+    assert(out(2L) == ((Some("v280"), Some(280L), Some("backward"))))
+    // t=1000: nothing within 100s either side
+    assert(out(3L) == ((None, None, None)), out(3L).toString)
+    // equal time: the backward match at distance 0
+    assert(out(4L) == ((Some("v50"), Some(50L), Some("backward"))))
+  }
+
   test("asOfJoinTolerance: stale matches null out, fresh ones attach " +
     "with their matched time") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 500L), (3L, 20L, 100L))

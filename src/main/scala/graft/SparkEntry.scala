@@ -190,6 +190,24 @@ object SparkEntry {
       lower = 0.0, upper = 6.0)
   }
 
+  /** Shared w21/w33 survival subjects: per user, micro-epoch duration
+    * from first event to first purchase (observed) or to the corpus
+    * end (right-censored). */
+  private def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def us(c: Column) = unix_micros(c.cast("timestamp_ltz"))
+    val per = ev.groupBy(col("user_id")).agg(
+      min(us(col("ts"))).as("first_us"),
+      min(when(col("event_type") === "purchase", us(col("ts"))))
+        .as("p_us"))
+    val cens = ev.agg(max(us(col("ts"))).as("end_us"))
+    per.crossJoin(broadcast(cens))
+      .select(
+        when(col("p_us").isNotNull, col("p_us") - col("first_us"))
+          .otherwise(col("end_us") - col("first_us")).as("dur"),
+        col("p_us").isNotNull.as("observed"))
+  }
+
   /** Exact decimal accumulation -> one double cast (see class doc). */
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -2798,21 +2816,16 @@ object SparkEntry {
     // CENSORED at corpus end (dropping them would bias survival
     // down). Product-limit recurrence in exact decimal (the ewma
     // discipline) over the curve-sized distinct-time table. ----
-    "w21_survival" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      def us(c: Column) = unix_micros(c.cast("timestamp_ltz"))
-      val per = ev.groupBy(col("user_id")).agg(
-        min(us(col("ts"))).as("first_us"),
-        min(when(col("event_type") === "purchase", us(col("ts"))))
-          .as("p_us"))
-      val cens = ev.agg(max(us(col("ts"))).as("end_us"))
-      val subj = per.crossJoin(broadcast(cens))
-        .select(
-          when(col("p_us").isNotNull, col("p_us") - col("first_us"))
-            .otherwise(col("end_us") - col("first_us")).as("dur"),
-          col("p_us").isNotNull.as("observed"))
-      Analytics.kaplanMeier(subj, "dur", "observed")
-    }),
+    "w21_survival" -> ((s, dir) =>
+      Analytics.kaplanMeier(survivalSubjects(s, dir), "dur",
+        "observed")),
+
+    // ---- W33: Nelson–Aalen cumulative hazard — K-M's additive
+    // sibling over the SAME right-censored risk sets; increments sum
+    // exactly (no fold recurrence), curve-sized windows. ----
+    "w33_nelson_aalen" -> ((s, dir) =>
+      Analytics.nelsonAalen(survivalSubjects(s, dir), "dur",
+        "observed")),
 
     // ---- W19: event debounce — drop events arriving within 10 min
     // of the PREVIOUS raw event of the same (user, type): the
@@ -8355,6 +8368,41 @@ object SparkEntry {
 
     // per-time risk sets from the cumulative window; the product-limit
     // curve replayed as a recursive decimal recurrence
+    // same risk-set CTEs as w21 with a cumulative-sum hazard instead
+    // of the recursive survival product
+    "w33_nelson_aalen" ->
+      """WITH per AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END) AS p_us
+        |  FROM events GROUP BY 1),
+        |cns AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+        |subj AS (
+        |  SELECT CASE WHEN p_us IS NOT NULL THEN p_us - first_us
+        |              ELSE end_us - first_us END AS dur,
+        |    p_us IS NOT NULL AS obs
+        |  FROM per, cns),
+        |perT AS (
+        |  SELECT dur AS t, COUNT(CASE WHEN obs THEN 1 END) AS d,
+        |    COUNT(*) AS m
+        |  FROM subj GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM subj),
+        |steps AS (
+        |  SELECT t, d,
+        |    COALESCE(SUM(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM perT),
+        |e AS (
+        |  SELECT t, CAST((SELECT nn FROM n) - before AS BIGINT)
+        |    AS n_risk, d AS n_events
+        |  FROM steps WHERE d > 0)
+        |SELECT t, n_risk, n_events,
+        |  CAST(SUM(CAST(ROUND(CAST(n_events AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE), 6) AS DECIMAL(18,6)))
+        |    OVER (ORDER BY t) AS DOUBLE) AS hazard
+        |FROM e""".stripMargin,
+
     "w21_survival" ->
       """WITH RECURSIVE per AS (
         |  SELECT user_id, MIN(epoch_us(ts)) AS first_us,

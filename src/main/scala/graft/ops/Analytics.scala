@@ -235,20 +235,57 @@ object Analytics {
     * smaller), which is the OUTPUT, so the single-partition window
     * and fold there cost what the answer costs. Subject derivation
     * (one row per user) is the caller's aggregation. */
-  def kaplanMeier(subjects: DataFrame, durationCol: String,
-                  observedCol: String): DataFrame = {
+  /** The (t, n_events, n_risk) risk-set frame shared by
+    * [[kaplanMeier]] and [[nelsonAalen]]: event/censor counts per
+    * distinct time, at-risk counts from a curve-frame prefix window
+    * (curve-sized — the one-group contract both estimators state). */
+  private def survivalSteps(subjects: DataFrame, durationCol: String,
+                            observedCol: String): DataFrame = {
     val total = subjects.agg(count(lit(1)).as("__N"))
     val perT = subjects.groupBy(col(durationCol).as("t"))
       .agg(count(when(col(observedCol), lit(1))).as("n_events"),
         count(lit(1)).as("__m"))
     val wBefore = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val steps = perT
+    perT
       .withColumn("__before", coalesce(sum(col("__m")).over(wBefore),
         lit(0L)))
       .crossJoin(broadcast(total))
       .withColumn("n_risk", col("__N") - col("__before"))
       .filter(col("n_events") > 0)
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator — [[kaplanMeier]]'s
+    * additive sibling (Aalen 1978): H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over the
+    * same right-censored risk sets. Where K-M's survival multiplies
+    * (1 − d/n) factors, the hazard SUMS d/n increments — so no
+    * fold recurrence is needed at all: each increment rounds once to
+    * 6 (decimal) and a curve-frame prefix window accumulates them
+    * exactly. H ≈ −ln S on the same data (the standard diagnostic),
+    * pinned loosely in the spec.
+    *
+    * Scale: identical to [[kaplanMeier]] — subject agg collapses to
+    * distinct times, then curve-sized windows (one group, stated
+    * contract).
+    *
+    * @return (t, n_risk, n_events, hazard) per event time */
+  def nelsonAalen(subjects: DataFrame, durationCol: String,
+                  observedCol: String): DataFrame = {
+    val steps = survivalSteps(subjects, durationCol, observedCol)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    steps
+      .withColumn("__h",
+        round(col("n_events").cast("double") /
+          col("n_risk").cast("double"), 6).cast("decimal(18,6)"))
+      .withColumn("hazard",
+        sum(col("__h")).over(wCum).cast("double"))
+      .select(col("t"), col("n_risk"), col("n_events"), col("hazard"))
+  }
+
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+                  observedCol: String): DataFrame = {
+    val steps = survivalSteps(subjects, durationCol, observedCol)
       .withColumn("factor",
         round(lit(1.0) - col("n_events").cast("double") /
           col("n_risk").cast("double"), 6))

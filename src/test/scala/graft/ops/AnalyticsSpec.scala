@@ -217,6 +217,30 @@ class AnalyticsSpec extends SparkSpec {
       (4L, 2L, 1L, 0.25)), got.toString)
   }
 
+  test("nelsonAalen: hand-computed cumulative hazard on the K-M " +
+    "fixture; H tracks -ln S on the shared risk sets") {
+    val subj = Seq(
+      (1L, true), (2L, true), (2L, true), (3L, false),
+      (4L, true), (5L, false)
+    ).toDF("dur", "obs")
+    val got = Analytics.nelsonAalen(subj, "dur", "obs")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // t=1: 1/6=.166667; t=2: +2/5=.4 -> .566667; t=4: +1/2 -> 1.066667
+    assert(got == Seq(
+      (1L, 6L, 1L, 0.166667),
+      (2L, 5L, 2L, 0.566667),
+      (4L, 2L, 1L, 1.066667)), got.toString)
+    // diagnostic: d/n <= -ln(1 - d/n), so H <= -ln S everywhere,
+    // converging in the small-d/n limit — on kaplanMeier's risk sets
+    val s = Analytics.kaplanMeier(subj, "dur", "obs")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    got.foreach { case (t, _, _, h) =>
+      assert(h <= -math.log(s(t)) + 1e-6 &&
+        h >= -math.log(s(t)) - 1.0, s"t=$t h=$h s=${s(t)}")
+    }
+  }
+
   test("associationRules: hand-computed support/confidence/lift; " +
     "duplicate basket lines collapse; min-support cut") {
     // baskets: {A,B,C} {A,B} {A,B} {A,C} {B} -> supp A=4 B=4 C=2,

@@ -2694,6 +2694,13 @@ object SparkEntry {
         .orderBy("o_orderpriority", "o_orderstatus", "o_year",
           "o_month")),
 
+    // ---- A39: Cramér's V — the normalized association strength over
+    // the a30 contingency (priority × status), one comparable [0,1]
+    // number where raw χ² is table-scale-bound. ----
+    "a39_cramers_v" -> ((s, dir) =>
+      Quality.cramersV(t(s, dir, "orders"), "o_orderpriority",
+        "o_orderstatus")),
+
     // ---- A38: two-sample Kolmogorov–Smirnov drift test —
     // first-half-of-month values vs second half; D argmax on exact
     // integers, CDF via bucketed hierarchical prefix sums (only the
@@ -7929,11 +7936,20 @@ object SparkEntry {
     // products through double BEFORE multiplying, per-cell
     // contributions rounded to 6 then summed exact-decimal
     "a30_chisq" ->
-      """WITH cells AS (
+      """WITH observed AS (
         |  SELECT o_orderpriority, o_orderstatus, count(*) AS obs
         |  FROM orders
         |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
         |  GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT g.o_orderpriority, g.o_orderstatus,
+        |    COALESCE(o.obs, 0) AS obs
+        |  FROM (SELECT a.o_orderpriority, b.o_orderstatus
+        |        FROM (SELECT DISTINCT o_orderpriority FROM observed) a,
+        |             (SELECT DISTINCT o_orderstatus FROM observed) b) g
+        |  LEFT JOIN observed o
+        |    ON o.o_orderpriority = g.o_orderpriority
+        |   AND o.o_orderstatus = g.o_orderstatus),
         |dims AS (
         |  SELECT CAST(count(DISTINCT o_orderpriority) AS INT) AS na,
         |         CAST(count(DISTINCT o_orderstatus) AS INT) AS nb,
@@ -7962,6 +7978,54 @@ object SparkEntry {
         |    OVER () AS DOUBLE), 6) AS chi2,
         |  CAST((na - 1) * (nb - 1) AS INT) AS dof
         |FROM e""".stripMargin,
+
+    // the a30 chi2 suite statistic folded into V; same round-6
+    // contribution sum, one fixed-order sqrt at the end
+    "a39_cramers_v" ->
+      """WITH observed AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS obs
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT g.o_orderpriority, g.o_orderstatus,
+        |    COALESCE(o.obs, 0) AS obs
+        |  FROM (SELECT a.o_orderpriority, b.o_orderstatus
+        |        FROM (SELECT DISTINCT o_orderpriority FROM observed) a,
+        |             (SELECT DISTINCT o_orderstatus FROM observed) b) g
+        |  LEFT JOIN observed o
+        |    ON o.o_orderpriority = g.o_orderpriority
+        |   AND o.o_orderstatus = g.o_orderstatus),
+        |m AS (
+        |  SELECT o_orderpriority, o_orderstatus, obs,
+        |    CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+        |      AS rt,
+        |    CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+        |      AS ct,
+        |    CAST(SUM(obs) OVER () AS DOUBLE) AS tot
+        |  FROM cells),
+        |e AS (
+        |  SELECT obs,
+        |    (CAST(obs AS DOUBLE) - rt * ct / tot) *
+        |    (CAST(obs AS DOUBLE) - rt * ct / tot) /
+        |      (rt * ct / tot) AS contrib
+        |  FROM m),
+        |agg AS (
+        |  SELECT CAST(SUM(obs) AS BIGINT) AS n,
+        |    ROUND(CAST(SUM(CAST(ROUND(contrib, 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE), 6) AS chi2
+        |  FROM e),
+        |dims AS (
+        |  SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ra,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS rb
+        |  FROM cells)
+        |SELECT n, chi2,
+        |  CAST((ra - 1) * (rb - 1) AS INT) AS dof,
+        |  CASE WHEN LEAST(ra - 1, rb - 1) > 0 AND n > 0
+        |       THEN ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |         * CAST(LEAST(ra - 1, rb - 1) AS DOUBLE))), 6)
+        |  END AS cramers_v
+        |FROM agg, dims""".stripMargin,
 
     // flat-window CDF replay (the bucketed hierarchy is a pure
     // refactoring of the same cumulative sums); exact-integer argmax

@@ -583,8 +583,17 @@ object Quality {
   def chiSquareIndependence(df: DataFrame, aCol: String,
                             bCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val observed = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("obs"))
+    // COMPLETE the contingency: an unobserved (a, b) level pair is a
+    // ZERO cell whose (0 − expected)²/expected still contributes —
+    // dropping it understates χ² exactly when association is
+    // strongest (a perfect 2×2 association was measured at half its
+    // true statistic). The level cross is cells-frame scale.
+    val cells = observed.select(col(aCol)).distinct()
+      .crossJoin(observed.select(col(bCol)).distinct())
+      .join(observed, Seq(aCol, bCol), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
     val dims = cells.agg(
       countDistinct(col(aCol)).cast("int").as("__na"),
       countDistinct(col(bCol)).cast("int").as("__nb"),
@@ -608,6 +617,29 @@ object Quality {
           .cast("double"), 6))
       .select(col(aCol), col(bCol), col("obs"), col("expected"),
         col("contrib"), col("chi2"), col("dof"))
+  }
+
+  /** Cramér's V — the [0,1]-normalized association strength derived
+    * from [[chiSquareIndependence]]'s statistic
+    * (V = √(χ²/(n·min(r−1,c−1)))), comparable across tables the way
+    * raw χ² is not; completes the association trio with χ² (is it
+    * independent) and [[mutualInfo]] (how many nats). One row.
+    *
+    * Determinism: χ² is the chiSquare suite statistic (round-6
+    * contributions, exact decimal sum); the V formula is fixed-order
+    * double arithmetic rounded once. Same contingency scale contract. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = chiSquareIndependence(df, aCol, bCol)
+    val one = cells.agg(
+      max(col("chi2")).as("chi2"), max(col("dof")).as("__dof"),
+      sum(col("obs")).as("n"),
+      countDistinct(col(aCol)).cast("long").as("__ra"),
+      countDistinct(col(bCol)).cast("long").as("__rb"))
+    val minDim = least(col("__ra") - 1, col("__rb") - 1).cast("double")
+    one.select(col("n"), col("chi2"), col("__dof").as("dof"),
+      when(minDim > 0 && col("n") > 0,
+        round(sqrt(col("chi2") /
+          (col("n").cast("double") * minDim)), 6)).as("cramers_v"))
   }
 
   /** Mutual information between two categorical columns — the

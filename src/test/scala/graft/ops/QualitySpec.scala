@@ -293,6 +293,29 @@ class QualitySpec extends SparkSpec {
       ("y", "q", 10L, 15.0, 1.666667, 6.666668, 1)), got.toString)
   }
 
+  test("cramersV: hand value on the chiSquare 2x2 fixture; perfect " +
+    "association scores 1; a constant column nulls V") {
+    import spark.implicits._
+    // the chiSquareIndependence fixture: chi2 = 6.666668, n = 60,
+    // min dim = 1 -> V = sqrt(6.666668/60) = 0.333333
+    val rows =
+      Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q"))
+    val got = Quality.cramersV(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Int, Option[Double])].collect().head
+    assert(got == ((60L, 6.666668, 1, Some(0.333333))), got.toString)
+    // perfect association: V = 1
+    val perfect = Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))
+    val v1 = Quality.cramersV(perfect.toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Int, Option[Double])].collect().head
+    assert(v1._4.contains(1.0), v1.toString)
+    // constant a: min dim 0 -> V undefined
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val v0 = Quality.cramersV(const, "a", "b")
+      .as[(Long, Double, Int, Option[Double])].collect().head
+    assert(v0._4.isEmpty, v0.toString)
+  }
+
   test("ksTwoSample: hand-computed D and location; tiny buckets " +
     "(forcing cross-bucket offsets) agree with the default; " +
     "identical samples give D 0 at the smallest value") {

@@ -61,9 +61,22 @@ object Bench {
   /** Self-adjudication verdict for a flagged query (round-10 verdict
     * #3): a flag whose end-of-run isolated plateau falls back UNDER
     * the same gate was box contention during the main sweep; one that
-    * stays over it is a real plan change. */
-  def adjudicateVerdict(prev: Double, plateau: Double): String =
-    if (isRegression(prev, plateau)) "real" else "contention"
+    * stays over it is a real plan change — but ONLY when the box was
+    * quiet at plateau time (round-11 verdict #2: the plateau reruns
+    * execute inside the SAME session; a still-contended box produced
+    * a false "real" on w10_session_window — fresh-JVM 0.43–0.63 s vs
+    * the claimed 1.2). `loadAtPlateau >= cpus/4` demotes "real" to
+    * "contention-suspect": the number is over the gate but the box
+    * invalidates the measurement. An errored plateau (-1) is its own
+    * verdict, not "contention" (ADVICE r11: folding it in read as
+    * contention-cleared unless the reader noticed the -1). */
+  def adjudicateVerdict(prev: Double, plateau: Double,
+                        loadAtPlateau: Double = 0.0,
+                        cpus: Int = 32): String =
+    if (plateau < 0) "error"
+    else if (!isRegression(prev, plateau)) "contention"
+    else if (loadAtPlateau >= cpus / 4.0) "contention-suspect"
+    else "real"
 
   /** End-of-run re-measurement of one flagged query: min of `runs`
     * isolated executions in the now-quiet warm JVM — the same context
@@ -192,14 +205,22 @@ object Bench {
     // artifact adjudicates itself. Capped at 12 flags: a broadly
     // contended run flags half the suite, and re-running all of it
     // would double the wall clock for one shared answer.
+    // Each plateau row records /proc/loadavg AT MEASUREMENT TIME and
+    // the verdict is load-gated (round-11 verdict #2: a plateau taken
+    // on a still-contended box must not certify "real").
+    val nCpus = try cpus.toInt catch { case _: NumberFormatException => 32 }
     val adjudicated = regressed.take(12).map { case (k, (p, v)) =>
       val pl = plateau(spark, sfDir, SparkEntry.queries(k))
-      (k, p, v, pl, adjudicateVerdict(p, pl))
+      val ld = try loadavg().toDouble
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
+      (k, p, v, pl, ld, adjudicateVerdict(p, pl, math.max(ld, 0.0), nCpus))
     }
-    def rmap(rs: Seq[(String, Double, Double, Double, String)]): String =
-      rs.map { case (k, p, v, pl, verd) =>
+    def rmap(rs: Seq[(String, Double, Double, Double, Double, String)])
+        : String =
+      rs.map { case (k, p, v, pl, ld, verd) =>
         s"\"" + k + "\":{\"prev\":" + ms(p) + ",\"now\":" + ms(v) +
-          ",\"plateau\":" + ms(pl) + ",\"verdict\":\"" + verd + "\"}"
+          ",\"plateau\":" + ms(pl) + ",\"plateau_load\":" + ms(ld) +
+          ",\"verdict\":\"" + verd + "\"}"
       }.mkString("{", ",", "}")
     val loadJson =
       s""""load":{"start":$loadStart,"end":${loadavg()}}"""

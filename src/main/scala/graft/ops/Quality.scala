@@ -770,30 +770,55 @@ object Quality {
     * argmax is a TakeOrdered.
     *
     * Determinism: values round once to 6 (ties collapse in the
-    * count agg); integer numerators exact; the reported d_stat is
-    * one rounded division.
+    * count agg); the micro-unit key is computed in exact decimal
+    * (a double product can land one ulp low and truncate two
+    * distinct 6-dp values onto the same key), the intra-bucket
+    * window orders by (key, value) so even a key collision cannot
+    * produce an arbitrary frame order; integer numerators exact;
+    * the reported d_stat is one rounded division.
     *
-    * @param inA boolean Column: true → sample A, false → sample B
+    * Overflow: the cross-multiply |cumA*n_B - cumB*n_A| runs in
+    * decimal(38,0) - long arithmetic wraps silently once
+    * n_A*n_B > 2^63 (~3e9 rows per side, a realistic drift input
+    * at 100 TB) and the argmax then picks a garbage row. Decimal
+    * holds exact to 10^38, far past any physical row count.
+    *
+    * @param inA boolean Column: true -> sample A, false -> sample B
     *        (null rows excluded)
     * @return one row: (n_a, n_b, d_stat, at_value) */
   def ksTwoSample(df: DataFrame, valCol: String, inA: Column,
                   bucketSize: Long = 1048576L): DataFrame = {
-    require(bucketSize >= 2, "bucketSize must be >= 2")
-    import org.apache.spark.sql.expressions.Window
     val v6 = r6d(col(valCol))
     val src = df.filter(col(valCol).isNotNull && inA.isNotNull)
       .select(v6.as("__v"), inA.as("__a"))
     val counts = src.groupBy(col("__v")).agg(
       sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
       sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    ksFromCounts(counts, bucketSize)
+  }
+
+  /** D-statistic from a pre-aggregated counts frame
+    * (__v decimal(18,6), __ca, __cb) - the whole of [[ksTwoSample]]
+    * after its one hash agg. Split out so the >2^63 numerator regime
+    * is spec-testable with planted counts instead of billions of
+    * materialized rows. */
+  private[graft] def ksFromCounts(counts: DataFrame,
+                                  bucketSize: Long = 1048576L): DataFrame = {
+    require(bucketSize >= 2, "bucketSize must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
     val tot = counts.agg(sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"))
     // micro-unit bucket: intra-bucket prefix parallel, bucket frame
-    // (value-range/bucketSize rows) carries the cross-bucket offsets
+    // (value-range/bucketSize rows) carries the cross-bucket offsets.
+    // __mu in exact decimal: __v is decimal(18,6), so __v*1e6 is its
+    // unscaled integer - never a double on the way to the long key.
     val withB = counts.withColumn("__mu",
-        (col("__v") * lit(1000000L)).cast("long"))
+        (col("__v").cast("decimal(18,6)") * lit(1000000L))
+          .cast("decimal(38,0)").cast("long"))
       .withColumn("__b", expr(s"__mu div $bucketSize"))
-    val wIn = Window.partitionBy(col("__b")).orderBy(col("__mu"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("__mu"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val intra = withB
       .withColumn("__pa", sum(col("__ca")).over(wIn))
@@ -809,13 +834,15 @@ object Quality {
     val cum = intra.join(offsets, Seq("__b"))
       .crossJoin(broadcast(tot))
       .select(col("__v"),
-        abs((col("__pa") + col("__oa")) * col("__nb") -
-            (col("__pb") + col("__ob")) * col("__na")).as("__num"),
+        abs((col("__pa") + col("__oa")).cast(dec) * col("__nb").cast(dec) -
+            (col("__pb") + col("__ob")).cast(dec) * col("__na").cast(dec))
+          .as("__num"),
         col("__na"), col("__nb"))
     cum.orderBy(col("__num").desc, col("__v")).limit(1)
       .select(col("__na").as("n_a"), col("__nb").as("n_b"),
         round(col("__num").cast("double") /
-          (col("__na") * col("__nb")).cast("double"), 6).as("d_stat"),
+          (col("__na").cast(dec) * col("__nb").cast(dec)).cast("double"),
+          6).as("d_stat"),
         col("__v").cast("double").as("at_value"))
   }
 

@@ -115,14 +115,21 @@ object Similarity {
     * the selected exemplars are the "spanning" samples a labeling
     * budget should go to.
     *
-    * Scale shape: k−1 rounds, each ONE corpus scan — the ≤k selected
-    * vectors broadcast into a crossJoin, per-point min-distance agg,
-    * global 1-row TakeOrdered — never a point×point join; an eager
-    * localCheckpoint per round cuts the growing lineage (the
+    * Scale shape (incremental since r12 — the r11 version recomputed
+    * min-distance vs ALL selected centers every round, O(n·k²)
+    * cosines): the maximin state `dmin` = (id, vec, distance to the
+    * nearest selected center) is CARRIED FORWARD; each round is one
+    * 1-row TakeOrdered argmax on it, then one pass updating
+    * `dmin ← least(dmin, dist-to-newest-center)` — a single-row
+    * broadcast attach, O(n) cosines. Total O(n·k) cosines and k
+    * single-center broadcasts instead of k growing crossJoins; an
+    * eager localCheckpoint per round cuts the growing lineage (the
     * kCore/MMR discipline). Nothing collects to the driver.
     *
-    * Determinism: distances round once to 6 (1 − native cosine);
-    * every argmax tie-breaks by id. The oracle unrolls all k rounds.
+    * Determinism unchanged: min over a center set equals the fold of
+    * `least` over its members on the SAME round-6 distances, so the
+    * incremental state is value-identical to the r11 recompute and
+    * the unrolled oracle still matches. Every argmax tie-breaks by id.
     *
     * @return (rank, idCol, maximin) — maximin null for the seed */
   def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
@@ -133,21 +140,42 @@ object Similarity {
       .select(lit(1).as("rank"), col("__id"), col("__v"),
         lit(null).cast("double").as("maximin"))
       .localCheckpoint()
-    val all = (2 to k).foldLeft(first) { (sel, i) =>
-      val dmin = pts
-        .join(sel.select(col("__id")), Seq("__id"), "left_anti")
-        .crossJoin(broadcast(sel.select(col("__v").as("__c"))))
-        .groupBy(col("__id"))
-        .agg(min(round(lit(1.0) - cosine(col("__v"), col("__c")), 6))
-          .as("__dm"))
-      val next = dmin.orderBy(col("__dm").desc, col("__id")).limit(1)
-        .join(pts, Seq("__id"))
-        .select(lit(i).as("rank"), col("__id"), col("__v"),
-          col("__dm").as("maximin"))
-      sel.unionByName(next).localCheckpoint()
-    }
+    val all =
+      if (k == 1) first
+      else {
+        val d0 = kCenterAdvance(
+          pts.withColumn("__dm", lit(null).cast("double")), first)
+          .localCheckpoint()
+        (2 to k).foldLeft((first, d0)) { case ((sel, dmin), i) =>
+          val next = dmin.orderBy(col("__dm").desc, col("__id")).limit(1)
+            .select(lit(i).as("rank"), col("__id"), col("__v"),
+              col("__dm").as("maximin"))
+            .localCheckpoint()
+          // the last round's state has no consumer — skip its update
+          (sel.unionByName(next),
+            if (i == k) dmin
+            else kCenterAdvance(dmin, next).localCheckpoint())
+        }._1
+      }
     all.select(col("rank"), col("__id").as(idCol), col("maximin"))
   }
+
+  /** One k-center round's state update: drop the newly selected
+    * point from `dmin` and fold its distance in via `least` — ONE
+    * pass over the carried state joined to a ONE-row broadcast
+    * (`newest` is always a single selected center). `least` ignores
+    * nulls, so the seed round (all __dm null) initializes cleanly.
+    * Split out (and left un-checkpointed — callers checkpoint) so
+    * the one-pass-per-round contract is plan-testable. */
+  private[graft] def kCenterAdvance(dmin: DataFrame,
+                                    newest: DataFrame): DataFrame =
+    dmin
+      .join(newest.select(col("__id")), Seq("__id"), "left_anti")
+      .crossJoin(broadcast(newest.select(col("__v").as("__c"))))
+      .select(col("__id"), col("__v"),
+        least(col("__dm"),
+          round(lit(1.0) - cosine(col("__v"), col("__c")), 6))
+          .as("__dm"))
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     * 1998) — the diversity-aware serving layer every RAG/retrieval

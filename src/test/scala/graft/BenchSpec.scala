@@ -54,12 +54,24 @@ class BenchSpec extends SparkSpec {
     // 3.0s, quiet end-of-run plateau 1.1s -> the flag self-clears
     assert(Bench.adjudicateVerdict(1.0, 1.1) == "contention")
     // a genuine plan change stays slow when re-measured in isolation
+    // ON A QUIET BOX (load well under cpus/4)
     assert(Bench.adjudicateVerdict(1.0, 2.5) == "real")
-    // a plateau that ERRORS (-1) must not read as "contention-cleared"
-    // silently — it is not a regression by the gate (prev>0, -1 < gate)
-    // so it lands "contention"; the -1 plateau value in the artifact
-    // is the tell. Pin that shape so a refactor doesn't hide it.
-    assert(Bench.adjudicateVerdict(1.0, -1.0) == "contention")
+    assert(Bench.adjudicateVerdict(1.0, 2.5, 1.9, 32) == "real")
+    // round-11 verdict #2 fixture: plateau over the gate but the box
+    // is still loaded at measurement time (load >= cpus/4) — the
+    // measurement is invalid, the verdict must NOT certify "real"
+    assert(Bench.adjudicateVerdict(1.0, 2.5, 8.0, 32) ==
+      "contention-suspect")
+    assert(Bench.adjudicateVerdict(0.316, 1.199, 4.8, 4) ==
+      "contention-suspect")
+    // high load with a plateau UNDER the gate still self-clears: the
+    // query came back fast even on a loaded box
+    assert(Bench.adjudicateVerdict(1.0, 1.1, 30.0, 32) == "contention")
+    // a plateau that ERRORS (-1) is its own verdict (ADVICE r11:
+    // "contention" here read as contention-cleared unless the reader
+    // noticed the -1 plateau value)
+    assert(Bench.adjudicateVerdict(1.0, -1.0) == "error")
+    assert(Bench.adjudicateVerdict(1.0, -1.0, 30.0, 32) == "error")
     val pl = Bench.plateau(spark, dir,
       (s, d) => Tables.load(s, d, "region"), runs = 2)
     assert(pl > 0.0 && pl < 30.0, s"plateau=$pl")

@@ -340,6 +340,36 @@ class QualitySpec extends SparkSpec {
     assert(z == ((2L, 2L, 0.0, 5.0)), z.toString)
   }
 
+  test("ksFromCounts: planted >2^32 per-value counts push the " +
+    "cross-multiply past 2^63 - decimal(38,0) arithmetic keeps the " +
+    "argmax exact where long silently wraps") {
+    import spark.implicits._
+    // na = nb = 6e9; at v=1.0 the numerator is
+    // |5e9*6e9 - 1e9*6e9| = 2.4e19 > Long.MaxValue (9.22e18):
+    // a long product here wraps negative and the argmax picks a
+    // garbage row. Expected D replayed below on BigInt.
+    val ca = Seq(5000000000L, 1000000000L, 0L)
+    val cb = Seq(1000000000L, 1000000000L, 4000000000L)
+    val vs = Seq(1.0, 2.0, 3.0)
+    val counts = vs.indices.map(i => (vs(i), ca(i), cb(i)))
+      .toDF("v", "__ca", "__cb")
+      .select(col("v").cast("decimal(18,6)").as("__v"),
+        col("__ca"), col("__cb"))
+    val na = BigInt(ca.sum); val nb = BigInt(cb.sum)
+    val nums = vs.indices.map { i =>
+      val pa = BigInt(ca.take(i + 1).sum)
+      val pb = BigInt(cb.take(i + 1).sum)
+      (pa * nb - pb * na).abs
+    }
+    assert(nums.max > BigInt(Long.MaxValue), "test must cross 2^63")
+    val expD = math.rint(
+      (BigDecimal(nums.max) / BigDecimal(na * nb)).toDouble * 1e6) / 1e6
+    val got = Quality.ksFromCounts(counts)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == ((na.toLong, nb.toLong, expD,
+      vs(nums.indexOf(nums.max)))), got.toString)
+  }
+
   test("looTargetEncode: peers-only mean excludes the own row; " +
     "singleton is null unsmoothed and shrinks to the global mean " +
     "when smoothed") {

@@ -772,6 +772,33 @@ class SimilaritySpec extends SparkSpec {
       s"cross-cluster maximin must be ~1: $got")
   }
 
+  test("kCenterAdvance: least-folds the newest center into carried " +
+    "dmin (value-identical to a full recompute), null state " +
+    "initializes, and the round's plan reads the corpus-scale frame " +
+    "exactly once against two 1-row sides") {
+    import spark.implicits._
+    val dmin = Seq((2L, Seq(1f, 0f), Some(0.4)),
+      (3L, Seq(0f, 1f), Some(0.9)), (4L, Seq(0f, 1f), None))
+      .toDF("__id", "__v", "__dm").localCheckpoint()
+    val newest = Seq((3L, Seq(0f, 1f)))
+      .toDF("__id", "__v").localCheckpoint()
+    val adv = Similarity.kCenterAdvance(dmin, newest)
+    val got = adv.orderBy("__id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    // 3 drops (just selected); 2 keeps 0.4 (dist to newest = 1.0);
+    // 4's null state initializes to its dist-to-newest (0.0)
+    assert(got == Seq(2L -> Some(0.4), 4L -> Some(0.0)), got.toString)
+    // one-pass contract: the carried state is scanned ONCE; the only
+    // other inputs are the two 1-row projections of `newest`
+    val plan = adv.queryExecution.optimizedPlan.toString
+    val rdds = "LogicalRDD".r.findAllIn(plan).size
+    val joins = "(?m)^\\s*(:[- ]*)?[+:]?[- ]*Join ".r
+      .findAllIn(plan).size
+    assert(rdds == 3, s"expected dmin once + newest twice:\n$plan")
+    assert(joins == 2, s"expected exactly anti + cross:\n$plan")
+  }
+
   test("mmrRerank: low lambda skips the exact duplicate for the " +
     "orthogonal doc; high lambda degenerates to relevance order; " +
     "id tiebreak on equal scores") {

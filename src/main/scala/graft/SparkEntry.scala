@@ -2392,6 +2392,38 @@ object SparkEntry {
           graft.media.Multimodal.contentSha(col("payload")).as("sha"))
     }),
 
+    // ---- multimodal: REAL image decode (r12). Synthetic banded PNGs
+    // whose dims/pixels derive from doc_id alone are encoded
+    // DISTRIBUTED (mapPartitions — no driver staging), then
+    // imageStats runs a genuine ImageIO pixel decode per row; the
+    // oracle recovers width/height/channel-sum from the generation
+    // formula, so a stub that didn't really parse the bytes cannot
+    // match. Integer micro-unit mean kills any double hazard. ----
+    "m_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.media.Multimodal.syntheticPng(id))))
+        .toDF("media_id", "payload")
+      graft.media.Multimodal.imageStats(media).toDF()
+    }),
+
+    // ---- multimodal: REAL multi-frame decode — animated GIFs with
+    // 1 + doc_id%7 frames, frame count read back by ImageIO's reader
+    // (getNumImages(true)), every 2nd frame sampled. ----
+    "m_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, "image", graft.media.Multimodal.syntheticGif(id))))
+        .toDF("media_id", "kind", "payload")
+      graft.media.Multimodal.sampleFrames(media, stride = 2,
+        codec = graft.media.Multimodal.ImageIoCodec,
+        kinds = Seq("image"))
+    }),
+
     // ---- streaming: watermarked windowed agg, AvailableNow == batch.
     // The events parquet is re-staged (nanos ts -> micros) because the
     // file stream source has no post-read transform hook; staged ONCE
@@ -7539,6 +7571,35 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS sha
         |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    // the decode is REAL (ImageIO pixel parse); the oracle recovers
+    // every decoded value from the synthetic-PNG generation formula:
+    // w=8+id%24, h=8+id%16, left w//2 columns gray id%256, the rest
+    // 7id%256 — chan_sum = 3h(w//2·g1 + (w−w//2)·g2); integer
+    // micro-unit mean (both engines truncate non-negative division)
+    "m_image_decode" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h,
+        |    doc_id % 256 AS g1, (doc_id * 7) % 256 AS g2
+        |  FROM documents WHERE doc_id < 300),
+        |c AS (
+        |  SELECT doc_id, w, h, w * h AS n,
+        |    3 * h * ((w // 2) * g1 + (w - w // 2) * g2) AS cs
+        |  FROM g)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n AS BIGINT) AS n_pixels,
+        |  CAST(cs AS BIGINT) AS chan_sum,
+        |  CAST(cs * 1000000 // (3 * n) AS BIGINT) AS mean_luma_micros
+        |FROM c""".stripMargin,
+
+    // frame count read back by ImageIO from real animated-GIF bytes;
+    // the oracle replays the generation formula 1 + doc_id%7
+    "m_gif_frames" ->
+      """SELECT doc_id AS media_id,
+        |  unnest(range(0, CAST(1 + doc_id % 7 AS BIGINT), 2)) AS frame_index
+        |FROM documents WHERE doc_id < 120""".stripMargin,
 
     // the batch window+rank formulation the streaming heap agg must
     // reproduce

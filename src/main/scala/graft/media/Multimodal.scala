@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * feature-extraction / resize / frame-sampling plumbing.
   *
   * The Spark-side design is real — schema, partition-friendly batch shape,
-  * typed Dataset API, narrow per-partition execution — while the actual
-  * codec calls are STUBBED with deterministic fakes (image/audio libraries
-  * are not available in this container; swap `StubCodec` for a real codec
-  * binding at deployment). Everything stays per-row/per-partition: no
+  * typed Dataset API, narrow per-partition execution. IMAGE decode is
+  * REAL since r12 ([[Multimodal.ImageIoCodec]]: the JDK's ImageIO —
+  * PNG/GIF/BMP/JPEG header parse, pixel decode, true GIF frame
+  * counts); audio/video codec calls remain STUBBED with deterministic
+  * fakes (those libraries are not in this container; swap `StubCodec`
+  * for an ffmpeg binding at deployment). Everything stays per-row/per-partition: no
   * shuffle is introduced by any operation here, so media transforms
   * pipeline with whatever partitioning the surrounding job chose — at
   * 100 TB the payload bytes dominate, and these operators never move them.
@@ -32,18 +34,38 @@ object Multimodal {
 
   case class MediaFeatures(media_id: Long, features: Array[Float])
 
+  case class ImageStats(media_id: Long, width: Int, height: Int,
+                        n_pixels: Long, chan_sum: Long,
+                        mean_luma_micros: Long)
+
+  /** Codec seam: the per-payload calls [[decodeMetadata]] dispatches
+    * through. Implementations must be closure-serializable (objects
+    * are). [[ImageIoCodec]] is the REAL JDK decode path;
+    * [[StubCodec]] the deterministic fake for formats with no local
+    * decoder (audio/video codecs are not in this container). */
+  trait MediaCodec extends Serializable {
+    def dimensions(payload: Array[Byte], kind: String): (Int, Int)
+    def frameCount(payload: Array[Byte], kind: String): Int
+  }
+
   /** ===== STUB codec =====
     * Deterministic fakes standing in for real decoders (???-equivalent,
     * kept total so pipelines are runnable/testable end-to-end). A real
     * deployment implements the same signatures over libjpeg/ffmpeg etc.
+    * Since r12, IMAGE formats the JDK ships readers for (PNG, BMP, GIF,
+    * JPEG, WBMP) have a real path — [[ImageIoCodec]]; the stub remains
+    * the fallback for audio/video and unclaimable bytes.
     */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     /** "Decode" image dimensions from payload bytes (FAKE: derived
       * deterministically from content, not a real header parse). */
     def dimensions(payload: Array[Byte]): (Int, Int) = {
       val h = java.util.Arrays.hashCode(payload)
       (32 + math.abs(h % 4096), 32 + math.abs((h / 4096) % 4096))
     }
+
+    def dimensions(payload: Array[Byte], kind: String): (Int, Int) =
+      dimensions(payload)
 
     /** "Decode" frame count for video (FAKE). */
     def frameCount(payload: Array[Byte], kind: String): Int =
@@ -69,23 +91,173 @@ object Multimodal {
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = payload
   }
 
+  /** ===== REAL codec (r12) =====
+    * The JDK's ImageIO — PNG, GIF, BMP, JPEG and WBMP readers ship in
+    * every JRE, no external dependency. `dimensions` is a HEADER-ONLY
+    * parse (ImageReader.getWidth/getHeight never decode pixel data —
+    * cheap enough for a metadata pass over 100 TB of payloads);
+    * `frameCount` asks the reader for its true image count, which on
+    * animated GIF is the real frame count. Bytes no registered reader
+    * claims return None from the Option variants; [[AutoCodec]] falls
+    * back to [[StubCodec]] there so mixed-format corpora stay total. */
+  object ImageIoCodec extends MediaCodec {
+    private def withReader[A](payload: Array[Byte])
+        (f: javax.imageio.ImageReader => A): Option[A] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some(f(r)) }
+          catch { case scala.util.control.NonFatal(_) => None }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    /** (width, height) from the image header, or None if no JDK
+      * reader claims the bytes / the header is corrupt. */
+    def dimensionsOpt(payload: Array[Byte]): Option[(Int, Int)] =
+      withReader(payload)(r => (r.getWidth(0), r.getHeight(0)))
+
+    /** True image count (animated GIF: frame count). `allowSearch` is
+      * a full-stream scan — fine per payload, already in codec
+      * territory. None when unclaimed. */
+    def frameCountOpt(payload: Array[Byte]): Option[Int] =
+      withReader(payload)(_.getNumImages(true)).filter(_ > 0)
+
+    /** Full pixel decode of frame 0. None when unclaimed/corrupt. */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    def dimensions(payload: Array[Byte], kind: String): (Int, Int) =
+      dimensionsOpt(payload).getOrElse(StubCodec.dimensions(payload))
+    def frameCount(payload: Array[Byte], kind: String): Int =
+      frameCountOpt(payload)
+        .getOrElse(StubCodec.frameCount(payload, kind))
+  }
+
+  /** Default dispatch: real ImageIO parse for image-kind rows, stub
+    * for everything else (and, via ImageIoCodec's own fallback, for
+    * image bytes no reader claims). */
+  object AutoCodec extends MediaCodec {
+    def dimensions(payload: Array[Byte], kind: String): (Int, Int) =
+      if (kind == "image") ImageIoCodec.dimensions(payload, kind)
+      else StubCodec.dimensions(payload)
+    def frameCount(payload: Array[Byte], kind: String): Int =
+      if (kind == "image") ImageIoCodec.frameCount(payload, kind)
+      else StubCodec.frameCount(payload, kind)
+  }
+
   /** Decode metadata for every media row. Runs as one narrow
     * mapPartitions pass (the batch shape a real codec wants: amortize
-    * per-partition codec init, stream rows through). */
-  def decodeMetadata(media: DataFrame): Dataset[MediaMeta] = {
+    * per-partition codec init, stream rows through). Default codec is
+    * the stub (back-compat: callers with non-image payloads tagged
+    * kind="image" would otherwise change dims under them); pass
+    * [[AutoCodec]]/[[ImageIoCodec]] for the real parse. */
+  def decodeMetadata(media: DataFrame,
+                     codec: MediaCodec = StubCodec): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition codec init would go here
         rows.map { case (id, kind, payload) =>
-          val (w, h) = StubCodec.dimensions(payload)
+          val (w, h) = codec.dimensions(payload, kind)
           MediaMeta(id, kind, payload.length.toLong, w, h,
-            StubCodec.frameCount(payload, kind),
+            codec.frameCount(payload, kind),
             java.security.MessageDigest.getInstance("SHA-256")
               .digest(payload).map("%02x".format(_)).mkString)
         }
       }
+  }
+
+  /** REAL image statistics — a genuine ImageIO pixel decode per row:
+    * dimensions from the decoded raster plus the exact integer channel
+    * sum (r+g+b over every pixel) and a mean-luminance in integer
+    * micro-units (chan_sum·10⁶ div 3n — truncating integer division,
+    * engine-portable, no double midpoint hazard). Rows whose bytes no
+    * JDK reader decodes are DROPPED (the quarantine-filter shape; pair
+    * with [[decodeMetadata]] to count them). Narrow mapPartitions —
+    * payload bytes never shuffle. */
+  def imageStats(media: DataFrame): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        ImageIoCodec.decode(payload).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImageStats(id, w, h, n, sum, sum * 1000000L / (3L * n))
+        }
+      })
+  }
+
+  /** Deterministic synthetic PNG: a left/right banded grayscale image
+    * whose dimensions and pixel values derive from `id` alone —
+    * w = 8 + id mod 24, h = 8 + id mod 16, left w div 2 columns gray
+    * g1 = id mod 256, the rest g2 = 7·id mod 256. The codec-path
+    * fixture generator: a decoder that really parses the bytes
+    * recovers exactly these values, so an engine-free oracle can
+    * verify REAL decode output from the formula. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 24).toInt; val h = (8 + id % 16).toInt
+    val g1 = (id % 256).toInt; val g2 = (id * 7 % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = if (x < w / 2) g1 else g2
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic animated GIF with 1 + id mod 7 frames
+    * (each a 4×4 solid gray of the frame index) — the multi-frame
+    * fixture for the real [[ImageIoCodec.frameCountOpt]] path. */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val frames = (1 + id % 7).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersBySuffix("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until frames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = (f * 36) % 256
+      (0 until 4).foreach(y => (0 until 4).foreach(x =>
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)))
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
   }
 
   /** Feature extraction -> (media_id, features[dim]), ready to feed the
@@ -100,15 +272,19 @@ object Multimodal {
       })
   }
 
-  /** Frame sampling for video rows: every `stride`-th frame index up to
-    * the decoded frame count — the explode shape of a real frame
-    * extractor (one output row per sampled frame). */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
-    val meta = decodeMetadata(media).toDF()
-    meta.filter(col("kind") === "video")
+  /** Frame sampling: every `stride`-th frame index up to the decoded
+    * frame count — the explode shape of a real frame extractor (one
+    * output row per sampled frame). Defaults keep the r11 contract
+    * (stub codec over kind="video" rows); pass [[ImageIoCodec]] with
+    * kinds=Seq("image") for REAL animated-GIF frame counts. */
+  def sampleFrames(media: DataFrame, stride: Int,
+                   codec: MediaCodec = StubCodec,
+                   kinds: Seq[String] = Seq("video")): DataFrame = {
+    val meta = decodeMetadata(media, codec).toDF()
+    meta.filter(col("kind").isin(kinds: _*))
       .select(col("media_id"),
-        explode(sequence(lit(0), col("n_frames") - 1,
-          lit(stride))).as("frame_index"))
+        explode(sequence(lit(0L), (col("n_frames") - 1).cast("long"),
+          lit(stride.toLong))).as("frame_index"))
   }
 
   /** Column-level metadata that needs no codec — pure built-ins, usable

@@ -46,8 +46,90 @@ class MultimodalSpec extends SparkSpec {
     val byId = frames.groupBy("media_id").count()
       .as[(Long, Long)].collect().toMap
     assert(byId.keySet == Set(2L))
-    val idx = frames.select("frame_index").as[Int].collect()
-    assert(idx.head == 0 && idx.forall(_ % 50 == 0))
+    val idx = frames.select("frame_index").as[Long].collect()
+    assert(idx.head == 0L && idx.forall(_ % 50 == 0))
+  }
+
+  test("ImageIoCodec: REAL header parse recovers synthetic-PNG dims; " +
+    "real pixel decode recovers exact channel sums; GIF frame count " +
+    "is the true sequence length; unclaimable bytes fall back to stub") {
+    for (id <- Seq(0L, 17L, 255L, 4095L)) {
+      val png = Multimodal.syntheticPng(id)
+      // header-only parse (no pixel decode) gives the formula dims
+      assert(Multimodal.ImageIoCodec.dimensionsOpt(png)
+        .contains(((8 + id % 24).toInt, (8 + id % 16).toInt)), s"id=$id")
+      val gif = Multimodal.syntheticGif(id)
+      assert(Multimodal.ImageIoCodec.frameCountOpt(gif)
+        .contains((1 + id % 7).toInt), s"id=$id")
+    }
+    // full pixel decode: banded grays come back bit-exact (PNG is
+    // lossless), so chan_sum matches the closed form
+    val id = 100L
+    val (w, h) = ((8 + id % 24).toInt, (8 + id % 16).toInt)
+    val (g1, g2) = ((id % 256).toInt, (id * 7 % 256).toInt)
+    val img = Multimodal.ImageIoCodec.decode(Multimodal.syntheticPng(id)).get
+    assert((img.getWidth, img.getHeight) == ((w, h)))
+    assert((img.getRGB(0, 0) & 0xFFFFFF) == ((g1 << 16) | (g1 << 8) | g1))
+    assert((img.getRGB(w - 1, h - 1) & 0xFFFFFF) ==
+      ((g2 << 16) | (g2 << 8) | g2))
+    // bytes no JDK reader claims: Option path None, total path = stub
+    val junk = "not-an-image".getBytes("UTF-8")
+    assert(Multimodal.ImageIoCodec.dimensionsOpt(junk).isEmpty)
+    assert(Multimodal.ImageIoCodec.decode(junk).isEmpty)
+    assert(Multimodal.ImageIoCodec.dimensions(junk, "image") ==
+      Multimodal.StubCodec.dimensions(junk))
+    assert(Multimodal.ImageIoCodec.frameCount(junk, "video") ==
+      Multimodal.StubCodec.frameCount(junk, "video"))
+  }
+
+  test("imageStats: distributed real decode — exact integer channel " +
+    "sum and truncating micro-unit mean; undecodable rows drop") {
+    val rows = Seq(7L, 23L).map(id => (id, Multimodal.syntheticPng(id))) :+
+      (99L, "garbage".getBytes("UTF-8"))
+    val df = rows.toDF("media_id", "payload")
+    val got = Multimodal.imageStats(df).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(got.keySet == Set(7L, 23L)) // garbage row dropped
+    for (id <- Seq(7L, 23L)) {
+      val (w, h) = ((8 + id % 24).toInt, (8 + id % 16).toInt)
+      val cs = 3L * h * ((w / 2) * (id % 256) + (w - w / 2) * (id * 7 % 256))
+      val s = got(id)
+      assert((s.width, s.height, s.n_pixels, s.chan_sum) ==
+        ((w, h, w.toLong * h, cs)), s.toString)
+      assert(s.mean_luma_micros == cs * 1000000L / (3L * w * h))
+    }
+  }
+
+  test("AutoCodec: image rows take the real ImageIO path, non-image " +
+    "rows keep the stub; decodeMetadata(AutoCodec) routes per row") {
+    val m = Seq(
+      (1L, "image", Multimodal.syntheticPng(42L)),
+      (2L, "video", "fake-mp4".getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeMetadata(m, Multimodal.AutoCodec)
+      .collect().map(x => x.media_id -> x).toMap
+    assert((out(1L).width, out(1L).height) ==
+      (((8 + 42 % 24), (8 + 42 % 16))))
+    assert(out(1L).n_frames == 1)
+    // the video row still gets the deterministic stub values
+    val fake = "fake-mp4".getBytes("UTF-8")
+    assert((out(2L).width, out(2L).height) ==
+      Multimodal.StubCodec.dimensions(fake))
+    assert(out(2L).n_frames ==
+      Multimodal.StubCodec.frameCount(fake, "video"))
+  }
+
+  test("sampleFrames with ImageIoCodec: true GIF frame counts drive " +
+    "the strided explode") {
+    val m = Seq(5L, 6L).map(id =>
+      (id, "image", Multimodal.syntheticGif(id)))
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.sampleFrames(m, stride = 2,
+        codec = Multimodal.ImageIoCodec, kinds = Seq("image"))
+      .as[(Long, Long)].collect().toSet
+    // id 5 -> 6 frames -> 0,2,4 ; id 6 -> 7 frames -> 0,2,4,6
+    assert(got == Set((5L, 0L), (5L, 2L), (5L, 4L),
+      (6L, 0L), (6L, 2L), (6L, 4L), (6L, 6L)), got.toString)
   }
 
   test("column-level byteLen/contentSha need no codec") {

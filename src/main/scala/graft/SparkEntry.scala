@@ -640,18 +640,10 @@ object SparkEntry {
     // entity id (the min node id of its component). Records with no
     // match edge are absent (stated contract — singletons are their
     // own entity). ----
-    "j17_entity_clusters" -> ((s, dir) => {
-      val matches = linkageScored(s, dir)
-        .filter(col("decision") === "match")
-        .select((col("a_c_custkey") * 2).as("id1"),
-          (col("b_c_custkey") * 2 + 1).as("id2"))
-      text.Dedup.duplicateClusters(matches)
-        .select(
-          when(col("id") % 2 === 0, lit("clean")).otherwise(lit("dirty"))
-            .as("file"),
-          expr("id div 2").as("record_key"),
-          col("cluster_id").as("entity_id"))
-    }),
+    "j17_entity_clusters" -> ((s, dir) =>
+      ops.Linkage.entityClusters(
+        linkageScored(s, dir).filter(col("decision") === "match"),
+        "a_c_custkey", "b_c_custkey", "clean", "dirty")),
 
     // ---- anti join (§2.3 note: QC parity) ----
     "j_anti" -> ((s, dir) => {
@@ -8120,7 +8112,8 @@ object SparkEntry {
     // bit-op idx/rest, isolate-lowest-bit rho, exact scaled-integer Z
     "a37_hll_distinct" ->
       """WITH h0 AS (
-        |  SELECT (user_id % 2147483648) * 2654435761 AS a
+        |  SELECT (((user_id % 2147483648) + 2147483648) % 2147483648)
+        |    * 2654435761 AS a
         |  FROM events WHERE user_id IS NOT NULL),
         |h1 AS (SELECT xor(a, a >> 31) AS b FROM h0),
         |h2 AS (SELECT (b & 2147483647) * 2654435761 AS c FROM h1),
@@ -8256,7 +8249,8 @@ object SparkEntry {
     "s_stream_hll" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS ws,
-        |    (user_id % 2147483648) * 2654435761 AS a
+        |    (((user_id % 2147483648) + 2147483648) % 2147483648)
+        |      * 2654435761 AS a
         |  FROM events WHERE user_id IS NOT NULL),
         |h2 AS (SELECT ws, xor(a, a >> 31) AS b FROM h),
         |h3 AS (SELECT ws, (b & 2147483647) * 2654435761 AS c FROM h2),

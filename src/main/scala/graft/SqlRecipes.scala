@@ -185,7 +185,8 @@ object SqlRecipes {
          |RETURNS TABLE (m BIGINT, registers_hit BIGINT, estimate DOUBLE)
          |RETURN
          |WITH h0 AS (
-         |  SELECT (user_id % 2147483648L) * 2654435761L AS a
+         |  SELECT (((user_id % 2147483648L) + 2147483648L) % 2147483648L)
+         |    * 2654435761L AS a
          |  FROM ${prefix}events WHERE user_id IS NOT NULL),
          |h1 AS (SELECT a ^ shiftright(a, 31) AS b FROM h0),
          |h2 AS (SELECT (b & 2147483647L) * 2654435761L AS c FROM h1),

@@ -634,6 +634,17 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Exact comparison of two products of NON-NEGATIVE longs via
+    * 128-bit arithmetic (Math.multiplyHigh + unsigned low-word
+    * compare) — sign of (a·b − c·d) without overflow. */
+  private[graft] def cmpProd128(a: Long, b: Long,
+                                c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(lo1, lo2)
+  }
+
   /** 62-bit average-hash (aHash) over an opaque binary payload — the
     * perceptual-dedup fingerprint for MEDIA columns: the byte stream
     * is cut into 62 equal spans (block k = bytes [k·n/62, (k+1)·n/62)
@@ -647,7 +658,12 @@ object NativeExpressions {
     * structure over raw bytes. 62 bits (not 64) keeps the value
     * positive in a signed BIGINT on every engine — the
     * [[PortableSimHash]] convention, and the two fingerprints share
-    * banding/hamming helpers. Empty payload → 0. One pass, O(n). */
+    * banding/hamming helpers. Empty payload → 0. One pass, O(n).
+    *
+    * The cross-multiplied compare runs through an exact 128-bit
+    * product ([[cmpProd128]]) — a plain long product wraps once
+    * 255·n²/62 > 2⁶³ (payloads past ~1.5 GB, a realistic raw-video
+    * blob) and would silently flip hash bits (ADVICE r11). */
   case class AHash62(child: Expression)
       extends UnaryExpression with CodegenFallback {
 
@@ -668,9 +684,10 @@ object NativeExpressions {
         var bs = 0L
         var j = lo.toInt
         while (j < hi) { bs += (bytes(j) & 0xFF); j += 1 }
-        // blockMean > overallMean, cross-multiplied (empty block:
-        // 0 > 0 is false)
-        if (bs * n > total * (hi - lo)) out |= (1L << k)
+        // blockMean > overallMean, cross-multiplied exactly (empty
+        // block: 0 > 0 is false)
+        if (cmpProd128(bs, n.toLong, total, hi - lo) > 0)
+          out |= (1L << k)
         k += 1
       }
       out

@@ -113,4 +113,39 @@ object Linkage {
         .when(col("score") <= lower, lit("non_match"))
         .otherwise(lit("review")))
   }
+
+  /** Entity-resolution clustering — the cluster tail of the ER
+    * pipeline (block → [[blockedPairs]] → score → [[fellegiSunter]]
+    * → THIS): match pairs become edges over a collision-free numeric
+    * node encoding (file-A record = 2·key, file-B record = 2·key+1 —
+    * Fellegi–Sunter's two "files"), pointer-jumping connected
+    * components ([[graft.text.Dedup.duplicateClusters]], bounded
+    * rounds) assign every matched record its entity id — the minimum
+    * encoded node id of its component — decoded back to
+    * (file, record_key, entity_id). Records with NO match edge are
+    * ABSENT by contract: a singleton is its own entity and carrying
+    * every unmatched record through the CC join would make the edge
+    * frame corpus-sized for no information.
+    *
+    * Scale shape: inherits duplicateClusters' pointer-jumping
+    * contract — O(log diameter) rounds over the EDGE frame (match
+    * pairs, already blocked+thresholded upstream), never the corpus.
+    *
+    * @param matches pair frame holding one row per cross-file match
+    * @param aKey    numeric record key of the file-A side
+    * @param bKey    numeric record key of the file-B side
+    * @param aLabel/bLabel the `file` tag emitted for each side
+    * @return (file, record_key, entity_id) */
+  def entityClusters(matches: DataFrame, aKey: String, bKey: String,
+                     aLabel: String = "a",
+                     bLabel: String = "b"): DataFrame = {
+    val edges = matches.select(
+      (col(aKey) * 2).as("id1"), (col(bKey) * 2 + 1).as("id2"))
+    graft.text.Dedup.duplicateClusters(edges)
+      .select(
+        when(col("id") % 2 === 0, lit(aLabel)).otherwise(lit(bLabel))
+          .as("file"),
+        expr("id div 2").as("record_key"),
+        col("cluster_id").as("entity_id"))
+  }
 }

@@ -118,6 +118,27 @@ class SqlRecipesSpec extends SparkSpec {
       .select("m", "registers_hit", "estimate")
       .as[(Long, Long, Double)].collect().head
     assert(viaSql == viaDsl && viaSql._2 > 0, s"$viaSql vs $viaDsl")
+    // NEGATIVE keys (ADVICE r11): the engine's pmod and the recipe's
+    // ((x % m) + m) % m must land the same registers — plain % would
+    // follow the dividend's sign and diverge. Swap the events view
+    // for a negative-id frame, re-register, compare, restore.
+    try {
+      // full events shape (register() validates every recipe against
+      // the current views), negative ids in the column under test
+      Seq(-5L, -2147483650L, 7L, -5L).zipWithIndex
+        .map { case (u, i) => (u, i.toLong, "view", i.toDouble) }
+        .toDF("user_id", "event_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+        .createOrReplaceTempView("events")
+      SqlRecipes.register(spark)
+      val negSql = spark.sql("SELECT * FROM graft_hll_distinct()")
+        .as[(Long, Long, Double)].collect().head
+      val negDsl = ops.Sketches.hllDistinct(
+          spark.table("events"), "user_id")
+        .select("m", "registers_hit", "estimate")
+        .as[(Long, Long, Double)].collect().head
+      assert(negSql == negDsl && negSql._2 > 0, s"$negSql vs $negDsl")
+    } finally ready()
   }
 
   test("graft_phash_neardup == DSL banded aHash pairing") {

@@ -229,4 +229,31 @@ class MultimodalSpec extends SparkSpec {
       .collect().head
     assert(n.isNullAt(0))
   }
+
+  test("cmpProd128: exact sign of a*b - c*d in the >2^63 regime " +
+    "where a raw long product wraps (ADVICE r11 — giant-payload " +
+    "aHash bits)") {
+    import graft.functions.NativeExpressions.cmpProd128
+    // 2^32 * 2^32 = 2^64 wraps to 0L: a long compare would say
+    // 0 > 1 is false; the true product is larger
+    val big = 1L << 32
+    assert(cmpProd128(big, big, 1L, 1L) > 0)
+    assert(cmpProd128(1L, 1L, big, big) < 0)
+    assert(cmpProd128(big, big, big, big) == 0)
+    // asymmetric wrap: 255*n^2/62-shaped operands at a 2 GB payload
+    val nBytes = 2_000_000_000L
+    val blk = nBytes / 62
+    // block slightly above the overall mean: bs*n vs total*(hi-lo)
+    assert(cmpProd128(128L * blk + 1, nBytes, 128L * nBytes, blk) > 0)
+    assert(cmpProd128(128L * blk, nBytes, 128L * nBytes, blk) == 0)
+    assert(cmpProd128(128L * blk - 1, nBytes, 128L * nBytes, blk) < 0)
+    // randomized cross-check vs BigInt on 64-bit-straddling operands
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val Seq(a, b, c, d) = Seq.fill(4)(rnd.nextLong(1L << 36))
+      val want = (BigInt(a) * BigInt(b)) compare (BigInt(c) * BigInt(d))
+      assert(Integer.signum(cmpProd128(a, b, c, d)) == want,
+        s"($a,$b,$c,$d)")
+    }
+  }
 }

@@ -68,4 +68,21 @@ class LinkageSpec extends SparkSpec {
       assert(dropped.contains(1L), s"dropped=$dropped")
     } finally spark.conf.set(aqeKey, aqeWas)
   }
+
+  test("entityClusters: transitive matches collapse to one entity id " +
+    "(min encoded node), same-key records on opposite files stay " +
+    "DISTINCT nodes, unmatched records are absent") {
+    import spark.implicits._
+    // A1-B1, A2-B1 (transitive via B1), A3-B3; key 1 exists on BOTH
+    // files and must encode to different nodes (2 vs 3)
+    val matches = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("a_key", "b_key")
+    val got = Linkage.entityClusters(matches, "a_key", "b_key",
+        "clean", "dirty")
+      .as[(String, Long, Long)].collect().toSet
+    // entity of {A1,A2,B1} = min(2,4,3) = 2; of {A3,B3} = min(6,7) = 6
+    assert(got == Set(("clean", 1L, 2L), ("clean", 2L, 2L),
+      ("dirty", 1L, 2L), ("clean", 3L, 6L), ("dirty", 3L, 6L)),
+      got.toString)
+  }
 }

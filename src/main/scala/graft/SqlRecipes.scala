@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * verdict #6): the 16 native functions already reach every Thrift
   * session via GraftExtensions, but the operator LIBRARY (sessionize,
   * funnel, as-of join, dedup, resample, near-dup) was DSL-only — a
-  * JDBC/BI analyst could not call it. These are the five most useful
-  * operators re-expressed as Spark 4 SQL TABLE FUNCTIONS
+  * JDBC/BI analyst could not call it. These are the flagship
+  * operators (11 as of r12: + HLL, phash/simhash near-dup, KS drift,
+  * blocked Fellegi–Sunter linkage, MMR re-rank)
+  * re-expressed as Spark 4 SQL TABLE FUNCTIONS
   * (`CREATE FUNCTION ... RETURNS TABLE ... RETURN <query>`): pure SQL
   * text an analyst can paste into ANY connection (beeline, hive-jdbc,
   * a BI tool) and then call like a table — no Scala, no jar.
@@ -261,7 +263,178 @@ object SqlRecipes {
          |FROM b a JOIN b b2
          |  ON a.band = b2.band AND a.k = b2.k AND a.doc_id < b2.doc_id
          |WHERE bit_count(a.sh ^ b2.sh) <= graft_neardup.max_hamming"""
-        .stripMargin
+        .stripMargin,
+
+    // -- two-sample KS drift (r12): the a38 statistic in pure SQL —
+    // exact-integer D argmax (|cumA·nB − cumB·nA| through
+    // DECIMAL(38,0), the engine's >2^63-safe discipline), values
+    // rounded once to 6. The flat window is the same cumulative sums
+    // the engine's bucketed hierarchy refactors.
+    "graft_ks_drift" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_ks_drift(split_day INT)
+         |RETURNS TABLE (n_a BIGINT, n_b BIGINT, d_stat DOUBLE,
+         |               at_value DOUBLE)
+         |RETURN
+         |WITH s AS (
+         |  SELECT CAST(ROUND(CAST(value AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) AS v,
+         |    day(ts) <= graft_ks_drift.split_day AS a
+         |  FROM ${prefix}events
+         |  WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |c AS (
+         |  SELECT v, SUM(CASE WHEN a THEN 1L ELSE 0L END) AS ca,
+         |    SUM(CASE WHEN NOT a THEN 1L ELSE 0L END) AS cb
+         |  FROM s GROUP BY v),
+         |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+         |cum AS (
+         |  SELECT v, SUM(ca) OVER (ORDER BY v) AS pa,
+         |    SUM(cb) OVER (ORDER BY v) AS pb
+         |  FROM c),
+         |n AS (
+         |  SELECT v, na, nb,
+         |    abs(CAST(pa AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+         |      - CAST(pb AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0)))
+         |      AS num
+         |  FROM cum, t)
+         |SELECT na AS n_a, nb AS n_b,
+         |  ROUND(CAST(num AS DOUBLE)
+         |    / CAST(CAST(na AS DECIMAL(38,0))
+         |           * CAST(nb AS DECIMAL(38,0)) AS DOUBLE), 6) AS d_stat,
+         |  CAST(v AS DOUBLE) AS at_value
+         |FROM n ORDER BY num DESC, v LIMIT 1""".stripMargin,
+
+    // -- blocked Fellegi–Sunter record linkage (r12): the j16
+    // pipeline in pure SQL — clean customers vs the deterministic
+    // dirty twin, last-3-chars-of-name blocking with the 10k
+    // pairs-per-block cap (oversize blocks dropped WHOLE, the
+    // truncation-bias contract), native jaro_winkler_sim agreement,
+    // and the engine's EXACT decimal log-likelihood literals
+    // (round(ln(m/u), 6) half-up) summed in decimal.
+    "graft_linkage" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_linkage(
+         |  lo DOUBLE, hi DOUBLE)
+         |RETURNS TABLE (a_key BIGINT, b_key BIGINT, name_agree BOOLEAN,
+         |  nation_agree BOOLEAN, segment_agree BOOLEAN,
+         |  balance_agree BOOLEAN, score DOUBLE, decision STRING)
+         |RETURN
+         |WITH a0 AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         |    c_mktsegment, substring(c_name, -3, 3) AS blk
+         |  FROM ${prefix}customer WHERE substring(c_name, -3, 3) IS NOT NULL),
+         |b0 AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_custkey % 13 = 0
+         |           THEN concat('Cust-', lpad(CAST(c_custkey AS STRING), 9, '0'))
+         |         WHEN c_custkey % 7 = 0
+         |           THEN concat(substring(c_name, 1, 9), 'X',
+         |                       substring(c_name, 11, 100))
+         |         ELSE c_name END AS c_name,
+         |    c_nationkey,
+         |    c_acctbal + (c_custkey % 9) * 20.0D - 80.0D AS c_acctbal,
+         |    CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+         |         ELSE c_mktsegment END AS c_mktsegment
+         |  FROM ${prefix}customer),
+         |b1 AS (
+         |  SELECT *, substring(c_name, -3, 3) AS blk FROM b0
+         |  WHERE substring(c_name, -3, 3) IS NOT NULL),
+         |keep AS (
+         |  SELECT na.blk FROM
+         |    (SELECT blk, count(*) AS n FROM a0 GROUP BY blk) na
+         |    JOIN (SELECT blk, count(*) AS n FROM b1 GROUP BY blk) nb
+         |    ON na.blk = nb.blk
+         |  WHERE na.n * nb.n <= 10000),
+         |p AS (
+         |  SELECT a0.c_custkey AS a_key, b1.c_custkey AS b_key,
+         |    coalesce(round(jaro_winkler_sim(a0.c_name, b1.c_name), 6)
+         |      >= 0.95D, false) AS name_agree,
+         |    coalesce(a0.c_nationkey = b1.c_nationkey, false)
+         |      AS nation_agree,
+         |    coalesce(a0.c_mktsegment = b1.c_mktsegment, false)
+         |      AS segment_agree,
+         |    coalesce(abs(a0.c_acctbal - b1.c_acctbal) <= 50.0D, false)
+         |      AS balance_agree
+         |  FROM a0 JOIN keep ON a0.blk = keep.blk
+         |    JOIN b1 ON a0.blk = b1.blk),
+         |sc AS (
+         |  SELECT p.*, CAST(
+         |      (CASE WHEN name_agree THEN CAST(4.553877 AS DECIMAL(18,6))
+         |            ELSE CAST(-2.985682 AS DECIMAL(18,6)) END)
+         |    + (CASE WHEN nation_agree THEN CAST(3.198673 AS DECIMAL(18,6))
+         |            ELSE CAST(-3.871201 AS DECIMAL(18,6)) END)
+         |    + (CASE WHEN segment_agree THEN CAST(1.504077 AS DECIMAL(18,6))
+         |            ELSE CAST(-2.079442 AS DECIMAL(18,6)) END)
+         |    + (CASE WHEN balance_agree THEN CAST(2.890372 AS DECIMAL(18,6))
+         |            ELSE CAST(-2.251292 AS DECIMAL(18,6)) END)
+         |    AS DOUBLE) AS score
+         |  FROM p)
+         |SELECT sc.*,
+         |  CASE WHEN score >= graft_linkage.hi THEN 'match'
+         |       WHEN score <= graft_linkage.lo THEN 'non_match'
+         |       ELSE 'review' END AS decision
+         |FROM sc""".stripMargin,
+
+    // -- MMR diversified re-rank (r12): the e_mmr_rerank serving
+    // layer in pure SQL — 20 candidates off one corpus TakeOrdered,
+    // the 20×20 round-6 sim matrix pre-joined per candidate, then the
+    // 10 greedy rounds (λ·rel − (1−λ)·max-sim-to-picked, every argmax
+    // id-tiebroken) run as ONE `aggregate` higher-order fold over a
+    // single collected row — candidate-sized arrays, so the whole
+    // greedy costs microseconds and the plan stays linear (a chained-
+    // CTE unroll re-inlines the corpus scan 3^k times inside a SQL
+    // table function — measured pathological). Native cosine_sim
+    // keeps the arithmetic bit-identical to the DSL.
+    "graft_mmr_rerank" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_mmr_rerank(
+         |  query_id BIGINT, lam DOUBLE)
+         |RETURNS TABLE (rank INT, vec_id BIGINT, relevance DOUBLE,
+         |               mmr_score DOUBLE)
+         |RETURN
+         |WITH cand AS (
+         |  SELECT e.vec_id AS id,
+         |    round(cosine_sim(e.embedding, q.embedding), 6) AS rel,
+         |    e.embedding AS v
+         |  FROM ${prefix}embeddings e
+         |    JOIN ${prefix}embeddings q
+         |      ON q.vec_id = graft_mmr_rerank.query_id
+         |  WHERE e.vec_id <> graft_mmr_rerank.query_id
+         |  ORDER BY rel DESC, id LIMIT 20),
+         |cs AS (
+         |  SELECT a.id,
+         |    collect_list(named_struct('oid', b.id,
+         |      'sim', round(cosine_sim(a.v, b.v), 6))) AS sims
+         |  FROM cand a JOIN cand b ON a.id <> b.id
+         |  GROUP BY a.id),
+         |one AS (
+         |  SELECT collect_list(named_struct(
+         |      'id', c.id, 'rel', c.rel, 'sims', cs.sims)) AS cands
+         |  FROM cand c JOIN cs ON cs.id = c.id),
+         |res AS (
+         |  SELECT aggregate(
+         |    sequence(2, 10),
+         |    transform(
+         |      slice(array_sort(transform(cands,
+         |        c -> named_struct('neg', -c.rel, 'id', c.id,
+         |                          'rel', c.rel))), 1, 1),
+         |      b -> named_struct('rank', 1, 'id', b.id, 'rel', b.rel,
+         |        'score', round(graft_mmr_rerank.lam * b.rel, 6))),
+         |    (acc, i) -> acc || transform(
+         |      slice(array_sort(transform(
+         |        filter(cands, c -> NOT array_contains(
+         |          transform(acc, p -> p.id), c.id)),
+         |        c -> named_struct(
+         |          'neg', -round(graft_mmr_rerank.lam * c.rel
+         |            - (1.0D - graft_mmr_rerank.lam)
+         |              * array_max(transform(
+         |                  filter(c.sims, s2 -> array_contains(
+         |                    transform(acc, p -> p.id), s2.oid)),
+         |                  s2 -> s2.sim)), 6),
+         |          'id', c.id, 'rel', c.rel))), 1, 1),
+         |      b -> named_struct('rank', CAST(i AS INT), 'id', b.id,
+         |        'rel', b.rel, 'score', -b.neg))) AS picked
+         |  FROM one)
+         |SELECT p.rank, p.id AS vec_id, p.rel AS relevance,
+         |  p.score AS mmr_score
+         |FROM res LATERAL VIEW inline(res.picked) p""".stripMargin
   )
 
   /** Run every recipe's DDL on the session (idempotent — CREATE OR

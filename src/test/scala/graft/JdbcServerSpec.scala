@@ -135,6 +135,22 @@ class JdbcServerSpec extends SparkSpec {
         val rs2 = st.executeQuery(
           "SELECT COUNT(*) AS n FROM graft_neardup(3)")
         assert(rs2.next() && rs2.getLong(1) > 0L)
+        // an r12 recipe over the wire: the KS drift statistic must
+        // equal the DSL operator's row exactly
+        val rs3 = st.executeQuery(
+          "SELECT n_a, n_b, d_stat, at_value FROM graft_ks_drift(15)")
+        assert(rs3.next())
+        val dslKs = graft.ops.Quality.ksTwoSample(
+            Tables.load(spark, "/root/testdata/sf0.001", "events"),
+            "value",
+            org.apache.spark.sql.functions.dayofmonth(
+              org.apache.spark.sql.functions.col("ts")) <= 15)
+          .head()
+        assert(rs3.getLong(1) == dslKs.getLong(0) &&
+          rs3.getLong(2) == dslKs.getLong(1) &&
+          rs3.getDouble(3) == dslKs.getDouble(2) &&
+          rs3.getDouble(4) == dslKs.getDouble(3),
+          s"wire KS != dsl $dslKs")
       } finally conn3.close()
     } finally JdbcServer.stop(server)
   }

@@ -141,6 +141,54 @@ class SqlRecipesSpec extends SparkSpec {
     } finally ready()
   }
 
+  test("graft_ks_drift == Quality.ksTwoSample (exact-decimal D " +
+    "argmax, round-6 values)") {
+    ready()
+    val viaSql = spark.sql(
+        "SELECT n_a, n_b, d_stat, at_value FROM graft_ks_drift(15)")
+      .as[(Long, Long, Double, Double)].collect().head
+    val viaDsl = ops.Quality.ksTwoSample(
+        Tables.load(spark, dir, "events"), "value",
+        dayofmonth(col("ts")) <= 15)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(viaSql == viaDsl && viaSql._1 > 0, s"$viaSql vs $viaDsl")
+  }
+
+  test("graft_linkage == blocked fellegiSunter on the j16 fixture " +
+    "(same blocks, cap, jaro-winkler agreement, decimal weights)") {
+    ready()
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_linkage(0.0D, 6.0D)")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Double,
+        String)].collect().toSet
+    val viaDsl = SparkEntry.linkageScored(spark, dir)
+      .select(col("a_c_custkey"), col("b_c_custkey"), col("name_agree"),
+        col("nation_agree"), col("segment_agree"), col("balance_agree"),
+        col("score"), col("decision"))
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Double,
+        String)].collect().toSet
+    assert(viaSql == viaDsl && viaSql.nonEmpty,
+      s"sizes ${viaSql.size} vs ${viaDsl.size}; " +
+        s"sqlOnly=${(viaSql -- viaDsl).take(3)} " +
+        s"dslOnly=${(viaDsl -- viaSql).take(3)}")
+    assert(viaSql.exists(_._8 == "match") &&
+      viaSql.exists(_._8 == "non_match"), "both decisions present")
+  }
+
+  test("graft_mmr_rerank == Similarity.mmrRerank (10 unrolled greedy " +
+    "rounds, native cosine, id tiebreaks)") {
+    ready()
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_mmr_rerank(17L, 0.7D)")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val viaDsl = sim.Similarity.mmrRerank(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 17L, candidates = 20, k = 10, lambda = 0.7)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(viaSql == viaDsl && viaSql.size == 10,
+      s"$viaSql\n  vs\n$viaDsl")
+  }
+
   test("graft_phash_neardup == DSL banded aHash pairing") {
     ready()
     val viaSql = spark.sql(

@@ -2733,6 +2733,30 @@ object SparkEntry {
       Quality.ksTwoSample(t(s, dir, "events"), "value",
         dayofmonth(col("ts")) <= 15)),
 
+    // ---- A40: ROC-AUC of value as a purchase-classifier score —
+    // Mann–Whitney U on exact integers (doubled statistic so tie
+    // blocks contribute whole numbers), decimal(38,0) products, one
+    // double division; CDF work rides the a38 bucketed hierarchy. ----
+    "a40_roc_auc" -> ((s, dir) =>
+      Quality.rocAuc(t(s, dir, "events"), "value",
+        col("event_type") === "purchase")),
+
+    // ---- A41/A42: calibration bins + ECE of the clamped value/100
+    // pseudo-probability vs purchase — per-bin confidence/accuracy
+    // and the headline ECE, all in exact truncating integer
+    // micro-units (no double mean anywhere). ----
+    "a41_calibration" -> ((s, dir) =>
+      Quality.calibrationBins(
+        t(s, dir, "events").withColumn("score",
+          least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0))),
+        "score", col("event_type") === "purchase")),
+
+    "a42_ece" -> ((s, dir) =>
+      Quality.expectedCalibrationError(
+        t(s, dir, "events").withColumn("score",
+          least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0))),
+        "score", col("event_type") === "purchase")),
+
     // ---- A37: portable HyperLogLog distinct-user estimate — the
     // mergeable cardinality sketch from the portable hash family
     // (every register bit SQL-replayable); 64-key agg, exact-integer
@@ -8107,6 +8131,68 @@ object SparkEntry {
         |  CAST(v AS DOUBLE) AS at_value
         |FROM cum, t
         |ORDER BY abs(pa * nb - pb * na) DESC, v LIMIT 1""".stripMargin,
+
+    // doubled Mann-Whitney U replayed on exact integers (DuckDB sums
+    // promote through HUGEINT); flat window = the bucketed hierarchy
+    "a40_roc_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |    AS DECIMAL(18,6)) AS v,
+        |    event_type = 'purchase' AS p
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT v, SUM(CASE WHEN p THEN 1 ELSE 0 END) AS cp,
+        |    SUM(CASE WHEN NOT p THEN 1 ELSE 0 END) AS cn
+        |  FROM s GROUP BY v),
+        |cum AS (
+        |  SELECT cp, cn,
+        |    SUM(cn) OVER (ORDER BY v) - cn AS neg_below
+        |  FROM c)
+        |SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |  CAST(SUM(cn) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(cp) > 0 AND SUM(cn) > 0 THEN
+        |    ROUND(CAST(SUM(cp * (2 * neg_below + cn)) AS DOUBLE)
+        |      / CAST(2 * SUM(cp) * SUM(cn) AS DOUBLE), 6) END AS auc
+        |FROM cum""".stripMargin,
+
+    // per-bin confidence/accuracy replayed in the same exact integer
+    // micro-units (truncating //, both engines floor non-negatives)
+    "a41_calibration" ->
+      """WITH s AS (
+        |  SELECT CAST(ROUND(LEAST(GREATEST(
+        |      CAST(value AS DOUBLE) / CAST(100 AS DOUBLE), 0), 1), 6)
+        |    AS DECIMAL(18,6)) AS v,
+        |    event_type = 'purchase' AS p
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (
+        |  SELECT LEAST(CAST(floor(v * 10) AS INT), 9) AS bin,
+        |    CAST(v * 1000000 AS BIGINT) AS mu, p
+        |  FROM s)
+        |SELECT bin, COUNT(*) AS n,
+        |  CAST(SUM(mu) // COUNT(*) AS BIGINT) AS conf_micros,
+        |  CAST((SUM(CASE WHEN p THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS acc_micros
+        |FROM b GROUP BY bin""".stripMargin,
+
+    "a42_ece" ->
+      """WITH s AS (
+        |  SELECT CAST(ROUND(LEAST(GREATEST(
+        |      CAST(value AS DOUBLE) / CAST(100 AS DOUBLE), 0), 1), 6)
+        |    AS DECIMAL(18,6)) AS v,
+        |    event_type = 'purchase' AS p
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (
+        |  SELECT LEAST(CAST(floor(v * 10) AS INT), 9) AS bin,
+        |    CAST(v * 1000000 AS BIGINT) AS mu, p
+        |  FROM s),
+        |g AS (
+        |  SELECT bin, COUNT(*) AS n, SUM(mu) AS smu,
+        |    SUM(CASE WHEN p THEN 1 ELSE 0 END) AS pos
+        |  FROM b GROUP BY bin)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(abs(pos * 1000000 - smu)) // SUM(n) AS BIGINT)
+        |    AS ece_micros
+        |FROM g""".stripMargin,
 
     // every HLL register replayed: same multiply-xorshift-fold mixer,
     // bit-op idx/rest, isolate-lowest-bit rho, exact scaled-integer Z

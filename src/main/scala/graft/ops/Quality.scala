@@ -862,4 +862,125 @@ object Quality {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
   }
+
+  /** Calibration (reliability) bins of a probability score against a
+    * boolean label — AUC ([[rocAuc]]) measures ranking, this measures
+    * whether 0.8 MEANS 80%: scores in [0,1] bucket into `bins` equal
+    * bins (the top edge folds into the last bin), each emitting its
+    * count, confidence (mean score) and accuracy (positive fraction)
+    * — both as EXACT truncating integer micro-units (score joins the
+    * bin frame as its exact decimal(18,6) micro-value, so no double
+    * mean exists anywhere; engines can't disagree). One hash agg on
+    * the bin key; the output is bins-sized.
+    *
+    * @return (bin, n, conf_micros, acc_micros), bins observed only */
+  def calibrationBins(df: DataFrame, scoreCol: String, isPos: Column,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val s6 = r6d(col(scoreCol))
+    val src = df.filter(col(scoreCol).isNotNull && isPos.isNotNull)
+      .select(s6.as("__s"), isPos.as("__p"))
+      .filter(col("__s") >= 0 && col("__s") <= 1)
+      .select(least(floor(col("__s") * bins).cast("int"), lit(bins - 1))
+          .as("bin"),
+        (col("__s").cast("decimal(18,6)") * 1000000L)
+          .cast("decimal(38,0)").cast("long").as("__mu"),
+        col("__p"))
+    src.groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__mu")).as("__smu"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__pos"))
+      .select(col("bin"), col("n"),
+        expr("__smu div n").as("conf_micros"),
+        expr("(__pos * 1000000) div n").as("acc_micros"))
+  }
+
+  /** Expected Calibration Error over [[calibrationBins]] — the one
+    * headline number: Σ_b (n_b/N)·|acc_b − conf_b|. Folding the
+    * weights in BEFORE dividing keeps it one EXACT integer:
+    * Σ_b |pos_b·10⁶ − Σscore_mu_b| div N — no per-bin double means,
+    * no order-dependent double sum. Bin-frame scale. */
+  def expectedCalibrationError(df: DataFrame, scoreCol: String,
+                               isPos: Column, bins: Int = 10): DataFrame = {
+    val s6 = r6d(col(scoreCol))
+    val src = df.filter(col(scoreCol).isNotNull && isPos.isNotNull)
+      .select(s6.as("__s"), isPos.as("__p"))
+      .filter(col("__s") >= 0 && col("__s") <= 1)
+      .select(least(floor(col("__s") * bins).cast("int"), lit(bins - 1))
+          .as("bin"),
+        (col("__s").cast("decimal(18,6)") * 1000000L)
+          .cast("decimal(38,0)").cast("long").as("__mu"),
+        col("__p"))
+    src.groupBy(col("bin")).agg(
+        count(lit(1)).as("__n"), sum(col("__mu")).as("__smu"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__pos"))
+      .agg(sum(col("__n")).as("n"),
+        sum(abs(col("__pos") * 1000000L - col("__smu"))).as("__dev"))
+      .select(col("n"), expr("__dev div n").as("ece_micros"))
+  }
+
+  /** ROC-AUC of a score against a boolean label — the
+    * threshold-free ranking metric every quality-classifier gate
+    * reports. Computed as the Mann–Whitney U statistic on EXACT
+    * integers: scores round once to 6 and collapse to per-value
+    * (pos, neg) counts; ascending over values,
+    * 2U = Σ_v pos_v · (2·cumNegBelow_v + neg_v) — each tie block
+    * contributes its ½ fractional ranks as whole integers in the
+    * DOUBLED statistic, so the sum is exact and engine-free, with one
+    * double division (AUC = 2U / 2·n_pos·n_neg) at the end. Products
+    * run in decimal(38,0) (the [[ksTwoSample]] overflow discipline —
+    * long wraps past ~3e9 rows per class). Degenerate single-class
+    * input → auc null (no ranking is defined), counts still emitted.
+    *
+    * Scale shape: one hash agg to the distinct-score frame, then the
+    * bucketed hierarchical prefix sums ([[sequenceGaps]]/[[ksTwoSample]]
+    * discipline): intra-bucket cumulatives ride a parallel
+    * (bucket, value) exchange; only the bucket-totals frame
+    * (value-range/bucketSize rows) crosses one partition; the final
+    * reduce is a 1-row agg.
+    *
+    * @param isPos boolean Column: true → positive class (null rows
+    *        excluded)
+    * @return one row: (n_pos, n_neg, auc) */
+  def rocAuc(df: DataFrame, scoreCol: String, isPos: Column,
+             bucketSize: Long = 1048576L): DataFrame = {
+    require(bucketSize >= 2, "bucketSize must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val src = df.filter(col(scoreCol).isNotNull && isPos.isNotNull)
+      .select(r6d(col(scoreCol)).as("__v"), isPos.as("__p"))
+    val counts = src.groupBy(col("__v")).agg(
+      sum(when(col("__p"), 1L).otherwise(0L)).as("__cp"),
+      sum(when(!col("__p"), 1L).otherwise(0L)).as("__cn"))
+    val withB = counts.withColumn("__mu",
+        (col("__v").cast("decimal(18,6)") * lit(1000000L))
+          .cast("decimal(38,0)").cast("long"))
+      .withColumn("__b", expr(s"__mu div $bucketSize"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("__mu"), col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val intra = withB.withColumn("__pn", sum(col("__cn")).over(wIn))
+    val perBucket = withB.groupBy(col("__b"))
+      .agg(sum(col("__cn")).as("__bn"))
+    val wCross = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__on", coalesce(sum(col("__bn")).over(wCross), lit(0L)))
+      .select(col("__b"), col("__on"))
+    // cumNegBelow = cumulative negatives strictly below this value
+    val terms = intra.join(offsets, Seq("__b"))
+      .select(col("__cp"), col("__cn"),
+        (col("__pn") + col("__on") - col("__cn")).as("__negBelow"))
+    terms.agg(
+        sum(col("__cp")).as("__np"), sum(col("__cn")).as("__nn"),
+        sum(col("__cp").cast(dec) *
+          (lit(2).cast(dec) * col("__negBelow").cast(dec) +
+            col("__cn").cast(dec))).as("__u2"))
+      .select(col("__np").as("n_pos"), col("__nn").as("n_neg"),
+        when(col("__np") > 0 && col("__nn") > 0,
+          round(col("__u2").cast("double") /
+            (lit(2).cast(dec) * col("__np").cast(dec) *
+              col("__nn").cast(dec)).cast("double"), 6))
+          .as("auc"))
+  }
 }

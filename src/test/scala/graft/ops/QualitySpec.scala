@@ -370,6 +370,65 @@ class QualitySpec extends SparkSpec {
       vs(nums.indexOf(nums.max)))), got.toString)
   }
 
+  test("rocAuc: hand-computed Mann-Whitney with ties; perfect " +
+    "separation 1.0; all-tied 0.5; single class null; tiny buckets " +
+    "agree with the default") {
+    import spark.implicits._
+    // pos {0.9, 0.8, 0.8}, neg {0.8, 0.1}: U = 5 (two half-ties),
+    // AUC = 5/6
+    val df = (Seq(0.9, 0.8, 0.8).map((_, true)) ++
+      Seq(0.8, 0.1).map((_, false))).toDF("s", "p")
+    val got = Quality.rocAuc(df, "s", col("p"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((3L, 2L, Some(0.833333))), got.toString)
+    val tiny = Quality.rocAuc(df, "s", col("p"), bucketSize = 2L)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(tiny == got, s"hierarchy must be a pure refactoring: $tiny")
+    val perfect = (Seq(0.9, 0.7).map((_, true)) ++
+      Seq(0.3, 0.1).map((_, false))).toDF("s", "p")
+    assert(Quality.rocAuc(perfect, "s", col("p"))
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((2L, 2L, Some(1.0))))
+    val allTied = Seq((0.5, true), (0.5, false), (0.5, true))
+      .toDF("s", "p")
+    assert(Quality.rocAuc(allTied, "s", col("p"))
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((2L, 1L, Some(0.5))))
+    val oneClass = Seq((0.5, true), (0.7, true)).toDF("s", "p")
+    assert(Quality.rocAuc(oneClass, "s", col("p"))
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((2L, 0L, None)))
+  }
+
+  test("calibrationBins + ECE: hand-computed bins, top edge folds " +
+    "into the last bin, out-of-range scores drop, exact truncating " +
+    "micro-units, perfectly calibrated input gives ECE 0") {
+    import spark.implicits._
+    // bin 0: scores .05(T) .15? no — bins=10: [.0,.1) [.1,.2) ...
+    val df = Seq((0.05, true), (0.08, false), (0.55, true),
+      (0.55, false), (1.0, true), (-0.2, true), (1.5, false))
+      .toDF("s", "p")
+    val bins = Quality.calibrationBins(df, "s", col("p"))
+      .orderBy("bin")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // bin 0: n=2 conf=(50000+80000)/2=65000 acc=500000
+    // bin 5: n=2 conf=550000 acc=500000
+    // bin 9 (1.0 folds): n=1 conf=1000000 acc=1000000
+    assert(bins == Seq((0, 2L, 65000L, 500000L),
+      (5, 2L, 550000L, 500000L), (9, 1L, 1000000L, 1000000L)),
+      bins.toString)
+    val ece = Quality.expectedCalibrationError(df, "s", col("p"))
+      .as[(Long, Long)].collect().head
+    // dev: |1e6-130000| + |1e6-1100000| + |1e6-1e6| = 870000+100000
+    assert(ece == ((5L, 194000L)), ece.toString)
+    // a perfectly calibrated score: acc == conf in every bin
+    val perfect = Seq((0.0, false), (1.0, true), (0.5, true),
+      (0.5, false)).toDF("s", "p")
+    val e2 = Quality.expectedCalibrationError(perfect, "s", col("p"))
+      .as[(Long, Long)].collect().head
+    assert(e2 == ((4L, 0L)), e2.toString)
+  }
+
   test("looTargetEncode: peers-only mean excludes the own row; " +
     "singleton is null unsmoothed and shrinks to the global mean " +
     "when smoothed") {

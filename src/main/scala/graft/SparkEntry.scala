@@ -2757,6 +2757,52 @@ object SparkEntry {
           least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0))),
         "score", col("event_type") === "purchase")),
 
+    // ---- A43: Benjamini–Hochberg FDR gate over a mixed hypothesis
+    // frame — two real screens unioned: per-event-type value-tercile
+    // uniformity (strong effect: values are nowhere near uniform on
+    // [0,100] cuts) and per-lang doc-length homogeneity vs the pooled
+    // corpus (null true: langs share the length distribution). BH
+    // must keep exactly the first family. p = exp(−χ²/2) is the EXACT
+    // df=2 survival function; the decision is pure integer micro-unit
+    // arithmetic. ----
+    "a43_bh_fdr" -> ((s, dir) => {
+      val h1 = Quality.chiSquareGofByGroup(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(concat(lit("type:"), col("event_type")).as("hyp"),
+            when(col("value") < 33.333333, 0)
+              .when(col("value") < 66.666667, 1).otherwise(2).as("bk")),
+        "hyp", "bk")
+      val h2 = Quality.chiSquareGofByGroup(
+        t(s, dir, "documents")
+          .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+          .select(concat(lit("lang:"), col("lang")).as("hyp"),
+            when(col("n_chars") < 300, 0)
+              .when(col("n_chars") < 500, 1).otherwise(2).as("bk")),
+        "hyp", "bk", pooled = true)
+      Quality.bhFdr(
+        h1.unionByName(h2).withColumn("p",
+          round(exp(-col("chi2") / 2), 6)),
+        "p", q = 0.05)
+    }),
+
+    // ---- A44: 2-D Pareto frontier (skyline) of parts — the
+    // size × retailprice trade-off curve; distinct-x agg then one
+    // window over the distinct-x frame, never corpus-row windows. ----
+    "a44_pareto" -> ((s, dir) =>
+      ops.Analytics.paretoFrontier(
+        t(s, dir, "part").select(col("p_size"),
+          col("p_retailprice").cast("double").as("price")),
+        "p_size", "price")),
+
+    // ---- text: PMI bigram collocations — adjacent-pair explode, one
+    // hash agg to the distinct-bigram frame, slot marginals
+    // re-aggregated from it (no second corpus scan), ln on the exact
+    // double ratio. ----
+    "t_pmi_colloc" -> ((s, dir) =>
+      text.TextOps.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5, topN = 40)),
+
     // ---- A37: portable HyperLogLog distinct-user estimate — the
     // mergeable cardinality sketch from the portable hash family
     // (every register bit SQL-replayable); 64-key agg, exact-integer
@@ -8173,6 +8219,114 @@ object SparkEntry {
         |  CAST((SUM(CASE WHEN p THEN 1 ELSE 0 END) * 1000000)
         |    // COUNT(*) AS BIGINT) AS acc_micros
         |FROM b GROUP BY bin""".stripMargin,
+
+    // both chi2 screens replayed with round-6 decimal contribution
+    // sums; p = exp(-chi2/2) (exact df=2 survival); BH step-up on
+    // exact micro-unit integers
+    "a43_bh_fdr" ->
+      """WITH e1 AS (
+        |  SELECT 'type:' || event_type AS hyp,
+        |    CASE WHEN CAST(value AS DOUBLE) < 33.333333 THEN 0
+        |         WHEN CAST(value AS DOUBLE) < 66.666667 THEN 1
+        |         ELSE 2 END AS bk
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |o1 AS (SELECT hyp, bk, count(*) AS o FROM e1 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT g.hyp, b.bk, coalesce(o1.o, 0) AS o
+        |  FROM (SELECT DISTINCT hyp FROM o1) g
+        |  CROSS JOIN (SELECT DISTINCT bk FROM o1) b
+        |  LEFT JOIN o1 ON o1.hyp = g.hyp AND o1.bk = b.bk),
+        |k1 AS (SELECT CAST(count(DISTINCT bk) AS INT) AS k FROM o1),
+        |n1 AS (SELECT hyp, SUM(o) AS n FROM c1 GROUP BY 1),
+        |h1 AS (
+        |  SELECT c1.hyp, n1.n, k1.k - 1 AS dof,
+        |    ROUND(CAST(SUM(CAST(ROUND(
+        |      (CAST(o AS DOUBLE) - CAST(n1.n AS DOUBLE)/k1.k)
+        |      * (CAST(o AS DOUBLE) - CAST(n1.n AS DOUBLE)/k1.k)
+        |        / (CAST(n1.n AS DOUBLE)/k1.k), 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE), 6) AS chi2
+        |  FROM c1, k1, n1 WHERE n1.hyp = c1.hyp
+        |  GROUP BY c1.hyp, n1.n, k1.k),
+        |e2 AS (
+        |  SELECT 'lang:' || lang AS hyp,
+        |    CASE WHEN n_chars < 300 THEN 0
+        |         WHEN n_chars < 500 THEN 1 ELSE 2 END AS bk
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |o2 AS (SELECT hyp, bk, count(*) AS o FROM e2 GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT g.hyp, b.bk, coalesce(o2.o, 0) AS o
+        |  FROM (SELECT DISTINCT hyp FROM o2) g
+        |  CROSS JOIN (SELECT DISTINCT bk FROM o2) b
+        |  LEFT JOIN o2 ON o2.hyp = g.hyp AND o2.bk = b.bk),
+        |k2 AS (SELECT CAST(count(DISTINCT bk) AS INT) AS k FROM o2),
+        |g2 AS (SELECT bk, SUM(o) AS gb FROM o2 GROUP BY 1),
+        |t2 AS (SELECT SUM(o) AS tn FROM o2),
+        |n2 AS (SELECT hyp, SUM(o) AS n FROM c2 GROUP BY 1),
+        |h2 AS (
+        |  SELECT c2.hyp, n2.n, k2.k - 1 AS dof,
+        |    ROUND(CAST(SUM(CAST(ROUND(
+        |      (CAST(o AS DOUBLE) - CAST(n2.n AS DOUBLE)*g2.gb/t2.tn)
+        |      * (CAST(o AS DOUBLE) - CAST(n2.n AS DOUBLE)*g2.gb/t2.tn)
+        |        / (CAST(n2.n AS DOUBLE)*g2.gb/t2.tn), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE), 6) AS chi2
+        |  FROM c2, k2, t2, n2, g2
+        |  WHERE n2.hyp = c2.hyp AND g2.bk = c2.bk
+        |  GROUP BY c2.hyp, n2.n, k2.k),
+        |hyps AS (
+        |  SELECT hyp, CAST(n AS BIGINT) AS n, CAST(dof AS INT) AS dof,
+        |    chi2, ROUND(exp(-chi2/2), 6) AS p
+        |  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)),
+        |pm AS (
+        |  SELECT hyps.*,
+        |    CAST(CAST(ROUND(p, 6) AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT) AS pmu
+        |  FROM hyps),
+        |rk AS (
+        |  SELECT pm.*, row_number() OVER (ORDER BY pmu) AS i,
+        |    count(*) OVER () AS m
+        |  FROM pm),
+        |cut AS (
+        |  SELECT MAX(pmu) AS c FROM rk WHERE pmu * m <= i * 50000)
+        |SELECT hyp, n, dof, chi2, p FROM pm, cut
+        |WHERE pm.pmu <= cut.c""".stripMargin,
+
+    // frontier = distinct-x max-y rows not dominated by any
+    // strictly-larger-x row (the NOT EXISTS definition, verbatim)
+    "a44_pareto" ->
+      """WITH pts AS (
+        |  SELECT p_size, CAST(p_retailprice AS DOUBLE) AS price
+        |  FROM part
+        |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL),
+        |m AS (SELECT p_size, MAX(price) AS price FROM pts GROUP BY 1)
+        |SELECT p_size, price FROM m a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m b
+        |  WHERE b.p_size > a.p_size AND b.price >= a.price)""".stripMargin,
+
+    // slot-marginal PMI over the adjacent-bigram frame; ln on the
+    // identical double ratio
+    "t_pmi_colloc" ->
+      """WITH w AS (
+        |  SELECT list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)),
+        |      i -> {'w1': w[CAST(i AS INT)],
+        |            'w2': w[CAST(i + 1 AS INT)]})) AS b
+        |    FROM w WHERE len(w) >= 2)),
+        |p AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+        |l AS (SELECT w1, SUM(c_ab) AS ca FROM p GROUP BY 1),
+        |r AS (SELECT w2, SUM(c_ab) AS cb FROM p GROUP BY 1),
+        |t AS (SELECT SUM(c_ab) AS nb FROM p)
+        |SELECT p.w1, p.w2, CAST(p.c_ab AS BIGINT) AS c_ab,
+        |  ROUND(ln((CAST(p.c_ab AS DOUBLE) * CAST(t.nb AS DOUBLE))
+        |    / (CAST(l.ca AS DOUBLE) * CAST(r.cb AS DOUBLE))), 6) AS pmi
+        |FROM p, l, r, t
+        |WHERE p.w1 = l.w1 AND p.w2 = r.w2 AND p.c_ab >= 5
+        |ORDER BY pmi DESC, p.w1, p.w2 LIMIT 40""".stripMargin,
 
     "a42_ece" ->
       """WITH s AS (

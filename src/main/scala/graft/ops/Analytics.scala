@@ -565,4 +565,32 @@ object Analytics {
         (col("__sa").cast("double") * col("__sc").cast("double")), 6)
         .as("lift"))
   }
+
+  /** 2-D Pareto frontier (skyline): the points no other point
+    * dominates, both dimensions maximized — the trade-off curve of
+    * any two-metric selection (quality × length doc picks,
+    * cost × accuracy model sweeps). p dominates q iff p ≥ q on both
+    * and > on at least one; equal points don't dominate each other,
+    * so a duplicated frontier point survives (emitted once — the
+    * frontier is a SET of points).
+    *
+    * Scale shape: one hash agg collapses the corpus to the distinct-x
+    * frame (x, max y) — anything below its x's max-y is dominated
+    * there — then one ordered window over THAT frame (x-cardinality
+    * rows, not corpus rows) keeps x's whose max-y strictly exceeds
+    * every higher-x max-y. For a corpus whose x is continuous enough
+    * that distinct-x ≈ corpus, quantize x upstream (the frontier of
+    * rounded x is the honest resolution of the answer anyway).
+    *
+    * @return (xCol, yCol) — the frontier points, maximizing both */
+  def paretoFrontier(df: DataFrame, xCol: String,
+                     yCol: String): DataFrame = {
+    val byX = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol)).agg(max(col(yCol)).as(yCol))
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byX.withColumn("__best", max(col(yCol)).over(w))
+      .filter(col("__best").isNull || col(yCol) > col("__best"))
+      .select(col(xCol), col(yCol))
+  }
 }

@@ -863,6 +863,91 @@ object Quality {
       .filter(col("n") < k)
   }
 
+  /** Per-group chi-square goodness-of-fit — one χ² PER GROUP against
+    * either the uniform distribution over the observed buckets or the
+    * POOLED (all-groups) bucket distribution (the homogeneity screen:
+    * "which segments' histograms deviate from the corpus's?"). The
+    * many-hypotheses front end of [[bhFdr]].
+    *
+    * The grid is COMPLETED per group (distinct groups × distinct
+    * buckets — a group's unobserved bucket is a zero cell whose
+    * (0−E)²/E still counts; the chiSquareIndependence zero-cell
+    * lesson). Determinism: contributions round once to 6 and sum
+    * through decimal(28,6) per group — order-free. Cells-frame scale
+    * throughout; dof = buckets − 1 (pooled expectations estimated
+    * from the data cost nothing extra per group).
+    *
+    * @return (groupCol, n, dof, chi2) */
+  def chiSquareGofByGroup(df: DataFrame, groupCol: String,
+                          bucketCol: String,
+                          pooled: Boolean = false): DataFrame = {
+    val observed = df
+      .filter(col(groupCol).isNotNull && col(bucketCol).isNotNull)
+      .groupBy(col(groupCol), col(bucketCol))
+      .agg(count(lit(1)).as("obs"))
+    val cells = observed.select(col(groupCol)).distinct()
+      .crossJoin(observed.select(col(bucketCol)).distinct())
+      .join(observed, Seq(groupCol, bucketCol), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+    val pool = observed.groupBy(col(bucketCol))
+      .agg(sum(col("obs")).as("__gb"))
+    val tot = observed.agg(sum(col("obs")).as("__tn"),
+      countDistinct(col(bucketCol)).cast("int").as("__k"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val n = sum(col("obs")).over(wG)
+    val expd =
+      if (pooled)
+        n.cast("double") * col("__gb").cast("double") /
+          col("__tn").cast("double")
+      else n.cast("double") / col("__k").cast("double")
+    val obsD = col("obs").cast("double")
+    val contrib = (obsD - expd) * (obsD - expd) / expd
+    cells.join(pool, Seq(bucketCol)).crossJoin(broadcast(tot))
+      .select(col(groupCol), n.as("n"),
+        (col("__k") - 1).cast("int").as("dof"),
+        round(contrib, 6).cast("decimal(28,6)").as("__c6"))
+      .groupBy(col(groupCol), col("n"), col("dof"))
+      .agg(round(sum(col("__c6")).cast("double"), 6).as("chi2"))
+  }
+
+  /** Benjamini–Hochberg FDR gate over a hypothesis frame: sort the m
+    * p-values ascending, find the largest rank k with
+    * p₍k₎ ≤ k·q/m, and keep every hypothesis with p ≤ p₍k₎ — the
+    * standard multiple-testing control (BH 1995) for screens that
+    * fire one test per segment/feature/slice. Keeps the REJECTED
+    * (significant) rows, all input columns intact; empty result = no
+    * discovery survives the gate.
+    *
+    * Determinism: the decision is pure integer arithmetic —
+    * p as exact round-6 micro-units, q as exact micro-units, the
+    * step-up condition p_mu·m ≤ k·q_mu compared in longs. Tied
+    * p-values share a decision by construction (the largest rank in
+    * a tie block dominates), so rank-order among ties cannot matter.
+    *
+    * Scale shape: the hypothesis frame is GROUP-scale by nature (one
+    * row per tested segment) — the ordered window runs on that frame,
+    * not on corpus rows; the threshold is a 1-row broadcast. */
+  def bhFdr(df: DataFrame, pCol: String, q: Double): DataFrame = {
+    require(q > 0 && q < 1, "q in (0,1)")
+    val qMu = (BigDecimal(q) * 1000000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    import org.apache.spark.sql.expressions.Window
+    val src = df.filter(col(pCol).isNotNull)
+      .withColumn("__pmu",
+        (r6d(col(pCol)).cast("decimal(18,6)") * 1000000L)
+          .cast("decimal(38,0)").cast("long"))
+    val m = src.agg(count(lit(1)).as("__m"))
+    val ranked = src.crossJoin(broadcast(m))
+      .withColumn("__i", row_number().over(Window.orderBy(col("__pmu"))))
+    val cut = ranked
+      .filter(col("__pmu") * col("__m") <= col("__i") * lit(qMu))
+      .agg(max(col("__pmu")).as("__cut"))
+    src.crossJoin(broadcast(cut))
+      .filter(col("__pmu") <= col("__cut"))
+      .drop("__pmu", "__cut")
+  }
+
   /** Calibration (reliability) bins of a probability score against a
     * boolean label — AUC ([[rocAuc]]) measures ranking, this measures
     * whether 0.8 MEANS 80%: scores in [0,1] bucket into `bins` equal

@@ -512,6 +512,49 @@ object TextOps {
         col("vocab"), col("total_tokens"))
   }
 
+  /** PMI bigram collocations — the multi-word-expression miner
+    * (Church & Hanks 1990): adjacent-token pairs scored by pointwise
+    * mutual information, pmi = ln(p(ab) / (p₁(a)·p₂(b))) with both
+    * marginals taken over bigram SLOTS (first-word / second-word
+    * counts from the pair frame itself — one consistent denominator,
+    * no mixing of unigram and bigram totals). High-PMI pairs with
+    * `minCount` support are the corpus's collocations ("new york",
+    * "machine learning") — the phrase vocabulary a tokenizer or
+    * dedup-shingle step should treat as units.
+    *
+    * Scale shape: one corpus tokenize into an adjacent-pair explode
+    * (rows = tokens − docs), one hash agg to the distinct-bigram
+    * frame; BOTH marginals are re-aggregations of that frame (never a
+    * second corpus scan); the support filter prunes before the
+    * marginal joins; final TakeOrdered. ln on the exact double ratio,
+    * rounded once (the zipfFit ln-parity convention).
+    *
+    * @return top-N (w1, w2, c_ab, pmi), pmi desc, word tiebreak */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame,
+                      textCol: String, minCount: Long = 5,
+                      topN: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1 && topN >= 1, "minCount and topN must be >= 1")
+    val bi = docs.select(tokens(lower(col(textCol))).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairC = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val leftC = pairC.groupBy(col("w1")).agg(sum(col("c_ab")).as("__ca"))
+    val rightC = pairC.groupBy(col("w2")).agg(sum(col("c_ab")).as("__cb"))
+    val tot = pairC.agg(sum(col("c_ab")).as("__nb"))
+    pairC.filter(col("c_ab") >= minCount)
+      .join(leftC, Seq("w1")).join(rightC, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab").cast("double") * col("__nb").cast("double"))
+          / (col("__ca").cast("double") * col("__cb").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topN)
+  }
+
   def weightedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
                      weight: Column, n: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n must be >= 1")

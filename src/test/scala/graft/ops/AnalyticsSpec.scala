@@ -383,6 +383,21 @@ class AnalyticsSpec extends SparkSpec {
       "C" -> 0.166667), got.toString)
   }
 
+  test("paretoFrontier: dominated points drop, equal-y higher-x " +
+    "dominates, duplicates collapse, nulls excluded, and the window " +
+    "runs on the distinct-x frame") {
+    import spark.implicits._
+    val pts = Seq((1, 5.0), (2, 4.0), (2, 9.0), (3, 3.0), (3, 3.0),
+      (5, 3.0), (4, 3.0), (6, 1.0)).toDF("x", "y") // (4,3) dominated
+      .unionByName(Seq((None: Option[Int], Some(9.0)),
+        (Some(7), None: Option[Double])).toDF("x", "y"))
+    val got = Analytics.paretoFrontier(pts, "x", "y")
+      .as[(Int, Double)].collect().toSet
+    // (2,9) kills (1,5) and (2,4); (5,3) kills (3,3) and (4,3)
+    // (equal y, larger x dominates); (6,1) survives
+    assert(got == Set((2, 9.0), (5, 3.0), (6, 1.0)), got.toString)
+  }
+
   test("acf: one exchange — mean, deviations and all leads share a " +
     "single user-keyed window") {
     val df = (1 to 20).map(i =>

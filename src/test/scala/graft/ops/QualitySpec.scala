@@ -429,6 +429,61 @@ class QualitySpec extends SparkSpec {
     assert(e2 == ((4L, 0L)), e2.toString)
   }
 
+  test("chiSquareGofByGroup: hand-computed uniform and pooled chi2; " +
+    "a group's unobserved bucket is a ZERO cell that still " +
+    "contributes") {
+    import spark.implicits._
+    // g1: 6/3/3 over 3 buckets (n=12, E=4): chi2 = (4+1+1)/4 = 1.5
+    // g2: 4/4/0 — bucket c UNOBSERVED for g2 but observed globally:
+    // the zero cell contributes (0-8/3)^2/(8/3) = 8/3; chi2 =
+    // 2*(4/3)^2/(8/3) + 8/3 = 4 — observed as 4.000001 because the
+    // stated contract rounds each CONTRIBUTION to 6 before the
+    // decimal sum (0.666667*2 + 2.666667), exactly what the oracle
+    // replays
+    val df = (Seq.fill(6)(("g1", "a")) ++ Seq.fill(3)(("g1", "b")) ++
+      Seq.fill(3)(("g1", "c")) ++ Seq.fill(4)(("g2", "a")) ++
+      Seq.fill(4)(("g2", "b"))).toDF("g", "bk")
+    val uni = Quality.chiSquareGofByGroup(df, "g", "bk")
+      .as[(String, Long, Int, Double)].collect().toSet
+    assert(uni == Set(("g1", 12L, 2, 1.5), ("g2", 8L, 2, 4.000001)),
+      uni.toString)
+    // pooled: expected from the 10/7/3 overall mix
+    // g1 E = 6.0/4.2/1.8 -> 0 + (3-4.2)^2/4.2 + (3-1.8)^2/1.8 =
+    //   0.342857 + 0.8 = 1.142857; g2 E = 4.0/2.8/1.2 ->
+    //   0 + (4-2.8)^2/2.8 + (0-1.2)^2/1.2 = 0.514286 + 1.2 = 1.714286
+    val pooled = Quality.chiSquareGofByGroup(df, "g", "bk",
+        pooled = true)
+      .as[(String, Long, Int, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(math.abs(pooled("g1") - 1.142857) < 1e-6 &&
+      math.abs(pooled("g2") - 1.714286) < 1e-6, pooled.toString)
+  }
+
+  test("bhFdr: textbook step-up — keeps every p at or below the " +
+    "LARGEST rank satisfying p <= k*q/m even when a smaller rank " +
+    "fails; all-null-true keeps nothing; tied p share a decision") {
+    import spark.implicits._
+    // classic: m=5, q=0.25; sorted p = .01, .04, .03 -> (.01,.03,.04),
+    // .20, .50: k*q/m = .05,.10,.15,.20,.25 — rank 4 (p=.20) passes,
+    // so .20 and everything below it is kept even though nothing
+    // above rank 4 matters
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.20),
+      ("e", 0.50)).toDF("h", "p")
+    val kept = Quality.bhFdr(df, "p", 0.25)
+      .select("h").as[String].collect().toSet
+    assert(kept == Set("a", "b", "c", "d"), kept.toString)
+    // none significant
+    val none = Quality.bhFdr(
+      Seq(("a", 0.3), ("b", 0.6), ("c", 0.9)).toDF("h", "p"),
+      "p", 0.05)
+    assert(none.count() == 0)
+    // ties: both .02 rows share the decision
+    val ties = Quality.bhFdr(
+      Seq(("a", 0.02), ("b", 0.02), ("c", 0.9)).toDF("h", "p"),
+      "p", 0.1).select("h").as[String].collect().toSet
+    assert(ties == Set("a", "b"), ties.toString)
+  }
+
   test("looTargetEncode: peers-only mean excludes the own row; " +
     "singleton is null unsmoothed and shrinks to the global mean " +
     "when smoothed") {

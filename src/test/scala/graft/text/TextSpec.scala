@@ -1227,4 +1227,31 @@ class TextSpec extends SparkSpec {
     assert(got(("g1", "g2")) == got(("g2", "g4")),
       "g4 duplicates g1: pair values must agree")
   }
+
+  test("pmiCollocations: the repeated phrase tops the ranking with " +
+    "the hand-computed slot-marginal PMI; support filter prunes; " +
+    "single-token docs contribute nothing") {
+    val docs = (Seq.fill(6)("new york is big") ++
+      Seq.fill(4)("big apple city") :+ "solo").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs, "text", minCount = 4,
+        topN = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // bigrams: (new,york) 6, (york,is) 6, (is,big) 6, (big,apple) 4,
+    // (apple,city) 4 -> B = 26
+    // pmi(new,york) = ln(6*26 / (6*6)) = ln(26/6) = 1.466337
+    val byPair = got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(byPair(("new", "york")) == ((6L, 1.466337)),
+      byPair.toString)
+    // (big,apple): big appears first in 4+? big->apple 4; ca(big)=4
+    // (big is also SECOND in is->big); cb(apple)=4:
+    // ln(4*26/(4*4)) = ln(26/4) = 1.871802
+    assert(byPair(("big", "apple")) == ((4L, 1.871802)),
+      byPair.toString)
+    assert(got.map(_._3).forall(_ >= 4), "support filter")
+    assert(!got.exists(p2 => p2._1 == "solo" || p2._2 == "solo"),
+      "single-token doc contributes no bigram")
+    // ranking: pmi desc then word tiebreak
+    assert(got == got.sortBy(r => (-r._4, r._1, r._2)), got.toString)
+  }
 }

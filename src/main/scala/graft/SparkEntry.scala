@@ -205,7 +205,10 @@ object SparkEntry {
       .select(
         when(col("p_us").isNotNull, col("p_us") - col("first_us"))
           .otherwise(col("end_us") - col("first_us")).as("dur"),
-        col("p_us").isNotNull.as("observed"))
+        col("p_us").isNotNull.as("observed"),
+        // even/odd user split — the w34 log-rank group label (extra
+        // column is invisible to the w21/w33 estimators)
+        (col("user_id") % 2 === 0).as("grp"))
   }
 
   /** Exact decimal accumulation -> one double cast (see class doc). */
@@ -1893,6 +1896,14 @@ object SparkEntry {
         "embedding", queryId = 17L, candidates = 20, k = 10,
         lambda = 0.7)),
 
+    // ---- similarity: top principal component by power iteration —
+    // covariance from one narrow n·d² product pass (no self-join),
+    // then 6 rounds of C·v on the d²-cell frame; round-6 decimal
+    // sums everywhere, the anisotropy audit beside e_embed_qc. ----
+    "e_pca_top" -> ((s, dir) =>
+      Similarity.powerIterationPca(t(s, dir, "embeddings"), "vec_id",
+        "embedding", iters = 6)),
+
     // ---- similarity: IVF coarse-quantizer ANN — the nprobe/nlist
     // scale path next to brute force (e_ann_topk). Deterministic
     // portable-hash centroid sample + round-6 cell argmax make the
@@ -2927,6 +2938,13 @@ object SparkEntry {
     "w33_nelson_aalen" -> ((s, dir) =>
       Analytics.nelsonAalen(survivalSubjects(s, dir), "dur",
         "observed")),
+
+    // ---- W34: two-group log-rank test — even vs odd users on the
+    // shared survival subjects; O exact, per-time E/V terms round-6
+    // decimal-summed, one χ²(1) expression at the end. ----
+    "w34_logrank" -> ((s, dir) =>
+      Analytics.logRankTest(survivalSubjects(s, dir), "dur",
+        "observed", col("grp"))),
 
     // ---- W19: event debounce — drop events arriving within 10 min
     // of the PREVIOUS raw event of the same (user, type): the
@@ -6722,6 +6740,132 @@ object SparkEntry {
 
     // all 10 MMR rounds unrolled; MATERIALIZED CTEs (each round
     // references the cumulative selection twice)
+    // covariance quantized once to micro-units, then all 6
+    // power-iteration rounds replayed on EXACT INTEGERS (HUGEINT =
+    // the engine's decimal(38,0)); v0 = round(1/sqrt(64), 6) micro
+    "e_pca_top" -> {
+      val base =
+        """WITH e AS MATERIALIZED (
+          |  SELECT embedding AS e FROM embeddings
+          |  WHERE embedding IS NOT NULL),
+          |n AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
+          |sums AS MATERIALIZED (
+          |  SELECT u['i'] AS i,
+          |    SUM(CAST(ROUND(CAST(u['x'] AS DOUBLE), 6)
+          |      AS DECIMAL(18,6))) AS sx
+          |  FROM (
+          |    SELECT unnest(list_transform(range(1, len(e) + 1),
+          |      k -> {'i': k - 1, 'x': e[CAST(k AS INT)]})) AS u
+          |    FROM e)
+          |  GROUP BY 1),
+          |cells AS MATERIALIZED (
+          |  SELECT u['i'] AS i, u['j'] AS j,
+          |    SUM(u['p']) AS sp
+          |  FROM (
+          |    SELECT unnest(flatten(list_transform(range(1, len(e) + 1),
+          |      a -> list_transform(range(1, len(e) + 1),
+          |        b -> {'i': a - 1, 'j': b - 1,
+          |              'p': CAST(ROUND(
+          |                CAST(e[CAST(a AS INT)] AS DOUBLE)
+          |                * CAST(e[CAST(b AS INT)] AS DOUBLE), 6)
+          |                AS DECIMAL(18,6))})))) AS u
+          |    FROM e)
+          |  GROUP BY 1, 2),
+          |cov AS MATERIALIZED (
+          |  SELECT cells.i, cells.j,
+          |    CAST(CAST(ROUND((CAST(sp AS DOUBLE)
+          |        - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE)
+          |          / CAST(n.n AS DOUBLE))
+          |        / (CAST(n.n AS DOUBLE) - 1.0), 6) AS DECIMAL(18,6))
+          |      * 1000000 AS HUGEINT) AS cmu
+          |  FROM cells, n, sums si, sums sj
+          |  WHERE si.i = cells.i AND sj.i = cells.j),
+          |v0 AS MATERIALIZED (
+          |  SELECT i AS j, CAST(125000 AS HUGEINT) AS vmu
+          |  FROM sums)""".stripMargin
+      val rounds =
+"""w1 AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.cmu * v0.vmu) AS wp
+  FROM cov JOIN v0 ON v0.j = cov.j GROUP BY cov.i),
+m1 AS MATERIALIZED (
+  SELECT SUM(wp * wp) AS m2 FROM w1),
+v1 AS MATERIALIZED (
+  SELECT i AS j,
+    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
+        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS vmu
+  FROM w1, m1),
+w2 AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.cmu * v1.vmu) AS wp
+  FROM cov JOIN v1 ON v1.j = cov.j GROUP BY cov.i),
+m2 AS MATERIALIZED (
+  SELECT SUM(wp * wp) AS m2 FROM w2),
+v2 AS MATERIALIZED (
+  SELECT i AS j,
+    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
+        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS vmu
+  FROM w2, m2),
+w3 AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.cmu * v2.vmu) AS wp
+  FROM cov JOIN v2 ON v2.j = cov.j GROUP BY cov.i),
+m3 AS MATERIALIZED (
+  SELECT SUM(wp * wp) AS m2 FROM w3),
+v3 AS MATERIALIZED (
+  SELECT i AS j,
+    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
+        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS vmu
+  FROM w3, m3),
+w4 AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.cmu * v3.vmu) AS wp
+  FROM cov JOIN v3 ON v3.j = cov.j GROUP BY cov.i),
+m4 AS MATERIALIZED (
+  SELECT SUM(wp * wp) AS m2 FROM w4),
+v4 AS MATERIALIZED (
+  SELECT i AS j,
+    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
+        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS vmu
+  FROM w4, m4),
+w5 AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.cmu * v4.vmu) AS wp
+  FROM cov JOIN v4 ON v4.j = cov.j GROUP BY cov.i),
+m5 AS MATERIALIZED (
+  SELECT SUM(wp * wp) AS m2 FROM w5),
+v5 AS MATERIALIZED (
+  SELECT i AS j,
+    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
+        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS vmu
+  FROM w5, m5),
+w6 AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.cmu * v5.vmu) AS wp
+  FROM cov JOIN v5 ON v5.j = cov.j GROUP BY cov.i),
+m6 AS MATERIALIZED (
+  SELECT SUM(wp * wp) AS m2 FROM w6),
+v6 AS MATERIALIZED (
+  SELECT i AS j,
+    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
+        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS vmu
+  FROM w6, m6)"""
+      val tail =
+        """wf AS MATERIALIZED (
+          |  SELECT cov.i, SUM(cov.cmu * v6.vmu) AS wp
+          |  FROM cov JOIN v6 ON v6.j = cov.j GROUP BY cov.i),
+          |lam AS MATERIALIZED (
+          |  SELECT ROUND(CAST(SUM(v6.vmu * wf.wp) AS DOUBLE)
+          |    / CAST(SUM(v6.vmu * v6.vmu) AS DOUBLE)
+          |    / 1000000.0, 6) AS eigenvalue
+          |  FROM wf JOIN v6 ON v6.j = wf.i)
+          |SELECT CAST(v6.j AS INT) AS dim,
+          |  CAST(v6.vmu AS DOUBLE) / 1000000.0 AS loading,
+          |  lam.eigenvalue
+          |FROM v6, lam""".stripMargin
+      s"$base,\n$rounds,\n$tail"
+    },
+
     "e_mmr_rerank" -> {
       def cos(a: String, b: String): String =
         s"""ROUND(list_sum(list_transform(list_zip($a, $b),
@@ -8761,6 +8905,65 @@ object SparkEntry {
         |      / CAST(n_risk AS DOUBLE), 6) AS DECIMAL(18,6)))
         |    OVER (ORDER BY t) AS DOUBLE) AS hazard
         |FROM e""".stripMargin,
+
+    // hypergeometric E/V per event time from the two-group risk sets,
+    // round-6 decimal term sums, one chi-square expression
+    "w34_logrank" ->
+      """WITH per AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END) AS p_us
+        |  FROM events GROUP BY 1),
+        |cns AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+        |subj AS (
+        |  SELECT CASE WHEN p_us IS NOT NULL THEN p_us - first_us
+        |              ELSE end_us - first_us END AS dur,
+        |    p_us IS NOT NULL AS obs,
+        |    user_id % 2 = 0 AS grp
+        |  FROM per, cns),
+        |perT AS (
+        |  SELECT dur AS t,
+        |    COUNT(CASE WHEN obs AND grp THEN 1 END) AS d1,
+        |    COUNT(CASE WHEN obs THEN 1 END) AS d,
+        |    COUNT(CASE WHEN grp THEN 1 END) AS m1,
+        |    COUNT(*) AS m
+        |  FROM subj WHERE grp IS NOT NULL AND dur IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(m1) AS nn1, SUM(m) AS nn FROM perT),
+        |steps AS (
+        |  SELECT t, d1, d,
+        |    CAST(tot.nn1 - COALESCE(SUM(m1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n1,
+        |    CAST(tot.nn - COALESCE(SUM(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n,
+        |    tot.nn1, tot.nn
+        |  FROM perT, tot),
+        |terms AS (
+        |  SELECT nn1, nn, d1,
+        |    CAST(ROUND(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS et,
+        |    CAST(CASE WHEN n > 1 THEN ROUND(
+        |      (CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) - 1.0)), 6)
+        |    ELSE 0 END AS DECIMAL(18,6)) AS vt
+        |  FROM steps WHERE d > 0),
+        |agg AS (
+        |  SELECT CAST(MAX(nn1) AS BIGINT) AS n_a,
+        |    CAST(MAX(nn) - MAX(nn1) AS BIGINT) AS n_b,
+        |    CAST(SUM(d1) AS BIGINT) AS observed_a,
+        |    CAST(SUM(et) AS DOUBLE) AS expected_a,
+        |    CAST(SUM(vt) AS DOUBLE) AS variance
+        |  FROM terms)
+        |SELECT agg.*,
+        |  CASE WHEN variance > 0 THEN
+        |    ROUND((CAST(observed_a AS DOUBLE) - expected_a)
+        |      * (CAST(observed_a AS DOUBLE) - expected_a)
+        |      / variance, 6) END AS chi2
+        |FROM agg""".stripMargin,
 
     "w21_survival" ->
       """WITH RECURSIVE per AS (

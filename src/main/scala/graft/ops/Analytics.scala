@@ -566,6 +566,71 @@ object Analytics {
         .as("lift"))
   }
 
+  /** Two-group log-rank test (Mantel 1966) — "do the two survival
+    * curves differ?", the hypothesis test beside the [[kaplanMeier]] /
+    * [[nelsonAalen]] estimators: at each event time the observed
+    * group-A deaths compare against the hypergeometric expectation
+    * E = d·n₁/n given the pooled risk set, with variance
+    * V = (d·n₁/n)·(1 − n₁/n)·(n−d)/(n−1); the statistic
+    * (O − E)²/V is χ² with 1 dof under the null.
+    *
+    * Determinism: O is an exact long; each time's E and V terms round
+    * once to 6 and sum through decimal (order-free — a distributed
+    * double sum over event times would be order-dependent); the final
+    * χ² is one arithmetic expression over those rounded sums. Same
+    * censoring convention as K-M (risk set = duration ≥ t; censored
+    * subjects leave the risk set, never count as deaths).
+    *
+    * Scale: the subject agg collapses to distinct event times; the
+    * cumulative windows run on that CURVE-sized frame (one group,
+    * the stated K-M contract).
+    *
+    * @param inA boolean Column: group membership (null rows excluded)
+    * @return one row: (n_a, n_b, observed_a, expected_a, variance,
+    *         chi2) — chi2 null when V = 0 (no information) */
+  def logRankTest(subjects: DataFrame, durationCol: String,
+                  observedCol: String, inA: Column): DataFrame = {
+    val src = subjects
+      .filter(col(durationCol).isNotNull && inA.isNotNull)
+      .select(col(durationCol).as("t"), col(observedCol).as("__e"),
+        inA.as("__a"))
+    val perT = src.groupBy(col("t")).agg(
+      count(when(col("__e") && col("__a"), lit(1))).as("__d1"),
+      count(when(col("__e"), lit(1))).as("__d"),
+      count(when(col("__a"), lit(1))).as("__m1"),
+      count(lit(1)).as("__m"))
+    val tot = perT.agg(sum(col("__m1")).as("__N1"),
+      sum(col("__m")).as("__N"))
+    val wBefore = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = perT
+      .withColumn("__b1",
+        coalesce(sum(col("__m1")).over(wBefore), lit(0L)))
+      .withColumn("__b", coalesce(sum(col("__m")).over(wBefore), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__n1", col("__N1") - col("__b1"))
+      .withColumn("__n", col("__N") - col("__b"))
+      .filter(col("__d") > 0)
+    val dD = col("__d").cast("double"); val nD = col("__n").cast("double")
+    val n1D = col("__n1").cast("double")
+    val eT = round(dD * n1D / nD, 6).cast("decimal(18,6)")
+    val vT = when(col("__n") > 1,
+        round((dD * n1D / nD) * (lit(1.0) - n1D / nD) *
+          ((nD - dD) / (nD - lit(1.0))), 6))
+      .otherwise(lit(0.0)).cast("decimal(18,6)")
+    steps.agg(
+        max(col("__N1")).as("n_a"),
+        (max(col("__N")) - max(col("__N1"))).as("n_b"),
+        sum(col("__d1")).as("observed_a"),
+        sum(eT).cast("double").as("expected_a"),
+        sum(vT).cast("double").as("variance"))
+      .withColumn("chi2",
+        when(col("variance") > 0,
+          round((col("observed_a").cast("double") - col("expected_a")) *
+            (col("observed_a").cast("double") - col("expected_a")) /
+            col("variance"), 6)))
+  }
+
   /** 2-D Pareto frontier (skyline): the points no other point
     * dominates, both dimensions maximized — the trade-off curve of
     * any two-metric selection (quality × length doc picks,

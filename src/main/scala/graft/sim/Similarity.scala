@@ -1286,4 +1286,103 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("lbl", "id1", "id2", "cos_sim")
   }
+
+  /** Top principal component of an embedding corpus by POWER
+    * ITERATION on the covariance matrix (the PCA-1 every embedding
+    * QC wants: the dominant variance direction, its eigenvalue = how
+    * much of the corpus is one axis — anisotropy/collapse audit next
+    * to [[embeddingQc]]'s per-dim moments).
+    *
+    * Plan shape: per-dim sums (one posexplode, dim-keyed agg) and the
+    * covariance from Σxᵢxⱼ (one narrow pass emitting each row's d²
+    * products via an indexed HOF — NO self-join — into a (i,j)-keyed
+    * agg with map-side combine; the only shuffle is d²-keyed).
+    * Everything after runs on the d²-cell frame: `iters` rounds of
+    * w = C·v (a d²-row join + d-keyed agg), normalize, localCheckpoint
+    * — never touching the corpus again. Corpus cost is n·d² narrow
+    * rows; for very large d use a dim-sampled corpus first (stated
+    * contract, the IVF-nlist discipline).
+    *
+    * Determinism (engine-free): corpus products round once to 6 and
+    * sum through decimal; the covariance rounds once to 6; the
+    * ITERATION then runs on EXACT INTEGERS — C and v as micro-units
+    * (decimal(38,0)), w = Σ c_mu·v_mu pico-units, ‖w‖² = Σ w² exact —
+    * because re-rounding products of already-6dp-quantized values is
+    * structurally half-way-prone (the holtSeasonal lesson: engines
+    * split on those midpoints; measured here as a 5e-4 drift by
+    * round 6). The only doubles are one normalize division (through
+    * an irrational sqrt — no structural midpoints) and the final
+    * Rayleigh quotient; v₀ is the exact 6-dp literal round(1/√d, 6).
+    * The sign follows the iteration from that start; the oracle
+    * unrolls all `iters` rounds identically.
+    *
+    * @return (dim, loading, eigenvalue) — d rows, eigenvalue
+    *         repeated; eigenvalue = v·Cv / v·v on the final iterate */
+  def powerIterationPca(emb: DataFrame, idCol: String, vecCol: String,
+                        iters: Int = 6): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val dec = "decimal(18,6)"
+    val int38 = "decimal(38,0)"
+    def mu(c: Column): Column =
+      (c.cast(dec) * lit(1000000L)).cast(int38)
+    val v = col(vecCol)
+    val src = emb.filter(v.isNotNull).select(v.as("__v"))
+    val nF = src.agg(count(lit(1)).as("__n")).localCheckpoint()
+    // per-dim sums (means enter the covariance as sxi*sxj/n)
+    val sums = src.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(round(col("x").cast("double"), 6).cast(dec)).as("__sx"))
+      .localCheckpoint()
+    // n*d^2 narrow product rows -> (i,j)-keyed agg, map-side combined
+    val cells = src.select(explode(flatten(
+        transform(col("__v"), (xi, i) =>
+          transform(col("__v"), (xj, j) =>
+            struct(i.as("i"), j.as("j"),
+              round(xi.cast("double") * xj.cast("double"), 6)
+                .cast(dec).as("p")))))).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("__sp"))
+    // covariance in exact micro-units from here on
+    val cov = cells
+      .join(sums.select(col("i"), col("__sx").as("__si")), Seq("i"))
+      .join(sums.select(col("i").as("j"), col("__sx").as("__sj")),
+        Seq("j"))
+      .crossJoin(broadcast(nF))
+      .select(col("i"), col("j"),
+        mu(round((col("__sp").cast("double") -
+            col("__si").cast("double") * col("__sj").cast("double") /
+              col("__n").cast("double")) /
+          (col("__n").cast("double") - lit(1.0)), 6)).as("cmu"))
+      .localCheckpoint()
+    val d = sums.count().toInt
+    val v0mu = (BigDecimal(1.0 / math.sqrt(d.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
+    var vec = sums.select(col("i").as("j"),
+      lit(v0mu).cast(int38).as("vmu")).localCheckpoint()
+    def multiply(vk: DataFrame): DataFrame =
+      cov.join(vk, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("cmu") * col("vmu")).as("wp")) // exact pico^2-units
+    for (_ <- 1 to iters) {
+      val w = multiply(vec).localCheckpoint()
+      val norm = w.agg(sum(col("wp") * col("wp")).as("__m2"))
+      vec = w.crossJoin(broadcast(norm))
+        .select(col("i").as("j"),
+          mu(round(col("wp").cast("double") /
+            sqrt(col("__m2").cast("double")), 6)).as("vmu"))
+        .localCheckpoint()
+    }
+    // Rayleigh quotient on the final iterate: v.Cv / v.v, integer
+    // numerator/denominator, one double division chain
+    val wF = multiply(vec)
+    val lam = wF.join(vec.select(col("j").as("i"), col("vmu")), Seq("i"))
+      .agg(sum(col("vmu") * col("wp")).as("__num"),
+        sum(col("vmu") * col("vmu")).as("__den"))
+      .select(round(col("__num").cast("double") /
+          col("__den").cast("double") / lit(1000000.0), 6)
+        .as("eigenvalue"))
+    vec.select(col("j").as("dim"),
+        (col("vmu").cast("double") / lit(1000000.0)).as("loading"))
+      .crossJoin(broadcast(lam))
+  }
 }

@@ -383,6 +383,39 @@ class AnalyticsSpec extends SparkSpec {
       "C" -> 0.166667), got.toString)
   }
 
+  test("logRankTest: hand-computed O/E/V/chi2 with censoring; " +
+    "identical groups give chi2 ~ 0; degenerate no-variance input " +
+    "gives null chi2") {
+    import spark.implicits._
+    // A: deaths at 1,2, censored 3; B: deaths 2,4, censored 5.
+    // times (1,2,4): E terms .5,.8,0 ; V terms .25,.36,0 ->
+    // O=2, E=1.3, V=.61, chi2=(0.7)^2/.61=.803279
+    val subj = Seq((1L, true, "A"), (2L, true, "A"), (3L, false, "A"),
+      (2L, true, "B"), (4L, true, "B"), (5L, false, "B"))
+      .toDF("dur", "obs", "g")
+    val got = Analytics.logRankTest(subj, "dur", "obs", col("g") === "A")
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert(got == ((3L, 3L, 2L, 1.3, 0.61, Some(0.803279))),
+      got.toString)
+    // identical curves: every event time splits deaths as expected
+    val same = Seq((1L, true, "A"), (2L, true, "A"),
+      (1L, true, "B"), (2L, true, "B")).toDF("dur", "obs", "g")
+    val z = Analytics.logRankTest(same, "dur", "obs", col("g") === "A")
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert(z._3 == 2L && math.abs(z._4 - 2.0) < 1e-9 &&
+      z._6.exists(_ < 0.01), z.toString)
+    // single subject per time with n=1 at the last death: V sums to 0
+    val degen = Seq((1L, true, "A")).toDF("dur", "obs", "g")
+      .unionByName(Seq.empty[(Long, Boolean, String)]
+        .toDF("dur", "obs", "g"))
+    val d = Analytics.logRankTest(degen, "dur", "obs", col("g") === "A")
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert(d._6.isEmpty, d.toString)
+  }
+
   test("paretoFrontier: dominated points drop, equal-y higher-x " +
     "dominates, duplicates collapse, nulls excluded, and the window " +
     "runs on the distinct-x frame") {

@@ -799,6 +799,28 @@ class SimilaritySpec extends SparkSpec {
     assert(joins == 2, s"expected exactly anti + cross:\n$plan")
   }
 
+  test("powerIterationPca: rank-1 2-D data recovers the known " +
+    "direction and eigenvalue; loadings unit-norm; eigenvalue " +
+    "constant across rows") {
+    import spark.implicits._
+    // y = 2x for x in {0,1,2,3}: cov = var(x)*[[1,2],[2,4]],
+    // var(x) = 5/3 -> eigenvector (1,2)/sqrt(5), eigenvalue 25/3
+    val emb = Seq(0f, 1f, 2f, 3f).zipWithIndex
+      .map { case (x, i) => (i.toLong, Seq(x, 2 * x)) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.powerIterationPca(emb, "vec_id", "embedding",
+        iters = 6)
+      .orderBy("dim").as[(Int, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0, 1))
+    val l = got.map(_._2)
+    assert(math.abs(l(0) - 1.0 / math.sqrt(5)) < 1e-4 &&
+      math.abs(l(1) - 2.0 / math.sqrt(5)) < 1e-4, got.toString)
+    assert(math.abs(l.map(x => x * x).sum - 1.0) < 1e-4, "unit norm")
+    val eig = got.map(_._3).distinct
+    assert(eig.size == 1 && math.abs(eig.head - 25.0 / 3) < 1e-3,
+      got.toString)
+  }
+
   test("mmrRerank: low lambda skips the exact duplicate for the " +
     "orthogonal doc; high lambda degenerates to relevance order; " +
     "id tiebreak on equal scores") {

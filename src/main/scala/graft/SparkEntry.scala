@@ -2492,6 +2492,27 @@ object SparkEntry {
           lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
     }),
 
+    // ---- streaming: per-window calibration bins — the a41 monitor
+    // live: bins×3 longs of state per window (psi/hll state family),
+    // micro-unit arithmetic identical to the batch op, so the
+    // chunked replay is bit-equal per window. ----
+    "s_stream_calibration" -> ((s, dir) => {
+      val in = stageSentinelEvents(s, dir)
+      val ckpt = tempDir("graft_scal_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val sink = graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.calibrationStream(stream,
+          least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0)),
+          col("event_type") === "purchase"),
+        queryName = s"scal_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.EventStreams.drainTail(sink,
+        col("window_start") >=
+          lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
+    }),
+
     // ---- streaming: per-day PSI drift monitor — the a29 reference
     // profile (first-half-of-month deciles + Laplace-guarded shares)
     // frozen into the plan as literals, each day window scored the
@@ -8630,6 +8651,27 @@ v6 AS MATERIALIZED (
 
     // the batch HLL replay per hour window (the a37 register
     // arithmetic grouped by window)
+    // the a41 bin arithmetic per hour window; sentinel windows are
+    // beyond the corpus end, so the plain-events replay matches
+    "s_stream_calibration" ->
+      """WITH s AS (
+        |  SELECT date_trunc('hour', ts) AS ws,
+        |    CAST(ROUND(LEAST(GREATEST(
+        |      CAST(value AS DOUBLE) / CAST(100 AS DOUBLE), 0), 1), 6)
+        |      AS DECIMAL(18,6)) AS v,
+        |    event_type = 'purchase' AS p
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (
+        |  SELECT ws, LEAST(CAST(floor(v * 10) AS INT), 9) AS bin,
+        |    CAST(v * 1000000 AS BIGINT) AS mu, p
+        |  FROM s)
+        |SELECT ws AS window_start, bin, COUNT(*) AS n,
+        |  CAST(SUM(mu) // COUNT(*) AS BIGINT) AS conf_micros,
+        |  CAST((SUM(CASE WHEN p THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS acc_micros
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
     "s_stream_hll" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS ws,

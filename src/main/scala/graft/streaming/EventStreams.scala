@@ -134,6 +134,41 @@ object EventStreams {
           .as("estimate"))
   }
 
+  /** Streaming per-window calibration bins — the live reliability
+    * monitor twin of [[graft.ops.Quality.calibrationBins]]: each hour
+    * window's score histogram against outcomes, emitted when the
+    * watermark closes the window. State is `bins` rows of three longs
+    * per live window FOREVER regardless of traffic (the sketch-state
+    * family: psi's bins, hll's registers). The micro-unit arithmetic
+    * is the batch op's exactly — score joins the bin as its exact
+    * decimal micro-value, truncating integer division — so the
+    * chunked replay is bit-equal to the batch computation per window.
+    * Append mode; drain with the sentinel + [[drainTail]] chassis. */
+  def calibrationStream(events: DataFrame, score: Column,
+                        isPos: Column, bins: Int = 10,
+                        windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val s6 = round(score.cast("double"), 6).cast("decimal(18,6)")
+    events
+      .withWatermark("ts", watermark)
+      .filter(score.isNotNull && isPos.isNotNull)
+      .select(window(col("ts"), windowLen).as("win"), s6.as("__s"),
+        isPos.as("__p"))
+      .filter(col("__s") >= 0 && col("__s") <= 1)
+      .select(col("win"),
+        least(floor(col("__s") * bins).cast("int"), lit(bins - 1))
+          .as("bin"),
+        (col("__s").cast("decimal(18,6)") * 1000000L)
+          .cast("decimal(38,0)").cast("long").as("__mu"),
+        col("__p"))
+      .groupBy(col("win"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__mu")).as("__smu"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__pos"))
+      .select(col("win.start").as("window_start"), col("bin"), col("n"),
+        expr("__smu div n").as("conf_micros"),
+        expr("(__pos * 1000000) div n").as("acc_micros"))
+  }
+
   def windowedDistinctUsers(events: DataFrame,
                             windowLen: String = "1 hour",
                             watermark: String = "2 hours"): DataFrame =

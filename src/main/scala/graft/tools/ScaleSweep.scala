@@ -472,6 +472,24 @@ object ScaleSweep {
       // profile frame (keys x 24) + holt's one key exchange
       "w30_holt_seasonal" -> (d =>
         SparkEntry.queries("w30_holt_seasonal")(spark, d).count()),
+      // r12 wave. distinct-score frame + bucketed prefix hierarchy
+      "a40_roc_auc" -> (d =>
+        SparkEntry.queries("a40_roc_auc")(spark, d).count()),
+      // one bin-keyed hash agg, bins-sized output
+      "a41_calibration" -> (d =>
+        SparkEntry.queries("a41_calibration")(spark, d).count()),
+      // two cells-frame chi2 screens + a 10-row BH window
+      "a43_bh_fdr" -> (d =>
+        SparkEntry.queries("a43_bh_fdr")(spark, d).count()),
+      // curve-sized risk-set windows off one subject agg
+      "w34_logrank" -> (d =>
+        SparkEntry.queries("w34_logrank")(spark, d).count()),
+      // adjacent-pair explode -> distinct-bigram agg + marginals
+      "t_pmi_colloc" -> (d =>
+        SparkEntry.queries("t_pmi_colloc")(spark, d).count()),
+      // one n*d^2 narrow product pass; iteration on the d^2 frame
+      "e_pca_top" -> (d =>
+        SparkEntry.queries("e_pca_top")(spark, d).count()),
       // frame-bounded per-row sort, one key exchange
       "w31_rolling_mad" -> (d =>
         SparkEntry.queries("w31_rolling_mad")(spark, d).count()),

@@ -692,6 +692,66 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("calibrationStream: bin partials merged across triggers equal " +
+    "the batch calibration bins per window; state is bins, not rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scalp")
+      .toString
+    val q = EventStreams.calibrationStream(events, col("value"),
+        col("user_id") % 2 === 0, bins = 5)
+      .writeStream.format("memory").queryName("cal_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    // hour-0 scores split MID-BIN across triggers (0.05 and 0.09 both
+    // land in bin 0 but arrive in different triggers, so n/Σmu/pos
+    // must merge through state); 1.0 pins the top-bin clamp; a late
+    // hour-3 row advances the watermark past hour 0 and 1
+    val h0a = Seq((1L, 1L, ts("2024-01-01 00:05:00"), 0.05),
+      (2L, 2L, ts("2024-01-01 00:10:00"), 0.31),
+      (3L, 3L, ts("2024-01-01 00:15:00"), 1.0))
+    val h0b = Seq((4L, 4L, ts("2024-01-01 00:40:00"), 0.09),
+      (5L, 5L, ts("2024-01-01 00:45:00"), 0.33),
+      (6L, 6L, ts("2024-01-01 00:50:00"), 0.99))
+    val h1 = Seq((7L, 7L, ts("2024-01-01 01:30:00"), 0.5))
+    val flush = Seq((99L, 99L, ts("2024-01-01 03:30:00"), 0.5))
+    try {
+      ms.addData(h0a)
+      q.processAllAvailable()
+      ms.addData(h0b ++ h1)
+      q.processAllAvailable()
+      ms.addData(flush)
+      q.processAllAvailable()
+      val got = spark.table("cal_live")
+        .select("window_start", "bin", "n", "conf_micros", "acc_micros")
+        .as[(java.sql.Timestamp, Int, Long, Long, Long)].collect()
+        .map(r => (r._1.toString, r._2) -> ((r._3, r._4, r._5))).toMap
+      // batch twin over the hour-0 rows via the shared batch op
+      val batch = graft.ops.Quality.calibrationBins(
+          h0a.++(h0b).toDF("event_id", "user_id", "ts", "value"),
+          "value", col("user_id") % 2 === 0, bins = 5)
+        .select("bin", "n", "conf_micros", "acc_micros")
+        .as[(Int, Long, Long, Long)].collect()
+        .map(r => ("2024-01-01 00:00:00.0", r._1) ->
+          ((r._2, r._3, r._4))).toMap
+      assert(batch.size == 3, batch.toString) // bins 0, 1, 4 hit
+      batch.foreach { case (k, v) =>
+        assert(got.get(k).contains(v), s"at $k: stream=${got.get(k)} " +
+          s"batch=$v (full: $got)")
+      }
+      // bin 0 merged across triggers: n=2, conf=(50000+90000) div 2
+      assert(got(("2024-01-01 00:00:00.0", 0)) ==
+        ((2L, 70000L, 500000L)), got.toString)
+      // top-bin clamp: 1.0 joins 0.99 in bin 4
+      assert(got(("2024-01-01 00:00:00.0", 4))._1 == 2L, got.toString)
+    } finally q.stop()
+  }
+
   test("madStream: the frame ring carried across triggers is " +
     "bit-equal to the batch lower-median/MAD window, spike included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

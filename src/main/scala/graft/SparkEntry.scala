@@ -2827,6 +2827,47 @@ object SparkEntry {
           col("p_retailprice").cast("double").as("price")),
         "p_size", "price")),
 
+    // ---- A45: Cohen's kappa — chance-corrected agreement between
+    // the declared length tercile (n_chars) and a whitespace-free
+    // length tercile re-derived from the text; exact integer
+    // (A·N − S)/(N² − S), one double division. ----
+    "a45_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("n_chars").isNotNull && col("text").isNotNull)
+      val ns = length(regexp_replace(col("text"), lit(" "), lit("")))
+      Quality.cohenKappa(
+        d.select(
+          when(col("n_chars") < 300, "short")
+            .when(col("n_chars") < 500, "mid").otherwise("long")
+            .as("r1"),
+          when(ns < 250, "short").when(ns < 420, "mid")
+            .otherwise("long").as("r2")),
+        "r1", "r2")
+    }),
+
+    // ---- A46: Gini concentration of corpus mass over sources — the
+    // data-mixture audit number; tie blocks contribute their rank-sum
+    // in closed form over the distinct-total frame, strict-below
+    // prefix via the bucketed hierarchy, one double division. ----
+    "a46_gini" -> ((s, dir) =>
+      ops.Analytics.giniConcentration(t(s, dir, "documents"),
+        Seq("source"), "n_chars")),
+
+    // ---- A47: Spearman rank correlation between declared length and
+    // whitespace mass — monotone association on DOUBLED average ranks
+    // (whole longs), exact decimal moment sums, one double
+    // sqrt/division. ----
+    "a47_spearman" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      Quality.spearmanCorr(
+        d.select(col("n_chars").cast("double").as("x"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), lit(" "), lit(""))))
+            .cast("double").as("y")),
+        "x", "y")
+    }),
+
     // ---- text: PMI bigram collocations — adjacent-pair explode, one
     // hash agg to the distinct-bigram frame, slot marginals
     // re-aggregated from it (no second corpus scan), ln on the exact
@@ -8467,6 +8508,89 @@ v6 AS MATERIALIZED (
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM m b
         |  WHERE b.p_size > a.p_size AND b.price >= a.price)""".stripMargin,
+
+    // the exact-integer kappa: S from cells-frame marginals joined on
+    // the shared label, one double division at the end
+    "a45_kappa" ->
+      """WITH r AS (
+        |  SELECT
+        |    CASE WHEN n_chars < 300 THEN 'short'
+        |         WHEN n_chars < 500 THEN 'mid' ELSE 'long' END AS a,
+        |    CASE WHEN length(regexp_replace(text, ' ', '', 'g')) < 250
+        |           THEN 'short'
+        |         WHEN length(regexp_replace(text, ' ', '', 'g')) < 420
+        |           THEN 'mid' ELSE 'long' END AS b
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT a, b, COUNT(*) AS c FROM r GROUP BY 1, 2),
+        |rt AS (SELECT a AS k, SUM(c) AS r FROM c GROUP BY 1),
+        |ct AS (SELECT b AS k, SUM(c) AS ct FROM c GROUP BY 1),
+        |s AS (
+        |  SELECT COALESCE(SUM(rt.r * ct.ct), 0) AS s
+        |  FROM rt JOIN ct ON rt.k = ct.k),
+        |t AS (
+        |  SELECT SUM(c) AS n,
+        |    SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+        |  CASE WHEN n * n <> s THEN
+        |    ROUND(CAST(agree * n - s AS DOUBLE)
+        |      / CAST(n * n - s AS DOUBLE), 6) END AS kappa
+        |FROM t, s""".stripMargin,
+
+    // rank-based replay: ROW_NUMBER ties order arbitrarily but the
+    // rank-sum over a tie block is order-invariant, so SUM(i*x)
+    // equals the closed-form tie-block arithmetic exactly
+    "a46_gini" ->
+      """WITH u AS (
+        |  SELECT source,
+        |    CAST(SUM(CAST(ROUND(CAST(n_chars AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |  GROUP BY source),
+        |nn AS (SELECT COUNT(*) AS nneg FROM u WHERE x < 0),
+        |p AS (
+        |  SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i
+        |  FROM u WHERE x >= 0),
+        |t AS (
+        |  SELECT COUNT(*) AS n, COALESCE(SUM(x), 0) AS tt,
+        |    COALESCE(SUM(i * x), 0) AS s
+        |  FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_units,
+        |  CAST(nneg AS BIGINT) AS n_negative_excluded,
+        |  CAST(tt AS BIGINT) AS total_micros,
+        |  CASE WHEN n > 0 AND tt > 0 THEN
+        |    ROUND(CAST(2 * s - (n + 1) * tt AS DOUBLE)
+        |      / CAST(n * tt AS DOUBLE), 6) END AS gini
+        |FROM t, nn""".stripMargin,
+
+    // doubled average ranks via RANK + tie-block count (2·below+c+1);
+    // HUGEINT moment sums, one double sqrt/division
+    "a47_spearman" ->
+      """WITH s AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS y
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (
+        |  SELECT 2 * RANK() OVER (ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+        |    2 * RANK() OVER (ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM s),
+        |t AS (
+        |  SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+        |    SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx,
+        |    SUM(ry * ry) AS syy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0
+        |        AND n * syy - sy * sy > 0 THEN
+        |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho
+        |FROM t""".stripMargin,
 
     // slot-marginal PMI over the adjacent-bigram frame; ln on the
     // identical double ratio

@@ -648,6 +648,61 @@ object Analytics {
     * rounded x is the honest resolution of the answer anyway).
     *
     * @return (xCol, yCol) — the frontier points, maximizing both */
+  /** Gini coefficient of a non-negative quantity over units — the
+    * concentration number for "is this corpus dominated by a few
+    * domains / users / sources?" (data-mixture audits report exactly
+    * this before setting sampling weights). With units sorted
+    * ascending by total x (rank i = 1..n),
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n, algebraically collapsed to the
+    * ONE rational (2S − (n+1)T) / (n·T) evaluated on exact integers
+    * (S in decimal(38,0), T in micro-units), one double division. Tie
+    * blocks contribute x·(c·below + c(c+1)/2) — the rank-sum of the
+    * block in closed form, so no per-unit rank (and no tie-order
+    * dependence) exists anywhere. Units whose total is negative are
+    * excluded and counted (Gini is undefined below zero); n = 0 or
+    * T = 0 → gini null.
+    *
+    * Scale shape: one hash agg to the units frame, a second to its
+    * distinct-total frame, strict-below prefix counts via
+    * [[Prefix.strictBelow]] (two-level bucketed hierarchy — no
+    * single-partition window over units), 1-row reduce.
+    *
+    * @return one row: (n_units, n_negative_excluded, total_micros,
+    *         gini) */
+  def giniConcentration(df: DataFrame, unitCols: Seq[String],
+                        weightCol: String,
+                        bucketSize: Long = 1048576L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val units = df.filter(col(weightCol).isNotNull)
+      .groupBy(unitCols.map(col): _*)
+      .agg((sum(round(col(weightCol).cast("double"), 6)
+          .cast("decimal(28,6)")) * 1000000L)
+        .cast(dec).cast("long").as("__x"))
+    val negs = units.filter(col("__x") < 0)
+      .agg(count(lit(1)).as("__nneg"))
+    val dv = units.filter(col("__x") >= 0)
+      .groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+    val below = Prefix.strictBelow(dv, Nil, "__x", Seq("__c"),
+      bucketSize)
+    val agg = below.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      coalesce(sum(col("__c").cast(dec) * col("__x").cast(dec)),
+        lit(0).cast(dec)).as("__t"),
+      coalesce(sum(col("__x").cast(dec) *
+        (col("__c").cast(dec) * col("__below___c").cast(dec) +
+          (col("__c").cast(dec) * (col("__c").cast(dec) + 1))
+            / lit(2).cast(dec))), lit(0).cast(dec)).as("__s"))
+    agg.crossJoin(negs) // 1-row x 1-row scalar attach
+      .select(col("__n").as("n_units"),
+        col("__nneg").as("n_negative_excluded"),
+        col("__t").cast("long").as("total_micros"),
+        when(col("__n") > 0 && col("__t") > 0,
+          round((lit(2).cast(dec) * col("__s") -
+            (col("__n").cast(dec) + 1) * col("__t")).cast("double") /
+            (col("__n").cast(dec) * col("__t")).cast("double"), 6))
+          .as("gini"))
+  }
+
   def paretoFrontier(df: DataFrame, xCol: String,
                      yCol: String): DataFrame = {
     val byX = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)

@@ -1004,6 +1004,108 @@ object Quality {
       .select(col("n"), expr("__dev div n").as("ece_micros"))
   }
 
+  /** Spearman rank correlation — the monotone-association number
+    * (Pearson is elsewhere in this file; Spearman is what QC reports
+    * when the relationship is nonlinear or heavy-tailed). Fractional
+    * average ranks are avoided entirely: every tie block's average
+    * rank is (2·below + c + 1)/2, so the op ranks on DOUBLED ranks
+    * R2 = 2·below + c + 1 — whole longs — and computes Pearson on R2
+    * (the ½ scale factor cancels in r). Moment sums run in EXACT
+    * decimal(38,0) (order-free, engine-replayable; a decimal overflow
+    * past n ≈ 1.5e9 rows nulls the answer rather than corrupting it —
+    * Spark's non-ANSI decimal overflow yields null, never a wrapped
+    * value), with one double sqrt/division at the end. Zero variance
+    * on either axis (all ties) → rho null.
+    *
+    * Scale shape: per axis, one hash agg to the distinct-value frame
+    * and a [[Prefix.strictBelow]] bucketed prefix (no single-partition
+    * window); rank maps join back to the pair frame on the value key
+    * (broadcastable when distinct values are few — AQE decides); one
+    * 1-row reduce.
+    *
+    * @return one row: (n, rho) */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String,
+                   bucketSize: Long = 1048576L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val mu = (c: Column) => (r6d(c).cast("decimal(18,6)") * 1000000L)
+      .cast(dec).cast("long")
+    val src = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(mu(col(xCol)).as("__xm"), mu(col(yCol)).as("__ym"))
+    def rankMap(key: String): DataFrame = {
+      val counts = src.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      Prefix.strictBelow(counts, Nil, key, Seq("__c"), bucketSize)
+        .select(col(key),
+          (lit(2L) * col("__below___c") + col("__c") + 1L)
+            .as(s"__r2$key"))
+    }
+    src.join(rankMap("__xm"), Seq("__xm"))
+      .join(rankMap("__ym"), Seq("__ym"))
+      .select(col("__r2__xm").cast(dec).as("__rx"),
+        col("__r2__ym").cast(dec).as("__ry"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"))
+      .select(col("__n").as("n"),
+        when(col("__n").cast(dec) * col("__sxx") -
+            col("__sx") * col("__sx") > 0 &&
+          col("__n").cast(dec) * col("__syy") -
+            col("__sy") * col("__sy") > 0,
+          round((col("__n").cast(dec) * col("__sxy") -
+            col("__sx") * col("__sy")).cast("double") /
+            sqrt((col("__n").cast(dec) * col("__sxx") -
+              col("__sx") * col("__sx")).cast("double") *
+              (col("__n").cast(dec) * col("__syy") -
+                col("__sy") * col("__sy")).cast("double")), 6))
+          .as("rho"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical "raters" over the same rows (the inter-annotator /
+    * model-vs-gold agreement statistic every labeling pipeline
+    * reports). Entirely EXACT integer arithmetic until one double
+    * division: with N rows, A = diagonal (agree) count and
+    * S = Σ_k rowTot_k·colTot_k over shared labels,
+    * κ = (A·N − S) / (N² − S) — the textbook (p_o−p_e)/(1−p_e) with
+    * both sides multiplied through by N², so no per-cell double
+    * shares anywhere. Products run in decimal(38,0) (the [[rocAuc]]
+    * overflow discipline). Degenerate p_e = 1 (both raters constant
+    * and equal) → kappa null; counts still emitted.
+    *
+    * Scale shape: one contingency hash agg (cells frame), marginals
+    * re-aggregated FROM the cells frame (never a second corpus scan),
+    * label-keyed inner join of the two marginal frames (labels
+    * missing on either side contribute 0 to S), 1-row reduce.
+    *
+    * @return one row: (n, agree, kappa) */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+    val rowTot = cells.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__r"))
+    val colTot = cells.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__ct"))
+    val s = rowTot.join(colTot, Seq("__k"))
+      .agg(coalesce(sum(col("__r").cast(dec) * col("__ct").cast(dec)),
+        lit(0).cast(dec)).as("__s"))
+    val base = cells.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(0L)), lit(0L)).as("__agree"))
+    base.crossJoin(s) // 1-row x 1-row scalar attach
+      .select(col("__n").as("n"), col("__agree").as("agree"),
+        when(col("__n").cast(dec) * col("__n").cast(dec) =!= col("__s"),
+          round((col("__agree").cast(dec) * col("__n").cast(dec) -
+            col("__s")).cast("double") /
+            (col("__n").cast(dec) * col("__n").cast(dec) -
+              col("__s")).cast("double"), 6)).as("kappa"))
+  }
+
   /** ROC-AUC of a score against a boolean label — the
     * threshold-free ranking metric every quality-classifier gate
     * reports. Computed as the Mann–Whitney U statistic on EXACT

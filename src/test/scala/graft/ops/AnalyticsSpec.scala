@@ -431,6 +431,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Set((2, 9.0), (5, 3.0), (6, 1.0)), got.toString)
   }
 
+  test("giniConcentration: hand values (2/3 for one-unit-takes-all " +
+    "with two zeros, 0 for equal shares, 0.5 for {0,1}), multi-row " +
+    "units sum first, negatives excluded and counted, empty nulls, " +
+    "tiny buckets agree with the default") {
+    import spark.implicits._
+    val oneTakesAll = Seq(("a", 0.0), ("b", 0.0), ("c", 1.0))
+      .toDF("u", "w")
+    val g1 = Analytics.giniConcentration(oneTakesAll, Seq("u"), "w")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g1 == ((3L, 0L, 1000000L, Some(0.666667))), g1.toString)
+    val equal = Seq(("a", 2.0), ("b", 2.0), ("c", 2.0)).toDF("u", "w")
+    assert(Analytics.giniConcentration(equal, Seq("u"), "w")
+      .as[(Long, Long, Long, Option[Double])].collect().head._4
+      .contains(0.0))
+    // unit a = 0.5 + 0.5 = 1, unit b = 0 -> {0, 1} -> G = 0.5;
+    // a negative unit is excluded and counted
+    val mixed = Seq(("a", 0.5), ("a", 0.5), ("b", 0.0), ("neg", -5.0))
+      .toDF("u", "w")
+    val g2 = Analytics.giniConcentration(mixed, Seq("u"), "w")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g2 == ((2L, 1L, 1000000L, Some(0.5))), g2.toString)
+    // empty and all-null inputs -> n 0, gini null
+    val empty = Seq.empty[(String, Option[Double])].toDF("u", "w")
+    val g3 = Analytics.giniConcentration(empty, Seq("u"), "w")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g3._1 == 0L && g3._4.isEmpty, g3.toString)
+    // bucketSize 2 micro-units forces the cross-bucket offset path
+    val g4 = Analytics.giniConcentration(mixed, Seq("u"), "w",
+        bucketSize = 2L)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g4 == g2, s"tiny-bucket $g4 vs default $g2")
+  }
+
   test("acf: one exchange — mean, deviations and all leads share a " +
     "single user-keyed window") {
     val df = (1 to 20).map(i =>

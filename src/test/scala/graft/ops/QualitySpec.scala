@@ -316,6 +316,66 @@ class QualitySpec extends SparkSpec {
     assert(v0._4.isEmpty, v0.toString)
   }
 
+  test("spearmanCorr: hand tie fixture 0.948683; perfect monotone " +
+    "(nonlinear) 1; reversed -1; constant axis null; tiny buckets " +
+    "agree") {
+    import spark.implicits._
+    // x = [1,2,2,3] (avg ranks 1, 2.5, 2.5, 4), y = [1,2,3,4]:
+    // Pearson on doubled ranks = 72/sqrt(72*80) = 0.948683
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0))
+      .toDF("x", "y")
+    val got = Quality.spearmanCorr(tied, "x", "y")
+      .as[(Long, Option[Double])].collect().head
+    assert(got == ((4L, Some(0.948683))), got.toString)
+    // monotone nonlinear: rho exactly 1 even though Pearson < 1
+    val mono = Seq((1.0, 1.0), (2.0, 100.0), (3.0, 100000.0))
+      .toDF("x", "y")
+    assert(Quality.spearmanCorr(mono, "x", "y")
+      .as[(Long, Option[Double])].collect().head._2.contains(1.0))
+    val rev = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Quality.spearmanCorr(rev, "x", "y")
+      .as[(Long, Option[Double])].collect().head._2.contains(-1.0))
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    assert(Quality.spearmanCorr(const, "x", "y")
+      .as[(Long, Option[Double])].collect().head._2.isEmpty)
+    val tiny = Quality.spearmanCorr(tied, "x", "y", bucketSize = 2L)
+      .as[(Long, Option[Double])].collect().head
+    assert(tiny == got, s"tiny-bucket $tiny vs default $got")
+  }
+
+  test("cohenKappa: the textbook 2x2 fixture scores 0.4; perfect " +
+    "agreement 1; systematic disagreement -1; disjoint label spaces " +
+    "0; constant-equal raters null") {
+    import spark.implicits._
+    // the classic kappa worked example: 20 yy, 5 yn, 10 ny, 15 nn
+    // po = 35/50, pe = (25*30 + 25*20)/2500 -> kappa = 0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val got = Quality.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((50L, 35L, Some(0.4))), got.toString)
+    val perfect = (Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y")))
+      .toDF("a", "b")
+    assert(Quality.cohenKappa(perfect, "a", "b")
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((10L, 10L, Some(1.0))))
+    val anti = (Seq.fill(5)(("x", "y")) ++ Seq.fill(5)(("y", "x")))
+      .toDF("a", "b")
+    assert(Quality.cohenKappa(anti, "a", "b")
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((10L, 0L, Some(-1.0))))
+    // raters never share a label: S = 0, kappa = A*N/N^2 = 0
+    val disjoint = Seq.fill(4)(("x", "y")).toDF("a", "b")
+    assert(Quality.cohenKappa(disjoint, "a", "b")
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((4L, 0L, Some(0.0))))
+    // both raters constant and equal: pe = 1, undefined
+    val const = Seq.fill(4)(("x", "x")).toDF("a", "b")
+    assert(Quality.cohenKappa(const, "a", "b")
+      .as[(Long, Long, Option[Double])].collect().head._3.isEmpty)
+  }
+
   test("ksTwoSample: hand-computed D and location; tiny buckets " +
     "(forcing cross-bucket offsets) agree with the default; " +
     "identical samples give D 0 at the smallest value") {

@@ -2868,6 +2868,47 @@ object SparkEntry {
         "x", "y")
     }),
 
+    // ---- A48: average precision (PR-AUC, step estimator) of value
+    // as a purchase ranker — per-threshold rationals pinned to the
+    // pico grid by truncating integer division (no double sums); the
+    // rare-positive companion to a40's ROC-AUC. ----
+    "a48_avg_precision" -> ((s, dir) =>
+      Quality.averagePrecision(t(s, dir, "events"), "value",
+        col("event_type") === "purchase")),
+
+    // ---- A49: split-conformal (1−α) threshold per event_type —
+    // k = ceil((n+1)(1−α)) in exact micro-unit integers, q̂ found by
+    // prefix counts (never a per-group sort); α = 0.1. ----
+    "a49_conformal" -> ((s, dir) =>
+      Quality.conformalThreshold(
+        t(s, dir, "events").filter(col("event_type").isNotNull),
+        "value", Seq("event_type"), alphaMicros = 100000L)),
+
+    // ---- A50: per-lang fairness audit of a length-based keep gate —
+    // does "whitespace-free length ≥ 330" select different langs at
+    // different rates vs the declared n_chars ≥ 400 label? Confusion
+    // counts + selection/TPR/FPR/PPV and the demographic-parity gap,
+    // nulls (never 0) for undefined rates. ----
+    "a50_fairness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Quality.groupFairness(
+        d.filter(col("n_chars").isNotNull && col("text").isNotNull),
+        "lang", col("n_chars") >= 400,
+        length(regexp_replace(col("text"), lit(" "), lit(""))) >= 330)
+    }),
+
+    // ---- A51: KMV set-operation sketch — month-half user overlap
+    // estimated from two 256-hash sketches alone (union, Jaccard,
+    // intersection — the set algebra HLL cannot do), exact
+    // intersection riding along as the audit. ----
+    "a51_kmv" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      ops.Sketches.kmvOverlap(
+        e.filter(dayofmonth(col("ts")) <= 15),
+        e.filter(dayofmonth(col("ts")) > 15),
+        "user_id", k = 256)
+    }),
+
     // ---- text: PMI bigram collocations — adjacent-pair explode, one
     // hash agg to the distinct-bigram frame, slot marginals
     // re-aggregated from it (no second corpus scan), ln on the exact
@@ -8591,6 +8632,161 @@ v6 AS MATERIALIZED (
         |      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
         |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho
         |FROM t""".stripMargin,
+
+    // pico-grid truncating terms over the descending-threshold
+    // cumulatives; HUGEINT // replays Spark's decimal div exactly
+    "a48_avg_precision" ->
+      """WITH s AS (
+        |  SELECT CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mu,
+        |    event_type = 'purchase' AS p
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT mu, SUM(CASE WHEN p THEN 1 ELSE 0 END) AS cp,
+        |    COUNT(*) AS ct
+        |  FROM s GROUP BY mu),
+        |cum AS (
+        |  SELECT cp,
+        |    SUM(cp) OVER (ORDER BY mu DESC) AS cumpos,
+        |    SUM(ct) OVER (ORDER BY mu DESC) AS cumtot
+        |  FROM c),
+        |t AS (SELECT COALESCE(SUM(cp), 0) AS np,
+        |  COALESCE(SUM(ct), 0) AS nt FROM c),
+        |term AS (
+        |  SELECT (cp * cumpos * CAST(1000000000000 AS HUGEINT))
+        |    // (t.np * cumtot) AS pico
+        |  FROM cum, t WHERE t.np > 0 AND cp > 0)
+        |SELECT CAST(t.np AS BIGINT) AS n_pos,
+        |  CAST(t.nt - t.np AS BIGINT) AS n_neg,
+        |  CASE WHEN t.np > 0 THEN
+        |    ROUND(CAST((SELECT COALESCE(SUM(pico), 0) FROM term)
+        |      AS DOUBLE) / 1e12, 6) END AS ap
+        |FROM t""".stripMargin,
+
+    // the k-th order statistic as "first cumulative >= k"; k in exact
+    // micro-unit integers, groups too small for alpha keep k, null qhat
+    "a49_conformal" ->
+      """WITH s AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mu
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT g, mu, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, mu,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY mu) AS cum
+        |  FROM c),
+        |n AS (
+        |  SELECT g, SUM(c) AS n,
+        |    ((SUM(c) + 1) * 900000 + 999999) // 1000000 AS k
+        |  FROM c GROUP BY 1),
+        |q AS (
+        |  SELECT cum.g, MIN(mu) AS qhat_micros
+        |  FROM cum JOIN n ON n.g = cum.g
+        |  WHERE cum.cum >= n.k GROUP BY 1)
+        |SELECT n.g AS event_type, CAST(n.n AS BIGINT) AS n,
+        |  CAST(n.k AS BIGINT) AS k, q.qhat_micros
+        |FROM n LEFT JOIN q ON q.g = n.g""".stripMargin,
+
+    // confusion counts per lang; each rate one round-6 double
+    // division over exact longs; zero denominators stay NULL
+    "a50_fairness" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars >= 400 AS y,
+        |    length(regexp_replace(text, ' ', '', 'g')) >= 330 AS h
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND text IS NOT NULL),
+        |c AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    SUM(CASE WHEN y AND h THEN 1 ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN NOT y AND h THEN 1 ELSE 0 END) AS fp,
+        |    SUM(CASE WHEN y AND NOT h THEN 1 ELSE 0 END) AS fn,
+        |    SUM(CASE WHEN NOT y AND NOT h THEN 1 ELSE 0 END) AS tn
+        |  FROM s GROUP BY 1),
+        |o AS (SELECT SUM(tp + fp) AS selall, SUM(n) AS nall FROM c)
+        |SELECT lang, CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(tn AS BIGINT) AS tn,
+        |  CASE WHEN n > 0 THEN ROUND(CAST(tp + fp AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6) END AS selection_rate,
+        |  CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE)
+        |    / CAST(tp + fn AS DOUBLE), 6) END AS tpr,
+        |  CASE WHEN fp + tn > 0 THEN ROUND(CAST(fp AS DOUBLE)
+        |    / CAST(fp + tn AS DOUBLE), 6) END AS fpr,
+        |  CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE)
+        |    / CAST(tp + fp AS DOUBLE), 6) END AS ppv,
+        |  CASE WHEN n > 0 AND o.nall > 0 THEN
+        |    ROUND(CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(o.selall AS DOUBLE) / CAST(o.nall AS DOUBLE), 6)
+        |  END AS dp_gap
+        |FROM c, o""".stripMargin,
+
+    // both 256-hash sketches, the union sketch, and every estimate
+    // replayed hash-for-hash (the a37 mixer fold + ORDER BY/LIMIT)
+    "a51_kmv" ->
+      """WITH ea AS (
+        |  SELECT user_id FROM events
+        |  WHERE user_id IS NOT NULL AND EXTRACT(day FROM ts) <= 15),
+        |eb AS (
+        |  SELECT user_id FROM events
+        |  WHERE user_id IS NOT NULL AND EXTRACT(day FROM ts) > 15),
+        |ma AS (
+        |  SELECT (b & 2147483647) * 2654435761 AS c FROM (
+        |    SELECT xor(a, a >> 31) AS b FROM (
+        |      SELECT (((user_id % 2147483648) + 2147483648)
+        |        % 2147483648) * 2654435761 AS a FROM ea))),
+        |hha AS (
+        |  SELECT DISTINCT (((xor(c, c >> 31) % 2147483648)
+        |    + 2147483648) % 2147483648) + 1 AS h FROM ma),
+        |mb AS (
+        |  SELECT (b & 2147483647) * 2654435761 AS c FROM (
+        |    SELECT xor(a, a >> 31) AS b FROM (
+        |      SELECT (((user_id % 2147483648) + 2147483648)
+        |        % 2147483648) * 2654435761 AS a FROM eb))),
+        |hhb AS (
+        |  SELECT DISTINCT (((xor(c, c >> 31) % 2147483648)
+        |    + 2147483648) % 2147483648) + 1 AS h FROM mb),
+        |ska AS (SELECT h FROM hha ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM hhb ORDER BY h LIMIT 256),
+        |sku AS (
+        |  SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        |  ORDER BY h LIMIT 256),
+        |ta AS (SELECT COUNT(*) AS ka, MAX(h) AS thra FROM ska),
+        |tb AS (SELECT COUNT(*) AS kb, MAX(h) AS thrb FROM skb),
+        |tu AS (SELECT COUNT(*) AS ku, MAX(h) AS thru FROM sku),
+        |ti AS (
+        |  SELECT COUNT(*) AS i
+        |  FROM ska JOIN skb USING (h) CROSS JOIN tu
+        |  WHERE ska.h <= tu.thru),
+        |xi AS (
+        |  SELECT COUNT(*) AS exact_intersection FROM
+        |    (SELECT DISTINCT user_id FROM ea) da
+        |    JOIN (SELECT DISTINCT user_id FROM eb) db
+        |    USING (user_id)),
+        |est AS (
+        |  SELECT
+        |    CASE WHEN ka < 256 THEN CAST(ka AS DOUBLE)
+        |      ELSE ROUND(255.0 * 2147483648.0
+        |        / CAST(thra AS DOUBLE), 6) END AS est_a,
+        |    CASE WHEN kb < 256 THEN CAST(kb AS DOUBLE)
+        |      ELSE ROUND(255.0 * 2147483648.0
+        |        / CAST(thrb AS DOUBLE), 6) END AS est_b,
+        |    CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+        |      ELSE ROUND(255.0 * 2147483648.0
+        |        / CAST(thru AS DOUBLE), 6) END AS est_union,
+        |    CASE WHEN ku > 0 THEN
+        |      ROUND(CAST(i AS DOUBLE) / CAST(ku AS DOUBLE), 6)
+        |    END AS jaccard_est, ku, i
+        |  FROM ta, tb, tu, ti)
+        |SELECT CAST(256 AS BIGINT) AS k, est_a, est_b, est_union,
+        |  jaccard_est,
+        |  CASE WHEN ku > 0 THEN
+        |    ROUND(ROUND(CAST(i AS DOUBLE) / CAST(ku AS DOUBLE), 6)
+        |      * est_union, 6) END AS est_intersection,
+        |  CAST(exact_intersection AS BIGINT) AS exact_intersection
+        |FROM est, xi""".stripMargin,
 
     // slot-marginal PMI over the adjacent-bigram frame; ln on the
     // identical double ratio

@@ -1061,6 +1061,150 @@ object Quality {
           .as("rho"))
   }
 
+  /** Per-group classification fairness audit — confusion counts and
+    * the standard group-fairness rates for a binary prediction
+    * against a binary label, per sensitive group: selection rate
+    * (demographic-parity lens), TPR (equal-opportunity lens), FPR and
+    * PPV (equalized-odds / calibration lenses), plus each group's
+    * selection-rate gap against the overall rate. Rates are round-6
+    * doubles over exact long counts (one division each — no
+    * accumulation anywhere); any rate with a zero denominator is
+    * null, never 0 (a group with no positives has UNDEFINED TPR — a
+    * 0 would read as a fairness violation).
+    *
+    * Scale shape: one hash agg to the groups frame; the overall rate
+    * attaches as a 1-row broadcast. Rows with a null group, label, or
+    * prediction are excluded (audit the missingness separately —
+    * [[missingness]] exists for that).
+    *
+    * @return one row per group: (group, n, tp, fp, fn, tn,
+    *         selection_rate, tpr, fpr, ppv, dp_gap) */
+  def groupFairness(df: DataFrame, groupCol: String, label: Column,
+                    pred: Column): DataFrame = {
+    val src = df.filter(col(groupCol).isNotNull &&
+        label.isNotNull && pred.isNotNull)
+      .select(col(groupCol).as("__g"), label.as("__y"), pred.as("__h"))
+    val grouped = src.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__y") && col("__h"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("__y") && col("__h"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("__y") && !col("__h"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("__y") && !col("__h"), 1L).otherwise(0L)).as("tn"))
+    val overall = grouped.agg(
+      sum(col("tp") + col("fp")).as("__selAll"),
+      sum(col("n")).as("__nAll"))
+    def rate(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+    grouped.crossJoin(broadcast(overall)) // 1-row overall attach
+      .select(col("__g").as(groupCol), col("n"), col("tp"),
+        col("fp"), col("fn"), col("tn"),
+        rate(col("tp") + col("fp"), col("n")).as("selection_rate"),
+        rate(col("tp"), col("tp") + col("fn")).as("tpr"),
+        rate(col("fp"), col("fp") + col("tn")).as("fpr"),
+        rate(col("tp"), col("tp") + col("fp")).as("ppv"),
+        when(col("n") > 0 && col("__nAll") > 0,
+          round((col("tp") + col("fp")).cast("double") /
+              col("n").cast("double") -
+            col("__selAll").cast("double") /
+              col("__nAll").cast("double"), 6)).as("dp_gap"))
+  }
+
+  /** Average precision (area under the precision–recall curve, the
+    * step-wise estimator) — the ranking metric that matters when
+    * positives are rare and ROC-AUC flatters. Thresholds are the
+    * distinct scores descending; AP = Σ_v ΔR_v·P_v =
+    * Σ_v pos_v·cumPos_v / (n_pos·cumTot_v), a sum of per-threshold
+    * RATIONALS (unlike [[rocAuc]] there is no single-rational
+    * collapse — denominators differ per term), so each term is pinned
+    * to the pico grid by TRUNCATING integer division,
+    * (pos_v·cumPos_v·10¹²) div (n_pos·cumTot_v) in decimal(38,0), and
+    * the pico sum is exact and engine-replayable (DuckDB `//` on
+    * HUGEINT truncates identically for non-negatives). Truncation
+    * understates each term by < 10⁻¹² — under the round-6 output grid
+    * until ~10⁶ distinct thresholds, the honest resolution of a
+    * 6-dp-rounded score anyway. No positives → ap null.
+    *
+    * Scale shape: one hash agg to the distinct-score frame,
+    * [[Prefix.strictBelow]] ascending prefix; "cumulative from the
+    * top" is totals − strict-below (totals attach as a 1-row
+    * broadcast), 1-row reduce.
+    *
+    * @return one row: (n_pos, n_neg, ap) */
+  def averagePrecision(df: DataFrame, scoreCol: String, isPos: Column,
+                       bucketSize: Long = 1048576L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val src = df.filter(col(scoreCol).isNotNull && isPos.isNotNull)
+      .select((r6d(col(scoreCol)).cast("decimal(18,6)") * 1000000L)
+        .cast(dec).cast("long").as("__mu"), isPos.as("__p"))
+    val counts = src.groupBy(col("__mu")).agg(
+      sum(when(col("__p"), 1L).otherwise(0L)).as("__cp"),
+      sum(when(!col("__p"), 1L).otherwise(0L)).as("__ct"))
+      .withColumn("__ct", col("__ct") + col("__cp"))
+    val below = Prefix.strictBelow(counts, Nil, "__mu",
+      Seq("__cp", "__ct"), bucketSize)
+    val totals = counts.agg(
+      coalesce(sum(col("__cp")), lit(0L)).as("__np"),
+      coalesce(sum(col("__ct")), lit(0L)).as("__nt"))
+    below.crossJoin(broadcast(totals)) // 1-row totals attach
+      .select(col("__np"), col("__nt"), col("__cp"),
+        (col("__np") - col("__below___cp")).as("__cumPos"),
+        (col("__nt") - col("__below___ct")).as("__cumTot"))
+      .agg(first(col("__np")).as("__np2"),
+        first(col("__nt")).as("__nt2"),
+        coalesce(sum(when(col("__np") > 0,
+          expr(s"""(cast(__cp as $dec) * cast(__cumPos as $dec)
+            * cast(1000000000000 as $dec))
+            div (cast(__np as $dec) * cast(__cumTot as $dec))""")
+          ).otherwise(lit(0L))), lit(0L)).as("__picos"))
+      .select(coalesce(col("__np2"), lit(0L)).as("n_pos"),
+        (coalesce(col("__nt2"), lit(0L)) -
+          coalesce(col("__np2"), lit(0L))).as("n_neg"),
+        when(col("__np2") > 0,
+          round(col("__picos").cast("double") / 1e12, 6)).as("ap"))
+  }
+
+  /** Split-conformal prediction threshold — per group, the
+    * finite-sample-corrected (1−α) quantile of a calibration
+    * nonconformity score: q̂ = the k-th smallest score with
+    * k = ⌈(n+1)(1−α)⌉, the value that guarantees ≥ 1−α marginal
+    * coverage for exchangeable data. α enters as EXACT micro-units
+    * (k = ((n+1)·(10⁶−α_μ) + 10⁶−1) div 10⁶ — no double ever touches
+    * the order statistic), and q̂ is "the smallest score whose
+    * ≤-cumulative count reaches k" — an order statistic found by
+    * prefix counts, never a per-group sort. k > n (too little
+    * calibration data for this α) → q̂ null, k still reported.
+    *
+    * Scale shape: one hash agg to the per-(group, distinct-score)
+    * frame, [[Prefix.strictBelow]] per group, a group-keyed min-agg
+    * over qualifying rows, left-joined back to the per-group counts
+    * frame (groups with k > n survive with null q̂).
+    *
+    * @return one row per group: (groupCols*, n, k, qhat_micros) */
+  def conformalThreshold(df: DataFrame, scoreCol: String,
+                         groupCols: Seq[String], alphaMicros: Long,
+                         bucketSize: Long = 1048576L): DataFrame = {
+    require(alphaMicros > 0 && alphaMicros < 1000000L,
+      "alphaMicros must be in (0, 1e6)")
+    val g = groupCols.map(col)
+    val src = df.filter(col(scoreCol).isNotNull)
+      .select((groupCols.map(col) :+
+        (r6d(col(scoreCol)).cast("decimal(18,6)") * 1000000L)
+          .cast("decimal(38,0)").cast("long").as("__mu")): _*)
+    val counts = src.groupBy((g :+ col("__mu")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val below = Prefix.strictBelow(counts, groupCols, "__mu",
+      Seq("__c"), bucketSize)
+      .withColumn("__cum", col("__below___c") + col("__c"))
+    val perGroup = counts.groupBy(g: _*).agg(sum(col("__c")).as("n"))
+      .withColumn("k", expr(
+        s"((n + 1) * ${1000000L - alphaMicros} + 999999) div 1000000"))
+    val qhat = below.join(perGroup, groupCols)
+      .filter(col("__cum") >= col("k"))
+      .groupBy(g: _*).agg(min(col("__mu")).as("qhat_micros"))
+    perGroup.join(qhat, groupCols, "left")
+      .select((g :+ col("n") :+ col("k") :+ col("qhat_micros")): _*)
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical "raters" over the same rows (the inter-annotator /
     * model-vs-gold agreement statistic every labeling pipeline

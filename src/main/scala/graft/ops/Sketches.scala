@@ -114,6 +114,125 @@ object Sketches {
           col("exact").cast("double"), 6).as("rel_error"))
   }
 
+  /** The KMV hash: the same portable multiply–xorshift–fold mixer as
+    * [[hllIdxRho]], folded onto [1, 2³¹] so the k-minimum-values
+    * threshold arithmetic runs in plain BIGINT in any engine. */
+  private[graft] def kmvHash(key: Column): Column = {
+    def shr(c: Column, n: Int): Column =
+      call_function("shiftright", c, lit(n))
+    val x = pmod(key.cast("long"), lit(2147483648L))
+    val a = x * lit(2654435761L)
+    val b = a.bitwiseXOR(shr(a, 31))
+    val c = b.bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+    val w = c.bitwiseXOR(shr(c, 31))
+    pmod(w, lit(2147483648L)) + 1L
+  }
+
+  /** K-minimum-values distinct sketch — the OTHER mergeable
+    * cardinality sketch, kept beside [[hllDistinct]] for the one
+    * thing HLL cannot do: SET OPERATIONS ([[kmvOverlap]] estimates
+    * intersections and Jaccard from two KMV sketches; HLL registers
+    * only union). The sketch is the k smallest distinct hash values;
+    * with threshold h₍k₎, E = (k−1)·M/h₍k₎ (the classic KMV
+    * estimator, M = 2³¹); fewer than k distinct hashes → the sketch
+    * IS the distinct set and the estimate is exact-modulo-collisions
+    * (the 2³¹ fold's birthday term — documented, not hidden: audit
+    * columns carry the true countDistinct and relative error).
+    *
+    * Scale shape: narrow hash projection → distinct agg (map-side
+    * combine) → `orderBy.limit(k)` which Spark executes as
+    * TakeOrdered — a per-partition top-k merged on the driver, never
+    * a global sort. k rows of state; mergeable by unioning sketches
+    * and re-taking the k smallest.
+    *
+    * @return one row: (k, hashes_kept, threshold, estimate, exact,
+    *         rel_error) */
+  def kmvDistinct(df: DataFrame, keyCol: String,
+                  k: Int = 1024): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val src = df.filter(col(keyCol).isNotNull)
+    val sk = src.select(kmvHash(col(keyCol)).as("__h")).distinct()
+      .orderBy(col("__h")).limit(k)
+    val agg = sk.agg(count(lit(1)).as("hashes_kept"),
+      max(col("__h")).as("threshold"))
+    val exact = src.agg(countDistinct(col(keyCol)).as("exact"))
+    agg.crossJoin(broadcast(exact))
+      .select(lit(k.toLong).as("k"), col("hashes_kept"),
+        col("threshold"),
+        when(col("hashes_kept") < k,
+            col("hashes_kept").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(2147483648.0) /
+            col("threshold").cast("double"), 6)).as("estimate"),
+        col("exact"),
+        when(col("exact") > 0,
+          round(abs(when(col("hashes_kept") < k,
+              col("hashes_kept").cast("double"))
+            .otherwise(round(lit((k - 1).toDouble) *
+              lit(2147483648.0) / col("threshold").cast("double"), 6))
+            - col("exact").cast("double")) /
+            col("exact").cast("double"), 6)).as("rel_error"))
+  }
+
+  /** KMV set-operation estimates for two keyed corpora — union,
+    * intersection, and Jaccard from the two k-row sketches alone
+    * (the reason KMV ships at all; see [[kmvDistinct]]). The union
+    * sketch is the k smallest of the merged hash sets with threshold
+    * τ; ρ = |common hashes ≤ τ| / |union sketch| is the Jaccard
+    * estimator, and the intersection estimate is ρ·Ê(union). Every
+    * estimate is a round-6 double over exact longs; the exact
+    * intersection rides along as the audit column.
+    *
+    * Scale shape: two TakeOrdered sketches + tiny k-row joins; the
+    * only corpus-sized work is the two distinct aggs and the exact
+    * audit (drop `withExact` at true scale).
+    *
+    * @return one row: (k, est_a, est_b, est_union, jaccard_est,
+    *         est_intersection, exact_intersection) */
+  def kmvOverlap(dfA: DataFrame, dfB: DataFrame, keyCol: String,
+                 k: Int = 1024): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    def sketch(d: DataFrame): DataFrame =
+      d.filter(col(keyCol).isNotNull)
+        .select(kmvHash(col(keyCol)).as("__h")).distinct()
+        .orderBy(col("__h")).limit(k)
+    def est(kept: Column, thr: Column): Column =
+      when(kept < k, kept.cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(2147483648.0) /
+          thr.cast("double"), 6))
+    val sa = sketch(dfA).withColumnRenamed("__h", "__ha")
+    val sb = sketch(dfB).withColumnRenamed("__h", "__hb")
+    val su = sa.select(col("__ha").as("__h"))
+      .union(sb.select(col("__hb").as("__h"))).distinct()
+      .orderBy(col("__h")).limit(k)
+    val aggA = sa.agg(count(lit(1)).as("__ka"), max(col("__ha")).as("__ta"))
+    val aggB = sb.agg(count(lit(1)).as("__kb"), max(col("__hb")).as("__tb"))
+    val aggU = su.agg(count(lit(1)).as("__ku"), max(col("__h")).as("__tu"))
+    val common = sa.join(sb, col("__ha") === col("__hb"))
+      .select(col("__ha").as("__h"))
+      .crossJoin(broadcast(aggU))
+      .filter(col("__h") <= col("__tu"))
+      .agg(count(lit(1)).as("__i"))
+    val exactI = dfA.filter(col(keyCol).isNotNull)
+      .select(col(keyCol)).distinct()
+      .join(dfB.filter(col(keyCol).isNotNull)
+        .select(col(keyCol)).distinct(), Seq(keyCol))
+      .agg(count(lit(1)).as("exact_intersection"))
+    aggA.crossJoin(broadcast(aggB)).crossJoin(broadcast(aggU))
+      .crossJoin(broadcast(common)).crossJoin(broadcast(exactI))
+      .select(lit(k.toLong).as("k"),
+        est(col("__ka"), col("__ta")).as("est_a"),
+        est(col("__kb"), col("__tb")).as("est_b"),
+        est(col("__ku"), col("__tu")).as("est_union"),
+        when(col("__ku") > 0,
+          round(col("__i").cast("double") /
+            col("__ku").cast("double"), 6)).as("jaccard_est"),
+        when(col("__ku") > 0,
+          round(round(col("__i").cast("double") /
+              col("__ku").cast("double"), 6) *
+            est(col("__ku"), col("__tu")), 6)).as("est_intersection"),
+        col("exact_intersection"))
+  }
+
   /** Build a depth×width count-min sketch of a NON-NEGATIVE integer key
     * column: returns `(row, bucket, cnt)` with at most depth·width rows
     * regardless of input size. Two-phase: exact per-key partial counts

@@ -316,6 +316,90 @@ class QualitySpec extends SparkSpec {
     assert(v0._4.isEmpty, v0.toString)
   }
 
+  test("groupFairness: hand confusion rates per group; undefined " +
+    "rates are null (not 0); dp_gap is vs the overall rate; null " +
+    "rows excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", Some(true), Some(true)), ("A", Some(true), Some(false)),
+      ("A", Some(false), Some(true)), ("A", Some(false), Some(false)),
+      ("B", Some(false), Some(false)), ("B", Some(false), Some(false)),
+      ("B", None, Some(true)), ("B", Some(true), None))
+      .toDF("g", "y", "h")
+    val got = Quality.groupFairness(df, "g", col("y"), col("h"))
+      .as[(String, Long, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // overall selection = 2/6; A: one of each cell
+    assert(got("A") == (("A", 4L, 1L, 1L, 1L, 1L, Some(0.5),
+      Some(0.5), Some(0.5), Some(0.5), Some(0.166667))),
+      got("A").toString)
+    // B: no actual/predicted positives -> tpr and ppv UNDEFINED
+    assert(got("B") == (("B", 2L, 0L, 0L, 0L, 2L, Some(0.0),
+      None, Some(0.0), None, Some(-0.333333))), got("B").toString)
+  }
+
+  test("averagePrecision: hand value 0.833333 on the 3-row fixture; " +
+    "perfect ranking 1; all-tied scores = prevalence; no negatives 1; " +
+    "no positives null; tiny buckets agree") {
+    import spark.implicits._
+    val df = Seq((0.9, true), (0.8, false), (0.7, true)).toDF("s", "p")
+    val got = Quality.averagePrecision(df, "s", col("p"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((2L, 1L, Some(0.833333))), got.toString)
+    val perfect = Seq((0.9, true), (0.8, true), (0.1, false))
+      .toDF("s", "p")
+    assert(Quality.averagePrecision(perfect, "s", col("p"))
+      .as[(Long, Long, Option[Double])].collect().head._3
+      .contains(1.0))
+    val tied = Seq((0.5, true), (0.5, false), (0.5, false))
+      .toDF("s", "p")
+    assert(Quality.averagePrecision(tied, "s", col("p"))
+      .as[(Long, Long, Option[Double])].collect().head._3
+      .contains(0.333333))
+    val allPos = Seq((0.3, true), (0.7, true)).toDF("s", "p")
+    assert(Quality.averagePrecision(allPos, "s", col("p"))
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((2L, 0L, Some(1.0))))
+    val noPos = Seq((0.3, false), (0.7, false)).toDF("s", "p")
+    assert(Quality.averagePrecision(noPos, "s", col("p"))
+      .as[(Long, Long, Option[Double])].collect().head ==
+      ((0L, 2L, None)))
+    val tiny = Quality.averagePrecision(df, "s", col("p"),
+        bucketSize = 2L)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(tiny == got, s"tiny-bucket $tiny vs default $got")
+  }
+
+  test("conformalThreshold: k = ceil((n+1)(1-alpha)) order statistic " +
+    "per group; too-small groups null qhat but report k; tie blocks " +
+    "satisfy the cumulative; tiny buckets agree") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("A", i.toDouble)) ++
+      (1 to 3).map(i => ("B", i.toDouble))).toDF("g", "s")
+    val got = Quality.conformalThreshold(df, "s", Seq("g"),
+        alphaMicros = 100000L)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // A: k = ceil(11*0.9) = 10 -> the 10th smallest = 10.0
+    assert(got("A") == ((10L, 10L, Some(10000000L))), got.toString)
+    // B: k = ceil(4*0.9) = 4 > n = 3 -> no valid threshold
+    assert(got("B") == ((3L, 4L, None)), got.toString)
+    // ties: scores [1,1,1,2], alpha .5 -> k = 3, cum(1) = 3 -> qhat 1
+    val ties = Seq(("C", 1.0), ("C", 1.0), ("C", 1.0), ("C", 2.0))
+      .toDF("g", "s")
+    val t = Quality.conformalThreshold(ties, "s", Seq("g"),
+        alphaMicros = 500000L)
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(t == (("C", 4L, 3L, Some(1000000L))), t.toString)
+    val tiny = Quality.conformalThreshold(df, "s", Seq("g"),
+        alphaMicros = 100000L, bucketSize = 2L)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(tiny == got, s"tiny-bucket $tiny vs default $got")
+  }
+
   test("spearmanCorr: hand tie fixture 0.948683; perfect monotone " +
     "(nonlinear) 1; reversed -1; constant axis null; tiny buckets " +
     "agree") {

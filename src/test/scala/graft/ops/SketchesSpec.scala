@@ -121,4 +121,61 @@ class SketchesSpec extends SparkSpec {
     assert(tiny.getLong(1) <= 5L && tiny.getDouble(2) < 20.0,
       tiny.toString)
   }
+
+  test("kmvDistinct: scalar replication of the folded hash and " +
+    "threshold; exact below k; estimate within 4 sigma at k=64 on " +
+    "5000 keys; duplicates don't move the sketch") {
+    import spark.implicits._
+    def mix(x: Long): Long = {
+      val a = (((x % 2147483648L) + 2147483648L) % 2147483648L) *
+        2654435761L
+      val b = a ^ (a >>> 31)
+      val c = (b & 2147483647L) * 2654435761L
+      val w = c ^ (c >>> 31)
+      (((w % 2147483648L) + 2147483648L) % 2147483648L) + 1L
+    }
+    // below k: sketch IS the distinct set, estimate exact
+    val small = Seq(1L, 2L, 3L, 2L, 1L).toDF("k")
+    val s = Sketches.kmvDistinct(small, "k", k = 16).collect().head
+    assert(s.getLong(1) == 3L && s.getDouble(3) == 3.0 &&
+      s.getLong(4) == 3L && s.getDouble(5) == 0.0, s.toString)
+    assert(s.getLong(2) == Seq(1L, 2L, 3L).map(mix).max ||
+      s.getLong(2) == Seq(1L, 2L, 3L).map(mix).sorted.last, s.toString)
+    // at k=64 over 5000 distinct: threshold replicates the scalar
+    // 64th-smallest hash; 4 sigma = 4/sqrt(62) = 51%
+    val keys = (1L to 5000L)
+    val df = (keys ++ keys).toDF("k")
+    val row = Sketches.kmvDistinct(df, "k", k = 64).collect().head
+    val scalarThr = keys.map(mix).toSet.toSeq.sorted.apply(63)
+    assert(row.getLong(2) == scalarThr,
+      s"threshold ${row.getLong(2)} vs scalar $scalarThr")
+    val est = row.getDouble(3)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.51, s"estimate $est")
+    val once = Sketches.kmvDistinct(keys.toDF("k"), "k", k = 64)
+      .collect().head
+    assert(once.getLong(2) == row.getLong(2) &&
+      once.getDouble(3) == est, "duplicates moved the sketch")
+  }
+
+  test("kmvOverlap: identical inputs give jaccard 1 and est_int == " +
+    "est_union; disjoint hash sets give jaccard 0; half-overlap " +
+    "lands near 1/3") {
+    import spark.implicits._
+    val a = (1L to 2000L).toDF("k")
+    val same = Sketches.kmvOverlap(a, a, "k", k = 64).collect().head
+    assert(same.getDouble(4) == 1.0, same.toString)
+    assert(same.getDouble(5) == same.getDouble(3), same.toString)
+    assert(same.getLong(6) == 2000L, same.toString)
+    val b = (2001L to 4000L).toDF("k")
+    val disj = Sketches.kmvOverlap(a, b, "k", k = 64).collect().head
+    // disjoint keys: common hashes only by rare collision
+    assert(disj.getDouble(4) <= 0.05, disj.toString)
+    assert(disj.getLong(6) == 0L, disj.toString)
+    // A = 1..2000, B = 1001..3000: jaccard = 1000/3000 = 1/3
+    val c = (1001L to 3000L).toDF("k")
+    val half = Sketches.kmvOverlap(a, c, "k", k = 256).collect().head
+    val j = half.getDouble(4)
+    assert(j > 0.15 && j < 0.55, s"jaccard $j not near 1/3")
+    assert(half.getLong(6) == 1000L, half.toString)
+  }
 }

@@ -1172,6 +1172,37 @@ object SparkEntry {
           window = 2, minCount = 5),
         "t1", "t2", k = 4, rounds = 8)),
 
+    // ---- G4: label-propagation communities (3 rounds) on the term
+    // co-occurrence graph — deterministic LPA (most frequent neighbor
+    // label, ties to the smallest); early stop only at a fixpoint,
+    // which is invariant under replaying the full budget. ----
+    "g_labelprop" -> ((s, dir) =>
+      Graphs.labelPropagation(
+        TextOps.gloveCooccur(t(s, dir, "documents"), "text",
+          window = 2, minCount = 5),
+        "t1", "t2", rounds = 3)),
+
+    // ---- J19: blocked edit-distance self-join — typo-class fuzzy
+    // matching of customer names within nation blocks; banded
+    // levenshtein (threshold sentinel −1) behind a necessary length
+    // filter; a<b orders the pair once. ----
+    "j19_edit_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      ops.Linkage.editDistanceJoin(c, c, col("a_c_nationkey"),
+          col("b_c_nationkey"), "c_name", "c_name", maxDist = 2)
+        .filter(col("a_c_custkey") < col("b_c_custkey"))
+        .select(col("a_c_custkey"), col("b_c_custkey"),
+          col("edit_dist"))
+    }),
+
+    // ---- E: embedding centroid drift — per-label cosine between the
+    // even-id and odd-id slice centroids; compares exact micro-unit
+    // SUM vectors (cosine is scale-invariant, so no mean is ever
+    // taken), one double sqrt/division per label. ----
+    "e_centroid_drift" -> ((s, dir) =>
+      sim.Similarity.centroidDrift(t(s, dir, "embeddings"), "label",
+        "embedding", col("vec_id") % 2 === 0)),
+
     // ---- G2: damped PageRank over the customer→supplier purchase
     // graph (edge weight = lineitem count) — TWO unrolled iterations
     // with teleport AND dangling-mass redistribution genuinely
@@ -5418,6 +5449,93 @@ object SparkEntry {
          |SELECT node, COUNT(*) AS core_degree FROM (
          |  SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
          |GROUP BY node""".stripMargin
+    },
+
+    // DuckDB's own levenshtein as the cross-impl distance oracle;
+    // the length filter is restated so the candidate set matches
+    "j19_edit_join" ->
+      """SELECT a.c_custkey AS a_c_custkey,
+        |  b.c_custkey AS b_c_custkey,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 2
+        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    // exact micro-unit sum vectors per (label, dim, slice); HUGEINT
+    // dot/norm reductions, one double sqrt/division
+    "e_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 = 0 AS a, embedding
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |    AND vec_id IS NOT NULL),
+        |c AS (
+        |  SELECT label, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS n_b
+        |  FROM e GROUP BY 1),
+        |x AS (
+        |  SELECT e.label, e.a, d.dim,
+        |    CAST(CAST(ROUND(CAST(e.embedding[d.dim + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM e, (SELECT unnest(range(0, 64)) AS dim) d),
+        |m AS (
+        |  SELECT label, dim,
+        |    SUM(CASE WHEN a THEN v ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN NOT a THEN v ELSE 0 END) AS sb
+        |  FROM x GROUP BY 1, 2),
+        |r AS (
+        |  SELECT label, SUM(sa * sb) AS dot, SUM(sa * sa) AS na2,
+        |    SUM(sb * sb) AS nb2
+        |  FROM m GROUP BY 1)
+        |SELECT c.label, CAST(c.n_a AS BIGINT) AS n_a,
+        |  CAST(c.n_b AS BIGINT) AS n_b,
+        |  CASE WHEN r.na2 > 0 AND r.nb2 > 0 THEN
+        |    ROUND(CAST(r.dot AS DOUBLE) / SQRT(CAST(r.na2 AS DOUBLE)
+        |      * CAST(r.nb2 AS DOUBLE)), 6) END AS cosine
+        |FROM c LEFT JOIN r ON r.label = c.label""".stripMargin,
+
+    // all 3 LPA rounds unrolled; argmax = ROW_NUMBER (count desc,
+    // label) — the same deterministic tiebreak as the Spark window
+    "g_labelprop" -> {
+      val base =
+        """WITH tk AS (
+          |  SELECT doc_id, list_filter(
+          |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w
+          |  FROM documents),
+          |t0 AS (
+          |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS tok
+          |  FROM tk),
+          |cooc AS (
+          |  SELECT LEAST(a.tok, b.tok) AS t1, GREATEST(a.tok, b.tok) AS t2
+          |  FROM t0 a JOIN t0 b
+          |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+          |e0 AS MATERIALIZED (SELECT DISTINCT t1 AS u, t2 AS v
+          |       FROM cooc WHERE t1 <> t2),
+          |adj AS MATERIALIZED (
+          |  SELECT u AS n, v AS m FROM e0
+          |  UNION ALL SELECT v AS n, u AS m FROM e0),
+          |l0 AS MATERIALIZED (
+          |  SELECT node, node AS label FROM
+          |    (SELECT u AS node FROM e0 UNION SELECT v FROM e0))"""
+          .stripMargin
+      val roundsSql = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT a.n, l.label, COUNT(*) AS c
+           |  FROM adj a JOIN l${i - 1} l ON l.node = a.m
+           |  GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (
+           |  SELECT n AS node, label FROM (
+           |    SELECT n, label, ROW_NUMBER() OVER (
+           |      PARTITION BY n ORDER BY c DESC, label) AS r
+           |    FROM c$i) WHERE r = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$roundsSql
+         |SELECT node, label AS community FROM l3""".stripMargin
     },
 
     // both PageRank rounds replayed: exact long/long out-probs

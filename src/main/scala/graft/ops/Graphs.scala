@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics over plain edge DataFrames — the
@@ -113,6 +114,60 @@ object Graphs {
     e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).cast("long").as("core_degree"))
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, made DETERMINISTIC): every node starts as its own
+    * label; each round, every node adopts the most frequent label
+    * among its neighbors, ties broken by the SMALLEST label — no RNG,
+    * no visit order, so any engine replays it bit-for-bit. Runs a
+    * FIXED round budget with an early stop only at an exact fixpoint:
+    * a fixpoint is invariant under further rounds, so an oracle that
+    * always replays `rounds` rounds still matches (the k-core
+    * early-stop contract). Synchronous LPA can 2-cycle on bipartite
+    * structure — the fixed budget makes even that deterministic
+    * (round parity decides, identically in both engines).
+    *
+    * Scale shape per round: one adjacency join keyed on the neighbor
+    * (labels stay distributed), one (node, label) hash agg, one
+    * argmax window over THAT frame — partitioned by node, so the
+    * window is per-node-degree-sized, never global.
+    * `localCheckpoint` cuts lineage each round (iterative-op
+    * contract). Rounds is small by design: LPA communities form in a
+    * handful of sweeps; at 100 TB you cap rounds, not nodes.
+    *
+    * @return (node, community) — community = the converged (or
+    *         round-budget) label */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = canonicalEdges(edges, aCol, bCol).localCheckpoint()
+    val adj = e.select(col("u").as("__n"), col("v").as("__m"))
+      .union(e.select(col("v").as("__n"), col("u").as("__m")))
+    var lab = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .distinct().select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < rounds) {
+      val nb = adj.join(
+        lab.select(col("node").as("__m"), col("label")), Seq("__m"))
+      val cnt = nb.groupBy(col("__n"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("__n"))
+        .orderBy(col("__c").desc, col("label"))
+      val next = cnt.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("__n").as("node"), col("label"))
+        .localCheckpoint()
+      val changed = next.join(lab.withColumnRenamed("label", "__old"),
+          Seq("node"))
+        .filter(col("label") =!= col("__old")).limit(1).count()
+      lab = next
+      if (changed == 0) converged = true
+      i += 1
+    }
+    lab.select(col("node"), col("label").as("community"))
   }
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,

@@ -63,6 +63,34 @@ object Linkage {
     }
   }
 
+  /** Blocked edit-distance similarity join — the fuzzy-string join
+    * for typo-class noise (ids mistyped, names OCR'd), composing
+    * [[blockedPairs]] with a banded Levenshtein: a cheap length
+    * filter (|len a − len b| ≤ d is a NECESSARY condition) prunes
+    * before the DP, and the DP itself is Spark's THRESHOLDED
+    * `levenshtein(a, b, d)` — O(d·min(len)) banded, returning −1 the
+    * moment the band is exceeded instead of filling the full matrix.
+    * Same honest-cost contract as every blocked op here:
+    * Σ_blocks |a|·|b| candidate pairs, `maxBucket` drops degenerate
+    * blocks whole with the `linkage_dropped_blocks` Observation.
+    *
+    * @return the `a_`/`b_`-prefixed pair frame + `edit_dist` (long),
+    *         only pairs within `maxDist` */
+  def editDistanceJoin(a: DataFrame, b: DataFrame, blockA: Column,
+                       blockB: Column, strA: String, strB: String,
+                       maxDist: Int,
+                       maxBucket: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    blockedPairs(a, b, blockA, blockB, maxBucket)
+      .filter(col(s"a_$strA").isNotNull && col(s"b_$strB").isNotNull)
+      .filter(abs(length(col(s"a_$strA")) -
+        length(col(s"b_$strB"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col(s"a_$strA"), col(s"b_$strB"), maxDist)
+          .cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+  }
+
   /** One comparison field: `agree` is a boolean Column over the
     * prefixed pair frame (e.g. `round(jaro_winkler_sim(a_name,
     * b_name), 6) >= 0.95`, `a_nation === b_nation`,

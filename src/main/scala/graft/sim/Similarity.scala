@@ -70,6 +70,54 @@ object Similarity {
       col("__mx").cast("double").as("vmax"), col("n_zero"))
   }
 
+  /** Embedding centroid drift — per group, the cosine between the
+    * centroids of two row slices (time halves, model versions, data
+    * snapshots): the one-number answer to "did this label's embedding
+    * cloud MOVE?". Cosine is scale-invariant, so the op never divides
+    * by n at all — it compares the exact micro-unit SUM vectors
+    * (cos(Σa/n_a, Σb/n_b) = cos(Σa, Σb)), killing every mean-of-
+    * doubles hazard: per-(group, dim, slice) sums are exact longs,
+    * the dot/norm reductions run in decimal(38,0), and one double
+    * sqrt/division lands the answer. An empty or zero-norm side →
+    * cosine null.
+    *
+    * Scale shape: one posexplode to (group, dim, slice) — n·D narrow
+    * rows into a dim-keyed hash agg (the [[embeddingQc]] shuffle
+    * shape), then a group-keyed reduce over the D-sized frame.
+    *
+    * @param inA boolean Column: true → slice A, false → slice B
+    *        (null rows excluded)
+    * @return one row per group: (group, n_a, n_b, cosine) */
+  def centroidDrift(emb: DataFrame, groupCol: String, vecCol: String,
+                    inA: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val muV = (round(col("__v").cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000L).cast(dec).cast("long")
+    val src = emb.filter(col(groupCol).isNotNull &&
+        col(vecCol).isNotNull && inA.isNotNull)
+      .select(col(groupCol).as("__g"), inA.as("__a"), col(vecCol).as("__vec"))
+    val counts = src.groupBy(col("__g")).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val ex = src.select(col("__g"), col("__a"),
+        posexplode(col("__vec")).as(Seq("__d", "__v")))
+      .select(col("__g"), col("__d"),
+        when(col("__a"), muV).otherwise(0L).as("__va"),
+        when(!col("__a"), muV).otherwise(0L).as("__vb"))
+    val dims = ex.groupBy(col("__g"), col("__d")).agg(
+      sum(col("__va")).as("__sa"), sum(col("__vb")).as("__sb"))
+    val red = dims.groupBy(col("__g")).agg(
+      sum(col("__sa").cast(dec) * col("__sb").cast(dec)).as("__dot"),
+      sum(col("__sa").cast(dec) * col("__sa").cast(dec)).as("__na2"),
+      sum(col("__sb").cast(dec) * col("__sb").cast(dec)).as("__nb2"))
+    counts.join(red, counts("__g") === red("__g"), "left")
+      .select(counts("__g").as(groupCol), col("n_a"), col("n_b"),
+        when(col("__na2") > 0 && col("__nb2") > 0,
+          round(col("__dot").cast("double") /
+            sqrt(col("__na2").cast("double") *
+              col("__nb2").cast("double")), 6)).as("cosine"))
+  }
+
   /** Prefix-dimension recall audit — the Matryoshka-embedding
     * question (Kusupati et al. 2022): how much of the full-dimension
     * top-k survives when similarity uses only the FIRST d dims? A

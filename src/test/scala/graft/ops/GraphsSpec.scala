@@ -88,4 +88,29 @@ class GraphsSpec extends SparkSpec {
     // the 3x-weighted a->b edge must rank b above a
     assert(got("b") > got("a") && got("c") > got("b"), got.toString)
   }
+
+  test("labelPropagation: two disjoint triangles converge to their " +
+    "min-member label; early stop equals a larger round budget; a " +
+    "single edge 2-cycles deterministically by round parity") {
+    import spark.implicits._
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f")).toDF("x", "y")
+    val got = Graphs.labelPropagation(tri, "x", "y", rounds = 4)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "d"), got.toString)
+    // fixpoint invariance: 8 rounds == 4 rounds once converged
+    val more = Graphs.labelPropagation(tri, "x", "y", rounds = 8)
+      .as[(String, String)].collect().toMap
+    assert(more == got, more.toString)
+    // bipartite 2-cycle: even budget lands on the identity labels,
+    // odd budget on the swapped ones -- parity-deterministic
+    val edge = Seq(("a", "b")).toDF("x", "y")
+    val even = Graphs.labelPropagation(edge, "x", "y", rounds = 4)
+      .as[(String, String)].collect().toMap
+    assert(even == Map("a" -> "a", "b" -> "b"), even.toString)
+    val odd = Graphs.labelPropagation(edge, "x", "y", rounds = 3)
+      .as[(String, String)].collect().toMap
+    assert(odd == Map("a" -> "b", "b" -> "a"), odd.toString)
+  }
 }

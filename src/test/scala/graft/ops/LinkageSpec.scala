@@ -85,4 +85,22 @@ class LinkageSpec extends SparkSpec {
       ("dirty", 1L, 2L), ("clean", 3L, 6L), ("dirty", 3L, 6L)),
       got.toString)
   }
+
+  test("editDistanceJoin: banded levenshtein within blocks only; the " +
+    "length filter and the -1 threshold sentinel both prune; " +
+    "distances are exact") {
+    import spark.implicits._
+    val a = Seq((1L, "blk1", "kitten"), (2L, "blk1", "sitten"),
+      (3L, "blk1", "sitting"), (4L, "blk1", "apple"),
+      (5L, "blk2", "kitten")).toDF("id", "blk", "name")
+    val got = Linkage.editDistanceJoin(a, a, col("a_blk"),
+        col("b_blk"), "name", "name", maxDist = 2)
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "edit_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    // kitten~sitten 1, sitten~sitting 2; kitten~sitting is 3 (the
+    // banded DP returns -1 past the threshold) and blk2's kitten
+    // never pairs across blocks
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L)), got.toString)
+  }
 }

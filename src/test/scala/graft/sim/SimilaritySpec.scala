@@ -848,4 +848,23 @@ class SimilaritySpec extends SparkSpec {
       .select("relevance").as[Double].collect().head
     assert(rel == 1.0)
   }
+
+  test("centroidDrift: orthogonal sum vectors score 0, parallel 1, " +
+    "opposite -1; an empty slice nulls the cosine; counts per slice") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L, Seq(0.0f, 1.0f)), ("g", 2L, Seq(1.0f, 0.0f)),
+      ("h", 4L, Seq(1.0f, 1.0f)), ("h", 5L, Seq(2.0f, 2.0f)),
+      ("i", 6L, Seq(0.5f, 0.5f)), ("i", 7L, Seq(-0.5f, -0.5f)),
+      ("j", 8L, Seq(1.0f, 0.0f))
+    ).toDF("label", "vec_id", "embedding")
+    val got = Similarity.centroidDrift(df, "label", "embedding",
+        col("vec_id") % 2 === 0)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("g") == ((1L, 1L, Some(0.0))), got("g").toString)
+    assert(got("h") == ((1L, 1L, Some(1.0))), got("h").toString)
+    assert(got("i") == ((1L, 1L, Some(-1.0))), got("i").toString)
+    assert(got("j") == ((1L, 0L, None)), got("j").toString)
+  }
 }

@@ -2940,6 +2940,14 @@ object SparkEntry {
         "user_id", k = 256)
     }),
 
+    // ---- A52: deterministic randomization test — is the purchase /
+    // non-purchase value gap significant under 99 salted-hash
+    // re-labelings? No RNG state; extreme-ness compared on exact
+    // cross-multiplied rationals in decimal(38,0). ----
+    "a52_randomization" -> ((s, dir) =>
+      Quality.randomizationTest(t(s, dir, "events"), "value",
+        col("event_type") === "purchase", "event_id", replicas = 99)),
+
     // ---- text: PMI bigram collocations — adjacent-pair explode, one
     // hash agg to the distinct-bigram frame, slot marginals
     // re-aggregated from it (no second corpus scan), ln on the exact
@@ -8905,6 +8913,58 @@ v6 AS MATERIALIZED (
         |      * est_union, 6) END AS est_intersection,
         |  CAST(exact_intersection AS BIGINT) AS exact_intersection
         |FROM est, xi""".stripMargin,
+
+    // every salted re-labeling replayed (the portable-hash chain);
+    // HUGEINT cross-multiplies mirror the decimal(38,0) comparison
+    "a52_randomization" ->
+      """WITH s AS (
+        |  SELECT event_id AS id,
+        |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+        |    event_type = 'purchase' AS a
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |o AS (
+        |  SELECT SUM(CASE WHEN a THEN v ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN NOT a THEN v ELSE 0 END) AS sb,
+        |    SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb
+        |  FROM s),
+        |reps AS (
+        |  SELECT b.b, s.v,
+        |    (((((s.id % 2147483647) * 2654435761) % 2147483647)
+        |      + b.b * 2654435761) % 2147483647) % (o.na + o.nb)
+        |      < o.na AS pa
+        |  FROM s CROSS JOIN (SELECT unnest(range(1, 100)) AS b) b
+        |  CROSS JOIN o),
+        |r AS (
+        |  SELECT b,
+        |    SUM(CASE WHEN pa THEN v ELSE 0 END) AS rsa,
+        |    SUM(CASE WHEN pa THEN 1 ELSE 0 END) AS rna,
+        |    SUM(CASE WHEN NOT pa THEN v ELSE 0 END) AS rsb,
+        |    SUM(CASE WHEN NOT pa THEN 1 ELSE 0 END) AS rnb
+        |  FROM reps GROUP BY b),
+        |x AS (
+        |  SELECT SUM(CASE WHEN rna = 0 OR rnb = 0 OR
+        |      abs(CAST(rsa AS HUGEINT) * rnb
+        |        - CAST(rsb AS HUGEINT) * rna)
+        |        * CAST(o.na AS HUGEINT) * o.nb >=
+        |      abs(CAST(o.sa AS HUGEINT) * o.nb
+        |        - CAST(o.sb AS HUGEINT) * o.na)
+        |        * CAST(rna AS HUGEINT) * rnb
+        |    THEN 1 ELSE 0 END) AS n_extreme
+        |  FROM r CROSS JOIN o)
+        |SELECT CAST(o.na AS BIGINT) AS n_a, CAST(o.nb AS BIGINT) AS n_b,
+        |  CASE WHEN o.na > 0 AND o.nb > 0 THEN
+        |    ROUND(CAST(abs(CAST(o.sa AS HUGEINT) * o.nb
+        |        - CAST(o.sb AS HUGEINT) * o.na) AS DOUBLE)
+        |      / CAST(CAST(o.na AS HUGEINT) * o.nb AS DOUBLE)
+        |      / 1e6, 6) END AS obs_diff,
+        |  CAST(99 AS BIGINT) AS replicas,
+        |  CAST(x.n_extreme AS BIGINT) AS n_extreme,
+        |  ROUND(CAST(1 + x.n_extreme AS DOUBLE) / 100.0, 6) AS p_value
+        |FROM o, x""".stripMargin,
 
     // slot-marginal PMI over the adjacent-bigram frame; ln on the
     // identical double ratio

@@ -490,6 +490,51 @@ object ScaleSweep {
       // one n*d^2 narrow product pass; iteration on the d^2 frame
       "e_pca_top" -> (d =>
         SparkEntry.queries("e_pca_top")(spark, d).count()),
+      // r12 second wave. cells-frame contingency + marginal join
+      "a45_kappa" -> (d =>
+        SparkEntry.queries("a45_kappa")(spark, d).count()),
+      // units agg -> distinct-total Prefix hierarchy
+      "a46_gini" -> (d =>
+        SparkEntry.queries("a46_gini")(spark, d).count()),
+      // two distinct-value Prefix hierarchies + rank-map joins back
+      // to the corpus pair frame — the heaviest r12b shape
+      "a47_spearman" -> (d =>
+        SparkEntry.queries("a47_spearman")(spark, d).count()),
+      // distinct-score frame + Prefix hierarchy, pico-grid terms
+      "a48_avg_precision" -> (d =>
+        SparkEntry.queries("a48_avg_precision")(spark, d).count()),
+      // per-(group, distinct-score) counts + per-group prefix
+      "a49_conformal" -> (d =>
+        SparkEntry.queries("a49_conformal")(spark, d).count()),
+      // one hash agg to the groups frame + 1-row broadcast
+      "a50_fairness" -> (d =>
+        SparkEntry.queries("a50_fairness")(spark, d).count()),
+      // two distinct aggs + TakeOrdered sketches; k-row joins after
+      "a51_kmv" -> (d =>
+        SparkEntry.queries("a51_kmv")(spark, d).count()),
+      // 3 rounds of neighbor join + argmax window over the term
+      // graph (graph size is sublinear in the spliced corpus)
+      "g_labelprop" -> (d =>
+        SparkEntry.queries("g_labelprop")(spark, d).count()),
+      // sum-of-block-squares pairs + banded levenshtein; output-driven
+      "j19_edit_join" -> (d =>
+        SparkEntry.queries("j19_edit_join")(spark, d).count()),
+      // the blocking-width lever (the j16 blk5 lesson): at 30x the
+      // nation block is no longer scale-appropriate — nation + the
+      // leading name digits keeps block membership flat per replica
+      "j19_edit_join(blk4)" -> (d => {
+        val c = Tables.load(spark, d, "customer")
+        graft.ops.Linkage.editDistanceJoin(c, c,
+            concat(col("a_c_nationkey"), lit(":"),
+              substring(col("a_c_name"), 10, 4)),
+            concat(col("b_c_nationkey"), lit(":"),
+              substring(col("b_c_name"), 10, 4)),
+            "c_name", "c_name", maxDist = 2)
+          .filter(col("a_c_custkey") < col("b_c_custkey")).count()
+      }),
+      // n*d explode into the dim-keyed agg + D-frame reduce
+      "e_centroid_drift" -> (d =>
+        SparkEntry.queries("e_centroid_drift")(spark, d).count()),
       // frame-bounded per-row sort, one key exchange
       "w31_rolling_mad" -> (d =>
         SparkEntry.queries("w31_rolling_mad")(spark, d).count()),

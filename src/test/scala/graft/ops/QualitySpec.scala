@@ -316,6 +316,68 @@ class QualitySpec extends SparkSpec {
     assert(v0._4.isEmpty, v0.toString)
   }
 
+  test("randomizationTest: scalar replication of the salted-hash " +
+    "null on a tiny fixture; zero observed difference gives p 1; " +
+    "a strong signal gives a small p; bit-identical across runs") {
+    import spark.implicits._
+    // tiny fixture, B = 7: replicate every replica in Scala
+    val rows = Seq((1L, 10.0, true), (2L, 20.0, true),
+      (3L, 30.0, false), (4L, 40.0, false), (5L, 50.0, true),
+      (6L, 60.0, false))
+    val df = rows.toDF("id", "v", "a")
+    val got = Quality.randomizationTest(df, "v", col("a"), "id",
+        replicas = 7)
+      .as[(Long, Long, Option[Double], Long, Long, Double)]
+      .collect().head
+    def ph(id: Long): Long =
+      ((id % 2147483647L) * 2654435761L) % 2147483647L
+    val (na, nb) = (3L, 3L)
+    val mus = rows.map { case (id, v, _) => id -> (v * 1e6).toLong }
+    val (sa, sb) = (rows.filter(_._3).map(r => (r._2 * 1e6).toLong).sum,
+      rows.filterNot(_._3).map(r => (r._2 * 1e6).toLong).sum)
+    val obsNum = BigInt((sa * nb - sb * na).abs)
+    val expExtreme = (1 to 7).count { b =>
+      val as = mus.map { case (id, mu) =>
+        (((ph(id) + b * 2654435761L) % 2147483647L) % (na + nb) < na,
+          mu)
+      }
+      val (rsa, rna) = (as.filter(_._1).map(_._2).sum,
+        as.count(_._1).toLong)
+      val (rsb, rnb) = (as.filterNot(_._1).map(_._2).sum,
+        as.count(!_._1).toLong)
+      rna == 0 || rnb == 0 ||
+        (BigInt(rsa) * rnb - BigInt(rsb) * rna).abs * na * nb >=
+          obsNum * rna * rnb
+    }.toLong
+    assert(got._1 == na && got._2 == nb, got.toString)
+    assert(got._5 == expExtreme,
+      s"n_extreme ${got._5} vs scalar $expExtreme")
+    assert(got._6 == math.rint((1.0 + expExtreme) / 8.0 * 1e6) / 1e6,
+      got.toString)
+    // all-equal values: every replica ties the zero observed diff
+    val flat = (1L to 10L).map(i => (i, 5.0, i <= 5)).toDF("id", "v", "a")
+    val p1 = Quality.randomizationTest(flat, "v", col("a"), "id",
+        replicas = 9)
+      .as[(Long, Long, Option[Double], Long, Long, Double)]
+      .collect().head
+    assert(p1._3.contains(0.0) && p1._6 == 1.0, p1.toString)
+    // strong signal: 20 hundreds vs 20 zeros, B = 99
+    val strong = ((1L to 20L).map(i => (i, 100.0, true)) ++
+      (21L to 40L).map(i => (i, 0.0, false))).toDF("id", "v", "a")
+    val ps = Quality.randomizationTest(strong, "v", col("a"), "id",
+        replicas = 99)
+      .as[(Long, Long, Option[Double], Long, Long, Double)]
+      .collect().head
+    assert(ps._6 <= 0.2, ps.toString)
+    assert(ps._3.contains(100.0), ps.toString)
+    // determinism: a second run is bit-identical
+    val again = Quality.randomizationTest(strong, "v", col("a"), "id",
+        replicas = 99)
+      .as[(Long, Long, Option[Double], Long, Long, Double)]
+      .collect().head
+    assert(again == ps, s"$again vs $ps")
+  }
+
   test("groupFairness: hand confusion rates per group; undefined " +
     "rates are null (not 0); dp_gap is vs the overall rate; null " +
     "rows excluded") {

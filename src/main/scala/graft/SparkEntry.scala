@@ -2940,6 +2940,16 @@ object SparkEntry {
         "user_id", k = 256)
     }),
 
+    // ---- A53: isotonic (PAV) recalibration of the a41 surface —
+    // the sequential pool-adjacent-violators fit computed by its
+    // relational closed form max_{j≤i} min_{k≥i} mean(j..k) over the
+    // bins-range frame, truncating micro-unit range means. ----
+    "a53_isotonic" -> ((s, dir) =>
+      Quality.isotonicCalibration(
+        t(s, dir, "events").withColumn("score",
+          least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0))),
+        "score", col("event_type") === "purchase")),
+
     // ---- A52: deterministic randomization test — is the purchase /
     // non-purchase value gap significant under 99 salted-hash
     // re-labelings? No RNG state; extreme-ness compared on exact
@@ -8913,6 +8923,43 @@ v6 AS MATERIALIZED (
         |      * est_union, 6) END AS est_intersection,
         |  CAST(exact_intersection AS BIGINT) AS exact_intersection
         |FROM est, xi""".stripMargin,
+
+    // the PAV closed form on the bins-range frame; truncating //
+    // range means mirror Spark's decimal div on the micro grid
+    "a53_isotonic" ->
+      """WITH s AS (
+        |  SELECT CAST(ROUND(LEAST(GREATEST(
+        |      CAST(value AS DOUBLE) / CAST(100 AS DOUBLE), 0), 1), 6)
+        |    AS DECIMAL(18,6)) AS v,
+        |    event_type = 'purchase' AS p
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (
+        |  SELECT LEAST(CAST(floor(v * 10) AS INT), 9) AS bin, p
+        |  FROM s),
+        |g AS (
+        |  SELECT bin, COUNT(*) AS n,
+        |    SUM(CASE WHEN p THEN 1 ELSE 0 END) AS pos
+        |  FROM b GROUP BY 1),
+        |pfx AS (
+        |  SELECT bin, n, pos, SUM(pos) OVER (ORDER BY bin) AS cp,
+        |    SUM(n) OVER (ORDER BY bin) AS cn
+        |  FROM g),
+        |lo AS (SELECT bin AS j, cp - pos AS pj, cn - n AS nj FROM pfx),
+        |hi AS (SELECT bin AS k, cp AS pk, cn AS nk FROM pfx),
+        |r AS (
+        |  SELECT j, k, ((pk - pj) * 1000000) // (nk - nj) AS m
+        |  FROM lo JOIN hi ON j <= k),
+        |mi AS (
+        |  SELECT g.bin AS i, r.j, MIN(r.m) AS mn
+        |  FROM g JOIN r ON r.j <= g.bin AND r.k >= g.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT i AS bin, MAX(mn) AS iso_micros FROM mi
+        |  GROUP BY 1)
+        |SELECT g.bin, CAST(g.n AS BIGINT) AS n,
+        |  CAST(g.pos AS BIGINT) AS pos,
+        |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
+        |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
+        |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
 
     // every salted re-labeling replayed (the portable-hash chain);
     // HUGEINT cross-multiplies mirror the decimal(38,0) comparison

@@ -434,7 +434,112 @@ object SqlRecipes {
          |  FROM one)
          |SELECT p.rank, p.id AS vec_id, p.rel AS relevance,
          |  p.score AS mmr_score
-         |FROM res LATERAL VIEW inline(res.picked) p""".stripMargin
+         |FROM res LATERAL VIEW inline(res.picked) p""".stripMargin,
+
+    // -- ROC-AUC (r12): Mann–Whitney on exact integers — the doubled
+    // statistic makes tie blocks whole numbers; decimal(38,0)
+    // products (the a40 arithmetic, single-window form for SQL
+    // readability)
+    "graft_roc_auc" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_roc_auc(
+         |  pos_type STRING)
+         |RETURNS TABLE (n_pos BIGINT, n_neg BIGINT, auc DOUBLE)
+         |RETURN
+         |WITH s AS (
+         |  SELECT CAST(ROUND(CAST(value AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) AS v,
+         |    event_type = graft_roc_auc.pos_type AS p
+         |  FROM ${prefix}events
+         |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |c AS (
+         |  SELECT v, SUM(CASE WHEN p THEN 1L ELSE 0L END) AS cp,
+         |    SUM(CASE WHEN NOT p THEN 1L ELSE 0L END) AS cn
+         |  FROM s GROUP BY v),
+         |cum AS (
+         |  SELECT cp, cn, SUM(cn) OVER (ORDER BY v) - cn AS below
+         |  FROM c)
+         |SELECT SUM(cp) AS n_pos, SUM(cn) AS n_neg,
+         |  CASE WHEN SUM(cp) > 0 AND SUM(cn) > 0 THEN
+         |    ROUND(CAST(SUM(CAST(cp AS DECIMAL(38,0))
+         |        * (2 * CAST(below AS DECIMAL(38,0))
+         |           + CAST(cn AS DECIMAL(38,0)))) AS DOUBLE)
+         |      / CAST(2 * CAST(SUM(cp) AS DECIMAL(38,0))
+         |        * CAST(SUM(cn) AS DECIMAL(38,0)) AS DOUBLE), 6)
+         |  END AS auc
+         |FROM cum""".stripMargin,
+
+    // -- split-conformal threshold (r12): k = ceil((n+1)(1-alpha)) in
+    // exact micro-unit integers; q-hat = the first cumulative >= k,
+    // never a per-group sort; under-sized groups keep k, null q-hat
+    "graft_conformal" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_conformal(
+         |  alpha_micros BIGINT)
+         |RETURNS TABLE (event_type STRING, n BIGINT, k BIGINT,
+         |               qhat_micros BIGINT)
+         |RETURN
+         |WITH s AS (
+         |  SELECT event_type AS g,
+         |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mu
+         |  FROM ${prefix}events
+         |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |c AS (SELECT g, mu, COUNT(*) AS c FROM s GROUP BY g, mu),
+         |cum AS (
+         |  SELECT g, mu,
+         |    SUM(c) OVER (PARTITION BY g ORDER BY mu) AS cum
+         |  FROM c),
+         |n AS (
+         |  SELECT g, SUM(c) AS n,
+         |    ((SUM(c) + 1) * (1000000 - graft_conformal.alpha_micros)
+         |      + 999999) div 1000000 AS k
+         |  FROM c GROUP BY g),
+         |q AS (
+         |  SELECT cum.g, MIN(mu) AS qhat_micros
+         |  FROM cum JOIN n ON n.g = cum.g
+         |  WHERE cum.cum >= n.k GROUP BY cum.g)
+         |SELECT n.g AS event_type, n.n, n.k, q.qhat_micros
+         |FROM n LEFT JOIN q ON q.g = n.g""".stripMargin,
+
+    // -- group-fairness audit (r12): per-lang confusion counts for a
+    // length-gate prediction vs the declared-length label; every rate
+    // one round-6 double division, zero denominators stay NULL
+    "graft_fairness" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_fairness(
+         |  label_chars INT, pred_chars INT)
+         |RETURNS TABLE (lang STRING, n BIGINT, tp BIGINT, fp BIGINT,
+         |  fn BIGINT, tn BIGINT, selection_rate DOUBLE, tpr DOUBLE,
+         |  fpr DOUBLE, ppv DOUBLE, dp_gap DOUBLE)
+         |RETURN
+         |WITH s AS (
+         |  SELECT lang,
+         |    n_chars >= graft_fairness.label_chars AS y,
+         |    length(regexp_replace(text, ' ', ''))
+         |      >= graft_fairness.pred_chars AS h
+         |  FROM ${prefix}documents
+         |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+         |    AND text IS NOT NULL),
+         |c AS (
+         |  SELECT lang, COUNT(*) AS n,
+         |    SUM(CASE WHEN y AND h THEN 1L ELSE 0L END) AS tp,
+         |    SUM(CASE WHEN NOT y AND h THEN 1L ELSE 0L END) AS fp,
+         |    SUM(CASE WHEN y AND NOT h THEN 1L ELSE 0L END) AS fn,
+         |    SUM(CASE WHEN NOT y AND NOT h THEN 1L ELSE 0L END) AS tn
+         |  FROM s GROUP BY lang),
+         |o AS (SELECT SUM(tp + fp) AS selall, SUM(n) AS nall FROM c)
+         |SELECT lang, n, tp, fp, fn, tn,
+         |  CASE WHEN n > 0 THEN ROUND(CAST(tp + fp AS DOUBLE)
+         |    / CAST(n AS DOUBLE), 6) END AS selection_rate,
+         |  CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE)
+         |    / CAST(tp + fn AS DOUBLE), 6) END AS tpr,
+         |  CASE WHEN fp + tn > 0 THEN ROUND(CAST(fp AS DOUBLE)
+         |    / CAST(fp + tn AS DOUBLE), 6) END AS fpr,
+         |  CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE)
+         |    / CAST(tp + fp AS DOUBLE), 6) END AS ppv,
+         |  CASE WHEN n > 0 AND o.nall > 0 THEN
+         |    ROUND(CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - CAST(o.selall AS DOUBLE) / CAST(o.nall AS DOUBLE), 6)
+         |  END AS dp_gap
+         |FROM c, o""".stripMargin
   )
 
   /** Run every recipe's DDL on the session (idempotent — CREATE OR

@@ -1340,6 +1340,66 @@ object Quality {
               col("__s")).cast("double"), 6)).as("kappa"))
   }
 
+  /** Isotonic calibration over score bins — the monotone recalibration
+    * map (pool-adjacent-violators) every probability-emitting gate
+    * wants after [[calibrationBins]] shows miscalibration. PAV is
+    * sequential, but its CLOSED FORM is not: the isotonic fit at bin i
+    * is max_{j≤i} min_{k≥i} mean(pos/count over bins j..k) — a
+    * min-max over contiguous bin RANGES, which is a relational
+    * statement over the bins·(bins+1)/2 range frame. Range means are
+    * truncating integer micro-units ((ΔP·10⁶) div Δn — the a41 grid;
+    * determinism beats the sub-micro bias), so every min/max compares
+    * plain longs and any engine replays it bit-for-bit. The result is
+    * monotone non-decreasing by construction.
+    *
+    * Scale shape: the corpus collapses to the bins frame in one hash
+    * agg (the calibrationBins shuffle); everything after — prefix
+    * sums, the j≤k range frame, the (i, j, k) min-max — lives on
+    * bins²/bins³ rows, a few thousand cells at any corpus size. The
+    * bins-frame windows are single-partition BY CONTRACT (bins ≤
+    * ~100); corpus rows never see a window.
+    *
+    * @return one row per non-empty bin: (bin, n, pos, raw_micros,
+    *         iso_micros) — raw = pos/n on the micro grid, iso = the
+    *         monotone fit */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+                          isPos: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1024, "bins must be in [2, 1024]")
+    import org.apache.spark.sql.expressions.Window
+    val s6 = r6d(col(scoreCol))
+    val binned = df.filter(col(scoreCol).isNotNull && isPos.isNotNull)
+      .select(s6.as("__s"), isPos.as("__p"))
+      .filter(col("__s") >= 0 && col("__s") <= 1)
+      .select(least(floor(col("__s") * bins).cast("int"),
+        lit(bins - 1)).as("bin"), col("__p"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("pos"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pfx = binned
+      .withColumn("__cp", sum(col("pos")).over(w))
+      .withColumn("__cn", sum(col("n")).over(w))
+    // contiguous non-empty-bin ranges j..k with their pooled means
+    val lo = pfx.select(col("bin").as("__j"),
+      (col("__cp") - col("pos")).as("__pj"),
+      (col("__cn") - col("n")).as("__nj"))
+    val hi = pfx.select(col("bin").as("__k"), col("__cp").as("__pk"),
+      col("__cn").as("__nk"))
+    val ranges = lo.join(hi, col("__j") <= col("__k"))
+      .select(col("__j"), col("__k"),
+        expr("((__pk - __pj) * 1000000) div (__nk - __nj)")
+          .as("__m"))
+    // fitted_i = max over j<=i of (min over k>=i of mean(j..k))
+    val byI = binned.select(col("bin").as("__i"))
+      .join(ranges, col("__j") <= col("__i") && col("__k") >= col("__i"))
+      .groupBy(col("__i"), col("__j")).agg(min(col("__m")).as("__mn"))
+      .groupBy(col("__i")).agg(max(col("__mn")).as("iso_micros"))
+    binned.join(byI, col("bin") === col("__i"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("(pos * 1000000) div n").as("raw_micros"),
+        col("iso_micros"))
+  }
+
   /** ROC-AUC of a score against a boolean label — the
     * threshold-free ranking metric every quality-classifier gate
     * reports. Computed as the Mann–Whitney U statistic on EXACT

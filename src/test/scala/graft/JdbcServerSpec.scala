@@ -151,6 +151,27 @@ class JdbcServerSpec extends SparkSpec {
           rs3.getDouble(3) == dslKs.getDouble(2) &&
           rs3.getDouble(4) == dslKs.getDouble(3),
           s"wire KS != dsl $dslKs")
+        // the round-12 conformal recipe over the wire: per-group k
+        // and threshold must equal the DSL order statistic exactly
+        val rs4 = st.executeQuery(
+          "SELECT event_type, n, k, qhat_micros " +
+            "FROM graft_conformal(100000) ORDER BY event_type")
+        val wire = Iterator.continually(rs4)
+          .takeWhile(_.next())
+          .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+            Option(r.getObject(4)).map(_.toString.toLong)))
+          .toSet
+        val dslCf = graft.ops.Quality.conformalThreshold(
+            Tables.load(spark, "/root/testdata/sf0.001", "events")
+              .filter(org.apache.spark.sql.functions
+                .col("event_type").isNotNull),
+            "value", Seq("event_type"), alphaMicros = 100000L)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toSet
+        assert(wire == dslCf && wire.nonEmpty,
+          s"wire conformal $wire != dsl $dslCf")
       } finally conn3.close()
     } finally JdbcServer.stop(server)
   }

@@ -224,4 +224,47 @@ class SqlRecipesSpec extends SparkSpec {
     } yield (a, b, d)).toSet
     assert(viaSql == brute && viaSql.nonEmpty)
   }
+
+  test("graft_roc_auc == Quality.rocAuc (doubled Mann-Whitney, " +
+    "decimal products)") {
+    ready()
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_roc_auc('purchase')")
+      .as[(Long, Long, Option[Double])].collect().head
+    val viaDsl = ops.Quality.rocAuc(Tables.load(spark, dir, "events"),
+        "value", col("event_type") === "purchase")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(viaSql == viaDsl && viaSql._3.nonEmpty, s"$viaSql $viaDsl")
+  }
+
+  test("graft_conformal == Quality.conformalThreshold (micro-unit k, " +
+    "first-cumulative order statistic)") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_conformal(100000)")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    val viaDsl = ops.Quality.conformalThreshold(
+        Tables.load(spark, dir, "events")
+          .filter(col("event_type").isNotNull),
+        "value", Seq("event_type"), alphaMicros = 100000L)
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(viaSql == viaDsl && viaSql.nonEmpty, s"$viaSql $viaDsl")
+  }
+
+  test("graft_fairness == Quality.groupFairness (confusion rates, " +
+    "NULL undefined denominators)") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_fairness(400, 330)")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().toSet
+    val d = Tables.load(spark, dir, "documents")
+    val viaDsl = ops.Quality.groupFairness(
+        d.filter(col("n_chars").isNotNull && col("text").isNotNull),
+        "lang", col("n_chars") >= 400,
+        length(regexp_replace(col("text"), lit(" "), lit(""))) >= 330)
+      .as[(String, Long, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().toSet
+    assert(viaSql == viaDsl && viaSql.nonEmpty, s"$viaSql $viaDsl")
+  }
 }

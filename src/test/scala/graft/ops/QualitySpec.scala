@@ -316,6 +316,30 @@ class QualitySpec extends SparkSpec {
     assert(v0._4.isEmpty, v0.toString)
   }
 
+  test("isotonicCalibration: the closed-form min-max equals hand PAV " +
+    "pooling on a violating fixture; a monotone input is unchanged; " +
+    "output is monotone") {
+    import spark.implicits._
+    // raw bin means 0.5, 0.0, 1.0, 0.5 -> PAV pools to
+    // 0.25, 0.25, 2/3, 2/3
+    val df = Seq((0.1, true), (0.1, false), (0.3, false), (0.3, false),
+      (0.6, true), (0.9, true), (0.9, false)).toDF("s", "p")
+    val got = Quality.isotonicCalibration(df, "s", col("p"), bins = 4)
+      .orderBy("bin")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 2L, 1L, 500000L, 250000L),
+      (1, 2L, 0L, 0L, 250000L), (2, 1L, 1L, 1000000L, 666666L),
+      (3, 2L, 1L, 500000L, 666666L)), got.toString)
+    assert(got.map(_._5) == got.map(_._5).sorted, "not monotone")
+    // already-monotone bins: iso == raw everywhere
+    val mono = Seq((0.1, false), (0.1, false), (0.4, true),
+      (0.4, false), (0.9, true)).toDF("s", "p")
+    val g2 = Quality.isotonicCalibration(mono, "s", col("p"), bins = 4)
+      .orderBy("bin")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(g2.forall(r => r._4 == r._5), g2.toString)
+  }
+
   test("randomizationTest: scalar replication of the salted-hash " +
     "null on a tiny fixture; zero observed difference gives p 1; " +
     "a strong signal gives a small p; bit-identical across runs") {

@@ -1195,6 +1195,16 @@ object SparkEntry {
           col("edit_dist"))
     }),
 
+    // ---- E: margin-scored mutual k-NN matching across labels 0/1 —
+    // the bitext-mining criterion: mutual top-1 pairs only, margin =
+    // cos over the mean of both sides' k-NN neighborhoods
+    // (truncating micro means); brute pair frame by the e_sim_pairs
+    // contract, IVF shortlists at serving scale. ----
+    "e_mutual_margin" -> ((s, dir) =>
+      sim.Similarity.marginMutualKnn(
+        t(s, dir, "embeddings").filter(col("label").isin(0, 1)),
+        "vec_id", "embedding", col("label") === 0, k = 4)),
+
     // ---- E: embedding centroid drift — per-label cosine between the
     // even-id and odd-id slice centroids; compares exact micro-unit
     // SUM vectors (cosine is scale-invariant, so no mean is ever
@@ -5481,6 +5491,54 @@ object SparkEntry {
         |WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
         |  AND abs(length(a.c_name) - length(b.c_name)) <= 2
         |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    // the full mining pipeline replayed: round-6 cosines, id-tiebreak
+    // ranks, TRUNCATING (sign-explicit) micro neighborhood means
+    "e_mutual_margin" ->
+      """WITH a AS (
+        |  SELECT vec_id AS a_id, embedding AS va FROM embeddings
+        |  WHERE label = 0 AND vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL),
+        |b AS (
+        |  SELECT vec_id AS b_id, embedding AS vb FROM embeddings
+        |  WHERE label = 1 AND vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL),
+        |p AS (
+        |  SELECT a_id, b_id,
+        |    CAST(ROUND(
+        |      list_sum(list_transform(list_zip(va, vb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(va,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(vb,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |      AS DECIMAL(18,6)) AS cos
+        |  FROM a, b),
+        |r AS (
+        |  SELECT a_id, b_id, cos,
+        |    CAST(cos * 1000000 AS BIGINT) AS mu,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |      ORDER BY cos DESC, b_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY b_id
+        |      ORDER BY cos DESC, a_id) AS rb
+        |  FROM p),
+        |ma AS (
+        |  SELECT a_id, CASE WHEN SUM(mu) >= 0
+        |    THEN SUM(mu) // COUNT(*)
+        |    ELSE -((-SUM(mu)) // COUNT(*)) END AS ma
+        |  FROM r WHERE ra <= 4 GROUP BY 1),
+        |mb AS (
+        |  SELECT b_id, CASE WHEN SUM(mu) >= 0
+        |    THEN SUM(mu) // COUNT(*)
+        |    ELSE -((-SUM(mu)) // COUNT(*)) END AS mb
+        |  FROM r WHERE rb <= 4 GROUP BY 1)
+        |SELECT r.a_id, r.b_id, CAST(r.cos AS DOUBLE) AS cosine,
+        |  CASE WHEN ma.ma + mb.mb > 0 THEN
+        |    ROUND(2.0 * CAST(r.mu AS DOUBLE)
+        |      / CAST(ma.ma + mb.mb AS DOUBLE), 6) END AS margin
+        |FROM r JOIN ma ON ma.a_id = r.a_id
+        |  JOIN mb ON mb.b_id = r.b_id
+        |WHERE r.ra = 1 AND r.rb = 1""".stripMargin,
 
     // exact micro-unit sum vectors per (label, dim, slice); HUGEINT
     // dot/norm reductions, one double sqrt/division

@@ -118,6 +118,62 @@ object Similarity {
               col("__nb2").cast("double")), 6)).as("cosine"))
   }
 
+  /** Margin-scored mutual k-NN matching — the bitext-mining criterion
+    * (Artetxe & Schwenk 2019's ratio margin, the CCMatrix/LASER
+    * recipe): a cross-slice pair (a, b) is a candidate only if each
+    * is the other's TOP-1 neighbor (mutuality kills hub vectors), and
+    * its margin = cos(a,b) / mean(top-k neighborhood cosines of both
+    * sides) — a score > 1 means "closer than either's neighborhood",
+    * the thresholdable mining signal. Deterministic end to end:
+    * cosines round once to 6 and become micro-longs; ranks tie-break
+    * on the partner id; neighborhood means are truncating integer
+    * division; margin is one double division (null when the summed
+    * neighborhood means are ≤ 0 — a degenerate cloud has no margin).
+    *
+    * Scale shape: the pair frame is |A|·|B| BY CONTRACT (the
+    * e_sim_pairs brute-force contract — at serving scale build the
+    * pair shortlist with [[ivfTopK]]/[[ivfKnnJoin]] and feed it here;
+    * the mutual/margin tail only needs the shortlist). The two rank
+    * windows partition per id — per-partition size is the other
+    * slice's k-bounded candidate count, never global.
+    *
+    * @param inA boolean Column: true → slice A, false → slice B
+    * @return mutual top-1 pairs: (a_id, b_id, cosine, margin) */
+  def marginMutualKnn(emb: DataFrame, idCol: String, vecCol: String,
+                      inA: Column, k: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val src = emb.filter(col(idCol).isNotNull &&
+      col(vecCol).isNotNull && inA.isNotNull)
+    val a = src.filter(inA)
+      .select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val b = src.filter(!inA)
+      .select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    val pairs = a.crossJoin(b)
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("__va"), col("__vb")), 6).as("__cos"))
+      .withColumn("__mu",
+        (col("__cos").cast("decimal(18,6)") * 1000000L)
+          .cast("decimal(38,0)").cast("long"))
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("__cos").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("__cos").desc, col("a_id"))
+    val ranked = pairs.withColumn("__ra", row_number().over(wa))
+      .withColumn("__rb", row_number().over(wb))
+    val meanA = ranked.filter(col("__ra") <= k).groupBy(col("a_id"))
+      .agg(expr("sum(__mu) div count(1)").as("__ma"))
+    val meanB = ranked.filter(col("__rb") <= k).groupBy(col("b_id"))
+      .agg(expr("sum(__mu) div count(1)").as("__mb"))
+    ranked.filter(col("__ra") === 1 && col("__rb") === 1)
+      .join(meanA, Seq("a_id")).join(meanB, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        col("__cos").cast("double").as("cosine"),
+        when(col("__ma") + col("__mb") > 0,
+          round(lit(2.0) * col("__mu").cast("double") /
+            (col("__ma") + col("__mb")).cast("double"), 6))
+          .as("margin"))
+  }
+
   /** Prefix-dimension recall audit — the Matryoshka-embedding
     * question (Kusupati et al. 2022): how much of the full-dimension
     * top-k survives when similarity uses only the FIRST d dims? A

@@ -867,4 +867,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got("i") == ((1L, 1L, Some(-1.0))), got("i").toString)
     assert(got("j") == ((1L, 0L, None)), got("j").toString)
   }
+
+  test("marginMutualKnn: mutual top-1 only (a hub equidistant vector " +
+    "never pairs), margins above 1 for true matches, cosines exact " +
+    "to the round-6 grid") {
+    import spark.implicits._
+    // A: axis vectors; B: near-axis partners + an equidistant hub
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.0f, 1.0f)),
+      (11L, 1, Seq(1.0f, 0.25f)), (12L, 1, Seq(0.25f, 1.0f)),
+      (13L, 1, Seq(0.75f, 0.75f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.marginMutualKnn(df, "vec_id", "embedding",
+        col("label") === 0, k = 2)
+      .as[(Long, Long, Double, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val cosAxis = r6(1.0 / math.sqrt(1.0625))   // a1~b1, a2~b2
+    val cosHub = r6(0.75 / math.sqrt(1.125))    // a*~b3
+    val cosFar = r6(0.25 / math.sqrt(1.0625))   // a1~b2, a2~b1
+    // mutual top-1: only the two axis pairs; the hub b3's top-1 (a1
+    // by id tiebreak) does not reciprocate
+    assert(got.keySet == Set((1L, 11L), (2L, 12L)), got.toString)
+    assert(got((1L, 11L))._1 == cosAxis, got.toString)
+    // margin replicated: neighborhood means are truncating micro divs
+    val mu = (x: Double) => (BigDecimal(x) * 1000000).toLong
+    val ma = (mu(cosAxis) + mu(cosHub)) / 2
+    val mb = (mu(cosAxis) + mu(cosFar)) / 2
+    val expMargin = r6(2.0 * mu(cosAxis) / (ma + mb).toDouble)
+    assert(got((1L, 11L))._2.contains(expMargin), got.toString)
+    assert(got.values.forall(_._2.exists(_ > 1.0)), got.toString)
+  }
 }

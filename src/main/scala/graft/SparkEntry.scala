@@ -2533,6 +2533,26 @@ object SparkEntry {
           lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
     }),
 
+    // ---- streaming: per-window KMV distinct sketch — TRUE O(k)
+    // sketch state per live window via flatMapGroupsWithState (an
+    // agg-based distinct would key state by every hash); k-minimum
+    // sets are order-independent, so the chunked replay is bit-equal
+    // to the batch sketch per window, threshold included. ----
+    "s_stream_kmv" -> ((s, dir) => {
+      val in = stageSentinelEvents(s, dir)
+      val ckpt = tempDir("graft_skmv_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val sink = graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.kmvDistinctStream(stream).toDF(),
+        queryName = s"skmv_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.EventStreams.drainTail(sink,
+        col("window_start") >=
+          lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
+    }),
+
     // ---- streaming: per-window calibration bins — the a41 monitor
     // live: bins×3 longs of state per window (psi/hll state family),
     // micro-unit arithmetic identical to the batch op, so the
@@ -9254,6 +9274,35 @@ v6 AS MATERIALIZED (
 
     // the batch HLL replay per hour window (the a37 register
     // arithmetic grouped by window)
+    // the batch KMV replay per hour window (the a51 mixer fold +
+    // per-window k smallest distinct hashes)
+    "s_stream_kmv" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS ws, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |m AS (
+        |  SELECT ws, (b & 2147483647) * 2654435761 AS c FROM (
+        |    SELECT ws, xor(a, a >> 31) AS b FROM (
+        |      SELECT ws, (((user_id % 2147483648) + 2147483648)
+        |        % 2147483648) * 2654435761 AS a FROM e))),
+        |hh AS (
+        |  SELECT DISTINCT ws, (((xor(c, c >> 31) % 2147483648)
+        |    + 2147483648) % 2147483648) + 1 AS h FROM m),
+        |rk AS (
+        |  SELECT ws, h,
+        |    ROW_NUMBER() OVER (PARTITION BY ws ORDER BY h) AS r
+        |  FROM hh),
+        |sk AS (SELECT ws, h FROM rk WHERE r <= 256),
+        |t AS (
+        |  SELECT ws, COUNT(*) AS kept, MAX(h) AS thr
+        |  FROM sk GROUP BY 1)
+        |SELECT ws AS window_start, CAST(kept AS BIGINT) AS hashes_kept,
+        |  thr AS threshold,
+        |  CASE WHEN kept < 256 THEN CAST(kept AS DOUBLE)
+        |    ELSE ROUND(255.0 * 2147483648.0 / CAST(thr AS DOUBLE), 6)
+        |  END AS estimate
+        |FROM t""".stripMargin,
+
     // the a41 bin arithmetic per hour window; sentinel windows are
     // beyond the corpus end, so the plain-events replay matches
     "s_stream_calibration" ->

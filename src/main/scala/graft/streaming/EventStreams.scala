@@ -34,6 +34,14 @@ case class HoltOut(user_id: Long, event_id: Long, level: Double,
                    trend: Double, forecast: Double)
 case class ZscoreState(lastTus: Long, lastId: Long, vs: Array[Long],
                        v2s: Array[Long])
+/** State for [[EventStreams.kmvDistinctStream]]: the ≤k smallest
+  * distinct hashes of one live window, sorted ascending — the whole
+  * KMV sketch, O(k) longs per window forever. Top-level for the state
+  * Encoder. */
+case class KmvState(hashes: Array[Long])
+case class KmvWindow(window_start: java.sql.Timestamp,
+                     hashes_kept: Long, threshold: Long,
+                     estimate: Double)
 case class FunnelState(lastTus: Long, lastId: Long,
                        reached: Array[Boolean])
 case class FunnelReach(user_id: Long, stage_idx: Int, stage: String)
@@ -132,6 +140,71 @@ object EventStreams {
         col("hit").as("registers_hit"),
         graft.ops.Sketches.hllEstimate(col("hit"), col("__z"))
           .as("estimate"))
+  }
+
+  /** Streaming per-window KMV distinct sketch — the
+    * [[graft.ops.Sketches.kmvDistinct]] twin with TRUE sketch state:
+    * `flatMapGroupsWithState` keyed by window start holds the ≤k
+    * smallest distinct user hashes (O(k) longs per live window
+    * forever — the state an agg-based distinct CANNOT give, since a
+    * chained groupBy(win, hash) stage keys state by every distinct
+    * hash). The k-minimum set is ORDER-INDEPENDENT — merging chunk
+    * sketches and sketching the whole window give the same k smallest
+    * distinct hashes — so the chunked replay is bit-equal to the
+    * batch sketch per window, threshold and all. Windows emit once,
+    * when the event-time timeout fires behind the watermark; the
+    * estimate uses the batch arithmetic exactly (BigDecimal HALF_UP =
+    * Spark's round-on-double). Beyond cardinality, retaining the
+    * hashes means two WINDOWS' sketches union/intersect offline (the
+    * kmvOverlap algebra) — the reason to prefer KMV state over HLL
+    * registers when set ops matter downstream.
+    *
+    * Append mode; drain with the sentinel + [[drainTail]] chassis. */
+  def kmvDistinctStream(events: DataFrame, k: Int = 256,
+                        windowLenSec: Long = 3600,
+                        watermark: String = "2 hours")
+      : org.apache.spark.sql.Dataset[KmvWindow] = {
+    require(k >= 2, "k must be >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .filter(col("user_id").isNotNull)
+      .select(col("ts"),
+        graft.ops.Sketches.kmvHash(col("user_id")).as("__h"))
+      .as[(java.sql.Timestamp, Long)]
+      .groupByKey { case (ts, _) =>
+        math.floorDiv(ts.getTime / 1000, windowLenSec) * windowLenSec
+      }
+      .flatMapGroupsWithState[KmvState, KmvWindow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (wsSec, rows, state: GroupState[KmvState]) =>
+          if (state.hasTimedOut) {
+            val hs = state.get.hashes
+            state.remove()
+            val kept = hs.length.toLong
+            val thr = if (hs.nonEmpty) hs.last else 0L
+            val est =
+              if (kept < k) kept.toDouble
+              else BigDecimal((k - 1).toDouble * 2147483648.0 /
+                  thr.toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Iterator.single(KmvWindow(
+              new java.sql.Timestamp(wsSec * 1000), kept, thr, est))
+          } else {
+            val merged0 =
+              (state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
+                ++ rows.map(_._2)).distinct.sorted
+            val merged =
+              if (merged0.length > k)
+                java.util.Arrays.copyOfRange(merged0, 0, k)
+              else merged0
+            state.update(KmvState(merged))
+            state.setTimeoutTimestamp(math.max(
+              (wsSec + windowLenSec) * 1000,
+              state.getCurrentWatermarkMs() + 1000))
+            Iterator.empty
+          }
+      }
   }
 
   /** Streaming per-window calibration bins — the live reliability

@@ -692,6 +692,58 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvDistinctStream: sketches merged across triggers equal the " +
+    "batch KMV per window (threshold included); truncation to k " +
+    "exercised; state is k hashes, not users") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id", "'x' as event_type",
+        "value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_skmvp")
+      .toString
+    val q = EventStreams.kmvDistinctStream(events, k = 8,
+        windowLenSec = 3600L, watermark = "1 hour").toDF()
+      .writeStream.format("memory").queryName("kmv_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    // 50 users in hour 0 split mid-hour across triggers (the merged
+    // sketch must re-take the 8 smallest), 5 users in hour 1 (below
+    // k: exact), a late hour-3 row closes both
+    val h0a = (1L to 30L).map(u => (u, u, ts("2024-01-01 00:10:00"), 1.0))
+    val h0b = (31L to 50L).map(u => (u, u, ts("2024-01-01 00:50:00"), 1.0))
+    val h1 = (100L to 104L).map(u => (u, u, ts("2024-01-01 01:30:00"), 1.0))
+    val flush = Seq((999L, 999L, ts("2024-01-01 03:30:00"), 1.0))
+    try {
+      ms.addData(h0a)
+      q.processAllAvailable()
+      ms.addData(h0b ++ h1)
+      q.processAllAvailable()
+      ms.addData(flush)
+      q.processAllAvailable()
+      val got = spark.table("kmv_live")
+        .select("window_start", "hashes_kept", "threshold", "estimate")
+        .as[(java.sql.Timestamp, Long, Long, Double)].collect()
+        .map(r => r._1.toString -> ((r._2, r._3, r._4))).toMap
+      def batch(rows: Seq[(Long, Long, java.sql.Timestamp, Double)]) =
+        graft.ops.Sketches.kmvDistinct(
+            rows.toDF("event_id", "user_id", "ts", "value"),
+            "user_id", k = 8)
+          .select("hashes_kept", "threshold", "estimate")
+          .as[(Long, Long, Double)].collect().head
+      val b0 = batch(h0a ++ h0b)
+      val b1 = batch(h1)
+      assert(got("2024-01-01 00:00:00.0") == b0,
+        s"h0 stream=${got.get("2024-01-01 00:00:00.0")} batch=$b0")
+      assert(got("2024-01-01 01:00:00.0") == b1,
+        s"h1 stream=${got.get("2024-01-01 01:00:00.0")} batch=$b1")
+      // truncation really happened in hour 0; hour 1 is exact
+      assert(b0._1 == 8L && b1._1 == 5L && b1._3 == 5.0, s"$b0 $b1")
+    } finally q.stop()
+  }
+
   test("calibrationStream: bin partials merged across triggers equal " +
     "the batch calibration bins per window; state is bins, not rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

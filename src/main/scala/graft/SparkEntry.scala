@@ -2980,6 +2980,15 @@ object SparkEntry {
           least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0))),
         "score", col("event_type") === "purchase")),
 
+    // ---- A54: Poisson-bootstrap 95% CI for the mean event value —
+    // the distributed bootstrap (per-row Poisson(1) weights from
+    // salted portable hashes, no RNG state, no global resample);
+    // replica means truncate on the micro grid, CI bounds are
+    // ceil-k order statistics of the 100-replica frame. ----
+    "a54_bootstrap" -> ((s, dir) =>
+      Quality.bootstrapMeanCi(t(s, dir, "events"), "value",
+        "event_id", replicas = 100)),
+
     // ---- A52: deterministic randomization test — is the purchase /
     // non-purchase value gap significant under 99 salted-hash
     // re-labelings? No RNG state; extreme-ness compared on exact
@@ -9038,6 +9047,57 @@ v6 AS MATERIALIZED (
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // every Poisson weight replayed from the identical hash cutoffs;
+    // sign-explicit truncating means; ceil-k order statistics
+    "a54_bootstrap" ->
+      """WITH s AS (
+        |  SELECT event_id AS id,
+        |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |o AS (SELECT COUNT(*) AS n, COALESCE(SUM(v), 0) AS sv FROM s),
+        |reps AS (
+        |  SELECT b.b, s.v,
+        |    (((((s.id % 2147483647) * 2654435761) % 2147483647)
+        |      + b.b * 2654435761) % 2147483647) AS h
+        |  FROM s CROSS JOIN (SELECT unnest(range(1, 101)) AS b) b),
+        |w AS (
+        |  SELECT b, v,
+        |    CASE WHEN h < 790015083 THEN 0
+        |         WHEN h < 1580030167 THEN 1
+        |         WHEN h < 1975037709 THEN 2
+        |         WHEN h < 2106706890 THEN 3
+        |         WHEN h < 2139624185 THEN 4
+        |         WHEN h < 2146207644 THEN 5
+        |         WHEN h < 2147304887 THEN 6
+        |         WHEN h < 2147461637 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM reps),
+        |r AS (SELECT b, SUM(w * v) AS ws, SUM(w) AS wn
+        |      FROM w GROUP BY b),
+        |m AS (
+        |  SELECT CASE WHEN ws >= 0 THEN ws // wn
+        |    ELSE -((-ws) // wn) END AS m
+        |  FROM r WHERE wn > 0),
+        |bu AS (SELECT COUNT(*) AS bu FROM m),
+        |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM m),
+        |k AS (
+        |  SELECT GREATEST((bu * 25000 + 999999) // 1000000, 1) AS klo,
+        |    (bu * 975000 + 999999) // 1000000 AS khi, bu
+        |  FROM bu)
+        |SELECT CAST(o.n AS BIGINT) AS n,
+        |  CASE WHEN o.n > 0 THEN
+        |    CAST(CASE WHEN o.sv >= 0 THEN o.sv // o.n
+        |      ELSE -((-o.sv) // o.n) END AS BIGINT) END AS mean_micros,
+        |  CAST(100 AS BIGINT) AS replicas,
+        |  CAST(k.bu AS BIGINT) AS replicas_used,
+        |  (SELECT CAST(m AS BIGINT) FROM rk, k WHERE rk.r = k.klo)
+        |    AS ci_lo_micros,
+        |  (SELECT CAST(m AS BIGINT) FROM rk, k WHERE rk.r = k.khi)
+        |    AS ci_hi_micros
+        |FROM o, k""".stripMargin,
 
     // every salted re-labeling replayed (the portable-hash chain);
     // HUGEINT cross-multiplies mirror the decimal(38,0) comparison

@@ -1151,6 +1151,87 @@ object Quality {
           lit((replicas + 1).toDouble), 6).as("p_value"))
   }
 
+  /** Poisson-bootstrap cutoffs: h < CUT(k) ⟺ weight k, where CUT(k) =
+    * ⌊CDF_Poisson(1)(k)·(2³¹−1)⌋ — fixed integer literals so both
+    * engines draw the identical weight from the identical hash.
+    * Weights truncate at 8 (tail mass ~7e-6, absorbed into w=8). */
+  private val PoissonCuts = Array(790015083L, 1580030167L, 1975037709L,
+    2106706890L, 2139624185L, 2146207644L, 2147304887L, 2147461637L)
+
+  /** Poisson-bootstrap confidence interval for a mean — THE bootstrap
+    * that works distributed (Chamandy et al.'s "Estimating uncertainty
+    * for massive data streams" recipe): instead of resampling n rows
+    * WITH replacement (which needs global coordination), every row
+    * gets an independent Poisson(1) replication weight per replica —
+    * the multinomial's limit — drawn here DETERMINISTICALLY from the
+    * salted portable hash by inverse CDF over fixed integer cutoffs.
+    * No RNG state; the same rows give the same interval on any
+    * engine, run, or partitioning. Replica means are truncating
+    * micro-unit integers; the CI bounds are order statistics of the
+    * B-replica mean frame (k = ⌈B·α/2⌉ smallest / ⌈B·(1−α/2)⌉
+    * smallest — the conformal convention). A replica whose total
+    * weight is 0 is dropped and counted (vanishing probability past
+    * tiny n).
+    *
+    * Scale shape: one explode into a replica-keyed hash agg with
+    * map-side combine (the randomizationTest shuffle shape); the
+    * replica-mean frame is B rows — its window is B-sized by
+    * contract.
+    *
+    * @param alphaMicros the PER-TAIL mass in micro-units (default
+    *        25000 = 2.5% per tail → a 95% interval)
+    * @return one row: (n, mean_micros, replicas, replicas_used,
+    *         ci_lo_micros, ci_hi_micros) */
+  def bootstrapMeanCi(df: DataFrame, valueCol: String, idCol: String,
+                      replicas: Int = 200,
+                      alphaMicros: Long = 25000L): DataFrame = {
+    require(replicas >= 4, "replicas must be >= 4")
+    require(alphaMicros > 0 && alphaMicros < 1000000L,
+      "alphaMicros must be in (0, 1e6)")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val src = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        (r6d(col(valueCol)).cast("decimal(18,6)") * 1000000L)
+          .cast(dec).cast("long").as("__v"))
+    val obs = src.agg(count(lit(1)).as("__n"),
+      coalesce(sum(col("__v")), lit(0L)).as("__s"))
+    val h = pmod(graft.text.TextOps.portableHash(col("__id")) +
+      col("__b").cast("long") * 2654435761L, lit(2147483647L))
+    val w = PoissonCuts.zipWithIndex.foldRight(lit(8)) {
+      case ((cut, k), rest) => when(col("__h") < cut, lit(k)).otherwise(rest)
+    }
+    val reps = src
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(1), lit(replicas))).as("__b"))
+      .withColumn("__h", h)
+      .withColumn("__w", w.cast("long"))
+      .groupBy(col("__b")).agg(
+        coalesce(sum(col("__w") * col("__v")), lit(0L)).as("__ws"),
+        coalesce(sum(col("__w")), lit(0L)).as("__wn"))
+      .filter(col("__wn") > 0)
+      .select(expr("__ws div __wn").as("__m"))
+    val bUsed = reps.agg(count(lit(1)).as("__bu"))
+    val wOrd = Window.orderBy(col("__m"))
+    val ranked = reps.withColumn("__r", row_number().over(wOrd))
+    val bounds = ranked.crossJoin(broadcast(bUsed))
+      .select(col("__m"), col("__r"),
+        expr(s"(__bu * $alphaMicros + 999999) div 1000000").as("__klo"),
+        expr(s"(__bu * ${1000000L - alphaMicros} + 999999) div 1000000")
+          .as("__khi"))
+    val lo = bounds.filter(col("__r") === greatest(col("__klo"), lit(1L)))
+      .agg(min(col("__m")).as("ci_lo_micros"))
+    val hi = bounds.filter(col("__r") === col("__khi"))
+      .agg(min(col("__m")).as("ci_hi_micros"))
+    obs.crossJoin(broadcast(bUsed)).crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("__n").as("n"),
+        when(col("__n") > 0, expr("__s div __n")).as("mean_micros"),
+        lit(replicas.toLong).as("replicas"),
+        col("__bu").as("replicas_used"),
+        col("ci_lo_micros"), col("ci_hi_micros"))
+  }
+
   /** Per-group classification fairness audit — confusion counts and
     * the standard group-fairness rates for a binary prediction
     * against a binary label, per sensitive group: selection rate

@@ -316,6 +316,48 @@ class QualitySpec extends SparkSpec {
     assert(v0._4.isEmpty, v0.toString)
   }
 
+  test("bootstrapMeanCi: scalar replication of the Poisson-weight " +
+    "replicas on a tiny fixture; constant values collapse the " +
+    "interval; bounds bracket the mean") {
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i, i.toDouble))
+    val got = Quality.bootstrapMeanCi(rows.toDF("id", "v"), "v", "id",
+        replicas = 20, alphaMicros = 100000L)
+      .as[(Long, Option[Long], Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    // scalar model: same mixer chain, same cutoffs, same truncating
+    // replica means, same ceil-k order statistics
+    val cuts = Seq(790015083L, 1580030167L, 1975037709L, 2106706890L,
+      2139624185L, 2146207644L, 2147304887L, 2147461637L)
+    def ph(id: Long): Long =
+      ((id % 2147483647L) * 2654435761L) % 2147483647L
+    val means = (1 to 20).flatMap { b =>
+      val ws = rows.map { case (id, v) =>
+        val h = (ph(id) + b * 2654435761L) % 2147483647L
+        val w = cuts.indexWhere(h < _) match {
+          case -1 => 8L; case k => k.toLong
+        }
+        (w, (v * 1e6).toLong)
+      }
+      val (wn, wsum) = (ws.map(_._1).sum, ws.map(t => t._1 * t._2).sum)
+      if (wn == 0) None else Some(wsum / wn)
+    }.sorted
+    val bu = means.length
+    val klo = math.max(1, (bu * 100000L + 999999) / 1000000).toInt
+    val khi = ((bu * 900000L + 999999) / 1000000).toInt
+    assert(got._1 == 10L && got._2.contains(5500000L), got.toString)
+    assert(got._4 == bu.toLong, got.toString)
+    assert(got._5.contains(means(klo - 1)), s"$got vs lo ${means(klo - 1)}")
+    assert(got._6.contains(means(khi - 1)), s"$got vs hi ${means(khi - 1)}")
+    assert(got._5.get <= 5500000L && got._6.get >= 5500000L, got.toString)
+    // constant values: every weighted mean is the value itself
+    val const = (1L to 50L).map(i => (i, 7.0)).toDF("id", "v")
+    val c = Quality.bootstrapMeanCi(const, "v", "id", replicas = 10)
+      .as[(Long, Option[Long], Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(c._5.contains(7000000L) && c._6.contains(7000000L), c.toString)
+  }
+
   test("isotonicCalibration: the closed-form min-max equals hand PAV " +
     "pooling on a violating fixture; a monotone input is unchanged; " +
     "output is monotone") {

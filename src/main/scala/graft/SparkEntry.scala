@@ -2980,6 +2980,16 @@ object SparkEntry {
           least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0))),
         "score", col("event_type") === "purchase")),
 
+    // ---- A55: time-decayed trending top-5 event types — recency-
+    // weighted popularity (half-life one week, reference instant
+    // explicit — never the clock); round-6 decay weights into an
+    // exact decimal sum, TakeOrdered tail. ----
+    "a55_decayed_topk" -> ((s, dir) =>
+      ops.Analytics.decayedTopK(t(s, dir, "events"),
+        Seq("event_type"), "ts",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        halfLifeHours = 168.0, k = 5)),
+
     // ---- A54: Poisson-bootstrap 95% CI for the mean event value —
     // the distributed bootstrap (per-row Poisson(1) weights from
     // salted portable hashes, no RNG state, no global resample);
@@ -9047,6 +9057,22 @@ v6 AS MATERIALIZED (
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // round-6 decay weights from floor-truncated epoch ages (the
+    // unix_timestamp convention), exact decimal sum, (score desc,
+    // key) tiebreak
+    "a55_decayed_topk" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(ROUND(POWER(0.5,
+        |    CAST(1706745600 - CAST(floor(epoch(ts)) AS BIGINT)
+        |      AS DOUBLE) / 604800.0), 6) AS DECIMAL(18,6)))
+        |    AS DECIMAL(28,6)) AS DOUBLE) AS decayed_score
+        |FROM events
+        |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  AND CAST(floor(epoch(ts)) AS BIGINT) <= 1706745600
+        |GROUP BY event_type
+        |ORDER BY decayed_score DESC, event_type
+        |LIMIT 5""".stripMargin,
 
     // every Poisson weight replayed from the identical hash cutoffs;
     // sign-explicit truncating means; ceil-k order statistics

@@ -648,6 +648,47 @@ object Analytics {
     * rounded x is the honest resolution of the answer anyway).
     *
     * @return (xCol, yCol) — the frontier points, maximizing both */
+  /** Time-decayed top-k (trending) — recency-weighted popularity,
+    * the ranking every "trending now" surface uses: each event
+    * contributes 2^(−age/halfLife) toward its key, so an event one
+    * half-life old counts half as much as one at the reference
+    * instant. The decay weight is computed per row as a round-6
+    * decimal (ages are exact epoch-second integers; one pow per row,
+    * rounded once), so the per-key sum is an EXACT decimal reduction
+    * — order-free, engine-replayable — and the final ranking ties
+    * break on the key. The reference time is an explicit parameter
+    * (never now(): a deterministic op cannot read the clock).
+    *
+    * Scale shape: one narrow projection into a key-hash agg with
+    * map-side combine, then TakeOrdered for the top k — no window, no
+    * global sort. Mergeable across partitions/shards by construction
+    * (decayed counts add).
+    *
+    * @return top-k rows: (keyCols*, n_events, decayed_score) ordered
+    *         by (decayed_score desc, keys) */
+  def decayedTopK(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  refTs: java.sql.Timestamp, halfLifeHours: Double,
+                  k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(halfLifeHours > 0, "halfLifeHours must be > 0")
+    val ageSec = lit(refTs.getTime / 1000) -
+      unix_timestamp(col(tsCol))
+    val wgt = round(pow(lit(0.5),
+        ageSec.cast("double") / lit(halfLifeHours * 3600.0)), 6)
+      .cast("decimal(18,6)")
+    val g = keyCols.map(col)
+    df.filter(col(tsCol).isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .filter(unix_timestamp(col(tsCol)) <= refTs.getTime / 1000)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(wgt).cast("decimal(28,6)").as("__s"))
+      .select((g :+ col("n_events") :+
+        col("__s").cast("double").as("decayed_score")): _*)
+      .orderBy((col("decayed_score").desc +: g): _*)
+      .limit(k)
+  }
+
   /** Gini coefficient of a non-negative quantity over units — the
     * concentration number for "is this corpus dominated by a few
     * domains / users / sources?" (data-mixture audits report exactly

@@ -60,8 +60,17 @@ object DistinctStateSweep {
       .createTempDirectory("graft_dstate_ck").toString
     val stream = graft.streaming.EventStreams.readStream(spark, in,
       options = Map("maxFilesPerTrigger" -> "1"))
-    val q = graft.streaming.EventStreams
-      .windowedDistinctUsers(stream, "1 hour", "2 hours")
+    // op selector: "distinct" (chained dedup+agg — state grows with
+    // distinct (window, user) pairs in the horizon) vs "kmv" (the
+    // flatMapGroupsWithState sketch — ≤k hashes per live window, so
+    // state must stay ~flat at any factor)
+    val op = args.lift(2).getOrElse("distinct")
+    val plan =
+      if (op == "kmv")
+        graft.streaming.EventStreams.kmvDistinctStream(stream).toDF()
+      else graft.streaming.EventStreams
+        .windowedDistinctUsers(stream, "1 hour", "2 hours")
+    val q = plan
       .writeStream.format("noop")
       .option("checkpointLocation", s"$ckpt/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

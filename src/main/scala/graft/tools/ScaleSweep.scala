@@ -535,6 +535,19 @@ object ScaleSweep {
       // n*d explode into the dim-keyed agg + D-frame reduce
       "e_centroid_drift" -> (d =>
         SparkEntry.queries("e_centroid_drift")(spark, d).count()),
+      // r12 third wave. 99 hash re-labelings of the corpus — the
+      // stated honest cost — into a replica-keyed map-side combine
+      "a52_randomization" -> (d =>
+        SparkEntry.queries("a52_randomization")(spark, d).count()),
+      // bins-frame PAV: corpus collapses to 10 bins in one agg
+      "a53_isotonic" -> (d =>
+        SparkEntry.queries("a53_isotonic")(spark, d).count()),
+      // 100 Poisson-weight passes into the replica-keyed combine
+      "a54_bootstrap" -> (d =>
+        SparkEntry.queries("a54_bootstrap")(spark, d).count()),
+      // |A|x|B| pair frame by contract over two label slices
+      "e_mutual_margin" -> (d =>
+        SparkEntry.queries("e_mutual_margin")(spark, d).count()),
       // frame-bounded per-row sort, one key exchange
       "w31_rolling_mad" -> (d =>
         SparkEntry.queries("w31_rolling_mad")(spark, d).count()),

@@ -464,6 +464,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(g4 == g2, s"tiny-bucket $g4 vs default $g2")
   }
 
+  test("decayedTopK: hand half-life weights, future events excluded, " +
+    "k respected, ties break on the key") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ref = ts("2024-01-02 00:00:00")
+    val df = Seq(
+      ("A", ts("2024-01-02 00:00:00")), ("A", ts("2024-01-01 00:00:00")),
+      ("B", ts("2024-01-01 00:00:00")), ("B", ts("2024-01-01 00:00:00")),
+      ("C", ts("2023-12-31 00:00:00")), ("C", ts("2024-01-02 01:00:00")))
+      .toDF("k", "ts")
+    val got = Analytics.decayedTopK(df, Seq("k"), "ts", ref,
+        halfLifeHours = 24.0, k = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    // A: 1 + 0.5 = 1.5 (n=2); B: 0.5 + 0.5 = 1.0; C's future event
+    // is excluded, leaving 0.25 (below top-2)
+    assert(got == Seq(("A", 2L, 1.5), ("B", 2L, 1.0)), got.toString)
+    // ties: equal scores order by key
+    val tied = Seq(("z", ref), ("y", ref)).toDF("k", "ts")
+    val t = Analytics.decayedTopK(tied, Seq("k"), "ts", ref, 24.0, 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(t == Seq(("y", 1L, 1.0), ("z", 1L, 1.0)), t.toString)
+  }
+
   test("acf: one exchange — mean, deviations and all leads share a " +
     "single user-keyed window") {
     val df = (1 to 20).map(i =>

@@ -2980,6 +2980,36 @@ object SparkEntry {
           least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0))),
         "score", col("event_type") === "purchase")),
 
+    // ---- A57: CUPED variance-reduced treatment effect — per-user
+    // pre/post value sums, even/odd user split as arms; one exact
+    // moment agg (variance reduction IS corr²), fixed-order double
+    // ratios rounded once. ----
+    "a57_cuped" -> ((s, dir) => {
+      val units = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(dayofmonth(col("ts")) <= 15,
+            col("value").cast("decimal(18,6)"))),
+            lit(0).cast("decimal(18,6)")).as("pre"),
+          coalesce(sum(when(dayofmonth(col("ts")) > 15,
+            col("value").cast("decimal(18,6)"))),
+            lit(0).cast("decimal(18,6)")).as("post"))
+      Quality.cupedAdjustment(units, "pre", "post",
+        col("user_id") % 2 === 0)
+    }),
+
+    // ---- A56: Mann–Kendall trend + Sen's slope over the daily
+    // value-total series — nonparametric KPI-drift detection; S and
+    // the tie-corrected 18·Var are exact integers, slopes truncate
+    // to micro-units, Sen is the lower-median order statistic. ----
+    "a56_mann_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy(dayofmonth(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+      ops.Analytics.mannKendall(daily, "d", "v")
+    }),
+
     // ---- A55: time-decayed trending top-5 event types — recency-
     // weighted popularity (half-life one week, reference instant
     // explicit — never the clock); round-6 decay weights into an
@@ -9057,6 +9087,113 @@ v6 AS MATERIALIZED (
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // one HUGEINT moment agg; unrounded theta inside the adjusted
+    // diff exactly as the engine computes it; reduction = corr^2
+    "a57_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+        |      THEN CAST(value AS DECIMAL(18,6)) END), 0) AS pre,
+        |    COALESCE(SUM(CASE WHEN EXTRACT(day FROM ts) > 15
+        |      THEN CAST(value AS DECIMAL(18,6)) END), 0) AS post
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY user_id),
+        |s AS (
+        |  SELECT
+        |    CAST(CAST(ROUND(CAST(pre AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x,
+        |    CAST(CAST(ROUND(CAST(post AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y,
+        |    user_id % 2 = 0 AS t
+        |  FROM u),
+        |a AS (
+        |  SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+        |    SUM(CASE WHEN t THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxt,
+        |    SUM(CASE WHEN t THEN CAST(y AS HUGEINT) ELSE 0 END) AS syt,
+        |    SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN NOT t THEN CAST(x AS HUGEINT) ELSE 0 END)
+        |      AS sxc,
+        |    SUM(CASE WHEN NOT t THEN CAST(y AS HUGEINT) ELSE 0 END)
+        |      AS syc
+        |  FROM s)
+        |SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS theta,
+        |  CASE WHEN nt > 0 AND nc > 0 THEN
+        |    ROUND(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) / 1e6
+        |      - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) / 1e6, 6)
+        |  END AS raw_diff,
+        |  CASE WHEN nt > 0 AND nc > 0 AND n * sxx - sx * sx > 0 THEN
+        |    ROUND(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) / 1e6
+        |      - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) / 1e6
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) / 1e6
+        |           - CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) / 1e6),
+        |      6) END AS adjusted_diff,
+        |  CASE WHEN n * sxx - sx * sx > 0
+        |        AND n * syy - sy * sy > 0 THEN
+        |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        * CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS variance_reduction
+        |FROM a""".stripMargin,
+
+    // exact integer S and tie-corrected 18-Var; sign-explicit
+    // truncating pairwise slopes; lower-median Sen order statistic
+    "a56_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT EXTRACT(day FROM ts) AS i,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(i AS BIGINT) AS i,
+        |    CAST(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS v
+        |  FROM d),
+        |p AS (
+        |  SELECT CASE WHEN b.v > a.v THEN 1
+        |              WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn,
+        |    CASE WHEN b.v - a.v >= 0
+        |      THEN (b.v - a.v) // (b.i - a.i)
+        |      ELSE -((a.v - b.v) // (b.i - a.i)) END AS sl
+        |  FROM s a JOIN s b ON a.i < b.i),
+        |t AS (SELECT COALESCE(SUM(sgn), 0) AS s, COUNT(*) AS np
+        |      FROM p),
+        |n AS (SELECT COUNT(*) AS n FROM s),
+        |tt AS (
+        |  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS tieterm
+        |  FROM (SELECT COUNT(*) AS t FROM s GROUP BY v
+        |        HAVING COUNT(*) > 1)),
+        |v AS (
+        |  SELECT n.n * (n.n - 1) * (2 * n.n + 5) - tt.tieterm
+        |    AS var18
+        |  FROM n, tt),
+        |md AS (
+        |  SELECT sl FROM
+        |    (SELECT sl, ROW_NUMBER() OVER (ORDER BY sl) AS r FROM p),
+        |    t
+        |  WHERE r = (t.np + 1) // 2)
+        |SELECT CAST(n.n AS BIGINT) AS n, CAST(t.s AS BIGINT) AS s,
+        |  CAST(v.var18 AS BIGINT) AS var18,
+        |  CASE WHEN v.var18 > 0 THEN
+        |    CASE WHEN abs(t.s) <= 1 THEN CAST(0 AS DOUBLE)
+        |      ELSE ROUND((CAST(t.s AS DOUBLE)
+        |          - CASE WHEN t.s > 0 THEN 1 ELSE -1 END)
+        |        / SQRT(CAST(v.var18 AS DOUBLE) / 18.0), 6) END
+        |  END AS z,
+        |  (SELECT CAST(sl AS BIGINT) FROM md) AS sen_slope_micros
+        |FROM n, t, v""".stripMargin,
 
     // round-6 decay weights from floor-truncated epoch ages (the
     // unix_timestamp convention), exact decimal sum, (score desc,

@@ -648,6 +648,74 @@ object Analytics {
     * rounded x is the honest resolution of the answer anyway).
     *
     * @return (xCol, yCol) — the frontier points, maximizing both */
+  /** Mann–Kendall trend test + Sen's slope over an ordered series
+    * frame — the nonparametric "is this KPI drifting?" pair every
+    * monitoring stack wants: MK asks IF a monotone trend exists
+    * (S = Σ_{i<j} sign(x_j − x_i), variance with the tie correction,
+    * the ±1-continuity Z), Sen answers HOW STEEP (the lower median of
+    * all pairwise slopes — the robust slope estimator). Everything
+    * before the final Z division is exact: S is an integer sum over
+    * the pair frame, 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is
+    * integer (so Var carries no division error), pairwise slopes
+    * truncate to micro-units per unit index, and the median is the
+    * LOWER order statistic (the MAD convention — no mean of two
+    * middles). |S| ≤ 1 → z 0 by the continuity correction; Var 0
+    * (all ties) → z null.
+    *
+    * Scale contract: the input is a SERIES FRAME (daily totals, a
+    * per-key curve), not a corpus — the n(n−1)/2 pair join and the
+    * single-partition median window are priced for thousands of
+    * points, not billions; aggregate upstream (the caller owns the
+    * reduction, as with [[funnel]]'s stage frame).
+    *
+    * @param idxCol integer/long time index (equally-spaced ranks —
+    *        Sen's slope is per unit of THIS index)
+    * @return one row: (n, s, var18, z, sen_slope_micros) */
+  def mannKendall(df: DataFrame, idxCol: String,
+                  valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val mu = (round(col(valCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000L).cast(dec).cast("long")
+    val src = df.filter(col(idxCol).isNotNull && col(valCol).isNotNull)
+      .select(col(idxCol).cast("long").as("__i"), mu.as("__v"))
+    val a = src.select(col("__i").as("__ia"), col("__v").as("__va"))
+    val b = src.select(col("__i").as("__ib"), col("__v").as("__vb"))
+    val pairs = a.join(b, col("__ia") < col("__ib"))
+      .select(signum((col("__vb") - col("__va")).cast("double"))
+          .cast("long").as("__sgn"),
+        expr("(__vb - __va) div (__ib - __ia)").as("__sl"))
+    val sAgg = pairs.agg(
+      coalesce(sum(col("__sgn")), lit(0L)).as("__s"),
+      count(lit(1)).as("__npairs"))
+    val n = src.agg(count(lit(1)).as("__n"))
+    val ties = src.groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+      .filter(col("__t") > 1)
+      .agg(coalesce(sum(col("__t").cast(dec) * (col("__t") - 1) *
+        (lit(2).cast(dec) * col("__t") + 5)), lit(0).cast(dec))
+        .as("__tieterm"))
+    val wM = Window.orderBy(col("__sl"))
+    val med = pairs.withColumn("__r", row_number().over(wM))
+      .crossJoin(broadcast(sAgg.select(col("__npairs"))))
+      .filter(col("__r") === expr("(__npairs + 1) div 2"))
+      .agg(min(col("__sl")).as("sen_slope_micros"))
+    sAgg.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(med))
+      .select(col("__n").as("n"), col("__s").as("s"),
+        (col("__n").cast(dec) * (col("__n") - 1) *
+          (lit(2).cast(dec) * col("__n") + 5) - col("__tieterm"))
+          .cast("long").as("var18"),
+        col("sen_slope_micros"))
+      .select(col("n"), col("s"),
+        col("var18"),
+        when(col("var18") > 0,
+          round(when(abs(col("s")) <= 1, lit(0.0))
+            .otherwise((col("s").cast("double") -
+              signum(col("s").cast("double"))) /
+              sqrt(col("var18").cast("double") / 18.0)), 6)).as("z"),
+        col("sen_slope_micros"))
+  }
+
   /** Time-decayed top-k (trending) — recency-weighted popularity,
     * the ranking every "trending now" surface uses: each event
     * contributes 2^(−age/halfLife) toward its key, so an event one

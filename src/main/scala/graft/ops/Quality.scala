@@ -1061,6 +1061,72 @@ object Quality {
           .as("rho"))
   }
 
+  /** CUPED variance-reduced treatment effect (Deng et al. 2013) — the
+    * experimentation-platform standard: regress the post-period
+    * metric on its pre-period covariate (θ = cov/var over ALL units,
+    * pooled), subtract θ·(pre − mean_pre) from every unit, and the
+    * adjusted treatment effect has variance shrunk by exactly corr².
+    * The op needs ONE exact moment aggregation: group-adjusted means
+    * collapse to mean_post_g − θ·(mean_pre_g − mean_pre), and
+    * var(adjusted) = var(post) − cov²/var(pre), so the variance-
+    * reduction ratio IS corr(pre, post)² — no per-unit adjusted
+    * column, no second pass. Moment sums are exact decimal(38,0)
+    * (micro-unit inputs, the a16/a17 discipline); θ and every mean
+    * are fixed-order double ratios rounded once at the end.
+    * Zero pre-variance → θ undefined → adjusted outputs null (raw
+    * diff still emitted); an empty arm nulls every diff.
+    *
+    * Scale shape: one hash agg over the unit frame with conditional
+    * per-arm sums riding the same reduce — nothing else touches the
+    * data.
+    *
+    * @param inTreatment boolean Column: true → treatment arm
+    * @return one row: (n_t, n_c, theta, raw_diff, adjusted_diff,
+    *         variance_reduction) */
+  def cupedAdjustment(df: DataFrame, preCol: String, postCol: String,
+                      inTreatment: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val mu = (c: Column) => (r6d(c).cast("decimal(18,6)") * 1000000L)
+      .cast(dec).cast("long")
+    val src = df.filter(col(preCol).isNotNull && col(postCol).isNotNull
+        && inTreatment.isNotNull)
+      .select(mu(col(preCol)).as("__x"), mu(col(postCol)).as("__y"),
+        inTreatment.as("__t"))
+    val agg = src.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+      sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+      sum(when(col("__t"), col("__x")).otherwise(0L)).as("__sxt"),
+      sum(when(col("__t"), col("__y")).otherwise(0L)).as("__syt"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+      sum(when(!col("__t"), col("__x")).otherwise(0L)).as("__sxc"),
+      sum(when(!col("__t"), col("__y")).otherwise(0L)).as("__syc"))
+    val covN = (col("__n").cast(dec) * col("__sxy") -
+      col("__sx") * col("__sy")).cast("double")
+    val varXN = (col("__n").cast(dec) * col("__sxx") -
+      col("__sx") * col("__sx")).cast("double")
+    val varYN = (col("__n").cast(dec) * col("__syy") -
+      col("__sy") * col("__sy")).cast("double")
+    val theta = covN / varXN
+    val meanD = (s: String, n: String) =>
+      col(s).cast("double") / col(n).cast("double") / 1e6
+    val rawDiff = meanD("__syt", "__nt") - meanD("__syc", "__nc")
+    val preDiff = meanD("__sxt", "__nt") - meanD("__sxc", "__nc")
+    val arms = col("__nt") > 0 && col("__nc") > 0
+    agg.select(col("__nt").as("n_t"), col("__nc").as("n_c"),
+      when(varXN > 0, round(theta, 6)).as("theta"),
+      when(arms, round(rawDiff, 6)).as("raw_diff"),
+      when(arms && varXN > 0, round(rawDiff - theta * preDiff, 6))
+        .as("adjusted_diff"),
+      when(varXN > 0 && varYN > 0,
+        round(covN * covN / (varXN * varYN), 6))
+        .as("variance_reduction"))
+  }
+
   /** Deterministic randomization test for a two-group mean difference
     * — the assumption-free significance test (no normality, no equal
     * variances: the t-test's a20 companion for ugly distributions).

@@ -464,6 +464,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(g4 == g2, s"tiny-bucket $g4 vs default $g2")
   }
 
+  test("mannKendall: hand S/var/z with the tie correction on a " +
+    "5-point series; Sen lower-median slope; constant series nulls " +
+    "z; |S| <= 1 zeroes z by continuity") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 4.0),
+      (5L, 3.0)).toDF("i", "v")
+    val got = Analytics.mannKendall(df, "i", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Long])]
+      .collect().head
+    // S = 8 concordant - 1 discordant = 7; 18Var = 5*4*15 - 2*1*9
+    val expZ = BigDecimal((7.0 - 1.0) / math.sqrt(282.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((5L, 7L, 282L, Some(expZ), Some(500000L))),
+      s"$got expected z=$expZ")
+    val const = Seq((1L, 9.0), (2L, 9.0), (3L, 9.0)).toDF("i", "v")
+    val c = Analytics.mannKendall(const, "i", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Long])]
+      .collect().head
+    assert(c._2 == 0L && c._3 == 0L && c._4.isEmpty &&
+      c._5.contains(0L), c.toString)
+    val two = Seq((1L, 1.0), (2L, 2.0)).toDF("i", "v")
+    val t = Analytics.mannKendall(two, "i", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Long])]
+      .collect().head
+    assert(t._2 == 1L && t._4.contains(0.0), t.toString)
+  }
+
   test("decayedTopK: hand half-life weights, future events excluded, " +
     "k respected, ties break on the key") {
     import spark.implicits._

@@ -316,6 +316,28 @@ class QualitySpec extends SparkSpec {
     assert(v0._4.isEmpty, v0.toString)
   }
 
+  test("cupedAdjustment: hand theta/raw/adjusted/variance-reduction " +
+    "on a 4-unit fixture; constant pre nulls the adjustment but " +
+    "keeps the raw diff") {
+    import spark.implicits._
+    val df = Seq((1.0, 3.0, true), (3.0, 5.0, true),
+      (2.0, 3.0, false), (4.0, 5.0, false)).toDF("pre", "post", "t")
+    val got = Quality.cupedAdjustment(df, "pre", "post", col("t"))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    // theta = 16/20, raw = 4-4 = 0, adj = 0 - 0.8*(2-3) = 0.8,
+    // reduction = corr^2 = 0.8
+    assert(got == ((2L, 2L, Some(0.8), Some(0.0), Some(0.8),
+      Some(0.8))), got.toString)
+    val flatPre = Seq((5.0, 3.0, true), (5.0, 7.0, false))
+      .toDF("pre", "post", "t")
+    val g2 = Quality.cupedAdjustment(flatPre, "pre", "post", col("t"))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(g2._3.isEmpty && g2._4.contains(-4.0) && g2._5.isEmpty &&
+      g2._6.isEmpty, g2.toString)
+  }
+
   test("bootstrapMeanCi: scalar replication of the Poisson-weight " +
     "replicas on a tiny fixture; constant values collapse the " +
     "interval; bounds bracket the mean") {

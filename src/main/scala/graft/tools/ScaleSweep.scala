@@ -548,6 +548,15 @@ object ScaleSweep {
       // |A|x|B| pair frame by contract over two label slices
       "e_mutual_margin" -> (d =>
         SparkEntry.queries("e_mutual_margin")(spark, d).count()),
+      // key-hash agg + TakeOrdered tail
+      "a55_decayed_topk" -> (d =>
+        SparkEntry.queries("a55_decayed_topk")(spark, d).count()),
+      // daily agg to a 31-point series frame, pairs there
+      "a56_mann_kendall" -> (d =>
+        SparkEntry.queries("a56_mann_kendall")(spark, d).count()),
+      // unit-frame agg + one moment reduce
+      "a57_cuped" -> (d =>
+        SparkEntry.queries("a57_cuped")(spark, d).count()),
       // frame-bounded per-row sort, one key exchange
       "w31_rolling_mad" -> (d =>
         SparkEntry.queries("w31_rolling_mad")(spark, d).count()),

@@ -2091,6 +2091,17 @@ object SparkEntry {
       Similarity.kmeansLloyd(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, iters = 2)),
 
+    // ---- similarity: label-free clustering QC — simplified
+    // silhouette of the e_kmeans assignment; cosine distances to
+    // exact micro-unit cluster SUM vectors (no mean-of-doubles),
+    // per-cluster truncating micro means. ----
+    "e_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val asg = Similarity.kmeansLloyd(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.simplifiedSilhouette(emb, "vec_id", "embedding", asg)
+    }),
+
     // ---- similarity: clustering-quality evaluation — the e_kmeans
     // assignment scored against the ground-truth labels: purity
     // (Σ_c max_l n_cl / n) and NMI via the a33 mutual-information
@@ -2979,6 +2990,14 @@ object SparkEntry {
         t(s, dir, "events").withColumn("score",
           least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0))),
         "score", col("event_type") === "purchase")),
+
+    // ---- A58: temperature-scaled sampling mixture over document
+    // sources — the multilingual up-sampling recipe (α = 0.3):
+    // round-6 n^α terms into an exact decimal denominator, per-source
+    // raw/temperature shares and the sampler's multiplier. ----
+    "a58_temperature_mix" -> ((s, dir) =>
+      ops.Analytics.temperatureMix(t(s, dir, "documents"),
+        Seq("source"), alphaMicros = 300000L)),
 
     // ---- A57: CUPED variance-reduced treatment effect — per-user
     // pre/post value sums, even/odd user split as arms; one exact
@@ -7383,6 +7402,58 @@ v6 AS MATERIALIZED (
     // REAL, empty clusters keep the init centroid, final argmax
     "e_kmeans" -> KmeansAssignOracle,
 
+    // assignment replay + micro SUM-vector centroids + the same
+    // round-6 cosine/silhouette arithmetic, sign-explicit means
+    "e_silhouette" -> (
+      s"""WITH asg AS MATERIALIZED (
+         |$KmeansAssignOracle),
+         |pts AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, a.cluster AS own
+         |  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+         |dims AS (SELECT unnest(range(0, 64)) AS dim),
+         |sums AS (
+         |  SELECT own, d.dim,
+         |    SUM(CAST(CAST(ROUND(CAST(embedding[d.dim + 1] AS DOUBLE),
+         |      6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS s
+         |  FROM pts, dims d GROUP BY own, d.dim),
+         |cv AS (
+         |  SELECT own AS c, list(CAST(s AS DOUBLE) ORDER BY dim) AS cv
+         |  FROM sums GROUP BY own),
+         |dd AS (
+         |  SELECT p.vec_id, p.own, c.c,
+         |    ROUND(list_sum(list_transform(list_zip(c.cv, p.embedding),
+         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(c.cv,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(p.embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |      AS cos
+         |  FROM pts p CROSS JOIN cv c),
+         |pp AS (
+         |  SELECT vec_id, own,
+         |    MAX(CASE WHEN own = c THEN cos END) AS co,
+         |    MAX(CASE WHEN own <> c THEN cos END) AS cb
+         |  FROM dd GROUP BY vec_id, own),
+         |si AS (
+         |  SELECT own,
+         |    CASE WHEN GREATEST(CAST(1 AS DOUBLE) - co,
+         |        CAST(1 AS DOUBLE) - cb) > 0 THEN
+         |      CAST(CAST(ROUND(((CAST(1 AS DOUBLE) - cb)
+         |          - (CAST(1 AS DOUBLE) - co))
+         |        / GREATEST(CAST(1 AS DOUBLE) - co,
+         |            CAST(1 AS DOUBLE) - cb), 6) AS DECIMAL(18,6))
+         |        * 1000000 AS BIGINT)
+         |    ELSE 0 END AS sm
+         |  FROM pp),
+         |ag AS (
+         |  SELECT own, COUNT(*) AS n, SUM(sm) AS ssum
+         |  FROM si GROUP BY own)
+         |SELECT CAST(own AS INT) AS cluster, CAST(n AS BIGINT) AS n,
+         |  ROUND(CAST(CASE WHEN ssum >= 0 THEN ssum // n
+         |    ELSE -((-ssum) // n) END AS DOUBLE) / 1e6, 6)
+         |  AS mean_silhouette
+         |FROM ag""".stripMargin),
+
     // assignment replay + purity + the a33 MI arithmetic on
     // (cluster, label)
     "e_cluster_purity" -> (
@@ -9087,6 +9158,27 @@ v6 AS MATERIALIZED (
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // round-6 POWER terms into an exact decimal denominator; every
+    // share a single double division rounded once
+    "a58_temperature_mix" ->
+      """WITH g AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(ROUND(POWER(CAST(COUNT(*) AS DOUBLE), 0.3), 6)
+        |      AS DECIMAL(18,6)) AS t
+        |  FROM documents WHERE source IS NOT NULL
+        |  GROUP BY source),
+        |o AS (
+        |  SELECT SUM(n) AS nt,
+        |    CAST(SUM(t) AS DECIMAL(28,6)) AS tt
+        |  FROM g)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS p_raw,
+        |  ROUND(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS p_temp,
+        |  ROUND((CAST(t AS DOUBLE) / CAST(tt AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+        |    AS weight_multiplier
+        |FROM g, o""".stripMargin,
 
     // one HUGEINT moment agg; unrounded theta inside the adjusted
     // diff exactly as the engine computes it; reduction = corr^2

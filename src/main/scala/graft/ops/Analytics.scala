@@ -648,6 +648,48 @@ object Analytics {
     * rounded x is the honest resolution of the answer anyway).
     *
     * @return (xCol, yCol) — the frontier points, maximizing both */
+  /** Temperature-scaled sampling mixture — the multilingual /
+    * multi-domain data-mixture recipe (the mBERT/XLM-R exponential
+    * smoothing): sampling share p_g ∝ n_g^α flattens the raw size
+    * distribution toward uniform as α → 0, so low-resource groups
+    * are up-sampled with a single knob. Per group the op reports the
+    * raw share, the temperature share, and the up/down-sampling
+    * multiplier p_temp/p_raw (the number a sampler actually applies
+    * per group). n^α terms are one pow each, rounded once to 6 and
+    * summed EXACTLY in decimal (order-free denominator); shares are
+    * single double divisions rounded once.
+    *
+    * Scale shape: one hash agg to the groups frame; the two share
+    * denominators attach as a 1-row broadcast.
+    *
+    * @param alphaMicros temperature exponent α in micro-units
+    *        (300000 = the common α = 0.3)
+    * @return one row per group: (groupCols*, n, p_raw, p_temp,
+    *         weight_multiplier) */
+  def temperatureMix(df: DataFrame, groupCols: Seq[String],
+                     alphaMicros: Long = 300000L): DataFrame = {
+    require(alphaMicros > 0, "alphaMicros must be > 0")
+    val g = groupCols.map(col)
+    val alpha = alphaMicros.toDouble / 1e6
+    val grouped = df
+      .filter(groupCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(g: _*).agg(count(lit(1)).as("n"))
+      .withColumn("__t",
+        round(pow(col("n").cast("double"), lit(alpha)), 6)
+          .cast("decimal(18,6)"))
+    val tot = grouped.agg(sum(col("n")).as("__nt"),
+      sum(col("__t")).cast("decimal(28,6)").as("__tt"))
+    grouped.crossJoin(broadcast(tot))
+      .select((g :+ col("n") :+
+        round(col("n").cast("double") / col("__nt").cast("double"), 6)
+          .as("p_raw") :+
+        round(col("__t").cast("double") / col("__tt").cast("double"), 6)
+          .as("p_temp") :+
+        round((col("__t").cast("double") / col("__tt").cast("double")) /
+          (col("n").cast("double") / col("__nt").cast("double")), 6)
+          .as("weight_multiplier")): _*)
+  }
+
   /** Mann–Kendall trend test + Sen's slope over an ordered series
     * frame — the nonparametric "is this KPI drifting?" pair every
     * monitoring stack wants: MK asks IF a monotone trend exists

@@ -118,6 +118,71 @@ object Similarity {
               col("__nb2").cast("double")), 6)).as("cosine"))
   }
 
+  /** Simplified silhouette score per cluster — the clustering-QC
+    * number that needs no ground-truth labels (the label-free
+    * companion to purity/NMI): for each point, a = cosine distance to
+    * its OWN cluster centroid, b = the nearest OTHER centroid's
+    * distance, s = (b − a)/max(a, b); a cluster whose mean s sags
+    * toward 0 is bleeding into a neighbor. Centroid distances are
+    * computed against exact micro-unit SUM vectors (cosine is
+    * scale-invariant in the centroid, so no mean-of-doubles exists —
+    * the [[centroidDrift]] trick); per-point cosines round once to 6,
+    * s rounds once to 6, and cluster means are sign-explicit
+    * truncating micro divisions. The own-cluster sum INCLUDES the
+    * point (the standard simplified-silhouette convention). Both
+    * distances 0 (point on two coincident centroids) → s = 0.
+    *
+    * Scale shape: one posexplode to the (cluster, dim) sum frame
+    * (k·D rows), then an n×k broadcast crossJoin for the distances —
+    * the assignment pass's own cost profile; nothing quadratic in n.
+    *
+    * @param assignments (idCol, clusterCol) — e.g. [[kmeansLloyd]]
+    * @return one row per cluster: (cluster, n, mean_silhouette) */
+  def simplifiedSilhouette(emb: DataFrame, idCol: String,
+                           vecCol: String, assignments: DataFrame,
+                           clusterCol: String = "cluster"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val muV = (round(col("__v").cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000L).cast(dec).cast("long")
+    val pts = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .join(assignments.select(col(idCol),
+        col(clusterCol).as("__own")), Seq(idCol))
+    val sums = pts
+      .select(col("__own"), posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .select(col("__own"), col("__d"), muV.as("__vm"))
+      .groupBy(col("__own"), col("__d"))
+      .agg(sum(col("__vm")).as("__s"))
+      .groupBy(col("__own"))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__s"))))
+        .as("__ds"))
+      .select(col("__own").as("__c"),
+        expr("transform(__ds, x -> cast(x.__s as double))").as("__cv"))
+    val cos6 = round(cosine(col(vecCol).cast("array<double>"),
+      col("__cv")), 6)
+    val dists = pts.crossJoin(broadcast(sums))
+      .select(col(idCol), col("__own"), col("__c"), cos6.as("__cos"))
+    val perPoint = dists.groupBy(col(idCol), col("__own")).agg(
+        max(when(col("__own") === col("__c"), col("__cos"))).as("__co"),
+        max(when(col("__own") =!= col("__c"), col("__cos"))).as("__cb"))
+      .select(col("__own"),
+        (lit(1.0) - col("__co")).as("__a"),
+        (lit(1.0) - col("__cb")).as("__b"))
+      .select(col("__own"),
+        when(greatest(col("__a"), col("__b")) > 0,
+          round((col("__b") - col("__a")) /
+            greatest(col("__a"), col("__b")), 6))
+          .otherwise(lit(0.0)).as("__si"))
+    perPoint
+      .select(col("__own"),
+        (col("__si").cast("decimal(18,6)") * 1000000L)
+          .cast(dec).cast("long").as("__sm"))
+      .groupBy(col("__own")).agg(count(lit(1)).as("n"),
+        sum(col("__sm")).as("__ssum"))
+      .select(col("__own").as("cluster"), col("n"),
+        round(expr("__ssum div n").cast("double") / 1e6, 6)
+          .as("mean_silhouette"))
+  }
+
   /** Margin-scored mutual k-NN matching — the bitext-mining criterion
     * (Artetxe & Schwenk 2019's ratio margin, the CCMatrix/LASER
     * recipe): a cross-slice pair (a, b) is a candidate only if each

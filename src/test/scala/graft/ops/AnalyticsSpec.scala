@@ -464,6 +464,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(g4 == g2, s"tiny-bucket $g4 vs default $g2")
   }
 
+  test("temperatureMix: alpha 1 reproduces raw shares, alpha -> 0 " +
+    "flattens toward uniform, multipliers up-sample the small group") {
+    import spark.implicits._
+    // 90/10 split
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("g")
+    val a1 = Analytics.temperatureMix(df, Seq("g"),
+        alphaMicros = 1000000L)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(a1("big") == (("big", 90L, 0.9, 0.9, 1.0)), a1.toString)
+    assert(a1("small") == (("small", 10L, 0.1, 0.1, 1.0)), a1.toString)
+    val a3 = Analytics.temperatureMix(df, Seq("g"),
+        alphaMicros = 300000L)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // 90^.3 = 3.855784, 10^.3 = 1.995262 -> small share 0.341003
+    assert(a3("small")._4 > 0.3 && a3("small")._4 < 0.35, a3.toString)
+    assert(a3("small")._5 > 3.0 && a3("big")._5 < 1.0, a3.toString)
+    // shares sum to ~1
+    assert(math.abs(a3.values.map(_._4).sum - 1.0) < 1e-5, a3.toString)
+  }
+
   test("mannKendall: hand S/var/z with the tie correction on a " +
     "5-point series; Sen lower-median slope; constant series nulls " +
     "z; |S| <= 1 zeroes z by continuity") {

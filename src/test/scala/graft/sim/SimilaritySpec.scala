@@ -900,4 +900,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got((1L, 11L))._2.contains(expMargin), got.toString)
     assert(got.values.forall(_._2.exists(_ > 1.0)), got.toString)
   }
+
+  test("simplifiedSilhouette: perfect separation scores 1; a " +
+    "misassigned point goes negative and drags its cluster mean; a " +
+    "single cluster is undefined (null)") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (11L, Seq(0.0f, 1.0f)), (12L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val asg = Seq((1L, 0), (2L, 0), (3L, 0), (11L, 1), (12L, 1))
+      .toDF("vec_id", "cluster")
+    val got = Similarity.simplifiedSilhouette(emb, "vec_id",
+        "embedding", asg)
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // cluster 0 sums to [2e6, 1e6]: the two axis points score
+    // s = 1 - cos([1,0],[2,1]) ... = 0.894427, the misassigned
+    // [0,1] point scores -1; truncating mean = 262951 micros
+    assert(got(0) == ((3L, Some(0.262951))), got.toString)
+    assert(got(1) == ((2L, Some(1.0))), got.toString)
+    // one cluster only: no "other" centroid exists
+    val one = Similarity.simplifiedSilhouette(emb, "vec_id",
+        "embedding", asg.withColumn("cluster",
+          org.apache.spark.sql.functions.lit(0)))
+      .as[(Int, Long, Option[Double])].collect().head
+    assert(one._3.isEmpty, one.toString)
+  }
 }

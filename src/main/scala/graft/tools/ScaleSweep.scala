@@ -557,6 +557,12 @@ object ScaleSweep {
       // unit-frame agg + one moment reduce
       "a57_cuped" -> (d =>
         SparkEntry.queries("a57_cuped")(spark, d).count()),
+      // Lloyd assignment + an n x k broadcast crossJoin
+      "e_silhouette" -> (d =>
+        SparkEntry.queries("e_silhouette")(spark, d).count()),
+      // groups-frame agg + 1-row broadcast
+      "a58_temperature_mix" -> (d =>
+        SparkEntry.queries("a58_temperature_mix")(spark, d).count()),
       // frame-bounded per-row sort, one key exchange
       "w31_rolling_mad" -> (d =>
         SparkEntry.queries("w31_rolling_mad")(spark, d).count()),

@@ -395,4 +395,104 @@ class PropertySpec extends SparkSpec {
       "SELECT nfc_normalize('cafe\u0301')").as[String].collect()(0)
     assert(viaSql == "caf\u00e9")
   }
+
+  test("Prefix.strictBelow == a brute per-group scan on random " +
+    "frames (negative keys, duplicate-free), any bucket size") {
+    val frameGen: Gen[(List[(Int, Long, Long)], Long)] = for {
+      n <- Gen.choose(1, 20)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 2)
+        k <- Gen.choose(-50L, 50L)
+        m <- Gen.choose(-5L, 20L)
+      } yield (g, k, m))
+      b <- Gen.oneOf(2L, 7L, 1048576L)
+    } yield (rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList, b)
+    check("prefix-vs-brute")(Prop.forAll(frameGen) { case (rows, b) =>
+      val df = rows.toDF("g", "k", "m")
+      val got = Prefix.strictBelow(df, Seq("g"), "k", Seq("m"), b)
+        .select("g", "k", "__below_m")
+        .as[(Int, Long, Long)].collect().toSet
+      val want = rows.map { case (g, k, _) =>
+        (g, k, rows.filter(r => r._1 == g && r._2 < k).map(_._3).sum)
+      }.toSet
+      got == want
+    })
+  }
+
+  test("spearmanCorr stays in [-1, 1] and is symmetric in its " +
+    "arguments on random pairs") {
+    val pairsGen: Gen[List[(Double, Double)]] = for {
+      n <- Gen.choose(2, 15)
+      rows <- Gen.listOfN(n, for {
+        x <- Gen.choose(-100, 100)
+        y <- Gen.choose(-100, 100)
+      } yield (x.toDouble, y.toDouble))
+    } yield rows
+    check("spearman-bounds-symmetry")(Prop.forAll(pairsGen) { rows =>
+      val df = rows.toDF("x", "y")
+      val rxy = Quality.spearmanCorr(df, "x", "y")
+        .as[(Long, Option[Double])].collect().head._2
+      val ryx = Quality.spearmanCorr(df, "y", "x")
+        .as[(Long, Option[Double])].collect().head._2
+      rxy == ryx && rxy.forall(v => v >= -1.0 && v <= 1.0)
+    })
+  }
+
+  test("cohenKappa <= 1 always, and equals 1 iff agreement is total " +
+    "(on random paired labels)") {
+    val gen: Gen[List[(String, String)]] = for {
+      n <- Gen.choose(1, 20)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.oneOf("x", "y", "z")
+        b <- Gen.oneOf("x", "y", "z")
+      } yield (a, b))
+    } yield rows
+    check("kappa-bounds")(Prop.forAll(gen) { rows =>
+      val got = Quality.cohenKappa(rows.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Option[Double])].collect().head
+      val total = got._1 == got._2
+      got._3.forall(_ <= 1.0 + 1e-9) &&
+        (got._3.isEmpty || !total || got._3.contains(1.0))
+    })
+  }
+
+  test("giniConcentration lands in [0, 1) and is 0 exactly for " +
+    "equal positive unit totals") {
+    val gen: Gen[List[(Int, Double)]] = for {
+      n <- Gen.choose(1, 15)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0, 9)
+        w <- Gen.choose(0, 50)
+      } yield (u, w.toDouble))
+    } yield rows
+    check("gini-bounds")(Prop.forAll(gen) { rows =>
+      val got = Analytics.giniConcentration(rows.toDF("u", "w"),
+          Seq("u"), "w")
+        .as[(Long, Long, Long, Option[Double])].collect().head
+      got._4.forall(g => g >= 0.0 && g < 1.0)
+    })
+  }
+
+  test("averagePrecision lands in (0, 1] whenever positives exist, " +
+    "and 1.0 when every positive outranks every negative") {
+    val gen: Gen[List[(Double, Boolean)]] = for {
+      n <- Gen.choose(1, 15)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, 20)
+        p <- Gen.oneOf(true, false)
+      } yield (s / 20.0, p))
+    } yield rows
+    check("ap-bounds")(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("s", "p")
+      val got = Quality.averagePrecision(df, "s", col("p"))
+        .as[(Long, Long, Option[Double])].collect().head
+      if (got._1 == 0) got._3.isEmpty
+      else {
+        val minPos = rows.filter(_._2).map(_._1).min
+        val maxNeg = (rows.filterNot(_._2).map(_._1) :+ -1.0).max
+        got._3.exists(v => v > 0.0 && v <= 1.0 + 1e-9) &&
+          (maxNeg >= minPos || got._3.contains(1.0))
+      }
+    })
+  }
 }

@@ -500,6 +500,70 @@ object SqlRecipes {
          |SELECT n.g AS event_type, n.n, n.k, q.qhat_micros
          |FROM n LEFT JOIN q ON q.g = n.g""".stripMargin,
 
+    // -- Gini concentration (r12): corpus-mass concentration over
+    // sources; ROW_NUMBER rank-sum replay (tie-order invariant), one
+    // exact rational, one double division
+    "graft_gini" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_gini()
+         |RETURNS TABLE (n_units BIGINT, total_micros BIGINT,
+         |               gini DOUBLE)
+         |RETURN
+         |WITH u AS (
+         |  SELECT source,
+         |    CAST(SUM(CAST(ROUND(CAST(n_chars AS DOUBLE), 6)
+         |      AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS x
+         |  FROM ${prefix}documents WHERE n_chars IS NOT NULL
+         |  GROUP BY source),
+         |p AS (
+         |  SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i
+         |  FROM u WHERE x >= 0),
+         |t AS (
+         |  SELECT COUNT(*) AS n, COALESCE(SUM(x), 0L) AS tt,
+         |    COALESCE(SUM(i * x), 0L) AS s
+         |  FROM p)
+         |SELECT n AS n_units, tt AS total_micros,
+         |  CASE WHEN n > 0 AND tt > 0 THEN
+         |    ROUND(CAST(2 * s - (n + 1) * tt AS DOUBLE)
+         |      / CAST(n * tt AS DOUBLE), 6) END AS gini
+         |FROM t""".stripMargin,
+
+    // -- Cohen's kappa (r12): chance-corrected agreement between two
+    // derived raters as one exact-integer rational
+    "graft_kappa" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_kappa(
+         |  cut1 INT, cut2 INT, cut1b INT, cut2b INT)
+         |RETURNS TABLE (n BIGINT, agree BIGINT, kappa DOUBLE)
+         |RETURN
+         |WITH r AS (
+         |  SELECT
+         |    CASE WHEN n_chars < graft_kappa.cut1 THEN 'short'
+         |         WHEN n_chars < graft_kappa.cut2 THEN 'mid'
+         |         ELSE 'long' END AS a,
+         |    CASE WHEN length(regexp_replace(text, ' ', ''))
+         |           < graft_kappa.cut1b THEN 'short'
+         |         WHEN length(regexp_replace(text, ' ', ''))
+         |           < graft_kappa.cut2b THEN 'mid' ELSE 'long' END AS b
+         |  FROM ${prefix}documents
+         |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         |c AS (SELECT a, b, COUNT(*) AS c FROM r GROUP BY a, b),
+         |rt AS (SELECT a AS k, SUM(c) AS r FROM c GROUP BY a),
+         |ct AS (SELECT b AS k, SUM(c) AS ct FROM c GROUP BY b),
+         |s AS (
+         |  SELECT COALESCE(SUM(CAST(rt.r AS DECIMAL(38,0))
+         |    * CAST(ct.ct AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0)))
+         |    AS s
+         |  FROM rt JOIN ct ON rt.k = ct.k),
+         |t AS (
+         |  SELECT SUM(c) AS n,
+         |    SUM(CASE WHEN a = b THEN c ELSE 0L END) AS agree
+         |  FROM c)
+         |SELECT n, agree,
+         |  CASE WHEN CAST(n AS DECIMAL(38,0)) * n <> s THEN
+         |    ROUND(CAST(CAST(agree AS DECIMAL(38,0)) * n - s AS DOUBLE)
+         |      / CAST(CAST(n AS DECIMAL(38,0)) * n - s AS DOUBLE), 6)
+         |  END AS kappa
+         |FROM t, s""".stripMargin,
+
     // -- group-fairness audit (r12): per-lang confusion counts for a
     // length-gate prediction vs the declared-length label; every rate
     // one round-6 double division, zero denominators stay NULL

@@ -267,4 +267,35 @@ class SqlRecipesSpec extends SparkSpec {
         Option[Double])].collect().toSet
     assert(viaSql == viaDsl && viaSql.nonEmpty, s"$viaSql $viaDsl")
   }
+
+  test("graft_gini == Analytics.giniConcentration over source mass") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_gini()")
+      .as[(Long, Long, Option[Double])].collect().head
+    val viaDsl = ops.Analytics.giniConcentration(
+        Tables.load(spark, dir, "documents"), Seq("source"), "n_chars")
+      .select("n_units", "total_micros", "gini")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(viaSql == viaDsl && viaSql._3.nonEmpty, s"$viaSql $viaDsl")
+  }
+
+  test("graft_kappa == Quality.cohenKappa on the a45 rater pair") {
+    ready()
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_kappa(300, 500, 250, 420)")
+      .as[(Long, Long, Option[Double])].collect().head
+    val d = Tables.load(spark, dir, "documents")
+      .filter(col("n_chars").isNotNull && col("text").isNotNull)
+    val ns = length(regexp_replace(col("text"), lit(" "), lit("")))
+    val viaDsl = ops.Quality.cohenKappa(
+        d.select(
+          when(col("n_chars") < 300, "short")
+            .when(col("n_chars") < 500, "mid").otherwise("long")
+            .as("r1"),
+          when(ns < 250, "short").when(ns < 420, "mid")
+            .otherwise("long").as("r2")),
+        "r1", "r2")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(viaSql == viaDsl && viaSql._3.nonEmpty, s"$viaSql $viaDsl")
+  }
 }

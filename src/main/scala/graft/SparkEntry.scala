@@ -1205,6 +1205,22 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("label").isin(0, 1)),
         "vec_id", "embedding", col("label") === 0, k = 4)),
 
+    // ---- E: SHORTLIST-FED margin mining — the serving-scale twin of
+    // e_mutual_margin: candidate pairs are the union of two directed
+    // IVF k-NN shortlists (nlist=16, nprobe=4, shortlistK=8) instead
+    // of the |A|·|B| product, then the identical mutual/margin tail.
+    // No crossJoin anywhere; the oracle replays the whole IVF
+    // structure (centroid pick, cell argmax, probe ranks, per-query
+    // shortlist) and the tail in SQL. ----
+    "e_mutual_margin_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("label").isin(0, 1)
+        && col("vec_id").isNotNull && col("embedding").isNotNull)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+      Similarity.marginMutualKnnIvf(emb, "vec_id", "embedding",
+        col("label") === 0, k = 4, centroids = cents, nprobe = 4,
+        shortlistK = 8)
+    }),
+
     // ---- E: embedding centroid drift — per-label cosine between the
     // even-id and odd-id slice centroids; compares exact micro-unit
     // SUM vectors (cosine is scale-invariant, so no mean is ever
@@ -5602,6 +5618,103 @@ object SparkEntry {
         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
         |      AS DECIMAL(18,6)) AS cos
         |  FROM a, b),
+        |r AS (
+        |  SELECT a_id, b_id, cos,
+        |    CAST(cos * 1000000 AS BIGINT) AS mu,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id
+        |      ORDER BY cos DESC, b_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY b_id
+        |      ORDER BY cos DESC, a_id) AS rb
+        |  FROM p),
+        |ma AS (
+        |  SELECT a_id, CASE WHEN SUM(mu) >= 0
+        |    THEN SUM(mu) // COUNT(*)
+        |    ELSE -((-SUM(mu)) // COUNT(*)) END AS ma
+        |  FROM r WHERE ra <= 4 GROUP BY 1),
+        |mb AS (
+        |  SELECT b_id, CASE WHEN SUM(mu) >= 0
+        |    THEN SUM(mu) // COUNT(*)
+        |    ELSE -((-SUM(mu)) // COUNT(*)) END AS mb
+        |  FROM r WHERE rb <= 4 GROUP BY 1)
+        |SELECT r.a_id, r.b_id, CAST(r.cos AS DOUBLE) AS cosine,
+        |  CASE WHEN ma.ma + mb.mb > 0 THEN
+        |    ROUND(2.0 * CAST(r.mu AS DOUBLE)
+        |      / CAST(ma.ma + mb.mb AS DOUBLE), 6) END AS margin
+        |FROM r JOIN ma ON ma.a_id = r.a_id
+        |  JOIN mb ON mb.b_id = r.b_id
+        |WHERE r.ra = 1 AND r.rb = 1""".stripMargin,
+
+    // The IVF shortlist replayed end to end (centroid pick by the
+    // portable hash, argmax cell assignment, top-4 probe ranks,
+    // per-query top-8 shortlist, union-distinct across the two
+    // directions), then the identical margin tail over the shortlist
+    // pair frame instead of the |A|·|B| product.
+    "e_mutual_margin_ivf" ->
+      """WITH src AS MATERIALIZED (
+        |  SELECT vec_id, embedding, label = 0 AS ina
+        |  FROM embeddings
+        |  WHERE label IN (0, 1) AND vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL),
+        |cents AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY
+        |      ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |      vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM src
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
+        |    vec_id
+        |  LIMIT 16),
+        |assign AS MATERIALIZED (
+        |  SELECT s.vec_id, s.embedding, s.ina,
+        |    (SELECT cell FROM cents
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(cents.ce, s.embedding),
+        |         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(cents.ce,
+        |            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(s.embedding,
+        |            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM src s),
+        |probed AS MATERIALIZED (
+        |  SELECT vec_id, ina, qe, cell FROM (
+        |    SELECT s.vec_id, s.ina, s.embedding AS qe, c.cell,
+        |      row_number() OVER (PARTITION BY s.vec_id
+        |        ORDER BY ROUND(
+        |          list_sum(list_transform(list_zip(c.ce, s.embedding),
+        |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(c.ce,
+        |               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(s.embedding,
+        |               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+        |          6) DESC, c.cell) AS pr
+        |    FROM src s, cents c)
+        |  WHERE pr <= 4),
+        |sl AS MATERIALIZED (
+        |  SELECT qid, nid, ina, cos FROM (
+        |    SELECT qid, nid, ina, cos,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, nid) AS rk
+        |    FROM (
+        |      SELECT p.vec_id AS qid, a.vec_id AS nid, p.ina,
+        |        CAST(ROUND(
+        |          list_sum(list_transform(list_zip(a.embedding, p.qe),
+        |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(a.embedding,
+        |               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(p.qe,
+        |               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+        |          6) AS DECIMAL(18,6)) AS cos
+        |      FROM probed p JOIN assign a USING (cell)
+        |      WHERE a.ina <> p.ina))
+        |  WHERE rk <= 8),
+        |p AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    CASE WHEN ina THEN qid ELSE nid END AS a_id,
+        |    CASE WHEN ina THEN nid ELSE qid END AS b_id,
+        |    cos
+        |  FROM sl),
         |r AS (
         |  SELECT a_id, b_id, cos,
         |    CAST(cos * 1000000 AS BIGINT) AS mu,

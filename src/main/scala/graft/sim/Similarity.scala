@@ -196,11 +196,13 @@ object Similarity {
     * neighborhood means are ≤ 0 — a degenerate cloud has no margin).
     *
     * Scale shape: the pair frame is |A|·|B| BY CONTRACT (the
-    * e_sim_pairs brute-force contract — at serving scale build the
-    * pair shortlist with [[ivfTopK]]/[[ivfKnnJoin]] and feed it here;
-    * the mutual/margin tail only needs the shortlist). The two rank
-    * windows partition per id — per-partition size is the other
-    * slice's k-bounded candidate count, never global.
+    * e_sim_pairs brute-force contract — the exactness baseline). At
+    * serving scale use [[marginMutualKnnIvf]] (the IVF-shortlist
+    * composition, no crossJoin anywhere) or feed any pre-built
+    * candidate frame to [[marginMutualKnnFromPairs]] — this method is
+    * exactly that tail over the full product. The two rank windows
+    * partition per id — per-partition size is the other slice's
+    * k-bounded candidate count, never global.
     *
     * @param inA boolean Column: true → slice A, false → slice B
     * @return mutual top-1 pairs: (a_id, b_id, cosine, margin) */
@@ -215,7 +217,33 @@ object Similarity {
       .select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
     val pairs = a.crossJoin(b)
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("__va"), col("__vb")), 6).as("__cos"))
+        round(cosine(col("__va"), col("__vb")), 6).as("cosine"))
+    marginMutualKnnFromPairs(pairs, k)
+  }
+
+  /** The mutual/margin TAIL of [[marginMutualKnn]], factored out so
+    * the candidate pair frame is a first-class input: feed it the
+    * brute |A|·|B| frame (what [[marginMutualKnn]] does), an IVF
+    * shortlist ([[marginMutualKnnIvf]]), or any other pre-built
+    * candidate set. Mutuality and neighborhood means are computed
+    * WITHIN the supplied pair frame — the defined semantics of
+    * shortlist-fed mining (a pair absent from the shortlist does not
+    * exist; CCMatrix mines exactly this way).
+    *
+    * Scale shape: two per-id rank windows + two per-id hash aggs over
+    * the PAIR frame — per-partition size is the per-id candidate
+    * count (k-bounded for any shortlist source), never global. No
+    * join or shuffle touches a corpus-sized frame.
+    *
+    * @param pairs candidate pairs: (a_id, b_id, cosine) with `cosine`
+    *        ALREADY rounded to 6 decimals (every producer in this
+    *        file emits round-6 — the cross-engine grid), one row per
+    *        (a_id, b_id)
+    * @return mutual top-1 pairs: (a_id, b_id, cosine, margin) */
+  def marginMutualKnnFromPairs(pairs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val p = pairs.select(col("a_id"), col("b_id"),
+        col("cosine").cast("double").as("__cos"))
       .withColumn("__mu",
         (col("__cos").cast("decimal(18,6)") * 1000000L)
           .cast("decimal(38,0)").cast("long"))
@@ -223,7 +251,7 @@ object Similarity {
       .orderBy(col("__cos").desc, col("b_id"))
     val wb = Window.partitionBy(col("b_id"))
       .orderBy(col("__cos").desc, col("a_id"))
-    val ranked = pairs.withColumn("__ra", row_number().over(wa))
+    val ranked = p.withColumn("__ra", row_number().over(wa))
       .withColumn("__rb", row_number().over(wb))
     val meanA = ranked.filter(col("__ra") <= k).groupBy(col("a_id"))
       .agg(expr("sum(__mu) div count(1)").as("__ma"))
@@ -237,6 +265,55 @@ object Similarity {
           round(lit(2.0) * col("__mu").cast("double") /
             (col("__ma") + col("__mb")).cast("double"), 6))
           .as("margin"))
+  }
+
+  /** Shortlist-fed margin mining — [[marginMutualKnn]] at serving
+    * scale: the candidate pair frame is the UNION of two directed IVF
+    * k-NN joins (A's shortlist over B ∪ B's shortlist over A, each
+    * via [[ivfKnnJoin]]) instead of the brute |A|·|B| product, then
+    * the same [[marginMutualKnnFromPairs]] tail. With full probing
+    * (nprobe = nlist) and shortlistK ≥ k this is VALUE-IDENTICAL to
+    * the brute op (each side's true top-shortlistK survives, so
+    * mutual top-1 membership, ranks, and top-k neighborhood means all
+    * coincide — proven in SimilaritySpec); with nprobe < nlist it is
+    * the approximate production shape, recall tunable via nprobe.
+    *
+    * Scale shape: work is |A∪B| × nprobe/nlist × |other slice| (the
+    * IVF contract) + the k-bounded tail — the brute crossJoin never
+    * exists. Both directions share one centroid set so the two
+    * assignment passes ride the same broadcast. Contract: the two
+    * slices share one id space with ids unique across rows (the
+    * [[ivfKnnJoin]] self-pair guard keys on id equality).
+    *
+    * @param shortlistK candidates kept per query per direction
+    *        (must be ≥ k — the tail's neighborhood depth) */
+  def marginMutualKnnIvf(emb: DataFrame, idCol: String, vecCol: String,
+                         inA: Column, k: Int,
+                         centroids: Array[Seq[Float]],
+                         nprobe: Int = 4,
+                         shortlistK: Int = 16): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(shortlistK >= k, "shortlistK must be >= k")
+    val src = emb.filter(col(idCol).isNotNull &&
+      col(vecCol).isNotNull && inA.isNotNull)
+    val a = src.filter(inA)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val b = src.filter(!inA)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val ab = ivfKnnJoin(a, b, "__id", "__v", shortlistK, centroids,
+        nprobe)
+      .select(col("query_id").as("a_id"),
+        col("neighbor_id").as("b_id"), col("cos_sim"))
+    val ba = ivfKnnJoin(b, a, "__id", "__v", shortlistK, centroids,
+        nprobe)
+      .select(col("neighbor_id").as("a_id"),
+        col("query_id").as("b_id"), col("cos_sim"))
+    // both directions score the SAME round-6 cosine, so the dedup agg
+    // is value-free (min == max); it keys the shuffle on the id pair
+    val pairs = ab.unionByName(ba)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("cos_sim")).as("cosine"))
+    marginMutualKnnFromPairs(pairs, k)
   }
 
   /** Prefix-dimension recall audit — the Matryoshka-embedding

@@ -548,6 +548,10 @@ object ScaleSweep {
       // |A|x|B| pair frame by contract over two label slices
       "e_mutual_margin" -> (d =>
         SparkEntry.queries("e_mutual_margin")(spark, d).count()),
+      // the shortlist-fed twin: |A u B| x nprobe/nlist x |other|
+      // IVF shortlists both directions + the k-bounded tail
+      "e_mutual_margin_ivf" -> (d =>
+        SparkEntry.queries("e_mutual_margin_ivf")(spark, d).count()),
       // key-hash agg + TakeOrdered tail
       "a55_decayed_topk" -> (d =>
         SparkEntry.queries("a55_decayed_topk")(spark, d).count()),

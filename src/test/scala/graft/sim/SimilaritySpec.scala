@@ -901,6 +901,60 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.forall(_._2.exists(_ > 1.0)), got.toString)
   }
 
+  test("marginMutualKnnIvf: full probe + shortlistK >= k is " +
+    "VALUE-IDENTICAL to the brute op; partial probe recalls the " +
+    "clustered matches; shortlistK < k rejected") {
+    import spark.implicits._
+    // clusters are tight (0.02 sigma around 8 bases): each even
+    // point's true partner is an odd point of the SAME cluster
+    val df = clustered.toDF("vec_id", "embedding")
+    val inA = col("vec_id") % 2 === 0
+    val brute = Similarity.marginMutualKnn(df, "vec_id", "embedding",
+        inA, k = 2)
+      .as[(Long, Long, Double, Option[Double])].collect().toSet
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 8)
+    // nprobe = nlist: every cell probed -> each side's true
+    // top-shortlistK survives, so mutuality, ranks, and k-NN means
+    // all coincide with the brute computation
+    val full = Similarity.marginMutualKnnIvf(df, "vec_id", "embedding",
+        inA, k = 2, centroids = cents, nprobe = 8, shortlistK = 16)
+      .as[(Long, Long, Double, Option[Double])].collect().toSet
+    assert(full == brute && brute.nonEmpty, s"$full vs $brute")
+    // partial probe: approximate, but the tight clusters keep the
+    // mutual pairs recallable (pair ids, not margins — a missing
+    // shortlist entry may shift a neighborhood mean)
+    val part = Similarity.marginMutualKnnIvf(df, "vec_id", "embedding",
+        inA, k = 2, centroids = cents, nprobe = 2, shortlistK = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(r => (r._1, r._2))
+    assert(part.intersect(bruteIds).size * 4 >= bruteIds.size * 3,
+      s"recall ${part.intersect(bruteIds).size}/${bruteIds.size}")
+    intercept[IllegalArgumentException] {
+      Similarity.marginMutualKnnIvf(df, "vec_id", "embedding", inA,
+        k = 4, centroids = cents, nprobe = 2, shortlistK = 3)
+    }
+  }
+
+  test("marginMutualKnnFromPairs: ranks and neighborhood means are " +
+    "computed WITHIN the supplied pair frame (shortlist semantics)") {
+    import spark.implicits._
+    // hand-built shortlist: a1's true global top-1 (b2, cos .9) is
+    // ABSENT, so within the frame a1<->b1 becomes mutual top-1 and
+    // the neighborhood means only see the listed pairs
+    val pairs = Seq(
+      (1L, 11L, 0.5), (1L, 12L, 0.4), (2L, 12L, 0.8)
+    ).toDF("a_id", "b_id", "cosine")
+    val got = Similarity.marginMutualKnnFromPairs(pairs, k = 2)
+      .as[(Long, Long, Double, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet == Set((1L, 11L), (2L, 12L)), got.toString)
+    // a1's mean over its in-frame top-2 = (500000+400000)/2 = 450000;
+    // b1's mean = 500000; margin = 2*500000/950000
+    val exp = BigDecimal(2.0 * 500000 / 950000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 11L)) == ((0.5, Some(exp))), got.toString)
+  }
+
   test("simplifiedSilhouette: perfect separation scores 1; a " +
     "misassigned point goes negative and drags its cluster mean; a " +
     "single cluster is undefined (null)") {

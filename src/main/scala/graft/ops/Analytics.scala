@@ -631,23 +631,6 @@ object Analytics {
             col("variance"), 6)))
   }
 
-  /** 2-D Pareto frontier (skyline): the points no other point
-    * dominates, both dimensions maximized — the trade-off curve of
-    * any two-metric selection (quality × length doc picks,
-    * cost × accuracy model sweeps). p dominates q iff p ≥ q on both
-    * and > on at least one; equal points don't dominate each other,
-    * so a duplicated frontier point survives (emitted once — the
-    * frontier is a SET of points).
-    *
-    * Scale shape: one hash agg collapses the corpus to the distinct-x
-    * frame (x, max y) — anything below its x's max-y is dominated
-    * there — then one ordered window over THAT frame (x-cardinality
-    * rows, not corpus rows) keeps x's whose max-y strictly exceeds
-    * every higher-x max-y. For a corpus whose x is continuous enough
-    * that distinct-x ≈ corpus, quantize x upstream (the frontier of
-    * rounded x is the honest resolution of the answer anyway).
-    *
-    * @return (xCol, yCol) — the frontier points, maximizing both */
   /** Temperature-scaled sampling mixture — the multilingual /
     * multi-domain data-mixture recipe (the mBERT/XLM-R exponential
     * smoothing): sampling share p_g ∝ n_g^α flattens the raw size
@@ -854,6 +837,23 @@ object Analytics {
           .as("gini"))
   }
 
+  /** 2-D Pareto frontier (skyline): the points no other point
+    * dominates, both dimensions maximized — the trade-off curve of
+    * any two-metric selection (quality × length doc picks,
+    * cost × accuracy model sweeps). p dominates q iff p ≥ q on both
+    * and > on at least one; equal points don't dominate each other,
+    * so a duplicated frontier point survives (emitted once — the
+    * frontier is a SET of points).
+    *
+    * Scale shape: one hash agg collapses the corpus to the distinct-x
+    * frame (x, max y) — anything below its x's max-y is dominated
+    * there — then one ordered window over THAT frame (x-cardinality
+    * rows, not corpus rows) keeps x's whose max-y strictly exceeds
+    * every higher-x max-y. For a corpus whose x is continuous enough
+    * that distinct-x ≈ corpus, quantize x upstream (the frontier of
+    * rounded x is the honest resolution of the answer anyway).
+    *
+    * @return (xCol, yCol) — the frontier points, maximizing both */
   def paretoFrontier(df: DataFrame, xCol: String,
                      yCol: String): DataFrame = {
     val byX = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)

@@ -162,7 +162,8 @@ object Linkage {
     * @param matches pair frame holding one row per cross-file match
     * @param aKey    numeric record key of the file-A side
     * @param bKey    numeric record key of the file-B side
-    * @param aLabel/bLabel the `file` tag emitted for each side
+    * @param aLabel  the `file` tag emitted for the file-A side
+    * @param bLabel  the `file` tag emitted for the file-B side
     * @return (file, record_key, entity_id) */
   def entityClusters(matches: DataFrame, aKey: String, bKey: String,
                      aLabel: String = "a",

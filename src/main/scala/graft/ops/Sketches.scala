@@ -184,12 +184,15 @@ object Sketches {
     *
     * Scale shape: two TakeOrdered sketches + tiny k-row joins; the
     * only corpus-sized work is the two distinct aggs and the exact
-    * audit (drop `withExact` at true scale).
+    * audit (pass `withExact = false` at true scale — the audit column
+    * comes back NULL and the distinct-key join never runs).
     *
+    * @param withExact compute the exact_intersection audit (a
+    *        distinct-key join of the two corpora); false emits NULL
     * @return one row: (k, est_a, est_b, est_union, jaccard_est,
     *         est_intersection, exact_intersection) */
   def kmvOverlap(dfA: DataFrame, dfB: DataFrame, keyCol: String,
-                 k: Int = 1024): DataFrame = {
+                 k: Int = 1024, withExact: Boolean = true): DataFrame = {
     require(k >= 2, "k must be >= 2")
     def sketch(d: DataFrame): DataFrame =
       d.filter(col(keyCol).isNotNull)
@@ -212,11 +215,16 @@ object Sketches {
       .crossJoin(broadcast(aggU))
       .filter(col("__h") <= col("__tu"))
       .agg(count(lit(1)).as("__i"))
-    val exactI = dfA.filter(col(keyCol).isNotNull)
-      .select(col(keyCol)).distinct()
-      .join(dfB.filter(col(keyCol).isNotNull)
-        .select(col(keyCol)).distinct(), Seq(keyCol))
-      .agg(count(lit(1)).as("exact_intersection"))
+    val exactI =
+      if (withExact)
+        dfA.filter(col(keyCol).isNotNull)
+          .select(col(keyCol)).distinct()
+          .join(dfB.filter(col(keyCol).isNotNull)
+            .select(col(keyCol)).distinct(), Seq(keyCol))
+          .agg(count(lit(1)).as("exact_intersection"))
+      else
+        dfA.sparkSession.range(1)
+          .select(lit(null).cast("long").as("exact_intersection"))
     aggA.crossJoin(broadcast(aggB)).crossJoin(broadcast(aggU))
       .crossJoin(broadcast(common)).crossJoin(broadcast(exactI))
       .select(lit(k.toLong).as("k"),

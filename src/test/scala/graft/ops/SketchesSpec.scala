@@ -177,5 +177,11 @@ class SketchesSpec extends SparkSpec {
     val j = half.getDouble(4)
     assert(j > 0.15 && j < 0.55, s"jaccard $j not near 1/3")
     assert(half.getLong(6) == 1000L, half.toString)
+    // withExact = false: estimates identical, audit column NULL, and
+    // the plan loses the corpus-sized distinct-key join
+    val noEx = Sketches.kmvOverlap(a, c, "k", k = 256,
+      withExact = false).collect().head
+    assert(noEx.isNullAt(6), noEx.toString)
+    assert(noEx.getDouble(4) == j, noEx.toString)
   }
 }

@@ -1186,11 +1186,48 @@ object SparkEntry {
     // matching of customer names within nation blocks; banded
     // levenshtein (threshold sentinel −1) behind a necessary length
     // filter; a<b orders the pair once. ----
+    // blk4 key (nation + leading name digits): the measured
+    // scale-safe block — flat 1.19x at 30x where nation-only grew
+    // candidates ~900x (BENCH_SF1.md j19 sweep). The recall trade
+    // (a typo INSIDE the 4 leading digits separates the pair) is the
+    // stated single-pass contract; j20_multipass is the recovery.
     "j19_edit_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      ops.Linkage.editDistanceJoin(c, c, col("a_c_nationkey"),
-          col("b_c_nationkey"), "c_name", "c_name", maxDist = 2)
+      ops.Linkage.editDistanceJoin(c, c,
+          concat(col("a_c_nationkey"), lit(":"),
+            substring(col("a_c_name"), 10, 4)),
+          concat(col("b_c_nationkey"), lit(":"),
+            substring(col("b_c_name"), 10, 4)),
+          "c_name", "c_name", maxDist = 2)
         .filter(col("a_c_custkey") < col("b_c_custkey"))
+        .select(col("a_c_custkey"), col("b_c_custkey"),
+          col("edit_dist"))
+    }),
+
+    // ---- J: multi-pass blocked edit-distance join — the recall
+    // recovery for j19's fine block: TWO complementary fine keys
+    // (nation + LEADING 4 name digits, nation + TRAILING 4), pairs
+    // unioned + deduped, then the same banded-levenshtein tail. A
+    // pair typo'd inside one key's digit window survives via the
+    // other pass. ----
+    "j20_multipass" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      ops.Linkage.blockedPairsMultiPass(c, c, Seq(
+          (concat(col("a_c_nationkey"), lit(":"),
+             substring(col("a_c_name"), 10, 4)),
+           concat(col("b_c_nationkey"), lit(":"),
+             substring(col("b_c_name"), 10, 4))),
+          (concat(col("a_c_nationkey"), lit(":"),
+             substring(col("a_c_name"), 15, 4)),
+           concat(col("b_c_nationkey"), lit(":"),
+             substring(col("b_c_name"), 15, 4)))))
+        .filter(col("a_c_custkey") < col("b_c_custkey"))
+        .filter(abs(length(col("a_c_name")) -
+          length(col("b_c_name"))) <= 2)
+        .withColumn("edit_dist",
+          levenshtein(col("a_c_name"), col("b_c_name"), 2)
+            .cast("long"))
+        .filter(col("edit_dist") >= 0 && col("edit_dist") <= 2)
         .select(col("a_c_custkey"), col("b_c_custkey"),
           col("edit_dist"))
     }),
@@ -5584,17 +5621,43 @@ object SparkEntry {
     },
 
     // DuckDB's own levenshtein as the cross-impl distance oracle;
-    // the length filter is restated so the candidate set matches
+    // the blk4 block equality (nation + leading 4 name digits) and
+    // the length filter are restated so the candidate set matches
     "j19_edit_join" ->
       """SELECT a.c_custkey AS a_c_custkey,
         |  b.c_custkey AS b_c_custkey,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
         |FROM customer a JOIN customer b
         |  ON a.c_nationkey = b.c_nationkey
+        |  AND substring(a.c_name, 10, 4) = substring(b.c_name, 10, 4)
         |  AND a.c_custkey < b.c_custkey
         |WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
         |  AND abs(length(a.c_name) - length(b.c_name)) <= 2
         |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    // both blocking passes replayed (leading-4 and trailing-4 digit
+    // windows), pair-union dedup'd, then the identical distance tail
+    "j20_multipass" ->
+      """WITH u AS (
+        |  SELECT DISTINCT a_c_custkey, b_c_custkey, an, bn FROM (
+        |    SELECT a.c_custkey AS a_c_custkey,
+        |      b.c_custkey AS b_c_custkey,
+        |      a.c_name AS an, b.c_name AS bn
+        |    FROM customer a JOIN customer b
+        |      ON a.c_nationkey = b.c_nationkey
+        |      AND substring(a.c_name, 10, 4) = substring(b.c_name, 10, 4)
+        |    UNION ALL
+        |    SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+        |    FROM customer a JOIN customer b
+        |      ON a.c_nationkey = b.c_nationkey
+        |      AND substring(a.c_name, 15, 4) = substring(b.c_name, 15, 4)))
+        |SELECT a_c_custkey, b_c_custkey,
+        |  CAST(levenshtein(an, bn) AS BIGINT) AS edit_dist
+        |FROM u
+        |WHERE a_c_custkey < b_c_custkey
+        |  AND an IS NOT NULL AND bn IS NOT NULL
+        |  AND abs(length(an) - length(bn)) <= 2
+        |  AND levenshtein(an, bn) <= 2""".stripMargin,
 
     // the full mining pipeline replayed: round-6 cosines, id-tiebreak
     // ranks, TRUNCATING (sign-explicit) micro neighborhood means

@@ -37,7 +37,8 @@ object Linkage {
     * convention). Null block keys never pair (stated contract). */
   def blockedPairs(a: DataFrame, b: DataFrame, blockA: Column,
                    blockB: Column,
-                   maxBucket: Option[Long] = None): DataFrame = {
+                   maxBucket: Option[Long] = None,
+                   obsName: String = "linkage_dropped_blocks"): DataFrame = {
     require(maxBucket.forall(_ > 0), "maxBucket must be > 0")
     val ap = a.columns.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"a_$c"))
       .withColumn("__blk", blockA).filter(col("__blk").isNotNull)
@@ -53,7 +54,7 @@ object Linkage {
         val keep = na.join(nb, Seq("__blk"))
           .withColumn("__pairs", col("__na") * col("__nb"))
         val kept = keep
-          .observe("linkage_dropped_blocks",
+          .observe(obsName,
             sum(when(col("__pairs") > cap, 1L).otherwise(0L))
               .as("dropped"))
           .filter(col("__pairs") <= cap)
@@ -61,6 +62,45 @@ object Linkage {
         ap.join(kept, Seq("__blk"))
           .join(bp, Seq("__blk")).drop("__blk")
     }
+  }
+
+  /** Multi-pass blocking — the standard recall-recovery recipe for
+    * blocked linkage: a single fine block key is cheap but loses any
+    * true pair whose typo falls INSIDE the key (the records land in
+    * different blocks), so production linkage runs SEVERAL cheap
+    * passes with complementary keys (Splink's blocking_rules list)
+    * and unions the candidate pairs. A true pair survives if ANY
+    * pass co-blocks it — pass-union recall is a superset of every
+    * single pass by construction.
+    *
+    * Pair identity for the cross-pass dedup is the full prefixed
+    * row (both sides' complete column sets) — two passes emitting
+    * the same record pair emit byte-identical rows, so `distinct`
+    * is exact. Contract: duplicate source ROWS therefore collapse
+    * to one pair (single-pass [[blockedPairs]] would emit one pair
+    * per duplicate); dedup linkage wants exactly that.
+    *
+    * Scale shape: Σ_pass (that pass's Σ_blocks |a|·|b|) candidate
+    * rows into ONE distinct shuffle — for P complementary fine keys
+    * this is ≤ P× the single-pass cost, each pass individually
+    * `maxBucket`-capped (degenerate blocks drop whole, per pass,
+    * with the summed `linkage_dropped_blocks` Observation). The
+    * scale-safe shape vs one coarse key: P fine passes with
+    * ~constant block sizes stay linear where a coarse key's
+    * Σ|block|² goes quadratic (BENCH_SF1.md's j19 sweep measures
+    * exactly this trade). Observation names are per-pass
+    * (`linkage_dropped_blocks_p<i>`) — Spark requires observation
+    * names unique within one query. */
+  def blockedPairsMultiPass(a: DataFrame, b: DataFrame,
+                            passes: Seq[(Column, Column)],
+                            maxBucket: Option[Long] = None): DataFrame = {
+    require(passes.nonEmpty, "at least one blocking pass")
+    passes.zipWithIndex.map { case ((ba, bb), i) =>
+        blockedPairs(a, b, ba, bb, maxBucket,
+          obsName = s"linkage_dropped_blocks_p$i")
+      }
+      .reduce(_ unionByName _)
+      .distinct()
   }
 
   /** Blocked edit-distance similarity join — the fuzzy-string join

@@ -522,16 +522,20 @@ object ScaleSweep {
       // the blocking-width lever (the j16 blk5 lesson): at 30x the
       // nation block is no longer scale-appropriate — nation + the
       // leading name digits keeps block membership flat per replica
-      "j19_edit_join(blk4)" -> (d => {
+      // the shipped j19 is now the blk4 key; this variant keeps the
+      // COARSE nation-only block measurable as the anti-pattern
+      // comparison row (the round-12 sweep's ~900x candidate growth)
+      "j19_edit_join(nation)" -> (d => {
         val c = Tables.load(spark, d, "customer")
         graft.ops.Linkage.editDistanceJoin(c, c,
-            concat(col("a_c_nationkey"), lit(":"),
-              substring(col("a_c_name"), 10, 4)),
-            concat(col("b_c_nationkey"), lit(":"),
-              substring(col("b_c_name"), 10, 4)),
+            col("a_c_nationkey"), col("b_c_nationkey"),
             "c_name", "c_name", maxDist = 2)
           .filter(col("a_c_custkey") < col("b_c_custkey")).count()
       }),
+      // two complementary fine passes + pair-union dedup + the
+      // banded tail — the multi-pass recall-recovery shape
+      "j20_multipass" -> (d =>
+        SparkEntry.queries("j20_multipass")(spark, d).count()),
       // n*d explode into the dim-keyed agg + D-frame reduce
       "e_centroid_drift" -> (d =>
         SparkEntry.queries("e_centroid_drift")(spark, d).count()),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 class LinkageSpec extends SparkSpec {
@@ -102,5 +103,41 @@ class LinkageSpec extends SparkSpec {
     // banded DP returns -1 past the threshold) and blk2's kitten
     // never pairs across blocks
     assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L)), got.toString)
+  }
+
+  test("blockedPairsMultiPass: a typo inside one pass's key window " +
+    "is recovered by the complementary pass; pass-union recall is a " +
+    "superset of every single pass; cross-pass dedup is exact") {
+    import spark.implicits._
+    // ids 12345678: pass 1 blocks on LEADING 4 digits, pass 2 on
+    // TRAILING 4. (1,2) differ in digit 2 (leading window) -> only
+    // pass 2 co-blocks; (3,4) differ in digit 7 (trailing window) ->
+    // only pass 1; (5,6) are identical -> BOTH passes emit the pair
+    // (the dedup case)
+    val recs = Seq(
+      (1L, "12345678"), (2L, "19345678"),
+      (3L, "55544333"), (4L, "55544933"),
+      (5L, "77777777"), (6L, "77777777")).toDF("id", "code")
+    def passes(lead: Boolean, trail: Boolean) = Seq(
+      lead -> ((substring(col("a_code"), 1, 4),
+                substring(col("b_code"), 1, 4))),
+      trail -> ((substring(col("a_code"), 5, 4),
+                 substring(col("b_code"), 5, 4)))
+    ).collect { case (true, p) => p }
+    def pairIds(ps: Seq[(Column, Column)]): Set[(Long, Long)] =
+      Linkage.blockedPairsMultiPass(recs, recs, ps)
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val p1 = pairIds(passes(lead = true, trail = false))
+    val p2 = pairIds(passes(lead = false, trail = true))
+    val both = pairIds(passes(lead = true, trail = true))
+    assert(p1 == Set((3L, 4L), (5L, 6L)), p1.toString)
+    assert(p2 == Set((1L, 2L), (5L, 6L)), p2.toString)
+    assert(both == p1.union(p2), both.toString)
+    // dedup exactness: (5,6) appears ONCE despite both passes
+    val cnt = Linkage.blockedPairsMultiPass(recs, recs,
+        passes(lead = true, trail = true))
+      .filter(col("a_id") === 5L && col("b_id") === 6L).count()
+    assert(cnt == 1L, s"expected 1 deduped pair row, got $cnt")
   }
 }

@@ -1998,6 +1998,15 @@ object SparkEntry {
       Similarity.powerIterationPca(t(s, dir, "embeddings"), "vec_id",
         "embedding", iters = 6)),
 
+    // ---- similarity: top-3 principal components by power iteration
+    // + Hotelling deflation — the corpus is touched once (the n·d²
+    // product pass); all 3×6 rounds and both rank-one deflations run
+    // on the d²-cell frame in exact integers. The usable k-dim
+    // projection basis next to e_pca_top's anisotropy number. ----
+    "e_pca_topk" -> ((s, dir) =>
+      Similarity.powerIterationPcaK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, iters = 6)),
+
     // ---- similarity: IVF coarse-quantizer ANN — the nprobe/nlist
     // scale path next to brute force (e_ann_topk). Deterministic
     // portable-hash centroid sample + round-6 cell argmax make the
@@ -7425,6 +7434,95 @@ v6 AS MATERIALIZED (
           |  lam.eigenvalue
           |FROM v6, lam""".stripMargin
       s"$base,\n$rounds,\n$tail"
+    },
+
+    // e_pca_top's whole structure replayed PER COMPONENT (cov1..cov3
+    // via sign-explicit HUGEINT Hotelling deflation — Spark `div`
+    // truncates toward zero, DuckDB `//` floors, hence the CASE),
+    // all 3x6 rounds unrolled; generated by the same Scala loop
+    // shape the engine runs
+    "e_pca_topk" -> {
+      val base =
+        """WITH e AS MATERIALIZED (
+          |  SELECT embedding AS e FROM embeddings
+          |  WHERE embedding IS NOT NULL),
+          |n AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
+          |sums AS MATERIALIZED (
+          |  SELECT u['i'] AS i,
+          |    SUM(CAST(ROUND(CAST(u['x'] AS DOUBLE), 6)
+          |      AS DECIMAL(18,6))) AS sx
+          |  FROM (
+          |    SELECT unnest(list_transform(range(1, len(e) + 1),
+          |      k -> {'i': k - 1, 'x': e[CAST(k AS INT)]})) AS u
+          |    FROM e)
+          |  GROUP BY 1),
+          |cells AS MATERIALIZED (
+          |  SELECT u['i'] AS i, u['j'] AS j,
+          |    SUM(u['p']) AS sp
+          |  FROM (
+          |    SELECT unnest(flatten(list_transform(range(1, len(e) + 1),
+          |      a -> list_transform(range(1, len(e) + 1),
+          |        b -> {'i': a - 1, 'j': b - 1,
+          |              'p': CAST(ROUND(
+          |                CAST(e[CAST(a AS INT)] AS DOUBLE)
+          |                * CAST(e[CAST(b AS INT)] AS DOUBLE), 6)
+          |                AS DECIMAL(18,6))})))) AS u
+          |    FROM e)
+          |  GROUP BY 1, 2),
+          |cov1 AS MATERIALIZED (
+          |  SELECT cells.i, cells.j,
+          |    CAST(CAST(ROUND((CAST(sp AS DOUBLE)
+          |        - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE)
+          |          / CAST(n.n AS DOUBLE))
+          |        / (CAST(n.n AS DOUBLE) - 1.0), 6) AS DECIMAL(18,6))
+          |      * 1000000 AS HUGEINT) AS cmu
+          |  FROM cells, n, sums si, sums sj
+          |  WHERE si.i = cells.i AND sj.i = cells.j)""".stripMargin
+      def comp(c: Int): String = {
+        val v0 = s"""c${c}v0 AS MATERIALIZED (
+  SELECT i AS j, CAST(125000 AS HUGEINT) AS vmu FROM sums)"""
+        val rounds = (1 to 6).map { r =>
+          s"""c${c}w$r AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.cmu * p.vmu) AS wp
+  FROM cov$c cov JOIN c${c}v${r - 1} p ON p.j = cov.j
+  GROUP BY cov.i),
+c${c}m$r AS MATERIALIZED (
+  SELECT SUM(wp * wp) AS m2 FROM c${c}w$r),
+c${c}v$r AS MATERIALIZED (
+  SELECT i AS j,
+    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
+        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS vmu
+  FROM c${c}w$r, c${c}m$r)"""
+        }.mkString(",\n")
+        val lam = s"""c${c}wf AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.cmu * v.vmu) AS wp
+  FROM cov$c cov JOIN c${c}v6 v ON v.j = cov.j GROUP BY cov.i),
+c${c}lam AS MATERIALIZED (
+  SELECT CAST(CAST(ROUND(CAST(SUM(v.vmu * wf.wp) AS DOUBLE)
+      / CAST(SUM(v.vmu * v.vmu) AS DOUBLE)
+      / 1000000.0, 6) AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS lmu
+  FROM c${c}wf wf JOIN c${c}v6 v ON v.j = wf.i)"""
+        val deflate =
+          if (c >= 3) ""
+          else s""",
+cov${c + 1} AS MATERIALIZED (
+  SELECT cov.i, cov.j,
+    cov.cmu - (CASE WHEN l.lmu * vi.vmu * vj.vmu >= 0
+      THEN (l.lmu * vi.vmu * vj.vmu) // 1000000000000
+      ELSE -((-(l.lmu * vi.vmu * vj.vmu)) // 1000000000000)
+      END) AS cmu
+  FROM cov$c cov, c${c}lam l, c${c}v6 vi, c${c}v6 vj
+  WHERE vi.j = cov.i AND vj.j = cov.j)"""
+        s"$v0,\n$rounds,\n$lam$deflate"
+      }
+      val outs = (1 to 3).map { c =>
+        s"""SELECT $c AS component, CAST(v.j AS INT) AS dim,
+  CAST(v.vmu AS DOUBLE) / 1000000.0 AS loading,
+  ROUND(CAST(l.lmu AS DOUBLE) / 1000000.0, 6) AS eigenvalue
+FROM c${c}v6 v, c${c}lam l"""
+      }.mkString("\nUNION ALL\n")
+      s"$base,\n${(1 to 3).map(comp).mkString(",\n")}\n$outs"
     },
 
     "e_mmr_rerank" -> {

@@ -1565,19 +1565,29 @@ object Similarity {
     * @return (dim, loading, eigenvalue) — d rows, eigenvalue
     *         repeated; eigenvalue = v·Cv / v·v on the final iterate */
   def powerIterationPca(emb: DataFrame, idCol: String, vecCol: String,
-                        iters: Int = 6): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
-    val dec = "decimal(18,6)"
-    val int38 = "decimal(38,0)"
-    def mu(c: Column): Column =
-      (c.cast(dec) * lit(1000000L)).cast(int38)
+                        iters: Int = 6): DataFrame =
+    powerIterationPcaK(emb, idCol, vecCol, k = 1, iters = iters)
+      .drop("component")
+
+  private val PcaDec = "decimal(18,6)"
+  private val PcaInt38 = "decimal(38,0)"
+  private def pcaMu(c: Column): Column =
+    (c.cast(PcaDec) * lit(1000000L)).cast(PcaInt38)
+
+  /** The exact micro-unit covariance frame (i, j, cmu) shared by the
+    * PCA ops: one n·d² narrow product pass map-side combined into d²
+    * cells (NO self-join), per-dim sums for the mean terms, one
+    * round-6 covariance entry per cell. Returns (cov, dimCount). */
+  private def pcaCovariance(emb: DataFrame,
+                            vecCol: String): (DataFrame, Int) = {
     val v = col(vecCol)
     val src = emb.filter(v.isNotNull).select(v.as("__v"))
     val nF = src.agg(count(lit(1)).as("__n")).localCheckpoint()
     // per-dim sums (means enter the covariance as sxi*sxj/n)
     val sums = src.select(posexplode(col("__v")).as(Seq("i", "x")))
       .groupBy(col("i"))
-      .agg(sum(round(col("x").cast("double"), 6).cast(dec)).as("__sx"))
+      .agg(sum(round(col("x").cast("double"), 6).cast(PcaDec))
+        .as("__sx"))
       .localCheckpoint()
     // n*d^2 narrow product rows -> (i,j)-keyed agg, map-side combined
     val cells = src.select(explode(flatten(
@@ -1585,7 +1595,7 @@ object Similarity {
           transform(col("__v"), (xj, j) =>
             struct(i.as("i"), j.as("j"),
               round(xi.cast("double") * xj.cast("double"), 6)
-                .cast(dec).as("p")))))).as("c"))
+                .cast(PcaDec).as("p")))))).as("c"))
       .select(col("c.i"), col("c.j"), col("c.p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("__sp"))
     // covariance in exact micro-units from here on
@@ -1595,16 +1605,24 @@ object Similarity {
         Seq("j"))
       .crossJoin(broadcast(nF))
       .select(col("i"), col("j"),
-        mu(round((col("__sp").cast("double") -
+        pcaMu(round((col("__sp").cast("double") -
             col("__si").cast("double") * col("__sj").cast("double") /
               col("__n").cast("double")) /
           (col("__n").cast("double") - lit(1.0)), 6)).as("cmu"))
       .localCheckpoint()
-    val d = sums.count().toInt
+    (cov, sums.count().toInt)
+  }
+
+  /** `iters` power-iteration rounds on one micro-unit covariance
+    * frame: returns the final unit iterate (j, vmu) and its
+    * micro-unit Rayleigh eigenvalue (one row: lmu). */
+  private def pcaIterate(cov: DataFrame, d: Int,
+                         iters: Int): (DataFrame, DataFrame) = {
     val v0mu = (BigDecimal(1.0 / math.sqrt(d.toDouble))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
-    var vec = sums.select(col("i").as("j"),
-      lit(v0mu).cast(int38).as("vmu")).localCheckpoint()
+    var vec = cov.select(col("i")).distinct()
+      .select(col("i").as("j"), lit(v0mu).cast(PcaInt38).as("vmu"))
+      .localCheckpoint()
     def multiply(vk: DataFrame): DataFrame =
       cov.join(vk, Seq("j"))
         .groupBy(col("i"))
@@ -1614,21 +1632,79 @@ object Similarity {
       val norm = w.agg(sum(col("wp") * col("wp")).as("__m2"))
       vec = w.crossJoin(broadcast(norm))
         .select(col("i").as("j"),
-          mu(round(col("wp").cast("double") /
+          pcaMu(round(col("wp").cast("double") /
             sqrt(col("__m2").cast("double")), 6)).as("vmu"))
         .localCheckpoint()
     }
     // Rayleigh quotient on the final iterate: v.Cv / v.v, integer
-    // numerator/denominator, one double division chain
+    // numerator/denominator, one double division chain; the
+    // eigenvalue is kept in micro-units so deflation stays integral
     val wF = multiply(vec)
     val lam = wF.join(vec.select(col("j").as("i"), col("vmu")), Seq("i"))
       .agg(sum(col("vmu") * col("wp")).as("__num"),
         sum(col("vmu") * col("vmu")).as("__den"))
-      .select(round(col("__num").cast("double") /
-          col("__den").cast("double") / lit(1000000.0), 6)
-        .as("eigenvalue"))
-    vec.select(col("j").as("dim"),
-        (col("vmu").cast("double") / lit(1000000.0)).as("loading"))
-      .crossJoin(broadcast(lam))
+      .select(pcaMu(round(col("__num").cast("double") /
+          col("__den").cast("double") / lit(1000000.0), 6))
+        .as("lmu"))
+      .localCheckpoint()
+    (vec, lam)
+  }
+
+  /** Top-k principal components by POWER ITERATION + HOTELLING
+    * DEFLATION — [[powerIterationPca]] generalized past the first
+    * component: after each component converges, the covariance is
+    * deflated C ← C − λ·v·vᵀ (the rank-one update that zeroes the
+    * found eigenpair, so the next iteration's dominant direction is
+    * the next eigenvector), and the same iteration runs again. The
+    * embedding-audit surface this unlocks: a usable k-dim
+    * projection/whitening basis for the dedup/ANN stack, not just
+    * the anisotropy number.
+    *
+    * Determinism (engine-free): the corpus pass and each iteration
+    * follow [[powerIterationPca]]'s exact-integer discipline; the
+    * deflation term λmu·vmuᵢ·vmuⱼ (exact decimal(38,0) product)
+    * divides by 10¹² with `div` — TRUNCATION TOWARD ZERO, mirrored
+    * sign-explicitly in the oracle (DuckDB `//` floors) — so every
+    * deflated covariance entry is the same integer on both engines
+    * and NO re-rounding of already-quantized values ever happens
+    * (the holtSeasonal halfway hazard).
+    *
+    * Scale shape: the corpus is touched ONCE (the n·d² product pass
+    * of [[powerIterationPca]]); all k·iters rounds and all k−1
+    * deflations run on the d²-cell frame. Deflation cost is one
+    * d²-row join per component against a d-row broadcast — at d=64
+    * that is 4,096 rows of integer arithmetic per component.
+    *
+    * @return (component, dim, loading, eigenvalue) — k·d rows,
+    *         component 1-based in descending-eigenvalue order */
+  def powerIterationPcaK(emb: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int = 6): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val (cov0, d) = pcaCovariance(emb, vecCol)
+    require(k <= d, s"k=$k exceeds dimension $d")
+    var covC = cov0
+    val comps = (1 to k).map { c =>
+      val (vec, lam) = pcaIterate(covC, d, iters)
+      if (c < k) {
+        // Hotelling deflation: cmu -= (lmu * vmu_i * vmu_j) div 1e12
+        // (exact integer product, truncation toward zero)
+        covC = covC
+          .join(vec.select(col("j").as("i"), col("vmu").as("__vi")),
+            Seq("i"))
+          .join(vec.select(col("j"), col("vmu").as("__vj")), Seq("j"))
+          .crossJoin(broadcast(lam))
+          .select(col("i"), col("j"),
+            (col("cmu") - expr("(lmu * __vi * __vj) div 1000000000000")
+              .cast(PcaInt38)).as("cmu"))
+          .localCheckpoint()
+      }
+      vec.select(lit(c).as("component"), col("j").as("dim"),
+          (col("vmu").cast("double") / lit(1000000.0)).as("loading"))
+        .crossJoin(broadcast(lam.select(
+          round(col("lmu").cast("double") / lit(1000000.0), 6)
+            .as("eigenvalue"))))
+    }
+    comps.reduce(_ unionByName _)
   }
 }

@@ -490,6 +490,10 @@ object ScaleSweep {
       // one n*d^2 narrow product pass; iteration on the d^2 frame
       "e_pca_top" -> (d =>
         SparkEntry.queries("e_pca_top")(spark, d).count()),
+      // same single corpus pass; 3x6 rounds + 2 deflations all on
+      // the d^2-cell frame — scale cost identical to e_pca_top
+      "e_pca_topk" -> (d =>
+        SparkEntry.queries("e_pca_topk")(spark, d).count()),
       // r12 second wave. cells-frame contingency + marginal join
       "a45_kappa" -> (d =>
         SparkEntry.queries("a45_kappa")(spark, d).count()),

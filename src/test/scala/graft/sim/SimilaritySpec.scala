@@ -821,6 +821,42 @@ class SimilaritySpec extends SparkSpec {
       got.toString)
   }
 
+  test("powerIterationPcaK: axis-aligned 4-D data recovers the two " +
+    "known directions in eigenvalue order, components orthogonal, " +
+    "eigenvalues descending and exact; k > d rejected") {
+    import spark.implicits._
+    // axes 0/1 carry all variance (a = ±10, b = ±1, all 4 combos
+    // twice -> exactly diagonal covariance diag(800/7, 8/7, 0, 0))
+    val emb = (for {
+      rep <- 0 to 1; a <- Seq(-10f, 10f); b <- Seq(-1f, 1f)
+    } yield Seq(a, b, 0f, 0f)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.powerIterationPcaK(emb, "vec_id", "embedding",
+        k = 2, iters = 6)
+      .orderBy("component", "dim")
+      .as[(Int, Int, Double, Double)].collect()
+    val byComp = got.groupBy(_._1).view
+      .mapValues(rs => (rs.sortBy(_._2).map(_._3), rs.head._4)).toMap
+    val (l1, e1) = byComp(1)
+    val (l2, e2) = byComp(2)
+    // component 1 = axis 0 (var 800/7), component 2 = axis 1 (8/7)
+    assert(math.abs(math.abs(l1(0)) - 1.0) < 1e-4 &&
+      l1.drop(1).forall(x => math.abs(x) < 1e-3), l1.toString)
+    assert(math.abs(math.abs(l2(1)) - 1.0) < 1e-4 &&
+      math.abs(l2(0)) < 1e-3 &&
+      l2.drop(2).forall(x => math.abs(x) < 1e-3), l2.toString)
+    assert(math.abs(e1 - 800.0 / 7) < 1e-3, s"e1=$e1")
+    assert(math.abs(e2 - 8.0 / 7) < 1e-3, s"e2=$e2")
+    assert(e1 > e2, "eigenvalues must descend")
+    val dot = l1.zip(l2).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot) < 1e-3, s"components not orthogonal: $dot")
+    intercept[IllegalArgumentException] {
+      Similarity.powerIterationPcaK(emb, "vec_id", "embedding",
+        k = 5, iters = 2).collect()
+    }
+  }
+
   test("mmrRerank: low lambda skips the exact duplicate for the " +
     "orthogonal doc; high lambda degenerates to relevance order; " +
     "id tiebreak on equal scores") {

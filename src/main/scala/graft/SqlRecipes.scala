@@ -603,7 +603,176 @@ object SqlRecipes {
          |    ROUND(CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE)
          |      - CAST(o.selall AS DOUBLE) / CAST(o.nall AS DOUBLE), 6)
          |  END AS dp_gap
-         |FROM c, o""".stripMargin
+         |FROM c, o""".stripMargin,
+
+    // -- Spearman rank correlation (r13): the a47 frame (n_chars vs
+    // whitespace count) with the engine's doubled-average-rank
+    // discipline — r2 = 2·below + c + 1 off the distinct-value
+    // cumulative (whole integers, no half ranks), decimal(38,0)
+    // moments, one double division rounded once
+    "graft_spearman" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_spearman()
+         |RETURNS TABLE (n BIGINT, rho DOUBLE)
+         |RETURN
+         |WITH s AS (
+         |  SELECT CAST(CAST(ROUND(CAST(n_chars AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xm,
+         |    CAST(CAST(ROUND(CAST(length(text)
+         |        - length(replace(text, ' ', '')) AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS ym
+         |  FROM ${prefix}documents
+         |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |cx AS (SELECT xm, COUNT(*) AS c FROM s GROUP BY xm),
+         |rx AS (
+         |  SELECT xm, 2L * (SUM(c) OVER (ORDER BY xm) - c) + c + 1L
+         |    AS r2
+         |  FROM cx),
+         |cy AS (SELECT ym, COUNT(*) AS c FROM s GROUP BY ym),
+         |ry AS (
+         |  SELECT ym, 2L * (SUM(c) OVER (ORDER BY ym) - c) + c + 1L
+         |    AS r2
+         |  FROM cy),
+         |j AS (
+         |  SELECT CAST(rx.r2 AS DECIMAL(38,0)) AS rxv,
+         |    CAST(ry.r2 AS DECIMAL(38,0)) AS ryv
+         |  FROM s JOIN rx ON rx.xm = s.xm JOIN ry ON ry.ym = s.ym),
+         |m AS (
+         |  SELECT COUNT(*) AS n, SUM(rxv) AS sx, SUM(ryv) AS sy,
+         |    SUM(rxv * ryv) AS sxy, SUM(rxv * rxv) AS sxx,
+         |    SUM(ryv * ryv) AS syy
+         |  FROM j)
+         |SELECT n,
+         |  CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx > 0
+         |        AND CAST(n AS DECIMAL(38,0)) * syy - sy * sy > 0
+         |    THEN ROUND(
+         |      CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(
+         |        CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+         |          AS DOUBLE)
+         |        * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+         |          AS DOUBLE)), 6)
+         |  END AS rho
+         |FROM m""".stripMargin,
+
+    // -- Mann–Kendall trend + Sen's slope (r13): the a56 series frame
+    // (daily value totals), exact integer S, tie-corrected 18·Var as
+    // ONE integer, truncating pairwise micro-slopes (`div`), Sen =
+    // the lower-median order statistic, ±1 continuity on z
+    "graft_mann_kendall" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_mann_kendall()
+         |RETURNS TABLE (n BIGINT, s BIGINT, var18 BIGINT, z DOUBLE,
+         |               sen_slope_micros BIGINT)
+         |RETURN
+         |WITH d AS (
+         |  SELECT CAST(day(ts) AS BIGINT) AS i,
+         |    CAST(CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |        AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |      AS v
+         |  FROM ${prefix}events WHERE value IS NOT NULL
+         |  GROUP BY day(ts)),
+         |p AS (
+         |  SELECT a.i AS ia, a.v AS va, b.i AS ib, b.v AS vb
+         |  FROM d a JOIN d b ON a.i < b.i),
+         |sg AS (
+         |  SELECT COALESCE(SUM(CAST(SIGN(CAST(vb - va AS DOUBLE))
+         |    AS BIGINT)), 0L) AS s, COUNT(*) AS np
+         |  FROM p),
+         |nn AS (SELECT COUNT(*) AS n FROM d),
+         |t AS (
+         |  SELECT COALESCE(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)
+         |    * (2 * CAST(c AS DECIMAL(38,0)) + 5)),
+         |    CAST(0 AS DECIMAL(38,0))) AS tieterm
+         |  FROM (SELECT v, COUNT(*) AS c FROM d GROUP BY v)
+         |  WHERE c > 1),
+         |med AS (
+         |  SELECT MIN(sl) AS sen_slope_micros
+         |  FROM (SELECT (vb - va) div (ib - ia) AS sl,
+         |          ROW_NUMBER() OVER (ORDER BY (vb - va) div (ib - ia))
+         |            AS r
+         |        FROM p), sg
+         |  WHERE r = (np + 1) div 2),
+         |v AS (
+         |  SELECT nn.n, sg.s,
+         |    CAST(CAST(nn.n AS DECIMAL(38,0)) * (nn.n - 1)
+         |      * (2 * CAST(nn.n AS DECIMAL(38,0)) + 5) - t.tieterm
+         |      AS BIGINT) AS var18,
+         |    med.sen_slope_micros
+         |  FROM nn, sg, t, med)
+         |SELECT n, s, var18,
+         |  CASE WHEN var18 > 0 THEN
+         |    ROUND(CASE WHEN abs(s) <= 1 THEN 0.0D
+         |      ELSE (CAST(s AS DOUBLE) - SIGN(CAST(s AS DOUBLE)))
+         |        / sqrt(CAST(var18 AS DOUBLE) / 18.0D) END, 6)
+         |  END AS z,
+         |  sen_slope_micros
+         |FROM v""".stripMargin,
+
+    // -- Poisson-bootstrap mean CI (r13): the distributed bootstrap —
+    // per-row Poisson(1) weights drawn DETERMINISTICALLY from the
+    // salted portable hash over the fixed integer CDF cutoffs, replica
+    // means truncating on the micro grid, ceil-k order-statistic
+    // bounds; no RNG state anywhere
+    "graft_bootstrap_ci" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_bootstrap_ci(
+         |  replicas INT, alpha_micros BIGINT)
+         |RETURNS TABLE (n BIGINT, mean_micros BIGINT, replicas BIGINT,
+         |  replicas_used BIGINT, ci_lo_micros BIGINT,
+         |  ci_hi_micros BIGINT)
+         |RETURN
+         |WITH s AS (
+         |  SELECT event_id AS id,
+         |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+         |  FROM ${prefix}events
+         |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         |o AS (SELECT COUNT(*) AS n, COALESCE(SUM(v), 0L) AS sv FROM s),
+         |r AS (
+         |  SELECT id, v, explode(sequence(1,
+         |    graft_bootstrap_ci.replicas)) AS b
+         |  FROM s),
+         |h AS (
+         |  SELECT v, b,
+         |    pmod(pmod(pmod(CAST(id AS BIGINT), 2147483647L)
+         |        * 2654435761L, 2147483647L)
+         |      + CAST(b AS BIGINT) * 2654435761L, 2147483647L) AS hh
+         |  FROM r),
+         |w AS (
+         |  SELECT v, b,
+         |    CAST(CASE WHEN hh < 790015083L THEN 0
+         |      WHEN hh < 1580030167L THEN 1
+         |      WHEN hh < 1975037709L THEN 2
+         |      WHEN hh < 2106706890L THEN 3
+         |      WHEN hh < 2139624185L THEN 4
+         |      WHEN hh < 2146207644L THEN 5
+         |      WHEN hh < 2147304887L THEN 6
+         |      WHEN hh < 2147461637L THEN 7
+         |      ELSE 8 END AS BIGINT) AS w
+         |  FROM h),
+         |reps AS (
+         |  SELECT COALESCE(SUM(w * v), 0L) AS ws,
+         |    COALESCE(SUM(w), 0L) AS wn
+         |  FROM w GROUP BY b),
+         |m AS (SELECT ws div wn AS m FROM reps WHERE wn > 0),
+         |bu AS (SELECT COUNT(*) AS bu FROM m),
+         |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM m),
+         |k AS (
+         |  SELECT bu,
+         |    (bu * graft_bootstrap_ci.alpha_micros + 999999L)
+         |      div 1000000L AS klo,
+         |    (bu * (1000000L - graft_bootstrap_ci.alpha_micros)
+         |      + 999999L) div 1000000L AS khi
+         |  FROM bu),
+         |lo AS (
+         |  SELECT MIN(m) AS ci_lo_micros FROM rk, k
+         |  WHERE rk.r = GREATEST(k.klo, 1L)),
+         |hi AS (
+         |  SELECT MIN(m) AS ci_hi_micros FROM rk, k
+         |  WHERE rk.r = k.khi)
+         |SELECT o.n,
+         |  CASE WHEN o.n > 0 THEN o.sv div o.n END AS mean_micros,
+         |  CAST(graft_bootstrap_ci.replicas AS BIGINT) AS replicas,
+         |  k.bu AS replicas_used, lo.ci_lo_micros, hi.ci_hi_micros
+         |FROM o, k, lo, hi""".stripMargin
   )
 
   /** Run every recipe's DDL on the session (idempotent — CREATE OR

@@ -172,6 +172,22 @@ class JdbcServerSpec extends SparkSpec {
           .toSet
         assert(wire == dslCf && wire.nonEmpty,
           s"wire conformal $wire != dsl $dslCf")
+        // a round-13 stats recipe over the wire: the bootstrap CI
+        // (salted-hash Poisson weights) must equal the DSL bounds
+        val rs5 = st.executeQuery(
+          "SELECT n, mean_micros, replicas_used, ci_lo_micros, " +
+            "ci_hi_micros FROM graft_bootstrap_ci(50, 25000)")
+        assert(rs5.next())
+        val dslB = graft.ops.Quality.bootstrapMeanCi(
+            Tables.load(spark, "/root/testdata/sf0.001", "events"),
+            "value", "event_id", replicas = 50)
+          .head()
+        assert(rs5.getLong(1) == dslB.getLong(0) &&
+          rs5.getLong(2) == dslB.getLong(1) &&
+          rs5.getLong(3) == dslB.getLong(3) &&
+          rs5.getLong(4) == dslB.getLong(4) &&
+          rs5.getLong(5) == dslB.getLong(5),
+          s"wire bootstrap != dsl $dslB")
       } finally conn3.close()
     } finally JdbcServer.stop(server)
   }

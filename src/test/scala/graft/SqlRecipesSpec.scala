@@ -298,4 +298,52 @@ class SqlRecipesSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect().head
     assert(viaSql == viaDsl && viaSql._3.nonEmpty, s"$viaSql $viaDsl")
   }
+
+  test("graft_spearman == Quality.spearmanCorr on the a47 frame " +
+    "(doubled average ranks, decimal moments)") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_spearman()")
+      .as[(Long, Option[Double])].collect().head
+    val d = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+    val viaDsl = ops.Quality.spearmanCorr(
+        d.select(col("n_chars").cast("double").as("x"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), lit(" "), lit(""))))
+            .cast("double").as("y")),
+        "x", "y")
+      .as[(Long, Option[Double])].collect().head
+    assert(viaSql == viaDsl && viaSql._2.nonEmpty, s"$viaSql $viaDsl")
+  }
+
+  test("graft_mann_kendall == Analytics.mannKendall on the a56 " +
+    "daily-totals series (integer S/Var, lower-median Sen)") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_mann_kendall()")
+      .as[(Long, Long, Long, Option[Double], Option[Long])]
+      .collect().head
+    val daily = Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(dayofmonth(col("ts")).as("d"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+    val viaDsl = ops.Analytics.mannKendall(daily, "d", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Long])]
+      .collect().head
+    assert(viaSql == viaDsl && viaSql._4.nonEmpty, s"$viaSql $viaDsl")
+  }
+
+  test("graft_bootstrap_ci == Quality.bootstrapMeanCi (salted-hash " +
+    "Poisson weights, truncating replica means, ceil-k bounds)") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_bootstrap_ci(50, 25000)")
+      .as[(Long, Option[Long], Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    val viaDsl = ops.Quality.bootstrapMeanCi(
+        Tables.load(spark, dir, "events"), "value", "event_id",
+        replicas = 50)
+      .as[(Long, Option[Long], Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(viaSql == viaDsl && viaSql._5.nonEmpty && viaSql._6.nonEmpty,
+      s"$viaSql $viaDsl")
+  }
 }

@@ -190,6 +190,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.collect { case (v, None) => v }.sum
     val nErr = results.values.count(_._2.isDefined)
+    // streaming floor attribution (round-12 verdict #7): the
+    // s_stream_* queries each carry a fixed micro-batch + checkpoint
+    // overhead (~2-5s at sf0.1) that no batch-plan change can move;
+    // reporting their aggregate as its own line keeps batch
+    // regressions readable as the streaming suite grows
+    val streamTimes = results.collect {
+      case (k, (v, None)) if k.startsWith("s_stream_") => v
+    }
+    val streamJson =
+      s""""streaming_floor_sec":${ms(streamTimes.sum)},""" +
+        s""""streaming_queries":${streamTimes.size}"""
     // regression gate (see [[isRegression]]). New queries have no prev
     // entry and are never flagged. The gate exists so a slowdown is a
     // named fact in the round's artifact, not something a truncated
@@ -229,7 +240,7 @@ object Bench {
         s""""queries":${qmap(bySlowest)},"failures":$failures,""" +
         s""""regressions":${rmap(adjudicated)},""" +
         s""""prev_artifact":"${esc(if (prev.isEmpty) "" else prevPath)}",""" +
-        s"""$loadJson,"errors":$nErr,"sf":"$sfDir"}"""
+        s"""$streamJson,$loadJson,"errors":$nErr,"sf":"$sfDir"}"""
     val wroteFull =
       try {
         java.nio.file.Files.writeString(
@@ -244,7 +255,7 @@ object Bench {
       s""""queries":${qmap(bySlowest.take(40))},""" +
       s""""queries_full":${if (wroteFull) "\"BENCH_FULL.json\"" else "null"},""" +
       s""""regressions":${rmap(adjudicated.take(8))},""" +
-      s""""failures":$failures,$loadJson,""" +
+      s""""failures":$failures,$streamJson,$loadJson,""" +
       s""""errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }

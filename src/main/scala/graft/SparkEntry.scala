@@ -2007,6 +2007,18 @@ object SparkEntry {
       Similarity.powerIterationPcaK(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 3, iters = 6)),
 
+    // ---- similarity: whitened top-2 PCA projection — every
+    // embedding's decorrelated 2-D coordinates (the usable dimension
+    // reduction off e_pca_topk's basis): exact pico-unit (x−μ)·v
+    // sums, one double chain /1e12 /sqrt(λ) rounded once. ----
+    "e_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val basis = Similarity.powerIterationPcaK(emb, "vec_id",
+        "embedding", k = 2, iters = 6)
+      Similarity.pcaProject(emb, "vec_id", "embedding", basis,
+        whiten = true)
+    }),
+
     // ---- similarity: IVF coarse-quantizer ANN — the nprobe/nlist
     // scale path next to brute force (e_ann_topk). Deterministic
     // portable-hash centroid sample + round-6 cell argmax make the
@@ -4636,6 +4648,90 @@ object SparkEntry {
       |  CAST(b AS DOUBLE) AS trend,
       |  CAST(l + b AS DOUBLE) AS forecast
       |FROM e""".stripMargin
+
+  /** Shared CTE prefix for the PCA oracles: covariance base + k
+    * components of 6 power-iteration rounds each, HUGEINT micro-unit
+    * discipline, sign-explicit Hotelling deflation between components
+    * (Spark `div` truncates toward zero; DuckDB `//` floors, hence
+    * the CASE). Returns everything from `WITH` through the last
+    * component's `c<k>lam` CTE (no trailing comma). */
+  private def pcaOracleCtes(k: Int): String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT embedding AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |n AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
+        |sums AS MATERIALIZED (
+        |  SELECT u['i'] AS i,
+        |    SUM(CAST(ROUND(CAST(u['x'] AS DOUBLE), 6)
+        |      AS DECIMAL(18,6))) AS sx
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(e) + 1),
+        |      k -> {'i': k - 1, 'x': e[CAST(k AS INT)]})) AS u
+        |    FROM e)
+        |  GROUP BY 1),
+        |cells AS MATERIALIZED (
+        |  SELECT u['i'] AS i, u['j'] AS j,
+        |    SUM(u['p']) AS sp
+        |  FROM (
+        |    SELECT unnest(flatten(list_transform(range(1, len(e) + 1),
+        |      a -> list_transform(range(1, len(e) + 1),
+        |        b -> {'i': a - 1, 'j': b - 1,
+        |              'p': CAST(ROUND(
+        |                CAST(e[CAST(a AS INT)] AS DOUBLE)
+        |                * CAST(e[CAST(b AS INT)] AS DOUBLE), 6)
+        |                AS DECIMAL(18,6))})))) AS u
+        |    FROM e)
+        |  GROUP BY 1, 2),
+        |cov1 AS MATERIALIZED (
+        |  SELECT cells.i, cells.j,
+        |    CAST(CAST(ROUND((CAST(sp AS DOUBLE)
+        |        - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE)
+        |          / CAST(n.n AS DOUBLE))
+        |        / (CAST(n.n AS DOUBLE) - 1.0), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS HUGEINT) AS cmu
+        |  FROM cells, n, sums si, sums sj
+        |  WHERE si.i = cells.i AND sj.i = cells.j)""".stripMargin
+    def comp(c: Int): String = {
+      val v0 = s"""c${c}v0 AS MATERIALIZED (
+  SELECT i AS j, CAST(125000 AS HUGEINT) AS vmu FROM sums)"""
+      val rounds = (1 to 6).map { r =>
+        s"""c${c}w$r AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.cmu * p.vmu) AS wp
+  FROM cov$c cov JOIN c${c}v${r - 1} p ON p.j = cov.j
+  GROUP BY cov.i),
+c${c}m$r AS MATERIALIZED (
+  SELECT SUM(wp * wp) AS m2 FROM c${c}w$r),
+c${c}v$r AS MATERIALIZED (
+  SELECT i AS j,
+    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
+        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS vmu
+  FROM c${c}w$r, c${c}m$r)"""
+      }.mkString(",\n")
+      val lam = s"""c${c}wf AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.cmu * v.vmu) AS wp
+  FROM cov$c cov JOIN c${c}v6 v ON v.j = cov.j GROUP BY cov.i),
+c${c}lam AS MATERIALIZED (
+  SELECT CAST(CAST(ROUND(CAST(SUM(v.vmu * wf.wp) AS DOUBLE)
+      / CAST(SUM(v.vmu * v.vmu) AS DOUBLE)
+      / 1000000.0, 6) AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS lmu
+  FROM c${c}wf wf JOIN c${c}v6 v ON v.j = wf.i)"""
+      val deflate =
+        if (c >= k) ""
+        else s""",
+cov${c + 1} AS MATERIALIZED (
+  SELECT cov.i, cov.j,
+    cov.cmu - (CASE WHEN l.lmu * vi.vmu * vj.vmu >= 0
+      THEN (l.lmu * vi.vmu * vj.vmu) // 1000000000000
+      ELSE -((-(l.lmu * vi.vmu * vj.vmu)) // 1000000000000)
+      END) AS cmu
+  FROM cov$c cov, c${c}lam l, c${c}v6 vi, c${c}v6 vj
+  WHERE vi.j = cov.i AND vj.j = cov.j)"""
+      s"$v0,\n$rounds,\n$lam$deflate"
+    }
+    s"$base,\n${(1 to k).map(comp).mkString(",\n")}"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -7440,89 +7536,58 @@ v6 AS MATERIALIZED (
     // via sign-explicit HUGEINT Hotelling deflation — Spark `div`
     // truncates toward zero, DuckDB `//` floors, hence the CASE),
     // all 3x6 rounds unrolled; generated by the same Scala loop
-    // shape the engine runs
+    // shape the engine runs (pcaOracleCtes)
     "e_pca_topk" -> {
-      val base =
-        """WITH e AS MATERIALIZED (
-          |  SELECT embedding AS e FROM embeddings
-          |  WHERE embedding IS NOT NULL),
-          |n AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
-          |sums AS MATERIALIZED (
-          |  SELECT u['i'] AS i,
-          |    SUM(CAST(ROUND(CAST(u['x'] AS DOUBLE), 6)
-          |      AS DECIMAL(18,6))) AS sx
-          |  FROM (
-          |    SELECT unnest(list_transform(range(1, len(e) + 1),
-          |      k -> {'i': k - 1, 'x': e[CAST(k AS INT)]})) AS u
-          |    FROM e)
-          |  GROUP BY 1),
-          |cells AS MATERIALIZED (
-          |  SELECT u['i'] AS i, u['j'] AS j,
-          |    SUM(u['p']) AS sp
-          |  FROM (
-          |    SELECT unnest(flatten(list_transform(range(1, len(e) + 1),
-          |      a -> list_transform(range(1, len(e) + 1),
-          |        b -> {'i': a - 1, 'j': b - 1,
-          |              'p': CAST(ROUND(
-          |                CAST(e[CAST(a AS INT)] AS DOUBLE)
-          |                * CAST(e[CAST(b AS INT)] AS DOUBLE), 6)
-          |                AS DECIMAL(18,6))})))) AS u
-          |    FROM e)
-          |  GROUP BY 1, 2),
-          |cov1 AS MATERIALIZED (
-          |  SELECT cells.i, cells.j,
-          |    CAST(CAST(ROUND((CAST(sp AS DOUBLE)
-          |        - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE)
-          |          / CAST(n.n AS DOUBLE))
-          |        / (CAST(n.n AS DOUBLE) - 1.0), 6) AS DECIMAL(18,6))
-          |      * 1000000 AS HUGEINT) AS cmu
-          |  FROM cells, n, sums si, sums sj
-          |  WHERE si.i = cells.i AND sj.i = cells.j)""".stripMargin
-      def comp(c: Int): String = {
-        val v0 = s"""c${c}v0 AS MATERIALIZED (
-  SELECT i AS j, CAST(125000 AS HUGEINT) AS vmu FROM sums)"""
-        val rounds = (1 to 6).map { r =>
-          s"""c${c}w$r AS MATERIALIZED (
-  SELECT cov.i, SUM(cov.cmu * p.vmu) AS wp
-  FROM cov$c cov JOIN c${c}v${r - 1} p ON p.j = cov.j
-  GROUP BY cov.i),
-c${c}m$r AS MATERIALIZED (
-  SELECT SUM(wp * wp) AS m2 FROM c${c}w$r),
-c${c}v$r AS MATERIALIZED (
-  SELECT i AS j,
-    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
-        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
-      * 1000000 AS HUGEINT) AS vmu
-  FROM c${c}w$r, c${c}m$r)"""
-        }.mkString(",\n")
-        val lam = s"""c${c}wf AS MATERIALIZED (
-  SELECT cov.i, SUM(cov.cmu * v.vmu) AS wp
-  FROM cov$c cov JOIN c${c}v6 v ON v.j = cov.j GROUP BY cov.i),
-c${c}lam AS MATERIALIZED (
-  SELECT CAST(CAST(ROUND(CAST(SUM(v.vmu * wf.wp) AS DOUBLE)
-      / CAST(SUM(v.vmu * v.vmu) AS DOUBLE)
-      / 1000000.0, 6) AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS lmu
-  FROM c${c}wf wf JOIN c${c}v6 v ON v.j = wf.i)"""
-        val deflate =
-          if (c >= 3) ""
-          else s""",
-cov${c + 1} AS MATERIALIZED (
-  SELECT cov.i, cov.j,
-    cov.cmu - (CASE WHEN l.lmu * vi.vmu * vj.vmu >= 0
-      THEN (l.lmu * vi.vmu * vj.vmu) // 1000000000000
-      ELSE -((-(l.lmu * vi.vmu * vj.vmu)) // 1000000000000)
-      END) AS cmu
-  FROM cov$c cov, c${c}lam l, c${c}v6 vi, c${c}v6 vj
-  WHERE vi.j = cov.i AND vj.j = cov.j)"""
-        s"$v0,\n$rounds,\n$lam$deflate"
-      }
       val outs = (1 to 3).map { c =>
         s"""SELECT $c AS component, CAST(v.j AS INT) AS dim,
   CAST(v.vmu AS DOUBLE) / 1000000.0 AS loading,
   ROUND(CAST(l.lmu AS DOUBLE) / 1000000.0, 6) AS eigenvalue
 FROM c${c}v6 v, c${c}lam l"""
       }.mkString("\nUNION ALL\n")
-      s"$base,\n${(1 to 3).map(comp).mkString(",\n")}\n$outs"
+      s"${pcaOracleCtes(3)}\n$outs"
+    },
+
+    // the k=2 basis replayed via the same generator, then the
+    // whitened projection: exact pico-unit (x−μ)·v sums per
+    // (vec_id, component), ONE double chain /1e12 /sqrt(λ), round 6
+    "e_pca_project" -> {
+      val basis = (1 to 2).map { c =>
+        s"""SELECT $c AS component, v.j AS dim, v.vmu,
+  ROUND(CAST(l.lmu AS DOUBLE) / 1000000.0, 6) AS eigenvalue
+FROM c${c}v6 v, c${c}lam l"""
+      }.mkString("\nUNION ALL\n")
+      s"""${pcaOracleCtes(2)},
+pb AS MATERIALIZED (
+$basis),
+pe AS MATERIALIZED (
+  SELECT vec_id, u['i'] AS dim,
+    CAST(CAST(ROUND(CAST(u['x'] AS DOUBLE), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS xmu
+  FROM (
+    SELECT vec_id,
+      unnest(list_transform(range(1, len(embedding) + 1),
+        k -> {'i': k - 1, 'x': embedding[CAST(k AS INT)]})) AS u
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)),
+pn AS (SELECT COUNT(*) AS n FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+pm AS MATERIALIZED (
+  SELECT dim,
+    CAST(CAST(ROUND(CAST(SUM(xmu) AS DOUBLE) / 1000000.0
+      / CAST(pn.n AS DOUBLE), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS mmu
+  FROM pe, pn GROUP BY dim, pn.n),
+proj AS (
+  SELECT pe.vec_id, pb.component, pb.eigenvalue,
+    SUM((pe.xmu - pm.mmu) * pb.vmu) AS p
+  FROM pe JOIN pm ON pm.dim = pe.dim
+    JOIN pb ON pb.dim = pe.dim
+  GROUP BY 1, 2, 3)
+SELECT vec_id, component,
+  CASE WHEN eigenvalue > 0 THEN
+    ROUND((CAST(p AS DOUBLE) / 1000000000000.0)
+      / sqrt(eigenvalue), 6) END AS coord
+FROM proj"""
     },
 
     "e_mmr_rerank" -> {

@@ -1677,6 +1677,60 @@ object Similarity {
     *
     * @return (component, dim, loading, eigenvalue) — k·d rows,
     *         component 1-based in descending-eigenvalue order */
+  /** Project every embedding onto a learned principal basis — the
+    * op that makes [[powerIterationPcaK]] a usable dimension
+    * reduction / whitening tool: coordᵢ,c = Σ_d (xᵢ,d − μ_d)·v_c,d,
+    * optionally WHITENED (divided by √λ_c, the decorrelating rescale
+    * that equalizes component variances — the standard preprocessing
+    * before cosine-based dedup on anisotropic embeddings).
+    *
+    * Determinism: x and μ live on the round-6 micro grid (μ recomputed
+    * here from the same per-dim sums the covariance pass uses, so the
+    * centering matches the basis exactly); centered×loading products
+    * are exact pico-unit integers summed per (id, component); ONE
+    * double division chain (÷10¹², then optionally ÷√λ) rounded once.
+    * Components with λ ≤ 0 whiten to NULL, never divide by zero.
+    *
+    * Scale shape: one posexplode (n·d narrow rows) joined to the
+    * k·d-row BROADCAST basis → n·d·k product rows map-side combined
+    * into the (id, component) agg — no corpus shuffle wider than the
+    * n·k output. The means attach as a d-row broadcast.
+    *
+    * @param components output of [[powerIterationPcaK]]:
+    *        (component, dim, loading, eigenvalue)
+    * @return (idCol, component, coord) — n·k rows */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+                 components: DataFrame,
+                 whiten: Boolean = false): DataFrame = {
+    val src = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+    val nF = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    val means = src.groupBy(col("dim"))
+      .agg(sum(round(col("__x").cast("double"), 6)
+        .cast(PcaDec)).as("__sx"))
+      .crossJoin(broadcast(nF))
+      .select(col("dim"),
+        pcaMu(round(col("__sx").cast("double") /
+          col("__n").cast("double"), 6)).as("__mmu"))
+    val basis = components.select(col("component"), col("dim"),
+      pcaMu(round(col("loading").cast("double"), 6)).as("__vmu"),
+      col("eigenvalue"))
+    val ppico = src
+      .join(broadcast(means), Seq("dim"))
+      .join(broadcast(basis), Seq("dim"))
+      .groupBy(col(idCol), col("component"), col("eigenvalue"))
+      .agg(sum((pcaMu(round(col("__x").cast("double"), 6)) -
+        col("__mmu")) * col("__vmu")).as("__p"))
+    val raw = col("__p").cast("double") / lit(1.0e12)
+    val coord =
+      if (whiten)
+        when(col("eigenvalue") > 0,
+          round(raw / sqrt(col("eigenvalue")), 6))
+      else round(raw, 6)
+    ppico.select(col(idCol), col("component"), coord.as("coord"))
+  }
+
   def powerIterationPcaK(emb: DataFrame, idCol: String, vecCol: String,
                          k: Int, iters: Int = 6): DataFrame = {
     require(k >= 1, "k must be >= 1")

@@ -494,6 +494,9 @@ object ScaleSweep {
       // the d^2-cell frame — scale cost identical to e_pca_top
       "e_pca_topk" -> (d =>
         SparkEntry.queries("e_pca_topk")(spark, d).count()),
+      // basis fit (n*d^2) + the n*d*k broadcast-basis projection
+      "e_pca_project" -> (d =>
+        SparkEntry.queries("e_pca_project")(spark, d).count()),
       // r12 second wave. cells-frame contingency + marginal join
       "a45_kappa" -> (d =>
         SparkEntry.queries("a45_kappa")(spark, d).count()),

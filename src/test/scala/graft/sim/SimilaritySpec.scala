@@ -857,6 +857,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pcaProject: axis-aligned data projects to its centered " +
+    "coordinates; whitening rescales by 1/sqrt(lambda); zero-variance " +
+    "components whiten to NULL") {
+    import spark.implicits._
+    // the pcaK fixture: comp1 = ±axis0 (lambda 800/7), comp2 = ±axis1
+    // (8/7); means are exactly 0, so raw coords are ±a·s1 / ±b·s2 for
+    // the iteration's sign s
+    val emb = (for {
+      rep <- 0 to 1; a <- Seq(-10f, 10f); b <- Seq(-1f, 1f)
+    } yield Seq(a, b, 0f, 0f)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val basis = Similarity.powerIterationPcaK(emb, "vec_id",
+      "embedding", k = 2, iters = 6)
+    val raw = Similarity.pcaProject(emb, "vec_id", "embedding", basis)
+      .as[(Long, Int, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3.get).toMap
+    val a0 = Seq(-10.0, 10.0, -10.0, 10.0, -10.0, 10.0, -10.0, 10.0)
+    // vec_id i has a = ±10 alternating with b inner: order is
+    // (a,b) = (-10,-1),(-10,1),(10,-1),(10,1) per rep
+    val abs1 = (0L to 7L).map(i => math.abs(raw((i, 1))))
+    assert(abs1.forall(v => math.abs(v - 10.0) < 1e-4), raw.toString)
+    val abs2 = (0L to 7L).map(i => math.abs(raw((i, 2))))
+    assert(abs2.forall(v => math.abs(v - 1.0) < 1e-4), raw.toString)
+    // whitened: |coord| = |raw| / sqrt(lambda)
+    val white = Similarity.pcaProject(emb, "vec_id", "embedding",
+        basis, whiten = true)
+      .as[(Long, Int, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val s1 = 10.0 / math.sqrt(800.0 / 7)
+    val s2 = 1.0 / math.sqrt(8.0 / 7)
+    assert((0L to 7L).forall(i =>
+      math.abs(math.abs(white((i, 1)).get) - s1) < 1e-4), white.toString)
+    assert((0L to 7L).forall(i =>
+      math.abs(math.abs(white((i, 2)).get) - s2) < 1e-4), white.toString)
+    // a zero-eigenvalue component whitens to NULL, not a divide
+    val zeroBasis = Seq((1, 0, 1.0, 0.0), (1, 1, 0.0, 0.0),
+      (1, 2, 0.0, 0.0), (1, 3, 0.0, 0.0))
+      .toDF("component", "dim", "loading", "eigenvalue")
+    val z = Similarity.pcaProject(emb, "vec_id", "embedding",
+        zeroBasis, whiten = true)
+      .as[(Long, Int, Option[Double])].collect()
+    assert(z.nonEmpty && z.forall(_._3.isEmpty), z.mkString(","))
+    assert(a0.length == 8)
+  }
+
   test("mmrRerank: low lambda skips the exact duplicate for the " +
     "orthogonal doc; high lambda degenerates to relevance order; " +
     "id tiebreak on equal scores") {

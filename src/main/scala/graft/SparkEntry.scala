@@ -3073,6 +3073,19 @@ object SparkEntry {
       ops.Analytics.temperatureMix(t(s, dir, "documents"),
         Seq("source"), alphaMicros = 300000L)),
 
+    // ---- A59: Sinkhorn optimal-transport distance between the
+    // English and non-English doc-length distributions (50-char
+    // buckets, eps=3 bin units, 5 scalings) — the geometry-aware
+    // drift metric beside a29's PSI and a38's KS: mass moved TIMES
+    // buckets moved. All sums exact decimal; the oracle replays
+    // every scaling on HUGEINT. ----
+    "a59_sinkhorn" -> ((s, dir) =>
+      ops.Analytics.sinkhornOt(
+        t(s, dir, "documents").filter(col("lang").isNotNull),
+        "n_chars", col("lang") === "en",
+        binWidthMicros = 50000000L, iters = 5,
+        epsMicros = 3000000L)),
+
     // ---- A57: CUPED variance-reduced treatment effect — per-user
     // pre/post value sums, even/odd user split as arms; one exact
     // moment agg (variance reduction IS corr²), fixed-order double
@@ -9497,6 +9510,75 @@ FROM proj"""
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // every Sinkhorn scaling replayed on HUGEINT: round-6 masses and
+    // kernel, micro-grid iterates (one double division each), exact
+    // pico/1e18 sums; bin = truncating div (sign-explicit for //)
+    "a59_sinkhorn" -> {
+      val base =
+        """WITH s AS MATERIALIZED (
+          |  SELECT lang = 'en' AS a,
+          |    CAST(CAST(ROUND(CAST(n_chars AS DOUBLE), 6)
+          |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+          |  FROM documents
+          |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+          |b AS MATERIALIZED (
+          |  SELECT CASE WHEN vm >= 0 THEN vm // 50000000
+          |    ELSE -((-vm) // 50000000) END AS bin,
+          |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+          |    SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb
+          |  FROM s GROUP BY 1),
+          |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+          |  CAST(SUM(cb) AS BIGINT) AS nb FROM b),
+          |mass AS MATERIALIZED (
+          |  SELECT bin,
+          |    CAST(CAST(ROUND(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE),
+          |      6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS pm,
+          |    CAST(CAST(ROUND(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE),
+          |      6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qm
+          |  FROM b, t),
+          |k AS MATERIALIZED (
+          |  SELECT i.bin AS i, j.bin AS j, abs(i.bin - j.bin) AS c,
+          |    CAST(CAST(ROUND(exp(-CAST(abs(i.bin - j.bin) AS DOUBLE)
+          |      / CAST(3.0 AS DOUBLE)), 6) AS DECIMAL(18,6))
+          |      * 1000000 AS BIGINT) AS km
+          |  FROM mass i, mass j),
+          |v0 AS (SELECT bin AS j, CAST(1000000 AS BIGINT) AS vm
+          |  FROM mass)""".stripMargin
+      val rounds = (1 to 5).map { r =>
+        s"""u$r AS MATERIALIZED (
+  SELECT k.i, CASE WHEN SUM(CAST(k.km AS HUGEINT) * v.vm) > 0 THEN
+    CAST(CAST(ROUND((CAST(m.pm AS DOUBLE) / 1000000.0)
+      / (CAST(SUM(CAST(k.km AS HUGEINT) * v.vm) AS DOUBLE)
+         / 1000000000000.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+    END AS um
+  FROM k JOIN v${r - 1} v ON v.j = k.j
+    JOIN mass m ON m.bin = k.i
+  GROUP BY k.i, m.pm),
+v$r AS MATERIALIZED (
+  SELECT k.j, CASE WHEN SUM(CAST(k.km AS HUGEINT) * u.um) > 0 THEN
+    CAST(CAST(ROUND((CAST(m.qm AS DOUBLE) / 1000000.0)
+      / (CAST(SUM(CAST(k.km AS HUGEINT) * u.um) AS DOUBLE)
+         / 1000000000000.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+    END AS vm
+  FROM k JOIN u$r u ON u.i = k.i
+    JOIN mass m ON m.bin = k.j
+  GROUP BY k.j, m.qm)"""
+      }.mkString(",\n")
+      val tail =
+        """pl AS (
+          |  SELECT SUM(CAST(u.um AS HUGEINT) * k.km * v.vm * k.c)
+          |      AS cost18,
+          |    SUM(CAST(u.um AS HUGEINT) * k.km * v.vm) AS mass18
+          |  FROM k JOIN u5 u ON u.i = k.i JOIN v5 v ON v.j = k.j),
+          |bc AS (SELECT COUNT(*) AS bins FROM mass)
+          |SELECT t.na AS n_a, t.nb AS n_b, bc.bins AS n_bins,
+          |  ROUND(CAST(pl.cost18 AS DOUBLE) / 1e18, 6) AS cost,
+          |  ROUND(CAST(pl.mass18 AS DOUBLE) / 1e18, 6)
+          |    AS transported_mass
+          |FROM t, bc, pl""".stripMargin
+      s"$base,\n$rounds,\n$tail"
+    },
 
     // round-6 POWER terms into an exact decimal denominator; every
     // share a single double division rounded once

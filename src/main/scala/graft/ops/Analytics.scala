@@ -864,4 +864,116 @@ object Analytics {
       .filter(col("__best").isNull || col(yCol) > col("__best"))
       .select(col(xCol), col(yCol))
   }
+
+  /** Entropy-regularized optimal-transport (Sinkhorn) distance
+    * between two binned value distributions — the GEOMETRY-AWARE
+    * drift metric the KS/PSI family can't give: KS and PSI score
+    * "how much mass moved", Sinkhorn scores "how much mass moved
+    * TIMES HOW FAR" (an EMD approximation, Cuturi 2013), which is
+    * what a data-mixing audit actually wants when one source's
+    * length/score distribution shifts by two buckets vs twenty.
+    * Cost between bins is their INDEX distance |i−j| (one unit per
+    * bucket step); kernel K = exp(−c/ε); `iters` Sinkhorn scalings
+    * u ← p/(Kv), v ← q/(Kᵀu) from v₀ = 1, then
+    * cost = Σᵢⱼ uᵢKᵢⱼvⱼ·cᵢⱼ and the transported-mass audit
+    * Σᵢⱼ uᵢKᵢⱼvⱼ (≈1 at convergence — a visible convergence check).
+    *
+    * Determinism (engine-free): bin masses round once to 6; the
+    * kernel rounds once to 6 AFTER the exp (irrational — no
+    * structural midpoints); every iterate uᵢ/vⱼ is one double
+    * division of exact integers rounded to the micro grid; ALL sums
+    * (Kv, Kᵀu, the two final reductions) are exact decimal(38,0)
+    * products of micro-unit longs — order-free, so any partitioning
+    * gives the bit-identical answer and the oracle replays every
+    * scaling on HUGEINT.
+    *
+    * Scale shape: ONE corpus hash agg to the bins frame (bin =
+    * micro-value `div` binWidthMicros, truncation toward zero —
+    * sign-explicit in the oracle); everything after lives on the
+    * bins and bins² frames (the contingency-grid scale). Pick ε ≥
+    * span/14 so the round-6 kernel keeps distant occupied bins
+    * connected (exp(−14) rounds to zero); a disconnected row NULLs
+    * its iterate rather than dividing by zero.
+    *
+    * @param inA boolean Column: true → distribution A, false → B
+    * @param binWidthMicros bucket width in micro value-units
+    * @param epsMicros regularization ε in micro bin-index units
+    * @return one row: (n_a, n_b, n_bins, cost, transported_mass) */
+  def sinkhornOt(df: DataFrame, valueCol: String, inA: Column,
+                 binWidthMicros: Long, iters: Int = 5,
+                 epsMicros: Long = 3000000L): DataFrame = {
+    require(binWidthMicros > 0, "binWidthMicros must be > 0")
+    require(iters >= 1, "iters must be >= 1")
+    require(epsMicros > 0, "epsMicros must be > 0")
+    val dec = "decimal(38,0)"
+    val mu6 = (c: Column) => (round(c.cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000L).cast(dec).cast("long")
+    val src = df.filter(col(valueCol).isNotNull && inA.isNotNull)
+      .select(inA.as("__a"), mu6(col(valueCol)).as("__vm"))
+      .withColumn("__bin", expr(s"__vm div ${binWidthMicros}L"))
+    val counts = src.groupBy(col("__bin"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val tot = counts.agg(coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__nb"))
+      .localCheckpoint()
+    val mass = counts.crossJoin(broadcast(tot))
+      .select(col("__bin"),
+        when(col("__na") > 0, mu6(col("__ca").cast("double") /
+          col("__na").cast("double"))).as("__pm"),
+        when(col("__nb") > 0, mu6(col("__cb").cast("double") /
+          col("__nb").cast("double"))).as("__qm"))
+      .localCheckpoint()
+    val eps = epsMicros.toDouble / 1e6
+    val kmat = mass.select(col("__bin").as("__i"))
+      .crossJoin(mass.select(col("__bin").as("__j")))
+      .select(col("__i"), col("__j"),
+        abs(col("__i") - col("__j")).as("__c"))
+      .withColumn("__km",
+        mu6(exp(-col("__c").cast("double") / lit(eps))))
+      .localCheckpoint()
+    // micro-grid iterate from exact pico sums: one division, one round
+    def scale(pm: Column, sumPico: Column): Column =
+      when(sumPico > 0, (round((pm.cast("double") / lit(1e6)) /
+        (sumPico.cast("double") / lit(1e12)), 6)
+        .cast("decimal(18,6)") * 1000000L).cast(dec).cast("long"))
+    var v = mass.select(col("__bin").as("__j"),
+      when(col("__qm").isNotNull, lit(1000000L)).as("__vm"))
+      .localCheckpoint()
+    var u = v.limit(0).select(col("__j").as("__i"),
+      col("__vm").as("__um"))
+    for (_ <- 1 to iters) {
+      u = kmat.join(v, Seq("__j"))
+        .groupBy(col("__i"))
+        .agg(sum(col("__km").cast(dec) * col("__vm")).as("__kv"))
+        .join(mass.select(col("__bin").as("__i"), col("__pm")),
+          Seq("__i"))
+        .select(col("__i"), scale(col("__pm"), col("__kv")).as("__um"))
+        .localCheckpoint()
+      v = kmat.join(u, Seq("__i"))
+        .groupBy(col("__j"))
+        .agg(sum(col("__km").cast(dec) * col("__um")).as("__ku"))
+        .join(mass.select(col("__bin").as("__j"), col("__qm")),
+          Seq("__j"))
+        .select(col("__j"), scale(col("__qm"), col("__ku")).as("__vm"))
+        .localCheckpoint()
+    }
+    val plan = kmat.join(u, Seq("__i")).join(v, Seq("__j"))
+      .agg(sum(col("__um").cast(dec) * col("__km") * col("__vm") *
+        col("__c")).as("__cost18"),
+        sum(col("__um").cast(dec) * col("__km") * col("__vm"))
+          .as("__mass18"),
+        count(when(col("__um").isNull || col("__vm").isNull, 1L))
+          .as("__nulls"))
+    val nBins = mass.select(count(lit(1)).as("__bins"))
+    tot.crossJoin(broadcast(nBins)).crossJoin(broadcast(plan))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__bins").as("n_bins"),
+        when(col("__na") > 0 && col("__nb") > 0 && col("__nulls") === 0,
+          round(col("__cost18").cast("double") / lit(1e18), 6))
+          .as("cost"),
+        when(col("__na") > 0 && col("__nb") > 0 && col("__nulls") === 0,
+          round(col("__mass18").cast("double") / lit(1e18), 6))
+          .as("transported_mass"))
+  }
 }

@@ -572,6 +572,9 @@ object ScaleSweep {
       // unit-frame agg + one moment reduce
       "a57_cuped" -> (d =>
         SparkEntry.queries("a57_cuped")(spark, d).count()),
+      // one corpus agg to the bins frame; 5 scalings on bins^2
+      "a59_sinkhorn" -> (d =>
+        SparkEntry.queries("a59_sinkhorn")(spark, d).count()),
       // Lloyd assignment + an n x k broadcast crossJoin
       "e_silhouette" -> (d =>
         SparkEntry.queries("e_silhouette")(spark, d).count()),

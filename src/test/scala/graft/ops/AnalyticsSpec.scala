@@ -545,4 +545,46 @@ class AnalyticsSpec extends SparkSpec {
       "value", maxLag = 3).queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
+
+  test("sinkhornOt: a pure k-bin shift costs exactly k; identical " +
+    "distributions cost ~0 at small epsilon; transported mass " +
+    "converges to 1; an empty side nulls the metrics") {
+    import spark.implicits._
+    // all of A at value 0 (bin 0), all of B at value 5 (bin 5 with
+    // width 1): the only feasible plan moves every unit 5 bins
+    val shift = (Seq.fill(10)((true, 0.0)) ++ Seq.fill(10)((false, 5.0)))
+      .toDF("a", "v")
+    val got = Analytics.sinkhornOt(shift, "v", col("a"),
+        binWidthMicros = 1000000L, iters = 5, epsMicros = 500000L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(got._1 == 10 && got._2 == 10 && got._3 == 2, got.toString)
+    assert(math.abs(got._4.get - 5.0) < 1e-3, s"cost ${got._4}")
+    assert(math.abs(got._5.get - 1.0) < 1e-3, s"mass ${got._5}")
+    // identical two-point distributions: with eps small the kernel is
+    // near-diagonal, so almost nothing moves
+    val same = (Seq.fill(5)((true, 0.0)) ++ Seq.fill(5)((true, 5.0)) ++
+      Seq.fill(5)((false, 0.0)) ++ Seq.fill(5)((false, 5.0)))
+      .toDF("a", "v")
+    val s = Analytics.sinkhornOt(same, "v", col("a"),
+        binWidthMicros = 1000000L, iters = 5, epsMicros = 500000L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(s._4.get < 0.01, s"identical cost ${s._4}")
+    assert(math.abs(s._5.get - 1.0) < 1e-2, s"mass ${s._5}")
+    // determinism: bit-identical on a second run
+    val s2 = Analytics.sinkhornOt(same, "v", col("a"),
+        binWidthMicros = 1000000L, iters = 5, epsMicros = 500000L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(s == s2, s"$s vs $s2")
+    // an empty B side: counts flow through, metrics NULL
+    val lone = Seq.fill(4)((true, 1.0)).toDF("a", "v")
+    val e = Analytics.sinkhornOt(lone, "v", col("a"),
+        binWidthMicros = 1000000L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(e._1 == 4 && e._2 == 0 && e._4.isEmpty && e._5.isEmpty,
+      e.toString)
+  }
 }

@@ -2288,6 +2288,24 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // ---- similarity: rank-biased overlap audit of the IVF shortlist
+    // against its brute-force twin — the top-weighted agreement
+    // metric (Webber 2010) per query, p=0.9, depth 10: the number
+    // that says how much recall the nprobe knob is actually buying,
+    // weighted toward the ranks that matter. ----
+    "e_rbo" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteKnnJoin(q, emb, "vec_id",
+        "embedding", 10)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64)
+      val approx = Similarity.ivfKnnJoin(q, emb, "vec_id", "embedding",
+        k = 10, centroids = cents, nprobe = 8)
+      ops.Analytics.rankBiasedOverlap(brute, approx, "query_id",
+        "neighbor_id", "rank", depth = 10)
+    }),
+
     // ---- similarity: per-label embedding centroids as MERGEABLE
     // PARTIALS (label, dim, exact sum, n) — posexplode to (label, dim),
     // one hash agg; per-element round-6 THEN exact decimal sum makes
@@ -8303,6 +8321,91 @@ FROM proj"""
         |  CAST(row_number() OVER (PARTITION BY query_id
         |       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
         |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    // brute top-10 + the e_ivf_knn_join IVF replay (nlist=64,
+    // nprobe=8) + the RBO tail: per-item W(max(ra,rb)) weights as
+    // term-wise round-6 decimals (the a58 POWER discipline), exact
+    // decimal sum, one x0.1 product, one double round
+    "e_rbo" ->
+      """WITH src AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM src WHERE vec_id % 100 = 0),
+        |brute AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, ra FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.qe,
+        |             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, e.vec_id) AS ra
+        |    FROM q, src e WHERE e.vec_id <> q.query_id)
+        |  WHERE ra <= 10),
+        |cents AS MATERIALIZED (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM src
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 64),
+        |probed AS MATERIALIZED (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, cents.cell,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(ce, qe),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, cents.cell) AS pr
+        |    FROM cents, q)
+        |  WHERE pr <= 8),
+        |assign AS MATERIALIZED (
+        |  SELECT e.vec_id, e.embedding,
+        |    (SELECT cell FROM cents
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(cents.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(cents.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM src e),
+        |ivf AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, rb FROM (
+        |    SELECT p.query_id, a.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.query_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(a.embedding, q.qe),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, a.vec_id) AS rb
+        |    FROM probed p JOIN assign a USING (cell) JOIN q USING (query_id)
+        |    WHERE a.vec_id <> p.query_id)
+        |  WHERE rb <= 10),
+        |wt AS (
+        |  SELECT m, SUM(CAST(ROUND(POWER(CAST(0.9 AS DOUBLE), d - 1)
+        |    / d, 6) AS DECIMAL(18,6))) AS w
+        |  FROM range(1, 11) tm(m), range(1, 11) td(d)
+        |  WHERE d >= m GROUP BY m),
+        |com AS (
+        |  SELECT b.query_id, greatest(b.ra, v.rb) AS m
+        |  FROM brute b JOIN ivf v ON v.query_id = b.query_id
+        |    AND v.neighbor_id = b.neighbor_id),
+        |perq AS (
+        |  SELECT query_id, COUNT(*) AS n_common, SUM(w.w) AS ws
+        |  FROM com JOIN wt w ON w.m = com.m GROUP BY query_id),
+        |allq AS (
+        |  SELECT query_id FROM brute UNION SELECT query_id FROM ivf)
+        |SELECT a.query_id,
+        |  CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
+        |  ROUND(CAST(COALESCE(p.ws, CAST(0 AS DECIMAL(18,6)))
+        |    * CAST(0.1 AS DECIMAL(18,6)) AS DOUBLE), 6) AS rbo
+        |FROM allq a LEFT JOIN perq p USING (query_id)""".stripMargin,
 
     // The e_ivf_knn_join arithmetic over the PERSISTED-index corpus
     // (vec_id <> 0, nlist=64 — e_ivf_indexed's staging knobs).

@@ -865,6 +865,66 @@ object Analytics {
       .select(col(xCol), col(yCol))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010), truncated at `depth` —
+    * the top-weighted agreement score between two per-query rankings,
+    * THE metric for auditing an ANN shortlist against its brute-force
+    * twin (or any two retrieval runs): unlike Jaccard@k it rewards
+    * agreeing EARLY, with geometric patience p. Truncated base form:
+    * RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·|A_d ∩ B_d|/d (the residual of
+    * unseen tails is out of scope by contract — both inputs ARE the
+    * full rankings to depth k).
+    *
+    * Relational shape: an item ranked ra in A and rb in B joins the
+    * overlap set at every d ≥ max(ra, rb), so its total contribution
+    * is W(m) = Σ_{d=m..k} p^(d−1)/d — `depth` DRIVER-SIDE constants
+    * entering the plan as exact round-6 decimal literals (term-wise
+    * round, the a58 POWER discipline, replayed identically by the
+    * oracle); per query one (query,item) equi-join, one decimal sum,
+    * one ×(1−p) exact product, one double cast rounded once. Queries
+    * with NO common item score 0.0 (present, not dropped).
+    *
+    * Scale shape: both inputs are k-bounded per query by contract, so
+    * the join and agg are O(queries·k) — never corpus-scale.
+    *
+    * @param a,b rankings: (queryCol, itemCol, rankCol), rank 1-based
+    * @return (queryCol, n_common, rbo) per distinct query of a ∪ b */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, queryCol: String,
+                        itemCol: String, rankCol: String, depth: Int,
+                        pMicros: Long = 900000L): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    require(pMicros > 0 && pMicros < 1000000L,
+      "pMicros must be in (0, 1e6)")
+    val p = pMicros.toDouble / 1e6
+    def d6(v: BigDecimal): Column =
+      lit(v.setScale(6, BigDecimal.RoundingMode.HALF_UP).underlying())
+        .cast("decimal(18,6)")
+    val terms = (1 to depth).map(d =>
+      BigDecimal(math.pow(p, d - 1) / d)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    def sel(df: DataFrame, r: String): DataFrame =
+      df.filter(col(queryCol).isNotNull && col(itemCol).isNotNull &&
+        col(rankCol).isNotNull && col(rankCol) <= depth)
+        .select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+          col(rankCol).cast("int").as(r))
+    val fa = sel(a, "__ra")
+    val fb = sel(b, "__rb")
+    val wOfM = (1 to depth).foldLeft(lit(null).cast("decimal(18,6)")) {
+      case (acc, m) =>
+        when(greatest(col("__ra"), col("__rb")) === m,
+          d6(terms.drop(m - 1).sum)).otherwise(acc)
+    }
+    val perQ = fa.join(fb, Seq("__q", "__i"))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_common"), sum(wOfM).as("__ws"))
+    val oneMinusP = d6(BigDecimal(1000000L - pMicros) / 1000000L)
+    fa.select(col("__q")).union(fb.select(col("__q"))).distinct()
+      .join(perQ, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round((coalesce(col("__ws"), lit(0).cast("decimal(18,6)")) *
+          oneMinusP).cast("double"), 6).as("rbo"))
+  }
+
   /** Entropy-regularized optimal-transport (Sinkhorn) distance
     * between two binned value distributions — the GEOMETRY-AWARE
     * drift metric the KS/PSI family can't give: KS and PSI score

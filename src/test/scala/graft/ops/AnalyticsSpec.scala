@@ -546,6 +546,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
 
+  test("rankBiasedOverlap: identical top-3 at p=.9 scores exactly " +
+    "0.271; a one-common-item pair scores the hand value; disjoint " +
+    "rankings score 0.0 with the query still present") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 1), (1L, "y", 2), (1L, "z", 3),
+      (2L, "x", 1), (2L, "y", 2),
+      (3L, "q", 1)).toDF("qid", "item", "rank")
+    val b = Seq((1L, "x", 1), (1L, "y", 2), (1L, "z", 3),
+      (2L, "y", 1), (2L, "z", 2),
+      (3L, "r", 1)).toDF("qid", "item", "rank")
+    val got = Analytics.rankBiasedOverlap(a, b, "qid", "item", "rank",
+        depth = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // identical top-3: 0.1*(1 + 2*0.45 + 3*0.27) = 0.271
+    assert(got(1L) == ((3L, 0.271)), got.toString)
+    // q2: only y common (ra=2, rb=1) -> m=2, W(2)=t2+t3=0.45+0.27
+    // -> rbo = 0.1*0.72 = 0.072
+    assert(got(2L) == ((1L, 0.072)), got.toString)
+    // q3: nothing common -> present with 0.0
+    assert(got(3L) == ((0L, 0.0)), got.toString)
+    // ranks beyond depth are ignored
+    val deep = Analytics.rankBiasedOverlap(
+        a, b.withColumn("rank", col("rank") + 3), "qid", "item",
+        "rank", depth = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(deep.values.forall(_ == 0L), deep.toString)
+  }
+
   test("sinkhornOt: a pure k-bin shift costs exactly k; identical " +
     "distributions cost ~0 at small epsilon; transported mass " +
     "converges to 1; an empty side nulls the metrics") {

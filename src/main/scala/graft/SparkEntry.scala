@@ -3091,6 +3091,14 @@ object SparkEntry {
       ops.Analytics.temperatureMix(t(s, dir, "documents"),
         Seq("source"), alphaMicros = 300000L)),
 
+    // ---- A60: order-free dataset fingerprint of the customer table
+    // — the 100 TB copy/migration integrity check: two exact decimal
+    // hash sums (portable 31-poly fold, salted twin) that are
+    // invariant to row order/partitioning and ADD across shards. ----
+    "a60_dataset_fp" -> ((s, dir) =>
+      ops.Quality.datasetFingerprint(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_mktsegment"))),
+
     // ---- A59: Sinkhorn optimal-transport distance between the
     // English and non-English doc-length distributions (50-char
     // buckets, eps=3 bin units, 5 scalings) — the geometry-aware
@@ -9613,6 +9621,34 @@ FROM proj"""
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // the portable 31-poly char fold replayed as a list_reduce over
+    // the identical canonical string (chr(1) separators, chr(0) null
+    // sentinel, chr(2) salt); sums exact DECIMAL(38,0)
+    "a60_dataset_fp" ->
+      """WITH s AS (
+        |  SELECT concat(
+        |    COALESCE(CAST(c_custkey AS VARCHAR), chr(0)), chr(1),
+        |    COALESCE(c_name, chr(0)), chr(1),
+        |    COALESCE(c_mktsegment, chr(0))) AS canon
+        |  FROM customer),
+        |h AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(canon, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(canon || chr(2), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) AS h2
+        |  FROM s)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(SUM(h1), 0) % 2305843009213693951
+        |    AS BIGINT) AS hash_sum,
+        |  CAST(COALESCE(SUM(h2), 0) % 2305843009213693951
+        |    AS BIGINT) AS hash_sum_b
+        |FROM h""".stripMargin,
 
     // every Sinkhorn scaling replayed on HUGEINT: round-6 masses and
     // kernel, micro-grid iterates (one double division each), exact

@@ -1611,4 +1611,48 @@ object Quality {
               col("__nn").cast(dec)).cast("double"), 6))
           .as("auc"))
   }
+
+  /** Order-free dataset fingerprint — the integrity check a 100 TB
+    * copy/migration/append needs: did the rows that left arrive,
+    * regardless of partitioning, file layout, or row order? Each row
+    * canonicalizes to `col1\\u0001col2\\u0001…` (NULL → \\u0000 so null
+    * and empty differ), hashes with the engine's PORTABLE 31-poly
+    * char fold ([[graft.functions.NativeExpressions.poly_hash_set]]
+    * — replayable in any SQL engine as a list_reduce, unlike
+    * murmur3/xxhash), and the fingerprint is the pair of hash sums
+    * mod 2⁶¹−1 (the second over a \\u0002-salted canonical — one
+    * sum can cancel a structured corruption with probability ~2⁻³¹,
+    * two independent folds push that to ~2⁻⁶²; the mod keeps the
+    * value BIGINT-exact in every engine). Sums are COMMUTATIVE and
+    * MERGEABLE: shard fingerprints add (mod p), appends add
+    * incrementally, two datasets compare by two numbers.
+    *
+    * Contract: pass CAST-STABLE columns (strings, integers, dates) —
+    * float-to-string formatting differs across engines; quantize
+    * floats to micro-longs upstream.
+    *
+    * Scale shape: one narrow projection + one global agg with
+    * map-side partials — nothing else. No shuffle wider than the
+    * partial rows.
+    *
+    * @return one row: (n_rows, hash_sum, hash_sum_b) */
+  def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val dec = "decimal(38,0)"
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    def h(c: Column): Column = element_at(
+      graft.functions.NativeExpressions.poly_hash_set(array(c)), 1)
+    df.select(h(canon).as("__h1"),
+        h(concat(canon, lit("\u0002"))).as("__h2"))
+      .agg(count(lit(1)).as("n_rows"),
+        (coalesce(sum(col("__h1").cast(dec)), lit(0).cast(dec)) %
+          lit(FpMod)).cast("long").as("hash_sum"),
+        (coalesce(sum(col("__h2").cast(dec)), lit(0).cast(dec)) %
+          lit(FpMod)).cast("long").as("hash_sum_b"))
+  }
+
+  /** [[datasetFingerprint]] modulus: 2⁶¹−1 (prime, BIGINT-exact in
+    * every SQL engine; shard fingerprints merge by modular add). */
+  val FpMod: Long = 2305843009213693951L
 }

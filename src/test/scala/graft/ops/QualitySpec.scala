@@ -864,4 +864,45 @@ class QualitySpec extends SparkSpec {
     val ok = (Seq.fill(3)("a") ++ Seq.fill(3)("b")).toDF("q1")
     assert(Quality.kAnonymity(ok, Seq("q1"), k = 3).isEmpty)
   }
+
+  test("datasetFingerprint: invariant under row order and " +
+    "repartitioning; any cell change moves it; null vs empty " +
+    "distinguished; shard fingerprints ADD to the whole") {
+    import spark.implicits._
+    type FP = (Long, BigDecimal, BigDecimal)
+    def fp(df: org.apache.spark.sql.DataFrame): FP = {
+      val r = Quality.datasetFingerprint(df, Seq("k", "s"))
+        .collect().head
+      (r.getLong(0), BigDecimal(r.getLong(1)), BigDecimal(r.getLong(2)))
+    }
+    val base = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("k", "s")
+    val a = fp(base)
+    // order + partitioning invariance
+    assert(fp(base.orderBy(col("s").desc).repartition(7)) == a)
+    // one changed cell moves BOTH sums
+    val mut = fp(Seq((1L, "alpha"), (2L, "betb"), (3L, "gamma"))
+      .toDF("k", "s"))
+    assert(mut._2 != a._2 && mut._3 != a._3, s"$mut vs $a")
+    // null and empty canonicalize differently
+    val withNull = fp(Seq((1L, null.asInstanceOf[String])).toDF("k", "s"))
+    val withEmpty = fp(Seq((1L, "")).toDF("k", "s"))
+    assert(withNull._2 != withEmpty._2, s"$withNull vs $withEmpty")
+    // mergeability: shard sums add to the whole
+    val s1 = fp(base.filter(col("k") <= 1))
+    val s2 = fp(base.filter(col("k") > 1))
+    val p = BigDecimal(Quality.FpMod)
+    assert(s1._1 + s2._1 == a._1 && (s1._2 + s2._2) % p == a._2 &&
+      (s1._3 + s2._3) % p == a._3, s"$s1 + $s2 != $a")
+    // the hash IS the portable 31-poly fold (pinned: "1" + sep + "a")
+    val probe = {
+      val r = Quality.datasetFingerprint(
+          Seq((1L, "a")).toDF("k", "s"), Seq("k", "s"))
+        .collect().head
+      (r.getLong(0), BigDecimal(r.getLong(1)), BigDecimal(r.getLong(2)))
+    }
+    val expect = "1\u0001a".foldLeft(0L)((h, c) =>
+      (h * 31 + c.toInt) % 2147483647L)
+    assert(probe._2 == BigDecimal(expect), s"${probe._2} vs $expect")
+  }
 }

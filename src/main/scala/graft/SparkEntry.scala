@@ -2620,6 +2620,26 @@ object SparkEntry {
     // twin of s_stream_distinct: 64 registers per live window forever
     // vs O(users) dedup state; chunked replay bit-equal to the batch
     // sketch per window. ----
+    // ---- streaming: per-window dataset fingerprint — the live twin
+    // of a60: one (count + two modular sums) partial per live window
+    // forever; window fingerprints modular-ADD to the whole-corpus
+    // fingerprint (the reconcile-without-rereading property). ----
+    "s_stream_fingerprint" -> ((s, dir) => {
+      val in = stageSentinelEvents(s, dir)
+      val ckpt = tempDir("graft_sfp_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val sink = graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.fingerprintStream(stream,
+          Seq("event_id", "event_type"), "1 hour", "2 hours"),
+        queryName = s"sfp_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.EventStreams.drainTail(sink,
+        col("window_start") >=
+          lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
+    }),
+
     "s_stream_hll" -> ((s, dir) => {
       val in = stageSentinelEvents(s, dir)
       val ckpt = tempDir("graft_shll_ck")
@@ -10198,6 +10218,29 @@ v$r AS MATERIALIZED (
         |  CAST((SUM(CASE WHEN p THEN 1 ELSE 0 END) * 1000000)
         |    // COUNT(*) AS BIGINT) AS acc_micros
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // per-window replay of the a60 fold over the identical canonical
+    "s_stream_fingerprint" ->
+      """WITH s AS (
+        |  SELECT date_trunc('hour', ts) AS ws,
+        |    concat(COALESCE(CAST(event_id AS VARCHAR), chr(0)), chr(1),
+        |      COALESCE(event_type, chr(0))) AS canon
+        |  FROM events),
+        |h AS (
+        |  SELECT ws,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(canon, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(canon || chr(2), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) AS h2
+        |  FROM s)
+        |SELECT ws AS window_start, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(h1) % 2305843009213693951 AS BIGINT) AS hash_sum,
+        |  CAST(SUM(h2) % 2305843009213693951 AS BIGINT) AS hash_sum_b
+        |FROM h GROUP BY ws""".stripMargin,
 
     "s_stream_hll" ->
       """WITH h AS (

@@ -123,6 +123,41 @@ object EventStreams {
     * [[graft.ops.Sketches.hllDistinct]]'s exactly (shared column
     * helpers, exact scaled-integer Z), so the chunked replay is
     * bit-equal to the batch sketch per window. */
+  /** Streaming per-window dataset fingerprint — the live twin of
+    * [[graft.ops.Quality.datasetFingerprint]]: each window's rows
+    * fold into the pair of portable 31-poly hash sums mod 2⁶¹−1.
+    * Modular sums are COMMUTATIVE and MERGEABLE, which is the whole
+    * point of running them streaming: state per live window is ONE
+    * partial (count + two sums) forever regardless of traffic, a
+    * window's fingerprint is bit-equal to the batch op on the same
+    * rows, and the modular ADD of all window fingerprints IS the
+    * whole-corpus fingerprint (spec'd) — so a pipeline can certify a
+    * day's ingest incrementally and reconcile against a batch
+    * fingerprint of the landed table without re-reading anything.
+    * Append mode; drain with the sentinel + [[drainTail]] chassis. */
+  def fingerprintStream(events: DataFrame, cols: Seq[String],
+                        windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val dec = "decimal(38,0)"
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    def h(c: Column): Column = element_at(
+      graft.functions.NativeExpressions.poly_hash_set(array(c)), 1)
+    events.withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLen).as("win"),
+        h(canon).as("__h1"),
+        h(concat(canon, lit("\u0002"))).as("__h2"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__h1").cast(dec)) %
+          lit(graft.ops.Quality.FpMod)).cast("long").as("hash_sum"),
+        (sum(col("__h2").cast(dec)) %
+          lit(graft.ops.Quality.FpMod)).cast("long").as("hash_sum_b"))
+      .select(col("win.start").as("window_start"), col("n_rows"),
+        col("hash_sum"), col("hash_sum_b"))
+  }
+
   def hllDistinctStream(events: DataFrame,
                         windowLen: String = "1 hour",
                         watermark: String = "2 hours"): DataFrame = {

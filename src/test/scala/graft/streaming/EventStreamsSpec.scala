@@ -744,6 +744,63 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fingerprintStream: per-window fingerprints equal the batch op " +
+    "on the same rows across split triggers, and modular-ADD to the " +
+    "whole-corpus fingerprint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id",
+        "concat('t', event_id % 3) as event_type", "value",
+        "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfpp")
+      .toString
+    val q = EventStreams.fingerprintStream(events,
+        Seq("event_id", "event_type"), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("fp_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    val h0a = (1L to 20L).map(i => (i, i, ts("2024-01-01 00:10:00"), 1.0))
+    val h0b = (21L to 30L).map(i => (i, i, ts("2024-01-01 00:50:00"), 1.0))
+    val h1 = (31L to 40L).map(i => (i, i, ts("2024-01-01 01:30:00"), 1.0))
+    val flush = Seq((999L, 999L, ts("2024-01-01 03:30:00"), 1.0))
+    try {
+      ms.addData(h0a)
+      q.processAllAvailable()
+      ms.addData(h0b ++ h1)
+      q.processAllAvailable()
+      ms.addData(flush)
+      q.processAllAvailable()
+      val got = spark.table("fp_live")
+        .select("window_start", "n_rows", "hash_sum", "hash_sum_b")
+        .as[(java.sql.Timestamp, Long, Long, Long)].collect()
+        .map(r => r._1.toString -> ((r._2, r._3, r._4))).toMap
+      def batch(rows: Seq[(Long, Long, java.sql.Timestamp, Double)]) = {
+        val r = graft.ops.Quality.datasetFingerprint(
+          rows.toDF("event_id", "user_id", "ts", "value")
+            .selectExpr("event_id",
+              "concat('t', event_id % 3) as event_type"),
+          Seq("event_id", "event_type")).collect().head
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val b0 = batch(h0a ++ h0b)
+      val b1 = batch(h1)
+      assert(got("2024-01-01 00:00:00.0") == b0,
+        s"h0 stream=${got.get("2024-01-01 00:00:00.0")} batch=$b0")
+      assert(got("2024-01-01 01:00:00.0") == b1,
+        s"h1 stream=${got.get("2024-01-01 01:00:00.0")} batch=$b1")
+      // window fingerprints modular-add to the corpus fingerprint
+      val whole = batch(h0a ++ h0b ++ h1)
+      val p = BigInt(graft.ops.Quality.FpMod)
+      assert(b0._1 + b1._1 == whole._1 &&
+        (BigInt(b0._2) + BigInt(b1._2)) % p == BigInt(whole._2) &&
+        (BigInt(b0._3) + BigInt(b1._3)) % p == BigInt(whole._3),
+        s"$b0 + $b1 != $whole")
+    } finally q.stop()
+  }
+
   test("calibrationStream: bin partials merged across triggers equal " +
     "the batch calibration bins per window; state is bins, not rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

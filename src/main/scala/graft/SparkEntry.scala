@@ -193,6 +193,34 @@ object SparkEntry {
   /** Shared w21/w33 survival subjects: per user, micro-epoch duration
     * from first event to first purchase (observed) or to the corpus
     * end (right-censored). */
+  /** Competing-risks subjects for w35: each user's FIRST purchase
+    * (cause 1) vs FIRST error (cause 2) compete; whichever strikes
+    * first is the outcome (tie → purchase, deterministic), neither →
+    * censored (cause 0) at corpus end. */
+  private def competingSubjects(s: SparkSession,
+                                dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def us(c: Column) = unix_micros(c.cast("timestamp_ltz"))
+    val per = ev.groupBy(col("user_id")).agg(
+      min(us(col("ts"))).as("first_us"),
+      min(when(col("event_type") === "purchase", us(col("ts"))))
+        .as("p_us"),
+      min(when(col("event_type") === "error", us(col("ts"))))
+        .as("e_us"))
+    val cens = ev.agg(max(us(col("ts"))).as("end_us"))
+    per.crossJoin(broadcast(cens))
+      .select(
+        when(col("p_us").isNotNull &&
+            (col("e_us").isNull || col("p_us") <= col("e_us")),
+          col("p_us") - col("first_us"))
+          .when(col("e_us").isNotNull, col("e_us") - col("first_us"))
+          .otherwise(col("end_us") - col("first_us")).as("dur"),
+        when(col("p_us").isNotNull &&
+            (col("e_us").isNull || col("p_us") <= col("e_us")), lit(1))
+          .when(col("e_us").isNotNull, lit(2))
+          .otherwise(lit(0)).as("cause"))
+  }
+
   private def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     def us(c: Column) = unix_micros(c.cast("timestamp_ltz"))
@@ -3328,6 +3356,20 @@ object SparkEntry {
     "w34_logrank" -> ((s, dir) =>
       Analytics.logRankTest(survivalSubjects(s, dir), "dur",
         "observed", col("grp"))),
+
+    // ---- W35: Aalen–Johansen cumulative incidence under competing
+    // risks — purchase (cause 1) vs error (cause 2) compete for each
+    // user's first outcome; 1−KM on either alone would overstate it.
+    // Both curves off one subjects frame; the recursion replayed
+    // exactly by the oracle. ----
+    "w35_cum_incidence" -> ((s, dir) => {
+      val subj = competingSubjects(s, dir)
+      Analytics.cumulativeIncidence(subj, "dur", "cause", 1)
+        .withColumn("cause", lit(1))
+        .unionByName(
+          Analytics.cumulativeIncidence(subj, "dur", "cause", 2)
+            .withColumn("cause", lit(2)))
+    }),
 
     // ---- W19: event debounce — drop events arriving within 10 min
     // of the PREVIOUS raw event of the same (user, type): the
@@ -10621,6 +10663,89 @@ v$r AS MATERIALIZED (
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
         |  CAST(s AS DOUBLE) AS survival
         |FROM km""".stripMargin,
+
+    // the Aalen–Johansen recursion replayed: all-cause KM state S
+    // and both CIF prefix sums carried through one RECURSIVE walk of
+    // the rn-ordered curve, every product/increment on the 6-dp grid
+    "w35_cum_incidence" ->
+      """WITH RECURSIVE per AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END) AS p_us,
+        |    MIN(CASE WHEN event_type = 'error'
+        |             THEN epoch_us(ts) END) AS e_us
+        |  FROM events GROUP BY 1),
+        |cns AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+        |subj AS (
+        |  SELECT CASE
+        |      WHEN p_us IS NOT NULL AND (e_us IS NULL OR p_us <= e_us)
+        |        THEN p_us - first_us
+        |      WHEN e_us IS NOT NULL THEN e_us - first_us
+        |      ELSE end_us - first_us END AS dur,
+        |    CASE
+        |      WHEN p_us IS NOT NULL AND (e_us IS NULL OR p_us <= e_us)
+        |        THEN 1
+        |      WHEN e_us IS NOT NULL THEN 2
+        |      ELSE 0 END AS cause
+        |  FROM per, cns),
+        |perT AS (
+        |  SELECT dur AS t,
+        |    COUNT(CASE WHEN cause = 1 THEN 1 END) AS d1,
+        |    COUNT(CASE WHEN cause = 2 THEN 1 END) AS d2,
+        |    COUNT(CASE WHEN cause <> 0 THEN 1 END) AS d,
+        |    COUNT(*) AS m
+        |  FROM subj GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM subj),
+        |st AS (
+        |  SELECT t, d1, d2, d,
+        |    COALESCE(SUM(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM perT),
+        |e AS (
+        |  SELECT t, (SELECT nn FROM n) - before AS n_risk, d1, d2, d,
+        |    ROUND(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) /
+        |          CAST((SELECT nn FROM n) - before AS DOUBLE), 6)
+        |      AS factor,
+        |    ROUND(CAST(d1 AS DOUBLE) /
+        |          CAST((SELECT nn FROM n) - before AS DOUBLE), 6)
+        |      AS h1,
+        |    ROUND(CAST(d2 AS DOUBLE) /
+        |          CAST((SELECT nn FROM n) - before AS DOUBLE), 6)
+        |      AS h2,
+        |    ROW_NUMBER() OVER (ORDER BY t) AS rn
+        |  FROM st WHERE d > 0),
+        |aj AS (
+        |  SELECT t, n_risk, d1, d2, d, rn,
+        |    CAST(ROUND(CAST(1 AS DECIMAL(18,6)) *
+        |               CAST(factor AS DECIMAL(18,6)), 6)
+        |         AS DECIMAL(18,6)) AS s,
+        |    CAST(ROUND(CAST(1 AS DECIMAL(18,6)) *
+        |               CAST(h1 AS DECIMAL(18,6)), 6)
+        |         AS DECIMAL(18,6)) AS cif1,
+        |    CAST(ROUND(CAST(1 AS DECIMAL(18,6)) *
+        |               CAST(h2 AS DECIMAL(18,6)), 6)
+        |         AS DECIMAL(18,6)) AS cif2
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.t, e.n_risk, e.d1, e.d2, e.d, e.rn,
+        |    CAST(ROUND(aj.s * CAST(e.factor AS DECIMAL(18,6)), 6)
+        |         AS DECIMAL(18,6)),
+        |    CAST(aj.cif1 +
+        |         ROUND(aj.s * CAST(e.h1 AS DECIMAL(18,6)), 6)
+        |         AS DECIMAL(18,6)),
+        |    CAST(aj.cif2 +
+        |         ROUND(aj.s * CAST(e.h2 AS DECIMAL(18,6)), 6)
+        |         AS DECIMAL(18,6))
+        |  FROM e JOIN aj ON e.rn = aj.rn + 1)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  d1 AS n_events_cause, d AS n_events_all,
+        |  CAST(cif1 AS DOUBLE) AS cif, 1 AS cause
+        |FROM aj
+        |UNION ALL
+        |SELECT t, CAST(n_risk AS BIGINT), d2, d,
+        |  CAST(cif2 AS DOUBLE), 2
+        |FROM aj""".stripMargin,
 
     "w19_debounce" ->
       """SELECT event_id, user_id, event_type, ts FROM (

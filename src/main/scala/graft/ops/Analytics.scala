@@ -317,6 +317,85 @@ object Analytics {
         col("__o.s").cast("double").as("survival"))
   }
 
+  /** Aalen–Johansen cumulative incidence under COMPETING RISKS — the
+    * estimator [[kaplanMeier]] cannot give when more than one event
+    * type removes a subject: 1−KM on a single cause (treating the
+    * competitor as censoring) OVERSTATES its incidence, because a
+    * subject taken by cause 2 can never experience cause 1. The CIF
+    * weights each cause-k hazard increment by the probability of
+    * still being event-FREE just before t:
+    * CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s), with S the ALL-cause
+    * Kaplan–Meier. (Churn-vs-conversion, failure-mode analysis — any
+    * funnel where outcomes compete.)
+    *
+    * Determinism: the [[kaplanMeier]] recurrence discipline — factor
+    * and per-cause hazard round once to 6, the S recurrence and each
+    * increment stay on the 6-dp decimal grid, the CIF is an exact
+    * decimal prefix sum; the oracle replays the identical recursion.
+    * CIF_k(∞) over all causes + S(∞) = 1 up to grid rounding
+    * (spec'd).
+    *
+    * Scale shape: one subject hash agg to the distinct-time curve
+    * frame, then curve-sized windows and ONE fold over the sorted
+    * curve (single group, the stated [[kaplanMeier]] contract).
+    *
+    * @param causeCol integer cause code: 0 = censored, else cause id
+    * @param cause the cause whose incidence curve to emit
+    * @return (t, n_risk, n_events_cause, n_events_all, cif) per
+    *         any-cause event time */
+  def cumulativeIncidence(subjects: DataFrame, durationCol: String,
+                          causeCol: String, cause: Int): DataFrame = {
+    require(cause != 0, "cause 0 is the censoring code")
+    val total = subjects.agg(count(lit(1)).as("__N"))
+    val perT = subjects
+      .filter(col(durationCol).isNotNull && col(causeCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(count(when(col(causeCol) === cause, lit(1))).as("n_cause"),
+        count(when(col(causeCol) =!= 0, lit(1))).as("n_events"),
+        count(lit(1)).as("__m"))
+    val wBefore = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = perT
+      .withColumn("__before", coalesce(sum(col("__m")).over(wBefore),
+        lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("n_risk", col("__N") - col("__before"))
+      .filter(col("n_events") > 0)
+    steps
+      .select(struct(col("t"), col("n_risk"), col("n_cause"),
+        col("n_events"),
+        round(lit(1.0) - col("n_events").cast("double") /
+          col("n_risk").cast("double"), 6).as("factor"),
+        round(col("n_cause").cast("double") /
+          col("n_risk").cast("double"), 6).as("hk")).as("__e"))
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(expr(
+        """aggregate(__evs,
+          |  struct(cast(array() as array<struct<
+          |           t:bigint, n_risk:bigint, n_cause:bigint,
+          |           n_events:bigint, cif:decimal(18,6)>>) AS out,
+          |         cast(1 as decimal(18,6)) AS s,
+          |         cast(0 as decimal(18,6)) AS cif),
+          |  (acc, e) -> struct(
+          |    concat(acc.out, array(named_struct(
+          |      't', e.t, 'n_risk', e.n_risk, 'n_cause', e.n_cause,
+          |      'n_events', e.n_events,
+          |      'cif', cast(acc.cif +
+          |        round(acc.s * cast(e.hk as decimal(18,6)), 6)
+          |        as decimal(18,6))))),
+          |    cast(round(acc.s * cast(e.factor as decimal(18,6)), 6)
+          |         as decimal(18,6)),
+          |    cast(acc.cif +
+          |      round(acc.s * cast(e.hk as decimal(18,6)), 6)
+          |      as decimal(18,6))),
+          |  acc -> acc.out)""".stripMargin).as("__arr"))
+      .select(explode(col("__arr")).as("__o"))
+      .select(col("__o.t").as("t"), col("__o.n_risk").as("n_risk"),
+        col("__o.n_cause").as("n_events_cause"),
+        col("__o.n_events").as("n_events_all"),
+        col("__o.cif").cast("double").as("cif"))
+  }
+
   /** Market-basket association rules (Agrawal & Srikant's classic
     * support/confidence/lift surface, pair rules): for every ordered
     * item pair (ante → cons) co-occurring in ≥ `minPairSupport`

@@ -546,6 +546,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
 
+  test("cumulativeIncidence: hand-computed Aalen-Johansen curve; " +
+    "CIF over all causes + all-cause KM survival sums to 1; " +
+    "censoring-only times are not steps; cause 0 rejected") {
+    import spark.implicits._
+    // (dur, cause): t=1 cause1 of 4 at risk; t=2 cause2 of 3; t=3
+    // censored (NOT a step); t=4 cause1 of 1
+    val subj = Seq((1L, 1), (2L, 2), (3L, 0), (4L, 1))
+      .toDF("dur", "cause")
+    val c1 = Analytics.cumulativeIncidence(subj, "dur", "cause", 1)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    // t=1: S-=1, inc=1/4 -> .25; t=2: no cause-1 event, flat; t=4:
+    // S- = round6(.75*round6(2/3)) = .5, inc = .5 -> .75
+    assert(c1(1L) == ((4L, 1L, 0.25)), c1.toString)
+    assert(c1(2L) == ((3L, 0L, 0.25)), c1.toString)
+    assert(c1(4L) == ((1L, 1L, 0.75)), c1.toString)
+    assert(!c1.contains(3L), "censoring-only time must not be a step")
+    val c2 = Analytics.cumulativeIncidence(subj, "dur", "cause", 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(c2(2L) == 0.25 && c2(4L) == 0.25, c2.toString)
+    // closure: CIF1(inf) + CIF2(inf) + S(inf) = 1 on the 6-dp grid
+    val sInf = Analytics.kaplanMeier(
+        subj.withColumn("observed", col("cause") =!= 0), "dur",
+        "observed")
+      .orderBy(col("t").desc).select("survival").as[Double]
+      .collect().head
+    assert(math.abs(c1(4L)._3 + c2(4L) + sInf - 1.0) < 2e-6,
+      s"${c1(4L)._3} + ${c2(4L)} + $sInf")
+    intercept[IllegalArgumentException] {
+      Analytics.cumulativeIncidence(subj, "dur", "cause", 0)
+    }
+  }
+
   test("rankBiasedOverlap: identical top-3 at p=.9 scores exactly " +
     "0.271; a one-common-item pair scores the hand value; disjoint " +
     "rankings score 0.0 with the query still present") {

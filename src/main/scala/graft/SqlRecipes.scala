@@ -605,6 +605,32 @@ object SqlRecipes {
          |  END AS dp_gap
          |FROM c, o""".stripMargin,
 
+    // -- order-free dataset fingerprint (r13): the a60 integrity
+    // check from any JDBC client — the SAME native poly_hash_set the
+    // DSL uses (injected into every session by GraftExtensions), so
+    // recipe and DSL are plan-identical; two modular sums, mergeable
+    // across shards by modular add
+    "graft_fingerprint" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_fingerprint()
+         |RETURNS TABLE (n_rows BIGINT, hash_sum BIGINT,
+         |               hash_sum_b BIGINT)
+         |RETURN
+         |WITH s AS (
+         |  SELECT concat_ws(chr(1),
+         |    coalesce(CAST(event_id AS STRING), chr(0)),
+         |    coalesce(event_type, chr(0))) AS canon
+         |  FROM ${prefix}events),
+         |h AS (
+         |  SELECT element_at(poly_hash_set(array(canon)), 1) AS h1,
+         |    element_at(poly_hash_set(array(canon || chr(2))), 1) AS h2
+         |  FROM s)
+         |SELECT COUNT(*) AS n_rows,
+         |  CAST(COALESCE(SUM(CAST(h1 AS DECIMAL(38,0))), 0)
+         |    % 2305843009213693951 AS BIGINT) AS hash_sum,
+         |  CAST(COALESCE(SUM(CAST(h2 AS DECIMAL(38,0))), 0)
+         |    % 2305843009213693951 AS BIGINT) AS hash_sum_b
+         |FROM h""".stripMargin,
+
     // -- Spearman rank correlation (r13): the a47 frame (n_chars vs
     // whitespace count) with the engine's doubled-average-rank
     // discipline — r2 = 2·below + c + 1 off the distinct-value

@@ -1092,7 +1092,8 @@ object NativeExpressions {
     "nfc_normalize" -> (es => NfcNormalize(es.head)),
     "jaro_sim" -> (es => JaroSimilarityExpr(es.head, es(1), winkler = false)),
     "jaro_winkler_sim" ->
-      (es => JaroSimilarityExpr(es.head, es(1), winkler = true)))
+      (es => JaroSimilarityExpr(es.head, es(1), winkler = true)),
+    "poly_hash_set" -> (es => PolyHashSet(es.head)))
 
   /** Register for the SQL surface of THIS session: callable from
     * spark.sql / SqlRunner. Sessions derived via newSession() (e.g. the

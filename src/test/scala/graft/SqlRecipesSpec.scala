@@ -299,6 +299,20 @@ class SqlRecipesSpec extends SparkSpec {
     assert(viaSql == viaDsl && viaSql._3.nonEmpty, s"$viaSql $viaDsl")
   }
 
+  test("graft_fingerprint == Quality.datasetFingerprint on " +
+    "(event_id, event_type) — plan-identical native poly_hash_set") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_fingerprint()")
+      .as[(Long, Long, Long)].collect().head
+    val viaDsl = {
+      val r = ops.Quality.datasetFingerprint(
+        Tables.load(spark, dir, "events"),
+        Seq("event_id", "event_type")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(viaSql == viaDsl && viaSql._1 > 0, s"$viaSql $viaDsl")
+  }
+
   test("graft_spearman == Quality.spearmanCorr on the a47 frame " +
     "(doubled average ranks, decimal moments)") {
     ready()

@@ -3139,6 +3139,16 @@ object SparkEntry {
       ops.Analytics.temperatureMix(t(s, dir, "documents"),
         Seq("source"), alphaMicros = 300000L)),
 
+    // ---- A61: cross-language quantile normalization of doc lengths
+    // — each (lang, n_chars) maps to the global length at its
+    // within-language quantile (exact order statistics: doubled
+    // average ranks, integer ceil-k, bucketed interval lookup — no
+    // interpolation, no sort), making every language's distribution
+    // identical to the pooled one. ----
+    "a61_quantile_norm" -> ((s, dir) =>
+      ops.Quality.quantileNormalize(t(s, dir, "documents"), "lang",
+        "n_chars")),
+
     // ---- A60: order-free dataset fingerprint of the customer table
     // — the 100 TB copy/migration integrity check: two exact decimal
     // hash sums (portable 31-poly fold, salted twin) that are
@@ -9683,6 +9693,40 @@ FROM proj"""
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // distinct-value frames end to end: doubled ranks off per-group
+    // cumulatives, HUGEINT ceil-k, the k -> order-statistic interval
+    // join; positive ints so // == div
+    "a61_quantile_norm" ->
+      """WITH s AS (
+        |  SELECT lang AS g,
+        |    CAST(CAST(ROUND(CAST(n_chars AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |cg AS (SELECT g, v, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        |rg AS (
+        |  SELECT g, v, c,
+        |    2 * (SUM(c) OVER (PARTITION BY g ORDER BY v) - c) + c + 1
+        |      AS r2
+        |  FROM cg),
+        |ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cg
+        |  GROUP BY 1),
+        |ca AS (SELECT v, COUNT(*) AS ca FROM s GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(ca) AS BIGINT) AS nt FROM ca),
+        |ga AS (
+        |  SELECT v AS nv, SUM(ca) OVER (ORDER BY v) - ca AS lo,
+        |    SUM(ca) OVER (ORDER BY v) AS hi
+        |  FROM ca),
+        |kf AS (
+        |  SELECT rg.g, rg.v, rg.c,
+        |    CAST((CAST(r2 AS HUGEINT) * (nt + 1) + 2 * (n + 1) - 1)
+        |      // (2 * (n + 1)) AS BIGINT) AS k
+        |  FROM rg JOIN ng USING (g), nn)
+        |SELECT kf.g AS lang, CAST(kf.v AS DOUBLE) / 1000000.0 AS value,
+        |  kf.c AS n, kf.k,
+        |  CAST(ga.nv AS DOUBLE) / 1000000.0 AS normalized
+        |FROM kf JOIN ga ON kf.k > ga.lo AND kf.k <= ga.hi""".stripMargin,
 
     // the portable 31-poly char fold replayed as a list_reduce over
     // the identical canonical string (chr(1) separators, chr(0) null

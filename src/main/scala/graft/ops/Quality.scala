@@ -1612,6 +1612,71 @@ object Quality {
           .as("auc"))
   }
 
+  /** Cross-group quantile normalization — the microarray-classic
+    * recipe applied to corpus curation: per-source score/length
+    * distributions differ by construction (different crawlers,
+    * different languages), so a single global threshold over- or
+    * under-selects per source; mapping each value to the GLOBAL
+    * value at its within-group quantile makes every group's
+    * distribution identical to the pooled one, after which one
+    * threshold means one thing. No interpolation anywhere — the
+    * order-statistic form stays exact: within-group quantile uses
+    * the engine's doubled average rank r2 = 2·below + c + 1 (whole
+    * integers, tie-stable), the target index is the exact ceil
+    * k = ⌈r2·(N+1) / (2·(nᵍ+1))⌉ (integer ceil-division on
+    * decimal(38,0) — never a double), and the normalized value is
+    * the global k-th order statistic read off cumulative counts
+    * (the conformal "first cumulative ≥ k" recipe — never a sort).
+    *
+    * Scale shape: everything runs on DISTINCT-VALUE frames — one
+    * (group, value) hash agg + [[Prefix.strictBelow]] per-group and
+    * global hierarchies; the k → order-statistic lookup is a
+    * BUCKETED interval join ((k−1) div bucketSize vs the intervals'
+    * covered buckets — each k hits exactly one interval, each
+    * interval spans ~1 bucket), so no |K|·|V| theta join ever forms.
+    *
+    * @return one row per distinct (group, value):
+    *         (groupCol, value, n, k, normalized) */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        valueCol: String,
+                        bucketSize: Long = 1048576L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val mu = (c: Column) => (r6d(c).cast("decimal(18,6)") * 1000000L)
+      .cast(dec).cast("long")
+    val src = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), mu(col(valueCol)).as("__v"))
+    val cg = src.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val rg = Prefix.strictBelow(cg, Seq("__g"), "__v", Seq("__c"),
+        bucketSize)
+      .select(col("__g"), col("__v"), col("__c"),
+        (lit(2L) * col("__below___c") + col("__c") + 1L).as("__r2"))
+    val ng = cg.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+    val cAll = src.groupBy(col("__v")).agg(count(lit(1)).as("__ca"))
+    val nAll = cAll.agg(coalesce(sum(col("__ca")), lit(0L)).as("__N"))
+    val gAll = Prefix.strictBelow(cAll, Nil, "__v", Seq("__ca"),
+        bucketSize)
+      .select(col("__v").as("__nv"), col("__below___ca").as("__lo"),
+        (col("__below___ca") + col("__ca")).as("__hi"))
+    val withK = rg.join(ng, Seq("__g")).crossJoin(broadcast(nAll))
+      .select(col("__g"), col("__v"), col("__c"),
+        expr(s"""(cast(__r2 as decimal(38,0)) *
+                 (cast(__N as decimal(38,0)) + 1) +
+                 2 * (cast(__ng as decimal(38,0)) + 1) - 1) div
+                (2 * (cast(__ng as decimal(38,0)) + 1))""").as("__k"))
+    val kb = withK.withColumn("__kb",
+      expr(s"(__k - 1) div ${bucketSize}L"))
+    val iv = gAll.withColumn("__b", explode(sequence(
+      expr(s"__lo div ${bucketSize}L"),
+      expr(s"(__hi - 1) div ${bucketSize}L"))))
+    kb.join(iv, col("__kb") === col("__b") &&
+        col("__k") > col("__lo") && col("__k") <= col("__hi"))
+      .select(col("__g").as(groupCol),
+        (col("__v").cast("double") / lit(1e6)).as("value"),
+        col("__c").as("n"), col("__k").as("k"),
+        (col("__nv").cast("double") / lit(1e6)).as("normalized"))
+  }
+
   /** Order-free dataset fingerprint — the integrity check a 100 TB
     * copy/migration/append needs: did the rows that left arrive,
     * regardless of partitioning, file layout, or row order? Each row

@@ -865,6 +865,39 @@ class QualitySpec extends SparkSpec {
     assert(Quality.kAnonymity(ok, Seq("q1"), k = 3).isEmpty)
   }
 
+  test("quantileNormalize: two groups with different scales map onto " +
+    "the SAME normalized distribution (hand order statistics); ties " +
+    "share a rank; extremes map to global extremes") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0).map(("g1", _)) ++
+      Seq(10.0, 20.0, 30.0).map(("g2", _))).toDF("grp", "v")
+    val got = Quality.quantileNormalize(df, "grp", "v")
+      .select("grp", "value", "k", "normalized")
+      .as[(String, Double, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // global sorted = [1,2,3,10,20,30], N=6; each group n=3:
+    // r2 = 2,4,6 -> k = ceil(r2*7/8) = 2,4,6 -> 2, 10, 30
+    assert(got(("g1", 1.0)) == ((2L, 2.0)), got.toString)
+    assert(got(("g1", 2.0)) == ((4L, 10.0)), got.toString)
+    assert(got(("g1", 3.0)) == ((6L, 30.0)), got.toString)
+    assert(got(("g2", 10.0)) == ((2L, 2.0)), got.toString)
+    assert(got(("g2", 20.0)) == ((4L, 10.0)), got.toString)
+    assert(got(("g2", 30.0)) == ((6L, 30.0)), got.toString)
+    // the normalization property itself: both groups now identical
+    val dist = Quality.quantileNormalize(df, "grp", "v")
+      .groupBy("grp").agg(sort_array(collect_list("normalized")))
+      .collect().map(_.getSeq[Double](1)).distinct
+    assert(dist.size == 1, dist.toString)
+    // ties: duplicated value in one group gets ONE row, count 2,
+    // shared rank
+    val t = Quality.quantileNormalize(
+        Seq(("a", 5.0), ("a", 5.0), ("a", 7.0), ("b", 1.0))
+          .toDF("grp", "v"), "grp", "v")
+      .filter(col("grp") === "a" && col("value") === 5.0)
+      .select("n", "k").as[(Long, Long)].collect()
+    assert(t.length == 1 && t.head._1 == 2L, t.toSeq.toString)
+  }
+
   test("datasetFingerprint: invariant under row order and " +
     "repartitioning; any cell change moves it; null vs empty " +
     "distinguished; shard fingerprints ADD to the whole") {

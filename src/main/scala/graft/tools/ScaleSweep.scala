@@ -560,9 +560,23 @@ object ScaleSweep {
       "e_mutual_margin" -> (d =>
         SparkEntry.queries("e_mutual_margin")(spark, d).count()),
       // the shortlist-fed twin: |A u B| x nprobe/nlist x |other|
-      // IVF shortlists both directions + the k-bounded tail
+      // IVF shortlists both directions + the k-bounded tail. The
+      // QUERY's fixed nlist=16 measures the configuration at factor
+      // f (cells grow f x); the deployment contract is nlist ∝
+      // corpus (the semDedup discipline) — both rows reported
       "e_mutual_margin_ivf" -> (d =>
         SparkEntry.queries("e_mutual_margin_ivf")(spark, d).count()),
+      "e_mutual_margin_ivf(nlist∝n)" -> { d =>
+        val emb = Tables.load(spark, d, "embeddings")
+          .filter(col("label").isin(0, 1) && col("vec_id").isNotNull
+            && col("embedding").isNotNull)
+        val nlist = if (d == base) 16 else 16 * factor
+        val cents = graft.sim.Similarity.ivfCentroids(emb, "vec_id",
+          "embedding", nlist)
+        graft.sim.Similarity.marginMutualKnnIvf(emb, "vec_id",
+          "embedding", col("label") === 0, k = 4, centroids = cents,
+          nprobe = 4, shortlistK = 8).count()
+      },
       // key-hash agg + TakeOrdered tail
       "a55_decayed_topk" -> (d =>
         SparkEntry.queries("a55_decayed_topk")(spark, d).count()),

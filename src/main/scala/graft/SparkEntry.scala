@@ -2316,6 +2316,17 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // ---- similarity: linear CKA between the full 64-d embedding and
+    // its 16-d Matryoshka prefix — the representation-agreement audit
+    // (orthogonal- and scale-invariant, unlike per-dim correlation):
+    // how much of the corpus geometry survives truncation. ----
+    "e_cka" -> ((s, dir) =>
+      Similarity.linearCka(
+        t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+          .select(col("embedding").as("x"),
+            slice(col("embedding"), 1, 16).as("y")),
+        "x", "y")),
+
     // ---- similarity: rank-biased overlap audit of the IVF shortlist
     // against its brute-force twin — the top-weighted agreement
     // metric (Webber 2010) per query, p=0.9, depth 10: the number
@@ -8401,6 +8412,61 @@ FROM proj"""
         |  CAST(row_number() OVER (PARTITION BY query_id
         |       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
         |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    // three covariance families (xy, xx, yy) through the e_pca_top
+    // cell discipline, Frobenius sums on HUGEINT, one double chain
+    "e_cka" -> {
+      def fam(name: String, la: String, lb: String, sa: String,
+              sb: String) =
+        s"""c$name AS MATERIALIZED (
+  SELECT u['i'] AS i, u['j'] AS j, SUM(u['p']) AS sp
+  FROM (
+    SELECT unnest(flatten(list_transform(range(1, len($la) + 1),
+      a -> list_transform(range(1, len($lb) + 1),
+        b -> {'i': a - 1, 'j': b - 1,
+              'p': CAST(ROUND(CAST($la[CAST(a AS INT)] AS DOUBLE)
+                * CAST($lb[CAST(b AS INT)] AS DOUBLE), 6)
+                AS DECIMAL(18,6))})))) AS u
+    FROM e)
+  GROUP BY 1, 2),
+v$name AS MATERIALIZED (
+  SELECT CAST(SUM(cmu * cmu) AS HUGEINT) AS f FROM (
+    SELECT CAST(CAST(ROUND((CAST(sp AS DOUBLE)
+        - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE)
+          / CAST(n.n AS DOUBLE))
+        / (CAST(n.n AS DOUBLE) - 1.0), 6) AS DECIMAL(18,6))
+      * 1000000 AS HUGEINT) AS cmu
+    FROM c$name, n, $sa si, $sb sj
+    WHERE si.i = c$name.i AND sj.i = c$name.j))"""
+      s"""WITH e AS MATERIALIZED (
+  SELECT embedding AS x, embedding[1:16] AS y FROM embeddings
+  WHERE embedding IS NOT NULL),
+n AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
+sx AS MATERIALIZED (
+  SELECT u['i'] AS i,
+    SUM(CAST(ROUND(CAST(u['v'] AS DOUBLE), 6) AS DECIMAL(18,6))) AS s
+  FROM (
+    SELECT unnest(list_transform(range(1, len(x) + 1),
+      k -> {'i': k - 1, 'v': x[CAST(k AS INT)]})) AS u
+    FROM e)
+  GROUP BY 1),
+sy AS MATERIALIZED (
+  SELECT u['i'] AS i,
+    SUM(CAST(ROUND(CAST(u['v'] AS DOUBLE), 6) AS DECIMAL(18,6))) AS s
+  FROM (
+    SELECT unnest(list_transform(range(1, len(y) + 1),
+      k -> {'i': k - 1, 'v': y[CAST(k AS INT)]})) AS u
+    FROM e)
+  GROUP BY 1),
+${fam("xy", "x", "y", "sx", "sy")},
+${fam("xx", "x", "x", "sx", "sx")},
+${fam("yy", "y", "y", "sy", "sy")}
+SELECT n.n AS n, 64 AS d_x, 16 AS d_y,
+  CASE WHEN vxx.f > 0 AND vyy.f > 0 THEN
+    ROUND(CAST(vxy.f AS DOUBLE) / (sqrt(CAST(vxx.f AS DOUBLE))
+      * sqrt(CAST(vyy.f AS DOUBLE))), 6) END AS cka
+FROM n, vxy, vxx, vyy"""
+    },
 
     // brute top-10 + the e_ivf_knn_join IVF replay (nlist=64,
     // nprobe=8) + the RBO tail: per-item W(max(ra,rb)) weights as

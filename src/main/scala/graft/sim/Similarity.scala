@@ -1677,6 +1677,92 @@ object Similarity {
     *
     * @return (component, dim, loading, eigenvalue) — k·d rows,
     *         component 1-based in descending-eigenvalue order */
+  /** Linear Centered Kernel Alignment (Kornblith et al. 2019) between
+    * two embedding COLUMNS over the same rows — the
+    * representation-agreement audit: are two embedding models (a new
+    * checkpoint vs the served one, a truncated Matryoshka prefix vs
+    * the full vector) organizing the corpus the same way? CKA is
+    * invariant to orthogonal transforms and isotropic scaling (the
+    * invariances embedding comparisons need — a rotated copy scores
+    * 1), unlike naive per-dim correlation:
+    * CKA = ‖Cov_xy‖²_F / (‖Cov_xx‖_F · ‖Cov_yy‖_F).
+    *
+    * Determinism: the [[powerIterationPca]] covariance discipline —
+    * round-6 products into exact decimal sums, one round-6 covariance
+    * entry per cell in micro-units, Frobenius sums of cmu² EXACT
+    * decimal(38,0), ONE double chain (two sqrt, one division)
+    * rounded once. Zero-variance sides → NULL, never divide.
+    *
+    * Scale shape: ONE narrow corpus pass emits each row's
+    * dx·dy + dx² + dy² products map-side combined into the
+    * (matrix, i, j)-keyed agg; everything after runs on the
+    * cells frame. The n·d² honest Gram cost, budget at large d.
+    *
+    * @return one row: (n, d_x, d_y, cka) */
+  def linearCka(emb: DataFrame, xCol: String,
+                yCol: String): DataFrame = {
+    val src = emb.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).as("__y"))
+    val nF = src.agg(count(lit(1)).as("__n")).localCheckpoint()
+    def sums(c: String, out: String): DataFrame =
+      src.select(posexplode(col(c)).as(Seq("i", "v")))
+        .groupBy(col("i"))
+        .agg(sum(round(col("v").cast("double"), 6).cast(PcaDec))
+          .as(out))
+    val sx = sums("__x", "__sx").localCheckpoint()
+    val sy = sums("__y", "__sy").localCheckpoint()
+    // one pass, three product families tagged by matrix id
+    def prods(a: Column, b: Column, m: Int) =
+      flatten(transform(a, (xi, i) =>
+        transform(b, (xj, j) =>
+          struct(lit(m).as("m"), i.as("i"), j.as("j"),
+            round(xi.cast("double") * xj.cast("double"), 6)
+              .cast(PcaDec).as("p")))))
+    val cells = src.select(explode(concat(
+        prods(col("__x"), col("__y"), 0),
+        prods(col("__x"), col("__x"), 1),
+        prods(col("__y"), col("__y"), 2))).as("c"))
+      .select(col("c.m"), col("c.i"), col("c.j"), col("c.p"))
+      .groupBy(col("m"), col("i"), col("j"))
+      .agg(sum(col("p")).as("__sp"))
+    val sxi = sx.select(col("i"), col("__sx").as("__si"))
+    val sxj = sx.select(col("i").as("j"), col("__sx").as("__sj"))
+    val syi = sy.select(col("i"), col("__sy").as("__si"))
+    val syj = sy.select(col("i").as("j"), col("__sy").as("__sj"))
+    def sideSums(m: Int): (DataFrame, DataFrame) = m match {
+      case 0 => (sxi, syj)
+      case 1 => (sxi, sxj)
+      case 2 => (syi, syj)
+    }
+    val cov = Seq(0, 1, 2).map { m =>
+      val (a, b) = sideSums(m)
+      cells.filter(col("m") === m)
+        .join(a, Seq("i"))
+        .join(b, Seq("j"))
+        .crossJoin(broadcast(nF))
+        .select(col("m"),
+          pcaMu(round((col("__sp").cast("double") -
+              col("__si").cast("double") * col("__sj").cast("double") /
+                col("__n").cast("double")) /
+            (col("__n").cast("double") - lit(1.0)), 6)).as("cmu"))
+    }.reduce(_ unionByName _)
+    val frob = cov.groupBy(col("m"))
+      .agg(sum(col("cmu") * col("cmu")).as("__f"))
+      .groupBy()
+      .agg(sum(when(col("m") === 0, col("__f"))).as("__fxy"),
+        sum(when(col("m") === 1, col("__f"))).as("__fxx"),
+        sum(when(col("m") === 2, col("__f"))).as("__fyy"))
+    val dims = src.limit(1).select(size(col("__x")).as("__dx"),
+      size(col("__y")).as("__dy"))
+    nF.crossJoin(broadcast(dims)).crossJoin(broadcast(frob))
+      .select(col("__n").as("n"), col("__dx").as("d_x"),
+        col("__dy").as("d_y"),
+        when(col("__fxx") > 0 && col("__fyy") > 0,
+          round(col("__fxy").cast("double") /
+            (sqrt(col("__fxx").cast("double")) *
+              sqrt(col("__fyy").cast("double"))), 6)).as("cka"))
+  }
+
   /** Project every embedding onto a learned principal basis — the
     * op that makes [[powerIterationPcaK]] a usable dimension
     * reduction / whitening tool: coordᵢ,c = Σ_d (xᵢ,d − μ_d)·v_c,d,

@@ -532,7 +532,7 @@ object ScaleSweep {
       // the shipped j19 is now the blk4 key; this variant keeps the
       // COARSE nation-only block measurable as the anti-pattern
       // comparison row (the round-12 sweep's ~900x candidate growth)
-      "j19_edit_join(nation)" -> (d => {
+      "j19_nation_coarse_key" -> (d => {
         val c = Tables.load(spark, d, "customer")
         graft.ops.Linkage.editDistanceJoin(c, c,
             col("a_c_nationkey"), col("b_c_nationkey"),

@@ -857,6 +857,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("linearCka: identical columns score 1; a PERMUTED copy scores " +
+    "1 (orthogonal invariance); a scaled copy scores 1 (isotropic " +
+    "invariance); a constant column is NULL; independent axes score " +
+    "the hand value") {
+    import spark.implicits._
+    val xs = Seq(Seq(1f, 2f), Seq(3f, 1f), Seq(-2f, 4f), Seq(0f, -3f),
+      Seq(5f, 2f), Seq(-1f, -1f))
+    def cka(ys: Seq[Seq[Float]]): Option[Double] =
+      Similarity.linearCka(
+        xs.zip(ys).map { case (x, y) => (x, y) }.toDF("x", "y"),
+        "x", "y")
+        .select("cka").collect().head match {
+          case r if r.isNullAt(0) => None
+          case r => Some(r.getDouble(0))
+        }
+    assert(cka(xs).exists(v => math.abs(v - 1.0) < 1e-5))
+    // permutation of dims = orthogonal transform -> still 1
+    assert(cka(xs.map(_.reverse)).exists(v => math.abs(v - 1.0) < 1e-5))
+    // isotropic scaling -> still 1
+    assert(cka(xs.map(_.map(_ * 2f))).exists(v =>
+      math.abs(v - 1.0) < 1e-5))
+    // constant column -> zero variance -> NULL
+    assert(cka(xs.map(_ => Seq(7f, 7f))).isEmpty)
+    // hand value: y = first dim only (1-D). Cov_xy = [cov(x1,x1);
+    // cov(x2,x1)], CKA = (c11^2 + c21^2) / (||Cxx||_F * c11)
+    val y1 = xs.map(x => Seq(x.head))
+    val got = cka(y1).get
+    val n = xs.length.toDouble
+    val m1 = xs.map(_.head.toDouble).sum / n
+    val m2 = xs.map(_(1).toDouble).sum / n
+    def cv(a: Seq[Double], b: Seq[Double], ma: Double, mb: Double) =
+      a.zip(b).map { case (p, q) => (p - ma) * (q - mb) }.sum / (n - 1)
+    val x1 = xs.map(_.head.toDouble); val x2 = xs.map(_(1).toDouble)
+    val c11 = cv(x1, x1, m1, m1); val c12 = cv(x1, x2, m1, m2)
+    val c22 = cv(x2, x2, m2, m2)
+    val expect = (c11 * c11 + c12 * c12) /
+      (math.sqrt(c11 * c11 + 2 * c12 * c12 + c22 * c22) * c11)
+    assert(math.abs(got - expect) < 1e-4, s"$got vs $expect")
+  }
+
   test("pcaProject: axis-aligned data projects to its centered " +
     "coordinates; whitening rescales by 1/sqrt(lambda); zero-variance " +
     "components whiten to NULL") {

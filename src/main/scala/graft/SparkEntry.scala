@@ -1301,6 +1301,29 @@ object SparkEntry {
     // direction). Node ids prefixed c/s so the two key spaces never
     // collide. Ranks stay distributed; the dangling sum and N are
     // the only scalars. Oracle replays both rounds in SQL. ----
+    // ---- G: personalized PageRank — restart mass on the nation-1
+    // customer cohort; rank flows to the suppliers that cohort
+    // actually reaches ("suppliers of customers like these"), with
+    // dangling mass teleporting back to the seeds (the PPR
+    // convention). Same bipartite graph as g_pagerank. ----
+    "g_ppr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 1)
+        .select(concat(lit("c"), col("c_custkey")).as("id"))
+      Graphs.personalizedPageRank(edges, "src", "dst", col("w"),
+        seeds, "id", damping = 0.85, iters = 2)
+    }),
+
     "g_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -6109,6 +6132,61 @@ cov${c + 1} AS MATERIALIZED (
     // rounded once, decimal rank·p sums, dangling mass redistributed;
     // every double literal forced to DOUBLE so the teleport constant
     // folds to the same IEEE value as Spark's lit(1.0) - lit(0.85)
+    // both PPR rounds replayed: seed restart vector s (uniform over
+    // the in-graph cohort), dangling mass times s, round-6 iterates
+    "g_ppr" -> {
+      val base =
+        """WITH e AS (
+          |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |    's' || CAST(l_suppkey AS VARCHAR) AS dst,
+          |    COUNT(*) AS w
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2),
+          |p AS (
+          |  SELECT src, dst,
+          |    CAST(ROUND(CAST(w AS DOUBLE) /
+          |      CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE), 6)
+          |      AS DECIMAL(18,6)) AS p
+          |  FROM e),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |srcs AS (SELECT DISTINCT src AS node FROM e),
+          |sd AS (
+          |  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+          |  FROM customer WHERE c_nationkey = 1),
+          |sdg AS (SELECT node FROM sd WHERE node IN
+          |  (SELECT node FROM nodes)),
+          |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM sdg),
+          |sv AS (
+          |  SELECT nodes.node,
+          |    CASE WHEN sdg.node IS NOT NULL THEN
+          |      CAST(ROUND(CAST(1.0 AS DOUBLE) / CAST(ns.ns AS DOUBLE),
+          |        6) AS DECIMAL(18,6))
+          |    ELSE CAST(0 AS DECIMAL(18,6)) END AS s
+          |  FROM nodes LEFT JOIN sdg ON sdg.node = nodes.node, ns),
+          |r0 AS (SELECT node, s AS r FROM sv)""".stripMargin
+      val rounds = (1 to 2).map { k =>
+        s"""d$k AS (
+  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
+  FROM r${k - 1} WHERE node NOT IN (SELECT node FROM srcs)),
+c$k AS (
+  SELECT p.dst AS node,
+    CAST(SUM(CAST(ROUND(r${k - 1}.r * p.p, 6) AS DECIMAL(18,6)))
+      AS DECIMAL(18,6)) AS c
+  FROM p JOIN r${k - 1} ON p.src = r${k - 1}.node GROUP BY 1),
+r$k AS (
+  SELECT sv.node,
+    CAST(ROUND(
+      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        * CAST(sv.s AS DOUBLE)
+      + CAST(0.85 AS DOUBLE) *
+        (CAST(COALESCE(c$k.c, CAST(0 AS DECIMAL(18,6))) AS DOUBLE)
+         + CAST(d$k.dang AS DOUBLE) * CAST(sv.s AS DOUBLE)), 6)
+      AS DECIMAL(18,6)) AS r
+  FROM sv LEFT JOIN c$k ON c$k.node = sv.node, d$k)"""
+      }.mkString(",\n")
+      s"$base,\n$rounds\nSELECT node, CAST(r AS DOUBLE) AS ppr FROM r2"
+    },
+
     "g_pagerank" ->
       """WITH e AS (
         |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,

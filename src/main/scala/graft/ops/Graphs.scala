@@ -215,6 +215,84 @@ object Graphs {
     rN.select(col("node"), col("__r").cast("double").as("pagerank"))
   }
 
+  /** PERSONALIZED PageRank — [[pageRank]] with the restart mass
+    * concentrated on a SEED set instead of spread uniformly: rank
+    * flows outward from the seeds through the graph, scoring every
+    * node by its proximity to the cohort (related-item discovery,
+    * cohort expansion, "suppliers of customers like these"). Update:
+    * r ← (1−d)·s + d·(Pᵀr + dang·s), where s is uniform over the
+    * seeds (1/|S∩nodes| — seeds absent from the graph are ignored,
+    * stated contract) and dangling mass teleports BACK TO THE SEEDS
+    * (the PPR convention — uniform teleport would leak personalized
+    * mass to the whole graph).
+    *
+    * Determinism: [[pageRank]]'s discipline verbatim — round-6
+    * decimal transition probabilities and iterates, fixed-order
+    * double update rounded once per node per round, `iters` rounds
+    * unrolled (the e_kmeans loop-carried-state bar; the oracle
+    * replays every round).
+    *
+    * Scale shape: identical to [[pageRank]] — per-round one
+    * edge-frame join + dst-keyed agg; the seed frame joins once as a
+    * node-frame column. Bounded rounds, lineage cut per round by
+    * the unrolled fold.
+    *
+    * @return (node, ppr) for every graph node */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, weight: Column,
+                           seeds: DataFrame, seedCol: String,
+                           damping: Double = 0.85,
+                           iters: Int = 2): DataFrame = {
+    require(damping > 0 && damping < 1, "damping in (0,1)")
+    require(iters >= 1, "iters must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        weight.cast("long").as("__w"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull &&
+        col("__w") > 0)
+      .groupBy(col("__src"), col("__dst")).agg(sum(col("__w")).as("__w"))
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"))
+    val p = e.withColumn("__p",
+        dec(round(col("__w").cast("double") /
+          sum(col("__w")).over(wOut).cast("double"), 6)))
+      .select(col("__src"), col("__dst"), col("__p"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val srcs = e.select(col("__src").as("node")).distinct()
+    val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"))
+    val sAgg = seedNodes.agg(count(lit(1)).as("__ns"))
+    val sF = nodes
+      .join(seedNodes.withColumn("__isSeed", lit(1)), Seq("node"),
+        "left")
+      .crossJoin(broadcast(sAgg))
+      .select(col("node"),
+        when(col("__isSeed").isNotNull,
+          dec(round(lit(1.0) / col("__ns").cast("double"), 6)))
+          .otherwise(dec(lit(0))).as("__s"))
+    val r0 = sF.select(col("node"), col("__s").as("__r"))
+    val rN = (1 to iters).foldLeft(r0) { (r, _) =>
+      val dangling = r.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("__r")), lit(0).cast("decimal(18,6)"))
+          .as("__dang"))
+      val contrib = p
+        .join(r.select(col("node").as("__src"), col("__r")), Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(dec(round(col("__r") * col("__p"), 6))).as("__c"))
+      sF.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), dec(round(
+          (lit(1.0) - lit(damping)) * col("__s").cast("double") +
+            lit(damping) *
+              (coalesce(col("__c"), lit(0).cast("decimal(18,6)"))
+                .cast("double") +
+               col("__dang").cast("double") *
+                 col("__s").cast("double")), 6)).as("__r"))
+    }
+    rN.select(col("node"), col("__r").cast("double").as("ppr"))
+  }
+
   def triangleCounts(edges: DataFrame, aCol: String,
                      bCol: String): DataFrame = {
     val e = canonicalEdges(edges, aCol, bCol)

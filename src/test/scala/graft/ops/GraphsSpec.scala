@@ -113,4 +113,28 @@ class GraphsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(odd == Map("a" -> "b", "b" -> "a"), odd.toString)
   }
+
+  test("personalizedPageRank: hand-iterated chain values; mass stays " +
+    "seed-centered and sums to 1 (dangling teleports to seeds); " +
+    "off-graph seeds are ignored") {
+    import spark.implicits._
+    // A -> B -> C, seed {A}, d = .85, 2 rounds:
+    // r1 = (.15, .85, 0); r2 = (.15, .1275, .7225)
+    val edges = Seq(("A", "B", 1L), ("B", "C", 1L))
+      .toDF("src", "dst", "w")
+    def run(seedIds: Seq[String]) =
+      Graphs.personalizedPageRank(edges, "src", "dst", col("w"),
+          seedIds.toDF("id"), "id", damping = 0.85, iters = 2)
+        .as[(String, Double)].collect().toMap
+    val got = run(Seq("A"))
+    assert(got == Map("A" -> 0.15, "B" -> 0.1275, "C" -> 0.7225),
+      got.toString)
+    assert(math.abs(got.values.sum - 1.0) < 1e-5, got.toString)
+    // a seed absent from the graph changes nothing (|S intersect| = 1)
+    assert(run(Seq("A", "Z")) == got)
+    // seeding elsewhere moves the mass: seed {C} (a sink) keeps
+    // everything on C via the dangling-to-seed teleport
+    val cSeed = run(Seq("C"))
+    assert(cSeed("C") == 1.0 && cSeed("A") == 0.0, cSeed.toString)
+  }
 }

@@ -3173,6 +3173,16 @@ object SparkEntry {
       ops.Analytics.temperatureMix(t(s, dir, "documents"),
         Seq("source"), alphaMicros = 300000L)),
 
+    // ---- A62: uplift / Qini curve — value as a targeting score,
+    // even/odd user split as treated/control, purchase as outcome:
+    // at every distinct score threshold, incremental response rate
+    // and incremental conversions (Radcliffe's Qini). Descending
+    // distinct-score frame off the Prefix hierarchy; NULL on an
+    // empty arm. ----
+    "a62_uplift" -> ((s, dir) =>
+      ops.Quality.upliftCurve(t(s, dir, "events"), "value",
+        col("user_id") % 2 === 0, col("event_type") === "purchase")),
+
     // ---- A61: cross-language quantile normalization of doc lengths
     // — each (lang, n_chars) maps to the global length at its
     // within-language quantile (exact order statistics: doubled
@@ -9837,6 +9847,52 @@ FROM n, vxy, vxx, vyy"""
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // descending cumulatives as total - strictly-below on the
+    // distinct-score frame; two exact ratios, one rounded chain each
+    "a62_uplift" ->
+      """WITH s AS (
+        |  SELECT CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sc,
+        |    user_id % 2 = 0 AS t,
+        |    event_type = 'purchase' AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (
+        |  SELECT sc,
+        |    SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cc,
+        |    SUM(CASE WHEN t AND y THEN 1 ELSE 0 END) AS pt,
+        |    SUM(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS pc
+        |  FROM s GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(ct) AS BIGINT) AS tct,
+        |    CAST(SUM(cc) AS BIGINT) AS tcc,
+        |    CAST(SUM(pt) AS BIGINT) AS tpt,
+        |    CAST(SUM(pc) AS BIGINT) AS tpc
+        |  FROM g),
+        |cum AS (
+        |  SELECT sc,
+        |    tct - (SUM(ct) OVER (ORDER BY sc) - ct) AS n_t,
+        |    tcc - (SUM(cc) OVER (ORDER BY sc) - cc) AS n_c,
+        |    tpt - (SUM(pt) OVER (ORDER BY sc) - pt) AS pos_t,
+        |    tpc - (SUM(pc) OVER (ORDER BY sc) - pc) AS pos_c
+        |  FROM g, tot)
+        |SELECT CAST(sc AS DOUBLE) / 1000000.0 AS score,
+        |  CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(pos_t AS BIGINT) AS pos_t,
+        |  CAST(pos_c AS BIGINT) AS pos_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |    ROUND(CAST(pos_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+        |  END AS uplift,
+        |  CASE WHEN n_c > 0 THEN
+        |    ROUND(CAST(pos_t AS DOUBLE)
+        |      - CAST(pos_c AS DOUBLE) * CAST(n_t AS DOUBLE)
+        |        / CAST(n_c AS DOUBLE), 6)
+        |  END AS qini
+        |FROM cum""".stripMargin,
 
     // distinct-value frames end to end: doubled ranks off per-group
     // cumulatives, HUGEINT ceil-k, the k -> order-statistic interval

@@ -1612,6 +1612,68 @@ object Quality {
           .as("auc"))
   }
 
+  /** Uplift / Qini curve — the evaluation surface for targeting
+    * models (Radcliffe 2007): at every score threshold t, take the
+    * population scored ≥ t and compare treated vs control response:
+    * uplift(t) = pos_t/n_t − pos_c/n_c (the incremental response
+    * rate) and qini(t) = pos_t − pos_c·n_t/n_c (incremental
+    * conversions, the curve whose area ranks targeting models).
+    * Random targeting's qini is ~0 at every depth; a model that
+    * concentrates persuadables up-front pushes the curve above it.
+    *
+    * Determinism: the curve lives on the DESCENDING distinct-score
+    * frame with cumulative counts from [[Prefix.strictBelow]]
+    * (above = total − below − at, all exact longs); uplift is two
+    * exact-integer ratios in one fixed-order double chain rounded
+    * once; qini's control scaling is one double product rounded
+    * once. Undefined sides (empty treated or control at a depth)
+    * emit NULL, never 0.
+    *
+    * Scale shape: ONE corpus hash agg to the distinct-score frame,
+    * the Prefix hierarchy over it — never a global sort, never a
+    * per-row window.
+    *
+    * @param inTreatment boolean: true → treated arm
+    * @param outcome boolean: true → converted
+    * @return per distinct score (threshold = "score ≥ this"):
+    *         (score, n_t, n_c, pos_t, pos_c, uplift, qini) */
+  def upliftCurve(df: DataFrame, scoreCol: String,
+                  inTreatment: Column, outcome: Column,
+                  bucketSize: Long = 1048576L): DataFrame = {
+    val src = df.filter(col(scoreCol).isNotNull &&
+        inTreatment.isNotNull && outcome.isNotNull)
+      .select((r6d(col(scoreCol)).cast("decimal(18,6)") * 1000000L)
+          .cast("decimal(38,0)").cast("long").as("__s"),
+        inTreatment.as("__t"), outcome.as("__y"))
+    val perS = src.groupBy(col("__s")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__cc"),
+      sum(when(col("__t") && col("__y"), 1L).otherwise(0L)).as("__pt"),
+      sum(when(!col("__t") && col("__y"), 1L).otherwise(0L)).as("__pc"))
+    val tot = perS.agg(sum(col("__ct")).as("__tot_ct"),
+      sum(col("__cc")).as("__tot_cc"), sum(col("__pt")).as("__tot_pt"),
+      sum(col("__pc")).as("__tot_pc"))
+    val cum = Prefix.strictBelow(perS, Nil, "__s",
+        Seq("__ct", "__cc", "__pt", "__pc"), bucketSize)
+      .crossJoin(broadcast(tot))
+      .select(col("__s"),
+        (col("__tot_ct") - col("__below___ct")).as("n_t"),
+        (col("__tot_cc") - col("__below___cc")).as("n_c"),
+        (col("__tot_pt") - col("__below___pt")).as("pos_t"),
+        (col("__tot_pc") - col("__below___pc")).as("pos_c"))
+    cum.select(
+      (col("__s").cast("double") / lit(1e6)).as("score"),
+      col("n_t"), col("n_c"), col("pos_t"), col("pos_c"),
+      when(col("n_t") > 0 && col("n_c") > 0,
+        round(col("pos_t").cast("double") / col("n_t").cast("double") -
+          col("pos_c").cast("double") / col("n_c").cast("double"), 6))
+        .as("uplift"),
+      when(col("n_c") > 0,
+        round(col("pos_t").cast("double") -
+          col("pos_c").cast("double") * col("n_t").cast("double") /
+            col("n_c").cast("double"), 6)).as("qini"))
+  }
+
   /** Cross-group quantile normalization — the microarray-classic
     * recipe applied to corpus curation: per-source score/length
     * distributions differ by construction (different crawlers,

@@ -865,6 +865,37 @@ class QualitySpec extends SparkSpec {
     assert(Quality.kAnonymity(ok, Seq("q1"), k = 3).isEmpty)
   }
 
+  test("upliftCurve: hand-computed uplift and qini at every distinct " +
+    "threshold; empty control at a depth yields NULL, never 0") {
+    import spark.implicits._
+    val df = Seq(
+      (4.0, true, true),
+      (3.0, true, true), (3.0, false, false),
+      (2.0, true, false), (2.0, false, true),
+      (1.0, true, true), (1.0, false, false)
+    ).toDF("score", "t", "y")
+    val got = Quality.upliftCurve(df, "score", col("t"), col("y"))
+      .as[(Double, Long, Long, Long, Long, Option[Double],
+        Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // s>=4: only a treated row -> both metrics undefined
+    assert(got(4.0) == ((1L, 0L, 1L, 0L, None, None)), got.toString)
+    // s>=3: t(2,2 pos) wait: n_t=2 pos_t=2, n_c=1 pos_c=0
+    assert(got(3.0) == ((2L, 1L, 2L, 0L, Some(1.0), Some(2.0))),
+      got.toString)
+    // s>=2: n_t=3 pos_t=2, n_c=2 pos_c=1 -> uplift 2/3-1/2, qini
+    // 2 - 1*(3/2)
+    assert(got(2.0) == ((3L, 2L, 2L, 1L, Some(0.166667), Some(0.5))),
+      got.toString)
+    // s>=1: n_t=4 pos_t=3, n_c=3 pos_c=1
+    assert(got(1.0)._5.get == BigDecimal(3.0 / 4 - 1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      got.toString)
+    assert(got(1.0)._6.get == BigDecimal(3.0 - 1.0 * 4 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      got.toString)
+  }
+
   test("quantileNormalize: two groups with different scales map onto " +
     "the SAME normalized distribution (hand order statistics); ties " +
     "share a rank; extremes map to global extremes") {

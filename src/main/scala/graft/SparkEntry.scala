@@ -2618,6 +2618,21 @@ object SparkEntry {
       graft.media.Multimodal.imageStats(media).toDF()
     }),
 
+    // ---- multimodal: REAL audio decode — deterministic synthetic
+    // 16-bit PCM WAVs parsed by the JDK's javax.sound reader (RIFF
+    // header + full PCM stream decode); the oracle recovers format,
+    // exact sample sum and peak from the generation formula — a
+    // non-parsing stub cannot match. ----
+    "m_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.media.Multimodal.syntheticWav(id))))
+        .toDF("media_id", "payload")
+      graft.media.Multimodal.audioStats(media).toDF()
+    }),
+
     // ---- multimodal: REAL multi-frame decode — animated GIFs with
     // 1 + doc_id%7 frames, frame count read back by ImageIO's reader
     // (getNumImages(true)), every 2nd frame sampled. ----
@@ -8909,6 +8924,26 @@ FROM n, vxy, vxx, vyy"""
     // w=8+id%24, h=8+id%16, left w//2 columns gray id%256, the rest
     // 7id%256 — chan_sum = 3h(w//2·g1 + (w−w//2)·g2); integer
     // micro-unit mean (both engines truncate non-negative division)
+    // what a REAL WAV parse must read back, derived from the
+    // generation formula (positive ints: % and // are div-safe)
+    "m_wav_decode" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id FROM documents WHERE doc_id < 300),
+        |s AS (
+        |  SELECT media_id,
+        |    CAST(100 + media_id % 400 AS BIGINT) AS n,
+        |    list_transform(range(0, CAST(100 + media_id % 400 AS BIGINT)),
+        |      k -> (media_id * 31 + k * 7) % 2003 - 1001) AS smp
+        |  FROM ids)
+        |SELECT media_id, 1 AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  n AS n_samples,
+        |  n * 1000000 // 8000 AS dur_micros,
+        |  CAST(list_sum(smp) AS BIGINT) AS sample_sum,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+        |    AS peak
+        |FROM s""".stripMargin,
+
     "m_image_decode" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -38,6 +38,11 @@ object Multimodal {
                         n_pixels: Long, chan_sum: Long,
                         mean_luma_micros: Long)
 
+  case class AudioStats(media_id: Long, channels: Int,
+                        sample_rate: Long, n_samples: Long,
+                        dur_micros: Long, sample_sum: Long,
+                        peak: Long)
+
   /** Codec seam: the per-payload calls [[decodeMetadata]] dispatches
     * through. Implementations must be closure-serializable (objects
     * are). [[ImageIoCodec]] is the REAL JDK decode path;
@@ -206,6 +211,110 @@ object Multimodal {
           ImageStats(id, w, h, n, sum, sum * 1000000L / (3L * n))
         }
       })
+  }
+
+  /** ===== REAL audio codec (r13) =====
+    * The JDK's javax.sound.sampled WAV reader (java.desktop ships in
+    * every JRE beside ImageIO): AudioSystem parses the RIFF/fmt
+    * chunks into an AudioFormat, and the PCM sample stream decodes
+    * here into exact integer statistics. Bytes the audio system
+    * doesn't claim return None (the ImageIoCodec quarantine shape). */
+  object WavCodec {
+
+    /** Parse + full PCM decode: (channels, sampleRate, nSamples,
+      * exact signed sample sum, peak = max |sample|) for 8- or
+      * 16-bit PCM WAV. None on unclaimed/corrupt/unsupported. */
+    def decodeOpt(payload: Array[Byte])
+        : Option[(Int, Long, Long, Long, Long)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val enc = fmt.getEncoding
+          val ok = (bits == 16 || bits == 8) &&
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+             enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          if (!ok) None
+          else {
+            val bytes = in.readAllBytes()
+            val bytesPer = bits / 8
+            val n = bytes.length / bytesPer
+            var sum = 0L
+            var peak = 0L
+            var i = 0
+            while (i < n) {
+              val v: Long =
+                if (bits == 16) {
+                  val lo = bytes(2 * i) & 0xFF
+                  val hi = bytes(2 * i + 1).toLong
+                  val raw = (hi << 8) | lo
+                  if (fmt.isBigEndian)
+                    ((bytes(2 * i).toLong << 8) | (bytes(2 * i + 1) & 0xFF))
+                  else raw
+                } else {
+                  if (enc == javax.sound.sampled
+                        .AudioFormat.Encoding.PCM_UNSIGNED)
+                    (bytes(i) & 0xFF).toLong - 128L
+                  else bytes(i).toLong
+                }
+              sum += v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            Some((fmt.getChannels, fmt.getSampleRate.toLong,
+              n.toLong / fmt.getChannels, sum, peak))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL audio statistics — a genuine JDK WAV parse + PCM decode per
+    * row: channels and sample rate from the parsed format, exact
+    * integer sample sum and peak from the decoded stream, duration in
+    * integer micro-units (n·10⁶ div rate — truncating, portable).
+    * Unclaimed/corrupt payloads are DROPPED (the [[imageStats]]
+    * quarantine-filter shape). Narrow mapPartitions — payload bytes
+    * never shuffle. */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        WavCodec.decodeOpt(payload).map {
+          case (ch, rate, n, sum, peak) =>
+            AudioStats(id, ch, rate, n,
+              if (rate > 0) n * 1000000L / rate else 0L, sum, peak)
+        }
+      })
+  }
+
+  /** Deterministic synthetic 16-bit PCM mono WAV at 8 kHz:
+    * n = 100 + id mod 400 samples, sample k =
+    * ((id·31 + k·7) mod 2003) − 1001 — the audio twin of
+    * [[syntheticPng]]: a decoder that really parses the RIFF header
+    * and PCM data recovers exactly these values, so an engine-free
+    * oracle verifies REAL decode output from the formula. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (100 + id % 400).toInt
+    val rate = 8000
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < n) {
+      bb.putShort((((id * 31 + k * 7) % 2003) - 1001).toShort)
+      k += 1
+    }
+    bb.array()
   }
 
   /** Deterministic synthetic PNG: a left/right banded grayscale image

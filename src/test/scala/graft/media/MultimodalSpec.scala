@@ -256,4 +256,37 @@ class MultimodalSpec extends SparkSpec {
         s"($a,$b,$c,$d)")
     }
   }
+
+  test("WavCodec: a REAL JDK parse recovers the synthetic WAV's " +
+    "format, sample count, exact sum and peak from the generation " +
+    "formula; corrupt bytes drop; audioStats matches per id") {
+    import spark.implicits._
+    def expect(id: Long): (Long, Long, Long) = {
+      val n = (100 + id % 400).toInt
+      val samples = (0 until n).map(k => ((id * 31 + k * 7) % 2003) - 1001)
+      (n.toLong, samples.sum, samples.map(math.abs).max)
+    }
+    // direct codec path
+    val direct = Multimodal.WavCodec.decodeOpt(
+      Multimodal.syntheticWav(42L))
+    val (n42, sum42, peak42) = expect(42L)
+    assert(direct.contains((1, 8000L, n42, sum42, peak42)),
+      s"$direct vs ${expect(42L)}")
+    // corrupt payload -> None, and audioStats drops the row
+    assert(Multimodal.WavCodec.decodeOpt(Array[Byte](1, 2, 3)).isEmpty)
+    val media = (Seq(7L, 123L, 400L).map(id =>
+        (id, Multimodal.syntheticWav(id))) :+
+        (999L, Array[Byte](9, 9, 9)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.audioStats(media).collect()
+      .map(a => a.media_id ->
+        ((a.channels, a.sample_rate, a.n_samples, a.dur_micros,
+          a.sample_sum, a.peak))).toMap
+    assert(!got.contains(999L), "corrupt row must drop")
+    Seq(7L, 123L, 400L).foreach { id =>
+      val (n, sum, peak) = expect(id)
+      assert(got(id) == ((1, 8000L, n, n * 1000000L / 8000L, sum, peak)),
+        s"id=$id ${got(id)} vs ${expect(id)}")
+    }
+  }
 }

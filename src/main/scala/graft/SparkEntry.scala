@@ -3188,6 +3188,15 @@ object SparkEntry {
       ops.Analytics.temperatureMix(t(s, dir, "documents"),
         Seq("source"), alphaMicros = 300000L)),
 
+    // ---- A63: always-valid sequential test (mSPRT) — the daily
+    // monitoring curve for the even/odd-user value experiment: the
+    // always-valid p at each day is exp(-running-max log-mixture-LR),
+    // monotone by construction, valid under any peeking rule. ----
+    "a63_msprt" -> ((s, dir) =>
+      ops.Quality.msprtCurve(t(s, dir, "events"), "value",
+        col("user_id") % 2 === 0, dayofmonth(col("ts")),
+        tauMicros = 1000000L)),
+
     // ---- A62: uplift / Qini curve — value as a targeting score,
     // even/odd user split as treated/control, purchase as outcome:
     // at every distinct score threshold, incremental response rate
@@ -9882,6 +9891,78 @@ FROM n, vxy, vxx, vyy"""
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // exact cumulative moments (HUGEINT squares) on the day frame,
+    // one rounded double chain per statistic, running max on the
+    // rounded grid, exp for the always-valid p
+    "a63_msprt" ->
+      """WITH s AS (
+        |  SELECT CAST(day(ts) AS BIGINT) AS p,
+        |    user_id % 2 = 0 AS t,
+        |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |g AS (
+        |  SELECT p,
+        |    SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN t THEN v ELSE 0 END) AS st,
+        |    SUM(CASE WHEN t THEN CAST(v AS HUGEINT) * v
+        |        ELSE CAST(0 AS HUGEINT) END) AS qt,
+        |    SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cc,
+        |    SUM(CASE WHEN NOT t THEN v ELSE 0 END) AS sc,
+        |    SUM(CASE WHEN NOT t THEN CAST(v AS HUGEINT) * v
+        |        ELSE CAST(0 AS HUGEINT) END) AS qc
+        |  FROM s GROUP BY 1),
+        |cum AS (
+        |  SELECT p,
+        |    CAST(SUM(ct) OVER (ORDER BY p) AS BIGINT) AS nt,
+        |    SUM(st) OVER (ORDER BY p) AS stc,
+        |    SUM(qt) OVER (ORDER BY p) AS qtc,
+        |    CAST(SUM(cc) OVER (ORDER BY p) AS BIGINT) AS nc,
+        |    SUM(sc) OVER (ORDER BY p) AS scc,
+        |    SUM(qc) OVER (ORDER BY p) AS qcc
+        |  FROM g),
+        |st1 AS (
+        |  SELECT p, nt, nc,
+        |    CASE WHEN nt > 0 AND nc > 0 THEN
+        |      ROUND((CAST(stc AS DOUBLE) / CAST(nt AS DOUBLE)
+        |        - CAST(scc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |        / 1000000.0, 6) END AS th,
+        |    CASE WHEN nt + nc > 2 THEN
+        |      ROUND(((CAST(qtc AS DOUBLE)
+        |          - CAST(stc AS DOUBLE) * CAST(stc AS DOUBLE)
+        |            / CAST(nt AS DOUBLE))
+        |        + (CAST(qcc AS DOUBLE)
+        |          - CAST(scc AS DOUBLE) * CAST(scc AS DOUBLE)
+        |            / CAST(nc AS DOUBLE)))
+        |        / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE) - 2.0)
+        |        / 1000000000000.0, 6) END AS s2
+        |  FROM cum),
+        |st2 AS (
+        |  SELECT p, nt, nc, th,
+        |    CASE WHEN s2 > 0 THEN
+        |      ROUND(s2 * (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE))
+        |        / (CAST(nt AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+        |    END AS vv
+        |  FROM st1),
+        |st3 AS (
+        |  SELECT p, nt, nc, th,
+        |    CASE WHEN vv > 0 AND th IS NOT NULL THEN
+        |      ROUND(0.5 * ln(vv / (vv + 1.0))
+        |        + 1.0 * th * th / (2.0 * vv * (vv + 1.0)), 6)
+        |    END AS log_lambda
+        |  FROM st2),
+        |st4 AS (
+        |  SELECT p, nt, nc, th, log_lambda,
+        |    MAX(log_lambda) OVER (ORDER BY p) AS mx
+        |  FROM st3)
+        |SELECT p AS period, nt AS n_t, nc AS n_c, th AS theta,
+        |  log_lambda,
+        |  CASE WHEN mx > 0 THEN ROUND(exp(-mx), 6)
+        |       ELSE 1.0 END AS always_valid_p
+        |FROM st4""".stripMargin,
 
     // descending cumulatives as total - strictly-below on the
     // distinct-score frame; two exact ratios, one rounded chain each

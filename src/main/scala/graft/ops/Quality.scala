@@ -1612,6 +1612,96 @@ object Quality {
           .as("auc"))
   }
 
+  /** Always-valid sequential A/B test — the mixture SPRT (Johari,
+    * Koomen, Pekelis, Walsh: "Peeking at A/B tests"): the
+    * experimentation-platform answer to continuous monitoring, where
+    * a fixed-horizon t-test's α is destroyed by checking daily. Per
+    * period the CUMULATIVE two-sample state gives
+    * θ̂ = x̄_t − x̄_c, V = σ̂²_pooled·(n_t+n_c)/(n_t·n_c), and the
+    * normal-mixture likelihood ratio
+    * ln Λ = ½·ln(V/(V+τ²)) + τ²·θ̂²/(2·V·(V+τ²));
+    * the ALWAYS-VALID p is exp(−max_{s≤t} ln Λ_s) capped at 1 —
+    * monotone non-increasing by construction, so rejecting the first
+    * time p ≤ α is valid at any stopping rule.
+    *
+    * Determinism: cumulative counts/sums/squares are EXACT
+    * (micro-unit longs, micro² in decimal(38,0)) off one period-frame
+    * prefix window; θ̂, σ̂², V, ln Λ are each ONE fixed-order double
+    * chain rounded to 6 (ln and exp are irrational — no structural
+    * midpoints, the sinkhorn/DSIR precedent); the running max runs
+    * on the rounded grid. Degenerate states (an empty arm, zero
+    * variance) yield NULL ln Λ and p = 1 for that period.
+    *
+    * Scale shape: ONE corpus hash agg to the period frame;
+    * everything after is period-frame windows (a ~31-row curve by
+    * the mannKendall series contract).
+    *
+    * @param tauMicros mixture prior τ in micro value-units
+    * @return per period: (period, n_t, n_c, theta, log_lambda,
+    *         always_valid_p) */
+  def msprtCurve(df: DataFrame, valueCol: String, inTreatment: Column,
+                 periodCol: Column,
+                 tauMicros: Long = 1000000L): DataFrame = {
+    require(tauMicros > 0, "tauMicros must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val vmu = (r6d(col(valueCol)).cast("decimal(18,6)") * 1000000L)
+      .cast(dec).cast("long")
+    val src = df.filter(col(valueCol).isNotNull && inTreatment.isNotNull
+        && periodCol.isNotNull)
+      .select(periodCol.cast("long").as("__p"), inTreatment.as("__t"),
+        vmu.as("__v"))
+    val perP = src.groupBy(col("__p")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__t"), col("__v")).otherwise(0L)).as("__st"),
+      sum(when(col("__t"), col("__v").cast(dec) * col("__v"))
+        .otherwise(lit(0).cast(dec))).as("__qt"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__cc"),
+      sum(when(!col("__t"), col("__v")).otherwise(0L)).as("__sc"),
+      sum(when(!col("__t"), col("__v").cast(dec) * col("__v"))
+        .otherwise(lit(0).cast(dec))).as("__qc"))
+    val wCum = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perP.select(col("__p"),
+      sum(col("__ct")).over(wCum).as("nt"),
+      sum(col("__st")).over(wCum).as("st"),
+      sum(col("__qt")).over(wCum).as("qt"),
+      sum(col("__cc")).over(wCum).as("nc"),
+      sum(col("__sc")).over(wCum).as("sc"),
+      sum(col("__qc")).over(wCum).as("qc"))
+    val tau = tauMicros.toDouble / 1e6
+    val tau2 = tau * tau
+    def d(c: Column): Column = c.cast("double")
+    val theta = round((d(col("st")) / d(col("nt")) -
+      d(col("sc")) / d(col("nc"))) / lit(1e6), 6)
+    // pooled variance from exact cumulative moments (value units)
+    val ssT = d(col("qt")) - d(col("st")) * d(col("st")) / d(col("nt"))
+    val ssC = d(col("qc")) - d(col("sc")) * d(col("sc")) / d(col("nc"))
+    val sig2 = round((ssT + ssC) /
+      (d(col("nt")) + d(col("nc")) - lit(2.0)) / lit(1e12), 6)
+    val stats = cum.select(col("__p"), col("nt"), col("nc"),
+        when(col("nt") > 0 && col("nc") > 0, theta).as("__th"),
+        when(col("nt") + col("nc") > 2, sig2).as("__s2"))
+      .withColumn("__V",
+        when(col("__s2") > 0,
+          round(col("__s2") * (d(col("nt")) + d(col("nc"))) /
+            (d(col("nt")) * d(col("nc"))), 6)))
+      .withColumn("log_lambda",
+        when(col("__V") > 0 && col("__th").isNotNull,
+          round(lit(0.5) * log(col("__V") / (col("__V") + lit(tau2))) +
+            lit(tau2) * col("__th") * col("__th") /
+              (lit(2.0) * col("__V") * (col("__V") + lit(tau2))), 6)))
+    val wMax = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    stats
+      .withColumn("__mx", max(col("log_lambda")).over(wMax))
+      .select(col("__p").as("period"), col("nt").as("n_t"),
+        col("nc").as("n_c"), col("__th").as("theta"),
+        col("log_lambda"),
+        when(col("__mx") > 0, round(exp(-col("__mx")), 6))
+          .otherwise(lit(1.0)).as("always_valid_p"))
+  }
+
   /** Uplift / Qini curve — the evaluation surface for targeting
     * models (Radcliffe 2007): at every score threshold t, take the
     * population scored ≥ t and compare treated vs control response:

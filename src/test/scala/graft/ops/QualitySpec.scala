@@ -865,6 +865,48 @@ class QualitySpec extends SparkSpec {
     assert(Quality.kAnonymity(ok, Seq("q1"), k = 3).isEmpty)
   }
 
+  test("msprtCurve: hand-computed log-lambda on a two-period " +
+    "fixture; always-valid p is monotone non-increasing and collapses " +
+    "under a strong effect; a null effect keeps p high; degenerate " +
+    "periods report p = 1") {
+    import spark.implicits._
+    // period 1: t = {10, 12}, c = {1, 3}; period 2 adds t = {11, 13},
+    // c = {2, 2} — a strong persistent effect
+    val strong = Seq(
+      (1L, true, 10.0), (1L, true, 12.0), (1L, false, 1.0),
+      (1L, false, 3.0),
+      (2L, true, 11.0), (2L, true, 13.0), (2L, false, 2.0),
+      (2L, false, 2.0)).toDF("d", "t", "v")
+    val got = Quality.msprtCurve(strong, "v", col("t"), col("d"),
+        tauMicros = 1000000L)
+      .orderBy("period")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Double)]
+      .collect()
+    // hand replay of period 1: nt=nc=2, theta=9, ss_t=2 ss_c=2 ->
+    // sig2=(2+2)/2=2, V=2*4/4=2, tau2=1:
+    // lnL = .5*ln(2/3) + 1*81/(2*2*3)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expL1 = r6(0.5 * math.log(2.0 / 3.0) + 81.0 / 12.0)
+    assert(got(0)._5.contains(expL1), s"${got(0)} vs $expL1")
+    assert(got(0)._6 == r6(math.exp(-expL1)), got(0).toString)
+    // p monotone non-increasing
+    assert(got(1)._6 <= got(0)._6, got.mkString(","))
+    assert(got(1)._6 < 0.01, "strong effect must collapse p")
+    // null effect: identical arms -> theta 0 -> lnL < 0 -> p = 1
+    val nullE = Seq((1L, true, 5.0), (1L, true, 7.0),
+      (1L, false, 5.0), (1L, false, 7.0)).toDF("d", "t", "v")
+    val pNull = Quality.msprtCurve(nullE, "v", col("t"), col("d"))
+      .select("always_valid_p").as[Double].collect().head
+    assert(pNull == 1.0, s"null-effect p $pNull")
+    // degenerate: one arm empty -> NULL lnL, p = 1
+    val lone = Seq((1L, true, 5.0), (1L, true, 6.0)).toDF("d", "t", "v")
+    val dgn = Quality.msprtCurve(lone, "v", col("t"), col("d"))
+      .as[(Long, Long, Long, Option[Double], Option[Double], Double)]
+      .collect().head
+    assert(dgn._5.isEmpty && dgn._6 == 1.0, dgn.toString)
+  }
+
   test("upliftCurve: hand-computed uplift and qini at every distinct " +
     "threshold; empty control at a depth yields NULL, never 0") {
     import spark.implicits._

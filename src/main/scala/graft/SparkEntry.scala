@@ -3188,6 +3188,14 @@ object SparkEntry {
       ops.Analytics.temperatureMix(t(s, dir, "documents"),
         Seq("source"), alphaMicros = 300000L)),
 
+    // ---- A64: difference-in-differences — even/odd users as
+    // treatment/control arms, first-half vs second-half month as
+    // pre/post: the control trend differences out the common time
+    // shock. Four exact-moment cells, rounded double chains. ----
+    "a64_did" -> ((s, dir) =>
+      ops.Quality.diffInDiff(t(s, dir, "events"), "value",
+        col("user_id") % 2 === 0, dayofmonth(col("ts")) > 15)),
+
     // ---- A63: always-valid sequential test (mSPRT) — the daily
     // monitoring curve for the even/odd-user value experiment: the
     // always-valid p at each day is exp(-running-max log-mixture-LR),
@@ -9891,6 +9899,75 @@ FROM n, vxy, vxx, vyy"""
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // four exact-moment cells in one conditional agg; every derived
+    // statistic one fixed-order rounded chain
+    "a64_did" ->
+      """WITH s AS (
+        |  SELECT user_id % 2 = 0 AS t, day(ts) > 15 AS p,
+        |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_tpre,
+        |    SUM(CASE WHEN t AND NOT p THEN v ELSE 0 END) AS s_tpre,
+        |    SUM(CASE WHEN t AND NOT p THEN CAST(v AS HUGEINT) * v ELSE CAST(0 AS HUGEINT) END) AS q_tpre,
+        |    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_tpost,
+        |    SUM(CASE WHEN t AND p THEN v ELSE 0 END) AS s_tpost,
+        |    SUM(CASE WHEN t AND p THEN CAST(v AS HUGEINT) * v ELSE CAST(0 AS HUGEINT) END) AS q_tpost,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_cpre,
+        |    SUM(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END) AS s_cpre,
+        |    SUM(CASE WHEN NOT t AND NOT p THEN CAST(v AS HUGEINT) * v ELSE CAST(0 AS HUGEINT) END) AS q_cpre,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_cpost,
+        |    SUM(CASE WHEN NOT t AND p THEN v ELSE 0 END) AS s_cpost,
+        |    SUM(CASE WHEN NOT t AND p THEN CAST(v AS HUGEINT) * v ELSE CAST(0 AS HUGEINT) END) AS q_cpost
+        |  FROM s),
+        |m AS (
+        |  SELECT *,
+        |    n_tpre = 0 OR n_tpost = 0 OR n_cpre = 0 OR n_cpost = 0
+        |      AS hole,
+        |    n_tpre + n_tpost + n_cpre + n_cpost AS ntot
+        |  FROM c),
+        |o AS (
+        |  SELECT n_tpre AS n_t_pre, n_tpost AS n_t_post,
+        |    n_cpre AS n_c_pre, n_cpost AS n_c_post,
+        |    CASE WHEN n_tpre > 0 THEN ROUND(CAST(s_tpre AS DOUBLE)
+        |      / CAST(n_tpre AS DOUBLE) / 1000000.0, 6) END AS mean_t_pre,
+        |    CASE WHEN n_tpost > 0 THEN ROUND(CAST(s_tpost AS DOUBLE)
+        |      / CAST(n_tpost AS DOUBLE) / 1000000.0, 6) END AS mean_t_post,
+        |    CASE WHEN n_cpre > 0 THEN ROUND(CAST(s_cpre AS DOUBLE)
+        |      / CAST(n_cpre AS DOUBLE) / 1000000.0, 6) END AS mean_c_pre,
+        |    CASE WHEN n_cpost > 0 THEN ROUND(CAST(s_cpost AS DOUBLE)
+        |      / CAST(n_cpost AS DOUBLE) / 1000000.0, 6) END AS mean_c_post,
+        |    CASE WHEN NOT hole THEN
+        |      ROUND((CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+        |        - CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE)
+        |        - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+        |          - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)))
+        |        / 1000000.0, 6) END AS did,
+        |    CASE WHEN NOT hole AND ntot > 4 THEN
+        |      ROUND(sqrt(
+        |        ROUND(((CAST(q_tpre AS DOUBLE) - CAST(s_tpre AS DOUBLE)
+        |            * CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE))
+        |          + (CAST(q_tpost AS DOUBLE) - CAST(s_tpost AS DOUBLE)
+        |            * CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE))
+        |          + (CAST(q_cpre AS DOUBLE) - CAST(s_cpre AS DOUBLE)
+        |            * CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE))
+        |          + (CAST(q_cpost AS DOUBLE) - CAST(s_cpost AS DOUBLE)
+        |            * CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)))
+        |          / (CAST(ntot AS DOUBLE) - 4.0) / 1000000000000.0, 6)
+        |        * (1.0 / CAST(n_tpre AS DOUBLE)
+        |          + 1.0 / CAST(n_tpost AS DOUBLE)
+        |          + 1.0 / CAST(n_cpre AS DOUBLE)
+        |          + 1.0 / CAST(n_cpost AS DOUBLE))), 6) END AS se
+        |  FROM m)
+        |SELECT *,
+        |  CASE WHEN se > 0 AND did IS NOT NULL THEN
+        |    ROUND(did / se, 6) END AS t_stat
+        |FROM o""".stripMargin,
 
     // exact cumulative moments (HUGEINT squares) on the day frame,
     // one rounded double chain per statistic, running max on the

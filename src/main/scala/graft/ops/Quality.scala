@@ -1612,6 +1612,77 @@ object Quality {
           .as("auc"))
   }
 
+  /** Difference-in-differences — the quasi-experimental workhorse
+    * when treatment wasn't randomized but a pre-period exists:
+    * ATT = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), the control
+    * group's trend differencing out the common time shock (parallel
+    * trends assumption — the caller's to defend). The SE is the
+    * classical four-cell pooled form: s²·Σ_cells 1/n_cell with s²
+    * the within-cell pooled variance (n − 4 df).
+    *
+    * Determinism: per-cell moments are EXACT (micro-unit sums,
+    * micro² in decimal(38,0)) from ONE hash agg with conditional
+    * sums; every derived statistic is one fixed-order double chain
+    * rounded to 6. Any empty cell → NULL estimate (a 2×2 with a
+    * hole identifies nothing); zero pooled variance → NULL se/t.
+    *
+    * Scale shape: one corpus hash agg to FOUR cells; scalars after.
+    *
+    * @return one row: (n_t_pre, n_t_post, n_c_pre, n_c_post,
+    *         mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
+    *         did, se, t_stat) */
+  def diffInDiff(df: DataFrame, valueCol: String, inTreatment: Column,
+                 inPost: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vmu = (r6d(col(valueCol)).cast("decimal(18,6)") * 1000000L)
+      .cast(dec).cast("long")
+    val src = df.filter(col(valueCol).isNotNull &&
+        inTreatment.isNotNull && inPost.isNotNull)
+      .select(inTreatment.as("__t"), inPost.as("__p"), vmu.as("__v"))
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      sum(when(col("__t") === t && col("__p") === p, 1L).otherwise(0L))
+        .as(s"n_$suffix"),
+      sum(when(col("__t") === t && col("__p") === p, col("__v"))
+        .otherwise(0L)).as(s"s_$suffix"),
+      sum(when(col("__t") === t && col("__p") === p,
+          col("__v").cast(dec) * col("__v"))
+        .otherwise(lit(0).cast(dec))).as(s"q_$suffix"))
+    val aggExprs = cell(true, false, "tpre") ++
+      cell(true, true, "tpost") ++ cell(false, false, "cpre") ++
+      cell(false, true, "cpost")
+    val cells = src.agg(aggExprs.head, aggExprs.tail: _*)
+    def d(c: Column): Column = c.cast("double")
+    def mean(sfx: String): Column =
+      when(col(s"n_$sfx") > 0,
+        round(d(col(s"s_$sfx")) / d(col(s"n_$sfx")) / lit(1e6), 6))
+    def ss(sfx: String): Column =
+      d(col(s"q_$sfx")) - d(col(s"s_$sfx")) * d(col(s"s_$sfx")) /
+        d(col(s"n_$sfx"))
+    val allCells = Seq("tpre", "tpost", "cpre", "cpost")
+    val anyEmpty = allCells.map(sfx => col(s"n_$sfx") === 0)
+      .reduce(_ || _)
+    val nTot = allCells.map(sfx => col(s"n_$sfx")).reduce(_ + _)
+    val did = round(
+      (d(col("s_tpost")) / d(col("n_tpost")) -
+        d(col("s_tpre")) / d(col("n_tpre")) -
+        (d(col("s_cpost")) / d(col("n_cpost")) -
+          d(col("s_cpre")) / d(col("n_cpre")))) / lit(1e6), 6)
+    val s2 = round((ss("tpre") + ss("tpost") + ss("cpre") +
+      ss("cpost")) / (d(nTot) - lit(4.0)) / lit(1e12), 6)
+    val invN = allCells.map(sfx => lit(1.0) / d(col(s"n_$sfx")))
+      .reduce(_ + _)
+    cells.select(
+      col("n_tpre").as("n_t_pre"), col("n_tpost").as("n_t_post"),
+      col("n_cpre").as("n_c_pre"), col("n_cpost").as("n_c_post"),
+      mean("tpre").as("mean_t_pre"), mean("tpost").as("mean_t_post"),
+      mean("cpre").as("mean_c_pre"), mean("cpost").as("mean_c_post"),
+      when(!anyEmpty, did).as("did"),
+      when(!anyEmpty && nTot > 4, round(sqrt(s2 * invN), 6)).as("se"))
+      .withColumn("t_stat",
+        when(col("se") > 0 && col("did").isNotNull,
+          round(col("did") / col("se"), 6)))
+  }
+
   /** Always-valid sequential A/B test — the mixture SPRT (Johari,
     * Koomen, Pekelis, Walsh: "Peeking at A/B tests"): the
     * experimentation-platform answer to continuous monitoring, where

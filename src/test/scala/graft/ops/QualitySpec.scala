@@ -865,6 +865,46 @@ class QualitySpec extends SparkSpec {
     assert(Quality.kAnonymity(ok, Seq("q1"), k = 3).isEmpty)
   }
 
+  test("diffInDiff: hand-computed 2x2 ATT, pooled SE and t; a common " +
+    "shock alone gives did = 0; an empty cell NULLs the estimate") {
+    import spark.implicits._
+    // T: pre {1,3} post {6,8}; C: pre {2,4} post {3,5}
+    // means: 2, 7, 3, 4 -> did = (7-2) - (4-3) = 4
+    // every cell's ss = 2 -> s2 = 8/(8-4)/1 = 2; se = sqrt(2*4/2)=2
+    val df = Seq(
+      (true, false, 1.0), (true, false, 3.0),
+      (true, true, 6.0), (true, true, 8.0),
+      (false, false, 2.0), (false, false, 4.0),
+      (false, true, 3.0), (false, true, 5.0)).toDF("t", "p", "v")
+    val r = Quality.diffInDiff(df, "v", col("t"), col("p"))
+      .collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 &&
+      r.getLong(2) == 2 && r.getLong(3) == 2, r.toString)
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 7.0 &&
+      r.getDouble(6) == 3.0 && r.getDouble(7) == 4.0, r.toString)
+    assert(r.getDouble(8) == 4.0, r.toString)
+    assert(r.getDouble(9) == math.sqrt(2.0 * 2.0), r.toString)
+    assert(r.getDouble(10) == BigDecimal(4.0 / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      r.toString)
+    // pure common shock: both arms +10 in post -> did exactly 0
+    val shock = Seq(
+      (true, false, 1.0), (true, true, 11.0),
+      (false, false, 2.0), (false, true, 12.0),
+      (true, false, 3.0), (true, true, 13.0),
+      (false, false, 4.0), (false, true, 14.0)).toDF("t", "p", "v")
+    val s = Quality.diffInDiff(shock, "v", col("t"), col("p"))
+      .collect().head
+    assert(s.getDouble(8) == 0.0, s.toString)
+    // a missing cell -> NULL did
+    val hole = Seq((true, true, 1.0), (false, false, 2.0),
+      (false, true, 3.0)).toDF("t", "p", "v")
+    val h = Quality.diffInDiff(hole, "v", col("t"), col("p"))
+      .collect().head
+    assert(h.isNullAt(8) && h.isNullAt(9) && h.isNullAt(10),
+      h.toString)
+  }
+
   test("msprtCurve: hand-computed log-lambda on a two-period " +
     "fixture; always-valid p is monotone non-increasing and collapses " +
     "under a strong effect; a null effect keeps p high; degenerate " +

@@ -3311,6 +3311,13 @@ object SparkEntry {
       text.TextOps.pmiCollocations(t(s, dir, "documents"), "text",
         minCount = 5, topN = 40)),
 
+    // ---- text: RAKE keyphrases — maximal stopword-free token runs,
+    // degree/frequency word scores (long-phrase words win), phrase =
+    // exact sum of its words' round-6 scores; corpus top-25. ----
+    "t_rake" -> ((s, dir) =>
+      text.TextOps.rakeKeywords(t(s, dir, "documents"), "text",
+        maxPhraseLen = 4, topK = 25)),
+
     // ---- A37: portable HyperLogLog distinct-user estimate — the
     // mergeable cardinality sketch from the portable hash family
     // (every register bit SQL-replayable); 64-key agg, exact-integer
@@ -10467,6 +10474,61 @@ v$r AS MATERIALIZED (
 
     // slot-marginal PMI over the adjacent-bigram frame; ln on the
     // identical double ratio
+    // segmentation replayed relationally: stopword-prefix-count
+    // groups = maximal stopword-free runs (any adjacency depth);
+    // round-6 word scores summed exactly per phrase
+    "t_rake" ->
+      """WITH cl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |      ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, u['i'] AS i, u['w'] AS w
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, len(toks) + 1),
+        |      k -> {'i': k, 'w': toks[CAST(k AS INT)]})) AS u
+        |    FROM cl)),
+        |seg AS (
+        |  SELECT doc_id, i, w,
+        |    CASE WHEN w IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','for','on','with','as','by','at','it',
+        |      'this','that') THEN 1 ELSE 0 END AS st
+        |  FROM tok),
+        |seg2 AS (
+        |  SELECT doc_id, i, w, st,
+        |    SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |  FROM seg),
+        |ph AS (
+        |  SELECT doc_id, g,
+        |    array_to_string(list(w ORDER BY i), ' ') AS p,
+        |    COUNT(*) AS l
+        |  FROM seg2 WHERE st = 0 GROUP BY doc_id, g),
+        |phf AS (SELECT p, l FROM ph WHERE l BETWEEN 1 AND 4),
+        |ws AS (
+        |  SELECT w,
+        |    CAST(ROUND(CAST(SUM(l) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS s
+        |  FROM (SELECT unnest(string_split(p, ' ')) AS w, l FROM phf)
+        |  GROUP BY w),
+        |pf AS (SELECT p, COUNT(*) AS n_occurrences FROM phf
+        |  GROUP BY p),
+        |sc AS (
+        |  SELECT pw.p, pw.n_occurrences,
+        |    CAST(SUM(ws.s) AS DOUBLE) AS score
+        |  FROM (SELECT p, n_occurrences,
+        |          unnest(string_split(p, ' ')) AS w
+        |        FROM pf) pw
+        |  JOIN ws ON ws.w = pw.w
+        |  GROUP BY pw.p, pw.n_occurrences)
+        |SELECT p AS phrase,
+        |  CAST(len(string_split(p, ' ')) AS INT) AS n_words,
+        |  n_occurrences, score
+        |FROM sc
+        |ORDER BY score DESC, phrase LIMIT 25""".stripMargin,
+
     "t_pmi_colloc" ->
       """WITH w AS (
         |  SELECT list_filter(

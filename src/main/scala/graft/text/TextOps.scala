@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale corpus pipelines: tokenization,
@@ -1475,5 +1475,77 @@ object TextOps {
           ln2 * ((lit(1.0) - coalesce(col("__sa"), lit(0.0))) +
             (lit(1.0) - coalesce(col("__sb"), lit(0.0))))) / 2.0, 6)
           .as("jsd"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010) — the classic
+    * unsupervised keyphrase miner: candidate phrases are the maximal
+    * stopword-free token runs, each word scores degree/frequency
+    * (degree = Σ over its phrase occurrences of the phrase length —
+    * words that live in LONG phrases beat equally-frequent words in
+    * short ones), and a phrase scores the sum of its words' scores.
+    * Corpus-level top-k (the vocabulary-mining use, beside
+    * [[tfIdf]]'s per-doc weights and textrank's per-doc graph).
+    *
+    * Determinism: phrase segmentation is a pure fold over the
+    * cleaned token stream (lowercase, [^a-z0-9]+ → space; the oracle
+    * reproduces it with a double stopword-boundary regexp_replace);
+    * word scores round once to 6 (decimal), phrase scores are EXACT
+    * sums of those decimals, ties break on the phrase string.
+    *
+    * Scale shape: one explode to the phrase frame, one word-keyed
+    * hash agg (vocabulary-scale), one phrase-keyed agg + TakeOrdered
+    * top-k — no joins wider than phrase-tokens × vocab.
+    *
+    * @return top-k: (phrase, n_words, n_occurrences, score) */
+  def rakeKeywords(docs: DataFrame, textCol: String,
+                   stopwords: Seq[String] = EnStopwords,
+                   maxPhraseLen: Int = 4, topK: Int = 20): DataFrame = {
+    require(maxPhraseLen >= 1, "maxPhraseLen must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val toks = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), " "),
+      t => t =!= "")
+    val emptyPs = expr("cast(array() as array<array<string>>)")
+    val emptyCur = expr("cast(array() as array<string>)")
+    val phrases = aggregate(
+      toks,
+      struct(emptyPs.as("ps"), emptyCur.as("cur")),
+      (acc, t) => when(t.isin(stopwords: _*),
+        struct(
+          when(size(acc.getField("cur")) > 0,
+            concat(acc.getField("ps"), array(acc.getField("cur"))))
+            .otherwise(acc.getField("ps")).as("ps"),
+          emptyCur.as("cur")))
+        .otherwise(struct(acc.getField("ps").as("ps"),
+          concat(acc.getField("cur"), array(t)).as("cur"))),
+      acc => when(size(acc.getField("cur")) > 0,
+        concat(acc.getField("ps"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("ps")))
+    val ph = docs.filter(col(textCol).isNotNull)
+      .select(explode(phrases).as("__ph"))
+      .filter(size(col("__ph")).between(1, maxPhraseLen))
+      .select(array_join(col("__ph"), " ").as("__p"),
+        size(col("__ph")).as("__len"))
+    val wstats = ph
+      .select(explode(split(col("__p"), " ")).as("__w"), col("__len"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__w"),
+        round(col("__deg").cast("double") /
+          col("__freq").cast("double"), 6).cast("decimal(18,6)")
+          .as("__ws"))
+    val pfreq = ph.groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    pfreq
+      .select(col("__p"), col("n_occurrences"),
+        explode(split(col("__p"), " ")).as("__w"))
+      .join(wstats, Seq("__w"))
+      .groupBy(col("__p"), col("n_occurrences"))
+      .agg(sum(col("__ws")).cast("double").as("score"))
+      .select(col("__p").as("phrase"),
+        size(split(col("__p"), " ")).as("n_words"),
+        col("n_occurrences"), col("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
   }
 }

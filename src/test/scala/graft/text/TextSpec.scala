@@ -1254,4 +1254,36 @@ class TextSpec extends SparkSpec {
     // ranking: pmi desc then word tiebreak
     assert(got == got.sortBy(r => (-r._4, r._1, r._2)), got.toString)
   }
+
+  test("rakeKeywords: hand-computed degree/freq word scores and " +
+    "phrase sums; stopwords segment phrases; adjacent stopwords and " +
+    "punctuation collapse; maxPhraseLen prunes") {
+    import spark.implicits._
+    // cleaned/segmented phrases: "deep learning", "deep", "models"
+    // (the 'of'/'and' boundaries; punctuation collapses with the
+    // stopword to one boundary)
+    val docs = Seq(
+      "Deep learning of the deep, and MODELS!",
+      "deep learning and models").toDF("text")
+    val got = graft.text.TextOps.rakeKeywords(docs, "text", topK = 10)
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // phrases: doc1: [deep learning], [deep], [models];
+    //          doc2: [deep learning], [models]
+    // word stats: deep: freq 3 (2 in 2-phrases + 1 alone),
+    //   deg = 2+2+1 = 5 -> 5/3; learning: freq 2, deg 4 -> 2;
+    //   models: freq 2, deg 2 -> 1
+    val dScore = BigDecimal(5.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("deep learning") ==
+      ((2, 2L, dScore + 2.0)), got.toString)
+    assert(got("deep") == ((1, 1L, dScore)), got.toString)
+    assert(got("models") == ((1, 2L, 1.0)), got.toString)
+    // a long run beyond maxPhraseLen is pruned whole
+    val long = Seq("alpha beta gamma delta epsilon").toDF("text")
+    assert(graft.text.TextOps.rakeKeywords(long, "text",
+      maxPhraseLen = 4).count() == 0)
+    assert(graft.text.TextOps.rakeKeywords(long, "text",
+      maxPhraseLen = 5).count() == 1)
+  }
 }

@@ -3188,6 +3188,18 @@ object SparkEntry {
       ops.Analytics.temperatureMix(t(s, dir, "documents"),
         Seq("source"), alphaMicros = 300000L)),
 
+    // ---- W36: interval union — every event opens a 10-minute
+    // activity interval; overlapping/touching intervals per user
+    // flatten into maximal usage episodes (prefix-max, the
+    // watertight form — lag(end) alone splits swallowed intervals).
+    // ----
+    "w36_interval_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts").as("s0"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e0"))
+      WindowOps.intervalUnion(ev, Seq("user_id"), "s0", "e0")
+    }),
+
     // ---- A64: difference-in-differences — even/odd users as
     // treatment/control arms, first-half vs second-half month as
     // pre/post: the control trend differences out the common time
@@ -9906,6 +9918,34 @@ FROM n, vxy, vxx, vyy"""
         |  CAST((g.pos * 1000000) // g.n AS BIGINT) AS raw_micros,
         |  CAST(iso.iso_micros AS BIGINT) AS iso_micros
         |FROM g JOIN iso ON iso.bin = g.bin""".stripMargin,
+
+    // prefix-max episode detection replayed on exact integer micros
+    "w36_interval_union" ->
+      """WITH src AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+        |    CAST(epoch_us(ts) AS BIGINT) + 600000000 AS e
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN MAX(e) OVER (PARTITION BY user_id
+        |        ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        IS NULL
+        |      OR s > MAX(e) OVER (PARTITION BY user_id
+        |        ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM src),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS ep
+        |  FROM f)
+        |SELECT user_id, CAST(ep AS BIGINT) AS episode,
+        |  MIN(s) AS episode_start,
+        |  MAX(e) AS episode_end, COUNT(*) AS n_intervals
+        |FROM g GROUP BY user_id, ep""".stripMargin,
 
     // four exact-moment cells in one conditional agg; every derived
     // statistic one fixed-order rounded chain

@@ -246,6 +246,50 @@ object WindowOps {
       .drop("__graft_new")
   }
 
+  /** Interval UNION (flatten) — merge each key's overlapping or
+    * touching [start, end] intervals into maximal disjoint episodes:
+    * the complement of [[sessionize]] (gap between POINT events)
+    * for data that arrives as genuine intervals — medication
+    * administrations, device sessions, ICU stays (the reference's
+    * dialysis episodes are exactly this shape when windows overlap).
+    * Touching intervals (next.start == current max end) MERGE
+    * (closed-interval semantics, stated contract).
+    *
+    * Plan: one key-hash exchange; per key, intervals sort by
+    * (start, end) and a new episode opens exactly when start exceeds
+    * the running max of PRECEDING ends (a prefix-max window — the
+    * watertight form; comparing against lag(end) alone is the classic
+    * bug that splits an episode when an early long interval swallows
+    * later short ones). Episode id = prefix sum of the new-episode
+    * flags; one agg to the episode frame. All comparisons on exact
+    * integer micros.
+    *
+    * @return (keys…, episode, episode_start, episode_end,
+    *         n_intervals) — micros columns */
+  def intervalUnion(df: DataFrame, keys: Seq[String], startCol: String,
+                    endCol: String): DataFrame = {
+    val us = (c: Column) => unix_micros(c.cast("timestamp_ltz"))
+    val src = df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(keys.map(col) :+ us(col(startCol)).as("__s") :+
+        us(col(endCol)).as("__e"): _*)
+      .filter(col("__e") >= col("__s"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__s"), col("__e"))
+    val prevMaxEnd = max(col("__e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = src
+      .withColumn("__new",
+        when(prevMaxEnd.isNull || col("__s") > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("__ep",
+        sum(col("__new")).over(w.rowsBetween(
+          Window.unboundedPreceding, 0)))
+    flagged.groupBy(keys.map(col) :+ col("__ep").as("episode"): _*)
+      .agg(min(col("__s")).as("episode_start"),
+        max(col("__e")).as("episode_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   /** EWMA (exponential smoothing) over each key's time-ordered values:
     * s₁ = v₁, sᵢ = α·vᵢ + (1−α)·sᵢ₋₁. The recurrence runs in EXACT
     * DECIMAL arithmetic (inputs rounded once to 6 on the double — the

@@ -388,4 +388,36 @@ class WindowOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
     assert(seas == Map(1L -> 0.000001, 2L -> -0.000001), seas.toString)
   }
+
+  test("intervalUnion: an early long interval swallowing later short " +
+    "ones stays ONE episode (prefix-max, not lag); touching " +
+    "intervals merge; disjoint split; keys independent") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // key a: [0,10] swallows [2,3] and [4,5]; [10,12] TOUCHES ->
+      // one episode [0,12]; [15,16] separate
+      ("a", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")),
+      ("a", ts("2024-01-01 00:02:00"), ts("2024-01-01 00:03:00")),
+      ("a", ts("2024-01-01 00:04:00"), ts("2024-01-01 00:05:00")),
+      ("a", ts("2024-01-01 00:10:00"), ts("2024-01-01 00:12:00")),
+      ("a", ts("2024-01-01 00:15:00"), ts("2024-01-01 00:16:00")),
+      // key b: independent
+      ("b", ts("2024-01-01 00:02:30"), ts("2024-01-01 00:03:30"))
+    ).toDF("k", "s", "e")
+    val got = WindowOps.intervalUnion(df, Seq("k"), "s", "e")
+      .select("k", "episode", "episode_start", "episode_end",
+        "n_intervals")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(got == Set(
+      ("a", 1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:12:00"), 4L),
+      ("a", 2L, us("2024-01-01 00:15:00"), us("2024-01-01 00:16:00"), 1L),
+      ("b", 1L, us("2024-01-01 00:02:30"), us("2024-01-01 00:03:30"), 1L)),
+      got.toString)
+    // inverted intervals are dropped, not corrupting episodes
+    val inv = Seq(("a", ts("2024-01-01 00:05:00"),
+      ts("2024-01-01 00:01:00"))).toDF("k", "s", "e")
+    assert(WindowOps.intervalUnion(inv, Seq("k"), "s", "e").count() == 0)
+  }
 }

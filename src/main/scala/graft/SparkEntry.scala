@@ -3038,6 +3038,16 @@ object SparkEntry {
     // pseudo-probability vs purchase — per-bin confidence/accuracy
     // and the headline ECE, all in exact truncating integer
     // micro-units (no double mean anywhere). ----
+    // ---- A65: Brier score + Murphy decomposition — the headline
+    // probabilistic-forecast number beside a41/a42's calibration
+    // surface: reliability − resolution + uncertainty on the same
+    // score frame. ----
+    "a65_brier" -> ((s, dir) =>
+      Quality.brierDecomposition(
+        t(s, dir, "events").withColumn("score",
+          least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0))),
+        "score", col("event_type") === "purchase")),
+
     "a41_calibration" -> ((s, dir) =>
       Quality.calibrationBins(
         t(s, dir, "events").withColumn("score",
@@ -9544,6 +9554,55 @@ FROM n, vxy, vxx, vyy"""
 
     // per-bin confidence/accuracy replayed in the same exact integer
     // micro-units (truncating //, both engines floor non-negatives)
+    // exact HUGEINT (p_mu - y*1e6)^2 global sum; per-bin rel/res
+    // terms rounded once then summed exactly in decimal
+    "a65_brier" ->
+      """WITH s AS (
+        |  SELECT CAST(ROUND(LEAST(GREATEST(
+        |      CAST(value AS DOUBLE) / CAST(100 AS DOUBLE), 0), 1), 6)
+        |    AS DECIMAL(18,6)) AS v,
+        |    event_type = 'purchase' AS p
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (
+        |  SELECT LEAST(CAST(floor(v * 10) AS INT), 9) AS bin,
+        |    CAST(v * 1000000 AS BIGINT) AS mu,
+        |    CASE WHEN p THEN 1 ELSE 0 END AS y
+        |  FROM s),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos,
+        |    SUM(CAST(mu - y * 1000000 AS HUGEINT)
+        |      * (mu - y * 1000000)) AS sq
+        |  FROM b),
+        |pb AS (
+        |  SELECT bin, COUNT(*) AS nk, SUM(mu) AS sk, SUM(y) AS pk
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT
+        |    SUM(CAST(ROUND(
+        |      CAST(CAST(sk - pk * 1000000 AS HUGEINT)
+        |        * (sk - pk * 1000000) AS DOUBLE)
+        |      / CAST(nk AS DOUBLE) / CAST(g.n AS DOUBLE) / 1e12, 6)
+        |      AS DECIMAL(18,6))) AS rels,
+        |    SUM(CAST(ROUND(CAST(nk AS DOUBLE) *
+        |      (CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE)
+        |        - CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE)) *
+        |      (CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE)
+        |        - CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE))
+        |      / CAST(g.n AS DOUBLE), 6) AS DECIMAL(18,6))) AS ress
+        |  FROM pb, g)
+        |SELECT g.n,
+        |  ROUND(CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE), 6)
+        |    AS base_rate,
+        |  ROUND(CAST(g.sq AS DOUBLE) / CAST(g.n AS DOUBLE) / 1e12, 6)
+        |    AS brier,
+        |  CAST(t.rels AS DOUBLE) AS reliability,
+        |  CAST(t.ress AS DOUBLE) AS resolution,
+        |  ROUND((CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE))
+        |    * (1.0 - CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE)), 6)
+        |    AS uncertainty
+        |FROM g, t""".stripMargin,
+
     "a41_calibration" ->
       """WITH s AS (
         |  SELECT CAST(ROUND(LEAST(GREATEST(

@@ -1612,6 +1612,79 @@ object Quality {
           .as("auc"))
   }
 
+  /** Brier score + Murphy decomposition — the probabilistic-forecast
+    * audit completing the calibration family ([[calibrationBins]],
+    * [[expectedCalibrationError]], isotonic): Brier = mean (p−y)²,
+    * decomposed (Murphy 1973, binned) into RELIABILITY (calibration
+    * error, lower better), RESOLUTION (how far bin outcomes spread
+    * from the base rate, higher better) and UNCERTAINTY ȳ(1−ȳ) —
+    * brier ≈ rel − res + unc, exact when forecasts are constant per
+    * bin (spec'd).
+    *
+    * Determinism: the [[calibrationBins]] micro/bin discipline —
+    * per-row (p_mu − y·10⁶)² sums EXACT in decimal(38,0); each
+    * per-bin rel/res term is ONE fixed-order double chain rounded to
+    * 6 and the cross-bin sums are exact decimal (order-free — a
+    * plain double Σ over bins would be partitioning-dependent);
+    * final scalars round once.
+    *
+    * Scale shape: one corpus hash agg to ≤bins rows + one exact
+    * global agg; scalars after.
+    *
+    * @return one row: (n, base_rate, brier, reliability, resolution,
+    *         uncertainty) */
+  def brierDecomposition(df: DataFrame, scoreCol: String, isPos: Column,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val dec = "decimal(38,0)"
+    val s6 = r6d(col(scoreCol))
+    val src = df.filter(col(scoreCol).isNotNull && isPos.isNotNull)
+      .select(s6.as("__s"), isPos.as("__p"))
+      .filter(col("__s") >= 0 && col("__s") <= 1)
+      .select(least(floor(col("__s") * bins).cast("int"), lit(bins - 1))
+          .as("bin"),
+        (col("__s").cast("decimal(18,6)") * 1000000L)
+          .cast(dec).cast("long").as("__mu"),
+        when(col("__p"), 1L).otherwise(0L).as("__y"))
+    val glob = src.agg(count(lit(1)).as("__n"),
+        coalesce(sum(col("__y")), lit(0L)).as("__pos"),
+        coalesce(sum((col("__mu").cast(dec) - col("__y") * 1000000L) *
+          (col("__mu").cast(dec) - col("__y") * 1000000L)),
+          lit(0).cast(dec)).as("__sq"))
+      .localCheckpoint()
+    val perBin = src.groupBy(col("bin")).agg(
+      count(lit(1)).as("__nk"), sum(col("__mu")).as("__sk"),
+      sum(col("__y")).as("__pk"))
+    def d(c: Column): Column = c.cast("double")
+    val terms = perBin.crossJoin(broadcast(glob))
+      .select(
+        round(d((col("__sk").cast(dec) - col("__pk").cast(dec) *
+            1000000L) * (col("__sk").cast(dec) -
+            col("__pk").cast(dec) * 1000000L)) /
+          d(col("__nk")) / d(col("__n")) / lit(1e12), 6)
+          .cast("decimal(18,6)").as("__rel"),
+        round(d(col("__nk")) *
+          (d(col("__pk")) / d(col("__nk")) -
+            d(col("__pos")) / d(col("__n"))) *
+          (d(col("__pk")) / d(col("__nk")) -
+            d(col("__pos")) / d(col("__n"))) / d(col("__n")), 6)
+          .cast("decimal(18,6)").as("__res"))
+      .agg(sum(col("__rel")).as("__relS"), sum(col("__res")).as("__resS"))
+    glob.crossJoin(broadcast(terms))
+      .select(col("__n").as("n"),
+        when(col("__n") > 0,
+          round(d(col("__pos")) / d(col("__n")), 6)).as("base_rate"),
+        when(col("__n") > 0,
+          round(d(col("__sq")) / d(col("__n")) / lit(1e12), 6))
+          .as("brier"),
+        col("__relS").cast("double").as("reliability"),
+        col("__resS").cast("double").as("resolution"),
+        when(col("__n") > 0,
+          round((d(col("__pos")) / d(col("__n"))) *
+            (lit(1.0) - d(col("__pos")) / d(col("__n"))), 6))
+          .as("uncertainty"))
+  }
+
   /** Difference-in-differences — the quasi-experimental workhorse
     * when treatment wasn't randomized but a pre-period exists:
     * ATT = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), the control

@@ -865,6 +865,39 @@ class QualitySpec extends SparkSpec {
     assert(Quality.kAnonymity(ok, Seq("q1"), k = 3).isEmpty)
   }
 
+  test("brierDecomposition: hand-computed decomposition on " +
+    "bin-constant forecasts; brier = rel - res + unc on the grid; " +
+    "a perfectly calibrated forecaster has ~zero reliability") {
+    import spark.implicits._
+    // two bin-constant forecast groups: p=.2 (1 pos of 4),
+    // p=.8 (3 pos of 4) -> base rate .5
+    val df = (Seq.fill(3)((0.2, false)) ++ Seq((0.2, true)) ++
+      Seq.fill(3)((0.8, true)) ++ Seq((0.8, false)))
+      .toDF("p", "y")
+    val r = Quality.brierDecomposition(df, "p", col("y"), bins = 10)
+      .collect().head
+    val (n, base, brier, rel, res, unc) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(n == 8 && base == 0.5, r.toString)
+    // brier = mean of (.2-y)^2/(.8-y)^2: 3*.04+1*.64+3*.04+1*.64 /8
+    assert(brier == (3 * 0.04 + 0.64 + 3 * 0.04 + 0.64) / 8,
+      r.toString)
+    // rel: bins at .2 (acc .25) and .8 (acc .75):
+    // each (0.05)^2*4/8 = 0.00125 -> 0.0025 total
+    assert(math.abs(rel - 0.0025) < 3e-6, r.toString)
+    // res: each bin (.25-.5)^2*4/8 = 0.03125 -> 0.0625
+    assert(math.abs(res - 0.0625) < 3e-6, r.toString)
+    assert(unc == 0.25, r.toString)
+    // the Murphy identity on bin-constant forecasts
+    assert(math.abs(brier - (rel - res + unc)) < 5e-6, r.toString)
+    // perfectly calibrated: p = empirical rate per bin
+    val cal = (Seq.fill(1)((0.25, true)) ++ Seq.fill(3)((0.25, false)) ++
+      Seq.fill(3)((0.75, true)) ++ Seq((0.75, false))).toDF("p", "y")
+    val rc = Quality.brierDecomposition(cal, "p", col("y"), bins = 4)
+      .collect().head
+    assert(rc.getDouble(3) < 1e-5, rc.toString)
+  }
+
   test("diffInDiff: hand-computed 2x2 ATT, pooled SE and t; a common " +
     "shock alone gives did = 0; an empty cell NULLs the estimate") {
     import spark.implicits._

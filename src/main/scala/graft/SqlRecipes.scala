@@ -605,6 +605,129 @@ object SqlRecipes {
          |  END AS dp_gap
          |FROM c, o""".stripMargin,
 
+    // -- difference-in-differences (r13): the a64 quasi-experimental
+    // 2x2 from any JDBC client — four exact-moment cells, fixed-order
+    // rounded chains, NULL on an empty cell
+    "graft_did" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_did(cut_day INT)
+         |RETURNS TABLE (n_t_pre BIGINT, n_t_post BIGINT,
+         |  n_c_pre BIGINT, n_c_post BIGINT, did DOUBLE, se DOUBLE,
+         |  t_stat DOUBLE)
+         |RETURN
+         |WITH s AS (
+         |  SELECT user_id % 2 = 0 AS t,
+         |    day(ts) > graft_did.cut_day AS p,
+         |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+         |  FROM ${prefix}events
+         |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+         |    AND ts IS NOT NULL),
+         |c AS (
+         |  SELECT
+         |    SUM(CASE WHEN t AND NOT p THEN 1L ELSE 0L END) AS n_tpre,
+         |    SUM(CASE WHEN t AND NOT p THEN v ELSE 0L END) AS s_tpre,
+         |    SUM(CASE WHEN t AND NOT p THEN CAST(v AS DECIMAL(38,0)) * v
+         |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_tpre,
+         |    SUM(CASE WHEN t AND p THEN 1L ELSE 0L END) AS n_tpost,
+         |    SUM(CASE WHEN t AND p THEN v ELSE 0L END) AS s_tpost,
+         |    SUM(CASE WHEN t AND p THEN CAST(v AS DECIMAL(38,0)) * v
+         |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_tpost,
+         |    SUM(CASE WHEN NOT t AND NOT p THEN 1L ELSE 0L END) AS n_cpre,
+         |    SUM(CASE WHEN NOT t AND NOT p THEN v ELSE 0L END) AS s_cpre,
+         |    SUM(CASE WHEN NOT t AND NOT p
+         |        THEN CAST(v AS DECIMAL(38,0)) * v
+         |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_cpre,
+         |    SUM(CASE WHEN NOT t AND p THEN 1L ELSE 0L END) AS n_cpost,
+         |    SUM(CASE WHEN NOT t AND p THEN v ELSE 0L END) AS s_cpost,
+         |    SUM(CASE WHEN NOT t AND p
+         |        THEN CAST(v AS DECIMAL(38,0)) * v
+         |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_cpost
+         |  FROM s),
+         |m AS (
+         |  SELECT *,
+         |    n_tpre = 0 OR n_tpost = 0 OR n_cpre = 0 OR n_cpost = 0
+         |      AS hole,
+         |    n_tpre + n_tpost + n_cpre + n_cpost AS ntot
+         |  FROM c),
+         |o AS (
+         |  SELECT n_tpre AS n_t_pre, n_tpost AS n_t_post,
+         |    n_cpre AS n_c_pre, n_cpost AS n_c_post,
+         |    CASE WHEN NOT hole THEN
+         |      ROUND((CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+         |        - CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE)
+         |        - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+         |          - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)))
+         |        / 1000000.0D, 6) END AS did,
+         |    CASE WHEN NOT hole AND ntot > 4 THEN
+         |      ROUND(sqrt(
+         |        ROUND(((CAST(q_tpre AS DOUBLE) - CAST(s_tpre AS DOUBLE)
+         |            * CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE))
+         |          + (CAST(q_tpost AS DOUBLE) - CAST(s_tpost AS DOUBLE)
+         |            * CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE))
+         |          + (CAST(q_cpre AS DOUBLE) - CAST(s_cpre AS DOUBLE)
+         |            * CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE))
+         |          + (CAST(q_cpost AS DOUBLE) - CAST(s_cpost AS DOUBLE)
+         |            * CAST(s_cpost AS DOUBLE)
+         |            / CAST(n_cpost AS DOUBLE)))
+         |          / (CAST(ntot AS DOUBLE) - 4.0D)
+         |          / 1000000000000.0D, 6)
+         |        * (1.0D / CAST(n_tpre AS DOUBLE)
+         |          + 1.0D / CAST(n_tpost AS DOUBLE)
+         |          + 1.0D / CAST(n_cpre AS DOUBLE)
+         |          + 1.0D / CAST(n_cpost AS DOUBLE))), 6) END AS se
+         |  FROM m)
+         |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post, did, se,
+         |  CASE WHEN se > 0 AND did IS NOT NULL THEN
+         |    ROUND(did / se, 6) END AS t_stat
+         |FROM o""".stripMargin,
+
+    // -- uplift / Qini curve (r13): the a62 targeting evaluation —
+    // descending cumulatives on the distinct-score frame
+    "graft_uplift" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_uplift(
+         |  pos_type STRING)
+         |RETURNS TABLE (score DOUBLE, n_t BIGINT, n_c BIGINT,
+         |  pos_t BIGINT, pos_c BIGINT, uplift DOUBLE, qini DOUBLE)
+         |RETURN
+         |WITH s AS (
+         |  SELECT CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sc,
+         |    user_id % 2 = 0 AS t,
+         |    event_type = graft_uplift.pos_type AS y
+         |  FROM ${prefix}events
+         |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |g AS (
+         |  SELECT sc,
+         |    SUM(CASE WHEN t THEN 1L ELSE 0L END) AS ct,
+         |    SUM(CASE WHEN NOT t THEN 1L ELSE 0L END) AS cc,
+         |    SUM(CASE WHEN t AND y THEN 1L ELSE 0L END) AS pt,
+         |    SUM(CASE WHEN NOT t AND y THEN 1L ELSE 0L END) AS pc
+         |  FROM s GROUP BY sc),
+         |tot AS (
+         |  SELECT SUM(ct) AS tct, SUM(cc) AS tcc, SUM(pt) AS tpt,
+         |    SUM(pc) AS tpc
+         |  FROM g),
+         |cum AS (
+         |  SELECT sc,
+         |    tct - (SUM(ct) OVER (ORDER BY sc) - ct) AS n_t,
+         |    tcc - (SUM(cc) OVER (ORDER BY sc) - cc) AS n_c,
+         |    tpt - (SUM(pt) OVER (ORDER BY sc) - pt) AS pos_t,
+         |    tpc - (SUM(pc) OVER (ORDER BY sc) - pc) AS pos_c
+         |  FROM g, tot)
+         |SELECT CAST(sc AS DOUBLE) / 1000000.0D AS score,
+         |  n_t, n_c, pos_t, pos_c,
+         |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+         |    ROUND(CAST(pos_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+         |      - CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+         |  END AS uplift,
+         |  CASE WHEN n_c > 0 THEN
+         |    ROUND(CAST(pos_t AS DOUBLE)
+         |      - CAST(pos_c AS DOUBLE) * CAST(n_t AS DOUBLE)
+         |        / CAST(n_c AS DOUBLE), 6)
+         |  END AS qini
+         |FROM cum""".stripMargin,
+
     // -- order-free dataset fingerprint (r13): the a60 integrity
     // check from any JDBC client — the SAME native poly_hash_set the
     // DSL uses (injected into every session by GraftExtensions), so

@@ -299,6 +299,36 @@ class SqlRecipesSpec extends SparkSpec {
     assert(viaSql == viaDsl && viaSql._3.nonEmpty, s"$viaSql $viaDsl")
   }
 
+  test("graft_did == Quality.diffInDiff on the a64 frame") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_did(15)")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val viaDsl = ops.Quality.diffInDiff(
+        Tables.load(spark, dir, "events"), "value",
+        col("user_id") % 2 === 0, dayofmonth(col("ts")) > 15)
+      .select("n_t_pre", "n_t_post", "n_c_pre", "n_c_post", "did",
+        "se", "t_stat")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(viaSql == viaDsl && viaSql._5.nonEmpty, s"$viaSql $viaDsl")
+  }
+
+  test("graft_uplift == Quality.upliftCurve on the a62 frame") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_uplift('purchase')")
+      .as[(Double, Long, Long, Long, Long, Option[Double],
+        Option[Double])].collect().toSet
+    val viaDsl = ops.Quality.upliftCurve(
+        Tables.load(spark, dir, "events")
+          .filter(col("user_id").isNotNull &&
+            col("event_type").isNotNull), "value",
+        col("user_id") % 2 === 0, col("event_type") === "purchase")
+      .as[(Double, Long, Long, Long, Long, Option[Double],
+        Option[Double])].collect().toSet
+    assert(viaSql == viaDsl && viaSql.nonEmpty, s"sizes ${viaSql.size}")
+  }
+
   test("graft_fingerprint == Quality.datasetFingerprint on " +
     "(event_id, event_type) — plan-identical native poly_hash_set") {
     ready()

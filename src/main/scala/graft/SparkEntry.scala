@@ -3038,6 +3038,13 @@ object SparkEntry {
     // pseudo-probability vs purchase — per-bin confidence/accuracy
     // and the headline ECE, all in exact truncating integer
     // micro-units (no double mean anywhere). ----
+    // ---- A66: Cliff's delta — the nonparametric effect size of
+    // purchase vs non-purchase event values (P(X>Y) − P(X<Y), ties
+    // zero): exact pair counts off the rocAuc Prefix machinery. ----
+    "a66_cliffs_delta" -> ((s, dir) =>
+      Quality.cliffsDelta(t(s, dir, "events"), "value",
+        col("event_type") === "purchase")),
+
     // ---- A65: Brier score + Murphy decomposition — the headline
     // probabilistic-forecast number beside a41/a42's calibration
     // surface: reliability − resolution + uncertainty on the same
@@ -9554,6 +9561,35 @@ FROM n, vxy, vxx, vyy"""
 
     // per-bin confidence/accuracy replayed in the same exact integer
     // micro-units (truncating //, both engines floor non-negatives)
+    // concordant/tied pair counts on HUGEINT off the distinct-value
+    // cumulative; delta = (2*conc + tied - tot)/tot, one division
+    "a66_cliffs_delta" ->
+      """WITH s AS (
+        |  SELECT CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS v,
+        |    event_type = 'purchase' AS p
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT v, SUM(CASE WHEN p THEN 1 ELSE 0 END) AS cp,
+        |    SUM(CASE WHEN NOT p THEN 1 ELSE 0 END) AS cn
+        |  FROM s GROUP BY v),
+        |cum AS (
+        |  SELECT cp, cn,
+        |    SUM(cn) OVER (ORDER BY v) - cn AS negBelow
+        |  FROM c)
+        |SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |  CAST(SUM(cn) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(cp) > 0 AND SUM(cn) > 0 THEN
+        |    ROUND(CAST(2 * SUM(CAST(cp AS HUGEINT) * negBelow)
+        |        + SUM(CAST(cp AS HUGEINT) * cn)
+        |        - CAST(SUM(cp) AS HUGEINT) * CAST(SUM(cn) AS HUGEINT)
+        |      AS DOUBLE)
+        |      / CAST(CAST(SUM(cp) AS HUGEINT)
+        |        * CAST(SUM(cn) AS HUGEINT) AS DOUBLE), 6)
+        |  END AS delta
+        |FROM cum""".stripMargin,
+
     // exact HUGEINT (p_mu - y*1e6)^2 global sum; per-bin rel/res
     // terms rounded once then summed exactly in decimal
     "a65_brier" ->

@@ -1570,6 +1570,55 @@ object Quality {
     * @param isPos boolean Column: true → positive class (null rows
     *        excluded)
     * @return one row: (n_pos, n_neg, auc) */
+  /** Cliff's delta — the nonparametric effect size completing the
+    * a20 t-test / a52 randomization family: δ = P(X > Y) − P(X < Y)
+    * over all cross-group pairs (ties contribute zero), the ordinal
+    * "how often does a group-A draw beat a group-B draw" number that
+    * is meaningful when means aren't (heavy tails, ordinal scales).
+    * Equivalent to 2·AUC − 1 and computed from the SAME machinery:
+    * concordant = Σ_v cp(v)·negBelow(v), discordant =
+    * Σ_v cp(v)·negAbove(v), δ = (conc − disc)/(n₁·n₂) — EXACT
+    * decimal(38,0) integers into one rounded double division.
+    * |δ| ≥ 0.474 is Romano's "large" convention (caller's rubric).
+    *
+    * Scale shape: the [[rocAuc]] plan verbatim — distinct-score
+    * frame + the bucketed Prefix hierarchy; nothing per-row.
+    *
+    * @return one row: (n_pos, n_neg, delta) */
+  def cliffsDelta(df: DataFrame, scoreCol: String, isPos: Column,
+                  bucketSize: Long = 1048576L): DataFrame = {
+    require(bucketSize >= 2, "bucketSize must be >= 2")
+    val dec = "decimal(38,0)"
+    val src = df.filter(col(scoreCol).isNotNull && isPos.isNotNull)
+      .select(r6d(col(scoreCol)).as("__v"), isPos.as("__p"))
+    val counts = src.groupBy(col("__v")).agg(
+      sum(when(col("__p"), 1L).otherwise(0L)).as("__cp"),
+      sum(when(!col("__p"), 1L).otherwise(0L)).as("__cn"))
+      .withColumn("__mu",
+        (col("__v").cast("decimal(18,6)") * lit(1000000L))
+          .cast(dec).cast("long"))
+    val below = Prefix.strictBelow(counts, Nil, "__mu", Seq("__cn"),
+        bucketSize)
+      .select(col("__cp"), col("__cn"),
+        col("__below___cn").as("__negBelow"))
+    below
+      .agg(sum(col("__cp")).as("__np"), sum(col("__cn")).as("__nn"),
+        coalesce(sum(col("__cp").cast(dec) * col("__negBelow")),
+          lit(0).cast(dec)).as("__conc"))
+      .select(col("__np").as("n_pos"), col("__nn").as("n_neg"),
+        col("__conc"),
+        // discordant = total pairs - concordant - tied
+        (col("__np").cast(dec) * col("__nn")).as("__tot"))
+      .crossJoin(broadcast(
+        below.agg(coalesce(sum(col("__cp").cast(dec) * col("__cn")),
+          lit(0).cast(dec)).as("__tied"))))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((lit(2).cast(dec) * col("__conc") + col("__tied") -
+            col("__tot")).cast("double") /
+            col("__tot").cast("double"), 6)).as("delta"))
+  }
+
   def rocAuc(df: DataFrame, scoreCol: String, isPos: Column,
              bucketSize: Long = 1048576L): DataFrame = {
     require(bucketSize >= 2, "bucketSize must be >= 2")

@@ -589,6 +589,25 @@ object ScaleSweep {
       // one corpus agg to the bins frame; 5 scalings on bins^2
       "a59_sinkhorn" -> (d =>
         SparkEntry.queries("a59_sinkhorn")(spark, d).count()),
+      // one narrow pass (dx*dy + dx^2 + dy^2 products) into the
+      // cells frame — the honest Gram cost
+      "e_cka" -> (d =>
+        SparkEntry.queries("e_cka")(spark, d).count()),
+      // phrase explode + vocab-scale agg + TakeOrdered tail
+      "t_rake" -> (d =>
+        SparkEntry.queries("t_rake")(spark, d).count()),
+      // one key-hash exchange, per-key prefix-max windows
+      "w36_interval_union" -> (d =>
+        SparkEntry.queries("w36_interval_union")(spark, d).count()),
+      // corpus hash agg to the distinct-score frame + Prefix
+      "a62_uplift" -> (d =>
+        SparkEntry.queries("a62_uplift")(spark, d).count()),
+      // period-frame cumulative chains off one corpus agg
+      "a63_msprt" -> (d =>
+        SparkEntry.queries("a63_msprt")(spark, d).count()),
+      // one narrow projection + global agg with map-side partials
+      "a60_dataset_fp" -> (d =>
+        SparkEntry.queries("a60_dataset_fp")(spark, d).count()),
       // Lloyd assignment + an n x k broadcast crossJoin
       "e_silhouette" -> (d =>
         SparkEntry.queries("e_silhouette")(spark, d).count()),

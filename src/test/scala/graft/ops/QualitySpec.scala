@@ -865,6 +865,35 @@ class QualitySpec extends SparkSpec {
     assert(Quality.kAnonymity(ok, Seq("q1"), k = 3).isEmpty)
   }
 
+  test("cliffsDelta: hand pairs with ties; +1/-1 at complete " +
+    "separation; 0 on identical distributions; = 2*AUC - 1") {
+    import spark.implicits._
+    // X(pos) = {3,5}, Y(neg) = {1,5}: conc 2, disc 1, tied 1 -> .25
+    val df = Seq((3.0, true), (5.0, true), (1.0, false), (5.0, false))
+      .toDF("v", "p")
+    val d0 = Quality.cliffsDelta(df, "v", col("p"))
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(d0 == ((2L, 2L, Some(0.25))), d0.toString)
+    // complete separation
+    val sep = Seq((10.0, true), (11.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "p")
+    assert(Quality.cliffsDelta(sep, "v", col("p"))
+      .select("delta").as[Double].head() == 1.0)
+    // identical distributions -> 0
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "p")
+    assert(Quality.cliffsDelta(same, "v", col("p"))
+      .select("delta").as[Double].head() == 0.0)
+    // delta == 2*auc - 1 on a mixed fixture (both from exact integers)
+    val mix = Seq((1.0, true), (4.0, true), (2.0, false), (3.0, false),
+      (4.0, false)).toDF("v", "p")
+    val dlt = Quality.cliffsDelta(mix, "v", col("p"))
+      .select("delta").as[Double].head()
+    val auc = Quality.rocAuc(mix, "v", col("p"))
+      .select("auc").as[Double].head()
+    assert(math.abs(dlt - (2 * auc - 1)) < 2e-6, s"$dlt vs $auc")
+  }
+
   test("brierDecomposition: hand-computed decomposition on " +
     "bin-constant forecasts; brier = rel - res + unc on the grid; " +
     "a perfectly calibrated forecaster has ~zero reliability") {

@@ -2697,6 +2697,26 @@ object SparkEntry {
     // twin of s_stream_distinct: 64 registers per live window forever
     // vs O(users) dedup state; chunked replay bit-equal to the batch
     // sketch per window. ----
+    // ---- streaming: per-window Brier score — the live forecast-
+    // quality monitor: one exact (count, pos, HUGEINT squared-error)
+    // partial per window, bit-equal to the batch arithmetic. ----
+    "s_stream_brier" -> ((s, dir) => {
+      val in = stageSentinelEvents(s, dir)
+      val ckpt = tempDir("graft_sbr_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val sink = graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.brierStream(stream,
+          least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0)),
+          col("event_type") === "purchase", "1 hour", "2 hours"),
+        queryName = s"sbr_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.EventStreams.drainTail(sink,
+        col("window_start") >=
+          lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
+    }),
+
     // ---- streaming: per-window dataset fingerprint — the live twin
     // of a60: one (count + two modular sums) partial per live window
     // forever; window fingerprints modular-ADD to the whole-corpus
@@ -10894,6 +10914,24 @@ v$r AS MATERIALIZED (
         |  CAST((SUM(CASE WHEN p THEN 1 ELSE 0 END) * 1000000)
         |    // COUNT(*) AS BIGINT) AS acc_micros
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // per-window replay of the a65 micro arithmetic
+    "s_stream_brier" ->
+      """WITH s AS (
+        |  SELECT date_trunc('hour', ts) AS ws,
+        |    CAST(CAST(ROUND(LEAST(GREATEST(
+        |        CAST(value AS DOUBLE) / CAST(100 AS DOUBLE), 0), 1), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mu,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT ws AS window_start, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS base_rate,
+        |  ROUND(CAST(SUM(CAST(mu - y * 1000000 AS HUGEINT)
+        |      * (mu - y * 1000000)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1e12, 6) AS brier
+        |FROM s GROUP BY ws""".stripMargin,
 
     // per-window replay of the a60 fold over the identical canonical
     "s_stream_fingerprint" ->

@@ -158,6 +158,40 @@ object EventStreams {
         col("hash_sum"), col("hash_sum_b"))
   }
 
+  /** Streaming per-window Brier score — the live forecast-quality
+    * monitor beside [[calibrationStream]]: each window's mean squared
+    * probability error from ONE exact partial (count, positives,
+    * Σ(p_mu−y·10⁶)² in decimal(38,0)) per live window forever. The
+    * micro arithmetic is [[graft.ops.Quality.brierDecomposition]]'s
+    * exactly, so a window's brier and base rate are bit-equal to the
+    * batch op on the same rows. Append mode; drain with the sentinel
+    * + [[drainTail]] chassis. */
+  def brierStream(events: DataFrame, score: Column, isPos: Column,
+                  windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s6 = round(score.cast("double"), 6)
+    val src = events.withWatermark("ts", watermark)
+      .filter(score.isNotNull && isPos.isNotNull)
+      .select(window(col("ts"), windowLen).as("win"), s6.as("__s"),
+        isPos.as("__p"))
+      .filter(col("__s") >= 0 && col("__s") <= 1)
+      .select(col("win"),
+        (col("__s").cast("decimal(18,6)") * 1000000L)
+          .cast(dec).cast("long").as("__mu"),
+        when(col("__p"), 1L).otherwise(0L).as("__y"))
+    src.groupBy(col("win"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__y")).as("__pos"),
+        sum((col("__mu").cast(dec) - col("__y") * 1000000L) *
+          (col("__mu").cast(dec) - col("__y") * 1000000L)).as("__sq"))
+      .select(col("win.start").as("window_start"), col("n_rows"),
+        round(col("__pos").cast("double") /
+          col("n_rows").cast("double"), 6).as("base_rate"),
+        round(col("__sq").cast("double") /
+          col("n_rows").cast("double") / lit(1e12), 6).as("brier"))
+  }
+
   def hllDistinctStream(events: DataFrame,
                         windowLen: String = "1 hour",
                         watermark: String = "2 hours"): DataFrame = {

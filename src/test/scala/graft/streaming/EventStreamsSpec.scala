@@ -744,6 +744,56 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("brierStream: per-window brier/base-rate equal the batch " +
+    "arithmetic on the same rows across split triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+      .selectExpr("event_id", "ts", "user_id",
+        "CASE WHEN event_id % 3 = 0 THEN 'purchase' ELSE 'view' END " +
+          "AS event_type", "value", "'{}' as props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sbrp")
+      .toString
+    val q = EventStreams.brierStream(events,
+        least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0)),
+        col("event_type") === "purchase", "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("brier_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    val h0a = (1L to 20L).map(i =>
+      (i, i, ts("2024-01-01 00:10:00"), (i * 7 % 100).toDouble))
+    val h0b = (21L to 30L).map(i =>
+      (i, i, ts("2024-01-01 00:50:00"), (i * 7 % 100).toDouble))
+    val flush = Seq((999L, 999L, ts("2024-01-01 03:30:00"), 1.0))
+    try {
+      ms.addData(h0a)
+      q.processAllAvailable()
+      ms.addData(h0b)
+      q.processAllAvailable()
+      ms.addData(flush)
+      q.processAllAvailable()
+      val got = spark.table("brier_live")
+        .select("window_start", "n_rows", "base_rate", "brier")
+        .as[(java.sql.Timestamp, Long, Double, Double)].collect()
+        .map(r => r._1.toString -> ((r._2, r._3, r._4))).toMap
+      val batch = {
+        val r = graft.ops.Quality.brierDecomposition(
+          (h0a ++ h0b).toDF("event_id", "user_id", "ts", "value")
+            .selectExpr("*",
+              "CASE WHEN event_id % 3 = 0 THEN 'purchase' ELSE 'view' " +
+                "END AS event_type")
+            .withColumn("score", least(greatest(
+              col("value") / lit(100.0), lit(0.0)), lit(1.0))),
+          "score", col("event_type") === "purchase").collect().head
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      }
+      assert(got("2024-01-01 00:00:00.0") == batch,
+        s"stream=${got.get("2024-01-01 00:00:00.0")} batch=$batch")
+    } finally q.stop()
+  }
+
   test("fingerprintStream: per-window fingerprints equal the batch op " +
     "on the same rows across split triggers, and modular-ADD to the " +
     "whole-corpus fingerprint") {

@@ -605,6 +605,84 @@ object SqlRecipes {
          |  END AS dp_gap
          |FROM c, o""".stripMargin,
 
+    // -- Sinkhorn OT drift (r13): the a59 geometry-aware drift metric
+    // in pure SQL — all 5 scalings unrolled as CTEs on the bins²
+    // frame, micro-grid iterates, exact pico/1e18 sums (the same
+    // integer discipline as the DSL op, so parity is bit-exact)
+    "graft_sinkhorn" -> {
+      val rounds = (1 to 5).map { r =>
+        s"""u$r AS (
+  SELECT k.i, CASE WHEN SUM(CAST(k.km AS DECIMAL(38,0)) * v.vm) > 0
+    THEN CAST(CAST(ROUND((CAST(m.pm AS DOUBLE) / 1000000.0D)
+      / (CAST(SUM(CAST(k.km AS DECIMAL(38,0)) * v.vm) AS DOUBLE)
+         / 1000000000000.0D), 6) AS DECIMAL(18,6)) * 1000000
+      AS BIGINT) END AS um
+  FROM k JOIN v${r - 1} v ON v.j = k.j
+    JOIN mass m ON m.bin = k.i
+  GROUP BY k.i, m.pm),
+v$r AS (
+  SELECT k.j, CASE WHEN SUM(CAST(k.km AS DECIMAL(38,0)) * u.um) > 0
+    THEN CAST(CAST(ROUND((CAST(m.qm AS DOUBLE) / 1000000.0D)
+      / (CAST(SUM(CAST(k.km AS DECIMAL(38,0)) * u.um) AS DOUBLE)
+         / 1000000000000.0D), 6) AS DECIMAL(18,6)) * 1000000
+      AS BIGINT) END AS vm
+  FROM k JOIN u$r u ON u.i = k.i
+    JOIN mass m ON m.bin = k.j
+  GROUP BY k.j, m.qm)"""
+      }.mkString(",\n")
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_sinkhorn(
+         |  split_day INT, bin_width_micros BIGINT, eps DOUBLE)
+         |RETURNS TABLE (n_a BIGINT, n_b BIGINT, n_bins BIGINT,
+         |  cost DOUBLE, transported_mass DOUBLE)
+         |RETURN
+         |WITH s AS (
+         |  SELECT day(ts) <= graft_sinkhorn.split_day AS a,
+         |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+         |  FROM ${prefix}events
+         |  WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |b AS (
+         |  SELECT vm div graft_sinkhorn.bin_width_micros AS bin,
+         |    SUM(CASE WHEN a THEN 1L ELSE 0L END) AS ca,
+         |    SUM(CASE WHEN NOT a THEN 1L ELSE 0L END) AS cb
+         |  FROM s GROUP BY 1),
+         |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM b),
+         |mass AS (
+         |  SELECT bin,
+         |    CASE WHEN na > 0 THEN CAST(CAST(ROUND(
+         |      CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) END AS pm,
+         |    CASE WHEN nb > 0 THEN CAST(CAST(ROUND(
+         |      CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) END AS qm
+         |  FROM b, t),
+         |k AS (
+         |  SELECT i.bin AS i, j.bin AS j, abs(i.bin - j.bin) AS c,
+         |    CAST(CAST(ROUND(exp(-CAST(abs(i.bin - j.bin) AS DOUBLE)
+         |      / graft_sinkhorn.eps), 6) AS DECIMAL(18,6))
+         |      * 1000000 AS BIGINT) AS km
+         |  FROM mass i, mass j),
+         |v0 AS (SELECT bin AS j,
+         |  CASE WHEN qm IS NOT NULL THEN 1000000L END AS vm
+         |  FROM mass),
+         |$rounds,
+         |pl AS (
+         |  SELECT SUM(CAST(u.um AS DECIMAL(38,0)) * k.km * v.vm * k.c)
+         |      AS cost18,
+         |    SUM(CAST(u.um AS DECIMAL(38,0)) * k.km * v.vm) AS mass18,
+         |    SUM(CASE WHEN u.um IS NULL OR v.vm IS NULL
+         |        THEN 1 ELSE 0 END) AS nulls
+         |  FROM k JOIN u5 u ON u.i = k.i JOIN v5 v ON v.j = k.j),
+         |bc AS (SELECT COUNT(*) AS bins FROM mass)
+         |SELECT t.na AS n_a, t.nb AS n_b, bc.bins AS n_bins,
+         |  CASE WHEN t.na > 0 AND t.nb > 0 AND pl.nulls = 0 THEN
+         |    ROUND(CAST(pl.cost18 AS DOUBLE) / 1e18, 6) END AS cost,
+         |  CASE WHEN t.na > 0 AND t.nb > 0 AND pl.nulls = 0 THEN
+         |    ROUND(CAST(pl.mass18 AS DOUBLE) / 1e18, 6)
+         |  END AS transported_mass
+         |FROM t, bc, pl""".stripMargin
+    },
+
     // -- difference-in-differences (r13): the a64 quasi-experimental
     // 2x2 from any JDBC client — four exact-moment cells, fixed-order
     // rounded chains, NULL on an empty cell

@@ -299,6 +299,23 @@ class SqlRecipesSpec extends SparkSpec {
     assert(viaSql == viaDsl && viaSql._3.nonEmpty, s"$viaSql $viaDsl")
   }
 
+  test("graft_sinkhorn == Analytics.sinkhornOt (5 unrolled scalings, " +
+    "exact integer sums)") {
+    ready()
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_sinkhorn(15, 5000000, CAST(3.0 AS DOUBLE))")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    val viaDsl = ops.Analytics.sinkhornOt(
+        Tables.load(spark, dir, "events")
+          .filter(col("ts").isNotNull), "value",
+        dayofmonth(col("ts")) <= 15, binWidthMicros = 5000000L,
+        iters = 5, epsMicros = 3000000L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(viaSql == viaDsl && viaSql._4.nonEmpty, s"$viaSql $viaDsl")
+  }
+
   test("graft_did == Quality.diffInDiff on the a64 frame") {
     ready()
     val viaSql = spark.sql("SELECT * FROM graft_did(15)")

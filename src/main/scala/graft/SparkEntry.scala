@@ -1146,6 +1146,23 @@ object SparkEntry {
     "t_zipf" -> ((s, dir) =>
       TextOps.zipfFit(t(s, dir, "documents"), "text", topN = 100)),
 
+    // ---- training-data ops: vocabulary coverage — Good–Turing
+    // unseen mass (N₁/N), bias-corrected Chao1 richness bound, and
+    // the hapax ratio, all off ONE term-frequency agg + one
+    // single-row conditional agg. "Is this corpus big enough for its
+    // domain, and how much vocabulary tail remains?" ----
+    "t_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(t(s, dir, "documents"), "text")),
+
+    // ---- training-data ops: Heaps'-law vocab growth — V(n)=K·n^β
+    // fitted on the corpus's own doc-order growth curve; cumulative
+    // vocab via per-term FIRST-occurrence doc (no per-prefix
+    // distinct), both cumulatives through the bucketed Prefix
+    // hierarchy, log-log OLS tail. β says how fast the vocabulary
+    // tail is still opening. ----
+    "t_heaps" -> ((s, dir) =>
+      TextOps.heapsFit(t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- training-data ops: BPE ENCODE — learn 3 merges on the
     // corpus, then apply them corpus-wide (rank-ordered greedy
     // non-overlapping fuse, the learner's exact rewrite) and report
@@ -3064,6 +3081,35 @@ object SparkEntry {
     "a66_cliffs_delta" -> ((s, dir) =>
       Quality.cliffsDelta(t(s, dir, "events"), "value",
         col("event_type") === "purchase")),
+
+    // ---- A67: Pettitt changepoint — WHEN did the daily event-value
+    // total shift? Exact integer rank statistic U_k off two Prefix
+    // passes (no pair join), one exp for the p-value. The series is
+    // the per-day exact decimal(18,6) total. ----
+    "a67_pettitt" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.filter(col("ts").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("__d"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("__tot"))
+        .select(datediff(col("__d"),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+          .as("day_idx"), col("__tot"))
+      Analytics.pettittTest(daily, "day_idx", "__tot")
+    }),
+
+    // ---- A68: Hellinger / Bhattacharyya drift — the bounded,
+    // symmetric drift metric beside a29's PSI on the same
+    // first-half/second-half event-value split and the same
+    // reference-percentile bins; empty bins contribute exactly 0
+    // (no smoothing — √ is zero-tolerant). ----
+    "a68_hellinger" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Quality.hellingerDrift(
+        ev.filter(dayofmonth(col("ts")) <= 15).select(col("value")),
+        ev.filter(dayofmonth(col("ts")) > 15).select(col("value")),
+        "value", bins = 10)
+    }),
 
     // ---- A65: Brier score + Murphy decomposition — the headline
     // probabilistic-forecast number beside a41/a42's calibration
@@ -5810,6 +5856,97 @@ cov${c + 1} AS MATERIALIZED (
         |  END AS r2,
         |  vocab, total_tokens
         |FROM ff, tot""".stripMargin,
+
+    // exact BIGINT freq-of-freq counts; each ratio ONE double chain
+    // rounded to 6 (hapax² widened to HUGEINT before the cast)
+    "t_vocab_coverage" ->
+      """WITH f AS (
+        |  SELECT term, COUNT(*) AS freq FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS term
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY term),
+        |c AS (
+        |  SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hapax,
+        |    CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dis_legomena
+        |  FROM f)
+        |SELECT total_tokens, vocab, hapax, dis_legomena,
+        |  CASE WHEN total_tokens > 0 THEN
+        |    ROUND(CAST(hapax AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+        |  END AS unseen_mass,
+        |  ROUND(CAST(vocab AS DOUBLE) +
+        |    CAST(CAST(hapax AS HUGEINT) * (hapax - 1) AS DOUBLE) /
+        |    (2.0 * CAST(dis_legomena + 1 AS DOUBLE)), 6) AS chao1,
+        |  CASE WHEN vocab > 0 THEN
+        |    ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+        |  END AS hapax_ratio
+        |FROM c""".stripMargin,
+
+    // first-occurrence cumulative vocab + cumulative tokens per doc,
+    // then the olsFit log-log tail verbatim (round-6 decimal sums)
+    "t_heaps" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS d, unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |nv AS (
+        |  SELECT fd, COUNT(*) AS nv FROM (
+        |    SELECT t, MIN(d) AS fd FROM tok GROUP BY t)
+        |  GROUP BY fd),
+        |pd AS (
+        |  SELECT doc_id AS d, CAST(len(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |curve AS (
+        |  SELECT d,
+        |    SUM(nt) OVER (ORDER BY d) AS cum_n,
+        |    SUM(COALESCE(nv, 0)) OVER (ORDER BY d) AS cum_v
+        |  FROM pd LEFT JOIN nv ON pd.d = nv.fd),
+        |pts AS (
+        |  SELECT
+        |    CAST(ROUND(ln(CAST(cum_n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS x,
+        |    CAST(ROUND(ln(CAST(cum_v AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS y,
+        |    cum_n, cum_v
+        |  FROM curve WHERE cum_n > 0 AND cum_v > 0),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS DOUBLE) AS syy,
+        |    CAST(MAX(cum_v) AS BIGINT) AS vocab,
+        |    CAST(MAX(cum_n) AS BIGINT) AS total_tokens
+        |  FROM pts),
+        |ff AS (
+        |  SELECT n, sx, sy, syy, vocab, total_tokens,
+        |    CAST(n AS DOUBLE)*sxy - sx*sy AS num,
+        |    CAST(n AS DOUBLE)*sxx - sx*sx AS varx
+        |  FROM m)
+        |SELECT n AS n_docs,
+        |  CASE WHEN varx = 0 THEN NULL
+        |       ELSE ROUND(num/varx, 6) END AS heaps_beta,
+        |  CASE WHEN varx = 0 THEN NULL
+        |       ELSE ROUND((sy - (num/varx)*sx)/CAST(n AS DOUBLE), 6)
+        |  END AS heaps_log_k,
+        |  CASE WHEN sqrt(varx*(CAST(n AS DOUBLE)*syy - sy*sy)) = 0
+        |       THEN NULL
+        |       ELSE ROUND((num/sqrt(varx*(CAST(n AS DOUBLE)*syy - sy*sy))) *
+        |                  (num/sqrt(varx*(CAST(n AS DOUBLE)*syy - sy*sy))), 6)
+        |  END AS r2,
+        |  vocab, total_tokens
+        |FROM ff""".stripMargin,
 
     "t_bpe_encode" ->
       """WITH t0 AS (
@@ -9609,6 +9746,91 @@ FROM n, vxy, vxx, vyy"""
         |        * CAST(SUM(cn) AS HUGEINT) AS DOUBLE), 6)
         |  END AS delta
         |FROM cum""".stripMargin,
+
+    // exact doubled average ranks + HUGEINT U_k off window prefix
+    // sums; one exp double chain for the p-value, rounded once
+    "a67_pettitt" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS i,
+        |    CAST(CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |        AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |vals AS (SELECT v, COUNT(*) AS t FROM daily GROUP BY v),
+        |ranks AS (SELECT v,
+        |    2*(SUM(t) OVER (ORDER BY v) - t) + t + 1 AS r2
+        |  FROM vals),
+        |sq AS (SELECT i, r2 FROM daily JOIN ranks USING (v)),
+        |cum AS (SELECT i,
+        |    SUM(r2) OVER (ORDER BY i) AS w,
+        |    ROW_NUMBER() OVER (ORDER BY i) AS k
+        |  FROM sq),
+        |nn AS (SELECT COUNT(*) AS n FROM daily),
+        |u AS (SELECT i, k, nn.n,
+        |    abs(CAST(w AS HUGEINT) - CAST(k AS HUGEINT) * (nn.n + 1))
+        |      AS au
+        |  FROM cum, nn WHERE k < nn.n),
+        |b AS (SELECT * FROM u ORDER BY au DESC, k ASC LIMIT 1)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(au AS BIGINT) AS u_max,
+        |  CAST(i AS BIGINT) AS change_at,
+        |  ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE) * exp(
+        |    CAST(-6.0 AS DOUBLE) * CAST(au AS DOUBLE) * CAST(au AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT)*n*n + CAST(n AS HUGEINT)*n
+        |        AS DOUBLE))), 6) AS p_value
+        |FROM b""".stripMargin,
+
+    // a29's reference-percentile bins; per-bin √(p·q) rounded once,
+    // BC an exact decimal sum, H and −ln BC one double step each
+    "a68_hellinger" ->
+      """WITH r0 AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND day(ts) <= 15),
+        |c0 AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND day(ts) > 15),
+        |q AS (SELECT quantile_cont(v, 0.1) AS q1,
+        |  quantile_cont(v, 0.2) AS q2, quantile_cont(v, 0.3) AS q3,
+        |  quantile_cont(v, 0.4) AS q4, quantile_cont(v, 0.5) AS q5,
+        |  quantile_cont(v, 0.6) AS q6, quantile_cont(v, 0.7) AS q7,
+        |  quantile_cont(v, 0.8) AS q8, quantile_cont(v, 0.9) AS q9
+        |  FROM r0),
+        |rb AS (SELECT 1 + CAST(v > q1 AS INT) + CAST(v > q2 AS INT)
+        |  + CAST(v > q3 AS INT) + CAST(v > q4 AS INT)
+        |  + CAST(v > q5 AS INT) + CAST(v > q6 AS INT)
+        |  + CAST(v > q7 AS INT) + CAST(v > q8 AS INT)
+        |  + CAST(v > q9 AS INT) AS bin FROM r0, q),
+        |cb AS (SELECT 1 + CAST(v > q1 AS INT) + CAST(v > q2 AS INT)
+        |  + CAST(v > q3 AS INT) + CAST(v > q4 AS INT)
+        |  + CAST(v > q5 AS INT) + CAST(v > q6 AS INT)
+        |  + CAST(v > q7 AS INT) + CAST(v > q8 AS INT)
+        |  + CAST(v > q9 AS INT) AS bin FROM c0, q),
+        |r AS (SELECT bin, COUNT(*) AS ref_n FROM rb GROUP BY 1),
+        |c AS (SELECT bin, COUNT(*) AS cur_n FROM cb GROUP BY 1),
+        |t AS (SELECT (SELECT CAST(COALESCE(SUM(ref_n), 0) AS BIGINT)
+        |                FROM r) AS tr,
+        |             (SELECT CAST(COALESCE(SUM(cur_n), 0) AS BIGINT)
+        |                FROM c) AS tc),
+        |f AS (SELECT CAST(COALESCE(ref_n, 0) AS BIGINT) AS ref_n,
+        |        CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n
+        |      FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+        |terms AS (SELECT tr, tc,
+        |    CAST(ROUND(sqrt(
+        |      CAST(CAST(ref_n AS HUGEINT) * cur_n AS DOUBLE) /
+        |      CAST(CAST(tr AS HUGEINT) * tc AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS bct
+        |  FROM f, t),
+        |agg AS (SELECT MAX(tr) AS n_ref, MAX(tc) AS n_cur,
+        |    CAST(SUM(bct) AS DOUBLE) AS bc
+        |  FROM terms)
+        |SELECT n_ref, n_cur, bc,
+        |  CASE WHEN bc IS NOT NULL THEN
+        |    ROUND(sqrt(GREATEST(CAST(0.0 AS DOUBLE),
+        |      CAST(1.0 AS DOUBLE) - bc)), 6) END AS hellinger,
+        |  CASE WHEN bc > 0 THEN ROUND(-ln(bc), 6) + CAST(0.0 AS DOUBLE)
+        |  END AS b_distance
+        |FROM agg""".stripMargin,
 
     // exact HUGEINT (p_mu - y*1e6)^2 global sum; per-bin rel/res
     // terms rounded once then summed exactly in decimal

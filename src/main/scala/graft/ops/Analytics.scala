@@ -752,6 +752,70 @@ object Analytics {
           .as("weight_multiplier")): _*)
   }
 
+  /** Pettitt changepoint test — the nonparametric "WHEN did this
+    * series shift?" companion to [[mannKendall]] (MK asks IF a
+    * monotone trend exists; Pettitt locates a single abrupt
+    * level-change and attaches a significance): U_k = 2·Σ_{i≤k}r̄_i −
+    * k(n+1) over the series' average ranks (the rank form of
+    * Σ_{i≤k}Σ_{j>k} sign(x_i − x_j)), K = max_k |U_k| over k < n,
+    * changepoint = the index attaining K (smallest k on ties), and
+    * the classic tail bound p ≈ 2·exp(−6K²/(n³+n²)) clamped at 1.
+    * Ties carry EXACT integer doubled average ranks
+    * (2r̄ = 2·below + t + 1), so every U_k is an exact integer in
+    * decimal(38,0) — the statistic is reproducible bit-for-bit under
+    * any partitioning; only the final p-value is one double exp,
+    * rounded once.
+    *
+    * Scale contract: unlike [[mannKendall]]'s pair join, this is
+    * prefix-sum shaped end-to-end — one distinct-value hash agg +
+    * the bucketed [[Prefix.strictBelow]] hierarchy for ranks, a
+    * rank-attach join, a second Prefix pass over the time index for
+    * the running sums, and a TakeOrdered(1) for the arg-max: a
+    * BILLION-point series works. One row per `idxCol` (the caller
+    * owns the reduction to a series frame); n < 2 returns zero rows.
+    *
+    * @param idxCol long time index, one row per value
+    * @return one row: (n, u_max, change_at, p_value) — change_at is
+    *         the LAST index of the pre-change segment */
+  def pettittTest(df: DataFrame, idxCol: String, valCol: String,
+                  bucketSize: Long = 1048576L): DataFrame = {
+    require(bucketSize >= 2, "bucketSize must be >= 2")
+    val dec = "decimal(38,0)"
+    val mu = (round(col(valCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000L).cast(dec).cast("long")
+    val src = df.filter(col(idxCol).isNotNull && col(valCol).isNotNull)
+      .select(col(idxCol).cast("long").as("__i"), mu.as("__v"))
+    val vals = src.groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+    val ranks = Prefix.strictBelow(vals, Nil, "__v", Seq("__t"),
+        bucketSize)
+      .select(col("__v"),
+        (lit(2L) * col("__below___t") + col("__t") + 1L).as("__r2"))
+    val seq0 = src.join(ranks, Seq("__v"))
+      .select(col("__i"), col("__r2"), lit(1L).as("__one"))
+    val cum = Prefix.strictBelow(seq0, Nil, "__i",
+        Seq("__r2", "__one"), bucketSize)
+      .select(col("__i"),
+        (col("__below___r2") + col("__r2")).as("__w"),
+        (col("__below___one") + lit(1L)).as("__k"))
+    val n = src.agg(count(lit(1)).as("__n"))
+    val u = cum.crossJoin(broadcast(n))
+      .filter(col("__k") < col("__n"))
+      .select(col("__i"), col("__k"), col("__n"),
+        abs(col("__w").cast(dec) -
+          col("__k").cast(dec) * (col("__n") + 1L).cast(dec))
+          .as("__au"))
+    u.orderBy(col("__au").desc, col("__k").asc).limit(1)
+      .select(col("__n").as("n"),
+        col("__au").cast("long").as("u_max"),
+        col("__i").as("change_at"),
+        round(least(lit(1.0), lit(2.0) * exp(
+          lit(-6.0) * col("__au").cast("double") *
+            col("__au").cast("double") /
+          (col("__n").cast(dec) * col("__n") * col("__n") +
+            col("__n").cast(dec) * col("__n")).cast("double"))), 6)
+          .as("p_value"))
+  }
+
   /** Mann–Kendall trend test + Sen's slope over an ordered series
     * frame — the nonparametric "is this KPI drifting?" pair every
     * monitoring stack wants: MK asks IF a monotone trend exists

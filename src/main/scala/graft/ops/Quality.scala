@@ -529,6 +529,82 @@ object Quality {
               (col("__tr") + lit(0.5 * bins)))), 6).as("psi_term"))
   }
 
+  /** Hellinger / Bhattacharyya drift distance between a REFERENCE
+    * and a CURRENT sample — the BOUNDED, symmetric member of the
+    * drift family ([[psi]] is unbounded and blows up on empty bins;
+    * KS sees only the worst single gap; Sinkhorn is geometry-aware
+    * but iterative): BC = Σ √(p_i·q_i) over the same
+    * reference-percentile bins as PSI, H = √(1 − BC) ∈ [0, 1], and
+    * the Bhattacharyya distance −ln BC (NULL when the binned
+    * supports are disjoint, BC = 0). H is a proper metric — it can
+    * gate a drift SLA ("alert at H > 0.2") where PSI's scale
+    * depends on the bin count. No Laplace smoothing: √ is
+    * zero-tolerant, so an empty bin contributes exactly 0 (stated —
+    * PSI's guarded shares answer a different question).
+    *
+    * Numerics: each bin term is ONE double chain — exact
+    * decimal(38,0) count products (two 10¹²-row samples multiplied
+    * as int64 would overflow) cast to double, one √, rounded to
+    * 6dp — then BC is the EXACT decimal(28,6) sum of the ≤`bins`
+    * rounded terms (order-free, partition-invariant); H and −ln BC
+    * each one more rounded double step. Rounded terms can push BC
+    * an ulp past 1 when the samples agree exactly, so 1 − BC is
+    * clamped at 0.
+    *
+    * Scale shape: the [[psi]] plan verbatim — one tiny percentile
+    * row broadcast into both narrow binning passes, one bins-sized
+    * hash agg each, a bins-row join, a single-row result. Nulls
+    * excluded.
+    *
+    * @return one row: (n_ref, n_cur, bc, hellinger, b_distance) */
+  def hellingerDrift(ref: DataFrame, cur: DataFrame, valCol: String,
+                     bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val dec = "decimal(38,0)"
+    def v = col(valCol).cast("double")
+    val refV = ref.filter(v.isNotNull).select(v.as("__v"))
+    val curV = cur.filter(v.isNotNull).select(v.as("__v"))
+    val qs = refV.agg(
+      call_function("percentile", col("__v"),
+        lit(1.0 / bins)).as("__q1"),
+      (2 until bins).map(i => call_function("percentile", col("__v"),
+        lit(i.toDouble / bins)).as(s"__q$i")): _*)
+    val bin = (1 until bins).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("__v") > col(s"__q$i"), 1).otherwise(0)
+    }
+    def binned(df: DataFrame, n: String) =
+      df.crossJoin(broadcast(qs)).select(bin.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val r = binned(refV, "ref_n")
+    val c = binned(curV, "cur_n")
+    val tot = r.agg(coalesce(sum(col("ref_n")), lit(0L)).as("__tr"))
+      .crossJoin(c.agg(coalesce(sum(col("cur_n")), lit(0L))
+        .as("__tc")))
+    val terms = r.join(c, Seq("bin"), "full_outer")
+      .select(coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .crossJoin(broadcast(tot))
+      .select(col("__tr"), col("__tc"),
+        round(sqrt(
+          (col("ref_n").cast(dec) * col("cur_n").cast(dec))
+            .cast("double") /
+          (col("__tr").cast(dec) * col("__tc").cast(dec))
+            .cast("double")), 6).cast("decimal(18,6)").as("__bct"))
+    terms
+      .agg(max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
+        sum(col("__bct")).cast("decimal(28,6)").as("__bc"))
+      .select(col("n_ref"), col("n_cur"),
+        col("__bc").cast("double").as("bc"),
+        when(col("__bc").isNotNull,
+          round(sqrt(greatest(lit(0.0),
+            lit(1.0) - col("__bc").cast("double"))), 6))
+          .as("hellinger"),
+        when(col("__bc") > 0,
+          // + 0.0 normalizes the −0.0 that −ln(1) produces
+          round(-log(col("__bc").cast("double")), 6) + lit(0.0))
+          .as("b_distance"))
+  }
+
   def olsFit(df: DataFrame, by: Seq[String], xCol: String,
              yCol: String): DataFrame = {
     val ok = col(xCol).isNotNull && col(yCol).isNotNull

@@ -1548,4 +1548,125 @@ object TextOps {
       .orderBy(col("score").desc, col("phrase"))
       .limit(topK)
   }
+
+  /** Vocabulary coverage audit — "how much of the language is this
+    * corpus still missing?": Good–Turing unseen mass and the Chao1
+    * richness estimator off the frequency-of-frequencies. With N
+    * tokens, V distinct terms, N₁ hapax legomena (terms seen once)
+    * and N₂ dis legomena (seen twice):
+    *
+    *   - `unseen_mass` = N₁/N — the Good–Turing estimate of the
+    *     probability the NEXT token drawn is a never-seen term (Gale
+    *     & Sampson 1995). High ⇒ the corpus undersamples its domain;
+    *     the training-data signal for "collect more before scaling".
+    *   - `chao1` = V + N₁(N₁−1)/(2(N₂+1)) — the bias-corrected Chao1
+    *     lower bound on TRUE vocabulary size (Chao 1984); chao1 ≫ V
+    *     says the tail is far from exhausted.
+    *   - `hapax_ratio` = N₁/V — the classic corpus-maturity dial
+    *     (fresh natural text sits near 0.4–0.6; dedup'd boilerplate
+    *     collapses it).
+    *
+    * All counts are exact BIGINT off one term-frequency agg; each
+    * ratio is ONE double division rounded to 6dp (N₁(N₁−1) widened to
+    * decimal(38,0) before the cast — hapax counts at corpus scale
+    * square past 2⁶³).
+    *
+    * Scale shape: one corpus tokenize-explode → one hash agg to the
+    * distinct-term frame (map-side combined) → ONE single-row agg
+    * with conditional sums; nothing else touches the corpus. The
+    * freq-of-freq detail stays inside the agg — no second shuffle.
+    *
+    * @return one row: (total_tokens, vocab, hapax, dis_legomena,
+    *         unseen_mass, chao1, hapax_ratio) */
+  def vocabCoverage(docs: DataFrame, textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val freqs = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    freqs.agg(
+      coalesce(sum(col("freq")), lit(0L)).cast("long")
+        .as("total_tokens"),
+      count(lit(1)).as("vocab"),
+      coalesce(sum(when(col("freq") === 1, 1L).otherwise(0L)),
+        lit(0L)).as("hapax"),
+      coalesce(sum(when(col("freq") === 2, 1L).otherwise(0L)),
+        lit(0L)).as("dis_legomena"))
+      .select(col("total_tokens"), col("vocab"), col("hapax"),
+        col("dis_legomena"),
+        when(col("total_tokens") > 0,
+          round(col("hapax").cast("double") /
+            col("total_tokens").cast("double"), 6)).as("unseen_mass"),
+        round(col("vocab").cast("double") +
+          (col("hapax").cast(dec) * (col("hapax") - 1).cast(dec))
+            .cast("double") /
+          (lit(2.0) * (col("dis_legomena") + 1).cast("double")), 6)
+          .as("chao1"),
+        when(col("vocab") > 0,
+          round(col("hapax").cast("double") /
+            col("vocab").cast("double"), 6)).as("hapax_ratio"))
+  }
+
+  /** Heaps'-law vocabulary-growth fit — V(n) = K·n^β estimated from
+    * the corpus's own growth curve (Heaps 1978): walk the documents
+    * in a deterministic order, record (cumulative tokens, cumulative
+    * distinct vocabulary) at every document boundary, and OLS-fit
+    * log V against log n. β near 0.5 is mature natural text; β → 1
+    * means every document still brings mostly-new vocabulary (the
+    * corpus is nowhere near saturation); K·N^β extrapolates vocab at
+    * a target token budget. The companion dial to [[vocabCoverage]]:
+    * Chao1 bounds WHERE the curve is going, β says HOW FAST.
+    *
+    * The cumulative-vocab curve needs no per-prefix distinct: a term
+    * enters the vocabulary exactly once, at its FIRST-occurrence
+    * document (min doc order value). Cumulative vocab at document d =
+    * count of terms with first-doc ≤ d — a curve-frame prefix sum.
+    *
+    * Scale shape: one corpus tokenize-explode feeding TWO hash aggs
+    * (per-term min-first-doc; per-doc token counts) — the corpus is
+    * touched once; everything after runs on curve-sized frames
+    * (≤ one row per document), with both cumulatives through the
+    * bucketed [[graft.ops.Prefix.strictBelow]] hierarchy (no
+    * single-partition global window even when "curve-sized" means
+    * billions of documents) and the [[graft.ops.Quality.olsFit]] tail
+    * over the log-log points. Docs with zero tokens contribute a
+    * curve point with unchanged vocab.
+    *
+    * @param docOrderCol deterministic walk order (e.g. doc_id)
+    * @return one row: (n_docs, heaps_beta, heaps_log_k, r2,
+    *         vocab, total_tokens) */
+  def heapsFit(docs: DataFrame, textCol: String,
+               docOrderCol: String,
+               bucketSize: Long = 1048576L): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(docOrderCol).cast("long").as("__d"),
+        explode(tokens(lower(col(textCol)))).as("__t"))
+    // per-term first-occurrence doc, re-aggregated to curve scale
+    val firstDoc = toks.groupBy(col("__t"))
+      .agg(min(col("__d")).as("__fd"))
+      .groupBy(col("__fd")).agg(count(lit(1)).as("__new_terms"))
+    val perDoc = docs.filter(col(textCol).isNotNull)
+      .select(col(docOrderCol).cast("long").as("__d"),
+        tokenCount(col(textCol)).as("__nt"))
+      .join(firstDoc, col("__d") === col("__fd"), "left")
+      .select(col("__d"), col("__nt"),
+        coalesce(col("__new_terms"), lit(0L)).as("__nv"))
+    val curve = graft.ops.Prefix.strictBelow(perDoc, Nil, "__d",
+        Seq("__nt", "__nv"), bucketSize)
+      .select(col("__d"),
+        (col("__below___nt") + col("__nt")).as("__cum_n"),
+        (col("__below___nv") + col("__nv")).as("__cum_v"))
+      .filter(col("__cum_n") > 0 && col("__cum_v") > 0)
+    val xy = curve.select(
+      log(col("__cum_n").cast("double")).as("__x"),
+      log(col("__cum_v").cast("double")).as("__y"))
+    graft.ops.Quality.olsFit(xy, Seq.empty, "__x", "__y")
+      .crossJoin(broadcast(curve.agg(
+        count(lit(1)).as("__pts"),
+        max(col("__cum_v")).as("vocab"),
+        max(col("__cum_n")).as("total_tokens"))))
+      .select(col("__pts").as("n_docs"),
+        col("slope").as("heaps_beta"),
+        col("intercept").as("heaps_log_k"), col("r2"),
+        col("vocab"), col("total_tokens"))
+  }
 }

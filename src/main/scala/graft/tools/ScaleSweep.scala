@@ -589,6 +589,18 @@ object ScaleSweep {
       // one corpus agg to the bins frame; 5 scalings on bins^2
       "a59_sinkhorn" -> (d =>
         SparkEntry.queries("a59_sinkhorn")(spark, d).count()),
+      // one tokenize-explode + term hash agg + a single-row agg
+      "t_vocab_coverage" -> (d =>
+        SparkEntry.queries("t_vocab_coverage")(spark, d).count()),
+      // one explode, two hash aggs; curve-sized Prefix + OLS after
+      "t_heaps" -> (d =>
+        SparkEntry.queries("t_heaps")(spark, d).count()),
+      // day-frame series; two Prefix hierarchies + TakeOrdered(1)
+      "a67_pettitt" -> (d =>
+        SparkEntry.queries("a67_pettitt")(spark, d).count()),
+      // the psi plan: broadcast percentile row + two narrow passes
+      "a68_hellinger" -> (d =>
+        SparkEntry.queries("a68_hellinger")(spark, d).count()),
       // one narrow pass (dx*dy + dx^2 + dy^2 products) into the
       // cells frame — the honest Gram cost
       "e_cka" -> (d =>

@@ -650,4 +650,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(e._1 == 4 && e._2 == 0 && e._4.isEmpty && e._5.isEmpty,
       e.toString)
   }
+
+  test("pettittTest: scalar replication on a clean level shift; " +
+    "constant series clamps p at 1 and breaks ties at smallest k; " +
+    "row order never matters") {
+    // x = [1,1,1,10,10,10]: 2r̄(1)=4, 2r̄(10)=10; U = [-3,-6,-9,-6,-3]
+    val df = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0),
+      (4L, 10.0), (5L, 10.0), (6L, 10.0)).toDF("i", "x")
+    val got = Analytics.pettittTest(df, "i", "x")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got._1 == 6L && got._2 == 9L && got._3 == 3L)
+    val p = BigDecimal(2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._4 == p, s"p ${got._4} vs $p")
+    // shuffled input rows give the identical row (exact integers)
+    val got2 = Analytics.pettittTest(
+      df.orderBy(rand(7)), "i", "x")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == got2)
+    // constant series: every U_k = 0 -> K = 0 at the SMALLEST k,
+    // p = 2*exp(0) clamped to 1
+    val flat = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("i", "x")
+    val f = Analytics.pettittTest(flat, "i", "x")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(f == ((3L, 0L, 1L, 1.0)), f.toString)
+    // n < 2: zero rows (no k < n exists)
+    assert(Analytics.pettittTest(
+      Seq((1L, 5.0)).toDF("i", "x"), "i", "x").count() == 0)
+  }
 }

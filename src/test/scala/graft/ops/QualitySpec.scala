@@ -1113,4 +1113,36 @@ class QualitySpec extends SparkSpec {
       (h * 31 + c.toInt) % 2147483647L)
     assert(probe._2 == BigDecimal(expect), s"${probe._2} vs $expect")
   }
+
+  test("hellingerDrift: identical samples score H=0, BC=1, " +
+    "b_distance normalized +0.0; disjoint binned supports score " +
+    "H=1 with NULL b_distance") {
+    import spark.implicits._
+    // 1..10 into 5 equal-population bins: every bin share is 0.2 on
+    // both sides -> each term sqrt(0.04)=0.2 exactly, BC = 1.0
+    val same = (1 to 10).map(_.toDouble).toDF("v")
+    val s = Quality.hellingerDrift(same, same, "v", bins = 5)
+      .as[(Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert(s._1 == 10L && s._2 == 10L)
+    assert(s._3 == 1.0 && s._4 == 0.0)
+    assert(s._5.contains(0.0), s.toString)
+    // -0.0 would hash-differ from 0.0: assert the normalized sign
+    assert(java.lang.Double.doubleToLongBits(s._5.get) == 0L)
+    // constant ref collapses every quantile: ref lives in bin 1,
+    // far-away cur lands in the top bin -> no co-occupied bin
+    val ref = Seq.fill(4)(5.0).toDF("v")
+    val cur = Seq.fill(3)(100.0).toDF("v")
+    val d = Quality.hellingerDrift(ref, cur, "v", bins = 10)
+      .as[(Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert(d._1 == 4L && d._2 == 3L)
+    assert(d._3 == 0.0 && d._4 == 1.0 && d._5.isEmpty, d.toString)
+    // nulls excluded from both sides
+    val withNull = Seq(Some(1.0), None, Some(2.0)).toDF("v")
+    val n = Quality.hellingerDrift(withNull, withNull, "v", bins = 2)
+      .as[(Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert(n._1 == 2L && n._2 == 2L && n._3 == 1.0)
+  }
 }

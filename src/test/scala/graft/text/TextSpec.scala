@@ -1286,4 +1286,63 @@ class TextSpec extends SparkSpec {
     assert(graft.text.TextOps.rakeKeywords(long, "text",
       maxPhraseLen = 5).count() == 1)
   }
+
+  test("vocabCoverage: Good-Turing unseen mass, Chao1, hapax ratio " +
+    "on a hand corpus; null text excluded; empty corpus is zeros") {
+    // freqs: a=3, b=2, c=d=e=1 -> N=8, V=5, N1=3, N2=1
+    val docs = Seq((1L, Some("a a a b b c")), (2L, Some("d e")),
+      (3L, None)).toDF("doc_id", "text")
+    val got = TextOps.vocabCoverage(docs, "text")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(got._1 == 8L && got._2 == 5L && got._3 == 3L &&
+      got._4 == 1L)
+    assert(got._5 == 0.375) // 3/8
+    assert(got._6 == 6.5)   // 5 + 3*2/(2*(1+1))
+    assert(got._7 == 0.6)   // 3/5
+    // empty corpus: exact zeros, ratio columns null
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    val e = TextOps.vocabCoverage(empty, "text").collect().head
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L)
+    assert(e.isNullAt(4) && e.getDouble(5) == 0.0 && e.isNullAt(6))
+  }
+
+  test("heapsFit: scalar OLS replication of the first-occurrence " +
+    "growth curve; totals and point count") {
+    // d1 "a b" -> (2,2); d2 "a c" -> (4,3); d3 "a b" -> (6,3)
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.heapsFit(docs, "text", "doc_id")
+      .as[(Long, Double, Double, Double, Long, Long)].collect().head
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val xs = Seq(2, 4, 6).map(n => r6(math.log(n)))
+    val ys = Seq(2, 3, 3).map(v => r6(math.log(v)))
+    val n = 3.0
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val syy = ys.map(a => a * a).sum.toDouble
+    val num = n * sxy - sx * sy
+    val varX = n * sxx - sx * sx
+    val slope = num / varX
+    val r2 = math.pow(num / math.sqrt(varX * (n * syy - sy * sy)), 2)
+    assert(got._1 == 3L)
+    assert(got._2 == r6(slope).toDouble)
+    assert(got._3 == r6((sy - slope * sx) / n).toDouble)
+    assert(got._4 == r6(r2).toDouble)
+    assert(got._5 == 3L && got._6 == 6L)
+    // beta for a growing-vocab curve sits in (0, 1)
+    assert(got._2 > 0.0 && got._2 < 1.0)
+  }
+
+  test("heapsFit: zero-token docs keep the vocab flat; leading " +
+    "empty doc is excluded from the fit frame") {
+    val docs = Seq((1L, ""), (2L, "a b"), (3L, ""), (4L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.heapsFit(docs, "text", "doc_id").collect().head
+    // curve points: d1 (0,0) filtered; d2 (2,2); d3 (2,2); d4 (3,3)
+    assert(got.getLong(0) == 3L)
+    assert(got.getLong(4) == 3L && got.getLong(5) == 3L)
+  }
 }

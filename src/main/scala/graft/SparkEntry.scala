@@ -3111,6 +3111,26 @@ object SparkEntry {
         "value", bins = 10)
     }),
 
+    // ---- A69: one-way ANOVA F — does event value differ across the
+    // five event types? Exact per-group moments into one rounded
+    // chain per group term; F and η² scalars after. ----
+    "a69_anova" -> ((s, dir) =>
+      Quality.anovaF(t(s, dir, "events"), "event_type", "value")),
+
+    // ---- A70: mutual information + Theil's U — the directed
+    // association pair on a30's priority × status contingency;
+    // entropies as exact decimal sums of rounded cell terms. ----
+    "a70_theil" -> ((s, dir) =>
+      Quality.mutualInformation(t(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus")),
+
+    // ---- W37: restricted mean survival time — the single-number
+    // KM summary on the w21 cohort: average event-free micros over
+    // the first 7 days, exact decimal segment fold. ----
+    "w37_rmst" -> ((s, dir) =>
+      Analytics.rmst(survivalSubjects(s, dir), "dur", "observed",
+        tau = 604800000000L)),
+
     // ---- A65: Brier score + Murphy decomposition — the headline
     // probabilistic-forecast number beside a41/a42's calibration
     // surface: reliability − resolution + uncertainty on the same
@@ -9832,6 +9852,95 @@ FROM n, vxy, vxx, vyy"""
         |  END AS b_distance
         |FROM agg""".stripMargin,
 
+    // exact HUGEINT per-group moments; each S²/n and Q term one
+    // rounded double chain summed exactly; F/η² one step each
+    "a69_anova" ->
+      """WITH src AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |grp AS (
+        |  SELECT g, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q
+        |  FROM src GROUP BY g),
+        |termed AS (
+        |  SELECT n, s,
+        |    CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * 1e12), 6) AS DECIMAL(28,6)) AS t,
+        |    CAST(ROUND(CAST(q AS DOUBLE) / 1e12, 6)
+        |      AS DECIMAL(28,6)) AS qn
+        |  FROM grp),
+        |agg AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |    SUM(s) AS stot,
+        |    CAST(SUM(t) AS DECIMAL(38,6)) AS tsum,
+        |    CAST(SUM(qn) AS DECIMAL(38,6)) AS qsum
+        |  FROM termed),
+        |g2 AS (
+        |  SELECT k, n, tsum, qsum,
+        |    CAST(ROUND(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * 1e12), 6) AS DECIMAL(38,6)) AS g2n
+        |  FROM agg),
+        |ss AS (SELECT k, n, tsum - g2n AS ssb, qsum - tsum AS ssw
+        |  FROM g2)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        |  CAST(ssb AS DOUBLE) AS ss_between,
+        |  CAST(ssw AS DOUBLE) AS ss_within,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+        |    ROUND((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+        |          (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
+        |  END AS f_stat,
+        |  CASE WHEN ssb + ssw > 0 THEN
+        |    ROUND(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
+        |  END AS eta_sq
+        |FROM ss""".stripMargin,
+
+    // entropies as exact decimal sums of rounded (c/n)ln(n/c) terms;
+    // MI exact decimal on the sums, clamped at 0; U one division
+    "a70_theil" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    COUNT(*) AS c
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |hx AS (SELECT CAST(COALESCE(SUM(t), 0) AS DECIMAL(28,6)) AS h
+        |  FROM (SELECT CAST(ROUND(
+        |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS t
+        |    FROM (SELECT a, SUM(c) AS c FROM cells GROUP BY a), nn)),
+        |hy AS (SELECT CAST(COALESCE(SUM(t), 0) AS DECIMAL(28,6)) AS h
+        |  FROM (SELECT CAST(ROUND(
+        |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS t
+        |    FROM (SELECT b, SUM(c) AS c FROM cells GROUP BY b), nn)),
+        |hxy AS (SELECT CAST(COALESCE(SUM(t), 0) AS DECIMAL(28,6)) AS h
+        |  FROM (SELECT CAST(ROUND(
+        |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS t
+        |    FROM cells, nn)),
+        |mi AS (SELECT GREATEST(CAST(0 AS DECIMAL(28,6)),
+        |    hx.h + hy.h - hxy.h) AS m
+        |  FROM hx, hy, hxy)
+        |SELECT n, CAST(hx.h AS DOUBLE) AS h_x,
+        |  CAST(hy.h AS DOUBLE) AS h_y,
+        |  CAST(hxy.h AS DOUBLE) AS h_xy,
+        |  CAST(m AS DOUBLE) AS mi,
+        |  CASE WHEN hx.h > 0 THEN
+        |    ROUND(CAST(m AS DOUBLE) / CAST(hx.h AS DOUBLE), 6)
+        |  END AS theil_xy,
+        |  CASE WHEN hy.h > 0 THEN
+        |    ROUND(CAST(m AS DOUBLE) / CAST(hy.h AS DOUBLE), 6)
+        |  END AS theil_yx
+        |FROM nn, hx, hy, hxy, mi""".stripMargin,
+
     // exact HUGEINT (p_mu - y*1e6)^2 global sum; per-bin rel/res
     // terms rounded once then summed exactly in decimal
     "a65_brier" ->
@@ -11557,6 +11666,67 @@ v$r AS MATERIALIZED (
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
         |  CAST(s AS DOUBLE) AS survival
         |FROM km""".stripMargin,
+
+    // the w21 KM recursion + the τ-clipped segment fold: exact
+    // decimal (1−S)·Δt products, rmst = τ − Σ, one frac division
+    "w37_rmst" ->
+      """WITH RECURSIVE per AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END) AS p_us
+        |  FROM events GROUP BY 1),
+        |cns AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+        |subj AS (
+        |  SELECT CASE WHEN p_us IS NOT NULL THEN p_us - first_us
+        |              ELSE end_us - first_us END AS dur,
+        |    p_us IS NOT NULL AS obs
+        |  FROM per, cns),
+        |perT AS (
+        |  SELECT dur AS t, COUNT(CASE WHEN obs THEN 1 END) AS d,
+        |    COUNT(*) AS m
+        |  FROM subj GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM subj),
+        |steps AS (
+        |  SELECT t, d,
+        |    COALESCE(SUM(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM perT),
+        |e AS (
+        |  SELECT t, (SELECT nn FROM n) - before AS n_risk, d AS n_events,
+        |    ROUND(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) /
+        |          CAST((SELECT nn FROM n) - before AS DOUBLE), 6)
+        |      AS factor,
+        |    ROW_NUMBER() OVER (ORDER BY t) AS rn
+        |  FROM steps WHERE d > 0),
+        |km AS (
+        |  SELECT t, rn,
+        |    CAST(ROUND(CAST(1 AS DECIMAL(18,6)) *
+        |               CAST(factor AS DECIMAL(18,6)), 6)
+        |         AS DECIMAL(18,6)) AS s
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.t, e.rn,
+        |    CAST(ROUND(km.s * CAST(e.factor AS DECIMAL(18,6)), 6)
+        |         AS DECIMAL(18,6))
+        |  FROM e JOIN km ON e.rn = km.rn + 1),
+        |seg AS (
+        |  SELECT s, t,
+        |    LEAST(COALESCE(LEAD(t) OVER (ORDER BY t), 604800000000),
+        |      604800000000) AS tn
+        |  FROM km WHERE t <= 604800000000),
+        |dd AS (SELECT COUNT(*) AS n_steps,
+        |    CAST(COALESCE(SUM(
+        |      (CAST(1 AS DECIMAL(18,6)) - s) * (tn - t)), 0)
+        |      AS DECIMAL(38,6)) AS dropped
+        |  FROM seg)
+        |SELECT CAST(604800000000 AS BIGINT) AS tau, n_steps,
+        |  CAST(CAST(604800000000 AS DECIMAL(38,6)) - dropped
+        |    AS DOUBLE) AS rmst,
+        |  ROUND(CAST(CAST(604800000000 AS DECIMAL(38,6)) - dropped
+        |      AS DOUBLE) / CAST(604800000000 AS DOUBLE), 6)
+        |    AS rmst_frac
+        |FROM dd""".stripMargin,
 
     // the Aalen–Johansen recursion replayed: all-cause KM state S
     // and both CIF prefix sums carried through one RECURSIVE walk of

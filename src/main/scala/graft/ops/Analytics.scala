@@ -317,6 +317,54 @@ object Analytics {
         col("__o.s").cast("double").as("survival"))
   }
 
+  /** Restricted mean survival time — the single-number summary of a
+    * [[kaplanMeier]] curve clinicians and growth teams actually
+    * compare: RMST(τ) = ∫₀^τ S(t)dt, "average event-free time over
+    * the first τ", valid even when the median is never reached and
+    * robust where hazard ratios assume proportionality. Computed as
+    * τ − Σ_steps (1−S_i)·(min(t_{i+1},τ) − t_i) — the complement
+    * form needs no synthetic S=1 leading segment, and an event-free
+    * cohort scores exactly τ.
+    *
+    * Numerics: S_i is the KM curve's round-6 decimal; each segment
+    * contribution (1−S_i)·Δt is an EXACT decimal product of the 6-dp
+    * survival complement and an exact integer duration, summed
+    * exactly — no double arithmetic until the final subtraction and
+    * the rmst_frac division (each rounded once... rmst itself is an
+    * exact decimal cast).
+    *
+    * Scale shape: the [[kaplanMeier]] contract — one subject hash
+    * agg to the curve frame; the lead/clip window and the final fold
+    * run on curve-sized data.
+    *
+    * @param tau restriction horizon in `durationCol`'s units (> 0)
+    * @return one row: (tau, n_steps, rmst, rmst_frac) — rmst in
+    *         input units; rmst_frac = rmst/τ ∈ (0, 1] */
+  def rmst(subjects: DataFrame, durationCol: String,
+           observedCol: String, tau: Long): DataFrame = {
+    require(tau > 0, "tau must be > 0")
+    val w = Window.orderBy(col("t")) // curve-sized frame only
+    val seg = kaplanMeier(subjects, durationCol, observedCol)
+      .filter(col("t") <= tau)
+      .select(col("t"), col("survival").cast("decimal(18,6)")
+        .as("__s"))
+      .withColumn("__tn",
+        least(coalesce(lead(col("t"), 1).over(w), lit(tau)),
+          lit(tau)))
+      .select(((lit(1).cast("decimal(18,6)") - col("__s")) *
+        (col("__tn") - col("t")).cast("decimal(38,0)"))
+        .cast("decimal(38,6)").as("__drop"))
+    seg.agg(count(lit(1)).as("n_steps"),
+      coalesce(sum(col("__drop")), lit(0).cast("decimal(38,6)"))
+        .cast("decimal(38,6)").as("__dropped"))
+      .select(lit(tau).as("tau"), col("n_steps"),
+        (lit(tau).cast("decimal(38,6)") - col("__dropped"))
+          .cast("double").as("rmst"),
+        round((lit(tau).cast("decimal(38,6)") - col("__dropped"))
+          .cast("double") / lit(tau).cast("double"), 6)
+          .as("rmst_frac"))
+  }
+
   /** Aalen–Johansen cumulative incidence under COMPETING RISKS — the
     * estimator [[kaplanMeier]] cannot give when more than one event
     * type removes a subject: 1−KM on a single cause (treating the

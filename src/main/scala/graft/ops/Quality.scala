@@ -1661,6 +1661,133 @@ object Quality {
     * frame + the bucketed Prefix hierarchy; nothing per-row.
     *
     * @return one row: (n_pos, n_neg, delta) */
+  /** One-way ANOVA F — does a numeric metric DIFFER across k groups
+    * (the k-group generalization of a20's two-sample test): F =
+    * (SSB/(k−1)) / (SSW/(n−k)) with SSB/SSW off per-group exact
+    * moments, plus η² = SSB/SST (the variance-explained effect size
+    * — F says "significant", η² says "matters"). No p-value: the
+    * F-distribution CDF needs the incomplete beta; the caller owns
+    * the lookup (stated — F and the two dof ARE the test).
+    *
+    * Numerics: values to micro longs (round-6), per-group n/Σv/Σv²
+    * EXACT (Σv² in decimal(38,0)); each group's S²/n and Q are ONE
+    * double chain each rounded to 6dp in natural units, then summed
+    * EXACTLY in decimal — partitioning-invariant (the brier per-bin
+    * discipline); SSB/SSW are exact decimal differences of those
+    * sums, and F/η² one rounded double step each. A zero-variance
+    * group can make its rounded SSW term −1e-6: SSW ≤ 0 → F NULL.
+    *
+    * Scale shape: one corpus hash agg to the k-group frame
+    * (map-side combined), scalars after — nothing per-row survives
+    * the agg.
+    *
+    * @return one row: (k, n, ss_between, ss_within, f_stat, eta_sq) */
+  def anovaF(df: DataFrame, groupCol: String,
+             valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val mu = (round(col(valCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000L).cast(dec).cast("long")
+    val src = df.filter(col(groupCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), mu.as("__v"))
+    val groups = src.groupBy(col("__g")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__v").cast(dec)).as("__s"),
+      sum(col("__v").cast(dec) * col("__v")).as("__q"))
+    val termed = groups.select(col("__n"), col("__s"),
+      round(col("__s").cast("double") * col("__s").cast("double") /
+        (col("__n").cast("double") * lit(1e12)), 6)
+        .cast("decimal(28,6)").as("__t"),
+      round(col("__q").cast("double") / lit(1e12), 6)
+        .cast("decimal(28,6)").as("__qn"))
+    val agg = termed.agg(
+      count(lit(1)).as("k"), sum(col("__n")).as("n"),
+      sum(col("__s")).cast(dec).as("__stot"),
+      sum(col("__t")).cast("decimal(38,6)").as("__tsum"),
+      sum(col("__qn")).cast("decimal(38,6)").as("__qsum"))
+    agg
+      .select(col("k"), col("n"), col("__tsum"), col("__qsum"),
+        round(col("__stot").cast("double") *
+          col("__stot").cast("double") /
+          (col("n").cast("double") * lit(1e12)), 6)
+          .cast("decimal(38,6)").as("__g2n"))
+      .select(col("k"), col("n"),
+        (col("__tsum") - col("__g2n")).as("__ssb"),
+        (col("__qsum") - col("__tsum")).as("__ssw"))
+      .select(col("k"), col("n"),
+        col("__ssb").cast("double").as("ss_between"),
+        col("__ssw").cast("double").as("ss_within"),
+        when(col("k") >= 2 && col("n") > col("k") && col("__ssw") > 0,
+          round((col("__ssb").cast("double") /
+              (col("k") - 1).cast("double")) /
+            (col("__ssw").cast("double") /
+              (col("n") - col("k")).cast("double")), 6))
+          .as("f_stat"),
+        when(col("__ssb") + col("__ssw") > 0,
+          round(col("__ssb").cast("double") /
+            (col("__ssb") + col("__ssw")).cast("double"), 6))
+          .as("eta_sq"))
+  }
+
+  /** Mutual information + Theil's uncertainty coefficient between
+    * two categorical columns — the DIRECTED association pair beside
+    * [[chiSquareIndependence]] (χ² says "associated"; U(X|Y) =
+    * I(X;Y)/H(X) says "what FRACTION of X's uncertainty does knowing
+    * Y remove", asymmetric by design — a many-to-one mapping scores
+    * 1 one way and <1 the other). Entropies in nats over the
+    * observed cells (an absent cell contributes exactly 0 — no grid
+    * completion needed, unlike χ²'s (0−E)² terms).
+    *
+    * Numerics: each cell/level term is ONE double chain
+    * (c/n)·ln(n/c) rounded to 6dp (the positive form — ln(n/c) ≥ 0,
+    * no −0.0), summed EXACTLY in decimal; MI = H(X)+H(Y)−H(X,Y) in
+    * exact decimal on the rounded sums, clamped at 0 (rounding can
+    * push an independent pair to −1e-6); U = one rounded division,
+    * NULL when the marginal entropy is 0 (constant column).
+    *
+    * Scale shape: one (a,b) hash agg collapses the corpus to the
+    * |A|·|B| cells frame; both marginals and all three entropies are
+    * re-aggregations of that frame — never a second corpus scan.
+    *
+    * @return one row: (n, h_x, h_y, h_xy, mi, theil_xy, theil_yx) */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val n = cells.agg(sum(col("__c")).as("__n"))
+    def entropy(grp: DataFrame, out: String) = grp
+      .crossJoin(broadcast(n))
+      .select(round((col("__c").cast("double") /
+          col("__n").cast("double")) *
+        log(col("__n").cast("double") / col("__c").cast("double")), 6)
+        .cast("decimal(18,6)").as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast("decimal(18,6)"))
+        .cast("decimal(28,6)").as(out))
+    val hx = entropy(cells.groupBy(col("__a"))
+      .agg(sum(col("__c")).as("__c")), "__hx")
+    val hy = entropy(cells.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__c")), "__hy")
+    val hxy = entropy(cells, "__hxy")
+    n.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .crossJoin(broadcast(hxy))
+      .select(col("__n").as("n"), col("__hx"), col("__hy"),
+        col("__hxy"),
+        greatest(lit(0).cast("decimal(28,6)"),
+          col("__hx") + col("__hy") - col("__hxy")).as("__mi"))
+      .select(col("n"),
+        col("__hx").cast("double").as("h_x"),
+        col("__hy").cast("double").as("h_y"),
+        col("__hxy").cast("double").as("h_xy"),
+        col("__mi").cast("double").as("mi"),
+        when(col("__hx") > 0,
+          round(col("__mi").cast("double") /
+            col("__hx").cast("double"), 6)).as("theil_xy"),
+        when(col("__hy") > 0,
+          round(col("__mi").cast("double") /
+            col("__hy").cast("double"), 6)).as("theil_yx"))
+  }
+
   def cliffsDelta(df: DataFrame, scoreCol: String, isPos: Column,
                   bucketSize: Long = 1048576L): DataFrame = {
     require(bucketSize >= 2, "bucketSize must be >= 2")

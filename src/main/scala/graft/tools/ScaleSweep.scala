@@ -601,6 +601,15 @@ object ScaleSweep {
       // the psi plan: broadcast percentile row + two narrow passes
       "a68_hellinger" -> (d =>
         SparkEntry.queries("a68_hellinger")(spark, d).count()),
+      // one corpus hash agg to the k-group frame, scalars after
+      "a69_anova" -> (d =>
+        SparkEntry.queries("a69_anova")(spark, d).count()),
+      // a70_theil is NOT swept: it reads orders, which the staging
+      // does not replicate — its cells-agg shape is a30's, already
+      // covered by the events-based aggs here.
+      // subject hash agg to the KM curve; curve-sized fold after
+      "w37_rmst" -> (d =>
+        SparkEntry.queries("w37_rmst")(spark, d).count()),
       // one narrow pass (dx*dy + dx^2 + dy^2 products) into the
       // cells frame — the honest Gram cost
       "e_cka" -> (d =>

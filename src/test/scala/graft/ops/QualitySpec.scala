@@ -1114,6 +1114,59 @@ class QualitySpec extends SparkSpec {
     assert(probe._2 == BigDecimal(expect), s"${probe._2} vs $expect")
   }
 
+  test("anovaF: scalar replication on two clean groups; " +
+    "zero-variance corpus NULLs F and eta; single group NULLs F") {
+    import spark.implicits._
+    // A=[1,2,3], B=[5,6,7]: T=12+108, G=96 -> SSB=24, SSW=4,
+    // F=(24/1)/(4/4)=24, eta=24/28
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0)).toDF("g", "v")
+    val got = Quality.anovaF(df, "g", "v")
+      .as[(Long, Long, Double, Double, Option[Double],
+        Option[Double])].collect().head
+    assert(got._1 == 2L && got._2 == 6L)
+    assert(got._3 == 24.0 && got._4 == 4.0)
+    assert(got._5.contains(24.0) && got._6.contains(0.857143),
+      got.toString)
+    val flat = Seq(("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val f = Quality.anovaF(flat, "g", "v")
+      .as[(Long, Long, Double, Double, Option[Double],
+        Option[Double])].collect().head
+    assert(f._3 == 0.0 && f._4 == 0.0 && f._5.isEmpty && f._6.isEmpty,
+      f.toString)
+    val one = Seq(("a", 1.0), ("a", 5.0)).toDF("g", "v")
+    val o = Quality.anovaF(one, "g", "v")
+      .as[(Long, Long, Double, Double, Option[Double],
+        Option[Double])].collect().head
+    assert(o._1 == 1L && o._5.isEmpty, o.toString)
+  }
+
+  test("mutualInformation: perfect association scores U=1 both " +
+    "ways; independence scores 0; many-to-one is asymmetric; " +
+    "constant column NULLs its own U") {
+    import spark.implicits._
+    def mi(df: org.apache.spark.sql.DataFrame) =
+      Quality.mutualInformation(df, "x", "y")
+        .as[(Long, Double, Double, Double, Double, Option[Double],
+          Option[Double])].collect().head
+    val p = mi(Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"),
+      ("a2", "b2"), ("a2", "b2")).toDF("x", "y"))
+    assert(p._1 == 5L && p._2 == p._3 && p._3 == p._4)
+    assert(p._5 == p._2 && p._6.contains(1.0) && p._7.contains(1.0),
+      p.toString)
+    val i = mi(Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y"))
+    assert(i._5 == 0.0 && i._6.contains(0.0) && i._7.contains(0.0),
+      i.toString)
+    // a,b -> u; c -> v: knowing X pins Y (U_yx = 1) but not back
+    val m = mi(Seq(("a", "u"), ("b", "u"), ("c", "v")).toDF("x", "y"))
+    assert(m._7.contains(1.0) && m._6.get < 1.0 && m._5 == m._3,
+      m.toString)
+    val c = mi(Seq(("k", "u"), ("k", "v")).toDF("x", "y"))
+    assert(c._2 == 0.0 && c._5 == 0.0 && c._6.isEmpty, c.toString)
+  }
+
   test("hellingerDrift: identical samples score H=0, BC=1, " +
     "b_distance normalized +0.0; disjoint binned supports score " +
     "H=1 with NULL b_distance") {

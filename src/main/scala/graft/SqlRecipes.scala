@@ -999,7 +999,155 @@ v$r AS (
          |  CASE WHEN o.n > 0 THEN o.sv div o.n END AS mean_micros,
          |  CAST(graft_bootstrap_ci.replicas AS BIGINT) AS replicas,
          |  k.bu AS replicas_used, lo.ci_lo_micros, hi.ci_hi_micros
-         |FROM o, k, lo, hi""".stripMargin
+         |FROM o, k, lo, hi""".stripMargin,
+
+    // -- Hellinger / Bhattacharyya drift (r13): the a68 plan in pure
+    // SQL — reference-percentile 10-bin split at split_day, per-bin
+    // √(p·q) rounded once, BC an exact decimal sum, −0.0 normalized.
+    "graft_hellinger" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_hellinger(split_day INT)
+         |RETURNS TABLE (n_ref BIGINT, n_cur BIGINT, bc DOUBLE,
+         |               hellinger DOUBLE, b_distance DOUBLE)
+         |RETURN
+         |WITH r0 AS (
+         |  SELECT CAST(value AS DOUBLE) AS v FROM ${prefix}events
+         |  WHERE value IS NOT NULL
+         |    AND day(ts) <= graft_hellinger.split_day),
+         |c0 AS (
+         |  SELECT CAST(value AS DOUBLE) AS v FROM ${prefix}events
+         |  WHERE value IS NOT NULL
+         |    AND day(ts) > graft_hellinger.split_day),
+         |q AS (SELECT percentile(v, 0.1) AS q1,
+         |  percentile(v, 0.2) AS q2, percentile(v, 0.3) AS q3,
+         |  percentile(v, 0.4) AS q4, percentile(v, 0.5) AS q5,
+         |  percentile(v, 0.6) AS q6, percentile(v, 0.7) AS q7,
+         |  percentile(v, 0.8) AS q8, percentile(v, 0.9) AS q9
+         |  FROM r0),
+         |rb AS (SELECT 1 + CAST(v > q1 AS INT) + CAST(v > q2 AS INT)
+         |  + CAST(v > q3 AS INT) + CAST(v > q4 AS INT)
+         |  + CAST(v > q5 AS INT) + CAST(v > q6 AS INT)
+         |  + CAST(v > q7 AS INT) + CAST(v > q8 AS INT)
+         |  + CAST(v > q9 AS INT) AS bin FROM r0, q),
+         |cb AS (SELECT 1 + CAST(v > q1 AS INT) + CAST(v > q2 AS INT)
+         |  + CAST(v > q3 AS INT) + CAST(v > q4 AS INT)
+         |  + CAST(v > q5 AS INT) + CAST(v > q6 AS INT)
+         |  + CAST(v > q7 AS INT) + CAST(v > q8 AS INT)
+         |  + CAST(v > q9 AS INT) AS bin FROM c0, q),
+         |r AS (SELECT bin, COUNT(*) AS ref_n FROM rb GROUP BY 1),
+         |c AS (SELECT bin, COUNT(*) AS cur_n FROM cb GROUP BY 1),
+         |t AS (SELECT (SELECT COALESCE(SUM(ref_n), 0L) FROM r) AS tr,
+         |             (SELECT COALESCE(SUM(cur_n), 0L) FROM c) AS tc),
+         |f AS (SELECT COALESCE(ref_n, 0L) AS ref_n,
+         |        COALESCE(cur_n, 0L) AS cur_n
+         |      FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+         |terms AS (SELECT tr, tc,
+         |    CAST(ROUND(sqrt(
+         |      CAST(CAST(ref_n AS DECIMAL(38,0)) * cur_n AS DOUBLE) /
+         |      CAST(CAST(tr AS DECIMAL(38,0)) * tc AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS bct
+         |  FROM f, t),
+         |agg AS (SELECT MAX(tr) AS n_ref, MAX(tc) AS n_cur,
+         |    CAST(CAST(SUM(bct) AS DECIMAL(28,6)) AS DOUBLE) AS bc
+         |  FROM terms)
+         |SELECT n_ref, n_cur, bc,
+         |  CASE WHEN bc IS NOT NULL THEN
+         |    ROUND(sqrt(GREATEST(CAST(0.0 AS DOUBLE),
+         |      CAST(1.0 AS DOUBLE) - bc)), 6) END AS hellinger,
+         |  CASE WHEN bc > 0 THEN
+         |    ROUND(-ln(bc), 6) + CAST(0.0 AS DOUBLE)
+         |  END AS b_distance
+         |FROM agg""".stripMargin,
+
+    // -- one-way ANOVA F (r13): the a69 plan in pure SQL — exact
+    // per-group micro moments, each S²/n and Q term one rounded
+    // chain summed exactly, F/η² one step each.
+    "graft_anova" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_anova()
+         |RETURNS TABLE (k BIGINT, n BIGINT, ss_between DOUBLE,
+         |               ss_within DOUBLE, f_stat DOUBLE,
+         |               eta_sq DOUBLE)
+         |RETURN
+         |WITH src AS (
+         |  SELECT event_type AS g,
+         |    CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+         |  FROM ${prefix}events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         |grp AS (
+         |  SELECT g, COUNT(*) AS n,
+         |    SUM(CAST(v AS DECIMAL(38,0))) AS s,
+         |    SUM(CAST(v AS DECIMAL(38,0)) * v) AS q
+         |  FROM src GROUP BY g),
+         |termed AS (
+         |  SELECT n, s,
+         |    CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * 1e12), 6) AS DECIMAL(28,6)) AS t,
+         |    CAST(ROUND(CAST(q AS DOUBLE) / 1e12, 6)
+         |      AS DECIMAL(28,6)) AS qn
+         |  FROM grp),
+         |agg AS (
+         |  SELECT COUNT(*) AS k, SUM(n) AS n, SUM(s) AS stot,
+         |    CAST(SUM(t) AS DECIMAL(38,6)) AS tsum,
+         |    CAST(SUM(qn) AS DECIMAL(38,6)) AS qsum
+         |  FROM termed),
+         |g2 AS (
+         |  SELECT k, n, tsum, qsum,
+         |    CAST(ROUND(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * 1e12), 6) AS DECIMAL(38,6)) AS g2n
+         |  FROM agg),
+         |ss AS (SELECT k, n, tsum - g2n AS ssb, qsum - tsum AS ssw
+         |  FROM g2)
+         |SELECT k, n,
+         |  CAST(ssb AS DOUBLE) AS ss_between,
+         |  CAST(ssw AS DOUBLE) AS ss_within,
+         |  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+         |    ROUND((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+         |          (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
+         |  END AS f_stat,
+         |  CASE WHEN ssb + ssw > 0 THEN
+         |    ROUND(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
+         |  END AS eta_sq
+         |FROM ss""".stripMargin,
+
+    // -- vocabulary coverage (r13): the t_vocab_coverage plan in
+    // pure SQL — Good–Turing unseen mass, Chao1, hapax ratio off one
+    // term agg + one single-row conditional agg.
+    "graft_vocab_coverage" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_vocab_coverage()
+         |RETURNS TABLE (total_tokens BIGINT, vocab BIGINT,
+         |               hapax BIGINT, dis_legomena BIGINT,
+         |               unseen_mass DOUBLE, chao1 DOUBLE,
+         |               hapax_ratio DOUBLE)
+         |RETURN
+         |WITH f AS (
+         |  SELECT term, COUNT(*) AS freq FROM (
+         |    SELECT explode(filter(
+         |      split(trim(lower(text)), '\\\\s+'),
+         |      x -> x != '')) AS term
+         |    FROM ${prefix}documents WHERE text IS NOT NULL)
+         |  GROUP BY term),
+         |c AS (
+         |  SELECT CAST(COALESCE(SUM(freq), 0L) AS BIGINT)
+         |      AS total_tokens,
+         |    COUNT(*) AS vocab,
+         |    COALESCE(SUM(CASE WHEN freq = 1 THEN 1L ELSE 0L END), 0L)
+         |      AS hapax,
+         |    COALESCE(SUM(CASE WHEN freq = 2 THEN 1L ELSE 0L END), 0L)
+         |      AS dis_legomena
+         |  FROM f)
+         |SELECT total_tokens, vocab, hapax, dis_legomena,
+         |  CASE WHEN total_tokens > 0 THEN
+         |    ROUND(CAST(hapax AS DOUBLE) /
+         |          CAST(total_tokens AS DOUBLE), 6)
+         |  END AS unseen_mass,
+         |  ROUND(CAST(vocab AS DOUBLE) +
+         |    CAST(CAST(hapax AS DECIMAL(38,0)) * (hapax - 1)
+         |      AS DOUBLE) /
+         |    (2.0 * CAST(dis_legomena + 1 AS DOUBLE)), 6) AS chao1,
+         |  CASE WHEN vocab > 0 THEN
+         |    ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+         |  END AS hapax_ratio
+         |FROM c""".stripMargin
   )
 
   /** Run every recipe's DDL on the session (idempotent — CREATE OR

@@ -188,6 +188,26 @@ class JdbcServerSpec extends SparkSpec {
           rs5.getLong(4) == dslB.getLong(4) &&
           rs5.getLong(5) == dslB.getLong(5),
           s"wire bootstrap != dsl $dslB")
+        // the round-13 drift recipe over the wire: the bounded
+        // Hellinger metric must equal the DSL bit-for-bit
+        val rs6 = st.executeQuery(
+          "SELECT n_ref, n_cur, bc, hellinger FROM graft_hellinger(15)")
+        assert(rs6.next())
+        val evH = Tables.load(spark, "/root/testdata/sf0.001", "events")
+        val dslH = graft.ops.Quality.hellingerDrift(
+            evH.filter(org.apache.spark.sql.functions.dayofmonth(
+              org.apache.spark.sql.functions.col("ts")) <= 15)
+              .select(org.apache.spark.sql.functions.col("value")),
+            evH.filter(org.apache.spark.sql.functions.dayofmonth(
+              org.apache.spark.sql.functions.col("ts")) > 15)
+              .select(org.apache.spark.sql.functions.col("value")),
+            "value", bins = 10)
+          .head()
+        assert(rs6.getLong(1) == dslH.getLong(0) &&
+          rs6.getLong(2) == dslH.getLong(1) &&
+          rs6.getDouble(3) == dslH.getDouble(2) &&
+          rs6.getDouble(4) == dslH.getDouble(3),
+          s"wire hellinger != dsl $dslH")
       } finally conn3.close()
     } finally JdbcServer.stop(server)
   }

@@ -407,4 +407,41 @@ class SqlRecipesSpec extends SparkSpec {
     assert(viaSql == viaDsl && viaSql._5.nonEmpty && viaSql._6.nonEmpty,
       s"$viaSql $viaDsl")
   }
+
+  test("graft_hellinger == Quality.hellingerDrift on the a68 split") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_hellinger(15)")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    val ev = Tables.load(spark, dir, "events")
+    val viaDsl = ops.Quality.hellingerDrift(
+        ev.filter(dayofmonth(col("ts")) <= 15).select(col("value")),
+        ev.filter(dayofmonth(col("ts")) > 15).select(col("value")),
+        "value", bins = 10)
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(viaSql == viaDsl && viaSql._1 > 0, s"$viaSql $viaDsl")
+  }
+
+  test("graft_anova == Quality.anovaF on event value by type") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_anova()")
+      .as[(Long, Long, Double, Double, Option[Double],
+        Option[Double])].collect().head
+    val viaDsl = ops.Quality.anovaF(
+        Tables.load(spark, dir, "events"), "event_type", "value")
+      .as[(Long, Long, Double, Double, Option[Double],
+        Option[Double])].collect().head
+    assert(viaSql == viaDsl && viaSql._5.nonEmpty, s"$viaSql $viaDsl")
+  }
+
+  test("graft_vocab_coverage == TextOps.vocabCoverage on documents") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_vocab_coverage()")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    val viaDsl = text.TextOps.vocabCoverage(
+        Tables.load(spark, dir, "documents"), "text")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(viaSql == viaDsl && viaSql._1 > 0, s"$viaSql $viaDsl")
+  }
 }

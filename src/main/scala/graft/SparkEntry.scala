@@ -74,6 +74,9 @@ object SparkEntry {
   private val stagedPsiProfile = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[Double], Seq[Double])]
 
+  private val stagedHellingerProfile = scala.collection.concurrent
+    .TrieMap.empty[String, (Seq[Double], Seq[Double])]
+
   /** Shared staging for the sentinel-drained chunked events replays
     * (s_stream_distinct and s_stream_psi — round-10 ADVICE: the ~25
     * line closure was duplicated verbatim and both populate the SAME
@@ -2849,6 +2852,48 @@ object SparkEntry {
         graft.streaming.EventStreams.psiStream(stream, "value",
           bounds, refShares, "1 day", "2 days"),
         queryName = s"spsi_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.EventStreams.drainTail(sink,
+        col("window_start") >=
+          lit(java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
+        .orderBy("window_start")
+    }),
+
+    // ---- streaming Hellinger drift — the bounded per-window twin
+    // of a68 beside s_stream_psi: same frozen reference profile
+    // (plain shares, no Laplace — √ is zero-tolerant), per-window
+    // state = bins longs forever, BC an exact decimal fold. ----
+    "s_stream_hellinger" -> ((s, dir) => {
+      val (bounds, refShares) =
+        stagedHellingerProfile.getOrElseUpdate(dir, {
+          val refV = t(s, dir, "events")
+            .filter(col("value").isNotNull &&
+              dayofmonth(col("ts")) <= 15)
+            .select(col("value").cast("double").as("v"))
+          val qRow = refV.agg(
+            call_function("percentile", col("v"), lit(0.1)).as("q1"),
+            (2 to 9).map(i => call_function("percentile", col("v"),
+              lit(i / 10.0)).as(s"q$i")): _*).head()
+          val bs = (0 until 9).map(qRow.getDouble)
+          val binOf = bs.foldLeft(lit(1)) { (acc, b) =>
+            acc + when(col("v") > lit(b), 1).otherwise(0)
+          }
+          val refCounts = refV.select(binOf.as("bin"))
+            .groupBy(col("bin")).agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val refTot = refCounts.values.sum
+          (bs, (1 to 10).map(i =>
+            refCounts.getOrElse(i, 0L).toDouble / refTot))
+        })
+      val in = stageSentinelEvents(s, dir)
+      val ckpt = tempDir("graft_shel_ck")
+      val stream = graft.streaming.EventStreams.readStream(s, in,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val sink = graft.streaming.EventStreams.runAvailableNow(
+        graft.streaming.EventStreams.hellingerStream(stream, "value",
+          bounds, refShares, "1 day", "2 days"),
+        queryName = s"shel_${System.nanoTime()}",
         checkpoint = s"$ckpt/ckpt",
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
       graft.streaming.EventStreams.drainTail(sink,
@@ -9263,6 +9308,56 @@ FROM n, vxy, vxx, vyy"""
          |SELECT d AS window_start, CAST(tot AS BIGINT) AS n_events,
          |  ROUND($terms, 6) AS psi
          |FROM cnt, rsp""".stripMargin
+    },
+
+    // the frozen reference (plain shares) + per-window bins replayed;
+    // per-bin sqrt(q·r) rounded once, BC an exact decimal fold
+    "s_stream_hellinger" -> {
+      val qs = (1 to 9).map(i =>
+        s"quantile_cont(v, 0.$i) AS q$i").mkString(",\n  ")
+      val binExpr = "1 " +
+        (1 to 9).map(i => s"+ CAST(v > q$i AS INT)").mkString(" ")
+      val ns = (1 to 10).map(i =>
+        s"SUM(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS n$i")
+        .mkString(",\n  ")
+      val rsp = (1 to 10).map(i =>
+        s"MAX(CASE WHEN bin = $i THEN r END) AS r$i").mkString(",\n  ")
+      val terms = (1 to 10).map(i =>
+        s"""CAST(ROUND(sqrt(CAST(n$i AS DOUBLE) / CAST(tot AS DOUBLE)
+           |    * r$i), 6) AS DECIMAL(18,6))""".stripMargin)
+        .mkString("\n  + ")
+      s"""WITH r0 AS (
+         |  SELECT CAST(value AS DOUBLE) AS v FROM events
+         |  WHERE value IS NOT NULL AND day(ts) <= 15),
+         |q AS (SELECT
+         |  $qs
+         |  FROM r0),
+         |rb AS (SELECT $binExpr AS bin FROM r0, q),
+         |r AS (SELECT bin, COUNT(*) AS ref_n FROM rb GROUP BY 1),
+         |tr AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS tr FROM r),
+         |rs AS (SELECT i AS bin,
+         |         CAST(COALESCE(ref_n, 0) AS DOUBLE) /
+         |           CAST(tr AS DOUBLE) AS r
+         |       FROM range(1, 11) t(i) LEFT JOIN r ON r.bin = i, tr),
+         |rsp AS (SELECT
+         |  $rsp
+         |  FROM rs),
+         |a0 AS (SELECT CAST(value AS DOUBLE) AS v,
+         |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+         |       FROM events WHERE value IS NOT NULL),
+         |ab AS (SELECT d, $binExpr AS bin FROM a0, q),
+         |cnt AS (SELECT d,
+         |  $ns,
+         |  COUNT(*) AS tot FROM ab GROUP BY 1),
+         |fold AS (SELECT d, tot,
+         |  CAST($terms AS DECIMAL(28,6)) AS bcd
+         |  FROM cnt, rsp)
+         |SELECT d AS window_start, CAST(tot AS BIGINT) AS n_events,
+         |  CAST(bcd AS DOUBLE) AS bc,
+         |  ROUND(sqrt(GREATEST(CAST(0.0 AS DOUBLE),
+         |    CAST(1.0 AS DOUBLE) - CAST(bcd AS DOUBLE))), 6)
+         |    AS hellinger
+         |FROM fold""".stripMargin
     },
 
     // every event lands in exactly windowLen/slide = 2 sliding windows:

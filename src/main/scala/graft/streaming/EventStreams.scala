@@ -399,6 +399,56 @@ object EventStreams {
       tot.as("n_events"), round(terms.reduce(_ + _), 6).as("psi"))
   }
 
+  /** Watermarked per-window Hellinger drift monitor — the STREAMING
+    * twin of [[graft.ops.Quality.hellingerDrift]] and [[psiStream]]'s
+    * BOUNDED sibling: each window's distribution scores H ∈ [0, 1]
+    * against the frozen reference, so one SLA threshold ("alert at
+    * H > 0.2") works for every monitored feature where PSI's scale
+    * depends on the bin count. Reference boundaries and shares ride
+    * in as literals (the deployed-profile shape); zero reference
+    * shares are ALLOWED (√ is zero-tolerant — no Laplace guard, the
+    * batch op's stated convention).
+    *
+    * Same chassis as [[psiStream]]: ONE stateful windowed agg with
+    * `bins` conditional sums (per-window state = `bins` longs
+    * forever), then a stateless projection — per-bin √(q_i·r_i)
+    * rounded to 6dp and folded through EXACT decimal addition
+    * (order-free by construction, stronger than psi's fixed-order
+    * double fold), H = √(1 − BC) clamped at 0 one double step.
+    * Append mode; drain like every stateful op.
+    *
+    * @return (window_start, n_events, bc, hellinger) */
+  def hellingerStream(events: DataFrame, valCol: String,
+                      boundaries: Seq[Double], refShares: Seq[Double],
+                      windowLen: String = "1 day",
+                      watermark: String = "2 days"): DataFrame = {
+    require(boundaries.nonEmpty &&
+      refShares.length == boundaries.length + 1,
+      "refShares needs one entry per bin (|boundaries| + 1)")
+    require(refShares.forall(_ >= 0.0), "refShares must be >= 0")
+    val bins = refShares.length
+    val v = col(valCol).cast("double")
+    val bin = boundaries.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(v > lit(b), 1).otherwise(0)
+    }
+    val counted = events.filter(v.isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(sum(when(bin === 1, 1L).otherwise(0L)).as("__n1"),
+        (2 to bins).map(i =>
+          sum(when(bin === i, 1L).otherwise(0L)).as(s"__n$i")): _*)
+    val tot = (1 to bins).map(i => col(s"__n$i")).reduce(_ + _)
+    val terms = (1 to bins).map { i =>
+      round(sqrt(col(s"__n$i").cast("double") / tot.cast("double") *
+        lit(refShares(i - 1))), 6).cast("decimal(18,6)")
+    }
+    val bc = terms.reduce(_ + _).cast("decimal(28,6)")
+    counted.select(col("window.start").as("window_start"),
+      tot.as("n_events"), bc.cast("double").as("bc"),
+      round(sqrt(greatest(lit(0.0), lit(1.0) - bc.cast("double"))), 6)
+        .as("hellinger"))
+  }
+
   /** Stream–static broadcast enrichment: join each micro-batch to a
     * BATCH dimension — the most common streaming join (attach the
     * user/product/geo attributes to every event). Stateless: no

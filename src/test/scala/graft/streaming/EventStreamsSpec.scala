@@ -499,6 +499,51 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hellingerStream: partials merge across triggers, zero " +
+    "reference shares contribute 0, identical-to-reference window " +
+    "scores H=0, BC an exact decimal fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Option[Double])]
+    val events = ms.toDF().toDF("event_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shel")
+      .toString
+    // 3 bins; the reference NEVER saw the top bin (share 0) — the
+    // psi twin would need a Laplace guard, this scores it 0
+    val q = EventStreams.hellingerStream(events, "value",
+        boundaries = Seq(5.0, 10.0), refShares = Seq(0.5, 0.5, 0.0),
+        windowLen = "1 day", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("shel_live")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // Jan 1: 2 low / 2 mid in two triggers (partials must merge)
+      // -> q = (0.5, 0.5, 0) == reference -> BC = 1, H = 0
+      ms.addData((1L, ts("2024-01-01 01:00:00"), Some(1.0)),
+        (2L, ts("2024-01-01 02:00:00"), Some(6.0)))
+      q.processAllAvailable()
+      ms.addData((3L, ts("2024-01-01 10:00:00"), Some(2.0)),
+        (4L, ts("2024-01-01 11:00:00"), Some(7.0)),
+        (5L, ts("2024-01-01 11:30:00"), None))
+      q.processAllAvailable()
+      // Jan 2: all mass in the zero-reference top bin -> BC = 0, H = 1
+      ms.addData((6L, ts("2024-01-02 01:00:00"), Some(20.0)))
+      q.processAllAvailable()
+      ms.addData((7L, ts("2024-01-05 00:00:00"), Some(0.0)))
+      q.processAllAvailable()
+      ms.addData((8L, ts("2024-01-05 00:10:00"), Some(0.0)))
+      q.processAllAvailable()
+      val got = spark.table("shel_live")
+        .as[(java.sql.Timestamp, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got(ts("2024-01-01 00:00:00")) == ((4L, 1.0, 0.0)),
+        got.toString)
+      assert(got(ts("2024-01-02 00:00:00")) == ((1L, 0.0, 1.0)),
+        got.toString)
+    } finally q.stop()
+  }
+
   test("checkpoint RESUME: a NEW query on the same checkpoint " +
     "restores recurrence state and continues without reprocessing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

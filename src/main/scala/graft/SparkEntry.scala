@@ -1166,6 +1166,22 @@ object SparkEntry {
     "t_heaps" -> ((s, dir) =>
       TextOps.heapsFit(t(s, dir, "documents"), "text", "doc_id")),
 
+    // ---- training-data ops: distinctive terms per source —
+    // "Fightin' Words" Haldane-smoothed log-odds z per (source,
+    // term) cell, top-3 per source: the boilerplate/domain markers
+    // a mixing or dedup step should know about. ----
+    "t_distinct_terms" -> ((s, dir) =>
+      TextOps.distinctiveTerms(t(s, dir, "documents"), "text",
+        "source", topK = 3, minCount = 5L)),
+
+    // ---- training-data ops: pairwise source JS divergence — the
+    // redundancy map for corpus mixing; common-term contributions +
+    // the (ln2)/2 missing-mass correction, no per-pair vocabulary
+    // completion. ----
+    "t_source_js" -> ((s, dir) =>
+      TextOps.sourceDivergence(t(s, dir, "documents"), "text",
+        "source")),
+
     // ---- training-data ops: BPE ENCODE — learn 3 merges on the
     // corpus, then apply them corpus-wide (rank-ordered greedy
     // non-overlapping fuse, the learner's exact rewrite) and report
@@ -3175,6 +3191,29 @@ object SparkEntry {
     "w37_rmst" -> ((s, dir) =>
       Analytics.rmst(survivalSubjects(s, dir), "dur", "observed",
         tau = 604800000000L)),
+
+    // ---- A71: McNemar's paired test — two purchase-prediction
+    // rules (total value > 50 vs event count > 10) scored on the
+    // SAME users; only the discordant users carry information. ----
+    "a71_mcnemar" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy(col("user_id")).agg(
+        (max(when(col("event_type") === "purchase", 1).otherwise(0))
+          === 1).as("__actual"),
+        sum(col("value").cast("decimal(18,6)")).as("__sv"),
+        count(lit(1)).as("__ne"))
+      Quality.mcnemarTest(per,
+        (col("__sv") > lit(50.0)) === col("__actual"),
+        (col("__ne") > lit(10L)) === col("__actual"))
+    }),
+
+    // ---- A72: Cochran–Armitage trend — is the fulfilled rate
+    // monotone in order priority (the ordering χ² throws away)?
+    // Five exact moments off one conditional agg, one z chain. ----
+    "a72_trend" -> ((s, dir) =>
+      Quality.cochranArmitage(
+        t(s, dir, "orders").withColumn("__dose",
+          substring(col("o_orderpriority"), 1, 1).cast("long")),
+        "__dose", col("o_orderstatus") === "F")),
 
     // ---- A65: Brier score + Murphy decomposition — the headline
     // probabilistic-forecast number beside a41/a42's calibration
@@ -5951,6 +5990,96 @@ cov${c + 1} AS MATERIALIZED (
         |    ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
         |  END AS hapax_ratio
         |FROM c""".stripMargin,
+
+    // exact 2x2 cells off one (source, term) agg; lor and z one
+    // fixed double chain each; rank on rounded z with term tiebreak
+    "t_distinct_terms" ->
+      """WITH cells AS (
+        |  SELECT g, w, COUNT(*) AS a FROM (
+        |    SELECT source AS g, unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS w
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND source IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |gt AS (SELECT g, SUM(a) AS ng FROM cells GROUP BY g),
+        |wt AS (SELECT w, SUM(a) AS cw FROM cells GROUP BY w),
+        |nt AS (SELECT SUM(ng) AS n FROM gt),
+        |sc AS (
+        |  SELECT g, w, a,
+        |    CAST(a AS DOUBLE) + 0.5 AS ha,
+        |    CAST(ng - a AS DOUBLE) + 0.5 AS hb,
+        |    CAST(cw - a AS DOUBLE) + 0.5 AS hc,
+        |    CAST(n - ng - (cw - a) AS DOUBLE) + 0.5 AS hd
+        |  FROM cells JOIN gt USING (g) JOIN wt USING (w), nt
+        |  WHERE a >= 5),
+        |z AS (
+        |  SELECT g, w, a,
+        |    ROUND(ln(ha * hd / (hb * hc)), 6) AS lor,
+        |    ROUND(ln(ha * hd / (hb * hc)) /
+        |      sqrt(1.0/ha + 1.0/hb + 1.0/hc + 1.0/hd), 6) AS z
+        |  FROM sc),
+        |r AS (SELECT g, w, a, lor, z,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY z DESC, w) AS rk
+        |  FROM z)
+        |SELECT g AS "group", w AS term, CAST(a AS BIGINT)
+        |    AS n_in_group, lor, z
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    // common-term JS contributions (one rounded chain each, exact
+    // decimal sum) + the (ln2)/2 missing-mass correction per pair
+    "t_source_js" ->
+      """WITH cells AS (
+        |  SELECT g, w, COUNT(*) AS c FROM (
+        |    SELECT source AS g, unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS w
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND source IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |gt AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY g),
+        |p AS (
+        |  SELECT a.g AS ga, b.g AS gb, a.c AS ca, b.c AS cb,
+        |    ta.ng AS na, tb.ng AS nb
+        |  FROM cells a JOIN cells b ON a.w = b.w AND a.g < b.g
+        |  JOIN gt ta ON ta.g = a.g JOIN gt tb ON tb.g = b.g),
+        |t0 AS (
+        |  SELECT ga, gb, na, nb, ca, cb,
+        |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb
+        |  FROM p),
+        |t AS (
+        |  SELECT ga, gb, na, nb, ca, cb,
+        |    CAST(ROUND((pa * ln(2 * pa / (pa + pb)) +
+        |      pb * ln(2 * pb / (pa + pb))) / 2, 6)
+        |      AS DECIMAL(18,6)) AS tm
+        |  FROM t0),
+        |agg AS (
+        |  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_common_terms,
+        |    CAST(SUM(ca) AS BIGINT) AS cga,
+        |    CAST(SUM(cb) AS BIGINT) AS cgb,
+        |    CAST(SUM(tm) AS DECIMAL(28,6)) AS jsc
+        |  FROM t GROUP BY 1, 2),
+        |gp AS (
+        |  SELECT ta.g AS ga, tb.g AS gb, ta.ng AS na, tb.ng AS nb
+        |  FROM gt ta, gt tb WHERE ta.g < tb.g),
+        |j AS (
+        |  SELECT gp.ga, gp.gb,
+        |    COALESCE(n_common_terms, 0) AS n_common_terms,
+        |    COALESCE(jsc, CAST(0 AS DECIMAL(28,6)))
+        |      + CAST(ROUND(ln(2)/2 *
+        |      (CAST(na - COALESCE(cga, 0) AS DOUBLE)
+        |         / CAST(na AS DOUBLE) +
+        |       CAST(nb - COALESCE(cgb, 0) AS DOUBLE)
+        |         / CAST(nb AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS js
+        |  FROM gp LEFT JOIN agg
+        |    ON agg.ga = gp.ga AND agg.gb = gp.gb)
+        |SELECT ga AS group_a, gb AS group_b,
+        |  CAST(n_common_terms AS BIGINT) AS n_common_terms,
+        |  CAST(js AS DOUBLE) AS js,
+        |  ROUND(CAST(js AS DOUBLE) / ln(2), 6) AS js_norm
+        |FROM j""".stripMargin,
 
     // first-occurrence cumulative vocab + cumulative tokens per doc,
     // then the olsFit log-log tail verbatim (round-6 decimal sums)
@@ -9991,6 +10120,66 @@ FROM n, vxy, vxx, vyy"""
         |    ROUND(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
         |  END AS eta_sq
         |FROM ss""".stripMargin,
+
+    // exact discordant counts; Edwards-corrected chi2 one division
+    "a71_mcnemar" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      = 1 AS actual,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+        |    COUNT(*) AS ne
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT (sv > 50.0) = actual AS a, (ne > 10) = actual AS b
+        |  FROM per
+        |  WHERE (sv > 50.0) IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a_only,
+        |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_only
+        |  FROM p)
+        |SELECT n, a_only, b_only,
+        |  CASE WHEN a_only + b_only > 0 THEN
+        |    ROUND(CAST(CAST(GREATEST(abs(a_only - b_only) - 1, 0)
+        |        AS HUGEINT) *
+        |      GREATEST(abs(a_only - b_only) - 1, 0) AS DOUBLE) /
+        |      CAST(a_only + b_only AS DOUBLE), 6)
+        |  END AS chi2
+        |FROM m""".stripMargin,
+
+    // five exact HUGEINT moments; T/Var/z one fixed double chain
+    "a72_trend" ->
+      """WITH src AS (
+        |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+        |      AS w,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS k_doses,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r) AS BIGINT) AS n_pos,
+        |    SUM(CAST(w AS HUGEINT) * r) AS wr,
+        |    SUM(CAST(w AS HUGEINT)) AS wn,
+        |    SUM(CAST(w AS HUGEINT) * w) AS w2n
+        |  FROM src),
+        |c AS (
+        |  SELECT k_doses, n, n_pos,
+        |    CAST(wr AS DOUBLE) - CAST(n_pos AS DOUBLE) /
+        |      CAST(n AS DOUBLE) * CAST(wn AS DOUBLE) AS t,
+        |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) *
+        |      (CAST(1.0 AS DOUBLE) - CAST(n_pos AS DOUBLE) /
+        |        CAST(n AS DOUBLE)) *
+        |      (CAST(w2n AS DOUBLE) - CAST(wn AS DOUBLE) *
+        |        CAST(wn AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+        |  FROM m)
+        |SELECT k_doses, n, n_pos, ROUND(t, 6) AS t_stat,
+        |  CASE WHEN v > 0 THEN ROUND(t / sqrt(v), 6) END AS z
+        |FROM c""".stripMargin,
 
     // entropies as exact decimal sums of rounded (c/n)ln(n/c) terms;
     // MI exact decimal on the sums, clamped at 0; U one division

@@ -1661,6 +1661,95 @@ object Quality {
     * frame + the bucketed Prefix hierarchy; nothing per-row.
     *
     * @return one row: (n_pos, n_neg, delta) */
+  /** McNemar's test — PAIRED binary comparison of two classifiers /
+    * rules scored on the SAME items (the model-eval question a20's
+    * unpaired z gets wrong: shared items correlate the errors; only
+    * the DISCORDANT pairs carry information). With b = items only A
+    * got right and c = items only B got right, χ² =
+    * (max(|b−c|−1, 0))²/(b+c) — Edwards' continuity correction,
+    * clamped so b = c scores exactly 0 (stated convention; 1 df).
+    * b + c = 0 (never-discordant) → χ² NULL.
+    *
+    * Numerics: b, c and the squared numerator are exact integers
+    * (decimal(38,0) for the square); χ² is ONE double division
+    * rounded once.
+    *
+    * Scale shape: one conditional global agg with map-side partials —
+    * nothing survives the agg.
+    *
+    * @param aCorrect,bCorrect boolean Columns: did each model get
+    *        THIS row right (null rows excluded)
+    * @return one row: (n, a_only, b_only, chi2) */
+  def mcnemarTest(df: DataFrame, aCorrect: Column,
+                  bCorrect: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val src = df.filter(aCorrect.isNotNull && bCorrect.isNotNull)
+      .select(aCorrect.as("__a"), bCorrect.as("__b"))
+    src.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("__a") && !col("__b"), 1L)
+        .otherwise(0L)), lit(0L)).as("a_only"),
+      coalesce(sum(when(!col("__a") && col("__b"), 1L)
+        .otherwise(0L)), lit(0L)).as("b_only"))
+      .select(col("n"), col("a_only"), col("b_only"),
+        when(col("a_only") + col("b_only") > 0,
+          round((greatest(abs(col("a_only") - col("b_only")) - 1,
+              lit(0L)).cast(dec) *
+            greatest(abs(col("a_only") - col("b_only")) - 1,
+              lit(0L))).cast("double") /
+            (col("a_only") + col("b_only")).cast("double"), 6))
+          .as("chi2"))
+  }
+
+  /** Cochran–Armitage trend test — is a binary outcome's rate
+    * MONOTONE in an ordered exposure (the dose–response question χ²
+    * ignores: independence tests treat "1-URGENT … 5-LOW" as
+    * unordered labels and throw the ordering away): T = Σ w_i·r_i −
+    * (R/N)·Σ w_i·n_i over dose scores w, per-dose positives r and
+    * totals n, Var = (R/N)(1−R/N)(Σw²n − (Σwn)²/N), z = T/√Var.
+    *
+    * Numerics: all five moments (R, N, Σwr, Σwn, Σw²n) are EXACT
+    * decimal(38,0) integers off one hash agg; T, Var and z are ONE
+    * fixed-order double chain rounded once. Var ≤ 0 (constant
+    * outcome or single dose) → z NULL.
+    *
+    * Scale shape: one corpus conditional agg (map-side combined) to
+    * five scalars — the dose frame never materializes.
+    *
+    * @param doseCol integer-valued ordered exposure score
+    * @param isPos boolean outcome Column
+    * @return one row: (k_doses, n, n_pos, t_stat, z) */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+                      isPos: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val src = df.filter(col(doseCol).isNotNull && isPos.isNotNull)
+      .select(col(doseCol).cast("long").as("__w"),
+        when(isPos, 1L).otherwise(0L).as("__r"))
+    src.agg(
+      countDistinct(col("__w")).as("k_doses"),
+      count(lit(1)).as("n"),
+      coalesce(sum(col("__r")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("__w").cast(dec) * col("__r")),
+        lit(0).cast(dec)).as("__wr"),
+      coalesce(sum(col("__w").cast(dec)), lit(0).cast(dec))
+        .as("__wn"),
+      coalesce(sum(col("__w").cast(dec) * col("__w")),
+        lit(0).cast(dec)).as("__w2n"))
+      .select(col("k_doses"), col("n"), col("n_pos"),
+        (col("__wr").cast("double") -
+          col("n_pos").cast("double") / col("n").cast("double") *
+            col("__wn").cast("double")).as("__t"),
+        (col("n_pos").cast("double") / col("n").cast("double") *
+          (lit(1.0) - col("n_pos").cast("double") /
+            col("n").cast("double")) *
+          (col("__w2n").cast("double") -
+            col("__wn").cast("double") * col("__wn").cast("double") /
+              col("n").cast("double"))).as("__var"))
+      .select(col("k_doses"), col("n"), col("n_pos"),
+        round(col("__t"), 6).as("t_stat"),
+        when(col("__var") > 0,
+          round(col("__t") / sqrt(col("__var")), 6)).as("z"))
+  }
+
   /** One-way ANOVA F — does a numeric metric DIFFER across k groups
     * (the k-group generalization of a20's two-sample test): F =
     * (SSB/(k−1)) / (SSW/(n−k)) with SSB/SSW off per-group exact

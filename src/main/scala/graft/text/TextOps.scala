@@ -1606,6 +1606,149 @@ object TextOps {
             col("vocab").cast("double"), 6)).as("hapax_ratio"))
   }
 
+  /** Distinctive terms per group — Monroe/Colaresi/Quinn's
+    * "Fightin' Words" question for corpus curation: which terms are
+    * OVER-represented in source/lang/slice g relative to the rest of
+    * the corpus? Per (group, term) 2×2 cell (a = term in group, b =
+    * other group tokens, c = term elsewhere, d = everything else),
+    * Haldane-smoothed log-odds-ratio lor = ln((a+½)(d+½)/((b+½)(c+½)))
+    * and its z = lor/√(1/(a+½)+1/(b+½)+1/(c+½)+1/(d+½)) — the
+    * variance-standardized form that stops raw frequency from
+    * drowning the signal. Top-k per group by (z desc, term): the
+    * boilerplate/domain markers a mixing or dedup step should know
+    * about.
+    *
+    * Numerics: all four cells are exact longs off one (group, term)
+    * hash agg; lor and z are ONE fixed-order double chain each,
+    * rounded once — ranking on the rounded z with the term tiebreak
+    * is deterministic under any partitioning.
+    *
+    * Scale shape: one tokenize-explode → one (group, term) hash agg
+    * (map-side combined); the group-totals frame broadcasts, the
+    * term-marginal join and the per-group top-k window run on the
+    * vocab-sized frame, partitioned by group.
+    *
+    * @return top-k rows per group: (group, term, n_in_group, lor, z) */
+  def distinctiveTerms(docs: DataFrame, textCol: String,
+                       groupCol: String, topK: Int = 10,
+                       minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK must be >= 1")
+    val cells = docs.filter(col(textCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(tokens(lower(col(textCol)))).as("__w"))
+      .groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__a"))
+    val gTot = cells.groupBy(col("__g"))
+      .agg(sum(col("__a")).as("__ng"))
+    val wTot = cells.groupBy(col("__w"))
+      .agg(sum(col("__a")).as("__cw"))
+    val nTot = gTot.agg(sum(col("__ng")).as("__n"))
+    def h(c: Column): Column = c.cast("double") + lit(0.5)
+    val scored = cells.filter(col("__a") >= minCount)
+      .join(broadcast(gTot), Seq("__g"))
+      .join(wTot, Seq("__w"))
+      .crossJoin(broadcast(nTot))
+      .select(col("__g"), col("__w"), col("__a"),
+        col("__ng") - col("__a"),
+        col("__cw") - col("__a"),
+        col("__n") - col("__ng") - (col("__cw") - col("__a")))
+      .toDF("__g", "__w", "__a", "__b", "__c", "__d")
+      .select(col("__g"), col("__w"), col("__a"),
+        log(h(col("__a")) * h(col("__d")) /
+          (h(col("__b")) * h(col("__c")))).as("__l"),
+        (lit(1.0) / h(col("__a")) + lit(1.0) / h(col("__b")) +
+          lit(1.0) / h(col("__c")) + lit(1.0) / h(col("__d")))
+          .as("__v"))
+      .select(col("__g"), col("__w"), col("__a"),
+        round(col("__l"), 6).as("lor"),
+        round(col("__l") / sqrt(col("__v")), 6).as("z"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("z").desc, col("__w"))
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topK)
+      .select(col("__g").as("group"), col("__w").as("term"),
+        col("__a").as("n_in_group"), col("lor"), col("z"))
+  }
+
+  /** Pairwise source divergence — Jensen–Shannon distance between
+    * every pair of group unigram distributions: the redundancy /
+    * complementarity map a corpus-mixing step reads before weighting
+    * sources ("these two crawls say the same thing; this one is the
+    * outlier"). JS(p,q) = ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2 — bounded
+    * by ln 2, symmetric, and defined on disjoint support (unlike KL).
+    *
+    * The vocabulary trick that keeps it one inner join: a term in g
+    * but ABSENT from h contributes exactly (ln 2)/2 · p — so
+    * JS = Σ_common terms + (ln 2)/2 · ((1 − Sg) + (1 − Sh)) where
+    * Sg = the g-probability mass of the SHARED vocabulary, computed
+    * as exact token counts over the common terms divided once. No
+    * full-outer union frame, no per-pair vocabulary completion.
+    *
+    * Numerics: per-common-term JS contribution is ONE fixed-order
+    * double chain rounded to 6dp, summed EXACTLY in decimal per
+    * pair; the missing-mass correction is one more rounded chain on
+    * exact counts; js_norm = js/ln 2 ∈ [0, 1] one final division.
+    *
+    * Scale shape: one tokenize-explode → one (group, term) hash agg;
+    * the pair frame is the vocab-sized self-join on term (g < h, ≤
+    * k²/2 · vocab rows); group totals broadcast. k groups is a
+    * SOURCES dimension (dozens), not a corpus dimension.
+    *
+    * @return one row per pair: (group_a, group_b, n_common_terms,
+    *         js, js_norm) */
+  def sourceDivergence(docs: DataFrame, textCol: String,
+                       groupCol: String): DataFrame = {
+    val cells = docs.filter(col(textCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(tokens(lower(col(textCol)))).as("__w"))
+      .groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__c"))
+    val gTot = cells.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__ng"))
+    val a = cells.select(col("__g").as("__ga"), col("__w"),
+      col("__c").as("__ca"))
+    val b = cells.select(col("__g").as("__gb"), col("__w"),
+      col("__c").as("__cb"))
+    val na = gTot.select(col("__g").as("__ga"),
+      col("__ng").as("__na"))
+    val nb = gTot.select(col("__g").as("__gb"),
+      col("__ng").as("__nb"))
+    val pairs = a.join(b, Seq("__w")).filter(col("__ga") < col("__gb"))
+      .join(broadcast(na), Seq("__ga"))
+      .join(broadcast(nb), Seq("__gb"))
+    val p = col("__ca").cast("double") / col("__na").cast("double")
+    val q = col("__cb").cast("double") / col("__nb").cast("double")
+    val term = round((p * log(lit(2.0) * p / (p + q)) +
+      q * log(lit(2.0) * q / (p + q))) / lit(2.0), 6)
+      .cast("decimal(18,6)")
+    val common = pairs
+      .select(col("__ga"), col("__gb"), col("__ca"), col("__cb"),
+        term.as("__t"))
+      .groupBy(col("__ga"), col("__gb"))
+      .agg(count(lit(1)).as("n_common_terms"),
+        sum(col("__ca")).as("__cga"), sum(col("__cb")).as("__cgb"),
+        sum(col("__t")).cast("decimal(28,6)").as("__jsc"))
+    // every group pair appears, even with ZERO shared vocabulary
+    // (js = ln 2 exactly there) — the k²/2 pair list is tiny
+    val allPairs = na.crossJoin(nb).filter(col("__ga") < col("__gb"))
+    allPairs.join(common, Seq("__ga", "__gb"), "left")
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        coalesce(col("n_common_terms"), lit(0L))
+          .as("n_common_terms"),
+        (coalesce(col("__jsc"), lit(0).cast("decimal(28,6)")) +
+          round(log(lit(2.0)) / lit(2.0) *
+            ((col("__na") - coalesce(col("__cga"), lit(0L)))
+              .cast("double") / col("__na").cast("double") +
+             (col("__nb") - coalesce(col("__cgb"), lit(0L)))
+              .cast("double") / col("__nb").cast("double")), 6)
+            .cast("decimal(18,6)")).as("__js"))
+      .select(col("group_a"), col("group_b"), col("n_common_terms"),
+        col("__js").cast("double").as("js"),
+        round(col("__js").cast("double") / log(lit(2.0)), 6)
+          .as("js_norm"))
+  }
+
   /** Heaps'-law vocabulary-growth fit — V(n) = K·n^β estimated from
     * the corpus's own growth curve (Heaps 1978): walk the documents
     * in a deterministic order, record (cumulative tokens, cumulative

@@ -610,6 +610,15 @@ object ScaleSweep {
       // subject hash agg to the KM curve; curve-sized fold after
       "w37_rmst" -> (d =>
         SparkEntry.queries("w37_rmst")(spark, d).count()),
+      // one conditional user agg to two scalars
+      "a71_mcnemar" -> (d =>
+        SparkEntry.queries("a71_mcnemar")(spark, d).count()),
+      // (source, term) agg; vocab-frame joins + per-group window
+      "t_distinct_terms" -> (d =>
+        SparkEntry.queries("t_distinct_terms")(spark, d).count()),
+      // vocab-sized term self-join over the k^2/2 source pairs
+      "t_source_js" -> (d =>
+        SparkEntry.queries("t_source_js")(spark, d).count()),
       // one narrow pass (dx*dy + dx^2 + dy^2 products) into the
       // cells frame — the honest Gram cost
       "e_cka" -> (d =>

@@ -1114,6 +1114,50 @@ class QualitySpec extends SparkSpec {
     assert(probe._2 == BigDecimal(expect), s"${probe._2} vs $expect")
   }
 
+  test("mcnemarTest: only discordant pairs count; Edwards " +
+    "continuity clamps b=c to 0; never-discordant NULLs chi2; " +
+    "null predictions excluded") {
+    import spark.implicits._
+    val df = Seq((true, true), (true, false), (true, false),
+      (true, false), (false, true), (false, false)).toDF("a", "b")
+    val got = Quality.mcnemarTest(df, col("a"), col("b"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    // a_only=3, b_only=1: chi2 = (|3-1|-1)^2 / 4 = 0.25
+    assert(got == ((6L, 3L, 1L, Some(0.25))), got.toString)
+    val even = Seq((true, false), (false, true), (true, true))
+      .toDF("a", "b")
+    val e = Quality.mcnemarTest(even, col("a"), col("b"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(e == ((3L, 1L, 1L, Some(0.0))), e.toString)
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val g = Quality.mcnemarTest(agree, col("a"), col("b"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g._4.isEmpty && g._1 == 2L, g.toString)
+    val withNull = Seq((Some(true), true), (None, false))
+      .toDF("a", "b")
+    assert(Quality.mcnemarTest(withNull, col("a"), col("b"))
+      .collect().head.getLong(0) == 1L)
+  }
+
+  test("cochranArmitage: scalar replication on a perfect trend; " +
+    "constant outcome and single dose NULL the z") {
+    import spark.implicits._
+    // doses 1,2,3 with rates 0/2, 1/2, 2/2: T=2, Var=1, z=2
+    val df = Seq((1L, false), (1L, false), (2L, true), (2L, false),
+      (3L, true), (3L, true)).toDF("d", "pos")
+    val got = Quality.cochranArmitage(df, "d", col("pos"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    assert(got == ((3L, 6L, 3L, 2.0, Some(2.0))), got.toString)
+    val const = Seq((1L, true), (2L, true)).toDF("d", "pos")
+    val c = Quality.cochranArmitage(const, "d", col("pos"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    assert(c._5.isEmpty && c._3 == 2L, c.toString)
+    val mono = Seq((2L, true), (2L, false)).toDF("d", "pos")
+    val m = Quality.cochranArmitage(mono, "d", col("pos"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    assert(m._1 == 1L && m._5.isEmpty, m.toString)
+  }
+
   test("anovaF: scalar replication on two clean groups; " +
     "zero-variance corpus NULLs F and eta; single group NULLs F") {
     import spark.implicits._

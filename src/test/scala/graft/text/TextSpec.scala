@@ -1336,6 +1336,67 @@ class TextSpec extends SparkSpec {
     assert(got._2 > 0.0 && got._2 < 1.0)
   }
 
+  test("distinctiveTerms: scalar replication of the smoothed " +
+    "log-odds z; per-group ranking; minCount prunes before scoring") {
+    // A: x*5 y*1; B: y*5 z*1 -> N=12, ng=6 each
+    val docs = Seq(("A", "x x x x x y"), ("B", "y y y y y z"))
+      .toDF("src", "text")
+    val got = TextOps.distinctiveTerms(docs, "text", "src",
+        topK = 2, minCount = 1L)
+      .as[(String, String, Long, Double, Double)].collect()
+      .groupBy(_._1)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def zOf(a: Long, b: Long, c: Long, d: Long): (Double, Double) = {
+      val (ha, hb, hc, hd) = (a + 0.5, b + 0.5, c + 0.5, d + 0.5)
+      val l = math.log(ha * hd / (hb * hc))
+      val v = 1.0 / ha + 1.0 / hb + 1.0 / hc + 1.0 / hd
+      (r6(l), r6(l / math.sqrt(v)))
+    }
+    // (A, x): a=5, b=1, c=0, d=6
+    val ax = got("A").find(_._2 == "x").get
+    val (lorAx, zAx) = zOf(5, 1, 0, 6)
+    assert(ax._3 == 5L && ax._4 == lorAx && ax._5 == zAx,
+      ax.toString)
+    // A's top term is x (positive z), and (A, y) scores NEGATIVE
+    assert(got("A").maxBy(_._5)._2 == "x")
+    val ay = got("A").find(_._2 == "y").get
+    assert(ay._5 < 0.0, ay.toString)
+    // B's top term is y: a=5,b=1,c=1,d=5 beats z's a=1,b=5,c=0,d=6
+    assert(got("B").maxBy(_._5)._2 == "y")
+    // minCount prunes: with minCount=5 only the two 5-count cells
+    val pruned = TextOps.distinctiveTerms(docs, "text", "src",
+        topK = 5, minCount = 5L).collect()
+    assert(pruned.length == 2, pruned.mkString(","))
+  }
+
+  test("sourceDivergence: identical distributions score 0; zero " +
+    "shared vocabulary scores exactly ln 2 (pair still emitted); " +
+    "partial overlap matches the scalar chain") {
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("src", "text")
+    val s = TextOps.sourceDivergence(same, "text", "src")
+      .as[(String, String, Long, Double, Double)].collect().head
+    assert(s == (("A", "B", 2L, 0.0, 0.0)), s.toString)
+    val disjoint = Seq(("A", "x x"), ("B", "y y")).toDF("src", "text")
+    val d = TextOps.sourceDivergence(disjoint, "text", "src")
+      .as[(String, String, Long, Double, Double)].collect().head
+    assert(d._3 == 0L && d._4 == r6(math.log(2.0)) && d._5 == 1.0,
+      d.toString)
+    // A = {x:2/3, y:1/3}, B = {x:1/2, z:1/2}: common term x only
+    val part = Seq(("A", "x x y"), ("B", "x z")).toDF("src", "text")
+    val p = TextOps.sourceDivergence(part, "text", "src")
+      .as[(String, String, Long, Double, Double)].collect().head
+    val (pa, pb) = (2.0 / 3.0, 1.0 / 2.0)
+    val tm = r6((pa * math.log(2 * pa / (pa + pb)) +
+      pb * math.log(2 * pb / (pa + pb))) / 2)
+    val miss = r6(math.log(2.0) / 2 * (1.0 / 3.0 + 1.0 / 2.0))
+    val js = BigDecimal(tm) + BigDecimal(miss)
+    assert(p._3 == 1L && p._4 == js.toDouble &&
+      p._5 == r6(js.toDouble / math.log(2.0)), p.toString)
+  }
+
   test("heapsFit: zero-token docs keep the vocab flat; leading " +
     "empty doc is excluded from the fit frame") {
     val docs = Seq((1L, ""), (2L, "a b"), (3L, ""), (4L, "c"))

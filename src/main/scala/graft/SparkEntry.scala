@@ -1182,6 +1182,19 @@ object SparkEntry {
       TextOps.sourceDivergence(t(s, dir, "documents"), "text",
         "source")),
 
+    // ---- training-data ops: leakage-safe split audit — documents
+    // split train/test BY exact-dup fingerprint cluster (a cluster
+    // can never straddle the boundary); deterministic portable-hash
+    // assignment, per-split row/cluster counts. ----
+    "t_leakage_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("__cl", TextOps.fingerprint(col("text")))
+      TextOps.leakageSafeSplit(d, "__cl", testMicros = 100000L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("__cl")).as("n_clusters"))
+    }),
+
     // ---- training-data ops: BPE ENCODE — learn 3 merges on the
     // corpus, then apply them corpus-wide (rank-ordered greedy
     // non-overlapping fuse, the learner's exact rewrite) and report
@@ -3214,6 +3227,38 @@ object SparkEntry {
         t(s, dir, "orders").withColumn("__dose",
           substring(col("o_orderpriority"), 1, 1).cast("long")),
         "__dose", col("o_orderstatus") === "F")),
+
+    // ---- A73: Fleiss' kappa — three deterministic length-band
+    // "raters" (n_chars, space-stripped chars, token count) on every
+    // document: the multi-rater agreement gate beside a45's two-
+    // rater Cohen. Exact Σn² / Σc² moments, one chain each. ----
+    "a73_fleiss" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val ns = length(regexp_replace(col("text"), lit(" "), lit("")))
+      val tc = size(TextOps.tokens(col("text")))
+      val long = d.select(col("doc_id"),
+        when(col("n_chars") < 300, "short")
+          .when(col("n_chars") < 500, "mid").otherwise("long")
+          .as("r1"),
+        when(ns < 250, "short").when(ns < 420, "mid")
+          .otherwise("long").as("r2"),
+        when(tc < 50, "short").when(tc < 80, "mid")
+          .otherwise("long").as("r3"))
+        .selectExpr("doc_id", "stack(3, r1, r2, r3) AS rating")
+      Quality.fleissKappa(long, "doc_id", "rating")
+    }),
+
+    // ---- A74: Chapman capture–recapture — two overlapping "crawls"
+    // (doc_id mod-10 slices sharing 2/10) estimate the TRUE corpus
+    // size and each crawl's coverage; the unseen-DOCUMENTS audit
+    // beside t_vocab_coverage's unseen-vocabulary one. ----
+    "a74_capture" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Quality.captureRecapture(
+        d.filter(pmod(col("doc_id"), lit(10L)) < 6),
+        d.filter(pmod(col("doc_id"), lit(10L)) >= 4), "doc_id")
+    }),
 
     // ---- A65: Brier score + Murphy decomposition — the headline
     // probabilistic-forecast number beside a41/a42's calibration
@@ -10120,6 +10165,98 @@ FROM n, vxy, vxx, vyy"""
         |    ROUND(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
         |  END AS eta_sq
         |FROM ss""".stripMargin,
+
+    // exact HUGEINT Σn²/Σc² moments off the stacked rater frame;
+    // P̄/P̄e/κ one fixed double chain each
+    "a73_fleiss" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    length(replace(text, ' ', '')) AS ns,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS tc
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, CASE WHEN n_chars < 300 THEN 'short'
+        |    WHEN n_chars < 500 THEN 'mid' ELSE 'long' END AS rating
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN ns < 250 THEN 'short'
+        |    WHEN ns < 420 THEN 'mid' ELSE 'long' END FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN tc < 50 THEN 'short'
+        |    WHEN tc < 80 THEN 'mid' ELSE 'long' END FROM d),
+        |cells AS (
+        |  SELECT doc_id, rating, COUNT(*) AS n FROM r GROUP BY 1, 2),
+        |it AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    MIN(m) AS mmin, MAX(m) AS mmax, SUM(s2i) AS s2
+        |  FROM (SELECT doc_id, SUM(n) AS m,
+        |      SUM(CAST(n AS HUGEINT) * n) AS s2i
+        |    FROM cells GROUP BY 1)),
+        |ct AS (SELECT SUM(CAST(cj AS HUGEINT) * cj) AS cj2
+        |  FROM (SELECT rating, SUM(n) AS cj FROM cells GROUP BY 1)),
+        |f AS (SELECT n_items, mmin, CAST(mmax AS BIGINT) AS m_raters,
+        |    CAST(n_items AS HUGEINT) * mmax AS nm, s2, cj2
+        |  FROM it, ct),
+        |c AS (SELECT n_items, m_raters, mmin,
+        |    (CAST(s2 AS DOUBLE) - CAST(nm AS DOUBLE)) /
+        |      (CAST(nm AS DOUBLE) * CAST(m_raters - 1 AS DOUBLE))
+        |      AS pbar,
+        |    CAST(cj2 AS DOUBLE) / CAST(nm * nm AS DOUBLE) AS pe
+        |  FROM f)
+        |SELECT n_items, m_raters,
+        |  ROUND(pbar, 6) AS p_bar, ROUND(pe, 6) AS p_e,
+        |  CASE WHEN mmin = m_raters AND m_raters >= 2 AND pe <> 1.0
+        |    THEN ROUND((pbar - pe) / (CAST(1.0 AS DOUBLE) - pe), 6)
+        |  END AS kappa
+        |FROM c""".stripMargin,
+
+    // exact counts; Chapman/Lincoln/coverage one chain each
+    "a74_capture" ->
+      """WITH a AS (SELECT DISTINCT doc_id FROM documents
+        |  WHERE doc_id % 10 < 6),
+        |b AS (SELECT DISTINCT doc_id FROM documents
+        |  WHERE doc_id % 10 >= 4),
+        |m AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+        |  (SELECT CAST(COUNT(*) AS BIGINT)
+        |     FROM a JOIN b USING (doc_id)) AS m_overlap),
+        |c AS (SELECT n_a, n_b, m_overlap,
+        |  CAST(CAST(n_a + 1 AS HUGEINT) * (n_b + 1) AS DOUBLE) /
+        |    CAST(m_overlap + 1 AS DOUBLE) - CAST(1.0 AS DOUBLE)
+        |    AS chap
+        |  FROM m)
+        |SELECT n_a, n_b, m_overlap, ROUND(chap, 6) AS chapman_n,
+        |  CASE WHEN m_overlap > 0 THEN
+        |    ROUND(CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) /
+        |      CAST(m_overlap AS DOUBLE), 6) END AS lincoln_n,
+        |  CASE WHEN chap > 0 THEN
+        |    ROUND(CAST(n_a AS DOUBLE) / chap, 6) END AS coverage_a,
+        |  CASE WHEN chap > 0 THEN
+        |    ROUND(CAST(n_b AS DOUBLE) / chap, 6) END AS coverage_b
+        |FROM c""".stripMargin,
+
+    // the t_fingerprint fold + the portable Knuth hash split replay
+    "t_leakage_split" ->
+      """WITH fp AS (
+        |  SELECT list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> x <> ''),
+        |        x -> CAST(length(x) * 131 + ascii(x) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS cl
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT cl,
+        |  CASE WHEN ((cl % 2147483647) * 2654435761) % 2147483647
+        |      % 1000000 < 100000
+        |    THEN 'test' ELSE 'train' END AS split
+        |  FROM fp)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT cl) AS BIGINT) AS n_clusters
+        |FROM s GROUP BY split""".stripMargin,
 
     // exact discordant counts; Edwards-corrected chi2 one division
     "a71_mcnemar" ->

@@ -1661,6 +1661,115 @@ object Quality {
     * frame + the bucketed Prefix hierarchy; nothing per-row.
     *
     * @return one row: (n_pos, n_neg, delta) */
+  /** Fleiss' kappa — chance-corrected agreement for m ≥ 2 raters
+    * (the multi-rater generalization of [[cohenKappa]], which stops
+    * at two): with per-item category counts n_ij (Σ_j n_ij = m),
+    * P̄ = mean_i (Σ_j n_ij² − m)/(m(m−1)) is observed agreement,
+    * P̄_e = Σ_j p_j² the chance agreement from the pooled category
+    * shares, κ = (P̄ − P̄_e)/(1 − P̄_e). The inter-annotator QC gate
+    * for label-collection pipelines ("are the three labeling rules /
+    * vendors even measuring the same thing").
+    *
+    * Numerics: Σ n_ij² and Σ c_j² are EXACT decimal(38,0) integers
+    * off two hash aggs; P̄, P̄_e and κ are one fixed-order double
+    * chain each, rounded once at output. Fleiss assumes EQUAL m per
+    * item: unequal rating counts (or m < 2, or P̄_e = 1 — a single
+    * category ever used) → κ NULL, with the counts still reported.
+    *
+    * Scale shape: one (item, category) hash agg, two re-aggregations
+    * of that frame (per-item, per-category), scalars after.
+    *
+    * @param df ONE row per (item, rating)
+    * @return one row: (n_items, m_raters, p_bar, p_e, kappa) */
+  def fleissKappa(df: DataFrame, itemCol: String,
+                  categoryCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val src = df.filter(col(itemCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(categoryCol).as("__c"))
+    val cells = src.groupBy(col("__i"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy(col("__i")).agg(
+      sum(col("__n")).as("__m"),
+      sum(col("__n").cast(dec) * col("__n")).as("__s2i"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("__m")).as("__mmin"), max(col("__m")).as("__mmax"),
+        sum(col("__s2i")).cast(dec).as("__s2"))
+    val cats = cells.groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__cj"))
+      .agg(coalesce(sum(col("__cj").cast(dec) * col("__cj")),
+        lit(0).cast(dec)).as("__cj2"))
+    items.crossJoin(broadcast(cats))
+      .select(col("n_items"), col("__mmin"),
+        col("__mmax").as("m_raters"),
+        (col("n_items").cast(dec) * col("__mmax")).as("__nm"),
+        col("__s2"), col("__cj2"))
+      .select(col("n_items"), col("__mmin"), col("m_raters"),
+        ((col("__s2").cast("double") - col("__nm").cast("double")) /
+          (col("__nm").cast("double") *
+            (col("m_raters") - 1).cast("double"))).as("__pbar"),
+        (col("__cj2").cast("double") /
+          (col("__nm") * col("__nm")).cast("double")).as("__pe"))
+      .select(col("n_items"), col("__mmin"), col("m_raters"),
+        round(col("__pbar"), 6).as("p_bar"),
+        round(col("__pe"), 6).as("p_e"),
+        when(col("__mmin") === col("m_raters") &&
+            col("m_raters") >= 2 && col("__pe") =!= 1.0,
+          round((col("__pbar") - col("__pe")) /
+            (lit(1.0) - col("__pe")), 6)).as("kappa"))
+      .drop("__mmin")
+  }
+
+  /** Chapman capture–recapture — "how big is the TRUE population two
+    * overlapping samples were drawn from?": two crawls / two vendor
+    * feeds / two dedup passes that share m ids estimate total corpus
+    * size N̂ = (n_A+1)(n_B+1)/(m+1) − 1 (Chapman's bias-corrected
+    * Lincoln–Petersen, finite even at m = 0). The coverage audit
+    * beside [[graft.text.TextOps.vocabCoverage]]: Chao1 bounds the
+    * unseen VOCABULARY, this bounds the unseen DOCUMENTS — and
+    * n_A/N̂ says what fraction one source alone captured.
+    *
+    * Numerics: the three counts are exact; the (n+1)(n+1) product is
+    * decimal(38,0) (two 10¹²-id samples overflow int64 multiplied
+    * raw); each estimate is ONE double chain rounded once. The
+    * classical Lincoln–Petersen n_A·n_B/m is also reported (NULL at
+    * m = 0). Assumes closed population + independent samples (the
+    * caller's design, stated).
+    *
+    * Scale shape: two distinct-id projections into one full-outer
+    * join on id (one shuffle each) and a single conditional agg.
+    *
+    * @return one row: (n_a, n_b, m_overlap, chapman_n, lincoln_n,
+    *         coverage_a, coverage_b) */
+  def captureRecapture(a: DataFrame, b: DataFrame,
+                       idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val av = a.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id")).distinct()
+      .select(col("__id"), lit(1L).as("__a"))
+    val bv = b.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id")).distinct()
+      .select(col("__id"), lit(1L).as("__b"))
+    val chap = ((col("n_a") + 1).cast(dec) * (col("n_b") + 1))
+      .cast("double") / (col("m_overlap") + 1).cast("double") -
+      lit(1.0)
+    av.join(bv, Seq("__id"), "full_outer")
+      .agg(coalesce(sum(col("__a")), lit(0L)).as("n_a"),
+        coalesce(sum(col("__b")), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("__a").isNotNull &&
+          col("__b").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("m_overlap"))
+      .select(col("n_a"), col("n_b"), col("m_overlap"),
+        round(chap, 6).as("chapman_n"),
+        when(col("m_overlap") > 0,
+          round((col("n_a").cast(dec) * col("n_b")).cast("double") /
+            col("m_overlap").cast("double"), 6)).as("lincoln_n"),
+        when(chap > 0, round(col("n_a").cast("double") / chap, 6))
+          .as("coverage_a"),
+        when(chap > 0, round(col("n_b").cast("double") / chap, 6))
+          .as("coverage_b"))
+  }
+
   /** McNemar's test — PAIRED binary comparison of two classifiers /
     * rules scored on the SAME items (the model-eval question a20's
     * unpaired z gets wrong: shared items correlate the errors; only

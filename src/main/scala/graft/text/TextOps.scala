@@ -1606,6 +1606,36 @@ object TextOps {
             col("vocab").cast("double"), 6)).as("hapax_ratio"))
   }
 
+  /** Leakage-safe train/test split — the assignment every dedup'd
+    * training corpus needs: split by CLUSTER, not by row, so near-
+    * duplicate documents (same fingerprint / entity cluster / URL
+    * host) can never straddle the boundary and leak test content
+    * into training. Deterministic: a cluster lands in "test" iff
+    * its [[portableHash]] maps below `testMicros`/10⁶ — stable
+    * under re-partitioning, re-runs and engine ports (no RNG), and
+    * any two tables split on the same cluster key agree. Hash-bucket
+    * bias is ≤ 1 part in 2¹¹ of the test mass ((2³¹−1) mod 10⁶ ≠ 0,
+    * stated); the achieved fraction converges on clusters, not rows
+    * — a giant cluster moves the row fraction, by design.
+    *
+    * Scale shape: one narrow projection — a per-row hash + compare,
+    * no shuffle, no state. Composable upstream of any sink.
+    *
+    * @param clusterCol long-valued cluster key (a fingerprint, an
+    *        entity-cluster rep id)
+    * @param testMicros test share in micro-units (100000 = 10%)
+    * @return df + `split` column ("train" / "test") */
+  def leakageSafeSplit(df: org.apache.spark.sql.DataFrame,
+                       clusterCol: String,
+                       testMicros: Long = 100000L)
+      : org.apache.spark.sql.DataFrame = {
+    require(testMicros >= 0L && testMicros <= 1000000L,
+      "testMicros must be in [0, 1000000]")
+    df.withColumn("split",
+      when(pmod(portableHash(col(clusterCol)), lit(1000000L)) <
+        testMicros, "test").otherwise("train"))
+  }
+
   /** Distinctive terms per group — Monroe/Colaresi/Quinn's
     * "Fightin' Words" question for corpus curation: which terms are
     * OVER-represented in source/lang/slice g relative to the rest of

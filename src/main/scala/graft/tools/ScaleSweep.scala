@@ -619,6 +619,15 @@ object ScaleSweep {
       // vocab-sized term self-join over the k^2/2 source pairs
       "t_source_js" -> (d =>
         SparkEntry.queries("t_source_js")(spark, d).count()),
+      // (doc, category) agg off the stacked 3-rater frame
+      "a73_fleiss" -> (d =>
+        SparkEntry.queries("a73_fleiss")(spark, d).count()),
+      // two distinct projections + one id join + one agg
+      "a74_capture" -> (d =>
+        SparkEntry.queries("a74_capture")(spark, d).count()),
+      // per-row hash + compare, no shuffle; audit agg after
+      "t_leakage_split" -> (d =>
+        SparkEntry.queries("t_leakage_split")(spark, d).count()),
       // one narrow pass (dx*dy + dx^2 + dy^2 products) into the
       // cells frame — the honest Gram cost
       "e_cka" -> (d =>

@@ -1114,6 +1114,64 @@ class QualitySpec extends SparkSpec {
     assert(probe._2 == BigDecimal(expect), s"${probe._2} vs $expect")
   }
 
+  test("fleissKappa: hand 2-item panel; perfect agreement scores 1; " +
+    "unequal rating counts and single-category panels NULL kappa") {
+    import spark.implicits._
+    // i1: (a,a); i2: (a,b) -> pbar=0.5, pe=10/16, kappa=-1/3
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("item", "rating")
+    val got = Quality.fleissKappa(df, "item", "rating")
+      .as[(Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert(got._1 == 2L && got._2 == 2L)
+    assert(got._3 == 0.5 && got._4 == 0.625)
+    assert(got._5.contains(-0.333333), got.toString)
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "rating")
+    val p = Quality.fleissKappa(perfect, "item", "rating")
+      .as[(Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert(p._3 == 1.0 && p._5.contains(1.0), p.toString)
+    val uneven = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (2L, "b")).toDF("item", "rating")
+    val u = Quality.fleissKappa(uneven, "item", "rating")
+      .as[(Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert(u._5.isEmpty, u.toString)
+    val mono = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "rating")
+    val m = Quality.fleissKappa(mono, "item", "rating")
+      .as[(Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert(m._3 == 1.0 && m._4 == 1.0 && m._5.isEmpty, m.toString)
+  }
+
+  test("captureRecapture: Chapman/Lincoln/coverage on a hand " +
+    "overlap; zero overlap keeps Chapman finite; duplicate ids " +
+    "collapse") {
+    import spark.implicits._
+    val a = (1L to 6L).map(i => Tuple1(i)).toDF("id")
+    val b = (5L to 8L).map(i => Tuple1(i)).toDF("id")
+    val got = Quality.captureRecapture(a, b, "id")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(got._1 == 6L && got._2 == 4L && got._3 == 2L)
+    assert(got._4 == 10.666667 && got._5.contains(12.0))
+    assert(got._6.contains(0.5625) && got._7.contains(0.375),
+      got.toString)
+    val z = Quality.captureRecapture(
+        Seq(1L).toDF("id"), Seq(2L).toDF("id"), "id")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(z._3 == 0L && z._4 == 3.0 && z._5.isEmpty &&
+      z._6.contains(0.333333), z.toString)
+    val dup = Quality.captureRecapture(
+        Seq(1L, 1L, 2L).toDF("id"), Seq(2L).toDF("id"), "id")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(dup._1 == 2L && dup._3 == 1L, dup.toString)
+  }
+
   test("mcnemarTest: only discordant pairs count; Edwards " +
     "continuity clamps b=c to 0; never-discordant NULLs chi2; " +
     "null predictions excluded") {

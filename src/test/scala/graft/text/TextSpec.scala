@@ -1336,6 +1336,29 @@ class TextSpec extends SparkSpec {
     assert(got._2 > 0.0 && got._2 < 1.0)
   }
 
+  test("leakageSafeSplit: clusters never straddle the boundary; " +
+    "deterministic across runs and row order; boundary shares") {
+    // 40 clusters x 3 rows each
+    val df = (1L to 120L).map(i => (i, i % 40))
+      .toDF("row_id", "cl")
+    val s1 = TextOps.leakageSafeSplit(df, "cl", 300000L)
+      .select("cl", "split").as[(Long, String)].collect()
+    // each cluster maps to exactly ONE split
+    val perCluster = s1.groupBy(_._1).values
+      .map(_.map(_._2).distinct.length)
+    assert(perCluster.forall(_ == 1))
+    assert(s1.map(_._2).distinct.sorted.toSeq == Seq("test", "train"))
+    val s2 = TextOps.leakageSafeSplit(df.orderBy(rand(3)), "cl",
+        300000L)
+      .select("cl", "split").as[(Long, String)].collect().toSet
+    assert(s1.toSet == s2)
+    // boundary shares: 0 -> all train, 1e6 -> all test
+    assert(TextOps.leakageSafeSplit(df, "cl", 0L)
+      .filter(col("split") === "test").count() == 0)
+    assert(TextOps.leakageSafeSplit(df, "cl", 1000000L)
+      .filter(col("split") === "train").count() == 0)
+  }
+
   test("distinctiveTerms: scalar replication of the smoothed " +
     "log-odds z; per-group ranking; minCount prunes before scoring") {
     // A: x*5 y*1; B: y*5 z*1 -> N=12, ng=6 each

@@ -2417,6 +2417,27 @@ object SparkEntry {
         "neighbor_id", "rank", depth = 10)
     }),
 
+    // ---- similarity eval: nDCG@10 per query — brute top-10 lists
+    // with same-label binary relevance; position-weighted gain in
+    // exact decimal, the per-query recall dial for the ANN stack. ----
+    "e_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val ranked = Similarity.bruteKnnJoin(q, emb, "vec_id",
+        "embedding", 10)
+      val ql = emb.select(col("vec_id").as("query_id"),
+        col("label").as("__ql"))
+      val nl = emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("__nl"))
+      val withRel = ranked.join(ql, Seq("query_id"))
+        .join(nl, Seq("neighbor_id"))
+        .select(col("query_id"), col("rank"),
+          when(col("__ql") === col("__nl"), 1L).otherwise(0L)
+            .as("rel"))
+      Quality.ndcgAtK(withRel, "query_id", "rank", "rel", k = 10)
+    }),
+
     // ---- similarity: per-label embedding centroids as MERGEABLE
     // PARTIALS (label, dim, exact sum, n) — posexplode to (label, dim),
     // one hash agg; per-element round-6 THEN exact decimal sum makes
@@ -9024,6 +9045,60 @@ FROM n, vxy, vxx, vyy"""
     // nprobe=8) + the RBO tail: per-item W(max(ra,rb)) weights as
     // term-wise round-6 decimals (the a58 POWER discipline), exact
     // decimal sum, one x0.1 product, one double round
+    // the e_rbo brute top-10 replay + same-label relevance; gain
+    // terms one rounded chain each, DCG/IDCG exact decimal sums
+    "e_ndcg" ->
+      """WITH src AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM src WHERE vec_id % 100 = 0),
+        |brute AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, ra FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.qe,
+        |             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, e.vec_id) AS ra
+        |    FROM q, src e WHERE e.vec_id <> q.query_id)
+        |  WHERE ra <= 10),
+        |rel AS (
+        |  SELECT b.query_id, b.ra AS r,
+        |    CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+        |  FROM brute b
+        |  JOIN embeddings ql ON ql.vec_id = b.query_id
+        |  JOIN embeddings nl ON nl.vec_id = b.neighbor_id),
+        |ir AS (SELECT query_id, r, rel,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, r ASC) AS irk
+        |  FROM rel),
+        |t AS (SELECT query_id,
+        |    CAST(ROUND(CAST(rel AS DOUBLE) *
+        |      (ln(2) / ln(CAST(r AS DOUBLE) + 1.0)), 6)
+        |      AS DECIMAL(18,6)) AS g,
+        |    CAST(ROUND(CAST(rel AS DOUBLE) *
+        |      (ln(2) / ln(CAST(irk AS DOUBLE) + 1.0)), 6)
+        |      AS DECIMAL(18,6)) AS ig,
+        |    CASE WHEN rel > 0 THEN 1 ELSE 0 END AS isrel
+        |  FROM ir),
+        |agg AS (SELECT query_id AS query,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ranked,
+        |    CAST(SUM(isrel) AS BIGINT) AS n_rel,
+        |    CAST(SUM(g) AS DECIMAL(28,6)) AS dcg,
+        |    CAST(SUM(ig) AS DECIMAL(28,6)) AS idcg
+        |  FROM t GROUP BY 1)
+        |SELECT query, n_ranked, n_rel,
+        |  CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
+        |  CASE WHEN idcg > 0 THEN
+        |    ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+        |  END AS ndcg
+        |FROM agg""".stripMargin,
+
     "e_rbo" ->
       """WITH src AS MATERIALIZED (
         |  SELECT vec_id, embedding FROM embeddings

@@ -1661,6 +1661,62 @@ object Quality {
     * frame + the bucketed Prefix hierarchy; nothing per-row.
     *
     * @return one row: (n_pos, n_neg, delta) */
+  /** nDCG@k — normalized discounted cumulative gain per ranked list,
+    * the position-weighted retrieval metric completing the eval
+    * family ([[averagePrecision]] is corpus-level and binary; RBO
+    * compares two rankings; this scores ONE ranking against graded
+    * relevance): DCG = Σ_{rank≤k} rel·(ln 2/ln(rank+1)), IDCG the
+    * same sum over the query's OWN relevances ideally re-ranked
+    * (rel desc, original rank as the deterministic tiebreak),
+    * nDCG = DCG/IDCG ∈ [0, 1], NULL when the list holds no relevant
+    * item. The per-query recall dial for the ANN stack: feed it a
+    * brute or IVF shortlist with label relevance and read where the
+    * ranking loses its gain.
+    *
+    * Numerics: each gain term is ONE double chain rounded to 6dp
+    * (ln 2/ln(rank+1) — rank 1 scores exactly 1.0), both sums EXACT
+    * decimal; nDCG one rounded division.
+    *
+    * Scale shape: the input is k-bounded per query by contract (a
+    * top-k shortlist); the ideal re-rank window partitions by query
+    * over ≤ k rows; one (query) hash agg after.
+    *
+    * @param ranked ONE row per (query, rank), rank 1-based; rows
+    *        with rank > k are ignored
+    * @return per query: (query, n_ranked, n_rel, dcg, idcg, ndcg) */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+              relCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val src = ranked.filter(col(queryCol).isNotNull &&
+        col(rankCol).isNotNull && col(relCol).isNotNull)
+      .select(col(queryCol).as("__q"),
+        col(rankCol).cast("long").as("__r"),
+        col(relCol).cast("long").as("__rel"))
+      .filter(col("__r") >= 1 && col("__r") <= k)
+    def gain(rank: Column, rel: Column): Column =
+      round(rel.cast("double") *
+        (log(lit(2.0)) / log(rank.cast("double") + lit(1.0))), 6)
+        .cast("decimal(18,6)")
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("__rel").desc, col("__r").asc)
+    src.withColumn("__ir", row_number().over(w).cast("long"))
+      .select(col("__q"), gain(col("__r"), col("__rel")).as("__g"),
+        gain(col("__ir"), col("__rel")).as("__ig"),
+        when(col("__rel") > 0, 1L).otherwise(0L).as("__isrel"))
+      .groupBy(col("__q").as("query"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("__isrel")).as("n_rel"),
+        sum(col("__g")).cast("decimal(28,6)").as("__dcg"),
+        sum(col("__ig")).cast("decimal(28,6)").as("__idcg"))
+      .select(col("query"), col("n_ranked"), col("n_rel"),
+        col("__dcg").cast("double").as("dcg"),
+        col("__idcg").cast("double").as("idcg"),
+        when(col("__idcg") > 0,
+          round(col("__dcg").cast("double") /
+            col("__idcg").cast("double"), 6)).as("ndcg"))
+  }
+
   /** Fleiss' kappa — chance-corrected agreement for m ≥ 2 raters
     * (the multi-rater generalization of [[cohenKappa]], which stops
     * at two): with per-item category counts n_ij (Σ_j n_ij = m),

@@ -628,6 +628,32 @@ object ScaleSweep {
       // per-row hash + compare, no shuffle; audit agg after
       "t_leakage_split" -> (d =>
         SparkEntry.queries("t_leakage_split")(spark, d).count()),
+      // the QUERY's brute shortlist is quadratic by contract (the
+      // eval harness); the scale path feeds the SAME k-bounded
+      // ndcgAtK tail an IVF shortlist — both rows reported
+      "e_ndcg" -> (d =>
+        SparkEntry.queries("e_ndcg")(spark, d).count()),
+      "e_ndcg(ivf,nlist∝n)" -> { d =>
+        val emb = Tables.load(spark, d, "embeddings")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        val q = emb.filter(col("vec_id") % 100 === 0)
+        val nlist = if (d == base) 16 else 16 * factor
+        val cents = graft.sim.Similarity.ivfCentroids(emb, "vec_id",
+          "embedding", nlist)
+        val ranked = graft.sim.Similarity.ivfKnnJoin(q, emb, "vec_id",
+          "embedding", k = 10, centroids = cents, nprobe = 4)
+        val ql = emb.select(col("vec_id").as("query_id"),
+          col("label").as("__ql"))
+        val nl = emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl"))
+        val withRel = ranked.join(ql, Seq("query_id"))
+          .join(nl, Seq("neighbor_id"))
+          .select(col("query_id"), col("rank"),
+            when(col("__ql") === col("__nl"), 1L).otherwise(0L)
+              .as("rel"))
+        graft.ops.Quality.ndcgAtK(withRel, "query_id", "rank", "rel",
+          10).count()
+      },
       // one narrow pass (dx*dy + dx^2 + dy^2 products) into the
       // cells frame — the honest Gram cost
       "e_cka" -> (d =>

@@ -1114,6 +1114,33 @@ class QualitySpec extends SparkSpec {
     assert(probe._2 == BigDecimal(expect), s"${probe._2} vs $expect")
   }
 
+  test("ndcgAtK: scalar replication; already-ideal list scores 1.0; " +
+    "no-relevant list NULLs ndcg; ranks beyond k are ignored") {
+    import spark.implicits._
+    val df = Seq(
+      ("q1", 1L, 1L), ("q1", 2L, 0L), ("q1", 3L, 1L), ("q1", 4L, 0L),
+      ("q2", 1L, 0L), ("q2", 2L, 0L),
+      ("q3", 1L, 1L), ("q3", 2L, 1L), ("q3", 3L, 0L),
+      ("q3", 11L, 1L)).toDF("q", "r", "rel")
+    val got = Quality.ndcgAtK(df, "q", "r", "rel", k = 10)
+      .as[(String, Long, Long, Double, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def g(rank: Long, rel: Long) =
+      r6(rel.toDouble * (math.log(2.0) / math.log(rank + 1.0)))
+    val dcg1 = (BigDecimal(g(1, 1)) + BigDecimal(g(3, 1))).toDouble
+    val idcg1 = (BigDecimal(g(1, 1)) + BigDecimal(g(2, 1))).toDouble
+    assert(got("q1")._2 == 4L && got("q1")._3 == 2L)
+    assert(got("q1")._4 == dcg1 && got("q1")._5 == idcg1)
+    assert(got("q1")._6.contains(r6(dcg1 / idcg1)), got("q1").toString)
+    assert(got("q2")._3 == 0L && got("q2")._4 == 0.0 &&
+      got("q2")._6.isEmpty, got("q2").toString)
+    // q3's list is already ideal; the rank-11 row never enters k=10
+    assert(got("q3")._2 == 3L && got("q3")._6.contains(1.0),
+      got("q3").toString)
+  }
+
   test("fleissKappa: hand 2-item panel; perfect agreement scores 1; " +
     "unequal rating counts and single-category panels NULL kappa") {
     import spark.implicits._

@@ -1182,6 +1182,18 @@ object SparkEntry {
       TextOps.sourceDivergence(t(s, dir, "documents"), "text",
         "source")),
 
+    // ---- training-data ops: cross-corpus bigram surprise — odd
+    // doc_ids scored under the even-half's bigram LM with stupid
+    // backoff; the CCNet-style perplexity proxy for quality
+    // filtering and novelty mining. ----
+    "t_cross_surprise" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.bigramSurprise(
+        d.filter(pmod(col("doc_id"), lit(2L)) === 1),
+        d.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        "doc_id", "text")
+    }),
+
     // ---- training-data ops: leakage-safe split audit — documents
     // split train/test BY exact-dup fingerprint cluster (a cluster
     // can never straddle the boundary); deterministic portable-hash
@@ -10312,6 +10324,56 @@ FROM n, vxy, vxx, vyy"""
         |  CASE WHEN chap > 0 THEN
         |    ROUND(CAST(n_b AS DOUBLE) / chap, 6) END AS coverage_b
         |FROM c""".stripMargin,
+
+    // reference LM frames + stupid-backoff chains; per-bigram -lnP
+    // rounded once, exact decimal doc sums, one mean division
+    "t_cross_surprise" ->
+      """WITH rtk AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)),
+        |    '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |rb AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2, COUNT(*) AS cb FROM (
+        |    SELECT unnest([array_to_string(tk[i:i+1], ' ')
+        |                   FOR i IN range(1, len(tk))]) AS bg
+        |    FROM rtk WHERE len(tk) >= 2)
+        |  GROUP BY 1, 2),
+        |rc AS (SELECT w1, SUM(cb) AS cu FROM rb GROUP BY 1),
+        |ru AS (SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(tk) AS w FROM rtk) GROUP BY 1),
+        |tv AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM ru),
+        |tb AS (
+        |  SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2 FROM (
+        |    SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+        |                   FOR i IN range(1, len(tk))]) AS bg
+        |    FROM (SELECT doc_id, list_filter(string_split_regex(
+        |        trim(lower(text)), '\s+'), x -> x <> '') AS tk
+        |      FROM documents
+        |      WHERE text IS NOT NULL AND doc_id % 2 = 1)
+        |    WHERE len(tk) >= 2)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN rb.cb IS NOT NULL THEN
+        |      CAST(ROUND(-ln(CAST(rb.cb AS DOUBLE) /
+        |        CAST(rc.cu AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    ELSE
+        |      CAST(ROUND(-ln(CAST(0.4 AS DOUBLE) *
+        |        (CAST(COALESCE(ru.c, 0) + 1 AS DOUBLE) /
+        |         CAST(tv.n + tv.v AS DOUBLE))), 6) AS DECIMAL(18,6))
+        |    END AS s,
+        |    CASE WHEN rb.cb IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tb
+        |  LEFT JOIN rb ON rb.w1 = tb.w1 AND rb.w2 = tb.w2
+        |  LEFT JOIN rc ON rc.w1 = tb.w1
+        |  LEFT JOIN ru ON ru.w = tb.w2, tv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(oov) AS BIGINT) AS n_unseen,
+        |  ROUND(CAST(CAST(SUM(s) AS DECIMAL(28,6)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_surprise
+        |FROM sc GROUP BY 1""".stripMargin,
 
     // the t_fingerprint fold + the portable Knuth hash split replay
     "t_leakage_split" ->

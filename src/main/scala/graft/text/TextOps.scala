@@ -1606,6 +1606,77 @@ object TextOps {
             col("vocab").cast("double"), 6)).as("hapax_ratio"))
   }
 
+  /** Cross-corpus bigram surprise — the CCNet-style LM quality /
+    * novelty score one order up from [[unigramSurprise]]: each
+    * TARGET document's bigrams scored under a REFERENCE corpus's
+    * bigram model, mean −ln P per doc. High = unlike the reference
+    * (novel, noisy, or another domain) — the number quality
+    * filtering thresholds on and novelty mining sorts by. Stupid
+    * backoff (Brants 2007): P = c(w₁w₂)/c(w₁·) when the reference
+    * saw the bigram, else `backoff` · Laplace unigram
+    * (c(w₂)+1)/(N+V) — defined for OOV words too. The unseen-bigram
+    * count is reported beside the mean (an OOV-rate dial of its
+    * own). Docs with < 2 tokens emit no row (no bigrams — stated).
+    *
+    * Numerics: each bigram's −ln P is ONE double chain rounded to
+    * 6dp, summed EXACTLY in decimal per doc; the mean is one
+    * rounded division.
+    *
+    * Scale shape: reference collapses to three hash-agg frames
+    * (bigram, context, unigram — all vocabulary-scale); the target
+    * explode joins them on bigram/word keys (AQE's call on
+    * broadcast vs shuffle) into one (doc) agg. Both corpora are
+    * touched once.
+    *
+    * @return per target doc: (doc_id, n_bigrams, n_unseen,
+    *         mean_surprise) */
+  def bigramSurprise(target: org.apache.spark.sql.DataFrame,
+                     reference: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     backoff: Double = 0.4)
+      : org.apache.spark.sql.DataFrame = {
+    require(backoff > 0.0 && backoff <= 1.0,
+      "backoff must be in (0, 1]")
+    def biFrame(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          explode(bigrams(col(textCol))).as("__bg"))
+        .select(col("doc_id"),
+          split(col("__bg"), " ").getItem(0).as("__w1"),
+          split(col("__bg"), " ").getItem(1).as("__w2"))
+    val refB = biFrame(reference)
+      .groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+    val refCtx = refB.groupBy(col("__w1"))
+      .agg(sum(col("__cb")).as("__cu"))
+    val refU = reference.filter(col(textCol).isNotNull)
+      .select(explode(tokens(lower(col(textCol)))).as("__w2"))
+      .groupBy(col("__w2")).agg(count(lit(1)).as("__c"))
+    val totV = refU.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__v"))
+    biFrame(target)
+      .join(refB, Seq("__w1", "__w2"), "left")
+      .join(refCtx, Seq("__w1"), "left")
+      .join(refU, Seq("__w2"), "left")
+      .crossJoin(broadcast(totV))
+      .select(col("doc_id"),
+        when(col("__cb").isNotNull,
+          round(-log(col("__cb").cast("double") /
+            col("__cu").cast("double")), 6))
+          .otherwise(round(-log(lit(backoff) *
+            ((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
+              (col("__n") + col("__v")).cast("double"))), 6))
+          .cast("decimal(18,6)").as("__s"),
+        when(col("__cb").isNull, 1L).otherwise(0L).as("__oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__oov")).as("n_unseen"),
+        (sum(col("__s")).cast("decimal(28,6)").cast("double") /
+          count(lit(1)).cast("double")).as("__m"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        round(col("__m"), 6).as("mean_surprise"))
+  }
+
   /** Leakage-safe train/test split — the assignment every dedup'd
     * training corpus needs: split by CLUSTER, not by row, so near-
     * duplicate documents (same fingerprint / entity cluster / URL

@@ -628,6 +628,9 @@ object ScaleSweep {
       // per-row hash + compare, no shuffle; audit agg after
       "t_leakage_split" -> (d =>
         SparkEntry.queries("t_leakage_split")(spark, d).count()),
+      // three vocab-scale LM aggs + the target-explode joins
+      "t_cross_surprise" -> (d =>
+        SparkEntry.queries("t_cross_surprise")(spark, d).count()),
       // the QUERY's brute shortlist is quadratic by contract (the
       // eval harness); the scale path feeds the SAME k-bounded
       // ndcgAtK tail an IVF shortlist — both rows reported

@@ -1336,6 +1336,31 @@ class TextSpec extends SparkSpec {
     assert(got._2 > 0.0 && got._2 < 1.0)
   }
 
+  test("bigramSurprise: seen bigrams score the ln context ratio, " +
+    "unseen back off to Laplace unigrams (OOV floored); short docs " +
+    "emit no row") {
+    // ref "a b a b": cb(a,b)=2 cu(a)=2, cb(b,a)=1 cu(b)=1;
+    // unigrams a=2 b=2, N=4 V=2
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val tgt = Seq((1L, "a b c"), (3L, "z"), (5L, "b b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramSurprise(tgt, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (a,b) seen: -ln(2/2)=0; (b,c) unseen, c OOV: -ln(0.4*(1/6))
+    val sOov = r6(-math.log(0.4 * (1.0 / 6.0)))
+    assert(got(1L)._2 == 2L && got(1L)._3 == 1L)
+    assert(got(1L)._4 ==
+      r6((BigDecimal(0.0) + BigDecimal(sOov)).toDouble / 2.0),
+      got(1L).toString)
+    assert(!got.contains(3L)) // a 1-token doc has no bigrams
+    // (b,b) unseen but b IS a reference unigram: -ln(0.4*(2+1)/6)
+    val sIn = r6(-math.log(0.4 * (3.0 / 6.0)))
+    assert(got(5L) == ((5L, 1L, 1L, sIn)), got(5L).toString)
+  }
+
   test("leakageSafeSplit: clusters never straddle the boundary; " +
     "deterministic across runs and row order; boundary shares") {
     // 40 clusters x 3 rows each

@@ -1109,6 +1109,76 @@ v$r AS (
          |  END AS eta_sq
          |FROM ss""".stripMargin,
 
+    // -- McNemar's paired test (r13): the a71 plan in pure SQL —
+    // two purchase-prediction rules (value > thr, count > thr) on
+    // the SAME users; Edwards-corrected chi2 on exact counts.
+    "graft_mcnemar" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_mcnemar(
+         |    value_thr DOUBLE, count_thr BIGINT)
+         |RETURNS TABLE (n BIGINT, a_only BIGINT, b_only BIGINT,
+         |               chi2 DOUBLE)
+         |RETURN
+         |WITH per AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      = 1 AS actual,
+         |    SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+         |    COUNT(*) AS ne
+         |  FROM ${prefix}events GROUP BY user_id),
+         |p AS (
+         |  SELECT (sv > graft_mcnemar.value_thr) = actual AS a,
+         |    (ne > graft_mcnemar.count_thr) = actual AS b
+         |  FROM per WHERE (sv > graft_mcnemar.value_thr) IS NOT NULL),
+         |m AS (
+         |  SELECT COUNT(*) AS n,
+         |    COALESCE(SUM(CASE WHEN a AND NOT b THEN 1L ELSE 0L END),
+         |      0L) AS a_only,
+         |    COALESCE(SUM(CASE WHEN NOT a AND b THEN 1L ELSE 0L END),
+         |      0L) AS b_only
+         |  FROM p)
+         |SELECT n, a_only, b_only,
+         |  CASE WHEN a_only + b_only > 0 THEN
+         |    ROUND(CAST(CAST(GREATEST(abs(a_only - b_only) - 1, 0L)
+         |        AS DECIMAL(38,0)) *
+         |      GREATEST(abs(a_only - b_only) - 1, 0L) AS DOUBLE) /
+         |      CAST(a_only + b_only AS DOUBLE), 6)
+         |  END AS chi2
+         |FROM m""".stripMargin,
+
+    // -- Chapman capture–recapture (r13): the a74 plan in pure SQL —
+    // two mod-10 doc_id "crawls" estimate true corpus size and
+    // per-crawl coverage; exact counts, one chain per estimate.
+    "graft_capture" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_capture(
+         |    a_lt BIGINT, b_ge BIGINT)
+         |RETURNS TABLE (n_a BIGINT, n_b BIGINT, m_overlap BIGINT,
+         |               chapman_n DOUBLE, lincoln_n DOUBLE,
+         |               coverage_a DOUBLE, coverage_b DOUBLE)
+         |RETURN
+         |WITH a AS (SELECT DISTINCT doc_id FROM ${prefix}documents
+         |  WHERE doc_id % 10 < graft_capture.a_lt),
+         |b AS (SELECT DISTINCT doc_id FROM ${prefix}documents
+         |  WHERE doc_id % 10 >= graft_capture.b_ge),
+         |m AS (SELECT
+         |  (SELECT COUNT(*) FROM a) AS n_a,
+         |  (SELECT COUNT(*) FROM b) AS n_b,
+         |  (SELECT COUNT(*) FROM a JOIN b USING (doc_id))
+         |    AS m_overlap),
+         |c AS (SELECT n_a, n_b, m_overlap,
+         |  CAST(CAST(n_a + 1 AS DECIMAL(38,0)) * (n_b + 1) AS DOUBLE)
+         |    / CAST(m_overlap + 1 AS DOUBLE) - CAST(1.0 AS DOUBLE)
+         |    AS chap
+         |  FROM m)
+         |SELECT n_a, n_b, m_overlap, ROUND(chap, 6) AS chapman_n,
+         |  CASE WHEN m_overlap > 0 THEN
+         |    ROUND(CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE) /
+         |      CAST(m_overlap AS DOUBLE), 6) END AS lincoln_n,
+         |  CASE WHEN chap > 0 THEN
+         |    ROUND(CAST(n_a AS DOUBLE) / chap, 6) END AS coverage_a,
+         |  CASE WHEN chap > 0 THEN
+         |    ROUND(CAST(n_b AS DOUBLE) / chap, 6) END AS coverage_b
+         |FROM c""".stripMargin,
+
     // -- vocabulary coverage (r13): the t_vocab_coverage plan in
     // pure SQL — Good–Turing unseen mass, Chao1, hapax ratio off one
     // term agg + one single-row conditional agg.

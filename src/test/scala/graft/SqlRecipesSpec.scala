@@ -433,6 +433,38 @@ class SqlRecipesSpec extends SparkSpec {
     assert(viaSql == viaDsl && viaSql._5.nonEmpty, s"$viaSql $viaDsl")
   }
 
+  test("graft_mcnemar == Quality.mcnemarTest on the a71 rules") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_mcnemar(50.0, 10)")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    val per = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id")).agg(
+        (max(when(col("event_type") === "purchase", 1).otherwise(0))
+          === 1).as("__actual"),
+        sum(col("value").cast("decimal(18,6)")).as("__sv"),
+        count(lit(1)).as("__ne"))
+    val viaDsl = ops.Quality.mcnemarTest(per,
+        (col("__sv") > lit(50.0)) === col("__actual"),
+        (col("__ne") > lit(10L)) === col("__actual"))
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(viaSql == viaDsl && viaSql._1 > 0, s"$viaSql $viaDsl")
+  }
+
+  test("graft_capture == Quality.captureRecapture on the mod-10 " +
+    "crawls") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_capture(6, 4)")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val d = Tables.load(spark, dir, "documents")
+    val viaDsl = ops.Quality.captureRecapture(
+        d.filter(pmod(col("doc_id"), lit(10L)) < 6),
+        d.filter(pmod(col("doc_id"), lit(10L)) >= 4), "doc_id")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(viaSql == viaDsl && viaSql._3 > 0, s"$viaSql $viaDsl")
+  }
+
   test("graft_vocab_coverage == TextOps.vocabCoverage on documents") {
     ready()
     val viaSql = spark.sql("SELECT * FROM graft_vocab_coverage()")

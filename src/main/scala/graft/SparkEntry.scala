@@ -3261,6 +3261,26 @@ object SparkEntry {
           substring(col("o_orderpriority"), 1, 1).cast("long")),
         "__dose", col("o_orderstatus") === "F")),
 
+    // ---- A75: IPS/SNIPS off-policy replay — "what would the
+    // even-users-get-purchase policy have scored on the logged
+    // traffic?": empirical event-type shares as the stationary
+    // logging propensities, matched rows reweighted 1/p, ESS
+    // honesty dial beside both estimates. ----
+    "a75_offpolicy" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+      val shares = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("__c"))
+      val tot = shares.agg(sum(col("__c")).as("__n"))
+      val withP = ev.join(broadcast(shares), Seq("event_type"))
+        .crossJoin(broadcast(tot))
+        .withColumn("__prop",
+          col("__c").cast("double") / col("__n").cast("double"))
+      Quality.offPolicyValue(withP, "event_type", "value", "__prop",
+        when(pmod(col("user_id"), lit(2L)) === 0, "purchase")
+          .otherwise("view"))
+    }),
+
     // ---- A73: Fleiss' kappa — three deterministic length-band
     // "raters" (n_chars, space-stripped chars, token count) on every
     // document: the multi-rater agreement gate beside a45's two-
@@ -10252,6 +10272,53 @@ FROM n, vxy, vxx, vyy"""
         |    ROUND(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
         |  END AS eta_sq
         |FROM ss""".stripMargin,
+
+    // empirical shares as propensities; per-row w/wr/w² one rounded
+    // chain each, exact decimal sums, one division per estimate
+    "a75_offpolicy" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS r, user_id
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |sh AS (SELECT event_type, COUNT(*) AS c FROM ev GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sh),
+        |src AS (
+        |  SELECT ev.event_type AS a, ev.r,
+        |    CAST(sh.c AS DOUBLE) / CAST(tt.n AS DOUBLE) AS p,
+        |    CASE WHEN ev.user_id % 2 = 0 THEN 'purchase'
+        |         ELSE 'view' END AS t
+        |  FROM ev JOIN sh USING (event_type), tt),
+        |terms AS (
+        |  SELECT CASE WHEN a = t THEN 1 ELSE 0 END AS m,
+        |    CAST(ROUND(CASE WHEN a = t
+        |      THEN CAST(1.0 AS DOUBLE) / p ELSE CAST(0.0 AS DOUBLE)
+        |      END, 6) AS DECIMAL(18,6)) AS w,
+        |    CAST(ROUND((CASE WHEN a = t
+        |      THEN CAST(1.0 AS DOUBLE) / p ELSE CAST(0.0 AS DOUBLE)
+        |      END) * r, 6) AS DECIMAL(18,6)) AS wr,
+        |    CAST(ROUND((CASE WHEN a = t
+        |      THEN CAST(1.0 AS DOUBLE) / p ELSE CAST(0.0 AS DOUBLE)
+        |      END) * (CASE WHEN a = t
+        |      THEN CAST(1.0 AS DOUBLE) / p ELSE CAST(0.0 AS DOUBLE)
+        |      END), 6) AS DECIMAL(18,6)) AS w2
+        |  FROM src),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_matched,
+        |    CAST(COALESCE(SUM(w), 0) AS DECIMAL(38,6)) AS sw,
+        |    CAST(COALESCE(SUM(wr), 0) AS DECIMAL(38,6)) AS swr,
+        |    CAST(COALESCE(SUM(w2), 0) AS DECIMAL(38,6)) AS sw2
+        |  FROM terms)
+        |SELECT n, n_matched,
+        |  CASE WHEN n > 0 THEN ROUND(CAST(n_matched AS DOUBLE) /
+        |    CAST(n AS DOUBLE), 6) END AS match_rate,
+        |  CASE WHEN n > 0 THEN ROUND(CAST(swr AS DOUBLE) /
+        |    CAST(n AS DOUBLE), 6) END AS ips_value,
+        |  CASE WHEN sw > 0 THEN ROUND(CAST(swr AS DOUBLE) /
+        |    CAST(sw AS DOUBLE), 6) END AS snips_value,
+        |  CASE WHEN sw2 > 0 THEN ROUND(CAST(sw AS DOUBLE) *
+        |    CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 6) END AS ess
+        |FROM agg""".stripMargin,
 
     // exact HUGEINT Σn²/Σc² moments off the stacked rater frame;
     // P̄/P̄e/κ one fixed double chain each

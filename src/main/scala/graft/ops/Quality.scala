@@ -1661,6 +1661,71 @@ object Quality {
     * frame + the bucketed Prefix hierarchy; nothing per-row.
     *
     * @return one row: (n_pos, n_neg, delta) */
+  /** IPS / SNIPS off-policy evaluation — "how would a NEW policy
+    * have scored on the traffic the OLD policy logged?" without an
+    * experiment (Li et al. 2011 replay; the counterfactual sibling
+    * of a20's on-policy A/B): rows where the logged action matches
+    * the target policy's choice are re-weighted by 1/propensity,
+    * IPS = Σ(r/p·match)/n (unbiased, high variance), SNIPS =
+    * Σ(r/p·match)/Σ(1/p·match) (self-normalized, the practical
+    * default), plus the effective sample size (Σw)²/Σw² — the
+    * honesty dial that says how much logged data actually supports
+    * the estimate. Propensities are the CALLER's logging-policy
+    * record (or an empirical share for a stationary logger — the
+    * a75 demo); p ≤ 0 rows are excluded.
+    *
+    * Numerics: per-row w, w·r and w² are ONE double chain each
+    * rounded to 6dp and summed EXACTLY in decimal(38,6); each
+    * estimate is one more rounded division.
+    *
+    * Scale shape: one narrow projection into a single conditional
+    * agg with map-side partials.
+    *
+    * @param targetAction the action the NEW policy would take on
+    *        this row (a Column over the row's context)
+    * @return one row: (n, n_matched, match_rate, ips_value,
+    *         snips_value, ess) */
+  def offPolicyValue(df: DataFrame, actionCol: String,
+                     rewardCol: String, propensityCol: String,
+                     targetAction: Column): DataFrame = {
+    val src = df.filter(col(actionCol).isNotNull &&
+        col(rewardCol).isNotNull && col(propensityCol).isNotNull &&
+        col(propensityCol) > 0 && targetAction.isNotNull)
+      .select(col(actionCol).as("__a"),
+        col(rewardCol).cast("double").as("__r"),
+        col(propensityCol).cast("double").as("__p"),
+        targetAction.as("__t"))
+    val w = when(col("__a") === col("__t"),
+      lit(1.0) / col("__p")).otherwise(lit(0.0))
+    src.select(
+        when(col("__a") === col("__t"), 1L).otherwise(0L).as("__m"),
+        round(w, 6).cast("decimal(18,6)").as("__w"),
+        round(w * col("__r"), 6).cast("decimal(18,6)").as("__wr"),
+        round(w * w, 6).cast("decimal(18,6)").as("__w2"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__m")), lit(0L)).as("n_matched"),
+        coalesce(sum(col("__w")), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("__sw"),
+        coalesce(sum(col("__wr")), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("__swr"),
+        coalesce(sum(col("__w2")), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("__sw2"))
+      .select(col("n"), col("n_matched"),
+        when(col("n") > 0,
+          round(col("n_matched").cast("double") /
+            col("n").cast("double"), 6)).as("match_rate"),
+        when(col("n") > 0,
+          round(col("__swr").cast("double") /
+            col("n").cast("double"), 6)).as("ips_value"),
+        when(col("__sw") > 0,
+          round(col("__swr").cast("double") /
+            col("__sw").cast("double"), 6)).as("snips_value"),
+        when(col("__sw2") > 0,
+          round(col("__sw").cast("double") *
+            col("__sw").cast("double") /
+            col("__sw2").cast("double"), 6)).as("ess"))
+  }
+
   /** nDCG@k — normalized discounted cumulative gain per ranked list,
     * the position-weighted retrieval metric completing the eval
     * family ([[averagePrecision]] is corpus-level and binary; RBO

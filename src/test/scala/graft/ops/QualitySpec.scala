@@ -1114,6 +1114,44 @@ class QualitySpec extends SparkSpec {
     assert(probe._2 == BigDecimal(expect), s"${probe._2} vs $expect")
   }
 
+  test("offPolicyValue: hand IPS/SNIPS/ESS; p<=0 rows excluded; " +
+    "replaying the logged policy under constant p recovers the " +
+    "mean reward; zero matches NULL SNIPS") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", 2.0, 0.5, 1), ("y", 1.0, 0.5, 1),
+      ("y", 3.0, 0.25, 2), ("x", 9.0, 0.0, 1))
+      .toDF("a", "r", "p", "ctx")
+    val tgt = when(col("ctx") === 1, "x").otherwise("y")
+    val got = Quality.offPolicyValue(df, "a", "r", "p", tgt)
+      .as[(Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    // matches: (x,2,.5) w=2 wr=4 w2=4; (y,3,.25) w=4 wr=12 w2=16
+    assert(got._1 == 3L && got._2 == 2L)
+    assert(got._3.contains(0.666667))
+    assert(got._4.contains(5.333333)) // 16/3
+    assert(got._5.contains(2.666667)) // 16/6
+    assert(got._6.contains(1.8), got.toString) // 36/20
+    // identity check: target == logged action, constant p -> SNIPS
+    // is exactly the mean logged reward
+    val self = Quality.offPolicyValue(df.filter(col("p") > 0),
+        "a", "r", "p", col("a"))
+      .as[(Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(self._2 == 3L && self._3.contains(1.0))
+    val none = Quality.offPolicyValue(df, "a", "r", "p", lit("zzz"))
+      .as[(Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(none._2 == 0L && none._4.contains(0.0) &&
+      none._5.isEmpty && none._6.isEmpty, none.toString)
+    val const = Seq(("x", 2.0, 0.5), ("y", 4.0, 0.5), ("x", 6.0, 0.5))
+      .toDF("a", "r", "p")
+    val c = Quality.offPolicyValue(const, "a", "r", "p", col("a"))
+      .as[(Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(c._5.contains(4.0), c.toString) // mean reward exactly
+  }
+
   test("ndcgAtK: scalar replication; already-ideal list scores 1.0; " +
     "no-relevant list NULLs ndcg; ranks beyond k are ignored") {
     import spark.implicits._

@@ -85,7 +85,16 @@ object PlanDump {
     "t_nb_classify" -> ("naive Bayes: L-row labels/priors broadcast, " +
       "corpus-sized vocab never; scoring is a term-keyed equi-join"),
     "w24_acf" -> ("autocorrelation: mean, deviations and all lags " +
-      "share ONE key-partitioned window exchange"))
+      "share ONE key-partitioned window exchange"),
+    "t_source_js" -> ("pairwise source JS: ONE (source, term) hash " +
+      "agg; the pair frame is a term-keyed equi-self-join (never a " +
+      "group cartesian), group totals broadcast"),
+    "a67_pettitt" -> ("Pettitt changepoint: prefix-sum shaped end to " +
+      "end — two bucketed Prefix hierarchies + TakeOrdered(1), no " +
+      "pair join, nothing single-partition at corpus grain"),
+    "t_leakage_split" -> ("leakage-safe split: per-row hash + compare " +
+      "inside one WholeStageCodegen span — the split itself needs " +
+      "ZERO exchanges (the audit agg above is the only shuffle)"))
 
   /** Ops with no SparkEntry.queries surface whose plan still backs a
     * scale claim (built directly against the sf tables). */

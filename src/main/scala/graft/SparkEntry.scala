@@ -3261,6 +3261,17 @@ object SparkEntry {
           substring(col("o_orderpriority"), 1, 1).cast("long")),
         "__dose", col("o_orderstatus") === "F")),
 
+    // ---- A76: two-proportion power analysis — per-arm sample size
+    // to detect a +2pp lift over the observed per-user purchase
+    // rate; the planning twin of a20/a63. One conditional agg, one
+    // ceil chain. ----
+    "a76_power" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1)
+          .otherwise(0)).as("__conv"))
+      Quality.powerSampleSize(per, col("__conv") === 1, mde = 0.02)
+    }),
+
     // ---- A75: IPS/SNIPS off-policy replay — "what would the
     // even-users-get-purchase policy have scored on the logged
     // traffic?": empirical event-type shares as the stationary
@@ -10272,6 +10283,45 @@ FROM n, vxy, vxx, vyy"""
         |    ROUND(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
         |  END AS eta_sq
         |FROM ss""".stripMargin,
+
+    // exact counts; one double chain into ceil (engine-exact), the
+    // z quantiles entering as the documented round-6 literals
+    "a76_power" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(COALESCE(SUM(conv), 0) AS BIGINT) AS cp
+        |  FROM per),
+        |c AS (
+        |  SELECT n_obs,
+        |    CAST(cp AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p1
+        |  FROM m),
+        |f AS (
+        |  SELECT n_obs, p1, p1 + CAST(0.02 AS DOUBLE) AS p2,
+        |    (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) *
+        |    (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+        |      AS z2
+        |  FROM c)
+        |SELECT n_obs,
+        |  CASE WHEN n_obs > 0 THEN ROUND(p1, 6) END AS p_baseline,
+        |  CASE WHEN n_obs > 0 THEN ROUND(p2, 6) END AS p_target,
+        |  CASE WHEN n_obs > 0 AND p2 > 0.0 AND p2 < 1.0 THEN
+        |    CAST(ceil(z2 * (p1 * (CAST(1.0 AS DOUBLE) - p1)
+        |      + p2 * (CAST(1.0 AS DOUBLE) - p2)) /
+        |      (CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)))
+        |      AS BIGINT)
+        |  END AS n_per_arm,
+        |  CASE WHEN n_obs > 0 AND p2 > 0.0 AND p2 < 1.0 THEN
+        |    CAST(ceil(z2 * (p1 * (CAST(1.0 AS DOUBLE) - p1)
+        |      + p2 * (CAST(1.0 AS DOUBLE) - p2)) /
+        |      (CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)))
+        |      AS BIGINT) * 2
+        |  END AS total_n
+        |FROM f""".stripMargin,
 
     // empirical shares as propensities; per-row w/wr/w² one rounded
     // chain each, exact decimal sums, one division per estimate

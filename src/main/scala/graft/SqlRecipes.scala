@@ -1179,6 +1179,56 @@ v$r AS (
          |    ROUND(CAST(n_b AS DOUBLE) / chap, 6) END AS coverage_b
          |FROM c""".stripMargin,
 
+    // -- nDCG@k (r13): the e_ndcg plan in pure SQL — brute top-k
+    // lists via the native cosine_sim (GraftExtensions ships it to
+    // every session), same-label relevance, exact decimal gain sums.
+    "graft_ndcg" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_ndcg(k INT)
+         |RETURNS TABLE (query BIGINT, n_ranked BIGINT, n_rel BIGINT,
+         |               dcg DOUBLE, idcg DOUBLE, ndcg DOUBLE)
+         |RETURN
+         |WITH src AS (
+         |  SELECT vec_id, embedding, label FROM ${prefix}embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, label AS ql
+         |  FROM src WHERE vec_id % 100 = 0),
+         |ranked AS (
+         |  SELECT query_id, ql, nl, rk FROM (
+         |    SELECT q.query_id, q.ql, e.label AS nl,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ROUND(cosine_sim(e.embedding, q.qe), 6)
+         |          DESC, e.vec_id) AS rk
+         |    FROM q JOIN src e ON e.vec_id <> q.query_id)
+         |  WHERE rk <= graft_ndcg.k),
+         |rel AS (SELECT query_id, rk AS r,
+         |    CASE WHEN ql = nl THEN 1L ELSE 0L END AS rel
+         |  FROM ranked),
+         |ir AS (SELECT query_id, r, rel,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, r ASC) AS irk
+         |  FROM rel),
+         |t AS (SELECT query_id,
+         |    CAST(ROUND(CAST(rel AS DOUBLE) *
+         |      (ln(2) / ln(CAST(r AS DOUBLE) + 1.0)), 6)
+         |      AS DECIMAL(18,6)) AS g,
+         |    CAST(ROUND(CAST(rel AS DOUBLE) *
+         |      (ln(2) / ln(CAST(irk AS DOUBLE) + 1.0)), 6)
+         |      AS DECIMAL(18,6)) AS ig,
+         |    CASE WHEN rel > 0 THEN 1L ELSE 0L END AS isrel
+         |  FROM ir),
+         |agg AS (SELECT query_id AS query, COUNT(*) AS n_ranked,
+         |    SUM(isrel) AS n_rel,
+         |    CAST(SUM(g) AS DECIMAL(28,6)) AS dcg,
+         |    CAST(SUM(ig) AS DECIMAL(28,6)) AS idcg
+         |  FROM t GROUP BY query_id)
+         |SELECT query, n_ranked, n_rel,
+         |  CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
+         |  CASE WHEN idcg > 0 THEN
+         |    ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+         |  END AS ndcg
+         |FROM agg""".stripMargin,
+
     // -- vocabulary coverage (r13): the t_vocab_coverage plan in
     // pure SQL — Good–Turing unseen mass, Chao1, hapax ratio off one
     // term agg + one single-row conditional agg.

@@ -1661,6 +1661,50 @@ object Quality {
     * frame + the bucketed Prefix hierarchy; nothing per-row.
     *
     * @return one row: (n_pos, n_neg, delta) */
+  /** Two-proportion power analysis — "how long must the A/B run?":
+    * per-arm sample size to detect an absolute `mde` lift over the
+    * OBSERVED baseline conversion at the given z-quantiles,
+    * n = (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/mde² (the classic normal-
+    * approximation formula, sized BEFORE the experiment — the
+    * planning twin of a20's after-the-fact test and a63's always-
+    * valid monitor). The baseline p₁ comes from the data (one
+    * conditional agg); p₂ = p₁ + mde; a target outside (0, 1), an
+    * empty input, or mde = 0 → NULL size with counts reported.
+    *
+    * z defaults are the two-sided α = 0.05 / power = 0.80 quantiles
+    * as round-6 literals (1.959964, 0.841621) — parameters, not an
+    * inverse-Φ dependency, so the whole chain is engine-exact.
+    *
+    * Numerics: exact integer counts; ONE double chain into ceil
+    * (exact on both engines), the rates rounded once for display.
+    *
+    * Scale shape: one conditional global agg, scalars after.
+    *
+    * @return one row: (n_obs, p_baseline, p_target, n_per_arm,
+    *         total_n) */
+  def powerSampleSize(df: DataFrame, isPos: Column, mde: Double,
+                      zAlpha: Double = 1.959964,
+                      zPower: Double = 0.841621): DataFrame = {
+    require(mde != 0.0, "mde must be non-zero")
+    val p1 = col("__cp").cast("double") / col("n_obs").cast("double")
+    val p2 = p1 + lit(mde)
+    val z2 = (lit(zAlpha) + lit(zPower)) * (lit(zAlpha) + lit(zPower))
+    val nArm = ceil(z2 *
+      (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)) /
+      (lit(mde) * lit(mde))).cast("long")
+    df.filter(isPos.isNotNull)
+      .select(when(isPos, 1L).otherwise(0L).as("__c"))
+      .agg(count(lit(1)).as("n_obs"),
+        coalesce(sum(col("__c")), lit(0L)).as("__cp"))
+      .select(col("n_obs"),
+        when(col("n_obs") > 0, round(p1, 6)).as("p_baseline"),
+        when(col("n_obs") > 0, round(p2, 6)).as("p_target"),
+        when(col("n_obs") > 0 && p2 > 0.0 && p2 < 1.0, nArm)
+          .as("n_per_arm"),
+        when(col("n_obs") > 0 && p2 > 0.0 && p2 < 1.0,
+          nArm * 2).as("total_n"))
+  }
+
   /** IPS / SNIPS off-policy evaluation — "how would a NEW policy
     * have scored on the traffic the OLD policy logged?" without an
     * experiment (Li et al. 2011 replay; the counterfactual sibling

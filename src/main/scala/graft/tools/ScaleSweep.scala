@@ -628,6 +628,9 @@ object ScaleSweep {
       // per-row hash + compare, no shuffle; audit agg after
       "t_leakage_split" -> (d =>
         SparkEntry.queries("t_leakage_split")(spark, d).count()),
+      // one conditional user agg into scalars
+      "a76_power" -> (d =>
+        SparkEntry.queries("a76_power")(spark, d).count()),
       // shares broadcast + one conditional corpus agg
       "a75_offpolicy" -> (d =>
         SparkEntry.queries("a75_offpolicy")(spark, d).count()),

@@ -433,6 +433,31 @@ class SqlRecipesSpec extends SparkSpec {
     assert(viaSql == viaDsl && viaSql._5.nonEmpty, s"$viaSql $viaDsl")
   }
 
+  test("graft_ndcg == the e_ndcg pipeline (brute lists + ndcgAtK)") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_ndcg(10)")
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSet
+    val emb = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val ranked = sim.Similarity.bruteKnnJoin(q, emb, "vec_id",
+      "embedding", 10)
+    val ql = emb.select(col("vec_id").as("query_id"),
+      col("label").as("__ql"))
+    val nl = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("__nl"))
+    val withRel = ranked.join(ql, Seq("query_id"))
+      .join(nl, Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"),
+        when(col("__ql") === col("__nl"), 1L).otherwise(0L).as("rel"))
+    val viaDsl = ops.Quality.ndcgAtK(withRel, "query_id", "rank",
+        "rel", k = 10)
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSet
+    assert(viaSql == viaDsl && viaSql.nonEmpty, s"$viaSql")
+  }
+
   test("graft_mcnemar == Quality.mcnemarTest on the a71 rules") {
     ready()
     val viaSql = spark.sql("SELECT * FROM graft_mcnemar(50.0, 10)")

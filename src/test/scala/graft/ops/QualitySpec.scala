@@ -1114,6 +1114,35 @@ class QualitySpec extends SparkSpec {
     assert(probe._2 == BigDecimal(expect), s"${probe._2} vs $expect")
   }
 
+  test("powerSampleSize: scalar replication of the normal-approx " +
+    "sizing; target outside (0,1) NULLs the size; negative mde " +
+    "sizes a drop test") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => Tuple1(i <= 2)).toDF("conv")
+    val got = Quality.powerSampleSize(df, col("conv"), mde = 0.05)
+      .as[(Long, Double, Double, Option[Long], Option[Long])]
+      .collect().head
+    val z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    val (p1, p2) = (0.2, 0.2 + 0.05)
+    val n = math.ceil(z2 * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) /
+      (0.05 * 0.05)).toLong
+    assert(got._1 == 10L && got._2 == 0.2 && got._3 == 0.25)
+    assert(got._4.contains(n) && got._5.contains(2 * n),
+      got.toString)
+    // p2 past 1.0: counts reported, sizes NULL
+    val high = Seq(true, true, true).toDF("conv")
+    val h = Quality.powerSampleSize(high, col("conv"), mde = 0.05)
+      .as[(Long, Double, Double, Option[Long], Option[Long])]
+      .collect().head
+    assert(h._2 == 1.0 && h._4.isEmpty && h._5.isEmpty, h.toString)
+    // a negative mde sizes a DROP detection
+    val half = Seq(true, false).toDF("conv")
+    val d = Quality.powerSampleSize(half, col("conv"), mde = -0.1)
+      .as[(Long, Double, Double, Option[Long], Option[Long])]
+      .collect().head
+    assert(d._3 == 0.4 && d._4.nonEmpty, d.toString)
+  }
+
   test("offPolicyValue: hand IPS/SNIPS/ESS; p<=0 rows excluded; " +
     "replaying the logged policy under constant p recovers the " +
     "mean reward; zero matches NULL SNIPS") {

@@ -2450,6 +2450,30 @@ object SparkEntry {
       Quality.ndcgAtK(withRel, "query_id", "rank", "rel", k = 10)
     }),
 
+    // ---- similarity eval: nDCG@10 over the IVF shortlist — the
+    // SAME k-bounded tail fed by ivfKnnJoin (nlist=64, nprobe=8):
+    // the deployment-shape twin of e_ndcg, correctness-gated like
+    // the margin-mining pair. ----
+    "e_ndcg_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        64)
+      val ranked = Similarity.ivfKnnJoin(q, emb, "vec_id",
+        "embedding", k = 10, centroids = cents, nprobe = 8)
+      val ql = emb.select(col("vec_id").as("query_id"),
+        col("label").as("__ql"))
+      val nl = emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("__nl"))
+      val withRel = ranked.join(ql, Seq("query_id"))
+        .join(nl, Seq("neighbor_id"))
+        .select(col("query_id"), col("rank"),
+          when(col("__ql") === col("__nl"), 1L).otherwise(0L)
+            .as("rel"))
+      Quality.ndcgAtK(withRel, "query_id", "rank", "rel", k = 10)
+    }),
+
     // ---- similarity: per-label embedding centroids as MERGEABLE
     // PARTIALS (label, dim, exact sum, n) — posexplode to (label, dim),
     // one hash agg; per-element round-6 THEN exact decimal sum makes
@@ -9088,6 +9112,87 @@ FROM n, vxy, vxx, vyy"""
     // nprobe=8) + the RBO tail: per-item W(max(ra,rb)) weights as
     // term-wise round-6 decimals (the a58 POWER discipline), exact
     // decimal sum, one x0.1 product, one double round
+    // the WHOLE IVF structure (centroid pick, probe ranks, cell
+    // argmax, per-query top-10) + same-label relevance + the nDCG
+    // tail — the e_rbo replay feeding the e_ndcg chains
+    "e_ndcg_ivf" ->
+      """WITH src AS MATERIALIZED (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, embedding AS qe, label AS ql
+        |  FROM src WHERE vec_id % 100 = 0),
+        |cents AS MATERIALIZED (
+        |  SELECT row_number() OVER (
+        |      ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id) - 1 AS cell,
+        |    embedding AS ce
+        |  FROM src
+        |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
+        |  LIMIT 64),
+        |probed AS MATERIALIZED (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, cents.cell,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(ce, qe),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, cents.cell) AS pr
+        |    FROM cents, q)
+        |  WHERE pr <= 8),
+        |assign AS MATERIALIZED (
+        |  SELECT e.vec_id, e.embedding, e.label,
+        |    (SELECT cell FROM cents
+        |     ORDER BY ROUND(
+        |       list_sum(list_transform(list_zip(cents.ce, e.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(cents.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |       DESC, cell
+        |     LIMIT 1) AS cell
+        |  FROM src e),
+        |ivf AS MATERIALIZED (
+        |  SELECT query_id, ql, nl, rb FROM (
+        |    SELECT p.query_id, q.ql, a.label AS nl,
+        |      row_number() OVER (PARTITION BY p.query_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(a.embedding, q.qe),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, a.vec_id) AS rb
+        |    FROM probed p JOIN assign a USING (cell) JOIN q USING (query_id)
+        |    WHERE a.vec_id <> p.query_id)
+        |  WHERE rb <= 10),
+        |rel AS (
+        |  SELECT query_id, rb AS r,
+        |    CASE WHEN ql = nl THEN 1 ELSE 0 END AS rel
+        |  FROM ivf),
+        |ir AS (SELECT query_id, r, rel,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, r ASC) AS irk
+        |  FROM rel),
+        |t AS (SELECT query_id,
+        |    CAST(ROUND(CAST(rel AS DOUBLE) *
+        |      (ln(2) / ln(CAST(r AS DOUBLE) + 1.0)), 6)
+        |      AS DECIMAL(18,6)) AS g,
+        |    CAST(ROUND(CAST(rel AS DOUBLE) *
+        |      (ln(2) / ln(CAST(irk AS DOUBLE) + 1.0)), 6)
+        |      AS DECIMAL(18,6)) AS ig,
+        |    CASE WHEN rel > 0 THEN 1 ELSE 0 END AS isrel
+        |  FROM ir),
+        |agg AS (SELECT query_id AS query,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ranked,
+        |    CAST(SUM(isrel) AS BIGINT) AS n_rel,
+        |    CAST(SUM(g) AS DECIMAL(28,6)) AS dcg,
+        |    CAST(SUM(ig) AS DECIMAL(28,6)) AS idcg
+        |  FROM t GROUP BY 1)
+        |SELECT query, n_ranked, n_rel,
+        |  CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
+        |  CASE WHEN idcg > 0 THEN
+        |    ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+        |  END AS ndcg
+        |FROM agg""".stripMargin,
+
     // the e_rbo brute top-10 replay + same-label relevance; gain
     // terms one rounded chain each, DCG/IDCG exact decimal sums
     "e_ndcg" ->

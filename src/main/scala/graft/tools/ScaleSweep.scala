@@ -642,6 +642,8 @@ object ScaleSweep {
       // ndcgAtK tail an IVF shortlist — both rows reported
       "e_ndcg" -> (d =>
         SparkEntry.queries("e_ndcg")(spark, d).count()),
+      "e_ndcg_ivf_fixed64" -> (d =>
+        SparkEntry.queries("e_ndcg_ivf")(spark, d).count()),
       "e_ndcg(ivf,nlist∝n)" -> { d =>
         val emb = Tables.load(spark, d, "embeddings")
           .filter(col("vec_id").isNotNull && col("embedding").isNotNull)

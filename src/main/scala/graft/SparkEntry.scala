@@ -3285,6 +3285,27 @@ object SparkEntry {
           substring(col("o_orderpriority"), 1, 1).cast("long")),
         "__dose", col("o_orderstatus") === "F")),
 
+    // ---- A77: Krippendorff's alpha — the a73 rater panel with
+    // rater 3 skipping two docs in three (doc_id % 3 != 0): unequal
+    // m per item, the case Fleiss NULLs and alpha is built for. ----
+    "a77_krippendorff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val ns = length(regexp_replace(col("text"), lit(" "), lit("")))
+      val tc = size(TextOps.tokens(col("text")))
+      val long = d.select(col("doc_id"),
+        when(col("n_chars") < 300, "short")
+          .when(col("n_chars") < 500, "mid").otherwise("long")
+          .as("r1"),
+        when(ns < 250, "short").when(ns < 420, "mid")
+          .otherwise("long").as("r2"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          when(tc < 50, "short").when(tc < 80, "mid")
+            .otherwise("long")).as("r3"))
+        .selectExpr("doc_id", "stack(3, r1, r2, r3) AS rating")
+      Quality.krippendorffAlpha(long, "doc_id", "rating")
+    }),
+
     // ---- A76: two-proportion power analysis — per-arm sample size
     // to detect a +2pp lift over the observed per-user purchase
     // rate; the planning twin of a20/a63. One conditional agg, one
@@ -10388,6 +10409,60 @@ FROM n, vxy, vxx, vyy"""
         |    ROUND(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
         |  END AS eta_sq
         |FROM ss""".stripMargin,
+
+    // pairable units only (m ≥ 2); per-unit disagreement one rounded
+    // chain summed exactly; D_o/D_e/α one fixed chain each
+    "a77_krippendorff" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    length(replace(text, ' ', '')) AS ns,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS tc
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, CASE WHEN n_chars < 300 THEN 'short'
+        |    WHEN n_chars < 500 THEN 'mid' ELSE 'long' END AS rating
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN ns < 250 THEN 'short'
+        |    WHEN ns < 420 THEN 'mid' ELSE 'long' END FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN tc < 50 THEN 'short'
+        |    WHEN tc < 80 THEN 'mid' ELSE 'long' END FROM d
+        |  WHERE doc_id % 3 = 0),
+        |cells AS (
+        |  SELECT doc_id, rating, COUNT(*) AS n FROM r GROUP BY 1, 2),
+        |items AS (
+        |  SELECT doc_id, SUM(n) AS m,
+        |    SUM(CAST(n AS HUGEINT) * n) AS s2
+        |  FROM cells GROUP BY 1 HAVING SUM(n) >= 2),
+        |top AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_ratings,
+        |    CAST(COALESCE(SUM(t), 0) AS DECIMAL(28,6)) AS ts
+        |  FROM (SELECT m,
+        |      CAST(ROUND(CAST(CAST(m AS HUGEINT) * m - s2 AS DOUBLE)
+        |        / CAST(m - 1 AS DOUBLE), 6) AS DECIMAL(18,6)) AS t
+        |    FROM items)),
+        |ct AS (SELECT COALESCE(SUM(CAST(cn AS HUGEINT) * cn), 0)
+        |    AS c2
+        |  FROM (SELECT rating, SUM(n) AS cn
+        |    FROM cells JOIN items USING (doc_id) GROUP BY rating)),
+        |f AS (SELECT n_units, n_ratings,
+        |    CAST(ts AS DOUBLE) / CAST(n_ratings AS DOUBLE) AS do_,
+        |    CAST(CAST(n_ratings AS HUGEINT) * n_ratings - c2
+        |      AS DOUBLE) /
+        |    CAST(CAST(n_ratings AS HUGEINT) * (n_ratings - 1)
+        |      AS DOUBLE) AS de_
+        |  FROM top, ct)
+        |SELECT n_units, n_ratings,
+        |  CASE WHEN n_ratings > 0 THEN ROUND(do_, 6) END AS d_o,
+        |  CASE WHEN n_ratings > 1 THEN ROUND(de_, 6) END AS d_e,
+        |  CASE WHEN n_ratings > 1 AND de_ > 0.0 THEN
+        |    ROUND(CAST(1.0 AS DOUBLE) - do_ / de_, 6)
+        |  END AS alpha
+        |FROM f""".stripMargin,
 
     // exact counts; one double chain into ceil (engine-exact), the
     // z quantiles entering as the documented round-6 literals

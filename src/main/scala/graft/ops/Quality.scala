@@ -1885,6 +1885,67 @@ object Quality {
       .drop("__mmin")
   }
 
+  /** Krippendorff's alpha (nominal) — the agreement coefficient that
+    * survives MISSING ratings: [[fleissKappa]] requires the same m
+    * raters on every item and NULLs out otherwise; α is defined on
+    * whatever pairable ratings exist (the real shape of vendor label
+    * collection — raters skip items). α = 1 − D_o/D_e with observed
+    * disagreement D_o = (1/n)·Σ_i (m_i² − Σ_c n_ic²)/(m_i − 1) over
+    * units with m_i ≥ 2 (singletons are unpairable and DROPPED, the
+    * canonical convention) and expected D_e = (n² − Σ_c n_c²)/
+    * (n(n−1)) from the pooled pairable ratings. α = 1 perfect,
+    * 0 chance-level, negative = systematic disagreement.
+    *
+    * Numerics: per-unit disagreement is ONE double chain rounded to
+    * 6dp summed exactly in decimal (Σn_ic² exact decimal(38,0));
+    * D_o/D_e/α are one fixed chain each rounded at output. D_e = 0
+    * (a single category ever used) → α NULL.
+    *
+    * Scale shape: one (item, category) hash agg + two
+    * re-aggregations of that frame, scalars after (the fleissKappa
+    * plan with a pairability filter).
+    *
+    * @param df ONE row per (item, rating)
+    * @return one row: (n_units, n_ratings, d_o, d_e, alpha) */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        categoryCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val src = df.filter(col(itemCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(categoryCol).as("__c"))
+    val cells = src.groupBy(col("__i"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy(col("__i")).agg(
+      sum(col("__n")).as("__m"),
+      sum(col("__n").cast(dec) * col("__n")).as("__s2"))
+      .filter(col("__m") >= 2)
+    val top = items
+      .select(col("__m"),
+        round((col("__m").cast(dec) * col("__m") - col("__s2"))
+          .cast("double") / (col("__m") - 1).cast("double"), 6)
+          .cast("decimal(18,6)").as("__t"))
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum(col("__m")), lit(0L)).as("n_ratings"),
+        coalesce(sum(col("__t")), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(28,6)").as("__ts"))
+    val catTot = cells.join(items.select(col("__i")), Seq("__i"))
+      .groupBy(col("__c")).agg(sum(col("__n")).as("__cn"))
+      .agg(coalesce(sum(col("__cn").cast(dec) * col("__cn")),
+        lit(0).cast(dec)).as("__c2"))
+    val dO = col("__ts").cast("double") /
+      col("n_ratings").cast("double")
+    val dE = (col("n_ratings").cast(dec) * col("n_ratings") -
+      col("__c2")).cast("double") /
+      (col("n_ratings").cast(dec) * (col("n_ratings") - 1))
+        .cast("double")
+    top.crossJoin(broadcast(catTot))
+      .select(col("n_units"), col("n_ratings"),
+        when(col("n_ratings") > 0, round(dO, 6)).as("d_o"),
+        when(col("n_ratings") > 1, round(dE, 6)).as("d_e"),
+        when(col("n_ratings") > 1 && dE > 0.0,
+          round(lit(1.0) - dO / dE, 6)).as("alpha"))
+  }
+
   /** Chapman capture–recapture — "how big is the TRUE population two
     * overlapping samples were drawn from?": two crawls / two vendor
     * feeds / two dedup passes that share m ids estimate total corpus

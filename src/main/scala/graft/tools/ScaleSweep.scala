@@ -628,6 +628,9 @@ object ScaleSweep {
       // per-row hash + compare, no shuffle; audit agg after
       "t_leakage_split" -> (d =>
         SparkEntry.queries("t_leakage_split")(spark, d).count()),
+      // (doc, category) agg + pairability filter, scalars after
+      "a77_krippendorff" -> (d =>
+        SparkEntry.queries("a77_krippendorff")(spark, d).count()),
       // one conditional user agg into scalars
       "a76_power" -> (d =>
         SparkEntry.queries("a76_power")(spark, d).count()),

@@ -1240,6 +1240,35 @@ class QualitySpec extends SparkSpec {
     assert(m._3 == 1.0 && m._4 == 1.0 && m._5.isEmpty, m.toString)
   }
 
+  test("krippendorffAlpha: hand panels (perfect 1, chance 0, " +
+    "systematic disagreement negative); unequal m handled; " +
+    "singleton units dropped; single category NULLs alpha") {
+    import spark.implicits._
+    def a(rows: Seq[(Long, String)]) =
+      Quality.krippendorffAlpha(rows.toDF("item", "rating"),
+        "item", "rating")
+        .as[(Long, Long, Option[Double], Option[Double],
+          Option[Double])].collect().head
+    // perfect: (a,a), (b,b) -> D_o = 0, alpha = 1
+    val p = a(Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")))
+    assert(p._3.contains(0.0) && p._5.contains(1.0), p.toString)
+    // chance-level: (a,a), (a,b) -> D_o = D_e = 0.5, alpha = 0
+    val c = a(Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b")))
+    assert(c._3.contains(0.5) && c._4.contains(0.5) &&
+      c._5.contains(0.0), c.toString)
+    // systematic: (a,b), (a,b) -> D_o = 1, D_e = 2/3, alpha = -0.5
+    val s = a(Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")))
+    assert(s._5.contains(-0.5), s.toString)
+    // unequal m (Fleiss NULLs this): i1 m=3, i2 m=2 both counted;
+    // a singleton unit is dropped from units AND pooled totals
+    val u = a(Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"),
+      (2L, "a"), (3L, "b")))
+    assert(u._1 == 2L && u._2 == 5L && u._5.nonEmpty, u.toString)
+    // single category ever used: D_e = 0 -> alpha NULL
+    val m = a(Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")))
+    assert(m._3.contains(0.0) && m._5.isEmpty, m.toString)
+  }
+
   test("captureRecapture: Chapman/Lincoln/coverage on a hand " +
     "overlap; zero overlap keeps Chapman finite; duplicate ids " +
     "collapse") {

@@ -1333,15 +1333,17 @@ object SparkEntry {
 
     // ---- E: SHORTLIST-FED margin mining — the serving-scale twin of
     // e_mutual_margin: candidate pairs are the union of two directed
-    // IVF k-NN shortlists (nlist=16, nprobe=4, shortlistK=8) instead
+    // IVF k-NN shortlists (nlist = nlistFor(n) — the deployment
+    // contract, cells bounded at 64; nprobe=4, shortlistK=8) instead
     // of the |A|·|B| product, then the identical mutual/margin tail.
     // No crossJoin anywhere; the oracle replays the whole IVF
-    // structure (centroid pick, cell argmax, probe ranks, per-query
-    // shortlist) and the tail in SQL. ----
+    // structure (derived nlist, centroid pick, cell argmax, probe
+    // ranks, per-query shortlist) and the tail in SQL. ----
     "e_mutual_margin_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("label").isin(0, 1)
         && col("vec_id").isNotNull && col("embedding").isNotNull)
-      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        Similarity.nlistFor(emb.count()))
       Similarity.marginMutualKnnIvf(emb, "vec_id", "embedding",
         col("label") === 0, k = 4, centroids = cents, nprobe = 4,
         shortlistK = 8)
@@ -2451,15 +2453,16 @@ object SparkEntry {
     }),
 
     // ---- similarity eval: nDCG@10 over the IVF shortlist — the
-    // SAME k-bounded tail fed by ivfKnnJoin (nlist=64, nprobe=8):
-    // the deployment-shape twin of e_ndcg, correctness-gated like
-    // the margin-mining pair. ----
+    // SAME k-bounded tail fed by ivfKnnJoin (nlist = nlistFor(n) —
+    // the deployment contract, cells bounded at 64; nprobe=8): the
+    // deployment-shape twin of e_ndcg, correctness-gated like the
+    // margin-mining pair. ----
     "e_ndcg_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       val q = emb.filter(col("vec_id") % 100 === 0)
       val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
-        64)
+        Similarity.nlistFor(emb.count()))
       val ranked = Similarity.ivfKnnJoin(q, emb, "vec_id",
         "embedding", k = 10, centroids = cents, nprobe = 8)
       val ql = emb.select(col("vec_id").as("query_id"),
@@ -6540,8 +6543,10 @@ cov${c + 1} AS MATERIALIZED (
         |  JOIN mb ON mb.b_id = r.b_id
         |WHERE r.ra = 1 AND r.rb = 1""".stripMargin,
 
-    // The IVF shortlist replayed end to end (centroid pick by the
-    // portable hash, argmax cell assignment, top-4 probe ranks,
+    // The IVF shortlist replayed end to end (DERIVED nlist =
+    // GREATEST(16, CEIL(n/64.0)) — the deployment contract, exact in
+    // both engines because 64 is a power of two; centroid pick by
+    // the portable hash, argmax cell assignment, top-4 probe ranks,
     // per-query top-8 shortlist, union-distinct across the two
     // directions), then the identical margin tail over the shortlist
     // pair frame instead of the |A|·|B| product.
@@ -6559,7 +6564,8 @@ cov${c + 1} AS MATERIALIZED (
         |  FROM src
         |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,
         |    vec_id
-        |  LIMIT 16),
+        |  LIMIT (SELECT GREATEST(16,
+        |    CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) FROM src)),
         |assign AS MATERIALIZED (
         |  SELECT s.vec_id, s.embedding, s.ina,
         |    (SELECT cell FROM cents
@@ -9129,7 +9135,7 @@ SELECT n.n AS n, 64 AS d_x, 16 AS d_y,
 FROM n, vxy, vxx, vyy"""
     },
 
-    // brute top-10 + the e_ivf_knn_join IVF replay (nlist=64,
+    // brute top-10 + the e_ivf_knn_join IVF replay (derived nlist,
     // nprobe=8) + the RBO tail: per-item W(max(ra,rb)) weights as
     // term-wise round-6 decimals (the a58 POWER discipline), exact
     // decimal sum, one x0.1 product, one double round
@@ -9149,7 +9155,8 @@ FROM n, vxy, vxx, vyy"""
         |    embedding AS ce
         |  FROM src
         |  ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id
-        |  LIMIT 64),
+        |  LIMIT (SELECT GREATEST(16,
+        |    CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) FROM src)),
         |probed AS MATERIALIZED (
         |  SELECT query_id, cell FROM (
         |    SELECT q.query_id, cents.cell,
@@ -12576,8 +12583,8 @@ v$r AS MATERIALIZED (
         |      AS DECIMAL(38,6)) AS dropped
         |  FROM seg)
         |SELECT CAST(604800000000 AS BIGINT) AS tau, n_steps,
-        |  CAST(CAST(604800000000 AS DECIMAL(38,6)) - dropped
-        |    AS DOUBLE) AS rmst,
+        |  CAST((CAST(604800000000 AS DECIMAL(38,6)) - dropped)
+        |    * 1000000 AS BIGINT) AS rmst_micros,
         |  ROUND(CAST(CAST(604800000000 AS DECIMAL(38,6)) - dropped
         |      AS DOUBLE) / CAST(604800000000 AS DOUBLE), 6)
         |    AS rmst_frac

@@ -329,17 +329,22 @@ object Analytics {
     * Numerics: S_i is the KM curve's round-6 decimal; each segment
     * contribution (1−S_i)·Δt is an EXACT decimal product of the 6-dp
     * survival complement and an exact integer duration, summed
-    * exactly — no double arithmetic until the final subtraction and
-    * the rmst_frac division (each rounded once... rmst itself is an
-    * exact decimal cast).
+    * exactly. The headline value ships as `rmst_micros` — the exact
+    * 6-dp decimal scaled by 10⁶ into a BIGINT (τ·10⁶ fits a long for
+    * any τ < 9.2e12 input units) — because an exact decimal that is
+    * not representable in a double must never cross an engine gate
+    * as a double: decimal→double casts legitimately differ by 1 ulp
+    * between engines. `rmst_frac` is the ONE double in the output,
+    * rounded once.
     *
     * Scale shape: the [[kaplanMeier]] contract — one subject hash
     * agg to the curve frame; the lead/clip window and the final fold
     * run on curve-sized data.
     *
     * @param tau restriction horizon in `durationCol`'s units (> 0)
-    * @return one row: (tau, n_steps, rmst, rmst_frac) — rmst in
-    *         input units; rmst_frac = rmst/τ ∈ (0, 1] */
+    * @return one row: (tau, n_steps, rmst_micros, rmst_frac) —
+    *         rmst_micros = RMST in MILLIONTHS of the input unit
+    *         (exact); rmst_frac = RMST/τ ∈ (0, 1] */
   def rmst(subjects: DataFrame, durationCol: String,
            observedCol: String, tau: Long): DataFrame = {
     require(tau > 0, "tau must be > 0")
@@ -358,8 +363,9 @@ object Analytics {
       coalesce(sum(col("__drop")), lit(0).cast("decimal(38,6)"))
         .cast("decimal(38,6)").as("__dropped"))
       .select(lit(tau).as("tau"), col("n_steps"),
-        (lit(tau).cast("decimal(38,6)") - col("__dropped"))
-          .cast("double").as("rmst"),
+        ((lit(tau).cast("decimal(38,6)") - col("__dropped")) *
+          lit(1000000L)).cast("decimal(38,0)").cast("long")
+          .as("rmst_micros"),
         round((lit(tau).cast("decimal(38,6)") - col("__dropped"))
           .cast("double") / lit(tau).cast("double"), 6)
           .as("rmst_frac"))

@@ -1160,6 +1160,22 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN: the coarse-quantizer scale path ----
 
+  /** The IVF deployment contract for `nlist`: derive it from the
+    * corpus count so the EXPECTED CELL SIZE stays bounded at
+    * `cellTarget` as the corpus grows — nlist = max(16, ⌈n/64⌉) by
+    * default. A fixed nlist is the measured scale anti-pattern
+    * (cells grow with the corpus; at 100× the probe approaches a
+    * quarter of a brute cartesian — 0.80 ratio/factor in
+    * BENCH_SF1.md vs 0.08 flat for nlist ∝ n). Every shipped query
+    * that builds an IVF index derives its nlist here; costs one
+    * count(*) scalar. cellTarget = 64 is a power of two, so the
+    * DuckDB twin `GREATEST(16, CEIL(n/64.0))` divides exactly and
+    * the two engines agree bit-for-bit on the derived value. */
+  def nlistFor(n: Long, cellTarget: Int = 64): Int = {
+    require(cellTarget > 0, "cellTarget must be > 0")
+    math.max(16L, (n + cellTarget - 1) / cellTarget).toInt
+  }
+
   /** Deterministic IVF coarse centroids: the vectors of the `nlist` ids
     * with the smallest PORTABLE hash ((id mod 2³¹−1) × 2654435761
     * mod 2³¹−1 — the pre-reduction keeps the product below 2⁶³ for

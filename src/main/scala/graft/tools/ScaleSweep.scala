@@ -559,24 +559,13 @@ object ScaleSweep {
       // |A|x|B| pair frame by contract over two label slices
       "e_mutual_margin" -> (d =>
         SparkEntry.queries("e_mutual_margin")(spark, d).count()),
-      // the shortlist-fed twin: |A u B| x nprobe/nlist x |other|
+      // the shortlist-fed twin: |A u B| x nprobe x cellTarget
       // IVF shortlists both directions + the k-bounded tail. The
-      // QUERY's fixed nlist=16 measures the configuration at factor
-      // f (cells grow f x); the deployment contract is nlist ∝
-      // corpus (the semDedup discipline) — both rows reported
+      // shipped query derives nlist = nlistFor(n) (cells bounded at
+      // 64 — the deployment contract, r13's measured-flat variant),
+      // so the query row IS the scale-safe row
       "e_mutual_margin_ivf" -> (d =>
         SparkEntry.queries("e_mutual_margin_ivf")(spark, d).count()),
-      "e_mutual_margin_ivf(nlist∝n)" -> { d =>
-        val emb = Tables.load(spark, d, "embeddings")
-          .filter(col("label").isin(0, 1) && col("vec_id").isNotNull
-            && col("embedding").isNotNull)
-        val nlist = if (d == base) 16 else 16 * factor
-        val cents = graft.sim.Similarity.ivfCentroids(emb, "vec_id",
-          "embedding", nlist)
-        graft.sim.Similarity.marginMutualKnnIvf(emb, "vec_id",
-          "embedding", col("label") === 0, k = 4, centroids = cents,
-          nprobe = 4, shortlistK = 8).count()
-      },
       // key-hash agg + TakeOrdered tail
       "a55_decayed_topk" -> (d =>
         SparkEntry.queries("a55_decayed_topk")(spark, d).count()),
@@ -641,33 +630,13 @@ object ScaleSweep {
       "t_cross_surprise" -> (d =>
         SparkEntry.queries("t_cross_surprise")(spark, d).count()),
       // the QUERY's brute shortlist is quadratic by contract (the
-      // eval harness); the scale path feeds the SAME k-bounded
-      // ndcgAtK tail an IVF shortlist — both rows reported
+      // eval harness); the shipped IVF twin derives nlist =
+      // nlistFor(n) (cells bounded at 64), so its query row IS the
+      // deployment-contract row
       "e_ndcg" -> (d =>
         SparkEntry.queries("e_ndcg")(spark, d).count()),
-      "e_ndcg_ivf_fixed64" -> (d =>
+      "e_ndcg_ivf" -> (d =>
         SparkEntry.queries("e_ndcg_ivf")(spark, d).count()),
-      "e_ndcg(ivf,nlist∝n)" -> { d =>
-        val emb = Tables.load(spark, d, "embeddings")
-          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-        val q = emb.filter(col("vec_id") % 100 === 0)
-        val nlist = if (d == base) 16 else 16 * factor
-        val cents = graft.sim.Similarity.ivfCentroids(emb, "vec_id",
-          "embedding", nlist)
-        val ranked = graft.sim.Similarity.ivfKnnJoin(q, emb, "vec_id",
-          "embedding", k = 10, centroids = cents, nprobe = 4)
-        val ql = emb.select(col("vec_id").as("query_id"),
-          col("label").as("__ql"))
-        val nl = emb.select(col("vec_id").as("neighbor_id"),
-          col("label").as("__nl"))
-        val withRel = ranked.join(ql, Seq("query_id"))
-          .join(nl, Seq("neighbor_id"))
-          .select(col("query_id"), col("rank"),
-            when(col("__ql") === col("__nl"), 1L).otherwise(0L)
-              .as("rel"))
-        graft.ops.Quality.ndcgAtK(withRel, "query_id", "rank", "rel",
-          10).count()
-      },
       // one narrow pass (dx*dy + dx^2 + dy^2 products) into the
       // cells frame — the honest Gram cost
       "e_cka" -> (d =>

@@ -657,17 +657,17 @@ class AnalyticsSpec extends SparkSpec {
     val subj = Seq((2L, true), (4L, true), (6L, true), (8L, true))
       .toDF("dur", "observed")
     val r5 = Analytics.rmst(subj, "dur", "observed", tau = 5L)
-      .as[(Long, Long, Double, Double)].collect().head
-    // 1*2 + 0.75*2 + 0.5*1 = 4.0
-    assert(r5 == ((5L, 2L, 4.0, 0.8)), r5.toString)
+      .as[(Long, Long, Long, Double)].collect().head
+    // 1*2 + 0.75*2 + 0.5*1 = 4.0 -> 4_000_000 micro-units
+    assert(r5 == ((5L, 2L, 4000000L, 0.8)), r5.toString)
     val r100 = Analytics.rmst(subj, "dur", "observed", tau = 100L)
-      .as[(Long, Long, Double, Double)].collect().head
+      .as[(Long, Long, Long, Double)].collect().head
     // 2 + 1.5 + 1 + 0.5 + 0*92 = 5.0
-    assert(r100 == ((100L, 4L, 5.0, 0.05)), r100.toString)
+    assert(r100 == ((100L, 4L, 5000000L, 0.05)), r100.toString)
     val cens = Seq((2L, false), (4L, false)).toDF("dur", "observed")
     val rc = Analytics.rmst(cens, "dur", "observed", tau = 10L)
-      .as[(Long, Long, Double, Double)].collect().head
-    assert(rc == ((10L, 0L, 10.0, 1.0)), rc.toString)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(rc == ((10L, 0L, 10000000L, 1.0)), rc.toString)
   }
 
   test("pettittTest: scalar replication on a clean level shift; " +

@@ -126,6 +126,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("nlistFor: floor 16 for small corpora, then cells bounded at " +
+    "cellTarget — nlist grows linearly with n (the deployment " +
+    "contract; a fixed nlist is the measured scale anti-pattern)") {
+    assert(Similarity.nlistFor(0) == 16)
+    assert(Similarity.nlistFor(96) == 16)     // e_mutual_margin_ivf sf0.01
+    assert(Similarity.nlistFor(500) == 16)    // e_ndcg_ivf sf0.01
+    assert(Similarity.nlistFor(1024) == 16)
+    assert(Similarity.nlistFor(1025) == 17)   // first past the floor
+    assert(Similarity.nlistFor(2000) == 32)   // e_ndcg_ivf sf0.1
+    assert(Similarity.nlistFor(9600) == 150)  // 100x staging: nlist ∝ n
+    // exact integer-ceil semantics match DuckDB CEIL(n/64.0): 64 is a
+    // power of two, so the double division in the oracle is exact
+    assert(Similarity.nlistFor(64 * 1000) == 1000)
+    assert(Similarity.nlistFor(64 * 1000 + 1) == 1001)
+    assert(Similarity.nlistFor(5, cellTarget = 1) == 16)
+    intercept[IllegalArgumentException](Similarity.nlistFor(10, 0))
+  }
+
   test("IVF: deterministic centroids, cell assignment total, probed " +
     "top-k recalls the true neighbors") {
     val df = clustered.toDF("vec_id", "embedding")

@@ -2454,7 +2454,9 @@ object SparkEntry {
 
     // ---- similarity eval: nDCG@10 over the IVF shortlist — the
     // SAME k-bounded tail fed by ivfKnnJoin (nlist = nlistFor(n) —
-    // the deployment contract, cells bounded at 64; nprobe=8): the
+    // the deployment contract, cells bounded at 64; nprobe=8; corpus
+    // assignment two-level O(√nlist) per row — exact argmax over a
+    // derived nlist is O(n²/cellTarget) across the corpus): the
     // deployment-shape twin of e_ndcg, correctness-gated like the
     // margin-mining pair. ----
     "e_ndcg_ivf" -> ((s, dir) => {
@@ -2464,7 +2466,8 @@ object SparkEntry {
       val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
         Similarity.nlistFor(emb.count()))
       val ranked = Similarity.ivfKnnJoin(q, emb, "vec_id",
-        "embedding", k = 10, centroids = cents, nprobe = 8)
+        "embedding", k = 10, centroids = cents, nprobe = 8,
+        hierAssign = true)
       val ql = emb.select(col("vec_id").as("query_id"),
         col("label").as("__ql"))
       val nl = emb.select(col("vec_id").as("neighbor_id"),
@@ -3264,6 +3267,27 @@ object SparkEntry {
     "w37_rmst" -> ((s, dir) =>
       Analytics.rmst(survivalSubjects(s, dir), "dur", "observed",
         tau = 604800000000L)),
+
+    // ---- CAPSTONE: the reference README's promised "blocked
+    // dataset" (README.md:2) as ONE oracled artifact — hourly
+    // encounter grid × whole-stream LOCF (w6) × two staleness-
+    // bounded channel as-of joins (j10: vitals fresh ≤2h, labs ≤24h)
+    // × trailing-4h rolling mean (w7) × encounter-level outcome
+    // label × leakage-safe hash split (t_hash_split). Every stage
+    // keys on the encounter, so the matrix assembles in one
+    // exchange family. ----
+    "clif_blocked_dataset" -> ((s, dir) =>
+      graft.clif.BlockedDataset.build(t(s, dir, "events"),
+        encCol = "user_id", tsCol = "ts", channelCol = "event_type",
+        valueCol = "value", tiebreak = "event_id",
+        channels = Seq(
+          graft.clif.BlockedDataset.Channel("click", "vital_value",
+            toleranceSeconds = 7200L),
+          graft.clif.BlockedDataset.Channel("purchase", "lab_value",
+            toleranceSeconds = 86400L)),
+        stepSeconds = 3600L,
+        outcome = col("event_type") === "error", rollRows = 4,
+        trainPct = 80, valPct = 10)),
 
     // ---- A71: McNemar's paired test — two purchase-prediction
     // rules (total value > 50 vs event count > 10) scored on the
@@ -9139,9 +9163,12 @@ FROM n, vxy, vxx, vyy"""
     // nprobe=8) + the RBO tail: per-item W(max(ra,rb)) weights as
     // term-wise round-6 decimals (the a58 POWER discipline), exact
     // decimal sum, one x0.1 product, one double round
-    // the WHOLE IVF structure (centroid pick, probe ranks, cell
-    // argmax, per-query top-10) + same-label relevance + the nDCG
-    // tail — the e_rbo replay feeding the e_ndcg chains
+    // the WHOLE IVF structure (derived nlist, centroid pick, probe
+    // ranks, TWO-LEVEL cell assignment: ⌈√nlist⌉ supers → member→
+    // super groups with supers self-pinned → per-vector super argmax
+    // then within-group argmax, per-query top-10) + same-label
+    // relevance + the nDCG tail — the e_rbo replay feeding the
+    // e_ndcg chains
     "e_ndcg_ivf" ->
       """WITH src AS MATERIALIZED (
         |  SELECT vec_id, embedding, label FROM embeddings
@@ -9168,17 +9195,48 @@ FROM n, vxy, vxx, vyy"""
         |        DESC, cents.cell) AS pr
         |    FROM cents, q)
         |  WHERE pr <= 8),
+        |nsup AS (
+        |  SELECT CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+        |    AS ns FROM cents),
+        |sup AS MATERIALIZED (
+        |  SELECT cell, ce FROM cents
+        |  WHERE cell < (SELECT ns FROM nsup)),
+        |so0 AS (
+        |  SELECT c.cell, s.cell AS sup,
+        |    row_number() OVER (PARTITION BY c.cell ORDER BY ROUND(
+        |      list_sum(list_transform(list_zip(c.ce, s.ce),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(s.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |      DESC, s.cell) AS pr
+        |  FROM cents c, sup s),
+        |superof AS MATERIALIZED (
+        |  SELECT cell, CASE WHEN cell < (SELECT ns FROM nsup)
+        |    THEN cell ELSE sup END AS sup
+        |  FROM so0 WHERE pr = 1),
+        |a1 AS MATERIALIZED (
+        |  SELECT vec_id, embedding, label, sup FROM (
+        |    SELECT e.vec_id, e.embedding, e.label, s.cell AS sup,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(s.ce, e.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(s.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, s.cell) AS pr
+        |    FROM src e, sup s)
+        |  WHERE pr = 1),
         |assign AS MATERIALIZED (
-        |  SELECT e.vec_id, e.embedding, e.label,
-        |    (SELECT cell FROM cents
-        |     ORDER BY ROUND(
-        |       list_sum(list_transform(list_zip(cents.ce, e.embedding),
-        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |       / (sqrt(list_sum(list_transform(cents.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-        |        * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
-        |       DESC, cell
-        |     LIMIT 1) AS cell
-        |  FROM src e),
+        |  SELECT vec_id, embedding, label, cell FROM (
+        |    SELECT a.vec_id, a.embedding, a.label, so.cell,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(c.ce, a.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, so.cell) AS rn
+        |    FROM a1 a JOIN superof so ON so.sup = a.sup
+        |      JOIN cents c ON c.cell = so.cell)
+        |  WHERE rn = 1),
         |ivf AS MATERIALIZED (
         |  SELECT query_id, ql, nl, rb FROM (
         |    SELECT p.query_id, q.ql, a.label AS nl,
@@ -12589,6 +12647,77 @@ v$r AS MATERIALIZED (
         |      AS DOUBLE) / CAST(604800000000 AS DOUBLE), 6)
         |    AS rmst_frac
         |FROM dd""".stripMargin,
+
+    // the capstone replayed stage by stage: the w6 grid + ASOF LOCF,
+    // two j10 staleness-bounded ASOF channel joins, the w7 rolling
+    // numerics (decimal sum, one rounded double division), the
+    // encounter label agg, and the t_hash_split portable-hash split
+    "clif_blocked_dataset" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+        |    MAX(ts) AS t1
+        |  FROM e GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(t0, t1, INTERVAL 3600 SECOND))
+        |      AS grid_ts
+        |  FROM b),
+        |base AS (
+        |  SELECT g.user_id, g.grid_ts, e.value AS last_value
+        |  FROM grid g ASOF LEFT JOIN e
+        |    ON g.user_id = e.user_id AND g.grid_ts >= e.ts),
+        |vit AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |v AS (
+        |  SELECT b.user_id, b.grid_ts, b.last_value,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(b.grid_ts)) - floor(epoch(w.ts)) > 7200
+        |      THEN NULL ELSE w.value END AS vital_value
+        |  FROM base b ASOF LEFT JOIN vit w
+        |    ON b.user_id = w.user_id AND b.grid_ts >= w.ts),
+        |lb AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |l AS (
+        |  SELECT v.user_id, v.grid_ts, v.last_value, v.vital_value,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(v.grid_ts)) - floor(epoch(w.ts)) > 86400
+        |      THEN NULL ELSE w.value END AS lab_value
+        |  FROM v ASOF LEFT JOIN lb w
+        |    ON v.user_id = w.user_id AND v.grid_ts >= w.ts),
+        |r AS (
+        |  SELECT user_id, grid_ts, last_value, vital_value, lab_value,
+        |    ROUND(CAST(SUM(CAST(last_value AS DECIMAL(30,6))) OVER w
+        |        AS DOUBLE) / COUNT(last_value) OVER w, 6) AS roll_avg
+        |  FROM l
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY grid_ts
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+        |lab AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS label
+        |  FROM events GROUP BY user_id)
+        |SELECT r.user_id, r.grid_ts, r.last_value, r.vital_value,
+        |  r.lab_value, r.roll_avg, lab.label,
+        |  CASE WHEN ((r.user_id % 2147483647) * 2654435761)
+        |         % 2147483647 % 100 < 80 THEN 'train'
+        |       WHEN ((r.user_id % 2147483647) * 2654435761)
+        |         % 2147483647 % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r JOIN lab USING (user_id)""".stripMargin,
 
     // the Aalen–Johansen recursion replayed: all-cause KM state S
     // and both CIF prefix sums carried through one RECURSIVE walk of

@@ -311,6 +311,156 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** TWO-LEVEL (hierarchical) nearest-centroid IVF cell id — the
+    * O(√nlist × dim) assignment for DERIVED nlist ∝ corpus configs,
+    * where [[IvfCell]]'s exact argmax costs nlist × dim per row and
+    * turns the whole assignment pass O(n²/cellTarget) (measured 0.55
+    * ratio/factor at 100× on e_ndcg_ivf). The first S = ⌈√nlist⌉
+    * centroids IN PICK ORDER double as SUPER-centroids (the pick
+    * order is already a seeded uniform sample); every centroid joins
+    * the group of its nearest super (round-6 cosine argmax, ties →
+    * lowest super; a super is pinned to its OWN group so no group is
+    * ever empty under round-6 cosine ties between near-parallel
+    * supers) — computed once per executor from the broadcast matrix,
+    * no extra shipped state. A vector then scores the S supers and
+    * only the winning group's members: ~2√nlist × dim multiply-adds
+    * per row in expectation. One split level of the inverted
+    * multi-index idea (Babenko & Lempitsky, "The Inverted
+    * Multi-Index", CVPR 2012). Assignment is APPROXIMATE versus the
+    * global argmax (a vector near a group boundary can land one cell
+    * over) — but the cells still partition the corpus exactly, which
+    * is all IVF recall semantics require; nprobe remains the recall
+    * knob. Same 6-decimal grid, accumulation order and tie rules as
+    * [[IvfCell]], so the entire two-level walk replays in SQL. */
+  case class IvfCellHier(child: Expression,
+                         centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]])
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+
+    @transient private lazy val read = reader(child)
+    @transient private lazy val cents: Array[Array[Float]] = centroids.value
+    @transient private lazy val centNorm: Array[Double] =
+      cents.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+        math.sqrt(s)
+      }
+    @transient private lazy val nSuper: Int =
+      math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+
+    // round-6 cosine between two centroid rows, IvfCell's exact
+    // arithmetic (full norms on equal dims, min-length on ragged)
+    private def cosR6(a: Array[Float], b: Array[Float],
+                      na: Double, nb: Double): Double = {
+      var dot = 0.0
+      var cos = 0.0
+      if (a.length == b.length) {
+        var j = 0
+        while (j < a.length) { dot += a(j).toDouble * b(j); j += 1 }
+        val d = na * nb
+        cos = if (d == 0.0) 0.0 else dot / d
+      } else {
+        val m = math.min(a.length, b.length)
+        var nx = 0.0; var ny = 0.0
+        var j = 0
+        while (j < m) {
+          val x = a(j).toDouble; val y = b(j).toDouble
+          dot += x * y; nx += x * x; ny += y * y
+          j += 1
+        }
+        val d = math.sqrt(nx) * math.sqrt(ny)
+        cos = if (d == 0.0) 0.0 else dot / d
+      }
+      java.math.BigDecimal.valueOf(cos)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+
+    /** member cell ids per super, ascending (so strict-> argmax keeps
+      * the lowest cell id on ties); supers pinned to their own group. */
+    @transient private lazy val groups: Array[Array[Int]] = {
+      val gs = Array.fill(nSuper)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      var c = 0
+      while (c < cents.length) {
+        if (c < nSuper) gs(c) += c // a super owns itself
+        else {
+          var best = 0
+          var bestScore = Double.NegativeInfinity
+          var s = 0
+          while (s < nSuper) {
+            val score = cosR6(cents(c), cents(s), centNorm(c), centNorm(s))
+            if (score > bestScore) { bestScore = score; best = s }
+            s += 1
+          }
+          gs(best) += c
+        }
+        c += 1
+      }
+      gs.map(_.toArray)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val x = new Array[Double](n)
+      var nv2 = 0.0
+      var i = 0
+      while (i < n) { val xi = read(v, i); x(i) = xi; nv2 += xi * xi; i += 1 }
+      val nv = math.sqrt(nv2)
+
+      def score(c: Int): Double = {
+        val cv = cents(c)
+        var dot = 0.0
+        var cos = 0.0
+        if (cv.length == n) {
+          var j = 0
+          while (j < n) { dot += x(j) * cv(j); j += 1 }
+          val d = nv * centNorm(c)
+          cos = if (d == 0.0) 0.0 else dot / d
+        } else {
+          val m = math.min(n, cv.length)
+          var nx = 0.0; var ny = 0.0
+          var j = 0
+          while (j < m) {
+            val a = x(j); val b = cv(j).toDouble
+            dot += a * b; nx += a * a; ny += b * b
+            j += 1
+          }
+          val d = math.sqrt(nx) * math.sqrt(ny)
+          cos = if (d == 0.0) 0.0 else dot / d
+        }
+        java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+
+      // pass 1: nearest super (strict > keeps the lowest super id)
+      var bestS = 0
+      var bestScore = Double.NegativeInfinity
+      var s = 0
+      while (s < nSuper) {
+        val sc = score(s)
+        if (sc > bestScore) { bestScore = sc; bestS = s }
+        s += 1
+      }
+      // pass 2: nearest member within the winning group (members
+      // ascend, so strict > keeps the lowest cell id)
+      val g = groups(bestS)
+      var best = g(0)
+      bestScore = Double.NegativeInfinity
+      var gi = 0
+      while (gi < g.length) {
+        val sc = score(g(gi))
+        if (sc > bestScore) { bestScore = sc; best = g(gi) }
+        gi += 1
+      }
+      best
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Top-`nprobe` IVF cells for a vector: the cell ids whose BROADCAST
     * centroids score highest by ROUND(cosine, 6), ordered (score desc,
     * cell asc) — the batch twin of driver-side
@@ -1066,6 +1216,11 @@ object NativeExpressions {
                centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]])
       : Column =
     toCol(IvfCell(expr(vec), centroids))
+
+  def ivf_cell_hier(vec: Column,
+                    centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]])
+      : Column =
+    toCol(IvfCellHier(expr(vec), centroids))
 
   def ivf_probe(vec: Column,
                 centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],

@@ -1219,6 +1219,26 @@ object Similarity {
     graft.functions.NativeExpressions.ivf_cell(vec, bcast)
   }
 
+  /** Two-level coarse-quantizer twin of [[ivfCell]] — O(√nlist × dim)
+    * per row instead of nlist × dim: the first ⌈√nlist⌉ centroids (in
+    * pick order) act as supers, each centroid joins its nearest
+    * super's group (supers own themselves), and a vector scores the
+    * supers then only the winning group. The assignment pass for a
+    * DERIVED nlist ∝ n config ([[nlistFor]]) — exact-argmax [[ivfCell]]
+    * there is O(n²/cellTarget) across the corpus (measured 0.55
+    * ratio/factor at 100×; this path restores the linear shape).
+    * APPROXIMATE vs the global argmax; cells still partition the
+    * corpus, recall stays nprobe's job. Same round-6 grid and tie
+    * rules, so the two-level walk replays in SQL (e_ndcg_ivf's
+    * oracle). Native: NativeExpressions.IvfCellHier. */
+  def ivfCellHier(vec: Column, centroids: Array[Seq[Float]],
+                  spark: org.apache.spark.sql.SparkSession): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val bcast = spark.sparkContext.broadcast(
+      centroids.map(_.toArray): Array[Array[Float]])
+    graft.functions.NativeExpressions.ivf_cell_hier(vec, bcast)
+  }
+
   /** Pure-Column twin of [[ivfCell]] — the executable spec of the cell
     * arithmetic (round(cosine, 6) per centroid literal, greatest,
     * first-match-wins when-chain so ties resolve to the lowest cell).
@@ -1332,11 +1352,17 @@ object Similarity {
     * probed cells is missed), tunable via nprobe. */
   def ivfKnnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int, centroids: Array[Seq[Float]],
-                 nprobe: Int = 4): DataFrame = {
+                 nprobe: Int = 4, hierAssign: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
+    // hierAssign: the two-level O(√nlist) corpus assignment — the
+    // deployment shape once nlist is derived ∝ corpus ([[nlistFor]]);
+    // the query-side probe stays an exact full-list ranking (|Q| is
+    // small by contract, |Q| × nlist is not the bottleneck)
+    val cellOf =
+      if (hierAssign) ivfCellHier(col(vecCol), centroids, spark)
+      else ivfCell(col(vecCol), centroids, spark)
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("nv"),
-      ivfCell(col(vecCol), centroids, spark).as("cell"))
+      col(vecCol).as("nv"), cellOf.as("cell"))
     val probed = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"),
         explode(ivfProbe(col(vecCol), centroids, nprobe, spark)).as("cell"))

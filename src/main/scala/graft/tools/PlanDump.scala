@@ -94,7 +94,12 @@ object PlanDump {
       "pair join, nothing single-partition at corpus grain"),
     "t_leakage_split" -> ("leakage-safe split: per-row hash + compare " +
       "inside one WholeStageCodegen span — the split itself needs " +
-      "ZERO exchanges (the audit agg above is the only shuffle)"))
+      "ZERO exchanges (the audit agg above is the only shuffle)"),
+    "clif_blocked_dataset" -> ("the reference's capstone blocked " +
+      "dataset: ALL channels LOCF onto the grid in ONE encounter-" +
+      "keyed window pass (the multi-channel as-of union), and the " +
+      "rolling window REUSES that exchange+sort; label join " +
+      "broadcasts — no per-channel grid-sized shuffles"))
 
   /** Ops with no SparkEntry.queries surface whose plan still backs a
     * scale claim (built directly against the sf tables). */

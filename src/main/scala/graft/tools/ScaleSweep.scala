@@ -136,6 +136,42 @@ object ScaleSweep {
       }
       marker2.createNewFile(); ()
     }
+    // ---- r14 table: orders (theil / cochran-armitage). Scale model:
+    // NEW orders per replica (key offsets), priority/status/date
+    // distributions unchanged — the contingency/dose frames stay
+    // fixed-size while the scanned mass grows linearly. ----
+    val marker3 = new java.io.File(s"$scaled/_DONE_ORDERS")
+    if (!marker3.exists()) {
+      val ord = Tables.load(spark, base, "orders")
+      (0 until factor).grouped(10).zipWithIndex.foreach { case (ks, gi) =>
+        ks.map { k =>
+          if (k == 0) ord
+          else ord
+            .withColumn("o_orderkey", col("o_orderkey") + k * 100000000L)
+            .withColumn("o_custkey", col("o_custkey") + k * 1000000L)
+        }.reduce(_ unionByName _)
+          .write.mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$scaled/orders.parquet")
+      }
+      marker3.createNewFile(); ()
+    }
+    // ---- r14 table: lineitem (moment-agg family). NEW orders per
+    // replica (key offsets); numeric columns untouched, so moment
+    // sums grow linearly with identical per-row cost. ----
+    val marker4 = new java.io.File(s"$scaled/_DONE_LINEITEM")
+    if (!marker4.exists()) {
+      val li = Tables.load(spark, base, "lineitem")
+      (0 until factor).grouped(10).zipWithIndex.foreach { case (ks, gi) =>
+        ks.map { k =>
+          if (k == 0) li
+          else li
+            .withColumn("l_orderkey", col("l_orderkey") + k * 100000000L)
+        }.reduce(_ unionByName _)
+          .write.mode(if (gi == 0) "overwrite" else "append")
+          .parquet(s"$scaled/lineitem.parquet")
+      }
+      marker4.createNewFile(); ()
+    }
 
     def timeIt(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -587,6 +623,35 @@ object ScaleSweep {
       // day-frame series; two Prefix hierarchies + TakeOrdered(1)
       "a67_pettitt" -> (d =>
         SparkEntry.queries("a67_pettitt")(spark, d).count()),
+      // one orders scan to the priority x status cells frame;
+      // entropies on cells (r14: orders staging closes the r13 gap)
+      "a70_theil" -> (d =>
+        SparkEntry.queries("a70_theil")(spark, d).count()),
+      // one orders scan to the dose frame; exact integer moments
+      "a72_trend" -> (d =>
+        SparkEntry.queries("a72_trend")(spark, d).count()),
+      // the capstone: grid explode + 2 staleness-bounded asof
+      // channels + rolling window + label join + hash split, every
+      // stage keyed on the encounter (one exchange family); events
+      // staging adds NEW encounters per replica, so rows grow
+      // linearly and per-encounter grids stay fixed
+      "clif_blocked_dataset" -> (d =>
+        SparkEntry.queries("clif_blocked_dataset")(spark, d).count()),
+      // r14 catalog-gate closures: every >=2s batch query carries a
+      // sweep row (streaming floor queries are measured by the state
+      // sweeps instead)
+      // one user-keyed exchange: per-user sorted arrays + HOF cascade
+      "w14_funnel_latency" -> (d =>
+        SparkEntry.queries("w14_funnel_latency")(spark, d).count()),
+      // anchor/positive/negative triplets off bucketed candidates
+      "t_contrastive_triplets" -> (d =>
+        SparkEntry.queries("t_contrastive_triplets")(spark, d).count()),
+      // merge-table broadcast; encode is a per-doc HOF fold
+      "t_bpe_encode" -> (d =>
+        SparkEntry.queries("t_bpe_encode")(spark, d).count()),
+      // one partial+final hash agg of exact decimal moments
+      "a16_corr" -> (d =>
+        SparkEntry.queries("a16_corr")(spark, d).count()),
       // the psi plan: broadcast percentile row + two narrow passes
       "a68_hellinger" -> (d =>
         SparkEntry.queries("a68_hellinger")(spark, d).count()),
@@ -769,7 +834,10 @@ object ScaleSweep {
     // at higher factors only the ops whose cost is not pair-volume-
     // driven remain meaningful.
     val pairVolumeOps =
-      Set("t_jaccard_join", "t_dedup_clusters", "t_decontaminate_bloom")
+      Set("t_jaccard_join", "t_dedup_clusters", "t_decontaminate_bloom",
+        // nearDuplicates-fed: its triplet count rides the staged pair
+        // volume (measured 325x pairs at 100x for 100x data)
+        "t_contrastive_triplets")
     val runnable = {
       val r =
         if (factor <= 30) ops

@@ -273,6 +273,52 @@ class PipelinesSpec extends SparkSpec {
     assert(pd.getAs[String]("ultrafiltration_amount") == "800")
   }
 
+  test("blocked dataset capstone: hourly grid spans the encounter, " +
+    "LOCF carries the latest observation, channels go stale past " +
+    "their tolerance, rolling mean follows the grid, the label and " +
+    "split attach per encounter, dedup keeps the last tiebreak") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // encounter 7: four observations over 5.5 hours, one 'error'
+      (1L, ts("2024-01-01 00:30:00"), 7L, "click", 10.0),
+      (2L, ts("2024-01-01 00:45:00"), 7L, "signup", 2.0),
+      (3L, ts("2024-01-01 03:10:00"), 7L, "purchase", 100.0),
+      (4L, ts("2024-01-01 05:30:00"), 7L, "error", 0.0),
+      // encounter 2: two same-(enc, ts) rows — keep-last wins
+      (5L, ts("2024-02-01 10:00:00"), 2L, "click", 5.0),
+      (6L, ts("2024-02-01 10:00:00"), 2L, "click", 7.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = BlockedDataset.build(ev, "user_id", "ts", "event_type",
+      "value", "event_id",
+      channels = Seq(
+        BlockedDataset.Channel("click", "vital_value", 7200L),
+        BlockedDataset.Channel("purchase", "lab_value", 86400L)),
+      stepSeconds = 3600L, outcome = col("event_type") === "error",
+      rollRows = 4, trainPct = 80, valPct = 10)
+    val got = out.select("user_id", "grid_ts", "last_value",
+        "vital_value", "lab_value", "roll_avg", "label", "split")
+      .as[(Long, java.sql.Timestamp, Option[Double], Option[Double],
+        Option[Double], Option[Double], Long, String)]
+      .collect().sortBy(r => (r._1, r._2.getTime)).toList
+    // encounter 2: one grid hour; dedup kept event_id 6 (v = 7)
+    assert(got.head ==
+      ((2L, ts("2024-02-01 10:00:00"), Some(7.0), Some(7.0), None,
+        Some(7.0), 0L, "train")), got.head.toString)
+    // encounter 7: grid 00:00..05:00 — LOCF, staleness, rolling
+    val e7 = got.tail
+    assert(e7.map(_._2) == (0 to 5).map(h =>
+      ts(f"2024-01-01 0$h%d:00:00")).toList)
+    assert(e7.map(_._3) == List(None, Some(2.0), Some(2.0), Some(2.0),
+      Some(100.0), Some(100.0)))               // whole-stream LOCF
+    assert(e7.map(_._4) == List(None, Some(10.0), Some(10.0), None,
+      None, None))       // click goes stale after 2h (age 9000s at 03)
+    assert(e7.map(_._5) == List(None, None, None, None, Some(100.0),
+      Some(100.0)))      // purchase lands at 03:10, fresh for 24h
+    assert(e7.map(_._6) == List(None, Some(2.0), Some(2.0), Some(2.0),
+      Some(26.5), Some(51.0)))                 // trailing-4 grid mean
+    assert(e7.forall(r => r._7 == 1L && r._8 == "train"))
+  }
+
   test("medicationOrders: 5-key join resolves duplicate end column") {
     val orders = Seq(
       (1L, 10L, 7L, T0, T0 + 99L, "DRUG X", "DAILY", "5", "mg")

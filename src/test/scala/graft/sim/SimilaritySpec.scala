@@ -249,6 +249,42 @@ class SimilaritySpec extends SparkSpec {
         assert(got(id) == refCell(v, cents), s"nlist=$nlist vec_id=$id")
       }
     }
+
+    // TWO-LEVEL assignment: Spark == plain-Scala reference of the
+    // documented walk (S = ceil(sqrt(nlist)) supers in pick order;
+    // member -> nearest super with supers self-pinned; vector ->
+    // super argmax then within-group argmax; all ties -> lowest id)
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def refCellHier(v: Seq[Float], cents: Array[Seq[Float]]): Int = {
+      val ns = math.max(1, math.ceil(math.sqrt(cents.length)).toInt)
+      def argmax(cands: Seq[Int], x: Seq[Float]): Int = {
+        var best = cands.head; var bs = Double.NegativeInfinity
+        cands.foreach { i =>
+          val s = round6(refCos(x, cents(i)))
+          if (s > bs) { bs = s; best = i }
+        }
+        best
+      }
+      val superOf = cents.indices.map(c =>
+        if (c < ns) c else argmax(0 until ns, cents(c)))
+      val s = argmax(0 until ns, v)
+      argmax(cents.indices.filter(superOf(_) == s), v)
+    }
+    Seq(16, 64, 256).foreach { nlist =>
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist)
+      val got = df.select(col("vec_id"),
+          Similarity.ivfCellHier(col("embedding"), cents, spark)
+            .as("cell"))
+        .as[(Long, Int)].collect().toMap
+      corpus.foreach { case (id, v) =>
+        assert(got(id) == refCellHier(v, cents),
+          s"hier nlist=$nlist vec_id=$id")
+      }
+      // cells are valid and, at nlist <= corpus, the hier assignment
+      // still lands every vector in SOME group member (a partition)
+      assert(got.values.forall(c => c >= 0 && c < nlist))
+    }
   }
 
   test("native ivfProbe == Column twin; head == ivfCell; clamps nprobe") {

@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
   * session via GraftExtensions, but the operator LIBRARY (sessionize,
   * funnel, as-of join, dedup, resample, near-dup) was DSL-only — a
   * JDBC/BI analyst could not call it. These are the flagship
-  * operators (11 as of r12: + HLL, phash/simhash near-dup, KS drift,
-  * blocked Fellegi–Sunter linkage, MMR re-rank)
+  * operators (30 as of r14: + HLL, phash/simhash near-dup, KS drift,
+  * blocked Fellegi–Sunter linkage, MMR re-rank, the r13 stats wave,
+  * and the r14 capstone blocked dataset)
   * re-expressed as Spark 4 SQL TABLE FUNCTIONS
   * (`CREATE FUNCTION ... RETURNS TABLE ... RETURN <query>`): pure SQL
   * text an analyst can paste into ANY connection (beeline, hive-jdbc,
@@ -1267,7 +1268,108 @@ v$r AS (
          |  CASE WHEN vocab > 0 THEN
          |    ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
          |  END AS hapax_ratio
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+
+    // -- the capstone blocked dataset (clif/BlockedDataset): hourly
+    // encounter grid, whole-stream LOCF plus two staleness-bounded
+    // channels carried in the SAME single encounter-keyed window pass
+    // (the multi-channel as-of union — last(x, true) running LOCF per
+    // channel), trailing-4 rolling mean off the same exchange+sort,
+    // encounter outcome label, leakage-safe portable-hash split.
+    // Channels pinned to the demo's click (vitals) / purchase (labs);
+    // the tolerances and grid step are the knobs an analyst tunes.
+    "graft_blocked_dataset" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_blocked_dataset(
+         |  step_sec BIGINT, vital_tol BIGINT, lab_tol BIGINT)
+         |RETURNS TABLE (user_id BIGINT, grid_ts TIMESTAMP,
+         |               last_value DOUBLE, vital_value DOUBLE,
+         |               lab_value DOUBLE, roll_avg DOUBLE,
+         |               label BIGINT, split STRING)
+         |RETURN
+         |WITH base AS (
+         |  SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM ${prefix}events) WHERE rn = 1),
+         |vit AS (
+         |  SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM ${prefix}events WHERE event_type = 'click')
+         |  WHERE rn = 1),
+         |lab AS (
+         |  SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM ${prefix}events WHERE event_type = 'purchase')
+         |  WHERE rn = 1),
+         |grid AS (
+         |  SELECT user_id,
+         |    explode(sequence(date_trunc('HOUR', t0), t1,
+         |      make_dt_interval(0, 0, 0,
+         |        CAST(graft_blocked_dataset.step_sec AS DOUBLE))))
+         |      AS t
+         |  FROM (SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1
+         |        FROM base GROUP BY user_id)),
+         |u AS (
+         |  SELECT user_id, t, 1 AS tag,
+         |    CAST(NULL AS STRUCT<v: DOUBLE, mt: TIMESTAMP>) AS pb,
+         |    CAST(NULL AS STRUCT<v: DOUBLE, mt: TIMESTAMP>) AS pv,
+         |    CAST(NULL AS STRUCT<v: DOUBLE, mt: TIMESTAMP>) AS pl
+         |  FROM grid
+         |  UNION ALL
+         |  SELECT user_id, ts, 0, named_struct('v', value, 'mt', ts),
+         |    NULL, NULL FROM base
+         |  UNION ALL
+         |  SELECT user_id, ts, 0, NULL,
+         |    named_struct('v', value, 'mt', ts), NULL FROM vit
+         |  UNION ALL
+         |  SELECT user_id, ts, 0, NULL, NULL,
+         |    named_struct('v', value, 'mt', ts) FROM lab),
+         |l AS (
+         |  SELECT user_id, t AS grid_ts, tag,
+         |    last(pb, true) OVER w AS lb,
+         |    last(pv, true) OVER w AS lv,
+         |    last(pl, true) OVER w AS ll
+         |  FROM u
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY t, tag
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f AS (
+         |  SELECT user_id, grid_ts, lb.v AS last_value,
+         |    CASE WHEN lv IS NULL OR
+         |      CAST(CAST(grid_ts AS TIMESTAMP_LTZ) AS BIGINT) -
+         |      CAST(CAST(lv.mt AS TIMESTAMP_LTZ) AS BIGINT)
+         |        > graft_blocked_dataset.vital_tol
+         |      THEN NULL ELSE lv.v END AS vital_value,
+         |    CASE WHEN ll IS NULL OR
+         |      CAST(CAST(grid_ts AS TIMESTAMP_LTZ) AS BIGINT) -
+         |      CAST(CAST(ll.mt AS TIMESTAMP_LTZ) AS BIGINT)
+         |        > graft_blocked_dataset.lab_tol
+         |      THEN NULL ELSE ll.v END AS lab_value
+         |  FROM l WHERE tag = 1),
+         |r AS (
+         |  SELECT user_id, grid_ts, last_value, vital_value, lab_value,
+         |    ROUND(CAST(SUM(CAST(last_value AS DECIMAL(30,6))) OVER wr
+         |        AS DOUBLE) / COUNT(last_value) OVER wr, 6) AS roll_avg
+         |  FROM f
+         |  WINDOW wr AS (PARTITION BY user_id ORDER BY grid_ts
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+         |lbl AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'error' THEN 1L ELSE 0L END)
+         |      AS label
+         |  FROM ${prefix}events GROUP BY user_id)
+         |SELECT r.user_id, r.grid_ts, r.last_value, r.vital_value,
+         |  r.lab_value, r.roll_avg, lbl.label,
+         |  CASE WHEN pmod(pmod(pmod(r.user_id, 2147483647L)
+         |      * 2654435761L, 2147483647L), 100) < 80 THEN 'train'
+         |    WHEN pmod(pmod(pmod(r.user_id, 2147483647L)
+         |      * 2654435761L, 2147483647L), 100) < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM r JOIN lbl USING (user_id)""".stripMargin
   )
 
   /** Run every recipe's DDL on the session (idempotent — CREATE OR

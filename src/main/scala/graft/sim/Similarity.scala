@@ -291,7 +291,8 @@ object Similarity {
                          inA: Column, k: Int,
                          centroids: Array[Seq[Float]],
                          nprobe: Int = 4,
-                         shortlistK: Int = 16): DataFrame = {
+                         shortlistK: Int = 16,
+                         hierAssign: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(shortlistK >= k, "shortlistK must be >= k")
     val src = emb.filter(col(idCol).isNotNull &&
@@ -301,11 +302,11 @@ object Similarity {
     val b = src.filter(!inA)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val ab = ivfKnnJoin(a, b, "__id", "__v", shortlistK, centroids,
-        nprobe)
+        nprobe, hierAssign)
       .select(col("query_id").as("a_id"),
         col("neighbor_id").as("b_id"), col("cos_sim"))
     val ba = ivfKnnJoin(b, a, "__id", "__v", shortlistK, centroids,
-        nprobe)
+        nprobe, hierAssign)
       .select(col("neighbor_id").as("a_id"),
         col("query_id").as("b_id"), col("cos_sim"))
     // both directions score the SAME round-6 cosine, so the dedup agg

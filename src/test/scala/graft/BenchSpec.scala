@@ -23,7 +23,8 @@ class BenchSpec extends SparkSpec {
         Tables.load(s, d, "region")
           .filter(col("r_regionkey") >
             raise_error(lit("deliberately broken")).cast("int"))))
-    val res = Bench.runQueries(spark, dir, qs)
+    val res = SparkSpec.withExpectedTaskFailures(
+      Bench.runQueries(spark, dir, qs))
     val (okSec, okErr) = res("ok_query")
     assert(okSec >= 0.0 && okErr.isEmpty)
     val (badSec, badErr) = res("broken_query")
@@ -75,10 +76,11 @@ class BenchSpec extends SparkSpec {
     val pl = Bench.plateau(spark, dir,
       (s, d) => Tables.load(s, d, "region"), runs = 2)
     assert(pl > 0.0 && pl < 30.0, s"plateau=$pl")
-    val bad = Bench.plateau(spark, dir, (s, d) =>
-      Tables.load(s, d, "region")
-        .filter(col("r_regionkey") >
-          raise_error(lit("boom")).cast("int")), runs = 2)
+    val bad = SparkSpec.withExpectedTaskFailures(
+      Bench.plateau(spark, dir, (s, d) =>
+        Tables.load(s, d, "region")
+          .filter(col("r_regionkey") >
+            raise_error(lit("boom")).cast("int")), runs = 2))
     assert(bad == -1.0)
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.Catalog
+
+/** Structural invariants of the query board — the registries live in
+  * Map LITERALS and a separate sweep roster, none compiler-linked, so
+  * this spec is the only thing standing between a silently-shadowed
+  * duplicate key (later Map entry wins — r13's measured hazard) and a
+  * baffling verify-time column mismatch. */
+class CatalogSpec extends AnyFunSuite {
+
+  test("no duplicate keys in the queries or oracleSql Map literals " +
+    "(a duplicate silently SHADOWS the earlier entry at runtime)") {
+    val (qk, ok) = Catalog.sourceKeys()
+    def dups(s: Seq[String]) =
+      s.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups(qk).isEmpty, s"duplicate query keys: ${dups(qk)}")
+    assert(dups(ok).isEmpty, s"duplicate oracle keys: ${dups(ok)}")
+    // and the source-level extraction agrees with the runtime Maps —
+    // if this fails the regex drifted from the file's layout
+    assert(qk.toSet == SparkEntry.queries.keySet,
+      "source-extracted query keys != runtime Map keys " +
+        s"(only-in-source: ${qk.toSet -- SparkEntry.queries.keySet}; " +
+        s"only-in-map: ${SparkEntry.queries.keySet -- qk.toSet})")
+    assert(ok.toSet == SparkEntry.oracleSql.keySet,
+      "source-extracted oracle keys != runtime Map keys")
+  }
+
+  test("every query has an oracle and every oracle has a query " +
+    "(the correctness gate covers the whole board, no orphans)") {
+    val (qk, ok) = Catalog.sourceKeys()
+    assert(qk.toSet == ok.toSet,
+      s"queries without oracle: ${qk.toSet -- ok.toSet}; " +
+        s"oracles without query: ${ok.toSet -- qk.toSet}")
+  }
+
+  test("every roster sweep name resolves: exact query, query variant " +
+    "'name(...)', or a non-query op (never a stale renamed query)") {
+    val (qk, _) = Catalog.sourceKeys()
+    val roster = Catalog.rosterKeys()
+    // roster entries that LOOK like query names (lowercase ids) must
+    // exist as queries — a rename that orphans a roster row fails here
+    val queryLike = roster.filter(_.matches("[a-z][a-z0-9_]*"))
+      .filterNot(n => qk.contains(n))
+    // non-query ops the roster measures directly (index builds), plus
+    // deliberately-kept negative controls (the r12 j19 nation-only
+    // blocking key, retired from the query but kept in the sweep as
+    // the measured anti-pattern row)
+    val auxiliary =
+      Set("buildIvfIndex", "lshIndexBuild", "j19_nation_coarse_key")
+    assert(queryLike.forall(n =>
+        auxiliary.contains(n) || qk.exists(q => n.startsWith(q))),
+      s"roster names that match no query and no known aux op: " +
+        s"${queryLike.filterNot(auxiliary.contains)}")
+  }
+
+  test(s"every batch query >= ${Catalog.heavySeconds}s in the last " +
+    "full bench carries a sweep row (streaming-floor queries are " +
+    "measured by the state sweeps; anything else needs a documented " +
+    "exemption in Catalog.sweepExempt)") {
+    val (qk, _) = Catalog.sourceKeys()
+    val roster = Catalog.rosterKeys()
+    val bench = Catalog.benchSeconds()
+    val offenders = qk.filter { q =>
+      bench.getOrElse(q, 0.0) >= Catalog.heavySeconds &&
+        !Catalog.swept(q, roster) && !Catalog.streamingFloor(q) &&
+        !Catalog.sweepExempt.contains(q)
+    }
+    assert(offenders.isEmpty,
+      s"heavy queries with no sweep row and no exemption: " +
+        offenders.map(q => s"$q (${bench(q)}s)").mkString(", "))
+  }
+
+  test("CATALOG.md is fresh (regenerate: sbt 'runMain " +
+    "graft.tools.Catalog')") {
+    val onDisk = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("CATALOG.md"))
+    assert(onDisk == Catalog.render(),
+      "CATALOG.md is STALE — regenerate with graft.tools.Catalog")
+  }
+}

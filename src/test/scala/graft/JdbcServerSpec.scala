@@ -12,6 +12,12 @@ class JdbcServerSpec extends SparkSpec {
     // keep derby/metastore scratch out of the repo tree
     System.setProperty("derby.system.home",
       java.nio.file.Files.createTempDirectory("graft_derby").toString)
+    // Hive metastore init PROBES the in-memory Derby db (create →
+    // "already exists" → retry) by design: ~1600 ERROR/stack-trace
+    // lines per run that carry zero signal and bury real failures.
+    // Silenced in src/test/resources/log4j2.properties — a classpath
+    // config reaches the ISOLATED Hive-client classloader's
+    // LoggerContext, which Configurator.setLevel from here cannot.
     val port = {
       val s = new java.net.ServerSocket(0)
       try s.getLocalPort.toString finally s.close()

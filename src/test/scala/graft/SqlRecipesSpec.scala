@@ -501,4 +501,25 @@ class SqlRecipesSpec extends SparkSpec {
       .collect().head
     assert(viaSql == viaDsl && viaSql._1 > 0, s"$viaSql $viaDsl")
   }
+
+  test("graft_blocked_dataset == the clif_blocked_dataset capstone " +
+    "(grid, single-pass LOCF, staleness, rolling, label, split)") {
+    ready()
+    // grid_ts compared as string: the SQL function signature declares
+    // TIMESTAMP (LTZ) while the DSL carries the source's NTZ — under
+    // the pinned UTC session the wall-clock text is identical
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("grid_ts").cast("string"),
+        col("last_value"), col("vital_value"), col("lab_value"),
+        col("roll_avg"), col("label"), col("split"))
+      .as[(Long, String, Option[Double], Option[Double],
+        Option[Double], Option[Double], Long, String)]
+      .collect().toSet
+    val viaSql = canon(spark.sql(
+      "SELECT * FROM graft_blocked_dataset(3600, 7200, 86400)"))
+    val viaDsl = canon(
+      SparkEntry.queries("clif_blocked_dataset")(spark, dir))
+    assert(viaSql == viaDsl && viaSql.nonEmpty,
+      s"sql=${viaSql.size} dsl=${viaDsl.size}")
+  }
 }

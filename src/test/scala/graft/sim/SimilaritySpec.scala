@@ -465,7 +465,8 @@ class SimilaritySpec extends SparkSpec {
     }.toDF("vec_id", "embedding", "label")
     val guarded = Similarity.thresholdPairsByLabel(skewed, "vec_id",
       "embedding", "label", threshold = 0.0, maxLabelRows = 50)
-    val e = intercept[Exception](guarded.count())
+    val e = SparkSpec.withExpectedTaskFailures(
+      intercept[Exception](guarded.count()))
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("maxLabelRows")), e.toString)

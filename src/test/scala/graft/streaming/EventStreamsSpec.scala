@@ -358,8 +358,10 @@ class EventStreamsSpec extends SparkSpec {
       ms2.addData((1L, 1L, ts("2024-01-01 00:10:00"), 1.0))
       q2.processAllAvailable()
       ms2.addData((2L, 1L, ts("2024-01-01 00:05:00"), 2.0))
-      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q2.processAllAvailable()
+      val ex = graft.SparkSpec.withExpectedTaskFailures {
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
       }
       assert(ex.getMessage.contains("ewmaStream") ||
         Option(ex.getCause).exists(_.toString.contains("ewmaStream")),
@@ -1240,14 +1242,20 @@ class EventStreamsSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     // run 1: kill after at least one committed batch (wherever the
-    // stop lands, the sink's commit log keeps only whole batches)
-    val q1 = start()
-    val deadline = System.currentTimeMillis() + 60000
-    while (q1.isActive && q1.recentProgress.length < 2 &&
-      System.currentTimeMillis() < deadline) Thread.sleep(100)
-    q1.stop(); q1.awaitTermination()
-    // run 2: same checkpoint — resumes from the last committed offset
-    val q2 = start(); q2.awaitTermination()
+    // stop lands, the sink's commit log keeps only whole batches);
+    // stopping MID-BATCH aborts tasks by design — silence those
+    // expected ERROR traces for this section only
+    graft.SparkSpec.withExpectedTaskFailures {
+      val q1 = start()
+      val deadline = System.currentTimeMillis() + 60000
+      while (q1.isActive && q1.recentProgress.length < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      q1.stop(); q1.awaitTermination()
+      // run 2 (same scope: the killed run's async broadcast/task
+      // cleanup can log its expected ERROR while run 2 starts):
+      // same checkpoint — resumes from the last committed offset
+      val q2 = start(); q2.awaitTermination()
+    }
     val out = EventStreams.drainTail(
         spark.read.parquet(s"$base/out"),
         col("click_id") < 0 || col("purchase_id") < 0)

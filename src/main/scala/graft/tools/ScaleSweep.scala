@@ -652,6 +652,10 @@ object ScaleSweep {
       // one partial+final hash agg of exact decimal moments
       "a16_corr" -> (d =>
         SparkEntry.queries("a16_corr")(spark, d).count()),
+      // SCD2 history build over orders: key-hash join + per-key
+      // window, linear in the staged order count
+      "s14_scd2" -> (d =>
+        SparkEntry.queries("s14_scd2")(spark, d).count()),
       // the psi plan: broadcast percentile row + two narrow passes
       "a68_hellinger" -> (d =>
         SparkEntry.queries("a68_hellinger")(spark, d).count()),

@@ -319,6 +319,52 @@ class PipelinesSpec extends SparkSpec {
     assert(e7.forall(r => r._7 == 1L && r._8 == "train"))
   }
 
+  test("blocked dataset runs on the REAL CLIF shape: vitals pipeline " +
+    "output feeds build() with C19_HAR_ID encounters, vital_name " +
+    "channels, and a vitals-derived outcome — the reference README's " +
+    "artifact end to end, raw extract to feature matrix") {
+    // raw flowsheet extract -> Pipelines.vitals (vocab join, BP split,
+    // epoch normalize) -> the capstone assembler
+    val raw = Seq(
+      (1L, 10L, T0, "BLOOD PRESSURE", "120/80", "arm"),
+      (1L, 10L, T0 + 1800, "PULSE", "72", null),
+      (1L, 10L, T0 + 5400, "BLOOD PRESSURE", "85/60", "arm"),
+      (1L, 10L, T0 + 7200, "PULSE", "80", null),
+      (2L, 20L, T0, "PULSE", "60", null)
+    ).toDF("C19_PATIENT_ID", "C19_HAR_ID", "recorded_time",
+      "flo_meas_name", "meas_value", "meas_site_name")
+    val vitals = Pipelines.vitals(raw, Vocabularies.vitalsVocab(spark))
+      .withColumn("v", col("vital_value").cast("double"))
+    val out = BlockedDataset.build(vitals,
+      encCol = "C19_HAR_ID", tsCol = "recorded_time",
+      channelCol = "vital_name", valueCol = "v",
+      tiebreak = "vital_value",
+      channels = Seq(
+        BlockedDataset.Channel("sbp", "sbp", 7200L),
+        BlockedDataset.Channel("pulse", "pulse", 7200L)),
+      stepSeconds = 3600L,
+      // hypotensive-ever as the encounter outcome stand-in
+      outcome = col("vital_name") === "sbp" && col("v") < 90,
+      rollRows = 2, trainPct = 80, valPct = 10)
+    val got = out.select(col("C19_HAR_ID"), col("sbp"), col("pulse"),
+        col("label"), col("grid_ts").cast("long").as("gt"))
+      .as[(Long, Option[Double], Option[Double], Long, Long)]
+      .collect().sortBy(r => (r._1, r._5)).toList
+      .map(r => (r._1, r._2, r._3, r._4))
+    // encounter 10: T0 is 22:13:20 UTC, so the grid is 22:00 (before
+    // any reading — all null), 23:00 (BP 120/80 + pulse 72 carried),
+    // 00:00 (the 23:43 hypotensive 85/60 carried; pulse still 72);
+    // the sbp<90 reading labels EVERY hour of the encounter
+    val e10 = got.filter(_._1 == 10L)
+    assert(e10.map(_._2) == List(None, Some(120.0), Some(85.0)),
+      got.toString)
+    assert(e10.map(_._3) == List(None, Some(72.0), Some(72.0)))
+    assert(e10.forall(_._4 == 1L))
+    // encounter 20: pulse only, never hypotensive -> label 0
+    val e20 = got.filter(_._1 == 20L)
+    assert(e20.nonEmpty && e20.forall(r => r._4 == 0L && r._2.isEmpty))
+  }
+
   test("medicationOrders: 5-key join resolves duplicate end column") {
     val orders = Seq(
       (1L, 10L, 7L, T0, T0 + 99L, "DRUG X", "DAILY", "5", "mg")

@@ -3289,6 +3289,40 @@ object SparkEntry {
         outcome = col("event_type") === "error", rollRows = 4,
         trainPct = 80, valPct = 10)),
 
+    // ---- CAPSTONE part 2: "…to develop a model to predict the
+    // probability of death" (README.md:2) — logistic regression
+    // trained ON the blocked dataset by exact micro-unit unrolled
+    // gradient ascent (3 steps from zero, one scan per step; σ is
+    // the only float touch, round-6). Features per encounter: vital
+    // coverage, lab coverage, normalized length-of-stay; outcome =
+    // any severe error (value > 150) — ~50% prevalence; split
+    // leakage-safe by encounter hash. Accuracy at the 0.5 threshold
+    // is the EXACT integer sign test on z_pico. ----
+    "clif_mortality_model" -> ((s, dir) => {
+      val bd = graft.clif.BlockedDataset.build(t(s, dir, "events"),
+        encCol = "user_id", tsCol = "ts", channelCol = "event_type",
+        valueCol = "value", tiebreak = "event_id",
+        channels = Seq(
+          graft.clif.BlockedDataset.Channel("click", "vital_value",
+            toleranceSeconds = 7200L),
+          graft.clif.BlockedDataset.Channel("purchase", "lab_value",
+            toleranceSeconds = 86400L)),
+        stepSeconds = 3600L,
+        outcome = col("event_type") === "error" && col("value") > 150,
+        rollRows = 4, trainPct = 80, valPct = 10)
+      val feats = bd.groupBy(col("user_id")).agg(
+        max(col("label")).as("y"),
+        min(col("split")).as("split"), // constant per encounter
+        avg(when(col("vital_value").isNotNull, 1.0).otherwise(0.0))
+          .as("f_vital"),
+        avg(when(col("lab_value").isNotNull, 1.0).otherwise(0.0))
+          .as("f_lab"),
+        (count(lit(1)).cast("double") /
+          (count(lit(1)) + lit(24L)).cast("double")).as("f_len"))
+      ops.Analytics.logisticModelReport(feats,
+        Seq("f_vital", "f_lab", "f_len"), "y", "split", iters = 3)
+    }),
+
     // ---- A71: McNemar's paired test — two purchase-prediction
     // rules (total value > 50 vs event count > 10) scored on the
     // SAME users; only the discordant users carry information. ----
@@ -12718,6 +12752,214 @@ v$r AS MATERIALIZED (
         |         % 2147483647 % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r JOIN lab USING (user_id)""".stripMargin,
+
+    // the whole training loop replayed: the capstone grid + channel
+    // CTEs, per-encounter micro-unit features, then THREE unrolled
+    // gradient-ascent steps (sigma the only float, round-6; gradient
+    // division by the sign-explicit half-away integer pattern; beta
+    // updates exact integer adds) and the exact z>=0 sign-test
+    // accuracies
+    "clif_mortality_model" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+        |    MAX(ts) AS t1
+        |  FROM e GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(t0, t1, INTERVAL 3600 SECOND))
+        |      AS grid_ts
+        |  FROM b),
+        |vit AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |v AS (
+        |  SELECT g.user_id, g.grid_ts,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(g.grid_ts)) - floor(epoch(w.ts)) > 7200
+        |      THEN NULL ELSE w.value END AS vital_value
+        |  FROM grid g ASOF LEFT JOIN vit w
+        |    ON g.user_id = w.user_id AND g.grid_ts >= w.ts),
+        |lb AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |l AS (
+        |  SELECT v.user_id, v.grid_ts, v.vital_value,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(v.grid_ts)) - floor(epoch(w.ts)) > 86400
+        |      THEN NULL ELSE w.value END AS lab_value
+        |  FROM v ASOF LEFT JOIN lb w
+        |    ON v.user_id = w.user_id AND v.grid_ts >= w.ts),
+        |lbl AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'error' AND value > 150
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |feats AS MATERIALIZED (
+        |  SELECT f.user_id, lbl.y,
+        |    CASE WHEN ((f.user_id % 2147483647) * 2654435761)
+        |           % 2147483647 % 100 < 80 THEN 'train'
+        |         WHEN ((f.user_id % 2147483647) * 2654435761)
+        |           % 2147483647 % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(CAST(ROUND(AVG(CASE WHEN f.vital_value IS NOT NULL
+        |        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xv,
+        |    CAST(CAST(ROUND(AVG(CASE WHEN f.lab_value IS NOT NULL
+        |        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xl,
+        |    CAST(CAST(ROUND(CAST(COUNT(*) AS DOUBLE) /
+        |        CAST(COUNT(*) + 24 AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xh
+        |  FROM l f JOIN lbl USING (user_id)
+        |  GROUP BY f.user_id, lbl.y),
+        |train AS MATERIALIZED (
+        |  SELECT * FROM feats WHERE split = 'train'),
+        |g1 AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(1000000 AS DECIMAL(38,0)) * r) AS s0,
+        |    SUM(CAST(xv AS DECIMAL(38,0)) * r) AS s1,
+        |    SUM(CAST(xl AS DECIMAL(38,0)) * r) AS s2,
+        |    SUM(CAST(xh AS DECIMAL(38,0)) * r) AS s3
+        |  FROM (
+        |    SELECT t.*, t.y * 1000000 -
+        |      CAST(CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |        + EXP(-(CAST(0 AS DOUBLE) / 1000000000000.0))), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS r
+        |    FROM train t) z),
+        |b1 AS (
+        |  SELECT n,
+        |    CASE WHEN s0 >= 0
+        |      THEN (2*CAST(s0 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s0 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)) END AS bi,
+        |    CASE WHEN s1 >= 0
+        |      THEN (2*CAST(s1 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s1 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)) END AS bv,
+        |    CASE WHEN s2 >= 0
+        |      THEN (2*CAST(s2 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s2 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)) END AS bl,
+        |    CASE WHEN s3 >= 0
+        |      THEN (2*CAST(s3 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s3 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)) END AS bh
+        |  FROM g1),
+        |g2 AS (
+        |  SELECT b.n,
+        |    SUM(CAST(1000000 AS DECIMAL(38,0)) * r) AS s0,
+        |    SUM(CAST(xv AS DECIMAL(38,0)) * r) AS s1,
+        |    SUM(CAST(xl AS DECIMAL(38,0)) * r) AS s2,
+        |    SUM(CAST(xh AS DECIMAL(38,0)) * r) AS s3
+        |  FROM (
+        |    SELECT t.y, t.xv, t.xl, t.xh, b.n, t.y * 1000000 -
+        |      CAST(CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |        + EXP(-(CAST(b.bi*1000000 + b.bv*t.xv + b.bl*t.xl
+        |          + b.bh*t.xh AS DOUBLE) / 1000000000000.0))), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS r
+        |    FROM train t, b1 b) b
+        |  GROUP BY b.n),
+        |b2 AS (
+        |  SELECT g.n,
+        |    b.bi + CASE WHEN s0 >= 0
+        |      THEN (2*CAST(s0 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s0 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bi,
+        |    b.bv + CASE WHEN s1 >= 0
+        |      THEN (2*CAST(s1 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s1 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bv,
+        |    b.bl + CASE WHEN s2 >= 0
+        |      THEN (2*CAST(s2 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s2 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bl,
+        |    b.bh + CASE WHEN s3 >= 0
+        |      THEN (2*CAST(s3 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s3 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bh
+        |  FROM g2 g, b1 b),
+        |g3 AS (
+        |  SELECT b.n,
+        |    SUM(CAST(1000000 AS DECIMAL(38,0)) * r) AS s0,
+        |    SUM(CAST(xv AS DECIMAL(38,0)) * r) AS s1,
+        |    SUM(CAST(xl AS DECIMAL(38,0)) * r) AS s2,
+        |    SUM(CAST(xh AS DECIMAL(38,0)) * r) AS s3
+        |  FROM (
+        |    SELECT t.y, t.xv, t.xl, t.xh, b.n, t.y * 1000000 -
+        |      CAST(CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |        + EXP(-(CAST(b.bi*1000000 + b.bv*t.xv + b.bl*t.xl
+        |          + b.bh*t.xh AS DOUBLE) / 1000000000000.0))), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS r
+        |    FROM train t, b2 b) b
+        |  GROUP BY b.n),
+        |b3 AS (
+        |  SELECT
+        |    b.bi + CASE WHEN s0 >= 0
+        |      THEN (2*CAST(s0 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s0 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bi,
+        |    b.bv + CASE WHEN s1 >= 0
+        |      THEN (2*CAST(s1 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s1 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bv,
+        |    b.bl + CASE WHEN s2 >= 0
+        |      THEN (2*CAST(s2 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s2 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bl,
+        |    b.bh + CASE WHEN s3 >= 0
+        |      THEN (2*CAST(s3 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s3 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bh
+        |  FROM g3 g, b2 b),
+        |ev AS (
+        |  SELECT f.split,
+        |    CASE WHEN (CASE WHEN b.bi*1000000 + b.bv*f.xv + b.bl*f.xl
+        |        + b.bh*f.xh >= 0 THEN 1 ELSE 0 END) = f.y
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM feats f, b3 b)
+        |SELECT
+        |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_test,
+        |  CAST(b.bi AS BIGINT) AS b_intercept_micros,
+        |  CAST(b.bv AS BIGINT) AS b_f_vital_micros,
+        |  CAST(b.bl AS BIGINT) AS b_f_lab_micros,
+        |  CAST(b.bh AS BIGINT) AS b_f_len_micros,
+        |  ROUND(CAST(SUM(CASE WHEN split = 'train' AND ok = 1
+        |      THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |      AS DOUBLE), 6) AS train_acc,
+        |  ROUND(CAST(SUM(CASE WHEN split = 'test' AND ok = 1
+        |      THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |      AS DOUBLE), 6) AS test_acc
+        |FROM ev, b3 b
+        |GROUP BY b.bi, b.bv, b.bl, b.bh""".stripMargin,
 
     // the Aalen–Johansen recursion replayed: all-cause KM state S
     // and both CIF prefix sums carried through one RECURSIVE walk of

@@ -1233,4 +1233,170 @@ object Analytics {
           round(col("__mass18").cast("double") / lit(1e18), 6))
           .as("transported_mass"))
   }
+
+  /** The micro-unit linear score of a logistic model: z in PICO units
+    * (micro-β × micro-x) as an exact integer column — b₀·10⁶ +
+    * Σ βμ_j·xμ_j over micro-unit feature columns. Classification at
+    * the 0.5 probability threshold is the EXACT integer comparison
+    * z_pico ≥ 0 (σ(z) ≥ ½ ⟺ z ≥ 0), so model evaluation never
+    * touches a float. With |βμ| ≤ iters·10⁶ and |xμ| ≤ 10⁶, z_pico ≤
+    * (d+1)·iters·10¹² — long-safe for any sane d·iters. */
+  def logisticScorePico(betaMicros: Seq[Long],
+                        microFeatCols: Seq[String]): Column = {
+    require(betaMicros.length == microFeatCols.length + 1,
+      "need one beta per feature plus the intercept (first)")
+    microFeatCols.zip(betaMicros.tail)
+      .map { case (c, b) => col(c) * lit(b) }
+      .foldLeft(lit(betaMicros.head * 1000000L): Column)(_ + _)
+  }
+
+  /** Deterministic LOGISTIC-REGRESSION training by unrolled gradient
+    * ascent in exact micro-unit integers — the model half of the
+    * reference README's promise ("a blocked dataset to develop a
+    * model to predict the probability of death",
+    * `/root/reference/README.md:2`): [[graft.clif.BlockedDataset]]
+    * builds the matrix, this fits the predictor, and the WHOLE
+    * training loop is a replayable relational computation (the
+    * unrolled-rounds PCA/Sinkhorn discipline), not a black-box
+    * solver.
+    *
+    * One ascent step (learning rate 1, per-example-averaged): βμ_j ←
+    * βμ_j + round_half_away(Σ_i xμ_ij·(yμ_i − σμ_i) / (n·10⁶)).
+    * EVERY state is an exact integer: features enter as round-6
+    * micro-units (decimal multiply, never a double×10⁶ truncation),
+    * σμ_i = round-6(1/(1+e^(−z_pico/10¹²)))·10⁶ is the iteration's
+    * ONLY float touch (z_pico < 2⁵³ so the int→double conversion is
+    * exact; ln/exp libm parity is the board's a59-sinkhorn
+    * precedent), residuals and gradient sums are exact
+    * decimal(38,0), the gradient division uses the holtSeasonal
+    * sign-explicit half-away integer division, and the β update is
+    * an exact long add. Two engines replaying this walk agree
+    * BIT-FOR-BIT — the property that lets `clif_mortality_model`
+    * carry a full DuckDB oracle.
+    *
+    * Scale shape: per iteration ONE scan of the feature frame into a
+    * (d+1)-sum hash agg (map-side combined); β rides back as
+    * literals (d+1 scalars on the driver — the PCA basis-collect
+    * pattern). iters × one pass, nothing quadratic, no shuffle
+    * beyond the agg. Cache the feature frame upstream if it is
+    * expensive to recompute.
+    *
+    * @param feats    one row per training example
+    * @param featCols numeric feature columns, ideally bounded O(1)
+    *                 magnitudes (ratios, normalized counts) — GD with
+    *                 unit learning rate assumes feature scales near 1
+    * @param labelCol 0/1 integer label
+    * @param iters    unrolled ascent steps from β = 0
+    * @return betaMicros, length featCols+1: intercept first, then one
+    *         per feature in `featCols` order */
+  def logisticGdMicros(feats: DataFrame, featCols: Seq[String],
+                       labelCol: String, iters: Int): Array[Long] = {
+    require(iters >= 1 && iters <= 64, "iters must be in [1, 64]")
+    require(featCols.nonEmpty, "need at least one feature")
+    val dec38 = "decimal(38,0)"
+    def r6m(c: Column): Column =
+      (round(c.cast("double"), 6).cast("decimal(18,6)") *
+        lit(1000000L)).cast("long")
+    // the micro frame is example-sized (tiny next to whatever built
+    // the features) and is scanned once per iteration — cut its
+    // lineage so the upstream pipeline runs ONCE, not iters times
+    // (the sinkhorn/PCA localCheckpoint discipline)
+    val micro = feats.select(
+      (col(labelCol).cast("long") * 1000000L).as("__ym") +:
+        featCols.zipWithIndex.map { case (c, j) =>
+          r6m(col(c)).as(s"__x$j")
+        }: _*)
+      .localCheckpoint()
+    gdLoop(micro, featCols.length, iters)
+  }
+
+  /** The ascent loop over an already-micro frame (`__ym`, `__x0`…):
+    * one (d+1)-sum hash-agg scan per iteration. */
+  private def gdLoop(micro: DataFrame, nFeats: Int,
+                     iters: Int): Array[Long] = {
+    val dec38 = "decimal(38,0)"
+    val xCols = "__one" +: (0 until nFeats).map(j => s"__x$j")
+    val beta = Array.fill(nFeats + 1)(0L)
+    var it = 0
+    while (it < iters) {
+      val z = logisticScorePico(beta.toSeq,
+        (0 until nFeats).map(j => s"__x$j"))
+      val sigmaMu = (round(
+        lit(1.0) / (lit(1.0) + exp(-(z.cast("double") / lit(1e12)))),
+        6).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+      val withR = micro
+        .withColumn("__one", lit(1000000L))
+        .withColumn("__r", col("__ym") - sigmaMu)
+      val sums = withR.agg(count(lit(1)).as("__n"),
+        xCols.map(c =>
+          sum(col(c).cast(dec38) * col("__r")).as(s"__s_$c")): _*)
+        .collect().head
+      val n = sums.getAs[Long]("__n")
+      require(n > 0, "empty training frame")
+      val d = java.math.BigDecimal.valueOf(n)
+        .multiply(java.math.BigDecimal.valueOf(1000000L))
+      xCols.zipWithIndex.foreach { case (c, j) =>
+        val s = sums.getAs[java.math.BigDecimal](s"__s_$c")
+          .toBigInteger
+        // sign-explicit half-away integer division (the holtSeasonal
+        // pattern): round(s/d) with both engines truncating alike
+        val two = java.math.BigInteger.TWO
+        val dd = d.toBigInteger
+        val g = s.abs.multiply(two).add(dd)
+          .divide(dd.multiply(two))
+        beta(j) += (if (s.signum < 0) -g.longValueExact()
+                    else g.longValueExact())
+      }
+      it += 1
+    }
+    beta
+  }
+
+  /** Train-and-report wrapper over [[logisticGdMicros]]: trains on
+    * the `splitCol == 'train'` slice, reports the exact micro-unit
+    * coefficients plus train/test accuracy at the 0.5 threshold —
+    * which is the EXACT integer sign test on z_pico, so the two
+    * accuracies are float-free (their final ratios round once).
+    *
+    * @return one row: n_train, n_test, b_intercept_micros,
+    *         b_<feat>_micros per feature, train_acc, test_acc */
+  def logisticModelReport(feats: DataFrame, featCols: Seq[String],
+                          labelCol: String, splitCol: String,
+                          iters: Int): DataFrame = {
+    def r6m(c: Column): Column =
+      (round(c.cast("double"), 6).cast("decimal(18,6)") *
+        lit(1000000L)).cast("long")
+    // build the micro features ONCE (checkpointed, example-sized);
+    // the train slice feeds the ascent loop, the whole frame scores
+    val micro = feats.select(
+      col(splitCol).as("__split") +:
+        col(labelCol).cast("long").as("__y") +:
+        featCols.zipWithIndex.map { case (c, j) =>
+          r6m(col(c)).as(s"__x$j")
+        }: _*)
+      .localCheckpoint()
+    val beta = gdLoop(
+      micro.filter(col("__split") === "train")
+        .withColumn("__ym", col("__y") * 1000000L),
+      featCols.length, iters)
+    val z = logisticScorePico(beta.toSeq,
+      featCols.indices.map(j => s"__x$j"))
+    val correct = ((z >= 0) === (col("__y") === 1L))
+    def acc(split: String) = Seq(
+      sum(when(col("__split") === split && correct, 1L)
+        .otherwise(0L)).as(s"__c_$split"),
+      sum(when(col("__split") === split, 1L).otherwise(0L))
+        .as(s"__n_$split"))
+    val accs = acc("train") ++ acc("test")
+    val agg = micro.agg(accs.head, accs.tail: _*)
+    val betaCols = ("intercept" +: featCols).zip(beta).map {
+      case (name, b) => lit(b).as(s"b_${name}_micros")
+    }
+    agg.select(col("__n_train").as("n_train") +:
+      col("__n_test").as("n_test") +: betaCols :+
+      round(col("__c_train").cast("double") /
+        col("__n_train").cast("double"), 6).as("train_acc") :+
+      round(col("__c_test").cast("double") /
+        col("__n_test").cast("double"), 6).as("test_acc"): _*)
+  }
 }

@@ -656,6 +656,12 @@ object ScaleSweep {
       // window, linear in the staged order count
       "s14_scd2" -> (d =>
         SparkEntry.queries("s14_scd2")(spark, d).count()),
+      // capstone part 2: the blocked-dataset grid + per-encounter
+      // feature agg + 3 unrolled GD scans (one (d+1)-sum hash agg
+      // each) + the exact sign-test eval — iters x one pass, linear
+      // in the staged encounter count
+      "clif_mortality_model" -> (d =>
+        SparkEntry.queries("clif_mortality_model")(spark, d).count()),
       // the psi plan: broadcast percentile row + two narrow passes
       "a68_hellinger" -> (d =>
         SparkEntry.queries("a68_hellinger")(spark, d).count()),

@@ -697,4 +697,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.pettittTest(
       Seq((1L, 5.0)).toDF("i", "x"), "i", "x").count() == 0)
   }
+
+  test("logisticGdMicros: hand-replayed ascent steps in exact micro " +
+    "units; balanced data has zero gradient; negative residuals " +
+    "round half-AWAY; the report's accuracy is the exact sign test") {
+    // one row (x=1, y=1), 2 steps from zero:
+    //   it1: z=0, sigma=.5, r=500000 -> g=500000 for both coords
+    //   it2: z_pico=1e12, sigma=round6(1/(1+e^-1))=.731059,
+    //        r=268941 -> beta=[768941, 768941]
+    val one = Seq((1.0, 1L)).toDF("x", "y")
+    assert(Analytics.logisticGdMicros(one, Seq("x"), "y", 1).toSeq ==
+      Seq(500000L, 500000L))
+    assert(Analytics.logisticGdMicros(one, Seq("x"), "y", 2).toSeq ==
+      Seq(768941L, 768941L))
+    // y=0 flips the residual sign: half-away rounding must mirror
+    val zero = Seq((1.0, 0L)).toDF("x", "y")
+    assert(Analytics.logisticGdMicros(zero, Seq("x"), "y", 1).toSeq ==
+      Seq(-500000L, -500000L))
+    // perfectly balanced rows: residuals cancel, beta never moves
+    val bal = Seq((1.0, 1L), (1.0, 0L)).toDF("x", "y")
+    assert(Analytics.logisticGdMicros(bal, Seq("x"), "y", 5).toSeq ==
+      Seq(0L, 0L))
+    // report: train on the single positive; test rows score
+    // z_pico > 0 -> predict 1 -> y=1 right, y=0 wrong -> acc 0.5
+    val frame = Seq((1.0, 1L, "train"), (1.0, 1L, "test"),
+      (1.0, 0L, "test")).toDF("x", "y", "split")
+    val rep = Analytics.logisticModelReport(frame, Seq("x"), "y",
+        "split", iters = 2)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    assert(rep == ((1L, 2L, 768941L, 768941L, 1.0, 0.5)),
+      rep.toString)
+  }
 }

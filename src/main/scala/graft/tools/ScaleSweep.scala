@@ -662,6 +662,19 @@ object ScaleSweep {
       // in the staged encounter count
       "clif_mortality_model" -> (d =>
         SparkEntry.queries("clif_mortality_model")(spark, d).count()),
+      // personalized PageRank over the customer->supplier purchase
+      // graph: replicas add DISJOINT graph components (key offsets
+      // consistent across customer/orders/lineitem), so the unrolled
+      // rounds stay edge-linear
+      "g_ppr" -> (d =>
+        SparkEntry.queries("g_ppr")(spark, d).count()),
+      // one assignment pass + label-majority agg on cluster cells
+      "e_cluster_purity" -> (d =>
+        SparkEntry.queries("e_cluster_purity")(spark, d).count()),
+      // residual IVFADC: coarse cells + per-cell residual PQ codes;
+      // probe scores codes only
+      "e_ivfpq_residual" -> (d =>
+        SparkEntry.queries("e_ivfpq_residual")(spark, d).count()),
       // the psi plan: broadcast percentile row + two narrow passes
       "a68_hellinger" -> (d =>
         SparkEntry.queries("a68_hellinger")(spark, d).count()),

@@ -218,7 +218,7 @@ object ScaleSweep {
       // FIXED base batch vs the DIR'S index: the incremental-dedup
       // claim under test is "a daily batch's probe cost grows
       // sub-linearly in the corpus behind the index"
-      "lshIndexProbe(fixed batch)" -> { d =>
+      "t_lsh_index_probe(fixed batch)" -> { d =>
         graft.text.LshIndex.probe(
           Tables.load(spark, base, "documents")
             .filter(pmod(col("doc_id"), lit(2)) === 1),
@@ -675,6 +675,14 @@ object ScaleSweep {
       // probe scores codes only
       "e_ivfpq_residual" -> (d =>
         SparkEntry.queries("e_ivfpq_residual")(spark, d).count()),
+      // CC over Fellegi-Sunter matched pairs: pointer-jumping rounds,
+      // linear in the blocked pair volume
+      "j17_entity_clusters" -> (d =>
+        SparkEntry.queries("j17_entity_clusters")(spark, d).count()),
+      // cluster-then-pick-canonical: rides t_dedup_clusters' staged
+      // pair volume (30x ceiling, the pairVolumeOps caveat)
+      "t_dedup_keep_best" -> (d =>
+        SparkEntry.queries("t_dedup_keep_best")(spark, d).count()),
       // the psi plan: broadcast percentile row + two narrow passes
       "a68_hellinger" -> (d =>
         SparkEntry.queries("a68_hellinger")(spark, d).count()),
@@ -858,6 +866,7 @@ object ScaleSweep {
     // driven remain meaningful.
     val pairVolumeOps =
       Set("t_jaccard_join", "t_dedup_clusters", "t_decontaminate_bloom",
+        "t_dedup_keep_best",
         // nearDuplicates-fed: its triplet count rides the staged pair
         // volume (measured 325x pairs at 100x for 100x data)
         "t_contrastive_triplets")

@@ -66,6 +66,51 @@ object Catalog {
     re.findAllMatchIn(src).map(_.group(1)).toSeq
   }
 
+  /** Implementing module per query, derived from each entry's source
+    * segment (the text between its key and the next entry's key):
+    * the first operator-library reference wins; a query built purely
+    * from the DataFrame API reads "inline". */
+  def modules(src: String = readFile(entrySrc)): Map[String, String] = {
+    val iq = src.indexOf("def queries")
+    val io = src.indexOf("def oracleSql")
+    val block = src.substring(iq, io)
+    val entryRe = """(?m)^    "([a-z0-9_]+)" ->""".r
+    val hits = entryRe.findAllMatchIn(block).toSeq
+    val libs = Seq(
+      "BlockedDataset" -> "clif.BlockedDataset",
+      "ClifEtl" -> "clif.ClifEtl",
+      "EventStreams" -> "streaming.EventStreams",
+      "Multimodal" -> "media.Multimodal",
+      "Similarity" -> "sim.Similarity",
+      "LshIndex" -> "text.LshIndex",
+      "Dedup." -> "text.Dedup",
+      "TextOps" -> "text.TextOps",
+      "Linkage" -> "ops.Linkage",
+      "Graphs" -> "ops.Graphs",
+      "Sketches" -> "ops.Sketches",
+      "WindowOps" -> "ops.WindowOps",
+      "Analytics" -> "ops.Analytics",
+      "Quality" -> "ops.Quality",
+      "Reshape" -> "ops.Reshape",
+      "Scalars" -> "ops.Scalars",
+      "Joins" -> "ops.Joins",
+      "Merge" -> "ops.Merge",
+      "Scale." -> "ops.Scale",
+      "Prefix" -> "ops.Prefix",
+      "UriSource" -> "sources.UriSource",
+      "XlsxSource" -> "sources.XlsxSource",
+      "FixedWidth" -> "sources.FixedWidth")
+    hits.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < hits.length) hits(i + 1).start
+                else block.length
+      val seg = block.substring(m.start, end)
+      val mod = libs.collectFirst {
+        case (needle, name) if seg.contains(needle) => name
+      }.getOrElse("inline")
+      m.group(1) -> mod
+    }.toMap
+  }
+
   /** A query has a sweep row if any roster entry names it — exact or
     * as a parenthesized variant (`semDedup(nlist∝n)` covers nothing;
     * `name` or `name(...)` covers `name`). */
@@ -90,6 +135,7 @@ object Catalog {
     val (qk, ok) = sourceKeys()
     val roster = rosterKeys()
     val bench = benchSeconds()
+    val mods = modules()
     val sb = new StringBuilder
     sb ++= "# CATALOG — generated operator board "
     sb ++= "(runMain graft.tools.Catalog)\n\n"
@@ -97,8 +143,9 @@ object Catalog {
       "CatalogSpec (duplicate keys, query/oracle set equality, " +
       s"sweep rows for batch queries ≥ ${heavySeconds}s, staleness " +
       "of this file).\n\n"
-    sb ++= "| query | oracle | sweep row | bench s (last full run) |\n"
-    sb ++= "|---|---|---|---|\n"
+    sb ++= "| query | module | oracle | sweep row | " +
+      "bench s (last full run) |\n"
+    sb ++= "|---|---|---|---|---|\n"
     qk.sorted.foreach { q =>
       val o = if (ok.contains(q)) "y" else "MISSING"
       val s =
@@ -106,7 +153,7 @@ object Catalog {
         else if (streamingFloor(q)) "state-sweep (streaming floor)"
         else sweepExempt.get(q).map(r => s"exempt: $r").getOrElse("-")
       val b = bench.get(q).map(v => f"$v%.2f").getOrElse("-")
-      sb ++= s"| $q | $o | $s | $b |\n"
+      sb ++= s"| $q | ${mods.getOrElse(q, "inline")} | $o | $s | $b |\n"
     }
     sb.result()
   }

@@ -3323,6 +3323,75 @@ object SparkEntry {
         Seq("f_vital", "f_lab", "f_len"), "y", "split", iters = 3)
     }),
 
+    // ---- CAPSTONE part 3: the PROBABILITY readout — the README
+    // promises "the probability of death", not a hard label, so
+    // risk-stratify the held-out encounters: train the same model,
+    // split test encounters into predicted-risk QUARTILES (bucket
+    // boundaries = percentile(pmu, .25/.5/.75) — Spark percentile ==
+    // DuckDB quantile_cont EXACTLY, the a29/a68 precedent; the
+    // boundary frame is one broadcast row, never a global sort), and
+    // report each quartile's size, mean predicted risk, and OBSERVED
+    // outcome rate — the clinician's risk-stratification table. σ is
+    // the one float; counts and the observed numerator are exact
+    // integers, each output ratio rounds once. ----
+    "clif_model_calibration" -> ((s, dir) => {
+      val bd = graft.clif.BlockedDataset.build(t(s, dir, "events"),
+        encCol = "user_id", tsCol = "ts", channelCol = "event_type",
+        valueCol = "value", tiebreak = "event_id",
+        channels = Seq(
+          graft.clif.BlockedDataset.Channel("click", "vital_value",
+            toleranceSeconds = 7200L),
+          graft.clif.BlockedDataset.Channel("purchase", "lab_value",
+            toleranceSeconds = 86400L)),
+        stepSeconds = 3600L,
+        outcome = col("event_type") === "error" && col("value") > 150,
+        rollRows = 4, trainPct = 80, valPct = 10)
+      def r6m(c: org.apache.spark.sql.Column) =
+        (round(c, 6).cast("decimal(18,6)") * lit(1000000L))
+          .cast("long")
+      val feats = bd.groupBy(col("user_id")).agg(
+        max(col("label")).as("y"),
+        min(col("split")).as("split"),
+        avg(when(col("vital_value").isNotNull, 1.0).otherwise(0.0))
+          .as("f_vital"),
+        avg(when(col("lab_value").isNotNull, 1.0).otherwise(0.0))
+          .as("f_lab"),
+        (count(lit(1)).cast("double") /
+          (count(lit(1)) + lit(24L)).cast("double")).as("f_len"))
+        .localCheckpoint() // built once: trainer + readout share it
+      val fc = Seq("f_vital", "f_lab", "f_len")
+      val beta = ops.Analytics.logisticGdMicros(
+        feats.filter(col("split") === "train"), fc, "y", iters = 3)
+      val micro = feats.select(col("split") +: col("y") +:
+        fc.zipWithIndex.map { case (c, j) =>
+          r6m(col(c).cast("double")).as(s"__x$j")
+        }: _*)
+      val z = ops.Analytics.logisticScorePico(beta.toSeq,
+        fc.indices.map(j => s"__x$j"))
+      val sigmaMu = (round(lit(1.0) /
+          (lit(1.0) + exp(-(z.cast("double") / lit(1e12)))), 6)
+        .cast("decimal(18,6)") * lit(1000000L)).cast("long")
+      val scored = micro.filter(col("split") === "test")
+        .select(col("y"), sigmaMu.as("__pm"))
+      val bounds = scored.agg(
+        expr("percentile(__pm, 0.25)").as("__q1"),
+        expr("percentile(__pm, 0.5)").as("__q2"),
+        expr("percentile(__pm, 0.75)").as("__q3"))
+      scored.crossJoin(broadcast(bounds))
+        .withColumn("risk_quartile",
+          when(col("__pm") <= col("__q1"), 1)
+            .when(col("__pm") <= col("__q2"), 2)
+            .when(col("__pm") <= col("__q3"), 3)
+            .otherwise(4).cast("int"))
+        .groupBy(col("risk_quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("__pm")).cast("double") /
+            (count(lit(1)).cast("double") * lit(1000000.0)), 6)
+            .as("mean_pred"),
+          round(sum(col("y")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("observed_rate"))
+    }),
+
     // ---- A71: McNemar's paired test — two purchase-prediction
     // rules (total value > 50 vs event count > 10) scored on the
     // SAME users; only the discordant users carry information. ----
@@ -12960,6 +13029,210 @@ v$r AS MATERIALIZED (
         |      AS DOUBLE), 6) AS test_acc
         |FROM ev, b3 b
         |GROUP BY b.bi, b.bv, b.bl, b.bh""".stripMargin,
+
+    // capstone part 3 replayed: the same grid/feature/3-round GD
+    // walk to b3, then the risk-quartile readout — sigma per test
+    // encounter (the one float, round-6), quartile boundaries via
+    // quantile_cont (== Spark percentile exactly), exact count/sum
+    // ratios rounded once
+    "clif_model_calibration" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+        |    MAX(ts) AS t1
+        |  FROM e GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(t0, t1, INTERVAL 3600 SECOND))
+        |      AS grid_ts
+        |  FROM b),
+        |vit AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |v AS (
+        |  SELECT g.user_id, g.grid_ts,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(g.grid_ts)) - floor(epoch(w.ts)) > 7200
+        |      THEN NULL ELSE w.value END AS vital_value
+        |  FROM grid g ASOF LEFT JOIN vit w
+        |    ON g.user_id = w.user_id AND g.grid_ts >= w.ts),
+        |lb AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |l AS (
+        |  SELECT v.user_id, v.grid_ts, v.vital_value,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(v.grid_ts)) - floor(epoch(w.ts)) > 86400
+        |      THEN NULL ELSE w.value END AS lab_value
+        |  FROM v ASOF LEFT JOIN lb w
+        |    ON v.user_id = w.user_id AND v.grid_ts >= w.ts),
+        |lbl AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'error' AND value > 150
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |feats AS MATERIALIZED (
+        |  SELECT f.user_id, lbl.y,
+        |    CASE WHEN ((f.user_id % 2147483647) * 2654435761)
+        |           % 2147483647 % 100 < 80 THEN 'train'
+        |         WHEN ((f.user_id % 2147483647) * 2654435761)
+        |           % 2147483647 % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(CAST(ROUND(AVG(CASE WHEN f.vital_value IS NOT NULL
+        |        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xv,
+        |    CAST(CAST(ROUND(AVG(CASE WHEN f.lab_value IS NOT NULL
+        |        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xl,
+        |    CAST(CAST(ROUND(CAST(COUNT(*) AS DOUBLE) /
+        |        CAST(COUNT(*) + 24 AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xh
+        |  FROM l f JOIN lbl USING (user_id)
+        |  GROUP BY f.user_id, lbl.y),
+        |train AS MATERIALIZED (
+        |  SELECT * FROM feats WHERE split = 'train'),
+        |g1 AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(1000000 AS DECIMAL(38,0)) * r) AS s0,
+        |    SUM(CAST(xv AS DECIMAL(38,0)) * r) AS s1,
+        |    SUM(CAST(xl AS DECIMAL(38,0)) * r) AS s2,
+        |    SUM(CAST(xh AS DECIMAL(38,0)) * r) AS s3
+        |  FROM (
+        |    SELECT t.*, t.y * 1000000 -
+        |      CAST(CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |        + EXP(-(CAST(0 AS DOUBLE) / 1000000000000.0))), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS r
+        |    FROM train t) z),
+        |b1 AS (
+        |  SELECT n,
+        |    CASE WHEN s0 >= 0
+        |      THEN (2*CAST(s0 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s0 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)) END AS bi,
+        |    CASE WHEN s1 >= 0
+        |      THEN (2*CAST(s1 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s1 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)) END AS bv,
+        |    CASE WHEN s2 >= 0
+        |      THEN (2*CAST(s2 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s2 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)) END AS bl,
+        |    CASE WHEN s3 >= 0
+        |      THEN (2*CAST(s3 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s3 AS HUGEINT) + CAST(n AS HUGEINT)*1000000)
+        |        // (2*CAST(n AS HUGEINT)*1000000)) END AS bh
+        |  FROM g1),
+        |g2 AS (
+        |  SELECT b.n,
+        |    SUM(CAST(1000000 AS DECIMAL(38,0)) * r) AS s0,
+        |    SUM(CAST(xv AS DECIMAL(38,0)) * r) AS s1,
+        |    SUM(CAST(xl AS DECIMAL(38,0)) * r) AS s2,
+        |    SUM(CAST(xh AS DECIMAL(38,0)) * r) AS s3
+        |  FROM (
+        |    SELECT t.y, t.xv, t.xl, t.xh, b.n, t.y * 1000000 -
+        |      CAST(CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |        + EXP(-(CAST(b.bi*1000000 + b.bv*t.xv + b.bl*t.xl
+        |          + b.bh*t.xh AS DOUBLE) / 1000000000000.0))), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS r
+        |    FROM train t, b1 b) b
+        |  GROUP BY b.n),
+        |b2 AS (
+        |  SELECT g.n,
+        |    b.bi + CASE WHEN s0 >= 0
+        |      THEN (2*CAST(s0 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s0 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bi,
+        |    b.bv + CASE WHEN s1 >= 0
+        |      THEN (2*CAST(s1 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s1 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bv,
+        |    b.bl + CASE WHEN s2 >= 0
+        |      THEN (2*CAST(s2 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s2 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bl,
+        |    b.bh + CASE WHEN s3 >= 0
+        |      THEN (2*CAST(s3 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s3 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bh
+        |  FROM g2 g, b1 b),
+        |g3 AS (
+        |  SELECT b.n,
+        |    SUM(CAST(1000000 AS DECIMAL(38,0)) * r) AS s0,
+        |    SUM(CAST(xv AS DECIMAL(38,0)) * r) AS s1,
+        |    SUM(CAST(xl AS DECIMAL(38,0)) * r) AS s2,
+        |    SUM(CAST(xh AS DECIMAL(38,0)) * r) AS s3
+        |  FROM (
+        |    SELECT t.y, t.xv, t.xl, t.xh, b.n, t.y * 1000000 -
+        |      CAST(CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |        + EXP(-(CAST(b.bi*1000000 + b.bv*t.xv + b.bl*t.xl
+        |          + b.bh*t.xh AS DOUBLE) / 1000000000000.0))), 6)
+        |        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS r
+        |    FROM train t, b2 b) b
+        |  GROUP BY b.n),
+        |b3 AS (
+        |  SELECT
+        |    b.bi + CASE WHEN s0 >= 0
+        |      THEN (2*CAST(s0 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s0 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bi,
+        |    b.bv + CASE WHEN s1 >= 0
+        |      THEN (2*CAST(s1 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s1 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bv,
+        |    b.bl + CASE WHEN s2 >= 0
+        |      THEN (2*CAST(s2 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s2 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bl,
+        |    b.bh + CASE WHEN s3 >= 0
+        |      THEN (2*CAST(s3 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)
+        |      ELSE -((2*CAST(-s3 AS HUGEINT) + CAST(g.n AS HUGEINT)*1000000)
+        |        // (2*CAST(g.n AS HUGEINT)*1000000)) END AS bh
+        |  FROM g3 g, b2 b),
+        |pm AS MATERIALIZED (
+        |  SELECT f.y,
+        |    CAST(CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |      + EXP(-(CAST(b.bi*1000000 + b.bv*f.xv + b.bl*f.xl
+        |        + b.bh*f.xh AS DOUBLE) / 1000000000000.0))), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS pmu
+        |  FROM feats f, b3 b WHERE f.split = 'test'),
+        |bounds AS (
+        |  SELECT quantile_cont(pmu, 0.25) AS q1,
+        |    quantile_cont(pmu, 0.5) AS q2,
+        |    quantile_cont(pmu, 0.75) AS q3
+        |  FROM pm)
+        |SELECT CAST(CASE WHEN pmu <= q1 THEN 1
+        |    WHEN pmu <= q2 THEN 2
+        |    WHEN pmu <= q3 THEN 3 ELSE 4 END AS INT) AS risk_quartile,
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(pmu) AS DOUBLE) /
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(1000000 AS DOUBLE)), 6)
+        |    AS mean_pred,
+        |  ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS observed_rate
+        |FROM pm, bounds GROUP BY 1""".stripMargin,
 
     // the Aalen–Johansen recursion replayed: all-cause KM state S
     // and both CIF prefix sums carried through one RECURSIVE walk of

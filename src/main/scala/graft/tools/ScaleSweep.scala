@@ -662,6 +662,10 @@ object ScaleSweep {
       // in the staged encounter count
       "clif_mortality_model" -> (d =>
         SparkEntry.queries("clif_mortality_model")(spark, d).count()),
+      // capstone part 3: same walk + a 3-scalar percentile frame
+      // broadcast into the quartile bucketing - no global sort
+      "clif_model_calibration" -> (d =>
+        SparkEntry.queries("clif_model_calibration")(spark, d).count()),
       // personalized PageRank over the customer->supplier purchase
       // graph: replicas add DISJOINT graph components (key offsets
       // consistent across customer/orders/lineitem), so the unrolled

@@ -158,6 +158,19 @@ object Catalog {
     sb.result()
   }
 
+  /** The catalog with the VOLATILE bench column stripped — what the
+    * staleness gate compares. The driver reruns graft.Bench each
+    * round, which rewrites BENCH_FULL.json after the catalog was
+    * generated; per-query seconds therefore must not participate in
+    * the staleness byte-compare, or every post-bench `sbt test`
+    * would see a stale file. The structural columns (query, module,
+    * oracle, sweep) are the gate; the seconds are advisory. */
+  def stripBench(text: String): String =
+    text.linesIterator.map { l =>
+      if (l.startsWith("|")) l.replaceAll("""\|[^|]*\|\s*$""", "|")
+      else l
+    }.mkString("\n")
+
   def main(args: Array[String]): Unit = {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("CATALOG.md"), render())

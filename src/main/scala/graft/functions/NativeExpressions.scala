@@ -1260,7 +1260,16 @@ object NativeExpressions {
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     sqlFunctions.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      // single-owner registration (r14 verdict #3): a session built
+      // with GraftExtensions already carries every function via
+      // injectFunction — re-registering here logs a "replaced a
+      // previously registered function" warning per name on every
+      // session build. The extensions path owns registration when
+      // present; this is the fallback for plain sessions (Bench,
+      // driver-built mains) whose builder set no extensions.
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }
 }

@@ -136,8 +136,10 @@ object SparkEntry {
   /** Temp dir REGISTERED FOR CLEANUP at JVM exit (round-3 ADVICE:
     * per-invocation checkpoint/staging dirs accumulated with no
     * cleanup across repeated bench/correctness runs in one JVM). */
-  private def tempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private def tempDir(prefix: String): String =
+    cleanupAtExit(java.nio.file.Files.createTempDirectory(prefix))
+
+  private def cleanupAtExit(p: java.nio.file.Path): String = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm))
@@ -147,6 +149,45 @@ object SparkEntry {
     }))
     p.toString
   }
+
+  /** Checkpoint scratch for the bounded streaming drains: RAM-backed
+    * (/dev/shm) when available, /tmp otherwise. A streaming checkpoint
+    * fsyncs one delta file per state partition per store per
+    * micro-batch, and these harness checkpoints are throwaway (fresh
+    * per invocation, removed at JVM exit) — paying disk durability for
+    * them is pure floor. Production streams checkpoint to durable
+    * SHARED storage (object store / DFS) so a replacement driver can
+    * resume; nothing outside the staged-directory harness uses this. */
+  private def ckptDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    cleanupAtExit(p)
+  }
+
+  /** Streaming state partition count for the bounded harness drains:
+    * the staged inputs are single-digit micro-batches of O(100k) rows,
+    * where per-partition state-store commit fan-out dominates wall
+    * clock (r15: s_stream_join_outer 9.3 s at 32 state partitions vs
+    * 3.8 s at 8, same plan, same rows). Production streams inherit the
+    * session's cluster-sized `spark.sql.shuffle.partitions` — this
+    * constant exists only so the harness does not shard kilobyte state
+    * 32 ways. */
+  private val drainStateParts = Some(8)
+
+  /** The bounded-drain entry every `s_stream_*` query runs through:
+    * [[graft.streaming.EventStreams.runAvailableNow]] with the
+    * harness state-partition count applied. */
+  private def runDrain(transformed: DataFrame, queryName: String,
+                       checkpoint: String,
+                       outputMode: org.apache.spark.sql.streaming.OutputMode =
+                         org.apache.spark.sql.streaming.OutputMode.Append())
+      : DataFrame =
+    graft.streaming.EventStreams.runAvailableNow(transformed, queryName,
+      checkpoint, outputMode, statePartitions = drainStateParts)
 
   /** Shared j16/j17 linkage construction: the clean customer file
     * scored against its deterministically DIRTIED copy (middle-char
@@ -312,10 +353,10 @@ object SparkEntry {
       mergeIn("late", "late", now)
       inDir.toString
     })
-    val ckpt = tempDir("graft_tt_ck")
+    val ckpt = ckptDir("graft_tt_ck")
     val stream = graft.streaming.EventStreams.readStream(s, in,
       options = Map("maxFilesPerTrigger" -> "1"))
-    graft.streaming.EventStreams.runAvailableNow(
+    runDrain(
       graft.streaming.EventStreams.dedupStream(stream, Seq("event_id"))
         .select("event_id", "user_id", "event_type"),
       queryName = s"tt_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt")
@@ -1344,9 +1385,12 @@ object SparkEntry {
         && col("vec_id").isNotNull && col("embedding").isNotNull)
       val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
         Similarity.nlistFor(emb.count()))
+      // hierAssign: the deployment-contract corpus assignment (r14
+      // ADVICE — exact argmax over a derived nlist is O(n²/cellTarget);
+      // the two-level walk is O(n·√nlist) and the oracle replays it)
       Similarity.marginMutualKnnIvf(emb, "vec_id", "embedding",
         col("label") === 0, k = 4, centroids = cents, nprobe = 4,
-        shortlistK = 8)
+        shortlistK = 8, hierAssign = true)
     }),
 
     // ---- E: embedding centroid drift — per-label cosine between the
@@ -1662,37 +1706,6 @@ object SparkEntry {
         .select(col("term"), col("n"), col("w"), col("p"), col("cum_w"))
     }),
 
-    // ---- training-data ops: PMI collocation discovery — top bigrams
-    // by pointwise mutual information ln(P(bg) / (P(w1)·P(w2))) with a
-    // min-count floor (rare pairs otherwise dominate PMI); the
-    // phrase-mining pass of corpus analysis. Vocab-sized count joins,
-    // TakeOrdered top-20, deterministic (round-6 pmi, bg) tiebreak. ----
-    "t_pmi_collocations" -> ((s, dir) => {
-      val bgs = t(s, dir, "documents")
-        .select(explode(TextOps.bigrams(col("text"))).as("bg"))
-        .withColumn("w1", split(col("bg"), " ").getItem(0))
-        .withColumn("w2", split(col("bg"), " ").getItem(1))
-      val cb = bgs.groupBy(col("bg"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("cb"))
-      val totB = cb.agg(sum(col("cb")).as("__B"))
-      val toks = t(s, dir, "documents")
-        .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
-      val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val totT = cu.agg(sum(col("cu")).as("__T"))
-      val pmi = round(log(
-        (col("cb").cast("double") / col("__B")) /
-          ((col("cu1").cast("double") / col("__T")) *
-            (col("cu2").cast("double") / col("__T")))), 6)
-      cb.filter(col("cb") >= 5)
-        .join(broadcast(cu.select(col("w").as("w1"), col("cu").as("cu1"))),
-          Seq("w1"))
-        .join(broadcast(cu.select(col("w").as("w2"), col("cu").as("cu2"))),
-          Seq("w2"))
-        .crossJoin(broadcast(totB)).crossJoin(broadcast(totT))
-        .select(col("bg"), col("cb"), pmi.as("pmi"))
-        .orderBy(col("pmi").desc, col("bg"))
-        .limit(20)
-    }),
 
     // ---- training-data ops: token-distribution entropy per doc — the
     // low-entropy screen for template/boilerplate text (a doc of one
@@ -2104,19 +2117,14 @@ object SparkEntry {
         "embedding", queryId = 17L, candidates = 20, k = 10,
         lambda = 0.7)),
 
-    // ---- similarity: top principal component by power iteration —
-    // covariance from one narrow n·d² product pass (no self-join),
-    // then 6 rounds of C·v on the d²-cell frame; round-6 decimal
-    // sums everywhere, the anisotropy audit beside e_embed_qc. ----
-    "e_pca_top" -> ((s, dir) =>
-      Similarity.powerIterationPca(t(s, dir, "embeddings"), "vec_id",
-        "embedding", iters = 6)),
 
     // ---- similarity: top-3 principal components by power iteration
     // + Hotelling deflation — the corpus is touched once (the n·d²
     // product pass); all 3×6 rounds and both rank-one deflations run
     // on the d²-cell frame in exact integers. The usable k-dim
-    // projection basis next to e_pca_top's anisotropy number. ----
+    // projection basis plus the PC-1 anisotropy number (subsumes the
+    // retired r12 e_pca_top, which was this at k=1 — r14 verdict #2:
+    // 14.5 s of redundant bench wall). ----
     "e_pca_topk" -> ((s, dir) =>
       Similarity.powerIterationPcaK(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 3, iters = 6)),
@@ -2200,7 +2208,7 @@ object SparkEntry {
         } finally ls.close()
         (inDir.toString, s"$tmp/sink")
       })
-      val ckpt = tempDir("graft_upsert_ck")
+      val ckpt = ckptDir("graft_upsert_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
       graft.streaming.EventStreams.upsertStream(stream, sink,
@@ -2775,9 +2783,9 @@ object SparkEntry {
         t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
-      val ckpt = tempDir("graft_stk_ck")
+      val ckpt = ckptDir("graft_stk_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in)
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.windowedTopK(stream, "1 hour",
           k = 3, watermark = "2 hours"),
         queryName = s"stk_${System.nanoTime()}",
@@ -2791,10 +2799,10 @@ object SparkEntry {
     // oracle is the batch distinct count per hour. ----
     "s_stream_distinct" -> ((s, dir) => {
       val in = stageSentinelEvents(s, dir)
-      val ckpt = tempDir("graft_sdc_ck")
+      val ckpt = ckptDir("graft_sdc_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      val sink = graft.streaming.EventStreams.runAvailableNow(
+      val sink = runDrain(
         graft.streaming.EventStreams.windowedDistinctUsers(stream,
           "1 hour", "2 hours"),
         queryName = s"sdc_${System.nanoTime()}",
@@ -2814,10 +2822,10 @@ object SparkEntry {
     // partial per window, bit-equal to the batch arithmetic. ----
     "s_stream_brier" -> ((s, dir) => {
       val in = stageSentinelEvents(s, dir)
-      val ckpt = tempDir("graft_sbr_ck")
+      val ckpt = ckptDir("graft_sbr_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      val sink = graft.streaming.EventStreams.runAvailableNow(
+      val sink = runDrain(
         graft.streaming.EventStreams.brierStream(stream,
           least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0)),
           col("event_type") === "purchase", "1 hour", "2 hours"),
@@ -2835,10 +2843,10 @@ object SparkEntry {
     // fingerprint (the reconcile-without-rereading property). ----
     "s_stream_fingerprint" -> ((s, dir) => {
       val in = stageSentinelEvents(s, dir)
-      val ckpt = tempDir("graft_sfp_ck")
+      val ckpt = ckptDir("graft_sfp_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      val sink = graft.streaming.EventStreams.runAvailableNow(
+      val sink = runDrain(
         graft.streaming.EventStreams.fingerprintStream(stream,
           Seq("event_id", "event_type"), "1 hour", "2 hours"),
         queryName = s"sfp_${System.nanoTime()}",
@@ -2851,10 +2859,10 @@ object SparkEntry {
 
     "s_stream_hll" -> ((s, dir) => {
       val in = stageSentinelEvents(s, dir)
-      val ckpt = tempDir("graft_shll_ck")
+      val ckpt = ckptDir("graft_shll_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      val sink = graft.streaming.EventStreams.runAvailableNow(
+      val sink = runDrain(
         graft.streaming.EventStreams.hllDistinctStream(stream,
           "1 hour", "2 hours"),
         queryName = s"shll_${System.nanoTime()}",
@@ -2872,10 +2880,10 @@ object SparkEntry {
     // to the batch sketch per window, threshold included. ----
     "s_stream_kmv" -> ((s, dir) => {
       val in = stageSentinelEvents(s, dir)
-      val ckpt = tempDir("graft_skmv_ck")
+      val ckpt = ckptDir("graft_skmv_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      val sink = graft.streaming.EventStreams.runAvailableNow(
+      val sink = runDrain(
         graft.streaming.EventStreams.kmvDistinctStream(stream).toDF(),
         queryName = s"skmv_${System.nanoTime()}",
         checkpoint = s"$ckpt/ckpt",
@@ -2891,10 +2899,10 @@ object SparkEntry {
     // chunked replay is bit-equal per window. ----
     "s_stream_calibration" -> ((s, dir) => {
       val in = stageSentinelEvents(s, dir)
-      val ckpt = tempDir("graft_scal_ck")
+      val ckpt = ckptDir("graft_scal_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      val sink = graft.streaming.EventStreams.runAvailableNow(
+      val sink = runDrain(
         graft.streaming.EventStreams.calibrationStream(stream,
           least(greatest(col("value") / lit(100.0), lit(0.0)), lit(1.0)),
           col("event_type") === "purchase"),
@@ -2937,10 +2945,10 @@ object SparkEntry {
           (refCounts.getOrElse(i, 0L) + 0.5) / (refTot + 5.0)))
       })
       val in = stageSentinelEvents(s, dir)
-      val ckpt = tempDir("graft_spsi_ck")
+      val ckpt = ckptDir("graft_spsi_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      val sink = graft.streaming.EventStreams.runAvailableNow(
+      val sink = runDrain(
         graft.streaming.EventStreams.psiStream(stream, "value",
           bounds, refShares, "1 day", "2 days"),
         queryName = s"spsi_${System.nanoTime()}",
@@ -2979,10 +2987,10 @@ object SparkEntry {
             refCounts.getOrElse(i, 0L).toDouble / refTot))
         })
       val in = stageSentinelEvents(s, dir)
-      val ckpt = tempDir("graft_shel_ck")
+      val ckpt = ckptDir("graft_shel_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      val sink = graft.streaming.EventStreams.runAvailableNow(
+      val sink = runDrain(
         graft.streaming.EventStreams.hellingerStream(stream, "value",
           bounds, refShares, "1 day", "2 days"),
         queryName = s"shel_${System.nanoTime()}",
@@ -3000,9 +3008,9 @@ object SparkEntry {
         t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
-      val ckpt = tempDir("graft_sw_ck")
+      val ckpt = ckptDir("graft_sw_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in)
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.windowedCounts(stream, "1 hour", "2 hours"),
         queryName = s"sw_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt",
         outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -3017,9 +3025,9 @@ object SparkEntry {
         t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
-      val ckpt = tempDir("graft_ss_ck")
+      val ckpt = ckptDir("graft_ss_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in)
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.windowedCounts(stream, "1 hour",
           "2 hours", slide = Some("30 minutes")),
         queryName = s"ssl_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt",
@@ -4156,9 +4164,9 @@ object SparkEntry {
         e.union(e).write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
-      val ckpt = tempDir("graft_sd_ck")
+      val ckpt = ckptDir("graft_sd_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in)
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.dedupStream(stream, Seq("event_id"))
           .select("event_id", "user_id", "event_type"),
         queryName = s"sd_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt")
@@ -4178,7 +4186,7 @@ object SparkEntry {
           .write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
-      val ckpt = tempDir("graft_snd_ck")
+      val ckpt = ckptDir("graft_snd_ck")
       val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
           "n_chars BIGINT")
@@ -4186,7 +4194,7 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "2").parquet(in)
       val cands = graft.streaming.EventStreams.nearDupCandidatesStream(
         stream, "doc_id", "text", shingleN = 3, numHashes = 32, bands = 16)
-      val out = graft.streaming.EventStreams.runAvailableNow(cands.toDF(),
+      val out = runDrain(cands.toDF(),
         queryName = s"snd_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt")
       Dedup.verifyCandidatePairs(out.dropDuplicates("id1", "id2"),
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
@@ -4267,9 +4275,9 @@ object SparkEntry {
         t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
-      val ckpt = tempDir("graft_ss_ck")
+      val ckpt = ckptDir("graft_ss_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in)
-      val updates = graft.streaming.EventStreams.runAvailableNow(
+      val updates = runDrain(
         graft.streaming.EventStreams.sessionize(stream, gapSeconds = 1800)
           .toDF(),
         queryName = s"ss_${System.nanoTime()}", checkpoint = s"$ckpt/ckpt",
@@ -4321,10 +4329,10 @@ object SparkEntry {
           stage(ev.filter(dayofmonth(col("ts")) >= lo &&
             dayofmonth(col("ts")) < hi), i)
       }
-      val ckpt = tempDir("graft_sewma_ck")
+      val ckpt = ckptDir("graft_sewma_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.ewmaStream(stream, alpha = 0.3)
           .toDF(),
         queryName = s"sewma_${System.nanoTime()}",
@@ -4361,10 +4369,10 @@ object SparkEntry {
           stage(ev.filter(dayofmonth(col("ts")) >= lo &&
             dayofmonth(col("ts")) < hi), i)
       }
-      val ckpt = tempDir("graft_scusum_ck")
+      val ckpt = ckptDir("graft_scusum_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.cusumStream(stream,
           target = 50.0, slack = 10.0, threshold = 300.0).toDF(),
         queryName = s"scusum_${System.nanoTime()}",
@@ -4399,10 +4407,10 @@ object SparkEntry {
           stage(ev.filter(dayofmonth(col("ts")) >= lo &&
             dayofmonth(col("ts")) < hi), i)
       }
-      val ckpt = tempDir("graft_sfun_ck")
+      val ckpt = ckptDir("graft_sfun_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      val sink = graft.streaming.EventStreams.runAvailableNow(
+      val sink = runDrain(
         graft.streaming.EventStreams.funnelStream(stream,
           Seq("view", "click", "purchase")).toDF(),
         queryName = s"sfun_${System.nanoTime()}",
@@ -4452,10 +4460,10 @@ object SparkEntry {
           stage(ev.filter(dayofmonth(col("ts")) >= lo &&
             dayofmonth(col("ts")) < hi), i)
       }
-      val ckpt = tempDir("graft_szs_ck")
+      val ckpt = ckptDir("graft_szs_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.zscoreStream(stream,
           lookback = 10, zThreshold = 3.0, minObs = 4).toDF(),
         queryName = s"szs_${System.nanoTime()}",
@@ -4490,10 +4498,10 @@ object SparkEntry {
           stage(ev.filter(dayofmonth(col("ts")) >= lo &&
             dayofmonth(col("ts")) < hi), i)
       }
-      val ckpt = tempDir("graft_smad_ck")
+      val ckpt = ckptDir("graft_smad_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.madStream(stream,
           lookback = 25, k = 3).toDF(),
         queryName = s"smad_${System.nanoTime()}",
@@ -4528,10 +4536,10 @@ object SparkEntry {
           stage(ev.filter(dayofmonth(col("ts")) >= lo &&
             dayofmonth(col("ts")) < hi), i)
       }
-      val ckpt = tempDir("graft_sholt_ck")
+      val ckpt = ckptDir("graft_sholt_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.holtStream(stream,
           alpha = 0.5, beta = 0.3).toDF(),
         queryName = s"sholt_${System.nanoTime()}",
@@ -4566,10 +4574,10 @@ object SparkEntry {
           stage(ev.filter(dayofmonth(col("ts")) >= lo &&
             dayofmonth(col("ts")) < hi), i)
       }
-      val ckpt = tempDir("graft_srate_ck")
+      val ckpt = ckptDir("graft_srate_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.rateLimitStream(stream,
           capacity = 2, refillPerSec = 0.0001).toDF(),
         queryName = s"srate_${System.nanoTime()}",
@@ -4611,10 +4619,10 @@ object SparkEntry {
             lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")).as("ts"),
             lit(-1L).as("user_id"), lit("flush").as("event_type"),
             lit(0.0).as("value"), lit("{}").as("props"))))
-      val ckpt = tempDir("graft_sso_ck")
+      val ckpt = ckptDir("graft_sso_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in,
         options = Map("maxFilesPerTrigger" -> "1"))
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         graft.streaming.EventStreams.sessionizeRetained(stream,
           gapSeconds = 1800, watermarkDelay = "40 days").toDF(),
         queryName = s"sso_${System.nanoTime()}",
@@ -4632,7 +4640,7 @@ object SparkEntry {
         t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
-      val ckpt = tempDir("graft_se_ck")
+      val ckpt = ckptDir("graft_se_ck")
       val stream = graft.streaming.EventStreams.readStream(s, in)
         .withColumn("nk", pmod(col("user_id"), lit(25)).cast("int"))
       val dim = t(s, dir, "nation")
@@ -4643,7 +4651,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sum_value"))
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         enriched, queryName = s"se_${System.nanoTime()}",
         checkpoint = s"$ckpt/ckpt",
         outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -4660,7 +4668,7 @@ object SparkEntry {
         t(s, dir, "events").write.mode("overwrite").parquet(s"$tmp/in")
         s"$tmp/in"
       })
-      val ckpt = tempDir("graft_sj_ck")
+      val ckpt = ckptDir("graft_sj_ck")
       val clicks = graft.streaming.EventStreams.readStream(s, in)
         .filter(col("event_type") === "click")
       val purchases = graft.streaming.EventStreams.readStream(s, in)
@@ -4671,7 +4679,7 @@ object SparkEntry {
         .select(col("l.event_id").as("click_id"),
           col("r.event_id").as("purchase_id"),
           col("l.user_id").as("user_id"))
-      graft.streaming.EventStreams.runAvailableNow(
+      runDrain(
         joined, queryName = s"sj_${System.nanoTime()}",
         checkpoint = s"$ckpt/ckpt")
     }),
@@ -4711,7 +4719,7 @@ object SparkEntry {
           Seq(sentinels((-1L, -2L), 30), sentinels((-3L, -4L), 31)))
         inDir
       })
-      val ckpt = tempDir("graft_sjo_ck")
+      val ckpt = ckptDir("graft_sjo_ck")
       val opts = Map("maxFilesPerTrigger" -> "1")
       val clicks = graft.streaming.EventStreams
         .readStream(s, in, options = opts)
@@ -4728,7 +4736,7 @@ object SparkEntry {
       // drainTail = the batch-side sentinel filter (a plan-side filter
       // would freeze the watermark — the pin lives in its scaladoc)
       graft.streaming.EventStreams.drainTail(
-        graft.streaming.EventStreams.runAvailableNow(
+        runDrain(
           joined, queryName = s"sjo_${System.nanoTime()}",
           checkpoint = s"$ckpt/ckpt"),
         col("click_id") < 0)
@@ -6693,19 +6701,48 @@ cov${c + 1} AS MATERIALIZED (
         |    vec_id
         |  LIMIT (SELECT GREATEST(16,
         |    CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) FROM src)),
+        |nsup AS (
+        |  SELECT CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+        |    AS ns FROM cents),
+        |sup AS MATERIALIZED (
+        |  SELECT cell, ce FROM cents
+        |  WHERE cell < (SELECT ns FROM nsup)),
+        |so0 AS (
+        |  SELECT c.cell, s.cell AS sup,
+        |    row_number() OVER (PARTITION BY c.cell ORDER BY ROUND(
+        |      list_sum(list_transform(list_zip(c.ce, s.ce),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(s.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |      DESC, s.cell) AS pr
+        |  FROM cents c, sup s),
+        |superof AS MATERIALIZED (
+        |  SELECT cell, CASE WHEN cell < (SELECT ns FROM nsup)
+        |    THEN cell ELSE sup END AS sup
+        |  FROM so0 WHERE pr = 1),
+        |a1 AS MATERIALIZED (
+        |  SELECT vec_id, embedding, ina, sup FROM (
+        |    SELECT e.vec_id, e.embedding, e.ina, s.cell AS sup,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(s.ce, e.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(s.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, s.cell) AS pr
+        |    FROM src e, sup s)
+        |  WHERE pr = 1),
         |assign AS MATERIALIZED (
-        |  SELECT s.vec_id, s.embedding, s.ina,
-        |    (SELECT cell FROM cents
-        |     ORDER BY ROUND(
-        |       list_sum(list_transform(list_zip(cents.ce, s.embedding),
-        |         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-        |       / (sqrt(list_sum(list_transform(cents.ce,
-        |            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |        * sqrt(list_sum(list_transform(s.embedding,
-        |            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)
-        |       DESC, cell
-        |     LIMIT 1) AS cell
-        |  FROM src s),
+        |  SELECT vec_id, embedding, ina, cell FROM (
+        |    SELECT a.vec_id, a.embedding, a.ina, so.cell,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ROUND(
+        |        list_sum(list_transform(list_zip(c.ce, a.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |        DESC, so.cell) AS rn
+        |    FROM a1 a JOIN superof so ON so.sup = a.sup
+        |      JOIN cents c ON c.cell = so.cell)
+        |  WHERE rn = 1),
         |probed AS MATERIALIZED (
         |  SELECT vec_id, ina, qe, cell FROM (
         |    SELECT s.vec_id, s.ina, s.embedding AS qe, c.cell,
@@ -7177,36 +7214,6 @@ r$k AS (
         |FROM b JOIN cb USING (bg) JOIN cp USING (w1)
         |GROUP BY b.doc_id""".stripMargin,
 
-    // PMI: identical expression shape — (cb/B) / ((cu1/T)*(cu2/T)),
-    // one ln, round-6, (pmi desc, bg) tiebreak
-    "t_pmi_collocations" ->
-      """WITH b AS (
-        |  SELECT bg, string_split(bg, ' ')[1] AS w1,
-        |    string_split(bg, ' ')[2] AS w2 FROM (
-        |    SELECT unnest([array_to_string(tk[i:i+1], ' ')
-        |                   FOR i IN range(1, len(tk))]) AS bg
-        |    FROM (SELECT list_filter(
-        |        string_split_regex(trim(lower(text)), '\s+'),
-        |        x -> x <> '') AS tk
-        |      FROM documents)
-        |    WHERE len(tk) >= 2)),
-        |cb AS (SELECT bg, w1, w2, COUNT(*) AS cb FROM b GROUP BY 1, 2, 3),
-        |tb AS (SELECT CAST(SUM(cb) AS BIGINT) AS btot FROM cb),
-        |toks AS (
-        |  SELECT unnest(list_filter(
-        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
-        |  FROM documents),
-        |cu AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY w),
-        |tt AS (SELECT CAST(SUM(cu) AS BIGINT) AS ttot FROM cu)
-        |SELECT cb.bg, cb.cb,
-        |  ROUND(ln((CAST(cb.cb AS DOUBLE) / tb.btot)
-        |    / ((CAST(u1.cu AS DOUBLE) / tt.ttot)
-        |     * (CAST(u2.cu AS DOUBLE) / tt.ttot))), 6) AS pmi
-        |FROM cb
-        |JOIN cu u1 ON u1.w = cb.w1
-        |JOIN cu u2 ON u2.w = cb.w2, tb, tt
-        |WHERE cb.cb >= 5
-        |ORDER BY pmi DESC, cb.bg LIMIT 20""".stripMargin,
 
     // entropy: identical per-term contribution and rounding discipline
     "t_doc_entropy" ->
@@ -8319,140 +8326,16 @@ r$k AS (
          |$steps
          |SELECT rank, id AS vec_id, maximin FROM sel6""".stripMargin
     },
-
     // all 10 MMR rounds unrolled; MATERIALIZED CTEs (each round
     // references the cumulative selection twice)
-    // covariance quantized once to micro-units, then all 6
-    // power-iteration rounds replayed on EXACT INTEGERS (HUGEINT =
-    // the engine's decimal(38,0)); v0 = round(1/sqrt(64), 6) micro
-    "e_pca_top" -> {
-      val base =
-        """WITH e AS MATERIALIZED (
-          |  SELECT embedding AS e FROM embeddings
-          |  WHERE embedding IS NOT NULL),
-          |n AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
-          |sums AS MATERIALIZED (
-          |  SELECT u['i'] AS i,
-          |    SUM(CAST(ROUND(CAST(u['x'] AS DOUBLE), 6)
-          |      AS DECIMAL(18,6))) AS sx
-          |  FROM (
-          |    SELECT unnest(list_transform(range(1, len(e) + 1),
-          |      k -> {'i': k - 1, 'x': e[CAST(k AS INT)]})) AS u
-          |    FROM e)
-          |  GROUP BY 1),
-          |cells AS MATERIALIZED (
-          |  SELECT u['i'] AS i, u['j'] AS j,
-          |    SUM(u['p']) AS sp
-          |  FROM (
-          |    SELECT unnest(flatten(list_transform(range(1, len(e) + 1),
-          |      a -> list_transform(range(1, len(e) + 1),
-          |        b -> {'i': a - 1, 'j': b - 1,
-          |              'p': CAST(ROUND(
-          |                CAST(e[CAST(a AS INT)] AS DOUBLE)
-          |                * CAST(e[CAST(b AS INT)] AS DOUBLE), 6)
-          |                AS DECIMAL(18,6))})))) AS u
-          |    FROM e)
-          |  GROUP BY 1, 2),
-          |cov AS MATERIALIZED (
-          |  SELECT cells.i, cells.j,
-          |    CAST(CAST(ROUND((CAST(sp AS DOUBLE)
-          |        - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE)
-          |          / CAST(n.n AS DOUBLE))
-          |        / (CAST(n.n AS DOUBLE) - 1.0), 6) AS DECIMAL(18,6))
-          |      * 1000000 AS HUGEINT) AS cmu
-          |  FROM cells, n, sums si, sums sj
-          |  WHERE si.i = cells.i AND sj.i = cells.j),
-          |v0 AS MATERIALIZED (
-          |  SELECT i AS j, CAST(125000 AS HUGEINT) AS vmu
-          |  FROM sums)""".stripMargin
-      val rounds =
-"""w1 AS MATERIALIZED (
-  SELECT cov.i, SUM(cov.cmu * v0.vmu) AS wp
-  FROM cov JOIN v0 ON v0.j = cov.j GROUP BY cov.i),
-m1 AS MATERIALIZED (
-  SELECT SUM(wp * wp) AS m2 FROM w1),
-v1 AS MATERIALIZED (
-  SELECT i AS j,
-    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
-        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
-      * 1000000 AS HUGEINT) AS vmu
-  FROM w1, m1),
-w2 AS MATERIALIZED (
-  SELECT cov.i, SUM(cov.cmu * v1.vmu) AS wp
-  FROM cov JOIN v1 ON v1.j = cov.j GROUP BY cov.i),
-m2 AS MATERIALIZED (
-  SELECT SUM(wp * wp) AS m2 FROM w2),
-v2 AS MATERIALIZED (
-  SELECT i AS j,
-    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
-        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
-      * 1000000 AS HUGEINT) AS vmu
-  FROM w2, m2),
-w3 AS MATERIALIZED (
-  SELECT cov.i, SUM(cov.cmu * v2.vmu) AS wp
-  FROM cov JOIN v2 ON v2.j = cov.j GROUP BY cov.i),
-m3 AS MATERIALIZED (
-  SELECT SUM(wp * wp) AS m2 FROM w3),
-v3 AS MATERIALIZED (
-  SELECT i AS j,
-    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
-        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
-      * 1000000 AS HUGEINT) AS vmu
-  FROM w3, m3),
-w4 AS MATERIALIZED (
-  SELECT cov.i, SUM(cov.cmu * v3.vmu) AS wp
-  FROM cov JOIN v3 ON v3.j = cov.j GROUP BY cov.i),
-m4 AS MATERIALIZED (
-  SELECT SUM(wp * wp) AS m2 FROM w4),
-v4 AS MATERIALIZED (
-  SELECT i AS j,
-    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
-        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
-      * 1000000 AS HUGEINT) AS vmu
-  FROM w4, m4),
-w5 AS MATERIALIZED (
-  SELECT cov.i, SUM(cov.cmu * v4.vmu) AS wp
-  FROM cov JOIN v4 ON v4.j = cov.j GROUP BY cov.i),
-m5 AS MATERIALIZED (
-  SELECT SUM(wp * wp) AS m2 FROM w5),
-v5 AS MATERIALIZED (
-  SELECT i AS j,
-    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
-        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
-      * 1000000 AS HUGEINT) AS vmu
-  FROM w5, m5),
-w6 AS MATERIALIZED (
-  SELECT cov.i, SUM(cov.cmu * v5.vmu) AS wp
-  FROM cov JOIN v5 ON v5.j = cov.j GROUP BY cov.i),
-m6 AS MATERIALIZED (
-  SELECT SUM(wp * wp) AS m2 FROM w6),
-v6 AS MATERIALIZED (
-  SELECT i AS j,
-    CAST(CAST(ROUND(CAST(wp AS DOUBLE)
-        / sqrt(CAST(m2 AS DOUBLE)), 6) AS DECIMAL(18,6))
-      * 1000000 AS HUGEINT) AS vmu
-  FROM w6, m6)"""
-      val tail =
-        """wf AS MATERIALIZED (
-          |  SELECT cov.i, SUM(cov.cmu * v6.vmu) AS wp
-          |  FROM cov JOIN v6 ON v6.j = cov.j GROUP BY cov.i),
-          |lam AS MATERIALIZED (
-          |  SELECT ROUND(CAST(SUM(v6.vmu * wf.wp) AS DOUBLE)
-          |    / CAST(SUM(v6.vmu * v6.vmu) AS DOUBLE)
-          |    / 1000000.0, 6) AS eigenvalue
-          |  FROM wf JOIN v6 ON v6.j = wf.i)
-          |SELECT CAST(v6.j AS INT) AS dim,
-          |  CAST(v6.vmu AS DOUBLE) / 1000000.0 AS loading,
-          |  lam.eigenvalue
-          |FROM v6, lam""".stripMargin
-      s"$base,\n$rounds,\n$tail"
-    },
 
-    // e_pca_top's whole structure replayed PER COMPONENT (cov1..cov3
+    // the power-iteration structure replayed PER COMPONENT (cov1..cov3
     // via sign-explicit HUGEINT Hotelling deflation — Spark `div`
     // truncates toward zero, DuckDB `//` floors, hence the CASE),
-    // all 3x6 rounds unrolled; generated by the same Scala loop
-    // shape the engine runs (pcaOracleCtes)
+    // covariance quantized once to micro-units, all 3x6 rounds
+    // unrolled on EXACT INTEGERS (HUGEINT = the engine's
+    // decimal(38,0)), v0 = round(1/sqrt(64), 6) micro; generated by
+    // the same Scala loop shape the engine runs (pcaOracleCtes)
     "e_pca_topk" -> {
       val outs = (1 to 3).map { c =>
         s"""SELECT $c AS component, CAST(v.j AS INT) AS dim,
@@ -9207,7 +9090,7 @@ FROM proj"""
         |       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
         |FROM scored QUALIFY rnk <= 5""".stripMargin,
 
-    // three covariance families (xy, xx, yy) through the e_pca_top
+    // three covariance families (xy, xx, yy) through the e_pca_topk
     // cell discipline, Frobenius sums on HUGEINT, one double chain
     "e_cka" -> {
       def fam(name: String, la: String, lb: String, sa: String,
@@ -12815,10 +12698,12 @@ v$r AS MATERIALIZED (
         |  FROM events GROUP BY user_id)
         |SELECT r.user_id, r.grid_ts, r.last_value, r.vital_value,
         |  r.lab_value, r.roll_avg, lab.label,
-        |  CASE WHEN ((r.user_id % 2147483647) * 2654435761)
-        |         % 2147483647 % 100 < 80 THEN 'train'
-        |       WHEN ((r.user_id % 2147483647) * 2654435761)
-        |         % 2147483647 % 100 < 90 THEN 'val'
+        |  CASE WHEN ((((((r.user_id % 2147483647) * 2654435761)
+        |         % 2147483647) + 2147483647) % 2147483647) % 100 + 100)
+        |         % 100 < 80 THEN 'train'
+        |       WHEN ((((((r.user_id % 2147483647) * 2654435761)
+        |         % 2147483647) + 2147483647) % 2147483647) % 100 + 100)
+        |         % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r JOIN lab USING (user_id)""".stripMargin,
 

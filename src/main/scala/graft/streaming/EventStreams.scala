@@ -1331,14 +1331,17 @@ object EventStreams {
     * eviction spec read. */
   def runBoundedWithTimeouts(transformed: DataFrame, checkpoint: String,
                              expectDataBatches: Int,
-                             timeoutMs: Long = 180000L)
+                             timeoutMs: Long = 180000L,
+                             statePartitions: Option[Int] = None)
       : Seq[(Long, Long)] = {
     val byBatch = scala.collection.mutable.SortedMap.empty[Long, (Long, Long)]
-    val q = transformed.writeStream
-      .format("noop")
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(transformed.sparkSession, statePartitions) {
+      transformed.writeStream
+        .format("noop")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     def snapshot(): Unit = q.recentProgress.foreach { p =>
       if (p.stateOperators.nonEmpty)
         byBatch(p.batchId) =
@@ -1365,15 +1368,48 @@ object EventStreams {
     * incremental jobs with checkpointed progress). */
   def runAvailableNow(transformed: DataFrame, queryName: String,
                       checkpoint: String,
-                      outputMode: OutputMode = OutputMode.Append()): DataFrame = {
-    val q = transformed.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+                      outputMode: OutputMode = OutputMode.Append(),
+                      statePartitions: Option[Int] = None): DataFrame = {
+    val q = withStatePartitions(transformed.sparkSession, statePartitions) {
+      transformed.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     transformed.sparkSession.table(queryName)
   }
+
+  /** Pin the streaming STATE partition count for one query start.
+    *
+    * A stateful streaming query fixes its state-store partition count
+    * from `spark.sql.shuffle.partitions` at FIRST-batch time and keeps
+    * it for the checkpoint's lifetime; every micro-batch then commits
+    * one delta file per partition per state store (a stream-stream
+    * join carries four stores per partition). For the bounded
+    * staged-directory drains this harness runs, that per-partition
+    * commit fan-out IS the wall clock — r15 measured
+    * s_stream_join_outer at 9.3 s with 32 state partitions and 3.8 s
+    * with 8, same plan, same results — so callers draining a
+    * test-scale directory pass a small explicit count. `None` (the
+    * default) inherits the session's shuffle partitions untouched:
+    * a PRODUCTION stream on a cluster wants state sharded cluster-wide
+    * (hundreds of partitions), and this helper must never silently
+    * shrink it. The conf flip only covers `start()` — the stream
+    * execution thread clones the session state at construction, so
+    * restoring the session conf immediately afterwards cannot leak
+    * into (or out of) the running query. */
+  private def withStatePartitions[T](spark: SparkSession,
+                                     n: Option[Int])(start: => T): T =
+    n match {
+      case None => start
+      case Some(parts) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, parts.toString)
+        try start finally spark.conf.set(key, prev)
+    }
 }

@@ -47,7 +47,12 @@ import graft.text.TextOps
   * Determinism: dedup-keep-last tiebreaks on an explicit unique
   * column; the rolling mean follows the `w7` numerics (exact
   * decimal(30,6) sums, ONE double division rounded once); the split
-  * hash is the SQL-portable Knuth multiplicative hash. */
+  * hash is the SQL-portable Knuth multiplicative hash, NON-NEGATIVE
+  * by construction (`pmod` here; a replaying engine whose `%` is
+  * sign-preserving — DuckDB, standard SQL — must wrap the chain in
+  * an explicit `((x % m) + m) % m`, as the shipped oracle does), so
+  * the split assignment is engine-identical for ALL long encounter
+  * keys, negatives included (r14 ADVICE). */
 object BlockedDataset {
 
   /** One feature channel: stream rows whose `channelCol` equals

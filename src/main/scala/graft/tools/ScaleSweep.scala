@@ -32,6 +32,29 @@ import graft.{GraftSession, SparkEntry, Tables}
   */
 object ScaleSweep {
 
+  /** The capstone assembler at CLIF-realistic channel WIDTH — 15
+    * channels derived as event_type × pmod(event_id, 3) over the real
+    * events table (the reference's coded tables imply dozens of
+    * channels: vitals×10, lab analyte families×8, meds, scores).
+    * Used by the `clif_blocked_dataset(wide15)` sweep row; the
+    * 2-channel shipped query is the oracled baseline. */
+  def wideBlockedDataset(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("__chan", concat(col("event_type"), lit("_"),
+        pmod(col("event_id"), lit(3))))
+    val channels = for {
+      et <- Seq("click", "signup", "purchase", "error", "view")
+      i <- 0 to 2
+    } yield graft.clif.BlockedDataset.Channel(s"${et}_$i",
+      s"c_${et}_$i", toleranceSeconds = 86400L)
+    graft.clif.BlockedDataset.build(ev, encCol = "user_id",
+      tsCol = "ts", channelCol = "__chan", valueCol = "value",
+      tiebreak = "event_id", channels = channels, stepSeconds = 3600L,
+      outcome = col("event_type") === "error", rollRows = 4,
+      trainPct = 80, valPct = 10)
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val onlyOps = args.drop(1).toSeq
@@ -523,11 +546,8 @@ object ScaleSweep {
       // adjacent-pair explode -> distinct-bigram agg + marginals
       "t_pmi_colloc" -> (d =>
         SparkEntry.queries("t_pmi_colloc")(spark, d).count()),
-      // one n*d^2 narrow product pass; iteration on the d^2 frame
-      "e_pca_top" -> (d =>
-        SparkEntry.queries("e_pca_top")(spark, d).count()),
-      // same single corpus pass; 3x6 rounds + 2 deflations all on
-      // the d^2-cell frame — scale cost identical to e_pca_top
+      // one n*d^2 narrow product pass; 3x6 rounds + 2 deflations all
+      // on the d^2-cell frame (covers the retired k=1 e_pca_top too)
       "e_pca_topk" -> (d =>
         SparkEntry.queries("e_pca_topk")(spark, d).count()),
       // basis fit (n*d^2) + the n*d*k broadcast-basis projection
@@ -637,6 +657,16 @@ object ScaleSweep {
       // linearly and per-encounter grids stay fixed
       "clif_blocked_dataset" -> (d =>
         SparkEntry.queries("clif_blocked_dataset")(spark, d).count()),
+      // the capstone at CLIF-realistic channel WIDTH (r14 verdict #5):
+      // 15 channels = 5 event types × 3 event-id buckets — the
+      // reference's real table set implies dozens of channels
+      // (vitals×10, labs×8+, meds, scores). Each added channel costs
+      // one channel-sized filtered dedup branch; the grid-sized LOCF
+      // work stays ONE window pass (all `last` expressions share one
+      // window spec) regardless of width, so sec/channel should be
+      // ~flat vs the 2-channel row above
+      "clif_blocked_dataset(wide15)" -> (d =>
+        wideBlockedDataset(spark, d).count()),
       // r14 catalog-gate closures: every >=2s batch query carries a
       // sweep row (streaming floor queries are measured by the state
       // sweeps instead)

@@ -365,6 +365,63 @@ class PipelinesSpec extends SparkSpec {
     assert(e20.nonEmpty && e20.forall(r => r._4 == 0L && r._2.isEmpty))
   }
 
+  test("blocked dataset at CLIF-realistic WIDTH: 15 channels carry " +
+    "independently in one LOCF window pass — per-channel values, " +
+    "per-channel staleness, and a Window-operator count that does " +
+    "NOT grow with channel count (the one-window-pass design claim)") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val h0 = 1700000000L / 3600L * 3600L // exactly on the hour
+    // channel ci observed once, i minutes into hour 0; c0 gets a
+    // 1-hour tolerance so it must go stale by hour 2 while the other
+    // 14 stay fresh; a tail event extends the grid to hour 2
+    val ev = ((0 to 14).map(i =>
+      (i.toLong, ts(h0 + i * 60L), 1L, s"c$i", i * 10.0)) :+
+      ((99L, ts(h0 + 7200L), 1L, "tail", 999.0))
+    ).toDF("event_id", "ts", "user_id", "chan", "value")
+    val channels = (0 to 14).map(i => BlockedDataset.Channel(s"c$i",
+      s"f$i", toleranceSeconds = if (i == 0) 3600L else 86400L))
+    val out = BlockedDataset.build(ev, "user_id", "ts", "chan",
+      "value", "event_id", channels, stepSeconds = 3600L,
+      outcome = col("chan") === "tail", rollRows = 4,
+      trainPct = 80, valPct = 10)
+    val got = out.orderBy("grid_ts").collect()
+    assert(got.length == 3) // hours 0, 1, 2
+    def f(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      Option(r.getAs[java.lang.Double](s"f$i")).map(_.doubleValue())
+    // hour 0 (grid ts == h0): only c0's on-the-hour observation
+    // matches its own hour (the as-of >= convention)
+    assert((0 to 14).map(f(got(0), _)) ==
+      Some(0.0) +: (1 to 14).map(_ => None))
+    // hour 1: every channel carried, each with ITS OWN value
+    assert((0 to 14).map(f(got(1), _)) == (0 to 14).map(i =>
+      Some(i * 10.0)))
+    // hour 2: c0 aged 7200s > 3600s tolerance -> stale null; the
+    // other 14 (86400s tolerance) still carried
+    assert((0 to 14).map(f(got(2), _)) ==
+      None +: (1 to 14).map(i => Some(i * 10.0)))
+    assert(got.forall(_.getAs[Long]("label") == 1L))
+    // the design claim: ALL per-channel LOCF `last` expressions share
+    // ONE window spec, so Catalyst plans them into a single Window
+    // operator — channel count widens the projection, never adds a
+    // grid-sized exchange+sort pass. Compare against a 2-channel
+    // build: the LOCF Window count must be IDENTICAL.
+    def locfWindows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.windowExpressions.exists(_.toString.contains("last(")) => w
+      }.size
+    val narrow = BlockedDataset.build(ev, "user_id", "ts", "chan",
+      "value", "event_id", channels.take(2), stepSeconds = 3600L,
+      outcome = col("chan") === "tail", rollRows = 4,
+      trainPct = 80, valPct = 10)
+    assert(locfWindows(out) == locfWindows(narrow),
+      s"LOCF window passes grew with channel count: " +
+        s"${locfWindows(out)} at 15 channels vs " +
+        s"${locfWindows(narrow)} at 2")
+    assert(locfWindows(out) == 1,
+      s"expected ONE LOCF window pass, got ${locfWindows(out)}")
+  }
+
   test("medicationOrders: 5-key join resolves duplicate end column") {
     val orders = Seq(
       (1L, 10L, 7L, T0, T0 + 99L, "DRUG X", "DAILY", "5", "mg")

@@ -1132,6 +1132,38 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
+    // ---- training-data ops: corpus BLEU-4 — the reference-based
+    // generation-eval metric, here auditing a deterministic
+    // degradation (every 7th token dropped) against the original:
+    // clipped n-gram matches as exact integers, geometric mean via
+    // the proven exp/ln surface, brevity penalty on BIGINT totals.
+    // The candidate column is any generated-text column in practice;
+    // the synthetic corpus has none, so the query constructs one the
+    // oracle reproduces token-for-token. ----
+    "t_bleu" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val cand = array_join(
+        filter(toks, (tk, i) => ((i + lit(1)) % 7) =!= 0), " ")
+      TextOps.bleuCorpus(
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", cand, col("text"))
+    }),
+
+    // ---- training-data ops: per-doc ROUGE-1/2 — precision/recall/F1
+    // of clipped n-gram overlap (the summarization-eval standard) for
+    // the same constructed candidate; F1 ships as the EXACT fraction
+    // 2m/(t_cand + t_ref), one rounding. ----
+    "t_rouge" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val cand = array_join(
+        filter(toks, (tk, i) => ((i + lit(1)) % 7) =!= 0), " ")
+      TextOps.rougeN(
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", cand, col("text"))
+    }),
+
     // ---- training-data ops: multinomial naive-Bayes classifier,
     // trained and applied in one plan — the classifier-based curation
     // filter (GPT-3/CCNet-style), supervised here by `source` so the
@@ -3426,6 +3458,34 @@ object SparkEntry {
     // ---- A77: Krippendorff's alpha — the a73 rater panel with
     // rater 3 skipping two docs in three (doc_id % 3 != 0): unequal
     // m per item, the case Fleiss NULLs and alpha is built for. ----
+    // ---- A78: Bradley–Terry strengths from pairwise judgments — the
+    // batch aggregation of "A beat B" preferences into a per-player
+    // ranking (what LLM-eval arenas compute; Elo is the
+    // order-dependent online cousin with no deterministic batch
+    // form). Judgments constructed deterministically: doc i vs docs
+    // i+1 and i+3, longer n_chars wins (ties to the lower id);
+    // players are the 20 sources. 3 synchronous MM rounds, exact
+    // decimal term sums — the whole walk replays in SQL. ----
+    "a78_bradley_terry" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def fam(off: Int) = {
+        val a = d.select(col("doc_id").as("a_id"),
+          col("source").as("a_src"), col("n_chars").as("a_n"))
+        val b = d.select(col("doc_id").as("b_id"),
+          col("source").as("b_src"), col("n_chars").as("b_n"))
+        a.join(b, col("b_id") === col("a_id") + off)
+          .select(
+            when(col("a_n") >= col("b_n"), col("a_src"))
+              .otherwise(col("b_src")).as("winner"),
+            when(col("a_n") >= col("b_n"), col("b_src"))
+              .otherwise(col("a_src")).as("loser"))
+      }
+      Analytics.bradleyTerry(fam(1).unionByName(fam(3)),
+        "winner", "loser", iters = 3)
+    }),
+
     "a77_krippendorff" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .filter(col("text").isNotNull && col("n_chars").isNotNull)
@@ -7758,6 +7818,118 @@ r$k AS (
         |       ELSE 'de' END AS lang_pred
         |FROM scores""".stripMargin,
 
+    // corpus BLEU-4: same candidate construction (drop 1-based token
+    // positions divisible by 7 — DuckDB list_filter's lambda index is
+    // 1-based, Spark's 0-based, hence i % 7 here vs (i+1) % 7 there),
+    // clipped matches as exact BIGINTs, ln/exp geometric mean with
+    // the ENGINE's left-fold association ((a1+a2)+a3)+a4 spelled in
+    // explicit parens (double addition is not associative)
+    "t_bleu" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> ''), (x, i) -> i % 7 <> 0) AS ca,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS ra
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |cg AS MATERIALIZED (
+        |  SELECT doc_id, n, gram, COUNT(*) AS cc FROM (
+        |    SELECT doc_id, n, unnest(list_transform(
+        |      range(1, len(ca) - n + 2),
+        |      i -> array_to_string(ca[i:i+n-1], ' '))) AS gram
+        |    FROM d, range(1, 5) t(n))
+        |  GROUP BY 1, 2, 3),
+        |rg AS MATERIALIZED (
+        |  SELECT doc_id, n, gram, COUNT(*) AS rc FROM (
+        |    SELECT doc_id, n, unnest(list_transform(
+        |      range(1, len(ra) - n + 2),
+        |      i -> array_to_string(ra[i:i+n-1], ' '))) AS gram
+        |    FROM d, range(1, 5) t(n))
+        |  GROUP BY 1, 2, 3),
+        |po AS (
+        |  SELECT cg.n,
+        |    CAST(SUM(LEAST(cg.cc, COALESCE(rg.rc, 0))) AS BIGINT) AS m,
+        |    CAST(SUM(cg.cc) AS BIGINT) AS t
+        |  FROM cg LEFT JOIN rg
+        |    ON rg.doc_id = cg.doc_id AND rg.n = cg.n AND rg.gram = cg.gram
+        |  GROUP BY 1),
+        |wide AS (
+        |  SELECT MAX(CASE WHEN n = 1 THEN m END) AS m1,
+        |    MAX(CASE WHEN n = 1 THEN t END) AS t1,
+        |    MAX(CASE WHEN n = 2 THEN m END) AS m2,
+        |    MAX(CASE WHEN n = 2 THEN t END) AS t2,
+        |    MAX(CASE WHEN n = 3 THEN m END) AS m3,
+        |    MAX(CASE WHEN n = 3 THEN t END) AS t3,
+        |    MAX(CASE WHEN n = 4 THEN m END) AS m4,
+        |    MAX(CASE WHEN n = 4 THEN t END) AS t4
+        |  FROM po),
+        |lens AS (
+        |  SELECT CAST(SUM(len(ca)) AS BIGINT) AS cand_len,
+        |    CAST(SUM(len(ra)) AS BIGINT) AS ref_len FROM d),
+        |bpv AS (
+        |  SELECT *, CASE WHEN cand_len >= ref_len THEN 1.0
+        |    ELSE exp(1 - CAST(ref_len AS DOUBLE)
+        |      / CAST(cand_len AS DOUBLE)) END AS bp0
+        |  FROM wide, lens)
+        |SELECT m1, t1, m2, t2, m3, t3, m4, t4, cand_len, ref_len,
+        |  ROUND(bp0, 6) AS bp,
+        |  CASE WHEN COALESCE(m1, 0) = 0 OR COALESCE(m2, 0) = 0
+        |         OR COALESCE(m3, 0) = 0 OR COALESCE(m4, 0) = 0 THEN 0.0
+        |    ELSE ROUND(bp0 * exp((((
+        |      (ln(CAST(m1 AS DOUBLE)) - ln(CAST(t1 AS DOUBLE)))
+        |      + (ln(CAST(m2 AS DOUBLE)) - ln(CAST(t2 AS DOUBLE))))
+        |      + (ln(CAST(m3 AS DOUBLE)) - ln(CAST(t3 AS DOUBLE))))
+        |      + (ln(CAST(m4 AS DOUBLE)) - ln(CAST(t4 AS DOUBLE))))
+        |      / 4), 6) END AS bleu
+        |FROM bpv""".stripMargin,
+
+    // per-doc ROUGE-1/2: rows defined by the candidate gram frame
+    // (identical construction both engines); F1 is the exact fraction
+    // 2m/(ct+rt) — algebraically 2PR/(P+R), one rounding
+    "t_rouge" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> ''), (x, i) -> i % 7 <> 0) AS ca,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS ra
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |cg AS MATERIALIZED (
+        |  SELECT doc_id, n, gram, COUNT(*) AS cc FROM (
+        |    SELECT doc_id, n, unnest(list_transform(
+        |      range(1, len(ca) - n + 2),
+        |      i -> array_to_string(ca[i:i+n-1], ' '))) AS gram
+        |    FROM d, range(1, 3) t(n))
+        |  GROUP BY 1, 2, 3),
+        |rg AS MATERIALIZED (
+        |  SELECT doc_id, n, gram, COUNT(*) AS rc FROM (
+        |    SELECT doc_id, n, unnest(list_transform(
+        |      range(1, len(ra) - n + 2),
+        |      i -> array_to_string(ra[i:i+n-1], ' '))) AS gram
+        |    FROM d, range(1, 3) t(n))
+        |  GROUP BY 1, 2, 3),
+        |rt AS (
+        |  SELECT doc_id, n, CAST(SUM(rc) AS BIGINT) AS n_ref
+        |  FROM rg GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT cg.doc_id, cg.n,
+        |    CAST(SUM(LEAST(cg.cc, COALESCE(rg.rc, 0))) AS BIGINT) AS n_match,
+        |    CAST(SUM(cg.cc) AS BIGINT) AS n_cand
+        |  FROM cg LEFT JOIN rg
+        |    ON rg.doc_id = cg.doc_id AND rg.n = cg.n AND rg.gram = cg.gram
+        |  GROUP BY 1, 2)
+        |SELECT pm.doc_id, pm.n AS ord, pm.n_match, pm.n_cand,
+        |  COALESCE(rt.n_ref, 0) AS n_ref,
+        |  ROUND(CAST(pm.n_match AS DOUBLE)
+        |    / CAST(pm.n_cand AS DOUBLE), 6) AS precision,
+        |  CASE WHEN COALESCE(rt.n_ref, 0) = 0 THEN 0.0
+        |    ELSE ROUND(CAST(pm.n_match AS DOUBLE)
+        |      / CAST(rt.n_ref AS DOUBLE), 6) END AS recall,
+        |  ROUND((2.0 * CAST(pm.n_match AS DOUBLE))
+        |    / CAST(pm.n_cand + COALESCE(rt.n_ref, 0) AS DOUBLE), 6) AS f1
+        |FROM pm LEFT JOIN rt
+        |  ON rt.doc_id = pm.doc_id AND rt.n = pm.n""".stripMargin,
+
     // the fixed-width roundtrip must be value-lossless: the oracle
     // aggregates the parquet originals the staged file was rendered
     // from
@@ -10460,6 +10632,81 @@ FROM n, vxy, vxx, vyy"""
         |    ROUND(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
         |  END AS eta_sq
         |FROM ss""".stripMargin,
+
+    // Bradley–Terry MM, all 3 rounds unrolled (MATERIALIZED — every
+    // round reads sym + the previous strengths twice); each pair term
+    // is ONE round-6 double division summed exactly as DECIMAL(28,6)
+    "a78_bradley_terry" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |pr AS (
+        |  SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
+        |           ELSE b.source END AS w,
+        |         CASE WHEN a.n_chars >= b.n_chars THEN b.source
+        |           ELSE a.source END AS l
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |  UNION ALL
+        |  SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
+        |           ELSE b.source END AS w,
+        |         CASE WHEN a.n_chars >= b.n_chars THEN b.source
+        |           ELSE a.source END AS l
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 3),
+        |cells AS MATERIALIZED (
+        |  SELECT w, l, COUNT(*) AS wn FROM pr WHERE w <> l
+        |  GROUP BY 1, 2),
+        |sym AS MATERIALIZED (
+        |  SELECT i, j, CAST(SUM(wij) AS BIGINT) AS wij,
+        |    CAST(SUM(wij) + SUM(wji) AS BIGINT) AS nij
+        |  FROM (
+        |    SELECT w AS i, l AS j, wn AS wij, 0 AS wji FROM cells
+        |    UNION ALL
+        |    SELECT l AS i, w AS j, 0 AS wij, wn AS wji FROM cells)
+        |  GROUP BY 1, 2),
+        |tot AS MATERIALIZED (
+        |  SELECT i, CAST(SUM(wij) AS BIGINT) AS wins,
+        |    CAST(SUM(nij) AS BIGINT) AS games
+        |  FROM sym GROUP BY 1),
+        |p0 AS MATERIALIZED (
+        |  SELECT i, CAST(1.0 AS DOUBLE) AS p FROM tot),
+        |t1 AS (
+        |  SELECT s.i, SUM(CAST(ROUND(
+        |      CAST(s.nij AS DOUBLE) / (pi.p + pj.p), 6)
+        |    AS DECIMAL(28,6))) AS den
+        |  FROM sym s JOIN p0 pi ON pi.i = s.i
+        |    JOIN p0 pj ON pj.i = s.j
+        |  GROUP BY 1),
+        |p1 AS MATERIALIZED (
+        |  SELECT t1.i, ROUND(CAST(tot.wins AS DOUBLE)
+        |    / CAST(t1.den AS DOUBLE), 6) AS p
+        |  FROM t1 JOIN tot USING (i)),
+        |t2 AS (
+        |  SELECT s.i, SUM(CAST(ROUND(
+        |      CAST(s.nij AS DOUBLE) / (pi.p + pj.p), 6)
+        |    AS DECIMAL(28,6))) AS den
+        |  FROM sym s JOIN p1 pi ON pi.i = s.i
+        |    JOIN p1 pj ON pj.i = s.j
+        |  GROUP BY 1),
+        |p2 AS MATERIALIZED (
+        |  SELECT t2.i, ROUND(CAST(tot.wins AS DOUBLE)
+        |    / CAST(t2.den AS DOUBLE), 6) AS p
+        |  FROM t2 JOIN tot USING (i)),
+        |t3 AS (
+        |  SELECT s.i, SUM(CAST(ROUND(
+        |      CAST(s.nij AS DOUBLE) / (pi.p + pj.p), 6)
+        |    AS DECIMAL(28,6))) AS den
+        |  FROM sym s JOIN p2 pi ON pi.i = s.i
+        |    JOIN p2 pj ON pj.i = s.j
+        |  GROUP BY 1),
+        |p3 AS MATERIALIZED (
+        |  SELECT t3.i, ROUND(CAST(tot.wins AS DOUBLE)
+        |    / CAST(t3.den AS DOUBLE), 6) AS p
+        |  FROM t3 JOIN tot USING (i)),
+        |sumr AS (
+        |  SELECT SUM(CAST(p AS DECIMAL(18,6))) AS sp FROM p3)
+        |SELECT p3.i AS player, tot.wins, tot.games, p3.p AS strength,
+        |  ROUND(p3.p / CAST(sumr.sp AS DOUBLE), 6) AS share
+        |FROM p3 JOIN tot USING (i), sumr""".stripMargin,
 
     // pairable units only (m ≥ 2); per-unit disagreement one rounded
     // chain summed exactly; D_o/D_e/α one fixed chain each

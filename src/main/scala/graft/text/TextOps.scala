@@ -1913,4 +1913,130 @@ object TextOps {
         col("intercept").as("heaps_log_k"), col("r2"),
         col("vocab"), col("total_tokens"))
   }
+
+  /** Per-(doc, order) n-gram counts of a token-array column — the
+    * shared substrate of [[bleuCorpus]] and [[rougeN]]. One corpus
+    * scan: the order list explodes FIRST (cheap — `maxOrders` rows per
+    * doc), then each (doc, order) row explodes its gram list, then one
+    * (doc, order, gram) hash agg. Output columns: idCol, `ord`,
+    * `gram`, `cnt`. Docs shorter than `ord` produce no rows for that
+    * order (explode of an empty array drops the row) — absence, not a
+    * zero, on BOTH engines. The `slice` bound is guarded (`if`) so the
+    * empty case never builds `sequence(1, 0)` (whose inferred step -1
+    * yields [1, 0] — the r13 sequence gotcha). */
+  private def gramCounts(df: DataFrame, idCol: String, toksCol: Column,
+                         orders: Seq[Int]): DataFrame =
+    df.select(col(idCol), toksCol.as("__a"))
+      .select(col(idCol),
+        explode(lit(orders.toArray)).as("ord"), col("__a"))
+      .select(col(idCol), col("ord"), explode(expr(
+        "if(size(__a) >= ord, transform(sequence(1, size(__a) - ord + 1)," +
+          " i -> array_join(slice(__a, i, ord), ' ')), array())"))
+        .as("gram"))
+      .groupBy(col(idCol), col("ord"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Corpus-level BLEU-`maxN` (Papineni et al. 2002) of a candidate
+    * text column against a reference text column — the standard
+    * generation-eval metric, computed relationally: per-order CLIPPED
+    * n-gram matches (Σ min(cand count, ref count) over the corpus, an
+    * exact integer) over candidate totals, geometric mean via
+    * exp(mean ln) — ln/exp is the proven cross-engine libm surface;
+    * `pow(x, 0.25)` is not — and the brevity penalty
+    * exp(1 − r/c) on exact BIGINT token totals (BIGINT→DOUBLE is
+    * always parity-safe). Any zero per-order match short-circuits to
+    * bleu = 0 (the undefined-ln guard, and the metric's definition).
+    *
+    * Scale shape: one corpus scan per side into (doc, ord, gram)
+    * hash aggs, one (doc, ord, gram)-keyed equi-join, then everything
+    * collapses to a `maxN`-row frame — the only wide exchange is the
+    * gram join, linear in corpus n-gram volume. Whitespace tokens
+    * (the [[tokens]] contract both engines share).
+    *
+    * @return ONE row: m1..m{maxN} (clipped matches), t1..t{maxN}
+    *         (candidate totals) as exact longs, cand_len, ref_len,
+    *         bp, bleu (round-6 doubles) */
+  def bleuCorpus(df: DataFrame, idCol: String, candCol: Column,
+                 refCol: Column, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1, "maxN must be >= 1")
+    val orders = 1 to maxN
+    val base = df.select(col(idCol), candCol.as("__cand"),
+      refCol.as("__ref"))
+    val c = gramCounts(base, idCol, tokens(col("__cand")), orders)
+      .withColumnRenamed("cnt", "cc")
+    val r = gramCounts(base, idCol, tokens(col("__ref")), orders)
+      .withColumnRenamed("cnt", "rc")
+    val perOrd = c.join(r, Seq(idCol, "ord", "gram"), "left")
+      .groupBy(col("ord"))
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
+          .cast("long").as("m"),
+        sum(col("cc")).cast("long").as("t"))
+    val lens = base.agg(
+      sum(size(tokens(col("__cand"))).cast("long")).as("cand_len"),
+      sum(size(tokens(col("__ref"))).cast("long")).as("ref_len"))
+    // maxN rows -> one: the pivot is a constant-width agg
+    val aggCols = orders.flatMap(n => Seq(
+      max(when(col("ord") === n, col("m"))).as(s"m$n"),
+      max(when(col("ord") === n, col("t"))).as(s"t$n")))
+    val wide = perOrd.groupBy().agg(aggCols.head, aggCols.tail: _*)
+    val anyZero = orders
+      .map(n => coalesce(col(s"m$n"), lit(0L)) === 0L)
+      .reduce(_ || _)
+    val lnSum = orders
+      .map(n => log(col(s"m$n").cast("double")) -
+        log(col(s"t$n").cast("double")))
+      .reduce(_ + _)
+    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") /
+        col("cand_len").cast("double")))
+    wide.crossJoin(broadcast(lens))
+      .select((orders.flatMap(n => Seq(col(s"m$n"), col(s"t$n"))) ++ Seq(
+        col("cand_len"), col("ref_len"), round(bp, 6).as("bp"),
+        when(anyZero, lit(0.0))
+          .otherwise(round(bp * exp(lnSum / maxN), 6)).as("bleu"))): _*)
+  }
+
+  /** Per-document ROUGE-n (Lin 2004) of a candidate text column
+    * against a reference: clipped n-gram matches per doc, precision
+    * m/t_cand, recall m/t_ref, and F1 as the EXACT fraction
+    * 2m/(t_cand + t_ref) (algebraically equal to 2PR/(P+R) — one
+    * integer ratio, one rounding, no compound double chain). Rows are
+    * defined by the CANDIDATE gram frame (both engines derive the
+    * same row set); a doc shorter than `ord` on the candidate side
+    * has no row for that order.
+    *
+    * Scale shape: the [[bleuCorpus]] join substrate with the final
+    * agg keyed per (doc, ord) instead of per ord — output is
+    * docs × orders rows, every stage linear. */
+  def rougeN(df: DataFrame, idCol: String, candCol: Column,
+             refCol: Column, orders: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(orders.nonEmpty && orders.forall(_ >= 1))
+    val base = df.select(col(idCol), candCol.as("__cand"),
+      refCol.as("__ref"))
+    val c = gramCounts(base, idCol, tokens(col("__cand")), orders)
+      .withColumnRenamed("cnt", "cc")
+    val r = gramCounts(base, idCol, tokens(col("__ref")), orders)
+      .withColumnRenamed("cnt", "rc")
+    val refTot = r.groupBy(col(idCol), col("ord"))
+      .agg(sum(col("rc")).cast("long").as("n_ref"))
+    c.join(r, Seq(idCol, "ord", "gram"), "left")
+      .groupBy(col(idCol), col("ord"))
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
+          .cast("long").as("n_match"),
+        sum(col("cc")).cast("long").as("n_cand"))
+      .join(refTot, Seq(idCol, "ord"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      // long `ord` in the OUTPUT (cross-engine dtype contract: range()
+      // is BIGINT in DuckDB); int internally, where slice() needs it
+      .select(col(idCol), col("ord").cast("long").as("ord"),
+        col("n_match"), col("n_cand"),
+        col("n_ref"),
+        round(col("n_match").cast("double") /
+          col("n_cand").cast("double"), 6).as("precision"),
+        when(col("n_ref") === 0L, lit(0.0))
+          .otherwise(round(col("n_match").cast("double") /
+            col("n_ref").cast("double"), 6)).as("recall"),
+        round(lit(2.0) * col("n_match").cast("double") /
+          (col("n_cand") + col("n_ref")).cast("double"), 6).as("f1"))
+  }
 }

@@ -637,6 +637,17 @@ object ScaleSweep {
       // one tokenize-explode + term hash agg + a single-row agg
       "t_vocab_coverage" -> (d =>
         SparkEntry.queries("t_vocab_coverage")(spark, d).count()),
+      // (doc, ord, gram) aggs both sides + one gram-keyed join,
+      // collapsing to a 4-row frame — linear in n-gram volume
+      "t_bleu" -> (d =>
+        SparkEntry.queries("t_bleu")(spark, d).count()),
+      // same substrate, agg keyed per (doc, ord)
+      "t_rouge" -> (d =>
+        SparkEntry.queries("t_rouge")(spark, d).count()),
+      // two id-shifted corpus joins to judgments, ONE cells hash agg,
+      // then MM rounds on the players-sized frame only
+      "a78_bradley_terry" -> (d =>
+        SparkEntry.queries("a78_bradley_terry")(spark, d).count()),
       // one explode, two hash aggs; curve-sized Prefix + OLS after
       "t_heaps" -> (d =>
         SparkEntry.queries("t_heaps")(spark, d).count()),

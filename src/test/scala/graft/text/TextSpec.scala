@@ -1454,4 +1454,63 @@ class TextSpec extends SparkSpec {
     assert(got.getLong(0) == 3L)
     assert(got.getLong(4) == 3L && got.getLong(5) == 3L)
   }
+
+  test("bleuCorpus: identical text scores 1; a pure-prefix candidate " +
+    "scores exactly the brevity penalty; any zero-match order kills " +
+    "the geometric mean to 0") {
+    def bleu(pairs: Seq[(Long, String, String)]) =
+      TextOps.bleuCorpus(pairs.toDF("id", "cand", "ref"), "id",
+        col("cand"), col("ref")).collect().head
+    val same = bleu(Seq((1L, "a b c d e", "a b c d e")))
+    assert(same.getAs[Double]("bleu") == 1.0 &&
+      same.getAs[Double]("bp") == 1.0)
+    assert(same.getAs[Long]("m4") == 2L && same.getAs[Long]("t4") == 2L)
+    // candidate = reference minus its last token: every candidate
+    // n-gram matches (p_n = 1), so bleu == bp == exp(1 - 5/4)
+    val pref = bleu(Seq((1L, "a b c d", "a b c d e")))
+    assert(pref.getAs[Double]("bp") == 0.778801)
+    assert(pref.getAs[Double]("bleu") == 0.778801)
+    // shared unigrams but no shared 4-gram -> bleu 0, exact zero
+    val zero = bleu(Seq((1L, "a x b y c z d", "a b c d e f g")))
+    assert(zero.getAs[Long]("m4") == 0L)
+    assert(zero.getAs[Double]("bleu") == 0.0)
+  }
+
+  test("bleuCorpus: clipping caps a repeated candidate gram at its " +
+    "reference count, and matches sum over the corpus (not per doc)") {
+    val out = TextOps.bleuCorpus(Seq(
+      (1L, "the the the", "the cat"), // m1 clipped to 1 of 3
+      (2L, "big dog", "big dog")      // m1 = 2 of 2
+    ).toDF("id", "cand", "ref"), "id", col("cand"), col("ref"))
+      .collect().head
+    assert(out.getAs[Long]("m1") == 3L && out.getAs[Long]("t1") == 5L)
+    assert(out.getAs[Long]("cand_len") == 5L &&
+      out.getAs[Long]("ref_len") == 4L)
+    // corpus has a zero 3-gram order (no doc has 3 candidate tokens
+    // matching) -> bleu 0 despite nonzero unigram overlap
+    assert(out.getAs[Double]("bleu") == 0.0)
+  }
+
+  test("rougeN: clipped precision/recall and the exact-fraction F1 " +
+    "(2m/(ct+rt)); a 1-token candidate has no ord-2 row") {
+    val out = TextOps.rougeN(Seq(
+      (1L, "the the the", "the cat"),
+      (2L, "solo", "solo ref here")
+    ).toDF("id", "cand", "ref"), "id", col("cand"), col("ref"))
+      .collect().map(r => ((r.getAs[Long]("id"), r.getAs[Long]("ord")),
+        r)).toMap
+    val r11 = out((1L, 1L))
+    assert(r11.getAs[Long]("n_match") == 1L)     // 'the' clipped to 1
+    assert(r11.getAs[Double]("precision") == 0.333333)
+    assert(r11.getAs[Double]("recall") == 0.5)
+    assert(r11.getAs[Double]("f1") == 0.4)       // 2·1/(3+2), one div
+    val r12 = out((1L, 2L))
+    assert(r12.getAs[Long]("n_match") == 0L &&   // 'the the' ∉ ref
+      r12.getAs[Double]("f1") == 0.0)
+    assert(out.contains((2L, 1L)) && !out.contains((2L, 2L)),
+      "a 1-token candidate must have no bigram row")
+    val r21 = out((2L, 1L))
+    assert(r21.getAs[Double]("recall") == 0.333333 &&
+      r21.getAs[Double]("precision") == 1.0)
+  }
 }

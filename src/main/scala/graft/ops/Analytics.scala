@@ -1399,4 +1399,77 @@ object Analytics {
       round(col("__c_test").cast("double") /
         col("__n_test").cast("double"), 6).as("test_acc"): _*)
   }
+  /** Bradley–Terry strengths from pairwise outcomes — the standard
+    * aggregation of pairwise preference judgments (model A beat model
+    * B) into a per-player strength ranking (Bradley & Terry 1952;
+    * what LLM-eval arenas compute batch-side; Elo is its
+    * order-DEPENDENT online cousin and has no deterministic batch
+    * form, so the batch op is BT). `iters` rounds of the MM update
+    * (Hunter 2004): p_i ← W_i / Σ_j n_ij/(p_i + p_j) from p = 1,
+    * SYNCHRONOUS (every round reads the previous round's strengths),
+    * fixed round budget — extra rounds on a converged state are
+    * no-ops, the unrolled-oracle contract.
+    *
+    * Determinism/parity: each pair term n_ij/(p_i+p_j) is ONE double
+    * division rounded to 6 dp, summed EXACTLY as decimal(28,6)
+    * (shuffle/visit order cannot move the sum); the strength update
+    * and the final share are each one rounded double division off
+    * exact operands (denominator unscaled value stays far under 2⁵³,
+    * the decimal→double boundary).
+    *
+    * Scale shape: the corpus of judgments collapses ONCE into the
+    * (winner, loser) cells frame (one hash agg, map-side combined);
+    * every MM round then runs on cells joined to the players-sized
+    * strengths frame (broadcast both ways) — iters × cells-frame
+    * work, the corpus is never rescanned.
+    *
+    * @param pairs one row per judgment: `winnerCol` beat `loserCol`
+    * @return one row per player: wins, games, strength (round-6),
+    *         share (strength / Σ strengths, round-6) */
+  def bradleyTerry(pairs: DataFrame, winnerCol: String,
+                   loserCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val w = pairs
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).as("__a"), col(loserCol).as("__b"))
+      .agg(count(lit(1)).as("__w"))
+    // symmetric games frame: n_ij as (i, j) AND (j, i); per-player
+    // wins/games ride along so no second corpus pass is ever needed
+    val sym = w.select(col("__a").as("__i"), col("__b").as("__j"),
+        col("__w").as("__wij"), lit(0L).as("__wji"))
+      .unionByName(w.select(col("__b").as("__i"), col("__a").as("__j"),
+        lit(0L).as("__wij"), col("__w").as("__wji")))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__wij")).as("__wij"),
+        (sum(col("__wij")) + sum(col("__wji"))).as("__nij"))
+    val totals = sym.groupBy(col("__i"))
+      .agg(sum(col("__wij")).cast("long").as("wins"),
+        sum(col("__nij")).cast("long").as("games"))
+    val p0 = totals.select(col("__i"), lit(1.0).as("__p"))
+    val pFinal = (1 to iters).foldLeft(p0) { (p, _) =>
+      val term = sym
+        .join(p.select(col("__i"), col("__p").as("__pi")), Seq("__i"))
+        .join(p.select(col("__i").as("__j"), col("__p").as("__pj")),
+          Seq("__j"))
+        .select(col("__i"),
+          round(col("__nij").cast("double") /
+            (col("__pi") + col("__pj")), 6)
+            .cast("decimal(28,6)").as("__t"))
+        .groupBy(col("__i")).agg(sum(col("__t")).as("__den"))
+      term.join(totals.select(col("__i"), col("wins")), Seq("__i"))
+        .select(col("__i"),
+          round(col("wins").cast("double") /
+            col("__den").cast("double"), 6).as("__p"))
+    }
+    // share denominator: round-6 doubles cast to decimal(18,6) are
+    // exact, so the players-frame sum is order-invariant
+    val tot = pFinal.agg(
+      sum(col("__p").cast("decimal(18,6)")).as("__sum"))
+    pFinal.join(totals, Seq("__i"))
+      .crossJoin(broadcast(tot))
+      .select(col("__i").as("player"), col("wins"), col("games"),
+        col("__p").as("strength"),
+        round(col("__p") / col("__sum").cast("double"), 6).as("share"))
+  }
 }

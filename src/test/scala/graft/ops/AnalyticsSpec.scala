@@ -728,4 +728,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(rep == ((1L, 2L, 768941L, 768941L, 1.0, 0.5)),
       rep.toString)
   }
+
+  test("bradleyTerry: two players at 3-1 converge to the exact 3:1 " +
+    "strength ratio; shares sum to 1") {
+    val pairs = (Seq.fill(3)(("A", "B")) :+ (("B", "A")))
+      .toDF("winner", "loser")
+    val out = Analytics.bradleyTerry(pairs, "winner", "loser", iters = 3)
+      .collect().map(r => r.getAs[String]("player") -> r).toMap
+    val a = out("A"); val b = out("B")
+    assert(a.getAs[Long]("wins") == 3L && a.getAs[Long]("games") == 4L)
+    assert(b.getAs[Long]("wins") == 1L && b.getAs[Long]("games") == 4L)
+    // MM round 1 from p=1: den = round(4/2) = 2 -> p_A = 1.5,
+    // p_B = 0.5; rounds 2-3 are fixpoint no-ops (the unrolled-oracle
+    // contract: extra rounds on a converged state change nothing)
+    assert(a.getAs[Double]("strength") == 1.5 &&
+      b.getAs[Double]("strength") == 0.5)
+    assert(a.getAs[Double]("share") == 0.75 &&
+      b.getAs[Double]("share") == 0.25)
+  }
+
+  test("bradleyTerry: a zero-win player sinks to strength 0 (the MLE " +
+    "boundary), and a transitive 3-cycle-free tournament ranks " +
+    "players in dominance order") {
+    val shut = Analytics.bradleyTerry(
+      Seq(("A", "B"), ("A", "B")).toDF("w", "l"), "w", "l", iters = 3)
+      .collect().map(r => r.getAs[String]("player") ->
+        (r.getAs[Double]("strength"), r.getAs[Double]("share"))).toMap
+    assert(shut("B") == ((0.0, 0.0)) && shut("A")._2 == 1.0)
+    val chain = Analytics.bradleyTerry(
+      Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"), ("A", "C"),
+        ("C", "A")).toDF("w", "l"), "w", "l", iters = 3)
+      .collect().map(r => r.getAs[String]("player") ->
+        r.getAs[Double]("strength")).toMap
+    assert(chain("A") > chain("B") && chain("B") > chain("C"),
+      chain.toString)
+  }
+
+  test("bradleyTerry: self-pairs and null players are dropped; the " +
+    "corpus collapses to cells before any iteration work") {
+    val out = Analytics.bradleyTerry(
+      Seq(("A", "A"), ("A", null), (null, "B"), ("A", "B"))
+        .toDF("w", "l"), "w", "l", iters = 2)
+      .collect().map(r => r.getAs[String]("player") ->
+        r.getAs[Long]("games")).toMap
+    assert(out == Map("A" -> 1L, "B" -> 1L))
+  }
 }

@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * session via GraftExtensions, but the operator LIBRARY (sessionize,
   * funnel, as-of join, dedup, resample, near-dup) was DSL-only — a
   * JDBC/BI analyst could not call it. These are the flagship
-  * operators (30 as of r14: + HLL, phash/simhash near-dup, KS drift,
+  * operators (32 as of r15: + HLL, phash/simhash near-dup, KS drift,
   * blocked Fellegi–Sunter linkage, MMR re-rank, the r13 stats wave,
-  * and the r14 capstone blocked dataset)
+  * the r14 capstone blocked dataset, and the r15 ROUGE /
+  * Bradley–Terry eval pair)
   * re-expressed as Spark 4 SQL TABLE FUNCTIONS
   * (`CREATE FUNCTION ... RETURNS TABLE ... RETURN <query>`): pure SQL
   * text an analyst can paste into ANY connection (beeline, hive-jdbc,
@@ -1369,7 +1370,154 @@ v$r AS (
          |    WHEN pmod(pmod(pmod(r.user_id, 2147483647L)
          |      * 2654435761L, 2147483647L), 100) < 90 THEN 'val'
          |    ELSE 'test' END AS split
-         |FROM r JOIN lbl USING (user_id)""".stripMargin
+         |FROM r JOIN lbl USING (user_id)""".stripMargin,
+
+    // -- per-doc ROUGE-1/2 (r15): candidate = documents.text with
+    // every drop_every-th token removed (the library demo's
+    // construction, knob exposed); clipped n-gram overlap off ONE
+    // (doc, ord, gram) agg per side + one gram-keyed join; F1 is the
+    // exact fraction 2m/(ct+rt), one rounding — TextOps.rougeN's plan
+    // shape verbatim.
+    "graft_rouge" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_rouge(drop_every BIGINT)
+         |RETURNS TABLE (doc_id BIGINT, ord BIGINT, n_match BIGINT,
+         |               n_cand BIGINT, n_ref BIGINT, precision DOUBLE,
+         |               recall DOUBLE, f1 DOUBLE)
+         |RETURN
+         |WITH d AS (
+         |  SELECT doc_id,
+         |    filter(split(trim(text), '\\\\s+'), x -> x <> '') AS ra
+         |  FROM ${prefix}documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |dc AS (
+         |  SELECT doc_id, ra,
+         |    filter(ra, (x, i) ->
+         |      (i + 1L) % graft_rouge.drop_every <> 0L) AS ca
+         |  FROM d),
+         |cg AS (
+         |  SELECT doc_id, ord, gram, COUNT(*) AS cc FROM (
+         |    SELECT doc_id, ord, explode(if(size(ca) >= ord,
+         |      transform(sequence(1, size(ca) - ord + 1),
+         |        i -> array_join(slice(ca, i, ord), ' ')),
+         |      array())) AS gram
+         |    FROM (SELECT doc_id, ca, explode(array(1, 2)) AS ord
+         |          FROM dc))
+         |  GROUP BY 1, 2, 3),
+         |rg AS (
+         |  SELECT doc_id, ord, gram, COUNT(*) AS rc FROM (
+         |    SELECT doc_id, ord, explode(if(size(ra) >= ord,
+         |      transform(sequence(1, size(ra) - ord + 1),
+         |        i -> array_join(slice(ra, i, ord), ' ')),
+         |      array())) AS gram
+         |    FROM (SELECT doc_id, ra, explode(array(1, 2)) AS ord
+         |          FROM d))
+         |  GROUP BY 1, 2, 3),
+         |rt AS (
+         |  SELECT doc_id, ord, CAST(SUM(rc) AS BIGINT) AS n_ref
+         |  FROM rg GROUP BY 1, 2),
+         |pm AS (
+         |  SELECT cg.doc_id, cg.ord,
+         |    CAST(SUM(LEAST(cg.cc, COALESCE(rg.rc, 0L))) AS BIGINT)
+         |      AS n_match,
+         |    CAST(SUM(cg.cc) AS BIGINT) AS n_cand
+         |  FROM cg LEFT JOIN rg ON rg.doc_id = cg.doc_id
+         |    AND rg.ord = cg.ord AND rg.gram = cg.gram
+         |  GROUP BY 1, 2)
+         |SELECT pm.doc_id, CAST(pm.ord AS BIGINT) AS ord, pm.n_match,
+         |  pm.n_cand, COALESCE(rt.n_ref, 0L) AS n_ref,
+         |  ROUND(CAST(pm.n_match AS DOUBLE)
+         |    / CAST(pm.n_cand AS DOUBLE), 6) AS precision,
+         |  CASE WHEN COALESCE(rt.n_ref, 0L) = 0L THEN 0.0D
+         |    ELSE ROUND(CAST(pm.n_match AS DOUBLE)
+         |      / CAST(rt.n_ref AS DOUBLE), 6) END AS recall,
+         |  ROUND(2.0D * CAST(pm.n_match AS DOUBLE)
+         |    / CAST(pm.n_cand + COALESCE(rt.n_ref, 0L) AS DOUBLE), 6)
+         |    AS f1
+         |FROM pm LEFT JOIN rt ON rt.doc_id = pm.doc_id
+         |  AND rt.ord = pm.ord""".stripMargin,
+
+    // -- Bradley–Terry strengths (r15): pairwise judgments (doc i vs
+    // docs i+off1 and i+off2, longer n_chars wins) -> per-source
+    // strengths via 3 synchronous MM rounds on the cells frame;
+    // round-6 terms summed exactly as DECIMAL(28,6) —
+    // Analytics.bradleyTerry's numerics verbatim.
+    "graft_bradley_terry" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_bradley_terry(
+         |  off1 BIGINT, off2 BIGINT)
+         |RETURNS TABLE (player STRING, wins BIGINT, games BIGINT,
+         |               strength DOUBLE, share DOUBLE)
+         |RETURN
+         |WITH d AS (
+         |  SELECT doc_id, source, n_chars FROM ${prefix}documents
+         |  WHERE doc_id IS NOT NULL),
+         |pr AS (
+         |  SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
+         |           ELSE b.source END AS w,
+         |         CASE WHEN a.n_chars >= b.n_chars THEN b.source
+         |           ELSE a.source END AS l
+         |  FROM d a JOIN d b
+         |    ON b.doc_id = a.doc_id + graft_bradley_terry.off1
+         |  UNION ALL
+         |  SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
+         |           ELSE b.source END AS w,
+         |         CASE WHEN a.n_chars >= b.n_chars THEN b.source
+         |           ELSE a.source END AS l
+         |  FROM d a JOIN d b
+         |    ON b.doc_id = a.doc_id + graft_bradley_terry.off2),
+         |cells AS (
+         |  SELECT w, l, COUNT(*) AS wn FROM pr WHERE w <> l
+         |  GROUP BY 1, 2),
+         |sym AS (
+         |  SELECT i, j, CAST(SUM(wij) AS BIGINT) AS wij,
+         |    CAST(SUM(wij) + SUM(wji) AS BIGINT) AS nij
+         |  FROM (
+         |    SELECT w AS i, l AS j, wn AS wij, 0L AS wji FROM cells
+         |    UNION ALL
+         |    SELECT l AS i, w AS j, 0L AS wij, wn AS wji FROM cells)
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT i, CAST(SUM(wij) AS BIGINT) AS wins,
+         |    CAST(SUM(nij) AS BIGINT) AS games
+         |  FROM sym GROUP BY 1),
+         |p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM tot),
+         |t1 AS (
+         |  SELECT s.i, SUM(CAST(ROUND(
+         |      CAST(s.nij AS DOUBLE) / (pi.p + pj.p), 6)
+         |    AS DECIMAL(28,6))) AS den
+         |  FROM sym s JOIN p0 pi ON pi.i = s.i
+         |    JOIN p0 pj ON pj.i = s.j
+         |  GROUP BY 1),
+         |p1 AS (
+         |  SELECT t1.i, ROUND(CAST(tot.wins AS DOUBLE)
+         |    / CAST(t1.den AS DOUBLE), 6) AS p
+         |  FROM t1 JOIN tot USING (i)),
+         |t2 AS (
+         |  SELECT s.i, SUM(CAST(ROUND(
+         |      CAST(s.nij AS DOUBLE) / (pi.p + pj.p), 6)
+         |    AS DECIMAL(28,6))) AS den
+         |  FROM sym s JOIN p1 pi ON pi.i = s.i
+         |    JOIN p1 pj ON pj.i = s.j
+         |  GROUP BY 1),
+         |p2 AS (
+         |  SELECT t2.i, ROUND(CAST(tot.wins AS DOUBLE)
+         |    / CAST(t2.den AS DOUBLE), 6) AS p
+         |  FROM t2 JOIN tot USING (i)),
+         |t3 AS (
+         |  SELECT s.i, SUM(CAST(ROUND(
+         |      CAST(s.nij AS DOUBLE) / (pi.p + pj.p), 6)
+         |    AS DECIMAL(28,6))) AS den
+         |  FROM sym s JOIN p2 pi ON pi.i = s.i
+         |    JOIN p2 pj ON pj.i = s.j
+         |  GROUP BY 1),
+         |p3 AS (
+         |  SELECT t3.i, ROUND(CAST(tot.wins AS DOUBLE)
+         |    / CAST(t3.den AS DOUBLE), 6) AS p
+         |  FROM t3 JOIN tot USING (i)),
+         |sumr AS (
+         |  SELECT SUM(CAST(p AS DECIMAL(18,6))) AS sp FROM p3)
+         |SELECT p3.i AS player, tot.wins, tot.games, p3.p AS strength,
+         |  ROUND(p3.p / CAST(sumr.sp AS DOUBLE), 6) AS share
+         |FROM p3 JOIN tot USING (i), sumr""".stripMargin
   )
 
   /** Run every recipe's DDL on the session (idempotent — CREATE OR

@@ -99,7 +99,14 @@ object PlanDump {
       "dataset: ALL channels LOCF onto the grid in ONE encounter-" +
       "keyed window pass (the multi-channel as-of union), and the " +
       "rolling window REUSES that exchange+sort; label join " +
-      "broadcasts — no per-channel grid-sized shuffles"))
+      "broadcasts — no per-channel grid-sized shuffles"),
+    "t_bleu" -> ("corpus BLEU-4: one (doc, ord, gram) hash agg per " +
+      "side + ONE gram-keyed equi-join, collapsing to a 4-row frame " +
+      "— never a doc×doc product; clipped matches stay exact longs"),
+    "a78_bradley_terry" -> ("Bradley–Terry: judgments collapse ONCE " +
+      "to the (winner, loser) cells frame; every MM round is cells × " +
+      "BROADCAST strengths — the corpus never rescans, no iteration " +
+      "shuffle growth"))
 
   /** Ops with no SparkEntry.queries surface whose plan still backs a
     * scale claim (built directly against the sf tables). */

@@ -522,4 +522,38 @@ class SqlRecipesSpec extends SparkSpec {
     assert(viaSql == viaDsl && viaSql.nonEmpty,
       s"sql=${viaSql.size} dsl=${viaDsl.size}")
   }
+
+  test("graft_rouge == TextOps.rougeN (same drop-every-7th candidate, " +
+    "clipped counts, exact-fraction F1)") {
+    ready()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "ord", "n_match", "n_cand", "n_ref",
+        "precision", "recall", "f1")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    val viaSql = canon(spark.sql("SELECT * FROM graft_rouge(7)"))
+    val toks = text.TextOps.tokens(col("text"))
+    val cand = array_join(
+      filter(toks, (tk, i) => ((i + lit(1)) % 7) =!= 0), " ")
+    val viaDsl = canon(text.TextOps.rougeN(
+      Tables.load(spark, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull),
+      "doc_id", cand, col("text")))
+    assert(viaSql == viaDsl && viaSql.nonEmpty,
+      s"sql=${viaSql.size} dsl=${viaDsl.size}")
+  }
+
+  test("graft_bradley_terry == Analytics.bradleyTerry over the same " +
+    "id-offset judgments (MM rounds, exact-decimal term sums)") {
+    ready()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("player", "wins", "games", "strength", "share")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val viaSql = canon(
+      spark.sql("SELECT * FROM graft_bradley_terry(1, 3)"))
+    val viaDsl = canon(
+      SparkEntry.queries("a78_bradley_terry")(spark, dir))
+    assert(viaSql == viaDsl && viaSql.nonEmpty,
+      s"sql=${viaSql.size} dsl=${viaDsl.size}")
+  }
 }

@@ -4802,6 +4802,63 @@ object SparkEntry {
         col("click_id") < 0)
     }),
 
+    // ---- streaming: FULL OUTER stream-stream interval join — the
+    // join matrix's last cell (inner s_stream_join, left outer
+    // s_stream_join_outer): clicks with their within-1h purchase,
+    // PLUS unmatched rows from BOTH sides once the watermark proves
+    // no partner can arrive. Same sentinel-pair staging (each batch
+    // carries one click + one purchase, so both inputs' watermarks
+    // advance together); the drain filter removes sentinel rows from
+    // either side null-safely. Oracle == the batch FULL JOIN. ----
+    "s_stream_join_full" -> ((s, dir) => {
+      val in = stagedOuterEventsDir.getOrElseUpdate(dir, {
+        // identical staging to s_stream_join_outer (shared cache key)
+        val tmp = tempDir("graft_sjo")
+        val e = t(s, dir, "events")
+        val maxMs = e.agg(max(col("ts"))).head().get(0) match {
+          case ts: java.sql.Timestamp      => ts.getTime
+          case dt: java.time.LocalDateTime =>
+            java.sql.Timestamp.valueOf(dt).getTime
+        }
+        val tsType = e.schema("ts").dataType
+        def sentinels(ids: (Long, Long), offsetDays: Long) = {
+          def one(id: Long, et: String) = e.limit(1).select(
+            lit(id).as("event_id"),
+            lit(new java.sql.Timestamp(maxMs + offsetDays * 86400 * 1000))
+              .cast(tsType).as("ts"),
+            lit(-1L).as("user_id"), lit(et).as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          one(ids._1, "click").unionByName(one(ids._2, "purchase"))
+        }
+        val inDir = s"$tmp/in"
+        e.coalesce(1).write.mode("overwrite").parquet(inDir)
+        graft.streaming.EventStreams.stageDrainBatches(inDir,
+          Seq(sentinels((-1L, -2L), 30), sentinels((-3L, -4L), 31)))
+        inDir
+      })
+      val ckpt = ckptDir("graft_sjf_ck")
+      val opts = Map("maxFilesPerTrigger" -> "1")
+      val clicks = graft.streaming.EventStreams
+        .readStream(s, in, options = opts)
+        .filter(col("event_type") === "click")
+      val purchases = graft.streaming.EventStreams
+        .readStream(s, in, options = opts)
+        .filter(col("event_type") === "purchase")
+      val joined = graft.streaming.EventStreams
+        .intervalJoinStreamsFull(clicks, purchases, "user_id", "ts",
+          within = "1 HOUR", watermark = "2 hours")
+        .select(col("l.event_id").as("click_id"),
+          col("r.event_id").as("purchase_id"),
+          coalesce(col("l.user_id"), col("r.user_id")).as("user_id"))
+      // either side's sentinel id marks a drain row; the predicate is
+      // null on half-open rows and drainTail keeps those (null-safe)
+      graft.streaming.EventStreams.drainTail(
+        runDrain(
+          joined, queryName = s"sjf_${System.nanoTime()}",
+          checkpoint = s"$ckpt/ckpt"),
+        col("click_id") < 0 || col("purchase_id") < 0)
+    }),
+
     // ---- §2.1 JSONL sink + scan roundtrip — one JSON object per line,
     // THE interchange format of LLM corpus pipelines; the read binds an
     // explicit schema (no inference scan) and the agg must reproduce
@@ -13886,6 +13943,17 @@ v$r AS MATERIALIZED (
         |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |WHERE c.event_type = 'click'""".stripMargin,
+
+    // batch FULL JOIN ground truth: both type filters must move into
+    // the join INPUTS (a WHERE on either side would drop that side's
+    // unmatched null rows — the full-outer discipline)
+    "s_stream_join_full" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  COALESCE(c.user_id, p.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
 
     "s_stream_enrich" ->
       """SELECT n_name, COUNT(*) AS n,

@@ -1140,6 +1140,26 @@ object EventStreams {
         s"r.$tsCol <= l.$tsCol + INTERVAL $within"), "left_outer")
   }
 
+  /** FULL OUTER stream-stream interval join — completes the streaming
+    * join matrix (inner / left outer / full outer): matched pairs
+    * emit immediately; UNMATCHED rows from EITHER side emit once the
+    * watermark proves no partner can still arrive. The time bound
+    * constrains both sides (r ∈ [l, l + within] ⇔ l ∈ [r − within,
+    * r]), which is what lets the engine expire BOTH join states —
+    * without a two-sided bound, one side's state grows forever.
+    * State: O(rows inside the watermark window) per side, the
+    * left-outer contract, plus the right side's unmatched buffer. */
+  def intervalJoinStreamsFull(left: DataFrame, right: DataFrame,
+                              key: String, tsCol: String,
+                              within: String = "1 HOUR",
+                              watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$tsCol >= l.$tsCol AND " +
+        s"r.$tsCol <= l.$tsCol + INTERVAL $within"), "full_outer")
+  }
+
   /** CDC-style streaming UPSERT sink: every micro-batch MERGES into the
     * hive-partitioned parquet table at `basePath` by `keys` — revisions
     * replace, new keys insert, only touched partitions are rewritten

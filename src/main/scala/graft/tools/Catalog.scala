@@ -115,6 +115,37 @@ object Catalog {
     }.toMap
   }
 
+  /** Concept phrase per query, extracted from the `// ---- <text>`
+    * banner comment that precedes each entry (the text up to the
+    * first em dash / colon / closing `----`, truncated at 60 chars).
+    * Exists for the grep-the-concept-FIRST rule: r13 caught three
+    * near-duplicate op designs by hand, and r14's verdict found two
+    * duplicate-CONCEPT queries that the duplicate-KEY gate cannot see
+    * (distinct keys, same statistic) — a greppable concept column in
+    * CATALOG.md is the cheap structural defense. Entries with no
+    * banner read "-". */
+  def concepts(src: String = readFile(entrySrc)): Map[String, String] = {
+    val iq = src.indexOf("def queries")
+    val io = src.indexOf("def oracleSql")
+    val block = src.substring(iq, io)
+    val entryRe = """(?m)^    "([a-z0-9_]+)" ->""".r
+    val hits = entryRe.findAllMatchIn(block).toSeq
+    val bannerRe = """// ---- (.+)""".r
+    hits.zipWithIndex.map { case (m, i) =>
+      val segStart = if (i == 0) 0 else hits(i - 1).start
+      val seg = block.substring(segStart, m.start)
+      val banner = bannerRe.findAllMatchIn(seg).toSeq.lastOption
+        .map(_.group(1)).getOrElse("-")
+      val phrase = banner
+        .replaceFirst("""^(training-data ops|similarity( eval)?|""" +
+          """streaming|multimodal( plumbing)?|text|[A-Z]+\d*[a-z]?): """,
+          "") // category prefix off; the concept phrase remains
+        .split(" — | ---").head // first clause only
+        .replaceAll("""\s*-+\s*$""", "").trim
+      m.group(1) -> (if (phrase.isEmpty) "-" else phrase.take(60))
+    }.toMap
+  }
+
   /** A query has a sweep row if any roster entry names it — exact or
     * as a parenthesized variant (`semDedup(nlist∝n)` covers nothing;
     * `name` or `name(...)` covers `name`). */
@@ -167,6 +198,7 @@ object Catalog {
     val roster = rosterKeys()
     val (bench, adj) = benchSeconds()
     val mods = modules()
+    val cons = concepts()
     val sb = new StringBuilder
     sb ++= "# CATALOG — generated operator board "
     sb ++= "(runMain graft.tools.Catalog)\n\n"
@@ -176,9 +208,9 @@ object Catalog {
       "staleness of this file). `adjudicated s` is the stable figure: " +
       "min(now, plateau) when the bench artifact's own regressions " +
       "block ruled the raw number contention.\n\n"
-    sb ++= "| query | module | oracle | sweep row | " +
+    sb ++= "| query | concept | module | oracle | sweep row | " +
       "bench s (last full run) | adjudicated s |\n"
-    sb ++= "|---|---|---|---|---|---|\n"
+    sb ++= "|---|---|---|---|---|---|---|\n"
     qk.sorted.foreach { q =>
       val o = if (ok.contains(q)) "y" else "MISSING"
       val s =
@@ -187,7 +219,8 @@ object Catalog {
         else sweepExempt.get(q).map(r => s"exempt: $r").getOrElse("-")
       val b = bench.get(q).map(v => f"$v%.2f").getOrElse("-")
       val a = adj.get(q).map(v => f"$v%.2f").getOrElse("-")
-      sb ++= s"| $q | ${mods.getOrElse(q, "inline")} | $o | $s | $b | $a |\n"
+      sb ++= s"| $q | ${cons.getOrElse(q, "-")} " +
+        s"| ${mods.getOrElse(q, "inline")} | $o | $s | $b | $a |\n"
     }
     sb.result()
   }

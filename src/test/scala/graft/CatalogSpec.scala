@@ -102,4 +102,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(onDisk.contains("| adjudicated s |"),
       "CATALOG.md lacks the adjudicated-seconds column")
   }
+
+  test("the concept column covers (almost) every query — the " +
+    "grep-the-concept-FIRST surface: duplicate-CONCEPT queries slip " +
+    "past the duplicate-KEY gate (r14 found two), so every entry's " +
+    "banner comment must yield a greppable phrase") {
+    val (qk, _) = Catalog.sourceKeys()
+    val cons = Catalog.concepts()
+    val missing = qk.filter(q => cons.getOrElse(q, "-") == "-")
+    // a handful of §2-checklist one-liners share a family banner;
+    // anything beyond that means banners are rotting
+    assert(missing.size <= qk.size / 20,
+      s"${missing.size} queries with no concept banner: " +
+        missing.take(15).mkString(", "))
+  }
 }

@@ -1143,6 +1143,55 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set((1L, Some(2L)), (3L, None), (4L, None)), out.toString)
   }
 
+  test("intervalJoinStreamsFull: unmatched rows from BOTH sides emit " +
+    "with nulls once the watermark passes — the join matrix's last " +
+    "cell next to inner and left-outer") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sjf").toString
+    sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)))
+    def mk(rows: Seq[(Long, java.sql.Timestamp, Long, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val data = mk(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 00:30:00"), 1L, "purchase"), // matches click 1
+      (3L, ts("2024-01-01 05:00:00"), 2L, "click"),    // unmatched LEFT
+      (4L, ts("2024-01-01 07:00:00"), 3L, "purchase"), // unmatched RIGHT
+      (5L, ts("2024-01-01 23:00:00"), 4L, "purchase"))) // unmatched, tail
+    val inDir = new java.io.File(s"$base/in")
+    data.coalesce(1).write.mode("overwrite").parquet(inDir.toString)
+    EventStreams.stageDrainBatches(inDir.toString, Seq(
+      mk(Seq(
+        (-1L, ts("2024-03-01 00:00:00"), -1L, "click"),
+        (-2L, ts("2024-03-01 00:00:00"), -1L, "purchase"))),
+      mk(Seq(
+        (-3L, ts("2024-03-02 00:00:00"), -1L, "click"),
+        (-4L, ts("2024-03-02 00:00:00"), -1L, "purchase")))))
+    val opts = Map("maxFilesPerTrigger" -> "1")
+    val clicks = EventStreams.readStream(spark, inDir.toString,
+        options = opts)
+      .filter(col("event_type") === "click")
+    val purchases = EventStreams.readStream(spark, inDir.toString,
+        options = opts)
+      .filter(col("event_type") === "purchase")
+    val joined = EventStreams.intervalJoinStreamsFull(clicks, purchases,
+        "user_id", "ts", within = "1 HOUR", watermark = "2 hours")
+      .select(col("l.event_id").as("click_id"),
+        col("r.event_id").as("purchase_id"))
+    val out = EventStreams.drainTail(
+        EventStreams.runAvailableNow(joined,
+          queryName = s"sjfspec_${System.nanoTime()}",
+          checkpoint = s"$base/ckpt"),
+        col("click_id") < 0 || col("purchase_id") < 0)
+      .as[(Option[Long], Option[Long])].collect().toSet
+    assert(out == Set(
+      (Some(1L), Some(2L)),   // matched pair
+      (Some(3L), None),       // unmatched click
+      (None, Some(4L)),       // unmatched purchase
+      (None, Some(5L))),      // tail purchase, flushed by the drain
+      out.toString)
+  }
+
   test("nearDupCandidatesStream: a chunked replay verifies to exactly " +
     "the batch near-dup answer, including pairs SPLIT across batches") {
     import graft.text.Dedup

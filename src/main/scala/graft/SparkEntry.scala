@@ -4001,6 +4001,35 @@ object SparkEntry {
       Analytics.logRankTest(survivalSubjects(s, dir), "dur",
         "observed", col("grp"))),
 
+    // ---- W38: Cox proportional-hazards regression — the classic
+    // clinical time-to-event model beside the logistic capstone,
+    // trained IN-ENGINE by 3 unrolled partial-likelihood gradient
+    // steps (Breslow ties). Subjects: time to first purchase (else
+    // censor at the last event); covariates: centered mean value
+    // (/100 keeps z bounded) and ln(1 + n_events). β ships as exact
+    // micros; the WHOLE training walk replays in SQL (suffix-window
+    // risk sets, half-away integer steps). ----
+    "w38_cox" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def us(c: Column) = unix_micros(c.cast("timestamp_ltz"))
+      val per = ev.groupBy(col("user_id")).agg(
+        min(us(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", us(col("ts"))))
+          .as("p_us"),
+        count(lit(1)).as("n_ev"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"))
+      val cens = ev.agg(max(us(col("ts"))).as("end_us"))
+      val subj = per.crossJoin(broadcast(cens)).select(
+        when(col("p_us").isNotNull, col("p_us") - col("first_us"))
+          .otherwise(col("end_us") - col("first_us")).as("dur"),
+        col("p_us").isNotNull.as("observed"),
+        round(col("sv").cast("double") / col("n_ev") / 100.0, 6)
+          .as("val_c"),
+        round(log(lit(1.0) + col("n_ev")), 6).as("log_n"))
+      Analytics.coxPartialGd(subj, "dur", "observed",
+        Seq("val_c", "log_n"), iters = 3)
+    }),
+
     // ---- W35: Aalen–Johansen cumulative incidence under competing
     // risks — purchase (cause 1) vs error (cause 2) compete for each
     // user's first outcome; 1−KM on either alone would overstate it.
@@ -10689,6 +10718,95 @@ FROM n, vxy, vxx, vyy"""
         |    ROUND(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
         |  END AS eta_sq
         |FROM ss""".stripMargin,
+
+    // Cox partial-likelihood GD, all 3 steps + the final risk pass
+    // unrolled and generated by the same loop shape the engine runs:
+    // suffix-window risk-set sums (exact DECIMAL of round-6 terms),
+    // one round-6 double division per event time, half-away HUGEINT
+    // β steps with lr = 0.05/n_events
+    "w38_cox" -> {
+      def zExpr(b: String) =
+        s"ROUND(x0 * (CAST($b.bm0 AS DOUBLE) / 1000000.0) + " +
+          s"x1 * (CAST($b.bm1 AS DOUBLE) / 1000000.0), 6)"
+      def riskPass(k: Int, b: String) =
+        s"""w$k AS MATERIALIZED (
+           |  SELECT dur, e, x0, x1, ${zExpr(b)} AS z,
+           |    ROUND(exp(${zExpr(b)}), 6) AS w
+           |  FROM sub, $b),
+           |per$k AS MATERIALIZED (
+           |  SELECT dur,
+           |    CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS dt,
+           |    SUM(CAST(w AS DECIMAL(18,6))) AS sw,
+           |    SUM(CAST(CASE WHEN e THEN z ELSE 0.0 END
+           |      AS DECIMAL(28,6))) AS sz,
+           |    SUM(CAST(CASE WHEN e THEN x0 ELSE 0.0 END
+           |      AS DECIMAL(28,6))) AS sx0,
+           |    SUM(CAST(ROUND(w * x0, 6) AS DECIMAL(28,6))) AS st0,
+           |    SUM(CAST(CASE WHEN e THEN x1 ELSE 0.0 END
+           |      AS DECIMAL(28,6))) AS sx1,
+           |    SUM(CAST(ROUND(w * x1, 6) AS DECIMAL(28,6))) AS st1
+           |  FROM w$k GROUP BY dur),
+           |sfx$k AS MATERIALIZED (
+           |  SELECT dur, dt, sz, sx0, sx1,
+           |    SUM(sw)  OVER sfx AS s0,
+           |    SUM(st0) OVER sfx AS s10,
+           |    SUM(st1) OVER sfx AS s11
+           |  FROM per$k
+           |  WINDOW sfx AS (ORDER BY dur DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+          .stripMargin
+      def ratioTerm(s1: String) =
+        s"SUM(CAST(ROUND(CAST(dt AS DOUBLE) * ROUND(CAST($s1 AS " +
+          s"DOUBLE) / CAST(s0 AS DOUBLE), 6), 6) AS DECIMAL(28,6)))"
+      def step(g: String) = {
+        val gu = s"CAST($g * 1000000 AS HUGEINT)"
+        val d = "CAST(20 * ne AS HUGEINT)"
+        s"CASE WHEN $gu >= 0 THEN (2 * $gu + $d) // (2 * $d) " +
+          s"ELSE -((2 * (-$gu) + $d) // (2 * $d)) END"
+      }
+      def gdStep(k: Int) =
+        s"""g$k AS (
+           |  SELECT CAST(SUM(dt) AS BIGINT) AS ne,
+           |    SUM(sx0) - ${ratioTerm("s10")} AS g0,
+           |    SUM(sx1) - ${ratioTerm("s11")} AS g1
+           |  FROM sfx$k WHERE dt > 0),
+           |b$k AS (
+           |  SELECT bm0 + ${step("g0")} AS bm0,
+           |    bm1 + ${step("g1")} AS bm1
+           |  FROM b${k - 1}, g$k)""".stripMargin
+      val iters = (1 to 3).map(k =>
+        riskPass(k, s"b${k - 1}") + ",\n" + gdStep(k)).mkString(",\n")
+      s"""WITH per AS MATERIALIZED (
+         |  SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+         |    MIN(CASE WHEN event_type = 'purchase'
+         |             THEN epoch_us(ts) END) AS p_us,
+         |    COUNT(*) AS n_ev,
+         |    SUM(CAST(value AS DECIMAL(18,6))) AS sv
+         |  FROM events GROUP BY 1),
+         |cns AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+         |sub AS MATERIALIZED (
+         |  SELECT CASE WHEN p_us IS NOT NULL THEN p_us - first_us
+         |              ELSE end_us - first_us END AS dur,
+         |    p_us IS NOT NULL AS e,
+         |    ROUND(CAST(sv AS DOUBLE) / n_ev / 100.0, 6) AS x0,
+         |    ROUND(ln(1.0 + n_ev), 6) AS x1
+         |  FROM per, cns),
+         |b0 AS (SELECT CAST(0 AS HUGEINT) AS bm0,
+         |  CAST(0 AS HUGEINT) AS bm1),
+         |$iters,
+         |${riskPass(4, "b3")},
+         |ll AS (
+         |  SELECT CAST(SUM(dt) AS BIGINT) AS n_events,
+         |    SUM(sz) - SUM(CAST(ROUND(CAST(dt AS DOUBLE) *
+         |      ROUND(ln(CAST(s0 AS DOUBLE)), 6), 6)
+         |      AS DECIMAL(28,6))) AS llv
+         |  FROM sfx4 WHERE dt > 0)
+         |SELECT (SELECT COUNT(*) FROM sub) AS n_subjects, ll.n_events,
+         |  CAST(b3.bm0 AS BIGINT) AS b_val_c_micros,
+         |  CAST(b3.bm1 AS BIGINT) AS b_log_n_micros,
+         |  ROUND(CAST(ll.llv AS DOUBLE), 6) AS loglik
+         |FROM ll, b3""".stripMargin
+    },
 
     // Bradley–Terry MM, all 3 rounds unrolled (MATERIALIZED — every
     // round reads sym + the previous strengths twice); each pair term

@@ -1399,6 +1399,134 @@ object Analytics {
       round(col("__c_test").cast("double") /
         col("__n_test").cast("double"), 6).as("test_acc"): _*)
   }
+  /** Cox proportional-hazards model trained by unrolled partial-
+    * likelihood gradient ascent (Cox 1972; Breslow tie handling) —
+    * the classic clinical time-to-event model beside the logistic
+    * capstone ([[logisticGdMicros]]): hazard_i(t) = h0(t)·exp(x_i·β),
+    * fit by maximizing Σ_events [z_i − ln S0(t_i)] where
+    * S0(t) = Σ_{j: dur_j ≥ t} exp(z_j) is the risk-set weight sum.
+    * Gradient_k = Σ_events x_ik − Σ_t d_t·S1_k(t)/S0(t).
+    *
+    * Numerics (bit-replayable in SQL, the house training-loop
+    * contract): β lives in exact MICRO-unit longs; z = Σ x_k·(β_k
+    * micros / 10⁶) is a fixed left-fold chain of round-6 doubles,
+    * rounded once; w = round6(exp(z)) is the only libm touch per
+    * subject (ln/exp parity precedent); risk-set sums S0/S1_k are
+    * EXACT decimal sums of round-6 terms (visit order cannot move
+    * them) built as suffix-inclusive = total − [[Prefix.strictBelow]]
+    * (the bucketed hierarchy — never a single-partition window over
+    * the distinct-duration frame); each event-time ratio is ONE
+    * double division of two in-range decimal casts, rounded; the β
+    * step is the exact half-away integer division
+    * Δ_micro = ±(2·|grad·10⁶| + 20·n_events) div (40·n_events)
+    * — lr = 0.05/n_events, so the update is mean-scaled and z stays
+    * bounded. Fixed `iters` budget: converged states are no-ops (the
+    * unrolled-oracle contract).
+    *
+    * Scale shape: subjects scan ONCE per iteration into the
+    * distinct-duration frame (hash agg, map-side combined), the
+    * Prefix hierarchy runs there, and the gradient returns as ONE
+    * 1-row aggregate (the logisticGdMicros bounded-collect pattern);
+    * `subjects` is localCheckpoint'd once and re-scanned per round.
+    *
+    * @param subjects ONE row per subject
+    * @param durationCol long duration (micro-units by convention)
+    * @param observedCol boolean: event observed (true) vs censored
+    * @param featCols numeric covariates (rounded to 6 dp on entry)
+    * @return ONE row: n_subjects, n_events, b_<feat>_micros (exact
+    *         longs), loglik (round-6 double, final-β Breslow partial
+    *         log-likelihood) */
+  def coxPartialGd(subjects: DataFrame, durationCol: String,
+                   observedCol: String, featCols: Seq[String],
+                   iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    require(featCols.nonEmpty, "need at least one covariate")
+    def r6(c: Column) = round(c, 6)
+    val idx = featCols.indices
+    val base = subjects.select(
+        col(durationCol).cast("long").as("__dur") +:
+        col(observedCol).cast("boolean").as("__e") +:
+        idx.map(j => r6(col(featCols(j)).cast("double")).as(s"__x$j")): _*)
+      .filter(col("__dur").isNotNull && col("__e").isNotNull)
+      .localCheckpoint()
+
+    /** Distinct-duration frame with suffix-inclusive risk-set sums
+      * for the given β (micros): __dt, __sx_j (event-row covariate
+      * sums), __S0, __S1j, plus __sz (event-row z sums, for loglik). */
+    def riskFrame(betaMicros: Seq[Long]): DataFrame = {
+      val z = r6(idx.map(j =>
+        col(s"__x$j") * lit(betaMicros(j).toDouble / 1000000.0))
+        .reduce(_ + _))
+      val withW = base.withColumn("__z", z)
+        .withColumn("__w", r6(exp(col("__z"))))
+      val aggs =
+        sum(when(col("__e"), 1L).otherwise(0L)).as("__dt") +:
+        sum(col("__w").cast("decimal(18,6)")).as("__sw") +:
+        sum(when(col("__e"), col("__z")).otherwise(lit(0.0))
+          .cast("decimal(28,6)")).as("__sz") +:
+        idx.flatMap(j => Seq(
+          sum(when(col("__e"), col(s"__x$j")).otherwise(lit(0.0))
+            .cast("decimal(28,6)")).as(s"__sx$j"),
+          sum(r6(col("__w") * col(s"__x$j"))
+            .cast("decimal(28,6)")).as(s"__st$j")))
+      val per = withW.groupBy(col("__dur")).agg(aggs.head, aggs.tail: _*)
+      val below = Prefix.strictBelow(per, Nil, "__dur",
+        "__sw" +: idx.map(j => s"__st$j"))
+      val totAggs = sum(col("__sw")).as("__tw") +:
+        idx.map(j => sum(col(s"__st$j")).as(s"__tt$j"))
+      val tot = per.agg(totAggs.head, totAggs.tail: _*)
+      below.crossJoin(broadcast(tot))
+        .withColumn("__S0", col("__tw") - col("__below___sw"))
+        .select(col("__dur") +: col("__dt") +: col("__sz") +:
+          col("__S0") +:
+          idx.flatMap(j => Seq(col(s"__sx$j"),
+            (col(s"__tt$j") - col(s"__below___st$j")).as(s"__S1$j"))): _*)
+    }
+
+    /** Exact half-away-from-zero integer division (the holtSeasonal /
+      * gdLoop convention): sign·((2·|g| + d) div (2·d)). */
+    def halfAway(g: java.math.BigInteger, d: java.math.BigInteger): Long = {
+      val two = java.math.BigInteger.TWO
+      val q = g.abs.multiply(two).add(d).divide(d.multiply(two))
+      (if (g.signum() < 0) q.negate() else q).longValueExact()
+    }
+
+    val finalBeta = (1 to iters).foldLeft(idx.map(_ => 0L)) { (b, _) =>
+      val ev = riskFrame(b).filter(col("__dt") > 0)
+      val gradAggs =
+        sum(col("__dt")).as("__ne") +:
+        idx.map(j => (sum(col(s"__sx$j")) -
+          sum(r6(col("__dt").cast("double") *
+              r6(col(s"__S1$j").cast("double") /
+                 col("__S0").cast("double")))
+            .cast("decimal(28,6)"))).as(s"__g$j"))
+      val row = ev.agg(gradAggs.head, gradAggs.tail: _*).head()
+      val nEvents = row.getAs[Long]("__ne")
+      if (nEvents == 0L) b
+      else idx.map { j =>
+        val g = row.getAs[java.math.BigDecimal](s"__g$j")
+          .movePointRight(6).toBigIntegerExact()
+        // lr = 0.05 / n_events: Δ_micro = halfAway(g·10⁶, 20·n)
+        b(j) + halfAway(g,
+          java.math.BigInteger.valueOf(20L * nEvents))
+      }
+    }
+
+    val fin = riskFrame(finalBeta).filter(col("__dt") > 0)
+    val llAggs = Seq(
+      sum(col("__dt")).cast("long").as("n_events"),
+      (sum(col("__sz")) -
+        sum(r6(col("__dt").cast("double") *
+            r6(log(col("__S0").cast("double"))))
+          .cast("decimal(28,6)"))).as("__ll"))
+    val n = base.count()
+    fin.agg(llAggs.head, llAggs.tail: _*)
+      .select(lit(n).as("n_subjects") +: col("n_events") +:
+        idx.map(j =>
+          lit(finalBeta(j)).as(s"b_${featCols(j)}_micros")) :+
+        r6(col("__ll").cast("double")).as("loglik"): _*)
+  }
+
   /** Bradley–Terry strengths from pairwise outcomes — the standard
     * aggregation of pairwise preference judgments (model A beat model
     * B) into a per-player strength ranking (Bradley & Terry 1952;

@@ -106,7 +106,11 @@ object PlanDump {
     "a78_bradley_terry" -> ("Bradley–Terry: judgments collapse ONCE " +
       "to the (winner, loser) cells frame; every MM round is cells × " +
       "BROADCAST strengths — the corpus never rescans, no iteration " +
-      "shuffle growth"))
+      "shuffle growth"),
+    "w38_cox" -> ("Cox partial-likelihood GD: per step one subjects " +
+      "scan to the distinct-duration frame, suffix risk sets via the " +
+      "bucketed Prefix hierarchy (no single-partition window), ONE " +
+      "1-row gradient collect; beta rides back as literals"))
 
   /** Ops with no SparkEntry.queries surface whose plan still backs a
     * scale claim (built directly against the sf tables). */

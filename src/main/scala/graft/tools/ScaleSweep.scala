@@ -648,6 +648,10 @@ object ScaleSweep {
       // then MM rounds on the players-sized frame only
       "a78_bradley_terry" -> (d =>
         SparkEntry.queries("a78_bradley_terry")(spark, d).count()),
+      // per GD step: one subjects scan -> distinct-duration frame +
+      // Prefix hierarchy + a 1-row gradient collect
+      "w38_cox" -> (d =>
+        SparkEntry.queries("w38_cox")(spark, d).count()),
       // one explode, two hash aggs; curve-sized Prefix + OLS after
       "t_heaps" -> (d =>
         SparkEntry.queries("t_heaps")(spark, d).count()),

@@ -729,6 +729,54 @@ class AnalyticsSpec extends SparkSpec {
       rep.toString)
   }
 
+  test("coxPartialGd: one hand-derived gradient step — risk sets, " +
+    "Breslow ratio, half-away micro update — lands on the exact " +
+    "integer beta") {
+    // subjects (dur, observed, x): at beta=0 every w=1, so
+    // S0(1)=3, S0(2)=2; S1(1)=1.5, S1(2)=0.5 (x sums over risk sets);
+    // grad = (1.0 + 0.0) - (round6(1.5/3) + round6(0.5/2)) = 0.25;
+    // lr = 0.05/2 events -> delta = 250000 micros / 40 = 6250 exactly
+    val subj = Seq(
+      (1L, true, 1.0), (2L, true, 0.0), (3L, false, 0.5)
+    ).toDF("dur", "observed", "x")
+    val out = Analytics.coxPartialGd(subj, "dur", "observed",
+      Seq("x"), iters = 1).collect().head
+    assert(out.getAs[Long]("n_subjects") == 3L &&
+      out.getAs[Long]("n_events") == 2L)
+    assert(out.getAs[Long]("b_x_micros") == 6250L, out.toString)
+    // partial log-likelihood at the final beta is negative (2 events,
+    // risk sets of 3 and 2)
+    assert(out.getAs[Double]("loglik") < 0.0)
+  }
+
+  test("coxPartialGd: a constant covariate has zero gradient (the " +
+    "ratio IS the covariate), and an all-censored frame never moves " +
+    "beta") {
+    val const = Analytics.coxPartialGd(
+      Seq((1L, true, 0.7), (2L, true, 0.7), (3L, false, 0.7))
+        .toDF("dur", "observed", "x"),
+      "dur", "observed", Seq("x"), iters = 3).collect().head
+    assert(const.getAs[Long]("b_x_micros") == 0L, const.toString)
+    val cens = Analytics.coxPartialGd(
+      Seq((1L, false, 1.0), (2L, false, 2.0))
+        .toDF("dur", "observed", "x"),
+      "dur", "observed", Seq("x"), iters = 3).collect().head
+    assert(cens.getAs[Long]("b_x_micros") == 0L)
+  }
+
+  test("coxPartialGd: a covariate that separates early events from " +
+    "late censoring earns a positive hazard coefficient") {
+    // high-x subjects all fail fast, low-x subjects all survive:
+    // beta must move up and the model must rank hazards accordingly
+    val subj = (1 to 10).map(i =>
+      if (i <= 5) (i.toLong, true, 2.0)       // early events, x = 2
+      else (100L + i, false, 0.1)             // late censoring, x = 0.1
+    ).toDF("dur", "observed", "x")
+    val out = Analytics.coxPartialGd(subj, "dur", "observed",
+      Seq("x"), iters = 3).collect().head
+    assert(out.getAs[Long]("b_x_micros") > 0L, out.toString)
+  }
+
   test("bradleyTerry: two players at 3-1 converge to the exact 3:1 " +
     "strength ratio; shares sum to 1") {
     val pairs = (Seq.fill(3)(("A", "B")) :+ (("B", "A")))

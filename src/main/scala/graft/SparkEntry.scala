@@ -110,6 +110,42 @@ object SparkEntry {
   private val stagedOuterEventsDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Shared staging for the outer/full stream-stream interval joins
+    * (s_stream_join_outer and s_stream_join_full populate the SAME
+    * cache key, so the closure must exist ONCE — a drifted copy
+    * would silently change the other query's input depending on run
+    * order): events as one parquet file + TWO sentinel click/purchase
+    * PAIR batches (max ts + 30/31 days). Pairs advance BOTH inputs'
+    * watermarks together; the first sentinel batch advances the
+    * watermark (takes effect next batch), the second triggers the
+    * eviction pass that drains the tail's unmatched state — the
+    * one-batch watermark lag stageDrainBatches documents. */
+  private def stageOuterEvents(s: SparkSession, dir: String): String =
+    stagedOuterEventsDir.getOrElseUpdate(dir, {
+      val tmp = tempDir("graft_sjo")
+      val e = t(s, dir, "events")
+      val maxMs = e.agg(max(col("ts"))).head().get(0) match {
+        case ts: java.sql.Timestamp      => ts.getTime
+        case dt: java.time.LocalDateTime =>
+          java.sql.Timestamp.valueOf(dt).getTime
+      }
+      val tsType = e.schema("ts").dataType
+      def sentinels(ids: (Long, Long), offsetDays: Long) = {
+        def one(id: Long, et: String) = e.limit(1).select(
+          lit(id).as("event_id"),
+          lit(new java.sql.Timestamp(maxMs + offsetDays * 86400 * 1000))
+            .cast(tsType).as("ts"),
+          lit(-1L).as("user_id"), lit(et).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        one(ids._1, "click").unionByName(one(ids._2, "purchase"))
+      }
+      val inDir = s"$tmp/in"
+      e.coalesce(1).write.mode("overwrite").parquet(inDir)
+      graft.streaming.EventStreams.stageDrainBatches(inDir,
+        Seq(sentinels((-1L, -2L), 30), sentinels((-3L, -4L), 31)))
+      inDir
+    })
+
   /** Per-JVM cache of the persisted IVF index (path, centroids). */
   private val stagedIvfIndex = scala.collection.concurrent.TrieMap
     .empty[String, (String, Array[Seq[Float]])]
@@ -3455,9 +3491,6 @@ object SparkEntry {
           substring(col("o_orderpriority"), 1, 1).cast("long")),
         "__dose", col("o_orderstatus") === "F")),
 
-    // ---- A77: Krippendorff's alpha — the a73 rater panel with
-    // rater 3 skipping two docs in three (doc_id % 3 != 0): unequal
-    // m per item, the case Fleiss NULLs and alpha is built for. ----
     // ---- A78: Bradley–Terry strengths from pairwise judgments — the
     // batch aggregation of "A beat B" preferences into a per-player
     // ranking (what LLM-eval arenas compute; Elo is the
@@ -3486,6 +3519,9 @@ object SparkEntry {
         "winner", "loser", iters = 3)
     }),
 
+    // ---- A77: Krippendorff's alpha — the a73 rater panel with
+    // rater 3 skipping two docs in three (doc_id % 3 != 0): unequal
+    // m per item, the case Fleiss NULLs and alpha is built for. ----
     "a77_krippendorff" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .filter(col("text").isNotNull && col("n_chars").isNotNull)
@@ -4779,35 +4815,7 @@ object SparkEntry {
     // staging appends a far-future sentinel pair (filtered from the
     // output) to flush the tail. Oracle == the batch LEFT JOIN. ----
     "s_stream_join_outer" -> ((s, dir) => {
-      val in = stagedOuterEventsDir.getOrElseUpdate(dir, {
-        val tmp = tempDir("graft_sjo")
-        val e = t(s, dir, "events")
-        val maxMs = e.agg(max(col("ts"))).head().get(0) match {
-          case ts: java.sql.Timestamp      => ts.getTime
-          case dt: java.time.LocalDateTime =>
-            java.sql.Timestamp.valueOf(dt).getTime
-        }
-        val tsType = e.schema("ts").dataType
-        def sentinels(ids: (Long, Long), offsetDays: Long) = {
-          def one(id: Long, et: String) = e.limit(1).select(
-            lit(id).as("event_id"),
-            lit(new java.sql.Timestamp(maxMs + offsetDays * 86400 * 1000))
-              .cast(tsType).as("ts"),
-            lit(-1L).as("user_id"), lit(et).as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props"))
-          one(ids._1, "click").unionByName(one(ids._2, "purchase"))
-        }
-        // TWO sentinel batches (stateful-drain case): the first
-        // advances the watermark (takes effect next batch), the second
-        // triggers the eviction pass that drains the tail's
-        // unmatched-left state — the one-batch watermark lag
-        // stageDrainBatches documents
-        val inDir = s"$tmp/in"
-        e.coalesce(1).write.mode("overwrite").parquet(inDir)
-        graft.streaming.EventStreams.stageDrainBatches(inDir,
-          Seq(sentinels((-1L, -2L), 30), sentinels((-3L, -4L), 31)))
-        inDir
-      })
+      val in = stageOuterEvents(s, dir)
       val ckpt = ckptDir("graft_sjo_ck")
       val opts = Map("maxFilesPerTrigger" -> "1")
       val clicks = graft.streaming.EventStreams
@@ -4840,31 +4848,7 @@ object SparkEntry {
     // advance together); the drain filter removes sentinel rows from
     // either side null-safely. Oracle == the batch FULL JOIN. ----
     "s_stream_join_full" -> ((s, dir) => {
-      val in = stagedOuterEventsDir.getOrElseUpdate(dir, {
-        // identical staging to s_stream_join_outer (shared cache key)
-        val tmp = tempDir("graft_sjo")
-        val e = t(s, dir, "events")
-        val maxMs = e.agg(max(col("ts"))).head().get(0) match {
-          case ts: java.sql.Timestamp      => ts.getTime
-          case dt: java.time.LocalDateTime =>
-            java.sql.Timestamp.valueOf(dt).getTime
-        }
-        val tsType = e.schema("ts").dataType
-        def sentinels(ids: (Long, Long), offsetDays: Long) = {
-          def one(id: Long, et: String) = e.limit(1).select(
-            lit(id).as("event_id"),
-            lit(new java.sql.Timestamp(maxMs + offsetDays * 86400 * 1000))
-              .cast(tsType).as("ts"),
-            lit(-1L).as("user_id"), lit(et).as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props"))
-          one(ids._1, "click").unionByName(one(ids._2, "purchase"))
-        }
-        val inDir = s"$tmp/in"
-        e.coalesce(1).write.mode("overwrite").parquet(inDir)
-        graft.streaming.EventStreams.stageDrainBatches(inDir,
-          Seq(sentinels((-1L, -2L), 30), sentinels((-3L, -4L), 31)))
-        inDir
-      })
+      val in = stageOuterEvents(s, dir)
       val ckpt = ckptDir("graft_sjf_ck")
       val opts = Map("maxFilesPerTrigger" -> "1")
       val clicks = graft.streaming.EventStreams

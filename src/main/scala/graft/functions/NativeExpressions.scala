@@ -1258,18 +1258,32 @@ object NativeExpressions {
     * the functions part of every session's state (verified end-to-end
     * in JdbcServerSpec over a fresh hive-jdbc connection). */
   def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    sqlFunctions.foreach { case (name, builder) =>
-      // single-owner registration (r14 verdict #3): a session built
-      // with GraftExtensions already carries every function via
-      // injectFunction — re-registering here logs a "replaced a
-      // previously registered function" warning per name on every
-      // session build. The extensions path owns registration when
-      // present; this is the fallback for plain sessions (Bench,
-      // driver-built mains) whose builder set no extensions.
-      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
-      if (!reg.functionExists(id))
+    // single-owner registration (r14 verdict #3): a session built
+    // with GraftExtensions already carries every function via
+    // injectFunction — re-registering here logs a "replaced a
+    // previously registered function" warning per name on every
+    // session build, so when the extensions own the names this is a
+    // no-op. For ANY other session, registration must REPLACE
+    // whatever currently holds the name (r15 review: a bare
+    // exists-check would let a foreign same-named temp function — or
+    // a future builtin collision — silently win over the semantics
+    // every oracle-parity query depends on).
+    val extensionsOwn = spark.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("GraftExtensions"))
+    // idempotency marker: tune() runs per query in the harness mains,
+    // and graft re-replacing its OWN registrations warns identically.
+    // The marker lives in the session conf, which shares the
+    // SessionState lifecycle with the function registry (a fresh
+    // newSession() gets neither), so it can never claim registration
+    // a registry doesn't have.
+    val marker = "graft.functions.registered"
+    val already = spark.conf.getOption(marker).contains("true")
+    if (!extensionsOwn && !already) {
+      val reg = spark.sessionState.functionRegistry
+      sqlFunctions.foreach { case (name, builder) =>
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
+      spark.conf.set(marker, "true")
     }
   }
 }

@@ -194,11 +194,12 @@ object Catalog {
   }
 
   def render(): String = {
-    val (qk, ok) = sourceKeys()
+    val src = readFile(entrySrc) // read ONCE; the extractors share it
+    val (qk, ok) = sourceKeys(src)
     val roster = rosterKeys()
     val (bench, adj) = benchSeconds()
-    val mods = modules()
-    val cons = concepts()
+    val mods = modules(src)
+    val cons = concepts(src)
     val sb = new StringBuilder
     sb ++= "# CATALOG — generated operator board "
     sb ++= "(runMain graft.tools.Catalog)\n\n"

@@ -70,7 +70,11 @@ object StateSweep {
           stream, "doc_id", "text", shingleN = 3, numHashes = 32,
           bands = 16, evictIdleAfterMs = evict).toDF(),
         checkpoint = s"$ckpt/ckpt", expectDataBatches = chunks,
-        timeoutMs = 1800000L)
+        timeoutMs = 1800000L,
+        // harness drain: state ROW totals are partition-invariant,
+        // but the per-batch commit fan-out is not — pin the same
+        // count the bench drains use so wall time stays comparable
+        statePartitions = Some(8))
         .collect { case (nin, st) if nin > 0 => st }
       println(s"[statesweep] $tag per-data-batch state rows: " +
         rows.mkString(", "))

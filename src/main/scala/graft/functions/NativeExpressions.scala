@@ -1257,33 +1257,36 @@ object NativeExpressions {
     * (`spark.sql.extensions=graft.functions.GraftExtensions`) to make
     * the functions part of every session's state (verified end-to-end
     * in JdbcServerSpec over a fresh hive-jdbc connection). */
+  /** Ownership stamp carried in each registration's ExpressionInfo
+    * className — shared by [[GraftExtensions]] injection and
+    * [[registerAll]] so either path can verify PER NAME that the
+    * registry entry is graft's, not a foreign shadow. */
+  private[functions] val ownerClass: String =
+    NativeExpressions.getClass.getCanonicalName
+
   def registerAll(spark: SparkSession): Unit = {
-    // single-owner registration (r14 verdict #3): a session built
-    // with GraftExtensions already carries every function via
-    // injectFunction — re-registering here logs a "replaced a
-    // previously registered function" warning per name on every
-    // session build, so when the extensions own the names this is a
-    // no-op. For ANY other session, registration must REPLACE
-    // whatever currently holds the name (r15 review: a bare
-    // exists-check would let a foreign same-named temp function — or
-    // a future builtin collision — silently win over the semantics
-    // every oracle-parity query depends on).
-    val extensionsOwn = spark.conf.getOption("spark.sql.extensions")
-      .exists(_.contains("GraftExtensions"))
-    // idempotency marker: tune() runs per query in the harness mains,
-    // and graft re-replacing its OWN registrations warns identically.
-    // The marker lives in the session conf, which shares the
-    // SessionState lifecycle with the function registry (a fresh
-    // newSession() gets neither), so it can never claim registration
-    // a registry doesn't have.
-    val marker = "graft.functions.registered"
-    val already = spark.conf.getOption(marker).contains("true")
-    if (!extensionsOwn && !already) {
-      val reg = spark.sessionState.functionRegistry
-      sqlFunctions.foreach { case (name, builder) =>
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-      }
-      spark.conf.set(marker, "true")
+    // single-owner registration, decided by probing the REGISTRY per
+    // name (r15 ADVICE): the earlier conf-marker + extensions-substring
+    // gate had two holes — (a) a post-registration DROP/CREATE OR
+    // REPLACE of a graft name won forever because the marker made
+    // every later registerAll a no-op, and (b) a configured-but-
+    // unloadable GraftExtensions class (classpath miss: Spark logs and
+    // skips) left the conf set while the registry held nothing, so
+    // registerAll declined and the functions were silently absent.
+    // The registry itself is the single source of truth: a name whose
+    // ExpressionInfo className is `ownerClass` is graft's (extensions
+    // injection and this path both stamp it) → skip, no replace
+    // warning; a missing OR foreign-stamped name is (re)registered —
+    // a foreign same-named temp function must never silently shadow
+    // the semantics every oracle-parity query depends on, and THAT
+    // replace legitimately warns.
+    val reg = spark.sessionState.functionRegistry
+    sqlFunctions.foreach { case (name, builder) =>
+      val fid = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      val ours = reg.lookupFunction(fid).exists(_.getClassName == ownerClass)
+      if (!ours) reg.registerFunction(fid,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          ownerClass, name), builder)
     }
   }
 }
@@ -1301,7 +1304,7 @@ class GraftExtensions
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          NativeExpressions.getClass.getCanonicalName, name),
+          NativeExpressions.ownerClass, name),
         builder))
     }
 }

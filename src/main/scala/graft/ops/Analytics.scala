@@ -1577,15 +1577,17 @@ object Analytics {
     val p0 = totals.select(col("__i"), lit(1.0).as("__p"))
     val pFinal = (1 to iters).foldLeft(p0) { (p, _) =>
       val term = sym
-        .join(p.select(col("__i"), col("__p").as("__pi")), Seq("__i"))
-        .join(p.select(col("__i").as("__j"), col("__p").as("__pj")),
-          Seq("__j"))
+        .join(broadcast(p.select(col("__i"), col("__p").as("__pi"))),
+          Seq("__i"))
+        .join(broadcast(p.select(col("__i").as("__j"),
+          col("__p").as("__pj"))), Seq("__j"))
         .select(col("__i"),
           round(col("__nij").cast("double") /
             (col("__pi") + col("__pj")), 6)
             .cast("decimal(28,6)").as("__t"))
         .groupBy(col("__i")).agg(sum(col("__t")).as("__den"))
-      term.join(totals.select(col("__i"), col("wins")), Seq("__i"))
+      term.join(broadcast(totals.select(col("__i"), col("wins"))),
+          Seq("__i"))
         .select(col("__i"),
           round(col("wins").cast("double") /
             col("__den").cast("double"), 6).as("__p"))

@@ -1421,15 +1421,23 @@ object EventStreams {
     * shrink it. The conf flip only covers `start()` — the stream
     * execution thread clones the session state at construction, so
     * restoring the session conf immediately afterwards cannot leak
-    * into (or out of) the running query. */
+    * into (or out of) the running query. The flip is serialized per
+    * session (r15 ADVICE): `spark.sql.shuffle.partitions` is shared
+    * session state, so without the lock a query planned/started
+    * concurrently on the SAME session during the window would inherit
+    * the pinned harness count (or clobber the restore). Concurrent
+    * pinned starts on the same session are correct under the lock;
+    * callers that also PLAN unrelated queries concurrently on that
+    * session should pass a dedicated `spark.newSession()`. */
   private def withStatePartitions[T](spark: SparkSession,
                                      n: Option[Int])(start: => T): T =
     n match {
       case None => start
-      case Some(parts) =>
+      case Some(parts) => spark.synchronized {
         val key = "spark.sql.shuffle.partitions"
         val prev = spark.conf.get(key)
         spark.conf.set(key, parts.toString)
         try start finally spark.conf.set(key, prev)
+      }
     }
 }

@@ -127,6 +127,12 @@ object Catalog {
   def concepts(src: String = readFile(entrySrc)): Map[String, String] = {
     val iq = src.indexOf("def queries")
     val io = src.indexOf("def oracleSql")
+    // fail AT the slice, not three calls later (r15 ADVICE): a rename
+    // of either anchor would make indexOf return -1 and substring
+    // throw (or mis-slice) far from the cause
+    require(iq >= 0 && io > iq, "SparkEntry.scala: expected the " +
+      "'def queries' anchor before the 'def oracleSql' anchor — " +
+      "concepts() slices the entry block between them")
     val block = src.substring(iq, io)
     val entryRe = """(?m)^    "([a-z0-9_]+)" ->""".r
     val hits = entryRe.findAllMatchIn(block).toSeq
@@ -177,7 +183,14 @@ object Catalog {
         .map(e => e.getKey -> e.getValue)).getOrElse(Iterator.empty)
     }
     val raw = fields(root.get("queries"))
-      .map { case (k, v) => k -> v.asDouble() }.toMap
+      .map { case (k, v) =>
+        // asDouble() yields 0.0 for non-numeric/nested nodes — a
+        // malformed entry would read as 0 s and silently exempt a
+        // heavy query from the sweep gate (r15 ADVICE); fail loudly
+        require(v.isNumber,
+          s"BENCH_FULL.json: non-numeric seconds for query '$k': $v")
+        k -> v.asDouble()
+      }.toMap
     // sanity: the flat map must cover every benched query — a parse
     // that drops entries silently weakens the heavy gate (ADVICE r14)
     require(raw.nonEmpty, "BENCH_FULL.json: empty queries map")

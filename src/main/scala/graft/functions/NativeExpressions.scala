@@ -1163,6 +1163,103 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** round(x, 6)·10⁶ as an exact boxed long — the PCA family's
+    * micro-quantization chain (`round(c, 6).cast("decimal(18,6)") *
+    * 1000000 → long`) fused into one operation with a guarded fast
+    * path. Semantics are BIT-IDENTICAL to the Column chain: HALF_UP
+    * on the SHORTEST decimal representation of x (Spark's Round double
+    * branch = BigDecimal.valueOf), null for NaN/±Inf and for values
+    * that overflow decimal(18,6) (precision > 18 after rounding, the
+    * non-ANSI cast-null). The fast path fires only when x·10⁶ is
+    * clearly away from a .5 rounding boundary — farther than the
+    * combined error of the scaling multiply and the shortest-repr
+    * gap (≤ ~1.5 ulp; the guard uses 4 ulp + 1e-9) — where
+    * nearest-integer and decimal-string HALF_UP provably agree;
+    * boundary-adjacent values take the exact BigDecimal path. */
+  def round6Micro(x: Double): java.lang.Long = {
+    if (x.isNaN || x.isInfinite) return null
+    val y = x * 1e6
+    if (math.abs(y) < 4.5e15) { // well under 2^52: frac is meaningful
+      val f = math.floor(y)
+      val frac = y - f
+      if (math.abs(frac - 0.5) > 4 * math.ulp(y) + 1e-9)
+        return java.lang.Long.valueOf(math.floor(y + 0.5).toLong)
+    }
+    val bd = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    if (bd.precision > 18) null
+    else java.lang.Long.valueOf(bd.unscaledValue.longValue)
+  }
+
+  /** The PCA/CKA corpus moment vector of one embedding row: a flat
+    * array of d + d·(d+1)/2 micro-unit longs — the d per-dim round-6
+    * values followed by the upper-triangle products round(xᵢ·xⱼ, 6)·10⁶
+    * in (i ≤ j) row-major order — computed in ONE tight primitive loop
+    * per row. The Column twin (transform/slice/flatten over the same
+    * [[round6Micro]] chain) is interpreted per element with 5 boxed
+    * decimal intermediates each — measured ~1.25 µs/element, the whole
+    * wall of the PCA-family bench queries; this is the same math at
+    * ~30 ns/element. Null elements produce null sums/products exactly
+    * as the Column chain's null-propagating round does. */
+  case class PcaTriangleMicros(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+    @transient private lazy val read = reader(child)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val d = a.numElements()
+      val xs = new Array[Double](d)
+      val isNull = new Array[Boolean](d)
+      var i = 0
+      while (i < d) {
+        if (a.isNullAt(i)) isNull(i) = true else xs(i) = read(a, i)
+        i += 1
+      }
+      val m = d + d * (d + 1) / 2
+      val out = new Array[Long](m)
+      var nulls: Array[Boolean] = null
+      def put(k: Int, value: java.lang.Long): Unit =
+        if (value eq null) {
+          if (nulls == null) nulls = new Array[Boolean](m)
+          nulls(k) = true
+        } else out(k) = value.longValue()
+      i = 0
+      while (i < d) {
+        put(i, if (isNull(i)) null else round6Micro(xs(i)))
+        i += 1
+      }
+      var k = d
+      i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          put(k, if (isNull(i) || isNull(j)) null
+            else round6Micro(xs(i) * xs(j)))
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      if (nulls == null)
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(out)
+      else {
+        val boxed = new Array[Any](m)
+        var p = 0
+        while (p < m) {
+          if (!nulls(p)) boxed(p) = out(p)
+          p += 1
+        }
+        new GenericArrayData(boxed)
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column API (classic bridge: Column <-> catalyst Expression) ----
 
   private def expr(c: Column): Expression =
@@ -1175,6 +1272,9 @@ object NativeExpressions {
 
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProduct(expr(a), expr(b)))
+
+  def pca_triangle_micros(v: Column): Column =
+    toCol(PcaTriangleMicros(expr(v)))
 
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     toCol(MinHashSignature(expr(shingles), numHashes))

@@ -1617,80 +1617,181 @@ object Similarity {
   private def pcaMu(c: Column): Column =
     (c.cast(PcaDec) * lit(1000000L)).cast(PcaInt38)
 
-  /** The exact micro-unit covariance frame (i, j, cmu) shared by the
-    * PCA ops: one n·d² narrow product pass map-side combined into d²
-    * cells (NO self-join), per-dim sums for the mean terms, one
-    * round-6 covariance entry per cell. Returns (cov, dimCount). */
-  private def pcaCovariance(emb: DataFrame,
-                            vecCol: String): (DataFrame, Int) = {
-    val v = col(vecCol)
-    val src = emb.filter(v.isNotNull).select(v.as("__v"))
-    val nF = src.agg(count(lit(1)).as("__n")).localCheckpoint()
-    // per-dim sums (means enter the covariance as sxi*sxj/n)
-    val sums = src.select(posexplode(col("__v")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(sum(round(col("x").cast("double"), 6).cast(PcaDec))
-        .as("__sx"))
-      .localCheckpoint()
-    // n*d^2 narrow product rows -> (i,j)-keyed agg, map-side combined
-    val cells = src.select(explode(flatten(
-        transform(col("__v"), (xi, i) =>
-          transform(col("__v"), (xj, j) =>
-            struct(i.as("i"), j.as("j"),
-              round(xi.cast("double") * xj.cast("double"), 6)
-                .cast(PcaDec).as("p")))))).as("c"))
-      .select(col("c.i"), col("c.j"), col("c.p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("__sp"))
-    // covariance in exact micro-units from here on
-    val cov = cells
-      .join(sums.select(col("i"), col("__sx").as("__si")), Seq("i"))
-      .join(sums.select(col("i").as("j"), col("__sx").as("__sj")),
-        Seq("j"))
-      .crossJoin(broadcast(nF))
-      .select(col("i"), col("j"),
-        pcaMu(round((col("__sp").cast("double") -
-            col("__si").cast("double") * col("__sj").cast("double") /
-              col("__n").cast("double")) /
-          (col("__n").cast("double") - lit(1.0)), 6)).as("cmu"))
-      .localCheckpoint()
-    (cov, sums.count().toInt)
+  /** Collected exact corpus moments shared by the PCA/CKA family:
+    * (n, per-dim round-6 micro sums, upper-triangle micro product
+    * sums keyed (i, j) with j ≥ i). ONE narrow corpus pass computes
+    * both moment families: each row emits a flat array of micro-unit
+    * longs — d per-dim round-6 values followed by the d·(d+1)/2
+    * triangle products round(xᵢ·xⱼ, 6)·10⁶ (the product matrix is
+    * symmetric, so the lower triangle is never materialized — half
+    * the per-element work of the former full-square struct pass, and
+    * primitive longs instead of (i, j, decimal) structs: higher-order
+    * transforms don't whole-stage-codegen, so per-element interpreted
+    * eval cost IS this pass's wall). `posexplode` + a pos-keyed
+    * map-side-combined exact decimal agg is the only shuffle —
+    * O(d²) rows. Positions decode to (i, j) on the driver.
+    *
+    * Requires rectangular input (every array the same length): the
+    * position encoding is meaningless on ragged corpora, so they are
+    * rejected loudly rather than mis-summed.
+    *
+    * A cell whose products are all null (null array elements) sums to
+    * null and is ABSENT from the returned map — the same cells the
+    * former plan's null covariance entries dropped from downstream
+    * sums. */
+  /** Slow Column twin of the native
+    * [[graft.functions.NativeExpressions.PcaTriangleMicros]] moment
+    * vector — the same flat layout (d round-6 micro values, then the
+    * j ≥ i triangle products) via transform/slice/flatten and the
+    * round→decimal(18,6)→×10⁶→long chain. Documents the semantics and
+    * anchors the output-identical parity spec; the native carries the
+    * load (the interpreted chain is ~40× slower per element). */
+  private[graft] def pcaTriangleMicrosCols(v: Column, d: Int): Column = {
+    def micro(c: Column): Column =
+      (round(c, 6).cast(PcaDec) * lit(1000000L)).cast("long")
+    concat(
+      transform(v, xi => micro(xi.cast("double"))),
+      flatten(transform(v, (xi, i) =>
+        transform(slice(v, i + lit(1), lit(d) - i), xj =>
+          micro(xi.cast("double") * xj.cast("double"))))))
   }
 
-  /** `iters` power-iteration rounds on one micro-unit covariance
-    * frame: returns the final unit iterate (j, vmu) and its
-    * micro-unit Rayleigh eigenvalue (one row: lmu). */
-  private def pcaIterate(cov: DataFrame, d: Int,
-                         iters: Int): (DataFrame, DataFrame) = {
+  private def pcaMoments(emb: DataFrame, vecCol: String)
+      : (Long, Int, Map[Int, java.math.BigDecimal],
+         Map[(Int, Int), BigInt]) = {
+    val v = col(vecCol)
+    val src = emb.filter(v.isNotNull).select(v.as("__v"))
+    val shape = src.agg(count(lit(1)).as("n"), min(size(col("__v")))
+      .as("dmin"), max(size(col("__v"))).as("dmax")).head()
+    val n = shape.getLong(0)
+    if (n == 0) return (0L, 0, Map.empty, Map.empty)
+    val (dmin, dmax) = (shape.getInt(1), shape.getInt(2))
+    require(dmin == dmax, s"ragged $vecCol arrays (lengths $dmin.." +
+      s"$dmax): the PCA moment pass requires a rectangular corpus")
+    val d = dmax
+    val flat =
+      graft.functions.NativeExpressions.pca_triangle_micros(col("__v"))
+    val cells = src.select(posexplode(flat).as(Seq("p", "x")))
+      .groupBy(col("p"))
+      // exact decimal sum: micro longs can reach |x|²·10⁶ per row and
+      // the corpus is unbounded — a wrapped long sum would be silent
+      .agg(sum(col("x").cast("decimal(38,0)")).as("s"))
+      .collect()
+    val sums = scala.collection.mutable.Map[Int, java.math.BigDecimal]()
+    val prods = scala.collection.mutable.Map[(Int, Int), BigInt]()
+    cells.foreach { r =>
+      val p = r.getInt(0)
+      if (!r.isNullAt(1)) {
+        val s = r.getDecimal(1).toBigIntegerExact
+        if (p < d) sums(p) = new java.math.BigDecimal(s, 6)
+        else {
+          // triangle offset: pairs for row i start at i·d − i·(i−1)/2
+          var i = 0; var off = p - d
+          while (off >= d - i) { off -= d - i; i += 1 }
+          prods((i, i + off)) = BigInt(s)
+        }
+      }
+    }
+    (n, d, sums.toMap, prods.toMap)
+  }
+
+  /** One covariance entry in exact micro-units — the driver twin of
+    * the former per-cell Spark expression, operation for operation:
+    * cmu = micro(round6((sp − si·sj/n) / (n−1))) with every
+    * decimal→double conversion via [[pcaBigD]]-equivalent
+    * BigDecimal.doubleValue. None when any input is absent or the
+    * chain lands on NaN/±Inf (n = 1), where the former plan's
+    * null-cast dropped the cell. */
+  private def pcaCell(n: Long, sums: Map[Int, java.math.BigDecimal],
+      prods: Map[(Int, Int), BigInt])(i: Int, j: Int): Option[BigInt] = {
+    val key = if (i <= j) (i, j) else (j, i)
+    for {
+      sp <- prods.get(key)
+      si <- sums.get(i)
+      sj <- sums.get(j)
+      spD = new java.math.BigDecimal(sp.bigInteger, 6).doubleValue()
+      r6 = pcaRound6((spD - si.doubleValue() * sj.doubleValue() /
+        n.toDouble) / (n.toDouble - 1.0))
+      if !r6.isNaN && !r6.isInfinite
+    } yield pcaMicro(r6)
+  }
+
+  /** The exact micro-unit covariance cells (i, j) → cmu shared by the
+    * PCA ops, assembled driver-side from ONE collected corpus moment
+    * pass ([[pcaMoments]]). Returns (cells, dimCount). */
+  private def pcaCovariance(emb: DataFrame,
+      vecCol: String): (Map[(Int, Int), BigInt], Int) = {
+    val (n, d, sums, prods) = pcaMoments(emb, vecCol)
+    val cell = pcaCell(n, sums, prods) _
+    val cov = (for {
+      i <- 0 until d; j <- 0 until d; c <- cell(i, j)
+    } yield (i, j) -> c).toMap
+    (cov, d)
+  }
+
+  // driver-side twins of the engine's exact chain, used by the fused
+  // PCA iteration (r15 verdict #1). Each replicates ONE Spark
+  // operation bit-for-bit so the unrolled DuckDB oracles keep
+  // matching: decimal(38,0)→double is BigDecimal.doubleValue (the
+  // one correctly-rounded conversion both engines share);
+  // round(x, 6) is Spark's RoundBase double branch — HALF_UP on the
+  // SHORTEST decimal repr (BigDecimal.valueOf), NaN/Inf passed
+  // through; micro-quantization is the pcaMu cast chain.
+  private def pcaBigD(b: BigInt): Double =
+    new java.math.BigDecimal(b.bigInteger).doubleValue()
+  private def pcaRound6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def pcaMicro(r6: Double): BigInt =
+    BigInt(java.math.BigDecimal.valueOf(r6)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).toBigIntegerExact)
+
+  /** `iters` power-iteration rounds on the COLLECTED micro-unit
+    * covariance cells, run in exact driver-side integer arithmetic —
+    * the round-fusion that r15's sweeps motivated: the per-round cost
+    * was never data (the cell frame is d² rows at any corpus size),
+    * it was k·iters·2 eager Spark jobs of scheduling + codegen +
+    * lineage-cut overhead (~43 s of bench wall across the PCA
+    * family). The corpus pass stays fully distributed; only the
+    * d²-integer iteration state lives on the driver — the same
+    * sanctioned shape as the mortality trainer's 1-row gradient
+    * collect. Every operation mirrors the former Spark per-round
+    * plan exactly (see the helper scaladocs), so results — and the
+    * unrolled oracle CTEs — are bit-identical.
+    *
+    * Returns the final unit iterate vmu (micro), its Rayleigh
+    * eigenvalue lmu (micro), or None when the covariance is
+    * degenerate (‖C·v‖ = 0: the former plan's 0/0 → NaN → null-cast
+    * chain made every loading/eigenvalue of such a component null). */
+  private def pcaIterateLocal(cov: Map[(Int, Int), BigInt], d: Int,
+      iters: Int): Option[(Array[BigInt], BigInt)] = {
     val v0mu = (BigDecimal(1.0 / math.sqrt(d.toDouble))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
-    var vec = cov.select(col("i")).distinct()
-      .select(col("i").as("j"), lit(v0mu).cast(PcaInt38).as("vmu"))
-      .localCheckpoint()
-    def multiply(vk: DataFrame): DataFrame =
-      cov.join(vk, Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(col("cmu") * col("vmu")).as("wp")) // exact pico^2-units
+    def multiply(v: Array[BigInt]): Array[BigInt] = {
+      val w = Array.fill(d)(BigInt(0)) // exact pico^2-units
+      cov.foreach { case ((i, j), cmu) => w(i) += cmu * v(j) }
+      w
+    }
+    var vec = Array.fill(d)(BigInt(v0mu))
     for (_ <- 1 to iters) {
-      val w = multiply(vec).localCheckpoint()
-      val norm = w.agg(sum(col("wp") * col("wp")).as("__m2"))
-      vec = w.crossJoin(broadcast(norm))
-        .select(col("i").as("j"),
-          pcaMu(round(col("wp").cast("double") /
-            sqrt(col("__m2").cast("double")), 6)).as("vmu"))
-        .localCheckpoint()
+      val w = multiply(vec)
+      val m2 = w.iterator.map(x => x * x).sum
+      if (m2.signum == 0) return None
+      val nrm = math.sqrt(pcaBigD(m2))
+      vec = w.map(wp => pcaMicro(pcaRound6(pcaBigD(wp) / nrm)))
     }
     // Rayleigh quotient on the final iterate: v.Cv / v.v, integer
     // numerator/denominator, one double division chain; the
     // eigenvalue is kept in micro-units so deflation stays integral
     val wF = multiply(vec)
-    val lam = wF.join(vec.select(col("j").as("i"), col("vmu")), Seq("i"))
-      .agg(sum(col("vmu") * col("wp")).as("__num"),
-        sum(col("vmu") * col("vmu")).as("__den"))
-      .select(pcaMu(round(col("__num").cast("double") /
-          col("__den").cast("double") / lit(1000000.0), 6))
-        .as("lmu"))
-      .localCheckpoint()
-    (vec, lam)
+    val num = (0 until d).iterator.map(i => vec(i) * wF(i)).sum
+    val den = vec.iterator.map(x => x * x).sum
+    if (den.signum == 0) return None
+    val lmu = pcaMicro(pcaRound6(
+      pcaBigD(num) / pcaBigD(den) / 1000000.0))
+    Some((vec, lmu))
   }
 
   /** Top-k principal components by POWER ITERATION + HOTELLING
@@ -1713,10 +1814,15 @@ object Similarity {
     * (the holtSeasonal halfway hazard).
     *
     * Scale shape: the corpus is touched ONCE (the n·d² product pass
-    * of [[powerIterationPca]]); all k·iters rounds and all k−1
-    * deflations run on the d²-cell frame. Deflation cost is one
-    * d²-row join per component against a d-row broadcast — at d=64
-    * that is 4,096 rows of integer arithmetic per component.
+    * of [[powerIterationPca]], fully distributed); the d²-cell
+    * covariance is then collected — d² integers, a size set by the
+    * embedding DIMENSION, not the corpus — and all k·iters rounds
+    * and all k−1 deflations run as exact driver-side integer
+    * arithmetic in [[pcaIterateLocal]]: zero per-round Spark jobs
+    * (the former per-round lineage cuts were 43 s of fixed bench
+    * wall across the PCA family at sf0.1, flat in the 30×/100×
+    * sweeps — pure job-count, not data). The returned basis is a
+    * k·d-row LocalRelation, free to broadcast into [[pcaProject]].
     *
     * @return (component, dim, loading, eigenvalue) — k·d rows,
     *         component 1-based in descending-eigenvalue order */
@@ -1736,74 +1842,67 @@ object Similarity {
     * decimal(38,0), ONE double chain (two sqrt, one division)
     * rounded once. Zero-variance sides → NULL, never divide.
     *
-    * Scale shape: ONE narrow corpus pass emits each row's
-    * dx·dy + dx² + dy² products map-side combined into the
-    * (matrix, i, j)-keyed agg; everything after runs on the
-    * cells frame. The n·d² honest Gram cost, budget at large d.
+    * Scale shape: ONE narrow corpus pass over the CONCATENATED
+    * (x ⧺ y) vector emits each row's upper-triangle round-6 micro
+    * products ([[pcaMoments]] — the product matrix over z = x ⧺ y is
+    * symmetric, and its triangle contains every xx/yy pair once and
+    * every xy pair exactly once, so this is 2–3× fewer per-element
+    * evals than the former three-family full-square pass); the three
+    * covariance families and their Frobenius sums are then assembled
+    * driver-side from the d_z²-integer cells, classified by index
+    * range (i, j < d_x → xx; both ≥ d_x → yy; split → xy), with the
+    * off-diagonal xx/yy contributions counted twice. The n·d² honest
+    * Gram cost, budget at large d.
     *
     * @return one row: (n, d_x, d_y, cka) */
   def linearCka(emb: DataFrame, xCol: String,
                 yCol: String): DataFrame = {
     val src = emb.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).as("__x"), col(yCol).as("__y"))
-    val nF = src.agg(count(lit(1)).as("__n")).localCheckpoint()
-    def sums(c: String, out: String): DataFrame =
-      src.select(posexplode(col(c)).as(Seq("i", "v")))
-        .groupBy(col("i"))
-        .agg(sum(round(col("v").cast("double"), 6).cast(PcaDec))
-          .as(out))
-    val sx = sums("__x", "__sx").localCheckpoint()
-    val sy = sums("__y", "__sy").localCheckpoint()
-    // one pass, three product families tagged by matrix id
-    def prods(a: Column, b: Column, m: Int) =
-      flatten(transform(a, (xi, i) =>
-        transform(b, (xj, j) =>
-          struct(lit(m).as("m"), i.as("i"), j.as("j"),
-            round(xi.cast("double") * xj.cast("double"), 6)
-              .cast(PcaDec).as("p")))))
-    val cells = src.select(explode(concat(
-        prods(col("__x"), col("__y"), 0),
-        prods(col("__x"), col("__x"), 1),
-        prods(col("__y"), col("__y"), 2))).as("c"))
-      .select(col("c.m"), col("c.i"), col("c.j"), col("c.p"))
-      .groupBy(col("m"), col("i"), col("j"))
-      .agg(sum(col("p")).as("__sp"))
-    val sxi = sx.select(col("i"), col("__sx").as("__si"))
-    val sxj = sx.select(col("i").as("j"), col("__sx").as("__sj"))
-    val syi = sy.select(col("i"), col("__sy").as("__si"))
-    val syj = sy.select(col("i").as("j"), col("__sy").as("__sj"))
-    def sideSums(m: Int): (DataFrame, DataFrame) = m match {
-      case 0 => (sxi, syj)
-      case 1 => (sxi, sxj)
-      case 2 => (syi, syj)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d_x",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("d_y",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("cka",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    def result(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      emb.sparkSession.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema)
+    val dimRow = src.limit(1)
+      .select(size(col("__x")), size(col("__y"))).collect()
+    if (dimRow.isEmpty) return result(Nil) // empty corpus → 0 rows
+    val (dx, dy) = (dimRow.head.getInt(0), dimRow.head.getInt(1))
+    val (n, dz, sums, prods) =
+      pcaMoments(src.select(concat(col("__x"), col("__y")).as("__z")),
+        "__z")
+    val cell = pcaCell(n, sums, prods) _
+    // Frobenius over a family's full square from triangle cells:
+    // off-diagonal cmu² twice (cmu is index-symmetric — products and
+    // the mean term both commute), diagonal once; a family with NO
+    // present cells is null (the former all-null sum), matching the
+    // when()-guard that made zero/absent variance a NULL cka
+    def frob(lo: Int, hi: Int): Option[BigInt] = {
+      val cs = for {
+        i <- lo until hi; j <- i until hi; c <- cell(i, j)
+      } yield c * c * (if (i == j) 1 else 2)
+      if (cs.isEmpty) None else Some(cs.sum)
     }
-    val cov = Seq(0, 1, 2).map { m =>
-      val (a, b) = sideSums(m)
-      cells.filter(col("m") === m)
-        .join(a, Seq("i"))
-        .join(b, Seq("j"))
-        .crossJoin(broadcast(nF))
-        .select(col("m"),
-          pcaMu(round((col("__sp").cast("double") -
-              col("__si").cast("double") * col("__sj").cast("double") /
-                col("__n").cast("double")) /
-            (col("__n").cast("double") - lit(1.0)), 6)).as("cmu"))
-    }.reduce(_ unionByName _)
-    val frob = cov.groupBy(col("m"))
-      .agg(sum(col("cmu") * col("cmu")).as("__f"))
-      .groupBy()
-      .agg(sum(when(col("m") === 0, col("__f"))).as("__fxy"),
-        sum(when(col("m") === 1, col("__f"))).as("__fxx"),
-        sum(when(col("m") === 2, col("__f"))).as("__fyy"))
-    val dims = src.limit(1).select(size(col("__x")).as("__dx"),
-      size(col("__y")).as("__dy"))
-    nF.crossJoin(broadcast(dims)).crossJoin(broadcast(frob))
-      .select(col("__n").as("n"), col("__dx").as("d_x"),
-        col("__dy").as("d_y"),
-        when(col("__fxx") > 0 && col("__fyy") > 0,
-          round(col("__fxy").cast("double") /
-            (sqrt(col("__fxx").cast("double")) *
-              sqrt(col("__fyy").cast("double"))), 6)).as("cka"))
+    val fxy0 = for {
+      i <- 0 until dx; j <- dx until dz; c <- cell(i, j)
+    } yield c * c
+    val fxy = if (fxy0.isEmpty) None else Some(fxy0.sum)
+    val cka: Any = (for {
+      fxx <- frob(0, dx); fyy <- frob(dx, dz)
+      if fxx.signum > 0 && fyy.signum > 0
+      f <- fxy
+    } yield pcaRound6(pcaBigD(f) /
+      (math.sqrt(pcaBigD(fxx)) * math.sqrt(pcaBigD(fyy))))).orNull
+    result(Seq(org.apache.spark.sql.Row(n, dx, dy, cka)))
   }
 
   /** Project every embedding onto a learned principal basis — the
@@ -1864,30 +1963,50 @@ object Similarity {
                          k: Int, iters: Int = 6): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
-    val (cov0, d) = pcaCovariance(emb, vecCol)
+    // ONE corpus moment pass; the d²-integer covariance (dimension-
+    // sized, not corpus-sized) and everything after it are exact
+    // driver-side integers
+    var (cov, d) = pcaCovariance(emb, vecCol)
     require(k <= d, s"k=$k exceeds dimension $d")
-    var covC = cov0
-    val comps = (1 to k).map { c =>
-      val (vec, lam) = pcaIterate(covC, d, iters)
-      if (c < k) {
-        // Hotelling deflation: cmu -= (lmu * vmu_i * vmu_j) div 1e12
-        // (exact integer product, truncation toward zero)
-        covC = covC
-          .join(vec.select(col("j").as("i"), col("vmu").as("__vi")),
-            Seq("i"))
-          .join(vec.select(col("j"), col("vmu").as("__vj")), Seq("j"))
-          .crossJoin(broadcast(lam))
-          .select(col("i"), col("j"),
-            (col("cmu") - expr("(lmu * __vi * __vj) div 1000000000000")
-              .cast(PcaInt38)).as("cmu"))
-          .localCheckpoint()
+    val rows = Seq.newBuilder[org.apache.spark.sql.Row]
+    var degenerate = false
+    for (c <- 1 to k) {
+      val it = if (degenerate) None else pcaIterateLocal(cov, d, iters)
+      it match {
+        case Some((vmu, lmu)) =>
+          val eig = pcaRound6(pcaBigD(lmu) / 1000000.0)
+          for (j <- 0 until d) rows += org.apache.spark.sql.Row(
+            c, j, pcaBigD(vmu(j)) / 1000000.0, eig)
+          if (c < k) {
+            // Hotelling deflation: cmu -= (lmu·vmu_i·vmu_j) div 1e12
+            // (exact integer product, truncation toward zero — BigInt
+            // `/` and Spark's decimal `div` agree)
+            val t = BigInt(1000000000000L)
+            cov = cov.map { case ((i, j), cmu) =>
+              (i, j) -> (cmu - (lmu * vmu(i) * vmu(j)) / t)
+            }
+          }
+        case None =>
+          // degenerate covariance (‖C·v‖ = 0): the former per-round
+          // plan's 0/0 → NaN → null-cast chain nulled every loading
+          // and eigenvalue of this and all later components
+          degenerate = true
+          for (j <- 0 until d) rows += org.apache.spark.sql.Row(
+            c, j, null, null)
       }
-      vec.select(lit(c).as("component"), col("j").as("dim"),
-          (col("vmu").cast("double") / lit(1000000.0)).as("loading"))
-        .crossJoin(broadcast(lam.select(
-          round(col("lmu").cast("double") / lit(1000000.0), 6)
-            .as("eigenvalue"))))
     }
-    comps.reduce(_ unionByName _)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("eigenvalue",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    emb.sparkSession.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.result()).asJava),
+      schema)
   }
 }

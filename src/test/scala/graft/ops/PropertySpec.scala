@@ -495,4 +495,68 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("round6Micro == the round→decimal(18,6)→×10⁶ reference on " +
+    "boundary-adversarial doubles (exact halves, near-halves, " +
+    "overflow, NaN/Inf)") {
+    import graft.functions.NativeExpressions.round6Micro
+    def reference(x: Double): Option[Long] = {
+      // Spark's Round double branch then the non-ANSI decimal cast
+      if (x.isNaN || x.isInfinite) return None
+      val bd = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      if (bd.precision > 18) None
+      else Some(bd.unscaledValue.longValue)
+    }
+    val pinned = Seq(0.0, -0.0, 1.2345675, -1.2345675, 1.2345665,
+      0.0000005, -0.0000005, 0.9999995, 123456.1234565,
+      999999999999.999999, 1e12, -1e12, 1e13, 4.5e15, 9e18,
+      Double.MinPositiveValue, 0.1, 1.0 / 3.0, 2.675, -2.675,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    pinned.foreach { x =>
+      assert(Option(round6Micro(x)).map(_.longValue) == reference(x),
+        s"round6Micro($x)")
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 200000).foreach { _ =>
+      // mix magnitudes; bias toward values whose 1e6-scaled fraction
+      // sits near .5 (the fast-path guard's hard region)
+      val base = rnd.nextInt(4) match {
+        case 0 => rnd.nextDouble() * 2 - 1
+        case 1 => (rnd.nextDouble() * 2 - 1) * 1e6
+        case 2 => (rnd.nextInt(2000001) - 1000000 + 0.5) / 1e6
+        case _ => (rnd.nextDouble() * 2 - 1) * 1e13
+      }
+      assert(Option(round6Micro(base)).map(_.longValue) ==
+        reference(base), s"round6Micro($base)")
+    }
+  }
+
+  test("PcaTriangleMicros == its Column twin (transform/slice round→" +
+    "decimal chain) on random float vectors with nulls") {
+    import graft.sim.Similarity
+    import graft.functions.NativeExpressions
+    val gen: Gen[List[List[Option[Float]]]] = for {
+      d <- Gen.choose(1, 7)
+      n <- Gen.choose(1, 8)
+      rows <- Gen.listOfN(n, Gen.listOfN(d, for {
+        kind <- Gen.choose(0, 9)
+        m <- Gen.choose(-2000000, 2000000)
+      } yield if (kind == 0) None
+        else Some(if (kind == 1) m / 2e6f else m / 1000f)))
+    } yield rows
+    check("pca-moments-parity")(Prop.forAll(gen) { rows =>
+      val d = rows.head.length
+      val df = rows.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.map(Float.box).orNull)) }
+        .toDF("id", "v")
+      val both = df.select(
+          NativeExpressions.pca_triangle_micros(col("v")).as("a"),
+          Similarity.pcaTriangleMicrosCols(col("v"), d).as("b"))
+        .collect()
+      both.forall { r =>
+        r.getSeq[Any](0) == r.getSeq[Any](1)
+      }
+    })
+  }
 }

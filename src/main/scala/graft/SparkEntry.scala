@@ -3468,6 +3468,35 @@ object SparkEntry {
             count(lit(1)).cast("double"), 6).as("observed_rate"))
     }),
 
+    // ---- CAPSTONE part 4: hourly SOFA over the blocked dataset —
+    // the reference's scores pipeline promise (RCLIF_scores.Rmd:
+    // 86-92) composed onto the per-(encounter, hour) grid: three
+    // staleness-bounded organ channels (neuro ≤2h, resp ≤2h, renal
+    // ≤24h) band 0–4 per hour — neuro via the EXACT reference GCS
+    // case_when over a micro-exact GCS analog — and sofa_total sums
+    // the PRESENT organs (stale = missing, never zero; n_organs
+    // keeps the denominator honest). Banding is row-local: zero
+    // shuffles beyond the capstone's one exchange family. ----
+    "clif_sofa_hourly" -> ((s, dir) => {
+      val bd = graft.clif.BlockedDataset.build(t(s, dir, "events"),
+        encCol = "user_id", tsCol = "ts", channelCol = "event_type",
+        valueCol = "value", tiebreak = "event_id",
+        channels = Seq(
+          graft.clif.BlockedDataset.Channel("click", "neuro_vital",
+            toleranceSeconds = 7200L),
+          graft.clif.BlockedDataset.Channel("view", "resp_vital",
+            toleranceSeconds = 7200L),
+          graft.clif.BlockedDataset.Channel("purchase", "renal_lab",
+            toleranceSeconds = 86400L)),
+        stepSeconds = 3600L,
+        outcome = col("event_type") === "error", rollRows = 4,
+        trainPct = 80, valPct = 10)
+      graft.clif.Pipelines.sofaHourly(bd,
+          "neuro_vital", "resp_vital", "renal_lab")
+        .select("user_id", "grid_ts", "sofa_neuro", "sofa_resp",
+          "sofa_renal", "n_organs", "sofa_total", "label", "split")
+    }),
+
     // ---- A71: McNemar's paired test — two purchase-prediction
     // rules (total value > 50 vs event count > 10) scored on the
     // SAME users; only the discordant users carry information. ----
@@ -13112,6 +13141,114 @@ v$r AS MATERIALIZED (
         |         % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r JOIN lab USING (user_id)""".stripMargin,
+
+    // the hourly-SOFA capstone replayed: the w6 grid, THREE j10
+    // staleness-bounded ASOF organ channels, the exact reference GCS
+    // case_when over the micro-exact analog (3 + micros % 13 — the
+    // DECIMAL(18,6)·10⁶ grid is engine-portable, and the micros are
+    // non-negative so plain % matches Spark's pmod), the declared
+    // resp/renal bands with an explicit IS NULL arm (stale organ →
+    // NULL, never 0), and the present-organs composite
+    "clif_sofa_hourly" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+        |    MAX(ts) AS t1
+        |  FROM e GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(t0, t1, INTERVAL 3600 SECOND))
+        |      AS grid_ts
+        |  FROM b),
+        |c1 AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |c2 AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+        |c3 AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |v1 AS (
+        |  SELECT g.user_id, g.grid_ts,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(g.grid_ts)) - floor(epoch(w.ts)) > 7200
+        |      THEN NULL ELSE w.value END AS neuro_vital
+        |  FROM grid g ASOF LEFT JOIN c1 w
+        |    ON g.user_id = w.user_id AND g.grid_ts >= w.ts),
+        |v2 AS (
+        |  SELECT v.user_id, v.grid_ts, v.neuro_vital,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(v.grid_ts)) - floor(epoch(w.ts)) > 7200
+        |      THEN NULL ELSE w.value END AS resp_vital
+        |  FROM v1 v ASOF LEFT JOIN c2 w
+        |    ON v.user_id = w.user_id AND v.grid_ts >= w.ts),
+        |v3 AS (
+        |  SELECT v.user_id, v.grid_ts, v.neuro_vital, v.resp_vital,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(v.grid_ts)) - floor(epoch(w.ts)) > 86400
+        |      THEN NULL ELSE w.value END AS renal_lab
+        |  FROM v2 v ASOF LEFT JOIN c3 w
+        |    ON v.user_id = w.user_id AND v.grid_ts >= w.ts),
+        |sc AS (
+        |  SELECT user_id, grid_ts,
+        |    CASE WHEN g < 6 THEN 4 WHEN g < 10 THEN 3
+        |         WHEN g < 13 THEN 2 WHEN g < 15 THEN 1
+        |         WHEN g = 15 THEN 0 END AS sofa_neuro,
+        |    CASE WHEN resp_vital IS NULL THEN NULL
+        |         WHEN resp_vital >= 400 THEN 4
+        |         WHEN resp_vital >= 300 THEN 3
+        |         WHEN resp_vital >= 200 THEN 2
+        |         WHEN resp_vital >= 100 THEN 1 ELSE 0 END AS sofa_resp,
+        |    CASE WHEN renal_lab IS NULL THEN NULL
+        |         WHEN renal_lab >= 440 THEN 4
+        |         WHEN renal_lab >= 350 THEN 3
+        |         WHEN renal_lab >= 170 THEN 2
+        |         WHEN renal_lab >= 110 THEN 1 ELSE 0 END AS sofa_renal
+        |  FROM (
+        |    SELECT user_id, grid_ts, resp_vital, renal_lab,
+        |      3 + (CAST(CAST(neuro_vital AS DECIMAL(18,6)) * 1000000
+        |           AS BIGINT) % 13) AS g
+        |    FROM v3)),
+        |lab AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS label
+        |  FROM events GROUP BY user_id)
+        |SELECT sc.user_id, sc.grid_ts, sc.sofa_neuro, sc.sofa_resp,
+        |  sc.sofa_renal,
+        |  CAST(sc.sofa_neuro IS NOT NULL AS INTEGER) +
+        |  CAST(sc.sofa_resp IS NOT NULL AS INTEGER) +
+        |  CAST(sc.sofa_renal IS NOT NULL AS INTEGER) AS n_organs,
+        |  CASE WHEN CAST(sc.sofa_neuro IS NOT NULL AS INTEGER) +
+        |            CAST(sc.sofa_resp IS NOT NULL AS INTEGER) +
+        |            CAST(sc.sofa_renal IS NOT NULL AS INTEGER) > 0
+        |    THEN COALESCE(sc.sofa_neuro, 0) +
+        |         COALESCE(sc.sofa_resp, 0) +
+        |         COALESCE(sc.sofa_renal, 0) END AS sofa_total,
+        |  lab.label,
+        |  CASE WHEN ((((((sc.user_id % 2147483647) * 2654435761)
+        |         % 2147483647) + 2147483647) % 2147483647) % 100 + 100)
+        |         % 100 < 80 THEN 'train'
+        |       WHEN ((((((sc.user_id % 2147483647) * 2654435761)
+        |         % 2147483647) + 2147483647) % 2147483647) % 100 + 100)
+        |         % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM sc JOIN lab USING (user_id)""".stripMargin,
 
     // the whole training loop replayed: the capstone grid + channel
     // CTEs, per-encounter micro-unit features, then THREE unrolled

@@ -153,6 +153,50 @@ object Pipelines {
       .orderBy(PID, "score_time")
   }
 
+  /** Hourly SOFA composition over the blocked-dataset grid — the
+    * reference's scores promise (`code/RCLIF_scores.Rmd:86-92`)
+    * carried onto the per-(encounter, hour) capstone matrix: each
+    * LOCF'd, staleness-bounded organ channel bands into a 0–4 organ
+    * score, and the hourly composite `sofa_total` sums the PRESENT
+    * scores — a stale channel contributes NOTHING rather than zero
+    * (the missing-organ convention; `n_organs` records how many
+    * organs were actually measured that hour, so a composite of 4
+    * from one organ is distinguishable from 4 across three).
+    *
+    * Neuro uses the EXACT reference GCS banding
+    * ([[Vocabularies.sofaNeuro]]: <6→4, <10→3, <13→2, <15→1, 15→0 —
+    * no catch-all, absent→null) over a micro-exact GCS analog of the
+    * vital channel (3 + micros(value) mod 13 ∈ 3..15; the micro
+    * quantization `value → decimal(18,6) → ×10⁶ → long` is the
+    * engine-portable exact grid, so the analog — and therefore every
+    * band — replays bit-identically in SQL). Resp/renal band on
+    * declared value thresholds with an explicit isNotNull arm so a
+    * stale channel scores null, never 0.
+    *
+    * Scale shape: ZERO new shuffles — banding is per-row on the
+    * already-assembled grid and the composite is row-local, so this
+    * adds nothing to the capstone's one-exchange-family plan at any
+    * width (the wide15 sweep's marginal-cost-~0 contract). */
+  def sofaHourly(bd: DataFrame, neuroCol: String, respCol: String,
+                 renalCol: String): DataFrame = {
+    val gcs = lit(3) + pmod((col(neuroCol).cast("decimal(18,6)") *
+      lit(1000000L)).cast("long"), lit(13))
+    def band(c: Column, t4: Int, t3: Int, t2: Int, t1: Int): Column =
+      when(c >= t4, 4).when(c >= t3, 3).when(c >= t2, 2)
+        .when(c >= t1, 1).when(c.isNotNull, 0)
+    val scored = bd
+      .withColumn("sofa_neuro", Vocabularies.sofaNeuro(gcs))
+      .withColumn("sofa_resp", band(col(respCol), 400, 300, 200, 100))
+      .withColumn("sofa_renal", band(col(renalCol), 440, 350, 170, 110))
+    val organs = Seq("sofa_neuro", "sofa_resp", "sofa_renal")
+    scored
+      .withColumn("n_organs",
+        organs.map(o => col(o).isNotNull.cast("int")).reduce(_ + _))
+      .withColumn("sofa_total",
+        when(col("n_organs") > 0,
+          organs.map(o => coalesce(col(o), lit(0))).reduce(_ + _)))
+  }
+
   /** med_out projection shared by the three medication outputs
     * (`code/RCLIF_medications.Rmd:40-49`) — cache the result when feeding
     * multiple sinks (SURVEY.md §4 shared-intermediate note). */

@@ -705,6 +705,9 @@ object ScaleSweep {
       // feature agg + 3 unrolled GD scans (one (d+1)-sum hash agg
       // each) + the exact sign-test eval — iters x one pass, linear
       // in the staged encounter count
+      "clif_sofa_hourly" -> (d =>
+        SparkEntry.queries("clif_sofa_hourly")(spark, d).count()),
+
       "clif_mortality_model" -> (d =>
         SparkEntry.queries("clif_mortality_model")(spark, d).count()),
       // capstone part 3: same walk + a 3-scalar percentile frame

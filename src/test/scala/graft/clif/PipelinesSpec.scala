@@ -422,6 +422,54 @@ class PipelinesSpec extends SparkSpec {
       s"expected ONE LOCF window pass, got ${locfWindows(out)}")
   }
 
+  test("sofaHourly: reference GCS banding per hour on the micro-exact " +
+    "analog, declared resp/renal bands, stale organ scores NULL " +
+    "(never 0), composite sums PRESENT organs with honest n_organs") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // micros(0.000005) % 13 = 5 → gcs 8 → sofa_neuro 3
+      (1L, ts("2024-01-01 00:30:00"), 7L, "click", 0.000005),
+      (2L, ts("2024-01-01 00:40:00"), 7L, "view", 450.0), // resp 4
+      (3L, ts("2024-01-01 00:45:00"), 7L, "purchase", 120.0), // renal 1
+      // micros 12 → gcs 15 → the g = 15 arm → sofa_neuro 0
+      (4L, ts("2024-01-01 03:30:00"), 7L, "click", 0.000012),
+      (5L, ts("2024-01-01 04:30:00"), 7L, "signup", 1.0) // extends t1
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val bd = BlockedDataset.build(ev, "user_id", "ts", "event_type",
+      "value", "event_id",
+      channels = Seq(
+        BlockedDataset.Channel("click", "neuro_vital", 7200L),
+        BlockedDataset.Channel("view", "resp_vital", 7200L),
+        BlockedDataset.Channel("purchase", "renal_lab", 86400L)),
+      stepSeconds = 3600L, outcome = col("event_type") === "error",
+      rollRows = 4, trainPct = 80, valPct = 10)
+    val got = Pipelines.sofaHourly(bd,
+        "neuro_vital", "resp_vital", "renal_lab")
+      .select("grid_ts", "sofa_neuro", "sofa_resp", "sofa_renal",
+        "n_organs", "sofa_total", "label")
+      .as[(java.sql.Timestamp, Option[Int], Option[Int], Option[Int],
+        Int, Option[Int], Long)]
+      .collect().sortBy(_._1.getTime).toList
+    assert(got.map(_._1) == (0 to 4).map(h =>
+      ts(f"2024-01-01 0$h%d:00:00")).toList)
+    // hour 0: nothing observed yet → every organ missing, total NULL
+    assert(got(0) == ((ts("2024-01-01 00:00:00"),
+      None, None, None, 0, None, 0L)), got(0).toString)
+    // hours 1-2: all three fresh → 3 + 4 + 1 across 3 organs
+    assert(got(1)._2 == Some(3) && got(1)._3 == Some(4) &&
+      got(1)._4 == Some(1) && got(1)._5 == 3 &&
+      got(1)._6 == Some(8), got(1).toString)
+    assert(got(2) == got(1).copy(_1 = ts("2024-01-01 02:00:00")))
+    // hour 3: neuro (age 9000 s) and resp (8400 s) stale past 7200 →
+    // NULL, not 0; renal alone carries the composite
+    assert(got(3) == ((ts("2024-01-01 03:00:00"),
+      None, None, Some(1), 1, Some(1), 0L)), got(3).toString)
+    // hour 4: the 03:30 click is fresh — gcs 15 bands to 0, which
+    // still COUNTS as a measured organ (n_organs 2, total 0 + 1)
+    assert(got(4) == ((ts("2024-01-01 04:00:00"),
+      Some(0), None, Some(1), 2, Some(1), 0L)), got(4).toString)
+  }
+
   test("medicationOrders: 5-key join resolves duplicate end column") {
     val orders = Seq(
       (1L, 10L, 7L, T0, T0 + 99L, "DRUG X", "DAILY", "5", "mg")

@@ -2464,6 +2464,24 @@ object SparkEntry {
         "embedding", queryId = 17L, topK = 10, m = 4, k = 8,
         iters = 1)),
 
+    // ---- similarity: 1-bit sign quantization + Hamming top-k — the
+    // last rung of the serving ladder (float → int8 → PQ → binary):
+    // 64 dims pack to TWO non-negative long words (32 sign bits
+    // each, MSB-first, bit 63 never used — engine-portable), query
+    // cost = 2 xor+popcount ops/row on a corpus the vector column
+    // never touches. Exact integer distances, id tiebreak. ----
+    "e_binary_topk" -> ((s, dir) =>
+      Similarity.binaryTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 17L, topK = 10, d = 64)),
+
+    // ---- similarity: recall@10 audit of the binary arm vs exact
+    // round-6 cosine — the e_pq_recall discipline applied to the
+    // 1-bit tier: the number that says what the 32× byte cut costs
+    // in shortlist quality. ----
+    "e_binary_recall" -> ((s, dir) =>
+      Similarity.binaryRecall(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 17L, topK = 10, d = 64)),
+
     // ---- similarity: BATCH IVF k-NN join — every 100th vector is a
     // query; each probes its nprobe=8 nearest of nlist=64 cells and
     // scores only those cells' members (native IvfProbe explode + one
@@ -8721,6 +8739,83 @@ FROM proj"""
         |  FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT neighbor_id, ROUND(dot/(ne*nq), 6) AS cos_sim FROM d
         |ORDER BY cos_sim DESC, neighbor_id LIMIT 10""".stripMargin,
+
+    // the sign-bit index recomputed in SQL: 32 MSB-first sign bits
+    // per word via 1::BIGINT << (31 - offset) — bit 63 never set, so
+    // no engine sign wrap — then Hamming = SUM bit_count(xor) over
+    // the word-aligned join
+    "e_binary_topk" ->
+      """WITH bits AS (
+        |  SELECT vec_id, CAST(u['i'] AS INT) // 32 AS w,
+        |    CASE WHEN CAST(u['x'] AS DOUBLE) > 0
+        |      THEN CAST(1 AS BIGINT) << (31 - (CAST(u['i'] AS INT) % 32))
+        |      ELSE CAST(0 AS BIGINT) END AS b
+        |  FROM (
+        |    SELECT vec_id,
+        |      unnest(list_transform(range(1, len(embedding) + 1),
+        |        k -> {'i': k - 1, 'x': embedding[CAST(k AS INT)]})) AS u
+        |    FROM embeddings
+        |    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)),
+        |codes AS (
+        |  SELECT vec_id, w, CAST(SUM(b) AS BIGINT) AS word
+        |  FROM bits GROUP BY vec_id, w),
+        |ham AS (
+        |  SELECT c.vec_id,
+        |    CAST(SUM(bit_count(xor(c.word, q.word))) AS BIGINT)
+        |      AS hamming
+        |  FROM codes c JOIN codes q ON q.vec_id = 17 AND q.w = c.w
+        |  WHERE c.vec_id <> 17
+        |  GROUP BY c.vec_id),
+        |top AS (
+        |  SELECT vec_id, hamming FROM ham
+        |  ORDER BY hamming, vec_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY hamming, vec_id)
+        |    AS INT) AS rank,
+        |  vec_id, hamming
+        |FROM top""".stripMargin,
+
+    // the binary serve + the exact round-6 cosine top-10, hits via
+    // the k-row join (the e_pq_recall audit shape)
+    "e_binary_recall" ->
+      """WITH bits AS (
+        |  SELECT vec_id, CAST(u['i'] AS INT) // 32 AS w,
+        |    CASE WHEN CAST(u['x'] AS DOUBLE) > 0
+        |      THEN CAST(1 AS BIGINT) << (31 - (CAST(u['i'] AS INT) % 32))
+        |      ELSE CAST(0 AS BIGINT) END AS b
+        |  FROM (
+        |    SELECT vec_id,
+        |      unnest(list_transform(range(1, len(embedding) + 1),
+        |        k -> {'i': k - 1, 'x': embedding[CAST(k AS INT)]})) AS u
+        |    FROM embeddings
+        |    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)),
+        |codes AS (
+        |  SELECT vec_id, w, CAST(SUM(b) AS BIGINT) AS word
+        |  FROM bits GROUP BY vec_id, w),
+        |approx AS (
+        |  SELECT c.vec_id,
+        |    CAST(SUM(bit_count(xor(c.word, q.word))) AS BIGINT)
+        |      AS hamming
+        |  FROM codes c JOIN codes q ON q.vec_id = 17 AND q.w = c.w
+        |  WHERE c.vec_id <> 17
+        |  GROUP BY c.vec_id
+        |  ORDER BY hamming, c.vec_id LIMIT 10),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 17),
+        |exact AS (
+        |  SELECT e.vec_id,
+        |    ROUND(
+        |      list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qe,
+        |           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+        |      AS c
+        |  FROM embeddings e, q WHERE e.vec_id <> 17
+        |  ORDER BY c DESC, e.vec_id LIMIT 10)
+        |SELECT CAST(10 AS INTEGER) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS hits,
+        |  ROUND(COUNT(*) / CAST(10 AS DOUBLE), 6) AS recall
+        |FROM approx JOIN exact USING (vec_id)""".stripMargin,
 
     "e_ivf_topk" ->
       """WITH cents AS (

@@ -903,6 +903,82 @@ object Similarity {
         round(col("__h") / lit(topK.toDouble), 6).as("recall"))
   }
 
+  /** 1-bit sign quantization — the last rung of the serving
+    * quantization ladder (float → int8 → PQ → binary): each vector
+    * compresses to ceil(d/32) long words of SIGN BITS (bit set iff
+    * the element is > 0; zero and null elements clear), and angular
+    * similarity is answered by Hamming distance on the words
+    * (Charikar 2002 SRP at the degenerate one-hyperplane-per-axis
+    * point — 32 bytes/vector at d=64, a 8× cut below int8).
+    *
+    * Packing convention (engine-portable): 32 dims per long word,
+    * MSB-first — in-block offset o contributes bit 31−o, so bit 63
+    * is never used, every word is a NON-NEGATIVE long, and the SQL
+    * replay (`1::BIGINT << (31 - o)` summed per word) never touches
+    * the sign bit of any engine's 64-bit integer. A trailing partial
+    * block folds into the LOW bits (left fold, documented — d is a
+    * multiple of 32 on this corpus). */
+  def signBitsCols(vec: Column, d: Int): Column = {
+    require(d >= 1, "d must be >= 1")
+    val words = (d + 31) / 32
+    transform(sequence(lit(0), lit(words - 1)), w =>
+      aggregate(slice(vec, w * lit(32) + lit(1), lit(32)), lit(0L),
+        (acc, x) => acc * 2 + when(x > lit(0), 1L).otherwise(0L)))
+  }
+
+  /** Hamming top-k over the sign-bit codes: one narrow corpus scan of
+    * the packed words (the vector column is never read at query
+    * time), per-row cost = ceil(d/32) xor+popcount word ops, then a
+    * TakeOrdered — the brute serve at 1/32 the bytes of int8. Exact
+    * integer distances, ties by id.
+    *
+    * @return (rank, idCol, hamming) — topK rows */
+  def binaryTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, topK: Int, d: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val codes = emb
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        signBitsCols(col(vecCol), d).as("__c"))
+    val q = codes.filter(col("__id") === queryId)
+      .select(col("__c").as("__qc"))
+    val top = codes.filter(col("__id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("__id"),
+        aggregate(zip_with(col("__c"), col("__qc"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (a, b) => a + b).as("hamming"))
+      .orderBy(col("hamming"), col("__id")).limit(topK)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("hamming"), col("__id"))))
+      .select(col("rank"), col("__id").as(idCol), col("hamming"))
+  }
+
+  /** Recall@k audit of the binary arm against exact round-6 cosine —
+    * the [[pqRecall]] discipline for the 1-bit tier: an index whose
+    * recall silently decayed is a correctness bug in a performance
+    * costume. One exact narrow scan + the binary serve, a k-row
+    * semi-join counts hits. */
+  def binaryRecall(emb: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, topK: Int, d: Int): DataFrame = {
+    val approx = binaryTopK(emb, idCol, vecCol, queryId, topK, d)
+      .select(col(idCol))
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    val exact = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 6)
+        .as("__cos"))
+      .orderBy(col("__cos").desc, col(idCol)).limit(topK)
+      .select(col(idCol))
+    approx.join(exact, Seq(idCol))
+      .agg(count(lit(1)).as("__h"))
+      .select(lit(topK).cast("int").as("k"),
+        col("__h").cast("long").as("hits"),
+        round(col("__h") / lit(topK.toDouble), 6).as("recall"))
+  }
+
   /** IVF-PQ composed query (the FAISS IVF+PQ serving architecture,
     * non-residual variant): the IVF coarse quantizer prunes the
     * corpus to `nprobe`/`nlist` of its cells, and PQ codes answer the

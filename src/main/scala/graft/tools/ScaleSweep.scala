@@ -789,6 +789,12 @@ object ScaleSweep {
       // cells frame — the honest Gram cost
       "e_cka" -> (d =>
         SparkEntry.queries("e_cka")(spark, d).count()),
+
+      "e_binary_topk" -> (d =>
+        SparkEntry.queries("e_binary_topk")(spark, d).count()),
+
+      "e_binary_recall" -> (d =>
+        SparkEntry.queries("e_binary_recall")(spark, d).count()),
       // phrase explode + vocab-scale agg + TakeOrdered tail
       "t_rake" -> (d =>
         SparkEntry.queries("t_rake")(spark, d).count()),

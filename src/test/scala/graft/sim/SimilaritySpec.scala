@@ -786,6 +786,43 @@ class SimilaritySpec extends SparkSpec {
       (2, 2L, 0.0, 0.0, 0.0, 0.0, 2L)), got.toString)
   }
 
+  test("signBits: MSB-first 32-bit words, strictly-positive rule " +
+    "(zeros clear), bit 63 never set; binaryTopK ranks by exact " +
+    "Hamming with id tiebreak; binaryRecall counts shortlist overlap") {
+    import spark.implicits._
+    def vec(bits: Int => Boolean): Seq[Float] =
+      (0 until 64).map(i => if (bits(i)) 1f else -1f)
+    val emb = Seq(
+      (17L, vec(_ => true)),          // query: all 64 bits set
+      (1L, vec(_ => true)),           // identical → hamming 0
+      (2L, vec(_ != 0)),              // dim 0 flipped → hamming 1
+      (4L, vec(_ != 0)),              // same distance → id tiebreak
+      (3L, vec(_ == 0)),              // 63 flips
+      (5L, (0 until 64).map(_ => 0f)) // zeros → NO bits (strict > 0)
+    ).toDF("vec_id", "embedding")
+    val codes = emb
+      .select(col("vec_id"),
+        Similarity.signBitsCols(col("embedding"), 64).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes(17L) == Seq(4294967295L, 4294967295L)) // 2×32 ones
+    assert(codes(3L) == Seq(1L << 31, 0L)) // dim 0 = MSB of word 0
+    assert(codes(5L) == Seq(0L, 0L))
+    assert(codes.values.flatten.forall(w => w >= 0L),
+      "sign-bit words must stay non-negative (bit 63 unused)")
+    val top = Similarity.binaryTopK(emb, "vec_id", "embedding",
+        queryId = 17L, topK = 4, d = 64)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(top == Seq((1, 1L, 0L), (2, 2L, 1L), (3, 4L, 1L),
+      (4, 3L, 63L)), top.toString)
+    val rec = Similarity.binaryRecall(emb, "vec_id", "embedding",
+        queryId = 17L, topK = 4, d = 64)
+      .as[(Int, Long, Double)].collect().head
+    // 5 candidates: binary top-4 {1,2,4,3}; exact cosine agrees on
+    // {1,2,4} and prefers the zero-vector's 0.0 cosine over id 3's
+    // negative one → overlap 3 of 4
+    assert(rec == ((4, 3L, 0.75)), rec.toString)
+  }
+
   test("prefixDimRecall: noisy tail dims fool the short prefix " +
     "(recall 0.5), the full prefix recovers (recall 1)") {
     import spark.implicits._

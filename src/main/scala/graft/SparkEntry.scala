@@ -1200,6 +1200,23 @@ object SparkEntry {
         "doc_id", cand, col("text"))
     }),
 
+    // ---- training-data ops: per-doc chrF — CHARACTER n-gram F-score
+    // (Popović 2015; β=2, orders 1..6 on space-stripped text), the
+    // morphology-sensitive third generation-eval metric beside BLEU
+    // and ROUGE: clipped char-gram matches on the shared gramCounts
+    // substrate, per-order round-6 P/R averaged in fixed left-assoc
+    // order over orders present on both sides. Same constructed
+    // candidate as t_bleu/t_rouge. ----
+    "t_chrf" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val cand = array_join(
+        filter(toks, (tk, i) => ((i + lit(1)) % 7) =!= 0), " ")
+      TextOps.chrF(
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", cand, col("text"))
+    }),
+
     // ---- training-data ops: multinomial naive-Bayes classifier,
     // trained and applied in one plan — the classifier-based curation
     // filter (GPT-3/CCNet-style), supervised here by `source` so the
@@ -8046,6 +8063,108 @@ r$k AS (
         |    / CAST(pm.n_cand + COALESCE(rt.n_ref, 0) AS DOUBLE), 6) AS f1
         |FROM pm LEFT JOIN rt
         |  ON rt.doc_id = pm.doc_id AND rt.n = pm.n""".stripMargin,
+
+    // chrF replayed on substring char grams of the space-stripped
+    // strings (Spark's space-joined char-array grams are a bijective
+    // relabeling — the per-(doc, order) COUNTS are what the metric
+    // reads): clipped matches + totals per order, per-order round-6
+    // P/R, fixed left-assoc averages over both-side-present orders,
+    // one compound rounded at the end
+    "t_chrf" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> ''),
+        |      (x, i) -> i % 7 <> 0), '') AS c,
+        |    replace(text, ' ', '') AS r
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |cg AS MATERIALIZED (
+        |  SELECT doc_id, n, gram, COUNT(*) AS cc FROM (
+        |    SELECT doc_id, n, unnest(list_transform(
+        |      range(1, len(c) - n + 2),
+        |      i -> substring(c, CAST(i AS INT), CAST(n AS INT))))
+        |      AS gram
+        |    FROM d, range(1, 7) t(n))
+        |  GROUP BY 1, 2, 3),
+        |rg AS MATERIALIZED (
+        |  SELECT doc_id, n, gram, COUNT(*) AS rc FROM (
+        |    SELECT doc_id, n, unnest(list_transform(
+        |      range(1, len(r) - n + 2),
+        |      i -> substring(r, CAST(i AS INT), CAST(n AS INT))))
+        |      AS gram
+        |    FROM d, range(1, 7) t(n))
+        |  GROUP BY 1, 2, 3),
+        |pm AS (
+        |  SELECT cg.doc_id, cg.n,
+        |    CAST(SUM(LEAST(cg.cc, COALESCE(rg.rc, 0))) AS BIGINT) AS m,
+        |    CAST(SUM(cg.cc) AS BIGINT) AS tc
+        |  FROM cg LEFT JOIN rg
+        |    ON rg.doc_id = cg.doc_id AND rg.n = cg.n
+        |      AND rg.gram = cg.gram
+        |  GROUP BY 1, 2),
+        |rt AS (
+        |  SELECT doc_id, n, CAST(SUM(rc) AS BIGINT) AS tr
+        |  FROM rg GROUP BY 1, 2),
+        |po AS (
+        |  SELECT pm.doc_id, pm.n,
+        |    ROUND(CAST(pm.m AS DOUBLE) / CAST(pm.tc AS DOUBLE), 6)
+        |      AS p,
+        |    ROUND(CAST(pm.m AS DOUBLE) / CAST(rt.tr AS DOUBLE), 6)
+        |      AS r
+        |  FROM pm JOIN rt ON rt.doc_id = pm.doc_id AND rt.n = pm.n),
+        |wide AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN n = 1 THEN p END) AS p1,
+        |    MAX(CASE WHEN n = 2 THEN p END) AS p2,
+        |    MAX(CASE WHEN n = 3 THEN p END) AS p3,
+        |    MAX(CASE WHEN n = 4 THEN p END) AS p4,
+        |    MAX(CASE WHEN n = 5 THEN p END) AS p5,
+        |    MAX(CASE WHEN n = 6 THEN p END) AS p6,
+        |    MAX(CASE WHEN n = 1 THEN r END) AS r1,
+        |    MAX(CASE WHEN n = 2 THEN r END) AS r2,
+        |    MAX(CASE WHEN n = 3 THEN r END) AS r3,
+        |    MAX(CASE WHEN n = 4 THEN r END) AS r4,
+        |    MAX(CASE WHEN n = 5 THEN r END) AS r5,
+        |    MAX(CASE WHEN n = 6 THEN r END) AS r6
+        |  FROM po GROUP BY doc_id),
+        |mic AS (
+        |  -- exact micro-unit sums: the mean of round-6 decimals is
+        |  -- halfway-prone; integers + half-away division are not
+        |  SELECT doc_id,
+        |    CAST((CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |         (CASE WHEN p2 IS NOT NULL THEN 1 ELSE 0 END) +
+        |         (CASE WHEN p3 IS NOT NULL THEN 1 ELSE 0 END) +
+        |         (CASE WHEN p4 IS NOT NULL THEN 1 ELSE 0 END) +
+        |         (CASE WHEN p5 IS NOT NULL THEN 1 ELSE 0 END) +
+        |         (CASE WHEN p6 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orders,
+        |    COALESCE(CAST(CAST(p1 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) +
+        |    COALESCE(CAST(CAST(p2 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) +
+        |    COALESCE(CAST(CAST(p3 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) +
+        |    COALESCE(CAST(CAST(p4 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) +
+        |    COALESCE(CAST(CAST(p5 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) +
+        |    COALESCE(CAST(CAST(p6 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0)
+        |      AS ps,
+        |    COALESCE(CAST(CAST(r1 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) +
+        |    COALESCE(CAST(CAST(r2 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) +
+        |    COALESCE(CAST(CAST(r3 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) +
+        |    COALESCE(CAST(CAST(r4 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) +
+        |    COALESCE(CAST(CAST(r5 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) +
+        |    COALESCE(CAST(CAST(r6 AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0)
+        |      AS rs
+        |  FROM wide),
+        |avgd AS (
+        |  SELECT doc_id, n_orders,
+        |    CAST((2 * ps + n_orders) // (2 * n_orders) AS DOUBLE)
+        |      / 1000000.0 AS chr_p,
+        |    CAST((2 * rs + n_orders) // (2 * n_orders) AS DOUBLE)
+        |      / 1000000.0 AS chr_r
+        |  FROM mic)
+        |SELECT doc_id, n_orders, chr_p, chr_r,
+        |  CASE WHEN chr_p + chr_r = 0.0 THEN 0.0
+        |    ELSE ROUND(((5.0 * chr_p) * chr_r)
+        |      / ((4.0 * chr_p) + chr_r), 6) END AS chrf
+        |FROM avgd""".stripMargin,
 
     // the fixed-width roundtrip must be value-lossless: the oracle
     // aggregates the parquet originals the staged file was rendered

@@ -2039,4 +2039,105 @@ object TextOps {
         round(lit(2.0) * col("n_match").cast("double") /
           (col("n_cand") + col("n_ref")).cast("double"), 6).as("f1"))
   }
+
+  /** Per-document chrF (Popović 2015) — the third standard
+    * generation-eval metric beside [[bleuCorpus]] and [[rougeN]]:
+    * CHARACTER n-gram F-score, orders 1..`maxN` (standard 6) over the
+    * space-stripped text, with recall weighted β² (standard β = 2).
+    * Character grams reward partial word matches (morphology, typos)
+    * that word-gram metrics score zero, which is why chrF correlates
+    * better on morphologically rich output.
+    *
+    * Definition shipped (deterministic, engine-free): per order n,
+    * clipped matches mₙ = Σ_gram min(cand, ref) and totals (exact
+    * longs on the [[gramCounts]] substrate over the char array);
+    * Pₙ = round6(mₙ/tcₙ), Rₙ = round6(mₙ/trₙ); chrP/chrR average the
+    * orders PRESENT ON BOTH SIDES as EXACT MICRO-UNIT INTEGERS —
+    * the mean of round-6 decimals is structurally halfway-prone
+    * (measured here: one doc's P-average landed on a .5·10⁻⁶
+    * boundary and the engines' double-round split), so the average
+    * is Σ(Pₙ·10⁶) with explicit half-away integer division
+    * (2s+k) div 2k, the holtSeasonal pattern — bit-identical in any
+    * engine; chrF = round6((1+β²)·chrP·chrR / (β²·chrP + chrR)), 0
+    * when both sides average 0. A document
+    * whose stripped candidate or reference is empty produces NO row
+    * (absence, not zero, on both engines). Whitespace = the space
+    * character (this corpus's only whitespace; `translate` here,
+    * non-regex `replace` in the oracle — no \\s dialect drift).
+    *
+    * Scale shape: the [[bleuCorpus]] substrate at character
+    * granularity — two corpus scans into (doc, ord, gram) hash aggs,
+    * one gram-keyed equi-join, output docs-sized. Char-gram volume is
+    * ~chars × maxN rows; linear, same exchange family as t_bleu.
+    *
+    * @return one row per doc: idCol, n_orders, chr_p, chr_r, chrf */
+  def chrF(df: DataFrame, idCol: String, candCol: Column,
+           refCol: Column, maxN: Int = 6, beta: Double = 2.0)
+      : DataFrame = {
+    require(maxN >= 1, "maxN must be >= 1")
+    require(beta > 0, "beta must be > 0")
+    val orders = 1 to maxN
+    val base = df.select(col(idCol), candCol.as("__cand"),
+      refCol.as("__ref"))
+    // char grams come from substring over the stripped STRING — the
+    // token-array gramCounts substrate would pay a slice + array_join
+    // allocation per gram, pure waste at character granularity where
+    // a gram IS a substring (~144M grams at sf0.1: the constant
+    // matters). Same (doc, ord) explode-first shape and the same
+    // guarded empty case (never sequence(1, 0)).
+    def charGramCounts(src: Column, cnt: String): DataFrame =
+      base.select(col(idCol), translate(src, " ", "").as("__s"))
+        .select(col(idCol), explode(lit(orders.toArray)).as("ord"),
+          col("__s"))
+        .select(col(idCol), col("ord"), explode(expr(
+          "if(length(__s) >= ord, transform(" +
+            "sequence(1, length(__s) - ord + 1)," +
+            " i -> substring(__s, i, ord)), " +
+            "cast(array() as array<string>))")).as("gram"))
+        .groupBy(col(idCol), col("ord"), col("gram"))
+        .agg(count(lit(1)).as(cnt))
+    val c = charGramCounts(col("__cand"), "cc")
+    val r = charGramCounts(col("__ref"), "rc")
+    val cand = c.join(r, Seq(idCol, "ord", "gram"), "left")
+      .groupBy(col(idCol), col("ord"))
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
+          .cast("long").as("__m"),
+        sum(col("cc")).cast("long").as("__tc"))
+    val refTot = r.groupBy(col(idCol), col("ord"))
+      .agg(sum(col("rc")).cast("long").as("__tr"))
+    // inner: an order is averaged only when BOTH sides have grams
+    val perOrd = cand.join(refTot, Seq(idCol, "ord"))
+    val aggs = orders.flatMap(n => Seq(
+      max(when(col("ord") === n,
+        round(col("__m").cast("double") / col("__tc").cast("double"),
+          6))).as(s"__p$n"),
+      max(when(col("ord") === n,
+        round(col("__m").cast("double") / col("__tr").cast("double"),
+          6))).as(s"__r$n")))
+    val wide = perOrd.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val k = orders.map(n =>
+      when(col(s"__p$n").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    def micro(c: Column): Column =
+      (c.cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val pSum = orders.map(n => coalesce(micro(col(s"__p$n")), lit(0L)))
+      .reduce(_ + _) // exact micro longs: order-free, midpoint-free
+    val rSum = orders.map(n => coalesce(micro(col(s"__r$n")), lit(0L)))
+      .reduce(_ + _)
+    val b2 = beta * beta
+    wide
+      .withColumn("n_orders", k)
+      .withColumn("__ps", pSum).withColumn("__rs", rSum)
+      // half-away integer mean: (2s + k) div 2k — non-negative s, so
+      // truncation and floor agree on both engines
+      .withColumn("chr_p",
+        expr("(2 * __ps + n_orders) div (2 * n_orders)")
+          .cast("double") / lit(1000000.0))
+      .withColumn("chr_r",
+        expr("(2 * __rs + n_orders) div (2 * n_orders)")
+          .cast("double") / lit(1000000.0))
+      .select(col(idCol), col("n_orders"), col("chr_p"), col("chr_r"),
+        when(col("chr_p") + col("chr_r") === 0.0, lit(0.0))
+          .otherwise(round(lit(1.0 + b2) * col("chr_p") * col("chr_r") /
+            (lit(b2) * col("chr_p") + col("chr_r")), 6)).as("chrf"))
+  }
 }

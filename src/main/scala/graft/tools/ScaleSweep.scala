@@ -790,6 +790,9 @@ object ScaleSweep {
       "e_cka" -> (d =>
         SparkEntry.queries("e_cka")(spark, d).count()),
 
+      "t_chrf" -> (d =>
+        SparkEntry.queries("t_chrf")(spark, d).count()),
+
       "e_binary_topk" -> (d =>
         SparkEntry.queries("e_binary_topk")(spark, d).count()),
 

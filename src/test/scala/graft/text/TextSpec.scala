@@ -1513,4 +1513,42 @@ class TextSpec extends SparkSpec {
     assert(r21.getAs[Double]("recall") == 0.333333 &&
       r21.getAs[Double]("precision") == 1.0)
   }
+
+  test("chrF: identical text scores 1 over the present orders; spaces " +
+    "are stripped before gramming; the half-away micro mean matches " +
+    "the hand value; β=2 weights recall; short texts cap n_orders") {
+    def chrf(pairs: Seq[(Long, String, String)]) =
+      TextOps.chrF(pairs.toDF("id", "cand", "ref"), "id",
+        col("cand"), col("ref"))
+        .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val out = chrf(Seq(
+      (1L, "abcdef", "abcdef"),   // all 6 orders, perfect
+      (2L, "abc", "abc"),         // len 3 → only orders 1..3
+      (3L, "a b c d", "abcx"),    // spaces stripped → 'abcd' vs 'abcx'
+      (4L, "ab", "abcd")))        // precision 1, recall low → β bites
+    assert(out(1L).getAs[Long]("n_orders") == 6L &&
+      out(1L).getAs[Double]("chrf") == 1.0 &&
+      out(1L).getAs[Double]("chr_p") == 1.0)
+    assert(out(2L).getAs[Long]("n_orders") == 3L &&
+      out(2L).getAs[Double]("chrf") == 1.0)
+    // 'abcd' vs 'abcx': P_n = R_n = (.75, .666667, .5, 0) over 4
+    // orders → micro mean halfAway(1916667, 4) = 479167; P == R makes
+    // chrF collapse to that same value (5P²/5P)
+    assert(out(3L).getAs[Long]("n_orders") == 4L, out(3L).toString)
+    assert(out(3L).getAs[Double]("chr_p") == 0.479167)
+    assert(out(3L).getAs[Double]("chr_r") == 0.479167)
+    assert(out(3L).getAs[Double]("chrf") == 0.479167)
+    // 'ab' vs 'abcd': only the candidate's 2 orders average; P = 1,
+    // R = halfAway(500000 + 333333, 2)/1e6 = 0.416667, and β=2 pulls
+    // chrF well below the arithmetic midpoint, toward recall
+    val r4 = out(4L)
+    assert(r4.getAs[Long]("n_orders") == 2L)
+    assert(r4.getAs[Double]("chr_p") == 1.0)
+    assert(r4.getAs[Double]("chr_r") == 0.416667)
+    val expect = java.math.BigDecimal.valueOf(
+        5.0 * 1.0 * 0.416667 / (4.0 * 1.0 + 0.416667))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(r4.getAs[Double]("chrf") == expect &&
+      r4.getAs[Double]("chrf") < 0.708334, r4.toString)
+  }
 }

@@ -1947,6 +1947,37 @@ object SparkEntry {
       Dedup.exactByContent(t(s, dir, "documents"), "doc_id", "text",
         normalized = true)),
 
+    // ---- training-data ops: URL-canonicalization dedup — the
+    // key-level crawl dedup that runs BEFORE content dedup (same
+    // page under case variants / default ports / tracking params /
+    // fragments / param order / trailing slash). Each doc gets a
+    // deterministically DIRTIED url (7 variants by doc_id mod 7 —
+    // the j16 dirty-copy discipline); canonicalization is row-local
+    // string algebra (TextOps.canonicalizeUrl), dedup one hash agg
+    // on the canonical key. Variants 0/1/2/4/5 collapse to the bare
+    // page, 3/6 to page?a=1&b=2. ----
+    "t_url_dedup" -> ((s, dir) => {
+      val base = concat(lit("https://www."), col("source"),
+        lit(".example.com/"), col("lang"), lit("/page"),
+        expr("doc_id div 7"))
+      val m = pmod(col("doc_id"), lit(7))
+      val dirty = when(m === 0, base)
+        .when(m === 1, concat(upper(base.substr(lit(1), lit(12))),
+          base.substr(lit(13), length(base))))
+        .when(m === 2, call_function("replace", base,
+          lit(".example.com/"), lit(".example.com:443/")))
+        .when(m === 3, concat(base, lit("?utm_source=x&b=2&a=1")))
+        .when(m === 4, concat(base, lit("#sec-2")))
+        .when(m === 5, concat(base, lit("/")))
+        .otherwise(concat(base, lit("?a=1&b=2&utm_campaign=y")))
+      t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          TextOps.canonicalizeUrl(dirty).as("url"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("doc_id")).as("keep_id"))
+    }),
+
     // ---- training-data ops: MinHash+LSH near-dup, verified exact.
     // Oracle-checkable because the OUTPUT is engine-independent: LSH only
     // generates candidates; every returned pair carries its exact 3-gram
@@ -3399,6 +3430,50 @@ object SparkEntry {
         stepSeconds = 3600L,
         outcome = col("event_type") === "error", rollRows = 4,
         trainPct = 80, valPct = 10)),
+
+    // ---- CAPSTONE, incrementally maintained: the same blocked
+    // dataset built by TWO AvailableNow invocations over two arrival
+    // waves of the same events (file-source checkpoint = each file
+    // exactly once; idempotent dynamic-partition overwrites = crash-
+    // replay safe; only buckets the new wave touches are recomputed).
+    // Every build stage is encounter-local and an encounter lives in
+    // one hash bucket, so the final grid equals the one-shot batch
+    // build row for row — verified against the SAME DuckDB oracle as
+    // clif_blocked_dataset. ----
+    "clif_blocked_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      // throwaway harness materialization → RAM-backed scratch (the
+      // ckptDir rationale); production stores live on durable DFS
+      val tmp = ckptDir("graft_bdi")
+      val in = s"$tmp/in"; val work = s"$tmp/work"
+      val params = graft.clif.BlockedDatasetIncremental.Params(
+        encCol = "user_id", tsCol = "ts", channelCol = "event_type",
+        valueCol = "value", tiebreak = "event_id",
+        channels = Seq(
+          graft.clif.BlockedDataset.Channel("click", "vital_value",
+            toleranceSeconds = 7200L),
+          graft.clif.BlockedDataset.Channel("purchase", "lab_value",
+            toleranceSeconds = 86400L)),
+        stepSeconds = 3600L,
+        outcome = col("event_type") === "error", rollRows = 4,
+        trainPct = 80, valPct = 10)
+      // wave 2 is a bucket-local late cohort (one shard's encounters
+      // arriving after the rest — the open-encounter locality the
+      // bucket layout exists for), so the second invocation PROVES
+      // the pruning: it recomputes 1 of 8 buckets, not the corpus
+      val lateCohort =
+        pmod(graft.text.TextOps.portableHash(col("user_id")),
+          lit(8L)) === 0
+      e.filter(!lateCohort).write.mode("overwrite").parquet(in)
+      val schema = s.read.parquet(in).schema
+      graft.clif.BlockedDatasetIncremental.runOnce(s, in, work,
+        schema, params, buckets = 8)
+      // the late cohort lands; invocation 2 processes ONLY its files
+      e.filter(lateCohort).write.mode("append").parquet(in)
+      graft.clif.BlockedDatasetIncremental.runOnce(s, in, work,
+        schema, params, buckets = 8)
+      graft.clif.BlockedDatasetIncremental.grid(s, work)
+    }),
 
     // ---- CAPSTONE part 2: "…to develop a model to predict the
     // probability of death" (README.md:2) — logistic regression
@@ -5611,6 +5686,80 @@ cov${c + 1} AS MATERIALIZED (
     }
     s"$base,\n${(1 to k).map(comp).mkString(",\n")}"
   }
+
+  /** The blocked-dataset replay shared VERBATIM by the batch
+    * capstone and its incremental materialization — the
+    * incremental path's contract IS "equals the batch build on
+    * the union of all arrival waves", so binding one string to
+    * both keys makes drift impossible. */
+  private val blockedDatasetReplay: String =
+    """WITH e AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+        |    MAX(ts) AS t1
+        |  FROM e GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(t0, t1, INTERVAL 3600 SECOND))
+        |      AS grid_ts
+        |  FROM b),
+        |base AS (
+        |  SELECT g.user_id, g.grid_ts, e.value AS last_value
+        |  FROM grid g ASOF LEFT JOIN e
+        |    ON g.user_id = e.user_id AND g.grid_ts >= e.ts),
+        |vit AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |v AS (
+        |  SELECT b.user_id, b.grid_ts, b.last_value,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(b.grid_ts)) - floor(epoch(w.ts)) > 7200
+        |      THEN NULL ELSE w.value END AS vital_value
+        |  FROM base b ASOF LEFT JOIN vit w
+        |    ON b.user_id = w.user_id AND b.grid_ts >= w.ts),
+        |lb AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |l AS (
+        |  SELECT v.user_id, v.grid_ts, v.last_value, v.vital_value,
+        |    CASE WHEN w.ts IS NULL OR
+        |      floor(epoch(v.grid_ts)) - floor(epoch(w.ts)) > 86400
+        |      THEN NULL ELSE w.value END AS lab_value
+        |  FROM v ASOF LEFT JOIN lb w
+        |    ON v.user_id = w.user_id AND v.grid_ts >= w.ts),
+        |r AS (
+        |  SELECT user_id, grid_ts, last_value, vital_value, lab_value,
+        |    ROUND(CAST(SUM(CAST(last_value AS DECIMAL(30,6))) OVER w
+        |        AS DOUBLE) / COUNT(last_value) OVER w, 6) AS roll_avg
+        |  FROM l
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY grid_ts
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+        |lab AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS label
+        |  FROM events GROUP BY user_id)
+        |SELECT r.user_id, r.grid_ts, r.last_value, r.vital_value,
+        |  r.lab_value, r.roll_avg, lab.label,
+        |  CASE WHEN ((((((r.user_id % 2147483647) * 2654435761)
+        |         % 2147483647) + 2147483647) % 2147483647) % 100 + 100)
+        |         % 100 < 80 THEN 'train'
+        |       WHEN ((((((r.user_id % 2147483647) * 2654435761)
+        |         % 2147483647) + 2147483647) % 2147483647) % 100 + 100)
+        |         % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r JOIN lab USING (user_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -8306,6 +8455,65 @@ r$k AS (
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    // the same dirty-url construction, then the canonicalization
+    // contract step for step (lowercased scheme/host, www. off,
+    // default port off, fragment off, tracking params off, params
+    // sorted, trailing slash off) in RE2 regex — no lookaround, no
+    // dialect-divergent classes
+    "t_url_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.com/' || lang ||
+        |      '/page' || CAST(doc_id // 7 AS VARCHAR) AS b,
+        |    doc_id % 7 AS m
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |u AS (
+        |  SELECT doc_id, CASE
+        |    WHEN m = 0 THEN b
+        |    WHEN m = 1 THEN upper(substring(b, 1, 12)) || substring(b, 13)
+        |    WHEN m = 2 THEN replace(b, '.example.com/', '.example.com:443/')
+        |    WHEN m = 3 THEN b || '?utm_source=x&b=2&a=1'
+        |    WHEN m = 4 THEN b || '#sec-2'
+        |    WHEN m = 5 THEN b || '/'
+        |    ELSE b || '?a=1&b=2&utm_campaign=y' END AS url
+        |  FROM d),
+        |low AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_extract(trim(url),
+        |        '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[wW]{3}\.)?([^/?#]*)', 1) = ''
+        |      THEN trim(url)
+        |      ELSE lower(regexp_extract(trim(url),
+        |          '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[wW]{3}\.)?([^/?#]*)', 1))
+        |        || '://' ||
+        |        lower(regexp_extract(trim(url),
+        |          '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[wW]{3}\.)?([^/?#]*)', 2))
+        |        || regexp_replace(trim(url),
+        |          '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[wW]{3}\.)?([^/?#]*)', '')
+        |    END AS s
+        |  FROM u),
+        |nf AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(s,
+        |          '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'),
+        |        '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2'),
+        |      '#.*$', '') AS s
+        |  FROM low),
+        |parts AS (
+        |  SELECT doc_id, strpos(s, '?') AS q,
+        |    regexp_replace(CASE WHEN strpos(s, '?') > 0
+        |      THEN split_part(s, '?', 1) ELSE s END, '/$', '') AS base,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(substring(s, strpos(s, '?') + 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&') AS sq
+        |  FROM nf)
+        |SELECT CASE WHEN q > 0 AND sq <> '' THEN base || '?' || sq
+        |         ELSE base END AS url,
+        |  COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        |FROM parts GROUP BY 1""".stripMargin,
 
     // Brute-force near-dup pairs (t_minhash_lsh's oracle) + the same
     // double-hash bucket arithmetic for the deterministic negative.
@@ -13287,80 +13495,19 @@ v$r AS MATERIALIZED (
     // two j10 staleness-bounded ASOF channel joins, the w7 rolling
     // numerics (decimal sum, one rounded double division), the
     // encounter label agg, and the t_hash_split portable-hash split
-    "clif_blocked_dataset" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, value FROM (
-        |    SELECT user_id, ts, value,
-        |      row_number() OVER (PARTITION BY user_id, ts
-        |                         ORDER BY event_id DESC) AS rn
-        |    FROM events) WHERE rn = 1),
-        |b AS (
-        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
-        |    MAX(ts) AS t1
-        |  FROM e GROUP BY user_id),
-        |grid AS (
-        |  SELECT user_id,
-        |    unnest(generate_series(t0, t1, INTERVAL 3600 SECOND))
-        |      AS grid_ts
-        |  FROM b),
-        |base AS (
-        |  SELECT g.user_id, g.grid_ts, e.value AS last_value
-        |  FROM grid g ASOF LEFT JOIN e
-        |    ON g.user_id = e.user_id AND g.grid_ts >= e.ts),
-        |vit AS (
-        |  SELECT user_id, ts, value FROM (
-        |    SELECT user_id, ts, value,
-        |      row_number() OVER (PARTITION BY user_id, ts
-        |                         ORDER BY event_id DESC) AS rn
-        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
-        |v AS (
-        |  SELECT b.user_id, b.grid_ts, b.last_value,
-        |    CASE WHEN w.ts IS NULL OR
-        |      floor(epoch(b.grid_ts)) - floor(epoch(w.ts)) > 7200
-        |      THEN NULL ELSE w.value END AS vital_value
-        |  FROM base b ASOF LEFT JOIN vit w
-        |    ON b.user_id = w.user_id AND b.grid_ts >= w.ts),
-        |lb AS (
-        |  SELECT user_id, ts, value FROM (
-        |    SELECT user_id, ts, value,
-        |      row_number() OVER (PARTITION BY user_id, ts
-        |                         ORDER BY event_id DESC) AS rn
-        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
-        |l AS (
-        |  SELECT v.user_id, v.grid_ts, v.last_value, v.vital_value,
-        |    CASE WHEN w.ts IS NULL OR
-        |      floor(epoch(v.grid_ts)) - floor(epoch(w.ts)) > 86400
-        |      THEN NULL ELSE w.value END AS lab_value
-        |  FROM v ASOF LEFT JOIN lb w
-        |    ON v.user_id = w.user_id AND v.grid_ts >= w.ts),
-        |r AS (
-        |  SELECT user_id, grid_ts, last_value, vital_value, lab_value,
-        |    ROUND(CAST(SUM(CAST(last_value AS DECIMAL(30,6))) OVER w
-        |        AS DOUBLE) / COUNT(last_value) OVER w, 6) AS roll_avg
-        |  FROM l
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY grid_ts
-        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
-        |lab AS (
-        |  SELECT user_id,
-        |    CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS label
-        |  FROM events GROUP BY user_id)
-        |SELECT r.user_id, r.grid_ts, r.last_value, r.vital_value,
-        |  r.lab_value, r.roll_avg, lab.label,
-        |  CASE WHEN ((((((r.user_id % 2147483647) * 2654435761)
-        |         % 2147483647) + 2147483647) % 2147483647) % 100 + 100)
-        |         % 100 < 80 THEN 'train'
-        |       WHEN ((((((r.user_id % 2147483647) * 2654435761)
-        |         % 2147483647) + 2147483647) % 2147483647) % 100 + 100)
-        |         % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM r JOIN lab USING (user_id)""".stripMargin,
+    "clif_blocked_dataset" -> blockedDatasetReplay,
+
+    // the incrementally-maintained grid must equal the one-shot
+    // batch build on the union of all arrival waves — the SAME
+    // replay string bound to both keys, so they can never drift
+    "clif_blocked_incremental" -> blockedDatasetReplay,
 
     // the hourly-SOFA capstone replayed: the w6 grid, THREE j10
     // staleness-bounded ASOF organ channels, the exact reference GCS
-    // case_when over the micro-exact analog (3 + micros % 13 — the
-    // DECIMAL(18,6)·10⁶ grid is engine-portable, and the micros are
-    // non-negative so plain % matches Spark's pmod), the declared
+    // case_when over the micro-exact analog (3 + micros mod 13 — the
+    // DECIMAL(18,6)·10⁶ grid is engine-portable; the mod is written
+    // sign-safe as ((x % 13) + 13) % 13 so it matches Spark's pmod
+    // for ANY sign, not just the non-negative corpus), the declared
     // resp/renal bands with an explicit IS NULL arm (stale organ →
     // NULL, never 0), and the present-organs composite
     "clif_sofa_hourly" ->
@@ -13435,8 +13582,8 @@ v$r AS MATERIALIZED (
         |         WHEN renal_lab >= 110 THEN 1 ELSE 0 END AS sofa_renal
         |  FROM (
         |    SELECT user_id, grid_ts, resp_vital, renal_lab,
-        |      3 + (CAST(CAST(neuro_vital AS DECIMAL(18,6)) * 1000000
-        |           AS BIGINT) % 13) AS g
+        |      3 + ((CAST(CAST(neuro_vital AS DECIMAL(18,6)) * 1000000
+        |           AS BIGINT) % 13) + 13) % 13 AS g
         |    FROM v3)),
         |lab AS (
         |  SELECT user_id,
@@ -14619,4 +14766,5 @@ v$r AS MATERIALIZED (
         |  MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )
+
 }

@@ -1,0 +1,142 @@
+package graft.clif
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.text.TextOps
+
+/** Incremental maintenance of the capstone blocked dataset — the
+  * production shape of the reference's promise at 100 TB: new raw
+  * event batches landing in a directory are folded into the
+  * per-(encounter, hour) feature grid EXACTLY ONCE per file, without
+  * recomputing encounters no new data touched
+  * (`/root/reference/README.md:2` promises the artifact; the
+  * reference's own model is "re-run the Rmd over the whole extract",
+  * which at 100 TB re-reads everything for every arriving batch).
+  *
+  * Architecture (the [[ClifEtlIncremental]] AvailableNow pattern
+  * extended from a stateless row transform to a STATEFUL
+  * materialization):
+  *
+  *   1. `Trigger.AvailableNow` file stream — the source checkpoint
+  *      under `workDir` records which input files are processed, so
+  *      each file enters exactly one micro-batch across invocations.
+  *   2. `foreachBatch`: the batch's rows append to a RAW EVENT STORE
+  *      hive-partitioned by (`__batch`, `__bucket`) where `__bucket`
+  *      = pmod(portableHash(encounter), buckets). Writing with
+  *      DYNAMIC partition overwrite keyed by the batch id makes the
+  *      append IDEMPOTENT: a crash-replayed micro-batch overwrites
+  *      its own partitions with identical rows instead of
+  *      duplicating them.
+  *   3. The TOUCHED buckets (distinct `__bucket` in the batch — a
+  *      bucket-scale collect) are recomputed: the raw store is read
+  *      back FILTERED to those buckets (partition pruning at
+  *      file-listing time — untouched encounters' bytes are never
+  *      read), [[BlockedDataset.build]] runs on that slice, and the
+  *      result dynamically overwrites the same buckets of the GRID
+  *      STORE. Correct because every stage of the build is
+  *      ENCOUNTER-LOCAL (grid span, LOCF, staleness, rolling mean,
+  *      label, split — all keyed on the encounter) and an encounter
+  *      lives in exactly one bucket: building any bucket subset
+  *      yields bit-identical rows for those encounters.
+  *
+  * Scale shape: work per arriving batch ∝ (touched buckets) / buckets
+  * of the corpus, not corpus size. In production the bucket count is
+  * sized so open encounters concentrate in few buckets (ICU arrivals
+  * touch only open stays); the bucket column doubles as the serving
+  * layout's partition key. Exactly-once across invocations = source
+  * checkpoint (file level) + idempotent dynamic overwrites (batch
+  * replay level); a re-run with no new files writes nothing.
+  *
+  * Determinism: identical to the batch build — the final grid after
+  * any arrival order of the same files equals
+  * [[BlockedDataset.build]] over the union of all batches, row for
+  * row, so the batch capstone's DuckDB oracle verifies the
+  * incremental path end-to-end. */
+object BlockedDatasetIncremental {
+
+  /** The build parameters of [[BlockedDataset.build]], fixed across
+    * invocations of one materialization. */
+  final case class Params(encCol: String, tsCol: String,
+                          channelCol: String, valueCol: String,
+                          tiebreak: String,
+                          channels: Seq[BlockedDataset.Channel],
+                          stepSeconds: Long, outcome: Column,
+                          rollRows: Int, trainPct: Int, valPct: Int)
+
+  private def bucketOf(p: Params, buckets: Int): Column =
+    pmod(TextOps.portableHash(col(p.encCol)), lit(buckets.toLong))
+
+  /** Drain every not-yet-processed file under `inDir` into the
+    * materialization at `workDir` (raw store, grid store, stream
+    * checkpoint), then return. Call once per arrival wave; each call
+    * processes only files the checkpoint has not seen. */
+  def runOnce(spark: SparkSession, inDir: String, workDir: String,
+              schema: StructType, params: Params,
+              buckets: Int = 16): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, workDir, params, buckets)
+      }
+      .option("checkpointLocation", s"$workDir/_checkpoints/grid")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch: idempotent raw append + touched-bucket grid
+    * recompute (see object scaladoc steps 2–3). */
+  private def applyBatch(batch: DataFrame, batchId: Long,
+                         workDir: String, params: Params,
+                         buckets: Int): Unit = if (!batch.isEmpty) {
+    val spark = batch.sparkSession
+    val rawDir = s"$workDir/raw"
+    // the batch feeds two actions (raw append, touched-buckets
+    // collect); a foreachBatch frame re-reads its source files per
+    // action, so pin it once
+    val b = batch.withColumn("__bucket", bucketOf(params, buckets))
+      .persist()
+    // repartition on the layout key before every partitioned write:
+    // without it each of the session's shuffle partitions opens a
+    // file in every bucket dir (parallelism × buckets small files —
+    // the classic partitioned-write fan-out); with it each bucket is
+    // one file per write, and the parquet footprint stays ∝ data
+    // repartition on the layout key before every partitioned write:
+    // without it every parallel task opens a file in every bucket dir
+    // (parallelism × buckets small files per batch — the classic
+    // partitioned-write fan-out); with it each bucket is one file
+    b.withColumn("__batch", lit(batchId))
+      .repartition(col("__bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch", "__bucket")
+      .parquet(rawDir)
+    // bucket-scale collect (≤ `buckets` longs) — the sanctioned
+    // driver bound; this is what prunes the recompute
+    val touched = b.select(col("__bucket")).distinct()
+      .collect().map(_.getLong(0))
+    b.unpersist()
+    val slice = spark.read.parquet(rawDir)
+      .filter(col("__bucket").isin(touched.map(Long.box): _*))
+      .drop("__batch", "__bucket")
+    val grid = BlockedDataset.build(slice, params.encCol, params.tsCol,
+        params.channelCol, params.valueCol, params.tiebreak,
+        params.channels, params.stepSeconds, params.outcome,
+        params.rollRows, params.trainPct, params.valPct)
+      .withColumn("__bucket", bucketOf(params, buckets))
+    grid.repartition(col("__bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(s"$workDir/grid")
+  }
+
+  /** The current materialized grid — the same schema as
+    * [[BlockedDataset.build]] (the bucket layout column stripped). */
+  def grid(spark: SparkSession, workDir: String): DataFrame =
+    spark.read.parquet(s"$workDir/grid").drop("__bucket")
+}

@@ -916,14 +916,20 @@ object Similarity {
     * is never used, every word is a NON-NEGATIVE long, and the SQL
     * replay (`1::BIGINT << (31 - o)` summed per word) never touches
     * the sign bit of any engine's 64-bit integer. A trailing partial
-    * block folds into the LOW bits (left fold, documented — d is a
-    * multiple of 32 on this corpus). */
+    * block (d not a multiple of 32) left-shifts its fold by the
+    * missing element count so offset o still lands on bit 31−o —
+    * the SAME convention as a full block and as the SQL replay, for
+    * any d ≥ 1 (the shift factor is a compile-time power of two per
+    * word, so the word stays an exact non-negative long). */
   def signBitsCols(vec: Column, d: Int): Column = {
     require(d >= 1, "d must be >= 1")
     val words = (d + 31) / 32
-    transform(sequence(lit(0), lit(words - 1)), w =>
-      aggregate(slice(vec, w * lit(32) + lit(1), lit(32)), lit(0L),
-        (acc, x) => acc * 2 + when(x > lit(0), 1L).otherwise(0L)))
+    array((0 until words).map { w =>
+      val len = math.min(32, d - w * 32)
+      val fold = aggregate(slice(vec, w * 32 + 1, len), lit(0L),
+        (acc, x) => acc * 2 + when(x > lit(0), 1L).otherwise(0L))
+      if (len == 32) fold else fold * lit(1L << (32 - len))
+    }: _*)
   }
 
   /** Hamming top-k over the sign-bit codes: one narrow corpus scan of
@@ -2044,6 +2050,15 @@ object Similarity {
     // driver-side integers
     var (cov, d) = pcaCovariance(emb, vecCol)
     require(k <= d, s"k=$k exceeds dimension $d")
+    // dims with NO covariance support (null in every row → no moment
+    // sums → no cell touches them): the former per-round Spark plan's
+    // null-propagating sums emitted NULL loadings for such dims, and
+    // inside pcaIterateLocal they already contribute exact zeros to
+    // every product/norm (no cov entry ever reads them), so masking
+    // the OUTPUT to null reproduces the former behavior bit-for-bit
+    // without touching the iteration arithmetic
+    val supported: Set[Int] =
+      cov.keysIterator.flatMap { case (i, j) => Iterator(i, j) }.toSet
     val rows = Seq.newBuilder[org.apache.spark.sql.Row]
     var degenerate = false
     for (c <- 1 to k) {
@@ -2052,7 +2067,9 @@ object Similarity {
         case Some((vmu, lmu)) =>
           val eig = pcaRound6(pcaBigD(lmu) / 1000000.0)
           for (j <- 0 until d) rows += org.apache.spark.sql.Row(
-            c, j, pcaBigD(vmu(j)) / 1000000.0, eig)
+            c, j,
+            if (supported(j)) pcaBigD(vmu(j)) / 1000000.0 else null,
+            eig)
           if (c < k) {
             // Hotelling deflation: cmu -= (lmu·vmu_i·vmu_j) div 1e12
             // (exact integer product, truncation toward zero — BigInt

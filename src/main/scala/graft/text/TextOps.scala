@@ -19,6 +19,66 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** URL canonicalization — the key-level dedup that runs BEFORE any
+    * content dedup in a crawl-curation pipeline (the same page
+    * arrives under scheme/host case variants, default ports,
+    * tracking decorations, fragments, and param orderings; CCNet /
+    * RefinedWeb-style pipelines dedup on the canonical URL first
+    * because it is free compared to text shingling). Row-local
+    * string surgery — zero exchanges; the dedup that follows is one
+    * canonical-key hash agg.
+    *
+    * The declared, engine-portable contract (every step is plain
+    * regex/string algebra available identically in the SQL replay;
+    * no lookaround, no dialect-divergent classes):
+    *   1. trim; scheme and host LOWERCASED (path stays case-exact);
+    *   2. a leading `www.` on the host is dropped;
+    *   3. an explicit default port is dropped (`:80` for http,
+    *      `:443` for https);
+    *   4. the fragment (`#…`) is dropped;
+    *   5. tracking params are dropped: any `utm_*`, `gclid`,
+    *      `fbclid` (the declared blocklist);
+    *   6. surviving query params are SORTED bytewise and re-joined
+    *      (`?b=2&a=1` ≡ `?a=1&b=2`); an emptied query drops its `?`;
+    *   7. a trailing `/` on a non-root path is dropped (`/x/` ≡ `/x`;
+    *      a bare-host root `/` also normalizes away).
+    * Non-URL strings (no `scheme://`) pass through steps 4–7 only on
+    * their literal text — garbage stays distinct, never collides. */
+  def canonicalizeUrl(url: Column): Column = {
+    val t0 = trim(url)
+    // 1–2: lowercase scheme://host[:port], drop www. — one rewrite of
+    // the authority prefix; $2 is the host with port kept for step 3
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[wW]{3}\\.)?([^/?#]*)"
+    val lowered = concat(
+      lower(regexp_extract(t0, schemeRe, 1)),
+      when(regexp_extract(t0, schemeRe, 1) === "", lit(""))
+        .otherwise(lit("://")),
+      lower(regexp_extract(t0, schemeRe, 2)),
+      regexp_replace(t0, schemeRe, ""))
+    // 3: default ports — anchored to the authority via an optional
+    // captured TAIL, not lookahead (RE2, the replay engine's regex,
+    // has no lookaround); an unmatched optional group substitutes ""
+    // in both engines
+    val noPort = regexp_replace(
+      regexp_replace(lowered,
+        "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+    // 4: fragment off
+    val noFrag = regexp_replace(noPort, "#.*$", "")
+    // 5–6: split the query, drop the tracking blocklist, sort
+    // bytewise, re-join; 7: one trailing slash off the query-free base
+    val qMark = instr(noFrag, "?")
+    val base = regexp_replace(
+      when(qMark > 0, substring_index(noFrag, "?", 1)).otherwise(noFrag),
+      "/$", "")
+    val params = filter(
+      split(noFrag.substr(qMark + 1, length(noFrag)), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"))
+    val sortedQ = array_join(array_sort(params), "&")
+    when(qMark > 0 && sortedQ =!= "", concat(base, lit("?"), sortedQ))
+      .otherwise(base)
+  }
+
   def charCount(c: Column): Column = length(c).cast("long")
 
   /** Mean token length: exact decimal sum / count, engine-reproducible. */
@@ -2050,7 +2110,7 @@ object TextOps {
     *
     * Definition shipped (deterministic, engine-free): per order n,
     * clipped matches mₙ = Σ_gram min(cand, ref) and totals (exact
-    * longs on the [[gramCounts]] substrate over the char array);
+    * longs from one native row-local pass);
     * Pₙ = round6(mₙ/tcₙ), Rₙ = round6(mₙ/trₙ); chrP/chrR average the
     * orders PRESENT ON BOTH SIDES as EXACT MICRO-UNIT INTEGERS —
     * the mean of round-6 decimals is structurally halfway-prone
@@ -2065,10 +2125,12 @@ object TextOps {
     * character (this corpus's only whitespace; `translate` here,
     * non-regex `replace` in the oracle — no \\s dialect drift).
     *
-    * Scale shape: the [[bleuCorpus]] substrate at character
-    * granularity — two corpus scans into (doc, ord, gram) hash aggs,
-    * one gram-keyed equi-join, output docs-sized. Char-gram volume is
-    * ~chars × maxN rows; linear, same exchange family as t_bleu.
+    * Scale shape: ONE corpus scan, ZERO exchanges — both metric
+    * sides live in the same row, so the gram substrate is the
+    * row-local native [[graft.functions.NativeExpressions.ChrfGramStats]]
+    * (a bounded-suffix sort per side per row; no per-gram string is
+    * materialized or shuffled) and everything after it is per-row
+    * column arithmetic. Embarrassingly parallel at any corpus size.
     *
     * @return one row per doc: idCol, n_orders, chr_p, chr_r, chrf */
   def chrF(df: DataFrame, idCol: String, candCol: Column,
@@ -2077,44 +2139,36 @@ object TextOps {
     require(maxN >= 1, "maxN must be >= 1")
     require(beta > 0, "beta must be > 0")
     val orders = 1 to maxN
-    val base = df.select(col(idCol), candCol.as("__cand"),
-      refCol.as("__ref"))
-    // char grams come from substring over the stripped STRING — the
-    // token-array gramCounts substrate would pay a slice + array_join
-    // allocation per gram, pure waste at character granularity where
-    // a gram IS a substring (~144M grams at sf0.1: the constant
-    // matters). Same (doc, ord) explode-first shape and the same
-    // guarded empty case (never sequence(1, 0)).
-    def charGramCounts(src: Column, cnt: String): DataFrame =
-      base.select(col(idCol), translate(src, " ", "").as("__s"))
-        .select(col(idCol), explode(lit(orders.toArray)).as("ord"),
-          col("__s"))
-        .select(col(idCol), col("ord"), explode(expr(
-          "if(length(__s) >= ord, transform(" +
-            "sequence(1, length(__s) - ord + 1)," +
-            " i -> substring(__s, i, ord)), " +
-            "cast(array() as array<string>))")).as("gram"))
-        .groupBy(col(idCol), col("ord"), col("gram"))
-        .agg(count(lit(1)).as(cnt))
-    val c = charGramCounts(col("__cand"), "cc")
-    val r = charGramCounts(col("__ref"), "rc")
-    val cand = c.join(r, Seq(idCol, "ord", "gram"), "left")
-      .groupBy(col(idCol), col("ord"))
-      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
-          .cast("long").as("__m"),
-        sum(col("cc")).cast("long").as("__tc"))
-    val refTot = r.groupBy(col(idCol), col("ord"))
-      .agg(sum(col("rc")).cast("long").as("__tr"))
-    // inner: an order is averaged only when BOTH sides have grams
-    val perOrd = cand.join(refTot, Seq(idCol, "ord"))
-    val aggs = orders.flatMap(n => Seq(
-      max(when(col("ord") === n,
-        round(col("__m").cast("double") / col("__tc").cast("double"),
-          6))).as(s"__p$n"),
-      max(when(col("ord") === n,
-        round(col("__m").cast("double") / col("__tr").cast("double"),
-          6))).as(s"__r$n")))
-    val wide = perOrd.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // chrF is a PER-DOCUMENT metric whose candidate and reference sit
+    // in the SAME row, so the whole gram substrate is row-local: one
+    // native pass ([[graft.functions.NativeExpressions.ChrfGramStats]])
+    // emits exact (mₙ, tcₙ, trₙ) per order — ZERO exchanges, where
+    // the former (doc, ord, gram) explode → two hash aggs →
+    // gram-keyed join shuffled ~chars×maxN×2 gram rows (8.2 s of
+    // bench wall at sf0.1) to compute a function of one row. The
+    // per-order P/R arithmetic below is unchanged (same round-6
+    // divisions on the same exact longs), so results — and the
+    // gram-explode DuckDB oracle — are bit-identical.
+    val base = df.select(col(idCol),
+      graft.functions.NativeExpressions.chrf_gram_stats(
+        candCol, refCol, maxN).as("__st"))
+    // an order contributes only when BOTH sides have grams (the
+    // former inner join of the two per-order aggs)
+    val cols = orders.flatMap { n =>
+      val st = col("__st").getItem(n - 1)
+      val both = st.getField("tc") > 0 && st.getField("tr") > 0
+      Seq(
+        when(both, round(st.getField("m").cast("double") /
+          st.getField("tc").cast("double"), 6)).as(s"__p$n"),
+        when(both, round(st.getField("m").cast("double") /
+          st.getField("tr").cast("double"), 6)).as(s"__r$n"))
+    }
+    // a document with NO qualifying order (either side empty after
+    // stripping, or a null side) produced NO row in the former
+    // agg/join plan — the filter below reproduces that absence
+    val wide = base.select(col(idCol) +: cols: _*)
+      .filter(orders.map(n => col(s"__p$n").isNotNull)
+        .reduce(_ || _))
     val k = orders.map(n =>
       when(col(s"__p$n").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
     def micro(c: Column): Column =

@@ -682,6 +682,13 @@ object ScaleSweep {
       // ~flat vs the 2-channel row above
       "clif_blocked_dataset(wide15)" -> (d =>
         wideBlockedDataset(spark, d).count()),
+      // the incrementally-maintained capstone: two AvailableNow
+      // invocations (full corpus, then a 1-of-8-bucket late cohort).
+      // Invocation 2's work is ∝ touched buckets, so the end-to-end
+      // ratio should track ONE batch build + fixed streaming floor
+      "clif_blocked_incremental" -> (d =>
+        SparkEntry.queries("clif_blocked_incremental")(spark, d)
+          .count()),
       // r14 catalog-gate closures: every >=2s batch query carries a
       // sweep row (streaming floor queries are measured by the state
       // sweeps instead)

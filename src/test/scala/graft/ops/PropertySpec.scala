@@ -532,6 +532,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ChrfGramStats == a brute substring-count reference on random " +
+    "strings (spaces stripped, supplementary codepoints, empty sides)") {
+    import graft.functions.NativeExpressions
+    // alphabet mixes ASCII, a space (stripped), a combining-free
+    // 2-byte char, and a SUPPLEMENTARY codepoint (2 UTF-16 units) so
+    // the codepoint-not-char contract is exercised
+    val alpha = Seq("a", "b", " ", "é", "😀")
+    val gen: Gen[(String, String)] = for {
+      lc <- Gen.choose(0, 24); lr <- Gen.choose(0, 24)
+      c <- Gen.listOfN(lc, Gen.oneOf(alpha))
+      r <- Gen.listOfN(lr, Gen.oneOf(alpha))
+    } yield (c.mkString, r.mkString)
+    def brute(cand: String, ref: String, maxN: Int)
+        : Seq[(Long, Long, Long)] = {
+      def cps(s: String): Vector[Int] =
+        s.codePoints().toArray.toVector.filter(_ != 0x20)
+      val c = cps(cand); val r = cps(ref)
+      (1 to maxN).map { n =>
+        val cg = c.sliding(n).filter(_.size == n).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val rg = r.sliding(n).filter(_.size == n).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val m = cg.map { case (g, cc) =>
+          math.min(cc, rg.getOrElse(g, 0L)) }.sum
+        (m, math.max(0, c.size - n + 1).toLong,
+          math.max(0, r.size - n + 1).toLong)
+      }
+    }
+    check("chrf-gram-stats")(Prop.forAll(gen) { case (cand, ref) =>
+      val df = Seq((cand, ref)).toDF("c", "r")
+      val got = df.select(
+          NativeExpressions.chrf_gram_stats(col("c"), col("r"), 6)
+            .as("st"))
+        .selectExpr("inline(st)")
+        .as[(Long, Long, Long)].collect().toSeq
+      got == brute(cand, ref, 6)
+    })
+  }
+
   test("PcaTriangleMicros == its Column twin (transform/slice round→" +
     "decimal chain) on random float vectors with nulls") {
     import graft.sim.Similarity
@@ -543,7 +582,15 @@ class PropertySpec extends SparkSpec {
         kind <- Gen.choose(0, 9)
         m <- Gen.choose(-2000000, 2000000)
       } yield if (kind == 0) None
-        else Some(if (kind == 1) m / 2e6f else m / 1000f)))
+        // kind 1–2: small magnitudes (products well inside
+        // decimal(18,6)); kind 3: ~1e6–1e7 so pairwise products
+        // exceed the 1e12 overflow bound and the native null-on-
+        // overflow branch (boxed GenericArrayData with MIXED null
+        // and non-null products in one row) is exercised against
+        // the Column twin's cast-null behavior
+        else Some(if (kind == 1) m / 2e6f
+          else if (kind == 3) m * 5.000001f
+          else m / 1000f)))
     } yield rows
     check("pca-moments-parity")(Prop.forAll(gen) { rows =>
       val d = rows.head.length

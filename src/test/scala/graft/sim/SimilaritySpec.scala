@@ -809,6 +809,20 @@ class SimilaritySpec extends SparkSpec {
     assert(codes(5L) == Seq(0L, 0L))
     assert(codes.values.flatten.forall(w => w >= 0L),
       "sign-bit words must stay non-negative (bit 63 unused)")
+    // d NOT a multiple of 32: the trailing partial block still packs
+    // offset o at bit 31−o (left-shifted fold), matching the SQL
+    // (31 − o) replay convention — d=40 puts dim 32 at word-1 bit 31
+    // and dim 39 at word-1 bit 24
+    val partial = Seq(
+      (1L, (0 until 40).map(i => if (i == 32 || i == 39) 1f else -1f)),
+      (2L, (0 until 40).map(i => if (i == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.signBitsCols(col("embedding"), 40).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(partial(1L) == Seq(0L, (1L << 31) | (1L << 24)),
+      partial(1L).toString)
+    assert(partial(2L) == Seq(1L << 31, 0L), partial(2L).toString)
     val top = Similarity.binaryTopK(emb, "vec_id", "embedding",
         queryId = 17L, topK = 4, d = 64)
       .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
@@ -947,6 +961,35 @@ class SimilaritySpec extends SparkSpec {
       Similarity.powerIterationPcaK(emb, "vec_id", "embedding",
         k = 5, iters = 2).collect()
     }
+  }
+
+  test("powerIterationPcaK: a dim that is null in EVERY row gets " +
+    "NULL loadings (the former plan's null propagation), supported " +
+    "dims keep their exact loadings and eigenvalue") {
+    import spark.implicits._
+    // 3-D corpus, dim 2 always null: no moment sums for dim 2 → no
+    // covariance support → loading NULL, never 0.0; dims 0/1 carry
+    // the 2-D rank-1 fixture (x, 2x) whose first component is known
+    val emb = Seq(
+      (0L, Seq[java.lang.Float](1f, 2f, null)),
+      (1L, Seq[java.lang.Float](2f, 4f, null)),
+      (2L, Seq[java.lang.Float](3f, 6f, null)),
+      (3L, Seq[java.lang.Float](-1f, -2f, null)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.powerIterationPcaK(emb, "vec_id", "embedding",
+        k = 1, iters = 6)
+      .orderBy("dim")
+      .select("dim", "loading", "eigenvalue").collect()
+    assert(got.length == 3)
+    assert(!got(0).isNullAt(1) && !got(1).isNullAt(1),
+      "supported dims must keep loadings")
+    assert(got(2).isNullAt(1),
+      "all-null dim must emit NULL loading, not 0.0")
+    // direction (1,2)/√5 up to sign; eigenvalue > 0 on all rows
+    val l0 = got(0).getDouble(1); val l1 = got(1).getDouble(1)
+    assert(math.abs(math.abs(l0) - 1.0 / math.sqrt(5)) < 1e-4 &&
+      math.abs(l1 / l0 - 2.0) < 1e-3, s"($l0, $l1)")
+    assert(got.forall(r => r.getDouble(2) > 0), "eigenvalue repeated")
   }
 
   test("linearCka: identical columns score 1; a PERMUTED copy scores " +

@@ -1551,4 +1551,41 @@ class TextSpec extends SparkSpec {
     assert(r4.getAs[Double]("chrf") == expect &&
       r4.getAs[Double]("chrf") < 0.708334, r4.toString)
   }
+
+  test("canonicalizeUrl: scheme/host case, www., default ports, " +
+    "fragments, tracking params, param order and trailing slash all " +
+    "collapse; non-default ports, path case and real params survive; " +
+    "non-URLs pass through") {
+    import spark.implicits._
+    def canon(u: String): String =
+      Seq(u).toDF("u")
+        .select(TextOps.canonicalizeUrl(col("u")).as("c"))
+        .as[String].collect().head
+    val base = "https://ex.com/A/b?a=1&b=2"
+    // the seven collapse classes
+    assert(canon("HTTPS://WWW.EX.COM/A/b?a=1&b=2") == base)
+    assert(canon("https://ex.com:443/A/b?a=1&b=2") == base)
+    assert(canon("https://ex.com/A/b?b=2&a=1") == base)
+    assert(canon("https://ex.com/A/b?utm_source=x&a=1&b=2&gclid=9") ==
+      base)
+    assert(canon("https://ex.com/A/b?a=1&b=2#frag") == base)
+    assert(canon("  https://ex.com/A/b?a=1&b=2  ") == base)
+    assert(canon("https://www.ex.com/A/b/?a=1&b=2") ==
+      "https://ex.com/A/b?a=1&b=2")
+    assert(canon("http://ex.com:80/x") == "http://ex.com/x")
+    // distinctions that MUST survive
+    assert(canon("https://ex.com:8443/x") == "https://ex.com:8443/x")
+    assert(canon("http://ex.com:443/x") == "http://ex.com:443/x")
+    assert(canon("https://ex.com/A") != canon("https://ex.com/a"))
+    assert(canon("https://ex.com/x?c=3") == "https://ex.com/x?c=3")
+    // tracking-only query drops its '?'; root slash normalizes away
+    assert(canon("https://ex.com/?utm_campaign=y") == "https://ex.com")
+    assert(canon("https://ex.com/") == "https://ex.com")
+    // utm prefix is anchored per-param: 'xutm_a' is a REAL param
+    assert(canon("https://ex.com/x?xutm_a=1") ==
+      "https://ex.com/x?xutm_a=1")
+    // non-URL text passes through (literal steps only, no collision)
+    assert(canon("not a url") == "not a url")
+    assert(canon("ftp://MixedHost.COM/Path") == "ftp://mixedhost.com/Path")
+  }
 }

@@ -225,6 +225,41 @@ object SparkEntry {
     graft.streaming.EventStreams.runAvailableNow(transformed, queryName,
       checkpoint, outputMode, statePartitions = drainStateParts)
 
+  /** Shared a79/a80 annotation construction: three synthetic
+    * annotators of each document's lang. Annotator k mislabels at
+    * rate (2k+1)/10 (portable-hash coin on (doc_id, k)), and a wrong
+    * label is a hash-picked OTHER class via the lexicographic class
+    * ranking — rank (r + 1 + h mod (L−1)) mod L — so the whole
+    * corpus of judgments replays bit-identically in SQL. */
+  private[graft] def dsAnnotations(s: SparkSession,
+                                   dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"))
+    // class ranking: a dim-scale window (5 langs), broadcast back
+    val rk = d.select(col("lang")).distinct()
+      .withColumn("__r",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("lang"))) - 1).cast("long"))
+    val L = rk.count()
+    def ph(c: Column): Column = graft.text.TextOps.portableHash(c)
+    val lab = d.join(broadcast(rk), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("__r"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("annotator"))
+      .withColumn("__flip",
+        pmod(ph(col("doc_id") * 3 + col("annotator")), lit(10L)) <
+          col("annotator") * 2 + 1)
+      .withColumn("__fr",
+        pmod(col("__r") + 1 +
+          pmod(ph(col("doc_id") * 7 + col("annotator") * 11),
+            lit(L - 1)), lit(L)))
+    lab.join(broadcast(rk.select(col("__r").as("__fr"),
+        col("lang").as("__flang"))), Seq("__fr"))
+      .select(col("doc_id"), col("annotator"),
+        when(col("__flip"), col("__flang")).otherwise(col("lang"))
+          .as("label"))
+  }
+
   /** Shared j16/j17 linkage construction: the clean customer file
     * scored against its deterministically DIRTIED copy (middle-char
     * name typo every 7th key, reformatted name every 13th, segment
@@ -3658,6 +3693,24 @@ object SparkEntry {
         "winner", "loser", iters = 3)
     }),
 
+    // ---- A79: Dawid–Skene label aggregation — EM over three noisy
+    // annotators of the documents' lang (annotator k flips to a
+    // hash-picked other class at rate (2k+1)/10 — the j16
+    // deterministic-dirtying discipline), jointly estimating each
+    // annotator's confusion matrix and the posterior true label.
+    // The multi-rater eval/RLHF companion to a78's pairwise BT. ----
+    "a79_dawid_skene" -> ((s, dir) =>
+      Analytics.dawidSkene(dsAnnotations(s, dir), "doc_id",
+        "annotator", "label", rounds = 2)),
+
+    // ---- A80: the SAME Dawid–Skene run's annotator-quality
+    // readout: last-round confusion diagonal (rate annotator k
+    // reports class c correctly) + smoothed class priors — the
+    // rater audit that decides who keeps labeling. ----
+    "a80_annotator_quality" -> ((s, dir) =>
+      Analytics.dawidSkeneQuality(dsAnnotations(s, dir), "doc_id",
+        "annotator", "label", rounds = 2)),
+
     // ---- A77: Krippendorff's alpha — the a73 rater panel with
     // rater 3 skipping two docs in three (doc_id % 3 != 0): unequal
     // m per item, the case Fleiss NULLs and alpha is built for. ----
@@ -5685,6 +5738,100 @@ cov${c + 1} AS MATERIALIZED (
       s"$v0,\n$rounds,\n$lam$deflate"
     }
     s"$base,\n${(1 to k).map(comp).mkString(",\n")}"
+  }
+
+  /** Dawid–Skene replay builder shared by a79/a80: the three-
+    * annotator construction (portable-hash flip coin, hash-picked
+    * wrong class over the lexicographic ranking), majority-vote init,
+    * then TWO unrolled EM rounds — M-step smoothing and priors as
+    * round-6 micro longs, E-step likelihood as an EXACT HUGEINT
+    * product (Spark's decimal(38,0) fold lands on the same
+    * integers), one rounded double division per posterior cell.
+    * `finalSelect` consumes p2 (posteriors), pi2 (confusion), pr2
+    * (priors). */
+  private def dsOracle(finalSelect: String): String = {
+    def round(x: Int) = {
+      val p = s"p${x - 1}"
+      s"""s$x AS MATERIALIZED (
+         |  SELECT lab.k, p.c, lab.l, SUM(p.post) AS s
+         |  FROM lab JOIN $p p ON p.i = lab.i GROUP BY 1, 2, 3),
+         |st$x AS (SELECT k, c, SUM(s) AS st FROM s$x GROUP BY 1, 2),
+         |pi$x AS MATERIALIZED (
+         |  SELECT g.k, g.c, g.l,
+         |    CAST(CAST(round((COALESCE(s$x.s, 0) + 1000000) * 1.0 /
+         |      (COALESCE(st$x.st, 0) + 1000000 * lc.L), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS pi
+         |  FROM g CROSS JOIN lc
+         |  LEFT JOIN s$x ON s$x.k = g.k AND s$x.c = g.c
+         |    AND s$x.l = g.l
+         |  LEFT JOIN st$x ON st$x.k = g.k AND st$x.c = g.c),
+         |pc$x AS (SELECT c, SUM(post) AS pc FROM $p GROUP BY 1),
+         |pr$x AS MATERIALIZED (
+         |  SELECT pc$x.c,
+         |    CAST(CAST(round((pc$x.pc + 1000000) * 1.0 /
+         |      (t.pt + 1000000 * lc.L), 6) AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS prior
+         |  FROM pc$x CROSS JOIN
+         |    (SELECT SUM(pc) AS pt FROM pc$x) t CROSS JOIN lc),
+         |e$x AS (
+         |  SELECT w.i, rk.lang AS c,
+         |    CAST(pr$x.prior AS HUGEINT) * pa.pi * pb.pi * pq.pi AS n
+         |  FROM w CROSS JOIN rk
+         |  JOIN pr$x ON pr$x.c = rk.lang
+         |  JOIN pi$x pa ON pa.k = 0 AND pa.c = rk.lang AND pa.l = w.l0
+         |  JOIN pi$x pb ON pb.k = 1 AND pb.c = rk.lang AND pb.l = w.l1
+         |  JOIN pi$x pq ON pq.k = 2 AND pq.c = rk.lang
+         |    AND pq.l = w.l2),
+         |p$x AS MATERIALIZED (
+         |  SELECT e.i, e.c,
+         |    CAST(CAST(round(CAST(e.n AS DOUBLE) /
+         |      CAST(dn.dn AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS post
+         |  FROM e$x e JOIN
+         |    (SELECT i, SUM(n) AS dn FROM e$x GROUP BY 1) dn
+         |    USING (i))""".stripMargin
+    }
+    s"""WITH rk AS MATERIALIZED (
+       |  SELECT lang,
+       |    CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS r
+       |  FROM (SELECT DISTINCT lang FROM documents
+       |        WHERE lang IS NOT NULL)),
+       |lc AS (SELECT COUNT(*) AS L FROM rk),
+       |d AS (
+       |  SELECT doc_id, lang FROM documents
+       |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+       |lab0 AS (
+       |  SELECT d.doc_id AS i, k.k AS k, d.lang, rk.r,
+       |    ((((d.doc_id * 3 + k.k) % 2147483647) * 2654435761)
+       |      % 2147483647) % 10 < 2 * k.k + 1 AS flip,
+       |    (rk.r + 1 + ((((d.doc_id * 7 + 11 * k.k) % 2147483647)
+       |      * 2654435761) % 2147483647) % (lc.L - 1)) % lc.L AS fr
+       |  FROM d JOIN rk USING (lang)
+       |  CROSS JOIN range(3) k(k) CROSS JOIN lc),
+       |lab AS MATERIALIZED (
+       |  SELECT i, k, CASE WHEN flip THEN r2.lang ELSE lab0.lang END
+       |    AS l
+       |  FROM lab0 JOIN rk r2 ON lab0.fr = r2.r),
+       |ac AS (SELECT i, COUNT(*) AS a FROM lab GROUP BY 1),
+       |v AS (SELECT i, l AS c, COUNT(*) AS v FROM lab GROUP BY 1, 2),
+       |p0 AS MATERIALIZED (
+       |  SELECT ac.i, rk.lang AS c,
+       |    CAST(CAST(round(COALESCE(v.v, 0) * 1.0 / ac.a, 6)
+       |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS post
+       |  FROM ac CROSS JOIN rk
+       |  LEFT JOIN v ON v.i = ac.i AND v.c = rk.lang),
+       |kd AS (SELECT DISTINCT k FROM lab),
+       |g AS (SELECT kd.k, c1.lang AS c, c2.lang AS l
+       |      FROM kd CROSS JOIN rk c1 CROSS JOIN rk c2),
+       |w AS MATERIALIZED (
+       |  SELECT i,
+       |    MAX(CASE WHEN k = 0 THEN l END) AS l0,
+       |    MAX(CASE WHEN k = 1 THEN l END) AS l1,
+       |    MAX(CASE WHEN k = 2 THEN l END) AS l2
+       |  FROM lab GROUP BY 1),
+       |${round(1)},
+       |${round(2)}
+       |$finalSelect""".stripMargin
   }
 
   /** The blocked-dataset replay shared VERBATIM by the batch
@@ -11317,6 +11464,25 @@ FROM n, vxy, vxx, vyy"""
         |SELECT p3.i AS player, tot.wins, tot.games, p3.p AS strength,
         |  ROUND(p3.p / CAST(sumr.sp AS DOUBLE), 6) AS share
         |FROM p3 JOIN tot USING (i), sumr""".stripMargin,
+
+    // Dawid–Skene items: the shared 2-round EM replay, then the
+    // posterior argmax (ties to the lexicographically smallest class)
+    "a79_dawid_skene" -> dsOracle(
+      """SELECT i AS doc_id, c AS ds_label,
+        |  CAST(post AS DOUBLE) / 1000000 AS ds_posterior
+        |FROM (SELECT i, c, post, row_number() OVER
+        |        (PARTITION BY i ORDER BY post DESC, c) AS rn
+        |      FROM p2)
+        |WHERE rn = 1""".stripMargin),
+
+    // Dawid–Skene quality: the same run's last-round confusion
+    // diagonal + smoothed priors
+    "a80_annotator_quality" -> dsOracle(
+      """SELECT pi2.k AS annotator, pi2.c AS label,
+        |  CAST(pi2.pi AS DOUBLE) / 1000000 AS diag_rate,
+        |  CAST(pr2.prior AS DOUBLE) / 1000000 AS prior
+        |FROM pi2 JOIN pr2 ON pr2.c = pi2.c
+        |WHERE pi2.c = pi2.l""".stripMargin),
 
     // pairable units only (m ≥ 2); per-unit disagreement one rounded
     // chain summed exactly; D_o/D_e/α one fixed chain each

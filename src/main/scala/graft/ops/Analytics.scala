@@ -1602,4 +1602,177 @@ object Analytics {
         col("__p").as("strength"),
         round(col("__p") / col("__sum").cast("double"), 6).as("share"))
   }
+
+  /** Dawid–Skene label aggregation (Dawid & Skene 1979) — EM over
+    * noisy annotator labels, the batch op behind every multi-rater
+    * eval/RLHF labeling pipeline: majority vote weighs a careless
+    * rater the same as a careful one, while DS jointly estimates each
+    * annotator's CONFUSION MATRIX and the posterior true label, so
+    * reliable raters dominate. The eval-arena companion to
+    * [[bradleyTerry]]: BT aggregates pairwise preferences, DS
+    * aggregates categorical judgments.
+    *
+    * Fixed `rounds` of SYNCHRONOUS EM from majority-vote posteriors
+    * (extra rounds on a converged state are no-ops — the
+    * unrolled-oracle contract):
+    *   M: confusion πₖ(c, l) = (Sₖ꜀ₗ + 1·10⁶) / (Sₖ꜀ + L·10⁶) over
+    *      the FULL (k, c, l) grid (Laplace add-one in posterior
+    *      units, so no cell is ever 0 and the E-step product never
+    *      collapses); class priors get the same smoothing.
+    *   E: posterior(i, c) ∝ prior(c) · Πₖ πₖ(c, lₖᵢ).
+    *
+    * Determinism/parity (the [[bradleyTerry]] discipline): posteriors
+    * and π live as ROUND-6 MICRO-UNIT LONGS; all sums are exact
+    * decimals (visit order cannot move them); the E-step product is
+    * an EXACT decimal(38,0) integer product (≤ A+1 micro factors —
+    * commutative, so fold order is free; A ≤ 5 enforced to keep the
+    * product under 10³⁸); every division is ONE double ratio of
+    * exact operands rounded once.
+    *
+    * Scale shape: the corpus-sized frames are the labels (N·A rows)
+    * and posteriors (N·C rows); each round is one labels⋈posteriors
+    * shuffle into the (k, c, l) confusion agg (a ≤ A·C·L-row frame,
+    * broadcast back) and one labels⋈π-broadcast pass into the
+    * (i, c) product agg — rounds × two exchanges, nothing
+    * corpus-sized is ever collected or windowed in one partition.
+    *
+    * @param labels one row per judgment: (itemCol, annCol, labelCol)
+    * @return one row per item: itemCol, ds_label (posterior argmax,
+    *         ties to the lexicographically smallest label),
+    *         ds_posterior (round-6) */
+  def dawidSkene(labels: DataFrame, itemCol: String, annCol: String,
+                 labelCol: String, rounds: Int = 2): DataFrame = {
+    val (post, _, _, classDim) =
+      dawidSkeneCore(labels, itemCol, annCol, labelCol, rounds)
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__i"))
+      .orderBy(col("__post").desc, col("__c"))
+    post
+      .withColumn("__rn", row_number().over(wArg))
+      .filter(col("__rn") === 1)
+      .select(col("__i").as(itemCol), col("__c").as("ds_label"),
+        (col("__post").cast("double") / lit(1000000.0))
+          .as("ds_posterior"))
+  }
+
+  /** The annotator-quality readout of the SAME EM run ([[dawidSkene]]
+    * scaladoc): the last round's confusion DIAGONAL πₖ(c, c) — the
+    * estimated rate annotator k reports class c correctly — plus the
+    * smoothed class prior. A·C rows. */
+  def dawidSkeneQuality(labels: DataFrame, itemCol: String,
+                        annCol: String, labelCol: String,
+                        rounds: Int = 2): DataFrame = {
+    val (_, pi, priors, _) =
+      dawidSkeneCore(labels, itemCol, annCol, labelCol, rounds)
+    pi.filter(col("__c") === col("__l"))
+      .join(priors, Seq("__c"))
+      .select(col("__k").as("annotator"), col("__c").as("label"),
+        (col("__pi").cast("double") / lit(1000000.0)).as("diag_rate"),
+        (col("__prior").cast("double") / lit(1000000.0)).as("prior"))
+  }
+
+  /** Shared EM core: returns (final posteriors (i, c, post µ), last
+    * M-step confusion (k, c, l, π µ), last priors (c, prior µ),
+    * class dim). */
+  private def dawidSkeneCore(labels0: DataFrame, itemCol: String,
+      annCol: String, labelCol: String, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(rounds >= 1 && rounds <= 4, "rounds in [1,4]")
+    def microR6(x: Column): Column =
+      (round(x, 6).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    // pin the judgments once: every round reads them twice (M-step
+    // join, E-step fan-out) plus the dim/count probes — an unpinned
+    // lineage re-derives the caller's construction ~10× per run
+    val labels = labels0
+      .filter(col(itemCol).isNotNull && col(annCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(annCol).as("__k"),
+        col(labelCol).as("__l"))
+      .localCheckpoint()
+    val classDim = labels.select(col("__l").as("__c")).distinct()
+    val annDim = labels.select(col("__k")).distinct()
+    // dimension-scale scalars (class and annotator counts) — the
+    // sanctioned driver bound; A ≤ 5 keeps the exact E-step product
+    // (A+1 micro factors) inside decimal(38,0)
+    val lCount = classDim.count()
+    val aCount = annDim.count()
+    require(lCount >= 2, s"need >= 2 classes, got $lCount")
+    require(aCount >= 1 && aCount <= 5,
+      s"A=$aCount annotators: the exact decimal(38,0) product bounds A at 5")
+    // init: majority-vote shares on the full (item, class) grid
+    val votes = labels.groupBy(col("__i"), col("__l").as("__c"))
+      .agg(count(lit(1)).as("__v"))
+    val perItem = labels.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__a"))
+    var post = perItem.crossJoin(broadcast(classDim))
+      .join(votes, Seq("__i", "__c"), "left")
+      .select(col("__i"), col("__c"),
+        microR6(coalesce(col("__v"), lit(0L)).cast("double") /
+          col("__a").cast("double")).as("__post"))
+    var pi: DataFrame = null
+    var priors: DataFrame = null
+    for (_ <- 1 to rounds) {
+      // M-step on the full (k, c, l) grid: absent cells still get
+      // their Laplace mass, so the π frame is always A·C·L rows
+      // cast INSIDE the sum: a long sum wraps silently at corpus
+      // scale where the replay's integer sum never does
+      val sums = labels.join(post, Seq("__i"))
+        .groupBy(col("__k"), col("__c"), col("__l"))
+        .agg(sum(col("__post").cast("decimal(20,0)"))
+          .cast("decimal(20,0)").as("__s"))
+      val sTot = sums.groupBy(col("__k"), col("__c"))
+        .agg(sum(col("__s")).cast("decimal(20,0)").as("__st"))
+      val kclGrid = annDim.crossJoin(broadcast(classDim))
+        .crossJoin(broadcast(classDim.select(col("__c").as("__l"))))
+      pi = kclGrid
+        .join(sums, Seq("__k", "__c", "__l"), "left")
+        .join(sTot, Seq("__k", "__c"), "left")
+        .select(col("__k"), col("__c"), col("__l"),
+          microR6(
+            (coalesce(col("__s"), lit(0).cast("decimal(20,0)"))
+              + lit(1000000L)).cast("double") /
+            (coalesce(col("__st"), lit(0).cast("decimal(20,0)"))
+              + lit(1000000L) * lit(lCount)).cast("double"))
+            .as("__pi"))
+      val pcls = post.groupBy(col("__c"))
+        .agg(sum(col("__post").cast("decimal(20,0)"))
+          .cast("decimal(20,0)").as("__pc"))
+      priors = pcls
+        .crossJoin(broadcast(
+          pcls.agg(sum(col("__pc")).cast("decimal(20,0)").as("__pt"))))
+        .select(col("__c"),
+          microR6(
+            (col("__pc") + lit(1000000L)).cast("double") /
+            (col("__pt") + lit(1000000L) * lit(lCount)).cast("double"))
+            .as("__prior"))
+      // E-step: every (i, k) judgment fans out to all C classes via
+      // the broadcast π grid; the per-(i, c) likelihood is the exact
+      // integer product of its ≤ A π factors times the prior
+      val num = labels
+        .join(broadcast(pi), Seq("__k", "__l"))
+        .groupBy(col("__i"), col("__c"))
+        .agg(collect_list(col("__pi")).as("__ps"))
+        .join(broadcast(priors), Seq("__c"))
+        .select(col("__i"), col("__c"),
+          aggregate(col("__ps"),
+            col("__prior").cast("decimal(38,0)"),
+            (acc, x) => acc * x.cast("decimal(38,0)")).as("__n"))
+      // normalization via a window over the SAME (i, c)-keyed frame
+      // (an agg + self-join would recompute `num` twice per round);
+      // the sum is an exact decimal — visit order free. The eager
+      // lineage cut per round is the Graphs/ivfCentroids iterative-op
+      // pattern: the posteriors frame is the iteration state, and an
+      // uncut multi-round plan stalls the analyzer before execution
+      val wDen = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__i"))
+      post = num
+        .withColumn("__d",
+          sum(col("__n")).over(wDen).cast("decimal(38,0)"))
+        .select(col("__i"), col("__c"),
+          microR6(col("__n").cast("double") / col("__d").cast("double"))
+            .as("__post"))
+        .localCheckpoint()
+    }
+    (post, pi, priors, classDim)
+  }
 }

@@ -704,6 +704,14 @@ object ScaleSweep {
       // one partial+final hash agg of exact decimal moments
       "a16_corr" -> (d =>
         SparkEntry.queries("a16_corr")(spark, d).count()),
+      // Dawid–Skene EM: rounds × (one labels⋈posteriors shuffle into
+      // the tiny confusion agg + one broadcast-π fan-out into the
+      // (i, c) product agg); per-round posteriors checkpoint is the
+      // iteration state — linear in judgments
+      "a79_dawid_skene" -> (d =>
+        SparkEntry.queries("a79_dawid_skene")(spark, d).count()),
+      "a80_annotator_quality" -> (d =>
+        SparkEntry.queries("a80_annotator_quality")(spark, d).count()),
       // SCD2 history build over orders: key-hash join + per-key
       // window, linear in the staged order count
       "s14_scd2" -> (d =>

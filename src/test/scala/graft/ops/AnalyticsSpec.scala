@@ -821,4 +821,62 @@ class AnalyticsSpec extends SparkSpec {
         r.getAs[Long]("games")).toMap
     assert(out == Map("A" -> 1L, "B" -> 1L))
   }
+
+  test("dawidSkene: EM learns the reliable rater and OVERRIDES a " +
+    "2-of-3 wrong majority; clean consensus items keep their label; " +
+    "quality ranks the perfect rater's diagonal above the noisy ones") {
+    import spark.implicits._
+    // truth: items 1-30 'a', 31-90 'b'. Rater 0 is perfect; raters
+    // 1/2 are NOISY on a-items (~50% error each, disjoint sets except
+    // item 9 where BOTH err identically) and clean on b-items. On
+    // item 9 majority vote says 'b'; DS, having learned rater 0's
+    // near-zero b→a confusion against the others' high a→b rates,
+    // overrides the majority. (Two nearly-clean raters agreeing
+    // would legitimately BEAT one perfect rater — the override only
+    // falls out when the correlated raters are measurably noisy,
+    // which is exactly DS's value over majority vote.)
+    val aErr1 = (1L to 15L).toSet             // rater 1: 50% of a's
+    val aErr2 = Set(9L) ++ (16L to 29L).toSet // rater 2: 50%, overlap 9
+    val lab = (
+      (1L to 30L).map(i => (i, 0L, "a")) ++
+        (31L to 90L).map(i => (i, 0L, "b")) ++
+      (1L to 30L).map(i =>
+        (i, 1L, if (aErr1(i)) "b" else "a")) ++
+        (31L to 90L).map(i => (i, 1L, "b")) ++
+      (1L to 30L).map(i =>
+        (i, 2L, if (aErr2(i)) "b" else "a")) ++
+        (31L to 90L).map(i => (i, 2L, "b"))
+    ).toDF("item", "rater", "label")
+    val out = Analytics.dawidSkene(lab, "item", "rater", "label",
+        rounds = 4)
+      .collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[String]("ds_label"), r.getAs[Double]("ds_posterior")))
+      .toMap
+    assert(out.size == 90)
+    // the majority-wrong item: DS sides with the learned-reliable
+    // rater 0 against the two correlated noisy errors
+    assert(out(9L) == (("a", out(9L)._2)) && out(9L)._2 > 0.5,
+      s"item 9: ${out(9L)}")
+    // every other item keeps its majority label
+    (1L to 30L).filter(_ != 9L).foreach(i =>
+      assert(out(i)._1 == "a", s"item $i: ${out(i)}"))
+    (31L to 90L).foreach(i =>
+      assert(out(i)._1 == "b", s"item $i: ${out(i)}"))
+    assert(out.values.forall(v => v._2 > 0.0 && v._2 <= 1.0))
+    val q = Analytics.dawidSkeneQuality(lab, "item", "rater", "label",
+        rounds = 4)
+      .collect().map(r => (r.getAs[Long]("annotator"),
+        r.getAs[String]("label")) -> r.getAs[Double]("diag_rate"))
+      .toMap
+    assert(q.size == 6) // 3 raters x 2 classes
+    assert(q((0L, "a")) > q((1L, "a")) && q((0L, "a")) > q((2L, "a")),
+      q.toString)
+    // bounded annotator count: the exact decimal(38,0) product caps A
+    val six = (0L to 5L).map(k => (1L, k, "a"))
+      .toDF("item", "rater", "label")
+      .unionByName(Seq((1L, 0L, "b")).toDF("item", "rater", "label"))
+    intercept[IllegalArgumentException] {
+      Analytics.dawidSkene(six, "item", "rater", "label").collect()
+    }
+  }
 }

@@ -1442,7 +1442,13 @@ object SparkEntry {
     // (a typo INSIDE the 4 leading digits separates the pair) is the
     // stated single-pass contract; j20_multipass is the recovery.
     "j19_edit_join" -> ((s, dir) => {
+      // project to the join's working set BEFORE pair expansion: the
+      // candidate pairs are the cost center (4.9M rows), and every
+      // unprojected column (c_comment is ~70 chars, c_address ~25)
+      // rides the block join TWICE (a_/b_ prefixed) — ~10× the bytes
+      // through the shuffle for columns the query never returns
       val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       ops.Linkage.editDistanceJoin(c, c,
           concat(col("a_c_nationkey"), lit(":"),
             substring(col("a_c_name"), 10, 4)),
@@ -1461,7 +1467,12 @@ object SparkEntry {
     // pair typo'd inside one key's digit window survives via the
     // other pass. ----
     "j20_multipass" -> ((s, dir) => {
+      // same pre-pair projection as j19 — doubly load-bearing here:
+      // the cross-pass distinct's pair identity is the full prefixed
+      // row, so slim rows cut both the union shuffle AND the dedup
+      // (custkey is a key — the dedup grain is unchanged)
       val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       ops.Linkage.blockedPairsMultiPass(c, c, Seq(
           (concat(col("a_c_nationkey"), lit(":"),
              substring(col("a_c_name"), 10, 4)),

@@ -40,8 +40,21 @@ object Linkage {
                    maxBucket: Option[Long] = None,
                    obsName: String = "linkage_dropped_blocks"): DataFrame = {
     require(maxBucket.forall(_ > 0), "maxBucket must be > 0")
+    // spread the PROBE side to full cluster width before the pair
+    // expansion: this join's output is quadratically larger than its
+    // input, so probe parallelism must never be the input's file
+    // count (a small single-file table scans as ONE partition, and a
+    // broadcast pair join then runs every candidate comparison in
+    // one task — measured 15 s single-core on j19 at sf0.1).
+    // Round-robin is the right spread: the build side broadcasts (or
+    // the join re-exchanges for SMJ anyway), so no co-location is
+    // lost, no block skew is created, and the cost is one
+    // INPUT-sized shuffle under an OUTPUT-sized op.
+    val width = a.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val ap = a.columns.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"a_$c"))
       .withColumn("__blk", blockA).filter(col("__blk").isNotNull)
+      .repartition(width)
     val bp = b.columns.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"b_$c"))
       .withColumn("__blk", blockB).filter(col("__blk").isNotNull)
     maxBucket match {

@@ -1209,8 +1209,17 @@ object TextOps {
     require(numMerges >= 1 && numMerges <= 64, "numMerges in [1,64]")
     val spark = docs.sparkSession
     import org.apache.spark.sql.Row
+    // the checkpointed sequences are the ITERATION STATE, re-scanned
+    // 2× per round (pair agg + fuse rewrite) for up to 64 rounds —
+    // partition them to cluster width up front, not to the input's
+    // file/row-group count (a single-row-group table would otherwise
+    // pin all ~128 passes to ONE task; one input-sized shuffle
+    // amortized over every round is the same bargain as the
+    // blockedPairs probe spread)
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     var seqs = docs.select(col(idCol).as("id"),
-      tokens(lower(col(textCol))).as("w")).localCheckpoint()
+      tokens(lower(col(textCol))).as("w"))
+      .repartition(width).localCheckpoint()
     // each round's checkpoint supersedes the last: unpersist the prior
     // one eagerly, and the final one before returning — checkpointed
     // blocks otherwise pin executor memory for the rest of the session

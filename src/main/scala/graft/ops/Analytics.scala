@@ -1642,7 +1642,7 @@ object Analytics {
     *         ds_posterior (round-6) */
   def dawidSkene(labels: DataFrame, itemCol: String, annCol: String,
                  labelCol: String, rounds: Int = 2): DataFrame = {
-    val (post, _, _, classDim) =
+    val (post, _, _) =
       dawidSkeneCore(labels, itemCol, annCol, labelCol, rounds)
     val wArg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__i"))
@@ -1662,7 +1662,7 @@ object Analytics {
   def dawidSkeneQuality(labels: DataFrame, itemCol: String,
                         annCol: String, labelCol: String,
                         rounds: Int = 2): DataFrame = {
-    val (_, pi, priors, _) =
+    val (_, pi, priors) =
       dawidSkeneCore(labels, itemCol, annCol, labelCol, rounds)
     pi.filter(col("__c") === col("__l"))
       .join(priors, Seq("__c"))
@@ -1672,11 +1672,12 @@ object Analytics {
   }
 
   /** Shared EM core: returns (final posteriors (i, c, post µ), last
-    * M-step confusion (k, c, l, π µ), last priors (c, prior µ),
-    * class dim). */
+    * M-step confusion (k, c, l, π µ), last priors (c, prior µ)) —
+    * each checkpointed, so they stay executable after the big
+    * intermediate state is freed. */
   private def dawidSkeneCore(labels0: DataFrame, itemCol: String,
       annCol: String, labelCol: String, rounds: Int)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 4, "rounds in [1,4]")
     def microR6(x: Column): Column =
       (round(x, 6).cast("decimal(18,6)") * lit(1000000L)).cast("long")
@@ -1724,6 +1725,10 @@ object Analytics {
         .agg(sum(col("__s")).cast("decimal(20,0)").as("__st"))
       val kclGrid = annDim.crossJoin(broadcast(classDim))
         .crossJoin(broadcast(classDim.select(col("__c").as("__l"))))
+      // π and priors are A·C·L- and C-row frames; checkpointing them
+      // cuts their lineage off `labels` and the previous posteriors,
+      // so the big superseded state can be freed below while the
+      // returned frames stay executable
       pi = kclGrid
         .join(sums, Seq("__k", "__c", "__l"), "left")
         .join(sTot, Seq("__k", "__c"), "left")
@@ -1734,6 +1739,7 @@ object Analytics {
             (coalesce(col("__st"), lit(0).cast("decimal(20,0)"))
               + lit(1000000L) * lit(lCount)).cast("double"))
             .as("__pi"))
+        .localCheckpoint()
       val pcls = post.groupBy(col("__c"))
         .agg(sum(col("__post").cast("decimal(20,0)"))
           .cast("decimal(20,0)").as("__pc"))
@@ -1745,6 +1751,7 @@ object Analytics {
             (col("__pc") + lit(1000000L)).cast("double") /
             (col("__pt") + lit(1000000L) * lit(lCount)).cast("double"))
             .as("__prior"))
+        .localCheckpoint()
       // E-step: every (i, k) judgment fans out to all C classes via
       // the broadcast π grid; the per-(i, c) likelihood is the exact
       // integer product of its ≤ A π factors times the prior
@@ -1765,6 +1772,7 @@ object Analytics {
       // uncut multi-round plan stalls the analyzer before execution
       val wDen = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__i"))
+      val prev = post
       post = num
         .withColumn("__d",
           sum(col("__n")).over(wDen).cast("decimal(38,0)"))
@@ -1772,7 +1780,13 @@ object Analytics {
           microR6(col("__n").cast("double") / col("__d").cast("double"))
             .as("__post"))
         .localCheckpoint()
+      // superseded round state off the block manager eagerly (the
+      // learnBpeMerges swap discipline — orphaned checkpoint blocks
+      // pin executor memory for the rest of the session). The FINAL
+      // round's posteriors are the returned result and stay.
+      if (prev ne null) prev.unpersist(blocking = true)
     }
-    (post, pi, priors, classDim)
+    labels.unpersist(blocking = true)
+    (post, pi, priors)
   }
 }

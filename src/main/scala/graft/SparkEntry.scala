@@ -2576,6 +2576,17 @@ object SparkEntry {
       Similarity.binaryRecall(t(s, dir, "embeddings"), "vec_id",
         "embedding", queryId = 17L, topK = 10, d = 64)),
 
+    // ---- similarity: two-stage binary serving — Hamming shortlist
+    // of 50 over the packed sign bits, exact round-6 cosine rerank
+    // to top-10: the coarse-filter/exact-rerank pattern that buys
+    // back the 1-bit tier's recall at 50 exact evaluations per
+    // query. The rerank join reads the vector column ONLY for the
+    // shortlist rows. ----
+    "e_binary_rerank" -> ((s, dir) =>
+      Similarity.binaryRerank(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 17L, topK = 10, shortlist = 50,
+        d = 64)),
+
     // ---- similarity: BATCH IVF k-NN join — every 100th vector is a
     // query; each probes its nprobe=8 nearest of nlist=64 cells and
     // scores only those cells' members (native IvfProbe explode + one
@@ -9257,6 +9268,54 @@ FROM proj"""
         |SELECT CAST(row_number() OVER (ORDER BY hamming, vec_id)
         |    AS INT) AS rank,
         |  vec_id, hamming
+        |FROM top""".stripMargin,
+
+    // stage 1 = the e_binary_topk replay at shortlist width; stage 2
+    // = exact round-6 cosine over ONLY the shortlist, id tiebreak in
+    // both stages
+    "e_binary_rerank" ->
+      """WITH bits AS (
+        |  SELECT vec_id, CAST(u['i'] AS INT) // 32 AS w,
+        |    CASE WHEN CAST(u['x'] AS DOUBLE) > 0
+        |      THEN CAST(1 AS BIGINT) << (31 - (CAST(u['i'] AS INT) % 32))
+        |      ELSE CAST(0 AS BIGINT) END AS b
+        |  FROM (
+        |    SELECT vec_id,
+        |      unnest(list_transform(range(1, len(embedding) + 1),
+        |        k -> {'i': k - 1, 'x': embedding[CAST(k AS INT)]})) AS u
+        |    FROM embeddings
+        |    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)),
+        |codes AS (
+        |  SELECT vec_id, w, CAST(SUM(b) AS BIGINT) AS word
+        |  FROM bits GROUP BY vec_id, w),
+        |ham AS (
+        |  SELECT c.vec_id,
+        |    CAST(SUM(bit_count(xor(c.word, q.word))) AS BIGINT)
+        |      AS hamming
+        |  FROM codes c JOIN codes q ON q.vec_id = 17 AND q.w = c.w
+        |  WHERE c.vec_id <> 17
+        |  GROUP BY c.vec_id),
+        |short AS (
+        |  SELECT vec_id FROM ham ORDER BY hamming, vec_id LIMIT 50),
+        |q AS (SELECT embedding AS qe FROM embeddings
+        |      WHERE vec_id = 17),
+        |rr AS (
+        |  SELECT e.vec_id,
+        |    ROUND(
+        |      list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qe,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |      AS cos_sim
+        |  FROM embeddings e JOIN short USING (vec_id), q),
+        |top AS (
+        |  SELECT vec_id, cos_sim FROM rr
+        |  ORDER BY cos_sim DESC, vec_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+        |    AS INT) AS rank,
+        |  vec_id, cos_sim
         |FROM top""".stripMargin,
 
     // the binary serve + the exact round-6 cosine top-10, hits via

@@ -985,6 +985,41 @@ object Similarity {
         round(col("__h") / lit(topK.toDouble), 6).as("recall"))
   }
 
+  /** Two-stage binary serving: Hamming SHORTLIST over the packed
+    * sign-bit codes, then EXACT round-6 cosine rerank of only the
+    * shortlisted rows — the standard coarse-quantized-filter /
+    * exact-rerank pattern that recovers most of the 1-bit tier's
+    * recall loss at a per-query cost of `shortlist` exact distance
+    * evaluations instead of a corpus scan. The rerank stage never
+    * touches non-shortlisted vectors: stage 1 is the codes-only
+    * [[binaryTopK]] scan, stage 2 joins the `shortlist`-row id list
+    * back to the vector column (Catalyst broadcasts the tiny side)
+    * and TakeOrders the exact scores.
+    *
+    * Ties break by id in BOTH stages (and in the oracle), so the
+    * result is deterministic end to end.
+    *
+    * @return (rank, idCol, cos_sim) — topK rows by exact cosine */
+  def binaryRerank(emb: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, topK: Int, shortlist: Int,
+                   d: Int): DataFrame = {
+    require(topK >= 1 && shortlist >= topK,
+      "need shortlist >= topK >= 1")
+    val short = binaryTopK(emb, idCol, vecCol, queryId, shortlist, d)
+      .select(col(idCol))
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    val top = emb.join(broadcast(short), Seq(idCol))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol)).limit(topK)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("cos_sim"))
+  }
+
   /** IVF-PQ composed query (the FAISS IVF+PQ serving architecture,
     * non-residual variant): the IVF coarse quantizer prunes the
     * corpus to `nprobe`/`nlist` of its cells, and PQ codes answer the

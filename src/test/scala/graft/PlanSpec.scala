@@ -295,6 +295,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join"), plan.take(1500))
   }
 
+  test("blockedPairs spreads the probe side to cluster width before " +
+    "pair expansion (ROUND-ROBIN exchange under the pair join) — the " +
+    "quadratic output must never run at the input's file parallelism") {
+    val plan = planOf(SparkEntry.queries("j19_edit_join")(spark, dir))
+    assert(plan.contains("ROUND_ROBIN") ||
+      plan.contains("RoundRobinPartitioning") ||
+      plan.contains("Exchange RoundRobin"), plan.take(2000))
+    assert(plan.contains("levenshtein"), plan.take(2000))
+  }
+
   test("naiveBayesClassify: the vocab-sized grid and scoring joins " +
     "are never a cartesian product (labels/totals broadcast instead)") {
     val plan = planOf(SparkEntry.queries("t_nb_classify")(spark, dir))

@@ -828,6 +828,17 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(top == Seq((1, 1L, 0L), (2, 2L, 1L), (3, 4L, 1L),
       (4, 3L, 63L)), top.toString)
+    // two-stage rerank: with the shortlist covering every candidate,
+    // the output is the EXACT cosine order — id 5 (zero vector,
+    // cosine 0) outranks id 3 (negative cosine) even though 3 beat 5
+    // on Hamming; identical vectors 2/4 tie and break by id
+    val rr = Similarity.binaryRerank(emb, "vec_id", "embedding",
+        queryId = 17L, topK = 4, shortlist = 5, d = 64)
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(rr.map(r => (r._1, r._2)) ==
+      Seq((1, 1L), (2, 2L), (3, 4L), (4, 5L)), rr.toString)
+    assert(rr(0)._3 == 1.0 && rr(1)._3 == 0.96875 &&
+      rr(2)._3 == 0.96875 && rr(3)._3 == 0.0, rr.toString)
     val rec = Similarity.binaryRecall(emb, "vec_id", "embedding",
         queryId = 17L, topK = 4, d = 64)
       .as[(Int, Long, Double)].collect().head

@@ -2003,8 +2003,12 @@ object SparkEntry {
     // on the canonical key. Variants 0/1/2/4/5 collapse to the bare
     // page, 3/6 to page?a=1&b=2. ----
     "t_url_dedup" -> ((s, dir) => {
-      val base = concat(lit("https://www."), col("source"),
-        lit(".example.com/"), col("lang"), lit("/page"),
+      // base keyed on the 7-doc BLOCK alone (not per-doc lang/source
+      // — those differ between consecutive docs, which would make
+      // every canonical group a singleton and the collapse a no-op):
+      // each block's 7 variants canonicalize to TWO groups, the bare
+      // page (m 0/1/2/4/5) and page?a=1&b=2 (m 3/6)
+      val base = concat(lit("https://www.example.com/docs/page"),
         expr("doc_id div 7"))
       val m = pmod(col("doc_id"), lit(7))
       val dirty = when(m === 0, base)
@@ -8633,8 +8637,8 @@ r$k AS (
     "t_url_dedup" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    'https://www.' || source || '.example.com/' || lang ||
-        |      '/page' || CAST(doc_id // 7 AS VARCHAR) AS b,
+        |    'https://www.example.com/docs/page' ||
+        |      CAST(doc_id // 7 AS VARCHAR) AS b,
         |    doc_id % 7 AS m
         |  FROM documents WHERE doc_id IS NOT NULL),
         |u AS (

@@ -1517,7 +1517,74 @@ v$r AS (
          |  SELECT SUM(CAST(p AS DECIMAL(18,6))) AS sp FROM p3)
          |SELECT p3.i AS player, tot.wins, tot.games, p3.p AS strength,
          |  ROUND(p3.p / CAST(sumr.sp AS DOUBLE), 6) AS share
-         |FROM p3 JOIN tot USING (i), sumr""".stripMargin
+         |FROM p3 JOIN tot USING (i), sumr""".stripMargin,
+
+    // -- URL-canonicalization dedup (r17): the same dirty-URL
+    // construction as t_url_dedup, then the declared canonicalization
+    // contract step for step (TextOps.canonicalizeUrl verbatim:
+    // lowercased scheme/host, www. off, default port off, fragment
+    // off, tracking params off, surviving params sorted, trailing
+    // slash off) — all row-local, dedup one canonical-key hash agg.
+    "graft_url_dedup" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_url_dedup(
+         |  keep_min BIGINT)
+         |RETURNS TABLE (url STRING, n_dups BIGINT, keep_id BIGINT)
+         |RETURN
+         |WITH d AS (
+         |  SELECT doc_id,
+         |    'https://www.example.com/docs/page' ||
+         |      CAST(doc_id div 7 AS STRING) AS b,
+         |    doc_id % 7 AS m
+         |  FROM ${prefix}documents WHERE doc_id IS NOT NULL),
+         |u AS (
+         |  SELECT doc_id, CASE
+         |    WHEN m = 0 THEN b
+         |    WHEN m = 1 THEN upper(substring(b, 1, 12)) || substring(b, 13)
+         |    WHEN m = 2 THEN replace(b, '.example.com/', '.example.com:443/')
+         |    WHEN m = 3 THEN b || '?utm_source=x&b=2&a=1'
+         |    WHEN m = 4 THEN b || '#sec-2'
+         |    WHEN m = 5 THEN b || '/'
+         |    ELSE b || '?a=1&b=2&utm_campaign=y' END AS url
+         |  FROM d),
+         |lo AS (
+         |  SELECT doc_id,
+         |    CASE WHEN regexp_extract(trim(url),
+         |        '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[wW]{3}\\\\.)?([^/?#]*)', 1) = ''
+         |      THEN trim(url)
+         |      ELSE lower(regexp_extract(trim(url),
+         |          '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[wW]{3}\\\\.)?([^/?#]*)', 1))
+         |        || '://' ||
+         |        lower(regexp_extract(trim(url),
+         |          '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[wW]{3}\\\\.)?([^/?#]*)', 2))
+         |        || regexp_replace(trim(url),
+         |          '^([A-Za-z][A-Za-z0-9+.-]*)://(?:[wW]{3}\\\\.)?([^/?#]*)', '')
+         |    END AS s
+         |  FROM u),
+         |nf AS (
+         |  SELECT doc_id,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(s,
+         |          '^(https://[^/?#:]*):443([/?#].*)?$$', '$$1$$2'),
+         |        '^(http://[^/?#:]*):80([/?#].*)?$$', '$$1$$2'),
+         |      '#.*$$', '') AS s
+         |  FROM lo),
+         |parts AS (
+         |  SELECT doc_id, instr(s, '?') AS q,
+         |    regexp_replace(CASE WHEN instr(s, '?') > 0
+         |      THEN substring_index(s, '?', 1) ELSE s END,
+         |      '/$$', '') AS base,
+         |    array_join(array_sort(filter(
+         |      split(substring(s, instr(s, '?') + 1), '&'),
+         |      p -> p <> '' AND NOT p RLIKE
+         |        '^(utm_[^=]*|gclid|fbclid)(=|$$)')), '&') AS sq
+         |  FROM nf)
+         |SELECT url, n_dups, keep_id FROM (
+         |  SELECT CASE WHEN q > 0 AND sq <> '' THEN base || '?' || sq
+         |           ELSE base END AS url,
+         |    COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+         |  FROM parts GROUP BY 1)
+         |WHERE n_dups >= graft_url_dedup.keep_min""".stripMargin
   )
 
   /** Run every recipe's DDL on the session (idempotent — CREATE OR

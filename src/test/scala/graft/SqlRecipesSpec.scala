@@ -556,4 +556,19 @@ class SqlRecipesSpec extends SparkSpec {
     assert(viaSql == viaDsl && viaSql.nonEmpty,
       s"sql=${viaSql.size} dsl=${viaDsl.size}")
   }
+
+  test("graft_url_dedup == the t_url_dedup DSL query (same dirty-url " +
+    "construction, same canonicalization contract) at keep_min = 1") {
+    ready()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("url", "n_dups", "keep_id")
+      .as[(String, Long, Long)].collect().toSet
+    val viaSql = canon(spark.sql("SELECT * FROM graft_url_dedup(1)"))
+    val viaDsl = canon(SparkEntry.queries("t_url_dedup")(spark, dir))
+    assert(viaSql == viaDsl && viaSql.nonEmpty,
+      s"sql=${viaSql.size} dsl=${viaDsl.size}")
+    // the threshold arm actually filters
+    val dups = canon(spark.sql("SELECT * FROM graft_url_dedup(2)"))
+    assert(dups.nonEmpty && dups == viaSql.filter(_._2 >= 2))
+  }
 }

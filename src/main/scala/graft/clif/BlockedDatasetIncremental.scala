@@ -66,8 +66,33 @@ object BlockedDatasetIncremental {
                           stepSeconds: Long, outcome: Column,
                           rollRows: Int, trainPct: Int, valPct: Int)
 
+  // null encounter keys hash to bucket 0 (never a null partition
+  // value): they stay recomputable like any other key, preserving
+  // the row-for-row equality with the batch build, whose windows
+  // keep a null-key group
   private def bucketOf(p: Params, buckets: Int): Column =
-    pmod(TextOps.portableHash(col(p.encCol)), lit(buckets.toLong))
+    coalesce(
+      pmod(TextOps.portableHash(col(p.encCol)), lit(buckets.toLong)),
+      lit(0L))
+
+  /** The bucket count is part of the PERSISTENT LAYOUT, not a
+    * per-call knob: a later invocation with a different count would
+    * compute touched-bucket ids against partitions written under the
+    * old modulus and silently corrupt the grid. First invocation
+    * stamps it under the work dir; every later one must match. */
+  private def pinBuckets(workDir: String, buckets: Int): Unit = {
+    val p = java.nio.file.Paths.get(workDir, "_layout", "buckets")
+    if (java.nio.file.Files.exists(p)) {
+      val stamped = java.nio.file.Files.readString(p).trim.toInt
+      require(stamped == buckets,
+        s"materialization at $workDir was built with buckets=$stamped; " +
+          s"got buckets=$buckets — the bucket count is immutable layout")
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, buckets.toString)
+      ()
+    }
+  }
 
   /** Drain every not-yet-processed file under `inDir` into the
     * materialization at `workDir` (raw store, grid store, stream
@@ -77,6 +102,7 @@ object BlockedDatasetIncremental {
               schema: StructType, params: Params,
               buckets: Int = 16): Unit = {
     require(buckets >= 1, "buckets must be >= 1")
+    pinBuckets(workDir, buckets)
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -100,11 +126,6 @@ object BlockedDatasetIncremental {
     // action, so pin it once
     val b = batch.withColumn("__bucket", bucketOf(params, buckets))
       .persist()
-    // repartition on the layout key before every partitioned write:
-    // without it each of the session's shuffle partitions opens a
-    // file in every bucket dir (parallelism × buckets small files —
-    // the classic partitioned-write fan-out); with it each bucket is
-    // one file per write, and the parquet footprint stays ∝ data
     // repartition on the layout key before every partitioned write:
     // without it every parallel task opens a file in every bucket dir
     // (parallelism × buckets small files per batch — the classic

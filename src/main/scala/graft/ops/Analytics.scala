@@ -1713,6 +1713,11 @@ object Analytics {
     var pi: DataFrame = null
     var priors: DataFrame = null
     for (_ <- 1 to rounds) {
+      // superseded π/priors checkpoints off the block manager before
+      // this round reassigns them (same discipline as the posteriors
+      // swap below — only the FINAL round's frames are returned)
+      if (pi ne null) pi.unpersist(blocking = true)
+      if (priors ne null) priors.unpersist(blocking = true)
       // M-step on the full (k, c, l) grid: absent cells still get
       // their Laplace mass, so the π frame is always A·C·L rows
       // cast INSIDE the sum: a long sum wraps silently at corpus

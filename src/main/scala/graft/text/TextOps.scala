@@ -42,8 +42,11 @@ object TextOps {
     *      (`?b=2&a=1` ≡ `?a=1&b=2`); an emptied query drops its `?`;
     *   7. a trailing `/` on a non-root path is dropped (`/x/` ≡ `/x`;
     *      a bare-host root `/` also normalizes away).
-    * Non-URL strings (no `scheme://`) pass through steps 4–7 only on
-    * their literal text — garbage stays distinct, never collides. */
+    * Non-URL strings (no `scheme://`) skip the authority rewrites
+    * (1–3) but still get the LITERAL-TEXT steps 4–7 — so two non-URL
+    * strings differing only in a `#…` suffix, a trailing `/`, or
+    * `?`-param order DO collapse. The op's domain is URL-shaped
+    * keys; feed it arbitrary text only if that folding is wanted. */
   def canonicalizeUrl(url: Column): Column = {
     val t0 = trim(url)
     // 1–2: lowercase scheme://host[:port], drop www. — one rewrite of

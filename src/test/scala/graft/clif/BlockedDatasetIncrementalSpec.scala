@@ -92,6 +92,22 @@ class BlockedDatasetIncrementalSpec extends SparkSpec {
       "an invocation with no new files must change nothing")
   }
 
+  test("the bucket count is immutable layout: a second invocation " +
+    "with a different count is refused instead of corrupting the grid") {
+    val tmp = Files.createTempDirectory("graft_bdi_layout")
+    val in = s"$tmp/in"; val work = s"$tmp/work"
+    events(Seq(1L, 2L, 3L)).coalesce(1).write
+      .mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    BlockedDatasetIncremental.runOnce(spark, in, work, schema, params,
+      buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      BlockedDatasetIncremental.runOnce(spark, in, work, schema,
+        params, buckets = 8)
+    }
+    assert(e.getMessage.contains("buckets=4"), e.getMessage)
+  }
+
   test("raw-store append is idempotent under batch replay: " +
     "re-applying the same wave's files overwrites, never duplicates") {
     val tmp = Files.createTempDirectory("graft_bdi_replay")

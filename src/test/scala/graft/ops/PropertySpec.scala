@@ -532,6 +532,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl == an independent Scala reference on randomly " +
+    "assembled URLs (scheme/www/port/path/params/fragment variants)") {
+    import graft.text.TextOps
+    def refCanon(u0: String): String = {
+      val t = u0.trim
+      val schemeRe =
+        "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[wW]{3}\\.)?([^/?#]*)".r
+      val low = schemeRe.findFirstMatchIn(t) match {
+        case Some(m) => m.group(1).toLowerCase + "://" +
+          m.group(2).toLowerCase + t.substring(m.end)
+        case None => t
+      }
+      val noPort = low
+        .replaceAll("^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+        .replaceAll("^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+      val noFrag = noPort.replaceAll("#.*$", "")
+      val q = noFrag.indexOf('?')
+      val base = (if (q >= 0) noFrag.substring(0, q) else noFrag)
+        .replaceAll("/$", "")
+      if (q < 0) base
+      else {
+        val ps = noFrag.substring(q + 1).split("&", -1).toSeq
+          .filter(p => p.nonEmpty &&
+            !p.matches("^(utm_[^=]*|gclid|fbclid)(=|$).*"))
+          .sorted
+        if (ps.isEmpty) base else base + "?" + ps.mkString("&")
+      }
+    }
+    val gen: Gen[String] = for {
+      scheme <- Gen.oneOf("https", "HTTPS", "http", "ftp", "")
+      www <- Gen.oneOf("", "www.", "WWW.", "wWw.")
+      host <- Gen.oneOf("Ex.com", "ex.com", "a-b.ORG", "wwwx.net")
+      port <- Gen.oneOf("", ":443", ":80", ":8443")
+      path <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/x")
+      params <- Gen.someOf(Seq("a=1", "b=2", "utm_source=x",
+        "gclid=9", "xutm_a=1", "fbclid", "utm_campaign=y"))
+      shuffledQ <- Gen.oneOf(true, false)
+      frag <- Gen.oneOf("", "#f", "#sec-2")
+      pad <- Gen.oneOf("", "  ")
+    } yield {
+      val ps = if (shuffledQ) params.reverse else params
+      val qs = if (ps.isEmpty) "" else "?" + ps.mkString("&")
+      val auth = if (scheme.isEmpty) "" else s"$scheme://"
+      s"$pad$auth$www$host$port$path$qs$frag$pad"
+    }
+    check("url-canon")(Prop.forAll(gen) { u =>
+      val got = Seq(u).toDF("u")
+        .select(graft.text.TextOps.canonicalizeUrl(col("u")).as("c"))
+        .as[String].collect().head
+      got == refCanon(u)
+    })
+  }
+
   test("ChrfGramStats == a brute substring-count reference on random " +
     "strings (spaces stripped, supplementary codepoints, empty sides)") {
     import graft.functions.NativeExpressions

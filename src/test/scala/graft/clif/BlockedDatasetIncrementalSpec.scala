@@ -82,6 +82,15 @@ class BlockedDatasetIncrementalSpec extends SparkSpec {
     assert(afterW2.filter(col("user_id") === 2L).count() == 7,
       "encounter 2 must span 7 grid hours after wave 2")
 
+    // the layout's pruning claim, structurally: a bucket filter on
+    // the raw store prunes at FILE-LISTING time (PartitionFilters on
+    // the scan, not a post-scan Filter over all bytes)
+    val slicePlan = spark.read.parquet(s"$work/raw")
+      .filter(col("__bucket") === 0)
+      .queryExecution.executedPlan.toString
+    assert(slicePlan.contains("PartitionFilters") &&
+      slicePlan.contains("__bucket"), slicePlan.take(1500))
+
     // exactly-once: a third invocation with NO new files is a no-op
     val before = afterW2.orderBy("user_id", "grid_ts").collect().toSeq
     BlockedDatasetIncremental.runOnce(spark, in, work, schema, params,

@@ -94,6 +94,21 @@ object Bench {
     if (times.contains(-1.0)) -1.0 else times.min
   }
 
+  /** Fold each flagged query's end-of-run plateau into the
+    * min-over-runs estimator (r17 verdict #3): the plateau runs are
+    * three more executions of the same query in the same warm JVM, so
+    * the bench's own min estimator must see them — a contended main
+    * sweep otherwise publishes a 9x-inflated number with its quiet
+    * plateau sitting beside it (r17: t_bleu 11.13 s published,
+    * plateau 1.23 s). An errored plateau (-1) never overwrites; a
+    * plateau SLOWER than the sweep number never overwrites (min). */
+  def foldPlateaus(results: Map[String, (Double, Option[String])],
+      adjudicated: Seq[(String, Double, Double, Double, Double, String)])
+      : Map[String, (Double, Option[String])] =
+    adjudicated.foldLeft(results) { case (acc, (k, _, v, pl, _, _)) =>
+      if (pl > 0 && pl < v) acc.updated(k, (pl, acc(k)._2)) else acc
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -184,23 +199,10 @@ object Bench {
     def qmap(rs: Seq[(String, (Double, Option[String]))]): String =
       rs.map { case (k, (v, _)) => s"\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
-    val bySlowest = results.toSeq.sortBy { case (_, (v, _)) => -v }
     val failures = results.collect { case (k, (_, Some(err))) =>
       s"\"" + k + "\":\"" + esc(err) + "\""
     }.mkString("{", ",", "}")
-    val total = results.values.collect { case (v, None) => v }.sum
     val nErr = results.values.count(_._2.isDefined)
-    // streaming floor attribution (round-12 verdict #7): the
-    // s_stream_* queries each carry a fixed micro-batch + checkpoint
-    // overhead (~2-5s at sf0.1) that no batch-plan change can move;
-    // reporting their aggregate as its own line keeps batch
-    // regressions readable as the streaming suite grows
-    val streamTimes = results.collect {
-      case (k, (v, None)) if k.startsWith("s_stream_") => v
-    }
-    val streamJson =
-      s""""streaming_floor_sec":${ms(streamTimes.sum)},""" +
-        s""""streaming_queries":${streamTimes.size}"""
     // regression gate (see [[isRegression]]). New queries have no prev
     // entry and are never flagged. The gate exists so a slowdown is a
     // named fact in the round's artifact, not something a truncated
@@ -233,14 +235,36 @@ object Bench {
           ",\"plateau\":" + ms(pl) + ",\"plateau_load\":" + ms(ld) +
           ",\"verdict\":\"" + verd + "\"}"
       }.mkString("{", ",", "}")
+    // ---- fold each plateau into the estimator BEFORE the artifact
+    // is written (see [[foldPlateaus]]); totals, slowest-N and the
+    // streaming floor all read the corrected map
+    val corrected = foldPlateaus(results, adjudicated)
+    // the regressions block keeps only flags still over the gate on
+    // their CORRECTED number ("real", "contention-suspect", "error");
+    // adjudicated-contention entries are resolved, and the full
+    // adjudication trail ships in BENCH_FULL.json beside them
+    val stillRegressed = adjudicated.filter(_._6 != "contention")
+    val bySlowestC = corrected.toSeq.sortBy { case (_, (v, _)) => -v }
+    val totalC = corrected.values.collect { case (v, None) => v }.sum
+    // streaming floor attribution (round-12 verdict #7): the
+    // s_stream_* queries each carry a fixed micro-batch + checkpoint
+    // overhead that no batch-plan change can move; reporting their
+    // aggregate as its own line keeps batch regressions readable
+    val streamTimesC = corrected.collect {
+      case (k, (v, None)) if k.startsWith("s_stream_") => v
+    }
+    val streamJsonC =
+      s""""streaming_floor_sec":${ms(streamTimesC.sum)},""" +
+        s""""streaming_queries":${streamTimesC.size}"""
     val loadJson =
       s""""load":{"start":$loadStart,"end":${loadavg()}}"""
     val fullJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-        s""""queries":${qmap(bySlowest)},"failures":$failures,""" +
-        s""""regressions":${rmap(adjudicated)},""" +
+      s"""{"metric":"total","value":${ms(totalC)},"unit":"sec",""" +
+        s""""queries":${qmap(bySlowestC)},"failures":$failures,""" +
+        s""""regressions":${rmap(stillRegressed)},""" +
+        s""""adjudications":${rmap(adjudicated)},""" +
         s""""prev_artifact":"${esc(if (prev.isEmpty) "" else prevPath)}",""" +
-        s"""$streamJson,$loadJson,"errors":$nErr,"sf":"$sfDir"}"""
+        s"""$streamJsonC,$loadJson,"errors":$nErr,"sf":"$sfDir"}"""
     val wroteFull =
       try {
         java.nio.file.Files.writeString(
@@ -251,11 +275,11 @@ object Bench {
     // regressions; the complete maps live in BENCH_FULL.json. On a
     // failed artifact write, advertise null rather than a pointer to
     // a file that is absent (or worse, stale).
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""queries":${qmap(bySlowest.take(40))},""" +
+    println(s"""{"metric":"total","value":${ms(totalC)},"unit":"sec",""" +
+      s""""queries":${qmap(bySlowestC.take(40))},""" +
       s""""queries_full":${if (wroteFull) "\"BENCH_FULL.json\"" else "null"},""" +
-      s""""regressions":${rmap(adjudicated.take(8))},""" +
-      s""""failures":$failures,$streamJson,$loadJson,""" +
+      s""""regressions":${rmap(stillRegressed.take(8))},""" +
+      s""""failures":$failures,$streamJsonC,$loadJson,""" +
       s""""errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -2020,7 +2020,12 @@ object SparkEntry {
         .when(m === 4, concat(base, lit("#sec-2")))
         .when(m === 5, concat(base, lit("/")))
         .otherwise(concat(base, lit("?a=1&b=2&utm_campaign=y")))
-      t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      // doc_id >= 0 is enforced (not assumed): the variant selection
+      // mixes pmod (sign-safe) with div (trunc toward zero), and the
+      // oracle's %/// have different negative semantics — restrict
+      // all three variants to the domain where they provably agree
+      t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("doc_id") >= 0)
         .select(col("doc_id"),
           TextOps.canonicalizeUrl(dirty).as("url"))
         .groupBy(col("url"))
@@ -3521,10 +3526,15 @@ object SparkEntry {
       // wave 2 is a bucket-local late cohort (one shard's encounters
       // arriving after the rest — the open-encounter locality the
       // bucket layout exists for), so the second invocation PROVES
-      // the pruning: it recomputes 1 of 8 buckets, not the corpus
-      val lateCohort =
+      // the pruning: it recomputes 1 of 8 buckets, not the corpus.
+      // coalesce matches BlockedDatasetIncremental.bucketOf: a null
+      // user_id hashes null → bucket 0, so the two waves PARTITION
+      // all rows (a bare pmod===0 is null-rejecting and would drop
+      // null-key events from both waves while the batch oracle
+      // keeps them)
+      val lateCohort = coalesce(
         pmod(graft.text.TextOps.portableHash(col("user_id")),
-          lit(8L)) === 0
+          lit(8L)), lit(0L)) === 0
       e.filter(!lateCohort).write.mode("overwrite").parquet(in)
       val schema = s.read.parquet(in).schema
       graft.clif.BlockedDatasetIncremental.runOnce(s, in, work,
@@ -3736,6 +3746,26 @@ object SparkEntry {
     "a80_annotator_quality" -> ((s, dir) =>
       Analytics.dawidSkeneQuality(dsAnnotations(s, dir), "doc_id",
         "annotator", "label", rounds = 2)),
+
+    // ---- A81: pass@k (Chen et al. 2021) — the code-model eval
+    // metric: 10 generated samples per task (task = doc block of
+    // 10), each sample "passes its unit tests" on a portable-hash
+    // coin whose rate varies by task (task t passes at
+    // (t mod 9 + 1)/10 — tasks cover the whole 0.1..0.9 range, so
+    // c = 0, c = n and the generic branch all occur in-corpus).
+    // Exact falling-factorial arithmetic; the whole walk replays
+    // in SQL. ----
+    "a81_pass_at_k" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("doc_id") >= 0)
+      val samples = d.select(col("doc_id"),
+          floor(col("doc_id") / 10).cast("long").as("task_id"))
+        .withColumn("passed",
+          pmod(graft.text.TextOps.portableHash(col("doc_id")),
+            lit(10L)) < pmod(col("task_id"), lit(9L)) + 1)
+      Analytics.passAtK(samples, "task_id", col("passed"),
+        ks = Seq(1, 5, 10))
+    }),
 
     // ---- A77: Krippendorff's alpha — the a73 rater panel with
     // rater 3 skipping two docs in three (doc_id % 3 != 0): unequal
@@ -8640,7 +8670,7 @@ r$k AS (
         |    'https://www.example.com/docs/page' ||
         |      CAST(doc_id // 7 AS VARCHAR) AS b,
         |    doc_id % 7 AS m
-        |  FROM documents WHERE doc_id IS NOT NULL),
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
         |u AS (
         |  SELECT doc_id, CASE
         |    WHEN m = 0 THEN b
@@ -11557,6 +11587,40 @@ FROM n, vxy, vxx, vyy"""
         |  CAST(pr2.prior AS DOUBLE) / 1000000 AS prior
         |FROM pi2 JOIN pr2 ON pr2.c = pi2.c
         |WHERE pi2.c = pi2.l""".stripMargin),
+
+    // pass@k: the same per-task (n, c) agg, then the falling-
+    // factorial ratio written out with k literal factors — exact
+    // integer products, one double ratio rounded 6 (n = 10 per task,
+    // so every product sits far inside BIGINT)
+    "a81_pass_at_k" ->
+      """WITH s AS (
+        |  SELECT doc_id // 10 AS task_id,
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10
+        |      < (doc_id // 10) % 9 + 1 AS passed
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+        |t AS (
+        |  SELECT task_id, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM s GROUP BY 1),
+        |u AS (SELECT task_id, n, c, n - c AS m FROM t)
+        |SELECT task_id, n AS n_samples, c AS n_correct,
+        |  CASE WHEN n < 1 THEN NULL WHEN m < 1 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE ROUND(1 - CAST(m AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |  END AS pass_at_1,
+        |  CASE WHEN n < 5 THEN NULL WHEN m < 5 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE ROUND(1 -
+        |      CAST(m*(m-1)*(m-2)*(m-3)*(m-4) AS DOUBLE) /
+        |      CAST(n*(n-1)*(n-2)*(n-3)*(n-4) AS DOUBLE), 6)
+        |  END AS pass_at_5,
+        |  CASE WHEN n < 10 THEN NULL WHEN m < 10 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE ROUND(1 -
+        |      CAST(m*(m-1)*(m-2)*(m-3)*(m-4)*(m-5)*(m-6)*(m-7)*(m-8)*(m-9)
+        |        AS DOUBLE) /
+        |      CAST(n*(n-1)*(n-2)*(n-3)*(n-4)*(n-5)*(n-6)*(n-7)*(n-8)*(n-9)
+        |        AS DOUBLE), 6)
+        |  END AS pass_at_10
+        |FROM u""".stripMargin,
 
     // pairable units only (m ≥ 2); per-unit disagreement one rounded
     // chain summed exactly; D_o/D_e/α one fixed chain each

@@ -1535,7 +1535,8 @@ v$r AS (
          |    'https://www.example.com/docs/page' ||
          |      CAST(doc_id div 7 AS STRING) AS b,
          |    doc_id % 7 AS m
-         |  FROM ${prefix}documents WHERE doc_id IS NOT NULL),
+         |  FROM ${prefix}documents
+         |  WHERE doc_id IS NOT NULL AND doc_id >= 0),
          |u AS (
          |  SELECT doc_id, CASE
          |    WHEN m = 0 THEN b
@@ -1584,7 +1585,54 @@ v$r AS (
          |           ELSE base END AS url,
          |    COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
          |  FROM parts GROUP BY 1)
-         |WHERE n_dups >= graft_url_dedup.keep_min""".stripMargin
+         |WHERE n_dups >= graft_url_dedup.keep_min""".stripMargin,
+
+    // -- pass@k (r18): the unbiased Chen et al. 2021 code-eval
+    // estimator 1 − C(n−c,k)/C(n,k) per task, written as the exact
+    // falling-factorial ratio with k literal factors (the
+    // a81_pass_at_k fixture: 10 samples per doc-block task, pass on
+    // a portable-hash coin at rate (task mod 9 + 1)/10). Returns
+    // tasks with at least `min_samples` samples.
+    "graft_pass_at_k" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_pass_at_k(
+         |  min_samples BIGINT)
+         |RETURNS TABLE (task_id BIGINT, n_samples BIGINT,
+         |  n_correct BIGINT, pass_at_1 DOUBLE, pass_at_5 DOUBLE,
+         |  pass_at_10 DOUBLE)
+         |RETURN
+         |WITH s AS (
+         |  SELECT doc_id div 10 AS task_id,
+         |    pmod(pmod(doc_id, 2147483647L) * 2654435761L,
+         |      2147483647L) % 10 < pmod(doc_id div 10, 9) + 1
+         |      AS passed
+         |  FROM ${prefix}documents
+         |  WHERE doc_id IS NOT NULL AND doc_id >= 0),
+         |t AS (
+         |  SELECT task_id, COUNT(*) AS n,
+         |    SUM(CASE WHEN passed THEN 1L ELSE 0L END) AS c
+         |  FROM s GROUP BY task_id),
+         |u AS (SELECT task_id, n, c, n - c AS m FROM t)
+         |SELECT task_id, n AS n_samples, c AS n_correct,
+         |  CASE WHEN n < 1 THEN NULL
+         |    WHEN m < 1 THEN CAST(1.0 AS DOUBLE)
+         |    ELSE ROUND(1 - CAST(m AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |  END AS pass_at_1,
+         |  CASE WHEN n < 5 THEN NULL
+         |    WHEN m < 5 THEN CAST(1.0 AS DOUBLE)
+         |    ELSE ROUND(1 -
+         |      CAST(m*(m-1)*(m-2)*(m-3)*(m-4) AS DOUBLE) /
+         |      CAST(n*(n-1)*(n-2)*(n-3)*(n-4) AS DOUBLE), 6)
+         |  END AS pass_at_5,
+         |  CASE WHEN n < 10 THEN NULL
+         |    WHEN m < 10 THEN CAST(1.0 AS DOUBLE)
+         |    ELSE ROUND(1 -
+         |      CAST(m*(m-1)*(m-2)*(m-3)*(m-4)
+         |        *(m-5)*(m-6)*(m-7)*(m-8)*(m-9) AS DOUBLE) /
+         |      CAST(n*(n-1)*(n-2)*(n-3)*(n-4)
+         |        *(n-5)*(n-6)*(n-7)*(n-8)*(n-9) AS DOUBLE), 6)
+         |  END AS pass_at_10
+         |FROM u
+         |WHERE n >= graft_pass_at_k.min_samples""".stripMargin
   )
 
   /** Run every recipe's DDL on the session (idempotent — CREATE OR

@@ -80,16 +80,27 @@ object BlockedDatasetIncremental {
     * compute touched-bucket ids against partitions written under the
     * old modulus and silently corrupt the grid. First invocation
     * stamps it under the work dir; every later one must match. */
-  private def pinBuckets(workDir: String, buckets: Int): Unit = {
-    val p = java.nio.file.Paths.get(workDir, "_layout", "buckets")
-    if (java.nio.file.Files.exists(p)) {
-      val stamped = java.nio.file.Files.readString(p).trim.toInt
+  private def pinBuckets(spark: SparkSession, workDir: String,
+                         buckets: Int): Unit = {
+    // resolve through the Hadoop FS of workDir's scheme, exactly like
+    // the raw/grid/checkpoint stores: with a DFS workDir
+    // (hdfs://, s3a://) a java.nio Paths.get would silently resolve
+    // to a bogus LOCAL path, every driver host would stamp its own
+    // file, and the guard would stop guarding
+    val p = new org.apache.hadoop.fs.Path(workDir, "_layout/buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stamped =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
       require(stamped == buckets,
         s"materialization at $workDir was built with buckets=$stamped; " +
           s"got buckets=$buckets — the bucket count is immutable layout")
     } else {
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, buckets.toString)
+      val out = fs.create(p, false)
+      try out.write(buckets.toString.getBytes("UTF-8"))
+      finally out.close()
       ()
     }
   }
@@ -102,7 +113,7 @@ object BlockedDatasetIncremental {
               schema: StructType, params: Params,
               buckets: Int = 16): Unit = {
     require(buckets >= 1, "buckets must be >= 1")
-    pinBuckets(workDir, buckets)
+    pinBuckets(spark, workDir, buckets)
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -1624,10 +1624,12 @@ object Analytics {
     * Determinism/parity (the [[bradleyTerry]] discipline): posteriors
     * and π live as ROUND-6 MICRO-UNIT LONGS; all sums are exact
     * decimals (visit order cannot move them); the E-step product is
-    * an EXACT decimal(38,0) integer product (≤ A+1 micro factors —
-    * commutative, so fold order is free; A ≤ 5 enforced to keep the
-    * product under 10³⁸); every division is ONE double ratio of
-    * exact operands rounded once.
+    * an EXACT decimal(38,0) integer product (one micro factor per
+    * judgment on the item plus the prior — commutative, so fold
+    * order is free; ≤ 5 judgments per ITEM enforced to keep the
+    * product under 10³⁸ — the pool may hold any number of
+    * annotators); every division is ONE double ratio of exact
+    * operands rounded once.
     *
     * Scale shape: the corpus-sized frames are the labels (N·A rows)
     * and posteriors (N·C rows); each round is one labels⋈posteriors
@@ -1692,19 +1694,27 @@ object Analytics {
       .localCheckpoint()
     val classDim = labels.select(col("__l").as("__c")).distinct()
     val annDim = labels.select(col("__k")).distinct()
-    // dimension-scale scalars (class and annotator counts) — the
-    // sanctioned driver bound; A ≤ 5 keeps the exact E-step product
-    // (A+1 micro factors) inside decimal(38,0)
+    // dimension-scale scalar (class count) — the sanctioned driver
+    // bound
     val lCount = classDim.count()
-    val aCount = annDim.count()
     require(lCount >= 2, s"need >= 2 classes, got $lCount")
-    require(aCount >= 1 && aCount <= 5,
-      s"A=$aCount annotators: the exact decimal(38,0) product bounds A at 5")
     // init: majority-vote shares on the full (item, class) grid
     val votes = labels.groupBy(col("__i"), col("__l").as("__c"))
       .agg(count(lit(1)).as("__v"))
     val perItem = labels.groupBy(col("__i"))
       .agg(count(lit(1)).as("__a"))
+    // the exact-arithmetic bound lives on the ACTUAL overflow driver:
+    // the E-step product for item i has one π micro factor (≤ 10⁶)
+    // per JUDGMENT ON i plus the prior, so ≤ 5 judgments/item keeps
+    // it inside decimal(38,0) regardless of how many annotators the
+    // POOL has (a 1000-rater pool at 3 judgments/item is fine; the
+    // old global A ≤ 5 require wrongly rejected it). One
+    // dimension-scale agg over the already-needed per-item frame;
+    // fails loudly past the bound.
+    val maxJ = perItem.agg(max(col("__a")).as("m")).head.getLong(0)
+    require(maxJ <= 5,
+      s"an item carries $maxJ judgments: the exact decimal(38,0) " +
+        "E-step product bounds judgments per item at 5")
     var post = perItem.crossJoin(broadcast(classDim))
       .join(votes, Seq("__i", "__c"), "left")
       .select(col("__i"), col("__c"),
@@ -1793,5 +1803,65 @@ object Analytics {
     }
     labels.unpersist(blocking = true)
     (post, pi, priors)
+  }
+
+  /** pass@k (Chen et al. 2021, "Evaluating Large Language Models
+    * Trained on Code" §2.1) — THE code-model eval metric beside
+    * BLEU/ROUGE/chrF: given n generated samples per task of which c
+    * pass the task's unit tests, the unbiased estimator of the
+    * probability that at least one of k drawn samples passes is
+    *   pass@k = 1 − C(n−c, k)/C(n, k).
+    * Computing the binomials directly overflows fast; the paper's
+    * numerically-stable product form is equivalent to the falling-
+    * factorial ratio ff(n−c, k)/ff(n, k), which this op computes
+    * EXACTLY: both falling factorials are exact decimal(38,0)
+    * integer products (k literal factors each — the a48/a79
+    * discipline), and the division is ONE double ratio rounded to 6.
+    * Per-column semantics for each k in `ks`:
+    *   n < k      → null (too few samples for an unbiased estimate)
+    *   n − c < k  → 1.0  (every size-k draw must contain a pass)
+    *   otherwise  → round(1 − ff(n−c,k)/ff(n,k), 6).
+    *
+    * Scale shape: one hash agg over the (task, sample, pass) rows to
+    * the per-task (n, c) frame (map-side partials, task-key
+    * cardinality output), then k-literal row-local arithmetic — no
+    * window, no second shuffle. The n ≤ 1000 require keeps the
+    * largest k=1..10 product (n^k ≤ 10³⁰) inside decimal(38,0) and
+    * fails loudly, not by silent decimal-overflow null.
+    *
+    * @param samples one row per generated sample
+    * @param passCol boolean: did this sample pass the task's tests
+    * @param ks      the k values to report (each 1 ≤ k ≤ 10)
+    * @return per task: taskCol, n_samples, n_correct, pass_at_<k>… */
+  def passAtK(samples: DataFrame, taskCol: String, passCol: Column,
+              ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 10),
+      "each k must be in [1,10]")
+    require(ks.distinct == ks, "ks must be distinct")
+    val byTask = samples
+      .filter(col(taskCol).isNotNull)
+      .groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(passCol, 1L).otherwise(0L)).as("n_correct"))
+    // loud exact-arithmetic bound on the actual overflow driver
+    // (samples per task), the dawidSkene maxJ discipline
+    val maxN = byTask.agg(max(col("n_samples")).as("m"))
+      .head.getLong(0)
+    require(maxN <= 1000L,
+      s"a task carries $maxN samples: the exact decimal(38,0) " +
+        "falling factorial bounds samples per task at 1000")
+    def ff(x: Column, k: Int): Column =
+      (0 until k).foldLeft(lit(1L).cast("decimal(38,0)"))((acc, i) =>
+        (acc * (x - lit(i.toLong)).cast("decimal(38,0)"))
+          .cast("decimal(38,0)"))
+    ks.foldLeft(byTask) { (d, k) =>
+      val n = col("n_samples"); val miss = n - col("n_correct")
+      d.withColumn(s"pass_at_$k",
+        when(n < k, lit(null).cast("double"))
+          .when(miss < k, lit(1.0))
+          .otherwise(round(
+            lit(1.0) - ff(miss, k).cast("double") /
+              ff(n, k).cast("double"), 6)))
+    }
   }
 }

@@ -50,8 +50,13 @@ object Linkage {
     // the join re-exchanges for SMJ anyway), so no co-location is
     // lost, no block skew is created, and the cost is one
     // INPUT-sized shuffle under an OUTPUT-sized op.
-    val width = a.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    // the spread width is a performance knob, not a correctness
+    // input: on platforms where the conf holds a non-integer value
+    // (e.g. "auto"), fall back to cluster default parallelism rather
+    // than failing the whole op before planning
+    val width = scala.util.Try(
+      a.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(a.sparkSession.sparkContext.defaultParallelism)
     val ap = a.columns.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"a_$c"))
       .withColumn("__blk", blockA).filter(col("__blk").isNotNull)
       .repartition(width)

@@ -1219,7 +1219,11 @@ object TextOps {
     // pin all ~128 passes to ONE task; one input-sized shuffle
     // amortized over every round is the same bargain as the
     // blockedPairs probe spread)
-    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // perf knob, not correctness: fall back when the conf holds a
+    // non-integer value (e.g. "auto" on some platforms)
+    val width = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     var seqs = docs.select(col(idCol).as("id"),
       tokens(lower(col(textCol))).as("w"))
       .repartition(width).localCheckpoint()

@@ -83,4 +83,26 @@ class BenchSpec extends SparkSpec {
             raise_error(lit("boom")).cast("int")), runs = 2))
     assert(bad == -1.0)
   }
+
+  test("foldPlateaus: a quiet plateau replaces a contention-inflated " +
+    "sweep number; errored (-1) and slower plateaus never overwrite") {
+    val results = Map(
+      "inflated" -> (11.13, Option.empty[String]),
+      "errored_plateau" -> (3.0, Option.empty[String]),
+      "plateau_slower" -> (1.0, Option.empty[String]),
+      "untouched" -> (0.5, Option.empty[String]))
+    // tuple: (name, prev, now, plateau, plateau_load, verdict)
+    val adj = Seq(
+      ("inflated", 1.0, 11.13, 1.23, 0.5, "contention"),
+      ("errored_plateau", 1.0, 3.0, -1.0, 0.5, "error"),
+      ("plateau_slower", 0.4, 1.0, 1.6, 0.5, "real"))
+    val out = Bench.foldPlateaus(results, adj)
+    // the r17 t_bleu case: the min estimator sees the plateau runs
+    assert(out("inflated") == ((1.23, None)))
+    // -1 is an error sentinel, not a time — must never overwrite
+    assert(out("errored_plateau") == ((3.0, None)))
+    // min semantics: a slower plateau cannot worsen the estimate
+    assert(out("plateau_slower") == ((1.0, None)))
+    assert(out("untouched") == ((0.5, None)))
+  }
 }

@@ -571,4 +571,21 @@ class SqlRecipesSpec extends SparkSpec {
     val dups = canon(spark.sql("SELECT * FROM graft_url_dedup(2)"))
     assert(dups.nonEmpty && dups == viaSql.filter(_._2 >= 2))
   }
+
+  test("graft_pass_at_k == the a81_pass_at_k DSL query (same fixture, " +
+    "same exact falling-factorial walk) at min_samples = 1") {
+    ready()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("task_id", "n_samples", "n_correct",
+        "pass_at_1", "pass_at_5", "pass_at_10")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().toSet
+    val viaSql = canon(spark.sql("SELECT * FROM graft_pass_at_k(1)"))
+    val viaDsl = canon(SparkEntry.queries("a81_pass_at_k")(spark, dir))
+    assert(viaSql == viaDsl && viaSql.nonEmpty,
+      s"sql=${viaSql.size} dsl=${viaDsl.size}")
+    // the threshold arm actually filters (full 10-sample tasks only)
+    val full = canon(spark.sql("SELECT * FROM graft_pass_at_k(10)"))
+    assert(full == viaSql.filter(_._2 >= 10) && full.nonEmpty)
+  }
 }

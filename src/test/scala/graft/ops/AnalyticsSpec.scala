@@ -871,12 +871,75 @@ class AnalyticsSpec extends SparkSpec {
     assert(q.size == 6) // 3 raters x 2 classes
     assert(q((0L, "a")) > q((1L, "a")) && q((0L, "a")) > q((2L, "a")),
       q.toString)
-    // bounded annotator count: the exact decimal(38,0) product caps A
+    // bounded judgments per ITEM: item 1 carries 7 judgments, past
+    // the exact decimal(38,0) product's 5-factor bound — fails loudly
     val six = (0L to 5L).map(k => (1L, k, "a"))
       .toDF("item", "rater", "label")
       .unionByName(Seq((1L, 0L, "b")).toDF("item", "rater", "label"))
     intercept[IllegalArgumentException] {
       Analytics.dawidSkene(six, "item", "rater", "label").collect()
+    }
+  }
+
+  test("dawidSkene: a 12-annotator pool at 3 judgments/item runs " +
+    "(the old global A <= 5 cap wrongly rejected wide pools); " +
+    "unanimous labels are recovered with high posterior") {
+    import spark.implicits._
+    // 30 items, truth a for 1-15 / b for 16-30; each item judged by
+    // the 3 raters (i, i+1, i+2) mod 12 — 12 distinct annotators in
+    // the pool, never more than 3 judgments on one item
+    val lab = (1L to 30L).flatMap { i =>
+      val truth = if (i <= 15L) "a" else "b"
+      (0L to 2L).map(d => (i, (i + d) % 12L, truth))
+    }.toDF("item", "rater", "label")
+    val out = Analytics.dawidSkene(lab, "item", "rater", "label")
+      .collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[String]("ds_label"), r.getAs[Double]("ds_posterior")))
+      .toMap
+    assert(out.size == 30)
+    (1L to 30L).foreach { i =>
+      val truth = if (i <= 15L) "a" else "b"
+      assert(out(i)._1 == truth && out(i)._2 > 0.9, s"item $i: ${out(i)}")
+    }
+    // the quality readout covers the whole pool: 12 raters x 2 classes
+    val q = Analytics.dawidSkeneQuality(lab, "item", "rater", "label")
+      .collect()
+    assert(q.length == 24)
+  }
+
+  test("passAtK: exact falling-factorial values against hand-computed " +
+    "binomials; c=0 gives 0, c=n gives 1, k>n gives null; the " +
+    "per-task sample bound fails loudly") {
+    import spark.implicits._
+    // task 1: n=10, c=3 -> pass@1 = 0.3,
+    //   pass@5 = 1 - C(7,5)/C(10,5) = 1 - 21/252
+    // task 2: n=10, c=0 -> every pass@k = 0
+    // task 3: n=10, c=10 -> every pass@k = 1
+    // task 4: n=3 -> pass@5/pass@10 null (k > n), pass@1 = 1/3
+    val rows =
+      (1L to 10L).map(i => (1L, i, i <= 3)) ++
+      (1L to 10L).map(i => (2L, i, false)) ++
+      (1L to 10L).map(i => (3L, i, true)) ++
+      (1L to 3L).map(i => (4L, i, i == 1L))
+    val out = Analytics.passAtK(rows.toDF("task", "sample", "ok"),
+        "task", col("ok"), ks = Seq(1, 5, 10))
+      .collect().map(r => r.getAs[Long]("task") ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("n_correct"),
+          Option(r.getAs[java.lang.Double]("pass_at_1")),
+          Option(r.getAs[java.lang.Double]("pass_at_5")),
+          Option(r.getAs[java.lang.Double]("pass_at_10"))))).toMap
+    // pass@5(n=10,c=3) = 1 - 21/252 = 0.9166666... -> 0.916667;
+    // pass@10 there: m=7 < 10 -> the every-draw-contains-a-pass arm
+    assert(out(1L) == ((10L, 3L, Some(0.3), Some(0.916667), Some(1.0))),
+      out(1L).toString)
+    assert(out(2L) == ((10L, 0L, Some(0.0), Some(0.0), Some(0.0))))
+    assert(out(3L) == ((10L, 10L, Some(1.0), Some(1.0), Some(1.0))))
+    assert(out(4L) == ((3L, 1L, Some(0.333333), None, None)))
+    // a 1001-sample task crosses the exact decimal(38,0) bound
+    val big = (1L to 1001L).map(i => (1L, i, true))
+      .toDF("task", "sample", "ok")
+    intercept[IllegalArgumentException] {
+      Analytics.passAtK(big, "task", col("ok"))
     }
   }
 }

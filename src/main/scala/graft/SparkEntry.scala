@@ -2033,6 +2033,39 @@ object SparkEntry {
           min(col("doc_id")).as("keep_id"))
     }),
 
+    // ---- training-data ops: registrable-domain extraction — the
+    // crawl-curation key ABOVE t_url_dedup's page key (per-domain
+    // quotas, domain mixing, blocklists all group by eTLD+1). Dirty
+    // URLs constructed per doc (8 variants by doc_id mod 8) cover
+    // every publicsuffix.org rule kind: normal single- and
+    // multi-label, wildcard *.ck, exception !www.ck, private
+    // github.io-style (via ac.uk), the implicit default rule on an
+    // unknown TLD, and the IP non-domain. Canonicalize → host →
+    // broadcast rules dim → one prevailing-match hash agg; the
+    // suffix snapshot itself is replayed as VALUES in the oracle. ----
+    "t_registrable_domain" -> ((s, dir) => {
+      val b = expr("doc_id div 8")
+      val m = pmod(col("doc_id"), lit(8))
+      val dirty = when(m === 0,
+          concat(lit("https://A"), b, lit(".Example.COM/pg")))
+        .when(m === 1,
+          concat(lit("http://www.news"), b, lit(".co.uk:80/story/")))
+        .when(m === 2, concat(lit("https://deep.sub.site"), b,
+          lit(".org/x?utm_source=t&z=1")))
+        .when(m === 3, concat(lit("https://foo.bar"), b, lit(".ck/x")))
+        .when(m === 4,
+          concat(lit("https://a"), b, lit(".www.ck/x#frag")))
+        .when(m === 5,
+          concat(lit("https://x.y.site"), b, lit(".ac.uk/x")))
+        .when(m === 6,
+          concat(lit("https://host"), b, lit(".unknowntld/x")))
+        .otherwise(concat(lit("https://192.168.0.1/x"), b))
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("doc_id") >= 0)
+        .select(col("doc_id"), dirty.as("u"))
+      graft.text.DomainOps.registrableDomains(docs, "doc_id", col("u"))
+    }),
+
     // ---- training-data ops: MinHash+LSH near-dup, verified exact.
     // Oracle-checkable because the OUTPUT is engine-independent: LSH only
     // generates candidates; every returned pair carries its exact 3-gram
@@ -5373,6 +5406,16 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops ->
     * driver records a weaker rows-only check. */
+  /** The registrable-domain oracle's rules table, generated FROM the
+    * engine's own checked-in snapshot (DomainOps.suffixRulesSnapshot)
+    * so the two can never drift: one VALUES row per PSL line as
+    * (rule, kind, label count), plus the implicit default rule. */
+  private val SuffixRulesValues: String =
+    (graft.text.DomainOps.suffixRulesSnapshot.map { r =>
+      val (kind, labels) = graft.text.DomainOps.ruleMeta(r)
+      s"('$r','$kind',$labels)"
+    } :+ "('*','default',0)").mkString(", ")
+
   /** Shared by w26_rate_limit and its streaming twin s_stream_rate —
     * the token bucket replayed step-exact: bucket starts FULL, refill
     * (Δt µs)·1e-10 exact decimal, capped at 2, debit 1 when ≥ 1. */
@@ -8717,6 +8760,93 @@ r$k AS (
         |         ELSE base END AS url,
         |  COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |FROM parts GROUP BY 1""".stripMargin,
+
+    // registrable domain: the oracle constructs each variant's
+    // CANONICAL url directly (the canonicalization steps themselves
+    // are t_url_dedup's oracle), then replays host extraction and the
+    // full publicsuffix.org prevailing-rule walk — candidate suffix
+    // explode, the engine's own rules snapshot as VALUES
+    // (SuffixRulesValues — generated from DomainOps.suffixRulesSnapshot
+    // so oracle and engine cannot drift), exception-first/longest-rule
+    // pick, eTLD+1 assembly
+    "t_registrable_domain" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(doc_id // 8 AS VARCHAR) AS b,
+        |    doc_id % 8 AS m
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+        |c AS (
+        |  SELECT doc_id, CASE
+        |    WHEN m = 0 THEN 'https://a' || b || '.example.com/pg'
+        |    WHEN m = 1 THEN 'http://news' || b || '.co.uk/story'
+        |    WHEN m = 2 THEN 'https://deep.sub.site' || b || '.org/x?z=1'
+        |    WHEN m = 3 THEN 'https://foo.bar' || b || '.ck/x'
+        |    WHEN m = 4 THEN 'https://a' || b || '.www.ck/x'
+        |    WHEN m = 5 THEN 'https://x.y.site' || b || '.ac.uk/x'
+        |    WHEN m = 6 THEN 'https://host' || b || '.unknowntld/x'
+        |    ELSE 'https://192.168.0.1/x' || b END AS url
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(
+        |      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^[^/?#]*@', ''), ':[0-9]*$$', '') AS h0
+        |  FROM c),
+        |hosts AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN h0 = '' OR regexp_matches(h0, '^[0-9.]+$$')
+        |      OR contains(h0, '[') THEN NULL ELSE h0 END AS host
+        |  FROM h),
+        |lab AS (
+        |  SELECT doc_id, url, host, string_split(host, '.') AS ls,
+        |    len(string_split(host, '.')) AS n
+        |  FROM hosts WHERE host IS NOT NULL),
+        |sfx AS (
+        |  SELECT doc_id, url, host, ls, n,
+        |    unnest(range(1, n + 1)) AS i
+        |  FROM lab),
+        |s2 AS (
+        |  SELECT doc_id, url, host, n,
+        |    array_to_string(ls[i:n], '.') AS sf, n - i AS slen
+        |  FROM sfx),
+        |rules(rule, kind, rl) AS (VALUES $SuffixRulesValues),
+        |cand AS (
+        |  SELECT doc_id, url, host, n, sf, slen, sf AS k,
+        |    'normal' AS want FROM s2
+        |  UNION ALL
+        |  SELECT doc_id, url, host, n, sf, slen, '!' || sf,
+        |    'exception' FROM s2
+        |  UNION ALL
+        |  SELECT doc_id, url, host, n, sf, slen,
+        |    '*.' || array_to_string(string_split(sf, '.')[2:], '.'),
+        |    'wildcard' FROM s2 WHERE slen >= 1
+        |  UNION ALL
+        |  SELECT doc_id, url, host, n, host, n - 1, '*', 'default'
+        |  FROM lab),
+        |m2 AS (
+        |  SELECT cd.doc_id, cd.url, cd.host, cd.n,
+        |    CASE WHEN r.kind = 'exception'
+        |      THEN array_to_string(string_split(cd.sf, '.')[2:], '.')
+        |      WHEN r.kind = 'default'
+        |      THEN string_split(cd.host, '.')[cd.n]
+        |      ELSE cd.sf END AS ps,
+        |    CASE WHEN r.kind = 'exception' THEN 1 ELSE 0 END AS exc,
+        |    r.rl
+        |  FROM cand cd JOIN rules r
+        |    ON r.rule = cd.k AND r.kind = cd.want),
+        |best AS (
+        |  SELECT doc_id, url, host, n, ps,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY exc DESC, rl DESC) AS rn
+        |  FROM m2)
+        |SELECT doc_id, url, host, ps AS public_suffix,
+        |  CASE WHEN n <= len(string_split(ps, '.')) THEN NULL
+        |    ELSE array_to_string(string_split(host, '.')
+        |      [n - len(string_split(ps, '.')):n], '.')
+        |  END AS registrable_domain
+        |FROM best WHERE rn = 1
+        |UNION ALL
+        |SELECT doc_id, url, NULL, NULL, NULL
+        |FROM hosts WHERE host IS NULL""".stripMargin,
 
     // Brute-force near-dup pairs (t_minhash_lsh's oracle) + the same
     // double-hash bucket arithmetic for the deterministic negative.

@@ -208,11 +208,13 @@ object SparkEntry {
     * the staged inputs are single-digit micro-batches of O(100k) rows,
     * where per-partition state-store commit fan-out dominates wall
     * clock (r15: s_stream_join_outer 9.3 s at 32 state partitions vs
-    * 3.8 s at 8, same plan, same rows). Production streams inherit the
-    * session's cluster-sized `spark.sql.shuffle.partitions` — this
-    * constant exists only so the harness does not shard kilobyte state
-    * 32 ways. */
-  private val drainStateParts = Some(8)
+    * 3.8 s at 8; r18 full-suite sweep: 48.8 s at 2 vs 53.8 s at 4 vs
+    * ~59 s at 8 for the 26 queries — the stream-stream joins carry
+    * FOUR stores per partition and gain the most). Production streams
+    * inherit the session's cluster-sized `spark.sql.shuffle
+    * .partitions` — this constant exists only so the harness does not
+    * shard kilobyte state dozens of ways. */
+  private val drainStateParts = Some(2)
 
   /** The bounded-drain entry every `s_stream_*` query runs through:
     * [[graft.streaming.EventStreams.runAvailableNow]] with the

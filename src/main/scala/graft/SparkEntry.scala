@@ -3574,6 +3574,11 @@ object SparkEntry {
       val schema = s.read.parquet(in).schema
       graft.clif.BlockedDatasetIncremental.runOnce(s, in, work,
         schema, params, buckets = 8)
+      // fold wave 1's closed batch into the compacted layer BETWEEN
+      // the waves: the oracle (the batch capstone's replay) then
+      // proves at hash level that a recompute reading the compacted
+      // base + a live batch equals the one-shot build
+      graft.clif.BlockedDatasetIncremental.compactRaw(s, work, params)
       // the late cohort lands; invocation 2 processes ONLY its files
       e.filter(lateCohort).write.mode("append").parquet(in)
       graft.clif.BlockedDatasetIncremental.runOnce(s, in, work,

@@ -125,6 +125,162 @@ object BlockedDatasetIncremental {
     q.awaitTermination()
   }
 
+  /** The compaction stamp: (generation g, foldedThrough batch id).
+    * (0, -1) = never compacted. The LIVE raw slice is always
+    * `__batch = -g OR __batch > foldedThrough`; everything else under
+    * raw/ is a folded source or a crashed leftover, excluded by the
+    * filter and lazily deleted by the next [[compactRaw]]. */
+  private def readStamp(fs: org.apache.hadoop.fs.FileSystem,
+                        workDir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(workDir, "_layout/compaction")
+    if (!fs.exists(p)) (0L, -1L)
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val Array(g, ft) = txt.split(" ")
+      (g.toLong, ft.toLong)
+    }
+  }
+
+  /** The raw event store filtered to its LIVE slice (the current
+    * compacted generation plus not-yet-folded batches) — partition
+    * pruning applies, so folded/leftover directories are never read. */
+  private def liveRaw(spark: SparkSession, workDir: String,
+                      fs: org.apache.hadoop.fs.FileSystem): DataFrame = {
+    val (gen, ft) = readStamp(fs, workDir)
+    spark.read.parquet(s"$workDir/raw")
+      .filter(col("__batch") === lit(-gen) || col("__batch") > lit(ft))
+  }
+
+  private def hadoopFs(spark: SparkSession, workDir: String) =
+    new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fold every CLOSED raw batch into one compacted per-bucket layer.
+    *
+    * A thousand-wave materialization otherwise carries a thousand
+    * `__batch=k` directories forever: every touched-bucket recompute
+    * lists all of them, and each holds one near-empty file per bucket
+    * — the small-files death [[graft.ops.Scale.compactParquet]]
+    * documents, here with the extra twist that the layout is the
+    * IDEMPOTENCY mechanism and must not be broken by folding.
+    *
+    * Protocol (crash-safe at every step):
+    *   1. A batch is CLOSED once the stream's commit log records it —
+    *      only the last uncommitted batch can ever be replayed by a
+    *      recovering stream, so batches ≤ the commit floor never see
+    *      a dynamic-overwrite replay and are safe to fold.
+    *   2. The current compacted generation `__batch=-g` plus the
+    *      closed batches rewrite into a STAGING directory,
+    *      repartitioned by (`__bucket`, encounter-hash split) with
+    *      the split count sized from the listed input bytes (the
+    *      compactParquet sizing rule, per bucket) — file count stays
+    *      ∝ total bytes, co-located by encounter for the
+    *      bucket-sliced rebuild. Staging (not in-place) because
+    *      Spark refuses to overwrite a path it is reading, and
+    *      because one directory rename into `__batch=-(g+1)` is
+    *      atomic where a multi-file overwrite is not.
+    *   3. The stamp `_layout/compaction` ("g foldedThrough") flips by
+    *      ATOMIC RENAME — the commit point. A crash before the flip
+    *      leaves the old stamp: the staged/renamed -(g+1) directory
+    *      is not live, nothing is lost or doubled. Replayed batches
+    *      always target `__batch ≥ 0`, never a compacted generation.
+    *   4. Source directories (old generation, folded positive
+    *      batches, any leftover from a previously crashed cleanup)
+    *      are deleted AFTER the flip; the live filter already
+    *      excludes them, so a crash mid-cleanup only leaves dead
+    *      bytes the next compaction removes.
+    *
+    * No-op (returns false) when no new closed batches exist. */
+  def compactRaw(spark: SparkSession, workDir: String, params: Params,
+                 targetFileBytes: Long = 128L << 20): Boolean = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = hadoopFs(spark, workDir)
+    val rawPath = new org.apache.hadoop.fs.Path(s"$workDir/raw")
+    if (!fs.exists(rawPath)) return false
+    val (gen, ft) = readStamp(fs, workDir)
+    // commit floor: the highest batch id the stream checkpoint has
+    // committed (plain numeric file names under commits/)
+    val commitsPath = new org.apache.hadoop.fs.Path(
+      s"$workDir/_checkpoints/grid/commits")
+    val floor =
+      if (!fs.exists(commitsPath)) -1L
+      else fs.listStatus(commitsPath).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+        .foldLeft(-1L)(math.max)
+    if (floor <= ft) return false
+    val newGen = gen + 1
+    // input bytes of the live slice (one listing, no data read — the
+    // compactParquet sizing rule), split per bucket so a big bucket
+    // still lands near targetFileBytes per file
+    val liveDirs = fs.listStatus(rawPath).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("__batch=") &&
+          scala.util.Try(n.stripPrefix("__batch=").toLong).toOption
+            .exists(v => v == -gen || (v > ft && v <= floor))
+      }
+    val bytes = liveDirs.map { d =>
+      val it = fs.listFiles(d, true)
+      var t = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) t += f.getLen
+      }
+      t
+    }.sum
+    val buckets = {
+      val p = new org.apache.hadoop.fs.Path(workDir, "_layout/buckets")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt finally in.close()
+    }
+    val splits = math.max(1L,
+      (bytes / math.max(buckets, 1) + targetFileBytes - 1) /
+        targetFileBytes)
+    val staging = s"$workDir/_staging/gen$newGen"
+    liveRaw(spark, workDir, fs).filter(col("__batch") <= floor)
+      .drop("__batch")
+      .withColumn("__split",
+        pmod(TextOps.portableHash(col(params.encCol)), lit(splits)))
+      .repartition(col("__bucket"), col("__split"))
+      .drop("__split")
+      .write.mode("overwrite")
+      .partitionBy("__bucket")
+      .parquet(staging)
+    val genDir = new org.apache.hadoop.fs.Path(rawPath,
+      s"__batch=${-newGen}")
+    if (fs.exists(genDir)) { fs.delete(genDir, true); () }
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), genDir),
+      s"rename $staging -> $genDir failed")
+    // commit point: atomic-rename the new stamp over the old
+    val layoutDir = new org.apache.hadoop.fs.Path(workDir, "_layout")
+    fs.mkdirs(layoutDir)
+    val tmp = new org.apache.hadoop.fs.Path(layoutDir, "compaction.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$newGen $floor".getBytes("UTF-8"))
+    finally out.close()
+    val stamp = new org.apache.hadoop.fs.Path(layoutDir, "compaction")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(stamp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, stamp,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // lazy cleanup: everything under raw/ the new stamp calls dead —
+    // folded positives, superseded generations, crashed leftovers
+    fs.listStatus(rawPath).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("__batch=")) {
+        scala.util.Try(n.stripPrefix("__batch=").toLong).toOption
+          .foreach { v =>
+            if (v != -newGen && v <= floor) { fs.delete(s.getPath, true); () }
+          }
+      }
+    }
+    true
+  }
+
   /** One micro-batch: idempotent raw append + touched-bucket grid
     * recompute (see object scaladoc steps 2–3). */
   private def applyBatch(batch: DataFrame, batchId: Long,
@@ -152,7 +308,10 @@ object BlockedDatasetIncremental {
     val touched = b.select(col("__bucket")).distinct()
       .collect().map(_.getLong(0))
     b.unpersist()
-    val slice = spark.read.parquet(rawDir)
+    // the live raw view (current compacted generation + unfolded
+    // batches) — folded directories are excluded by partition
+    // pruning, so a thousand-wave store reads like a fresh one
+    val slice = liveRaw(spark, workDir, hadoopFs(spark, workDir))
       .filter(col("__bucket").isin(touched.map(Long.box): _*))
       .drop("__batch", "__bucket")
     val grid = BlockedDataset.build(slice, params.encCol, params.tsCol,

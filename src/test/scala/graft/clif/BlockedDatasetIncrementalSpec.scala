@@ -146,4 +146,71 @@ class BlockedDatasetIncrementalSpec extends SparkSpec {
       batchW1.exceptAll(grid).isEmpty,
       "replayed grid must still equal the batch build")
   }
+
+  test("raw-store compaction folds closed batches into one bounded " +
+    "per-bucket generation; recomputes read the compacted base " +
+    "bit-identically and exactly-once survives compact-then-append") {
+    val tmp = Files.createTempDirectory("graft_bdi_compact")
+    val in = s"$tmp/in"; val work = s"$tmp/work"
+    def rawBatchDirs(): Set[String] =
+      new java.io.File(s"$work/raw").listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("__batch=")).toSet
+    def rawParquetCount(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$work/raw"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    // waves 1+2 land as two committed batches
+    events(Seq(1L, 2L, 3L)).coalesce(1).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    BlockedDatasetIncremental.runOnce(spark, in, work, schema, params,
+      buckets = 4)
+    events(Seq(4L, 5L, 6L, 7L)).coalesce(1).write.mode("append").parquet(in)
+    BlockedDatasetIncremental.runOnce(spark, in, work, schema, params,
+      buckets = 4)
+    assert(rawBatchDirs() == Set("__batch=0", "__batch=1"), rawBatchDirs())
+    val gridBefore = BlockedDatasetIncremental.grid(spark, work)
+      .orderBy("user_id", "grid_ts").collect().toSeq
+
+    // compaction 1: both closed batches fold into generation -1; the
+    // grid store is untouched; file count is bounded by the bucket
+    // layout (one split per bucket at this scale)
+    assert(BlockedDatasetIncremental.compactRaw(spark, work, params))
+    assert(rawBatchDirs() == Set("__batch=-1"), rawBatchDirs())
+    assert(rawParquetCount() <= 4, s"files=${rawParquetCount()}")
+    assert(BlockedDatasetIncremental.grid(spark, work)
+      .orderBy("user_id", "grid_ts").collect().toSeq == gridBefore,
+      "compaction must not change the grid")
+    // immediate re-compaction: nothing new is closed -> no-op
+    assert(!BlockedDatasetIncremental.compactRaw(spark, work, params))
+
+    // wave 3 AFTER compaction: the recompute reads compacted base +
+    // new batch and still equals the one-shot batch build
+    events(Seq(8L, 9L)).coalesce(1).write.mode("append").parquet(in)
+    BlockedDatasetIncremental.runOnce(spark, in, work, schema, params,
+      buckets = 4)
+    assert(rawBatchDirs() == Set("__batch=-1", "__batch=2"),
+      rawBatchDirs())
+    val batchAll = BlockedDataset.build(events((1L to 9L).toSeq),
+      "user_id", "ts", "event_type", "value", "event_id", channels,
+      3600L, col("event_type") === "error", 4, 80, 10)
+    val afterW3 = BlockedDatasetIncremental.grid(spark, work)
+    assert(afterW3.exceptAll(batchAll).isEmpty &&
+      batchAll.exceptAll(afterW3).isEmpty,
+      "post-compaction recompute must equal the batch build")
+
+    // compaction 2 folds generation -1 + batch 2 into -2, still
+    // bit-identical, and a no-new-files invocation stays a no-op
+    assert(BlockedDatasetIncremental.compactRaw(spark, work, params))
+    assert(rawBatchDirs() == Set("__batch=-2"), rawBatchDirs())
+    val gridFinal = BlockedDatasetIncremental.grid(spark, work)
+      .orderBy("user_id", "grid_ts").collect().toSeq
+    BlockedDatasetIncremental.runOnce(spark, in, work, schema, params,
+      buckets = 4)
+    assert(BlockedDatasetIncremental.grid(spark, work)
+      .orderBy("user_id", "grid_ts").collect().toSeq == gridFinal,
+      "exactly-once must survive a compact-then-rerun sequence")
+  }
 }

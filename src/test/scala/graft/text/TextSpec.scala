@@ -1588,4 +1588,58 @@ class TextSpec extends SparkSpec {
     assert(canon("not a url") == "not a url")
     assert(canon("ftp://MixedHost.COM/Path") == "ftp://mixedhost.com/Path")
   }
+
+  test("canonicalizeUrl authority edges PINNED (userinfo, IPv6), " +
+    "with a java.net.URI differential arm decomposing every output") {
+    import spark.implicits._
+    def canon(u: String): String =
+      Seq(u).toDF("u")
+        .select(TextOps.canonicalizeUrl(col("u")).as("c"))
+        .as[String].collect().head
+    // (input, expected canonical, expected (scheme, userInfo, host,
+    // port, path) of the OUTPUT as java.net.URI — an independent
+    // authority parser — sees it)
+    val rows = Seq(
+      // userinfo is part of the authority and gets LOWERCASED
+      // wholesale with it (current behavior, pinned: the op's domain
+      // is crawl URLs, where credentialed URLs are dedup keys, not
+      // logins — case-folding them is the collapse we want)
+      ("https://User:Pw@Ex.com/A",
+        "https://user:pw@ex.com/A",
+        ("https", "user:pw", "ex.com", -1, "/A")),
+      // `www.` strips only at the AUTHORITY's start — when userinfo
+      // leads the authority, a www. prefix on the USERINFO is what
+      // gets dropped and a www. on the host itself survives (pinned
+      // quirk of the single-regex authority rewrite)
+      ("https://www.User@ex.com/x",
+        "https://user@ex.com/x",
+        ("https", "user", "ex.com", -1, "/x")),
+      ("https://user@www.ex.com/x",
+        "https://user@www.ex.com/x",
+        ("https", "user", "www.ex.com", -1, "/x")),
+      // default-port stripping is anchored on a colon-free host, so
+      // it does NOT fire when userinfo (":" in user:pw) or an IPv6
+      // literal precedes the port — pinned limitation; the port
+      // survives rather than a wrong strip firing mid-authority
+      ("http://user:pw@ex.com:80/x",
+        "http://user:pw@ex.com:80/x",
+        ("http", "user:pw", "ex.com", 80, "/x")),
+      ("HTTPS://[2001:DB8::1]:443/x",
+        "https://[2001:db8::1]:443/x",
+        ("https", null, "[2001:db8::1]", 443, "/x")),
+      // bracketed IPv6 hosts otherwise canonicalize like any other:
+      // case folds, fragment drops, params sort
+      ("https://[2001:DB8::1]/x?b=2&a=1#f",
+        "https://[2001:db8::1]/x?a=1&b=2",
+        ("https", null, "[2001:db8::1]", -1, "/x")))
+    rows.foreach { case (in, expect, (sch, ui, host, port, path)) =>
+      val c = canon(in)
+      assert(c == expect, s"canon($in) = $c")
+      val u = java.net.URI.create(c)
+      assert(u.getScheme == sch && u.getUserInfo == ui &&
+        u.getHost == host && u.getPort == port && u.getPath == path,
+        s"URI($c) = (${u.getScheme},${u.getUserInfo},${u.getHost}," +
+          s"${u.getPort},${u.getPath})")
+    }
+  }
 }

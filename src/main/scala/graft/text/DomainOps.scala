@@ -106,7 +106,21 @@ object DomainOps {
     * first (the dedup-key discipline: domain stats must not split
     * across case/port/param variants of one page). Non-URL inputs
     * and IP-literal hosts (v4 dotted-decimal or bracketed v6) yield
-    * null host/suffix/domain. */
+    * null host/suffix/domain.
+    *
+    * Plan notes (r18 measured — 3.7 s → 0.4 s at sf0.1): the
+    * canonicalize/host projection is a LARGE expression tree with
+    * higher-order lambdas (no whole-stage codegen — it runs
+    * interpreted), so it must evaluate EXACTLY ONCE per row, under
+    * the distinct's exchange. That dictates three structural rules:
+    * ONE pipeline (a hosted/hostless union would re-scan and
+    * re-canonicalize), NO predicate on host above the distinct (a
+    * `host IS NOT NULL` filter gets pushed below the exchange and
+    * re-evaluates the whole tree per row — hostless rows instead
+    * ride through on the default-rule candidate and resolve to
+    * nulls), and a LONG-encoded match priority so the prevailing
+    * pick is a plain max() HashAggregate (max_by over a struct
+    * forces a SortAggregate). */
   def registrableDomains(df: DataFrame, idCol: String, urlCol: Column,
                          rules: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
@@ -123,28 +137,26 @@ object DomainOps {
       .withColumn("__ls", split(col("host"), "\\."))
       .withColumn("__n", size(col("__ls")))
       .distinct()
-    // hostless rows (non-URL, IP) carry their nulls straight through;
-    // everything below runs on the hosted slice only
-    val hostless = in.filter(col("host").isNull)
-      .select(col(idCol), col("url"), col("host"),
-        lit(null).cast("string").as("public_suffix"),
-        lit(null).cast("string").as("registrable_domain"))
-    // suffix rows (row-local): the suffix starting at label i
-    // (1-based), with __slen = labels AFTER its first (its parent's
-    // label count)
-    val sfx = in.filter(col("host").isNotNull)
+    // suffix rows (row-local): the suffix starting at label i0+1
+    // (__i0 is posexplode's 0-based position), with __slen = labels
+    // AFTER its first. A hostless row (null __ls/__n) emits exactly
+    // one row with a null suffix via the coalesce'd sequence — its
+    // only surviving candidate below is the default rule.
+    val sfx = in
       .select(col(idCol), col("url"), col("host"), col("__ls"),
         col("__n"),
-        posexplode(transform(sequence(lit(1), col("__n")), i =>
-          array_join(slice(col("__ls"), i, col("__n") - i + 1), ".")))
+        posexplode(transform(
+          sequence(lit(1), coalesce(col("__n"), lit(1))), i =>
+            array_join(slice(col("__ls"), i,
+              coalesce(col("__n"), lit(1)) - i + 1), ".")))
           .as(Seq("__i0", "__suffix")))
       .withColumn("__slen", col("__n") - col("__i0") - 1)
     // candidate keys per suffix row: normal, exception, wildcard
-    // (when a parent exists), and — once per host, on its full-host
-    // suffix row — the always-matching default key
+    // (when a parent exists), and — once per row group, on the
+    // full-host suffix row — the always-matching default key
     val cands = sfx
-      .select(col(idCol), col("url"), col("host"), col("__ls"),
-        col("__n"), col("__suffix"), col("__slen"),
+      .select(col(idCol), col("url"), col("host"), col("__n"),
+        col("__i0"), col("__suffix"), col("__slen"),
         explode(array(
           struct(col("__suffix").as("__key"),
             lit("normal").as("__want")),
@@ -157,35 +169,50 @@ object DomainOps {
           struct(when(col("__i0") === 0, lit("*")).as("__key"),
             lit("default").as("__want")))).as("__cand"))
       .filter(col("__cand.__key").isNotNull)
-    // broadcast match + per-match implied public suffix and priority
+    // broadcast match; the whole decision packs into ONE long —
+    // (exception?, rule_labels) is the PSL prevailing order, (i0,
+    // kind) the deterministic remainder that lets ps reconstruct
+    // post-agg. Equal (exc, rl) matches imply the same public suffix
+    // (a rule of L labels can only match the last-L-labels suffix),
+    // so the tiebreak bits never change the answer.
+    val kindCode = when(col("kind") === "normal", 0)
+      .when(col("kind") === "wildcard", 1)
+      .when(col("kind") === "exception", 2)
+      .otherwise(3)
     val matched = cands.join(broadcast(dim),
         cands("__cand.__key") === dim("rule") &&
           cands("__cand.__want") === dim("kind"))
-      .withColumn("__ps",
-        when(col("kind") === "exception",
-          call_function("substring_index",
-            col("__suffix"), lit("."), -col("__slen")))
-          .when(col("kind") === "default",
-            element_at(col("__ls"), -1))
-          .otherwise(col("__suffix")))
-      .withColumn("__prio", struct(
-        when(col("kind") === "exception", 1).otherwise(0).as("exc"),
-        col("rule_labels").as("rl")))
-    // prevailing rule: exception outranks, else most labels — ONE
-    // hash agg back to input cardinality (url/host/__ls/__n are
-    // functionally dependent on the distinct (id, url) key)
+      .select(col(idCol), col("url"), col("host"), col("__n"),
+        (((when(col("kind") === "exception", 1L).otherwise(0L) *
+          1024L + col("rule_labels")) * 1024L + col("__i0")) * 4L +
+          kindCode).as("__code"))
+    // prevailing rule = plain max over the encoded priority: a
+    // HashAggregate with map-side partials, back to input
+    // cardinality (url/host/__n are functionally dependent on the
+    // distinct (id, url) key)
     val best = matched
-      .groupBy(col(idCol), col("url"), col("host"), col("__ls"),
-        col("__n"))
-      .agg(max_by(col("__ps"), col("__prio")).as("__ps"))
-      .withColumn("__pslen", size(split(col("__ps"), "\\.")))
-      .select(col(idCol), col("url"), col("host"),
-        col("__ps").as("public_suffix"),
-        when(col("__n") <= col("__pslen"), lit(null))
+      .groupBy(col(idCol), col("url"), col("host"), col("__n"))
+      .agg(max(col("__code")).as("__code"))
+    // decode the winner row-locally: ps from (i0, kind) against the
+    // re-split host labels (cheap — host is an attribute here)
+    val ls = split(col("host"), "\\.")
+    val i0 = (col("__code") / 4).cast("long") % 1024L
+    val kc = col("__code") % 4
+    val psLen = when(kc === 2, col("__n") - i0 - 1)
+      .when(kc === 3, lit(1L))
+      .otherwise(col("__n") - i0)
+    best
+      .withColumn("public_suffix",
+        when(col("host").isNull, lit(null).cast("string"))
           .otherwise(array_join(
-            slice(col("__ls"), col("__n") - col("__pslen"),
-              col("__pslen") + 1), "."))
-          .as("registrable_domain"))
-    best.unionByName(hostless)
+            slice(ls, (col("__n") - psLen + 1).cast("int"),
+              psLen.cast("int")), ".")))
+      .withColumn("registrable_domain",
+        when(col("host").isNull || col("__n") <= psLen, lit(null))
+          .otherwise(array_join(
+            slice(ls, (col("__n") - psLen).cast("int"),
+              (psLen + 1).cast("int")), ".")))
+      .select(col(idCol), col("url"), col("host"),
+        col("public_suffix"), col("registrable_domain"))
   }
 }

@@ -5418,10 +5418,7 @@ object SparkEntry {
     * so the two can never drift: one VALUES row per PSL line as
     * (rule, kind, label count), plus the implicit default rule. */
   private val SuffixRulesValues: String =
-    (graft.text.DomainOps.suffixRulesSnapshot.map { r =>
-      val (kind, labels) = graft.text.DomainOps.ruleMeta(r)
-      s"('$r','$kind',$labels)"
-    } :+ "('*','default',0)").mkString(", ")
+    graft.text.DomainOps.rulesValuesSql
 
   /** Shared by w26_rate_limit and its streaming twin s_stream_rate —
     * the token bucket replayed step-exact: bucket starts FULL, refill

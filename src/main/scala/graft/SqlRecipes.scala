@@ -1632,7 +1632,101 @@ v$r AS (
          |        *(n-5)*(n-6)*(n-7)*(n-8)*(n-9) AS DOUBLE), 6)
          |  END AS pass_at_10
          |FROM u
-         |WHERE n >= graft_pass_at_k.min_samples""".stripMargin
+         |WHERE n >= graft_pass_at_k.min_samples""".stripMargin,
+
+    // -- per-domain quota view (r18): registrable-domain (eTLD+1)
+    // counts over the t_registrable_domain fixture — the grouping
+    // key every crawl quota/mixing/blocklist policy uses. Replays
+    // the publicsuffix.org prevailing-rule walk in Spark SQL with
+    // the rules table rendered from the engine's own checked-in
+    // snapshot (DomainOps.rulesValuesSql), exactly like the DuckDB
+    // oracle. Returns domains with at least `min_docs` docs.
+    "graft_domain_quota" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_domain_quota(
+         |  min_docs BIGINT)
+         |RETURNS TABLE (registrable_domain STRING, n_docs BIGINT,
+         |  first_id BIGINT)
+         |RETURN
+         |WITH d AS (
+         |  SELECT doc_id, CAST(doc_id div 8 AS STRING) AS b,
+         |    pmod(doc_id, 8) AS m
+         |  FROM ${prefix}documents
+         |  WHERE doc_id IS NOT NULL AND doc_id >= 0),
+         |c AS (
+         |  SELECT doc_id, CASE
+         |    WHEN m = 0 THEN 'https://a' || b || '.example.com/pg'
+         |    WHEN m = 1 THEN 'http://news' || b || '.co.uk/story'
+         |    WHEN m = 2 THEN 'https://deep.sub.site' || b || '.org/x?z=1'
+         |    WHEN m = 3 THEN 'https://foo.bar' || b || '.ck/x'
+         |    WHEN m = 4 THEN 'https://a' || b || '.www.ck/x'
+         |    WHEN m = 5 THEN 'https://x.y.site' || b || '.ac.uk/x'
+         |    WHEN m = 6 THEN 'https://host' || b || '.unknowntld/x'
+         |    ELSE 'https://192.168.0.1/x' || b END AS url
+         |  FROM d),
+         |h AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(
+         |      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+         |      '^[^/?#]*@', ''), ':[0-9]*$$', '') AS h0
+         |  FROM c),
+         |hosts AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h0 = '' OR h0 RLIKE '^[0-9.]+$$'
+         |      OR contains(h0, '[') THEN NULL ELSE h0 END AS host
+         |  FROM h),
+         |lab AS (
+         |  SELECT doc_id, host, split(host, '\\\\.') AS ls,
+         |    size(split(host, '\\\\.')) AS n
+         |  FROM hosts WHERE host IS NOT NULL),
+         |sfx AS (
+         |  SELECT doc_id, host, n, i,
+         |    array_join(slice(ls, i, n - i + 1), '.') AS sf,
+         |    n - i AS slen
+         |  FROM lab LATERAL VIEW explode(sequence(1, n)) t AS i),
+         |rules AS (SELECT * FROM VALUES $$SUFFIX_RULES
+         |  AS t(rule, kind, rl)),
+         |cand AS (
+         |  SELECT doc_id, host, n, sf, slen, sf AS k,
+         |    'normal' AS want FROM sfx
+         |  UNION ALL
+         |  SELECT doc_id, host, n, sf, slen, '!' || sf, 'exception'
+         |  FROM sfx
+         |  UNION ALL
+         |  SELECT doc_id, host, n, sf, slen,
+         |    '*.' || substring_index(sf, '.', -slen), 'wildcard'
+         |  FROM sfx WHERE slen >= 1
+         |  UNION ALL
+         |  SELECT doc_id, host, n, host, n - 1, '*', 'default'
+         |  FROM lab),
+         |m2 AS (
+         |  SELECT c2.doc_id, c2.host, c2.n,
+         |    CASE WHEN r.kind = 'exception'
+         |      THEN substring_index(c2.sf, '.', -c2.slen)
+         |      WHEN r.kind = 'default'
+         |      THEN element_at(split(c2.host, '\\\\.'), -1)
+         |      ELSE c2.sf END AS ps,
+         |    CASE WHEN r.kind = 'exception' THEN 1 ELSE 0 END AS exc,
+         |    r.rl
+         |  FROM cand c2 JOIN rules r
+         |    ON r.rule = c2.k AND r.kind = c2.want),
+         |best AS (
+         |  SELECT doc_id, host, n, ps,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY exc DESC, rl DESC) AS rn
+         |  FROM m2)
+         |SELECT registrable_domain, COUNT(*) AS n_docs,
+         |  MIN(doc_id) AS first_id
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN n <= size(split(ps, '\\\\.')) THEN NULL
+         |      ELSE array_join(slice(split(host, '\\\\.'),
+         |        n - size(split(ps, '\\\\.')),
+         |        size(split(ps, '\\\\.')) + 1), '.')
+         |    END AS registrable_domain
+         |  FROM best WHERE rn = 1)
+         |WHERE registrable_domain IS NOT NULL
+         |GROUP BY registrable_domain
+         |HAVING COUNT(*) >= graft_domain_quota.min_docs""".stripMargin
+        .replace("$SUFFIX_RULES", graft.text.DomainOps.rulesValuesSql)
   )
 
   /** Run every recipe's DDL on the session (idempotent — CREATE OR

@@ -77,6 +77,16 @@ object DomainOps {
     (kind, r.stripPrefix("!").split("\\.").length)
   }
 
+  /** The snapshot rendered as SQL VALUES rows `('rule','kind',labels)`
+    * including the implicit default rule — shared by the DuckDB
+    * oracle and the Spark SQL cookbook recipe so neither can drift
+    * from the engine's checked-in list. */
+  def rulesValuesSql: String =
+    (suffixRulesSnapshot.map { r =>
+      val (kind, labels) = ruleMeta(r)
+      s"('$r','$kind',$labels)"
+    } :+ "('*','default',0)").mkString(", ")
+
   /** The rules dim: (rule, kind, rule_labels), one row per PSL line,
     * plus the implicit default rule (`*`, kind `default`, 0 labels)
     * every host matches. */

@@ -588,4 +588,28 @@ class SqlRecipesSpec extends SparkSpec {
     val full = canon(spark.sql("SELECT * FROM graft_pass_at_k(10)"))
     assert(full == viaSql.filter(_._2 >= 10) && full.nonEmpty)
   }
+
+  test("graft_domain_quota == t_registrable_domain grouped by " +
+    "registrable domain (same fixture, same PSL walk, rules VALUES " +
+    "rendered from the engine's snapshot)") {
+    ready()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("registrable_domain", "n_docs", "first_id")
+      .as[(String, Long, Long)].collect().toSet
+    val viaDsl = canon(
+      SparkEntry.queries("t_registrable_domain")(spark, dir)
+        .filter(col("registrable_domain").isNotNull)
+        .groupBy("registrable_domain")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_id")))
+    val viaSql = canon(spark.sql("SELECT * FROM graft_domain_quota(1)"))
+    assert(viaSql == viaDsl && viaSql.nonEmpty,
+      s"sql=${viaSql.size} dsl=${viaDsl.size}")
+    // the quota arm: shared-domain variants (example.com from the
+    // m=0 block, www.ck from the exception block) survive min_docs=2
+    val top = canon(spark.sql("SELECT * FROM graft_domain_quota(2)"))
+    assert(top == viaSql.filter(_._2 >= 2) && top.nonEmpty)
+    assert(top.exists(_._1 == "example.com") &&
+      top.exists(_._1 == "www.ck"), top.toString)
+  }
 }

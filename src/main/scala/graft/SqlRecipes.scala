@@ -1664,9 +1664,9 @@ v$r AS (
          |    ELSE 'https://192.168.0.1/x' || b END AS url
          |  FROM d),
          |h AS (
-         |  SELECT doc_id, regexp_replace(regexp_replace(
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
          |      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
-         |      '^[^/?#]*@', ''), ':[0-9]*$$', '') AS h0
+         |      '^[^/?#]*@', ''), ':[0-9]*$$', ''), '\\\\.$$', '') AS h0
          |  FROM c),
          |hosts AS (
          |  SELECT doc_id,

@@ -90,10 +90,7 @@ object BlockedDatasetIncremental {
     val p = new org.apache.hadoop.fs.Path(workDir, "_layout/buckets")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      val in = fs.open(p)
-      val stamped =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
+      val stamped = readText(fs, p).toInt
       require(stamped == buckets,
         s"materialization at $workDir was built with buckets=$stamped; " +
           s"got buckets=$buckets — the bucket count is immutable layout")
@@ -125,6 +122,15 @@ object BlockedDatasetIncremental {
     q.awaitTermination()
   }
 
+  /** Whole-file UTF-8 read of a small stamp through the store's own
+    * FileSystem — the one read discipline for every layout stamp. */
+  private def readText(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
   /** The compaction stamp: (generation g, foldedThrough batch id).
     * (0, -1) = never compacted. The LIVE raw slice is always
     * `__batch = -g OR __batch > foldedThrough`; everything else under
@@ -135,11 +141,7 @@ object BlockedDatasetIncremental {
     val p = new org.apache.hadoop.fs.Path(workDir, "_layout/compaction")
     if (!fs.exists(p)) (0L, -1L)
     else {
-      val in = fs.open(p)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      val Array(g, ft) = txt.split(" ")
+      val Array(g, ft) = readText(fs, p).split(" ")
       (g.toLong, ft.toLong)
     }
   }
@@ -191,7 +193,19 @@ object BlockedDatasetIncremental {
     *      batches, any leftover from a previously crashed cleanup)
     *      are deleted AFTER the flip; the live filter already
     *      excludes them, so a crash mid-cleanup only leaves dead
-    *      bytes the next compaction removes.
+    *      bytes the next compaction removes. The whole `_staging`
+    *      tree is cleared up front, so a staging copy orphaned by a
+    *      pre-rename crash never outlives the next compaction.
+    *
+    * SINGLE-WRITER MAINTENANCE: like every compaction over a live
+    * store, this must not run CONCURRENTLY with a drain ([[runOnce]])
+    * on the same workDir — step 4 deletes directories an in-flight
+    * drain's live view (read under the old stamp) may still select,
+    * which would fail its recompute mid-batch (or, with
+    * ignoreMissingFiles, silently drop rows). Crash-interleavings are
+    * safe at every step; overlapping EXECUTION is not. Run it from
+    * the same scheduler slot as the drains — between waves, exactly
+    * as the capstone query and spec do.
     *
     * No-op (returns false) when no new closed batches exist. */
   def compactRaw(spark: SparkSession, workDir: String, params: Params,
@@ -231,15 +245,17 @@ object BlockedDatasetIncremental {
       }
       t
     }.sum
-    val buckets = {
-      val p = new org.apache.hadoop.fs.Path(workDir, "_layout/buckets")
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toInt finally in.close()
-    }
+    val buckets = readText(fs,
+      new org.apache.hadoop.fs.Path(workDir, "_layout/buckets")).toInt
     val splits = math.max(1L,
       (bytes / math.max(buckets, 1) + targetFileBytes - 1) /
         targetFileBytes)
+    // clear ALL of _staging first: a copy orphaned by a pre-rename
+    // crash under a DIFFERENT generation name would otherwise leak
+    // forever (the lazy cleanup below only scans raw/__batch=*)
+    val stagingRoot = new org.apache.hadoop.fs.Path(
+      s"$workDir/_staging")
+    if (fs.exists(stagingRoot)) { fs.delete(stagingRoot, true); () }
     val staging = s"$workDir/_staging/gen$newGen"
     liveRaw(spark, workDir, fs).filter(col("__batch") <= floor)
       .drop("__batch")

@@ -1844,9 +1844,12 @@ object Analytics {
       .agg(count(lit(1)).as("n_samples"),
         sum(when(passCol, 1L).otherwise(0L)).as("n_correct"))
     // loud exact-arithmetic bound on the actual overflow driver
-    // (samples per task), the dawidSkene maxJ discipline
-    val maxN = byTask.agg(max(col("n_samples")).as("m"))
-      .head.getLong(0)
+    // (samples per task), the dawidSkene maxJ discipline; the agg's
+    // max is null on an EMPTY sample set (a plausible eval-pipeline
+    // input), which trivially satisfies the bound and must return
+    // the empty frame, not throw on the null read
+    val maxN = Option(byTask.agg(max(col("n_samples")).as("m"))
+      .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     require(maxN <= 1000L,
       s"a task carries $maxN samples: the exact decimal(38,0) " +
         "falling factorial bounds samples per task at 1000")

@@ -101,15 +101,21 @@ object DomainOps {
 
   /** The host of a CANONICAL url ([[TextOps.canonicalizeUrl]] output:
     * scheme/host already lowercased, `www.` already off): the
-    * authority with userinfo and any surviving non-default port
-    * stripped. Empty string for non-URL inputs. */
+    * authority with userinfo, any surviving non-default port, and one
+    * trailing dot stripped (a fully-qualified `example.com.` is the
+    * same host as `example.com` — the PSL algorithm specifies the
+    * strip, and without it the empty trailing label would win the
+    * default rule and emit a phantom domain). Empty string for
+    * non-URL inputs. */
   def hostOf(canonicalUrl: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_extract(canonicalUrl,
-          "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
-        "^[^/?#]*@", ""),
-      ":[0-9]*$", "")
+        regexp_replace(
+          regexp_extract(canonicalUrl,
+            "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+          "^[^/?#]*@", ""),
+        ":[0-9]*$", ""),
+      "\\.$", "")
 
   /** Emit one row per distinct input (idCol, url): (idCol, url, host,
     * public_suffix, registrable_domain). `urlCol` is canonicalized

@@ -2,13 +2,17 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Separate a query's PLANNING+CODEGEN cost from its execution cost:
-  * count() on a fresh Dataset instance pays analysis, optimization,
-  * physical planning and whole-stage codegen compilation; a second
-  * count() on the SAME instance reuses the cached QueryExecution and
-  * pays only the job. A query whose fresh-instance time dwarfs its
-  * same-instance time is bottlenecked on plan/codegen constant cost
-  * (irrelevant at 100 TB), not on data work.
+/** Separate a query's PLANNING cost from its execution cost.
+  *
+  * `Dataset.count()` is NOT a planning-free rerun: every call builds
+  * a new aggregate Dataset and a new QueryExecution, re-paying full
+  * Catalyst analysis/optimization/physical planning (r18 measured
+  * this the hard way — a count-vs-count split reported ~0 planning
+  * for a query whose optimizer time was the dominant constant). So
+  * this tool measures the phases directly on ONE QueryExecution:
+  * planning = forcing `executedPlan`; execution = `toRdd.count()` on
+  * that already-planned tree (whole-stage codegen compilation lands
+  * in the first execution — JIT-warm by run 2).
   *
   * Usage: runMain graft.tools.PlanVsExec <query> [runs]
   */
@@ -26,15 +30,19 @@ object PlanVsExec {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to runs).foreach { i =>
-      val t0 = System.nanoTime()
       val ds = graft.SparkEntry.queries(name)(spark, sfDir)
-      ds.count()
-      val fresh = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      ds.count()
-      val reused = (System.nanoTime() - t1) / 1e9
-      println(f"[planvsexec] $name run $i: fresh=$fresh%.2f s " +
-        f"reused=$reused%.2f s (plan+codegen ≈ ${fresh - reused}%.2f s)")
+      val qe = ds.queryExecution
+      val t0 = System.nanoTime()
+      qe.executedPlan
+      val plan = (System.nanoTime() - t0) / 1e9
+      val execs = (1 to 2).map { _ =>
+        val t1 = System.nanoTime()
+        qe.toRdd.count()
+        (System.nanoTime() - t1) / 1e9
+      }
+      println(f"[planvsexec] $name run $i: plan=$plan%.2f s " +
+        f"exec1=${execs.head}%.2f s exec2=${execs.last}%.2f s " +
+        "(exec1-exec2 ≈ codegen/JIT)")
     }
     spark.stop()
   }

@@ -941,5 +941,11 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Analytics.passAtK(big, "task", col("ok"))
     }
+    // zero generated samples is a plausible pipeline input: the op
+    // returns the empty per-task frame, it does not NPE on the
+    // null max-samples read
+    val none = Seq.empty[(Long, Long, Boolean)]
+      .toDF("task", "sample", "ok")
+    assert(Analytics.passAtK(none, "task", col("ok")).count() == 0L)
   }
 }

@@ -102,6 +102,17 @@ class DomainOpsSpec extends SparkSpec {
     assert(out(4L) == ((None, None, None)))
   }
 
+  test("a fully-qualified trailing-dot host is the same host (PSL " +
+    "strip) — no phantom empty label wins the default rule") {
+    val out = run(
+      1L -> "https://a.example.com./x",
+      2L -> "https://news.bbc.co.uk./y")
+    assert(out(1L) == ((Some("a.example.com"), Some("com"),
+      Some("example.com"))))
+    assert(out(2L) == ((Some("news.bbc.co.uk"), Some("co.uk"),
+      Some("bbc.co.uk"))))
+  }
+
   test("one output row per distinct (id, url): exact input " +
     "duplicates collapse, distinct ids with the same url do not") {
     val df = Seq((1L, "https://a.example.com/x"),

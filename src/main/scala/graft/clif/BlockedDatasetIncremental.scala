@@ -271,6 +271,9 @@ object BlockedDatasetIncremental {
     if (fs.exists(genDir)) { fs.delete(genDir, true); () }
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), genDir),
       s"rename $staging -> $genDir failed")
+    // the rename moved gen<N> out; drop the now-empty _staging root
+    // so the work dir carries no dangling scaffolding between runs
+    if (fs.exists(stagingRoot)) { fs.delete(stagingRoot, true); () }
     // commit point: atomic-rename the new stamp over the old
     val layoutDir = new org.apache.hadoop.fs.Path(workDir, "_layout")
     fs.mkdirs(layoutDir)

@@ -213,4 +213,53 @@ class BlockedDatasetIncrementalSpec extends SparkSpec {
       .orderBy("user_id", "grid_ts").collect().toSeq == gridFinal,
       "exactly-once must survive a compact-then-rerun sequence")
   }
+
+  test("compaction self-heals crash leftovers: an orphaned _staging " +
+    "copy (pre-rename crash) and a half-built generation dir " +
+    "(pre-flip crash) are cleared, and the live raw store still " +
+    "holds every event exactly once") {
+    val tmp = Files.createTempDirectory("graft_bdi_crash")
+    val in = s"$tmp/in"; val work = s"$tmp/work"
+    val all = events((1L to 9L).toSeq)
+    all.coalesce(1).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    BlockedDatasetIncremental.runOnce(spark, in, work, schema, params,
+      buckets = 4)
+    // crash fixture 1: a compaction died between its staging write
+    // and the directory rename — a full stale raw copy under
+    // _staging that nothing references
+    val orphan = new java.io.File(s"$work/_staging/gen1/__bucket=0")
+    assert(orphan.mkdirs())
+    Files.write(orphan.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    // crash fixture 2: a compaction died after creating the target
+    // generation dir but BEFORE the stamp flip — raw/__batch=-1
+    // exists with plausible (duplicate) data that must never go live
+    val w1dir = new java.io.File(s"$work/raw")
+      .listFiles().find(_.getName == "__batch=0").get
+    val srcBucket = w1dir.listFiles()
+      .find(_.getName.startsWith("__bucket=")).get
+    val srcPart = srcBucket.listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val half = new java.io.File(
+      s"$work/raw/__batch=-1/${srcBucket.getName}")
+    assert(half.mkdirs())
+    Files.copy(srcPart.toPath, half.toPath.resolve(srcPart.getName))
+    // the real compaction clears both leftovers and folds batch 0
+    assert(BlockedDatasetIncremental.compactRaw(spark, work, params))
+    val dirs = new java.io.File(s"$work/raw").listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("__batch=")).toSet
+    assert(dirs == Set("__batch=-1"), dirs)
+    assert(!new java.io.File(s"$work/_staging").exists(),
+      "_staging must be cleared before a new staging write")
+    // exactly-once content: the compacted store holds each of the 9
+    // events once (the half-built duplicate never leaked in)
+    assert(spark.read.parquet(s"$work/raw").count() == 9L)
+    val batchAll = BlockedDataset.build(all, "user_id", "ts",
+      "event_type", "value", "event_id", channels, 3600L,
+      col("event_type") === "error", 4, 80, 10)
+    val grid = BlockedDatasetIncremental.grid(spark, work)
+    assert(grid.exceptAll(batchAll).isEmpty &&
+      batchAll.exceptAll(grid).isEmpty)
+  }
 }

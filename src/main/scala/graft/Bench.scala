@@ -101,12 +101,20 @@ object Bench {
     * sweep otherwise publishes a 9x-inflated number with its quiet
     * plateau sitting beside it (r17: t_bleu 11.13 s published,
     * plateau 1.23 s). An errored plateau (-1) never overwrites; a
-    * plateau SLOWER than the sweep number never overwrites (min). */
+    * plateau SLOWER than the sweep number never overwrites (min).
+    * Total over its inputs (r18 ADVICE): an adjudicated key absent
+    * from the results map is ignored, not a NoSuchElementException —
+    * unreachable from main() (adjudicated derives from results) but
+    * the helper is public and separately tested. */
   def foldPlateaus(results: Map[String, (Double, Option[String])],
       adjudicated: Seq[(String, Double, Double, Double, Double, String)])
       : Map[String, (Double, Option[String])] =
     adjudicated.foldLeft(results) { case (acc, (k, _, v, pl, _, _)) =>
-      if (pl > 0 && pl < v) acc.updated(k, (pl, acc(k)._2)) else acc
+      acc.get(k) match {
+        case Some((_, err)) if pl > 0 && pl < v =>
+          acc.updated(k, (pl, err))
+        case _ => acc
+      }
     }
 
   def main(args: Array[String]): Unit = {
@@ -207,26 +215,63 @@ object Bench {
     // entry and are never flagged. The gate exists so a slowdown is a
     // named fact in the round's artifact, not something a truncated
     // tail can hide.
+    // flags rank by RELATIVE severity (now/prev): when a cap applies,
+    // the worst proportional inflations adjudicate first — r18's
+    // delta-sorted cap spent all 12 slots and left 3-4x-inflated
+    // small queries (a79/a80, t_dedup_keep_best) uncorrected while
+    // big-absolute-but-mild flags took slots
     val regressed = results.toSeq.collect {
       case (k, (v, None)) if prev.get(k).exists(isRegression(_, v)) =>
         k -> (prev(k), v)
-    }.sortBy { case (_, (p, v)) => -(v - p) }
+    }.sortBy { case (_, (p, v)) => -(v / math.max(p, 1e-9)) }
     // ---- self-adjudication (round-10 verdict #3): re-measure each
     // flag at the END of the run — warm JVM, nothing else executing,
     // the context the manual BenchOne sessions reproduced by hand —
     // and record {plateau, verdict} beside {prev, now} so the
-    // artifact adjudicates itself. Capped at 12 flags: a broadly
-    // contended run flags half the suite, and re-running all of it
-    // would double the wall clock for one shared answer.
+    // artifact adjudicates itself.
+    // Cap sizing (r18 verdict #3): the flat 12-flag cap truncated a
+    // broadly-contended run's self-correction — all 12 slots resolved
+    // "contention" and ~7 more inflated entries shipped uncorrected,
+    // making totals incomparable round-over-round. A contended START
+    // (load > cpus/8 — the same signal that predicts broad flagging)
+    // now lifts the cap to the flag count: that is exactly when the
+    // flags are cheap contention plateaus and when truncation ships
+    // wrong numbers. A quiet start keeps the 12 cap — flags there are
+    // real plan changes and rerunning half the suite buys nothing.
     // Each plateau row records /proc/loadavg AT MEASUREMENT TIME and
     // the verdict is load-gated (round-11 verdict #2: a plateau taken
     // on a still-contended box must not certify "real").
     val nCpus = try cpus.toInt catch { case _: NumberFormatException => 32 }
-    val adjudicated = regressed.take(12).map { case (k, (p, v)) =>
+    val loadStartD = try loadStart.toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val adjCap = if (loadStartD > nCpus / 8.0) regressed.size else 12
+    val adjudicated = regressed.take(adjCap).map { case (k, (p, v)) =>
       val pl = plateau(spark, sfDir, SparkEntry.queries(k))
       val ld = try loadavg().toDouble
         catch { case scala.util.control.NonFatal(_) => -1.0 }
       (k, p, v, pl, ld, adjudicateVerdict(p, pl, math.max(ld, 0.0), nCpus))
+    }
+    // ---- quiet-box streaming floor re-measure (r18 verdict #2): the
+    // published streaming_floor_sec sat flat at ~59 s for three
+    // rounds while hand sweeps measured ~49 — because only FLAGGED
+    // stream queries ever earned plateau reruns, and the floor is the
+    // most contention-sensitive line in the artifact (26 queries x
+    // fixed micro-batch overhead, inflation compounds). Re-measure
+    // EVERY healthy s_stream_* query at end of run (the quiet plateau
+    // context; min of 2 isolated executions) and fold min-wise like
+    // any other plateau, so the shipped floor IS the quiet number.
+    // Stream queries already adjudicated above keep their 3-run
+    // plateau and are not re-run.
+    val adjKeys = adjudicated.map(_._1).toSet
+    val streamRemeasured = results.toSeq.collect {
+      case (k, (v, None))
+          if k.startsWith("s_stream_") && !adjKeys.contains(k) =>
+        (k, v)
+    }.sortBy(_._1).map { case (k, v) =>
+      val pl = plateau(spark, sfDir, SparkEntry.queries(k), runs = 2)
+      val ld = try loadavg().toDouble
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
+      (k, prev.getOrElse(k, -1.0), v, pl, ld, "floor-remeasure")
     }
     def rmap(rs: Seq[(String, Double, Double, Double, Double, String)])
         : String =
@@ -237,8 +282,9 @@ object Bench {
       }.mkString("{", ",", "}")
     // ---- fold each plateau into the estimator BEFORE the artifact
     // is written (see [[foldPlateaus]]); totals, slowest-N and the
-    // streaming floor all read the corrected map
-    val corrected = foldPlateaus(results, adjudicated)
+    // streaming floor all read the corrected map — including the
+    // streaming re-measure block, so the floor line is quiet-box
+    val corrected = foldPlateaus(results, adjudicated ++ streamRemeasured)
     // the regressions block keeps only flags still over the gate on
     // their CORRECTED number ("real", "contention-suspect", "error");
     // adjudicated-contention entries are resolved, and the full
@@ -263,6 +309,8 @@ object Bench {
         s""""queries":${qmap(bySlowestC)},"failures":$failures,""" +
         s""""regressions":${rmap(stillRegressed)},""" +
         s""""adjudications":${rmap(adjudicated)},""" +
+        s""""streaming_remeasure":${rmap(streamRemeasured)},""" +
+        s""""adj_cap":$adjCap,"adj_flags":${regressed.size},""" +
         s""""prev_artifact":"${esc(if (prev.isEmpty) "" else prevPath)}",""" +
         s"""$streamJsonC,$loadJson,"errors":$nErr,"sf":"$sfDir"}"""
     val wroteFull =

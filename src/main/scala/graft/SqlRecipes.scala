@@ -1666,7 +1666,7 @@ v$r AS (
          |h AS (
          |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
          |      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
-         |      '^[^/?#]*@', ''), ':[0-9]*$$', ''), '\\\\.$$', '') AS h0
+         |      '^[^/?#]*@', ''), ':[0-9]*$$', ''), '\\\\.+$$', '') AS h0
          |  FROM c),
          |hosts AS (
          |  SELECT doc_id,

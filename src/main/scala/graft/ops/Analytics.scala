@@ -1829,8 +1829,18 @@ object Analytics {
     * largest k=1..10 product (n^k ≤ 10³⁰) inside decimal(38,0) and
     * fails loudly, not by silent decimal-overflow null.
     *
+    * Null semantics (r18 ADVICE — stated, not silent): a NULL
+    * `passCol` counts as a FAILURE — the row still counts into n but
+    * never into c (`when(pass, 1).otherwise(0)`), matching the
+    * conservative eval reading "no recorded pass is not a pass" and
+    * the `graft_pass_at_k` SQL recipe. Callers who instead want
+    * unknown outcomes EXCLUDED must filter `passCol.isNotNull`
+    * upstream — dropping the row changes n, which is a sampling
+    * decision this op must not make silently.
+    *
     * @param samples one row per generated sample
-    * @param passCol boolean: did this sample pass the task's tests
+    * @param passCol boolean: did this sample pass the task's tests;
+    *                null counts as a failure (see above)
     * @param ks      the k values to report (each 1 ≤ k ≤ 10)
     * @return per task: taskCol, n_samples, n_correct, pass_at_<k>… */
   def passAtK(samples: DataFrame, taskCol: String, passCol: Column,

@@ -95,17 +95,23 @@ object DomainOps {
     import spark.implicits._
     (rules.map { r =>
       val (kind, labels) = ruleMeta(r)
+      require(labels < 1024,
+        s"PSL rule '${r.take(40)}' has $labels labels: the packed " +
+          "match priority gives rule_labels 10 bits (valid DNS names " +
+          "have at most 127 labels)")
       (r, kind, labels)
     } :+ (("*", "default", 0))).toDF("rule", "kind", "rule_labels")
   }
 
   /** The host of a CANONICAL url ([[TextOps.canonicalizeUrl]] output:
     * scheme/host already lowercased, `www.` already off): the
-    * authority with userinfo, any surviving non-default port, and one
-    * trailing dot stripped (a fully-qualified `example.com.` is the
+    * authority with userinfo, any surviving non-default port, and ALL
+    * trailing dots stripped (a fully-qualified `example.com.` is the
     * same host as `example.com` — the PSL algorithm specifies the
     * strip, and without it the empty trailing label would win the
-    * default rule and emit a phantom domain). Empty string for
+    * default rule and emit a phantom domain; a malformed crawl host
+    * like `example.com..` must strip BOTH dots or its empty last
+    * label wins the same way — r18 ADVICE). Empty string for
     * non-URL inputs. */
   def hostOf(canonicalUrl: Column): Column =
     regexp_replace(
@@ -115,7 +121,7 @@ object DomainOps {
             "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
           "^[^/?#]*@", ""),
         ":[0-9]*$", ""),
-      "\\.$", "")
+      "\\.+$", "")
 
   /** Emit one row per distinct input (idCol, url): (idCol, url, host,
     * public_suffix, registrable_domain). `urlCol` is canonicalized
@@ -140,7 +146,19 @@ object DomainOps {
   def registrableDomains(df: DataFrame, idCol: String, urlCol: Column,
                          rules: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
-    val dim = rules.getOrElse(suffixDim(spark))
+    // loud bound on the arbitrary-rules swap-in path (r18 ADVICE):
+    // the packed priority gives rule_labels and __i0 ten bits each
+    // (valid DNS hosts/rules have ≤ 127 labels); a malformed rules
+    // row past the bound must fail the broadcast build, not silently
+    // pick the wrong prevailing rule. suffixDim already requires this
+    // driver-side; an externally-built dim gets the same check as a
+    // per-dim-row branch (evaluated once per ~15k broadcast rows).
+    val dim = rules.getOrElse(suffixDim(spark)).withColumn(
+      "rule_labels",
+      when(col("rule_labels").between(0, 1023), col("rule_labels"))
+        .otherwise(raise_error(concat(
+          lit("PSL rule_labels out of [0,1024) for rule '"),
+          col("rule"), lit("'")))))
     // canonicalize once into `url`, then derive the host from THAT
     // column (deriving from urlCol after the projection would
     // reference a dropped input column)
@@ -195,12 +213,19 @@ object DomainOps {
       .when(col("kind") === "wildcard", 1)
       .when(col("kind") === "exception", 2)
       .otherwise(3)
+    // __i0 gets the same 10-bit loud bound as rule_labels: a
+    // pathological dot-run "host" past 1024 labels must fail, not
+    // wrap into a wrong priority (valid DNS is ≤ 127 labels; real
+    // crawl junk hits the isIp/empty null path long before this)
+    val i0Safe = when(col("__i0") < 1024, col("__i0"))
+      .otherwise(raise_error(concat(
+        lit("host has ≥1024 labels: "), col("host"))).cast("int"))
     val matched = cands.join(broadcast(dim),
         cands("__cand.__key") === dim("rule") &&
           cands("__cand.__want") === dim("kind"))
       .select(col(idCol), col("url"), col("host"), col("__n"),
         (((when(col("kind") === "exception", 1L).otherwise(0L) *
-          1024L + col("rule_labels")) * 1024L + col("__i0")) * 4L +
+          1024L + col("rule_labels")) * 1024L + i0Safe) * 4L +
           kindCode).as("__code"))
     // prevailing rule = plain max over the encoded priority: a
     // HashAggregate with map-side partials, back to input

@@ -95,8 +95,12 @@ class BenchSpec extends SparkSpec {
     val adj = Seq(
       ("inflated", 1.0, 11.13, 1.23, 0.5, "contention"),
       ("errored_plateau", 1.0, 3.0, -1.0, 0.5, "error"),
-      ("plateau_slower", 0.4, 1.0, 1.6, 0.5, "real"))
+      ("plateau_slower", 0.4, 1.0, 1.6, 0.5, "real"),
+      // totality (r18 ADVICE): an adjudicated key absent from the
+      // results map is ignored, not a NoSuchElementException
+      ("absent_from_results", 1.0, 9.0, 0.9, 0.5, "contention"))
     val out = Bench.foldPlateaus(results, adj)
+    assert(!out.contains("absent_from_results"))
     // the r17 t_bleu case: the min estimator sees the plateau runs
     assert(out("inflated") == ((1.23, None)))
     // -1 is an error sentinel, not a time — must never overwrite

@@ -947,5 +947,14 @@ class AnalyticsSpec extends SparkSpec {
     val none = Seq.empty[(Long, Long, Boolean)]
       .toDF("task", "sample", "ok")
     assert(Analytics.passAtK(none, "task", col("ok")).count() == 0L)
+    // null-as-fail is the STATED semantics (r18 ADVICE): a null
+    // outcome counts into n but never into c
+    val withNull = Seq((1L, 1L, Some(true)), (1L, 2L, None),
+        (1L, 3L, Some(false))).toDF("task", "sample", "ok")
+    val nr = Analytics.passAtK(withNull, "task", col("ok"),
+      ks = Seq(1)).collect().head
+    assert(nr.getAs[Long]("n_samples") == 3L &&
+      nr.getAs[Long]("n_correct") == 1L &&
+      nr.getAs[Double]("pass_at_1") == 0.333333)
   }
 }

@@ -106,11 +106,35 @@ class DomainOpsSpec extends SparkSpec {
     "strip) — no phantom empty label wins the default rule") {
     val out = run(
       1L -> "https://a.example.com./x",
-      2L -> "https://news.bbc.co.uk./y")
+      2L -> "https://news.bbc.co.uk./y",
+      3L -> "https://a.example.com../x")
     assert(out(1L) == ((Some("a.example.com"), Some("com"),
       Some("example.com"))))
     assert(out(2L) == ((Some("news.bbc.co.uk"), Some("co.uk"),
       Some("bbc.co.uk"))))
+    // a malformed dot-RUN strips entirely too (r18 ADVICE): the
+    // empty last label must not survive to win the default rule
+    assert(out(3L) == ((Some("a.example.com"), Some("com"),
+      Some("example.com"))))
+  }
+
+  test("loud 10-bit bounds: a swap-in rules row with rule_labels " +
+    "out of range fails the broadcast build, not the answer") {
+    import spark.implicits._
+    val badDim = Seq(("com", "normal", 2000))
+      .toDF("rule", "kind", "rule_labels")
+    val df = Seq((1L, "https://a.example.com/x")).toDF("id", "u")
+    val e = intercept[Exception] {
+      DomainOps.registrableDomains(df, "id", col("u"),
+        rules = Some(badDim)).collect()
+    }
+    assert(e.getMessage.contains("rule_labels") ||
+      Option(e.getCause).exists(_.getMessage.contains("rule_labels")))
+    val e2 = intercept[IllegalArgumentException] {
+      DomainOps.suffixDim(spark,
+        Seq(Seq.fill(1500)("a").mkString(".")))
+    }
+    assert(e2.getMessage.contains("labels"))
   }
 
   test("one output row per distinct (id, url): exact input " +

@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, InputStream}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500 — the Common Crawl container) record
+  * ingestion: the missing first stage of a crawl-scale training-data
+  * pipeline. A WARC file is a concatenation of records, each
+  *
+  * {{{
+  * WARC/1.0\r\n
+  * WARC-Type: response\r\n          (named fields, one per line)
+  * Content-Length: N\r\n
+  * \r\n
+  * <N payload bytes>\r\n\r\n
+  * }}}
+  *
+  * `response` records carry a full HTTP response (status line +
+  * headers + HTML body — split with [[httpBody]]); WET files are the
+  * same container holding `conversion` records whose payload is
+  * already extracted text — the SAME reader reads both.
+  *
+  * Scale shape: the file is the parallelism unit, exactly as Common
+  * Crawl ships it (~1 GB per WARC, ~90k files per crawl — records
+  * inside a file are NOT independently splittable without an index,
+  * and per-record gzip members make mid-file splits useless anyway).
+  * [[readRecords]] uses `sparkContext.binaryFiles` — the sanctioned
+  * RDD exception for genuine per-partition imperative logic — so each
+  * task STREAMS its file (PortableDataStream: no whole-file
+  * materialization; memory is bounded by one record's payload, itself
+  * bounded by `maxPayloadBytes`), and the row conversion is a typed
+  * Dataset handoff. Everything downstream is ordinary DataFrame code;
+  * payload bytes never shuffle (project the fields you group on).
+  *
+  * Malformation policy (crawl files ARE dirty): a record that cannot
+  * be parsed — bad magic, unparseable headers, payload truncated by
+  * EOF — becomes a QUARANTINE row (`malformed = true`, `error` set,
+  * whatever fields were recovered kept) rather than failing the scan
+  * or silently vanishing; the reader then resyncs by scanning for the
+  * next record magic. An over-`maxPayloadBytes` record keeps its
+  * headers and drops only the payload (`payload = null`,
+  * `error = "oversize:…"`, `malformed = false` — the bound is a loud,
+  * observable cap, not an error). Gzip (.warc.gz) is detected by
+  * magic and stream-decoded; the JDK inflater consumes concatenated
+  * per-record members transparently.
+  */
+object WarcSource {
+
+  /** One parsed record. `rec_index` is the record's ordinal within
+    * its file (files parse sequentially, so this is deterministic);
+    * header fields are null when absent/unrecovered. */
+  case class WarcRow(
+      source_file: String,
+      rec_index: Long,
+      warc_type: String,
+      record_id: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      payload: Array[Byte],
+      malformed: Boolean,
+      error: String)
+
+  /** Read every record of every WARC/WET file under `path` (glob ok).
+    * One task per file; see object doc for the scale rationale. */
+  def readRecords(spark: SparkSession, path: String,
+                  maxPayloadBytes: Long = 64L << 20): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        val raw = new BufferedInputStream(pds.open())
+        val in =
+          if (isGzip(raw)) new java.util.zip.GZIPInputStream(raw)
+          else raw
+        closeOnExhaust(parseStream(in, file, maxPayloadBytes), in)
+      }
+      .toDS().toDF()
+  }
+
+  /** HTTP response payload → body: everything after the first blank
+    * line (status line and headers dropped). Pure column op on the
+    * UTF-8 payload text, oracle-replayable. */
+  def httpBody(payloadText: Column): Column =
+    regexp_replace(payloadText, "(?s)^.*?\\r\\n\\r\\n", "")
+
+  /** Payload bytes → string for text-bearing records (conversion
+    * records, HTTP text bodies). */
+  def payloadText(payload: Column): Column =
+    decode(payload, "UTF-8")
+
+  // ===== fixture writer (specs / staged oracle queries) =====
+
+  /** Render one record. Content-Length is computed, not caller-set. */
+  def record(headers: Seq[(String, String)],
+             payload: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => h.append(s"$k: $v\r\n") }
+    h.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    h.toString.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** Concatenate records into one WARC file's bytes. */
+  def writeWarc(records: Seq[Array[Byte]]): Array[Byte] =
+    records.foldLeft(Array.emptyByteArray)(_ ++ _)
+
+  // ===== streaming parser =====
+
+  private def isGzip(in: BufferedInputStream): Boolean = {
+    in.mark(2)
+    val b0 = in.read(); val b1 = in.read()
+    in.reset()
+    b0 == 0x1f && b1 == 0x8b
+  }
+
+  /** Wrap `it` so the stream closes exactly once when the iterator
+    * exhausts (flatMap never hands us a completion callback). */
+  private def closeOnExhaust(it: Iterator[WarcRow],
+                             in: InputStream): Iterator[WarcRow] =
+    new Iterator[WarcRow] {
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; in.close() }
+        h
+      }
+      def next(): WarcRow = it.next()
+    }
+
+  /** Read one header line: bytes to LF (CRLF tolerated and stripped,
+    * bare LF tolerated — crawls contain both). None at EOF. */
+  private def readLine(in: InputStream): Option[String] = {
+    val buf = new ByteArrayOutputStream(96)
+    var b = in.read()
+    if (b < 0) return None
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val s = buf.toString("UTF-8")
+    Some(if (s.endsWith("\r")) s.dropRight(1) else s)
+  }
+
+  private def readFully(in: InputStream, n: Long,
+                        keep: Int): (Array[Byte], Long) = {
+    val out = new ByteArrayOutputStream(math.min(n, keep.toLong).toInt)
+    var read = 0L
+    val chunk = new Array[Byte](64 * 1024)
+    while (read < n) {
+      val want = math.min(chunk.length.toLong, n - read).toInt
+      val got = in.read(chunk, 0, want)
+      if (got < 0) throw new EOFException(
+        s"payload truncated at $read of $n bytes")
+      if (read < keep) out.write(chunk, 0,
+        math.min(got.toLong, keep - read).toInt)
+      read += got
+    }
+    (out.toByteArray, read)
+  }
+
+  /** Sequential record parse with quarantine + resync (object doc).
+    * Lazy: one record is materialized at a time. */
+  private[sources] def parseStream(in: InputStream, file: String,
+      maxPayloadBytes: Long): Iterator[WarcRow] =
+    new Iterator[WarcRow] {
+      private var idx = 0L
+      private var nextRow: Option[WarcRow] = fetch()
+
+      private def headerMap(lines: Seq[String]): Map[String, String] =
+        lines.flatMap { l =>
+          val i = l.indexOf(':')
+          if (i <= 0) None
+          else Some(l.substring(0, i).trim.toLowerCase ->
+            l.substring(i + 1).trim)
+        }.toMap
+
+      /** Skip blank/junk lines to the next `WARC/` magic; None at
+        * EOF. Returns whether junk was skipped (resync happened). */
+      private def seekMagic(): (Option[String], Boolean) = {
+        var skipped = false
+        var l = readLine(in)
+        while (l.exists(s => !s.startsWith("WARC/"))) {
+          if (l.exists(_.nonEmpty)) skipped = true
+          l = readLine(in)
+        }
+        (l, skipped)
+      }
+
+      private def fetch(): Option[WarcRow] = {
+        val (magic, resynced) = seekMagic()
+        magic match {
+          case None => None
+          case Some(_) =>
+            val i = idx; idx += 1
+            // headers to the blank line (EOF mid-headers = truncated)
+            val lines = Iterator.continually(readLine(in))
+              .takeWhile(l => l.exists(_.nonEmpty))
+              .flatten.toList
+            val h = headerMap(lines)
+            val cl = h.get("content-length").flatMap(s =>
+              scala.util.Try(s.toLong).toOption)
+            def row(payload: Array[Byte], malformed: Boolean,
+                    err: String) = WarcRow(file, i,
+              h.get("warc-type").orNull,
+              h.get("warc-record-id").orNull,
+              h.get("warc-target-uri").orNull,
+              h.get("warc-date").orNull,
+              h.get("content-type").orNull,
+              cl.getOrElse(-1L), payload, malformed,
+              Option(err).map(e =>
+                if (resynced) s"resync; $e" else e)
+                .getOrElse(if (resynced) "resync" else null))
+            cl match {
+              case None =>
+                Some(row(null, malformed = true,
+                  "missing/invalid Content-Length"))
+              case Some(n) if n < 0 =>
+                Some(row(null, malformed = true,
+                  s"negative Content-Length $n"))
+              case Some(n) =>
+                try {
+                  val keep =
+                    if (n > maxPayloadBytes) 0
+                    else math.min(n, Int.MaxValue.toLong - 8).toInt
+                  val (bytes, _) = readFully(in, n, keep)
+                  if (n > maxPayloadBytes)
+                    Some(row(null, malformed = false,
+                      s"oversize: $n > cap $maxPayloadBytes, " +
+                        "payload dropped"))
+                  else Some(row(bytes, malformed = false, null))
+                } catch {
+                  case e: EOFException =>
+                    Some(row(null, malformed = true, e.getMessage))
+                }
+            }
+        }
+      }
+
+      def hasNext: Boolean = nextRow.isDefined
+      def next(): WarcRow = {
+        val r = nextRow.getOrElse(Iterator.empty.next())
+        nextRow = fetch()
+        r
+      }
+    }
+}

@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the step between WARC ingestion
+  * ([[graft.sources.WarcSource]]) and the curation board's clean
+  * `documents.text`: CCNet/RefinedWeb-class training-data pipelines
+  * start at crawled HTML, and everything in [[TextOps]] (quality,
+  * langid, dedup keys) assumes markup is already gone.
+  *
+  * Two levels:
+  *   - [[stripHtml]]: comment/script/style/noscript removal, block-
+  *     level tags → newline (so document structure survives as line
+  *     structure), all remaining tags → space, the six standard
+  *     entities decoded, whitespace normalized (runs of spaces → one;
+  *     blank-padded newline runs → one newline; ends trimmed).
+  *   - [[mainText]]: boilerplate removal by block text-density — a
+  *     block (one stripped line) survives when it carries at least
+  *     `minBlockTokens` whitespace tokens OR ends in sentence
+  *     punctuation (`.`/`!`/`?`). Nav menus, button labels and footer
+  *     link-farms are short and unpunctuated; body prose is long or
+  *     sentence-terminated. This is the jusText/boilerpipe family's
+  *     core density signal reduced to its deterministic, engine-
+  *     replayable form.
+  *
+  * Everything is a pure Catalyst expression chain — regexp_replace /
+  * replace / higher-order filter — zero UDFs, zero shuffles, fully
+  * replayable in the DuckDB oracle. The regexes stay inside the
+  * java.util.regex ∩ RE2 common subset (DuckDB is RE2: NO
+  * backreferences — the script/style/noscript closers are spelled
+  * per-tag — and only `(?is)` inline flags, `\b`, lazy `.*?`).
+  *
+  * Interpreted-tree caveat (the canonicalizeUrl discipline):
+  * [[mainText]] contains a higher-order lambda, so the full tree runs
+  * interpreted and must evaluate ONCE per row — keep it a grouping
+  * key / pre-exchange projection, never re-derivable above an
+  * exchange as a pushable predicate.
+  */
+object HtmlOps {
+
+  /** Block-level elements whose open/close tags become newlines —
+    * one alternation shared with the SQL recipe and oracle. */
+  val BlockTags: String =
+    "p|div|br|hr|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead" +
+      "|tbody|tr|td|th|blockquote|pre|section|article|aside|header" +
+      "|footer|nav|form|figure|figcaption|title|head|body|html"
+
+  /** The ordered (regex → replacement) strip chain of [[stripHtml]]
+    * BEFORE entity decode — exposed so the oracle/recipe replays the
+    * identical passes in the identical order. Order matters: comments
+    * go first (a commented-out `<script>` must not eat to the next
+    * real closer), the content-swallowing pairs next, block tags
+    * before the generic tag strip (or there would be nothing left to
+    * turn into newlines). */
+  val TagChain: Seq[(String, String)] = Seq(
+    "(?is)<!--.*?-->" -> " ",
+    "(?is)<script\\b[^>]*>.*?</script>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style>" -> " ",
+    "(?is)<noscript\\b[^>]*>.*?</noscript>" -> " ",
+    s"(?is)</?(?:$BlockTags)\\b[^>]*>" -> "\n",
+    "(?is)<[^>]*>" -> " ",
+    // an unterminated tag at end-of-input (truncated page) is markup,
+    // not text — real parsers drop it too
+    "<[^>]*$" -> " ")
+
+  /** The standard named/numeric entities decoded, in decode order —
+    * `&amp;` LAST, the classic double-decode guard: `&amp;lt;` is the
+    * four LITERAL characters `&lt;` and must not become `<`. */
+  val Entities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  /** Markup → newline-blocked plain text (see object doc). The
+    * whitespace passes run AFTER entity decode so `&nbsp;` runs
+    * collapse like any other spaces. */
+  def stripHtml(html: Column): Column = {
+    val tagless = TagChain.foldLeft(html) { case (c, (re, sub)) =>
+      regexp_replace(c, re, sub)
+    }
+    val decoded = Entities.foldLeft(tagless) { case (c, (e, ch)) =>
+      call_function("replace", c, lit(e), lit(ch))
+    }
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(decoded, "[ \\t\\r\\f]+", " "),
+        " ?\\n[ \\n]*", "\n"),
+      "^\\n+|\\n+$", ""))
+  }
+
+  /** Main-content extraction: [[stripHtml]] then the block density
+    * filter (object doc). Degenerate/markup-free inputs pass through
+    * the same rule — a bare prose string is one block and survives
+    * iff it meets the density test. */
+  def mainText(html: Column, minBlockTokens: Int = 5): Column = {
+    val kept = filter(split(stripHtml(html), "\n"), b =>
+      (size(split(b, " ")) >= minBlockTokens) || b.rlike("[.!?]$"))
+    array_join(kept, "\n")
+  }
+}

@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** [[WarcSource]] contract: record roundtrip (headers + payload),
+  * WET conversion records through the same reader, the quarantine
+  * rows (truncation, bad Content-Length, junk-resync), the oversize
+  * payload cap, gzip by magic, and the HTTP body split. */
+class WarcSourceSpec extends SparkSpec {
+
+  private def http(body: String): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+      .getBytes("UTF-8")
+
+  private def rec(i: Int, typ: String, uri: String,
+                  payload: Array[Byte]): Array[Byte] =
+    WarcSource.record(Seq(
+      "WARC-Type" -> typ,
+      "WARC-Record-ID" -> s"<urn:uuid:rec-$i>",
+      "WARC-Date" -> "2026-08-16T00:00:00Z",
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> (if (typ == "conversion") "text/plain"
+                         else "application/http; msgtype=response")),
+      payload)
+
+  private def stage(name: String, bytes: Array[Byte]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    val p = dir.resolve(name)
+    java.nio.file.Files.write(p, bytes)
+    p.toString
+  }
+
+  test("roundtrip: response + conversion records come back with " +
+    "headers, payloads and file-ordinal rec_index intact") {
+    val bytes = WarcSource.writeWarc(Seq(
+      rec(0, "warcinfo", "none", "software: graft-spec".getBytes("UTF-8")),
+      rec(1, "response", "https://a.example.com/x",
+        http("<html><body><p>hello world</p></body></html>")),
+      rec(2, "conversion", "https://a.example.com/x",
+        "hello world".getBytes("UTF-8"))))
+    val out = WarcSource.readRecords(spark, stage("a.warc", bytes))
+      .orderBy("rec_index").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("warc_type")).toSeq ==
+      Seq("warcinfo", "response", "conversion"))
+    assert(out.forall(!_.getAs[Boolean]("malformed")))
+    assert(out(1).getAs[String]("target_uri") ==
+      "https://a.example.com/x")
+    assert(out(1).getAs[String]("record_id") == "<urn:uuid:rec-1>")
+    assert(out(1).getAs[String]("warc_date") ==
+      "2026-08-16T00:00:00Z")
+    val body = new String(out(2).getAs[Array[Byte]]("payload"), "UTF-8")
+    assert(body == "hello world")
+    assert(out(2).getAs[Long]("content_length") == 11L)
+  }
+
+  test("httpBody splits status line + headers off a response " +
+    "payload; payloadText decodes") {
+    val bytes = WarcSource.writeWarc(Seq(
+      rec(0, "response", "https://x/", http("<p>B1</p>\r\nB2"))))
+    val out = WarcSource.readRecords(spark, stage("b.warc", bytes))
+      .select(WarcSource.httpBody(
+        WarcSource.payloadText(col("payload"))).as("body"))
+      .collect().head.getString(0)
+    assert(out == "<p>B1</p>\r\nB2")
+  }
+
+  test("truncated final record quarantines (malformed=true, headers " +
+    "kept) without killing the scan; earlier records unaffected") {
+    val good = rec(0, "conversion", "https://x/1",
+      "payload one".getBytes("UTF-8"))
+    val bad = rec(1, "conversion", "https://x/2",
+      "payload two full".getBytes("UTF-8"))
+      .dropRight(12) // cut inside the payload
+    val out = WarcSource.readRecords(spark,
+        stage("c.warc", WarcSource.writeWarc(Seq(good, bad))))
+      .orderBy("rec_index").collect()
+    assert(out.length == 2)
+    assert(!out(0).getAs[Boolean]("malformed"))
+    assert(out(1).getAs[Boolean]("malformed"))
+    assert(out(1).getAs[String]("target_uri") == "https://x/2")
+    assert(out(1).getAs[String]("error").contains("truncated"))
+    assert(out(1).getAs[Array[Byte]]("payload") == null)
+  }
+
+  test("junk between records resyncs to the next magic and is " +
+    "recorded on the recovered row; bad Content-Length quarantines") {
+    val r0 = rec(0, "conversion", "https://x/1", "one".getBytes("UTF-8"))
+    val junk = "complete garbage, no warc magic\r\nmore junk\r\n"
+      .getBytes("UTF-8")
+    val r1 = rec(1, "conversion", "https://x/2", "two".getBytes("UTF-8"))
+    val noCl = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://x/3\r\nContent-Length: NaN\r\n\r\n")
+      .getBytes("UTF-8")
+    val out = WarcSource.readRecords(spark, stage("d.warc",
+        WarcSource.writeWarc(Seq(r0, junk, r1, noCl))))
+      .orderBy("rec_index").collect()
+    assert(out.length == 3)
+    assert(!out(0).getAs[Boolean]("malformed") &&
+      out(0).getAs[String]("error") == null)
+    assert(!out(1).getAs[Boolean]("malformed"))
+    assert(out(1).getAs[String]("error").startsWith("resync"))
+    assert(new String(out(1).getAs[Array[Byte]]("payload"),
+      "UTF-8") == "two")
+    assert(out(2).getAs[Boolean]("malformed"))
+    assert(out(2).getAs[String]("error").contains("Content-Length"))
+  }
+
+  test("oversize payload keeps headers, drops bytes, and says so " +
+    "loudly (observable cap, not an error); the stream stays in sync " +
+    "for the next record") {
+    val big = rec(0, "response", "https://x/big",
+      http("B" * 4096))
+    val after = rec(1, "conversion", "https://x/after",
+      "small".getBytes("UTF-8"))
+    val out = WarcSource.readRecords(spark,
+        stage("e.warc", WarcSource.writeWarc(Seq(big, after))),
+        maxPayloadBytes = 1024)
+      .orderBy("rec_index").collect()
+    assert(out.length == 2)
+    assert(!out(0).getAs[Boolean]("malformed"))
+    assert(out(0).getAs[String]("error").startsWith("oversize"))
+    assert(out(0).getAs[Array[Byte]]("payload") == null)
+    assert(out(0).getAs[Long]("content_length") > 1024)
+    assert(new String(out(1).getAs[Array[Byte]]("payload"),
+      "UTF-8") == "small")
+  }
+
+  test("a .warc.gz (whole-file gzip; JDK inflater also consumes " +
+    "per-record concatenated members) parses identically") {
+    val plain = WarcSource.writeWarc(Seq(
+      rec(0, "conversion", "https://x/1", "gz one".getBytes("UTF-8")),
+      rec(1, "conversion", "https://x/2", "gz two".getBytes("UTF-8"))))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain); gz.close()
+    val out = WarcSource.readRecords(spark,
+        stage("f.warc.gz", bos.toByteArray))
+      .orderBy("rec_index").collect()
+    assert(out.length == 2)
+    assert(out.forall(!_.getAs[Boolean]("malformed")))
+    assert(new String(out(1).getAs[Array[Byte]]("payload"),
+      "UTF-8") == "gz two")
+  }
+
+  test("per-record gzip members (the Common Crawl layout) parse " +
+    "through the same multi-member inflater path") {
+    def gzOne(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(b); gz.close(); bos.toByteArray
+    }
+    val bytes =
+      gzOne(rec(0, "conversion", "https://x/1", "m one".getBytes("UTF-8"))) ++
+      gzOne(rec(1, "conversion", "https://x/2", "m two".getBytes("UTF-8")))
+    val out = WarcSource.readRecords(spark, stage("g.warc.gz", bytes))
+      .orderBy("rec_index").collect()
+    assert(out.length == 2)
+    assert(new String(out(0).getAs[Array[Byte]]("payload"),
+      "UTF-8") == "m one")
+    assert(new String(out(1).getAs[Array[Byte]]("payload"),
+      "UTF-8") == "m two")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** [[HtmlOps]] contract: the strip chain (scripts/styles/comments
+  * swallowed, block tags → line structure, entities, whitespace), the
+  * density-based main-content filter, and the edge inputs (empty,
+  * null, markup-free, unclosed script). */
+class HtmlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strip(html: String): String =
+    Seq(Tuple1(html)).toDF("h")
+      .select(HtmlOps.stripHtml(col("h"))).collect().head.getString(0)
+
+  private def main(html: String, minTok: Int = 5): String =
+    Seq(Tuple1(html)).toDF("h")
+      .select(HtmlOps.mainText(col("h"), minTok))
+      .collect().head.getString(0)
+
+  test("stripHtml: scripts/styles/comments swallowed WITH content; " +
+    "block tags become newlines; inline tags become spaces") {
+    val html = "<html><head><title>T</title>" +
+      "<style>p { color: red }</style>" +
+      "<script type='x'>var a = '<p>not text</p>';</script></head>" +
+      "<body><!-- hidden --><p>First <b>bold</b> para.</p>" +
+      "<div>Second block</div>tail</body></html>"
+    assert(strip(html) == "T\nFirst bold para.\nSecond block\ntail")
+  }
+
+  test("stripHtml: entity decode with &amp; last (no double decode); " +
+    "&nbsp; collapses with surrounding whitespace") {
+    assert(strip("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; b&nbsp;&nbsp;c") ==
+      "a <tag> \"q\" 's' b c")
+    // &amp;lt; is the LITERAL text "&lt;", not "<"
+    assert(strip("x &amp;lt; y") == "x &lt; y")
+  }
+
+  test("stripHtml: whitespace normalization — space runs to one, " +
+    "padded newline runs to one newline, ends trimmed") {
+    assert(strip("  <p>a   b</p>\n\n  <p>  c  </p>  ") == "a b\nc")
+  }
+
+  test("stripHtml edge inputs: empty and markup-free pass through; " +
+    "an unclosed script falls back to tag-level stripping") {
+    assert(strip("") == "")
+    assert(strip("no markup here.") == "no markup here.")
+    // no closing </script>: the pair rule can't swallow; the generic
+    // tag strip still removes the tags themselves (deterministic,
+    // oracle-replayable degradation)
+    assert(strip("<script>var x = 1;</script2") == "var x = 1;")
+  }
+
+  test("mainText: short unpunctuated blocks (nav/footer boilerplate) " +
+    "drop; long or sentence-terminated blocks survive") {
+    val html = "<ul><li>Home</li><li>About Us</li><li>Contact</li></ul>" +
+      "<p>This paragraph carries enough tokens to be kept as body.</p>" +
+      "<p>Short but ends.</p>" +
+      "<div>© 2026 SomeCorp</div>"
+    assert(main(html) ==
+      "This paragraph carries enough tokens to be kept as body.\n" +
+        "Short but ends.")
+  }
+
+  test("mainText: a markup-free input is one block under the same " +
+    "density rule; null propagates") {
+    assert(main("tiny") == "")
+    assert(main("tiny but punctuated.") == "tiny but punctuated.")
+    val out = Seq(Tuple1(null: String)).toDF("h")
+      .select(HtmlOps.mainText(col("h"))).collect().head
+    assert(out.isNullAt(0))
+  }
+}

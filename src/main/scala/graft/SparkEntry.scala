@@ -62,6 +62,91 @@ object SparkEntry {
   /** Per-JVM cache of the fixed-width customer extract staging. */
   private val stagedFixedWidth =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-JVM cache of the staged WARC fixture file (s16/t_warc). */
+  private val stagedWarc =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The WARC fixture's response-page template, split at its two
+    * dynamic holes (doc id, doc text) so the Scala staging, the
+    * t_html_extract variant-0 page, and the DuckDB oracles all render
+    * the SAME bytes from one source of truth. No single quotes (SQL
+    * literal safety); the style/script/comment content exercises the
+    * swallow rules; the nav list and the short unpunctuated title
+    * exercise the density filter; the punctuated tail survives it. */
+  private[graft] val WarcPage: (String, String, String) = (
+    "<html><head><title>Doc ",
+    "</title><style>body { margin: 0 }</style>" +
+      "<script>var x = 1 < 2;</script></head><body>" +
+      "<!-- chrome --><p>",
+    "</p><ul><li>Home</li><li>About Us</li><li>Contact</li></ul>" +
+      "<div>Short tail.</div></body></html>")
+
+  private def warcPage(id: String, text: String): String =
+    WarcPage._1 + id + WarcPage._2 + text + WarcPage._3
+
+  /** [[warcPage]] as a DuckDB expression over id/text SQL exprs. */
+  private def warcPageSql(idExpr: String, textExpr: String): String =
+    "'" + WarcPage._1 + "' || " + idExpr + " || '" + WarcPage._2 +
+      "' || " + textExpr + " || '" + WarcPage._3 + "'"
+
+  private val WarcHttpHead =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+
+  /** [[WarcHttpHead]] as a DuckDB expression (chr-composed CRLFs). */
+  private val WarcHttpHeadSql =
+    "'HTTP/1.1 200 OK' || chr(13) || chr(10) || " +
+      "'Content-Type: text/html' || chr(13) || chr(10) || " +
+      "chr(13) || chr(10)"
+
+  /** Stage the WARC fixture once per sf dir: a warcinfo record, one
+    * record per documents row with doc_id ≡ 0 (mod 5) in doc_id order
+    * — response (HTTP head + [[warcPage]]) when doc_id ≡ 0 (mod 10),
+    * WET-style conversion (raw text) otherwise — and a deliberately
+    * TRUNCATED tail record (Content-Length 1000, 15 payload bytes,
+    * EOF) so the quarantine path is on the oracled surface. Dim-scale
+    * collect (100 rows at sf0.01, 1k at sf0.1), the s8/s9 staging
+    * discipline. */
+  private def warcFixture(s: SparkSession, dir: String): String =
+    stagedWarc.getOrElseUpdate(dir, {
+      import graft.sources.WarcSource
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id").collect()
+      def hdrs(i: Long, typ: String, uri: Option[String], ct: String) =
+        Seq("WARC-Type" -> typ,
+          "WARC-Record-ID" -> s"<urn:graft:$i>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z") ++
+          uri.map("WARC-Target-URI" -> _) :+ ("Content-Type" -> ct)
+      val info = WarcSource.record(
+        hdrs(0, "warcinfo", None, "application/warc-fields"),
+        "software: graft-fixture".getBytes("UTF-8"))
+      val recs = rows.toSeq.zipWithIndex.map { case (r, j) =>
+        val id = r.getLong(0); val text = r.getString(1)
+        val uri = s"https://fixture.test/doc/$id"
+        if (id % 10 == 0)
+          WarcSource.record(hdrs(j + 1L, "response", Some(uri),
+            "application/http; msgtype=response"),
+            (WarcHttpHead + warcPage(id.toString, text))
+              .getBytes("UTF-8"))
+        else
+          WarcSource.record(hdrs(j + 1L, "conversion", Some(uri),
+            "text/plain"), text.getBytes("UTF-8"))
+      }
+      val truncated = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Record-ID: <urn:graft:${rows.length + 1}>\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        "WARC-Target-URI: https://fixture.test/truncated\r\n" +
+        "Content-Type: text/plain\r\nContent-Length: 1000\r\n\r\n" +
+        "partial payload").getBytes("UTF-8")
+      val out = tempDir("graft_warc")
+      val p = java.nio.file.Paths.get(out, "fixture.warc")
+      java.nio.file.Files.write(p,
+        WarcSource.writeWarc((info +: recs) :+ truncated))
+      p.toString
+    })
   /** Per-JVM cache of the streaming-distinct staging (events + two
     * sentinel drain batches). */
   private val stagedDistinctEventsDir =
@@ -5339,6 +5424,66 @@ object SparkEntry {
           max(col("c_custkey")).as("max_key"))
     }),
 
+    // ---- §crawl S16: WARC/WET record scan — the Common Crawl
+    // container ([[graft.sources.WarcSource]]): fixture staged from
+    // documents (response + conversion records + a truncated tail),
+    // read back through the streaming per-file parser; header fields,
+    // payload bytes (md5), and the quarantine row all hash-oracled. ----
+    "s16_warc_scan" -> ((s, dir) =>
+      graft.sources.WarcSource.readRecords(s, warcFixture(s, dir))
+        .select(col("rec_index"), col("warc_type"), col("target_uri"),
+          col("content_type"), col("content_length"),
+          md5(col("payload")).as("payload_md5"),
+          col("malformed"), col("error"))),
+
+    // ---- crawl curation: HTML → text extraction
+    // ([[graft.text.HtmlOps]]) — four page shapes built per doc
+    // (full template page / entity-heavy / messy-whitespace +
+    // swallowed script / markup-free), stripped and density-filtered;
+    // the oracle replays the IDENTICAL regex chain (generated from
+    // HtmlOps.TagChain/Entities) in DuckDB. Two projections so the
+    // interpreted mainText lambda reads the stripped ATTRIBUTE and
+    // the strip chain evaluates once per row. ----
+    "t_html_extract" -> ((s, dir) => {
+      import graft.text.HtmlOps
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val m = pmod(col("doc_id"), lit(4))
+      val html = when(m === 0,
+          concat(lit(WarcPage._1), col("doc_id").cast("string"),
+            lit(WarcPage._2), col("text"), lit(WarcPage._3)))
+        .when(m === 1, concat(lit("<div>a &lt;x&gt; &amp;amp; "),
+          col("text"), lit(" &quot;end&quot;</div><p>Done.</p>")))
+        .when(m === 2, concat(lit("<script>hidden()</script><p>  "),
+          col("text"),
+          lit("  </p>\n\n<span>tiny</span><div>It ends here!</div>")))
+        .otherwise(col("text"))
+      d.select(col("doc_id"), HtmlOps.stripHtml(html).as("stripped"))
+        .select(col("doc_id"), col("stripped"),
+          HtmlOps.mainTextFromStripped(col("stripped")).as("main_text"))
+    }),
+
+    // ---- crawl curation capstone: WARC → HTTP body → main text →
+    // token stats, one composed pipeline over the staged fixture's
+    // response records (the RefinedWeb first mile). Each stage reads
+    // the previous stage's ATTRIBUTE (three stacked projections, no
+    // re-derivation of the interpreted trees). ----
+    "t_warc_curate" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      import graft.text.HtmlOps
+      WarcSource.readRecords(s, warcFixture(s, dir))
+        .filter(col("warc_type") === "response" && !col("malformed"))
+        .select(col("target_uri"),
+          HtmlOps.stripHtml(WarcSource.httpBody(
+            WarcSource.payloadText(col("payload")))).as("stripped"))
+        .select(col("target_uri"),
+          HtmlOps.mainTextFromStripped(col("stripped")).as("main_text"))
+        .select(col("target_uri"), col("main_text"),
+          size(split(col("main_text"), "[ \n]")).cast("long")
+            .as("n_tokens"))
+        .withColumn("kept", col("n_tokens") >= 20)
+    }),
+
     "s8_xlsx_scan" -> ((s, dir) => {
       val tmp = tempDir("graft_xlsx_q")
       val rows = t(s, dir, "nation")
@@ -5419,6 +5564,37 @@ object SparkEntry {
     * (rule, kind, label count), plus the implicit default rule. */
   private val SuffixRulesValues: String =
     graft.text.DomainOps.rulesValuesSql
+
+  /** DuckDB replay of the [[graft.text.HtmlOps]] strip chain over a
+    * SQL expression — generated from the SAME TagChain/Entities
+    * constants the engine evaluates (patterns live in the
+    * java.util.regex ∩ RE2 subset), so oracle and engine cannot
+    * drift. DuckDB regexp_replace needs the explicit 'g' flag; the
+    * newline replacement/boundary passes use chr(10) and the same
+    * backslash escapes RE2 and java.util.regex both interpret. */
+  private def duckStripSql(expr: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val tagless = graft.text.HtmlOps.TagChain.foldLeft(expr) {
+      case (e, (re, sub)) =>
+        val rep = if (sub == "\n") "chr(10)" else q(sub)
+        s"regexp_replace($e, ${q(re)}, $rep, 'g')"
+    }
+    val decoded = graft.text.HtmlOps.Entities.foldLeft(tagless) {
+      case (e, (ent, ch)) => s"replace($e, ${q(ent)}, ${q(ch)})"
+    }
+    "trim(regexp_replace(regexp_replace(regexp_replace(" + decoded +
+      ", '[ \\t\\r\\f]+', ' ', 'g'), ' ?\\n[ \\n]*', chr(10), 'g'), " +
+      "'^\\n+|\\n+$', '', 'g'))"
+  }
+
+  /** DuckDB replay of [[graft.text.HtmlOps.mainTextFromStripped]]'s
+    * block density filter (≥ minTok whitespace tokens OR sentence-
+    * terminated) over an already-stripped SQL expression. */
+  private def duckMainSql(strippedExpr: String, minTok: Int = 5)
+      : String =
+    s"array_to_string(list_filter(string_split($strippedExpr, " +
+      s"chr(10)), b -> len(string_split(b, ' ')) >= $minTok OR " +
+      "regexp_matches(b, '[.!?]$')), chr(10))"
 
   /** Shared by w26_rate_limit and its streaming twin s_stream_rate —
     * the token bucket replayed step-exact: bucket starts FULL, refill
@@ -8574,6 +8750,96 @@ r$k AS (
         |    AS sum_bal,
         |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
         |FROM customer GROUP BY 1""".stripMargin,
+
+    // WARC scan: the oracle reconstructs every staged record —
+    // warcinfo, per-doc response (HTTP head + the shared WarcPage
+    // template) / conversion payloads, and the truncated tail's
+    // quarantine row — and hashes payload bytes independently (md5
+    // over the identical string both sides)
+    "s16_warc_scan" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 5 = 0),
+        |o AS (SELECT doc_id, text,
+        |        row_number() OVER (ORDER BY doc_id) AS rn FROM d),
+        |recs AS (
+        |  SELECT CAST(0 AS BIGINT) AS rec_index,
+        |    'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+        |    'application/warc-fields' AS content_type,
+        |    'software: graft-fixture' AS payload,
+        |    CAST(NULL AS BIGINT) AS forced_len, false AS malformed,
+        |    CAST(NULL AS VARCHAR) AS error
+        |  UNION ALL
+        |  SELECT rn, CASE WHEN doc_id % 10 = 0 THEN 'response'
+        |      ELSE 'conversion' END,
+        |    'https://fixture.test/doc/' || doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN 'application/http; msgtype=response'
+        |      ELSE 'text/plain' END,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN $WarcHttpHeadSql || ${warcPageSql("doc_id", "text")}
+        |      ELSE text END,
+        |    NULL, false, NULL
+        |  FROM o
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM o) + 1, 'conversion',
+        |    'https://fixture.test/truncated', 'text/plain', NULL,
+        |    1000, true, 'payload truncated at 15 of 1000 bytes')
+        |SELECT rec_index, warc_type, target_uri, content_type,
+        |  COALESCE(forced_len, strlen(payload)) AS content_length,
+        |  md5(payload) AS payload_md5, malformed, error
+        |FROM recs""".stripMargin,
+
+    // HTML extraction: the four page variants rebuilt in SQL, then
+    // the strip chain + density filter replayed via duckStripSql /
+    // duckMainSql (generated from the engine's own constants)
+    "t_html_extract" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id, CASE doc_id % 4
+        |    WHEN 0 THEN ${warcPageSql("doc_id", "text")}
+        |    WHEN 1 THEN '<div>a &lt;x&gt; &amp;amp; ' || text ||
+        |      ' &quot;end&quot;</div><p>Done.</p>'
+        |    WHEN 2 THEN '<script>hidden()</script><p>  ' || text ||
+        |      '  </p>' || chr(10) || chr(10) ||
+        |      '<span>tiny</span><div>It ends here!</div>'
+        |    ELSE text END AS html
+        |  FROM d),
+        |s AS (SELECT doc_id, ${duckStripSql("html")} AS stripped
+        |      FROM h)
+        |SELECT doc_id, stripped,
+        |  ${duckMainSql("stripped")} AS main_text
+        |FROM s""".stripMargin,
+
+    // WARC→text capstone: full-payload rebuild, the SAME httpBody
+    // regex split, then the strip/density replay and token stats
+    "t_warc_curate" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 10 = 0),
+        |p AS (
+        |  SELECT 'https://fixture.test/doc/' || doc_id AS target_uri,
+        |    $WarcHttpHeadSql || ${warcPageSql("doc_id", "text")}
+        |      AS payload
+        |  FROM d),
+        |b AS (
+        |  SELECT target_uri,
+        |    regexp_replace(payload, '(?s)^.*?\\r\\n\\r\\n', '') AS html
+        |  FROM p),
+        |s AS (SELECT target_uri, ${duckStripSql("html")} AS stripped
+        |      FROM b),
+        |m AS (SELECT target_uri,
+        |        ${duckMainSql("stripped")} AS main_text
+        |      FROM s)
+        |SELECT target_uri, main_text,
+        |  CAST(len(string_split_regex(main_text, '[ \\n]'))
+        |    AS BIGINT) AS n_tokens,
+        |  len(string_split_regex(main_text, '[ \\n]')) >= 20 AS kept
+        |FROM m""".stripMargin,
 
     // the whole NB training run + scoring replayed: Laplace-smoothed
     // class-conditional grid over the corpus vocab, exact-decimal

@@ -89,13 +89,21 @@ object HtmlOps {
       "^\\n+|\\n+$", ""))
   }
 
+  /** The density filter alone, over an ALREADY-stripped column —
+    * split out so a query that outputs both the stripped text and the
+    * main text can keep the strip chain in its own projection and
+    * evaluate it ONCE per row (selecting `mainText(html)` beside
+    * `stripHtml(html)` would evaluate the whole chain twice). */
+  def mainTextFromStripped(stripped: Column,
+                           minBlockTokens: Int = 5): Column =
+    array_join(filter(split(stripped, "\n"), b =>
+      (size(split(b, " ")) >= minBlockTokens) || b.rlike("[.!?]$")),
+      "\n")
+
   /** Main-content extraction: [[stripHtml]] then the block density
     * filter (object doc). Degenerate/markup-free inputs pass through
     * the same rule — a bare prose string is one block and survives
     * iff it meets the density test. */
-  def mainText(html: Column, minBlockTokens: Int = 5): Column = {
-    val kept = filter(split(stripHtml(html), "\n"), b =>
-      (size(split(b, " ")) >= minBlockTokens) || b.rlike("[.!?]$"))
-    array_join(kept, "\n")
-  }
+  def mainText(html: Column, minBlockTokens: Int = 5): Column =
+    mainTextFromStripped(stripHtml(html), minBlockTokens)
 }

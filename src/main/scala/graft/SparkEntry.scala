@@ -2956,6 +2956,41 @@ object SparkEntry {
         Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.15, "de" -> 0.1),
         tokenBudget = 16000L)),
 
+    // ---- crawl-curation capstone (r18 verdict #6): the RefinedWeb-
+    // shaped composition canonicalize → registrable domain (PSL) →
+    // per-domain quota (capPerGroup 40) → domain-weighted token-budget
+    // mix (mixCorpus 40/30/20/10 of 6k), one pipeline. URLs are
+    // constructed so each doc_id class lands on a FIXED eTLD+1
+    // (normal, multi-label, private-section, default rule kinds all
+    // exercised); the oracle hand-writes the expected domains (the
+    // PSL walk itself is t_registrable_domain's oracle) and replays
+    // cap + hierarchical mix sums. ----
+    "t_domain_mix" -> ((s, dir) => {
+      import graft.text.DomainOps
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val b = (col("doc_id") / lit(8)).cast("long").cast("string")
+      val m = pmod(col("doc_id"), lit(4))
+      val url = when(m === 0,
+          concat(lit("https://sub"), b, lit(".alpha.example.com/p")))
+        .when(m === 1,
+          concat(lit("https://s"), b, lit(".site-b.co.uk/x")))
+        .when(m === 2,
+          concat(lit("https://u"), b, lit(".blog.blogspot.com/x")))
+        .otherwise(concat(lit("https://d"), b, lit(".gamma.org/x")))
+      val doms = DomainOps.registrableDomains(
+          d.select(col("doc_id"), url.as("u")), "doc_id", col("u"))
+        .select(col("doc_id"), col("registrable_domain"))
+      val capped = TextOps.capPerGroup(
+        d.select(col("doc_id"), col("text")).join(doms, Seq("doc_id")),
+        groupCols = Seq("registrable_domain"), idCol = "doc_id",
+        maxRows = 40)
+      TextOps.mixCorpus(capped, "doc_id", "text", "registrable_domain",
+        Map("example.com" -> 0.4, "site-b.co.uk" -> 0.3,
+          "blog.blogspot.com" -> 0.2, "gamma.org" -> 0.1),
+        tokenBudget = 6000L)
+    }),
+
     // ---- multimodal plumbing: binary payload + codec-free metadata ----
     "m_media_meta" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -10949,6 +10984,49 @@ FROM n, vxy, vxx, vyy"""
         |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c
         |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 8000 WHEN 'es' THEN 3200
         |                              WHEN 'fr' THEN 2400 WHEN 'de' THEN 1600 END""".stripMargin,
+
+    // domain-mix capstone: expected eTLD+1 hand-written per doc_id
+    // class (PSL replay is t_registrable_domain's oracle), then the
+    // quota (portable-hash row_number ≤ 40) and the greedy budget
+    // fill (flat per-domain window vs the engine's sharded sum)
+    "t_domain_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |dom AS (
+        |  SELECT doc_id, text, CASE doc_id % 4
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'site-b.co.uk'
+        |    WHEN 2 THEN 'blog.blogspot.com'
+        |    ELSE 'gamma.org' END AS registrable_domain
+        |  FROM d),
+        |capped AS (
+        |  SELECT doc_id, text, registrable_domain FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY registrable_domain
+        |      ORDER BY ((doc_id % 2147483647) * 2654435761)
+        |        % 2147483647, doc_id) AS rn
+        |    FROM dom) WHERE rn <= 40),
+        |tok AS (
+        |  SELECT doc_id, registrable_domain,
+        |    CAST(len(list_filter(string_split_regex(trim(text),
+        |      '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+        |  FROM capped),
+        |c AS (
+        |  SELECT doc_id, registrable_domain, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY registrable_domain
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens
+        |  FROM tok)
+        |SELECT doc_id, registrable_domain, n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= CASE registrable_domain
+        |  WHEN 'example.com' THEN 2400
+        |  WHEN 'site-b.co.uk' THEN 1800
+        |  WHEN 'blog.blogspot.com' THEN 1200
+        |  ELSE 600 END""".stripMargin,
 
     "m_media_meta" ->
       """SELECT doc_id,

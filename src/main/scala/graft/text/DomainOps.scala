@@ -66,6 +66,37 @@ object DomainOps {
     "bd", "*.bd",
     "github.io", "blogspot.com")
 
+  /** Parse the publicsuffix.org list's FILE format into rule lines
+    * for [[suffixDim]] — the production swap-in path for the real
+    * ~15k-line list. Per the public spec: a line is read up to its
+    * first whitespace; `//` lines are comments (including the
+    * `===BEGIN PRIVATE DOMAINS===` section markers — private-section
+    * RULES are kept, matching [[suffixRulesSnapshot]]'s stance that
+    * multi-tenant hosts are distinct publishers); blank lines are
+    * skipped. Rules are lowercased and any non-ASCII (IDN) label is
+    * punycoded via java.net.IDN, so the list's unicode spellings
+    * match the ASCII hosts [[hostOf]] produces.
+    *
+    * IDN contract (spec-pinned): HOSTS must arrive punycoded —
+    * [[TextOps.canonicalizeUrl]] lowercases but does not IDN-encode,
+    * so a raw-unicode host matches no rule and resolves through the
+    * default rule; crawlers of IDN space encode upstream
+    * (java.net.IDN.toASCII at ingestion). RULES may be unicode (the
+    * real list mixes spellings) — this parser normalizes them. */
+  def parsePslList(lines: Seq[String]): Seq[String] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.split("\\s+")(0).toLowerCase(java.util.Locale.ROOT))
+      .map { r =>
+        val (prefix, body) =
+          if (r.startsWith("!")) ("!", r.substring(1))
+          else if (r.startsWith("*.")) ("*.", r.substring(2))
+          else ("", r)
+        prefix + body.split("\\.").map { lbl =>
+          if (lbl.forall(_ < 128)) lbl else java.net.IDN.toASCII(lbl)
+        }.mkString(".")
+      }
+
   /** A PSL line's (kind, label count): `!` exception / `*.` wildcard
     * / normal; labels counts the `*` (the PSL prevailing-rule
     * order). Shared by [[suffixDim]] and the oracle replay. */

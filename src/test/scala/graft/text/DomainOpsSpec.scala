@@ -137,6 +137,64 @@ class DomainOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("labels"))
   }
 
+  test("parsePslList: a real-FORMAT slice — comments, blanks, the " +
+    "private-section marker, trailing annotations, IDN rules — " +
+    "parses into working rules") {
+    val slice = Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "// com : https://en.wikipedia.org/wiki/.com",
+      "com",
+      "",
+      "uk",
+      "co.uk",
+      "*.sch.uk\t// wildcard with a trailing annotation",
+      "!known.sch.uk",
+      "// IDN: unicode spelling and its punycode twin",
+      "xn--p1ai",
+      "ИСПЫТАНИЕ",
+      "",
+      "// ===BEGIN PRIVATE DOMAINS===",
+      "github.io")
+    val rules = DomainOps.parsePslList(slice)
+    assert(rules == Seq("com", "uk", "co.uk", "*.sch.uk",
+      "!known.sch.uk", "xn--p1ai", "xn--80akhbyknj4f", "github.io"))
+    val dim = DomainOps.suffixDim(spark, rules)
+    val out = DomainOps.registrableDomains(
+        Seq(
+          1L -> "https://foo.example.com/x",
+          2L -> "https://x.some.sch.uk/",
+          3L -> "https://known.sch.uk/x",
+          4L -> "https://site.xn--p1ai/x",
+          // the unicode rule, punycoded by the parser, matches an
+          // already-punycoded host
+          5L -> "https://a.xn--80akhbyknj4f/x").toDF("id", "u"),
+        "id", col("u"), rules = Some(dim))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("public_suffix")),
+          Option(r.getAs[String]("registrable_domain"))))).toMap
+    assert(out(1L) == ((Some("com"), Some("example.com"))))
+    assert(out(2L) == ((Some("some.sch.uk"), Some("x.some.sch.uk"))))
+    // exception rule carves known.sch.uk back out: ps = sch.uk
+    assert(out(3L) == ((Some("sch.uk"), Some("known.sch.uk"))))
+    assert(out(4L) == ((Some("xn--p1ai"), Some("site.xn--p1ai"))))
+    assert(out(5L) == ((Some("xn--80akhbyknj4f"),
+      Some("a.xn--80akhbyknj4f"))))
+  }
+
+  test("IDN contract pinned: a RAW-unicode host (not punycoded " +
+    "upstream) matches no rule and resolves through the default " +
+    "rule — encode at ingestion when crawling IDN space") {
+    val dim = DomainOps.suffixDim(spark,
+      DomainOps.parsePslList(Seq("испытание", "com")))
+    val out = DomainOps.registrableDomains(
+        Seq(1L -> "https://b.испытание/x").toDF("id", "u"),
+        "id", col("u"), rules = Some(dim))
+      .collect().head
+    // default rule, NOT the (punycoded) испытание rule
+    assert(out.getAs[String]("public_suffix") == "испытание")
+    assert(out.getAs[String]("registrable_domain") == "b.испытание")
+  }
+
   test("one output row per distinct (id, url): exact input " +
     "duplicates collapse, distinct ids with the same url do not") {
     val df = Seq((1L, "https://a.example.com/x"),

@@ -1624,12 +1624,20 @@ object Analytics {
     * Determinism/parity (the [[bradleyTerry]] discipline): posteriors
     * and π live as ROUND-6 MICRO-UNIT LONGS; all sums are exact
     * decimals (visit order cannot move them); the E-step product is
-    * an EXACT decimal(38,0) integer product (one micro factor per
-    * judgment on the item plus the prior — commutative, so fold
-    * order is free; ≤ 5 judgments per ITEM enforced to keep the
-    * product under 10³⁸ — the pool may hold any number of
-    * annotators); every division is ONE double ratio of exact
-    * operands rounded once.
+    * a STAGED exact decimal(38,0) integer product (one micro factor
+    * per judgment on the item plus the prior), folded in SORTED
+    * factor order with a tracked micro-unit exponent: whenever the
+    * mantissa crosses 10³¹ it rescales by one micro unit (floor by
+    * 10⁶, exponent +1 — the a63 running-max discipline), so ≥ 25
+    * significant digits always survive and items may carry up to 64
+    * judgments (r18 verdict #5; the old unstaged product capped at
+    * 5). Mixed-exponent likelihoods renormalize to the item's MAX
+    * exponent before the posterior ratio; a term more than 5 micro
+    * exponents below the max truncates to 0 — its posterior share is
+    * < 10⁻³⁰, far beneath round-6 resolution. For ≤ 5 judgments the
+    * stage never triggers and the arithmetic is bit-identical to the
+    * unstaged product (the oracle replays that regime). Every
+    * division is ONE double ratio of exact operands rounded once.
     *
     * Scale shape: the corpus-sized frames are the labels (N·A rows)
     * and posteriors (N·C rows); each round is one labels⋈posteriors
@@ -1705,16 +1713,17 @@ object Analytics {
       .agg(count(lit(1)).as("__a"))
     // the exact-arithmetic bound lives on the ACTUAL overflow driver:
     // the E-step product for item i has one π micro factor (≤ 10⁶)
-    // per JUDGMENT ON i plus the prior, so ≤ 5 judgments/item keeps
-    // it inside decimal(38,0) regardless of how many annotators the
-    // POOL has (a 1000-rater pool at 3 judgments/item is fine; the
-    // old global A ≤ 5 require wrongly rejected it). One
+    // per JUDGMENT ON i plus the prior. The staged fold below keeps
+    // the mantissa inside decimal(38,0) at ANY depth, so the bound is
+    // now about meaning, not overflow: 64 judgments/item covers every
+    // real annotation pipeline (3–7 is typical) with a wide margin,
+    // and a number past it is almost certainly a malformed key. One
     // dimension-scale agg over the already-needed per-item frame;
     // fails loudly past the bound.
     val maxJ = perItem.agg(max(col("__a")).as("m")).head.getLong(0)
-    require(maxJ <= 5,
-      s"an item carries $maxJ judgments: the exact decimal(38,0) " +
-        "E-step product bounds judgments per item at 5")
+    require(maxJ <= 64,
+      s"an item carries $maxJ judgments: the staged exact E-step " +
+        "product bounds judgments per item at 64")
     var post = perItem.crossJoin(broadcast(classDim))
       .join(votes, Seq("__i", "__c"), "left")
       .select(col("__i"), col("__c"),
@@ -1768,27 +1777,61 @@ object Analytics {
             .as("__prior"))
         .localCheckpoint()
       // E-step: every (i, k) judgment fans out to all C classes via
-      // the broadcast π grid; the per-(i, c) likelihood is the exact
-      // integer product of its ≤ A π factors times the prior
+      // the broadcast π grid; the per-(i, c) likelihood is the STAGED
+      // exact integer product of its ≤ maxJ π factors times the prior
+      // (scaladoc: sorted fold order pins determinism now that the
+      // staging points matter; mantissa rescales by one micro unit at
+      // 10³¹ so the next multiply stays under 10³⁷ < decimal(38,0);
+      // for ≤ 5 factors the stage never fires and the value equals
+      // the unstaged product bit-for-bit — the oracle's regime)
+      val ten31 = lit(new java.math.BigDecimal("1" + "0" * 31))
       val num = labels
         .join(broadcast(pi), Seq("__k", "__l"))
         .groupBy(col("__i"), col("__c"))
         .agg(collect_list(col("__pi")).as("__ps"))
         .join(broadcast(priors), Seq("__c"))
         .select(col("__i"), col("__c"),
-          aggregate(col("__ps"),
-            col("__prior").cast("decimal(38,0)"),
-            (acc, x) => acc * x.cast("decimal(38,0)")).as("__n"))
-      // normalization via a window over the SAME (i, c)-keyed frame
-      // (an agg + self-join would recompute `num` twice per round);
-      // the sum is an exact decimal — visit order free. The eager
+          aggregate(sort_array(col("__ps")),
+            struct(col("__prior").cast("decimal(38,0)").as("m"),
+              lit(0).as("e")),
+            (acc, x) => {
+              val m0 = acc.getField("m")
+              val over = m0 >= ten31
+              val m1 = when(over,
+                  floor(m0 / lit(1000000L)).cast("decimal(38,0)"))
+                .otherwise(m0)
+              struct(
+                (m1 * x.cast("decimal(38,0)")).cast("decimal(38,0)")
+                  .as("m"),
+                when(over, acc.getField("e") + 1)
+                  .otherwise(acc.getField("e")).as("e"))
+            }).as("__me"))
+      // normalization via windows over the SAME (i, c)-keyed frame
+      // (an agg + self-join would recompute `num` twice per round):
+      // mixed-exponent likelihoods rescale to the item's MAX exponent
+      // (floor division by the micro-unit gap; > 5 units below the
+      // max truncates to 0 — a < 10⁻³⁰ posterior share), then the
+      // sum is an exact decimal — visit order free. The eager
       // lineage cut per round is the Graphs/ivfCentroids iterative-op
       // pattern: the posteriors frame is the iteration state, and an
       // uncut multi-round plan stalls the analyzer before execution
       val wDen = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__i"))
+      val mCol = col("__me").getField("m")
+      val eCol = col("__me").getField("e")
+      def p10(d: Int) = lit(new java.math.BigDecimal("1" + "0" * d))
+      val dEx = col("__emax") - eCol
+      val nScaled = when(dEx === 0, mCol)
+        .when(dEx === 1, floor(mCol / p10(6)).cast("decimal(38,0)"))
+        .when(dEx === 2, floor(mCol / p10(12)).cast("decimal(38,0)"))
+        .when(dEx === 3, floor(mCol / p10(18)).cast("decimal(38,0)"))
+        .when(dEx === 4, floor(mCol / p10(24)).cast("decimal(38,0)"))
+        .when(dEx === 5, floor(mCol / p10(30)).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))
       val prev = post
       post = num
+        .withColumn("__emax", max(eCol).over(wDen))
+        .withColumn("__n", nScaled)
         .withColumn("__d",
           sum(col("__n")).over(wDen).cast("decimal(38,0)"))
         .select(col("__i"), col("__c"),

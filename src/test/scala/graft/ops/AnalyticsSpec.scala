@@ -871,14 +871,68 @@ class AnalyticsSpec extends SparkSpec {
     assert(q.size == 6) // 3 raters x 2 classes
     assert(q((0L, "a")) > q((1L, "a")) && q((0L, "a")) > q((2L, "a")),
       q.toString)
-    // bounded judgments per ITEM: item 1 carries 7 judgments, past
-    // the exact decimal(38,0) product's 5-factor bound — fails loudly
-    val six = (0L to 5L).map(k => (1L, k, "a"))
+    // 7 judgments on one item — past the OLD unstaged 5-factor cap
+    // (r17/r18) — now runs through the staged product and lands on
+    // the 6-of-7 majority
+    val seven = (0L to 5L).map(k => (1L, k, "a"))
       .toDF("item", "rater", "label")
-      .unionByName(Seq((1L, 0L, "b")).toDF("item", "rater", "label"))
-    intercept[IllegalArgumentException] {
-      Analytics.dawidSkene(six, "item", "rater", "label").collect()
+      .unionByName(Seq((1L, 6L, "b")).toDF("item", "rater", "label"))
+    val sevenOut = Analytics.dawidSkene(seven, "item", "rater", "label")
+      .collect()
+    assert(sevenOut.length == 1 &&
+      sevenOut.head.getAs[String]("ds_label") == "a")
+  }
+
+  test("dawidSkene: deep judgment stacks (r18 verdict #5 — the " +
+    "5-per-item cap lifted): 12/item with noisy raters recovers " +
+    "truth deterministically; 33/item unanimous runs through the " +
+    "staged exponent; 65/item fails loudly") {
+    import spark.implicits._
+    val classes = Seq("a", "b", "c")
+    // 20 items, 12 judgments each; raters 9-11 err deterministically
+    // ~40% of the time onto a hash-picked other class
+    val lab = (1L to 20L).flatMap { i =>
+      val truth = classes((i % 3).toInt)
+      (0L to 11L).map { k =>
+        val noisy = k >= 9 && (i * 31 + k * 7) % 10 < 4
+        val l = if (noisy) classes(((i + k) % 3).toInt) else truth
+        (i, k, l)
+      }
+    }.toDF("item", "rater", "label")
+    def run() = Analytics.dawidSkene(lab, "item", "rater", "label")
+      .collect().map(r => r.getAs[Long]("item") ->
+        ((r.getAs[String]("ds_label"), r.getAs[Double]("ds_posterior"))))
+      .toMap
+    val out = run()
+    assert(out.size == 20)
+    (1L to 20L).foreach { i =>
+      val truth = classes((i % 3).toInt)
+      assert(out(i)._1 == truth && out(i)._2 > 0.9,
+        s"item $i: ${out(i)}")
     }
+    // determinism: the sorted staged fold pins the result — a second
+    // run is bit-identical (posteriors included)
+    assert(run() == out)
+    // 33 judgments/item: the mantissa rescales ~25+ times and the
+    // wrong class truncates to a 0 share (Δ-exponent > 5)
+    val deep = (1L to 4L).flatMap(i => (0L to 32L).map(k =>
+      (i, k, if (i <= 2) "a" else "b"))).toDF("item", "rater", "label")
+    val deepOut = Analytics.dawidSkene(deep, "item", "rater", "label")
+      .collect().map(r => r.getAs[Long]("item") ->
+        ((r.getAs[String]("ds_label"), r.getAs[Double]("ds_posterior"))))
+      .toMap
+    (1L to 4L).foreach { i =>
+      val truth = if (i <= 2) "a" else "b"
+      assert(deepOut(i)._1 == truth && deepOut(i)._2 > 0.99,
+        s"item $i: ${deepOut(i)}")
+    }
+    // the loud bound now sits at 64 — meaning, not overflow
+    val tooDeep = ((0L to 64L).map(k => (1L, k, "a")) :+ ((2L, 0L, "b")))
+      .toDF("item", "rater", "label")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.dawidSkene(tooDeep, "item", "rater", "label").collect()
+    }
+    assert(e.getMessage.contains("65"))
   }
 
   test("dawidSkene: a 12-annotator pool at 3 judgments/item runs " +

@@ -1624,20 +1624,23 @@ object Analytics {
     * Determinism/parity (the [[bradleyTerry]] discipline): posteriors
     * and π live as ROUND-6 MICRO-UNIT LONGS; all sums are exact
     * decimals (visit order cannot move them); the E-step product is
-    * a STAGED exact decimal(38,0) integer product (one micro factor
-    * per judgment on the item plus the prior), folded in SORTED
-    * factor order with a tracked micro-unit exponent: whenever the
-    * mantissa crosses 10³¹ it rescales by one micro unit (floor by
-    * 10⁶, exponent +1 — the a63 running-max discipline), so ≥ 25
-    * significant digits always survive and items may carry up to 64
-    * judgments (r18 verdict #5; the old unstaged product capped at
-    * 5). Mixed-exponent likelihoods renormalize to the item's MAX
-    * exponent before the posterior ratio; a term more than 5 micro
-    * exponents below the max truncates to 0 — its posterior share is
-    * < 10⁻³⁰, far beneath round-6 resolution. For ≤ 5 judgments the
-    * stage never triggers and the arithmetic is bit-identical to the
-    * unstaged product (the oracle replays that regime). Every
-    * division is ONE double ratio of exact operands rounded once.
+    * an exact decimal(38,0) integer product (one micro factor per
+    * judgment on the item plus the prior). Items may carry up to 64
+    * judgments (r18 verdict #5; the old cap was 5): past 5 factors
+    * the product folds in SORTED factor order with a tracked
+    * micro-unit exponent — whenever the mantissa crosses 10³¹ it
+    * rescales by one micro unit (floor by 10⁶, exponent +1 — the a63
+    * running-max discipline), so ≥ 25 significant digits survive any
+    * depth; mixed-exponent likelihoods renormalize to the item's MAX
+    * exponent before the posterior ratio (a term more than 5 micro
+    * exponents below the max truncates to 0 — a < 10⁻³⁰ posterior
+    * share, far beneath round-6 resolution). At ≤ 5 judgments the
+    * plan stays the plain unstaged product (bit-identical by
+    * construction — the stage cannot fire and multiplication
+    * commutes; measured r19: the staged fold costs 2-4× interpreted
+    * wall clock for nothing in that regime — and it is the regime
+    * the oracle replays). Every division is ONE double ratio of
+    * exact operands rounded once.
     *
     * Scale shape: the corpus-sized frames are the labels (N·A rows)
     * and posteriors (N·C rows); each round is one labels⋈posteriors
@@ -1777,63 +1780,88 @@ object Analytics {
             .as("__prior"))
         .localCheckpoint()
       // E-step: every (i, k) judgment fans out to all C classes via
-      // the broadcast π grid; the per-(i, c) likelihood is the STAGED
-      // exact integer product of its ≤ maxJ π factors times the prior
-      // (scaladoc: sorted fold order pins determinism now that the
-      // staging points matter; mantissa rescales by one micro unit at
-      // 10³¹ so the next multiply stays under 10³⁷ < decimal(38,0);
-      // for ≤ 5 factors the stage never fires and the value equals
-      // the unstaged product bit-for-bit — the oracle's regime)
-      val ten31 = lit(new java.math.BigDecimal("1" + "0" * 31))
-      val num = labels
+      // the broadcast π grid; the per-(i, c) likelihood is the exact
+      // integer product of its ≤ maxJ π factors times the prior.
+      // Two plans on one contract, gated driver-side on the ALREADY-
+      // COMPUTED maxJ (measured r19: the staged fold + exponent
+      // normalization cost a79/a80 ~2-4x wall clock at sf0.1 —
+      // interpreted HOF per-element struct/compare work — for stages
+      // that provably never fire at ≤ 5 factors):
+      //   maxJ ≤ 5  — the UNSTAGED product (≤ 10³⁶ < decimal(38,0))
+      //     and one plain window sum: the r17/r18 plan verbatim, and
+      //     the regime the a79/a80 oracles replay.
+      //   maxJ > 5  — the STAGED fold in SORTED factor order (order
+      //     pins determinism now that staging points matter) with a
+      //     tracked micro-unit exponent: the mantissa rescales by
+      //     10⁶ whenever it crosses 10³¹, so the next multiply stays
+      //     under 10³⁷ and ≥ 25 significant digits survive any depth.
+      // For ≤ 5 factors the two plans are BIT-IDENTICAL by
+      // construction (the stage cannot fire; multiplication is
+      // commutative so the sort is a no-op on the value).
+      val grouped = labels
         .join(broadcast(pi), Seq("__k", "__l"))
         .groupBy(col("__i"), col("__c"))
         .agg(collect_list(col("__pi")).as("__ps"))
         .join(broadcast(priors), Seq("__c"))
-        .select(col("__i"), col("__c"),
-          aggregate(sort_array(col("__ps")),
-            struct(col("__prior").cast("decimal(38,0)").as("m"),
-              lit(0).as("e")),
-            (acc, x) => {
-              val m0 = acc.getField("m")
-              val over = m0 >= ten31
-              val m1 = when(over,
-                  floor(m0 / lit(1000000L)).cast("decimal(38,0)"))
-                .otherwise(m0)
-              struct(
-                (m1 * x.cast("decimal(38,0)")).cast("decimal(38,0)")
-                  .as("m"),
-                when(over, acc.getField("e") + 1)
-                  .otherwise(acc.getField("e")).as("e"))
-            }).as("__me"))
       // normalization via windows over the SAME (i, c)-keyed frame
-      // (an agg + self-join would recompute `num` twice per round):
-      // mixed-exponent likelihoods rescale to the item's MAX exponent
-      // (floor division by the micro-unit gap; > 5 units below the
-      // max truncates to 0 — a < 10⁻³⁰ posterior share), then the
-      // sum is an exact decimal — visit order free. The eager
-      // lineage cut per round is the Graphs/ivfCentroids iterative-op
-      // pattern: the posteriors frame is the iteration state, and an
-      // uncut multi-round plan stalls the analyzer before execution
+      // (an agg + self-join would recompute the E-step twice per
+      // round); sums are exact decimals — visit order free. The
+      // eager lineage cut per round is the Graphs/ivfCentroids
+      // iterative-op pattern: the posteriors frame is the iteration
+      // state, and an uncut multi-round plan stalls the analyzer
+      // before execution
       val wDen = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__i"))
-      val mCol = col("__me").getField("m")
-      val eCol = col("__me").getField("e")
-      def p10(d: Int) = lit(new java.math.BigDecimal("1" + "0" * d))
-      val dEx = col("__emax") - eCol
-      val nScaled = when(dEx === 0, mCol)
-        .when(dEx === 1, floor(mCol / p10(6)).cast("decimal(38,0)"))
-        .when(dEx === 2, floor(mCol / p10(12)).cast("decimal(38,0)"))
-        .when(dEx === 3, floor(mCol / p10(18)).cast("decimal(38,0)"))
-        .when(dEx === 4, floor(mCol / p10(24)).cast("decimal(38,0)"))
-        .when(dEx === 5, floor(mCol / p10(30)).cast("decimal(38,0)"))
-        .otherwise(lit(0).cast("decimal(38,0)"))
+      val normalized =
+        if (maxJ <= 5)
+          grouped.select(col("__i"), col("__c"),
+              aggregate(col("__ps"),
+                col("__prior").cast("decimal(38,0)"),
+                (acc, x) => acc * x.cast("decimal(38,0)")).as("__n"))
+            .withColumn("__d",
+              sum(col("__n")).over(wDen).cast("decimal(38,0)"))
+        else {
+          val ten31 = lit(new java.math.BigDecimal("1" + "0" * 31))
+          val num = grouped.select(col("__i"), col("__c"),
+            aggregate(sort_array(col("__ps")),
+              struct(col("__prior").cast("decimal(38,0)").as("m"),
+                lit(0).as("e")),
+              (acc, x) => {
+                val m0 = acc.getField("m")
+                val over = m0 >= ten31
+                val m1 = when(over,
+                    floor(m0 / lit(1000000L)).cast("decimal(38,0)"))
+                  .otherwise(m0)
+                struct(
+                  (m1 * x.cast("decimal(38,0)")).cast("decimal(38,0)")
+                    .as("m"),
+                  when(over, acc.getField("e") + 1)
+                    .otherwise(acc.getField("e")).as("e"))
+              }).as("__me"))
+          // mixed-exponent likelihoods rescale to the item's MAX
+          // exponent (floor division by the micro-unit gap; > 5
+          // units below the max truncates to 0 — a < 10⁻³⁰
+          // posterior share, far beneath round-6 resolution)
+          val mCol = col("__me").getField("m")
+          val eCol = col("__me").getField("e")
+          def p10(d: Int) =
+            lit(new java.math.BigDecimal("1" + "0" * d))
+          val dEx = col("__emax") - eCol
+          val nScaled = when(dEx === 0, mCol)
+            .when(dEx === 1, floor(mCol / p10(6)).cast("decimal(38,0)"))
+            .when(dEx === 2, floor(mCol / p10(12)).cast("decimal(38,0)"))
+            .when(dEx === 3, floor(mCol / p10(18)).cast("decimal(38,0)"))
+            .when(dEx === 4, floor(mCol / p10(24)).cast("decimal(38,0)"))
+            .when(dEx === 5, floor(mCol / p10(30)).cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))
+          num
+            .withColumn("__emax", max(eCol).over(wDen))
+            .withColumn("__n", nScaled)
+            .withColumn("__d",
+              sum(col("__n")).over(wDen).cast("decimal(38,0)"))
+        }
       val prev = post
-      post = num
-        .withColumn("__emax", max(eCol).over(wDen))
-        .withColumn("__n", nScaled)
-        .withColumn("__d",
-          sum(col("__n")).over(wDen).cast("decimal(38,0)"))
+      post = normalized
         .select(col("__i"), col("__c"),
           microR6(col("__n").cast("double") / col("__d").cast("double"))
             .as("__post"))

@@ -67,6 +67,10 @@ object SparkEntry {
   private val stagedWarc =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM cache of the WET-export roundtrip staging dir (s17). */
+  private val stagedWet =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** The WARC fixture's response-page template, split at its two
     * dynamic holes (doc id, doc text) so the Scala staging, the
     * t_html_extract variant-0 page, and the DuckDB oracles all render
@@ -1661,6 +1665,45 @@ object SparkEntry {
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("w"))
       Graphs.pageRank(edges, "src", "dst", col("w"),
+        damping = 0.85, iters = 2)
+    }),
+
+    // ---- crawl graph: anchor-href extraction → host-level link
+    // edges → PageRank, the link-based-centrality mile of a crawl
+    // pipeline (URL frontier prioritization, CC-style host ranking).
+    // Pages constructed per doc with two absolute outlinks to the
+    // next two host classes plus a fragment and a relative link
+    // (filtered — resolution needs the base URL and is the caller's
+    // job, stated in HtmlOps.extractLinks). Extraction is one
+    // codegen'd regexp_extract_all; edges one hash agg; the 2-round
+    // PageRank replayed in full by the oracle. ----
+    "t_link_graph" -> ((s, dir) => {
+      import graft.text.{DomainOps, HtmlOps, TextOps}
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def hostOfClass(x: Column): Column =
+        when(x === 0, "alpha.example.com")
+          .when(x === 1, "site-b.co.uk")
+          .when(x === 2, "blog.blogspot.com")
+          .otherwise("gamma.org")
+      val m = pmod(col("doc_id"), lit(4))
+      val html = concat(lit("<html><body><p>"), col("text"),
+        lit("</p><a class=\"x\" href=\"https://"),
+        hostOfClass(pmod(col("doc_id") + 1, lit(4))),
+        lit("/out1\">a</a><a href='https://"),
+        hostOfClass(pmod(col("doc_id") + 2, lit(4))),
+        lit("/out2'>b</a><a href=\"#top\">t</a>" +
+          "<a href=\"/rel\">r</a></body></html>"))
+      val links = d
+        .select(hostOfClass(m).as("src_host"),
+          explode(HtmlOps.extractLinks(html)).as("link"))
+        .filter(col("link").rlike("^https?://"))
+        .select(col("src_host"),
+          DomainOps.hostOf(TextOps.canonicalizeUrl(col("link")))
+            .as("dst_host"))
+      val edges = links.groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("w"))
+      Graphs.pageRank(edges, "src_host", "dst_host", col("w"),
         damping = 0.85, iters = 2)
     }),
 
@@ -5471,6 +5514,30 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"),
           col("malformed"), col("error"))),
 
+    // ---- §crawl S17: WET sink + scan roundtrip — the write half of
+    // WarcSource: documents exported once per dir as gzip'd WET
+    // conversion shards (one file per partition), read back through
+    // the same parser. The sink must be LOSSLESS, so the oracle needs
+    // no replay — the source table IS the expectation. ----
+    "s17_wet_roundtrip" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val path = stagedWet.getOrElseUpdate(dir, {
+        val out = tempDir("graft_wet_q")
+        WarcSource.writeWet(
+          t(s, dir, "documents")
+            .filter(col("doc_id").isNotNull && col("text").isNotNull)
+            .select(concat(lit("https://fixture.test/doc/"),
+              col("doc_id")).as("uri"), col("text")),
+          "uri", "text", out, warcDate = "2026-01-01T00:00:00Z",
+          gzip = true)
+        out
+      })
+      WarcSource.readRecords(s, path + "/*")
+        .select(col("target_uri"),
+          WarcSource.payloadText(col("payload")).as("text"),
+          col("content_length"))
+    }),
+
     // ---- crawl curation: HTML → text extraction
     // ([[graft.text.HtmlOps]]) — four page shapes built per doc
     // (full template page / entity-heavy / messy-whitespace +
@@ -7805,6 +7872,97 @@ r$k AS (
         |  FROM nodes LEFT JOIN c2 ON c2.node = nodes.node, nn, d2)
         |SELECT node, CAST(r AS DOUBLE) AS pagerank FROM r2""".stripMargin,
 
+    // link graph: the pages rebuilt in SQL, the SAME HrefRegex
+    // (interpolated from HtmlOps' constant) re-extracted, absolute
+    // links host-resolved via the hostOf chain, then g_pagerank's
+    // 2-round replay chassis verbatim over the link edges
+    "t_link_graph" -> (
+      s"""WITH d0 AS (
+        |  SELECT doc_id, text, doc_id % 4 AS m FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |hosts(hm, h) AS (VALUES (0, 'alpha.example.com'),
+        |  (1, 'site-b.co.uk'), (2, 'blog.blogspot.com'),
+        |  (3, 'gamma.org')),
+        |pg AS (
+        |  SELECT hs.h AS src_host,
+        |    '<html><body><p>' || text ||
+        |    '</p><a class="x" href="https://' || h1.h ||
+        |    '/out1">a</a><a href=''https://' || h2.h ||
+        |    '/out2''>b</a><a href="#top">t</a>' ||
+        |    '<a href="/rel">r</a></body></html>' AS html
+        |  FROM d0 JOIN hosts hs ON hs.hm = d0.m
+        |  JOIN hosts h1 ON h1.hm = (d0.m + 1) % 4
+        |  JOIN hosts h2 ON h2.hm = (d0.m + 2) % 4),
+        |lk AS (
+        |  SELECT src_host, unnest(regexp_extract_all(html,
+        |    '${graft.text.HtmlOps.HrefRegex.replace("'", "''")}', 1))
+        |    AS link
+        |  FROM pg),
+        |ab AS (SELECT src_host, link FROM lk
+        |       WHERE regexp_matches(link, '^https?://')),
+        |ho AS (
+        |  SELECT src_host, regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_extract(link,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^[^/?#]*@', ''), ':[0-9]*$$', ''), '\\.+$$', '')
+        |    AS dst_host
+        |  FROM ab),
+        |e AS (SELECT src_host AS src, dst_host AS dst, COUNT(*) AS w
+        |      FROM ho GROUP BY 1, 2),""".stripMargin + "\n" +
+      """p AS (
+        |  SELECT src, dst,
+        |    CAST(ROUND(CAST(w AS DOUBLE) /
+        |      CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS p
+        |  FROM e),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |srcs AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (
+        |  SELECT node,
+        |    CAST(ROUND(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS r
+        |  FROM nodes, nn),
+        |d1 AS (
+        |  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
+        |  FROM r0 WHERE node NOT IN (SELECT node FROM srcs)),
+        |c1 AS (
+        |  SELECT p.dst AS node,
+        |    CAST(SUM(CAST(ROUND(r0.r * p.p, 6) AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM p JOIN r0 ON p.src = r0.node GROUP BY 1),
+        |r1 AS (
+        |  SELECT nodes.node,
+        |    CAST(ROUND(
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |        / CAST(nn.n AS DOUBLE)
+        |      + CAST(0.85 AS DOUBLE) *
+        |        (CAST(COALESCE(c1.c, CAST(0 AS DECIMAL(18,6)))
+        |           AS DOUBLE)
+        |         + CAST(d1.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS r
+        |  FROM nodes LEFT JOIN c1 ON c1.node = nodes.node, nn, d1),
+        |d2 AS (
+        |  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
+        |  FROM r1 WHERE node NOT IN (SELECT node FROM srcs)),
+        |c2 AS (
+        |  SELECT p.dst AS node,
+        |    CAST(SUM(CAST(ROUND(r1.r * p.p, 6) AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM p JOIN r1 ON p.src = r1.node GROUP BY 1),
+        |r2 AS (
+        |  SELECT nodes.node,
+        |    CAST(ROUND(
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |        / CAST(nn.n AS DOUBLE)
+        |      + CAST(0.85 AS DOUBLE) *
+        |        (CAST(COALESCE(c2.c, CAST(0 AS DECIMAL(18,6)))
+        |           AS DOUBLE)
+        |         + CAST(d2.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS r
+        |  FROM nodes LEFT JOIN c2 ON c2.node = nodes.node, nn, d2)
+        |SELECT node, CAST(r AS DOUBLE) AS pagerank FROM r2""".stripMargin),
+
     "t_glove_cooccur" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(
@@ -8825,6 +8983,14 @@ r$k AS (
         |  COALESCE(forced_len, strlen(payload)) AS content_length,
         |  md5(payload) AS payload_md5, malformed, error
         |FROM recs""".stripMargin,
+
+    // WET sink roundtrip: lossless by contract, so the source table
+    // is the expectation — no replay needed
+    "s17_wet_roundtrip" ->
+      """SELECT 'https://fixture.test/doc/' || doc_id AS target_uri,
+        |  text, CAST(strlen(text) AS BIGINT) AS content_length
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
 
     // HTML extraction: the four page variants rebuilt in SQL, then
     // the strip chain + density filter replayed via duckStripSql /

@@ -37,6 +37,32 @@ object SqlRecipes {
     * under the pinned UTC session (the sessionize convention). */
   private val T = "CAST(CAST(ts AS TIMESTAMP_LTZ) AS DOUBLE)"
 
+  /** The [[graft.text.HtmlOps]] strip chain rendered as SPARK SQL
+    * over an expression — generated from the engine's own
+    * TagChain/Entities constants (no drift). Backslashes double for
+    * the default-escaping SQL parser; the newline replacement rides
+    * as a raw newline inside the literal. */
+  private def sparkStripSql(expr: String): String = {
+    def q(s: String) =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val tagless = graft.text.HtmlOps.TagChain.foldLeft(expr) {
+      case (e, (re, sub)) =>
+        // '\n' (parser-unescaped to the real character) rather than a
+        // raw newline embedded in the literal
+        val rep = if (sub == "\n") "'\\n'" else q(sub)
+        s"regexp_replace($e, ${q(re)}, $rep)"
+    }
+    val decoded = graft.text.HtmlOps.Entities.foldLeft(tagless) {
+      case (e, (ent, ch)) => s"replace($e, ${q(ent)}, ${q(ch)})"
+    }
+    // replacement newline must reach Java's Matcher as the REAL
+    // character ('\n' SQL literal -> one newline): a backslash-n
+    // replacement is appendReplacement's escaped LITERAL 'n'
+    "trim(regexp_replace(regexp_replace(regexp_replace(" + decoded +
+      ", '[ \\\\t\\\\r\\\\f]+', ' '), ' ?\\\\n[ \\\\n]*', '\\n'), " +
+      "'^\\\\n+|\\\\n+$', ''))"
+  }
+
   /** name -> CREATE OR REPLACE TEMPORARY FUNCTION statement. */
   def ddl(prefix: String): Seq[(String, String)] = Seq(
 
@@ -1633,6 +1659,33 @@ v$r AS (
          |  END AS pass_at_10
          |FROM u
          |WHERE n >= graft_pass_at_k.min_samples""".stripMargin,
+
+    // -- HTML -> main text (r19): HtmlOps.stripHtml + the block
+    // text-density filter as one SQL table function, over the
+    // t_html_extract variant-0 page built per doc (SparkEntry
+    // .WarcPage — the same template everywhere). The regex chain is
+    // GENERATED from HtmlOps' own TagChain/Entities constants so
+    // cookbook and engine cannot drift.
+    "graft_html_main_text" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_html_main_text(
+         |  min_tokens INT)
+         |RETURNS TABLE (doc_id BIGINT, stripped STRING,
+         |  main_text STRING)
+         |RETURN
+         |WITH h AS (
+         |  SELECT doc_id,
+         |    '${SparkEntry.WarcPage._1}' || CAST(doc_id AS STRING) ||
+         |    '${SparkEntry.WarcPage._2}' || text ||
+         |    '${SparkEntry.WarcPage._3}' AS html
+         |  FROM ${prefix}documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |s AS (SELECT doc_id, ${sparkStripSql("html")} AS stripped
+         |      FROM h)
+         |SELECT doc_id, stripped,
+         |  array_join(filter(split(stripped, '\\n'), b ->
+         |    size(split(b, ' ')) >= graft_html_main_text.min_tokens
+         |    OR b RLIKE '[.!?]$$'), '\\n') AS main_text
+         |FROM s""".stripMargin,
 
     // -- per-domain quota view (r18): registrable-domain (eTLD+1)
     // counts over the t_registrable_domain fixture — the grouping

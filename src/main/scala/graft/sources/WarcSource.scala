@@ -91,6 +91,88 @@ object WarcSource {
   def payloadText(payload: Column): Column =
     decode(payload, "UTF-8")
 
+  /** The declared charset of a Content-Type value (`text/html;
+    * charset=ISO-8859-1` → `iso-8859-1`), lowercased; null when
+    * absent. Row-local regex, codegen'd. */
+  def charsetOf(contentType: Column): Column = {
+    val cs = lower(regexp_extract(contentType,
+      "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_:.+-]+)", 1))
+    when(cs === "" || cs.isNull, lit(null)).otherwise(cs)
+  }
+
+  /** Payload bytes → text honoring the DECLARED charset — real
+    * crawls are not all UTF-8. Branch coverage is the crawl head:
+    * `iso-8859-1`/`latin1` decode as Latin-1; `windows-1252`/
+    * `cp1252` ALSO decode as Latin-1 (Spark's non-legacy decode
+    * whitelist has no CP1252 codec; the two differ only on
+    * 0x80–0x9F, which Latin-1 maps to C1 controls — a deterministic,
+    * documented approximation, stripped by downstream whitespace
+    * normalization when they appear where CP1252 meant punctuation);
+    * `us-ascii` decodes as ASCII; everything else — including an
+    * absent header — falls back to UTF-8, the modern-web default.
+    * All branches are literal-charset `decode` calls (codegen'd);
+    * the charset column itself is one regex. */
+  def payloadTextCs(payload: Column, contentType: Column): Column = {
+    val cs = charsetOf(contentType)
+    when(cs === "iso-8859-1" || cs === "latin1" || cs === "latin-1" ||
+        cs === "windows-1252" || cs === "cp1252",
+        decode(payload, "ISO-8859-1"))
+      .when(cs === "us-ascii" || cs === "ascii",
+        decode(payload, "US-ASCII"))
+      .otherwise(decode(payload, "UTF-8"))
+  }
+
+  /** Write a (uri, text) frame as WET conversion records — the
+    * compact extracted-text artifact crawl pipelines hand downstream,
+    * and this source's write half: a roundtrip through
+    * [[readRecords]] restores every (uri, text, byte length). One
+    * file per partition (the WARC parallelism contract in reverse —
+    * size partitions to the ~1 GB file convention upstream), written
+    * through the Hadoop FS so any scheme the session reaches works;
+    * optional per-FILE gzip ([[readRecords]] inflates it by magic).
+    *
+    * `warcDate` is CALLER-SUPPLIED (stamp ingestion time at the
+    * call site): a wall-clock default here would make re-runs
+    * byte-unstable, and this engine's sinks are deterministic.
+    * Bounded-export semantics: each task creates its file with
+    * overwrite, so a retried task rewrites it whole; there is no
+    * cross-file commit protocol (export, not a transactional sink —
+    * the ClifSink/commit-log machinery is the transactional path). */
+  def writeWet(df: DataFrame, uriCol: String, textCol: String,
+               outDir: String, warcDate: String,
+               gzip: Boolean = false): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    val suffix = if (gzip) ".warc.gz" else ".warc"
+    df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(outDir,
+            f"part-$pid%05d$suffix")
+          val fs = p.getFileSystem(conf.value)
+          val raw = fs.create(p, true)
+          val out: java.io.OutputStream =
+            if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+          try {
+            var i = 0L
+            it.foreach { r =>
+              val uri = Option(r.getString(0)).getOrElse("")
+              val text = Option(r.getString(1)).getOrElse("")
+              out.write(record(Seq(
+                "WARC-Type" -> "conversion",
+                "WARC-Record-ID" -> s"<urn:graft:wet:$pid:$i>",
+                "WARC-Date" -> warcDate,
+                "WARC-Target-URI" -> uri,
+                "Content-Type" -> "text/plain"),
+                text.getBytes("UTF-8")))
+              i += 1
+            }
+          } finally out.close()
+        }
+      }
+  }
+
   // ===== fixture writer (specs / staged oracle queries) =====
 
   /** Render one record. Content-Length is computed, not caller-set. */

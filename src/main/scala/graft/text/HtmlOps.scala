@@ -89,6 +89,26 @@ object HtmlOps {
       "^\\n+|\\n+$", ""))
   }
 
+  /** The anchor-href regex — one alternation-free pattern in the
+    * java.regex ∩ RE2 subset, shared with the oracle replay: an `<a`
+    * tag's FIRST quoted href value (single or double quotes; the
+    * lazy `[^>]*?` stops at the first href so a preceding attribute
+    * can't swallow it). Matching quote pairing is approximated (a
+    * mismatched `href="x'` pair extracts deterministically the same
+    * on both engines — crawl junk, not a correctness surface). */
+  val HrefRegex: String =
+    "(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
+
+  /** All anchor hrefs of a page, in document order — the crawl-graph
+    * edge source (URL frontier, link-based centrality). Returns the
+    * RAW attribute values; callers filter to absolute links
+    * (`rlike "^https?://"`) and resolve/canonicalize downstream —
+    * relative-URL resolution needs the page's base URL and belongs
+    * to the caller, who has it. Pure `regexp_extract_all`: row-local,
+    * codegen'd, zero shuffles. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit(HrefRegex), lit(1))
+
   /** The density filter alone, over an ALREADY-stripped column —
     * split out so a query that outputs both the stripped text and the
     * main text can keep the strip chain in its own projection and

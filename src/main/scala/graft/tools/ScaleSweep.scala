@@ -712,6 +712,12 @@ object ScaleSweep {
         SparkEntry.queries("a79_dawid_skene")(spark, d).count()),
       "a80_annotator_quality" -> (d =>
         SparkEntry.queries("a80_annotator_quality")(spark, d).count()),
+      // domain-quota capstone: PSL key (row-local candidates +
+      // broadcast rules) -> doc_id join back -> per-domain cap
+      // window -> sharded mix windows; linear in docs, every window
+      // keyed by the 4-domain x shard grid
+      "t_domain_mix" -> (d =>
+        SparkEntry.queries("t_domain_mix")(spark, d).count()),
       // SCD2 history build over orders: key-hash join + per-key
       // window, linear in the staged order count
       "s14_scd2" -> (d =>

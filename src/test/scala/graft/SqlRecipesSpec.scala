@@ -612,4 +612,24 @@ class SqlRecipesSpec extends SparkSpec {
     assert(top.exists(_._1 == "example.com") &&
       top.exists(_._1 == "www.ck"), top.toString)
   }
+
+  test("graft_html_main_text == HtmlOps.stripHtml + density filter " +
+    "over the shared WarcPage template (chain generated from the " +
+    "same constants)") {
+    ready()
+    val viaSql = spark.sql("SELECT * FROM graft_html_main_text(5)")
+      .as[(Long, String, String)].collect().toSet
+    val html = concat(lit(SparkEntry.WarcPage._1),
+      col("doc_id").cast("string"), lit(SparkEntry.WarcPage._2),
+      col("text"), lit(SparkEntry.WarcPage._3))
+    val viaDsl = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        text.HtmlOps.stripHtml(html).as("stripped"))
+      .select(col("doc_id"), col("stripped"),
+        text.HtmlOps.mainTextFromStripped(col("stripped"))
+          .as("main_text"))
+      .as[(Long, String, String)].collect().toSet
+    assert(viaSql == viaDsl && viaSql.nonEmpty)
+  }
 }

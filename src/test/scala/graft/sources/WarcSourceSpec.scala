@@ -127,6 +127,35 @@ class WarcSourceSpec extends SparkSpec {
       "UTF-8") == "small")
   }
 
+  test("charset-aware decode: a declared ISO-8859-1 payload decodes " +
+    "its high bytes; cp1252 takes the latin-1 approximation; absent " +
+    "charset falls back to UTF-8") {
+    val latin1 = "café résumé".getBytes("ISO-8859-1")
+    val utf8 = "café".getBytes("UTF-8")
+    val bytes = WarcSource.writeWarc(Seq(
+      WarcSource.record(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "https://x/1",
+        "Content-Type" -> "text/plain; charset=ISO-8859-1"), latin1),
+      WarcSource.record(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "https://x/2",
+        "Content-Type" -> "text/plain; charset=windows-1252"), latin1),
+      WarcSource.record(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "https://x/3",
+        "Content-Type" -> "text/plain"), utf8)))
+    val out = WarcSource.readRecords(spark, stage("h.warc", bytes))
+      .select(col("rec_index"),
+        WarcSource.charsetOf(col("content_type")).as("cs"),
+        WarcSource.payloadTextCs(col("payload"), col("content_type"))
+          .as("txt"))
+      .orderBy("rec_index").collect()
+    assert(out(0).getAs[String]("cs") == "iso-8859-1" &&
+      out(0).getAs[String]("txt") == "café résumé")
+    assert(out(1).getAs[String]("cs") == "windows-1252" &&
+      out(1).getAs[String]("txt") == "café résumé")
+    assert(out(2).getAs[String]("cs") == null &&
+      out(2).getAs[String]("txt") == "café")
+  }
+
   test("a .warc.gz (whole-file gzip; JDK inflater also consumes " +
     "per-record concatenated members) parses identically") {
     val plain = WarcSource.writeWarc(Seq(
@@ -142,6 +171,31 @@ class WarcSourceSpec extends SparkSpec {
     assert(out.forall(!_.getAs[Boolean]("malformed")))
     assert(new String(out(1).getAs[Array[Byte]]("payload"),
       "UTF-8") == "gz two")
+  }
+
+  test("writeWet roundtrip: a (uri, text) frame written as WET " +
+    "conversion records reads back exactly — plain and gzip, one " +
+    "file per non-empty partition") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i =>
+      (s"https://x/$i", s"text body $i with é"))
+    val df = rows.toDF("uri", "txt").repartition(4)
+    for (gz <- Seq(false, true)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_wet").toString
+      WarcSource.writeWet(df, "uri", "txt", dir,
+        warcDate = "2026-08-16T00:00:00Z", gzip = gz)
+      val back = WarcSource.readRecords(spark, dir + "/*")
+        .select(col("target_uri"),
+          WarcSource.payloadText(col("payload")).as("txt"),
+          col("warc_type"), col("malformed"))
+        .collect()
+      assert(back.length == 40)
+      assert(back.forall(r => r.getAs[String]("warc_type") ==
+        "conversion" && !r.getAs[Boolean]("malformed")))
+      assert(back.map(r => r.getString(0) -> r.getString(1)).toSet ==
+        rows.toSet)
+    }
   }
 
   test("per-record gzip members (the Common Crawl layout) parse " +

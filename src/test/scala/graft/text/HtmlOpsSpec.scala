@@ -63,6 +63,20 @@ class HtmlOpsSpec extends SparkSpec {
         "Short but ends.")
   }
 
+  test("extractLinks: hrefs in document order, both quote styles, " +
+    "case-insensitive tags, attributes before href; fragment and " +
+    "relative values returned raw; anchors without href skipped") {
+    val html = "<a class=\"n\" href=\"https://a.example.com/l1\">1</a>" +
+      "<A HREF='https://gamma.org/l2'>2</A>" +
+      "<a name=\"x\">no href</a>" +
+      "<a href=\"#top\">frag</a><a href='/rel'>rel</a>"
+    val out = Seq(Tuple1(html)).toDF("h")
+      .select(HtmlOps.extractLinks(col("h")))
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("https://a.example.com/l1",
+      "https://gamma.org/l2", "#top", "/rel"))
+  }
+
   test("mainText: a markup-free input is one block under the same " +
     "density rule; null propagates") {
     assert(main("tiny") == "")

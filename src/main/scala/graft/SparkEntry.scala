@@ -94,6 +94,21 @@ object SparkEntry {
     "'" + WarcPage._1 + "' || " + idExpr + " || '" + WarcPage._2 +
       "' || " + textExpr + " || '" + WarcPage._3 + "'"
 
+  /** The t_robots_filter per-host robots.txt fixture — every RFC
+    * 9309 rule shape on the t_domain_mix host set: a multi-agent
+    * group the crawler's exact agent selects over `*`, wildcard +
+    * `$`-anchor rules, an empty Disallow, and a host whose ONLY
+    * group serves another agent (⇒ unrestricted for ours). */
+  private[graft] val RobotsFixture: Seq[(String, String)] = Seq(
+    "alpha.example.com" ->
+      ("# alpha policy\nUser-agent: graftbot\nUser-agent: otherbot\n" +
+        "Disallow: /private/\nAllow: /private/ok$\n" +
+        "Disallow: /*.pdf$\n\nUser-agent: *\nDisallow: /\n"),
+    "site-b.co.uk" ->
+      "User-agent: *\nDisallow: /tmp*/\nAllow: /tmp\nDisallow:\n",
+    "blog.blogspot.com" -> "User-agent: baduser\nDisallow: /\n",
+    "gamma.org" -> "User-agent: *\nAllow: /a\nDisallow: /a/b\n")
+
   private val WarcHttpHead =
     "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
 
@@ -297,12 +312,21 @@ object SparkEntry {
     * the staged inputs are single-digit micro-batches of O(100k) rows,
     * where per-partition state-store commit fan-out dominates wall
     * clock (r15: s_stream_join_outer 9.3 s at 32 state partitions vs
-    * 3.8 s at 8; r18 full-suite sweep: 48.8 s at 2 vs 53.8 s at 4 vs
-    * ~59 s at 8 for the 26 queries — the stream-stream joins carry
-    * FOUR stores per partition and gain the most). Production streams
-    * inherit the session's cluster-sized `spark.sql.shuffle
-    * .partitions` — this constant exists only so the harness does not
-    * shard kilobyte state dozens of ways. */
+    * 3.8 s at 8 — the stream-stream joins carry FOUR stores per
+    * partition and gain the most). r19 CORRECTION of the r18 claim:
+    * an r18 hand sweep reported 48.8 s at 2 vs ~59 s at 8 for the 26
+    * queries, but that number never reproduced in a shipped
+    * artifact — BENCH_r19's quiet-box floor, with EVERY stream query
+    * re-measured end-of-run (min of warm isolated runs, load ~1.4),
+    * is ~59 s at parts=2, statistically identical to the r17/r18
+    * parts=8 floors. The honest reading: the bench-harness floor is
+    * dominated by per-QUERY fixed costs (fresh checkpoint staging,
+    * stream start/stop, commit-log scans) that the partition count
+    * does not move; parts=2 is kept for the per-query wins the r15
+    * measurement established, not for a floor-level claim.
+    * Production streams inherit the session's cluster-sized
+    * `spark.sql.shuffle.partitions` — this constant exists only so
+    * the harness does not shard kilobyte state dozens of ways. */
   private val drainStateParts = Some(2)
 
   /** The bounded-drain entry every `s_stream_*` query runs through:
@@ -5565,6 +5589,36 @@ object SparkEntry {
           HtmlOps.mainTextFromStripped(col("stripped")).as("main_text"))
     }),
 
+    // ---- crawl politeness: robots.txt (RFC 9309) URL filtering —
+    // the gate between link discovery and the fetch queue. Per-host
+    // robots bodies parse DRIVER-SIDE (dim work) into a broadcast
+    // rules dim with pre-translated match regexes; the frontier
+    // filter is one broadcast join + a packed-priority max()
+    // HashAggregate (len*2 + isAllow IS the RFC longest-match /
+    // tie-to-Allow order). Oracle replays the match + priority walk
+    // over the SAME rendered rules VALUES (shared translation). ----
+    "t_robots_filter" -> ((s, dir) => {
+      import graft.text.RobotsOps
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val b = (col("doc_id") / lit(8)).cast("long").cast("string")
+      val m = pmod(col("doc_id"), lit(8))
+      val url = when(m === 0,
+          concat(lit("https://alpha.example.com/private/doc"), b))
+        .when(m === 1, lit("https://alpha.example.com/private/ok"))
+        .when(m === 2,
+          concat(lit("https://alpha.example.com/pub/x"), b,
+            lit(".pdf")))
+        .when(m === 3,
+          concat(lit("https://site-b.co.uk/tmp"), b, lit("/f")))
+        .when(m === 4, lit("https://site-b.co.uk/tmp"))
+        .when(m === 5, concat(lit("https://blog.blogspot.com/x"), b))
+        .when(m === 6, concat(lit("https://gamma.org/a/b/c"), b))
+        .otherwise(concat(lit("https://gamma.org/a/x"), b))
+      RobotsOps.robotsFilter(d.select(col("doc_id"), url.as("u")),
+        "doc_id", col("u"),
+        RobotsOps.robotsDim(s, RobotsFixture, "graftbot"))
+    }),
+
     // ---- crawl curation capstone: WARC → HTTP body → main text →
     // token stats, one composed pipeline over the staged fixture's
     // response records (the RefinedWeb first mile). Each stage reads
@@ -8983,6 +9037,54 @@ r$k AS (
         |  COALESCE(forced_len, strlen(payload)) AS content_length,
         |  md5(payload) AS payload_md5, malformed, error
         |FROM recs""".stripMargin,
+
+    // robots filter: urls rebuilt in SQL, host/path extraction
+    // replayed, the rules dim rendered from the engine's OWN parsed
+    // fixture (same driver-side regex translation — cannot drift),
+    // then the match + packed-priority walk
+    "t_robots_filter" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(doc_id // 8 AS VARCHAR) AS b,
+        |    doc_id % 8 AS m
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, CASE m
+        |    WHEN 0 THEN 'https://alpha.example.com/private/doc' || b
+        |    WHEN 1 THEN 'https://alpha.example.com/private/ok'
+        |    WHEN 2 THEN 'https://alpha.example.com/pub/x' || b
+        |      || '.pdf'
+        |    WHEN 3 THEN 'https://site-b.co.uk/tmp' || b || '/f'
+        |    WHEN 4 THEN 'https://site-b.co.uk/tmp'
+        |    WHEN 5 THEN 'https://blog.blogspot.com/x' || b
+        |    WHEN 6 THEN 'https://gamma.org/a/b/c' || b
+        |    ELSE 'https://gamma.org/a/x' || b END AS url
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^[^/?#]*@', ''), ':[0-9]*$$', ''), '\\.+$$', '')
+        |      AS host,
+        |    COALESCE(NULLIF(regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^#]*)', 1), ''), '/')
+        |      AS path
+        |  FROM c),
+        |r(host, allow, rule_path, path_len, path_re) AS (VALUES
+        |  ${graft.text.RobotsOps.rulesValuesSql(
+             graft.text.RobotsOps.dimRows(RobotsFixture, "graftbot"))}),
+        |m2 AS (
+        |  SELECT h.doc_id, h.url, h.host, h.path,
+        |    MAX(CASE WHEN r.path_len IS NULL THEN -1
+        |      ELSE r.path_len * 2 +
+        |        CASE WHEN r.allow THEN 1 ELSE 0 END END) AS code
+        |  FROM h LEFT JOIN r ON r.host = h.host
+        |    AND regexp_matches(h.path, r.path_re)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, url, host, path,
+        |  (code = -1 OR code % 2 = 1) AS allowed,
+        |  CASE WHEN code >= 0 THEN CAST(code // 2 AS BIGINT) END
+        |    AS rule_path_len
+        |FROM m2""".stripMargin,
 
     // WET sink roundtrip: lossless by contract, so the source table
     // is the expectation — no replay needed

@@ -71,6 +71,10 @@ object SparkEntry {
   private val stagedWet =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM cache of the WARC drop-directory staging (s_stream). */
+  private val stagedWarcStream =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** The WARC fixture's response-page template, split at its two
     * dynamic holes (doc id, doc text) so the Scala staging, the
     * t_html_extract variant-0 page, and the DuckDB oracles all render
@@ -5538,6 +5542,54 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"),
           col("malformed"), col("error"))),
 
+    // ---- streaming: WARC drop-directory ingest — the production
+    // crawl shape (waves land as files; the AvailableNow drain folds
+    // each exactly once through the checkpoint file log). Two staged
+    // waves: the s16 fixture (response/conversion/truncated) and a
+    // second conversion shard; per-type record counts, byte totals
+    // and the quarantine count all replayed by the oracle. ----
+    "s_stream_warc" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val in = stagedWarcStream.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_swarc")
+        val streamDir = s"$tmp/in"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(streamDir))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(warcFixture(s, dir)),
+          java.nio.file.Paths.get(streamDir, "wave1.warc"))
+        val rows = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+            col("doc_id") % 5 === 1)
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id").collect()
+        val recs = rows.toSeq.zipWithIndex.map { case (r, j) =>
+          WarcSource.record(Seq(
+            "WARC-Type" -> "conversion",
+            "WARC-Record-ID" -> s"<urn:graft:w2:$j>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "WARC-Target-URI" ->
+              s"https://fixture.test/doc/${r.getLong(0)}",
+            "Content-Type" -> "text/plain"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(streamDir, "wave2.warc"),
+          WarcSource.writeWarc(recs))
+        streamDir
+      })
+      val ckpt = ckptDir("graft_swarc_ck")
+      val agg = WarcSource.readRecordsStream(s, in).toDF()
+        .groupBy(col("warc_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("content_length")).as("sum_len"),
+          sum(when(col("malformed"), 1L).otherwise(0L))
+            .as("n_malformed"))
+      runDrain(agg, queryName = s"swc_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
     // ---- §crawl S17: WET sink + scan roundtrip — the write half of
     // WarcSource: documents exported once per dir as gzip'd WET
     // conversion shards (one file per partition), read back through
@@ -9037,6 +9089,35 @@ r$k AS (
         |  COALESCE(forced_len, strlen(payload)) AS content_length,
         |  md5(payload) AS payload_md5, malformed, error
         |FROM recs""".stripMargin,
+
+    // streaming WARC ingest: both waves' record populations rebuilt
+    // (warcinfo + response/conversion splits + the second shard +
+    // the truncated quarantine row), then the same per-type agg
+    "s_stream_warc" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |recs AS (
+        |  SELECT 'warcinfo' AS warc_type,
+        |    CAST(strlen('software: graft-fixture') AS BIGINT) AS len,
+        |    0 AS mal
+        |  UNION ALL
+        |  SELECT CASE WHEN doc_id % 10 = 0 THEN 'response'
+        |      ELSE 'conversion' END,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN strlen($WarcHttpHeadSql ||
+        |        ${warcPageSql("doc_id", "text")})
+        |      ELSE strlen(text) END, 0
+        |  FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'conversion', strlen(text), 0
+        |  FROM d WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT 'conversion', 1000, 1)
+        |SELECT warc_type, COUNT(*) AS n,
+        |  CAST(SUM(len) AS BIGINT) AS sum_len,
+        |  CAST(SUM(mal) AS BIGINT) AS n_malformed
+        |FROM recs GROUP BY 1""".stripMargin,
 
     // robots filter: urls rebuilt in SQL, host/path extraction
     // replayed, the rules dim rendered from the engine's OWN parsed

@@ -80,6 +80,46 @@ object WarcSource {
       .toDS().toDF()
   }
 
+  /** Streaming twin of [[readRecords]]: a file STREAM over a WARC
+    * drop directory — the production crawl shape (each crawl wave
+    * lands as new `.warc[.gz]` files; an AvailableNow drain folds
+    * them into the corpus EXACTLY ONCE through the checkpoint's file
+    * log, the BlockedDatasetIncremental discipline). The binaryFile
+    * file-stream hands whole-file content per row, so memory here is
+    * one FILE per task (vs one RECORD in the batch path's
+    * PortableDataStream) — size crawl shards to the source's cap;
+    * the parse is the SAME [[parseStream]], quarantine semantics
+    * included. */
+  def readRecordsStream(spark: SparkSession, dir: String,
+                        maxPayloadBytes: Long = 64L << 20)
+      : org.apache.spark.sql.Dataset[WarcRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        parseBytes(file, bytes, maxPayloadBytes)
+      }
+  }
+
+  /** Parse one in-memory WARC file (the streaming path's per-row
+    * unit; gzip by magic like the batch path). */
+  def parseBytes(file: String, bytes: Array[Byte],
+                 maxPayloadBytes: Long = 64L << 20): Iterator[WarcRow] = {
+    val raw = new BufferedInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val in =
+      if (isGzip(raw)) new java.util.zip.GZIPInputStream(raw) else raw
+    parseStream(in, file, maxPayloadBytes)
+  }
+
   /** HTTP response payload → body: everything after the first blank
     * line (status line and headers dropped). Pure column op on the
     * UTF-8 payload text, oracle-replayable. */

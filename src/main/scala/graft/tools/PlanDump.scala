@@ -110,7 +110,19 @@ object PlanDump {
     "w38_cox" -> ("Cox partial-likelihood GD: per step one subjects " +
       "scan to the distinct-duration frame, suffix risk sets via the " +
       "bucketed Prefix hierarchy (no single-partition window), ONE " +
-      "1-row gradient collect; beta rides back as literals"))
+      "1-row gradient collect; beta rides back as literals"),
+    "t_warc_curate" -> ("WARC → text first mile: one per-file record " +
+      "scan, three stacked projections (httpBody / strip chain / " +
+      "density filter) each reading the previous ATTRIBUTE — the " +
+      "interpreted trees evaluate once per row, payload bytes never " +
+      "shuffle"),
+    "t_domain_mix" -> ("domain-quota capstone: PSL candidates " +
+      "row-local against the BROADCAST rules dim, one doc_id join " +
+      "back, cap + mix windows keyed by the domain×shard grid — " +
+      "never a whole-corpus window"),
+    "t_robots_filter" -> ("robots politeness filter: rules dim " +
+      "BROADCAST (regexes pre-translated driver-side), one packed-" +
+      "priority max() HashAggregate back to frontier cardinality"))
 
   /** Ops with no SparkEntry.queries surface whose plan still backs a
     * scale claim (built directly against the sf tables). */

@@ -178,12 +178,22 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(prevPath)), "UTF-8")
-        val start = txt.indexOf("\"queries\":{")
+        // the driver's BENCH_r{N}.json embeds the stdout line as an
+        // ESCAPED string field (\"queries\":{\"a79\":4.96,...}), so a
+        // key captured up to the next quote carries a trailing
+        // backslash — strip it, or every prev lookup silently misses
+        // and the round-over-round gate is inert (r19 found it so:
+        // zero flags against a +27s board)
+        val start = txt.indexOf("queries") match {
+          case -1 => -1
+          case i => txt.indexOf('{', i)
+        }
         if (start < 0) Map.empty
-        else "\"([^\"]+)\":(-?[0-9]+\\.?[0-9]*)".r
-          .findAllMatchIn(txt.substring(start + 11,
+        else "\"([^\"]+?)\\\\?\":(-?[0-9]+\\.?[0-9]*)".r
+          .findAllMatchIn(txt.substring(start,
             txt.indexOf('}', start)))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1).stripSuffix("\\") -> m.group(2).toDouble)
+          .toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     // a stale artifact must not survive this run: if the write below
     // fails, a dangling queries_full pointer would present the OLD

@@ -718,6 +718,11 @@ object ScaleSweep {
       // keyed by the 4-domain x shard grid
       "t_domain_mix" -> (d =>
         SparkEntry.queries("t_domain_mix")(spark, d).count()),
+      // link graph: one codegen'd href extract + host edges hash agg
+      // (linear in docs), then 2 PageRank rounds over the fixed
+      // 4-node domain graph - the wall is round fixed overhead
+      "t_link_graph" -> (d =>
+        SparkEntry.queries("t_link_graph")(spark, d).count()),
       // SCD2 history build over orders: key-hash join + per-key
       // window, linear in the staged order count
       "s14_scd2" -> (d =>

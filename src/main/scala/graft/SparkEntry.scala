@@ -5804,6 +5804,67 @@ object SparkEntry {
       s"chr(10)), b -> len(string_split(b, ' ')) >= $minTok OR " +
       "regexp_matches(b, '[.!?]$')), chr(10))"
 
+  /** The damped-PageRank 2-round replay over an arbitrary edges CTE
+    * `e(src, dst, w)`: round-6 transition probs, dangling mass,
+    * IEEE-pinned teleport constant, final (node, pagerank) select —
+    * ONE copy shared by the g_pagerank and t_link_graph oracles so
+    * the two replays cannot drift (the scattered-copies lesson of
+    * the hostOf trailing-dot patch). */
+  private val PageRankReplayChassis: String =
+    """p AS (
+      |  SELECT src, dst,
+      |    CAST(ROUND(CAST(w AS DOUBLE) /
+      |      CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE), 6)
+      |      AS DECIMAL(18,6)) AS p
+      |  FROM e),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      |srcs AS (SELECT DISTINCT src AS node FROM e),
+      |r0 AS (
+      |  SELECT node,
+      |    CAST(ROUND(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |      AS DECIMAL(18,6)) AS r
+      |  FROM nodes, nn),
+      |d1 AS (
+      |  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
+      |  FROM r0 WHERE node NOT IN (SELECT node FROM srcs)),
+      |c1 AS (
+      |  SELECT p.dst AS node,
+      |    CAST(SUM(CAST(ROUND(r0.r * p.p, 6) AS DECIMAL(18,6)))
+      |      AS DECIMAL(18,6)) AS c
+      |  FROM p JOIN r0 ON p.src = r0.node GROUP BY 1),
+      |r1 AS (
+      |  SELECT nodes.node,
+      |    CAST(ROUND(
+      |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+      |        / CAST(nn.n AS DOUBLE)
+      |      + CAST(0.85 AS DOUBLE) *
+      |        (CAST(COALESCE(c1.c, CAST(0 AS DECIMAL(18,6)))
+      |           AS DOUBLE)
+      |         + CAST(d1.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS r
+      |  FROM nodes LEFT JOIN c1 ON c1.node = nodes.node, nn, d1),
+      |d2 AS (
+      |  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
+      |  FROM r1 WHERE node NOT IN (SELECT node FROM srcs)),
+      |c2 AS (
+      |  SELECT p.dst AS node,
+      |    CAST(SUM(CAST(ROUND(r1.r * p.p, 6) AS DECIMAL(18,6)))
+      |      AS DECIMAL(18,6)) AS c
+      |  FROM p JOIN r1 ON p.src = r1.node GROUP BY 1),
+      |r2 AS (
+      |  SELECT nodes.node,
+      |    CAST(ROUND(
+      |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+      |        / CAST(nn.n AS DOUBLE)
+      |      + CAST(0.85 AS DOUBLE) *
+      |        (CAST(COALESCE(c2.c, CAST(0 AS DECIMAL(18,6)))
+      |           AS DOUBLE)
+      |         + CAST(d2.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS r
+      |  FROM nodes LEFT JOIN c2 ON c2.node = nodes.node, nn, d2)
+      |SELECT node, CAST(r AS DOUBLE) AS pagerank FROM r2""".stripMargin
+
   /** Shared by w26_rate_limit and its streaming twin s_stream_rate —
     * the token bucket replayed step-exact: bucket starts FULL, refill
     * (Δt µs)·1e-10 exact decimal, capped at 2, debit 1 when ≥ 1. */
@@ -7918,65 +7979,13 @@ r$k AS (
     },
 
     "g_pagerank" ->
-      """WITH e AS (
+      (s"""WITH e AS (
         |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
         |    's' || CAST(l_suppkey AS VARCHAR) AS dst,
         |    COUNT(*) AS w
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT src, dst,
-        |    CAST(ROUND(CAST(w AS DOUBLE) /
-        |      CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE), 6)
-        |      AS DECIMAL(18,6)) AS p
-        |  FROM e),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-        |srcs AS (SELECT DISTINCT src AS node FROM e),
-        |r0 AS (
-        |  SELECT node,
-        |    CAST(ROUND(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |      AS DECIMAL(18,6)) AS r
-        |  FROM nodes, nn),
-        |d1 AS (
-        |  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
-        |  FROM r0 WHERE node NOT IN (SELECT node FROM srcs)),
-        |c1 AS (
-        |  SELECT p.dst AS node,
-        |    CAST(SUM(CAST(ROUND(r0.r * p.p, 6) AS DECIMAL(18,6)))
-        |      AS DECIMAL(18,6)) AS c
-        |  FROM p JOIN r0 ON p.src = r0.node GROUP BY 1),
-        |r1 AS (
-        |  SELECT nodes.node,
-        |    CAST(ROUND(
-        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-        |        / CAST(nn.n AS DOUBLE)
-        |      + CAST(0.85 AS DOUBLE) *
-        |        (CAST(COALESCE(c1.c, CAST(0 AS DECIMAL(18,6)))
-        |           AS DOUBLE)
-        |         + CAST(d1.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
-        |      AS DECIMAL(18,6)) AS r
-        |  FROM nodes LEFT JOIN c1 ON c1.node = nodes.node, nn, d1),
-        |d2 AS (
-        |  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
-        |  FROM r1 WHERE node NOT IN (SELECT node FROM srcs)),
-        |c2 AS (
-        |  SELECT p.dst AS node,
-        |    CAST(SUM(CAST(ROUND(r1.r * p.p, 6) AS DECIMAL(18,6)))
-        |      AS DECIMAL(18,6)) AS c
-        |  FROM p JOIN r1 ON p.src = r1.node GROUP BY 1),
-        |r2 AS (
-        |  SELECT nodes.node,
-        |    CAST(ROUND(
-        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-        |        / CAST(nn.n AS DOUBLE)
-        |      + CAST(0.85 AS DOUBLE) *
-        |        (CAST(COALESCE(c2.c, CAST(0 AS DECIMAL(18,6)))
-        |           AS DOUBLE)
-        |         + CAST(d2.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
-        |      AS DECIMAL(18,6)) AS r
-        |  FROM nodes LEFT JOIN c2 ON c2.node = nodes.node, nn, d2)
-        |SELECT node, CAST(r AS DOUBLE) AS pagerank FROM r2""".stripMargin,
+        |  GROUP BY 1, 2),""".stripMargin + "\n" +
+        PageRankReplayChassis),
 
     // link graph: the pages rebuilt in SQL, the SAME HrefRegex
     // (interpolated from HtmlOps' constant) re-extracted, absolute
@@ -8015,59 +8024,7 @@ r$k AS (
         |  FROM ab),
         |e AS (SELECT src_host AS src, dst_host AS dst, COUNT(*) AS w
         |      FROM ho GROUP BY 1, 2),""".stripMargin + "\n" +
-      """p AS (
-        |  SELECT src, dst,
-        |    CAST(ROUND(CAST(w AS DOUBLE) /
-        |      CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE), 6)
-        |      AS DECIMAL(18,6)) AS p
-        |  FROM e),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-        |srcs AS (SELECT DISTINCT src AS node FROM e),
-        |r0 AS (
-        |  SELECT node,
-        |    CAST(ROUND(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |      AS DECIMAL(18,6)) AS r
-        |  FROM nodes, nn),
-        |d1 AS (
-        |  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
-        |  FROM r0 WHERE node NOT IN (SELECT node FROM srcs)),
-        |c1 AS (
-        |  SELECT p.dst AS node,
-        |    CAST(SUM(CAST(ROUND(r0.r * p.p, 6) AS DECIMAL(18,6)))
-        |      AS DECIMAL(18,6)) AS c
-        |  FROM p JOIN r0 ON p.src = r0.node GROUP BY 1),
-        |r1 AS (
-        |  SELECT nodes.node,
-        |    CAST(ROUND(
-        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-        |        / CAST(nn.n AS DOUBLE)
-        |      + CAST(0.85 AS DOUBLE) *
-        |        (CAST(COALESCE(c1.c, CAST(0 AS DECIMAL(18,6)))
-        |           AS DOUBLE)
-        |         + CAST(d1.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
-        |      AS DECIMAL(18,6)) AS r
-        |  FROM nodes LEFT JOIN c1 ON c1.node = nodes.node, nn, d1),
-        |d2 AS (
-        |  SELECT CAST(COALESCE(SUM(r), 0) AS DECIMAL(18,6)) AS dang
-        |  FROM r1 WHERE node NOT IN (SELECT node FROM srcs)),
-        |c2 AS (
-        |  SELECT p.dst AS node,
-        |    CAST(SUM(CAST(ROUND(r1.r * p.p, 6) AS DECIMAL(18,6)))
-        |      AS DECIMAL(18,6)) AS c
-        |  FROM p JOIN r1 ON p.src = r1.node GROUP BY 1),
-        |r2 AS (
-        |  SELECT nodes.node,
-        |    CAST(ROUND(
-        |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-        |        / CAST(nn.n AS DOUBLE)
-        |      + CAST(0.85 AS DOUBLE) *
-        |        (CAST(COALESCE(c2.c, CAST(0 AS DECIMAL(18,6)))
-        |           AS DOUBLE)
-        |         + CAST(d2.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
-        |      AS DECIMAL(18,6)) AS r
-        |  FROM nodes LEFT JOIN c2 ON c2.node = nodes.node, nn, d2)
-        |SELECT node, CAST(r AS DOUBLE) AS pagerank FROM r2""".stripMargin),
+      PageRankReplayChassis),
 
     "t_glove_cooccur" ->
       """WITH tk AS (
@@ -9147,8 +9104,8 @@ r$k AS (
         |      '^[^/?#]*@', ''), ':[0-9]*$$', ''), '\\.+$$', '')
         |      AS host,
         |    COALESCE(NULLIF(regexp_extract(url,
-        |      '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^#]*)', 1), ''), '/')
-        |      AS path
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), ''),
+        |      '/') AS path
         |  FROM c),
         |r(host, allow, rule_path, path_len, path_re) AS (VALUES
         |  ${graft.text.RobotsOps.rulesValuesSql(
@@ -9159,7 +9116,9 @@ r$k AS (
         |      ELSE r.path_len * 2 +
         |        CASE WHEN r.allow THEN 1 ELSE 0 END END) AS code
         |  FROM h LEFT JOIN r ON r.host = h.host
-        |    AND regexp_matches(h.path, r.path_re)
+        |    AND (CASE WHEN r.path_re IS NULL
+        |      THEN starts_with(h.path, r.rule_path)
+        |      ELSE regexp_matches(h.path, r.path_re) END)
         |  GROUP BY 1, 2, 3, 4)
         |SELECT doc_id, url, host, path,
         |  (code = -1 OR code % 2 = 1) AS allowed,

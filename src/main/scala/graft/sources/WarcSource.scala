@@ -64,17 +64,35 @@ object WarcSource {
       malformed: Boolean,
       error: String)
 
+  /** The hard per-record payload ceiling: a JVM byte array tops out
+    * just under Int.MaxValue, so a larger `maxPayloadBytes` would
+    * have to truncate silently — fail loudly at the API edge
+    * instead (r19 review fix). */
+  private def requirePayloadCap(maxPayloadBytes: Long): Unit =
+    require(maxPayloadBytes > 0 &&
+        maxPayloadBytes <= Int.MaxValue.toLong - 8,
+      s"maxPayloadBytes $maxPayloadBytes out of (0, ${Int.MaxValue - 8}]:" +
+        " a JVM byte array cannot hold more; records past the cap are" +
+        " the oversize-drop path, not silent truncation")
+
   /** Read every record of every WARC/WET file under `path` (glob ok).
     * One task per file; see object doc for the scale rationale. */
   def readRecords(spark: SparkSession, path: String,
                   maxPayloadBytes: Long = 64L << 20): DataFrame = {
     import spark.implicits._
+    requirePayloadCap(maxPayloadBytes)
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
         val raw = new BufferedInputStream(pds.open())
         val in =
           if (isGzip(raw)) new java.util.zip.GZIPInputStream(raw)
           else raw
+        // a partially-consumed scan (limit(), failed task) never
+        // exhausts the iterator, so closeOnExhaust alone would leak
+        // the file handle/Inflater until executor death — the task-
+        // completion hook is the backstop (close is idempotent)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
         closeOnExhaust(parseStream(in, file, maxPayloadBytes), in)
       }
       .toDS().toDF()
@@ -110,14 +128,20 @@ object WarcSource {
   }
 
   /** Parse one in-memory WARC file (the streaming path's per-row
-    * unit; gzip by magic like the batch path). */
+    * unit; gzip by magic like the batch path). The gzip Inflater
+    * holds NATIVE memory freed only by close — closeOnExhaust plus
+    * the task-completion backstop release it deterministically
+    * instead of at finalizer time (r19 review fix). */
   def parseBytes(file: String, bytes: Array[Byte],
                  maxPayloadBytes: Long = 64L << 20): Iterator[WarcRow] = {
+    requirePayloadCap(maxPayloadBytes)
     val raw = new BufferedInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val in =
       if (isGzip(raw)) new java.util.zip.GZIPInputStream(raw) else raw
-    parseStream(in, file, maxPayloadBytes)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => in.close()))
+    closeOnExhaust(parseStream(in, file, maxPayloadBytes), in)
   }
 
   /** HTTP response payload → body: everything after the first blank
@@ -340,9 +364,11 @@ object WarcSource {
                   s"negative Content-Length $n"))
               case Some(n) =>
                 try {
+                  // maxPayloadBytes ≤ Int.MaxValue-8 is required at
+                  // every entry point, so a kept payload always fits
+                  // a JVM array exactly — no silent truncation path
                   val keep =
-                    if (n > maxPayloadBytes) 0
-                    else math.min(n, Int.MaxValue.toLong - 8).toInt
+                    if (n > maxPayloadBytes) 0 else n.toInt
                   val (bytes, _) = readFully(in, n, keep)
                   if (n > maxPayloadBytes)
                     Some(row(null, malformed = false,

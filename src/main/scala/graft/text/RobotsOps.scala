@@ -103,9 +103,13 @@ object RobotsOps {
     * (host, allow, rule_path, path_len, path_re) — `path_len` is the
     * RAW rule string's octet count (wildcards and the `$` anchor
     * included; the RFC's "number of octets of the path" made
-    * deterministic), `path_re` the driver-side translation. Exposed
-    * separately from [[robotsDim]] so the oracle renders the SAME
-    * rows as SQL VALUES. */
+    * deterministic). `path_re` is the driver-side regex translation
+    * and is NULL for plain rules (no `*`, no trailing `$`): those
+    * match by literal startsWith — codegen'd, no per-row
+    * Pattern.compile — and only genuine wildcard rules pay the
+    * non-foldable-regex cost. Exposed separately from [[robotsDim]]
+    * so the oracle renders the SAME rows (same null split) as SQL
+    * VALUES. */
   def dimRows(perHost: Seq[(String, String)], agent: String)
       : Seq[(String, Boolean, String, Long, String)] =
     perHost.flatMap { case (host, body) =>
@@ -113,8 +117,9 @@ object RobotsOps {
         require(r.path.length < (1L << 20),
           s"rule path of ${r.path.length} octets on $host: the " +
             "packed match priority gives path_len 20 bits")
+        val wild = r.path.contains("*") || r.path.endsWith("$")
         (host, r.allow, r.path, r.path.length.toLong,
-          pathRegex(r.path))
+          if (wild) pathRegex(r.path) else null)
       }
     }
 
@@ -129,36 +134,53 @@ object RobotsOps {
   }
 
   /** The rules dim rendered as SQL VALUES rows
-    * `('host', allow, 'path', len, 'regex')` — shared by the DuckDB
-    * oracle so engine and oracle read the SAME translated patterns. */
+    * `('host', allow, 'path', len, 'regex'|NULL)` — shared by the
+    * DuckDB oracle so engine and oracle read the SAME translated
+    * patterns and the same plain-vs-wildcard split. */
   def rulesValuesSql(dim: Seq[(String, Boolean, String, Long, String)])
       : String =
     dim.map { case (h, a, p, l, re) =>
       def q(s: String) = s.replace("'", "''")
-      s"('${q(h)}', $a, '${q(p)}', $l, '${q(re)}')"
+      val reSql = Option(re).map(r => s"'${q(r)}'").getOrElse("NULL")
+      s"('${q(h)}', $a, '${q(p)}', $l, $reSql)"
     }.mkString(", ")
 
   /** Filter a URL frontier against the rules dim: one row per input
-    * (idCol, url) with (host, path, allowed, rule_path). The URL's
-    * host joins the BROADCAST dim (rules are per-host dim data);
-    * the prevailing rule is max() over the packed priority
+    * (idCol, url) with (host, path, allowed, rule_path_len). The
+    * URL's host joins the BROADCAST dim (rules are per-host dim
+    * data); the prevailing rule is max() over the packed priority
     * `path_len * 2 + isAllow` — exactly the RFC longest-match /
     * tie-to-Allow order; hosts with no matching rule (or no rules at
-    * all) are allowed. One hash agg back to input cardinality; no
-    * corpus-sized window, no UDF. */
+    * all) are allowed. Plain rules match by codegen'd startsWith;
+    * only wildcard rules pay the non-foldable-regex cost (dimRows'
+    * null split). One hash agg back to input cardinality; no
+    * corpus-sized window, no UDF.
+    *
+    * Matching is against the URL AS FETCHED (r19 review fix): only
+    * the scheme/authority are lowercased (case-insensitive per the
+    * URI spec) for host extraction; the PATH-AND-QUERY keeps its
+    * exact bytes and case, because RFC 9309 matching is
+    * case-sensitive and includes the query — canonicalization
+    * (trailing-slash strip, tracking-param drop, query sort) belongs
+    * to DEDUP KEYS and would silently green-light disallowed fetches
+    * here (`/private/` canonicalized to `/private` escapes a
+    * directory Disallow). Fragments are not sent to servers and are
+    * excluded; a URL with no path matches as `/`. */
   def robotsFilter(urls: DataFrame, idCol: String, urlCol: Column,
                    dim: DataFrame): DataFrame = {
-    val in = urls.select(col(idCol),
-        TextOps.canonicalizeUrl(urlCol).as("url"))
-      .withColumn("host", DomainOps.hostOf(col("url")))
+    val rawPath = regexp_extract(col("url"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val in = urls.select(col(idCol), urlCol.as("url"))
+      .withColumn("host", DomainOps.hostOf(
+        lower(regexp_extract(col("url"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0))))
       .withColumn("path",
-        coalesce(regexp_extract(col("url"),
-          "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^#]*)", 1), lit("/")))
-      .withColumn("path", when(col("path") === "", "/")
-        .otherwise(col("path")))
+        when(rawPath === "", "/").otherwise(rawPath))
+    val ruleMatch = when(dim("path_re").isNull,
+        col("path").startsWith(dim("rule_path")))
+      .otherwise(regexp_like(col("path"), dim("path_re")))
     val matched = in.join(broadcast(dim),
-        in("host") === dim("host") &&
-          regexp_like(col("path"), col("path_re")), "left")
+        in("host") === dim("host") && ruleMatch, "left")
       .groupBy(in(idCol), in("url"), in("host"), col("path"))
       .agg(max(when(col("path_len").isNull, lit(-1L))
         .otherwise(col("path_len") * 2 +

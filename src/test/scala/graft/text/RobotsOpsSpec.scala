@@ -86,4 +86,33 @@ class RobotsOpsSpec extends SparkSpec {
     assert(out(5L) == ((true, "/")))
     assert(out(6L) == ((true, "/anything")))
   }
+
+  test("robotsFilter matches the URL AS FETCHED (r19 review fix): " +
+    "trailing slash preserved (a directory Disallow covers it), " +
+    "path case-sensitive and query included per the RFC; only the " +
+    "authority lowercases") {
+    val dim = RobotsOps.robotsDim(spark, Seq(
+      "h2.test" -> ("User-agent: *\nDisallow: /private/\n" +
+        "Disallow: /q?session=\n")), "graftbot")
+    val out = RobotsOps.robotsFilter(
+        Seq(
+          // canonicalizeUrl would strip the trailing slash and
+          // escape the directory rule — politeness must not
+          1L -> "https://h2.test/private/",
+          // path case preserved: /Private/ is a DIFFERENT path
+          2L -> "HTTPS://H2.test/Private/x",
+          // query participates in matching (canonicalization would
+          // drop/sort params)
+          3L -> "https://h2.test/q?session=abc",
+          4L -> "https://h2.test/q?other=1")
+          .toDF("id", "u"),
+        "id", col("u"), dim)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[String]("path"),
+          r.getAs[String]("host")))).toMap
+    assert(out(1L) == ((false, "/private/", "h2.test")))
+    assert(out(2L) == ((true, "/Private/x", "h2.test")))
+    assert(out(3L) == ((false, "/q?session=abc", "h2.test")))
+    assert(out(4L) == ((true, "/q?other=1", "h2.test")))
+  }
 }

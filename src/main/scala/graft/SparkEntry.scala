@@ -320,14 +320,16 @@ object SparkEntry {
     * partition and gain the most). r19 CORRECTION of the r18 claim:
     * an r18 hand sweep reported 48.8 s at 2 vs ~59 s at 8 for the 26
     * queries, but that number never reproduced in a shipped
-    * artifact — BENCH_r19's quiet-box floor, with EVERY stream query
-    * re-measured end-of-run (min of warm isolated runs, load ~1.4),
-    * is ~59 s at parts=2, statistically identical to the r17/r18
-    * parts=8 floors. The honest reading: the bench-harness floor is
+    * artifact. With EVERY stream query quiet-re-measured end-of-run
+    * and min-folded (the r19 bench block), the artifacted floor
+    * came in at 53-59 s across three quiet r19 runs (52.5 s on the
+    * final run for the comparable 26) — better than the flat ~59 s
+    * the un-re-measured r17/r18 artifacts published, still short of
+    * the 48.8 claim. The honest reading: the bench-harness floor is
     * dominated by per-QUERY fixed costs (fresh checkpoint staging,
     * stream start/stop, commit-log scans) that the partition count
-    * does not move; parts=2 is kept for the per-query wins the r15
-    * measurement established, not for a floor-level claim.
+    * moves only weakly; parts=2 is kept for the per-query wins the
+    * r15 measurement established, not for a floor-level claim.
     * Production streams inherit the session's cluster-sized
     * `spark.sql.shuffle.partitions` — this constant exists only so
     * the harness does not shard kilobyte state dozens of ways. */

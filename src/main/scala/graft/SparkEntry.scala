@@ -5643,6 +5643,35 @@ object SparkEntry {
           HtmlOps.mainTextFromStripped(col("stripped")).as("main_text"))
     }),
 
+    // ---- crawl discovery: sitemap ingestion (sitemaps.org) —
+    // per-shard <urlset> documents BUILT from the corpus (sorted-
+    // entry concat, so collect_list order is irrelevant), parsed
+    // back through the native from_xml projection. The oracle writes
+    // the EXPECTED rows directly from documents — an independent
+    // expectation: the parse must be lossless, not replayed. ----
+    "t_sitemap" -> ((s, dir) => {
+      import graft.sources.Sitemaps
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val entry = concat(
+        lit("<url><loc>https://fixture.test/doc/"), col("doc_id"),
+        lit("</loc><lastmod>2026-0"), pmod(col("doc_id"), lit(9)) + 1,
+        lit("-01</lastmod><changefreq>weekly</changefreq>" +
+          "<priority>0."),
+        pmod(col("doc_id"), lit(10)),
+        lit("</priority></url>"))
+      d.groupBy((col("doc_id") / 25).cast("long").as("shard"))
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", sort_array(collect_list(entry))),
+          lit("</urlset>")).as("xml"))
+        .select(col("shard"),
+          explode(Sitemaps.parseUrlset(col("xml"))).as("u"))
+        .select(col("shard"), col("u.loc").as("loc"),
+          col("u.lastmod").as("lastmod"),
+          col("u.changefreq").as("changefreq"),
+          col("u.priority").as("priority"))
+    }),
+
     // ---- crawl politeness: robots.txt (RFC 9309) URL filtering —
     // the gate between link discovery and the fetch queue. Per-host
     // robots bodies parse DRIVER-SIDE (dim work) into a broadcast
@@ -9077,6 +9106,18 @@ r$k AS (
         |  CAST(SUM(len) AS BIGINT) AS sum_len,
         |  CAST(SUM(mal) AS BIGINT) AS n_malformed
         |FROM recs GROUP BY 1""".stripMargin,
+
+    // sitemap ingestion: the expected rows written directly from
+    // documents — the construction is deterministic, so the parse
+    // being LOSSLESS is the whole contract
+    "t_sitemap" ->
+      """SELECT CAST(doc_id // 25 AS BIGINT) AS shard,
+        |  'https://fixture.test/doc/' || doc_id AS loc,
+        |  '2026-0' || (doc_id % 9 + 1) || '-01' AS lastmod,
+        |  'weekly' AS changefreq,
+        |  CAST('0.' || (doc_id % 10) AS DOUBLE) AS priority
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
 
     // robots filter: urls rebuilt in SQL, host/path extraction
     // replayed, the rules dim rendered from the engine's OWN parsed

@@ -71,12 +71,28 @@ object RobotsOps {
             if (value.nonEmpty)
               agents.foreach(a =>
                 out += RobotsRule(a, field == "allow", value))
-          case _ => () // crawl-delay, sitemap, unknown: ignored
+          case _ => () // crawl-delay, sitemap, unknown: ignored here
         }
       }
     }
     out.result()
   }
+
+  /** The `Sitemap:` lines of a robots.txt body — the discovery hook
+    * the sitemaps.org protocol specifies (group-independent per the
+    * RFC: a sitemap line applies regardless of user-agent, so this
+    * is a separate accessor, not a rule kind). Order preserved,
+    * comments stripped like [[parseRobots]]. */
+  def sitemapsOf(body: String): Seq[String] =
+    body.split("\n").toSeq
+      .map(l => l.takeWhile(_ != '#').trim)
+      .filter(_.nonEmpty)
+      .flatMap { l =>
+        val i = l.indexOf(':')
+        if (i > 0 && l.substring(0, i).trim.toLowerCase == "sitemap")
+          Some(l.substring(i + 1).trim).filter(_.nonEmpty)
+        else None
+      }
 
   /** The rules serving `agent`: its exact group when one exists,
     * else the `*` group (RFC: the most specific group applies and

@@ -65,9 +65,17 @@ object Bench {
     * quiet at plateau time (round-11 verdict #2: the plateau reruns
     * execute inside the SAME session; a still-contended box produced
     * a false "real" on w10_session_window — fresh-JVM 0.43–0.63 s vs
-    * the claimed 1.2). `loadAtPlateau >= cpus/4` demotes "real" to
+    * the claimed 1.2). `loadAtPlateau >= cpus/8` demotes "real" to
     * "contention-suspect": the number is over the gate but the box
-    * invalidates the measurement. An errored plateau (-1) is its own
+    * invalidates the measurement (r19 verdict #4: the old cpus/4
+    * gate certified a "real" from a load-7.75 plateau on a 32-cpu
+    * box — residual load of 1.5–8 sits squarely in the noise band
+    * the ~1.5 s queries live in, so the gate now matches the
+    * contended-start signal cpus/8 used for cap sizing). A sub-2 s
+    * plateau must ALSO exceed prev by an absolute +0.75 s before
+    * "real" (same verdict: ratio alone flags JIT/codegen jitter on
+    * short queries — three r19 "real"s on untouched code were still
+    * trending down at run 4). An errored plateau (-1) is its own
     * verdict, not "contention" (ADVICE r11: folding it in read as
     * contention-cleared unless the reader noticed the -1). */
   def adjudicateVerdict(prev: Double, plateau: Double,
@@ -75,7 +83,8 @@ object Bench {
                         cpus: Int = 32): String =
     if (plateau < 0) "error"
     else if (!isRegression(prev, plateau)) "contention"
-    else if (loadAtPlateau >= cpus / 4.0) "contention-suspect"
+    else if (plateau < 2.0 && plateau - prev < 0.75) "contention"
+    else if (loadAtPlateau >= cpus / 8.0) "contention-suspect"
     else "real"
 
   /** End-of-run re-measurement of one flagged query: min of `runs`
@@ -92,6 +101,63 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => -1.0 }
     }
     if (times.contains(-1.0)) -1.0 else times.min
+  }
+
+  /** [[plateau]] with bounded under-load retries (r19 verdict #4: a
+    * plateau CERTIFIED under residual load is how noise shipped as
+    * "real" — instead of certifying, re-measure until the box is
+    * quiet or retries run out). Each attempt measures the plateau
+    * then reads the load; a quiet attempt (`load < cpus/8`, the
+    * [[adjudicateVerdict]] gate) returns immediately. Returns
+    * (min plateau over attempts, min load over attempts): the min
+    * estimator is right under one-sided noise, and pairing it with
+    * the min load is sound — if ANY attempt ran quiet the verdict
+    * may certify, and the gate still applies to the (smaller or
+    * equal) min plateau. An errored attempt (-1) returns at once:
+    * retrying an error is a different failure, not contention. */
+  def plateauQuiet(spark: SparkSession, sfDir: String,
+                   fn: (SparkSession, String) => DataFrame,
+                   loadavg: () => Double, cpus: Int,
+                   runs: Int = 3, retries: Int = 2): (Double, Double) = {
+    var attempts = List.empty[(Double, Double)]
+    var left = retries + 1
+    var quiet = false
+    while (left > 0 && !quiet) {
+      val pl = plateau(spark, sfDir, fn, runs)
+      val ld = loadavg()
+      if (pl < 0) return (pl, ld)
+      attempts ::= (pl, ld)
+      quiet = ld >= 0 && ld < cpus / 8.0
+      left -= 1
+    }
+    (attempts.map(_._1).min, attempts.map(_._2).min)
+  }
+
+  /** Parse the previous run's `"queries":{...}` map out of a bench
+    * artifact — either our own BENCH_FULL.json (plain JSON) or the
+    * driver's BENCH_r{N}.json, which embeds the stdout line as an
+    * ESCAPED string field (`\"queries\":{\"a79\":4.96,...}`) BELOW a
+    * captured log tail. Anchoring on the two concrete forms — plain
+    * `"queries":{` first, escaped `\"queries\":{` as the fallback —
+    * rather than the bare word "queries" (r19 ADVICE: a log line like
+    * "343 queries, zero errors" ahead of the metric line would bind a
+    * bare-substring anchor to the wrong brace region and silently
+    * disarm the regression gate, the same failure mode as the r19
+    * backslash bug). Escaped keys carry a trailing backslash before
+    * their closing quote — stripped. Returns empty on no anchor. */
+  def parsePrevQueries(txt: String): Map[String, Double] = {
+    val start = txt.indexOf("\"queries\":{") match {
+      case -1 => txt.indexOf("\\\"queries\\\":{") match {
+        case -1 => -1
+        case i => txt.indexOf('{', i)
+      }
+      case i => txt.indexOf('{', i)
+    }
+    if (start < 0) Map.empty
+    else "\"([^\"]+?)\\\\?\":(-?[0-9]+\\.?[0-9]*)".r
+      .findAllMatchIn(txt.substring(start, txt.indexOf('}', start)))
+      .map(m => m.group(1).stripSuffix("\\") -> m.group(2).toDouble)
+      .toMap
   }
 
   /** Fold each flagged query's end-of-run plateau into the
@@ -175,26 +241,9 @@ object Bench {
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       "BENCH_FULL.json")
     val prev: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(prevPath)), "UTF-8")
-        // the driver's BENCH_r{N}.json embeds the stdout line as an
-        // ESCAPED string field (\"queries\":{\"a79\":4.96,...}), so a
-        // key captured up to the next quote carries a trailing
-        // backslash — strip it, or every prev lookup silently misses
-        // and the round-over-round gate is inert (r19 found it so:
-        // zero flags against a +27s board)
-        val start = txt.indexOf("queries") match {
-          case -1 => -1
-          case i => txt.indexOf('{', i)
-        }
-        if (start < 0) Map.empty
-        else "\"([^\"]+?)\\\\?\":(-?[0-9]+\\.?[0-9]*)".r
-          .findAllMatchIn(txt.substring(start,
-            txt.indexOf('}', start)))
-          .map(m => m.group(1).stripSuffix("\\") -> m.group(2).toDouble)
-          .toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      try parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
     // a stale artifact must not survive this run: if the write below
     // fails, a dangling queries_full pointer would present the OLD
     // numbers as current results
@@ -255,10 +304,15 @@ object Bench {
     val loadStartD = try loadStart.toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
     val adjCap = if (loadStartD > nCpus / 8.0) regressed.size else 12
+    def loadavgD(): Double =
+      try loadavg().toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     val adjudicated = regressed.take(adjCap).map { case (k, (p, v)) =>
-      val pl = plateau(spark, sfDir, SparkEntry.queries(k))
-      val ld = try loadavg().toDouble
-        catch { case scala.util.control.NonFatal(_) => -1.0 }
+      // under-load bounded retries (r19 verdict #4): never certify a
+      // verdict from a plateau taken on a still-contended box when a
+      // re-measure can wait out the residual load
+      val (pl, ld) = plateauQuiet(spark, sfDir, SparkEntry.queries(k),
+        loadavgD _, nCpus)
       (k, p, v, pl, ld, adjudicateVerdict(p, pl, math.max(ld, 0.0), nCpus))
     }
     // ---- quiet-box streaming floor re-measure (r18 verdict #2): the
@@ -279,9 +333,7 @@ object Bench {
         (k, v)
     }.sortBy(_._1).map { case (k, v) =>
       val pl = plateau(spark, sfDir, SparkEntry.queries(k), runs = 2)
-      val ld = try loadavg().toDouble
-        catch { case scala.util.control.NonFatal(_) => -1.0 }
-      (k, prev.getOrElse(k, -1.0), v, pl, ld, "floor-remeasure")
+      (k, prev.getOrElse(k, -1.0), v, pl, loadavgD(), "floor-remeasure")
     }
     def rmap(rs: Seq[(String, Double, Double, Double, Double, String)])
         : String =

@@ -1793,8 +1793,15 @@ object Analytics {
       //   maxJ > 5  — the STAGED fold in SORTED factor order (order
       //     pins determinism now that staging points matter) with a
       //     tracked micro-unit exponent: the mantissa rescales by
-      //     10⁶ whenever it crosses 10³¹, so the next multiply stays
-      //     under 10³⁷ and ≥ 25 significant digits survive any depth.
+      //     10⁶ whenever it crosses 10³⁰, so the next multiply stays
+      //     under 10³⁶ and ≥ 24 significant digits survive any depth.
+      //     The threshold is 10³⁰, not 10³¹ (r19 ADVICE): the per-
+      //     item WINDOW SUM of per-class likelihoods is also
+      //     decimal(38,0), so with C classes at the item's max
+      //     exponent the post-multiply bound must satisfy
+      //     C · bound < 10³⁸ — 10³⁶ keeps a 100-class sum inside the
+      //     type where 10³⁷ overflowed it to a silent null (non-ANSI)
+      //     posterior at ~10+ classes.
       // For ≤ 5 factors the two plans are BIT-IDENTICAL by
       // construction (the stage cannot fire; multiplication is
       // commutative so the sort is a no-op on the value).
@@ -1821,14 +1828,14 @@ object Analytics {
             .withColumn("__d",
               sum(col("__n")).over(wDen).cast("decimal(38,0)"))
         else {
-          val ten31 = lit(new java.math.BigDecimal("1" + "0" * 31))
+          val ten30 = lit(new java.math.BigDecimal("1" + "0" * 30))
           val num = grouped.select(col("__i"), col("__c"),
             aggregate(sort_array(col("__ps")),
               struct(col("__prior").cast("decimal(38,0)").as("m"),
                 lit(0).as("e")),
               (acc, x) => {
                 val m0 = acc.getField("m")
-                val over = m0 >= ten31
+                val over = m0 >= ten30
                 val m1 = when(over,
                     floor(m0 / lit(1000000L)).cast("decimal(38,0)"))
                   .otherwise(m0)

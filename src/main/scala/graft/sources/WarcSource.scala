@@ -198,10 +198,18 @@ object WarcSource {
     * `warcDate` is CALLER-SUPPLIED (stamp ingestion time at the
     * call site): a wall-clock default here would make re-runs
     * byte-unstable, and this engine's sinks are deterministic.
-    * Bounded-export semantics: each task creates its file with
-    * overwrite, so a retried task rewrites it whole; there is no
-    * cross-file commit protocol (export, not a transactional sink —
-    * the ClifSink/commit-log machinery is the transactional path). */
+    * Bounded-export semantics: each task writes an ATTEMPT-UNIQUE
+    * temp file and renames it into place on completion (r19 ADVICE:
+    * creating the final name directly let two CONCURRENT attempts of
+    * one partition — speculative execution, a zombie original beside
+    * its retry — interleave writes into the same part file and ship
+    * a corrupt WARC from an apparently successful job). The rename
+    * is per-attempt atomic, so the final name only ever holds ONE
+    * attempt's complete bytes — a racing loser either fails its
+    * rename or whole-file-replaces with identical content (the input
+    * partition is the same rows). There is no cross-file commit
+    * protocol (export, not a transactional sink — the ClifSink/
+    * commit-log machinery is the transactional path). */
   def writeWet(df: DataFrame, uriCol: String, textCol: String,
                outDir: String, warcDate: String,
                gzip: Boolean = false): Unit = {
@@ -211,11 +219,15 @@ object WarcSource {
     df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val attempt = tc.taskAttemptId()
           val p = new org.apache.hadoop.fs.Path(outDir,
             f"part-$pid%05d$suffix")
+          val tmp = new org.apache.hadoop.fs.Path(outDir,
+            f".part-$pid%05d-attempt-$attempt$suffix.tmp")
           val fs = p.getFileSystem(conf.value)
-          val raw = fs.create(p, true)
+          val raw = fs.create(tmp, true)
           val out: java.io.OutputStream =
             if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
           try {
@@ -233,6 +245,17 @@ object WarcSource {
               i += 1
             }
           } finally out.close()
+          // publish: replace any prior attempt's file whole (rename
+          // onto an existing path fails on HDFS/local alike), then
+          // rename — a lost race here means another attempt already
+          // published identical content, so clean up and succeed
+          if (fs.exists(p)) fs.delete(p, false)
+          if (!fs.rename(tmp, p)) {
+            fs.delete(tmp, false)
+            if (!fs.exists(p)) throw new java.io.IOException(
+              s"writeWet: rename $tmp -> $p failed with no " +
+                "competing attempt's file in place")
+          }
         }
       }
   }
@@ -275,13 +298,36 @@ object WarcSource {
       def next(): WarcRow = it.next()
     }
 
+  /** Header/magic lines are short; 64 KiB is far past any real WARC
+    * header yet small enough that resync through a multi-MB binary
+    * blob stays O(1) memory (see [[readLine]]). */
+  private val MaxLineBytes = 64 * 1024
+
   /** Read one header line: bytes to LF (CRLF tolerated and stripped,
-    * bare LF tolerated — crawls contain both). None at EOF. */
+    * bare LF tolerated — crawls contain both). None at EOF.
+    *
+    * Line length is CAPPED at [[MaxLineBytes]] (r19 ADVICE, medium):
+    * the quarantine/resync path walks arbitrary junk through this —
+    * a record with an understated Content-Length lands the parser
+    * inside a large binary payload (image/gzip bytes with no
+    * newlines), and an uncapped buffer would accumulate the rest of
+    * the file in one ByteArrayOutputStream, defeating the documented
+    * "memory bounded by one record's payload" contract on exactly
+    * the dirty inputs the malformation policy targets. Past the cap
+    * the overflow bytes are DISCARDED while the scan keeps consuming
+    * to the next LF, so resync stays O(1) memory; the returned
+    * truncated prefix is safe for both callers — seekMagic only
+    * tests the LINE START for the record magic, and a >64 KiB
+    * "header" line is crawl junk whose record is already bound for
+    * the quarantine row. */
   private def readLine(in: InputStream): Option[String] = {
     val buf = new ByteArrayOutputStream(96)
     var b = in.read()
     if (b < 0) return None
-    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    while (b >= 0 && b != '\n') {
+      if (buf.size < MaxLineBytes) buf.write(b)
+      b = in.read()
+    }
     val s = buf.toString("UTF-8")
     Some(if (s.endsWith("\r")) s.dropRight(1) else s)
   }

@@ -82,7 +82,16 @@ object DomainOps {
     * so a raw-unicode host matches no rule and resolves through the
     * default rule; crawlers of IDN space encode upstream
     * (java.net.IDN.toASCII at ingestion). RULES may be unicode (the
-    * real list mixes spellings) — this parser normalizes them. */
+    * real list mixes spellings) — this parser normalizes them via
+    * java.net.IDN, which implements IDNA2003 (r19 ADVICE): it maps
+    * e.g. `ß`→`ss` where UTS-46 encoders keep `xn--`-encoded `ß`,
+    * and it REJECTS some labels UTS-46 accepts. A label it rejects
+    * fails THIS PARSE loudly (IllegalArgumentException naming the
+    * rule) rather than silently normalizing to a spelling the
+    * matching hosts never carry — and the sanctioned way around both
+    * divergences is to feed the PUNYCODED PSL variant publicsuffix
+    * .org ships (every label already ASCII, this branch never
+    * fires). */
   def parsePslList(lines: Seq[String]): Seq[String] =
     lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("//"))
@@ -93,7 +102,16 @@ object DomainOps {
           else if (r.startsWith("*.")) ("*.", r.substring(2))
           else ("", r)
         prefix + body.split("\\.").map { lbl =>
-          if (lbl.forall(_ < 128)) lbl else java.net.IDN.toASCII(lbl)
+          if (lbl.forall(_ < 128)) lbl
+          else try java.net.IDN.toASCII(lbl)
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"PSL rule '$r': label '$lbl' is not IDNA2003-" +
+                  "encodable (java.net.IDN); feed the punycoded " +
+                  "PSL variant from publicsuffix.org instead of " +
+                  "the unicode one", e)
+          }
         }.mkString(".")
       }
 

@@ -55,16 +55,33 @@ class BenchSpec extends SparkSpec {
     // 3.0s, quiet end-of-run plateau 1.1s -> the flag self-clears
     assert(Bench.adjudicateVerdict(1.0, 1.1) == "contention")
     // a genuine plan change stays slow when re-measured in isolation
-    // ON A QUIET BOX (load well under cpus/4)
+    // ON A QUIET BOX (load well under cpus/8)
     assert(Bench.adjudicateVerdict(1.0, 2.5) == "real")
     assert(Bench.adjudicateVerdict(1.0, 2.5, 1.9, 32) == "real")
     // round-11 verdict #2 fixture: plateau over the gate but the box
-    // is still loaded at measurement time (load >= cpus/4) — the
+    // is still loaded at measurement time (load >= cpus/8) — the
     // measurement is invalid, the verdict must NOT certify "real"
     assert(Bench.adjudicateVerdict(1.0, 2.5, 8.0, 32) ==
       "contention-suspect")
     assert(Bench.adjudicateVerdict(0.316, 1.199, 4.8, 4) ==
       "contention-suspect")
+    // r19 verdict #4 fixture: the old cpus/4 gate (= 8.0 on 32 cpus)
+    // certified "real" from a load-7.75 plateau — the cpus/8 gate
+    // (= 4.0) demotes it
+    assert(Bench.adjudicateVerdict(1.35, 2.46, 7.75, 32) ==
+      "contention-suspect")
+    // r19 verdict #4: sub-2 s plateaus need an ABSOLUTE +0.75 s over
+    // prev before "real" — ratio alone flags JIT jitter (the r19
+    // artifact's three "real"s were untouched code still trending
+    // down at run 4)
+    assert(Bench.adjudicateVerdict(0.8, 1.4) == "contention")
+    assert(Bench.adjudicateVerdict(1.0, 1.6, 0.5, 32) == "contention")
+    // ... but a sub-2 s plateau carrying ≥ 0.75 s of real added wall
+    // time still certifies on a quiet box
+    assert(Bench.adjudicateVerdict(1.0, 1.8) == "real")
+    // ≥ 2 s plateaus keep the pure ratio+0.5s gate (2.0 -> 3.1 is
+    // only +1.1s but 1.55x over a 2s+ plateau: a plan change)
+    assert(Bench.adjudicateVerdict(2.0, 3.1) == "real")
     // high load with a plateau UNDER the gate still self-clears: the
     // query came back fast even on a loaded box
     assert(Bench.adjudicateVerdict(1.0, 1.1, 30.0, 32) == "contention")
@@ -82,6 +99,57 @@ class BenchSpec extends SparkSpec {
           .filter(col("r_regionkey") >
             raise_error(lit("boom")).cast("int")), runs = 2))
     assert(bad == -1.0)
+  }
+
+  test("parsePrevQueries: binds to the queries MAP in both artifact " +
+    "forms and ignores earlier prose mentions of the word") {
+    // our own BENCH_FULL.json: plain JSON
+    assert(Bench.parsePrevQueries(
+      """{"metric":"total","value":9.1,"unit":"sec",""" +
+        """"queries":{"q1":1.500,"q2":-1.000},"errors":1}""") ==
+      Map("q1" -> 1.5, "q2" -> -1.0))
+    // the driver's BENCH_r{N}.json: a captured LOG TAIL that mentions
+    // "queries" in prose precedes the metric line, and the metric
+    // line itself is an ESCAPED string field (r19 ADVICE: a bare
+    // "queries" substring anchor binds to the prose and silently
+    // yields a wrong/empty prev map, disarming the regression gate)
+    val driverForm =
+      """{"log":"ran 343 queries, zero errors {load 1.2} tail",""" +
+        """"stdout":"{\"metric\":\"total\",\"value\":9.1,""" +
+        """\"queries\":{\"a79\":4.960,\"q2\":0.500},\"sf\":\"x\"}"}"""
+    assert(Bench.parsePrevQueries(driverForm) ==
+      Map("a79" -> 4.96, "q2" -> 0.5))
+    // no queries map at all -> empty, never a crash
+    assert(Bench.parsePrevQueries("nothing to see").isEmpty)
+    assert(Bench.parsePrevQueries("").isEmpty)
+  }
+
+  test("plateauQuiet: returns at once on a quiet box, retries under " +
+    "load (bounded), errors return immediately") {
+    var loads = List(9.0, 9.0, 1.0, 1.0, 1.0)
+    def nextLoad(): Double = {
+      val l = loads.head; loads = loads.tail; l
+    }
+    // contended first two attempts, quiet third: three plateaus run
+    val (pl, ld) = Bench.plateauQuiet(spark, dir,
+      (s, d) => Tables.load(s, d, "region"), nextLoad _, cpus = 32,
+      runs = 1, retries = 2)
+    assert(pl > 0.0 && ld == 1.0, s"pl=$pl ld=$ld")
+    assert(loads.size == 2, "exactly three load reads expected")
+    // quiet at once: one attempt, one load read
+    var n = 0
+    val (pl2, ld2) = Bench.plateauQuiet(spark, dir,
+      (s, d) => Tables.load(s, d, "region"),
+      () => { n += 1; 0.5 }, cpus = 32, runs = 1, retries = 2)
+    assert(pl2 > 0.0 && ld2 == 0.5 && n == 1)
+    // an errored plateau short-circuits (no retry of a failure)
+    val (plE, _) = SparkSpec.withExpectedTaskFailures(
+      Bench.plateauQuiet(spark, dir, (s, d) =>
+        Tables.load(s, d, "region")
+          .filter(col("r_regionkey") >
+            raise_error(lit("boom")).cast("int")),
+        () => 9.0, cpus = 32, runs = 1, retries = 2))
+    assert(plE == -1.0)
   }
 
   test("foldPlateaus: a quiet plateau replaces a contention-inflated " +

@@ -926,6 +926,25 @@ class AnalyticsSpec extends SparkSpec {
       assert(deepOut(i)._1 == truth && deepOut(i)._2 > 0.99,
         s"item $i: ${deepOut(i)}")
     }
+    // r19 ADVICE: with MANY classes sitting at one item's max
+    // exponent, the per-item window SUM of decimal(38,0) likelihoods
+    // must stay inside the type — the 10³⁰ rescale threshold bounds
+    // each post-multiply mantissa by 10³⁶ so even a 100-class sum
+    // fits. 12 classes x 24 evenly-spread judgments puts every class
+    // at the same (max) exponent with comparable mantissas; a silent
+    // overflow would surface as a null (non-ANSI) posterior here.
+    val cls12 = (0 until 12).map(c => s"c$c")
+    val wide = (1L to 3L).flatMap(i => (0L to 23L).map(k =>
+      (i, k, cls12((k % 12).toInt)))).toDF("item", "rater", "label")
+    val wideOut = Analytics.dawidSkene(wide, "item", "rater", "label")
+      .collect()
+    assert(wideOut.length == 3)
+    wideOut.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("ds_posterior")),
+        "overflowed-to-null posterior")
+      val p = r.getAs[Double]("ds_posterior")
+      assert(p > 0.0 && p <= 1.0, s"posterior $p")
+    }
     // the loud bound now sits at 64 — meaning, not overflow
     val tooDeep = ((0L to 64L).map(k => (1L, k, "a")) :+ ((2L, 0L, "b")))
       .toDF("item", "rater", "label")

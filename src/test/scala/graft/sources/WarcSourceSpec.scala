@@ -107,6 +107,31 @@ class WarcSourceSpec extends SparkSpec {
     assert(out(2).getAs[String]("error").contains("Content-Length"))
   }
 
+  test("resync through a newline-free binary run stays line-capped " +
+    "(r19 ADVICE: an understated Content-Length lands the parser " +
+    "inside payload junk; readLine must not buffer it all)") {
+    // record DECLARES 5 payload bytes but carries ~300 KiB of
+    // newline-free binary junk — the parser reads 5, then resyncs
+    // through the remaining junk one capped line at a time
+    val junkBody = Array.fill[Byte](300 * 1024)('J'.toByte)
+    val lying = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://x/liar\r\nContent-Type: text/plain\r\n" +
+      "Content-Length: 5\r\n\r\n").getBytes("UTF-8") ++
+      junkBody ++ "\r\n\r\n".getBytes("UTF-8")
+    val after = rec(1, "conversion", "https://x/after",
+      "fine".getBytes("UTF-8"))
+    val out = WarcSource.readRecords(spark, stage("cap.warc",
+        lying ++ after)).orderBy("rec_index").collect()
+    assert(out.length == 2)
+    // the lying record yields its declared 5 bytes
+    assert(new String(out(0).getAs[Array[Byte]]("payload"),
+      "UTF-8") == "JJJJJ")
+    // the next record is recovered, tagged with the resync
+    assert(out(1).getAs[String]("error").startsWith("resync"))
+    assert(new String(out(1).getAs[Array[Byte]]("payload"),
+      "UTF-8") == "fine")
+  }
+
   test("oversize payload keeps headers, drops bytes, and says so " +
     "loudly (observable cap, not an error); the stream stays in sync " +
     "for the next record") {

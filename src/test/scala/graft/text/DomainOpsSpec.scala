@@ -181,6 +181,23 @@ class DomainOpsSpec extends SparkSpec {
       Some("a.xn--80akhbyknj4f"))))
   }
 
+  test("parsePslList IDNA2003 edges (r19 ADVICE): a label java.net" +
+    ".IDN cannot encode fails THIS parse loudly naming the rule; " +
+    "the ss-mapping divergence from UTS-46 is pinned") {
+    // a label whose punycode exceeds the 63-octet DNS label limit is
+    // rejected by IDNA2003's toASCII — must throw, not fall through
+    // to a silently-unmatchable spelling
+    val tooLong = "ü" * 60
+    val e = intercept[IllegalArgumentException] {
+      DomainOps.parsePslList(Seq("com", s"$tooLong.example"))
+    }
+    assert(e.getMessage.contains("punycoded PSL"), e.getMessage)
+    // IDNA2003 maps ß -> ss (UTS-46 encoders keep xn--zca...): the
+    // divergence is documented; this pins which side we are on
+    assert(DomainOps.parsePslList(Seq("straße.example")) ==
+      Seq("strasse.example"))
+  }
+
   test("IDN contract pinned: a RAW-unicode host (not punycoded " +
     "upstream) matches no rule and resolves through the default " +
     "rule — encode at ingestion when crawling IDN space") {

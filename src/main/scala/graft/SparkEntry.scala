@@ -98,6 +98,23 @@ object SparkEntry {
     "'" + WarcPage._1 + "' || " + idExpr + " || '" + WarcPage._2 +
       "' || " + textExpr + " || '" + WarcPage._3 + "'"
 
+  /** [[CharsetSamples]] rendered as DuckDB CASE expressions over a
+    * doc_id expression — the declared-charset label, the expected
+    * decoded sample, and the sample's BYTE length in its own charset
+    * (computed here in Scala: DuckDB cannot encode CJK charsets, and
+    * that's the point of the direct expectation). */
+  private def charsetCaseSql(idExpr: String): (String, String, String) = {
+    val decl = CharsetSamples.zipWithIndex.map { case ((d, _, _), i) =>
+      s"WHEN $i THEN '$d'" }.mkString(" ")
+    val text = CharsetSamples.zipWithIndex.map { case ((_, _, s), i) =>
+      s"WHEN $i THEN '$s'" }.mkString(" ")
+    val len = CharsetSamples.zipWithIndex.map { case ((_, cs, s), i) =>
+      s"WHEN $i THEN ${s.getBytes(cs).length}" }.mkString(" ")
+    (s"CASE $idExpr % 6 $decl END",
+      s"CASE $idExpr % 6 $text END",
+      s"CASE $idExpr % 6 $len END")
+  }
+
   /** The t_robots_filter per-host robots.txt fixture — every RFC
     * 9309 rule shape on the t_domain_mix host set: a multi-agent
     * group the crawler's exact agent selects over `*`, wildcard +
@@ -170,6 +187,136 @@ object SparkEntry {
         WarcSource.writeWarc((info +: recs) :+ truncated))
       p.toString
     })
+  /** Per-JVM cache of the HTTP-codings WARC fixture (t_warc_http). */
+  private val stagedWarcHttp =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-JVM cache of the CJK charset WARC fixture (t_charset_decode). */
+  private val stagedWarcCjk =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The charset fixture rows: (declared charset label, JDK charset,
+    * sample text) — one SOURCE OF TRUTH for the Scala staging and the
+    * DuckDB literal expectation (the samples are single-quote-free so
+    * they embed in both). Each sample must round-trip its charset
+    * (asserted at staging). */
+  private[graft] val CharsetSamples: Seq[(String, String, String)] = Seq(
+    ("shift_jis", "Shift_JIS", "日本語のテキスト"),
+    ("euc-kr", "EUC-KR", "한국어 텍스트"),
+    ("gbk", "GBK", "中文文本"),
+    ("big5", "Big5", "中文測試"),
+    ("iso-8859-1", "ISO-8859-1", "café señor"),
+    ("utf-8", "UTF-8", "Ünïcode ✓ text"))
+
+  /** Stage the HTTP message-coding fixture once per sf dir: one
+    * `response` record per documents row with doc_id ≡ 2 (mod 5),
+    * whose HTTP body is the shared [[WarcPage]] template ENCODED by
+    * variant v = (doc_id/5) % 5 — 0 identity, 1 `Content-Encoding:
+    * gzip`, 2 `Transfer-Encoding: chunked` (size-171 chunks: hex
+    * letters, an extension on the first size line, a trailer), 3
+    * chunked OVER gzip (the RFC 9112 layering), 4 `Content-Encoding:
+    * deflate` (zlib-wrapped). The oracle rebuilds the PRE-ENCODE page
+    * from documents, so [[graft.sources.WarcSource.withHttpMessage]]
+    * passing means the decode chain is lossless — an independent
+    * expectation, not a replay (r19 verdict #1's "done" bar). */
+  private def warcHttpFixture(s: SparkSession, dir: String): String =
+    stagedWarcHttp.getOrElseUpdate(dir, {
+      import graft.sources.WarcSource
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("doc_id") % 5 === 2)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id").collect() // dim-scale (s8/s9 discipline)
+      def gz(b: Array[Byte]): Array[Byte] = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(b); g.close(); bo.toByteArray
+      }
+      def zlib(b: Array[Byte]): Array[Byte] = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val o = new java.util.zip.DeflaterOutputStream(bo)
+        o.write(b); o.close(); bo.toByteArray
+      }
+      def chunked(b: Array[Byte], size: Int): Array[Byte] = {
+        val bo = new java.io.ByteArrayOutputStream()
+        var i = 0; var first = true
+        while (i < b.length) {
+          val n = math.min(size, b.length - i)
+          val hex = if (first) n.toHexString + ";ext=1"
+            else n.toHexString.toUpperCase(java.util.Locale.ROOT)
+          bo.write(s"$hex\r\n".getBytes("UTF-8"))
+          bo.write(b, i, n)
+          bo.write("\r\n".getBytes("UTF-8"))
+          i += n; first = false
+        }
+        bo.write("0\r\nX-Trailer: t\r\n\r\n".getBytes("UTF-8"))
+        bo.toByteArray
+      }
+      val recs = rows.toSeq.zipWithIndex.map { case (r, j) =>
+        val id = r.getLong(0); val text = r.getString(1)
+        val page = warcPage(id.toString, text).getBytes("UTF-8")
+        val v = (id / 5) % 5
+        val (hdrs, body) = v match {
+          case 0 => (Seq.empty[String], page)
+          case 1 => (Seq("Content-Encoding: gzip"), gz(page))
+          case 2 => (Seq("Transfer-Encoding: chunked"),
+            chunked(page, 171))
+          case 3 => (Seq("Transfer-Encoding: chunked",
+            "Content-Encoding: gzip"), chunked(gz(page), 100))
+          case _ => (Seq("Content-Encoding: deflate"), zlib(page))
+        }
+        val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          hdrs.map(_ + "\r\n").mkString + "\r\n").getBytes("UTF-8")
+        WarcSource.record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:graft:http:$j>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Target-URI" -> s"https://fixture.test/http/$id",
+          "Content-Type" -> "application/http; msgtype=response"),
+          head ++ body)
+      }
+      val out = tempDir("graft_warc_http")
+      val p = java.nio.file.Paths.get(out, "http.warc")
+      java.nio.file.Files.write(p, WarcSource.writeWarc(recs))
+      p.toString
+    })
+
+  /** Stage the CJK charset fixture once per sf dir: one `conversion`
+    * record per documents row with doc_id ≡ 3 (mod 5), payload =
+    * that row's [[CharsetSamples]] sample (by doc_id mod 6) plus an
+    * ASCII ` #<doc_id>` suffix, ENCODED in the sample's charset and
+    * DECLARED on the Content-Type — the decode surface of r19
+    * verdict #5. Staging asserts each sample round-trips its charset
+    * (a lossy sample would assert garbage against garbage). */
+  private def warcCjkFixture(s: SparkSession, dir: String): String =
+    stagedWarcCjk.getOrElseUpdate(dir, {
+      import graft.sources.WarcSource
+      CharsetSamples.foreach { case (_, cs, sample) =>
+        require(new String(sample.getBytes(cs), cs) == sample,
+          s"charset fixture sample not losslessly encodable in $cs")
+      }
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("doc_id") % 5 === 3)
+        .select(col("doc_id")).orderBy("doc_id").collect()
+      val recs = rows.toSeq.zipWithIndex.map { case (r, j) =>
+        val id = r.getLong(0)
+        val (decl, cs, sample) =
+          CharsetSamples((id % 6).toInt)
+        WarcSource.record(Seq(
+          "WARC-Type" -> "conversion",
+          "WARC-Record-ID" -> s"<urn:graft:cjk:$j>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Target-URI" -> s"https://fixture.test/cs/$id",
+          "Content-Type" -> s"text/plain; charset=$decl"),
+          (sample + s" #$id").getBytes(cs))
+      }
+      val out = tempDir("graft_warc_cjk")
+      val p = java.nio.file.Paths.get(out, "cjk.warc")
+      java.nio.file.Files.write(p, WarcSource.writeWarc(recs))
+      p.toString
+    })
+
   /** Per-JVM cache of the streaming-distinct staging (events + two
     * sentinel drain batches). */
   private val stagedDistinctEventsDir =
@@ -5723,6 +5870,246 @@ object SparkEntry {
         .withColumn("kept", col("n_tokens") >= 20)
     }),
 
+    // ---- crawl curation: HTTP MESSAGE decode (chunked transfer +
+    // gzip/deflate content codings) between the WARC record and the
+    // HTML — WarcSource.withHttpMessage, the layer httpBody skips.
+    // The fixture stages identity/gzip/chunked/chunked+gzip/deflate
+    // response records per doc; the oracle rebuilds the PRE-ENCODE
+    // page from documents, so a hash match proves the decode chain
+    // lossless through every coding. One narrow mapPartitions; the
+    // strip/density stages read attributes (no tree re-derivation). ----
+    "t_warc_http" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      import graft.text.HtmlOps
+      WarcSource.withHttpMessage(
+          WarcSource.readRecords(s, warcHttpFixture(s, dir))
+            .filter(col("warc_type") === "response" &&
+              !col("malformed")))
+        .select(col("target_uri"), col("http_status"),
+          coalesce(col("http_transfer_encoding"), lit("identity"))
+            .as("te"),
+          coalesce(col("http_content_encoding"), lit("identity"))
+            .as("ce"),
+          col("http_error"),
+          HtmlOps.stripHtml(
+            WarcSource.payloadText(col("http_body"))).as("stripped"))
+        .select(col("target_uri"), col("http_status"), col("te"),
+          col("ce"), col("http_error"),
+          HtmlOps.mainTextFromStripped(col("stripped"))
+            .as("main_text"))
+    }),
+
+    // ---- crawl curation: charset-declared payload decode — the CJK
+    // crawl head (Shift_JIS / EUC-KR / GBK / Big5) through the native
+    // DecodeCharset expression plus the latin-1/UTF-8 branches, off
+    // the staged per-charset fixture. The oracle writes the expected
+    // text LITERALLY from the shared CharsetSamples constant — decode
+    // must invert the staged encode exactly. ----
+    "t_charset_decode" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      WarcSource.readRecords(s, warcCjkFixture(s, dir))
+        .select(col("target_uri"),
+          WarcSource.charsetOf(col("content_type")).as("charset"),
+          WarcSource.payloadTextCs(col("payload"), col("content_type"))
+            .as("text"),
+          col("content_length"))
+    }),
+
+    // ---- crawl graph: RFC 3986 relative-URL resolution
+    // (UrlOps.resolveUrl) — the full reference-shape sweep over per-
+    // doc constructed (base, href) pairs: relative path, ../, root-
+    // relative, query-only, fragment-only, protocol-relative, and
+    // absolute-with-dots. Row-local, codegen'd (no lambdas); the
+    // oracle writes each shape's resolution directly from the
+    // construction — independent expectation, not a replay. ----
+    "t_resolve_url" -> ((s, dir) => {
+      import graft.text.UrlOps
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val b = (col("doc_id") / lit(8)).cast("long").cast("string")
+      val base = concat(lit("https://h"), pmod(col("doc_id"), lit(3)),
+        lit(".example.com/a"), b, lit("/b/page.html?q=1"))
+      val m = pmod(col("doc_id"), lit(8))
+      val ref = when(m === 0, concat(lit("img"), b, lit(".png")))
+        .when(m === 1, concat(lit("../up"), b))
+        .when(m === 2, concat(lit("/root"), b, lit("?x=2")))
+        .when(m === 3, lit("?only=q"))
+        .when(m === 4, lit("#frag"))
+        .when(m === 5, concat(lit("//cdn.example.org/lib"), b))
+        .when(m === 6,
+          concat(lit("https://abs.example.net/x"), b, lit("/../y")))
+        .otherwise(concat(lit("./same/"), b))
+      d.select(col("doc_id"), base.as("base"), ref.as("ref"))
+        .withColumn("resolved",
+          UrlOps.resolveUrl(col("base"), col("ref")))
+    }),
+
+    // ---- crawl graph: link edges from RELATIVE hrefs — the r19 gap
+    // (absolute-only link graphs drop most real edges). Pages carry
+    // one absolute, one protocol-relative, and four base-relative
+    // links (plain, ../, root-relative, fragment-only); variant-1
+    // pages declare a <base href> that redirects every base-relative
+    // link to another host (effectiveBase beats the fetch URI). The
+    // oracle recomputes each link's TARGET HOST from the
+    // construction and aggregates the same host-level edges. ----
+    "t_link_graph_rel" -> ((s, dir) => {
+      import graft.text.{DomainOps, HtmlOps, UrlOps}
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def hostOfClass(x: Column): Column =
+        when(x === 0, "alpha.example.com")
+          .when(x === 1, "site-b.co.uk")
+          .when(x === 2, "blog.blogspot.com")
+          .otherwise(lit("gamma.org"))
+      val m = pmod(col("doc_id"), lit(4))
+      val b = (col("doc_id") / lit(8)).cast("long").cast("string")
+      val uri = concat(lit("https://"), hostOfClass(m), lit("/sec"),
+        b, lit("/p.html"))
+      val baseTag = when(m === 1,
+          concat(lit("<base href=\"https://"),
+            hostOfClass(pmod(col("doc_id") + 3, lit(4))),
+            lit("/bb/\">")))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), baseTag,
+        lit("</head><body><p>"), col("text"),
+        lit("</p><a href=\"https://"),
+        hostOfClass(pmod(col("doc_id") + 1, lit(4))),
+        lit("/abs\">a</a><a href='//"),
+        hostOfClass(pmod(col("doc_id") + 2, lit(4))),
+        lit("/pp'>p</a><a href=\"rel"), b,
+        lit("\">r</a><a href='../top'>t</a>" +
+          "<a href=\"/rooted\">o</a><a href=\"#x\">f</a>" +
+          "</body></html>"))
+      // plan discipline: src_host and the effective base evaluate
+      // ONCE PER PAGE (pre-explode projection); the per-LINK work is
+      // resolveUrl (codegen'd regex, no lambdas) + the lightweight
+      // lower+www-strip+hostOf chain — canonicalizeUrl's interpreted
+      // lambda tree per link row measured 19 s here vs ~2 s without
+      // (the dedup-key canonicalizer is NOT needed for a host-level
+      // graph; scheme/host case-folding + www-strip is)
+      val wwwOff = (u: Column) => regexp_replace(lower(u),
+        "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+      // spread the scan BEFORE the 6x link explode + per-link
+      // resolution: the testdata parquet is one row group (one scan
+      // task), and at any scale a narrow-born partition imbalance
+      // multiplies through an expansion stage — one bounded shuffle
+      // of (doc_id, text) buys 32-way parallel regex work
+      val pages = d.repartition(col("doc_id"))
+        .select(uri.as("uri"), html.as("html"))
+        .select(
+          DomainOps.hostOf(wwwOff(col("uri"))).as("src_host"),
+          UrlOps.effectiveBase(col("uri"),
+            HtmlOps.baseHref(col("html"))).as("eb"),
+          HtmlOps.extractLinks(col("html")).as("hrefs"))
+      // NO pre-agg scheme filter: a predicate over `resolved` gets
+      // pushed below by alias substitution and re-evaluates the whole
+      // resolve tree per link (the interpreted-tree trap — measured
+      // 2-3x here). Every fixture link resolves to http(s) by
+      // construction; a real frontier filters the agg OUTPUT's
+      // null/odd-scheme hosts instead (attribute-only predicate).
+      // `resolved` is used exactly once, so the projections collapse
+      // to ONE per-link evaluation.
+      val links = pages
+        .select(col("src_host"), col("eb"),
+          explode(col("hrefs")).as("href"))
+        .select(col("src_host"),
+          UrlOps.resolveUrl(col("eb"), col("href")).as("resolved"))
+        .select(col("src_host"),
+          DomainOps.hostOf(wwwOff(col("resolved"))).as("dst_host"))
+      links.groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("w"))
+    }),
+
+    // ---- crawl capstone: the URL FRONTIER batch — discovered links
+    // (extract → effectiveBase → RFC 3986 resolve) → politeness
+    // (RFC 9309 robotsFilter, broadcast rules dim) → registrable-
+    // domain quota (capPerGroup over the PSL domain) → freshness
+    // (per-host sitemap lastmod in every W3C datetime precision,
+    // parseW3cDatetime) → per-domain fetch ranking. Five ops, shared
+    // exchanges: the resolve/extract stage is row-local, robots is
+    // one broadcast join + hash agg, the cap and rank share the
+    // domain partitioning. ----
+    "t_frontier" -> ((s, dir) => {
+      import graft.text.{HtmlOps, RobotsOps, TextOps, UrlOps}
+      import graft.sources.Sitemaps
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def hostOfClass(x: Column): Column =
+        when(x === 0, "alpha.example.com")
+          .when(x === 1, "site-b.co.uk")
+          .when(x === 2, "blog.blogspot.com")
+          .otherwise(lit("gamma.org"))
+      val m = pmod(col("doc_id"), lit(4))
+      val b = (col("doc_id") / lit(8)).cast("long").cast("string")
+      val uri = concat(lit("https://"), hostOfClass(m), lit("/sec"),
+        b, lit("/p.html"))
+      // two discovered links per page: one relative (resolves under
+      // /sec<b>/), one root-relative into each host's POLICED space
+      // (alpha /private/, alpha *.pdf, site-b /tmp<b>/, gamma /a/b)
+      val relHref = concat(lit("a"), b)
+      val polHref = when(m === 0,
+          concat(lit("/private/doc"), b))
+        .when(m === 1, concat(lit("/tmp"), b, lit("/f")))
+        .when(m === 2, concat(lit("/x"), b))
+        .otherwise(concat(lit("/a/b/c"), b))
+      val pages = d.select(col("doc_id"), uri.as("uri"),
+        relHref.as("h1"), polHref.as("h2"))
+      // link_id: a NUMERIC per-discovered-link id (doc_id·2 + link
+      // ordinal) so the quota stage's portable hash has an integer
+      // key — capPerGroup's hash order is defined on numeric ids
+      val discovered = pages
+        .select(col("doc_id"), col("uri"),
+          posexplode(array(col("h1"), col("h2")))
+            .as(Seq("__lp", "href")))
+        .select((col("doc_id") * 2 + col("__lp")).as("link_id"),
+          UrlOps.resolveUrl(col("uri"), col("href")).as("url"))
+      // politeness gate: RFC 9309 longest-match over the broadcast dim
+      val robots = RobotsOps.robotsFilter(discovered, "link_id",
+          col("url"), RobotsOps.robotsDim(s, RobotsFixture, "graftbot"))
+        .filter(col("allowed"))
+      // registrable domain for the quota key: the fixture hosts
+      // resolve through the real PSL walk (blogspot → per-tenant)
+      val doms = graft.text.DomainOps.registrableDomains(
+          robots.select(col("link_id"), col("url")), "link_id",
+          col("url"))
+        .select(col("link_id"), col("url"),
+          col("registrable_domain"))
+      // per-domain quota: deterministic portable-hash cap, sized to
+      // BITE at sf0.01 (each domain carries 100+ allowed links there)
+      val capped = TextOps.capPerGroup(doms,
+        groupCols = Seq("registrable_domain"), idCol = "link_id",
+        maxRows = 40)
+      // freshness: per-host SITEMAP shards (urlset XML built from
+      // the corpus, parsed back through the native from_xml path),
+      // lastmod in a different W3C datetime precision per host
+      // class, joined on the DISCOVERED url
+      val smEntry = concat(lit("<url><loc>https://"), hostOfClass(m),
+        lit("/sec"), b, lit("/a"), b, lit("</loc><lastmod>"),
+        when(m === 0, lit("2026"))
+          .when(m === 1, lit("2026-04"))
+          .when(m === 2, lit("2026-04-15T08:30Z"))
+          .otherwise(lit("2026-04-15T08:30:45+02:00")),
+        lit("</lastmod></url>"))
+      val sitemap = d
+        .groupBy(hostOfClass(m).as("sm_host"),
+          (col("doc_id") / 64).cast("long").as("sm_shard"))
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", sort_array(collect_set(smEntry))),
+          lit("</urlset>")).as("xml"))
+        .select(explode(Sitemaps.parseUrlset(col("xml"))).as("u"))
+        .select(col("u.loc").as("loc"), col("u.lastmod").as("lastmod"))
+        .distinct()
+      val frontier = capped
+        .join(sitemap, capped("url") === sitemap("loc"), "left")
+        .select(col("url"), col("registrable_domain"),
+          Sitemaps.parseW3cDatetime(col("lastmod")).as("lastmod_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("registrable_domain"))
+        .orderBy(col("lastmod_ts").desc_nulls_last, col("url"))
+      frontier.withColumn("fetch_rank",
+          row_number().over(w).cast("long"))
+        .filter(col("fetch_rank") <= 25)
+    }),
+
     "s8_xlsx_scan" -> ((s, dir) => {
       val tmp = tempDir("graft_xlsx_q")
       val rows = t(s, dir, "nation")
@@ -9226,6 +9613,178 @@ r$k AS (
         |    AS BIGINT) AS n_tokens,
         |  len(string_split_regex(main_text, '[ \\n]')) >= 20 AS kept
         |FROM m""".stripMargin,
+
+    // HTTP message decode: the oracle rebuilds the PRE-ENCODE page
+    // and the per-variant coding labels from documents — the staged
+    // gzip/chunked/deflate encodings must INVERT exactly (an
+    // independent expectation; the encode lives only in the fixture)
+    "t_warc_http" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text, (doc_id // 5) % 5 AS v FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 5 = 2),
+        |p AS (
+        |  SELECT 'https://fixture.test/http/' || doc_id AS target_uri,
+        |    CAST(200 AS INT) AS http_status,
+        |    CASE WHEN v IN (2, 3) THEN 'chunked'
+        |      ELSE 'identity' END AS te,
+        |    CASE WHEN v IN (1, 3) THEN 'gzip' WHEN v = 4 THEN 'deflate'
+        |      ELSE 'identity' END AS ce,
+        |    CAST(NULL AS VARCHAR) AS http_error,
+        |    ${warcPageSql("doc_id", "text")} AS html
+        |  FROM d),
+        |s AS (SELECT target_uri, http_status, te, ce, http_error,
+        |        ${duckStripSql("html")} AS stripped
+        |      FROM p)
+        |SELECT target_uri, http_status, te, ce, http_error,
+        |  ${duckMainSql("stripped")} AS main_text
+        |FROM s""".stripMargin,
+
+    // charset decode: expected text written LITERALLY from the shared
+    // CharsetSamples constant (DuckDB cannot encode CJK charsets —
+    // which is exactly why the expectation is direct, not a replay);
+    // byte lengths computed at generation time in the real charsets
+    "t_charset_decode" -> {
+      val (declSql, textSql, lenSql) = charsetCaseSql("doc_id")
+      s"""SELECT 'https://fixture.test/cs/' || doc_id AS target_uri,
+        |  $declSql AS charset,
+        |  $textSql || ' #' || doc_id AS text,
+        |  CAST($lenSql + 2 + strlen(CAST(doc_id AS VARCHAR))
+        |    AS BIGINT) AS content_length
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  AND doc_id % 5 = 3""".stripMargin
+    },
+
+    // RFC 3986 resolution: every constructed reference shape's
+    // resolution written directly from the construction — the
+    // t_sitemap direct-expectation pattern (no resolver replay)
+    "t_resolve_url" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id // 8 AS VARCHAR) AS b,
+        |    doc_id % 8 AS m, doc_id % 3 AS k
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, m, b,
+        |    'https://h' || k || '.example.com/a' || b ||
+        |      '/b/page.html?q=1' AS base,
+        |    CASE m WHEN 0 THEN 'img' || b || '.png'
+        |      WHEN 1 THEN '../up' || b
+        |      WHEN 2 THEN '/root' || b || '?x=2'
+        |      WHEN 3 THEN '?only=q'
+        |      WHEN 4 THEN '#frag'
+        |      WHEN 5 THEN '//cdn.example.org/lib' || b
+        |      WHEN 6 THEN 'https://abs.example.net/x' || b || '/../y'
+        |      ELSE './same/' || b END AS ref,
+        |    'https://h' || k || '.example.com' AS pre,
+        |    '/a' || b || '/b/' AS bdir
+        |  FROM d)
+        |SELECT doc_id, base, ref,
+        |  CASE m WHEN 0 THEN pre || bdir || 'img' || b || '.png'
+        |    WHEN 1 THEN pre || '/a' || b || '/up' || b
+        |    WHEN 2 THEN pre || '/root' || b || '?x=2'
+        |    WHEN 3 THEN pre || bdir || 'page.html?only=q'
+        |    WHEN 4 THEN base
+        |    WHEN 5 THEN 'https://cdn.example.org/lib' || b
+        |    WHEN 6 THEN 'https://abs.example.net/y'
+        |    ELSE pre || bdir || 'same/' || b END AS resolved
+        |FROM c""".stripMargin,
+
+    // relative-link graph: each constructed link's TARGET HOST is
+    // recomputed from the construction (abs → m+1, protocol-relative
+    // → m+2, the four base-relative ones → the fetch host, or the
+    // <base href> host on variant-1 pages), then the same host-edge
+    // aggregation
+    "t_link_graph_rel" ->
+      """WITH d AS (
+        |  SELECT doc_id % 4 AS m FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |h(k, hst) AS (VALUES
+        |  (0, 'alpha.example.com'), (1, 'site-b.co.uk'),
+        |  (2, 'blog.blogspot.com'), (3, 'gamma.org')),
+        |e AS (
+        |  SELECT m, (m + 1) % 4 AS dk, 1 AS w FROM d
+        |  UNION ALL SELECT m, (m + 2) % 4, 1 FROM d
+        |  UNION ALL SELECT m, CASE WHEN m = 1 THEN 0 ELSE m END, 4
+        |    FROM d)
+        |SELECT hs.hst AS src_host, hd.hst AS dst_host,
+        |  CAST(SUM(w) AS BIGINT) AS w
+        |FROM e JOIN h hs ON hs.k = e.m JOIN h hd ON hd.k = e.dk
+        |GROUP BY 1, 2""".stripMargin,
+
+    // frontier capstone: link construction + RFC 9309 replay over the
+    // SAME rendered rules values, the fixture hosts' known
+    // registrable domains, the portable-hash cap replay, the known
+    // per-host lastmod timestamps, and the same freshness ranking
+    "t_frontier" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS m,
+        |    CAST(doc_id // 8 AS VARCHAR) AS b
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |h(k, hst) AS (VALUES
+        |  (0, 'alpha.example.com'), (1, 'site-b.co.uk'),
+        |  (2, 'blog.blogspot.com'), (3, 'gamma.org')),
+        |l AS (
+        |  SELECT doc_id * 2 AS link_id, m, hst AS host,
+        |    'https://' || hst || '/sec' || b || '/a' || b AS url,
+        |    '/sec' || b || '/a' || b AS path
+        |  FROM d JOIN h ON h.k = d.m
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, m, hst,
+        |    'https://' || hst || CASE m
+        |      WHEN 0 THEN '/private/doc' || b
+        |      WHEN 1 THEN '/tmp' || b || '/f'
+        |      WHEN 2 THEN '/x' || b
+        |      ELSE '/a/b/c' || b END,
+        |    CASE m WHEN 0 THEN '/private/doc' || b
+        |      WHEN 1 THEN '/tmp' || b || '/f'
+        |      WHEN 2 THEN '/x' || b
+        |      ELSE '/a/b/c' || b END
+        |  FROM d JOIN h ON h.k = d.m),
+        |r(host, allow, rule_path, path_len, path_re) AS (VALUES
+        |  ${graft.text.RobotsOps.rulesValuesSql(
+             graft.text.RobotsOps.dimRows(RobotsFixture, "graftbot"))}),
+        |mt AS (
+        |  SELECT l.link_id, l.url, l.m, l.host,
+        |    MAX(CASE WHEN r.path_len IS NULL THEN -1
+        |      ELSE r.path_len * 2 +
+        |        CASE WHEN r.allow THEN 1 ELSE 0 END END) AS code
+        |  FROM l LEFT JOIN r ON r.host = l.host
+        |    AND (CASE WHEN r.path_re IS NULL
+        |      THEN starts_with(l.path, r.rule_path)
+        |      ELSE regexp_matches(l.path, r.path_re) END)
+        |  GROUP BY 1, 2, 3, 4),
+        |dom AS (
+        |  SELECT link_id, url, m,
+        |    CASE host WHEN 'alpha.example.com' THEN 'example.com'
+        |      ELSE host END AS registrable_domain
+        |  FROM mt WHERE code = -1 OR code % 2 = 1),
+        |cap AS (
+        |  SELECT link_id, url, m, registrable_domain FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY registrable_domain
+        |      ORDER BY ((link_id % 2147483647) * 2654435761)
+        |        % 2147483647, link_id) AS rn
+        |    FROM dom) WHERE rn <= 40),
+        |sm AS (
+        |  SELECT DISTINCT
+        |    'https://' || hst || '/sec' || b || '/a' || b AS loc,
+        |    CASE m WHEN 0 THEN TIMESTAMP '2026-01-01 00:00:00'
+        |      WHEN 1 THEN TIMESTAMP '2026-04-01 00:00:00'
+        |      WHEN 2 THEN TIMESTAMP '2026-04-15 08:30:00'
+        |      ELSE TIMESTAMP '2026-04-15 06:30:45' END AS ts
+        |  FROM d JOIN h ON h.k = d.m),
+        |f AS (
+        |  SELECT cap.url, cap.registrable_domain, sm.ts AS lastmod_ts
+        |  FROM cap LEFT JOIN sm ON cap.url = sm.loc)
+        |SELECT url, registrable_domain, lastmod_ts,
+        |  CAST(rnk AS BIGINT) AS fetch_rank
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY registrable_domain
+        |    ORDER BY lastmod_ts DESC NULLS LAST, url) AS rnk
+        |  FROM f)
+        |WHERE rnk <= 25""".stripMargin,
 
     // the whole NB training run + scoring replayed: Laplace-smoothed
     // class-conditional grid over the corpus vocab, exact-decimal

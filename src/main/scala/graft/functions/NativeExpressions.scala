@@ -918,6 +918,33 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Binary payload → string in a FIXED JDK charset (Shift_JIS,
+    * EUC-KR, GBK, Big5, ... — the CJK crawl head, r19 verdict #5):
+    * Spark's built-in `decode` rejects any charset outside its
+    * non-legacy whitelist (US-ASCII, ISO-8859-1, UTF-8/16/32),
+    * and flipping the session-wide legacy flag would change decode
+    * semantics everywhere. Semantics match `new String(bytes, cs)` —
+    * malformed/unmappable sequences become U+FFFD, exactly the
+    * built-in decode's REPLACE behavior, so mixed-validity crawl
+    * payloads decode deterministically instead of throwing. The
+    * charset resolves ONCE at plan time (unknown names fail analysis
+    * loudly, not per row). */
+  case class DecodeCharset(child: Expression, charsetName: String)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+
+    @transient private lazy val cs =
+      java.nio.charset.Charset.forName(charsetName)
+
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(
+        new String(input.asInstanceOf[Array[Byte]], cs))
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** |a ∩ b| of two string arrays in ONE hash-set pass: build from the
     * smaller side, probe with the larger, full string equality on probe
     * (no hash-collision risk). Counts DISTINCT common elements with the
@@ -1441,6 +1468,13 @@ object NativeExpressions {
 
   def nfc_normalize(s: Column): Column =
     toCol(NfcNormalize(expr(s)))
+
+  def decode_charset(payload: Column, charsetName: String): Column = {
+    // resolve NOW: a typo'd charset must fail at plan construction,
+    // not inside an executor task
+    java.nio.charset.Charset.forName(charsetName)
+    toCol(DecodeCharset(expr(payload), charsetName))
+  }
 
   def sorted_jaccard_ge(a: Column, b: Column, threshold: Double): Column =
     toCol(SortedJaccardGe(expr(a), expr(b), threshold))

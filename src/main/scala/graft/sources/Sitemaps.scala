@@ -39,4 +39,47 @@ object Sitemaps {
   /** `<sitemapindex>` XML → array of child-sitemap structs. */
   def parseIndex(xml: Column): Column =
     from_xml(xml, indexSchema).getField("sitemap")
+
+  /** W3C datetime (the `lastmod` grammar — W3C NOTE-datetime, the
+    * sitemap protocol's reference) → timestamp: every legal
+    * precision — `YYYY`, `YYYY-MM`, `YYYY-MM-DD`,
+    * `...Thh:mmTZD`, `...Thh:mm:ssTZD`, `...Thh:mm:ss.sTZD`, with
+    * `TZD` either `Z` or `±hh:mm`. Reduced precisions resolve to
+    * their interval's START (Jan 1 / the 1st / midnight — the
+    * conservative freshness reading: a page stamped `2026-03` is
+    * AT LEAST as old as Mar 1). Anything outside the grammar →
+    * null (the cast-to-null convention), so crawl junk ranks as
+    * unknown freshness instead of killing the frontier job.
+    *
+    * One `coalesce` of literal-format `to_timestamp` branches —
+    * codegen'd, row-local; each format is anchored by a full-string
+    * regex gate so Spark's lenient parser cannot cross-accept a
+    * shorter spelling. */
+  def parseW3cDatetime(lastmod: Column): Column = {
+    val t = trim(lastmod)
+    def gated(re: String, fmt: String, c: Column): Column =
+      when(t.rlike(re), to_timestamp(c, fmt))
+    coalesce(
+      gated("^\\d{4}$", "yyyy", t),
+      gated("^\\d{4}-\\d{2}$", "yyyy-MM", t),
+      gated("^\\d{4}-\\d{2}-\\d{2}$", "yyyy-MM-dd", t),
+      gated("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}(Z|[+-]\\d{2}:\\d{2})$",
+        "yyyy-MM-dd'T'HH:mmXXX", t),
+      gated("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}" +
+          "(Z|[+-]\\d{2}:\\d{2})$",
+        "yyyy-MM-dd'T'HH:mm:ssXXX", t),
+      // one gated branch per fractional-digit count (the NOTE allows
+      // any; 1-3 covers real sitemaps) — literal formats, no
+      // replacement-string games
+      gated("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d" +
+          "(Z|[+-]\\d{2}:\\d{2})$",
+        "yyyy-MM-dd'T'HH:mm:ss.SXXX", t),
+      gated("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{2}" +
+          "(Z|[+-]\\d{2}:\\d{2})$",
+        "yyyy-MM-dd'T'HH:mm:ss.SSXXX", t),
+      gated("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{3}" +
+          "(Z|[+-]\\d{2}:\\d{2})$",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSXXX", t),
+      lit(null).cast("timestamp"))
+  }
 }

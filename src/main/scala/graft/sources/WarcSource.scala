@@ -146,9 +146,236 @@ object WarcSource {
 
   /** HTTP response payload → body: everything after the first blank
     * line (status line and headers dropped). Pure column op on the
-    * UTF-8 payload text, oracle-replayable. */
+    * UTF-8 payload text, oracle-replayable — the IDENTITY-ENCODING
+    * fast path only: a `Transfer-Encoding: chunked` body keeps its
+    * chunk-size lines and a `Content-Encoding: gzip` body is
+    * compressed bytes read as mojibake. Real Common Crawl response
+    * records carry both routinely — use [[withHttpMessage]] for the
+    * full message decode (r19 verdict #1). */
   def httpBody(payloadText: Column): Column =
     regexp_replace(payloadText, "(?s)^.*?\\r\\n\\r\\n", "")
+
+  // ===== full HTTP message decode (r19 verdict #1) =====
+
+  /** Columns [[withHttpMessage]] appends. */
+  private val HttpFields = Seq(
+    org.apache.spark.sql.types.StructField("http_status",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("http_content_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("http_transfer_encoding",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("http_content_encoding",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("http_body",
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("http_error",
+      org.apache.spark.sql.types.StringType))
+
+  /** Decode the HTTP MESSAGE LAYER of `response` record payloads —
+    * the step [[httpBody]] skips: split status line + headers off,
+    * undo `Transfer-Encoding: chunked` (chunk-size lines, extensions,
+    * trailers), then undo `Content-Encoding: gzip|x-gzip|deflate`
+    * (deflate sniffs zlib-wrapped vs raw — real servers ship both),
+    * in that order — RFC 9112 applies transfer codings last, so the
+    * receiver removes them first. Appends [[HttpFields]]:
+    * `http_status`, `http_content_type`, `http_transfer_encoding`,
+    * `http_content_encoding` (both lowercased header values as sent),
+    * `http_body` (the DECODED entity bytes), `http_error`.
+    *
+    * This is imperative byte work (no Spark built-in inflates a
+    * column), so it runs as ONE NARROW mapPartitions — zero
+    * shuffles, the plan above and below stays DataFrame-shaped, and
+    * only rows whose headers declare a coding pay the decode. The
+    * quarantine discipline carries over: a malformed message NEVER
+    * fails the scan — `http_error` says what broke and `http_body`
+    * carries the best-effort bytes (raw remainder for bad chunking,
+    * still-encoded bytes for an unknown/broken content coding); a
+    * non-HTTP payload (WET conversion text, binary junk) passes
+    * through with `http_error = "not-http"` and the payload as body.
+    * Inflation is bomb-capped at `maxBodyBytes` (loud `http_error`,
+    * null body — the oversize-drop convention, not truncation). */
+  def withHttpMessage(df: DataFrame, payloadCol: String = "payload",
+                      maxBodyBytes: Long = 64L << 20): DataFrame = {
+    requirePayloadCap(maxBodyBytes)
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ HttpFields)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val d = decodeHttp(payload, maxBodyBytes)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(
+          d.status, d.contentType, d.transferEncoding,
+          d.contentEncoding, d.body, d.error))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  private[sources] case class HttpDecoded(
+      status: java.lang.Integer, contentType: String,
+      transferEncoding: String, contentEncoding: String,
+      body: Array[Byte], error: String)
+
+  /** The per-payload decode behind [[withHttpMessage]] (exposed for
+    * the spec). See that method's doc for the contract. */
+  private[sources] def decodeHttp(payload: Array[Byte],
+      maxBodyBytes: Long): HttpDecoded = {
+    if (payload == null)
+      return HttpDecoded(null, null, null, null, null, null)
+    // head/body split at the first blank line; headers are ASCII by
+    // spec — ISO-8859-1 is the byte-preserving read
+    val sep = indexOfBlankLine(payload)
+    if (sep._1 < 0 || !startsWithHttp(payload))
+      return HttpDecoded(null, null, null, null, payload, "not-http")
+    val head = new String(payload, 0, sep._1, "ISO-8859-1")
+    val rawBody = java.util.Arrays.copyOfRange(payload, sep._2,
+      payload.length)
+    val lines = head.split("\r\n|\n").toSeq
+    val status = "^HTTP/\\d\\.\\d +(\\d{3})".r
+      .findFirstMatchIn(lines.head).map(_.group(1).toInt)
+    // last occurrence wins (proxies append); values lowercased for
+    // the branch, reported as lowercased-trimmed
+    def header(name: String): Option[String] = lines.tail.reverse
+      .collectFirst {
+        case l if l.toLowerCase(java.util.Locale.ROOT)
+            .startsWith(name + ":") =>
+          l.substring(name.length + 1).trim
+      }
+    val ct = header("content-type").orNull
+    val te = header("transfer-encoding")
+      .map(_.toLowerCase(java.util.Locale.ROOT)).orNull
+    val ce = header("content-encoding")
+      .map(_.toLowerCase(java.util.Locale.ROOT)).orNull
+    // 1) transfer coding off (applied last by the sender)
+    val (dechunked, chunkErr) =
+      if (te != null && te.contains("chunked")) dechunk(rawBody)
+      else (rawBody, null)
+    // 2) content coding off
+    val (body, ceErr) =
+      if (chunkErr != null) (dechunked, null) // keep the first error
+      else ce match {
+        case null | "" | "identity" => (dechunked, null)
+        case "gzip" | "x-gzip" =>
+          inflate(dechunked, gzip = true, maxBodyBytes)
+        case "deflate" =>
+          inflate(dechunked, gzip = false, maxBodyBytes)
+        case other =>
+          (dechunked, s"unsupported content-encoding: $other")
+      }
+    HttpDecoded(status.map(Int.box).orNull, ct, te, ce, body,
+      if (chunkErr != null) chunkErr else ceErr)
+  }
+
+  private def startsWithHttp(p: Array[Byte]): Boolean =
+    p.length >= 5 && p(0) == 'H' && p(1) == 'T' && p(2) == 'T' &&
+      p(3) == 'P' && p(4) == '/'
+
+  /** (head length, body start) of the first CRLFCRLF or LFLF; (-1,-1)
+    * when the message has no blank line. */
+  private def indexOfBlankLine(p: Array[Byte]): (Int, Int) = {
+    var i = 0
+    while (i < p.length - 1) {
+      if (p(i) == '\n') {
+        if (p(i + 1) == '\n') return (i, i + 2)
+        if (i + 2 < p.length && p(i + 1) == '\r' && p(i + 2) == '\n')
+          return (i, i + 3)
+      }
+      i += 1
+    }
+    (-1, -1)
+  }
+
+  /** RFC 9112 §7.1 chunked decoding: `<hex-size>[;ext]CRLF data CRLF`
+    * repeated, `0` chunk ends, trailers (if any) to the blank line
+    * are consumed and discarded. Bare-LF line ends tolerated (crawl
+    * reality), hex size case-insensitive. Malformed → (raw remainder,
+    * error) — quarantine, not failure. */
+  private[sources] def dechunk(raw: Array[Byte])
+      : (Array[Byte], String) = {
+    val out = new ByteArrayOutputStream(math.min(raw.length, 1 << 16))
+    var i = 0
+    def readLn(): String = {
+      val sb = new StringBuilder
+      while (i < raw.length && raw(i) != '\n') {
+        sb.append(raw(i).toChar); i += 1
+      }
+      if (i < raw.length) i += 1 // consume LF
+      val s = sb.toString
+      if (s.endsWith("\r")) s.dropRight(1) else s
+    }
+    while (true) {
+      if (i >= raw.length)
+        return (raw, "chunked: truncated before the 0 chunk")
+      val sizeLine = readLn()
+      val hexPart = sizeLine.split(";")(0).trim
+      val size =
+        try java.lang.Long.parseLong(hexPart, 16)
+        catch {
+          case _: NumberFormatException =>
+            return (raw, s"chunked: bad size line '${
+              sizeLine.take(40)}'")
+        }
+      if (size == 0) {
+        // trailers to the blank line (or EOF — tolerated)
+        var t = readLn()
+        while (t.nonEmpty && i < raw.length) t = readLn()
+        return (out.toByteArray, null)
+      }
+      if (i + size > raw.length)
+        return (raw, s"chunked: chunk of $size bytes truncated at ${
+          raw.length - i}")
+      out.write(raw, i, size.toInt)
+      i += size.toInt
+      // chunk-terminating CRLF/LF
+      if (i < raw.length && raw(i) == '\r') i += 1
+      if (i < raw.length && raw(i) == '\n') i += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Inflate a gzip or deflate body, capped at `max` output bytes
+    * (decompression-bomb guard: loud error + null body past it).
+    * `deflate` sniffs the zlib wrapper by its header bytes —
+    * `0x78 ..` with a valid check — and falls back to a RAW inflater
+    * otherwise (both ship in the wild under the same name). */
+  private[sources] def inflate(enc: Array[Byte], gzip: Boolean,
+      max: Long): (Array[Byte], String) = {
+    var in: InputStream = null
+    try {
+      val bin = new java.io.ByteArrayInputStream(enc)
+      // constructors validate headers and THROW on junk (GZIP magic
+      // check happens in <init>) — they must sit inside this try
+      in =
+        if (gzip) new java.util.zip.GZIPInputStream(bin)
+        else {
+          // zlib wrapper: CMF low nibble 8 (deflate), FCHECK makes
+          // the 16-bit header a multiple of 31
+          val zlib = enc.length >= 2 && (enc(0) & 0x0f) == 8 &&
+            ((((enc(0) & 0xff) << 8) | (enc(1) & 0xff)) % 31 == 0)
+          new java.util.zip.InflaterInputStream(bin,
+            new java.util.zip.Inflater(!zlib))
+        }
+      val out = new ByteArrayOutputStream(
+        math.min(enc.length.toLong * 4, 1 << 16).toInt)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size.toLong + n > max)
+          return (null,
+            s"oversize: inflated body exceeds cap $max, dropped")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      (out.toByteArray, null)
+    } catch {
+      case e: java.io.IOException =>
+        (null, s"${if (gzip) "gzip" else "deflate"}: ${
+          e.getClass.getSimpleName}: ${
+          Option(e.getMessage).getOrElse("").take(120)}")
+    } finally if (in != null) in.close()
+  }
 
   /** Payload bytes → string for text-bearing records (conversion
     * records, HTTP text bodies). */
@@ -172,17 +399,34 @@ object WarcSource {
     * 0x80–0x9F, which Latin-1 maps to C1 controls — a deterministic,
     * documented approximation, stripped by downstream whitespace
     * normalization when they appear where CP1252 meant punctuation);
-    * `us-ascii` decodes as ASCII; everything else — including an
+    * `us-ascii` decodes as ASCII; the CJK head — `shift_jis` (+
+    * `sjis`/`shift-jis`/`windows-31j`≈), `euc-kr`, `gbk` (+
+    * `gb2312`, its strict subset — GBK decodes every GB2312 byte
+    * pair identically and real "gb2312" pages are routinely GBK),
+    * `big5` — decodes through the native [[graft.functions
+    * .NativeExpressions.DecodeCharset]] JDK-charset expression (r19
+    * verdict #5: these fell through to UTF-8 and garbled a visible
+    * share of the real crawl); everything else — including an
     * absent header — falls back to UTF-8, the modern-web default.
-    * All branches are literal-charset `decode` calls (codegen'd);
-    * the charset column itself is one regex. */
+    * Every branch's decode replaces malformed input with U+FFFD
+    * (never throws); the charset column itself is one regex. */
   def payloadTextCs(payload: Column, contentType: Column): Column = {
     val cs = charsetOf(contentType)
+    import graft.functions.NativeExpressions.decode_charset
     when(cs === "iso-8859-1" || cs === "latin1" || cs === "latin-1" ||
         cs === "windows-1252" || cs === "cp1252",
         decode(payload, "ISO-8859-1"))
       .when(cs === "us-ascii" || cs === "ascii",
         decode(payload, "US-ASCII"))
+      .when(cs === "shift_jis" || cs === "shift-jis" ||
+          cs === "sjis" || cs === "x-sjis" || cs === "windows-31j",
+        decode_charset(payload, "Shift_JIS"))
+      .when(cs === "euc-kr" || cs === "euc_kr" || cs === "ks_c_5601-1987",
+        decode_charset(payload, "EUC-KR"))
+      .when(cs === "gbk" || cs === "gb2312" || cs === "gb_2312-80",
+        decode_charset(payload, "GBK"))
+      .when(cs === "big5" || cs === "big-5",
+        decode_charset(payload, "Big5"))
       .otherwise(decode(payload, "UTF-8"))
   }
 

@@ -55,6 +55,14 @@ object HtmlOps {
     * turn into newlines). */
   val TagChain: Seq[(String, String)] = Seq(
     "(?is)<!--.*?-->" -> " ",
+    // CDATA sections swallow WHOLE (r19 verdict #6): in the HTML
+    // namespace `<![CDATA[...]]>` is a bogus comment, and the rare
+    // legitimate ones (inline SVG/MathML islands) carry markup-side
+    // data, not body prose — the conservative, deterministic stance
+    // is the script/style treatment. Ordered after comments (a
+    // commented-out CDATA is already gone) and before the generic
+    // tag strip (which would otherwise eat only to the first '>')
+    "(?is)<!\\[CDATA\\[.*?\\]\\]>" -> " ",
     "(?is)<script\\b[^>]*>.*?</script>" -> " ",
     "(?is)<style\\b[^>]*>.*?</style>" -> " ",
     "(?is)<noscript\\b[^>]*>.*?</noscript>" -> " ",
@@ -64,12 +72,45 @@ object HtmlOps {
     // not text — real parsers drop it too
     "<[^>]*$" -> " ")
 
-  /** The standard named/numeric entities decoded, in decode order —
-    * `&amp;` LAST, the classic double-decode guard: `&amp;lt;` is the
-    * four LITERAL characters `&lt;` and must not become `<`. */
+  /** The named/numeric entities decoded, in decode order — `&amp;`
+    * LAST, the classic double-decode guard: `&amp;lt;` is the four
+    * LITERAL characters `&lt;` and must not become `<` (and every
+    * numeric spelling here is safe before it: `&amp;#39;` contains
+    * no contiguous `&#39;`, so the specialty passes can't touch it).
+    *
+    * The entity CONTRACT (pinned, r19 verdict #6): this exact list,
+    * nothing else. Covered: the five XML names, `&nbsp;`, the
+    * typographic punctuation real pages carry (curly quotes, en/em
+    * dash, ellipsis — named, decimal and lowercase-hex spellings),
+    * and the decimal/hex quote/apostrophe/nbsp variants. NOT
+    * covered, deliberately: arbitrary numeric entities (sequential
+    * replace cannot chr() a captured number), UPPERCASE hex digits
+    * (`&#X2019;`/`&#x201C;` — replace() is case-sensitive; the
+    * lowercase spelling dominates real markup), and any
+    * `&`-PRODUCING numeric spelling (`&#38;`/`&#x26;`): decoding
+    * those in ANY sequential order opens a double-decode hole
+    * against `&amp;` — `&amp;` stays the single amp spelling. An
+    * uncovered entity survives verbatim — visible, deterministic,
+    * same bytes on both engines. */
   val Entities: Seq[(String, String)] = Seq(
-    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+    "&nbsp;" -> " ", "&#160;" -> " ", "&#xa0;" -> " ",
+    "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#34;" -> "\"", "&#x22;" -> "\"",
+    "&#39;" -> "'", "&#x27;" -> "'", "&apos;" -> "'",
+    "&lsquo;" -> "‘", "&#8216;" -> "‘",
+    "&#x2018;" -> "‘",
+    "&rsquo;" -> "’", "&#8217;" -> "’",
+    "&#x2019;" -> "’",
+    "&ldquo;" -> "“", "&#8220;" -> "“",
+    "&#x201c;" -> "“",
+    "&rdquo;" -> "”", "&#8221;" -> "”",
+    "&#x201d;" -> "”",
+    "&ndash;" -> "–", "&#8211;" -> "–",
+    "&#x2013;" -> "–",
+    "&mdash;" -> "—", "&#8212;" -> "—",
+    "&#x2014;" -> "—",
+    "&hellip;" -> "…", "&#8230;" -> "…",
+    "&#x2026;" -> "…",
     "&amp;" -> "&")
 
   /** Markup → newline-blocked plain text (see object doc). The
@@ -108,6 +149,16 @@ object HtmlOps {
     * codegen'd, zero shuffles. */
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit(HrefRegex), lit(1))
+
+  /** The page's `<base href>` value — the FIRST one, as browsers
+    * take it — or '' when the page declares none. Feeds
+    * [[UrlOps.effectiveBase]]: a declared base overrides the fetch
+    * URI as the resolution base for every relative href on the page
+    * (RFC 3986 §5.1.1). Same quoting tolerance as [[HrefRegex]];
+    * row-local, codegen'd. */
+  def baseHref(html: Column): Column =
+    regexp_extract(html,
+      "(?is)<base\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
 
   /** The density filter alone, over an ALREADY-stripped column —
     * split out so a query that outputs both the stripped text and the

@@ -723,6 +723,17 @@ object ScaleSweep {
       // 4-node domain graph - the wall is round fixed overhead
       "t_link_graph" -> (d =>
         SparkEntry.queries("t_link_graph")(spark, d).count()),
+      // relative-link graph: per-page base/href extraction below one
+      // bounded (doc_id,text) shuffle, ONE codegen'd RFC 3986
+      // resolve per link, host-edge hash agg — linear in links
+      "t_link_graph_rel" -> (d =>
+        SparkEntry.queries("t_link_graph_rel")(spark, d).count()),
+      // frontier capstone: resolve (row-local) -> robots broadcast
+      // join + packed-priority hash agg -> PSL domain walk -> cap +
+      // rank windows keyed by the 4-domain grid; linear in links,
+      // output quota-bounded
+      "t_frontier" -> (d =>
+        SparkEntry.queries("t_frontier")(spark, d).count()),
       // SCD2 history build over orders: key-hash join + per-key
       // window, linear in the staged order count
       "s14_scd2" -> (d =>

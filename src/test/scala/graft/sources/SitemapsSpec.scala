@@ -48,6 +48,34 @@ class SitemapsSpec extends SparkSpec {
       ("https://a/s2.xml", None)))
   }
 
+  test("parseW3cDatetime: every W3C NOTE-datetime precision parses " +
+    "(reduced forms resolve to their interval start, tz offsets " +
+    "normalize to UTC); junk and out-of-grammar spellings go null") {
+    val cases = Seq(
+      "2026" -> "2026-01-01 00:00:00",
+      "2026-03" -> "2026-03-01 00:00:00",
+      "2026-03-15" -> "2026-03-15 00:00:00",
+      "2026-03-15T10:30Z" -> "2026-03-15 10:30:00",
+      "2026-03-15T10:30+02:00" -> "2026-03-15 08:30:00",
+      "2026-03-15T10:30:45Z" -> "2026-03-15 10:30:45",
+      "2026-03-15T10:30:45-05:00" -> "2026-03-15 15:30:45",
+      "2026-03-15T10:30:45.5Z" -> "2026-03-15 10:30:45.5",
+      "2026-03-15T10:30:45.25Z" -> "2026-03-15 10:30:45.25",
+      "2026-03-15T10:30:45.123Z" -> "2026-03-15 10:30:45.123",
+      " 2026-03-15 " -> "2026-03-15 00:00:00", // trimmed
+      // out of grammar: no tz on a time, slash dates, prose, empty
+      "2026-03-15T10:30:45" -> null,
+      "15/03/2026" -> null,
+      "last tuesday" -> null,
+      "" -> null)
+    val out = cases.map(_._1).toDF("lm")
+      .select(Sitemaps.parseW3cDatetime(col("lm")).cast("string"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    cases.zip(out).foreach { case ((in, want), got) =>
+      assert(got == want, s"'$in': got $got want $want")
+    }
+  }
+
   test("RobotsOps.sitemapsOf: Sitemap lines surface regardless of " +
     "group position, comments stripped, order preserved") {
     val body =

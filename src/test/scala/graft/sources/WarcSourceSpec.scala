@@ -181,6 +181,48 @@ class WarcSourceSpec extends SparkSpec {
       out(2).getAs[String]("txt") == "café")
   }
 
+  test("CJK charset decode (r19 verdict #5): declared Shift_JIS / " +
+    "EUC-KR / GBK (+gb2312) / Big5 payloads round-trip through " +
+    "payloadTextCs; malformed bytes become U+FFFD, never a throw") {
+    val samples = Seq(
+      ("shift_jis", "Shift_JIS", "日本語のテキスト 123"),
+      ("euc-kr", "EUC-KR", "한국어 텍스트 123"),
+      ("gbk", "GBK", "中文文本 123"),
+      ("gb2312", "GBK", "中文文本 123"),
+      ("big5", "Big5", "中文測試 123"),
+      ("utf-8", "UTF-8", "Ünïcode ✓ 123"))
+    // staging guard: every sample must ENCODE losslessly in its
+    // charset or the test would assert garbage against garbage
+    samples.foreach { case (_, cs, s) =>
+      assert(new String(s.getBytes(cs), cs) == s, s"$cs fixture")
+    }
+    val recs = samples.zipWithIndex.map { case ((decl, cs, s), i) =>
+      WarcSource.record(Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Record-ID" -> s"<urn:uuid:cjk-$i>",
+        "WARC-Date" -> "2026-08-16T00:00:00Z",
+        "WARC-Target-URI" -> s"https://x/$decl",
+        "Content-Type" -> s"text/plain; charset=$decl"),
+        s.getBytes(cs))
+    }
+    val out = WarcSource.readRecords(spark,
+        stage("cjk.warc", WarcSource.writeWarc(recs)))
+      .select(col("target_uri"),
+        WarcSource.payloadTextCs(col("payload"), col("content_type"))
+          .as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    samples.foreach { case (decl, _, s) =>
+      assert(out(s"https://x/$decl") == s, decl)
+    }
+    // malformed: Big5 lead byte with no trail → U+FFFD replacement
+    import spark.implicits._
+    val bad = Seq(Tuple2(Array[Byte](65, -92), "text/html; charset=big5"))
+      .toDF("p", "ct")
+      .select(WarcSource.payloadTextCs(col("p"), col("ct")))
+      .collect().head.getString(0)
+    assert(bad.startsWith("A") && bad.contains("�"))
+  }
+
   test("a .warc.gz (whole-file gzip; JDK inflater also consumes " +
     "per-record concatenated members) parses identically") {
     val plain = WarcSource.writeWarc(Seq(

@@ -77,6 +77,37 @@ class HtmlOpsSpec extends SparkSpec {
       "https://gamma.org/l2", "#top", "/rel"))
   }
 
+  test("stripHtml hardening (r19 verdict #6): CDATA swallows whole; " +
+    "nested and unclosed block tags still yield line structure; " +
+    "numeric entities on the pinned list decode, others survive") {
+    // CDATA = markup island, dropped like script/style
+    assert(strip("a <![CDATA[ raw <b>bytes</b> & junk ]]> b") == "a b")
+    // nested + UNCLOSED tags (truncated real page): every block tag
+    // still becomes a newline, the dangling open tag is dropped
+    assert(strip("<div><p>first<div>second") == "first\nsecond")
+    assert(strip("<p>cut off mid <b class=\"hi") == "cut off mid")
+    // pinned numeric/typographic entities: decimal, lowercase hex,
+    // and named spellings of the curly apostrophe and friends
+    assert(strip("it&#x2019;s &#8220;fine&#8221; &ndash; ok&hellip;") ==
+      "it’s “fine” – ok…")
+    assert(strip("A&#160;B&#xa0;C &#34;q&#x22;") == "A B C \"q\"")
+    // NOT on the list: uppercase hex and arbitrary numerics survive
+    // verbatim (documented contract, not silent corruption)
+    assert(strip("x &#X2019; y &#12345; z") == "x &#X2019; y &#12345; z")
+    // the double-decode guard still holds through the longer list
+    assert(strip("x &amp;#8217; y &amp;lt; z") == "x &#8217; y &lt; z")
+  }
+
+  test("baseHref: first <base href> wins, '' when absent; feeds " +
+    "effectiveBase for relative-link resolution") {
+    val page = "<html><head><base target=\"_x\" href='/sub/dir/'>" +
+      "<base href='/LOSER/'></head><body><a href='p'>x</a></body></html>"
+    val out = Seq(Tuple1(page), Tuple1("<p>no base</p>")).toDF("h")
+      .select(HtmlOps.baseHref(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("/sub/dir/", ""))
+  }
+
   test("mainText: a markup-free input is one block under the same " +
     "density rule; null propagates") {
     assert(main("tiny") == "")

@@ -195,6 +195,49 @@ object SparkEntry {
   private val stagedWarcCjk =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM cache of the 3xx-redirect WARC fixture (t_redirects). */
+  private val stagedWarcRedir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stage the redirect fixture once per sf dir: one 3xx `response`
+    * record per documents row with doc_id ≡ 4 (mod 5) — status and
+    * `Location` SHAPE by variant r = (doc_id/5) % 4: 301 absolute,
+    * 302 relative (`../…`), 307 root-relative, 308 protocol-relative
+    * — the four URI-reference forms RFC 9110 allows in Location and
+    * real servers all send. Bodies are the short notice pages real
+    * 3xx responses carry. */
+  private def warcRedirFixture(s: SparkSession, dir: String): String =
+    stagedWarcRedir.getOrElseUpdate(dir, {
+      import graft.sources.WarcSource
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("doc_id") % 5 === 4)
+        .select(col("doc_id")).orderBy("doc_id").collect()
+      val recs = rows.toSeq.zipWithIndex.map { case (r, j) =>
+        val id = r.getLong(0); val b = id / 8
+        val (status, loc) = ((id / 5) % 4) match {
+          case 0 => (301, s"https://moved.example.org/new$b")
+          case 1 => (302, s"../moved$b")
+          case 2 => (307, s"/r/$b")
+          case _ => (308, s"//alt.example.net/p$b")
+        }
+        val payload = (s"HTTP/1.1 $status Redirect\r\n" +
+          s"Location: $loc\r\nContent-Type: text/html\r\n\r\n" +
+          "<html><body>Moved.</body></html>").getBytes("UTF-8")
+        WarcSource.record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:graft:redir:$j>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Target-URI" -> s"https://fixture.test/redir/$id",
+          "Content-Type" -> "application/http; msgtype=response"),
+          payload)
+      }
+      val out = tempDir("graft_warc_redir")
+      val p = java.nio.file.Paths.get(out, "redir.warc")
+      java.nio.file.Files.write(p, WarcSource.writeWarc(recs))
+      p.toString
+    })
+
   /** The charset fixture rows: (declared charset label, JDK charset,
     * sample text) — one SOURCE OF TRUTH for the Scala staging and the
     * DuckDB literal expectation (the samples are single-quote-free so
@@ -5899,6 +5942,28 @@ object SparkEntry {
             .as("main_text"))
     }),
 
+    // ---- crawl graph: 3xx REDIRECT edges — the frontier update a
+    // real crawl performs on every redirect response: http_location
+    // (the Location header AS SENT, a URI-reference) resolved against
+    // the fetched URI into the next fetch target, with the RFC 9110
+    // permanence split (301/308 rewrite the frontier, 302/307 only
+    // follow). All four Location shapes staged; oracle writes each
+    // resolution directly from the construction. ----
+    "t_redirects" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      import graft.text.UrlOps
+      WarcSource.withHttpMessage(
+          WarcSource.readRecords(s, warcRedirFixture(s, dir))
+            .filter(col("warc_type") === "response" &&
+              !col("malformed")))
+        .select(col("target_uri").as("from_url"), col("http_status"),
+          col("http_location").as("location"),
+          UrlOps.resolveUrl(col("target_uri"), col("http_location"))
+            .as("to_url"))
+        .withColumn("permanent",
+          col("http_status").isin(301, 308))
+    }),
+
     // ---- crawl curation: charset-declared payload decode — the CJK
     // crawl head (Shift_JIS / EUC-KR / GBK / Big5) through the native
     // DecodeCharset expression plus the latin-1/UTF-8 branches, off
@@ -9655,6 +9720,29 @@ r$k AS (
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |  AND doc_id % 5 = 3""".stripMargin
     },
+
+    // redirect edges: status/Location shapes and each Location's
+    // resolution written directly from the construction
+    "t_redirects" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id // 8 AS VARCHAR) AS b,
+        |    (doc_id // 5) % 4 AS r
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 5 = 4)
+        |SELECT 'https://fixture.test/redir/' || doc_id AS from_url,
+        |  CAST(CASE r WHEN 0 THEN 301 WHEN 1 THEN 302
+        |    WHEN 2 THEN 307 ELSE 308 END AS INT) AS http_status,
+        |  CASE r WHEN 0 THEN 'https://moved.example.org/new' || b
+        |    WHEN 1 THEN '../moved' || b
+        |    WHEN 2 THEN '/r/' || b
+        |    ELSE '//alt.example.net/p' || b END AS location,
+        |  CASE r WHEN 0 THEN 'https://moved.example.org/new' || b
+        |    WHEN 1 THEN 'https://fixture.test/moved' || b
+        |    WHEN 2 THEN 'https://fixture.test/r/' || b
+        |    ELSE 'https://alt.example.net/p' || b END AS to_url,
+        |  r IN (0, 3) AS permanent
+        |FROM d""".stripMargin,
 
     // RFC 3986 resolution: every constructed reference shape's
     // resolution written directly from the construction — the

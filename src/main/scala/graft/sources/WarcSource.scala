@@ -167,6 +167,8 @@ object WarcSource {
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("http_content_encoding",
       org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("http_location",
+      org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("http_body",
       org.apache.spark.sql.types.BinaryType),
     org.apache.spark.sql.types.StructField("http_error",
@@ -181,6 +183,9 @@ object WarcSource {
     * receiver removes them first. Appends [[HttpFields]]:
     * `http_status`, `http_content_type`, `http_transfer_encoding`,
     * `http_content_encoding` (both lowercased header values as sent),
+    * `http_location` (the `Location` header AS SENT — 3xx redirect
+    * targets are URI-references, often relative; resolve against the
+    * record's target URI with [[graft.text.UrlOps.resolveUrl]]),
     * `http_body` (the DECODED entity bytes), `http_error`.
     *
     * This is imperative byte work (no Spark built-in inflates a
@@ -208,7 +213,7 @@ object WarcSource {
         val d = decodeHttp(payload, maxBodyBytes)
         org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(
           d.status, d.contentType, d.transferEncoding,
-          d.contentEncoding, d.body, d.error))
+          d.contentEncoding, d.location, d.body, d.error))
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
@@ -216,19 +221,20 @@ object WarcSource {
   private[sources] case class HttpDecoded(
       status: java.lang.Integer, contentType: String,
       transferEncoding: String, contentEncoding: String,
-      body: Array[Byte], error: String)
+      location: String, body: Array[Byte], error: String)
 
   /** The per-payload decode behind [[withHttpMessage]] (exposed for
     * the spec). See that method's doc for the contract. */
   private[sources] def decodeHttp(payload: Array[Byte],
       maxBodyBytes: Long): HttpDecoded = {
     if (payload == null)
-      return HttpDecoded(null, null, null, null, null, null)
+      return HttpDecoded(null, null, null, null, null, null, null)
     // head/body split at the first blank line; headers are ASCII by
     // spec — ISO-8859-1 is the byte-preserving read
     val sep = indexOfBlankLine(payload)
     if (sep._1 < 0 || !startsWithHttp(payload))
-      return HttpDecoded(null, null, null, null, payload, "not-http")
+      return HttpDecoded(null, null, null, null, null, payload,
+        "not-http")
     val head = new String(payload, 0, sep._1, "ISO-8859-1")
     val rawBody = java.util.Arrays.copyOfRange(payload, sep._2,
       payload.length)
@@ -244,6 +250,7 @@ object WarcSource {
           l.substring(name.length + 1).trim
       }
     val ct = header("content-type").orNull
+    val loc = header("location").orNull
     val te = header("transfer-encoding")
       .map(_.toLowerCase(java.util.Locale.ROOT)).orNull
     val ce = header("content-encoding")
@@ -264,7 +271,7 @@ object WarcSource {
         case other =>
           (dechunked, s"unsupported content-encoding: $other")
       }
-    HttpDecoded(status.map(Int.box).orNull, ct, te, ce, body,
+    HttpDecoded(status.map(Int.box).orNull, ct, te, ce, loc, body,
       if (chunkErr != null) chunkErr else ceErr)
   }
 

@@ -67,6 +67,11 @@ class WarcHttpSpec extends SparkSpec {
     val d2 = decode(lf)
     assert(d2.status == 301 &&
       new String(d2.body, "UTF-8") == "body here")
+    // the redirect target surfaces AS SENT (a URI-reference — the
+    // caller resolves it against the record's target URI)
+    assert(d2.location == "/x")
+    assert(decode(msg(Seq("Content-Type: text/html"),
+      "x".getBytes("UTF-8"))).location == null)
   }
 
   test("chunked: extensions, trailers, upper/lowercase hex all " +

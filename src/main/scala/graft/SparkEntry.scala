@@ -110,9 +110,10 @@ object SparkEntry {
       s"WHEN $i THEN '$s'" }.mkString(" ")
     val len = CharsetSamples.zipWithIndex.map { case ((_, cs, s), i) =>
       s"WHEN $i THEN ${s.getBytes(cs).length}" }.mkString(" ")
-    (s"CASE $idExpr % 6 $decl END",
-      s"CASE $idExpr % 6 $text END",
-      s"CASE $idExpr % 6 $len END")
+    val n = CharsetSamples.size
+    (s"CASE $idExpr % $n $decl END",
+      s"CASE $idExpr % $n $text END",
+      s"CASE $idExpr % $n $len END")
   }
 
   /** The t_robots_filter per-host robots.txt fixture — every RFC
@@ -199,6 +200,10 @@ object SparkEntry {
   private val stagedWarcRedir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM cache of the streaming-curate drop dir (s_stream_warc_curate). */
+  private val stagedWarcCurateStream =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Stage the redirect fixture once per sf dir: one 3xx `response`
     * record per documents row with doc_id ≡ 4 (mod 5) — status and
     * `Location` SHAPE by variant r = (doc_id/5) % 4: 301 absolute,
@@ -245,6 +250,10 @@ object SparkEntry {
     * (asserted at staging). */
   private[graft] val CharsetSamples: Seq[(String, String, String)] = Seq(
     ("shift_jis", "Shift_JIS", "日本語のテキスト"),
+    // ① (U+2460) is an MS932 vendor codepoint plain Shift_JIS lacks —
+    // this row fails if windows-31j ever falls back to the Shift_JIS
+    // branch (the pre-r20 ≈ approximation)
+    ("windows-31j", "windows-31j", "日本語①テキスト"),
     ("euc-kr", "EUC-KR", "한국어 텍스트"),
     ("gbk", "GBK", "中文文本"),
     ("big5", "Big5", "中文測試"),
@@ -326,7 +335,8 @@ object SparkEntry {
 
   /** Stage the CJK charset fixture once per sf dir: one `conversion`
     * record per documents row with doc_id ≡ 3 (mod 5), payload =
-    * that row's [[CharsetSamples]] sample (by doc_id mod 6) plus an
+    * that row's [[CharsetSamples]] sample (by doc_id mod the sample
+    * count) plus an
     * ASCII ` #<doc_id>` suffix, ENCODED in the sample's charset and
     * DECLARED on the Content-Type — the decode surface of r19
     * verdict #5. Staging asserts each sample round-trips its charset
@@ -345,7 +355,7 @@ object SparkEntry {
       val recs = rows.toSeq.zipWithIndex.map { case (r, j) =>
         val id = r.getLong(0)
         val (decl, cs, sample) =
-          CharsetSamples((id % 6).toInt)
+          CharsetSamples((id % CharsetSamples.size).toInt)
         WarcSource.record(Seq(
           "WARC-Type" -> "conversion",
           "WARC-Record-ID" -> s"<urn:graft:cjk:$j>",
@@ -5782,6 +5792,49 @@ object SparkEntry {
         outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
     }),
 
+    // ---- streaming: the FULL curate mile over crawl waves — WARC
+    // drop-directory stream → HTTP message decode (chunked/gzip/
+    // deflate bodies + 3xx statuses, the SAME withHttpMessage
+    // mapPartitions, narrow and streaming-safe) → stripHtml → per-
+    // (status, content-encoding) corpus stats. Two staged waves: the
+    // coded-bodies fixture and the redirect fixture. Proves the
+    // production first mile runs INCREMENTALLY end-to-end, not just
+    // record counting (s_stream_warc). ----
+    "s_stream_warc_curate" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      import graft.text.HtmlOps
+      val in = stagedWarcCurateStream.getOrElseUpdate(dir, {
+        val tmp = tempDir("graft_swcu")
+        val streamDir = s"$tmp/in"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(streamDir))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(warcHttpFixture(s, dir)),
+          java.nio.file.Paths.get(streamDir, "wave1.warc"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(warcRedirFixture(s, dir)),
+          java.nio.file.Paths.get(streamDir, "wave2.warc"))
+        streamDir
+      })
+      val ckpt = ckptDir("graft_swcu_ck")
+      val decoded = WarcSource.withHttpMessage(
+        WarcSource.readRecordsStream(s, in).toDF()
+          .filter(col("warc_type") === "response" &&
+            !col("malformed")))
+      val agg = decoded
+        .select(col("http_status"),
+          coalesce(col("http_content_encoding"), lit("identity"))
+            .as("ce"),
+          length(HtmlOps.stripHtml(
+            WarcSource.payloadText(col("http_body"))))
+            .cast("long").as("n_chars"))
+        .groupBy(col("http_status"), col("ce"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      runDrain(agg, queryName = s"swcu_${System.nanoTime()}",
+        checkpoint = s"$ckpt/ckpt",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
     // ---- §crawl S17: WET sink + scan roundtrip — the write half of
     // WarcSource: documents exported once per dir as gzip'd WET
     // conversion shards (one file per partition), read back through
@@ -9720,6 +9773,41 @@ r$k AS (
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |  AND doc_id % 5 = 3""".stripMargin
     },
+
+    // streaming curate mile: both waves' decoded bodies rebuilt from
+    // documents (the coding must INVERT — same independent
+    // expectation as t_warc_http), stripped via the generated chain,
+    // then the identical (status, coding) stats
+    "s_stream_warc_curate" ->
+      s"""WITH hd AS (
+        |  SELECT doc_id, text, (doc_id // 5) % 5 AS v FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 5 = 2),
+        |hp AS (
+        |  SELECT CASE WHEN v IN (1, 3) THEN 'gzip'
+        |      WHEN v = 4 THEN 'deflate' ELSE 'identity' END AS ce,
+        |    ${warcPageSql("doc_id", "text")} AS html
+        |  FROM hd),
+        |hs AS (SELECT ce,
+        |         length(${duckStripSql("html")}) AS n_chars
+        |       FROM hp),
+        |hg AS (
+        |  SELECT CAST(200 AS INT) AS http_status, ce,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM hs GROUP BY 1, 2),
+        |rd AS (
+        |  SELECT (doc_id // 5) % 4 AS r FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 5 = 4),
+        |rg AS (
+        |  SELECT CAST(CASE r WHEN 0 THEN 301 WHEN 1 THEN 302
+        |      WHEN 2 THEN 307 ELSE 308 END AS INT) AS http_status,
+        |    'identity' AS ce,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) * 6 AS BIGINT) AS sum_chars
+        |  FROM rd GROUP BY 1, 2)
+        |SELECT * FROM hg UNION ALL SELECT * FROM rg""".stripMargin,
 
     // redirect edges: status/Location shapes and each Location's
     // resolution written directly from the construction

@@ -180,7 +180,9 @@ object WarcSource {
     * trailers), then undo `Content-Encoding: gzip|x-gzip|deflate`
     * (deflate sniffs zlib-wrapped vs raw — real servers ship both),
     * in that order — RFC 9112 applies transfer codings last, so the
-    * receiver removes them first. Appends [[HttpFields]]:
+    * receiver removes them first. Header fields folded across lines
+    * (RFC 9112 §5.2 obs-fold — deprecated but still crawled) are
+    * unfolded before matching. Appends [[HttpFields]]:
     * `http_status`, `http_content_type`, `http_transfer_encoding`,
     * `http_content_encoding` (both lowercased header values as sent),
     * `http_location` (the `Location` header AS SENT — 3xx redirect
@@ -238,7 +240,18 @@ object WarcSource {
     val head = new String(payload, 0, sep._1, "ISO-8859-1")
     val rawBody = java.util.Arrays.copyOfRange(payload, sep._2,
       payload.length)
-    val lines = head.split("\r\n|\n").toSeq
+    val rawLines = head.split("\r\n|\n").toSeq
+    // RFC 9112 §5.2 obs-fold: a header line continued onto the next
+    // line (leading SP/HT) is the SAME field joined by one space —
+    // unfold before matching, or the folded tail would read as its
+    // own (malformed) header line and the field value would truncate
+    // at the fold. The status line never legally folds; a leading-
+    // blank first "header" joins onto it harmlessly (no name match).
+    val lines = rawLines.tail.foldLeft(List(rawLines.head)) {
+      case (acc, l) if l.nonEmpty && (l.head == ' ' || l.head == '\t') =>
+        (acc.head + " " + l.trim) :: acc.tail
+      case (acc, l) => l :: acc
+    }.reverse
     val status = "^HTTP/\\d\\.\\d +(\\d{3})".r
       .findFirstMatchIn(lines.head).map(_.group(1).toInt)
     // last occurrence wins (proxies append); values lowercased for
@@ -406,8 +419,10 @@ object WarcSource {
     * 0x80–0x9F, which Latin-1 maps to C1 controls — a deterministic,
     * documented approximation, stripped by downstream whitespace
     * normalization when they appear where CP1252 meant punctuation);
-    * `us-ascii` decodes as ASCII; the CJK head — `shift_jis` (+
-    * `sjis`/`shift-jis`/`windows-31j`≈), `euc-kr`, `gbk` (+
+    * `us-ascii` decodes as ASCII; the CJK head — `windows-31j`
+    * (+ `cp932`/`ms932` — the JDK ships the exact MS932 codec, so
+    * the vendor codepoints Shift_JIS lacks decode correctly),
+    * `shift_jis` (+ `sjis`/`shift-jis`), `euc-kr`, `gbk` (+
     * `gb2312`, its strict subset — GBK decodes every GB2312 byte
     * pair identically and real "gb2312" pages are routinely GBK),
     * `big5` — decodes through the native [[graft.functions
@@ -425,8 +440,10 @@ object WarcSource {
         decode(payload, "ISO-8859-1"))
       .when(cs === "us-ascii" || cs === "ascii",
         decode(payload, "US-ASCII"))
+      .when(cs === "windows-31j" || cs === "cp932" || cs === "ms932",
+        decode_charset(payload, "windows-31j"))
       .when(cs === "shift_jis" || cs === "shift-jis" ||
-          cs === "sjis" || cs === "x-sjis" || cs === "windows-31j",
+          cs === "sjis" || cs === "x-sjis",
         decode_charset(payload, "Shift_JIS"))
       .when(cs === "euc-kr" || cs === "euc_kr" || cs === "ks_c_5601-1987",
         decode_charset(payload, "EUC-KR"))

@@ -179,4 +179,23 @@ class WarcHttpSpec extends SparkSpec {
     assert(out("https://x/gz") == ((200, null, "<p>gzip body.</p>")))
     assert(out("https://x/ch") == ((200, null, "<p>chunked body.</p>")))
   }
+
+  test("obs-fold (RFC 9112 §5.2): a header field folded across lines " +
+    "unfolds to ONE space-joined value before matching — the coding " +
+    "still decodes and the folded value survives intact") {
+    // Content-Type folded mid-value; a folded Location; the fold
+    // must NOT truncate the value or read as a malformed header line
+    val d = decode(msg(Seq(
+      "Content-Type: text/html;\r\n\tcharset=utf-8",
+      "Location: /a/very/long\r\n   /target",
+      "Content-Encoding: gzip"), gz("<p>folded ok.</p>")))
+    assert(d.contentType == "text/html; charset=utf-8")
+    assert(d.location == "/a/very/long /target")
+    assert(d.error == null &&
+      new String(d.body, "UTF-8") == "<p>folded ok.</p>")
+    // a fold as the FIRST "header" joins the status line harmlessly
+    val d2 = decode(("HTTP/1.1 200 OK\r\n continued\r\n" +
+      "Content-Type: a/b\r\n\r\nx").getBytes("UTF-8"))
+    assert(d2.status == 200 && d2.contentType == "a/b")
+  }
 }

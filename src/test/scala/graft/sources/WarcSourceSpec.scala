@@ -182,10 +182,13 @@ class WarcSourceSpec extends SparkSpec {
   }
 
   test("CJK charset decode (r19 verdict #5): declared Shift_JIS / " +
-    "EUC-KR / GBK (+gb2312) / Big5 payloads round-trip through " +
-    "payloadTextCs; malformed bytes become U+FFFD, never a throw") {
+    "windows-31j (+cp932, exact MS932) / EUC-KR / GBK (+gb2312) / " +
+    "Big5 payloads round-trip through payloadTextCs; malformed " +
+    "bytes become U+FFFD, never a throw") {
     val samples = Seq(
       ("shift_jis", "Shift_JIS", "日本語のテキスト 123"),
+      ("windows-31j", "windows-31j", "日本語①テキスト 123"),
+      ("cp932", "windows-31j", "会社㈱ 123"),
       ("euc-kr", "EUC-KR", "한국어 텍스트 123"),
       ("gbk", "GBK", "中文文本 123"),
       ("gb2312", "GBK", "中文文本 123"),
@@ -195,6 +198,12 @@ class WarcSourceSpec extends SparkSpec {
     // charset or the test would assert garbage against garbage
     samples.foreach { case (_, cs, s) =>
       assert(new String(s.getBytes(cs), cs) == s, s"$cs fixture")
+    }
+    // ① (U+2460) and ㈱ (U+3231) are MS932 vendor codepoints plain
+    // Shift_JIS cannot represent — the windows-31j branch is
+    // load-bearing, not an alias of the shift_jis one
+    Seq("①", "㈱").foreach { c =>
+      assert(new String(c.getBytes("Shift_JIS"), "Shift_JIS") != c)
     }
     val recs = samples.zipWithIndex.map { case ((decl, cs, s), i) =>
       WarcSource.record(Seq(

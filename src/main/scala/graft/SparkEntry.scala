@@ -370,6 +370,70 @@ object SparkEntry {
       p.toString
     })
 
+  /** Per-JVM cache of the CDX index fixture (s18_cdx_scan,
+    * t_cdx_fetch): the CDXJ path; the member-gzip WARC shard it
+    * points into lives beside it. */
+  private val stagedCdx =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stage the CDX fixture once per sf dir: one conversion record
+    * per documents row with doc_id ≡ 1 (mod 5), each gzipped as its
+    * OWN member (the Common Crawl per-record layout), plus the CDXJ
+    * index whose lines carry each member's REAL byte (offset,
+    * length) and the metadata the index queries filter on — status
+    * by doc_id % 3 (200/404/301), mime by doc_id % 2 — and one junk
+    * line (the quarantine surface). t_cdx_fetch proves the pointers
+    * round-trip: index-select a subset, read ONLY those byte
+    * ranges, get exactly those documents back. */
+  private def cdxFixture(s: SparkSession, dir: String): String =
+    stagedCdx.getOrElseUpdate(dir, {
+      import graft.sources.WarcSource
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("doc_id") % 5 === 1)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id").collect()
+      def gzOne(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(b); gz.close(); bos.toByteArray
+      }
+      val out = tempDir("graft_cdx")
+      val warcPath = java.nio.file.Paths.get(out, "shard-00.warc.gz")
+      val members = rows.toSeq.zipWithIndex.map { case (r, j) =>
+        val id = r.getLong(0)
+        gzOne(WarcSource.record(Seq(
+          "WARC-Type" -> "conversion",
+          "WARC-Record-ID" -> s"<urn:graft:cdx:$j>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Target-URI" ->
+            s"https://www.h${id % 3}.example.com/d/$id",
+          "Content-Type" -> "text/plain"),
+          (r.getString(1) + s" #$id").getBytes("UTF-8")))
+      }
+      java.nio.file.Files.write(warcPath,
+        members.flatten.toArray[Byte])
+      val offsets = members.scanLeft(0L)(_ + _.length).init
+      val lines = rows.toSeq.zip(members.zip(offsets)).map {
+        case (r, (m, off)) =>
+          val id = r.getLong(0)
+          val status = (id % 3) match {
+            case 0 => 200; case 1 => 404; case _ => 301 }
+          val mime =
+            if (id % 2 == 0) "text/html" else "text/plain"
+          s"com,example,h${id % 3})/d/$id " +
+            f"20260101${id % 24}%02d0000 " +
+            s"""{"url": "https://www.h${id % 3}.example.com/d/$id", """ +
+            s""""mime": "$mime", "status": "$status", """ +
+            s""""digest": "sha1:graft$id", "length": "${m.length}", """ +
+            s""""offset": "$off", "filename": "$warcPath"}"""
+      } :+ "this line is not cdx"
+      val cdxPath = java.nio.file.Paths.get(out, "shard-00.cdxj")
+      java.nio.file.Files.write(cdxPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      cdxPath.toString
+    })
+
   /** Per-JVM cache of the streaming-distinct staging (events + two
     * sentinel drain batches). */
   private val stagedDistinctEventsDir =
@@ -5859,6 +5923,103 @@ object SparkEntry {
           col("content_length"))
     }),
 
+    // ---- §crawl S18: CDX(J) crawl-index scan — the ~1%-sized
+    // sorted index crawl consumers filter INSTEAD of scanning WARC
+    // bytes (graft.sources.CdxSource.readCdxj): one bounded 3-way
+    // split + ONE from_json per line (the house one-parse rule);
+    // the staged junk line quarantines and is excluded here.
+    // Offsets/lengths are gzip-byte facts DuckDB cannot re-derive —
+    // t_cdx_fetch proves them by round-trip instead. ----
+    "s18_cdx_scan" -> ((s, dir) =>
+      graft.sources.CdxSource.readCdxj(s, cdxFixture(s, dir))
+        .filter(!col("malformed"))
+        .select(col("surt_key"), col("fetch_ts"), col("url"),
+          col("mime"), col("status"), col("digest"))),
+
+    // ---- crawl index: SURT key generation (UrlOps.surtKey) — the
+    // sort-friendly reversed-host key CDX indexes range-scan on
+    // ("all of example.com" = one contiguous key range). Six URL
+    // shapes per doc: www+mixed-case+query, default port, kept
+    // non-default port, userinfo+fragment, empty path, deep host +
+    // bare `?`. The oracle writes each shape's key directly from
+    // the construction — independent expectation. ----
+    "t_surt" -> ((s, dir) => {
+      import graft.text.UrlOps
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val idS = col("doc_id").cast("string")
+      val m = pmod(col("doc_id"), lit(6))
+      val url = when(m === 0, concat(lit("https://WWW.Example.COM/p"),
+          idS, lit("?Q="), idS))
+        .when(m === 1,
+          concat(lit("http://h"), idS, lit(".example.com:80/a")))
+        .when(m === 2, concat(lit("https://example.com:8443/x"), idS))
+        .when(m === 3, concat(lit("https://user:pw@example.com/u"),
+          idS, lit("#frag")))
+        .when(m === 4, lit("https://example.com"))
+        .otherwise(concat(lit("https://A.B.example.co.uk/d"), idS,
+          lit("?")))
+      d.select(col("doc_id"), url.as("url"),
+        UrlOps.surtKey(url).as("surt_key"))
+    }),
+
+    // ---- crawl index: pointed record fetch — the access pattern
+    // that makes 100 TB of WARC usable: filter the INDEX (status
+    // 200, text/html), then read ONLY the selected byte ranges
+    // (CdxSource.readRecordsAt — shuffle-free, per-task I/O is
+    // O(selected bytes), handle reuse via within-partition (file,
+    // offset) ordering). Hash-green means the staged index's
+    // offsets round-trip to exactly the right documents. ----
+    "t_cdx_fetch" -> ((s, dir) => {
+      import graft.sources.{CdxSource, WarcSource}
+      val idx = CdxSource.readCdxj(s, cdxFixture(s, dir))
+        .filter(!col("malformed") && col("status") === 200 &&
+          col("mime") === "text/html")
+      CdxSource.readRecordsAt(s,
+          idx.select("warc_file", "warc_offset", "warc_length"))
+        .filter(!col("malformed"))
+        .select(col("target_uri").as("url"),
+          WarcSource.payloadText(col("payload")).as("text"))
+    }),
+
+    // ---- crawl dedup: canonical-URL collapse — mirror/parameter
+    // duplicates of the same content declare ONE `<link
+    // rel="canonical">` target; keying on it (resolved against the
+    // page URL — relative canonicals are routine, both attribute
+    // orders occur) collapses them with zero content comparison.
+    // Four staged shapes per doc: rel-first absolute, href-first
+    // absolute (MERGES with shape 0 across mirror hosts), RELATIVE
+    // canonical (resolves to the page's own host — the resolution
+    // is load-bearing), and no canonical (self-key fallback). One
+    // hash-agg exchange; the oracle replays the construction. ----
+    "t_canonical" -> ((s, dir) => {
+      import graft.text.{HtmlOps, UrlOps}
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val idS = col("doc_id").cast("string")
+      val g = pmod(col("doc_id"), lit(50)).cast("string")
+      val v = pmod(col("doc_id"), lit(4))
+      val url =
+        concat(lit("https://m"), v, lit(".example.com/page/"), idS)
+      val tag = when(v === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://example.com/canon/"),
+          g, lit("\">")))
+        .when(v === 1, concat(
+          lit("<link href=\"https://example.com/canon/"), g,
+          lit("\" rel=\"canonical\">")))
+        .when(v === 2,
+          concat(lit("<link rel=\"canonical\" href=\"/canon/"), g,
+            lit("\">")))
+        .otherwise(lit(""))
+      val p = d.select(url.as("url"),
+        concat(lit("<html><head><title>t</title>"), tag,
+          lit("</head><body><p>body</p></body></html>")).as("html"))
+      val href = HtmlOps.canonicalHref(col("html"))
+      p.withColumn("canon_url",
+          when(href === "", col("url"))
+            .otherwise(UrlOps.resolveUrl(col("url"), href)))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_pages"), min("url").as("first_url"))
+    }),
+
     // ---- crawl curation: HTML → text extraction
     // ([[graft.text.HtmlOps]]) — four page shapes built per doc
     // (full template page / entity-heavy / messy-whitespace +
@@ -9773,6 +9934,83 @@ r$k AS (
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |  AND doc_id % 5 = 3""".stripMargin
     },
+
+    // CDX index scan: every parsed field rebuilt from documents by
+    // the staging formulas — direct expectation (the byte offsets/
+    // lengths are gzip facts DuckDB cannot re-derive; t_cdx_fetch
+    // proves those by round-trip)
+    "s18_cdx_scan" ->
+      """SELECT 'com,example,h' || (doc_id % 3) || ')/d/' || doc_id
+        |    AS surt_key,
+        |  '20260101' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |    || '0000' AS fetch_ts,
+        |  'https://www.h' || (doc_id % 3) || '.example.com/d/'
+        |    || doc_id AS url,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+        |    ELSE 'text/plain' END AS mime,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
+        |    ELSE 301 END AS INT) AS status,
+        |  'sha1:graft' || doc_id AS digest
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  AND doc_id % 5 = 1""".stripMargin,
+
+    // SURT keys: each shape's key written directly from the
+    // construction (lowercase, www/scheme/userinfo/fragment/default-
+    // port dropped, host reversed, bare ? stripped)
+    "t_surt" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'https://WWW.Example.COM/p' || doc_id
+        |      || '?Q=' || doc_id
+        |    WHEN 1 THEN 'http://h' || doc_id || '.example.com:80/a'
+        |    WHEN 2 THEN 'https://example.com:8443/x' || doc_id
+        |    WHEN 3 THEN 'https://user:pw@example.com/u' || doc_id
+        |      || '#frag'
+        |    WHEN 4 THEN 'https://example.com'
+        |    ELSE 'https://A.B.example.co.uk/d' || doc_id || '?'
+        |  END AS url,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'com,example)/p' || doc_id || '?q=' || doc_id
+        |    WHEN 1 THEN 'com,example,h' || doc_id || ')/a'
+        |    WHEN 2 THEN 'com,example:8443)/x' || doc_id
+        |    WHEN 3 THEN 'com,example)/u' || doc_id
+        |    WHEN 4 THEN 'com,example)/'
+        |    ELSE 'uk,co,example,b,a)/d' || doc_id
+        |  END AS surt_key
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    // canonical-URL dedup: the construction replayed — keys by
+    // variant (absolute canon for shapes 0/1, page-host canon for
+    // the relative shape, self for none), then the same group/count
+    "t_canonical" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'https://m' || (doc_id % 4) || '.example.com/page/'
+        |      || doc_id AS url,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://example.com/canon/' || (doc_id % 50)
+        |      WHEN 1 THEN 'https://example.com/canon/' || (doc_id % 50)
+        |      WHEN 2 THEN 'https://m2.example.com/canon/'
+        |        || (doc_id % 50)
+        |      ELSE 'https://m3.example.com/page/' || doc_id
+        |    END AS canon_url
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_pages,
+        |  min(url) AS first_url
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // pointed fetch: the index filter (status 200 AND text/html ⇔
+    // doc_id ≡ 0 mod 6 by the staging formulas) selects the subset;
+    // a hash match proves the byte pointers fetched EXACTLY those
+    // documents' records
+    "t_cdx_fetch" ->
+      """SELECT 'https://www.h' || (doc_id % 3) || '.example.com/d/'
+        |    || doc_id AS url,
+        |  text || ' #' || doc_id AS text
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  AND doc_id % 5 = 1 AND doc_id % 6 = 0""".stripMargin,
 
     // streaming curate mile: both waves' decoded bodies rebuilt from
     // documents (the coding must INVERT — same independent

@@ -160,6 +160,25 @@ object HtmlOps {
     regexp_extract(html,
       "(?is)<base\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
 
+  /** The page's declared canonical URL (`<link rel="canonical"
+    * href=...>`) — the dedup signal mirror/parameter/session-id
+    * duplicates of the SAME content all point at: keying a crawl
+    * dedup on the canonical (resolved against the page URL — it may
+    * be relative) collapses them without any content comparison.
+    * Both attribute orders occur in the wild; first match wins,
+    * empty string when the page declares none (callers fall back to
+    * the page's own URL). Same java.regex ∩ RE2 subset as the rest
+    * of this object. */
+  def canonicalHref(html: Column): Column = {
+    val relFirst = regexp_extract(html,
+      "(?is)<link\\b[^>]*?rel\\s*=\\s*[\"']canonical[\"']" +
+        "[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val hrefFirst = regexp_extract(html,
+      "(?is)<link\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']" +
+        "[^>]*?rel\\s*=\\s*[\"']canonical[\"']", 1)
+    when(relFirst =!= "", relFirst).otherwise(hrefFirst)
+  }
+
   /** The density filter alone, over an ALREADY-stripped column —
     * split out so a query that outputs both the stripped text and the
     * main text can keep the strip chain in its own projection and

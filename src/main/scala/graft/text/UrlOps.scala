@@ -144,4 +144,42 @@ object UrlOps {
   def effectiveBase(fetchUri: Column, baseHref: Column): Column =
     when(baseHref.isNull || baseHref === "", fetchUri)
       .otherwise(resolveUrl(fetchUri, baseHref))
+
+  /** SURT (Sort-friendly URI Reordering Transform) index key of an
+    * absolute http(s) URL — the key CDX crawl indexes sort and
+    * prefix-scan on: `com,example)/path?query`. Reversing the host
+    * labels puts every page of a registrable domain (and every
+    * subdomain under it) in ONE contiguous key range, so "all of
+    * example.com" is a range scan over a sorted index instead of a
+    * full-index host filter — the property the whole Common Crawl
+    * index layout builds on.
+    *
+    * Canonicalization is the pywb/webarchive-commons core, stated
+    * explicitly: lowercase everything; drop the scheme and any
+    * `user:pass@`; drop a leading `www.` label; drop default ports
+    * `:80`/`:443` (any other port survives AFTER the reversed host,
+    * `com,example:8080)/`); drop the fragment and a bare trailing
+    * `?`; an empty path becomes `/`. Row-local, regex + string ops
+    * only (java.regex ∩ RE2, codegen'd) — safe in predicates. */
+  def surtKey(url: Column): Column = {
+    val u = lower(url)
+    // strip scheme, userinfo, fragment (in that order — an `@` or
+    // `#` later in the path/query must not be eaten)
+    val noScheme = regexp_replace(u, s"^$Sch//", "")
+    val noUser = regexp_replace(noScheme, "^[^/?#@]*@", "")
+    val noFrag = regexp_replace(noUser, "#.*$", "")
+    val hostPort = regexp_extract(noFrag, "^([^/?]*)", 1)
+    val rest = regexp_replace(noFrag, "^[^/?]*", "")
+    val noDefPort = regexp_replace(hostPort, ":(80|443)$", "")
+    val noWww = regexp_replace(noDefPort, "^www\\.", "")
+    val host = regexp_replace(noWww, ":[0-9]+$", "")
+    val port = regexp_extract(noWww, "(:[0-9]+)$", 1)
+    val rev = array_join(reverse(split(host, "\\.")), ",")
+    val pathq = regexp_replace(
+      when(rest === "", lit("/"))
+        .when(rest.startsWith("?"), concat(lit("/"), rest))
+        .otherwise(rest),
+      "\\?$", "")
+    concat(rev, port, lit(")"), pathq)
+  }
 }

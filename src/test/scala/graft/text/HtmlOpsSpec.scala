@@ -108,6 +108,22 @@ class HtmlOpsSpec extends SparkSpec {
     assert(out == Seq("/sub/dir/", ""))
   }
 
+  test("canonicalHref: both attribute orders, other link rels " +
+    "ignored, '' when absent — the canonical-dedup key source") {
+    val cases = Seq(
+      "<head><link rel=\"canonical\" href=\"https://e.com/c\"></head>" ->
+        "https://e.com/c",
+      "<head><link href='/rel/c' rel='canonical'></head>" -> "/rel/c",
+      "<head><link rel=\"stylesheet\" href=\"/s.css\">" +
+        "<link rel=\"canonical\" href=\"/c2\"></head>" -> "/c2",
+      "<head><link rel=\"stylesheet\" href=\"/s.css\"></head>" -> "",
+      "<p>no links at all</p>" -> "")
+    val out = cases.map(c => Tuple1(c._1)).toDF("h")
+      .select(HtmlOps.canonicalHref(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2))
+  }
+
   test("mainText: a markup-free input is one block under the same " +
     "density rule; null propagates") {
     assert(main("tiny") == "")

@@ -370,6 +370,60 @@ object SparkEntry {
       p.toString
     })
 
+  /** Per-JVM cache of the revisit WARC fixture (t_revisit_resolve). */
+  private val stagedWarcRevisit =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stage the revisit fixture once per sf dir: one `response`
+    * original per documents row with doc_id ≡ 4 (mod 5) at the
+    * origin host, carrying `WARC-Payload-Digest`; for odd doc_ids a
+    * `revisit` record at a mirror host — the ISO 28500 §6.7
+    * identical-payload-digest profile: SAME digest,
+    * `WARC-Refers-To-Target-URI` naming the original, response
+    * headers only as payload (the bytes were NOT stored — that is
+    * the archive-side dedup). */
+  private def warcRevisitFixture(s: SparkSession, dir: String): String =
+    stagedWarcRevisit.getOrElseUpdate(dir, {
+      import graft.sources.WarcSource
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("doc_id") % 5 === 4)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id").collect()
+      val recs = rows.toSeq.zipWithIndex.flatMap { case (r, j) =>
+        val id = r.getLong(0)
+        val origin = s"https://origin.example.com/p/$id"
+        val original = WarcSource.record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:graft:rv:o:$j>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Target-URI" -> origin,
+          "WARC-Payload-Digest" -> s"sha1:GRAFT$id",
+          "Content-Type" -> "application/http; msgtype=response"),
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+            r.getString(1) + s" #$id").getBytes("UTF-8"))
+        val revisit =
+          if (id % 2 == 1) Seq(WarcSource.record(Seq(
+            "WARC-Type" -> "revisit",
+            "WARC-Record-ID" -> s"<urn:graft:rv:r:$j>",
+            "WARC-Date" -> "2026-02-01T00:00:00Z",
+            "WARC-Target-URI" ->
+              s"https://m${id % 3}.example.com/p/$id",
+            "WARC-Payload-Digest" -> s"sha1:GRAFT$id",
+            "WARC-Refers-To-Target-URI" -> origin,
+            "WARC-Profile" ->
+              "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+            "Content-Type" -> "application/http; msgtype=response"),
+            "HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8")))
+          else Nil
+        original +: revisit
+      }
+      val out = tempDir("graft_warc_rv")
+      val p = java.nio.file.Paths.get(out, "revisit.warc")
+      java.nio.file.Files.write(p, WarcSource.writeWarc(recs))
+      p.toString
+    })
+
   /** Per-JVM cache of the CDX index fixture (s18_cdx_scan,
     * t_cdx_fetch): the CDXJ path; the member-gzip WARC shard it
     * points into lives beside it. */
@@ -5981,6 +6035,33 @@ object SparkEntry {
           WarcSource.payloadText(col("payload")).as("text"))
     }),
 
+    // ---- crawl dedup: revisit-record resolution — the ARCHIVE-side
+    // dedup real WARC collections ship (ISO 28500 §6.7): a re-fetch
+    // whose payload matched an earlier capture is stored as a
+    // `revisit` record carrying the matched digest + the original's
+    // URI instead of the bytes. Resolving revisits back to their
+    // originals (broadcast digest join — originals are the small
+    // deduped side by construction) rebuilds the duplicate map
+    // without touching payload bytes. ----
+    "t_revisit_resolve" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val recs = WarcSource
+        .readRecords(s, warcRevisitFixture(s, dir))
+        .filter(!col("malformed"))
+      val originals = recs.filter(col("warc_type") === "response")
+        .select(col("payload_digest").as("digest"),
+          col("target_uri").as("canonical_uri"))
+      val revisits = recs.filter(col("warc_type") === "revisit")
+        .select(col("target_uri").as("dup_uri"),
+          col("payload_digest"), col("refers_to_uri"))
+      revisits.join(broadcast(originals),
+          col("payload_digest") === col("digest"), "left")
+        .select(col("dup_uri"), col("canonical_uri"),
+          (col("refers_to_uri") === col("canonical_uri"))
+            .as("refers_match"),
+          col("payload_digest").as("digest"))
+    }),
+
     // ---- crawl dedup: canonical-URL collapse — mirror/parameter
     // duplicates of the same content declare ONE `<link
     // rel="canonical">` target; keying on it (resolved against the
@@ -9979,6 +10060,19 @@ r$k AS (
         |    ELSE 'uk,co,example,b,a)/d' || doc_id
         |  END AS surt_key
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    // revisit resolution: the construction replayed — every odd doc
+    // in the residue has one mirror revisit pointing at its origin
+    // original via the shared digest
+    "t_revisit_resolve" ->
+      """SELECT 'https://m' || (doc_id % 3) || '.example.com/p/'
+        |    || doc_id AS dup_uri,
+        |  'https://origin.example.com/p/' || doc_id AS canonical_uri,
+        |  TRUE AS refers_match,
+        |  'sha1:GRAFT' || doc_id AS digest
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  AND doc_id % 5 = 4 AND doc_id % 2 = 1""".stripMargin,
 
     // canonical-URL dedup: the construction replayed — keys by
     // variant (absolute canon for shapes 0/1, page-host canon for

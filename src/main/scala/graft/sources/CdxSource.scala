@@ -116,7 +116,7 @@ object CdxSource {
         // pointers are routine when index and archive drift
         def stale(err: String) = Seq(WarcSource.WarcRow(f, off, null,
           null, null, null, null, -1L, null, malformed = true,
-          s"stale pointer: $err"))
+          s"stale pointer: $err", null, null))
         try {
           // the raw member read allocates BEFORE any parse-side cap
           // can apply — a drifted/hostile index length must not OOM

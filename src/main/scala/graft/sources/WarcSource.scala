@@ -62,7 +62,14 @@ object WarcSource {
       content_length: Long,
       payload: Array[Byte],
       malformed: Boolean,
-      error: String)
+      error: String,
+      // the revisit-dedup linkage (ISO 28500 §6.7): a `revisit`
+      // record is a re-fetch whose payload matched an earlier
+      // capture — it carries the matched payload's digest and the
+      // original's URI instead of the bytes; null on records that
+      // don't declare them
+      payload_digest: String,
+      refers_to_uri: String)
 
   /** The hard per-record payload ceiling: a JVM byte array tops out
     * just under Int.MaxValue, so a larger `maxPayloadBytes` would
@@ -668,7 +675,9 @@ object WarcSource {
               cl.getOrElse(-1L), payload, malformed,
               Option(err).map(e =>
                 if (resynced) s"resync; $e" else e)
-                .getOrElse(if (resynced) "resync" else null))
+                .getOrElse(if (resynced) "resync" else null),
+              h.get("warc-payload-digest").orNull,
+              h.get("warc-refers-to-target-uri").orNull)
             cl match {
               case None =>
                 Some(row(null, malformed = true,

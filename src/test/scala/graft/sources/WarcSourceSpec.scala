@@ -232,6 +232,29 @@ class WarcSourceSpec extends SparkSpec {
     assert(bad.startsWith("A") && bad.contains("�"))
   }
 
+  test("revisit linkage headers surface as columns: payload_digest " +
+    "and refers_to_uri on records that declare them, null " +
+    "otherwise — the ISO 28500 archive-dedup join key") {
+    val rv = WarcSource.record(Seq(
+      "WARC-Type" -> "revisit",
+      "WARC-Record-ID" -> "<urn:uuid:rv-0>",
+      "WARC-Date" -> "2026-08-16T00:00:00Z",
+      "WARC-Target-URI" -> "https://mirror/x",
+      "WARC-Payload-Digest" -> "sha1:ABC",
+      "WARC-Refers-To-Target-URI" -> "https://origin/x",
+      "Content-Type" -> "application/http; msgtype=response"),
+      "HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8"))
+    val plain = rec(1, "conversion", "https://origin/x",
+      "text".getBytes("UTF-8"))
+    val out = WarcSource.readRecords(spark,
+        stage("rv.warc", WarcSource.writeWarc(Seq(rv, plain))))
+      .orderBy("rec_index").collect()
+    assert(out(0).getAs[String]("payload_digest") == "sha1:ABC" &&
+      out(0).getAs[String]("refers_to_uri") == "https://origin/x")
+    assert(out(1).getAs[String]("payload_digest") == null &&
+      out(1).getAs[String]("refers_to_uri") == null)
+  }
+
   test("a .warc.gz (whole-file gzip; JDK inflater also consumes " +
     "per-record concatenated members) parses identically") {
     val plain = WarcSource.writeWarc(Seq(

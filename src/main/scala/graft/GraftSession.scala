@@ -81,6 +81,58 @@ object Tables {
     } else df
   }
 
+  /** Intrinsic scan parallelism of a parquet input: total ROW GROUPS
+    * across its files. A parquet file is splittable only at row-group
+    * boundaries, so this — not `maxPartitionBytes` — is the hard cap
+    * on how many tasks a scan (and every narrow operator fused onto
+    * it) can use. Footer metadata only: O(files) driver-side reads of
+    * a few KB each, no row data touched. */
+  def scanParallelism(spark: SparkSession, path: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(p))
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.size
+      finally r.close()
+    }.sum
+  }
+
+  /** Scale-ADAPTIVE scan fan-out (optimization-guide §2: derive
+    * partitioning from the input, don't hard-code either scale): when
+    * the input's intrinsic scan parallelism ([[scanParallelism]]) is
+    * below the session's `defaultParallelism`, hash-repartition by
+    * `key` so a CPU-heavy narrow pipeline (shingling, minhash, exact-
+    * decimal moment sums, vector arithmetic) runs on every core
+    * instead of the one task a single-row-group file pins it to. When
+    * the input already carries >= defaultParallelism row groups — any
+    * production-scale table — NO exchange is added: the decision is a
+    * per-input metadata read, so the same code is a no-op at 100 TB
+    * and a 32× fan-out on a one-row-group bench file. Hash (not
+    * round-robin) partitioning: deterministic under task retry with
+    * no sort-before-repartition pass (SPARK-23207). Callers pass a
+    * unique-ish key so the spread is even. */
+  def fanOutScan(spark: SparkSession, df: DataFrame, path: String,
+                 key: org.apache.spark.sql.Column): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (scanParallelism(spark, path) < cores) df.repartition(cores, key)
+    else df
+  }
+
+  /** [[fanOutScan]] for a driver-provided table: load + adaptive
+    * fan-out keyed on `key`. */
+  def loadFanned(spark: SparkSession, dir: String, name: String,
+                 key: String): DataFrame =
+    fanOutScan(spark, load(spark, dir, name), s"$dir/$name.parquet",
+      org.apache.spark.sql.functions.col(key))
+
   /** Register every table as a temp view (the Spark SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

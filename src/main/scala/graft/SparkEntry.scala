@@ -29,6 +29,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(GraftSession.tune(s), dir, name)
 
+  /** [[t]] with the scale-adaptive scan fan-out
+    * ([[Tables.fanOutScan]]): used by queries whose first stage does
+    * CPU-heavy narrow work (shingling/minhash, exact-decimal moment
+    * sums, per-vector arithmetic) that a single-row-group input would
+    * otherwise pin to ONE task. No-op on inputs that already scan
+    * wide (any production-scale table). */
+  private def tf(s: SparkSession, dir: String, name: String,
+                 key: String): DataFrame =
+    Tables.loadFanned(GraftSession.tune(s), dir, name, key)
+
   /** Per-JVM cache of the re-staged events dir for the streaming query. */
   private val stagedEventsDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1373,7 +1383,7 @@ object SparkEntry {
     // jobs). Builtin corr() would be partition-order-dependent AND
     // engine-divergent (Welford vs textbook). ----
     "a16_corr" -> ((s, dir) =>
-      Quality.corrPairs(t(s, dir, "lineitem"),
+      Quality.corrPairs(tf(s, dir, "lineitem", "l_orderkey"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
     // ---- A17: per-group OLS fit (extendedprice ~ quantity per
@@ -2674,7 +2684,7 @@ object SparkEntry {
     // wrappers). Prefix filter on the contained side only; exact
     // intersect verify; completeness == brute force (spec'd). ----
     "t_containment_join" -> ((s, dir) =>
-      Dedup.containmentJoin(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.containmentJoin(tf(s, dir, "documents", "doc_id"), "doc_id", "text",
         threshold = 0.6, shingleN = 3)),
 
     // ---- training-data ops: per-doc novelty — fraction of each
@@ -2966,7 +2976,7 @@ object SparkEntry {
     // loop-carried state (centroid -> reassignment) a one-round
     // oracle can't distinguish from a single pass. ----
     "e_kmeans" -> ((s, dir) =>
-      Similarity.kmeansLloyd(t(s, dir, "embeddings"), "vec_id",
+      Similarity.kmeansLloyd(tf(s, dir, "embeddings", "vec_id"), "vec_id",
         "embedding", k = 8, iters = 2)),
 
     // ---- similarity: label-free clustering QC — simplified
@@ -2974,7 +2984,7 @@ object SparkEntry {
     // exact micro-unit cluster SUM vectors (no mean-of-doubles),
     // per-cluster truncating micro means. ----
     "e_silhouette" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings", "vec_id")
       val asg = Similarity.kmeansLloyd(emb, "vec_id", "embedding",
         k = 8, iters = 2)
       Similarity.simplifiedSilhouette(emb, "vec_id", "embedding", asg)
@@ -2986,7 +2996,7 @@ object SparkEntry {
     // machinery on (cluster, label). Everything past the assignment
     // runs on contingency-cell frames. ----
     "e_cluster_purity" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings", "vec_id")
       val asg = Similarity.kmeansLloyd(emb, "vec_id", "embedding",
         k = 8, iters = 2)
       val j = asg.join(emb.select(col("vec_id"), col("label")),
@@ -3013,7 +3023,7 @@ object SparkEntry {
     // recomputes the ENTIRE training run + encode in SQL (the
     // e_kmeans bar, per subspace). ----
     "e_pq_encode" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings", "vec_id")
       Similarity.pqEncode(emb, "vec_id", "embedding",
           Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8,
             iters = 1))
@@ -3028,7 +3038,7 @@ object SparkEntry {
     // FAISS serving architecture, non-residual codebooks). One fused
     // pass computes cell + codes; the vector is read once. ----
     "e_ivfpq_topk" -> ((s, dir) =>
-      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id",
+      Similarity.ivfPqTopK(tf(s, dir, "embeddings", "vec_id"), "vec_id",
         "embedding", queryId = 17L, topK = 10, nlist = 16, nprobe = 4,
         m = 4, k = 8, iters = 1)),
 
@@ -3039,7 +3049,7 @@ object SparkEntry {
     // replays coarse cells, exact-float residuals, the whole codebook
     // run, and per-cell ADC. ----
     "e_ivfpq_residual" -> ((s, dir) =>
-      Similarity.ivfPqResidualTopK(t(s, dir, "embeddings"), "vec_id",
+      Similarity.ivfPqResidualTopK(tf(s, dir, "embeddings", "vec_id"), "vec_id",
         "embedding", queryId = 17L, topK = 10, nlist = 16, nprobe = 4,
         m = 4, k = 8, iters = 1)),
 
@@ -3066,7 +3076,7 @@ object SparkEntry {
     // is never read at query time. The memory-compression ANN play:
     // corpus-side query cost is m ints/row. ----
     "e_pq_topk" -> ((s, dir) =>
-      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      Similarity.pqTopK(tf(s, dir, "embeddings", "vec_id"), "vec_id", "embedding",
         queryId = 17L, topK = 10, m = 4, k = 8, iters = 1)),
 
     // ---- similarity: recall@10 audit of the PQ arm vs exact L2 —
@@ -3074,7 +3084,7 @@ object SparkEntry {
     // recall is a correctness bug in a performance costume); one
     // narrow exact scan into TakeOrdered + the normal PQ serve. ----
     "e_pq_recall" -> ((s, dir) =>
-      Similarity.pqRecall(t(s, dir, "embeddings"), "vec_id",
+      Similarity.pqRecall(tf(s, dir, "embeddings", "vec_id"), "vec_id",
         "embedding", queryId = 17L, topK = 10, m = 4, k = 8,
         iters = 1)),
 
@@ -3127,7 +3137,8 @@ object SparkEntry {
     // how much of the corpus geometry survives truncation. ----
     "e_cka" -> ((s, dir) =>
       Similarity.linearCka(
-        t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        tf(s, dir, "embeddings", "vec_id")
+          .filter(col("embedding").isNotNull)
           .select(col("embedding").as("x"),
             slice(col("embedding"), 1, 16).as("y")),
         "x", "y")),

@@ -1734,12 +1734,7 @@ object Analytics {
           col("__a").cast("double")).as("__post"))
     var pi: DataFrame = null
     var priors: DataFrame = null
-    for (_ <- 1 to rounds) {
-      // superseded π/priors checkpoints off the block manager before
-      // this round reassigns them (same discipline as the posteriors
-      // swap below — only the FINAL round's frames are returned)
-      if (pi ne null) pi.unpersist(blocking = true)
-      if (priors ne null) priors.unpersist(blocking = true)
+    for (round <- 1 to rounds) {
       // M-step on the full (k, c, l) grid: absent cells still get
       // their Laplace mass, so the π frame is always A·C·L rows
       // cast INSIDE the sum: a long sum wraps silently at corpus
@@ -1752,10 +1747,15 @@ object Analytics {
         .agg(sum(col("__s")).cast("decimal(20,0)").as("__st"))
       val kclGrid = annDim.crossJoin(broadcast(classDim))
         .crossJoin(broadcast(classDim.select(col("__c").as("__l"))))
-      // π and priors are A·C·L- and C-row frames; checkpointing them
-      // cuts their lineage off `labels` and the previous posteriors,
-      // so the big superseded state can be freed below while the
-      // returned frames stay executable
+      // π and priors are A·C·L- and C-row frames — dimension-scale.
+      // They stay LAZY during the rounds (r20 opt: each per-round
+      // localCheckpoint was an extra action + blocking driver
+      // round-trip; profiled at 69 jobs/run for rounds=2 — the wall
+      // was orchestration, not compute) and are each consumed exactly
+      // once per round, by the E-step's broadcast, so laziness costs
+      // no recompute. Only the FINAL round's π/priors are
+      // checkpointed (below) — they are returned, and must stay
+      // executable after `labels` is unpersisted.
       pi = kclGrid
         .join(sums, Seq("__k", "__c", "__l"), "left")
         .join(sTot, Seq("__k", "__c"), "left")
@@ -1766,7 +1766,7 @@ object Analytics {
             (coalesce(col("__st"), lit(0).cast("decimal(20,0)"))
               + lit(1000000L) * lit(lCount)).cast("double"))
             .as("__pi"))
-        .localCheckpoint()
+      if (round == rounds) pi = pi.localCheckpoint()
       val pcls = post.groupBy(col("__c"))
         .agg(sum(col("__post").cast("decimal(20,0)"))
           .cast("decimal(20,0)").as("__pc"))
@@ -1778,7 +1778,7 @@ object Analytics {
             (col("__pc") + lit(1000000L)).cast("double") /
             (col("__pt") + lit(1000000L) * lit(lCount)).cast("double"))
             .as("__prior"))
-        .localCheckpoint()
+      if (round == rounds) priors = priors.localCheckpoint()
       // E-step: every (i, k) judgment fans out to all C classes via
       // the broadcast π grid; the per-(i, c) likelihood is the exact
       // integer product of its ≤ maxJ π factors times the prior.
@@ -1877,9 +1877,12 @@ object Analytics {
       // learnBpeMerges swap discipline — orphaned checkpoint blocks
       // pin executor memory for the rest of the session). The FINAL
       // round's posteriors are the returned result and stay.
-      if (prev ne null) prev.unpersist(blocking = true)
+      // non-blocking (r20 opt): the swap only needs the blocks GONE
+      // eventually — the old blocking=true waited a full driver
+      // round-trip per round for memory this bounded run never misses
+      if (prev ne null) prev.unpersist(blocking = false)
     }
-    labels.unpersist(blocking = true)
+    labels.unpersist(blocking = false)
     (post, pi, priors)
   }
 

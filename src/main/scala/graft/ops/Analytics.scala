@@ -1564,6 +1564,15 @@ object Analytics {
       .agg(count(lit(1)).as("__w"))
     // symmetric games frame: n_ij as (i, j) AND (j, i); per-player
     // wins/games ride along so no second corpus pass is ever needed
+    // pin the cells frame and per-player totals ONCE (r20 opt, guide
+    // §1.2/§3.3): each MM round broadcasts the strengths frame TWICE
+    // (p_i side, p_j side) — two non-identical projections the planner
+    // cannot dedupe — so an unpinned lineage DOUBLES per round and the
+    // final plan re-derives the corpus agg 2^iters times; at iters=3
+    // the optimizer alone cost ~8 s of driver wall (14k-line physical
+    // plan). Checkpointing the dimension-scale strengths each round
+    // keeps every round's plan cells ⋈ broadcast ⋈ broadcast — rounds
+    // cost what the scale-shape doc says they cost.
     val sym = w.select(col("__a").as("__i"), col("__b").as("__j"),
         col("__w").as("__wij"), lit(0L).as("__wji"))
       .unionByName(w.select(col("__b").as("__i"), col("__a").as("__j"),
@@ -1571,9 +1580,11 @@ object Analytics {
       .groupBy(col("__i"), col("__j"))
       .agg(sum(col("__wij")).as("__wij"),
         (sum(col("__wij")) + sum(col("__wji"))).as("__nij"))
+      .localCheckpoint()
     val totals = sym.groupBy(col("__i"))
       .agg(sum(col("__wij")).cast("long").as("wins"),
         sum(col("__nij")).cast("long").as("games"))
+      .localCheckpoint()
     val p0 = totals.select(col("__i"), lit(1.0).as("__p"))
     val pFinal = (1 to iters).foldLeft(p0) { (p, _) =>
       val term = sym
@@ -1586,11 +1597,17 @@ object Analytics {
             (col("__pi") + col("__pj")), 6)
             .cast("decimal(28,6)").as("__t"))
         .groupBy(col("__i")).agg(sum(col("__t")).as("__den"))
-      term.join(broadcast(totals.select(col("__i"), col("wins"))),
+      val next = term
+        .join(broadcast(totals.select(col("__i"), col("wins"))),
           Seq("__i"))
         .select(col("__i"),
           round(col("wins").cast("double") /
             col("__den").cast("double"), 6).as("__p"))
+        .localCheckpoint()
+      // superseded round state frees its executor blocks now; p0 is
+      // never checkpointed and unpersist on it is a harmless no-op
+      p.unpersist(blocking = false)
+      next
     }
     // share denominator: round-6 doubles cast to decimal(18,6) are
     // exact, so the players-frame sum is order-invariant

@@ -93,27 +93,47 @@ object BlockedDataset {
     require(channels.map(_.outCol).distinct.size == channels.size,
       "channel outCols must be distinct")
 
-    // 1. deduped observation streams: the whole-stream base series
-    //    plus one filtered stream per channel (keep-last on the
-    //    explicit tiebreak — the w6/j10 dedup contract)
-    def dedup(df: DataFrame, out: String) =
-      WindowOps.dedupKeepLast(
-        df.select(col(encCol), col(tsCol), col(valueCol), col(tiebreak)),
-        keys = Seq(encCol, tsCol), orderBy = Seq(col(tiebreak)))
-        .select(col(encCol), col(tsCol).as("__t"), lit(0).as("__tag"),
-          struct(col(valueCol).as("v"), col(tsCol).as("mt"))
-            .as(s"__p_$out"))
+    // 1. deduped observation streams — ONE hash aggregation (r20 opt,
+    //    guide §2.3/§2.4). Keep-last per (encounter, ts) for the base
+    //    series AND per channel used to be three window-sort passes (a
+    //    full corpus exchange+sort each, plus their scans); max over
+    //    struct(tiebreak, payload) per stream computes the same row in
+    //    one map-side-combining agg on one exchange:
+    //      · struct comparison orders by tiebreak first, so max IS
+    //        keep-last-by-tiebreak (the w6/j10 dedup contract; the
+    //        tiebreak contract — see @param — makes ties/null-tiebreak
+    //        groups a caller bug in both shapes);
+    //      · when(channelCond, …) leaves non-channel rows null and
+    //        agg max ignores nulls, so each channel dedups over
+    //        exactly its own filtered stream;
+    //      · the merged frame carries one row per (enc, ts) with ALL
+    //        payload columns, where the union carried up to 1+|C|
+    //        rows — the downstream LOCF last(ignoreNulls) reads the
+    //        same values at the same (t, tag) positions, and only
+    //        grid rows survive the pass, so the result is row-equal.
+    //    The encounter-level OUTCOME pre-aggregates here too (max of
+    //    the 0/1 predicate is associative), so the label frame becomes
+    //    a rollup of this agg instead of a second corpus scan.
+    def lastBy(cond: Column, out: String): Column =
+      max(when(cond, struct(col(tiebreak).as("tb"),
+          struct(col(valueCol).as("v"), col(tsCol).as("mt")).as("p"))))
+        .getField("p").as(s"__p_$out")
     val allOut = "last_value" +: channels.map(_.outCol)
-    val baseObs = dedup(events, "last_value")
-    val obs = (baseObs +:
+    val obsAggs = lastBy(lit(true), "last_value") +:
       channels.map(ch =>
-        dedup(events.filter(col(channelCol) === ch.value), ch.outCol)))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+        lastBy(col(channelCol) === ch.value, ch.outCol)) :+
+      max(when(outcome, 1L).otherwise(0L)).as("__lbl")
+    val obs = events
+      .groupBy(col(encCol), col(tsCol).as("__t"))
+      .agg(obsAggs.head, obsAggs.tail: _*)
+      .withColumn("__tag", lit(0))
 
     // 2. the hourly encounter grid (the w6 grid), tagged AFTER the
     //    observations at equal time so an on-the-hour observation
-    //    matches its own hour (the as-of >= convention)
-    val grid = baseObs
+    //    matches its own hour (the as-of >= convention); the grid
+    //    bounds roll up from the deduped frame (same distinct
+    //    (enc, ts) set as the raw stream)
+    val grid = obs
       .groupBy(col(encCol))
       .agg(date_trunc("hour", min(col("__t"))).as("__g0"),
         max(col("__t")).as("__t1"))
@@ -156,9 +176,12 @@ object BlockedDataset {
           .cast("double") / count(col("last_value")).over(wRoll), 6))
       .withColumnRenamed("__t", "grid_ts")
 
-    // 4. encounter-level outcome label over the RAW stream
-    val labels = events.groupBy(col(encCol))
-      .agg(max(when(outcome, 1L).otherwise(0L)).as("label"))
+    // 4. encounter-level outcome label — rollup of the step-1 agg's
+    //    per-(enc, ts) outcome max (max is associative; every raw row
+    //    belongs to exactly one (enc, ts) group, so the encounter set
+    //    and the 0/1 label match the raw-stream agg row for row)
+    val labels = obs.groupBy(col(encCol))
+      .agg(max(col("__lbl")).as("label"))
 
     // 5. leakage-safe split: hash the ENCOUNTER key
     val h = pmod(TextOps.portableHash(col(encCol)), lit(100))

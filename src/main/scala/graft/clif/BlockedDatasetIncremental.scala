@@ -307,26 +307,32 @@ object BlockedDatasetIncremental {
                          buckets: Int): Unit = if (!batch.isEmpty) {
     val spark = batch.sparkSession
     val rawDir = s"$workDir/raw"
-    // the batch feeds two actions (raw append, touched-buckets
-    // collect); a foreachBatch frame re-reads its source files per
-    // action, so pin it once
-    val b = batch.withColumn("__bucket", bucketOf(params, buckets))
-      .persist()
     // repartition on the layout key before every partitioned write:
     // without it every parallel task opens a file in every bucket dir
     // (parallelism × buckets small files per batch — the classic
-    // partitioned-write fan-out); with it each bucket is one file
-    b.withColumn("__batch", lit(batchId))
+    // partitioned-write fan-out); with it each bucket is one file.
+    // ONE action over the batch (r20 opt, guide §5): the touched
+    // buckets used to be a second action (distinct+collect) that
+    // forced pinning the batch; they are recoverable for free from
+    // the write itself — the dynamic overwrite rewrites EXACTLY this
+    // batch's partitions, so the `__bucket=` directory names under
+    // `__batch=<id>` ARE the touched set (bucketOf never yields a
+    // null partition value). One O(buckets) driver-side listing
+    // replaces a job + a cache round-trip, and replays stay
+    // idempotent: a replayed batch relists what it just rewrote.
+    batch.withColumn("__bucket", bucketOf(params, buckets))
+      .withColumn("__batch", lit(batchId))
       .repartition(col("__bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch", "__bucket")
       .parquet(rawDir)
-    // bucket-scale collect (≤ `buckets` longs) — the sanctioned
-    // driver bound; this is what prunes the recompute
-    val touched = b.select(col("__bucket")).distinct()
-      .collect().map(_.getLong(0))
-    b.unpersist()
+    val fs = hadoopFs(spark, workDir)
+    val touched = fs.listStatus(
+        new org.apache.hadoop.fs.Path(rawDir, s"__batch=$batchId"))
+      .toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toLong)
     // the live raw view (current compacted generation + unfolded
     // batches) — folded directories are excluded by partition
     // pruning, so a thousand-wave store reads like a fresh one

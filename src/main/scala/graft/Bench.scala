@@ -183,6 +183,20 @@ object Bench {
       }
     }
 
+  /** Adjudication-slot cap for a run with `flags` regression flags.
+    * Quiet runs keep the 12 cap (flags there are real plan changes;
+    * rerunning half the suite buys nothing). The cap lifts to the
+    * flag count when the run self-identifies as contended, by EITHER
+    * signal: a contended start (`loadStart > cpus/8`, the r18 rule)
+    * or broad flagging itself (`flags > 12` — r20: a quiet-start run
+    * slammed MID-RUN by host-level steal shipped 29 of 41 inflated
+    * entries uncorrected because the start-load signal never fired;
+    * on a genuinely-regressed board the extra plateaus simply
+    * adjudicate "real", so lifting the cap is cheap insurance in
+    * both worlds). */
+  def adjCapFor(loadStart: Double, cpus: Int, flags: Int): Int =
+    if (loadStart > cpus / 8.0 || flags > 12) flags else 12
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -297,13 +311,22 @@ object Bench {
     // flags are cheap contention plateaus and when truncation ships
     // wrong numbers. A quiet start keeps the 12 cap — flags there are
     // real plan changes and rerunning half the suite buys nothing.
+    // r20 measurement fix: a QUIET-START run can still be slammed
+    // MID-RUN (host-level steal on a shared box — observed: load 1.3
+    // at start, 41 flags at 3-4x inflation, all 12 adjudicated slots
+    // resolving "contention" and 29 inflated entries shipping
+    // uncorrected). Broad flagging IS the contended-run signal
+    // wherever the load came from, so a flag count past the cap also
+    // lifts it: on a genuinely-regressed board the extra plateaus are
+    // a few minutes of reruns that adjudicate "real" anyway, and on a
+    // stormy run they are exactly the corrections the total needs.
     // Each plateau row records /proc/loadavg AT MEASUREMENT TIME and
     // the verdict is load-gated (round-11 verdict #2: a plateau taken
     // on a still-contended box must not certify "real").
     val nCpus = try cpus.toInt catch { case _: NumberFormatException => 32 }
     val loadStartD = try loadStart.toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
-    val adjCap = if (loadStartD > nCpus / 8.0) regressed.size else 12
+    val adjCap = adjCapFor(loadStartD, nCpus, regressed.size)
     def loadavgD(): Double =
       try loadavg().toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }

@@ -177,4 +177,19 @@ class BenchSpec extends SparkSpec {
     assert(out("plateau_slower") == ((1.0, None)))
     assert(out("untouched") == ((0.5, None)))
   }
+
+  test("adjCapFor: quiet start keeps the 12 cap; a contended start OR " +
+    "broad flagging lifts it to the flag count") {
+    // quiet start, few flags: real-plan-change regime, cap stands
+    assert(Bench.adjCapFor(1.3, 32, 8) == 12)
+    assert(Bench.adjCapFor(1.3, 32, 12) == 12)
+    // contended start (load > cpus/8): every flag adjudicates (r18)
+    assert(Bench.adjCapFor(5.0, 32, 9) == 9)
+    // quiet start but broad flagging — the mid-run-storm signature
+    // (r20: 41 flags at load-1.3 start shipped 29 uncorrected): the
+    // flag count itself lifts the cap
+    assert(Bench.adjCapFor(1.3, 32, 41) == 41)
+    // unreadable loadavg (-1) behaves as quiet
+    assert(Bench.adjCapFor(-1.0, 32, 5) == 12)
+  }
 }

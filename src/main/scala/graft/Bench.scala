@@ -80,11 +80,24 @@ object Bench {
     * contention-cleared unless the reader noticed the -1). */
   def adjudicateVerdict(prev: Double, plateau: Double,
                         loadAtPlateau: Double = 0.0,
-                        cpus: Int = 32): String =
+                        cpus: Int = 32,
+                        prevLoad: Double = -1.0): String =
     if (plateau < 0) "error"
     else if (!isRegression(prev, plateau)) "contention"
     else if (plateau < 2.0 && plateau - prev < 0.75) "contention"
     else if (loadAtPlateau >= cpus / 8.0) "contention-suspect"
+    // load-COMPARABILITY gate (r20 verdict #1): the absolute cpus/8
+    // bound certified a "real" 1.9x regression from a load-2.2 plateau
+    // compared against a prev recorded on a QUIET box (t_jaccard_join,
+    // zero code change on the path). A verdict is only as good as the
+    // comparison, so "real" additionally requires the plateau load to
+    // be within ~1.5x of the prev artifact's recorded start load
+    // (floored at 1.0 — on a 32-core box sub-1 load is noise-free, so
+    // a near-idle prev must not demand an impossible sub-idle
+    // plateau). Unknown prev load (-1: no artifact, old format) keeps
+    // the absolute gate alone — additions-only.
+    else if (prevLoad >= 0 && loadAtPlateau > math.max(prevLoad * 1.5, 1.0))
+      "contention-suspect"
     else "real"
 
   /** End-of-run re-measurement of one flagged query: min of `runs`
@@ -118,7 +131,17 @@ object Bench {
   def plateauQuiet(spark: SparkSession, sfDir: String,
                    fn: (SparkSession, String) => DataFrame,
                    loadavg: () => Double, cpus: Int,
-                   runs: Int = 3, retries: Int = 2): (Double, Double) = {
+                   runs: Int = 3, retries: Int = 2,
+                   quietBelow: Double = -1.0): (Double, Double) = {
+    // `quietBelow` >= 0 tightens the retry target to the load-
+    // comparability bound (r20 verdict #1: a plateau must be taken
+    // under load comparable to the prev artifact's, not merely under
+    // the absolute cpus/8 gate, before its verdict can certify) —
+    // retries then wait for a COMPARABLE box, not just a non-slammed
+    // one. Negative keeps the r19 behavior.
+    val target =
+      if (quietBelow >= 0) math.min(cpus / 8.0, quietBelow)
+      else cpus / 8.0
     var attempts = List.empty[(Double, Double)]
     var left = retries + 1
     var quiet = false
@@ -127,7 +150,7 @@ object Bench {
       val ld = loadavg()
       if (pl < 0) return (pl, ld)
       attempts ::= (pl, ld)
-      quiet = ld >= 0 && ld < cpus / 8.0
+      quiet = ld >= 0 && ld < target
       left -= 1
     }
     (attempts.map(_._1).min, attempts.map(_._2).min)
@@ -158,6 +181,28 @@ object Bench {
       .findAllMatchIn(txt.substring(start, txt.indexOf('}', start)))
       .map(m => m.group(1).stripSuffix("\\") -> m.group(2).toDouble)
       .toMap
+  }
+
+  /** The previous artifact's recorded START load (the
+    * `"load":{"start":X` field, plain or driver-escaped form — the
+    * parsePrevQueries anchoring discipline). -1 when absent/unparsable:
+    * old artifacts carry no load, and the comparability gate
+    * ([[adjudicateVerdict]]) degrades to the absolute cpus/8 gate. */
+  def parsePrevLoad(txt: String): Double = {
+    val plain = "\"load\":{\"start\":"
+    val esc = "\\\"load\\\":{\\\"start\\\":"
+    val idx = txt.indexOf(plain) match {
+      case -1 => txt.indexOf(esc) match {
+        case -1 => -1
+        case i => i + esc.length
+      }
+      case i => i + plain.length
+    }
+    if (idx < 0) -1.0
+    else "-?[0-9]+\\.?[0-9]*".r
+      .findPrefixOf(txt.substring(idx, math.min(idx + 24, txt.length)))
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(-1.0)
   }
 
   /** Fold each flagged query's end-of-run plateau into the
@@ -254,10 +299,15 @@ object Bench {
     // scan to its closing brace parses it without a JSON dependency.
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       "BENCH_FULL.json")
-    val prev: Map[String, Double] =
-      try parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(prevPath)), "UTF-8"))
-      catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val prevTxt: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8")
+      catch { case scala.util.control.NonFatal(_) => "" }
+    val prev: Map[String, Double] = parsePrevQueries(prevTxt)
+    // prev's recorded start load: the comparability reference for
+    // plateau verdicts (r20 verdict #1) — recorded in this artifact
+    // so the NEXT run's reader can audit the chain
+    val prevLoadD = parsePrevLoad(prevTxt)
     // a stale artifact must not survive this run: if the write below
     // fails, a dangling queries_full pointer would present the OLD
     // numbers as current results
@@ -330,13 +380,20 @@ object Bench {
     def loadavgD(): Double =
       try loadavg().toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // load-comparability target for plateau retries (r20 verdict #1):
+    // when the prev artifact recorded its load, plateaus re-measure
+    // until the box is COMPARABLE to it (within 1.5x, floored at 1.0),
+    // not merely under the absolute cpus/8 gate
+    val quietTarget =
+      if (prevLoadD >= 0) math.max(prevLoadD * 1.5, 1.0) else -1.0
     val adjudicated = regressed.take(adjCap).map { case (k, (p, v)) =>
       // under-load bounded retries (r19 verdict #4): never certify a
       // verdict from a plateau taken on a still-contended box when a
       // re-measure can wait out the residual load
       val (pl, ld) = plateauQuiet(spark, sfDir, SparkEntry.queries(k),
-        loadavgD _, nCpus)
-      (k, p, v, pl, ld, adjudicateVerdict(p, pl, math.max(ld, 0.0), nCpus))
+        loadavgD _, nCpus, quietBelow = quietTarget)
+      (k, p, v, pl, ld,
+        adjudicateVerdict(p, pl, math.max(ld, 0.0), nCpus, prevLoadD))
     }
     // ---- quiet-box streaming floor re-measure (r18 verdict #2): the
     // published streaming_floor_sec sat flat at ~59 s for three
@@ -397,6 +454,7 @@ object Bench {
         s""""streaming_remeasure":${rmap(streamRemeasured)},""" +
         s""""adj_cap":$adjCap,"adj_flags":${regressed.size},""" +
         s""""prev_artifact":"${esc(if (prev.isEmpty) "" else prevPath)}",""" +
+        s""""prev_load":${ms(prevLoadD)},""" +
         s"""$streamJsonC,$loadJson,"errors":$nErr,"sf":"$sfDir"}"""
     val wroteFull =
       try {

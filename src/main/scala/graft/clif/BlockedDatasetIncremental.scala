@@ -314,12 +314,16 @@ object BlockedDatasetIncremental {
     // ONE action over the batch (r20 opt, guide §5): the touched
     // buckets used to be a second action (distinct+collect) that
     // forced pinning the batch; they are recoverable for free from
-    // the write itself — the dynamic overwrite rewrites EXACTLY this
-    // batch's partitions, so the `__bucket=` directory names under
-    // `__batch=<id>` ARE the touched set (bucketOf never yields a
-    // null partition value). One O(buckets) driver-side listing
-    // replaces a job + a cache round-trip, and replays stay
-    // idempotent: a replayed batch relists what it just rewrote.
+    // the write itself — the `__bucket=` directory names under
+    // `__batch=<id>` are a SUPERSET of this batch's buckets (bucketOf
+    // never yields a null partition value; dynamic overwrite rewrites
+    // the partitions present in the new data but never DELETES ones
+    // absent from it, so a replayed batch that carries fewer buckets
+    // than a previously committed attempt still lists the stale ones —
+    // ADVICE r20). Superset is the safe direction: extra buckets only
+    // widen the recompute, and relisting a stale bucket heals it. One
+    // O(buckets) driver-side listing replaces a job + a cache
+    // round-trip, and replays stay idempotent.
     batch.withColumn("__bucket", bucketOf(params, buckets))
       .withColumn("__batch", lit(batchId))
       .repartition(col("__bucket"))

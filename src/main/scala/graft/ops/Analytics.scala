@@ -1604,8 +1604,12 @@ object Analytics {
           round(col("wins").cast("double") /
             col("__den").cast("double"), 6).as("__p"))
         .localCheckpoint()
-      // superseded round state frees its executor blocks now; p0 is
-      // never checkpointed and unpersist on it is a harmless no-op
+      // superseded round state: Dataset.unpersist only walks the
+      // CacheManager, which never registered a localCheckpoint's
+      // internal RDD — so this is a no-op and the superseded blocks
+      // are reclaimed LAZILY by the ContextCleaner once the RDD is
+      // unreachable (ADVICE r20). Fine at iters=3 dimension scale;
+      // eager release would need a handle to the checkpointed RDD.
       p.unpersist(blocking = false)
       next
     }
@@ -1760,8 +1764,6 @@ object Analytics {
         .groupBy(col("__k"), col("__c"), col("__l"))
         .agg(sum(col("__post").cast("decimal(20,0)"))
           .cast("decimal(20,0)").as("__s"))
-      val sTot = sums.groupBy(col("__k"), col("__c"))
-        .agg(sum(col("__s")).cast("decimal(20,0)").as("__st"))
       val kclGrid = annDim.crossJoin(broadcast(classDim))
         .crossJoin(broadcast(classDim.select(col("__c").as("__l"))))
       // π and priors are A·C·L- and C-row frames — dimension-scale.
@@ -1773,14 +1775,25 @@ object Analytics {
       // no recompute. Only the FINAL round's π/priors are
       // checkpointed (below) — they are returned, and must stay
       // executable after `labels` is unpersisted.
+      // __st (the per-(k, c) row total) is a WINDOW sum over the
+      // grid-joined frame instead of a second agg + join (r21 opt,
+      // guide §2.4 — the M-step fusion): the grid carries EVERY
+      // (k, c, l) cell, so summing the null-coalesced __s over the
+      // (k, c) partition is exactly the old sTot — one exchange and
+      // one join less per round, same exact decimal sum (integer
+      // decimals are visit-order free)
+      val wKC = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__k"), col("__c"))
       pi = kclGrid
         .join(sums, Seq("__k", "__c", "__l"), "left")
-        .join(sTot, Seq("__k", "__c"), "left")
+        .withColumn("__st",
+          sum(coalesce(col("__s"), lit(0).cast("decimal(20,0)")))
+            .over(wKC).cast("decimal(20,0)"))
         .select(col("__k"), col("__c"), col("__l"),
           microR6(
             (coalesce(col("__s"), lit(0).cast("decimal(20,0)"))
               + lit(1000000L)).cast("double") /
-            (coalesce(col("__st"), lit(0).cast("decimal(20,0)"))
+            (col("__st")
               + lit(1000000L) * lit(lCount)).cast("double"))
             .as("__pi"))
       if (round == rounds) pi = pi.localCheckpoint()
@@ -1822,8 +1835,15 @@ object Analytics {
       // For ≤ 5 factors the two plans are BIT-IDENTICAL by
       // construction (the stage cannot fire; multiplication is
       // commutative so the sort is a no-op on the value).
+      // repartition on __i ALONE before the (i, c) agg (r21 opt, guide
+      // §2.4): hash(__i) satisfies both the agg's (i, c) clustering
+      // (subset rule) and the normalization windows' (i) partitioning
+      // below, so the agg and BOTH window passes share ONE exchange —
+      // the old groupBy-planned hash(i, c) exchange forced a second,
+      // (i)-keyed exchange for the windows every round
       val grouped = labels
         .join(broadcast(pi), Seq("__k", "__l"))
+        .repartition(col("__i"))
         .groupBy(col("__i"), col("__c"))
         .agg(collect_list(col("__pi")).as("__ps"))
         .join(broadcast(priors), Seq("__c"))

@@ -260,25 +260,36 @@ object Merge {
       differs
     // history rows and unchanged/unmatched rows pass through; a
     // changed current row closes; its replacement (and brand-new
-    // keys) open
-    val carried = joined.filter(col(keyCol).isNotNull)
-      .select((keyCol +: compareCols).map(col) :+
+    // keys) open.
+    // SINGLE-PASS emit (guide §2.4): the old carried∪opened union put
+    // the full-outer join under BOTH union arms, so the join executed
+    // twice per merge. One execution now emits up to two struct rows —
+    // carried when a base-side row exists, opened when the update side
+    // opens a version — via array+explode with a null filter (plain
+    // Generate/Filter/Project: codegen-friendly, no HOF). Every output
+    // row is identical to its union-arm twin; only the execution count
+    // of the join changes (2 → 1).
+    val kbLong = col("__kb").cast("long")
+    val carried = when(col(keyCol).isNotNull, struct(
+      (keyCol +: compareCols).map(col) :+
         col("valid_from") :+
         when(isChange, col("__ts")).otherwise(col("valid_to"))
           .as("valid_to") :+
         when(isChange, lit(false)).otherwise(col("is_current"))
-          .as("is_current") :+ col("__kb"): _*)
-    val opened = joined
-      .filter(col(s"__u_$keyCol").isNotNull &&
-        (col(keyCol).isNull || isChange))
-      .select((keyCol +: compareCols).map(c =>
+          .as("is_current") :+ kbLong.as("__kb"): _*))
+    val opened = when(col(s"__u_$keyCol").isNotNull &&
+        (col(keyCol).isNull || isChange), struct(
+      (keyCol +: compareCols).map(c =>
         col(s"__u_$c").as(c)) :+
         col("__ts").as("valid_from") :+
         lit(null).cast("timestamp").as("valid_to") :+
         lit(true).as("is_current") :+
         (pmod(pmod(col(s"__u_$keyCol").cast("long"), lit(2147483647L)) *
-          2654435761L, lit(2147483647L)) % buckets).as("__kb"): _*)
-    val merged = carried.unionByName(opened)
+          2654435761L, lit(2147483647L)) % buckets).as("__kb"): _*))
+    val merged = joined
+      .select(explode(array(carried, opened)).as("__row"))
+      .filter(col("__row").isNotNull)
+      .select(col("__row.*"))
     overwriteTouched(spark, fs, fsPath, merged, "__kb",
       opName = "scd2Upsert")
   }

@@ -572,15 +572,27 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var i = 0
+    val idType = labels.schema("cluster_id").dataType
     while (!converged && i < maxIters) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "id2"), Seq("id2"))
-        .select(col("id1").as("id"), col("cluster_id"))
+        .select(col("id1").as("id"), col("cluster_id"),
+          lit(null).cast(idType).as("__prev"))
+      // the round CARRIES each id's previous label beside the new one
+      // (max ignores the edge rows' null __prev; every id has exactly
+      // one labels row, so __prev is its old label) — the convergence
+      // test below is then a filter over the already-checkpointed
+      // round result instead of a join+shuffle back against `labels`
+      // (r21 opt, guide §2.4: one exchange pair less per round)
       // checkpoint: hop is read twice below (as itself and as the
       // parent map) — without it the join+agg subplan would run twice
-      val hop = labels.unionByName(viaEdges)
+      val hop = labels
+        .select(col("id"), col("cluster_id"),
+          col("cluster_id").as("__prev"))
+        .unionByName(viaEdges)
         .groupBy(col("id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          max(col("__prev")).as("__prev"))
         .localCheckpoint()
       // pointer jump: adopt the label OF my label (always present —
       // labels are ids of the same table; left join defends anyway)
@@ -589,18 +601,17 @@ object Dedup {
       val next = hop.join(parents, Seq("cluster_id"), "left")
         .select(col("id"),
           least(col("cluster_id"),
-            coalesce(col("__parent"), col("cluster_id"))).as("cluster_id"))
+            coalesce(col("__parent"), col("cluster_id"))).as("cluster_id"),
+          col("__prev"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"),
-          Seq("id"))
-        .filter(col("cluster_id") =!= col("prev"))
+      // scan of the just-checkpointed blocks — no join, no shuffle
+      val changed = next.filter(!(col("cluster_id") <=> col("__prev")))
         .count()
-      // superseded checkpoints release their executor blocks NOW —
-      // `next` is itself checkpointed, so nothing downstream re-reads
-      // them; leaked blocks otherwise pin memory for the session
-      labels.unpersist(blocking = false)
-      hop.unpersist(blocking = false)
-      labels = next
+      // superseded checkpoint blocks are reclaimed lazily by the
+      // ContextCleaner once the RDDs are unreachable (Dataset.unpersist
+      // only walks the CacheManager and never sees them — ADVICE r20);
+      // `next` is itself checkpointed, so nothing re-reads them
+      labels = next.drop("__prev")
       converged = changed == 0
       i += 1
     }
@@ -825,6 +836,36 @@ object Dedup {
       graft.functions.NativeExpressions.sorted_jaccard_ge(
         hs1, hs2, threshold - RoundSlack)
 
+  /** [[lshCandidates]] WITHOUT the est_jaccard readout — the candidate
+    * stage [[nearDuplicates]] actually consumes. The sibling carries
+    * the full minhash signature (numHashes ints ≈ 10× the id) through
+    * the (band, bucket) exchange and the collect_list buffer on every
+    * banded row, only so est_jaccard can be computed per pair — which
+    * nearDuplicates immediately drops (its verify is exact Jaccard).
+    * Catalyst cannot prune a field out of an AGGREGATE's collect_list
+    * buffer, so the trim must happen at the source: items here are
+    * bare ids (guide §2.3 — shuffle keys and metadata, not payloads).
+    * Same banding, same cap, same pair expansion: the pair SET is
+    * identical to lshCandidates' by construction. */
+  private def lshCandidatePairs(df: DataFrame, idCol: String,
+                                textCol: String, shingleN: Int,
+                                numHashes: Int, bands: Int,
+                                maxBucket: Int = 1000): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+        explode(lshBands(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    capBuckets(banded, Seq("band", "bucket"), maxBucket)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(col("items")).as("id1"), col("items"))
+      .select(col("id1"), explode(col("items")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+  }
+
   /** Near-dup pipeline: LSH candidates verified with exact Jaccard ≥
     * threshold. The verify join re-attaches shingle sets by id (shuffle on
     * id — small, candidates only), screened by [[screenPair]] before the
@@ -832,8 +873,8 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, shingleN: Int = 3,
                      numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val cands = lshCandidates(df, idCol, textCol, shingleN, numHashes, bands)
-      .select("id1", "id2")
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes,
+      bands)
     verifyCandidatePairs(cands, df, idCol, textCol, threshold, shingleN)
   }
 

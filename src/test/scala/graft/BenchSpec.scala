@@ -90,6 +90,29 @@ class BenchSpec extends SparkSpec {
     // noticed the -1 plateau value)
     assert(Bench.adjudicateVerdict(1.0, -1.0) == "error")
     assert(Bench.adjudicateVerdict(1.0, -1.0, 30.0, 32) == "error")
+    // r20 verdict #1 fixture (load-COMPARABILITY gate): t_jaccard_join
+    // was certified "real" from a load-2.2 plateau (under the absolute
+    // cpus/8 = 4.0 gate) against a prev recorded at load ~1.4 on a
+    // quiet box, with zero code change on the path. With prev's load
+    // known, "real" additionally requires plateau load within 1.5x of
+    // it (floored at 1.0): 2.2 > max(1.4*1.5, 1.0) = 2.1 -> demoted
+    assert(Bench.adjudicateVerdict(1.525, 4.581, 2.2, 32, 1.4) ==
+      "contention-suspect")
+    // comparable load certifies (2.0 <= 2.1)
+    assert(Bench.adjudicateVerdict(1.525, 4.581, 2.0, 32, 1.4) == "real")
+    // near-idle prev does not demand a sub-idle plateau: the bound
+    // floors at 1.0
+    assert(Bench.adjudicateVerdict(1.0, 2.5, 0.9, 32, 0.1) == "real")
+    assert(Bench.adjudicateVerdict(1.0, 2.5, 1.1, 32, 0.1) ==
+      "contention-suspect")
+    // unknown prev load (-1): old behavior, absolute gate alone
+    assert(Bench.adjudicateVerdict(1.0, 2.5, 3.9, 32, -1.0) == "real")
+    // parsePrevLoad reads both artifact forms; absent -> -1
+    assert(Bench.parsePrevLoad(
+      """"streaming_queries":28,"load":{"start":1.42,"end":3.0}""") == 1.42)
+    assert(Bench.parsePrevLoad(
+      """{"stdout":"{\"load\":{\"start\":5.30,\"end\":2.49}}"}""") == 5.30)
+    assert(Bench.parsePrevLoad("no load here") == -1.0)
     val pl = Bench.plateau(spark, dir,
       (s, d) => Tables.load(s, d, "region"), runs = 2)
     assert(pl > 0.0 && pl < 30.0, s"plateau=$pl")
@@ -142,6 +165,15 @@ class BenchSpec extends SparkSpec {
       (s, d) => Tables.load(s, d, "region"),
       () => { n += 1; 0.5 }, cpus = 32, runs = 1, retries = 2)
     assert(pl2 > 0.0 && ld2 == 0.5 && n == 1)
+    // quietBelow tightens the retry target to the comparability bound
+    // (r20 verdict #1): load 3.0 is under cpus/8 = 4.0 but NOT under
+    // the 2.1 bound -> all three attempts run
+    var m = 0
+    val (pl3, _) = Bench.plateauQuiet(spark, dir,
+      (s, d) => Tables.load(s, d, "region"),
+      () => { m += 1; 3.0 }, cpus = 32, runs = 1, retries = 2,
+      quietBelow = 2.1)
+    assert(pl3 > 0.0 && m == 3, s"m=$m")
     // an errored plateau short-circuits (no retry of a failure)
     val (plE, _) = SparkSpec.withExpectedTaskFailures(
       Bench.plateauQuiet(spark, dir, (s, d) =>

@@ -2616,7 +2616,7 @@ object SparkEntry {
     // ---- training-data ops: train/eval decontamination — cross-corpus
     // near-dups only (even doc_ids as "train", odd as "eval") ----
     "t_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tf(s, dir, "documents", "doc_id")
       Dedup.crossCorpusNearDuplicates(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
@@ -2818,7 +2818,7 @@ object SparkEntry {
     // retired r12 e_pca_top, which was this at k=1 — r14 verdict #2:
     // 14.5 s of redundant bench wall). ----
     "e_pca_topk" -> ((s, dir) =>
-      Similarity.powerIterationPcaK(t(s, dir, "embeddings"), "vec_id",
+      Similarity.powerIterationPcaK(tf(s, dir, "embeddings", "vec_id"), "vec_id",
         "embedding", k = 3, iters = 6)),
 
     // ---- similarity: whitened top-2 PCA projection — every
@@ -2826,7 +2826,7 @@ object SparkEntry {
     // reduction off e_pca_topk's basis): exact pico-unit (x−μ)·v
     // sums, one double chain /1e12 /sqrt(λ) rounded once. ----
     "e_pca_project" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings", "vec_id")
       val basis = Similarity.powerIterationPcaK(emb, "vec_id",
         "embedding", k = 2, iters = 6)
       Similarity.pcaProject(emb, "vec_id", "embedding", basis,

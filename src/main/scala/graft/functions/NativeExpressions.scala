@@ -180,6 +180,54 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Greedy left-to-right non-overlapping fuse of adjacent (left,
+    * right) token pairs — ONE compiled pass per array, replacing the
+    * interpreted `aggregate` HOF fold in the BPE learner/encoder
+    * (guide §4: the lambda fold alone measured ~12 s of task time per
+    * learner round at sf0.1, and the learner runs it every round).
+    * Semantics are EXACTLY the SQL fold's: an element equal to `left`
+    * whose successor equals `right` fuses into "left right"
+    * (space-joined); a just-fused atom never re-fuses within the same
+    * round (its text is strictly longer than `left`), which is the
+    * standard BPE greedy application order. Null elements pass
+    * through unfused (the SQL fold's null-comparison branch takes
+    * ELSE). Twin-pinned against the HOF fold in TextSpec. */
+  case class BpeFuse(child: Expression, left: String, right: String)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType)
+
+    @transient private lazy val lU = UTF8String.fromString(left)
+    @transient private lazy val rU = UTF8String.fromString(right)
+    @transient private lazy val fusedU =
+      UTF8String.fromString(left + " " + right)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new java.util.ArrayList[Any](n)
+      var lastIsLeft = false
+      var i = 0
+      while (i < n) {
+        val x = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        if (lastIsLeft && x != null && x.equals(rU)) {
+          out.set(out.size - 1, fusedU)
+          // the fused atom is strictly longer than `left`, so it can
+          // never itself match `left` this round — non-overlap for free
+          lastIsLeft = false
+        } else {
+          out.add(x)
+          lastIsLeft = x != null && x.equals(lU)
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** All sign-random-projection LSH bucket ids of a vector in ONE pass:
     * element t of the output is the `nPlanes`-bit bucket for hash table
     * `seeds(t)`. The hyperplane component at (seed, plane p, dim i) is
@@ -1456,6 +1504,9 @@ object NativeExpressions {
 
   def word_shingles(text: Column, n: Int): Column =
     toCol(WordShingles(expr(text), n))
+
+  def bpe_fuse(arr: Column, left: String, right: String): Column =
+    toCol(BpeFuse(expr(arr), left, right))
 
   def portable_simhash(tokens: Column): Column =
     toCol(PortableSimHash(expr(tokens)))

@@ -1243,12 +1243,18 @@ object TextOps {
       // in the argmax tiebreak (round-10 fix, caught by the
       // applyBpeMerges spec; the SQL oracle's self-join never had
       // the artifact)
+      // adjacent pairs via arrays_zip of the two shifted slices, NOT a
+      // transform lambda (r21 opt, guide §4): higher-order functions
+      // are CodegenFallback — the lambda pair-gen interpreted ~40 s of
+      // task time per round at sf0.1 where zip+slice+explode stay
+      // inside whole-stage codegen. Same (w[i-1], w[i]) pair stream.
       val pairs = seqs
         .filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(w) - 1), " +
-            "i -> struct(w[i-1] as l, w[i] as r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .select(explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
+        .groupBy(col("p").getField("0").as("l"),
+          col("p").getField("1").as("r"))
         .agg(count(lit(1)).as("n"))
       // tiebreak on the components SEPARATELY: a concat key is
       // ambiguous across distinct pairs (("a b","c") vs ("a","b c"))
@@ -1260,27 +1266,16 @@ object TextOps {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         learned += Row(rank, l, r, n)
-        // greedy non-overlapping left-to-right fuse of (l, r): fold
-        // each sequence. A fused atom's text is the pair joined
-        // with a space (never a whitespace token), so a just-fused
-        // atom only re-fuses when a LATER round learns that pair —
-        // exactly the BPE greedy application order.
+        // greedy non-overlapping left-to-right fuse of (l, r): one
+        // compiled pass per sequence (NativeExpressions.BpeFuse — the
+        // aggregate-HOF fold it replaces is interpreted per element
+        // and measured ~12 s task time per round at sf0.1;
+        // twin-pinned bit-identical in TextSpec). A fused atom's text
+        // is the pair joined with a space (never a whitespace token),
+        // so a just-fused atom only re-fuses when a LATER round
+        // learns that pair — exactly the BPE greedy application order.
         val seqs2 = seqs.select(col("id"),
-          expr(
-            // acc: fused prefix; x: next token. If the last fused
-            // element equals l AND x == r AND that element was not
-            // itself produced by THIS round's fuse (greedy
-            // non-overlap), replace it with l+" "+r fused atom.
-            // Track "just fused" by comparing the tail atom to the
-            // fused form (fused atoms contain the pair joined with a
-            // space, distinct from any single whitespace token).
-            s"""aggregate(w, cast(array() as array<string>),
-               |  (acc, x) -> CASE
-               |    WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(l)}
-               |         AND x = ${sqlLit(r)}
-               |    THEN concat(slice(acc, 1, size(acc) - 1),
-               |                array(${sqlLit(l + " " + r)}))
-               |    ELSE concat(acc, array(x)) END)""".stripMargin)
+          graft.functions.NativeExpressions.bpe_fuse(col("w"), l, r)
             .as("w")).localCheckpoint()
         seqs = swap(seqs2)
       }
@@ -1291,9 +1286,6 @@ object TextOps {
       org.apache.spark.sql.types.StructType.fromDDL(
         "rank INT, left STRING, right STRING, pair_count BIGINT"))
   }
-
-  private def sqlLit(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   /** BPE ENCODE — the apply half of [[learnBpeMerges]]: rewrite every
     * document's token sequence with the learned merges in RANK order,
@@ -1318,14 +1310,11 @@ object TextOps {
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))
     require(ms.length <= 64, "merge table larger than the learner emits")
+    // one compiled pass per merge rank (BpeFuse; the interpreted
+    // aggregate-HOF twin it replaces is pinned bit-identical in
+    // TextSpec — guide §4, same fuse as the learner's rounds)
     def fuse(arr: Column, l: String, r: String): Column =
-      aggregate(arr,
-        array().cast("array<string>"),
-        (acc, x) => when(
-          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(lit(l + " " + r))))
-          .otherwise(concat(acc, array(x))))
+      graft.functions.NativeExpressions.bpe_fuse(arr, l, r)
     val raw = tokens(lower(col(textCol)))
     val encoded = ms.foldLeft(raw) { case (acc, (l, r)) => fuse(acc, l, r) }
     docs.select(col(idCol).as("doc_id"),

@@ -805,6 +805,45 @@ class TextSpec extends SparkSpec {
     assert(out(1L)._1 > out(3L)._1)
   }
 
+  test("bpe_fuse: the compiled fuse is bit-identical to the aggregate-" +
+    "HOF fold it replaced (the executable spec), edge cases included") {
+    // the interpreted twin: the exact fold the learner/encoder used
+    def hofFuse(arr: org.apache.spark.sql.Column, l: String,
+                r: String): org.apache.spark.sql.Column =
+      aggregate(arr,
+        array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(lit(l + " " + r))))
+          .otherwise(concat(acc, array(x))))
+    val docs = Seq(
+      "a b a b c",      // two fuses
+      "a a a a",        // self-pair run: greedy non-overlap takes 2
+      "b a",            // reversed: no fuse
+      "a",              // single token
+      "",               // empty
+      "a b a b a b a"   // alternating run
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for ((l, r) <- Seq(("a", "b"), ("a", "a"), ("b", "c"))) {
+      val both = docs.select(
+        graft.functions.NativeExpressions.bpe_fuse(
+          TextOps.tokens(col("text")), l, r).as("native"),
+        hofFuse(TextOps.tokens(col("text")), l, r).as("hof"))
+      assert(both.filter(not(col("native") <=> col("hof"))).count() == 0,
+        s"native bpe_fuse diverged from the HOF twin for ($l, $r)")
+    }
+    // a fused atom from an earlier round fuses as a unit in a later one
+    val staged = Seq((1L, "x y z")).toDF("doc_id", "text")
+      .select(graft.functions.NativeExpressions.bpe_fuse(
+        graft.functions.NativeExpressions.bpe_fuse(
+          TextOps.tokens(col("text")), "x", "y"),
+        "x y", "z").as("w"))
+      .as[Seq[String]].head()
+    assert(staged == Seq("x y z"))
+  }
+
   test("applyBpeMerges: learned merges fuse greedily left-to-right, " +
     "counts reflect the encode; empty and 1-token docs pass through") {
     val docs = Seq((1L, "a b a b c"), (2L, "x"), (3L, ""))

@@ -2059,8 +2059,19 @@ object SparkEntry {
         .select(col("src_host"),
           DomainOps.hostOf(TextOps.canonicalizeUrl(col("link")))
             .as("dst_host"))
+      // pin the edge list before pageRank (guide §3.3 very-large
+      // plans): pageRank embeds its edges subtree ~(4 + 2·iters)
+      // times, and HERE that subtree is the extractLinks +
+      // canonicalizeUrl expression jungle — JobProfile measured 2.4 s
+      // of the query's ~3 s wall as DRIVER gap (planning), vs 0.9 s
+      // for g_pagerank whose edges are plain columns. The checkpoint
+      // replaces the jungle with a LogicalRDD of the aggregated edge
+      // frame — host×host ≤ 16 rows, the bounded-frame discipline
+      // (runtime was already deduped by ReuseExchange; planning walks
+      // every copy regardless).
       val edges = links.groupBy(col("src_host"), col("dst_host"))
         .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
       Graphs.pageRank(edges, "src_host", "dst_host", col("w"),
         damping = 0.85, iters = 2)
     }),
